@@ -1,0 +1,96 @@
+"""Catalog: register parquet tables as Spark views.
+
+The reference keeps one unified warehouse file and registers unified views
+over provider tables (internal/db/unified_schema.go:429-487). Here the
+warehouse is a directory of parquet tables; registration is cheap view
+creation, so every query gets predicate pushdown + column pruning into the
+parquet scans for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Driver-provided synthetic tables (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    """Read one parquet table, tolerating nanosecond timestamp columns.
+
+    Spark 4 rejects parquet TIMESTAMP(NANOS) outright; with the legacy
+    conf it surfaces them as LongType nanos, which we convert to proper
+    TimestampType via integer division (ns → µs, no double round-trip, so
+    no precision loss at 1.7e18-scale epoch values).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def _nanos_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    cols = []
+    schema = pq.read_schema(path)
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            cols.append(field.name)
+    return cols
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read(spark, path)
+    for c in _nanos_columns(path):
+        # ns→µs with integer `div` (no float): truncation matches how any
+        # µs-precision engine compares against these values.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+#: Memo of registered table sets: (session id, sf_dir) → {name: DataFrame}.
+#: Registration costs a footer read + view creation per table; queries call
+#: register_tables() freely, so cache it (parquet files are immutable here).
+_REGISTRY: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view; returns the DataFrames.
+
+    Views (not materialized caches): every downstream query plans straight
+    against the parquet scan, keeping pushdown/pruning intact. Callers that
+    reuse a small table many times can ``.cache()`` the returned df.
+    """
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _REGISTRY.get(key)
+    if cached is not None and set(tables) <= set(cached):
+        return cached
+    out: dict[str, DataFrame] = dict(cached or {})
+    for name in tables:
+        if name in out:
+            continue
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _REGISTRY[key] = out
+    return out
