@@ -1,0 +1,153 @@
+"""Graph traversal over an edge DataFrame — iterative Catalyst joins.
+
+The reference leans on its embedded engine's recursive CTEs for path
+finding and k-hop neighborhoods (internal/db/graph_loader.go:402-464) and
+does topological sorting with an in-memory DFS
+(plugins/aws-provider/discovery/resource_graph.go:580-626). On Spark the
+same semantics are expressed as a bounded driver loop of DataFrame joins:
+
+* each BFS/level iteration is ONE distributed hash join frontier ⋈ edges —
+  the frontier is usually tiny relative to the edge table, so AQE picks a
+  broadcast join from the materialized frontier's runtime size;
+* ``localCheckpoint`` after each iteration truncates the lineage so plans
+  stay O(1) deep regardless of traversal depth (an unbounded chained plan
+  would re-execute every prior hop and blow up the optimizer at depth 10+);
+* max-depth bounds match the reference (depth < 10 default).
+
+Edge DataFrame contract: columns ``src`` and ``dst`` (string node ids).
+Extra columns are ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prep(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
+    if not directed:
+        # Bidirectional expansion — the reference's k-hop steps across
+        # `from_id = n.id OR to_id = n.id` (graph_loader.go:435-464).
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e
+
+
+def k_hop(edges: DataFrame, seeds: list[str], max_depth: int = 3,
+          directed: bool = False) -> DataFrame:
+    """Min-distance BFS: returns (node, distance) for every node within
+    ``max_depth`` hops of any seed (seeds at distance 0).
+
+    Parity: recursive CTE k-hop with DISTINCT (graph_loader.go:435-464),
+    except distances are exact minima (BFS visits each node once, so no
+    cycle bookkeeping is needed — a revisit is always ≥ the first visit).
+    """
+    spark = edges.sparkSession
+    e = _prep(edges, directed)
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], "node string, distance int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(e["dst"].alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
+                  directed: bool = False) -> DataFrame:
+    """Single shortest path src→dst with the hop sequence.
+
+    Returns a 1-row DataFrame (depth INT, path ARRAY<STRING>) — the
+    minimum-depth path, ties broken by lexicographically smallest path so
+    the result is deterministic. Empty DataFrame when unreachable within
+    ``max_depth``.
+
+    Parity: recursive path CTE with array accumulation + cycle guard +
+    ORDER BY depth LIMIT 1 (graph_loader.go:402-433). BFS dedup per node
+    subsumes the cycle check (a cycle always revisits a node).
+    """
+    spark = edges.sparkSession
+    e = _prep(edges, directed)
+    # (node, path) — one row per reached node, carrying the lexicographically
+    # smallest min-depth path to it.
+    frontier = spark.createDataFrame([(src, [src])], "node string, path array<string>")
+    visited = frontier.select("node").localCheckpoint(eager=True)
+    for depth in range(1, max_depth + 1):
+        expanded = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                e["dst"].alias("node"),
+                F.concat(F.col("path"), F.array(e["dst"])).alias("path"),
+            )
+            .join(visited, "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("path").alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        hit = expanded.filter(F.col("node") == dst)
+        if not hit.isEmpty():
+            return hit.select(F.lit(depth).alias("depth"), "path")
+        if expanded.isEmpty():
+            break
+        visited = visited.unionByName(expanded.select("node")).localCheckpoint(eager=True)
+        frontier = expanded
+    if src == dst:
+        return spark.createDataFrame([(0, [src])], "depth int, path array<string>")
+    return spark.createDataFrame([], "depth int, path array<string>")
+
+
+def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
+    """Longest-path topological levels over a directed DAG.
+
+    Returns (node, level): sources (no incoming edge) at level 0, every
+    other node at 1 + max(level of predecessors) — Kahn layering, the
+    distributed equivalent of the reference's DFS dependency ordering
+    (discovery/resource_graph.go:580-626).
+
+    Raises ValueError on a cycle (some nodes never settle), matching the
+    reference's temp-mark cycle detection.
+    """
+    spark = edges.sparkSession
+    e = _prep(edges, directed=True).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sources = nodes.join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
+    levels = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    frontier = levels
+    for depth in range(1, max_depth + 1):
+        # Propagate max level forward; a node's level settles once all its
+        # predecessors have emitted (max aggregation makes later, larger
+        # levels override earlier ones via the final groupBy below).
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(e["dst"].alias("node"), (F.col("level") + 1).alias("level"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise ValueError(f"cycle detected: levels did not settle within {max_depth} iterations")
+    result = levels.groupBy("node").agg(F.max("level").alias("level"))
+    # Nodes unreachable from any source sit on (or behind) a cycle — the
+    # pure-cycle case never enters the loop above, so check membership.
+    if not nodes.join(result.select("node"), "node", "left_anti").isEmpty():
+        raise ValueError("cycle detected: some nodes are unreachable from any source")
+    return result

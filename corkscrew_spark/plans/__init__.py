@@ -1,1 +1,2 @@
-from . import queries  # noqa: F401
+from . import queries  # noqa: F401  (must import first: defines the registry)
+from . import graph_queries  # noqa: F401

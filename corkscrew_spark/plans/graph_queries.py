@@ -1,0 +1,158 @@
+"""Graph queries over an edge table derived from the synthetic star schema.
+
+The reference's graph subsystem walks a typed edge table with recursive
+CTEs (graph_loader.go:402-464). Here the edge set is derived from the
+testdata's natural containment hierarchy —
+
+    order O<k>  --placed_by-->  customer C<k>   (directed toward parents)
+    customer C<k> --located_in--> nation N<k>
+    supplier S<k> --located_in--> nation N<k>
+    nation  N<k> --contained_in--> region R<k>
+
+— and traversed with the iterative-join operators in operators/graph.py.
+The DuckDB oracles express the identical semantics as recursive CTEs, so
+the differential check covers the one operator family the reference gets
+"for free" from its embedded engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.operators import graph
+from corkscrew_spark.plans.queries import query
+
+#: Shared edge definition, kept in exact sync between engines.
+_EDGE_SQL_DUCK = """
+    SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+           'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+    UNION ALL
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+           'N' || CAST(s_nationkey AS VARCHAR) FROM supplier
+    UNION ALL
+    SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+           'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+"""
+
+_EDGE_WITH_ORDERS_DUCK = _EDGE_SQL_DUCK + """
+    UNION ALL
+    SELECT 'O' || CAST(o_orderkey AS VARCHAR),
+           'C' || CAST(o_custkey AS VARCHAR) FROM orders
+"""
+
+
+def _edge(df: DataFrame, src_prefix: str, src_col: str, dst_prefix: str, dst_col: str) -> DataFrame:
+    return df.select(
+        F.concat(F.lit(src_prefix), F.col(src_col).cast("string")).alias("src"),
+        F.concat(F.lit(dst_prefix), F.col(dst_col).cast("string")).alias("dst"),
+    )
+
+
+def containment_edges(spark: SparkSession, sf_dir: str, with_orders: bool = False) -> DataFrame:
+    t = register_tables(spark, sf_dir)
+    e = (
+        _edge(t["customer"], "C", "c_custkey", "N", "c_nationkey")
+        .unionByName(_edge(t["supplier"], "S", "s_suppkey", "N", "s_nationkey"))
+        .unionByName(_edge(t["nation"], "N", "n_nationkey", "R", "n_regionkey"))
+    )
+    if with_orders:
+        e = e.unionByName(_edge(t["orders"], "O", "o_orderkey", "C", "o_custkey"))
+    return e
+
+
+@query(
+    "graph_khop",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL_DUCK}),
+    bidir AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk AS (
+        SELECT 'C1' AS node, 0 AS distance
+        UNION ALL
+        SELECT b.dst, w.distance + 1
+        FROM walk w JOIN bidir b ON b.src = w.node
+        WHERE w.distance < 3
+    )
+    SELECT node, CAST(MIN(distance) AS INT) AS distance
+    FROM walk GROUP BY node ORDER BY distance, node
+    """,
+)
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop neighborhood, bidirectional, min distance — the recursive-CTE
+    neighborhood query (graph_loader.go:435-464) as iterative BFS joins."""
+    edges = containment_edges(spark, sf_dir)
+    return graph.k_hop(edges, ["C1"], max_depth=3, directed=False).orderBy("distance", "node")
+
+
+@query(
+    "graph_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL_DUCK}),
+    bidir AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk AS (
+        SELECT 'C1' AS node, ['C1'] AS path, 0 AS depth
+        UNION ALL
+        SELECT b.dst, list_append(w.path, b.dst), w.depth + 1
+        FROM walk w JOIN bidir b ON b.src = w.node
+        WHERE w.depth < 4 AND NOT list_contains(w.path, b.dst)
+    )
+    SELECT CAST(depth AS INT) AS depth, array_to_string(path, '->') AS path_str
+    FROM walk
+    WHERE node = (SELECT 'R' || CAST(n_regionkey AS VARCHAR)
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  WHERE c_custkey = 1)
+    ORDER BY depth, path LIMIT 1
+    """,
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest path with hop sequence — recursive path CTE with cycle
+    guard + ORDER BY depth LIMIT 1 (graph_loader.go:402-433).
+
+    Target = C1's own region node: the containment graph is a forest of
+    per-region components, so an arbitrary fixed target would be
+    unreachable at most scale factors; the region is always 2 hops away,
+    and the BFS still proves min-depth + lexicographic tie-breaking.
+    """
+    t = register_tables(spark, sf_dir)
+    target = (
+        t["customer"]
+        .filter(F.col("c_custkey") == 1)
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.concat(F.lit("R"), F.col("n_regionkey").cast("string")))
+        .first()[0]
+    )
+    edges = containment_edges(spark, sf_dir)
+    hit = graph.shortest_path(edges, "C1", target, max_depth=4, directed=False)
+    return hit.select("depth", F.array_join("path", "->").alias("path_str"))
+
+
+@query(
+    "graph_topo_levels",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_WITH_ORDERS_DUCK}),
+    sources AS (
+        SELECT DISTINCT src AS node FROM edges
+        WHERE src NOT IN (SELECT dst FROM edges)
+    ),
+    walk AS (
+        SELECT node, 0 AS lvl FROM sources
+        UNION ALL
+        SELECT e.dst, w.lvl + 1 FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    levels AS (SELECT node, MAX(lvl) AS level FROM walk GROUP BY node)
+    SELECT CAST(level AS INT) AS level, COUNT(*) AS node_count
+    FROM levels GROUP BY level ORDER BY level
+    """,
+)
+def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological (longest-path) layering of the containment DAG —
+    dependency ordering (discovery/resource_graph.go:580-626), summarized
+    as nodes-per-level."""
+    edges = containment_edges(spark, sf_dir, with_orders=True)
+    levels = graph.topo_levels(edges, max_depth=10)
+    return (
+        levels.groupBy("level")
+        .agg(F.count("*").alias("node_count"))
+        .orderBy("level")
+    )

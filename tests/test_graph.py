@@ -1,0 +1,61 @@
+"""Unit tests for iterative graph operators (cycles, direction, bounds)."""
+
+from __future__ import annotations
+
+import pytest
+
+from corkscrew_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_khop_directed_distances(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    got = {r["node"]: r["distance"] for r in graph.k_hop(e, ["a"], 3, directed=True).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_depth_bound(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["node"] for r in graph.k_hop(e, ["a"], 2, directed=True).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_khop_cycle_terminates(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = {r["node"]: r["distance"] for r in graph.k_hop(e, ["a"], 10, directed=True).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_shortest_path_prefers_min_depth_then_lex(spark):
+    # two depth-2 paths a->b->z and a->c->z: lexicographically smaller wins
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "z"), ("c", "z"), ("a", "x")])
+    row = graph.shortest_path(e, "a", "z", directed=True).collect()[0]
+    assert row["depth"] == 2
+    assert row["path"] == ["a", "b", "z"]
+
+
+def test_shortest_path_survives_cycle(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+    row = graph.shortest_path(e, "a", "c", directed=True).collect()[0]
+    assert row["depth"] == 2 and row["path"] == ["a", "b", "c"]
+
+
+def test_shortest_path_unreachable(spark):
+    e = _edges(spark, [("a", "b"), ("c", "d")])
+    assert graph.shortest_path(e, "a", "d", max_depth=5, directed=True).count() == 0
+
+
+def test_topo_levels_longest_path(spark):
+    # diamond with a long arm: d's level is max(path) = 3
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    got = {r["node"]: r["level"] for r in graph.topo_levels(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_topo_levels_cycle_raises(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    with pytest.raises(ValueError, match="cycle"):
+        graph.topo_levels(e, max_depth=5)
