@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines, 100 TB-first.
+
+Every strategy here is a *blocked pair generation* followed by exact
+verification — the only shape that scales: never all-pairs, always
+candidates-from-shared-key. Hot paths are built-in Column functions; the
+one hash that must be engine-portable (fingerprints) uses md5, the rest
+use xxhash64 (JVM-side, 64-bit, seeded).
+
+Strategies:
+  exact_duplicates     — full-content (or prefix-key) hash groupBy
+  ngram_jaccard_pairs  — shingle-join candidates + exact Jaccard verify
+  minhash_lsh_pairs    — MinHash signatures, banded LSH join, Jaccard verify
+  simhash_pairs        — 64-bit SimHash, banded hamming candidates
+  embedding_near_dup   — blocked cosine similarity over embedding vectors
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from corkscrew_spark.operators.text import fingerprint, prefix_key, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     key: Column | None = None) -> DataFrame:
+    """Groups of documents with identical content key.
+
+    Returns (dup_key, doc_count, keep_id) for every key held by >1 doc —
+    ``keep_id`` is the canonical representative (min id). Single shuffle
+    with map-side partial aggregation; at 100 TB this is the cheapest
+    dedup and always runs first to shrink the corpus for the fuzzy passes.
+    """
+    k = key if key is not None else fingerprint(text_col)
+    return (
+        df.select(F.col(id_col), k.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("doc_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("doc_count") > 1)
+    )
+
+
+def prefix_duplicates(df: DataFrame, id_col: str, text_col: str, n_tokens: int = 5) -> DataFrame:
+    """Exact dedup on the first-N-token prefix (cheap boilerplate catcher)."""
+    return exact_duplicates(df, id_col, text_col, key=prefix_key(text_col, n_tokens))
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle)."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        threshold: float = 0.8, max_shingle_df: int = 100) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, shingle-join blocked.
+
+    Candidates come from sharing at least one shingle whose document
+    frequency is ≤ ``max_shingle_df``: ultra-common shingles generate
+    quadratic candidate pairs while contributing nothing to near-dup
+    recall (true near-dups share many *rare* shingles), so dropping them
+    bounds the blow-up — the standard prefix/df-filter from set-similarity
+    joins. Jaccard itself is computed over the FULL shingle sets, so the
+    score is exact; only candidate *generation* is df-capped.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    a = blocked.select(F.col("doc").alias("doc_a"), "shingle")
+    b = blocked.select(F.col("doc").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_rare"))
+        .select("doc_a", "doc_b")
+    )
+    # Exact verify on full sets: |A∩B| via one more shingle join restricted
+    # to candidate pairs.
+    inter = (
+        sh.withColumnRenamed("doc", "doc_a")
+        .join(cand, "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """Per-document MinHash signature: for hash seed i, min over shingles
+    of xxhash64(shingle, i). One narrow exploded relation + a single
+    groupBy — the min() partial-aggregates map-side, so the shuffle
+    carries ~|docs|×num_hashes rows regardless of corpus size.
+
+    Returns (doc, pos, minhash).
+    """
+    sh = shingle_set(df, id_col, text_col, n)
+    hashed = sh.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(F.col("shingle"), i),
+            )
+        ).alias("pos", "h"),
+    )
+    return hashed.groupBy("doc", "pos").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact Jaccard verification.
+
+    ``bands`` bands of r = num_hashes/bands rows: a pair becomes a
+    candidate when any band's signature slice matches exactly (probability
+    1-(1-j^r)^b — with 8 bands × 4 rows, j=0.8 is caught w.p. ~0.996).
+    Candidates are then verified with exact Jaccard so the output has no
+    false positives — LSH only bounds *recall*, never precision.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_sig = (
+        sig.withColumn("band", F.col("pos") % bands)
+        # order inside the band fixed by sorting on pos
+        .groupBy("doc", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "minhash"))).alias("s"))
+        .select(
+            "doc",
+            "band",
+            F.xxhash64(F.to_json(F.col("s"))).alias("band_key"),
+        )
+    )
+    a = band_sig.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = band_sig.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.withColumnRenamed("doc", "doc_a")
+        .join(cand, "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFrame:
+    """63-bit SimHash per document (bit 63 unused to stay in signed LONG).
+
+    Token-frequency-weighted: bit j of the fingerprint is the sign of
+    Σ_tokens count(token) * (±1 from bit j of xxhash64(token)). Computed
+    as one exploded token-count relation and an elementwise array-sum
+    aggregation — all JVM expressions.
+
+    Returns (doc, simhash LONG).
+    """
+    tok_counts = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("doc", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    contrib = tok_counts.select(
+        "doc",
+        F.expr(
+            f"transform(sequence(0, {bits - 1}), "
+            "j -> cnt * (CASE WHEN (shiftright(xxhash64(tok), j) & 1L) = 1L "
+            "THEN 1L ELSE -1L END))"
+        ).alias("v"),
+    )
+    summed = contrib.groupBy("doc").agg(
+        F.aggregate(
+            F.collect_list("v"),
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+        ).alias("sums")
+    )
+    # shiftleft with a *column* shift amount is SQL-only (the Python
+    # wrapper takes an int), so the bit-assembly runs as one SQL lambda.
+    return summed.select(
+        "doc",
+        F.expr(
+            f"aggregate(zip_with(sums, sequence(0, {bits - 1}), "
+            "(s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs by SimHash banding + exact hamming verify.
+
+    With 4 bands of ~16 bits, any pair within hamming distance 3 shares at
+    least one whole band (pigeonhole), so recall is exact for
+    max_hamming < bands; precision comes from the final bit_count check.
+    """
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    width = 63 // bands + 1
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.posexplode(band_vals).alias("band", "band_val"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_val")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
+                       block_col: str, threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs by cosine similarity, blocked on ``block_col``
+    (a cluster/label/LSH-bucket key): all-pairs only *within* blocks.
+
+    For unblocked corpora, feed the bucket column from
+    similarity.hyperplane_bucket as ``block_col``.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        vec.alias("v"), norm.alias("nrm"),
+    )
+    a = base.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

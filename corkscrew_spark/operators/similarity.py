@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (queries × corpus — fine
+when the query set is small and the corpus is scanned once); the scale
+path is hyperplane-LSH bucketing so candidate generation is a bucket
+equi-join instead of a cross join.
+
+Everything is built-in Column expressions (zip_with/aggregate fold for
+the dot product) — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+                k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is expected to be small → broadcast; the corpus is scanned
+    exactly once and never shuffled (the only shuffle is the per-query
+    top-k window over |queries|×|corpus| scored rows, which AQE sizes).
+    Ranking uses the ROUNDed score (4dp) with id tie-break so results are
+    reproducible across platforms' float summation orders.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col: str, planes: int = 12, dim: int = 64,
+                      seed: int = 7) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (0 .. 2^planes-1).
+
+    Plane p's component d is a pseudo-random value in [-0.5, 0.5) derived
+    from xxhash64(seed, p, d) — fully reproducible across runs/engines, no
+    RNG state to ship. Bucket bit p = sign of dot(plane_p, vec).
+    """
+    vec = _as_double(vec_col)
+
+    def plane_dot(p: int) -> Column:
+        prods = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, d: x * ((F.xxhash64(F.lit(seed), F.lit(p), d) % 1000) / 1000.0),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 5, planes: int = 8) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket equi-join for candidates, then
+    exact cosine rank within the bucket.
+
+    At 100 TB the bucket join shuffles each side once on a 64-bit key; the
+    all-pairs work is confined to bucket-local candidates (expected
+    |corpus| / 2^planes per bucket — pick `planes` so buckets fit memory).
+    Recall can be raised by lowering `planes` or probing neighbor buckets;
+    this baseline uses single-probe.
+    """
+    from pyspark.sql import Window
+
+    bkt = hyperplane_bucket(vec_col, planes=planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"), bkt.alias("bucket")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"), bkt.alias("bucket")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in Column functions (JVM-side,
+whole-stage-codegen) — no Python UDFs: at 100 TB a row-at-a-time Python
+tokenizer is the difference between hours and weeks.
+
+Documents are modeled as (id, text) with single-space token separation
+(the general versions split on \\s+; formulas noted where they assume
+single-space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal deterministic per-language marker lexicons for the n-gram/
+#: stopword language-ID heuristic. Order = tie-break priority.
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "a", "of", "and", "to")),
+    ("es", ("el", "la", "de", "que", "los")),
+    ("de", ("der", "die", "und", "das", "ist")),
+]
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def avg_token_len(text_col: str | Column) -> Column:
+    """Mean token length; assumes single-space separation so it can be
+    computed from scalar lengths (no array explode): (chars - separators)/n."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = token_count(c)
+    return (F.length(c) - (n - F.lit(1))) / n
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits / F.size(toks)
+
+
+def quality_score(text_col: str | Column,
+                  stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs,
+    reasonable mean token length, and nonzero-but-bounded stopword mass —
+    the length/punct/stopword family of filters used by pretraining
+    pipelines (and by the reference's keyword-based impact scorer shape,
+    base_change_tracker.go:115-312)."""
+    n = token_count(text_col)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    wl = avg_token_len(text_col)
+    wl_score = F.when((wl >= 3) & (wl <= 8), 1.0).otherwise(0.5)
+    sw = stopword_ratio(text_col, stopwords)
+    sw_score = F.when((sw > 0.0) & (sw < 0.5), 1.0).otherwise(0.5)
+    return F.round((len_score * 0.5 + wl_score * 0.25 + sw_score * 0.25), 4)
+
+
+def language_id(text_col: str | Column,
+                markers: list[tuple[str, tuple[str, ...]]] | None = None) -> Column:
+    """Marker-lexicon language ID: distinct-overlap count per language,
+    argmax with fixed priority order on ties; 'und' when no marker hits.
+
+    Built as a cascade of comparisons (not array_max over structs) so the
+    identical CASE expression is expressible in any ANSI engine.
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokens(text_col)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in markers
+    }
+    langs = [lang for lang, _ in markers]
+    expr = F.lit("und")
+    # Build the cascade back-to-front: earlier langs win ties.
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = scores[lang] > 0
+        for other in langs[:i]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[i + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, lang).otherwise(expr)
+    return expr
+
+
+def normalized(text_col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = F.lower(c)
+    out = F.regexp_replace(out, "[^a-z0-9 ]", "")
+    out = F.regexp_replace(out, " +", " ")
+    return F.trim(out)
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """128-bit content fingerprint over the normalized text (md5 — stable
+    across engines, unlike engine-native hash functions)."""
+    return F.md5(normalized(text_col))
+
+
+def prefix_key(text_col: str | Column, n_tokens: int = 5) -> Column:
+    """First-N-token prefix key — cheap near-dup blocking / prefix dedup."""
+    return F.array_join(F.slice(tokens(text_col), 1, n_tokens), " ")
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set as columns (single projection pass)."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "avg_token_len": F.round(avg_token_len(text_col), 4),
+            "stopword_ratio": F.round(stopword_ratio(text_col), 4),
+            "quality_score": quality_score(text_col),
+            "lang_pred": language_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

@@ -1,0 +1,274 @@
+"""Training-data pipeline queries over documents/embeddings.
+
+Beyond-reference operator surface (SURVEY.md §7 step 9): dedup, similarity
+search, text analysis — each bound to the driver's synthetic corpus with a
+DuckDB oracle where the semantics are SQL-expressible, rows-only otherwise
+(minhash/simhash/LSH use engine-native xxhash64, which DuckDB lacks).
+
+Oracle-parity rules: every float formula in the oracle mirrors the Spark
+expression structure term-for-term so IEEE evaluation order matches and
+ROUND(x, 4) lands identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.operators import dedup, similarity, text
+from corkscrew_spark.plans.queries import query
+
+_JACCARD_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    blocked AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM blocked a JOIN blocked b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (na.n_sh + nb.n_sh - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_prefix_exact",
+    oracle="""
+    SELECT dup_key, doc_count, keep_id FROM (
+        SELECT array_to_string(string_split(lower(text), ' ')[1:5], ' ') AS dup_key,
+               COUNT(*) AS doc_count,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        FROM documents GROUP BY 1
+    ) WHERE doc_count > 1
+    ORDER BY dup_key
+    """,
+)
+def dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the 5-token prefix key — hash-groupBy dedup, the
+    always-first pass of a corpus pipeline."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return dedup.prefix_duplicates(d, "doc_id", "text", n_tokens=5).orderBy("dup_key")
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8, shingle-join blocked
+    with a df≤100 frequency cap (same cap in the oracle)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=100)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, label-blocked cosine ≥ 0.4 (the corpus
+    plants no >0.5 pairs; the threshold proves the operator on real data).
+    """
+    e = register_tables(spark, sf_dir)["embeddings"]
+    return (
+        dedup.embedding_near_dup(e, "vec_id", "embedding", "label", threshold=0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors — the
+    correctness baseline for the LSH-bucketed scale path (ann_lsh_topk)."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.cosine_topk(e, queries, "vec_id", "embedding", k=5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               len(string_split(lower(text), ' ')) AS n,
+               (length(text) - (len(string_split(lower(text), ' ')) - 1))
+                   * 1.0 / len(string_split(lower(text), ' ')) AS wl,
+               len(list_filter(string_split(lower(text), ' '),
+                   t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                   * 1.0 / len(string_split(lower(text), ' ')) AS sw
+    FROM documents)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           ROUND(wl, 4) AS avg_token_len,
+           ROUND(sw, 4) AS stopword_ratio,
+           ROUND(LEAST(n / 100.0, 1.0) * 0.5
+                 + (CASE WHEN wl >= 3 AND wl <= 8 THEN 1.0 ELSE 0.5 END) * 0.25
+                 + (CASE WHEN sw > 0.0 AND sw < 0.5 THEN 1.0 ELSE 0.5 END) * 0.25, 4)
+               AS quality_score
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, composite quality score."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.avg_token_len("text"), 4).alias("avg_token_len"),
+        F.round(text.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        text.quality_score("text").alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+        SELECT lang, string_split(lower(text), ' ') AS t FROM documents
+    ), sc AS (
+        SELECT lang,
+               (CAST(list_contains(t,'the') AS INT) + CAST(list_contains(t,'a') AS INT)
+                + CAST(list_contains(t,'of') AS INT) + CAST(list_contains(t,'and') AS INT)
+                + CAST(list_contains(t,'to') AS INT)) AS s_en,
+               (CAST(list_contains(t,'el') AS INT) + CAST(list_contains(t,'la') AS INT)
+                + CAST(list_contains(t,'de') AS INT) + CAST(list_contains(t,'que') AS INT)
+                + CAST(list_contains(t,'los') AS INT)) AS s_es,
+               (CAST(list_contains(t,'der') AS INT) + CAST(list_contains(t,'die') AS INT)
+                + CAST(list_contains(t,'und') AS INT) + CAST(list_contains(t,'das') AS INT)
+                + CAST(list_contains(t,'ist') AS INT)) AS s_de
+        FROM s
+    )
+    SELECT lang,
+           CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es > 0 AND s_es > s_en AND s_es >= s_de THEN 'es'
+                WHEN s_de > 0 AND s_de > s_en AND s_de > s_es THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           COUNT(*) AS docs
+    FROM sc GROUP BY 1, 2 ORDER BY lang, lang_pred
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID vs the labeled lang column (confusion
+    rollup). The heuristic is deterministic; the corpus being synthetic
+    English-ish words, most predictions land 'en' — the check is about
+    exact argmax/tie-break semantics, not model quality."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("lang", text.language_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS docs,
+           COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS distinct_fingerprints
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprints rolled up per source — the
+    checksum operator done right (sha/md5 over canonical form vs the
+    reference's placeholder checksum, base_change_tracker.go:105-112)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("source", text.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("fp").alias("distinct_fingerprints"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- rows-only (engine-native hashing; verified in tests/ against exact
+# --- ground truth rather than a SQL oracle) -------------------------------
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (banded signatures, exact-Jaccard
+    verified). Rows-only at the driver; tests/test_dedup.py checks recall
+    == 1.0 against the exact ngram_jaccard_pairs output on this corpus."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+                                threshold=0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates within hamming distance 3 (banded)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 for 10 query vectors —
+    the 100 TB path (bucket equi-join instead of cross join). Recall vs
+    the exact baseline is asserted in tests/test_similarity.py."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.ann_topk(e, queries, "vec_id", "embedding", k=5, planes=8)
+        .orderBy("query_id", "rank")
+    )

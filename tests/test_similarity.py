@@ -1,0 +1,52 @@
+"""Similarity-search tests: exactness of brute force, ANN invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cosine_topk_planted_duplicate(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0001]),  # near-identical to 1
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 1), "vec_id",
+                                 "embedding", k=3).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3, 4]
+    assert got[0]["cosine"] == 1.0  # rounds to 1.0 at 4dp
+
+
+def test_ann_scores_match_brute_force(spark):
+    """Every ANN hit must carry the same (rounded) cosine as the exact
+    scorer for that pair — LSH narrows candidates, never changes scores."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=500).collect()
+    }
+    ann = similarity.ann_topk(e, q, "vec_id", "embedding", k=5, planes=8).collect()
+    assert ann, "ANN should return candidates on this corpus"
+    for r in ann:
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_ann_identical_vector_always_found(spark):
+    """An exact duplicate vector lands in the same bucket under any
+    hyperplane set, so ANN must rank it first with cosine 1.0."""
+    e = register_tables(spark, SF)["embeddings"]
+    dup = e.filter(F.col("vec_id") == 0).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.select("vec_id", "embedding", "label").unionByName(dup)
+    q = corpus.filter(F.col("vec_id") == 100000)
+    got = similarity.ann_topk(corpus, q, "vec_id", "embedding", k=3, planes=8).collect()
+    assert got[0]["neighbor_id"] == 0 and got[0]["cosine"] == 1.0

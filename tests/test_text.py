@@ -1,0 +1,57 @@
+"""Text-analysis operator tests on handmade documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corkscrew_spark.operators import text
+
+
+def _one(spark, s: str):
+    return spark.createDataFrame([(1, s)], "doc_id long, text string")
+
+
+def test_token_count_and_avg_len(spark):
+    df = _one(spark, "aa bbb cccc")
+    row = df.select(
+        text.token_count("text").alias("n"),
+        F.round(text.avg_token_len("text"), 4).alias("wl"),
+    ).collect()[0]
+    assert row["n"] == 3
+    assert row["wl"] == 3.0  # (11 - 2) / 3
+
+
+def test_stopword_ratio_and_quality_bounds(spark):
+    df = _one(spark, "the cat and the hat")
+    row = df.select(
+        F.round(text.stopword_ratio("text"), 4).alias("sw"),
+        text.quality_score("text").alias("q"),
+    ).collect()[0]
+    assert row["sw"] == 0.6  # the, and, the
+    assert 0.0 <= row["q"] <= 1.0
+
+
+def test_language_id_argmax_and_tiebreak(spark):
+    rows = [
+        (1, "the dog of war"),          # en markers
+        (2, "el perro de la guerra"),   # es markers
+        (3, "der hund und das leben"),  # de markers
+        (4, "zzz qqq www"),             # none -> und
+        (5, "the el"),                  # 1-1 tie -> en (priority order)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in
+           df.select("doc_id", text.language_id("text").alias("p")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und", 5: "en"}
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [r["fp"] for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_prefix_key(spark):
+    df = _one(spark, "a b c d e f g")
+    assert df.select(text.prefix_key("text", 3).alias("k")).collect()[0]["k"] == "a b c"
