@@ -1,0 +1,152 @@
+"""Validated SQL passthrough — the reference's query engine surface.
+
+Reference lifecycle (pkg/query/engine.go:130-229): named-param rewrite →
+EXPLAIN-based validation → execute → rows + stats. Here the execution
+engine is Catalyst; this layer adds exactly what Spark doesn't have:
+
+* read-only gate: statement-type check + keyword denylist
+  (engine.go:368-386) BEFORE anything reaches the session;
+* named ``:param`` binding with proper literal quoting, including list →
+  IN-expansion (engine.go:441-456; compliance executor.go:397-436);
+* friendly error UX: unknown-table fuzzy suggestions over the catalog
+  (cmd/corkscrew/main.go:1238-1297);
+* result stats (duration, row count on demand).
+"""
+
+from __future__ import annotations
+
+import difflib
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from corkscrew_spark.functions import register_json_helpers
+
+
+class QueryValidationError(ValueError):
+    pass
+
+
+#: Mutating / DDL keywords denied at the gate (engine.go:371-377). Word
+#: boundary match, case-insensitive, comments stripped first.
+_DENY = (
+    "DROP", "DELETE", "UPDATE", "INSERT", "ALTER", "CREATE", "TRUNCATE",
+    "MERGE", "GRANT", "REVOKE", "SET", "REFRESH",
+)
+_ALLOWED_STARTS = ("SELECT", "WITH", "EXPLAIN", "SHOW", "DESCRIBE", "DESC", "VALUES", "TABLE")
+
+_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+_PARAM_RE = re.compile(r"(?<!:):([a-zA-Z_][a-zA-Z0-9_]*)")
+_TABLE_ERR_RE = re.compile(r"TABLE_OR_VIEW_NOT_FOUND|Table or view not found", re.IGNORECASE)
+
+
+def quote_literal(value: Any) -> str:
+    """Render a Python value as a safe SQL literal."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, (list, tuple, set)):
+        if not value:
+            return "(NULL)"  # empty IN-list matches nothing
+        return "(" + ", ".join(quote_literal(v) for v in value) + ")"
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
+def bind_params(sql: str, params: dict[str, Any] | None) -> str:
+    """Replace ``:name`` placeholders with quoted literals.
+
+    Lists expand for IN-predicates: ``x IN (:ids)`` and ``x IN :ids``
+    both work (the pre-wrapped parens case is normalized).
+    """
+    if params is None:
+        params = {}
+
+    def sub(m: re.Match[str]) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise QueryValidationError(f"missing parameter: :{name}")
+        return quote_literal(params[name])
+
+    bound = _PARAM_RE.sub(sub, sql)
+    # normalize "IN ((...))" from list params inside explicit parens
+    return re.sub(r"IN\s*\(\s*\(([^()]*)\)\s*\)", r"IN (\1)", bound, flags=re.IGNORECASE)
+
+
+def validate_readonly(sql: str) -> None:
+    """Deny mutating statements (engine.go:368-386)."""
+    stripped = _COMMENT_RE.sub(" ", sql).strip()
+    if not stripped:
+        raise QueryValidationError("empty query")
+    first = stripped.split(None, 1)[0].upper()
+    if first not in _ALLOWED_STARTS:
+        raise QueryValidationError(
+            f"only read-only queries are allowed (statement starts with {first})"
+        )
+    for kw in _DENY:
+        if re.search(rf"\b{kw}\b", stripped, re.IGNORECASE):
+            raise QueryValidationError(f"read-only gate: {kw} is not allowed")
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame
+    sql: str
+    duration_s: float
+    columns: list[str] = field(default_factory=list)
+
+    def rows(self) -> list:
+        return self.df.collect()
+
+
+class QueryEngine:
+    """Session wrapper: macro registration + validated execution."""
+
+    def __init__(self, spark: SparkSession, register_helpers: bool = True):
+        self.spark = spark
+        if register_helpers:
+            register_json_helpers(spark, self_test=False)
+
+    def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
+        bound = bind_params(sql, params)
+        validate_readonly(bound)
+        # Parse/analyze without executing (engine.go:389-413). NOTE: Spark's
+        # `EXPLAIN` renders analysis errors into its *output* instead of
+        # raising, so eager analysis at DataFrame creation is the real
+        # validation hook; surfaced with fuzzy table suggestions.
+        try:
+            self.spark.sql(bound).schema  # noqa: B018 — forces analysis
+        except Exception as ex:  # AnalysisException and friends
+            raise QueryValidationError(self._friendly(str(ex))) from ex
+        return bound
+
+    def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
+        bound = self.validate(sql, params)
+        t0 = time.perf_counter()
+        df = self.spark.sql(bound)
+        return QueryResult(df=df, sql=bound, duration_s=time.perf_counter() - t0,
+                           columns=list(df.columns))
+
+    def execute_stream(self, sql: str, params: dict[str, Any] | None = None):
+        """Row-iterator execution — the reference's buffered-channel
+        streaming path (engine.go:232-365) maps to toLocalIterator, which
+        fetches one partition at a time (bounded driver memory)."""
+        bound = self.validate(sql, params)
+        return self.spark.sql(bound).toLocalIterator()
+
+    def _friendly(self, msg: str) -> str:
+        if _TABLE_ERR_RE.search(msg):
+            m = re.search(r"`([A-Za-z_][A-Za-z0-9_]*)`", msg)
+            missing = m.group(1) if m else ""
+            known = [t.name for t in self.spark.catalog.listTables()]
+            tips = difflib.get_close_matches(missing, known, n=3, cutoff=0.5)
+            if tips:
+                return f"table or view not found: {missing}. Did you mean: {', '.join(tips)}?"
+            return f"table or view not found: {missing}. Available: {', '.join(sorted(known))}"
+        return msg.splitlines()[0] if msg else "query validation failed"

@@ -1,0 +1,128 @@
+"""Engine surface tests: read-only gate, param binding, macros, formatters."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from corkscrew_spark import formatter
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.engine import (
+    QueryEngine,
+    QueryValidationError,
+    bind_params,
+    quote_literal,
+)
+from corkscrew_spark.functions.json_helpers import register_json_helpers
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    return QueryEngine(spark)
+
+
+# --- read-only gate -------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP TABLE region",
+        "DELETE FROM region",
+        "UPDATE region SET r_name = 'x'",
+        "INSERT INTO region VALUES (9, 'x')",
+        "CREATE TABLE t (a INT)",
+        "TRUNCATE TABLE region",
+        "SELECT * FROM region; DROP TABLE region",
+        "/* sneaky */ DROP TABLE region",
+    ],
+)
+def test_gate_denies_mutations(engine, bad):
+    with pytest.raises(QueryValidationError):
+        engine.validate(bad)
+
+
+def test_gate_allows_select_and_cte(engine):
+    assert engine.validate("SELECT 1 AS one")
+    assert engine.validate("WITH t AS (SELECT 1 AS a) SELECT * FROM t")
+
+
+def test_unknown_table_suggestion(engine):
+    with pytest.raises(QueryValidationError, match="Did you mean.*region"):
+        engine.validate("SELECT * FROM regionn")
+
+
+# --- parameter binding ----------------------------------------------------
+
+def test_quote_literal_escapes():
+    assert quote_literal("O'Brien") == "'O''Brien'"
+    assert quote_literal(None) == "NULL"
+    assert quote_literal([1, 2]) == "(1, 2)"
+    assert quote_literal([]) == "(NULL)"
+    assert quote_literal(True) == "TRUE"
+
+
+def test_bind_params_in_list_both_styles():
+    sql = "SELECT * FROM t WHERE a IN (:ids) AND b IN :ids AND c = :name"
+    out = bind_params(sql, {"ids": [1, 2], "name": "x'y"})
+    assert out == "SELECT * FROM t WHERE a IN (1, 2) AND b IN (1, 2) AND c = 'x''y'"
+
+
+def test_bind_params_missing_raises():
+    with pytest.raises(QueryValidationError, match="missing parameter"):
+        bind_params("SELECT :nope", {})
+
+
+def test_injection_attempt_is_quoted_then_gated(engine):
+    # A malicious param value arrives as a harmless literal; the gate then
+    # rejects the embedded keyword outright (defense in depth).
+    with pytest.raises(QueryValidationError):
+        engine.execute(
+            "SELECT * FROM region WHERE r_name = :n",
+            {"n": "x'; DROP TABLE region; --"},
+        )
+
+
+# --- execution + stats ----------------------------------------------------
+
+def test_execute_roundtrip(engine):
+    res = engine.execute(
+        "SELECT r_name FROM region WHERE r_regionkey = :k", {"k": 0}
+    )
+    assert res.columns == ["r_name"]
+    assert len(res.rows()) == 1
+    assert res.duration_s >= 0
+
+
+def test_execute_stream_iterates(engine):
+    it = engine.execute_stream("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    assert [r["n_nationkey"] for r in it][:3] == [0, 1, 2]
+
+
+# --- JSON macros ----------------------------------------------------------
+
+def test_json_macros_self_test(spark):
+    register_json_helpers(spark, self_test=True)  # raises on any mismatch
+
+
+def test_macros_inline_in_sql(engine):
+    row = engine.execute(
+        "SELECT count_tags('{\"a\":1,\"b\":2}') AS n, "
+        "safe_json_extract('nope', '$.x', 'fallback') AS s"
+    ).rows()[0]
+    assert row["n"] == 2 and row["s"] == "fallback"
+
+
+# --- formatters -----------------------------------------------------------
+
+def test_formatters(engine):
+    df = engine.execute(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 2"
+    ).df
+    table = formatter.format_table(df)
+    assert "r_name" in table and table.count("\n") >= 5 and "(2 rows)" in table
+    csv_text = formatter.format_csv(df)
+    assert csv_text.splitlines()[0] == "r_regionkey,r_name"
+    data = json.loads(formatter.format_json(df))
+    assert len(data) == 2 and set(data[0]) == {"r_regionkey", "r_name"}
