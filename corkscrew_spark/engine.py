@@ -59,11 +59,20 @@ def quote_literal(value: Any) -> str:
     return f"'{s}'"
 
 
+#: Regions opaque to parameter binding: single-quoted string literals
+#: ('' is the escaped quote) and SQL comments — a LIKE pattern such as
+#: '%s3:DeleteBucket%' or prose like "aws:kms" in a header comment is
+#: never mistaken for a :param placeholder.
+_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
+
+
 def bind_params(sql: str, params: dict[str, Any] | None) -> str:
     """Replace ``:name`` placeholders with quoted literals.
 
     Lists expand for IN-predicates: ``x IN (:ids)`` and ``x IN :ids``
-    both work (the pre-wrapped parens case is normalized).
+    both work (the pre-wrapped parens case is normalized). Placeholders
+    inside string literals are left untouched (engine.go:441-456 rewrites
+    via the SQL tokenizer, which has the same property).
     """
     if params is None:
         params = {}
@@ -74,7 +83,14 @@ def bind_params(sql: str, params: dict[str, Any] | None) -> str:
             raise QueryValidationError(f"missing parameter: :{name}")
         return quote_literal(params[name])
 
-    bound = _PARAM_RE.sub(sub, sql)
+    out: list[str] = []
+    pos = 0
+    for lit in _OPAQUE_RE.finditer(sql):
+        out.append(_PARAM_RE.sub(sub, sql[pos:lit.start()]))
+        out.append(lit.group(0))
+        pos = lit.end()
+    out.append(_PARAM_RE.sub(sub, sql[pos:]))
+    bound = "".join(out)
     # normalize "IN ((...))" from list params inside explicit parens
     return re.sub(r"IN\s*\(\s*\(([^()]*)\)\s*\)", r"IN (\1)", bound, flags=re.IGNORECASE)
 

@@ -1,0 +1,201 @@
+"""Operational-subsystem queries under the correctness gate: the
+compliance executor, drift detection, and impact scoring run end-to-end
+on the synthetic tables, with DuckDB oracles mirroring the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corkscrew_spark import changes
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.plans.queries import query
+
+
+@query(
+    "compliance_pack",
+    oracle="""
+    SELECT * FROM (
+        SELECT CAST(o_orderkey AS VARCHAR) AS resource_id,
+               'order-' || CAST(o_orderkey AS VARCHAR) AS resource_name,
+               'Order' AS resource_type,
+               'tpch-01' AS control_id,
+               'High-value order review' AS control_name,
+               CASE WHEN o_totalprice > 400000 THEN 'FAIL' ELSE 'PASS' END AS status,
+               CASE WHEN o_totalprice > 400000 THEN 'HIGH' ELSE 'INFO' END AS severity,
+               CASE WHEN o_totalprice > 400000 THEN 'exceeds review threshold'
+                    ELSE 'within threshold' END AS details,
+               CAST(NULL AS VARCHAR) AS region,
+               CAST(NULL AS VARCHAR) AS remediation
+        FROM orders
+        UNION ALL
+        SELECT CAST(c_custkey AS VARCHAR), c_name, 'Customer', 'tpch-02',
+               'Customer negative balance',
+               CASE WHEN c_acctbal < 0 THEN 'WARNING' ELSE 'PASS' END,
+               CASE WHEN c_acctbal < 0 THEN 'LOW' ELSE 'INFO' END,
+               CASE WHEN c_acctbal < 0 THEN 'negative balance' ELSE 'ok' END,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM customer
+    ) ORDER BY control_id, resource_id
+    """,
+)
+def compliance_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full compliance machinery — pack loader, param validation
+    (default applied), :param substitution, output-contract conformance,
+    result union (executor.go lifecycle §3.3) — on the demo pack."""
+    from corkscrew_spark.compliance import ComplianceExecutor
+
+    register_tables(spark, sf_dir)
+    run = ComplianceExecutor(spark).run_pack("demo/tpch-orders")
+    assert not run.errors, run.errors
+    return run.results.orderBy("control_id", "resource_id")
+
+
+@query(
+    "drift_detect",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, props, event_type FROM (
+            SELECT user_id, props, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events) WHERE rn = 1
+    ), base AS (
+        SELECT user_id, props, event_type FROM (
+            SELECT user_id, props, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1
+    ), j AS (
+        SELECT b.user_id bu, l.user_id cu, b.props bp, l.props cp,
+               b.event_type bs, l.event_type cs
+        FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id
+    ), items AS (
+        SELECT 'NEW' AS drift_type, 'MEDIUM' AS severity FROM j WHERE bu IS NULL
+        UNION ALL
+        SELECT 'DELETED', 'HIGH' FROM j WHERE cu IS NULL
+        UNION ALL
+        SELECT 'STATE_CHANGE', 'MEDIUM' FROM j
+        WHERE bu IS NOT NULL AND cu IS NOT NULL
+          AND COALESCE(bs, '') != COALESCE(cs, '')
+        UNION ALL
+        SELECT 'PROPERTY_CHANGE', 'LOW' FROM j
+        WHERE bu IS NOT NULL AND cu IS NOT NULL
+          AND json_extract_string(bp, '$.k') IS NOT NULL
+          AND json_extract_string(cp, '$.k') IS NOT NULL
+          AND json_extract_string(bp, '$.k') != json_extract_string(cp, '$.k')
+        UNION ALL
+        SELECT 'TAG_CHANGE', 'LOW' FROM j
+        WHERE bu IS NOT NULL AND cu IS NOT NULL AND bs != cs
+    )
+    SELECT drift_type, severity, COUNT(*) AS items
+    FROM items GROUP BY 1, 2 ORDER BY drift_type, severity
+    """,
+)
+def drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DetectDrift end-to-end (aws_change_tracker.go:260-332): snapshot the
+    per-user state before a cutoff as the baseline, diff against the
+    latest state via the distributed full-outer/exploded-map comparison,
+    and roll up items by (drift_type, severity).
+
+    The events table stands in for the resource inventory: user_id is the
+    resource id, props the property map, event_type the state.
+    """
+    t = register_tables(spark, sf_dir)
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def shape(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").cast("string").alias("id"),
+                F.lit("user").alias("type"),
+                F.col("props").alias("attributes"),
+                F.create_map(F.lit("type"), F.col("event_type")).alias("tags"),
+                F.col("event_type").alias("state"),
+            )
+        )
+
+    current = shape(ev)
+    base_rows = shape(ev.filter(F.col("ts") < F.lit("2024-01-15")))
+    baseline = base_rows.select(
+        F.lit("bl-events").alias("baseline_id"),
+        F.col("id").alias("resource_id"),
+        F.col("type").alias("resource_type"),
+        F.col("attributes").alias("properties"),
+        "tags",
+        F.col("state").alias("status"),
+        F.lit("").alias("checksum"),
+    )
+    drift = changes.detect_drift(baseline, current)
+    return (
+        drift.groupBy("drift_type", "severity")
+        .agg(F.count("*").alias("items"))
+        .orderBy("drift_type", "severity")
+    )
+
+
+@query(
+    "impact_scoring",
+    oracle="""
+    WITH m AS (
+        SELECT CASE event_type
+                   WHEN 'error' THEN '["iam_policy","public_access"]'
+                   WHEN 'signup' THEN '["description"]'
+                   WHEN 'purchase' THEN '["cpu_size"]'
+                   WHEN 'view' THEN '["replica_count"]'
+                   ELSE '["owner_tag"]' END AS fields,
+               CASE event_type
+                   WHEN 'error' THEN 'POLICY_CHANGE'
+                   WHEN 'signup' THEN 'CREATE'
+                   WHEN 'purchase' THEN 'UPDATE'
+                   WHEN 'view' THEN 'UPDATE'
+                   ELSE 'TAG_CHANGE' END AS ctype
+        FROM events
+    ), s AS (
+        SELECT LEAST(
+              (CASE WHEN regexp_matches(fields, 'iam|policy|role|permission') THEN 40 ELSE 0 END)
+            + (CASE WHEN regexp_matches(fields, 'public|acl|network|firewall') THEN 35 ELSE 0 END)
+            + (CASE WHEN regexp_matches(fields, 'encrypt|kms|key') THEN 30 ELSE 0 END)
+            + (CASE WHEN regexp_matches(fields, 'cpu|memory|size|instance_type') THEN 15 ELSE 0 END)
+            + (CASE WHEN regexp_matches(fields, 'replica|backup|availability') THEN 20 ELSE 0 END)
+            + (CASE WHEN ctype = 'DELETE' THEN 25 WHEN ctype = 'POLICY_CHANGE' THEN 20 ELSE 0 END),
+            100) AS risk
+        FROM m
+    )
+    SELECT CASE WHEN risk >= 60 THEN 'CRITICAL' WHEN risk >= 40 THEN 'HIGH'
+                WHEN risk >= 20 THEN 'MEDIUM' ELSE 'LOW' END AS risk_level,
+           COUNT(*) AS events,
+           CAST(MAX(risk) AS INT) AS max_risk
+    FROM s GROUP BY 1 ORDER BY risk_level
+    """,
+)
+def impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-weighted impact/risk scoring (base_change_tracker.go:115-312)
+    through the real with_impact_scores operator, on change events derived
+    deterministically from the events table."""
+    ev = register_tables(spark, sf_dir)["events"]
+    analog = ev.select(
+        F.when(F.col("event_type") == "error", '["iam_policy","public_access"]')
+        .when(F.col("event_type") == "signup", '["description"]')
+        .when(F.col("event_type") == "purchase", '["cpu_size"]')
+        .when(F.col("event_type") == "view", '["replica_count"]')
+        .otherwise('["owner_tag"]')
+        .alias("changed_fields"),
+        F.when(F.col("event_type") == "error", "POLICY_CHANGE")
+        .when(F.col("event_type") == "signup", "CREATE")
+        .when(F.col("event_type") == "purchase", "UPDATE")
+        .when(F.col("event_type") == "view", "UPDATE")
+        .otherwise("TAG_CHANGE")
+        .alias("change_type"),
+    )
+    scored = changes.with_impact_scores(analog)
+    return (
+        scored.groupBy("risk_level")
+        .agg(
+            F.count("*").alias("events"),
+            F.max("risk_score").cast("int").alias("max_risk"),
+        )
+        .orderBy("risk_level")
+    )

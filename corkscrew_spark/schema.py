@@ -1,0 +1,193 @@
+"""Core table schemas — the universal resource model as Spark StructTypes.
+
+Parity map (SURVEY.md §1): unified resource tables
+(internal/db/unified_schema.go:93-220), relationship edges (:223-272),
+scan metadata (:275-336), API telemetry (:339-414), change events
+(plugins/aws-provider/change_storage.go:44-64), drift baselines (:67-79),
+and the compliance output contract
+(pkg/query/compliance/executor.go:371-394).
+
+Type conventions: tags is a flat string map in the reference proto →
+MapType(String,String); nested JSON blobs stay JSON-encoded strings
+queried with get_json_object (columnar-friendly, schema-on-read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _f(name: str, dtype, nullable: bool = True) -> StructField:
+    return StructField(name, dtype, nullable)
+
+
+S = StringType()
+I = IntegerType()
+L = LongType()
+B = BooleanType()
+TS = TimestampType()
+TAGS = MapType(StringType(), StringType())
+
+#: aws_resources (unified_schema.go:93-145)
+RESOURCE_SCHEMA = StructType([
+    _f("id", S, False),
+    _f("arn", S),
+    _f("name", S, False),
+    _f("type", S, False),
+    _f("service", S),
+    _f("provider", S),
+    _f("region", S),
+    _f("account_id", S),
+    _f("parent_id", S),
+    _f("tags", TAGS),
+    _f("attributes", S),   # JSON string
+    _f("raw_data", S),     # JSON string
+    _f("state", S),
+    _f("created_at", TS),
+    _f("modified_at", TS),
+    _f("scanned_at", TS),
+])
+
+#: cloud_relationships (unified_schema.go:223-272)
+RELATIONSHIP_SCHEMA = StructType([
+    _f("from_id", S, False),
+    _f("to_id", S, False),
+    _f("relationship_type", S, False),
+    _f("provider", S, False),
+    _f("relationship_subtype", S),
+    _f("properties", S),   # JSON string
+    _f("from_resource_type", S),
+    _f("to_resource_type", S),
+    _f("direction", S),
+    _f("created_at", TS),
+    _f("discovered_at", TS),
+])
+
+#: scan_metadata (unified_schema.go:275-336)
+SCAN_METADATA_SCHEMA = StructType([
+    _f("id", S, False),
+    _f("provider", S, False),
+    _f("scan_type", S),
+    _f("services", S),     # JSON list
+    _f("regions", S),      # JSON list
+    _f("accounts", S),     # JSON list
+    _f("total_resources", I),
+    _f("new_resources", I),
+    _f("updated_resources", I),
+    _f("deleted_resources", I),
+    _f("failed_resources", I),
+    _f("scan_start_time", TS, False),
+    _f("scan_end_time", TS),
+    _f("duration_ms", L),
+    _f("initiated_by", S),
+    _f("scan_reason", S),
+    _f("error_messages", S),
+    _f("warnings", S),
+    _f("metadata", S),
+    _f("status", S),
+])
+
+#: api_action_metadata (unified_schema.go:339-414), telemetry columns only
+API_ACTION_SCHEMA = StructType([
+    _f("id", S, False),
+    _f("provider", S, False),
+    _f("correlation_id", S),
+    _f("service", S, False),
+    _f("operation_name", S, False),
+    _f("operation_type", S),
+    _f("execution_time", TS, False),
+    _f("region", S),
+    _f("account_id", S),
+    _f("success", B, False),
+    _f("status_code", I),
+    _f("duration_ms", L),
+    _f("resource_count", I),
+    _f("error_code", S),
+    _f("error_message", S),
+    _f("rate_limit_remaining", I),
+    _f("request_charge", DoubleType()),
+    _f("created_at", TS),
+])
+
+CHANGE_TYPES = ("CREATE", "UPDATE", "DELETE", "POLICY_CHANGE", "TAG_CHANGE", "STATE_CHANGE")
+SEVERITIES = ("LOW", "MEDIUM", "HIGH", "CRITICAL")
+
+#: change_events (change_storage.go:44-64)
+CHANGE_EVENT_SCHEMA = StructType([
+    _f("id", S, False),
+    _f("provider", S),
+    _f("resource_id", S, False),
+    _f("resource_name", S),
+    _f("resource_type", S),
+    _f("service", S),
+    _f("project", S),
+    _f("region", S),
+    _f("change_type", S, False),
+    _f("severity", S),
+    _f("timestamp", TS, False),
+    _f("detected_at", TS),
+    _f("previous_state", S),   # JSON ResourceState
+    _f("current_state", S),    # JSON ResourceState
+    _f("changed_fields", S),   # JSON string array
+    _f("change_metadata", S),
+])
+
+#: drift_baselines (change_storage.go:67-79) — resources snapshot is held
+#: relationally (baseline_resources) instead of one giant JSON map: at
+#: 100 TB a per-baseline JSON blob cannot be diffed distributed.
+DRIFT_BASELINE_SCHEMA = StructType([
+    _f("id", S, False),
+    _f("name", S, False),
+    _f("description", S),
+    _f("provider", S, False),
+    _f("created_at", TS, False),
+    _f("version", S),
+    _f("active", B),
+])
+
+BASELINE_RESOURCE_SCHEMA = StructType([
+    _f("baseline_id", S, False),
+    _f("resource_id", S, False),
+    _f("resource_type", S),
+    _f("properties", S),   # JSON string map
+    _f("tags", TAGS),
+    _f("status", S),
+    _f("checksum", S),
+])
+
+COMPLIANCE_STATUSES = ("PASS", "FAIL", "WARNING", "ERROR")
+COMPLIANCE_SEVERITIES = ("CRITICAL", "HIGH", "MEDIUM", "LOW", "INFO")
+
+#: compliance result contract (executor.go:371-394,490-567)
+COMPLIANCE_RESULT_SCHEMA = StructType([
+    _f("resource_id", S, False),
+    _f("resource_name", S),
+    _f("resource_type", S),
+    _f("control_id", S, False),
+    _f("control_name", S),
+    _f("status", S, False),
+    _f("severity", S),
+    _f("details", S),
+    _f("region", S),
+    _f("remediation", S),
+])
+
+CORE_TABLES = {
+    "resources": RESOURCE_SCHEMA,
+    "relationships": RELATIONSHIP_SCHEMA,
+    "scan_metadata": SCAN_METADATA_SCHEMA,
+    "api_action_metadata": API_ACTION_SCHEMA,
+    "change_events": CHANGE_EVENT_SCHEMA,
+    "drift_baselines": DRIFT_BASELINE_SCHEMA,
+    "baseline_resources": BASELINE_RESOURCE_SCHEMA,
+}

@@ -1,0 +1,95 @@
+"""Structured-streaming change feed.
+
+The reference streams change events over Go channels with a poll loop
+(StreamChanges/MonitorChanges, aws_change_tracker.go:212-258,335-371) and
+pushes K8s informer events the same way (informer_cache.go:78-134). The
+Spark-native shape is a file-source stream over the change-event landing
+directory: ingest jobs append JSON/parquet files, the stream discovers
+them incrementally (exactly-once per file via checkpointed source
+offsets), filters/enriches, and lands in sinks or in-memory tables.
+
+No watermarks/event-time windows are required for reference parity
+(SURVEY.md §2.9) — ``windowed_change_counts`` adds them anyway as the
+Spark-idiomatic late-data-safe rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from corkscrew_spark.schema import CHANGE_EVENT_SCHEMA
+
+
+def read_change_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """Streaming DataFrame over a change-event landing directory."""
+    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"unsupported stream format: {fmt}")
+
+
+def monitor_changes(
+    stream: DataFrame,
+    change_types: list[str] | None = None,
+    severities: list[str] | None = None,
+    services: list[str] | None = None,
+) -> DataFrame:
+    """Criteria-filtered live feed — MonitorChanges parity (the reference's
+    matchesFilter loop becomes pushed-down stream predicates)."""
+    df = stream
+    if change_types:
+        df = df.filter(F.col("change_type").isin(change_types))
+    if severities:
+        df = df.filter(F.col("severity").isin(severities))
+    if services:
+        df = df.filter(F.col("service").isin(services))
+    return df
+
+
+def windowed_change_counts(stream: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Event-time windowed rollup with late-data watermarking: counts per
+    (window, change_type, severity). State is bounded by the watermark —
+    the streaming analog of the drift summary rollup."""
+    return (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window), "change_type", "severity")
+        .agg(F.count("*").alias("events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "change_type",
+            "severity",
+            "events",
+        )
+    )
+
+
+def start_to_memory(df: DataFrame, table_name: str, once: bool = True,
+                    output_mode: str = "append"):
+    """Run the stream into an in-memory sink (tests/dev); availableNow
+    processes the current backlog then stops cleanly. Use
+    output_mode='complete' for aggregated streams."""
+    writer: DataStreamWriter = (
+        df.writeStream.format("memory").queryName(table_name).outputMode(output_mode)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_to_parquet(df: DataFrame, path: str, checkpoint: str,
+                     processing_interval: str = "30 seconds"):
+    """Production sink: append parquet with checkpointed exactly-once file
+    tracking (the durable equivalent of the reference's auto-save,
+    aws_provider.go:647-650)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )

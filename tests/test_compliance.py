@@ -1,0 +1,89 @@
+"""Compliance pack loader + executor tests (cloud-shaped synthetic data)."""
+
+from __future__ import annotations
+
+import pytest
+
+from corkscrew_spark.compliance import ComplianceExecutor, PackLoader
+from corkscrew_spark.compliance.pack import PackError
+from corkscrew_spark.ingest import synthetic
+
+
+@pytest.fixture(scope="module")
+def executor(spark):
+    res = synthetic.resources(spark, 90)
+    res.createOrReplaceTempView("resources")
+    return ComplianceExecutor(spark)
+
+
+def test_loader_discovers_builtin_packs():
+    found = PackLoader().discover()
+    assert "cfi/ccc-storage" in found and "demo/tpch-orders" in found
+
+
+def test_pack_param_validation():
+    pack = PackLoader().load("demo/tpch-orders")
+    assert pack.validate_params(None)["max_order_value"] == 400000.0
+    assert pack.validate_params({"max_order_value": "1000"})["max_order_value"] == 1000.0
+    with pytest.raises(PackError, match="unknown parameters"):
+        pack.validate_params({"nope": 1})
+
+
+def test_ccc_storage_pack_archetypes(executor):
+    """The three S3 archetypes must land exactly as designed: compliant
+    PASS everywhere, insecure FAIL everywhere, partial mixed."""
+    run = executor.run_pack("cfi/ccc-storage")
+    assert not run.errors, run.errors
+    rows = run.results.collect()
+    assert rows, "controls must produce rows"
+    by = {}
+    for r in rows:
+        by.setdefault(r["control_id"], {}).setdefault(r["status"], 0)
+        by[r["control_id"]][r["status"]] += 1
+    # every control sees PASS and FAIL rows (archetype design)
+    for control, statuses in by.items():
+        assert set(statuses) == {"PASS", "FAIL"}, (control, statuses)
+    # versioning: compliant+partial pass (2/3), insecure fails (1/3)
+    v = by["ccc-storage-01"]
+    assert v["PASS"] == 2 * v["FAIL"]
+    # trusted-kms: only compliant passes (1/3)
+    k = by["ccc-storage-02"]
+    assert k["FAIL"] == 2 * k["PASS"]
+
+
+def test_untrusted_param_flips_kms_control(executor):
+    run = executor.run_pack(
+        "cfi/ccc-storage", {"trusted_kms_keys": ["arn:aws:kms:other:999:key/zzz"]}
+    )
+    kms = run.results.filter("control_id = 'ccc-storage-02'")
+    assert kms.filter("status = 'PASS'").count() == 0
+
+
+def test_dry_run_validates_without_execution(executor):
+    run = executor.run_pack("cfi/ccc-storage", dry_run=True)
+    assert run.results.count() == 0 and not run.errors
+
+
+def test_contract_missing_columns_rejected(spark, executor, tmp_path):
+    pack_dir = tmp_path / "bad" / "pack"
+    (pack_dir / "queries").mkdir(parents=True)
+    (pack_dir / "manifest.yaml").write_text(
+        "metadata: {namespace: bad/pack, name: bad, version: '1.0'}\n"
+        "queries:\n  - {id: broken, file: queries/broken.sql}\n"
+    )
+    (pack_dir / "queries" / "broken.sql").write_text("SELECT 1 AS not_the_contract")
+    exe = ComplianceExecutor(spark, PackLoader([str(tmp_path)]))
+    run = exe.run_pack("bad/pack")
+    assert run.errors and "missing required columns" in run.errors[0]
+
+
+def test_circular_dependency_detected(tmp_path):
+    for a, b in (("x", "y"), ("y", "x")):
+        d = tmp_path / "loop" / a
+        (d / "queries").mkdir(parents=True)
+        (d / "manifest.yaml").write_text(
+            f"metadata: {{namespace: loop/{a}, name: {a}, version: '1.0'}}\n"
+            f"dependencies: [loop/{b}]\nqueries: []\n"
+        )
+    with pytest.raises(PackError, match="circular"):
+        PackLoader([str(tmp_path)]).load_with_dependencies("loop/x")

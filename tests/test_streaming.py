@@ -1,0 +1,64 @@
+"""Structured-streaming change feed tests (file source → memory sink)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from corkscrew_spark.streaming import change_stream
+
+
+def _write_events(path, events):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"batch-{time.time_ns()}.json", "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+def _event(i, ctype="UPDATE", sev="LOW", service="s3", ts="2024-01-01T00:00:00"):
+    return {
+        "id": f"ce-{i}",
+        "provider": "aws",
+        "resource_id": f"r-{i % 5}",
+        "change_type": ctype,
+        "severity": sev,
+        "service": service,
+        "timestamp": ts,
+    }
+
+
+def test_stream_filter_and_backlog(spark, tmp_path):
+    src = tmp_path / "changes"
+    _write_events(src, [_event(i) for i in range(8)]
+                  + [_event(100 + i, ctype="DELETE", sev="CRITICAL") for i in range(3)])
+    stream = change_stream.read_change_stream(spark, str(src))
+    assert stream.isStreaming
+    critical = change_stream.monitor_changes(stream, severities=["CRITICAL"])
+    q = change_stream.start_to_memory(critical, "critical_feed")
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM critical_feed").collect()
+    assert len(got) == 3
+    assert all(r["change_type"] == "DELETE" for r in got)
+
+    # incremental: a new file is picked up by the next availableNow run
+    _write_events(src, [_event(200, ctype="DELETE", sev="CRITICAL")])
+    q2 = change_stream.start_to_memory(critical, "critical_feed2")
+    q2.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM critical_feed2").collect()[0]["c"] == 4
+
+
+def test_windowed_counts(spark, tmp_path):
+    src = tmp_path / "w"
+    _write_events(
+        src,
+        [_event(i, ts="2024-01-01T00:10:00") for i in range(4)]
+        + [_event(10 + i, ts="2024-01-01T02:10:00", sev="HIGH") for i in range(2)],
+    )
+    stream = change_stream.read_change_stream(spark, str(src))
+    agg = change_stream.windowed_change_counts(stream, window="1 hour")
+    q = change_stream.start_to_memory(agg, "win_counts", output_mode="complete")
+    q.awaitTermination(60)
+    rows = {(str(r["window_start"]), r["severity"]): r["events"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert rows[("2024-01-01 00:00:00", "LOW")] == 4
+    assert rows[("2024-01-01 02:00:00", "HIGH")] == 2
