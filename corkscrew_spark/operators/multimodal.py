@@ -89,22 +89,42 @@ def _fake_features(content: bytes, dim: int) -> list[float]:
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (bytes derived from the id)."""
-    rows = []
-    for i in range(n):
-        kind = ("image", "audio", "video")[i % 3]
-        content = hashlib.sha256(str(i).encode()).digest() * 8
-        rows.append((i, kind, bytearray(content), ("fake", 64, 64, 1000)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    """Deterministic fake media table (bytes derived from the id).
+
+    Generated distributed — spark.range + JVM expressions, no driver row
+    loop — so the same generator serves a 64-row test and a billion-row
+    load test. ``unhex(repeat(sha2(id), 8))`` is byte-identical to
+    ``hashlib.sha256(str(i)).digest() * 8``.
+    """
+    i = F.col("id")
+    return spark.range(n).select(
+        i.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (i % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.unhex(F.repeat(F.sha2(i.cast("string"), 256), 8)).alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(1000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
-def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256,
+                     shards: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     Real pipeline shape: repartition by a shard of the id so decoded
     batches distribute evenly (binary blobs skew partition bytes), then
     one mapInPandas pass. With PIL present this is where decode+model
     would run; here the deterministic fake keeps the dataflow honest.
+
+    ``shards`` sizes the repartition; default is the session parallelism,
+    which is right for corpus-scale media tables. Pass a small value for
+    small inputs — every shard costs a Python worker.
     """
     use_real = decoder_available()
 
@@ -124,9 +144,9 @@ def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256) -> 
                 }
             )
 
-    shards = max(media.sparkSession.sparkContext.defaultParallelism, 4)
+    n = shards or max(media.sparkSession.sparkContext.defaultParallelism, 4)
     return (
-        media.repartition(shards, F.col("media_id"))
+        media.repartition(n, F.col("media_id"))
         .mapInPandas(run, schema=FEATURE_SCHEMA)
     )
 
