@@ -40,7 +40,7 @@ def main() -> None:
     # min-of-N per query: first touch pays one-time whole-stage-codegen
     # compilation + file-footer reads; the min reflects the plan's actual
     # cost, which is what a long-running cluster session sees.
-    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")

@@ -91,13 +91,15 @@ def query_changes(
     return df.orderBy(*order).limit(limit)
 
 
-def change_history(events: DataFrame, resource_id: str, limit: int = 1000) -> DataFrame:
-    """Per-resource timeline, newest first (change_storage.go:249-272)."""
-    return (
-        events.filter(F.col("resource_id") == resource_id)
-        .orderBy(F.desc("timestamp"), F.asc("id"))
-        .limit(limit)
-    )
+def change_history(events: DataFrame, resource_id: str | None, limit: int = 1000) -> DataFrame:
+    """Per-resource timeline, newest first (change_storage.go:249-272).
+
+    ``resource_id=None`` skips the filter for callers that already
+    narrowed the input (e.g. by a semi join against a computed id set).
+    """
+    if resource_id is not None:
+        events = events.filter(F.col("resource_id") == resource_id)
+    return events.orderBy(F.desc("timestamp"), F.asc("id")).limit(limit)
 
 
 # ---------------------------------------------------------------------------

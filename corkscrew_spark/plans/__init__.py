@@ -4,3 +4,4 @@ from . import data_queries  # noqa: F401
 from . import engine_queries  # noqa: F401
 from . import ops_queries  # noqa: F401
 from . import surface_queries  # noqa: F401
+from . import analytics_queries  # noqa: F401

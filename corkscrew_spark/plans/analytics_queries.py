@@ -1,0 +1,272 @@
+"""Third wave: multi-join analytics, rollups, checksums, change history.
+
+These exercise the full SQL passthrough surface the reference exposes via
+DuckDB (pkg/query/engine.go:130-229 — "the complete relational surface is
+available") with the plan shapes that matter at 100 TB: star joins where
+every dimension is broadcast and only the fact tables shuffle, partial
+aggregation before the shuffle, and ROLLUP subtotals computed in one pass.
+
+Determinism rules as in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corkscrew_spark import changes
+from corkscrew_spark.plans.queries import query, _t
+
+
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape) — the scale-critical plan.
+
+    The reference would pass this SQL straight to DuckDB
+    (pkg/query/engine.go:130-229); on Spark the shape that survives 100 TB
+    is: the two fact tables (lineitem, orders) hash-join on their keys
+    while every dimension (customer, supplier, nation, region) is
+    broadcast, so the only shuffle is the fact-fact join + final
+    aggregation. The date filter is pushed to the orders scan, shrinking
+    the shuffled side before the join.
+    """
+    t = _t(spark, sf_dir)
+    dims = (
+        F.broadcast(t["customer"]),
+        F.broadcast(t["supplier"]),
+        F.broadcast(t["nation"]),
+        F.broadcast(t["region"]),
+    )
+    customer, supplier, nation, region = dims
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelated to a left-semi join (TPC-H Q4 shape; the
+    reference's existence-validation semi-join J8,
+    plugins/aws-provider/relationships.go:377-386). The returned-lineitem
+    side is filtered *before* the semi join so only matching keys shuffle;
+    semi join keeps orders' row count bounded without a distinct."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "state_checksum",
+    oracle="""
+    WITH checks AS (
+        SELECT p_brand,
+               sha256(p_name || '|' || p_type || '|' || CAST(p_size AS VARCHAR))
+                   AS state_checksum
+        FROM part
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           COUNT(DISTINCT state_checksum) AS distinct_states,
+           MIN(state_checksum) AS min_checksum
+    FROM checks GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def state_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 resource-state checksum (base_change_tracker.go:105-112 — the
+    reference's placeholder impl, upgraded as SURVEY.md suggests to a real
+    hash): sha2 over a canonical '|'-joined field string, entirely inside
+    whole-stage codegen, then a change-detection-style rollup counting
+    distinct states per group."""
+    p = _t(spark, sf_dir)["part"]
+    checksum = F.sha2(
+        F.concat_ws("|", "p_name", "p_type", F.col("p_size").cast("string")), 256
+    )
+    return (
+        p.select("p_brand", checksum.alias("state_checksum"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("state_checksum").alias("distinct_states"),
+            F.min("state_checksum").alias("min_checksum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "rollup_segment_nation",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           CASE WHEN GROUPING(c_nationkey) = 1 THEN -1
+                ELSE c_nationkey END AS nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    ORDER BY segment, nationkey
+    """,
+)
+def rollup_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — beyond the reference's own queries but inside
+    its declared SQL surface (SURVEY.md §2.5 note: "grouping sets / cube /
+    rollup ... available free in Spark SQL"). One pass computes detail
+    rows, per-segment subtotals, and the grand total; NULL group markers
+    are normalized ('ALL' / -1) so both engines hash identically."""
+    c = _t(spark, sf_dir)["customer"]
+    return (
+        c.rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.grouping("c_nationkey").alias("_g_nat"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.when(F.col("_g_nat") == 1, F.lit(-1))
+            .otherwise(F.col("c_nationkey"))
+            .alias("nationkey"),
+            "n_customers",
+            "total_balance",
+        )
+        .orderBy("segment", "nationkey")
+    )
+
+
+@query(
+    "change_history_timeline",
+    oracle="""
+    WITH ce AS (
+        SELECT CAST(user_id AS VARCHAR) AS resource_id,
+               'ce-' || CAST(event_id AS VARCHAR) AS id,
+               event_type AS change_type,
+               value,
+               ts
+        FROM events
+    ), busiest AS (
+        SELECT resource_id FROM ce GROUP BY resource_id
+        ORDER BY COUNT(*) DESC, resource_id LIMIT 1
+    )
+    SELECT id, change_type,
+           ROUND(value, 2) AS value,
+           ROUND(COALESCE(LAG(value) OVER (ORDER BY ts DESC, id), 0.0), 2)
+               AS prev_value,
+           CAST(date_trunc('day', ts) AS DATE) AS event_date
+    FROM ce WHERE resource_id = (SELECT resource_id FROM busiest)
+    ORDER BY ts DESC, id
+    LIMIT 100
+    """,
+)
+def change_history_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 GetChangeHistory (change_storage.go:249-272): per-resource
+    timeline ORDER BY timestamp DESC LIMIT, plus the lag() state-diff
+    column SURVEY.md maps it to. The busiest resource is picked by a
+    deterministic top-1 aggregate; its timeline is a single narrow
+    partition so the window needs no cross-executor state."""
+    ev = _t(spark, sf_dir)["events"]
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("resource_id"),
+        F.concat(F.lit("ce-"), F.col("event_id").cast("string")).alias("id"),
+        F.col("event_type").alias("change_type"),
+        "value",
+        F.col("ts").alias("timestamp"),
+    )
+    busiest = (
+        ce.groupBy("resource_id")
+        .count()
+        .orderBy(F.desc("count"), "resource_id")
+        .limit(1)
+        .select("resource_id")
+    )
+    timeline = changes.change_history(
+        ce.join(F.broadcast(busiest), "resource_id", "left_semi"),
+        resource_id=None,
+        limit=100,
+    )
+    w = Window.orderBy(F.desc("timestamp"), F.asc("id"))
+    return timeline.select(
+        "id",
+        "change_type",
+        F.round("value", 2).alias("value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("prev_value"),
+        F.date_trunc("day", "timestamp").cast("date").alias("event_date"),
+    )
+
+
+# --- rows-only: approximate results have no exact oracle --------------------
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's approximate variant (SURVEY.md maps COUNT(DISTINCT) →
+    `approx_count_distinct` for the 100 TB path, where exact distinct is a
+    full shuffle of every key). HyperLogLog++ sketch per event_type with
+    the exact count alongside so the test can bound the relative error;
+    rows-only because two HLL implementations never hash-match."""
+    ev = _t(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -31,3 +31,14 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ sketch must stay within a loose multiple of its configured
+    rsd (2%) against the exact distinct count computed in the same pass."""
+    from corkscrew_spark.plans.queries import QUERIES
+
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.1 * r.exact_users), r
