@@ -122,3 +122,117 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed exact search
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                  nlist: int = 16, iters: int = 2) -> list[list[float]]:
+    """Train a coarse quantizer: deterministic seeding + Lloyd refinement.
+
+    Seeds are the `nlist` corpus vectors with the smallest xxhash64(id) —
+    a stable pseudo-random sample, no RNG state. Each Lloyd iteration
+    assigns every vector to its nearest centroid with a pure-codegen
+    expression (centroids inlined as literals — no shuffle, no UDF), then
+    recomputes means via posexplode + groupBy((cid, dim)) — the only
+    shuffle, sized nlist×dim, trivially small at any corpus scale.
+    """
+    sample = (
+        corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [list(r.v) for r in sample]
+
+    vecs = corpus.select(_as_double(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = vecs.withColumn("cid", assign_list(F.col("v"), centroids))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        for row in means:
+            centroids[row.cid][row.pos] = row.m
+    return centroids
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as one codegen expression: array_min over
+    (distance, cid) structs — lexicographic min gives the closest list,
+    cid tie-break keeps it deterministic."""
+    pairs = F.array(*[
+        F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cid"))
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_min(pairs).getField("cid")
+
+
+def probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The `nprobe` nearest centroid ids, closest first."""
+    pairs = F.array(*[
+        F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cid"))
+        for i, c in enumerate(centroids)
+    ])
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s.getField("cid")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+             k: int = 5, nlist: int = 16, nprobe: int = 4,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to inverted lists once,
+    probe the `nprobe` closest lists per query, exact cosine inside.
+
+    Scale shape: corpus assignment is a map-only pass (centroid literals
+    live in the codegen'd expression — nothing broadcast, nothing
+    shuffled); the candidate join shuffles both sides on `cid`, and with
+    |corpus|/nlist rows per list the probed work is nprobe/nlist of brute
+    force. `nlist` keys make coarse partitions — at cluster scale hash the
+    id into sub-splits per list (salting) or raise nlist so each list fits
+    an executor; AQE's skew-join split handles moderate imbalance.
+
+    Recall improves with nprobe (== brute force when nprobe == nlist).
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, nlist=nlist)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cid", assign_list(F.col("cv"), centroids))
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("cid", F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    scored = (
+        c.join(q, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -272,3 +272,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ann_topk(e, queries, "vec_id", "embedding", k=5, planes=8)
         .orderBy("query_id", "rank")
     )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 10 query vectors: coarse-quantizer
+    assignment in pure codegen, nprobe=4 of nlist=16 inverted lists
+    probed, exact cosine inside the probed lists. The billion-vector
+    alternative to hyperplane LSH — candidate volume is tunable by
+    nprobe/nlist instead of bucket bit-width. Recall vs brute force is
+    asserted in tests/test_similarity.py; rows-only here (approximate
+    results have no SQL oracle)."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.ivf_topk(e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+        .orderBy("query_id", "rank")
+    )

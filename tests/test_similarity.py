@@ -50,3 +50,38 @@ def test_ann_identical_vector_always_found(spark):
     q = corpus.filter(F.col("vec_id") == 100000)
     got = similarity.ann_topk(corpus, q, "vec_id", "embedding", k=3, planes=8).collect()
     assert got[0]["neighbor_id"] == 0 and got[0]["cosine"] == 1.0
+
+
+def test_ivf_recall_and_score_parity(spark):
+    """IVF hits must carry brute-force-identical cosines, and probing 4 of
+    16 lists must recover most of the true top-5 for every query."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    truth: dict[int, set[int]] = {}
+    scores = {}
+    for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=500).collect():
+        scores[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    got = similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, nlist=16, nprobe=4).collect()
+    assert got
+    hits = {}
+    for r in got:
+        assert scores[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        if r["neighbor_id"] in truth[r["query_id"]]:
+            hits[r["query_id"]] = hits.get(r["query_id"], 0) + 1
+    recall = sum(hits.values()) / sum(len(v) for v in truth.values())
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == nlist probes every list — results must equal the exact
+    top-k (same ids, same order)."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(e, q, "vec_id", "embedding", k=3).collect()
+    full = similarity.ivf_topk(e, q, "vec_id", "embedding", k=3, nlist=8, nprobe=8).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(exact) == key(full)
