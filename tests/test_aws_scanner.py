@@ -1,0 +1,37 @@
+"""Executor-side scanner plumbing: work fan-out, pagination, extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from corkscrew_spark.ingest import aws_scanner
+from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+
+def test_scan_schema_and_determinism(spark):
+    df = aws_scanner.scan(spark, ["s3", "dynamodb"], ["us-east-1", "eu-west-1"],
+                          rate_per_sec=0)
+    assert df.schema == RESOURCE_SCHEMA
+    a = sorted(r.id for r in df.collect())
+    b = sorted(r.id for r in aws_scanner.scan(
+        spark, ["s3", "dynamodb"], ["us-east-1", "eu-west-1"], rate_per_sec=0).collect())
+    assert a == b and len(a) >= 48  # ≥12 per (service, region) cell
+    assert len(set(a)) == len(a), "ids must be unique"
+
+
+def test_scan_extraction_fields(spark):
+    df = aws_scanner.scan(spark, ["s3"], ["us-east-1"], rate_per_sec=0)
+    row = df.orderBy("name").first()
+    assert row.provider == "aws" and row.service == "s3"
+    assert row.type == "AWS::S3::Bucket"
+    assert row.arn.startswith("arn:aws:s3:us-east-1:")
+    assert row.tags and row.tags["env"] in ("prod", "dev")
+    assert row.raw_data and "Checksum" in row.raw_data
+    assert row.scanned_at is not None
+
+
+def test_scan_unknown_service_skipped(spark):
+    df = aws_scanner.scan(spark, ["s3", "nosuchservice"], ["us-east-1"],
+                          rate_per_sec=0)
+    assert df.filter(F.col("service") == "nosuchservice").count() == 0
+    assert df.count() > 0
