@@ -1,0 +1,89 @@
+"""Warehouse sinks: upsert-by-key, retention, append (SURVEY §2.2).
+
+The reference upserts with DuckDB ``INSERT ... ON CONFLICT DO UPDATE``
+(graph_loader.go:174-184) / ``INSERT OR REPLACE`` (database_integration.
+go:194-360) and deletes expired change events with a timestamp predicate
+(change_storage.go:283-295). Plain parquet has no transactional merge, so
+the Spark-native equivalent is overwrite-by-key: union the existing
+snapshot with the updates, keep the newest row per key with a
+row_number window, and atomically swap the table directory. On a real
+deployment the same call sites map 1:1 onto Delta Lake ``MERGE`` /
+``DELETE`` (SURVEY.md §4 "custom work" item 2); the directory-swap writer
+keeps the semantics testable with zero extra dependencies.
+
+Scale notes: the merge shuffles once on the key columns — at 100 TB,
+partition the table by a stable prefix (provider/service or date) so the
+rewrite touches only affected partitions, and bucket by the merge key so
+the window never re-shuffles; the swap keeps readers consistent (they see
+either the old or the new directory listing, never a mix).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Write to a temp dir, then swap it into place. POSIX rename keeps
+    the exposure window to one directory move (parquet's stand-in for a
+    transactional commit)."""
+    tmp = f"{path}.__staging__{time.time_ns()}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old__{time.time_ns()}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def append(df: DataFrame, path: str) -> None:
+    """Append-only sinks (scan_metadata K5, api_action_metadata K6)."""
+    df.write.mode("append").parquet(path)
+
+
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
+                 keys: list[str], order_col: str = "scanned_at") -> int:
+    """Upsert ``updates`` into the parquet table at ``path``: rows whose
+    ``keys`` match an existing row replace it (newest ``order_col`` wins,
+    update beating existing on ties); new keys are inserted.
+
+    Returns the resulting row count. Equivalent to Delta
+    ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
+    """
+    updates = updates.withColumn("_src", F.lit(1))
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
+        merged = existing.unionByName(updates)
+    else:
+        merged = updates
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    # Materialize before the swap: the plan reads the directory being
+    # replaced, so the result must be cut loose from it first.
+    result = result.localCheckpoint(eager=True)
+    _swap_write(result, path)
+    return result.count()
+
+
+def retention_delete(spark: SparkSession, path: str, ts_col: str,
+                     cutoff: str) -> int:
+    """K7 retention: drop rows older than ``cutoff`` (change_storage.go:
+    283-295). Returns rows kept. With a date-partitioned table this
+    becomes a pure partition drop — no data rewrite; the generic path
+    rewrites the survivors."""
+    if not os.path.exists(path):
+        return 0
+    kept = spark.read.parquet(path).filter(F.col(ts_col) >= F.lit(cutoff))
+    kept = kept.localCheckpoint(eager=True)
+    _swap_write(kept, path)
+    return kept.count()
