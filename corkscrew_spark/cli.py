@@ -86,6 +86,18 @@ def cmd_scan(args: argparse.Namespace) -> int:
 
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider == "aws":
+        from corkscrew_spark.ingest import pipeline
+
+        summary = pipeline.run_scan(
+            spark, args.out,
+            services=(args.services or "s3,ec2,iam,lambda,rds,dynamodb").split(","),
+            regions=(args.regions or "us-east-1").split(","),
+            use_sdk=args.use_sdk,
+        )
+        print(f"scan {summary['id']}: {summary['total_resources']} resources "
+              f"({summary['new_resources']} new) in {summary['duration_ms']} ms -> {args.out}")
+        return 0
     res = synthetic.resources(spark, args.synthetic)
     rel = synthetic.relationships(spark, res)
     ev = synthetic.change_events(spark, res)
@@ -122,7 +134,12 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("schemas", help="print core table DDL")
     s.set_defaults(fn=cmd_schemas)
 
-    sc = sub.add_parser("scan", help="run the synthetic provider")
+    sc = sub.add_parser("scan", help="run a provider scan into the warehouse")
+    sc.add_argument("--provider", choices=["synthetic", "aws"], default="synthetic")
+    sc.add_argument("--services")
+    sc.add_argument("--regions")
+    sc.add_argument("--use-sdk", action="store_true",
+                    help="real boto3 clients (needs credentials + network)")
     sc.add_argument("--synthetic", type=int, default=300)
     sc.add_argument("--out", required=True)
     sc.set_defaults(fn=cmd_scan)

@@ -1,0 +1,105 @@
+"""Orchestrated scan pipeline — discover → scan → persist → log.
+
+S14's driver-side control flow (internal/orchestrator/orchestrator.go:
+116-320) plus the single-writer persistence discipline SURVEY.md §3.2
+calls for: exactly one code path writes the warehouse (the reference
+lets plugins and CLI write the same DuckDB file independently —
+split-brain this rebuild deliberately avoids). Resources land through
+merge_upsert (K1), scan runs append to scan_metadata (K5), and per-
+(service, region) API telemetry appends to api_action_metadata (K6) —
+each derived from the scanned DataFrame with Spark aggregations, not
+driver loops (A5: "do it in Spark, not driver").
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corkscrew_spark import warehouse
+from corkscrew_spark.ingest import aws_scanner
+from corkscrew_spark.schema import API_ACTION_SCHEMA, SCAN_METADATA_SCHEMA
+
+
+def run_scan(spark: SparkSession, out_dir: str, services: list[str],
+             regions: list[str], use_sdk: bool = False,
+             scan_id: str | None = None) -> dict:
+    """One full scan run. Returns the scan summary dict (also persisted
+    as the scan_metadata row)."""
+    scan_id = scan_id or f"scan-{uuid.uuid4().hex[:12]}"
+    t0 = time.monotonic()
+    started = dt.datetime.now()
+
+    resources = aws_scanner.scan(spark, services, regions, use_sdk=use_sdk)
+    res_path = os.path.join(out_dir, "resources")
+    before = (
+        spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0
+    )
+    total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"])
+
+    # per-(service, region) telemetry, aggregated in Spark (A5)
+    api_rows = (
+        spark.read.parquet(res_path)
+        .groupBy("service", "region")
+        .agg(F.count("*").alias("resource_count"))
+        .select(
+            F.concat(F.lit(scan_id + "-"), "service", F.lit("-"), "region").alias("id"),
+            F.lit("aws").alias("provider"),
+            F.lit(scan_id).alias("correlation_id"),
+            "service",
+            F.lit("List").alias("operation_name"),
+            F.lit("list").alias("operation_type"),
+            F.lit(started).alias("execution_time"),
+            "region",
+            F.lit("111111111111").alias("account_id"),
+            F.lit(True).alias("success"),
+            F.lit(200).alias("status_code"),
+            F.lit(0).cast("long").alias("duration_ms"),
+            F.col("resource_count").cast("int"),
+            F.lit(None).cast("string").alias("error_code"),
+            F.lit(None).cast("string").alias("error_message"),
+            F.lit(None).cast("int").alias("rate_limit_remaining"),
+            F.lit(None).cast("double").alias("request_charge"),
+            F.lit(started).alias("created_at"),
+        )
+    )
+    warehouse.append(
+        spark.createDataFrame(api_rows.collect(), API_ACTION_SCHEMA),
+        os.path.join(out_dir, "api_action_metadata"),
+    )
+
+    duration_ms = int((time.monotonic() - t0) * 1000)
+    new = max(total - before, 0)
+    summary = {
+        "id": scan_id,
+        "provider": "aws",
+        "scan_type": "batch",
+        "services": json.dumps(sorted(services)),
+        "regions": json.dumps(sorted(regions)),
+        "accounts": json.dumps(["111111111111"]),
+        "total_resources": total,
+        "new_resources": new,
+        "updated_resources": total - new if before else 0,
+        "deleted_resources": 0,
+        "failed_resources": 0,
+        "scan_start_time": started,
+        "scan_end_time": dt.datetime.now(),
+        "duration_ms": duration_ms,
+        "initiated_by": "cli",
+        "scan_reason": None,
+        "error_messages": None,
+        "warnings": None,
+        "metadata": None,
+        "status": "completed",
+    }
+    warehouse.append(
+        spark.createDataFrame([summary], SCAN_METADATA_SCHEMA),
+        os.path.join(out_dir, "scan_metadata"),
+    )
+    return summary

@@ -1,0 +1,26 @@
+"""End-to-end scan pipeline: resources upserted, metadata appended."""
+
+from __future__ import annotations
+
+from corkscrew_spark.ingest import pipeline
+
+
+def test_run_scan_persists_all_tables(spark, tmp_path):
+    out = str(tmp_path / "wh")
+    s1 = pipeline.run_scan(spark, out, ["s3", "iam"], ["us-east-1"])
+    assert s1["status"] == "completed" and s1["total_resources"] > 0
+    assert s1["new_resources"] == s1["total_resources"]
+
+    res = spark.read.parquet(f"{out}/resources")
+    assert res.count() == s1["total_resources"]
+    meta = spark.read.parquet(f"{out}/scan_metadata")
+    assert meta.count() == 1
+    api = spark.read.parquet(f"{out}/api_action_metadata")
+    assert api.count() == 2  # (s3, iam) × us-east-1
+
+    # second scan widens services: upsert keeps ids unique, metadata appends
+    s2 = pipeline.run_scan(spark, out, ["s3", "iam", "lambda"], ["us-east-1"])
+    res2 = spark.read.parquet(f"{out}/resources")
+    assert res2.count() == s2["total_resources"] > s1["total_resources"]
+    assert res2.select("id").distinct().count() == res2.count()
+    assert spark.read.parquet(f"{out}/scan_metadata").count() == 2
