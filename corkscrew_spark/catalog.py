@@ -63,6 +63,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_between(spark: SparkSession, sf_dir: str, name: str,
+                       ts_col: str, start: str | None = None,
+                       end: str | None = None) -> DataFrame:
+    """Time-range scan with pushdown on nanosecond-timestamp tables.
+
+    A range predicate applied AFTER the ns→µs conversion cannot reach the
+    parquet scan (the scan reads the raw long; the converted column is a
+    derived expression — only IsNotNull pushes). This helper converts the
+    bounds to raw epoch-nanos instead and filters the long column BEFORE
+    the cast, so the comparison pushes down as a plain bigint range and
+    parquet row-group min/max statistics prune the scan — the difference
+    between reading a day and reading the whole table at 100 TB.
+
+    Bound semantics match filtering the converted column when bounds are
+    whole microseconds (truncation can't move a value across the bound).
+    """
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read(spark, path)
+    ns_cols = _nanos_columns(path)
+    # String bounds compare in the session timezone (same semantics Spark
+    # gives `col >= "2024-01-15"` on the converted column).
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
+
+    def _ns(bound: str) -> int:
+        t = _dt.datetime.fromisoformat(bound).replace(tzinfo=tz)
+        return int(t.timestamp() * 1_000_000) * 1000
+
+    if ts_col in ns_cols:
+        if start is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(_ns(start)))
+        if end is not None:
+            df = df.filter(F.col(ts_col) <= F.lit(_ns(end)))
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if ts_col not in ns_cols:
+        if start is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col(ts_col) <= F.lit(end))
+    return df
+
+
 #: Memo of registered table sets: (session id, sf_dir) → {name: DataFrame}.
 #: Registration costs a footer read + view creation per table; queries call
 #: register_tables() freely, so cache it (parquet files are immutable here).

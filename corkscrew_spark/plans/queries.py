@@ -316,11 +316,16 @@ def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range predicate (graph_loader.go:543; change_storage.go:498-506)
-    with a per-day rollup; fixed literal cutoff keeps the oracle stable."""
-    ev = _t(spark, sf_dir)["events"]
+    with a per-day rollup; fixed literal cutoff keeps the oracle stable.
+
+    Scans through load_table_between so the range bound is applied to the
+    raw nanos column and pushed into the parquet scan (row-group pruning)
+    instead of filtering after the ns→µs conversion."""
+    from corkscrew_spark.catalog import load_table_between
+
+    ev = load_table_between(spark, sf_dir, "events", "ts", start="2024-01-15")
     return (
-        ev.filter(F.col("ts") >= F.lit("2024-01-15"))
-        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("day")
     )

@@ -186,8 +186,15 @@ def change_query_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 QueryChanges end-to-end through the real operator
     (change_storage.go:485-568): events mapped to the change-event shape,
     then time-range + IN-list filters, validated sort, and offset
-    pagination via changes.query_changes."""
-    ev = _t(spark, sf_dir)["events"]
+    pagination via changes.query_changes. The events scan goes through
+    load_table_between so the time bounds push into parquet row-group
+    pruning (query_changes re-applies them on the converted column —
+    harmless, already satisfied)."""
+    from corkscrew_spark.catalog import load_table_between
+
+    ev = load_table_between(
+        spark, sf_dir, "events", "ts", start="2024-01-05", end="2024-01-25"
+    )
     ce = ev.select(
         F.concat(F.lit("ce-"), F.col("event_id").cast("string")).alias("id"),
         F.lit("aws").alias("provider"),
