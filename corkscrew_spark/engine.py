@@ -126,6 +126,12 @@ class QueryEngine:
 
     def __init__(self, spark: SparkSession, register_helpers: bool = True):
         self.spark = spark
+        # ANSI string literals: backslash is a plain character, '' is the
+        # escaped quote — the dialect quote_literal emits and the one the
+        # reference's DuckDB pack SQL is written in. Spark's default
+        # parser instead treats backslash as an escape, which corrupts
+        # (or breaks parsing of) any bound parameter containing one.
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 

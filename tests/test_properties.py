@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) — beyond the reference's strategy.
+
+The reference has no randomized testing (SURVEY.md §5.7); these pin the
+engine's parameter-binding safety and the text-normalization invariants
+under arbitrary input, where example-based tests only cover the cases
+someone thought of.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from corkscrew_spark.engine import QueryEngine, bind_params, quote_literal
+
+# printable-ish text incl. quotes/backslashes/newlines/unicode
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), min_codepoint=1),
+    max_size=60,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return QueryEngine(spark, register_helpers=False)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(value=TEXT)
+def test_string_param_roundtrips_exactly(engine, value):
+    """Any string bound via :param must come back byte-identical — the
+    injection-safety property: no quoting/escape sequence in the value
+    can alter the statement."""
+    got = engine.spark.sql(bind_params("SELECT :v AS v", {"v": value})).collect()[0].v
+    assert got == value
+
+
+@settings(max_examples=50, deadline=None)
+@given(values=st.lists(st.one_of(st.integers(min_value=-10**9, max_value=10**9), TEXT),
+                       min_size=0, max_size=5))
+def test_in_list_expansion_shape(values):
+    """List params expand to a parenthesized literal list (empty → (NULL),
+    which matches nothing) without disturbing surrounding SQL."""
+    sql = bind_params("SELECT * FROM t WHERE x IN (:ids) AND y = 1", {"ids": values})
+    assert sql.startswith("SELECT * FROM t WHERE x IN (") and sql.endswith("AND y = 1")
+    if not values:
+        assert "IN (NULL)" in sql
+    else:
+        assert sql.count(",") >= len(values) - 1
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(value=TEXT)
+def test_quote_literal_never_escapes_statement(engine, value):
+    """The quoted literal is one expression: SELECT <lit> AS a, 2 AS b
+    always yields exactly (value, 2) — appended clauses can't leak in."""
+    row = engine.spark.sql(f"SELECT {quote_literal(value)} AS a, 2 AS b").collect()[0]
+    assert row.a == value and row.b == 2
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc=TEXT)
+def test_fingerprint_invariants(spark, doc):
+    """normalized() is idempotent and fingerprint survives case +
+    surrounding-whitespace changes (the dedup key property)."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.operators import text as T
+
+    df = spark.createDataFrame([(doc,)], "t string").select(
+        T.normalized("t").alias("n1"),
+        T.normalized(T.normalized("t")).alias("n2"),
+        T.fingerprint("t").alias("f"),
+        T.fingerprint(F.upper("t")).alias("f_upper"),
+        T.fingerprint(F.concat(F.lit("  "), "t", F.lit("\t"))).alias("f_pad"),
+    )
+    r = df.collect()[0]
+    assert r.n1 == r.n2
+    assert r.f == r.f_upper == r.f_pad
