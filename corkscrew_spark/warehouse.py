@@ -87,3 +87,42 @@ def retention_delete(spark: SparkSession, path: str, ts_col: str,
     kept = kept.localCheckpoint(eager=True)
     _swap_write(kept, path)
     return kept.count()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables — co-located joins (the scale answer to the reference's
+# secondary indexes, unified_schema.go:129-143 → SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   buckets: int = 32, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed managed table: rows are hash-partitioned into
+    ``buckets`` files by ``bucket_cols`` at write time, so a join or
+    aggregation on those columns later needs NO shuffle — Spark's
+    equivalent of the reference's indexes on hot join keys. Two tables
+    bucketed the same way join shuffle-free (see tests/test_warehouse.py
+    for the plan assertion). Bucket count is a layout decision: pick
+    ~(table size / executor-memory-sized splits), same at 100 TB."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join resilient to extreme key skew: the big (left) side gets a
+    random-ish salt in [0, salts) derived from a stable row hash, the
+    small-to-medium (right) side is exploded ``salts``× with every salt
+    value, and the join runs on (key, salt) — one hot key spreads over
+    ``salts`` reducers instead of melting one. Use when AQE's skew-join
+    split isn't enough (a single key beyond one executor's memory);
+    costs a ``salts``× blow-up of the right side, so keep salts small.
+    """
+    lsalt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salts).cast("int")
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salts)]))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")

@@ -39,3 +39,47 @@ def test_retention_delete(spark, tmp_path):
     kept = warehouse.retention_delete(spark, path, "scanned_at", "2024-01-06")
     assert kept == 5
     assert spark.read.parquet(path).count() == 5
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with zero
+    Exchange operators in the plan — the co-location property."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        warehouse.write_bucketed(a, ta, ["k"], buckets=8, sort_cols=["k"])
+        warehouse.write_bucketed(b, tb, ["k"], buckets=8, sort_cols=["k"])
+        # force the sort-merge path (at real scale neither side broadcasts;
+        # here the planner would broadcast the tiny table and skip buckets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    # skewed left: 90% of rows share key 0
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+    plain = warehouse.salted_join(left, right, "k", salts=8)
+    expect = left.join(right, "k")
+    assert plain.count() == expect.count()
+    assert sorted(plain.columns) == sorted(expect.columns)
