@@ -1,0 +1,190 @@
+"""Azure Resource Graph and GCP Asset Inventory sources + change adapters.
+
+S9 (plugins/azure-provider/resource_graph.go:70-79, 298-340): Azure's
+Resource Graph answers one tenant-wide KQL query with skip-token paging —
+a BULK source, not per-service fan-out. Spark shape: one task per
+subscription batch lands the result as RESOURCE_SCHEMA rows; the KQL
+itself is server-side pushdown (the §2.8 operators run locally over the
+landed table and are covered by the kql_* queries).
+
+S10 (plugins/gcp-provider/asset_inventory.go:66-135): GCP Cloud Asset
+Inventory bulk-lists assets across project/folder/org scopes; asset
+HISTORY (:212-260) is the change feed. C5 change adapters normalize both
+providers' change records into CHANGE_EVENT_SCHEMA for the shared
+change_events table (aws_change_tracker.go:443-703 does the same for
+Config/CloudTrail).
+
+Like the AWS/K8s scanners, the real clients are opt-in; deterministic
+fake pages exercise the paging, normalization, and schema conformance
+offline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from corkscrew_spark.schema import CHANGE_EVENT_SCHEMA, RESOURCE_SCHEMA
+
+_AZ_TYPES = (
+    ("microsoft.storage/storageaccounts", "storage"),
+    ("microsoft.compute/virtualmachines", "compute"),
+    ("microsoft.network/virtualnetworks", "network"),
+    ("microsoft.keyvault/vaults", "keyvault"),
+)
+_GCP_TYPES = (
+    ("storage.googleapis.com/Bucket", "storage"),
+    ("compute.googleapis.com/Instance", "compute"),
+    ("bigquery.googleapis.com/Dataset", "bigquery"),
+)
+
+
+def _fleet(seed: str, lo: int = 8, hi: int = 20) -> int:
+    h = int(hashlib.sha256(seed.encode()).hexdigest(), 16)
+    return lo + h % (hi - lo)
+
+
+def _azure_rows(sub: str, scanned_at: dt.datetime) -> Iterator[Row]:
+    for az_type, service in _AZ_TYPES:
+        short = az_type.rsplit("/", 1)[-1]
+        for i in range(_fleet(f"{sub}|{az_type}")):
+            name = f"{short}-{i:03d}"
+            rid = (f"/subscriptions/{sub}/resourceGroups/rg-{i % 3}"
+                   f"/providers/{az_type}/{name}")
+            yield Row(
+                id=rid, arn=None, name=name, type=az_type, service=service,
+                provider="azure", region=("eastus", "westeurope")[i % 2],
+                account_id=sub, parent_id=f"rg-{i % 3}",
+                tags={"env": ("prod", "dev")[i % 2]},
+                attributes=json.dumps({"sku": ("Standard", "Premium")[i % 3 == 0]}),
+                raw_data=json.dumps({"id": rid, "properties": {"provisioningState": "Succeeded"}},
+                                    sort_keys=True),
+                state="Succeeded", created_at=None, modified_at=None,
+                scanned_at=scanned_at,
+            )
+
+
+def azure_resource_graph(spark: SparkSession, subscriptions: list[str]) -> DataFrame:
+    """Tenant-wide bulk query: one executor task per subscription, each
+    landing its skip-token-paged result (resource_graph.go:298-340 — the
+    fake collapses paging into the generator; AWS/K8s scanners exercise
+    the explicit token loop)."""
+    scanned_at = dt.datetime(2024, 1, 1)
+    work = spark.createDataFrame([Row(sub=s) for s in subscriptions]).repartition(
+        min(len(subscriptions), spark.sparkContext.defaultParallelism)
+    )
+    return spark.createDataFrame(
+        work.rdd.mapPartitions(
+            lambda it: (r for w in it for r in _azure_rows(w.sub, scanned_at))
+        ),
+        RESOURCE_SCHEMA,
+    )
+
+
+def gcp_asset_inventory(spark: SparkSession, projects: list[str]) -> DataFrame:
+    """Bulk ListAssets per project scope (asset_inventory.go:66-135)."""
+    scanned_at = dt.datetime(2024, 1, 1)
+
+    def rows(project: str) -> Iterator[Row]:
+        for asset_type, service in _GCP_TYPES:
+            kind = asset_type.rsplit("/", 1)[-1].lower()
+            for i in range(_fleet(f"{project}|{asset_type}")):
+                name = f"{kind}-{i:03d}"
+                rid = f"//{asset_type.split('/')[0]}/projects/{project}/{kind}s/{name}"
+                yield Row(
+                    id=rid, arn=None, name=name, type=asset_type, service=service,
+                    provider="gcp", region=("us-central1", "europe-west1")[i % 2],
+                    account_id=project, parent_id=project,
+                    tags={"team": ("core", "data")[i % 2]},
+                    attributes=None,
+                    raw_data=json.dumps({"name": rid, "assetType": asset_type},
+                                        sort_keys=True),
+                    state="ACTIVE", created_at=None, modified_at=None,
+                    scanned_at=scanned_at,
+                )
+
+    work = spark.createDataFrame([Row(p=p) for p in projects]).repartition(
+        min(len(projects), spark.sparkContext.defaultParallelism)
+    )
+    return spark.createDataFrame(
+        work.rdd.mapPartitions(lambda it: (r for w in it for r in rows(w.p))),
+        RESOURCE_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — change-source adapters → change_events
+# ---------------------------------------------------------------------------
+
+_AZ_CHANGE_MAP = {"Create": "CREATE", "Update": "UPDATE", "Delete": "DELETE"}
+_GCP_CHANGE_MAP = {"CREATED": "CREATE", "UPDATED": "UPDATE", "DELETED": "DELETE"}
+
+
+def _norm_change(provider: str, rec: dict) -> Row:
+    """Normalize one provider change record (Azure `resourcechanges` KQL
+    row, resource_graph.go:190-220; GCP TemporalAsset, asset_inventory.
+    go:212-233) into the unified shape."""
+    mapping = _AZ_CHANGE_MAP if provider == "azure" else _GCP_CHANGE_MAP
+    ctype = mapping.get(rec["changeType"], "UPDATE")
+    return Row(
+        id=f"{provider}-{rec['id']}",
+        provider=provider,
+        resource_id=rec["resourceId"],
+        resource_name=rec.get("name"),
+        resource_type=rec.get("type"),
+        service=rec.get("service"),
+        project=rec.get("scope"),
+        region=rec.get("region"),
+        change_type=ctype,
+        severity="HIGH" if ctype == "DELETE" else "LOW",
+        timestamp=rec["timestamp"],
+        detected_at=rec["timestamp"],
+        previous_state=json.dumps(rec["before"], sort_keys=True) if rec.get("before") else None,
+        current_state=json.dumps(rec["after"], sort_keys=True) if rec.get("after") else None,
+        changed_fields=json.dumps(sorted(rec.get("changedFields", []))),
+        change_metadata=None,
+    )
+
+
+def _fake_changes(provider: str, scope: str, n: int = 20) -> Iterator[dict]:
+    kinds = ("Create", "Update", "Delete") if provider == "azure" else (
+        "CREATED", "UPDATED", "DELETED")
+    types = _AZ_TYPES if provider == "azure" else _GCP_TYPES
+    for i in range(n):
+        t, svc = types[i % len(types)]
+        yield {
+            "id": f"{scope}-chg-{i:04d}",
+            "resourceId": f"{scope}/{t}/{i % 7:03d}",
+            "name": f"res-{i % 7:03d}",
+            "type": t,
+            "service": svc,
+            "scope": scope,
+            "region": "global",
+            "changeType": kinds[i % 3],
+            "timestamp": dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+            "before": {"v": i - 1} if i % 3 != 0 else None,
+            "after": {"v": i} if i % 3 != 2 else None,
+            "changedFields": ["properties.v"] if i % 3 == 1 else [],
+        }
+
+
+def change_feed(spark: SparkSession, provider: str, scopes: list[str]) -> DataFrame:
+    """Provider change history → CHANGE_EVENT_SCHEMA rows, ready to append
+    to the shared change_events table."""
+    if provider not in ("azure", "gcp"):
+        raise ValueError(f"unsupported change provider: {provider}")
+    work = spark.createDataFrame([Row(scope=s) for s in scopes]).repartition(
+        min(len(scopes), spark.sparkContext.defaultParallelism)
+    )
+    return spark.createDataFrame(
+        work.rdd.mapPartitions(
+            lambda it: (
+                _norm_change(provider, rec) for w in it for rec in _fake_changes(provider, w.scope)
+            )
+        ),
+        CHANGE_EVENT_SCHEMA,
+    )
