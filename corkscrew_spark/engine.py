@@ -55,7 +55,11 @@ def quote_literal(value: Any) -> str:
         if not value:
             return "(NULL)"  # empty IN-list matches nothing
         return "(" + ", ".join(quote_literal(v) for v in value) + ")"
-    s = str(value).replace("'", "''")
+    # Spark's default lexer treats backslash as an escape inside string
+    # literals (and `\'` never closes one), so literals are emitted in
+    # that dialect: double each backslash, backslash-escape each quote.
+    # ''-doubling alone corrupts values containing backslashes.
+    s = str(value).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 
 
@@ -63,7 +67,7 @@ def quote_literal(value: Any) -> str:
 #: ('' is the escaped quote) and SQL comments — a LIKE pattern such as
 #: '%s3:DeleteBucket%' or prose like "aws:kms" in a header comment is
 #: never mistaken for a :param placeholder.
-_OPAQUE_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
+_OPAQUE_RE = re.compile(r"'(?:\\.|''|[^'\\])*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
 
 
 def bind_params(sql: str, params: dict[str, Any] | None) -> str:
@@ -126,12 +130,6 @@ class QueryEngine:
 
     def __init__(self, spark: SparkSession, register_helpers: bool = True):
         self.spark = spark
-        # ANSI string literals: backslash is a plain character, '' is the
-        # escaped quote — the dialect quote_literal emits and the one the
-        # reference's DuckDB pack SQL is written in. Spark's default
-        # parser instead treats backslash as an escape, which corrupts
-        # (or breaks parsing of) any bound parameter containing one.
-        spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 

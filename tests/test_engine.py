@@ -56,7 +56,7 @@ def test_unknown_table_suggestion(engine):
 # --- parameter binding ----------------------------------------------------
 
 def test_quote_literal_escapes():
-    assert quote_literal("O'Brien") == "'O''Brien'"
+    assert quote_literal("O'Brien") == "'O\\'Brien'"
     assert quote_literal(None) == "NULL"
     assert quote_literal([1, 2]) == "(1, 2)"
     assert quote_literal([]) == "(NULL)"
@@ -66,7 +66,7 @@ def test_quote_literal_escapes():
 def test_bind_params_in_list_both_styles():
     sql = "SELECT * FROM t WHERE a IN (:ids) AND b IN :ids AND c = :name"
     out = bind_params(sql, {"ids": [1, 2], "name": "x'y"})
-    assert out == "SELECT * FROM t WHERE a IN (1, 2) AND b IN (1, 2) AND c = 'x''y'"
+    assert out == "SELECT * FROM t WHERE a IN (1, 2) AND b IN (1, 2) AND c = 'x\\'y'"
 
 
 def test_bind_params_missing_raises():
