@@ -194,7 +194,8 @@ def probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Colum
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, nlist: int = 16, nprobe: int = 4,
-             centroids: list[list[float]] | None = None) -> DataFrame:
+             centroids: list[list[float]] | None = None,
+             train_iters: int = 2) -> DataFrame:
     """IVF approximate top-k: assign the corpus to inverted lists once,
     probe the `nprobe` closest lists per query, exact cosine inside.
 
@@ -212,7 +213,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = ivf_centroids(corpus, id_col, vec_col, nlist=nlist)
+        centroids = ivf_centroids(corpus, id_col, vec_col, nlist=nlist,
+                                  iters=train_iters)
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))

@@ -286,6 +286,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = register_tables(spark, sf_dir)["embeddings"]
     queries = e.filter(F.col("vec_id") < 10)
     return (
-        similarity.ivf_topk(e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4)
+        similarity.ivf_topk(e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
+                            train_iters=1)
         .orderBy("query_id", "rank")
     )
