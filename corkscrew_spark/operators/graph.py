@@ -44,10 +44,14 @@ def k_hop(edges: DataFrame, seeds: list[str], max_depth: int = 3,
     """
     spark = edges.sparkSession
     e = _prep(edges, directed)
-    visited = spark.createDataFrame(
+    seed_df = spark.createDataFrame(
         [(s, 0) for s in seeds], "node string, distance int"
     ).localCheckpoint(eager=True)
-    frontier = visited
+    # visited = union of per-hop checkpointed frontiers; unioning live
+    # (instead of re-checkpointing the growing set every hop) avoids
+    # re-materializing all prior hops each iteration.
+    visited = seed_df
+    frontier = seed_df
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -59,7 +63,7 @@ def k_hop(edges: DataFrame, seeds: list[str], max_depth: int = 3,
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
@@ -100,7 +104,7 @@ def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
             return hit.select(F.lit(depth).alias("depth"), "path")
         if expanded.isEmpty():
             break
-        visited = visited.unionByName(expanded.select("node")).localCheckpoint(eager=True)
+        visited = visited.unionByName(expanded.select("node"))
         frontier = expanded
     if src == dst:
         return spark.createDataFrame([(0, [src])], "depth int, path array<string>")
@@ -127,8 +131,11 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sources = nodes.join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
-    levels = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
-    frontier = levels
+    frontier = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    # Accumulate per-depth frontiers (each already checkpointed) and union
+    # once at the end — re-checkpointing the growing union every iteration
+    # would re-materialize all prior levels each hop (O(depth²) work).
+    parts = [frontier]
     for depth in range(1, max_depth + 1):
         # Propagate max level forward; a node's level settles once all its
         # predecessors have emitted (max aggregation makes later, larger
@@ -141,10 +148,13 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        levels = levels.unionByName(nxt).localCheckpoint(eager=True)
+        parts.append(nxt)
         frontier = nxt
     else:
         raise ValueError(f"cycle detected: levels did not settle within {max_depth} iterations")
+    levels = parts[0]
+    for p in parts[1:]:
+        levels = levels.unionByName(p)
     result = levels.groupBy("node").agg(F.max("level").alias("level"))
     # Nodes unreachable from any source sit on (or behind) a cycle — the
     # pure-cycle case never enters the loop above, so check membership.
