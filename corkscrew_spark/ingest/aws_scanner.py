@@ -208,3 +208,33 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
         ),
         RESOURCE_SCHEMA,
     )
+
+
+def describe_resources(resources: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """S4's Describe phase: enrich listed refs with per-resource detail
+    (cmd/corkscrew/main.go:471-585 — List gives cheap refs, Describe adds
+    raw_data/tags/relationships). Spark shape: mapInPandas over the
+    listed rows so one Python worker amortizes a client per batch and the
+    enriched frame keeps RESOURCE_SCHEMA — no join-back needed because
+    enrichment is row-aligned. The fake derives detail deterministically
+    from the id; with use_sdk the same loop would call Describe* APIs.
+    """
+
+    def enrich(batches):
+        for pdf in batches:
+            details = []
+            for rid in pdf["id"]:
+                digest = hashlib.sha256(str(rid).encode()).hexdigest()
+                details.append(json.dumps({
+                    "Description": {"Detail": digest[:16], "Encrypted": digest[0] < "8"},
+                }, sort_keys=True))
+            out = pdf.copy()
+            base = out["raw_data"].fillna("{}")
+            out["raw_data"] = [
+                json.dumps({**json.loads(b), "Describe": json.loads(d)}, sort_keys=True)
+                for b, d in zip(base, details)
+            ]
+            out["attributes"] = details
+            yield out
+
+    return resources.mapInPandas(enrich, schema=RESOURCE_SCHEMA)

@@ -35,3 +35,14 @@ def test_scan_unknown_service_skipped(spark):
                           rate_per_sec=0)
     assert df.filter(F.col("service") == "nosuchservice").count() == 0
     assert df.count() > 0
+
+
+def test_describe_enrichment(spark):
+    listed = aws_scanner.scan(spark, ["s3"], ["us-east-1"], rate_per_sec=0)
+    enriched = aws_scanner.describe_resources(listed)
+    assert enriched.schema == RESOURCE_SCHEMA
+    rows = enriched.collect()
+    assert len(rows) == listed.count()
+    for r in rows[:5]:
+        assert r.attributes and "Description" in r.attributes
+        assert "Describe" in r.raw_data and "Checksum" in r.raw_data
