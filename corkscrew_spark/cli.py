@@ -110,6 +110,26 @@ def cmd_scan(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diagram(args: argparse.Namespace) -> int:
+    from corkscrew_spark import diagrams
+
+    spark = get_spark(app_name="corkscrew-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = spark.read.parquet(f"{args.data}/resources")
+    rel_path = f"{args.data}/relationships"
+    import os as _os
+    if _os.path.exists(rel_path):
+        rel = spark.read.parquet(rel_path)
+    else:
+        rel = spark.createDataFrame(
+            [], "from_id string, to_id string, relationship_type string")
+    nodes, edges = diagrams.diagram_data(
+        res, rel, service=args.service, region=args.region, limit=args.limit)
+    render = diagrams.render_mermaid if args.format == "mermaid" else diagrams.render_ascii
+    print(render(nodes, edges))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="corkscrew-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -143,6 +163,14 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--synthetic", type=int, default=300)
     sc.add_argument("--out", required=True)
     sc.set_defaults(fn=cmd_scan)
+
+    dg = sub.add_parser("diagram", help="render resources as mermaid/ascii")
+    dg.add_argument("--data", required=True, help="warehouse dir with resources[/relationships]")
+    dg.add_argument("--format", choices=["mermaid", "ascii"], default="mermaid")
+    dg.add_argument("--service")
+    dg.add_argument("--region")
+    dg.add_argument("--limit", type=int, default=50)
+    dg.set_defaults(fn=cmd_diagram)
 
     args = ap.parse_args(argv)
     return args.fn(args)

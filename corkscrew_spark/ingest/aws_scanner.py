@@ -238,3 +238,59 @@ def describe_resources(resources: DataFrame, batch_hint: int = 64) -> DataFrame:
             yield out
 
     return resources.mapInPandas(enrich, schema=RESOURCE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S8 — Resource Explorer search (indexed search source)
+# ---------------------------------------------------------------------------
+
+def parse_search_query(query_string: str) -> dict[str, str]:
+    """`service:s3 region:us-east-1 tag:env=prod free text` → criteria
+    (resource_explorer.go:77-106 builds the same SearchInput)."""
+    crit: dict[str, str] = {}
+    free: list[str] = []
+    for tok in query_string.split():
+        k, sep, v = tok.partition(":")
+        if sep and k in ("service", "region", "type", "tag"):
+            crit[k] = v
+        else:
+            free.append(tok)
+    if free:
+        crit["text"] = " ".join(free)
+    return crit
+
+
+def parse_arn(arn: str) -> dict[str, str | None]:
+    """ARN → ref fields (resource_explorer.go:184-229):
+    arn:partition:service:region:account:resource[/name]."""
+    parts = arn.split(":", 5)
+    if len(parts) < 6 or parts[0] != "arn":
+        return {"service": None, "region": None, "account": None, "name": None}
+    resource = parts[5]
+    name = resource.rsplit("/", 1)[-1] if "/" in resource else resource
+    return {"service": parts[2], "region": parts[3] or None,
+            "account": parts[4] or None, "name": name}
+
+
+def search(spark: SparkSession, query_string: str,
+           services: list[str] | None = None,
+           regions: list[str] | None = None) -> DataFrame:
+    """Indexed-search source: the query string narrows WHICH cells to scan
+    (source-level pushdown — Resource Explorer evaluates the query
+    server-side) and the residual criteria filter the result. Output
+    schema matches every other source, so `search` is a drop-in
+    alternative to `scan` (SURVEY §2.1 S8: "same output schema")."""
+    from pyspark.sql import functions as F
+
+    crit = parse_search_query(query_string)
+    svc = [crit["service"]] if "service" in crit else (services or sorted(LIST_OPERATIONS))
+    reg = [crit["region"]] if "region" in crit else (regions or ["us-east-1"])
+    df = scan(spark, svc, reg)
+    if "type" in crit:
+        df = df.filter(F.col("type") == crit["type"])
+    if "tag" in crit:
+        k, _, v = crit["tag"].partition("=")
+        df = df.filter(F.col("tags")[k] == v)
+    if "text" in crit:
+        df = df.filter(F.col("name").contains(crit["text"]))
+    return df

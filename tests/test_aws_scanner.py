@@ -46,3 +46,20 @@ def test_describe_enrichment(spark):
     for r in rows[:5]:
         assert r.attributes and "Description" in r.attributes
         assert "Describe" in r.raw_data and "Checksum" in r.raw_data
+
+
+def test_search_source(spark):
+    df = aws_scanner.search(spark, "service:s3 region:us-east-1 tag:env=prod")
+    assert df.schema == RESOURCE_SCHEMA
+    rows = df.collect()
+    assert rows and all(r.service == "s3" and r.tags["env"] == "prod" for r in rows)
+    # free-text narrows by name
+    one = aws_scanner.search(spark, "service:s3 region:us-east-1 0001")
+    assert one.count() == 1
+
+
+def test_parse_arn():
+    ref = aws_scanner.parse_arn("arn:aws:s3:us-east-1:111111111111:bucket/my-b")
+    assert ref == {"service": "s3", "region": "us-east-1",
+                   "account": "111111111111", "name": "my-b"}
+    assert aws_scanner.parse_arn("not-an-arn")["service"] is None
