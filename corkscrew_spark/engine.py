@@ -95,12 +95,22 @@ def bind_params(sql: str, params: dict[str, Any] | None) -> str:
         pos = lit.end()
     out.append(_PARAM_RE.sub(sub, sql[pos:]))
     bound = "".join(out)
-    # normalize "IN ((...))" from list params inside explicit parens
-    return re.sub(r"IN\s*\(\s*\(([^()]*)\)\s*\)", r"IN (\1)", bound, flags=re.IGNORECASE)
+    # normalize "IN ((...))" / "array((...))" from list params inside
+    # explicit parens — the doubled parens would otherwise read as a
+    # row-value/struct constructor
+    bound = re.sub(r"IN\s*\(\s*\(([^()]*)\)\s*\)", r"IN (\1)", bound, flags=re.IGNORECASE)
+    return re.sub(r"\bARRAY\s*\(\s*\(([^()]*)\)\s*\)", r"array(\1)", bound,
+                  flags=re.IGNORECASE)
 
 
 def validate_readonly(sql: str) -> None:
-    """Deny mutating statements (engine.go:368-386)."""
+    """Deny mutating statements (engine.go:368-386).
+
+    Keywords are scanned with string literals blanked out as well as
+    comments — prose inside a literal ('Set an env tag', '%DELETE%'
+    LIKE patterns) must never trip the gate. The reference gets the
+    same property from its SQL tokenizer.
+    """
     stripped = _COMMENT_RE.sub(" ", sql).strip()
     if not stripped:
         raise QueryValidationError("empty query")
@@ -109,8 +119,9 @@ def validate_readonly(sql: str) -> None:
         raise QueryValidationError(
             f"only read-only queries are allowed (statement starts with {first})"
         )
+    scannable = _OPAQUE_RE.sub("''", stripped)
     for kw in _DENY:
-        if re.search(rf"\b{kw}\b", stripped, re.IGNORECASE):
+        if re.search(rf"\b{kw}\b", scannable, re.IGNORECASE):
             raise QueryValidationError(f"read-only gate: {kw} is not allowed")
 
 

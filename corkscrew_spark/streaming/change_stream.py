@@ -82,14 +82,19 @@ def start_to_memory(df: DataFrame, table_name: str, once: bool = True,
 
 
 def start_to_parquet(df: DataFrame, path: str, checkpoint: str,
-                     processing_interval: str = "30 seconds"):
+                     processing_interval: str = "30 seconds",
+                     once: bool = False):
     """Production sink: append parquet with checkpointed exactly-once file
     tracking (the durable equivalent of the reference's auto-save,
-    aws_provider.go:647-650)."""
-    return (
+    aws_provider.go:647-650). ``once`` drains the backlog and stops —
+    the batch-drain mode used by tests and catch-up jobs."""
+    writer = (
         df.writeStream.format("parquet")
         .option("path", path)
         .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=processing_interval)
-        .start()
     )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()

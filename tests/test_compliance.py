@@ -87,3 +87,19 @@ def test_circular_dependency_detected(tmp_path):
         )
     with pytest.raises(PackError, match="circular"):
         PackLoader([str(tmp_path)]).load_with_dependencies("loop/x")
+
+
+def test_tag_hygiene_pack(spark):
+    """Second shipped pack: map-typed tags column + list params."""
+    from corkscrew_spark.compliance import ComplianceExecutor, PackLoader
+    from corkscrew_spark.ingest import synthetic
+
+    res = synthetic.resources(spark, n=60)
+    res.createOrReplaceTempView("resources")
+    exe = ComplianceExecutor(spark, PackLoader([]))
+    run = exe.run_pack("cfi/tag-hygiene", {})
+    assert not run.errors
+    statuses = {r["status"] for r in run.results.collect()}
+    assert "PASS" in statuses
+    by_control = {r["control_id"] for r in run.results.collect()}
+    assert by_control == {"tag-hygiene-01", "tag-hygiene-02"}

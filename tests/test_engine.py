@@ -126,3 +126,19 @@ def test_formatters(engine):
     assert csv_text.splitlines()[0] == "r_regionkey,r_name"
     data = json.loads(formatter.format_json(df))
     assert len(data) == 2 and set(data[0]) == {"r_regionkey", "r_name"}
+
+
+def test_readonly_gate_ignores_literals(engine):
+    """Keywords inside string literals (prose, LIKE patterns) must not
+    trip the gate; real mutating statements still must."""
+    import pytest
+
+    from corkscrew_spark.engine import QueryValidationError, validate_readonly
+
+    validate_readonly("SELECT 'Set an env tag' AS remediation")
+    validate_readonly("SELECT * FROM t WHERE policy LIKE '%s3:DeleteBucket%'")
+    validate_readonly("SELECT 'DROP TABLE users' AS phrase")
+    with pytest.raises(QueryValidationError):
+        validate_readonly("DELETE FROM t WHERE x = 'harmless'")
+    with pytest.raises(QueryValidationError):
+        validate_readonly("SELECT 1; DROP TABLE t")

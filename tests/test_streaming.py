@@ -62,3 +62,20 @@ def test_windowed_counts(spark, tmp_path):
             for r in spark.sql("SELECT * FROM win_counts").collect()}
     assert rows[("2024-01-01 00:00:00", "LOW")] == 4
     assert rows[("2024-01-01 02:00:00", "HIGH")] == 2
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path):
+    """start_to_parquet: checkpointed file-source offsets — a second run
+    with the same checkpoint processes only files it hasn't seen."""
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    _write_events(src, [_event(i) for i in range(5)])
+    stream = change_stream.read_change_stream(spark, str(src))
+    q = change_stream.start_to_parquet(stream, str(out), str(ckpt), once=True)
+    q.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 5
+
+    _write_events(src, [_event(100 + i) for i in range(3)])
+    q2 = change_stream.start_to_parquet(
+        change_stream.read_change_stream(spark, str(src)), str(out), str(ckpt), once=True)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() == 8  # 5 old NOT reprocessed
