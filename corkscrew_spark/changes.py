@@ -23,6 +23,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from corkscrew_spark.operators.paging import limit_offset
 from corkscrew_spark.schema import CHANGE_TYPES, SEVERITIES
 
 
@@ -79,16 +80,7 @@ def query_changes(
         df = df.filter(F.col("severity").isin(list(severities)))
 
     order = [F.desc(sort_by) if descending else F.asc(sort_by), F.asc("id")]
-    if offset:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(*order)
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .drop("_rn")
-        )
-    return df.orderBy(*order).limit(limit)
+    return limit_offset(df, order, limit, offset)
 
 
 def change_history(events: DataFrame, resource_id: str | None, limit: int = 1000) -> DataFrame:

@@ -38,7 +38,6 @@ _DENY = (
 )
 _ALLOWED_STARTS = ("SELECT", "WITH", "EXPLAIN", "SHOW", "DESCRIBE", "DESC", "VALUES", "TABLE")
 
-_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
 _PARAM_RE = re.compile(r"(?<!:):([a-zA-Z_][a-zA-Z0-9_]*)")
 _TABLE_ERR_RE = re.compile(r"TABLE_OR_VIEW_NOT_FOUND|Table or view not found", re.IGNORECASE)
 
@@ -103,23 +102,37 @@ def bind_params(sql: str, params: dict[str, Any] | None) -> str:
                   flags=re.IGNORECASE)
 
 
+def _blank_opaque(sql: str) -> str:
+    """Blank literals to '' and comments to a space in ONE literal-aware
+    pass. The alternation in _OPAQUE_RE tries string literals before
+    comments, so a ``--`` or ``/*`` *inside* a quoted literal never
+    starts a comment — stripping comments with a literal-blind regex
+    first would let ``SELECT '--'`` swallow the rest of the statement
+    and hide DML from the keyword scan."""
+    def repl(m: re.Match[str]) -> str:
+        return "''" if m.group(0).startswith("'") else " "
+
+    return _OPAQUE_RE.sub(repl, sql)
+
+
 def validate_readonly(sql: str) -> None:
     """Deny mutating statements (engine.go:368-386).
 
-    Keywords are scanned with string literals blanked out as well as
-    comments — prose inside a literal ('Set an env tag', '%DELETE%'
-    LIKE patterns) must never trip the gate. The reference gets the
-    same property from its SQL tokenizer.
+    Both the first-word check and the keyword scan run on the same
+    literal-blanked, comment-stripped text — prose inside a literal
+    ('Set an env tag', '%DELETE%' LIKE patterns) must never trip the
+    gate, and a comment opener inside a literal must never hide what
+    follows it. The reference gets the same property from its SQL
+    tokenizer.
     """
-    stripped = _COMMENT_RE.sub(" ", sql).strip()
-    if not stripped:
+    scannable = _blank_opaque(sql).strip()
+    if not scannable:
         raise QueryValidationError("empty query")
-    first = stripped.split(None, 1)[0].upper()
+    first = scannable.split(None, 1)[0].upper()
     if first not in _ALLOWED_STARTS:
         raise QueryValidationError(
             f"only read-only queries are allowed (statement starts with {first})"
         )
-    scannable = _OPAQUE_RE.sub("''", stripped)
     for kw in _DENY:
         if re.search(rf"\b{kw}\b", scannable, re.IGNORECASE):
             raise QueryValidationError(f"read-only gate: {kw} is not allowed")

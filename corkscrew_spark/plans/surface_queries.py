@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corkscrew_spark import changes
+from corkscrew_spark.operators.paging import limit_offset
 from corkscrew_spark.plans.queries import query, _t
 
 
@@ -144,18 +145,18 @@ def levenshtein_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def paginate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIMIT/OFFSET pagination O2 (change_storage.go:558-566) — Spark has
-    no OFFSET in the DataFrame API, so page N is a row_number window
-    slice; the sort has a unique tie-break so pages are stable."""
+    no OFFSET in the DataFrame API; `limit_offset` caps the input with
+    TakeOrderedAndProject (distributed top-(offset+limit)) before the
+    row_number slice, so no unbounded single-task sort. The sort has a
+    unique tie-break so pages are stable."""
     o = _t(spark, sf_dir)["orders"]
-    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > 100) & (F.col("_rn") <= 150))
-        .select(
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-            "o_totalprice",
-        )
+    page = limit_offset(
+        o, [F.desc("o_orderdate"), F.asc("o_orderkey")], limit=50, offset=100
+    )
+    return page.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
     )
 
 

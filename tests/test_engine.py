@@ -74,14 +74,17 @@ def test_bind_params_missing_raises():
         bind_params("SELECT :nope", {})
 
 
-def test_injection_attempt_is_quoted_then_gated(engine):
-    # A malicious param value arrives as a harmless literal; the gate then
-    # rejects the embedded keyword outright (defense in depth).
-    with pytest.raises(QueryValidationError):
-        engine.execute(
-            "SELECT * FROM region WHERE r_name = :n",
-            {"n": "x'; DROP TABLE region; --"},
-        )
+def test_injection_attempt_binds_as_inert_literal(engine):
+    # A malicious param value arrives as a single quoted literal: the
+    # quote is escaped so the statement stays ONE read-only SELECT, the
+    # keyword scan sees only blanked-literal text, and execution simply
+    # matches no rows. The table survives.
+    res = engine.execute(
+        "SELECT * FROM region WHERE r_name = :n",
+        {"n": "x'; DROP TABLE region; --"},
+    )
+    assert res.rows() == []
+    assert engine.spark.table("region").count() > 0
 
 
 # --- execution + stats ----------------------------------------------------
@@ -142,3 +145,27 @@ def test_readonly_gate_ignores_literals(engine):
         validate_readonly("DELETE FROM t WHERE x = 'harmless'")
     with pytest.raises(QueryValidationError):
         validate_readonly("SELECT 1; DROP TABLE t")
+
+
+def test_readonly_gate_comment_opener_inside_literal_cannot_hide_dml():
+    """A `--` or `/*` inside a quoted literal must not start a comment:
+    literal-blind comment stripping would swallow the rest of the
+    statement and hide DML from the keyword scan (e.g. CTE-prefixed
+    INSERT, which Spark accepts — an arbitrary write through the
+    'read-only' gate)."""
+    import pytest
+
+    from corkscrew_spark.engine import QueryValidationError, validate_readonly
+
+    with pytest.raises(QueryValidationError, match="INSERT"):
+        validate_readonly("WITH a AS (SELECT '--') INSERT INTO t SELECT * FROM a")
+    with pytest.raises(QueryValidationError, match="INSERT"):
+        validate_readonly(
+            "WITH a AS (SELECT '/*') INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT * FROM a"
+        )
+    with pytest.raises(QueryValidationError, match="DROP"):
+        validate_readonly("SELECT '--'; DROP TABLE t")
+    # comment-opener-in-literal in a legitimately read-only query stays fine
+    validate_readonly("SELECT '--' AS dashes, '/* not a comment */' AS c")
+    validate_readonly("SELECT 1 -- a real trailing comment\n")
+    validate_readonly("/* leading comment */ SELECT 1")

@@ -18,3 +18,40 @@ def test_no_forbidden_plan_nodes(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for node in FORBIDDEN:
         assert node not in plan, f"{name} plans {node}"
+
+
+def _top_level_groups(line: str) -> int:
+    """Count [...] groups at bracket depth 0 in a plan-node line."""
+    depth = 0
+    groups = 0
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+_LIMITED = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_global_window_over_unbounded_input(spark, sf_dir, name):
+    """A partition-less Window funnels its whole input through ONE task.
+    That is only acceptable over an input already capped by a limit
+    (TakeOrderedAndProject / GlobalLimit below it in the plan) — the
+    offset-pagination shape. Anything else is a single-core sort of the
+    full relation at scale."""
+    df = QUERIES[name](spark, sf_dir)
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    for i, line in enumerate(lines):
+        node = line.lstrip(" +-*:")
+        # physical node renders as `Window [exprs], [part], [order]` with
+        # a partitionBy, `Window [exprs], [order]` without one
+        if node.startswith("Window ") and _top_level_groups(node) < 3:
+            below = "\n".join(lines[i + 1:])
+            assert any(k in below for k in _LIMITED), (
+                f"{name}: partition-less Window over unbounded input:\n{line}"
+            )
