@@ -90,8 +90,12 @@ def load_table_between(spark: SparkSession, sf_dir: str, name: str,
     tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC")
 
     def _ns(bound: str) -> int:
+        # Integer arithmetic throughout: float timestamp() can truncate
+        # sub-second bounds 1µs low, moving boundary rows across the
+        # pushed-down range.
         t = _dt.datetime.fromisoformat(bound).replace(tzinfo=tz)
-        return int(t.timestamp() * 1_000_000) * 1000
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return ((t - epoch) // _dt.timedelta(microseconds=1)) * 1000
 
     if ts_col in ns_cols:
         if start is not None:

@@ -75,10 +75,26 @@ class ComplianceExecutor:
                  dry_run: bool = False) -> PackRunResult:
         packs = self.loader.load_with_dependencies(namespace)
         target = packs[-1]  # dependencies execute first, namespace last
-        bound_params = target.validate_params(params)
+        # Parameters resolve PER PACK (reference executor resolves each
+        # pack's declared parameters): each pack in the chain binds its own
+        # declared params — defaults applied from its own manifest — fed
+        # only the supplied values it declares. A supplied name is rejected
+        # only if NO pack in the chain declares it.
+        supplied = dict(params or {})
+        declared = {p.name for pk in packs for p in pk.parameters}
+        unknown = set(supplied) - declared
+        if unknown:
+            raise PackError(f"unknown parameters: {sorted(unknown)}")
+        per_pack_params = {
+            pk.namespace: pk.validate_params(
+                {k: v for k, v in supplied.items() if k in {p.name for p in pk.parameters}}
+            )
+            for pk in packs
+        }
         frames: list[DataFrame] = []
         errors: list[str] = []
         for pack in packs:
+            bound_params = per_pack_params[pack.namespace]
             for q in pack.queries:
                 try:
                     if dry_run:

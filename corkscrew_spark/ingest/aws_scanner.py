@@ -177,15 +177,15 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
         for page in paginator.paginate():
             bucket.take()  # one token per API page, like the Go limiter
             items = page.get(result_key, [])
-            if service == "ec2":  # reservations wrap instances
-                items = [i for r in items for i in r.get("Instances", [r])[:1]] or items
+            if service == "ec2":  # reservations wrap instances — keep ALL of them
+                items = [i for r in items for i in r.get("Instances", [r])]
             for item in items:
                 yield _extract(service, region, item, scanned_at)
 
 
 def scan(spark: SparkSession, services: list[str], regions: list[str],
          rate_per_sec: float = 50.0, parallelism: int | None = None,
-         use_sdk: bool = False) -> DataFrame:
+         use_sdk: bool = False, scanned_at: dt.datetime | None = None) -> DataFrame:
     """BatchScan (aws_provider.go:575-677): fan (service × region) work
     items across executors, paginate each, normalize to RESOURCE_SCHEMA.
 
@@ -200,7 +200,10 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
     """
     work = [Row(service=s, region=r) for s in services for r in regions]
     n = parallelism or min(len(work), spark.sparkContext.defaultParallelism)
-    scanned_at = dt.datetime(2024, 1, 1)
+    # Real scan start time by default, so upsert newest-wins ordering and
+    # retention on scanned_at are meaningful across runs; tests pass a
+    # fixed value for determinism.
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
     work_df = spark.createDataFrame(work).repartition(n)
     return spark.createDataFrame(
         work_df.rdd.mapPartitions(

@@ -68,12 +68,13 @@ def _azure_rows(sub: str, scanned_at: dt.datetime) -> Iterator[Row]:
             )
 
 
-def azure_resource_graph(spark: SparkSession, subscriptions: list[str]) -> DataFrame:
+def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
+                         scanned_at: dt.datetime | None = None) -> DataFrame:
     """Tenant-wide bulk query: one executor task per subscription, each
     landing its skip-token-paged result (resource_graph.go:298-340 — the
     fake collapses paging into the generator; AWS/K8s scanners exercise
     the explicit token loop)."""
-    scanned_at = dt.datetime(2024, 1, 1)
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
     work = spark.createDataFrame([Row(sub=s) for s in subscriptions]).repartition(
         min(len(subscriptions), spark.sparkContext.defaultParallelism)
     )
@@ -85,9 +86,10 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str]) -> DataF
     )
 
 
-def gcp_asset_inventory(spark: SparkSession, projects: list[str]) -> DataFrame:
+def gcp_asset_inventory(spark: SparkSession, projects: list[str],
+                        scanned_at: dt.datetime | None = None) -> DataFrame:
     """Bulk ListAssets per project scope (asset_inventory.go:66-135)."""
-    scanned_at = dt.datetime(2024, 1, 1)
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
 
     def rows(project: str) -> Iterator[Row]:
         for asset_type, service in _GCP_TYPES:

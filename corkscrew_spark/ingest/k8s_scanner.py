@@ -130,13 +130,14 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
 
 
 def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None,
-         label_selector: str | None = None, use_sdk: bool = False) -> DataFrame:
+         label_selector: str | None = None, use_sdk: bool = False,
+         scanned_at: dt.datetime | None = None) -> DataFrame:
     """List every (cluster, gvr) cell across executors; selectors are
     pushed to the (fake) API server, pagination uses continue tokens."""
     gvrs = gvrs or sorted(KNOWN_GVRS)
     work = [Row(cluster=c, gvr=g) for c in clusters for g in gvrs]
     n = min(len(work), spark.sparkContext.defaultParallelism)
-    scanned_at = dt.datetime(2024, 1, 1)
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
     work_df = spark.createDataFrame(work).repartition(n)
     return spark.createDataFrame(
         work_df.rdd.mapPartitions(

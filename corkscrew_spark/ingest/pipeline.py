@@ -69,8 +69,10 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
             F.lit(started).alias("created_at"),
         )
     )
+    # cast/align to the schema and append the DataFrame directly — no
+    # driver round-trip through collect()
     warehouse.append(
-        spark.createDataFrame(api_rows.collect(), API_ACTION_SCHEMA),
+        api_rows.select(*[F.col(f.name).cast(f.dataType) for f in API_ACTION_SCHEMA.fields]),
         os.path.join(out_dir, "api_action_metadata"),
     )
 

@@ -82,6 +82,8 @@ def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
     subsumes the cycle check (a cycle always revisits a node).
     """
     spark = edges.sparkSession
+    if src == dst:
+        return spark.createDataFrame([(0, [src])], "depth int, path array<string>")
     e = _prep(edges, directed)
     # (node, path) — one row per reached node, carrying the lexicographically
     # smallest min-depth path to it.
@@ -106,8 +108,6 @@ def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
             break
         visited = visited.unionByName(expanded.select("node"))
         frontier = expanded
-    if src == dst:
-        return spark.createDataFrame([(0, [src])], "depth int, path array<string>")
     return spark.createDataFrame([], "depth int, path array<string>")
 
 

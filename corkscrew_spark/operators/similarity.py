@@ -69,9 +69,12 @@ def hyperplane_bucket(vec_col: str, planes: int = 12, dim: int = 64,
                       seed: int = 7) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0 .. 2^planes-1).
 
-    Plane p's component d is a pseudo-random value in [-0.5, 0.5) derived
-    from xxhash64(seed, p, d) — fully reproducible across runs/engines, no
-    RNG state to ship. Bucket bit p = sign of dot(plane_p, vec).
+    Plane p's component d is a pseudo-random value in (-1.0, 1.0) derived
+    from xxhash64(seed, p, d) % 1000 / 1000 — Spark's % keeps the sign of
+    the (possibly negative) hash, so components are symmetric around 0,
+    which is all hyperplane LSH needs. Fully reproducible across
+    runs/engines, no RNG state to ship. Bucket bit p = sign of
+    dot(plane_p, vec).
     """
     vec = _as_double(vec_col)
 

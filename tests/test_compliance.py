@@ -77,6 +77,52 @@ def test_contract_missing_columns_rejected(spark, executor, tmp_path):
     assert run.errors and "missing required columns" in run.errors[0]
 
 
+def test_dependency_pack_binds_its_own_params(spark, tmp_path):
+    """Each pack in the chain binds ITS OWN declared parameters: the
+    dependency's defaults apply, a value supplied for the dependency's
+    param reaches it (and is not rejected as unknown by the target), and
+    names unknown to every pack in the chain still raise."""
+    base = tmp_path / "chain" / "base"
+    (base / "queries").mkdir(parents=True)
+    (base / "manifest.yaml").write_text(
+        "metadata: {namespace: chain/base, name: base, version: '1.0'}\n"
+        "parameters:\n  - {name: min_id, type: number, default: 1}\n"
+        "queries:\n  - {id: base-q, file: queries/base-q.sql}\n"
+    )
+    (base / "queries" / "base-q.sql").write_text(
+        "SELECT 'r' AS resource_id, 'r' AS resource_name, 't' AS resource_type,\n"
+        "       'base-q' AS control_id, 'base' AS control_name,\n"
+        "       CASE WHEN :min_id <= 1 THEN 'PASS' ELSE 'FAIL' END AS status,\n"
+        "       'LOW' AS severity, '{}' AS details\n"
+    )
+    top = tmp_path / "chain" / "top"
+    (top / "queries").mkdir(parents=True)
+    (top / "manifest.yaml").write_text(
+        "metadata: {namespace: chain/top, name: top, version: '1.0'}\n"
+        "dependencies: [chain/base]\n"
+        "queries:\n  - {id: top-q, file: queries/top-q.sql}\n"
+    )
+    (top / "queries" / "top-q.sql").write_text(
+        "SELECT 'r' AS resource_id, 'r' AS resource_name, 't' AS resource_type,\n"
+        "       'top-q' AS control_id, 'top' AS control_name,\n"
+        "       'PASS' AS status, 'LOW' AS severity, '{}' AS details\n"
+    )
+    exe = ComplianceExecutor(spark, PackLoader([str(tmp_path)]))
+    # dependency's default applies — both controls run clean
+    run = exe.run_pack("chain/top")
+    assert not run.errors
+    got = {(r["control_id"], r["status"]) for r in run.results.collect()}
+    assert got == {("base-q", "PASS"), ("top-q", "PASS")}
+    # supplying the dependency's parameter reaches the dependency
+    run2 = exe.run_pack("chain/top", {"min_id": 5})
+    assert not run2.errors
+    got2 = dict((r["control_id"], r["status"]) for r in run2.results.collect())
+    assert got2["base-q"] == "FAIL"
+    # a name no pack in the chain declares is still rejected
+    with pytest.raises(PackError, match="unknown parameters"):
+        exe.run_pack("chain/top", {"nope": 1})
+
+
 def test_circular_dependency_detected(tmp_path):
     for a, b in (("x", "y"), ("y", "x")):
         d = tmp_path / "loop" / a

@@ -48,6 +48,13 @@ def test_shortest_path_unreachable(spark):
     assert graph.shortest_path(e, "a", "d", max_depth=5, directed=True).count() == 0
 
 
+def test_shortest_path_src_equals_dst_is_zero_hops(spark):
+    # trivial case short-circuits BEFORE the BFS loop — no joins run
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    row = graph.shortest_path(e, "b", "b", directed=True).collect()[0]
+    assert row["depth"] == 0 and row["path"] == ["b"]
+
+
 def test_topo_levels_longest_path(spark):
     # diamond with a long arm: d's level is max(path) = 3
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
