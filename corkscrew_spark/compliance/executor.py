@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corkscrew_spark.engine import QueryEngine
-from corkscrew_spark.compliance.pack import PackError, PackLoader, QueryPack
+from corkscrew_spark.compliance.dialect import duckdb_to_spark
+from corkscrew_spark.compliance.pack import (
+    ComplianceQuery,
+    PackError,
+    PackLoader,
+    QueryPack,
+)
 from corkscrew_spark.schema import (
     COMPLIANCE_RESULT_SCHEMA,
     COMPLIANCE_SEVERITIES,
@@ -69,6 +75,51 @@ class ComplianceExecutor:
             }
         )
 
+    def _adapt(self, df: DataFrame, pack: QueryPack, q: ComplianceQuery) -> DataFrame:
+        """Metadata fill + reference-dialect column mapping BEFORE the
+        contract check. The reference's shipped pack SQL emits result
+        shapes like (status, resource_id, bucket_name, …) without the
+        control_id/control_name/resource_type columns its own executor
+        demands — those come from the manifest query entry. Mirror that:
+        fill control_id/control_name/severity/remediation from query
+        metadata when the SQL didn't emit them (any dialect), and for
+        duckdb-dialect packs also derive resource_name from the emitted
+        name column and resource_type from the manifest's
+        provider/resources declaration."""
+        cols = set(df.columns)
+        if pack.dialect == "duckdb":
+            if "resource_name" not in cols:
+                for cand in ("name", "bucket_name", "resource_id"):
+                    if cand in cols:
+                        df = df.withColumn("resource_name", F.col(cand))
+                        break
+            if "resource_type" not in cols:
+                rtype = f"{pack.provider}:{pack.resources[0]}" if pack.provider and pack.resources else "resource"
+                df = df.withColumn("resource_type", F.lit(rtype))
+            cols = set(df.columns)
+        fills = {
+            "control_id": q.id,
+            "control_name": q.name,
+            "severity": q.severity,
+            "remediation": q.remediation or None,
+        }
+        for col, value in fills.items():
+            if col not in cols:
+                df = df.withColumn(col, F.lit(value).cast("string"))
+        return df
+
+    @staticmethod
+    def _bind_values(pack: QueryPack, bound: dict[str, object]) -> dict[str, object]:
+        """Reference-dialect packs consume list parameters as comma-joined
+        strings (untrusted_kms_keys.sql:5 does ``split(:param, ',')``);
+        native packs get the list itself for (:param) IN-expansion."""
+        if pack.dialect != "duckdb":
+            return bound
+        return {
+            k: ",".join(str(v) for v in val) if isinstance(val, (list, tuple)) else val
+            for k, val in bound.items()
+        }
+
     # -- execution ----------------------------------------------------------
 
     def run_pack(self, namespace: str, params: dict[str, object] | None = None,
@@ -94,14 +145,15 @@ class ComplianceExecutor:
         frames: list[DataFrame] = []
         errors: list[str] = []
         for pack in packs:
-            bound_params = per_pack_params[pack.namespace]
+            bound_params = self._bind_values(pack, per_pack_params[pack.namespace])
             for q in pack.queries:
                 try:
+                    sql = duckdb_to_spark(q.sql) if pack.dialect == "duckdb" else q.sql
                     if dry_run:
-                        self.engine.validate(q.sql, bound_params)
+                        self.engine.validate(sql, bound_params)
                         continue
-                    res = self.engine.execute(q.sql, bound_params)
-                    frames.append(self._conform(res.df, q.id))
+                    res = self.engine.execute(sql, bound_params)
+                    frames.append(self._conform(self._adapt(res.df, pack, q), q.id))
                 except Exception as ex:  # collect per-control errors, keep going
                     errors.append(f"{pack.namespace}/{q.id}: {ex}")
         if dry_run or not frames:

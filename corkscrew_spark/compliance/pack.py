@@ -25,6 +25,9 @@ import yaml
 
 #: packaged default packs (the go:embed equivalent)
 BUILTIN_PACK_ROOT = os.path.join(os.path.dirname(__file__), "packs")
+#: verbatim reference pack assets (DuckDB dialect) — exercised through the
+#: dialect shim; see packs_duckdb/README.md
+REFERENCE_PACK_ROOT = os.path.join(os.path.dirname(__file__), "packs_duckdb")
 
 
 class PackError(ValueError):
@@ -76,6 +79,7 @@ class ComplianceQuery:
     description: str = ""
     severity: str = "MEDIUM"
     tags: list[str] = field(default_factory=list)
+    remediation: str = ""
 
 
 @dataclass
@@ -87,6 +91,13 @@ class QueryPack:
     parameters: list[PackParameter] = field(default_factory=list)
     queries: list[ComplianceQuery] = field(default_factory=list)
     dependencies: list[str] = field(default_factory=list)
+    #: dependencies with required: false — skipped when unresolvable
+    optional_dependencies: list[str] = field(default_factory=list)
+    #: "spark" (native) or "duckdb" (reference-format pack: SQL routed
+    #: through the dialect shim, metadata-filled contract columns)
+    dialect: str = "spark"
+    provider: str = ""
+    resources: list[str] = field(default_factory=list)
 
     def validate_params(self, supplied: dict[str, object] | None) -> dict[str, object]:
         supplied = dict(supplied or {})
@@ -97,12 +108,75 @@ class QueryPack:
         return {p.name: p.validate(supplied.get(p.name)) for p in self.parameters}
 
 
+#: PackParameter fields accepted from manifests (extra keys — validation
+#: blocks, examples — are metadata for humans, dropped on load)
+_PARAM_FIELDS = {"name", "type", "default", "required", "allowed_values", "pattern",
+                 "description"}
+
+
+def _load_reference_pack(path: str, doc: dict) -> QueryPack:
+    """Parse the reference's own manifest format (apiVersion/kind/spec —
+    pkg/query/compliance/packs/cfi/ccc-storage/manifest.yaml): parameters
+    and queries under ``spec``, per-query ``query_file``/``title``/
+    ``remediation``, structured ``depends_on`` entries with a
+    ``required`` flag. ``includes`` are not resolved (the reference's
+    shipped includes don't exist in its tree either). Packs loaded this
+    way are marked dialect="duckdb" so the executor routes their SQL
+    through the DuckDB→Spark shim."""
+    meta = doc.get("metadata", {})
+    spec = doc.get("spec", {})
+    params = [
+        PackParameter(**{k: v for k, v in p.items() if k in _PARAM_FIELDS})
+        for p in spec.get("parameters", [])
+    ]
+    queries = []
+    for q in spec.get("queries", []):
+        if not q.get("enabled", True):
+            continue
+        sql_path = os.path.join(path, q.get("query_file", ""))
+        if not os.path.exists(sql_path):
+            raise PackError(f"query file missing: {sql_path}")
+        with open(sql_path) as fh:
+            sql = fh.read()
+        queries.append(
+            ComplianceQuery(
+                id=q["id"],
+                name=q.get("title", q["id"]),
+                sql=sql,
+                description=str(q.get("description", "")),
+                severity=q.get("severity", "MEDIUM"),
+                tags=list(q.get("tags", [])),
+                remediation=str((q.get("remediation") or {}).get("description", "")),
+            )
+        )
+    base_ns = meta.get("namespace", "")
+    required_deps, optional_deps = [], []
+    for dep in spec.get("depends_on", []):
+        ns = f"{dep.get('namespace', base_ns)}/{dep['name']}"
+        (required_deps if dep.get("required", True) else optional_deps).append(ns)
+    return QueryPack(
+        namespace=f"{base_ns}/{meta['name']}" if base_ns else meta["name"],
+        name=meta.get("name", os.path.basename(path)),
+        version=str(meta.get("version", "0.0.0")),
+        description=meta.get("description", ""),
+        parameters=params,
+        queries=queries,
+        dependencies=required_deps,
+        optional_dependencies=optional_deps,
+        dialect="duckdb",
+        provider=meta.get("provider", ""),
+        resources=list(meta.get("resources", [])),
+    )
+
+
 def load_pack(path: str) -> QueryPack:
     manifest_path = os.path.join(path, "manifest.yaml")
     if not os.path.exists(manifest_path):
         raise PackError(f"no manifest.yaml under {path}")
     with open(manifest_path) as fh:
         doc = yaml.safe_load(fh) or {}
+    if doc.get("kind") == "QueryPack" or "apiVersion" in doc:
+        return _load_reference_pack(path, doc)
     meta = doc.get("metadata", {})
     params = [PackParameter(**p) for p in doc.get("parameters", [])]
     queries = []
@@ -137,7 +211,7 @@ class PackLoader:
     """Namespace-addressed pack resolution over ordered search paths."""
 
     def __init__(self, search_paths: list[str] | None = None):
-        self.search_paths = list(search_paths or []) + [BUILTIN_PACK_ROOT]
+        self.search_paths = list(search_paths or []) + [BUILTIN_PACK_ROOT, REFERENCE_PACK_ROOT]
 
     def discover(self) -> list[str]:
         found = []
@@ -168,9 +242,20 @@ class PackLoader:
             if state == "visiting":
                 raise PackError(f"circular pack dependency involving {ns}")
             seen[ns] = "visiting"
-            pack = self.load(ns)
-            for dep in pack.dependencies:
-                visit(dep)
+            try:
+                pack = self.load(ns)
+                for dep in pack.dependencies:
+                    visit(dep)
+                for dep in pack.optional_dependencies:
+                    try:
+                        visit(dep)
+                    except PackError as ex:
+                        if "circular" in str(ex):
+                            raise
+                        # optional (required: false) and unresolvable — skip
+            except PackError:
+                del seen[ns]  # don't leave "visiting" behind a caught failure
+                raise
             seen[ns] = "done"
             order.append(pack)
 

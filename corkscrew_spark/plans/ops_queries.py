@@ -199,3 +199,103 @@ def impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("risk_level")
     )
+
+
+@query(
+    "compliance_duckdb_pack",
+    oracle="""
+    WITH b AS (
+        SELECT c_custkey AS k,
+               'bucket-' || CAST(c_custkey AS VARCHAR) AS bname,
+               'arn:aws:s3:::bucket-' || CAST(c_custkey AS VARCHAR) AS rid,
+               CASE WHEN c_custkey % 2 = 0 THEN 'us-east-1' ELSE 'eu-west-1' END AS region,
+               CASE WHEN c_custkey % 2 = 0 THEN 'prod' ELSE 'dev' END AS env,
+               c_custkey % 4 AS keynum,
+               c_custkey % 3 < 2 AS is_kms,
+               c_custkey % 2 = 0 AS bpa, c_custkey % 3 > 0 AS bpp,
+               c_custkey % 5 > 0 AS ipa, c_custkey % 7 > 0 AS rpb,
+               c_custkey % 2 = 0 AS versioning, c_custkey % 6 = 0 AS mfa,
+               c_custkey % 3 = 0 AS lifecycle, c_custkey % 5 = 0 AS delpol
+        FROM customer WHERE c_custkey <= 400
+    )
+    SELECT * FROM (
+        SELECT rid AS resource_id, bname AS resource_name, 'aws:s3' AS resource_type,
+               'CCC.ObjStor.C01' AS control_id,
+               'Prevent Requests to Buckets or Objects with Untrusted KMS Keys' AS control_name,
+               CASE WHEN keynum >= 2 THEN 'FAIL' ELSE 'PASS' END AS status,
+               CASE WHEN keynum >= 2 THEN 'HIGH' ELSE 'INFO' END AS severity,
+               '{"bucket_name":"' || bname
+                 || '","kms_key_id":"arn:aws:kms:us-east-1:111111111111:key/trusted-'
+                 || CAST(keynum AS VARCHAR)
+                 || '","encryption_algorithm":"aws:kms","region":"' || region
+                 || '","account_id":"111111111111","tags":{"env":"' || env || '"}}' AS details,
+               region,
+               'Configure bucket policies to restrict access to trusted KMS keys only' AS remediation
+        FROM b WHERE is_kms
+        UNION ALL
+        SELECT rid, bname, 'aws:s3', 'CCC.ObjStor.C02',
+               'Enforce Uniform Bucket-level Access to Prevent Inconsistent Permissions',
+               CASE WHEN bpa AND bpp AND ipa AND rpb THEN 'PASS' ELSE 'FAIL' END,
+               CASE WHEN bpa AND bpp AND ipa AND rpb THEN 'INFO' ELSE 'MEDIUM' END,
+               '{"bucket_name":"' || bname || '","region":"' || region
+                 || '","account_id":"111111111111","block_public_acls":"'
+                 || CASE WHEN bpa THEN 'true' ELSE 'false' END
+                 || '","block_public_policy":"' || CASE WHEN bpp THEN 'true' ELSE 'false' END
+                 || '","ignore_public_acls":"' || CASE WHEN ipa THEN 'true' ELSE 'false' END
+                 || '","restrict_public_buckets":"' || CASE WHEN rpb THEN 'true' ELSE 'false' END
+                 || '","missing_controls":"'
+                 || COALESCE(array_to_string(array_filter(ARRAY[
+                        CASE WHEN NOT bpa THEN 'BlockPublicAcls disabled' END,
+                        CASE WHEN NOT bpp THEN 'BlockPublicPolicy disabled' END,
+                        CASE WHEN NOT ipa THEN 'IgnorePublicAcls disabled' END,
+                        CASE WHEN NOT rpb THEN 'RestrictPublicBuckets disabled' END
+                    ], x -> x IS NOT NULL), ', '), '')
+                 || '","tags":{"env":"' || env || '"}}',
+               region,
+               'Enable uniform bucket-level access on all S3 buckets'
+        FROM b
+        UNION ALL
+        SELECT rid, bname, 'aws:s3', 'CCC.ObjStor.C03',
+               'Prevent Bucket Deletion Through Irrevocable Bucket Retention Policy',
+               CASE WHEN versioning AND (lifecycle OR delpol) THEN 'PASS' ELSE 'FAIL' END,
+               CASE WHEN versioning AND (lifecycle OR delpol) THEN 'INFO' ELSE 'CRITICAL' END,
+               '{"bucket_name":"' || bname || '","region":"' || region
+                 || '","account_id":"111111111111","versioning_status":"'
+                 || CASE WHEN versioning THEN 'Enabled' ELSE 'Suspended' END
+                 || '","mfa_delete_status":"' || CASE WHEN mfa THEN 'Enabled' ELSE 'Disabled' END
+                 || '","has_lifecycle_policy":' || CASE WHEN lifecycle THEN 'true' ELSE 'false' END
+                 || ',"has_delete_protection_policy":' || CASE WHEN delpol THEN 'true' ELSE 'false' END
+                 || ',"protection_issues":"'
+                 || COALESCE(array_to_string(array_filter(ARRAY[
+                        CASE WHEN NOT versioning THEN 'Versioning not enabled' END,
+                        CASE WHEN NOT mfa THEN 'MFA delete not enabled' END,
+                        CASE WHEN NOT lifecycle AND NOT delpol
+                             THEN 'No lifecycle policy or bucket deletion protection' END
+                    ], x -> x IS NOT NULL), ', '), '')
+                 || '","retention_period_days":90,"tags":{"env":"' || env || '"}}',
+               region,
+               CAST(NULL AS VARCHAR)
+        FROM b
+    ) ORDER BY control_id, resource_id, status
+    """,
+)
+def compliance_duckdb_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OWN ccc-storage pack — manifest.yaml and all three
+    DuckDB-dialect .sql controls copied verbatim (compliance/packs_duckdb/,
+    from pkg/query/compliance/packs/cfi/ccc-storage/) — executed through
+    the DuckDB→Spark dialect shim (compliance/dialect.py) on the synthetic
+    S3 fleet derived from `customer`. The oracle recomputes all three
+    controls' contract rows independently in DuckDB, byte-matching the
+    to_json details payloads — a full-fidelity check of the translation
+    (unnest/split, json_extract_string, json_object, ARRAY[], array_filter,
+    array_to_string, negative-index split_part)."""
+    from corkscrew_spark.compliance import ComplianceExecutor
+    from corkscrew_spark.compliance.fixtures import TRUSTED_KEYS, register_s3_fixture
+
+    register_tables(spark, sf_dir)
+    register_s3_fixture(spark)
+    run = ComplianceExecutor(spark).run_pack(
+        "cfi/ccc/ccc-storage", {"trusted_kms_keys": TRUSTED_KEYS}
+    )
+    assert not run.errors, run.errors
+    return run.results.orderBy("control_id", "resource_id", "status")

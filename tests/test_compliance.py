@@ -49,6 +49,21 @@ def test_ccc_storage_pack_archetypes(executor):
     # trusted-kms: only compliant passes (1/3)
     k = by["ccc-storage-02"]
     assert k["FAIL"] == 2 * k["PASS"]
+    # uniform bucket access: only compliant (all four PAB flags) passes
+    u = by["ccc-storage-04"]
+    assert u["FAIL"] == 2 * u["PASS"]
+
+
+def test_uniform_bucket_access_details(executor):
+    run = executor.run_pack("cfi/ccc-storage")
+    ub = {r["status"]: r for r in
+          run.results.filter("control_id = 'ccc-storage-04'").collect()}
+    assert ub["PASS"]["details"] == "missing="
+    # insecure/partial archetypes have no PublicAccessBlock at all
+    assert ub["FAIL"]["details"] == (
+        "missing=BlockPublicAcls,BlockPublicPolicy,IgnorePublicAcls,RestrictPublicBuckets"
+    )
+    assert ub["FAIL"]["remediation"] == "Enable all four PublicAccessBlock settings"
 
 
 def test_untrusted_param_flips_kms_control(executor):
