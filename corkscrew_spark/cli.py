@@ -6,9 +6,15 @@
     python -m corkscrew_spark.cli pack list
     python -m corkscrew_spark.cli schemas
     python -m corkscrew_spark.cli scan --synthetic N   (file-based provider)
+    python -m corkscrew_spark.cli discover [--provider P] [--output table|json]
+    python -m corkscrew_spark.cli list [--provider aws] [--services ...]
+                                  [--region ...] [--type T] [--query "..."]
+    python -m corkscrew_spark.cli describe --resource-id ARN [--output json|yaml]
 
-Mirrors cmd/corkscrew/main.go's query/pack/schemas/scan dispatch (:103-247)
-minus the cloud-credentialed providers.
+Mirrors cmd/corkscrew/main.go's dispatch: query/pack/schemas/scan
+(:103-247), discover (:250-316), list (:318-468), describe (:471-585) —
+minus the cloud-credentialed providers (the offline fakes serve the same
+protocol).
 """
 
 from __future__ import annotations
@@ -55,6 +61,39 @@ def cmd_pack(args: argparse.Namespace) -> int:
     if args.pack_cmd == "list":
         for ns in loader.discover():
             print(ns)
+        return 0
+    if args.pack_cmd == "search":
+        from corkscrew_spark.compliance.registry import RegistryClient
+
+        if not args.registry:
+            print("error: --registry DIR is required for search", file=sys.stderr)
+            return 2
+        res = RegistryClient(args.registry).search(
+            query=args.namespace or "", provider=args.provider or "",
+            framework=args.framework or "")
+        for p in res.packs:
+            print(f"{p.namespace}\t{p.latest_version}\t{p.provider}\t{p.description[:60]}")
+        print(f"-- {res.total} pack(s)", file=sys.stderr)
+        return 0
+    if args.pack_cmd == "install":
+        from corkscrew_spark.compliance.registry import RegistryClient
+
+        if not args.registry or not args.dest:
+            print("error: --registry DIR and --dest DIR are required", file=sys.stderr)
+            return 2
+        client = RegistryClient(args.registry)
+        done = client.install(args.namespace, args.dest, version=args.version,
+                              force=args.force, dry_run=args.dry_run)
+        verb = "would install" if args.dry_run else "installed"
+        for ns, ver in done:
+            print(f"{verb} {ns}@{ver} -> {args.dest}")
+        return 0
+    if args.pack_cmd == "installed":
+        from corkscrew_spark.compliance.registry import installed_packs
+
+        for row in installed_packs(args.dest or "."):
+            print(f"{row['namespace']}\t{row['version']}\t{row['queries']} queries"
+                  f"\t{row['dialect']}")
         return 0
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
@@ -110,6 +149,127 @@ def cmd_scan(args: argparse.Namespace) -> int:
     return 0
 
 
+def _service_inventory(provider: str) -> list[dict[str, object]]:
+    """Offline service/resource-type discovery per provider — the
+    reflection metadata the scanners scan from (runDiscover,
+    cmd/corkscrew/main.go:250-316)."""
+    if provider == "aws":
+        from corkscrew_spark.ingest.aws_scanner import LIST_OPERATIONS, TYPE_NAMES
+
+        return [
+            {"service": s, "display_name": TYPE_NAMES.get(s, ""),
+             "resource_types": 1, "list_operation": LIST_OPERATIONS[s][0]}
+            for s in sorted(LIST_OPERATIONS)
+        ]
+    if provider == "kubernetes":
+        from corkscrew_spark.ingest.k8s_scanner import KNOWN_GVRS
+
+        return [
+            {"service": gvr, "display_name": kind,
+             "resource_types": 1, "namespaced": namespaced}
+            for gvr, (kind, namespaced) in sorted(KNOWN_GVRS.items())
+        ]
+    if provider in ("azure", "gcp"):
+        from corkscrew_spark.ingest.cloud_sources import _AZ_TYPES, _GCP_TYPES
+
+        types = _AZ_TYPES if provider == "azure" else _GCP_TYPES
+        return [
+            {"service": service, "display_name": az_type, "resource_types": 1}
+            for az_type, service in types
+        ]
+    raise SystemExit(f"unknown provider: {provider}")
+
+
+def cmd_discover(args: argparse.Namespace) -> int:
+    import json as _json
+
+    services = _service_inventory(args.provider)
+    if args.output == "json":
+        print(_json.dumps({"provider": args.provider, "services": services}, indent=2))
+        return 0
+    print(f"provider: {args.provider} — {len(services)} services")
+    for svc in services:
+        extras = " ".join(f"{k}={v}" for k, v in svc.items() if k != "service")
+        print(f"  {svc['service']:28s} {extras}")
+    return 0
+
+
+_REF_COLUMNS = ["id", "name", "type", "service", "region", "state"]
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    """List resource refs (runList): scan the requested cells — or route a
+    search query through the indexed-search source — and print the cheap
+    ref columns; `describe` adds the detail."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.ingest import aws_scanner
+
+    spark = get_spark(app_name="corkscrew-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    services = args.services.split(",") if args.services else sorted(
+        aws_scanner.LIST_OPERATIONS
+    )
+    regions = args.region.split(",") if args.region else ["us-east-1"]
+    if args.query:
+        df = aws_scanner.search(spark, args.query, services, regions)
+    else:
+        df = aws_scanner.scan(spark, services, regions, use_sdk=args.use_sdk)
+    if args.type:
+        df = df.filter(F.col("type") == args.type)
+    df = df.select(*_REF_COLUMNS).orderBy("service", "region", "id").limit(args.limit)
+    print(formatter.FORMATTERS[args.format](df, limit=args.limit))
+    return 0
+
+
+def cmd_describe(args: argparse.Namespace) -> int:
+    """Describe one resource (runDescribe): locate its (service, region)
+    cell — from the ARN when possible, else flags — scan that single
+    cell, and enrich the matching ref with per-resource detail."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.ingest import aws_scanner
+
+    ref = aws_scanner.parse_arn(args.resource_id)
+    service = args.service or ref["service"]
+    region = args.region or ref["region"] or "us-east-1"
+    if not service:
+        print("error: --service is required when the id is not an ARN", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="corkscrew-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    listed = aws_scanner.scan(spark, [service], [region], use_sdk=args.use_sdk)
+    match = listed.filter(
+        (F.col("id") == args.resource_id) | (F.col("name") == args.resource_id)
+    )
+    detailed = aws_scanner.describe_resources(match)
+    if detailed.isEmpty():
+        print(f"error: resource not found: {args.resource_id}", file=sys.stderr)
+        return 1
+    if args.output == "json":
+        print(formatter.format_json(detailed))
+        return 0
+    # yaml-ish key: value lines in schema order (reference default output)
+    from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+    row = detailed.first().asDict()
+    for f in RESOURCE_SCHEMA.fields:
+        v = row.get(f.name)
+        if v is not None:
+            print(f"{f.name}: {v}")
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    from corkscrew_spark import server
+
+    spark = get_spark(app_name="corkscrew-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tables(spark, args.data)
+    server.serve(spark, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_diagram(args: argparse.Namespace) -> int:
     from corkscrew_spark import diagrams
 
@@ -143,12 +303,18 @@ def main(argv: list[str] | None = None) -> int:
     q.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("pack", help="compliance packs")
-    p.add_argument("pack_cmd", choices=["run", "list"])
+    p.add_argument("pack_cmd", choices=["run", "list", "search", "install", "installed"])
     p.add_argument("namespace", nargs="?")
     p.add_argument("--param", action="append")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--search-path", action="append")
     p.add_argument("--data", default=sf_dir())
+    p.add_argument("--registry", help="registry directory (search/install)")
+    p.add_argument("--dest", help="install/installed directory")
+    p.add_argument("--version", default="latest")
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--provider")
+    p.add_argument("--framework")
     p.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("schemas", help="print core table DDL")
@@ -163,6 +329,37 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--synthetic", type=int, default=300)
     sc.add_argument("--out", required=True)
     sc.set_defaults(fn=cmd_scan)
+
+    dv = sub.add_parser("discover", help="list a provider's services/resource types")
+    dv.add_argument("--provider", choices=["aws", "azure", "gcp", "kubernetes"],
+                    default="aws")
+    dv.add_argument("--output", choices=["table", "json"], default="table")
+    dv.set_defaults(fn=cmd_discover)
+
+    ls = sub.add_parser("list", help="list resource refs from a scan or search")
+    ls.add_argument("--provider", choices=["aws"], default="aws")
+    ls.add_argument("--services", help="comma-separated services (default: all)")
+    ls.add_argument("--region", help="comma-separated regions (default: us-east-1)")
+    ls.add_argument("--type", help="filter by resource type")
+    ls.add_argument("--query", help="Resource-Explorer-style search query")
+    ls.add_argument("--limit", type=int, default=50)
+    ls.add_argument("--format", choices=sorted(formatter.FORMATTERS), default="table")
+    ls.add_argument("--use-sdk", action="store_true")
+    ls.set_defaults(fn=cmd_list)
+
+    de = sub.add_parser("describe", help="describe one resource by id/ARN")
+    de.add_argument("--resource-id", required=True)
+    de.add_argument("--service")
+    de.add_argument("--region")
+    de.add_argument("--output", choices=["yaml", "json"], default="yaml")
+    de.add_argument("--use-sdk", action="store_true")
+    de.set_defaults(fn=cmd_describe)
+
+    sv = sub.add_parser("serve", help="serve the JSON query API")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8032)
+    sv.add_argument("--data", default=sf_dir())
+    sv.set_defaults(fn=cmd_serve)
 
     dg = sub.add_parser("diagram", help="render resources as mermaid/ascii")
     dg.add_argument("--data", required=True, help="warehouse dir with resources[/relationships]")

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
+from corkscrew_spark.ingest.operation_cache import OperationCache
 from corkscrew_spark.schema import RESOURCE_SCHEMA
 
 #: service → (list operation, result key, id field) — the curated subset the
@@ -162,20 +163,39 @@ def _extract(service: str, region: str, item, scanned_at: dt.datetime) -> Row:
     )
 
 
+#: per-Python-worker operation cache (operation_cache.go:22-126) — each
+#: executor worker process caches the page lists of the cells it owns, so
+#: a re-scan within the TTL skips the API round-trips entirely.
+_OPERATION_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
+
+
 def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
-                    scanned_at: dt.datetime, use_sdk: bool) -> Iterator[Row]:
+                    scanned_at: dt.datetime, use_sdk: bool,
+                    use_cache: bool = True) -> Iterator[Row]:
     bucket = _TokenBucket(rate_per_sec)
     for work in rows:
         service, region = work.service, work.region
         if service not in LIST_OPERATIONS:
             continue
-        client = (_boto3_client(service, region) if use_sdk else None) or _FakeClient(
-            service, region
-        )
         op_name, result_key, _ = LIST_OPERATIONS[service]
-        paginator = client.get_paginator(op_name)
-        for page in paginator.paginate():
-            bucket.take()  # one token per API page, like the Go limiter
+
+        def fetch_pages(service=service, region=region, op_name=op_name):
+            client = (_boto3_client(service, region) if use_sdk else None) or _FakeClient(
+                service, region
+            )
+            pages = []
+            for page in client.get_paginator(op_name).paginate():
+                bucket.take()  # one token per API page, like the Go limiter
+                pages.append(page)
+            return pages
+
+        if use_cache:
+            pages = _OPERATION_CACHE.get_or_fetch(
+                service, op_name, {"region": region, "sdk": use_sdk}, fetch_pages
+            )
+        else:
+            pages = fetch_pages()
+        for page in pages:
             items = page.get(result_key, [])
             if service == "ec2":  # reservations wrap instances — keep ALL of them
                 items = [i for r in items for i in r.get("Instances", [r])]

@@ -1,0 +1,166 @@
+"""`corkscrew serve` — the API server facade over QueryEngine.
+
+Parity: internal/server/api_server.go. The reference serves gRPC
+(CorkscrewAPI: ExecuteQuery :127-180, HealthCheck :182-194, GetStatus
+:196-245, ListProviders :56-75); grpcio isn't available in this
+environment, so the same methods are exposed as JSON-over-HTTP with the
+reference's envelope semantics preserved exactly:
+
+  * engine/execution failures return HTTP 200 with an ``error`` field in
+    the body (the reference returns a populated-Error response, not a
+    transport error);
+  * a missing query is a transport-level error (gRPC InvalidArgument →
+    HTTP 400);
+  * result rows are ``{"values": {col: str}}`` maps with ``""`` for NULL
+    (the reference stringifies every cell the same way), plus
+    columns / row_count / execution_time_ms.
+
+Endpoints:
+  POST /v1/query      {"query": sql, "params": {...}, "limit": n}
+  GET  /v1/health
+  GET  /v1/status
+  GET  /v1/providers
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from corkscrew_spark.engine import QueryEngine, QueryValidationError
+
+API_VERSION = "2.0.0"
+PROVIDERS = ("aws", "azure", "gcp", "kubernetes")
+#: server-side row cap so a SELECT * on a huge table cannot OOM the
+#: driver — the reference's req.Limit applied post-hoc; here it bounds
+#: the collect itself
+MAX_ROWS = 10_000
+
+
+class ApiServer:
+    def __init__(self, spark: SparkSession, max_rows: int = MAX_ROWS):
+        self.engine = QueryEngine(spark)
+        self.start_time = time.monotonic()
+        self.request_count = 0
+        self.error_count = 0
+        self.max_rows = max_rows
+        self._lock = threading.Lock()
+
+    # -- method handlers (transport-independent) ----------------------------
+
+    def execute_query(self, body: dict) -> tuple[int, dict]:
+        sql = body.get("query", "")
+        if not sql:
+            self.error_count += 1
+            return 400, {"error": "query is required"}
+        limit = int(body.get("limit") or 0)
+        cap = min(limit, self.max_rows) if limit > 0 else self.max_rows
+        t0 = time.perf_counter()
+        try:
+            with self._lock:
+                res = self.engine.execute(sql, body.get("params"))
+                rows = res.df.limit(cap).collect()
+        except QueryValidationError as ex:
+            self.error_count += 1
+            return 200, {"error": f"Query execution failed: {ex}"}
+        except Exception as ex:  # runtime failure after validation
+            self.error_count += 1
+            return 200, {"error": f"Query execution failed: {str(ex).splitlines()[0]}"}
+        duration_ms = int((time.perf_counter() - t0) * 1000)
+        out_rows = [
+            {"values": {c: ("" if v is None else str(v)) for c, v in zip(res.columns, row)}}
+            for row in rows
+        ]
+        return 200, {
+            "rows": out_rows,
+            "columns": res.columns,
+            "row_count": len(out_rows),
+            "execution_time_ms": duration_ms,
+        }
+
+    def health_check(self) -> tuple[int, dict]:
+        return 200, {
+            "status": "HEALTHY",
+            "version": API_VERSION,
+            "timestamp": time.time(),
+            "details": {"uptime": f"{time.monotonic() - self.start_time:.2f} seconds"},
+        }
+
+    def get_status(self) -> tuple[int, dict]:
+        return 200, {
+            "overall_status": "HEALTHY",
+            "timestamp": time.time(),
+            "system_stats": {
+                "uptime_seconds": int(time.monotonic() - self.start_time),
+                "total_requests": self.request_count,
+                "total_errors": self.error_count,
+            },
+        }
+
+    def list_providers(self) -> tuple[int, dict]:
+        return 200, {
+            "providers": [
+                {"name": p, "status": "available", "description": f"{p} provider"}
+                for p in PROVIDERS
+            ]
+        }
+
+    # -- HTTP transport ------------------------------------------------------
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence request logging
+                pass
+
+            def _send(self, code: int, payload: dict) -> None:
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                api.request_count += 1
+                if self.path == "/v1/health":
+                    self._send(*api.health_check())
+                elif self.path == "/v1/status":
+                    self._send(*api.get_status())
+                elif self.path == "/v1/providers":
+                    self._send(*api.list_providers())
+                else:
+                    api.error_count += 1
+                    self._send(404, {"error": f"no such endpoint: {self.path}"})
+
+            def do_POST(self):
+                api.request_count += 1
+                if self.path != "/v1/query":
+                    api.error_count += 1
+                    self._send(404, {"error": f"no such endpoint: {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    api.error_count += 1
+                    self._send(400, {"error": "invalid JSON body"})
+                    return
+                self._send(*api.execute_query(body))
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8032) -> None:
+    """Blocking serve loop (the CLI `serve` verb)."""
+    httpd = ApiServer(spark).make_http_server(host, port)
+    print(f"corkscrew API listening on http://{host}:{httpd.server_address[1]}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()

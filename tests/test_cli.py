@@ -1,0 +1,90 @@
+"""CLI verb tests — offline, exercising the same dispatch a user hits.
+
+Parity: cmd/corkscrew/main.go runDiscover (:250), runList (:318),
+runDescribe (:471); query/pack verbs are covered indirectly by
+test_engine/test_compliance.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from corkscrew_spark import cli
+
+
+@pytest.fixture(autouse=True)
+def _reuse_session(spark, monkeypatch):
+    """CLI verbs build their own session; reuse the test one."""
+    monkeypatch.setattr("corkscrew_spark.session.get_spark", lambda **kw: spark)
+    monkeypatch.setattr("corkscrew_spark.cli.get_spark", lambda **kw: spark)
+
+
+def test_discover_table(capsys):
+    assert cli.main(["discover", "--provider", "aws"]) == 0
+    out = capsys.readouterr().out
+    assert "6 services" in out
+    assert "s3" in out and "list_buckets" in out
+
+
+def test_discover_json_all_providers(capsys):
+    for provider in ("aws", "azure", "gcp", "kubernetes"):
+        assert cli.main(["discover", "--provider", provider, "--output", "json"]) == 0
+        doc = json.loads(capsys.readouterr().out)
+        assert doc["provider"] == provider and doc["services"]
+
+
+def test_list_refs(capsys):
+    rc = cli.main(["list", "--services", "s3,iam", "--region", "us-east-1",
+                   "--limit", "10", "--format", "csv"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "id,name,type,service,region,state"
+    assert 1 < len(lines) <= 11
+    # iam sorts before s3, so the first page is iam refs
+    assert any("arn:aws:iam" in ln for ln in lines[1:])
+
+
+def test_list_type_filter(capsys):
+    rc = cli.main(["list", "--services", "s3,iam", "--type", "AWS::IAM::User",
+                   "--format", "json"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and all(r["type"] == "AWS::IAM::User" for r in rows)
+
+
+def test_list_search_query(capsys):
+    rc = cli.main(["list", "--query", "service:s3 region:us-east-1",
+                   "--format", "json"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and all(r["service"] == "s3" for r in rows)
+
+
+def test_describe_by_arn(capsys):
+    # grab a real id from a list, then describe it
+    assert cli.main(["list", "--services", "s3", "--limit", "1",
+                     "--format", "json"]) == 0
+    rid = json.loads(capsys.readouterr().out)[0]["id"]
+    assert cli.main(["describe", "--resource-id", rid, "--output", "json"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert len(doc) == 1 and doc[0]["id"] == rid
+    # description enrichment happened
+    assert "Describe" in doc[0]["raw_data"]
+    # yaml-ish output path
+    assert cli.main(["describe", "--resource-id", rid]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("id: ") and "raw_data:" in out
+
+
+def test_describe_not_found(capsys):
+    rc = cli.main(["describe", "--resource-id", "arn:aws:s3:us-east-1:1:nope"])
+    assert rc == 1
+    assert "not found" in capsys.readouterr().err
+
+
+def test_describe_requires_service_for_bare_id(capsys):
+    rc = cli.main(["describe", "--resource-id", "not-an-arn"])
+    assert rc == 2
+    assert "--service is required" in capsys.readouterr().err

@@ -1,0 +1,106 @@
+"""API server facade: real HTTP round-trips against a live server thread
+(api_server.go ExecuteQuery :127-180, HealthCheck, GetStatus,
+ListProviders — same envelope semantics over JSON/HTTP)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.server import ApiServer
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    server = ApiServer(spark)
+    httpd = server.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base
+    httpd.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, body: dict):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read())
+
+
+def test_execute_query_rows_and_stats(api):
+    code, doc = _post(f"{api}/v1/query", {
+        "query": "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < :k ORDER BY r_regionkey",
+        "params": {"k": 2},
+    })
+    assert code == 200
+    assert doc["columns"] == ["r_regionkey", "r_name"]
+    assert doc["row_count"] == 2
+    assert doc["rows"][0]["values"]["r_regionkey"] == "0"
+    assert doc["execution_time_ms"] >= 0
+
+
+def test_execute_query_limit(api):
+    code, doc = _post(f"{api}/v1/query",
+                      {"query": "SELECT n_name FROM nation", "limit": 3})
+    assert code == 200 and doc["row_count"] == 3
+
+
+def test_error_envelope_engine_failure_is_http_200(api):
+    code, doc = _post(f"{api}/v1/query", {"query": "DELETE FROM region"})
+    assert code == 200
+    assert "Query execution failed" in doc["error"]
+    code, doc = _post(f"{api}/v1/query", {"query": "SELECT * FROM no_such_table"})
+    assert code == 200 and "error" in doc
+
+
+def test_missing_query_is_http_400(api):
+    code, doc = _post(f"{api}/v1/query", {})
+    assert code == 400 and doc["error"] == "query is required"
+
+
+def test_null_values_render_empty_string(api):
+    code, doc = _post(f"{api}/v1/query",
+                      {"query": "SELECT CAST(NULL AS STRING) AS gone"})
+    assert code == 200
+    assert doc["rows"][0]["values"]["gone"] == ""
+
+
+def test_health_status_providers(api):
+    code, doc = _get(f"{api}/v1/health")
+    assert code == 200 and doc["status"] == "HEALTHY" and "uptime" in doc["details"]
+    code, doc = _get(f"{api}/v1/status")
+    assert code == 200
+    assert doc["system_stats"]["total_requests"] > 0
+    assert doc["system_stats"]["total_errors"] > 0  # from the error tests
+    code, doc = _get(f"{api}/v1/providers")
+    assert code == 200
+    assert {p["name"] for p in doc["providers"]} == {"aws", "azure", "gcp", "kubernetes"}
+
+
+def test_unknown_endpoint_404(api):
+    code, doc = _get_404(f"{api}/v1/nope")
+    assert code == 404
+
+
+def _get_404(url: str):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read())
