@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
+from corkscrew_spark.ingest.operation_cache import OperationCache
 from corkscrew_spark.schema import CHANGE_EVENT_SCHEMA, RESOURCE_SCHEMA
 
 _AZ_TYPES = (
@@ -68,22 +69,54 @@ def _azure_rows(sub: str, scanned_at: dt.datetime) -> Iterator[Row]:
             )
 
 
+#: per-worker KQL result cache (resource_graph.go:556-599 QueryCache):
+#: repeated Resource Graph queries for the same (subscription, kql) scope
+#: within the TTL are served without re-hitting the API.
+_KQL_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
+
+
 def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
-                         scanned_at: dt.datetime | None = None) -> DataFrame:
+                         scanned_at: dt.datetime | None = None,
+                         kql: str = "Resources",
+                         use_cache: bool = True) -> DataFrame:
     """Tenant-wide bulk query: one executor task per subscription, each
     landing its skip-token-paged result (resource_graph.go:298-340 — the
     fake collapses paging into the generator; AWS/K8s scanners exercise
-    the explicit token loop)."""
+    the explicit token loop). Results are cached per (subscription, kql)
+    with a TTL, mirroring the provider's QueryCache."""
     scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
     work = spark.createDataFrame([Row(sub=s) for s in subscriptions]).repartition(
         min(len(subscriptions), spark.sparkContext.defaultParallelism)
     )
+
     return spark.createDataFrame(
         work.rdd.mapPartitions(
-            lambda it: (r for w in it for r in _azure_rows(w.sub, scanned_at))
+            lambda it: (
+                r
+                for w in it
+                for r in _resource_graph_rows(w.sub, kql, scanned_at, use_cache)
+            )
         ),
         RESOURCE_SCHEMA,
     )
+
+
+def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
+                         use_cache: bool) -> Iterator[Row]:
+    """One subscription's Resource Graph result, served from the
+    per-worker QueryCache within the TTL. The cached value is the API
+    payload (rows sans scan stamp); every scan re-stamps scanned_at."""
+    def fetch():
+        return [r.asDict() for r in _azure_rows(sub, scanned_at)]
+
+    if use_cache:
+        cached = _KQL_CACHE.get_or_fetch(
+            "azure", "resource_graph", {"sub": sub, "kql": kql}, fetch
+        )
+    else:
+        cached = fetch()
+    for d in cached:
+        yield Row(**{**d, "scanned_at": scanned_at})
 
 
 def gcp_asset_inventory(spark: SparkSession, projects: list[str],

@@ -128,7 +128,11 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
 
 # ---------------------------------------------------------------------------
-# IVF (inverted-file) ANN — coarse quantizer + probed exact search
+# IVF (inverted-file) ANN — coarse quantizer + probed exact search.
+# Build-once / probe-many: ivf_build_index persists the trained centroids
+# and the cid-partitioned inverted lists; ivf_topk_indexed probes the
+# stored index without touching the raw corpus — the 100 TB usage pattern
+# (index amortized over many query batches).
 # ---------------------------------------------------------------------------
 
 def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
@@ -238,6 +242,76 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
             F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_build_index(corpus: DataFrame, id_col: str, vec_col: str, index_dir: str,
+                    nlist: int = 16, train_iters: int = 2) -> list[list[float]]:
+    """Train + persist an IVF index under ``index_dir``:
+
+    * ``centroids/``  — (cid, centroid array<double>), the coarse quantizer;
+    * ``lists/``      — the corpus assigned to inverted lists, WRITTEN
+      PARTITIONED BY cid with the norm precomputed, so probing nprobe
+      lists later is a partition-pruned scan of nprobe/nlist of the data
+      (the other lists' files are never opened).
+
+    Returns the trained centroids (also reloadable via
+    ``ivf_load_centroids``)."""
+    spark = corpus.sparkSession
+    centroids = ivf_centroids(corpus, id_col, vec_col, nlist=nlist, iters=train_iters)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+        .withColumn("cid", assign_list(F.col("cv"), centroids))
+        .withColumn("cn", _norm(F.col("cv")))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(f"{index_dir}/lists")
+    )
+    return centroids
+
+
+def ivf_load_centroids(spark, index_dir: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{index_dir}/centroids").orderBy("cid").collect()
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
+                     vec_col: str, k: int = 5, nprobe: int = 4,
+                     prune: bool = True) -> DataFrame:
+    """Probe a persisted IVF index (see ivf_build_index) — build once,
+    probe many, without touching the raw corpus.
+
+    With ``prune=True`` (the query-serving path) the probed cids are
+    collected first — |queries|×nprobe values, tiny — and pushed as a
+    literal ``cid IN (...)`` partition filter, so the scan statically
+    prunes to the probed lists. With ``prune=False`` the probe is a plain
+    join and pruning is left to dynamic partition pruning — use when the
+    query set itself is huge."""
+    from pyspark.sql import Window
+
+    centroids = ivf_load_centroids(spark, index_dir)
+    nprobe = min(nprobe, len(centroids))
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .withColumn("cid", F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    if prune:
+        probed = sorted({r.cid for r in q.select("cid").distinct().collect()})
+        lists = lists.filter(F.col("cid").isin(probed))
+    scored = (
+        lists.join(q, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -49,3 +49,35 @@ def test_cross_provider_union(spark):
     counts = {r["provider"]: r["n"] for r in
               allc.groupBy("provider").agg(F.count("*").alias("n")).collect()}
     assert set(counts) == {"aws", "azure", "gcp"} and all(v > 0 for v in counts.values())
+
+
+def test_azure_kql_result_cache(monkeypatch):
+    """Re-querying the same (subscription, kql) scope within the TTL is a
+    cache hit — zero API generator invocations — while the new scan's
+    scanned_at stamp still applies (resource_graph.go:556-599)."""
+    import datetime as dt
+
+    from corkscrew_spark.ingest import cloud_sources
+
+    cloud_sources._KQL_CACHE.clear()
+    calls = {"n": 0}
+    orig = cloud_sources._azure_rows
+
+    def counting(sub, scanned_at):
+        calls["n"] += 1
+        return orig(sub, scanned_at)
+
+    monkeypatch.setattr(cloud_sources, "_azure_rows", counting)
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    rows1 = list(cloud_sources._resource_graph_rows("sub-a", "Resources", t1, True))
+    assert calls["n"] == 1 and rows1
+    rows2 = list(cloud_sources._resource_graph_rows("sub-a", "Resources", t2, True))
+    assert calls["n"] == 1, "second query must be served from the cache"
+    assert {r.id for r in rows1} == {r.id for r in rows2}
+    assert {r.scanned_at for r in rows2} == {t2}
+    # a different kql scope misses
+    list(cloud_sources._resource_graph_rows("sub-a", "Resources | project id", t2, True))
+    assert calls["n"] == 2
+    # cache off → refetch
+    list(cloud_sources._resource_graph_rows("sub-a", "Resources", t2, False))
+    assert calls["n"] == 3

@@ -76,6 +76,52 @@ def test_ivf_recall_and_score_parity(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
 
 
+def test_ivf_index_roundtrip(spark, tmp_path):
+    """Build-once/probe-many: persist the index, reload in a fresh read
+    path, query it — recall bound holds, scores are brute-force-identical,
+    and the pruned probe reads ONLY the probed lists' files."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf-index")
+    built = similarity.ivf_build_index(e, "vec_id", "embedding", idx, nlist=16)
+    assert similarity.ivf_load_centroids(spark, idx) == built
+
+    got = similarity.ivf_topk_indexed(spark, idx, q, "vec_id", "embedding",
+                                      k=5, nprobe=4).collect()
+    assert got
+    # score parity + recall vs exact top-5
+    truth, scores = {}, {}
+    for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=500).collect():
+        scores[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = 0
+    for r in got:
+        assert scores[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+        hits += r["neighbor_id"] in truth[r["query_id"]]
+    assert hits / sum(len(v) for v in truth.values()) >= 0.5
+
+    # matches the unindexed operator given the same centroids
+    direct = similarity.ivf_topk(e, q, "vec_id", "embedding", k=5, nprobe=4,
+                                 centroids=built).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(got) == key(direct)
+
+    # partition pruning: the probed cids land as a static PartitionFilter
+    # on the lists scan (inputFiles() ignores pruning, so assert the plan)
+    lists = spark.read.parquet(f"{idx}/lists")
+    one_q = q.filter(F.col("vec_id") == 0)
+    probed_cids = sorted({r.cid for r in
+                          one_q.select(F.explode(similarity.probe_lists(
+                              similarity._as_double("embedding"), built, 4)).alias("cid"))
+                          .distinct().collect()})
+    assert len(probed_cids) <= 4
+    pruned = lists.filter(F.col("cid").isin(probed_cids))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan and " IN (" in plan
+    assert pruned.count() < lists.count()
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """nprobe == nlist probes every list — results must equal the exact
     top-k (same ids, same order)."""
