@@ -336,3 +336,66 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation — pairs → connected components → keep-list
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                 max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: the step that turns pair
+    lists (from any of the strategies above) into the actual dedup
+    decision. Returns (doc_id, cluster_id, keep) where cluster_id is the
+    MIN doc id reachable through dup edges and ``keep`` marks the one
+    representative per cluster.
+
+    Algorithm: iterative min-label propagation (label(x) ←
+    min(label(x), min label of neighbors)) to fixpoint — each round is
+    one join + groupBy on the edge list, localCheckpointed so the plan
+    stays O(1) like the graph operators. Rounds needed = graph diameter;
+    near-dup clusters are shallow (dup sets, not social graphs), so this
+    converges in a handful of rounds. Components whose diameter exceeds
+    ``max_iter`` raise instead of silently mislabeling.
+
+    Parity note: same shape as operators/graph.py BFS;
+    the reference has no dedup subsystem — this is part of the
+    beyond-reference training-data surface (SURVEY §7 step 9).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        labels = updated.drop("changed")
+        if updated.filter("changed").isEmpty():
+            break
+    else:
+        raise ValueError(f"dup_clusters did not converge within {max_iter} iterations")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )

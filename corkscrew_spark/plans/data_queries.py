@@ -16,11 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corkscrew_spark.catalog import register_tables
-from corkscrew_spark.operators import dedup, similarity, text
+from corkscrew_spark.operators import dedup, packing, sampling, similarity, text
 from corkscrew_spark.plans.queries import query
 
-_JACCARD_ORACLE = """
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+#: the shared shingle→candidate→verify CTE chain (also embedded in the
+#: dedup_clusters recursive oracle)
+_JACCARD_CTES = """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
     sh AS (
         SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -41,13 +42,19 @@ _JACCARD_ORACLE = """
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(i * 1.0 / (na.n_sh + nb.n_sh - i), 4) AS jaccard
-    FROM inter
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
-    WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(i * 1.0 / (na.n_sh + nb.n_sh - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE i * 1.0 / (na.n_sh + nb.n_sh - i) >= 0.8
+    )"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     ORDER BY doc_a, doc_b
 """
 
@@ -290,3 +297,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             train_iters=1)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH sp AS (
+        SELECT source AS stratum, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS tokens,
+               SUM(len(string_split_regex(trim(text), '\\s+')))
+                   OVER (PARTITION BY source ORDER BY doc_id) AS e
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+    ),
+    spans AS (SELECT stratum, doc_id, tokens, e, e - tokens AS s FROM sp),
+    chunks AS (
+        SELECT stratum, doc_id, s, e, seq_id
+        FROM spans, UNNEST(range(CAST(FLOOR(s / 256) AS BIGINT),
+                                 CAST(FLOOR((e - 1) / 256) AS BIGINT) + 1)) AS u(seq_id)
+    )
+    SELECT stratum, seq_id, doc_id,
+           GREATEST(s, seq_id * 256) - seq_id * 256 AS seq_offset,
+           LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256) AS n_tokens
+    FROM chunks
+    ORDER BY stratum, seq_id, seq_offset, doc_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-source token streams cut
+    every 256 tokens into training sequences; boundary-straddling docs
+    contribute a chunk to both neighbors. Window cumsum is partitioned by
+    the stratum (per-shard streams — no global sort), chunk explosion is
+    map-side sequence()+explode."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return packing.pack_sequences(d, "doc_id", "text", budget=256,
+                                  stratify_col="source").orderBy(
+        "stratum", "seq_id", "seq_offset", "doc_id"
+    )
+
+
+#: per-language sampling fractions for the stratified sample query —
+#: downsample dominant languages, keep the tail
+_SAMPLE_FRACTIONS = {"en": 0.3, "zh": 0.8}
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '{{en}}' WHEN 'zh' THEN '{{zh}}'
+               ELSE '{{default}}' END
+    ORDER BY doc_id
+    """.format(
+        en=__import__("corkscrew_spark.operators.sampling", fromlist=["threshold_hex"]).threshold_hex(0.3),
+        zh=__import__("corkscrew_spark.operators.sampling", fromlist=["threshold_hex"]).threshold_hex(0.8),
+        default=__import__("corkscrew_spark.operators.sampling", fromlist=["threshold_hex"]).threshold_hex(1.0),
+    ),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: membership is a pure function
+    of (seed, doc_id) via an md5-prefix threshold — stable under
+    repartitioning/re-runs and byte-reproducible in any engine (the
+    oracle replays the identical predicate). Map-only at any scale."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return sampling.stratified_hash_sample(
+        d, "doc_id", "lang", _SAMPLE_FRACTIONS, default=1.0, seed="corpus-v1"
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id,
+           (node = MIN(lab)) AS keep
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → decision: connected components over the exact-Jaccard
+    near-dup pairs (min-label propagation, one join per round, O(diameter)
+    rounds) yielding cluster ids and the keep-representative flag — the
+    final output a dedup pipeline feeds to the corpus writer. The oracle
+    recomputes components with a recursive CTE over the same pair SQL."""
+    d = register_tables(spark, sf_dir)["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8,
+                                      max_shingle_df=100)
+    return dedup.dup_clusters(pairs).orderBy("doc_id")

@@ -80,3 +80,42 @@ def test_embedding_near_dup_planted(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.embedding_near_dup(df, "vec_id", "embedding", "label", 0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_dup_clusters_components(spark):
+    """Hand-built pair graph: {1-2, 2-3} one cluster, {7-9} another,
+    singleton 5 absent; min id is the representative."""
+    from corkscrew_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        7: (7, True), 9: (7, False),
+    }
+
+
+def test_dup_clusters_chain_converges(spark):
+    """A long path (diameter > 1) needs multiple propagation rounds."""
+    from corkscrew_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = dedup.dup_clusters(chain, max_iter=20).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert sum(r["keep"] for r in got) == 1
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    from corkscrew_spark.operators import dedup
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="converge"):
+        dedup.dup_clusters(chain, max_iter=2)
