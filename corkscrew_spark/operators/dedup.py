@@ -399,3 +399,41 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, n: int = 5, min_hits: int = 1,
+                  max_shingle_df: int = 1000) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_hits`` distinct word
+    ``n``-grams with any benchmark document — the test-set-leakage check
+    every pretraining pipeline runs before training.
+
+    Same scale shape as the Jaccard pass: candidates come from the
+    shingle equi-join (never corpus × benchmark), with a document-
+    frequency cap dropping boilerplate shingles that would explode the
+    join. The benchmark side is small by nature — Spark broadcasts it.
+
+    Returns (doc_id, bench_id, shared_ngrams), one row per contaminated
+    (corpus doc, benchmark doc) pair.
+    """
+    c_sh = shingle_set(corpus, id_col, text_col, n=n).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    b_sh = shingle_set(benchmark, id_col, text_col, n=n).withColumnRenamed(
+        "doc", "bench_id"
+    )
+    df_cap = (
+        c_sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        .select("shingle")
+    )
+    return (
+        c_sh.join(df_cap, "shingle")
+        .join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_hits)
+    )

@@ -126,3 +126,35 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+#: PII redaction patterns, ordered (earlier rules run first). Patterns
+#: stay inside the Java-regex ∩ RE2 shared subset (no backreferences, no
+#: lookaround) so the same rule set is replayable in any engine.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{2,3}-\d{3}-\d{3,4}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text_col: str | Column,
+               kinds: tuple[str, ...] | None = None) -> Column:
+    """Scrub PII spans with typed placeholders — the pre-training scrub
+    pass. A regexp_replace cascade in whole-stage codegen: one projection,
+    no shuffle, linear scan at any corpus size."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind, pattern, repl in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(text_col: str | Column) -> dict[str, Column]:
+    """Per-kind match counts (audit/reporting side of the scrub)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+        for kind, pattern, _ in PII_PATTERNS
+    }

@@ -398,3 +398,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8,
                                       max_shingle_df=100)
     return dedup.dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "text_redact",
+    oracle="""
+    WITH pii AS (
+        SELECT c_custkey AS doc_id,
+               'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '.'))
+                 || '@example.com> phone 25-'
+                 || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(c_custkey % 900 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(c_custkey % 9000 AS VARCHAR), 4, '0')
+                 || ' ssn ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                 || ' ip ' || CAST(c_custkey % 256 AS VARCHAR) || '.0.2.'
+                 || CAST(c_custkey % 100 AS VARCHAR) AS text
+        FROM customer WHERE c_custkey <= 500
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b\\d{2,3}-\\d{3}-\\d{3,4}-\\d{4}\\b', '<PHONE>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_n,
+           len(regexp_extract_all(text, '\\b\\d{2,3}-\\d{3}-\\d{3,4}-\\d{4}\\b')) AS phone_n,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ssn_n
+    FROM pii ORDER BY doc_id
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a synthesized PII-bearing corpus (emails, phones,
+    SSNs, IPs derived from customer rows): typed-placeholder redaction as
+    a regexp_replace cascade in whole-stage codegen, plus per-kind match
+    counts for the audit side. Patterns live in the Java-regex ∩ RE2
+    subset so the oracle replays them verbatim."""
+    c = register_tables(spark, sf_dir)["customer"]
+    pii_text = F.concat(
+        F.lit("Contact "), F.col("c_name"),
+        F.lit(" <"), F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> phone 25-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 900).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 9000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip "), (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0.2."), (F.col("c_custkey") % 100).cast("string"),
+    )
+    counts = text.pii_counts(F.col("text"))
+    return (
+        c.filter(F.col("c_custkey") <= 500)
+        .select(F.col("c_custkey").alias("doc_id"), pii_text.alias("text"))
+        .select(
+            "doc_id",
+            text.redact_pii("text").alias("redacted"),
+            counts["email"].alias("email_n"),
+            counts["phone"].alias("phone_n"),
+            counts["ssn"].alias("ssn_n"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "decontaminate",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+    ),
+    c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0),
+    b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+    cap AS (SELECT shingle FROM c GROUP BY shingle HAVING COUNT(*) <= 1000)
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+    FROM c JOIN cap USING (shingle) JOIN b USING (shingle)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 1
+    ORDER BY doc_id, bench_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥1 distinct
+    4-gram with the held-out benchmark slice (doc_id % 50 == 0) — the
+    test-set-leakage sweep every pretraining pipeline runs. Candidates
+    come from the df-capped shingle equi-join with the benchmark side
+    broadcast; never corpus × benchmark."""
+    d = register_tables(spark, sf_dir)["documents"]
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    benchmark = d.filter(F.col("doc_id") % 50 == 0)
+    return dedup.decontaminate(corpus, benchmark, "doc_id", "text", n=4,
+                               min_hits=1, max_shingle_df=1000).orderBy(
+        "doc_id", "bench_id"
+    )

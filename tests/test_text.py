@@ -55,3 +55,53 @@ def test_fingerprint_normalization(spark):
 def test_prefix_key(spark):
     df = _one(spark, "a b c d e f g")
     assert df.select(text.prefix_key("text", 3).alias("k")).collect()[0]["k"] == "a b c"
+
+
+def test_redact_pii_all_kinds(spark):
+    from corkscrew_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.org ssn 123-45-6789 phone 25-989-741-2988 "
+             "ip 10.0.2.15 clean text 2024-01-01")],
+        "id long, text string",
+    )
+    out = df.select(t.redact_pii("text").alias("r")).collect()[0]["r"]
+    assert "<EMAIL>" in out and "<SSN>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "a.b+c@x-y.org" not in out and "123-45-6789" not in out
+    assert "clean text 2024-01-01" in out  # dates survive
+
+
+def test_redact_pii_kind_subset_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "x@y.io and 10.0.0.1 and x2@y.io")], "id long, text string"
+    )
+    only_email = df.select(t.redact_pii("text", kinds=("email",)).alias("r")).first()["r"]
+    assert only_email == "<EMAIL> and 10.0.0.1 and <EMAIL>"
+    counts = t.pii_counts(F.col("text"))
+    got = df.select(counts["email"].alias("e"), counts["ipv4"].alias("i")).first()
+    assert (got["e"], got["i"]) == (2, 1)
+
+
+def test_decontaminate_planted_leak(spark):
+    from corkscrew_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps here"),  # leaks 4-grams
+            (2, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dedup.decontaminate(corpus, bench, "doc_id", "text", n=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    # shared distinct 4-grams: "the quick brown fox", "quick brown fox jumps"
+    assert (r["doc_id"], r["bench_id"], r["shared_ngrams"]) == (1, 100, 2)
