@@ -1,0 +1,82 @@
+"""Streaming corpus ingestion: dedup + quality gating on a document feed.
+
+The batch dedup operators (operators/dedup.py) assume the corpus is at
+rest; a continuously-ingested corpus needs the same decisions ON ARRIVAL
+so duplicates never land in the warehouse at all. Structured Streaming
+shapes:
+
+  * exact streaming dedup — ``dropDuplicatesWithinWatermark`` on the
+    content fingerprint: state holds one entry per fingerprint and the
+    watermark EVICTS entries once no earlier event can still arrive, so
+    state is bounded by the dedup horizon (e.g. "a duplicate within 24h
+    is dropped"), not by stream length. This is the semantics an
+    unbounded corpus feed actually wants — an all-time exact guarantee
+    would mean unbounded state on any engine.
+  * quality gating — the same pure-Column text features as the batch
+    path, applied as stream predicates (stateless, pushed to the source
+    scan).
+
+The fingerprint is md5 over normalized text (operators/text.py), so the
+streaming keep-set is consistent with the batch ``exact_duplicates``
+decisions on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from corkscrew_spark.operators import text
+
+#: landing schema for a streamed document feed
+DOC_STREAM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("source", StringType()),
+    StructField("ingested_at", TimestampType()),
+])
+
+
+def read_doc_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """Streaming DataFrame over a document landing directory (exactly-once
+    per file via checkpointed source offsets, like the change feed)."""
+    reader = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise ValueError(f"unsupported stream format: {fmt}")
+
+
+def dedup_doc_stream(stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Keep the first arrival of each content fingerprint within the
+    watermark horizon; later duplicates are dropped in-flight.
+
+    State shape: one row per distinct fingerprint still inside the
+    horizon — bounded, watermark-evicted. The fingerprint column stays in
+    the output so downstream batch jobs can join streaming decisions
+    against batch dedup runs."""
+    return (
+        stream.withColumn("fingerprint", text.fingerprint("text"))
+        .withWatermark("ingested_at", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def quality_gate(stream: DataFrame, min_tokens: int = 5,
+                 min_quality: float = 0.5) -> DataFrame:
+    """Stateless quality filter on the live feed: token floor + composite
+    quality threshold, same expressions as the batch text_quality query."""
+    return (
+        stream.withColumn("n_tokens", text.token_count("text"))
+        .withColumn("quality_score", text.quality_score("text"))
+        .filter((F.col("n_tokens") >= min_tokens)
+                & (F.col("quality_score") >= min_quality))
+    )
