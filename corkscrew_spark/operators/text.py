@@ -158,3 +158,58 @@ def pii_counts(text_col: str | Column) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
         for kind, pattern, _ in PII_PATTERNS
     }
+
+
+def _gram_list(n: int) -> Column:
+    """Non-distinct word n-gram list over a token array bound as column
+    ``t`` (repetition measurement needs the multiset, unlike dedup's
+    distinct shingle set; binding avoids re-evaluating the split inside
+    the lambda — same CSE issue as shingle_set)."""
+    terms = ", ".join(f"t[i+{j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {terms})) "
+        "ELSE array() END"
+    )
+
+
+def repetition_signals() -> dict[str, Column]:
+    """Intra-document repetition features (the Gopher-rule family):
+    duplicate n-gram fraction (1 - distinct/total for n = 2, 3) and the
+    most-frequent-token share. High values mark boilerplate/spam docs a
+    quality filter should drop.
+
+    Returns a dict of named Columns; the caller must alias the token
+    array as ``t`` first (see with_repetition_signals) so the n-gram
+    lambdas index a bound column.
+    """
+    t = F.col("t")
+    out: dict[str, Column] = {}
+    for n in (2, 3):
+        grams = _gram_list(n)
+        total = F.size(grams)
+        frac = F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4),
+        ).otherwise(F.lit(0.0))
+        out[f"dup_{n}gram_frac"] = frac
+    counts = F.transform(
+        F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
+    )
+    out["top_token_frac"] = F.when(
+        F.size(t) > 0, F.round(F.array_max(counts) / F.size(t), 4)
+    ).otherwise(F.lit(0.0))
+    return out
+
+
+def with_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, dup_2gram_frac, dup_3gram_frac, top_token_frac) per doc."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("t"))
+    sig = repetition_signals()
+    return base.select(
+        F.col(id_col),
+        F.size("t").alias("n_tokens"),
+        sig["dup_2gram_frac"].alias("dup_2gram_frac"),
+        sig["dup_3gram_frac"].alias("dup_3gram_frac"),
+        sig["top_token_frac"].alias("top_token_frac"),
+    )

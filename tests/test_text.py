@@ -105,3 +105,30 @@ def test_decontaminate_planted_leak(spark):
     r = got[0]
     # shared distinct 4-grams: "the quick brown fox", "quick brown fox jumps"
     assert (r["doc_id"], r["bench_id"], r["shared_ngrams"]) == (1, 100, 2)
+
+
+def test_repetition_signals_planted(spark):
+    from corkscrew_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # 3 dup 2-grams of 3, top token 1.0
+            (2, "all words here are unique now"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           t.with_repetition_signals(df, "doc_id", "text").collect()}
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert got[1]["dup_3gram_frac"] == 0.5
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == round(1 / 6, 4)
+
+
+def test_repetition_signals_short_docs_are_zero(spark):
+    from corkscrew_spark.operators import text as t
+
+    df = spark.createDataFrame([(1, "single")], "doc_id long, text string")
+    r = t.with_repetition_signals(df, "doc_id", "text").collect()[0]
+    assert (r["dup_2gram_frac"], r["dup_3gram_frac"], r["top_token_frac"]) == (0.0, 0.0, 1.0)
