@@ -2,6 +2,7 @@
 
     python -m corkscrew_spark.cli query "SELECT ..." [--format table|csv|json]
                                   [--param k=v ...] [--data DIR]
+    python -m corkscrew_spark.cli kql "events | where ... | summarize ..."
     python -m corkscrew_spark.cli pack run NAMESPACE [--param k=v ...]
     python -m corkscrew_spark.cli pack list
     python -m corkscrew_spark.cli schemas
@@ -260,6 +261,25 @@ def cmd_describe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_kql(args: argparse.Namespace) -> int:
+    """Run a raw KQL pipeline over the registered tables — the reference's
+    Azure surface accepts these strings verbatim (resource_graph.go:71-118);
+    here they compile locally via corkscrew_spark.kql."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    spark = get_spark(app_name="corkscrew-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = register_tables(spark, args.data)
+    kql = args.kql if args.kql != "-" else sys.stdin.read()
+    try:
+        df = kql_to_df(kql, tables)
+    except KqlError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+    print(formatter.FORMATTERS[args.format](df, limit=args.limit))
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from corkscrew_spark import server
 
@@ -301,6 +321,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--data", default=sf_dir())
     q.set_defaults(fn=cmd_query)
+
+    kq = sub.add_parser("kql", help="run a raw KQL pipeline over the tables")
+    kq.add_argument("kql")
+    kq.add_argument("--format", choices=sorted(formatter.FORMATTERS), default="table")
+    kq.add_argument("--limit", type=int, default=100)
+    kq.add_argument("--data", default=sf_dir())
+    kq.set_defaults(fn=cmd_kql)
 
     p = sub.add_parser("pack", help="compliance packs")
     p.add_argument("pack_cmd", choices=["run", "list", "search", "install", "installed"])

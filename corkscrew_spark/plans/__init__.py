@@ -5,3 +5,4 @@ from . import engine_queries  # noqa: F401
 from . import ops_queries  # noqa: F401
 from . import surface_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
+from . import kql_queries  # noqa: F401

@@ -88,3 +88,22 @@ def test_describe_requires_service_for_bare_id(capsys):
     rc = cli.main(["describe", "--resource-id", "not-an-arn"])
     assert rc == 2
     assert "--service is required" in capsys.readouterr().err
+
+
+def test_kql_verb(capsys):
+    rc = cli.main([
+        "kql",
+        "documents | where lang == 'en' | summarize n = count() by source "
+        "| order by source asc",
+        "--data", "/root/testdata/sf0.001", "--format", "csv"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "source,n"
+    assert len(out.splitlines()) > 1
+
+
+def test_kql_verb_error_exit_code(capsys):
+    rc = cli.main(["kql", "documents | frobnicate",
+                   "--data", "/root/testdata/sf0.001"])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
