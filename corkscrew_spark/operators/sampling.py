@@ -54,3 +54,70 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
             F.col(strata_col) == stratum, F.lit(threshold_hex(fraction))
         ).otherwise(thresh)
     return df.filter(sample_key(key_col, seed) < thresh)
+
+
+def mixture_fractions(df: DataFrame, strata_col: str,
+                      weights: dict[str, float]) -> dict[str, float]:
+    """Per-stratum keep fractions that hit a target mixture at maximal
+    output size (the data-mixing step of a training pipeline: "40% web,
+    30% books, 30% code").
+
+    The binding stratum is the one that runs out first relative to its
+    weight: scale = min_s(count_s / weight_s); keep fraction_s =
+    scale * weight_s / count_s (the binding stratum keeps 100%). One tiny
+    groupBy-count (|strata| rows) is collected to the driver — sanctioned:
+    it is dimension-sized, not data-sized, at any corpus scale.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in weights
+    }
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"strata absent from the data: {missing}")
+    scale = min(counts[s] / w for s, w in weights.items())
+    return {s: min((scale * w) / counts[s], 1.0) for s, w in weights.items()}
+
+
+def mixture_sample(df: DataFrame, key_col: str, strata_col: str,
+                   weights: dict[str, float], seed: str = "") -> DataFrame:
+    """Deterministic mixture sample: output strata proportions match
+    `weights` (up to hash-sampling noise), strata outside `weights` are
+    dropped, and membership is a pure function of (seed, key) — stable
+    under repartitioning and engine swaps like hash_sample."""
+    fractions = mixture_fractions(df, strata_col, weights)
+    return stratified_hash_sample(
+        df, key_col, strata_col, fractions, default=0.0, seed=seed)
+
+
+def shuffle_key(key_col: str | Column, seed: str = "") -> Column:
+    """Full 32-hex md5 of (seed, key): a deterministic total-order
+    shuffle rank (ties only on duplicate keys)."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.md5(F.concat(F.lit(seed), col.cast("string")))
+
+
+def global_shuffle(df: DataFrame, key_col: str, seed: str = "",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle for training-data writes.
+
+    Orders the corpus by md5(seed || key) — a reproducible permutation
+    that breaks source/time locality before sequence packing or
+    epoch-order writes. Planned as repartitionByRange on the hash (range
+    exchange with sampled bounds) + per-partition sort, so the total
+    order is achieved with one shuffle and NO single-task global sort;
+    output files written in partition order concatenate to the full
+    permutation. Reshuffling with a new seed is one more scan.
+    """
+    keyed = df.withColumn("_shuffle_key", shuffle_key(key_col, seed))
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        keyed.repartitionByRange(n, "_shuffle_key")
+        .sortWithinPartitions("_shuffle_key")
+    )

@@ -552,3 +552,104 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_repetition_signals(d, "doc_id", "text").select(
         "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_frac"
     ).orderBy("doc_id")
+
+
+@query(
+    "sample_mixture",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES
+            ('en', CAST(0.4 AS DOUBLE)),
+            ('zh', CAST(0.3 AS DOUBLE)),
+            ('de', CAST(0.3 AS DOUBLE))) t(lang, wt)),
+    sc AS (SELECT MIN(n / wt) AS scale FROM counts JOIN w USING (lang)),
+    fr AS (SELECT lang, LEAST(scale * wt / n, 1.0) AS frac
+           FROM counts JOIN w USING (lang) CROSS JOIN sc)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN fr USING (lang)
+    WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+          printf('%08x', LEAST(CAST(floor(frac * 4294967296) AS BIGINT),
+                               4294967295))
+    ORDER BY d.doc_id
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture sampling (the data-mixing step of a training
+    pipeline): keep fractions computed so output langs hit 40/30/30,
+    membership a pure md5 function of the key — the DuckDB oracle
+    reproduces the exact member set byte-for-byte, proving engine
+    portability of the mixing math (both sides do the identical IEEE
+    double arithmetic)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        sampling.mixture_sample(
+            d, "doc_id", "lang", {"en": 0.4, "zh": 0.3, "de": 0.3}, seed="mix")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*)                                              AS n_docs,
+           COUNT(DISTINCT lang)                                  AS n_langs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 4)           AS avg_tokens,
+           ROUND(STDDEV_POP(len(string_split(text, ' '))), 4)    AS sd_tokens,
+           CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 40
+                         THEN 1 ELSE 0 END) AS BIGINT)           AS n_short,
+           CAST(SUM(CASE WHEN len(string_split(text, ' ')) > 80
+                         THEN 1 ELSE 0 END) AS BIGINT)           AS n_long
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup: doc/lang counts, token moments
+    and length-bucket tallies. Every aggregate is single-pass with
+    map-side partials (count/sum/stddev_pop) — no per-group value
+    buffering, so the same plan holds at 100 TB; exact percentiles are
+    deliberately NOT used here (they buffer per-group lists), the approx
+    path being `approx_distinct_users`-style percentile_approx."""
+    d = register_tables(spark, sf_dir)["documents"]
+    nt = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(nt).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(nt), 4).alias("avg_tokens"),
+            F.round(F.stddev_pop(nt), 4).alias("sd_tokens"),
+            F.sum(F.when(nt < 40, 1).otherwise(0)).cast("bigint").alias("n_short"),
+            F.sum(F.when(nt > 80, 1).otherwise(0)).cast("bigint").alias("n_long"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "shuffle_order",
+    oracle="""
+    SELECT doc_id
+    FROM documents
+    ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 50
+    """,
+)
+def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 50 docs of the deterministic global shuffle permutation
+    (sampling.shuffle_key): the epoch order a trainer would read. The
+    full-corpus writer path is sampling.global_shuffle (range exchange +
+    per-partition sort, no single-task global sort); here the head of
+    the permutation plans as TakeOrderedAndProject."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("doc_id", sampling.shuffle_key("doc_id", "shuf").alias("_k"))
+        .orderBy("_k", "doc_id")
+        .limit(50)
+        .select("doc_id")
+    )

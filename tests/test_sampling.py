@@ -67,3 +67,67 @@ def test_plan_is_map_only(corpus):
     plan = (sampling.hash_sample(corpus, "id", 0.1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, "sampling must not shuffle"
+
+
+def test_mixture_fractions_hit_target(corpus, spark):
+    # grp sizes: 2500 each; target 50/25/25 over three strata → binding
+    # stratum is '0' (2500/0.5 = 5000 is the min scale).
+    weights = {"0": 0.5, "1": 0.25, "2": 0.25}
+    fr = sampling.mixture_fractions(corpus, "grp", weights)
+    assert fr["0"] == 1.0
+    assert abs(fr["1"] - 0.5) < 1e-12 and abs(fr["2"] - 0.5) < 1e-12
+
+    out = sampling.mixture_sample(corpus, "id", "grp", weights, seed="m")
+    got = {r["grp"]: r["n"] for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert "3" not in got  # unweighted stratum dropped
+    assert got["0"] == 2500  # binding stratum fully kept
+    total = sum(got.values())
+    assert abs(got["0"] / total - 0.5) < 0.05
+    assert abs(got["1"] / total - 0.25) < 0.05
+
+
+def test_mixture_validations(corpus):
+    with pytest.raises(ValueError, match="absent"):
+        sampling.mixture_fractions(corpus, "grp", {"nope": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.mixture_fractions(corpus, "grp", {"0": -1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_fractions(corpus, "grp", {})
+
+
+def test_mixture_stable_under_repartition(corpus):
+    weights = {"0": 0.6, "1": 0.4}
+    a = {r["id"] for r in
+         sampling.mixture_sample(corpus, "id", "grp", weights, "s").collect()}
+    b = {r["id"] for r in
+         sampling.mixture_sample(corpus.repartition(13), "id", "grp",
+                                 weights, "s").collect()}
+    assert a == b
+
+
+def test_global_shuffle_total_order_and_permutation(corpus, spark):
+    out = sampling.global_shuffle(corpus, "id", seed="ep0", num_partitions=7)
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "_shuffle_key", "id"
+    ).collect()
+    # Concatenating partitions in pid order yields a globally sorted key
+    # sequence (range exchange → partition p's keys all precede p+1's).
+    seq = [r["_shuffle_key"] for r in sorted(
+        rows, key=lambda r: (r["pid"], r["_shuffle_key"]))]
+    assert seq == sorted(seq)
+    by_pid: dict[int, list[str]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["_shuffle_key"])
+    maxes = [max(v) for _, v in sorted(by_pid.items())]
+    mins = [min(v) for _, v in sorted(by_pid.items())]
+    assert all(maxes[i] <= mins[i + 1] for i in range(len(maxes) - 1))
+    # It is a permutation: every input row exactly once.
+    assert sorted(r["id"] for r in rows) == list(range(10_000))
+    # Deterministic: a differently-partitioned input yields the identical
+    # global order.
+    again = sampling.global_shuffle(corpus.repartition(5), "id", "ep0", 7)
+    seq2 = [r["_shuffle_key"] for r in sorted(
+        again.select(F.spark_partition_id().alias("pid"), "_shuffle_key").collect(),
+        key=lambda r: (r["pid"], r["_shuffle_key"]))]
+    assert seq2 == seq
