@@ -193,11 +193,26 @@ def repetition_signals() -> dict[str, Column]:
             F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4),
         ).otherwise(F.lit(0.0))
         out[f"dup_{n}gram_frac"] = frac
-    counts = F.transform(
-        F.array_distinct(t), lambda x: F.size(F.filter(t, lambda y: y == x))
+    # Most-frequent-token count == longest equal-run in the sorted token
+    # array: O(n log n) per row instead of the O(distinct × n)
+    # count-each-distinct-token scan — the per-row constant is what
+    # dominates a 100 TB map-only pass.
+    run = F.aggregate(
+        F.array_sort(t),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     out["top_token_frac"] = F.when(
-        F.size(t) > 0, F.round(F.array_max(counts) / F.size(t), 4)
+        F.size(t) > 0, F.round(run / F.size(t), 4)
     ).otherwise(F.lit(0.0))
     return out
 
