@@ -347,3 +347,65 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("order_count"))
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN o_totalprice END), 2) AS "1-URGENT",
+           ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN o_totalprice END), 2) AS "2-HIGH",
+           ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN o_totalprice END), 2) AS "3-MEDIUM",
+           ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+           ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN o_totalprice END), 2) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: status × priority revenue matrix. Pivot values are passed
+    explicitly, so Spark plans ONE aggregation pass (no extra
+    distinct-values job) — the pivoted agg is still a single shuffle
+    with map-side partials, same cost as the flat groupBy at any scale."""
+    o = _t(spark, sf_dir)["orders"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_orderstatus")
+    )
+    return out
+
+
+@query(
+    "unpivot_priority_status",
+    oracle="""
+    WITH p AS (
+        SELECT o_orderstatus,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+               ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN o_totalprice END), 2) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, priority, revenue
+    FROM p UNPIVOT (revenue FOR priority IN ("1-URGENT", "5-LOW"))
+    ORDER BY o_orderstatus, priority
+    """,
+)
+def unpivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) back to long form — the round-trip partner of
+    pivot_priority_status; unpivot is a map-only generate, no shuffle."""
+    o = _t(spark, sf_dir)["orders"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return (
+        wide.unpivot(
+            "o_orderstatus", ["1-URGENT", "5-LOW"], "priority", "revenue")
+        .orderBy("o_orderstatus", "priority")
+    )

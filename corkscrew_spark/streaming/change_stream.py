@@ -68,6 +68,31 @@ def windowed_change_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
+def session_change_bursts(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Session-window rollup: change events for the same resource that
+    arrive within ``gap`` of each other merge into one burst — the
+    "a deploy touched this resource 14 times in 20 minutes" signal that
+    fixed windows split arbitrarily. Session windows require the
+    watermark (state closes once event time passes session end + delay);
+    state per key is one open session, not a backlog."""
+    return (
+        stream.withWatermark("timestamp", watermark)
+        .groupBy(F.session_window("timestamp", gap), "resource_id")
+        .agg(
+            F.count("*").alias("events"),
+            F.collect_set("change_type").alias("change_types"),
+        )
+        .select(
+            F.col("session_window.start").alias("burst_start"),
+            F.col("session_window.end").alias("burst_end"),
+            "resource_id",
+            "events",
+            F.array_sort("change_types").alias("change_types"),
+        )
+    )
+
+
 def start_to_memory(df: DataFrame, table_name: str, once: bool = True,
                     output_mode: str = "append"):
     """Run the stream into an in-memory sink (tests/dev); availableNow

@@ -79,3 +79,31 @@ def test_parquet_sink_exactly_once(spark, tmp_path):
         change_stream.read_change_stream(spark, str(src)), str(out), str(ckpt), once=True)
     q2.awaitTermination(60)
     assert spark.read.parquet(str(out)).count() == 8  # 5 old NOT reprocessed
+
+
+def test_session_change_bursts(spark, tmp_path):
+    src = tmp_path / "sess"
+    # r-0: three events within the 30-min gap → one burst; then one event
+    # 2h later → a separate burst. r-1: a single event.
+    _write_events(
+        src,
+        [_event(0, ts="2024-01-01T00:00:00"),
+         _event(5, ts="2024-01-01T00:10:00", ctype="DELETE"),
+         _event(10, ts="2024-01-01T00:25:00"),
+         _event(15, ts="2024-01-01T02:30:00"),
+         _event(1, ts="2024-01-01T00:00:00")],
+    )
+    stream = change_stream.read_change_stream(spark, str(src))
+    agg = change_stream.session_change_bursts(stream, gap="30 minutes")
+    q = change_stream.start_to_memory(agg, "bursts", output_mode="complete")
+    q.awaitTermination(60)
+    rows = {(r["resource_id"], str(r["burst_start"])): r
+            for r in spark.sql("SELECT * FROM bursts").collect()}
+    assert len(rows) == 3
+    burst = rows[("r-0", "2024-01-01 00:00:00")]
+    assert burst["events"] == 3
+    assert burst["change_types"] == ["DELETE", "UPDATE"]
+    # session extends 30 min past the last merged event
+    assert str(burst["burst_end"]) == "2024-01-01 00:55:00"
+    assert rows[("r-0", "2024-01-01 02:30:00")]["events"] == 1
+    assert rows[("r-1", "2024-01-01 00:00:00")]["events"] == 1
