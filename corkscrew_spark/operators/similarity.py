@@ -315,3 +315,81 @@ def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization — the memory-compression path
+# ---------------------------------------------------------------------------
+
+def quantize_int8(df: DataFrame, vec_col: str, qvec_col: str = "qvec",
+                  scale_col: str = "qscale") -> DataFrame:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i / scale),
+    scale = max|x| / 127. Stores array<tinyint> + one float — 4× smaller
+    than float32 (8× vs double), which is what lets a 100 TB embedding
+    corpus fit executor memory / page cache during ANN scans. Map-only,
+    pure Column expressions; the original vector column is dropped.
+
+    Dequantized dot products recover cosine to ~1e-2 absolute error on
+    unit-scale embeddings (recall bound asserted in tests); rerank the
+    shortlist against full-precision vectors when exact order matters.
+    """
+    v = _as_double(vec_col)
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0)
+    )
+    df = df.withColumn(scale_col, scale.cast("float"))
+    qvec = F.when(
+        F.col(scale_col) > 0,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(qvec_col, qvec).drop(vec_col)
+
+
+def quantized_cosine_topk(corpus_q: DataFrame, queries_q: DataFrame,
+                          id_col: str, k: int = 5,
+                          qvec_col: str = "qvec",
+                          scale_col: str = "qscale") -> DataFrame:
+    """Top-k cosine over int8-quantized vectors (both sides already
+    through quantize_int8). dot(x, y) ≈ sx·sy·Σ qx_i·qy_i and norms
+    likewise, so the scale factors cancel in the cosine — the score is
+    computed entirely from the tinyint arrays, integer multiplies in
+    whole-stage codegen. Same broadcast-queries/scan-corpus-once shape
+    and deterministic (rounded score, id tie-break) ranking as
+    cosine_topk.
+
+    Returns (query_id, neighbor_id, qcosine, rank).
+    """
+    from pyspark.sql import Window
+
+    def _inorm(col: Column) -> Column:
+        # cast BEFORE squaring: tinyint*tinyint overflows under ANSI
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    c = corpus_q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(qvec_col).alias("cq"),
+    ).withColumn("cn", _inorm(F.col("cq")))
+    q = queries_q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(qvec_col).alias("qq"),
+    ).withColumn("qn", _inorm(F.col("qq")))
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"),
+                   lambda x, y: (x.cast("int") * y.cast("int"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(idot / (F.col("qn") * F.col("cn")), 4).alias("qcosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

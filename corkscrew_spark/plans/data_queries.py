@@ -653,3 +653,20 @@ def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id")
     )
+
+
+@query("ann_quantized_topk")
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized cosine top-5 for 10 query vectors: the corpus is
+    quantized to array<tinyint>+scale (4× smaller than float32 — the
+    representation a 100 TB embedding store would persist), scoring is
+    integer dot products in codegen. Rows-only (approximate scores have
+    no SQL oracle); recall ≥ 0.8 and score-error < 0.02 vs brute force
+    are asserted in tests/test_similarity.py."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    eq = similarity.quantize_int8(e, "embedding")
+    return (
+        similarity.quantized_cosine_topk(
+            eq, eq.filter(F.col("vec_id") < 10), "vec_id", k=5)
+        .orderBy("query_id", "rank")
+    )

@@ -131,3 +131,41 @@ def test_ivf_full_probe_equals_brute_force(spark):
     full = similarity.ivf_topk(e, q, "vec_id", "embedding", k=3, nlist=8, nprobe=8).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
     assert key(exact) == key(full)
+
+
+def test_quantized_cosine_recall(spark):
+    """int8 quantization: recall@5 vs exact ≥ 0.8 on the real embedding
+    table, and every returned score within 0.02 of the exact cosine."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact_rows = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5).collect()
+    truth = {}
+    scores = {}
+    for r in exact_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        scores[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+
+    eq = similarity.quantize_int8(e, "embedding")
+    qq = eq.filter(F.col("vec_id") < 10)
+    got = similarity.quantized_cosine_topk(eq, qq, "vec_id", k=5).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] in truth.get(r["query_id"], ()))
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.8, f"int8 recall too low: {recall:.2f}"
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(e, q, "vec_id", "embedding", k=10**6).collect()
+    }
+    for r in got:
+        assert abs(r["qcosine"] - exact_all[(r["query_id"], r["neighbor_id"])]) < 0.02
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           similarity.quantize_int8(df, "embedding").collect()}
+    assert got[1]["qvec"] == [64, -127, 32]  # round(x / (1.0/127))
+    assert abs(got[1]["qscale"] - 1.0 / 127) < 1e-9
+    assert got[2]["qvec"] == [0, 0, 0]  # zero vector: no div-by-zero
+    assert "embedding" not in got[1].asDict()
