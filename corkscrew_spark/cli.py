@@ -29,6 +29,9 @@ from corkscrew_spark.engine import QueryEngine, QueryValidationError
 from corkscrew_spark.session import get_spark, sf_dir
 
 
+VERSION = "2.0.0"  # tracks the reference's printed version (main.go:129)
+
+
 def _parse_params(pairs: list[str] | None) -> dict[str, object]:
     out: dict[str, object] = {}
     for pair in pairs or []:
@@ -261,6 +264,86 @@ def cmd_describe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_config(args: argparse.Namespace) -> int:
+    """config init/show/validate — parity with main.go runConfig
+    (:1667-1770)."""
+    from corkscrew_spark import config as cfgmod
+
+    try:
+        if args.config_cmd == "init":
+            p = cfgmod.init_config_file(args.path)
+            print(f"Configuration file created: {p}")
+        elif args.config_cmd == "show":
+            import yaml as _yaml
+
+            cfg = cfgmod.load_config()
+            print(_yaml.safe_dump(cfg.to_dict(), sort_keys=False))
+            for provider in sorted(cfg.providers):
+                services = cfg.services_for_provider(provider)
+                print(f"Resolved {provider} services ({len(services)}): "
+                      + ", ".join(services))
+        elif args.config_cmd == "validate":
+            cfg = cfgmod.load_config()
+            print("Configuration is valid")
+            for provider, prov in sorted(cfg.providers.items()):
+                services = cfg.services_for_provider(provider)
+                print(f"  {provider}: mode={prov.discovery_mode} "
+                      f"services={len(services)} "
+                      f"groups={len(prov.service_groups)} "
+                      f"workers={prov.analysis.workers}")
+    except cfgmod.ConfigError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    """Provider info — parity with main.go runInfo (:587-650): name,
+    version, description, supported services, capabilities."""
+    import json as _json
+
+    from corkscrew_spark import config as cfgmod
+
+    descriptions = {
+        "aws": "Amazon Web Services (offline fake SDK; boto3 opt-in)",
+        "azure": "Microsoft Azure Resource Graph (local KQL engine)",
+        "gcp": "Google Cloud Asset Inventory",
+        "kubernetes": "Kubernetes API resources (GVR fan-out)",
+    }
+    if args.provider not in descriptions:
+        print(f"error: unknown provider {args.provider}", file=sys.stderr)
+        return 2
+    services = cfgmod._discover_services(args.provider)
+    info = {
+        "name": args.provider,
+        "version": VERSION,
+        "description": descriptions[args.provider],
+        "supported_services": services,
+        "capabilities": {
+            "batch_scan": "true",
+            "streaming": "true",
+            "change_tracking": "true",
+            "compliance_packs": "true",
+            "kql": "true" if args.provider == "azure" else "false",
+        },
+    }
+    if args.output == "json":
+        print(_json.dumps(info, indent=2))
+    else:
+        print(f"Provider:    {info['name']}")
+        print(f"Version:     {info['version']}")
+        print(f"Description: {info['description']}")
+        print(f"Services ({len(services)}): " + ", ".join(services))
+        print("Capabilities: " + ", ".join(
+            k for k, v in info["capabilities"].items() if v == "true"))
+    return 0
+
+
+def cmd_version(_args: argparse.Namespace) -> int:
+    print(f"corkscrew-spark {VERSION}")
+    return 0
+
+
 def cmd_kql(args: argparse.Namespace) -> int:
     """Run a raw KQL pipeline over the registered tables — the reference's
     Azure surface accepts these strings verbatim (resource_graph.go:71-118);
@@ -321,6 +404,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--data", default=sf_dir())
     q.set_defaults(fn=cmd_query)
+
+    cf = sub.add_parser("config", help="manage configuration (init/show/validate)")
+    cf.add_argument("config_cmd", choices=["init", "show", "validate"])
+    cf.add_argument("--path", default="corkscrew.yaml")
+    cf.set_defaults(fn=cmd_config)
+
+    inf = sub.add_parser("info", help="show provider information")
+    inf.add_argument("--provider", default="aws")
+    inf.add_argument("--output", choices=["table", "json"], default="table")
+    inf.set_defaults(fn=cmd_info)
+
+    vv = sub.add_parser("version", help="show version")
+    vv.set_defaults(fn=cmd_version)
 
     kq = sub.add_parser("kql", help="run a raw KQL pipeline over the tables")
     kq.add_argument("kql")
