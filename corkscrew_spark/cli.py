@@ -130,11 +130,25 @@ def cmd_scan(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     if args.provider == "aws":
+        from corkscrew_spark import config as cfgmod
         from corkscrew_spark.ingest import pipeline
+        from corkscrew_spark.ingest.aws_scanner import LIST_OPERATIONS
 
+        if args.services:
+            services = args.services.split(",")
+        else:
+            # No explicit list → the config subsystem decides (reference
+            # behavior: scan consults corkscrew.yaml / env overrides),
+            # intersected with what the scanner can actually list.
+            cfg = cfgmod.load_config()
+            try:
+                services = [s for s in cfg.services_for_provider("aws")
+                            if s in LIST_OPERATIONS]
+            except cfgmod.ConfigError:
+                services = sorted(LIST_OPERATIONS)
         summary = pipeline.run_scan(
             spark, args.out,
-            services=(args.services or "s3,ec2,iam,lambda,rds,dynamodb").split(","),
+            services=services,
             regions=(args.regions or "us-east-1").split(","),
             use_sdk=args.use_sdk,
         )

@@ -131,3 +131,24 @@ def test_cli_info_all_providers(capsys):
 def test_cli_version(capsys):
     assert cli.main(["version"]) == 0
     assert "corkscrew-spark 2.0.0" in capsys.readouterr().out
+
+
+def test_scan_uses_config_service_list(tmp_path, monkeypatch, capsys, spark):
+    """`scan` without --services consults corkscrew.yaml (reference: scan
+    resolves its service list through the config subsystem)."""
+    monkeypatch.setattr("corkscrew_spark.session.get_spark", lambda **kw: spark)
+    monkeypatch.setattr("corkscrew_spark.cli.get_spark", lambda **kw: spark)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "corkscrew.yaml").write_text(yaml.safe_dump({
+        "providers": {"aws": {"discovery_mode": "manual",
+                              "services": {"include": ["s3", "iam"]}}},
+    }))
+    rc = cli.main(["scan", "--provider", "aws",
+                   "--out", str(tmp_path / "wh")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resources" in out
+    scanned = spark.read.parquet(str(tmp_path / "wh" / "resources"))
+    assert {r["service"] for r in scanned.select("service").distinct().collect()} \
+        == {"s3", "iam"}
