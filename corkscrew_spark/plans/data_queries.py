@@ -670,3 +670,28 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             eq, eq.filter(F.col("vec_id") < 10), "vec_id", k=5)
         .orderBy("query_id", "rank")
     )
+
+
+@query("token_quantiles_approx")
+def token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-count quantiles via percentile_approx
+    (Greenwald-Khanna, accuracy 1/10000): the 100 TB percentile path —
+    bounded sketch state per group, map-side partial merge, unlike exact
+    percentile which buffers every value per group. Rows-only
+    (sketch results have no exact SQL oracle); closeness to DuckDB's
+    exact quantile_disc is asserted in tests/test_text.py."""
+    d = register_tables(spark, sf_dir)["documents"]
+    nt = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.percentile_approx(nt, [0.5, 0.9, 0.99], 10000).alias("q"),
+        )
+        .select(
+            "source",
+            F.col("q")[0].alias("p50_tokens"),
+            F.col("q")[1].alias("p90_tokens"),
+            F.col("q")[2].alias("p99_tokens"),
+        )
+        .orderBy("source")
+    )

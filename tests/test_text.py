@@ -132,3 +132,27 @@ def test_repetition_signals_short_docs_are_zero(spark):
     df = spark.createDataFrame([(1, "single")], "doc_id long, text string")
     r = t.with_repetition_signals(df, "doc_id", "text").collect()[0]
     assert (r["dup_2gram_frac"], r["dup_3gram_frac"], r["top_token_frac"]) == (0.0, 0.0, 1.0)
+
+
+def test_token_quantiles_approx_close_to_exact(spark):
+    """percentile_approx at accuracy 10000 must land within one rank of
+    DuckDB's exact discrete quantile on every source."""
+    import duckdb
+
+    from corkscrew_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in
+           QUERIES["token_quantiles_approx"](spark, sf).collect()}
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT source,
+               quantile_disc(len(string_split(text, ' ')), 0.5) AS p50,
+               quantile_disc(len(string_split(text, ' ')), 0.9) AS p90
+        FROM read_parquet('{sf}/documents.parquet') GROUP BY source
+    """).fetchall()
+    con.close()
+    assert got
+    for source, p50, p90 in exact:
+        assert abs(got[source]["p50_tokens"] - p50) <= 2
+        assert abs(got[source]["p90_tokens"] - p90) <= 2
