@@ -126,3 +126,29 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
         "_salt", F.explode(F.array(*[F.lit(i).cast("int") for i in range(salts)]))
     )
     return l.join(r, [key, "_salt"], how).drop("_salt")
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str],
+                      max_records_per_file: int = 1_000_000,
+                      mode: str = "overwrite") -> None:
+    """Persist hive-partitioned parquet (``path/col=value/…``): the
+    directory layout that turns per-provider / per-region / per-service
+    predicates into PARTITION PRUNING — a 100 TB warehouse filtered to
+    one region reads only that region's directories, no data scan at
+    all. Complements write_bucketed (bucketing co-locates join keys
+    *within* a partition; partitioning prunes whole directories).
+
+    The pre-write ``repartition(*partition_cols)`` routes each output
+    partition's rows to one task — without it every task writes a file
+    into every partition directory (the small-files explosion);
+    maxRecordsPerFile re-splits oversized partitions. Low-cardinality
+    columns only (provider/region/service, never resource_id).
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

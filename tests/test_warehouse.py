@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from corkscrew_spark import warehouse
 
 
@@ -83,3 +85,27 @@ def test_salted_join_matches_plain_join(spark):
     expect = left.join(right, "k")
     assert plain.count() == expect.count()
     assert sorted(plain.columns) == sorted(expect.columns)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """A filter on the partition column must show up as PartitionFilters
+    and scan only the matching directories."""
+    from corkscrew_spark.ingest import synthetic
+
+    res = synthetic.resources(spark, 300)
+    path = str(tmp_path / "part")
+    warehouse.write_partitioned(res, path, ["provider", "region"],
+                                max_records_per_file=10_000)
+    back = spark.read.parquet(path)
+    pruned = back.filter(
+        (F.col("provider") == "aws") & (F.col("region") == "us-east-1"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(provider" in plan
+    # pruned result matches a full-scan filter of the original
+    expect = res.filter(
+        (F.col("provider") == "aws") & (F.col("region") == "us-east-1")).count()
+    assert pruned.count() == expect > 0
+    # the layout really is hive-style directories
+    import os
+    assert any(d.startswith("provider=") for d in os.listdir(path))
