@@ -278,6 +278,48 @@ def cmd_describe(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_orchestrator_discover(args: argparse.Namespace) -> int:
+    """Multi-source service discovery with merge + attribution — parity
+    with cmd/corkscrew/discover.go runOrchestratorDiscovery (:18-110):
+    the reference merges plugin, GitHub and API sources through an LRU
+    cache; offline, the sources are the built-in scanner catalog, the
+    corkscrew.yaml include list, and any --source JSON files
+    ({"services": ["name", ...]})."""
+    import json as _json
+
+    from corkscrew_spark import config as cfgmod
+
+    merged: dict[str, list[str]] = {}
+
+    def add(source: str, services: list[str]) -> None:
+        for svc in services:
+            merged.setdefault(svc, []).append(source)
+
+    add("catalog", cfgmod._discover_services(args.provider))
+    try:
+        add("config", cfgmod.load_config().services_for_provider(args.provider))
+    except cfgmod.ConfigError:
+        pass
+    for path in args.source or []:
+        try:
+            with open(path) as f:
+                doc = _json.load(f)
+        except (OSError, ValueError) as ex:
+            print(f"warning: skipping source {path}: {ex}", file=sys.stderr)
+            continue
+        add(path, list(doc.get("services", [])))
+    if args.output == "json":
+        print(_json.dumps(
+            {"provider": args.provider,
+             "services": {k: merged[k] for k in sorted(merged)}}, indent=2))
+    else:
+        print(f"{args.provider}: {len(merged)} services from "
+              f"{len({s for v in merged.values() for s in v})} sources")
+        for svc in sorted(merged):
+            print(f"  {svc:<28} [{', '.join(merged[svc])}]")
+    return 0
+
+
 def cmd_config(args: argparse.Namespace) -> int:
     """config init/show/validate — parity with main.go runConfig
     (:1667-1770)."""
@@ -418,6 +460,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--data", default=sf_dir())
     q.set_defaults(fn=cmd_query)
+
+    od = sub.add_parser("orchestrator-discover",
+                        help="multi-source discovery with merge+attribution")
+    od.add_argument("--provider", default="aws")
+    od.add_argument("--source", action="append",
+                    help="extra JSON discovery source file")
+    od.add_argument("--output", choices=["table", "json"], default="table")
+    od.set_defaults(fn=cmd_orchestrator_discover)
 
     cf = sub.add_parser("config", help="manage configuration (init/show/validate)")
     cf.add_argument("config_cmd", choices=["init", "show", "validate"])

@@ -107,3 +107,27 @@ def test_kql_verb_error_exit_code(capsys):
                    "--data", "/root/testdata/sf0.001"])
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_orchestrator_discover_merges_sources(tmp_path, monkeypatch, capsys):
+    import yaml
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "corkscrew.yaml").write_text(yaml.safe_dump({
+        "providers": {"aws": {"discovery_mode": "manual",
+                              "services": {"include": ["s3", "customthing"]}}},
+    }))
+    extra = tmp_path / "gh.json"
+    extra.write_text(json.dumps({"services": ["s3", "fromgithub"]}))
+    rc = cli.main(["orchestrator-discover", "--provider", "aws",
+                   "--source", str(extra), "--output", "json"])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    svc = doc["services"]
+    assert set(svc["s3"]) == {"catalog", "config", str(extra)}
+    assert svc["customthing"] == ["config"]
+    assert svc["fromgithub"] == [str(extra)]
+    # bad source file is skipped with a warning, not fatal
+    rc = cli.main(["orchestrator-discover", "--provider", "aws",
+                   "--source", str(tmp_path / "missing.json")])
+    assert rc == 0
