@@ -174,6 +174,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     return hashed.groupBy("doc", "pos").agg(F.min("h").alias("minhash"))
 
 
+def band_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                    num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(doc, band, band_key): each doc's MinHash signature folded into
+    ``bands`` 64-bit band keys (band membership = pos % bands, order
+    inside the band fixed by sorting on pos). Shared by the batch pair
+    join and the streaming index path — both sides banding identically is
+    what makes a stream-vs-corpus band join meaningful."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return (
+        sig.withColumn("band", F.col("pos") % bands)
+        .groupBy("doc", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "minhash"))).alias("s"))
+        .select(
+            "doc",
+            "band",
+            F.xxhash64(F.to_json(F.col("s"))).alias("band_key"),
+        )
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.8) -> DataFrame:
@@ -185,19 +205,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     Candidates are then verified with exact Jaccard so the output has no
     false positives — LSH only bounds *recall*, never precision.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    band_sig = (
-        sig.withColumn("band", F.col("pos") % bands)
-        # order inside the band fixed by sorting on pos
-        .groupBy("doc", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "minhash"))).alias("s"))
-        .select(
-            "doc",
-            "band",
-            F.xxhash64(F.to_json(F.col("s"))).alias("band_key"),
-        )
-    )
+    band_sig = band_signatures(df, id_col, text_col, n, num_hashes, bands)
     a = band_sig.select(F.col("doc").alias("doc_a"), "band", "band_key")
     b = band_sig.select(F.col("doc").alias("doc_b"), "band", "band_key")
     cand = (
@@ -436,4 +444,68 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_hits)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus index — near-dup decisions against an already-ingested corpus
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                        num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(corpus_doc, band, band_key, corpus_shingles): the persistable LSH
+    index of a corpus at rest. New documents (a stream micro-batch, a
+    fresh crawl drop) are flagged by band-joining against this instead of
+    re-pairing the whole corpus — build once, probe per arrival, same
+    contract as the IVF index. Persist with warehouse.write_partitioned
+    on ``band`` so a probe prunes to matching band directories.
+    """
+    band_sig = band_signatures(df, id_col, text_col, n, num_hashes, bands)
+    sets = (
+        shingle_set(df, id_col, text_col, n)
+        .groupBy("doc").agg(F.collect_list("shingle").alias("corpus_shingles"))
+    )
+    return (
+        band_sig.join(sets, "doc")
+        .select(F.col("doc").alias("corpus_doc"), "band", "band_key",
+                "corpus_shingles")
+    )
+
+
+def flag_against_index(new_docs: DataFrame, index: DataFrame, id_col: str,
+                       text_col: str, n: int = 3, num_hashes: int = 32,
+                       bands: int = 8, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs between ``new_docs`` and an indexed corpus
+    (build_minhash_index output): band-join candidates, exact Jaccard
+    verify — precision-exact like the batch pair path, but the corpus
+    side is never re-shingled. Cost scales with |new_docs| × collision
+    rate, not corpus size. Banding parameters must match the index's.
+
+    Returns (doc_id, corpus_doc, jaccard).
+    """
+    band_sig = band_signatures(new_docs, id_col, text_col, n, num_hashes, bands)
+    sets = (
+        shingle_set(new_docs, id_col, text_col, n)
+        .groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
+    )
+    cand = (
+        band_sig.join(index, ["band", "band_key"])
+        .filter(F.col("doc") != F.col("corpus_doc"))
+        .select("doc", "corpus_doc", "corpus_shingles")
+        .dropDuplicates(["doc", "corpus_doc"])
+    )
+    inter = (
+        cand.join(sets, "doc")
+        .select(
+            "doc", "corpus_doc",
+            F.size(F.array_intersect("arr", "corpus_shingles")).alias("inter"),
+            F.size("arr").alias("n_a"),
+            F.size("corpus_shingles").alias("n_b"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.filter(jac >= threshold)
+        .select(F.col("doc").alias(id_col), "corpus_doc",
+                F.round(jac, 4).alias("jaccard"))
     )

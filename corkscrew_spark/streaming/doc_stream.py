@@ -80,3 +80,39 @@ def quality_gate(stream: DataFrame, min_tokens: int = 5,
         .filter((F.col("n_tokens") >= min_tokens)
                 & (F.col("quality_score") >= min_quality))
     )
+
+
+def start_near_dup_flagging(stream: DataFrame, index: DataFrame,
+                            out_path: str, checkpoint: str,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3, num_hashes: int = 32, bands: int = 8,
+                            threshold: float = 0.8, once: bool = True):
+    """On-arrival near-dup flagging against an indexed corpus at rest.
+
+    Each micro-batch runs the exact BATCH operators
+    (dedup.flag_against_index: band join + Jaccard verify) via
+    foreachBatch — the sanctioned Structured Streaming shape for logic
+    whose aggregations (MinHash groupBys) pure streaming can't express
+    statelessly. Reusing the batch code verbatim guarantees streaming
+    decisions match what a batch re-run over the same files would say.
+    Per-batch cost scales with batch size × band collision rate, never
+    with corpus size; exactly-once lands on the checkpointed sink.
+
+    Returns the StreamingQuery; flagged (doc_id, corpus_doc, jaccard)
+    rows append to ``out_path`` as parquet.
+    """
+    from corkscrew_spark.operators import dedup
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        flagged = dedup.flag_against_index(
+            batch_df, index, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold)
+        flagged.write.mode("append").parquet(out_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -119,3 +119,65 @@ def test_dup_clusters_nonconvergence_raises(spark):
     )
     with pytest.raises(ValueError, match="converge"):
         dedup.dup_clusters(chain, max_iter=2)
+
+
+def test_flag_against_index_batch(spark):
+    """New docs near-dup'ing an indexed corpus are flagged; novel docs and
+    self-matches are not."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog at dawn"),
+         (2, "completely different content about spark execution plans")],
+        "doc_id long, text string")
+    index = dedup.build_minhash_index(corpus, "doc_id", "text")
+    new = spark.createDataFrame(
+        # near-dup of corpus doc 1 (one word changed at the end)
+        [(100, "the quick brown fox jumps over the lazy dog at dusk"),
+         (101, "entirely novel material no overlap whatsoever here")],
+        "doc_id long, text string")
+    got = dedup.flag_against_index(new, index, "doc_id", "text",
+                                   threshold=0.5).collect()
+    assert [(r["doc_id"], r["corpus_doc"]) for r in got] == [(100, 1)]
+    assert got[0]["jaccard"] >= 0.5
+
+
+def test_streaming_near_dup_flagging(spark, tmp_path):
+    import json as _json
+
+    from corkscrew_spark.streaming import doc_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog at dawn")],
+        "doc_id long, text string")
+    index = dedup.build_minhash_index(corpus, "doc_id", "text")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [
+        {"doc_id": 100,
+         "text": "the quick brown fox jumps over the lazy dog at dusk",
+         "source": "s", "ingested_at": "2024-01-01T00:00:00"},
+        {"doc_id": 101, "text": "novel words only in this one",
+         "source": "s", "ingested_at": "2024-01-01T00:01:00"},
+    ]
+    (landing / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows))
+    stream = doc_stream.read_doc_stream(spark, str(landing))
+    q = doc_stream.start_near_dup_flagging(
+        stream, index, str(tmp_path / "flags"), str(tmp_path / "ckpt"),
+        threshold=0.5)
+    q.awaitTermination(120)
+    flagged = spark.read.parquet(str(tmp_path / "flags")).collect()
+    assert [(r["doc_id"], r["corpus_doc"]) for r in flagged] == [(100, 1)]
+
+    # a second drop with another near-dup is picked up incrementally
+    (landing / "b1.json").write_text(_json.dumps(
+        {"doc_id": 102,
+         "text": "a quick brown fox jumps over the lazy dog at dawn",
+         "source": "s", "ingested_at": "2024-01-01T00:05:00"}))
+    q2 = doc_stream.start_near_dup_flagging(
+        stream, index, str(tmp_path / "flags"), str(tmp_path / "ckpt"),
+        threshold=0.5)
+    q2.awaitTermination(120)
+    flagged = spark.read.parquet(str(tmp_path / "flags")).collect()
+    assert sorted((r["doc_id"], r["corpus_doc"]) for r in flagged) \
+        == [(100, 1), (102, 1)]
