@@ -103,7 +103,9 @@ def cmd_pack(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
     exe = ComplianceExecutor(spark, loader)
-    run = exe.run_pack(args.namespace, _parse_params(args.param), dry_run=args.dry_run)
+    run = exe.run_pack(args.namespace, _parse_params(args.param),
+                       dry_run=args.dry_run, controls=args.control,
+                       tags=args.tag)
     if args.dry_run:
         print(f"pack {args.namespace}: {len(run.pack.queries)} controls validated")
     else:
@@ -495,6 +497,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--param", action="append")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--search-path", action="append")
+    p.add_argument("--control", action="append",
+                   help="run only this control id (repeatable)")
+    p.add_argument("--tag", action="append",
+                   help="run only controls with this tag (repeatable)")
     p.add_argument("--data", default=sf_dir())
     p.add_argument("--registry", help="registry directory (search/install)")
     p.add_argument("--dest", help="install/installed directory")

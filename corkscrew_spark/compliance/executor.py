@@ -123,7 +123,13 @@ class ComplianceExecutor:
     # -- execution ----------------------------------------------------------
 
     def run_pack(self, namespace: str, params: dict[str, object] | None = None,
-                 dry_run: bool = False) -> PackRunResult:
+                 dry_run: bool = False,
+                 controls: list[str] | None = None,
+                 tags: list[str] | None = None) -> PackRunResult:
+        """Run a pack (with dependencies). ``controls`` restricts to the
+        named control ids, ``tags`` to controls carrying any of the tags
+        — the reference's `query --control ns/ID` and `--compliance
+        --tag t` entry points (cmd/corkscrew/main.go usage :162-166)."""
         packs = self.loader.load_with_dependencies(namespace)
         target = packs[-1]  # dependencies execute first, namespace last
         # Parameters resolve PER PACK (reference executor resolves each
@@ -142,11 +148,25 @@ class ComplianceExecutor:
             )
             for pk in packs
         }
+        def selected(q) -> bool:
+            if controls is not None and q.id not in controls:
+                return False
+            if tags is not None and not set(tags) & set(q.tags):
+                return False
+            return True
+
+        if controls is not None or tags is not None:
+            matched = [q.id for pk in packs for q in pk.queries if selected(q)]
+            if not matched:
+                raise PackError(
+                    f"no controls match controls={controls} tags={tags}")
         frames: list[DataFrame] = []
         errors: list[str] = []
         for pack in packs:
             bound_params = self._bind_values(pack, per_pack_params[pack.namespace])
             for q in pack.queries:
+                if not selected(q):
+                    continue
                 try:
                     sql = duckdb_to_spark(q.sql) if pack.dialect == "duckdb" else q.sql
                     if dry_run:

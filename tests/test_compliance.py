@@ -164,3 +164,27 @@ def test_tag_hygiene_pack(spark):
     assert "PASS" in statuses
     by_control = {r["control_id"] for r in run.results.collect()}
     assert by_control == {"tag-hygiene-01", "tag-hygiene-02"}
+
+
+def test_control_and_tag_filters(executor):
+    """`--control` / `--tag` parity: run a single control by id, or the
+    subset carrying a tag (main.go usage: query --control ns/ID,
+    --compliance --tag encryption)."""
+    one = executor.run_pack("cfi/ccc-storage", controls=["bucket_versioning"])
+    assert not one.errors
+    assert {r["control_id"] for r in one.results.collect()} == {"ccc-storage-01"}
+
+    tagged = executor.run_pack("cfi/ccc-storage", tags=["encryption"])
+    assert {r["control_id"] for r in tagged.results.collect()} == {"ccc-storage-02"}
+
+    multi = executor.run_pack("cfi/ccc-storage",
+                              tags=["data-protection"])
+    assert {r["control_id"] for r in multi.results.collect()} \
+        == {"ccc-storage-01", "ccc-storage-02", "ccc-storage-03"}
+
+    import pytest as _pytest
+
+    from corkscrew_spark.compliance.pack import PackError
+
+    with _pytest.raises(PackError, match="no controls match"):
+        executor.run_pack("cfi/ccc-storage", tags=["nonexistent"])
