@@ -47,7 +47,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
     eng = QueryEngine(spark)
-    sql = args.sql if args.sql != "-" else sys.stdin.read()
+    if args.file:
+        with open(args.file) as f:
+            sql = f.read()
+    else:
+        sql = args.sql if args.sql != "-" else sys.stdin.read()
     try:
         res = eng.execute(sql, _parse_params(args.param))
     except QueryValidationError as ex:
@@ -456,7 +460,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query", help="run read-only SQL")
-    q.add_argument("sql")
+    q.add_argument("sql", nargs="?", default="-")
+    q.add_argument("--file", help="read the SQL from a file (main.go --file)")
     q.add_argument("--format", choices=sorted(formatter.FORMATTERS), default="table")
     q.add_argument("--param", action="append")
     q.add_argument("--limit", type=int, default=100)

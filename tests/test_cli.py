@@ -131,3 +131,13 @@ def test_orchestrator_discover_merges_sources(tmp_path, monkeypatch, capsys):
     rc = cli.main(["orchestrator-discover", "--provider", "aws",
                    "--source", str(tmp_path / "missing.json")])
     assert rc == 0
+
+
+def test_query_from_file(tmp_path, capsys):
+    f = tmp_path / "q.sql"
+    f.write_text("SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3")
+    rc = cli.main(["query", "--file", str(f),
+                   "--data", "/root/testdata/sf0.001", "--format", "csv"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "doc_id" and len(out) == 4
