@@ -139,5 +139,5 @@ def test_query_from_file(tmp_path, capsys):
     rc = cli.main(["query", "--file", str(f),
                    "--data", "/root/testdata/sf0.001", "--format", "csv"])
     assert rc == 0
-    out = capsys.readouterr().out.splitlines()
+    out = [l for l in capsys.readouterr().out.splitlines() if l]
     assert out[0] == "doc_id" and len(out) == 4
