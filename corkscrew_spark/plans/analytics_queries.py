@@ -409,3 +409,40 @@ def unpivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", ["1-URGENT", "5-LOW"], "priority", "revenue")
         .orderBy("o_orderstatus", "priority")
     )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           NTILE(4)        OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 4) AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    LIMIT 200
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family beyond lag/row_number: ntile,
+    percent_rank, cume_dist, first_value over one shared window spec —
+    Spark plans ALL four in a single WindowExec pass (one shuffle on the
+    partition key), which is the property that matters at scale.
+    Deterministic via the c_custkey tie-break."""
+    c = _t(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.first("c_custkey").over(w).alias("richest"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+        .limit(200)
+    )

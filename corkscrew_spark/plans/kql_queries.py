@@ -115,3 +115,32 @@ def kql_join_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_time_bins",
+    oracle="""
+    SELECT date_trunc('day', ts)          AS day,
+           COUNT(*)                       AS n,
+           COUNT(DISTINCT event_type)     AS types
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15'
+    GROUP BY date_trunc('day', ts)
+    ORDER BY day ASC
+    LIMIT 10
+    """,
+)
+def kql_time_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL time bucketing from a raw string: unquoted datetime literal in
+    the filter, `startofday()` as the summarize key — resourcechanges
+    timeline shape (resource_graph.go:193-198)."""
+    return kql_to_df(
+        """
+        events
+        | where ts >= datetime(2024-01-15T00:00:00Z)
+        | summarize n = count(), types = dcount(event_type) by day = startofday(ts)
+        | order by day asc
+        | limit 10
+        """,
+        register_tables(spark, sf_dir),
+    )
