@@ -161,3 +161,65 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
     if not nodes.join(result.select("node"), "node", "left_anti").isEmpty():
         raise ValueError("cycle detected: some nodes are unreachable from any source")
     return result
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 10) -> DataFrame:
+    """PageRank by power iteration as DataFrame joins — beyond-reference
+    graph analytics (the reference walks paths; ranking needs no new
+    engine machinery here, just the same join-per-iteration shape as BFS).
+
+    Per iteration: contribution = rank/out_degree shipped along edges
+    (one shuffle on dst), dangling mass (sinks with no out-edges)
+    redistributed uniformly so total rank stays 1, then
+    rank = (1-d)/N + d·(contrib + dangling/N). Plans stay O(1) via
+    localCheckpoint per iteration like the other graph operators; the
+    dangling sum is a scalar driver aggregate (one number per iter).
+
+    Returns (node, rank) with sum(rank) == 1 up to float error.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = (
+        e.groupBy("src").agg(F.count("*").alias("deg"))
+        .withColumnRenamed("src", "deg_node")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    for _ in range(iters):
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["deg_node"], "left")
+            .drop("deg_node")
+        )
+        contrib = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        dangling = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

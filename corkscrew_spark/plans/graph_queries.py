@@ -156,3 +156,20 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("node_count"))
         .orderBy("level")
     )
+
+
+@query("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by PageRank over the containment graph (orders
+    included): nations and regions accumulate rank from the entities
+    that point at them. Rows-only — power iteration isn't recursive-CTE
+    expressible in the oracle (aggregation in the recursive term);
+    invariants (mass conservation, symmetry, hub dominance) are asserted
+    in tests/test_graph.py."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    return (
+        graph.pagerank(e, iters=8)
+        .select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -66,3 +66,22 @@ def test_topo_levels_cycle_raises(spark):
     e = _edges(spark, [("a", "b"), ("b", "a")])
     with pytest.raises(ValueError, match="cycle"):
         graph.topo_levels(e, max_depth=5)
+
+
+def test_pagerank_star_and_cycle(spark):
+    from corkscrew_spark.operators import graph
+
+    # star: everyone points at 'hub' → hub gets the highest rank
+    star = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(star, iters=15).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # dangling hub redistributed
+    assert ranks["hub"] > ranks["a"] == ranks["b"] == ranks["c"]
+
+    # 3-cycle: symmetry → uniform ranks
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(cyc, iters=15).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-9
