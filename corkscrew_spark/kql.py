@@ -54,10 +54,11 @@ _TOKEN_RE = re.compile(
   | (?P<vstring>@'(?:[^'])*'|@"(?:[^"])*")          # verbatim string, no escapes
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*") # quoted string, \-escapes
   | (?P<datetime>datetime\(\s*[0-9][^)'"]*\))       # unquoted KQL datetime literal
+  | (?P<timespan>(?:\d+\.\d+|\d+)(?:ms|[dhms])(?![A-Za-z0-9_]))  # 1h, 30m, 1.5d
   | (?P<number>\d+\.\d+|\d+)
   | (?P<ident>[$A-Za-z_][A-Za-z0-9_]*)
   | (?P<bangword>![a-z_]+)                          # !contains, !in, ...
-  | (?P<op>==|!=|=~|!~|<=|>=|[|,()\[\]=<>+\-*/%.])
+  | (?P<op>==|!=|=~|!~|<=|>=|[|,()\[\]=<>+\-*/%.:])
     """,
     re.VERBOSE,
 )
@@ -70,9 +71,20 @@ _KEYWORD_OPS = {
 
 @dataclass
 class _Tok:
-    kind: str  # 'string' | 'number' | 'ident' | 'op'
+    kind: str  # 'string' | 'number' | 'ident' | 'op' | 'datetime' | 'timespan'
     text: str
     pos: int
+
+
+#: timespan unit → seconds (KQL: d/h/m/s/ms)
+_TIMESPAN_UNITS = {"d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0, "ms": 0.001}
+
+
+def _timespan_seconds(text: str) -> float:
+    m = re.fullmatch(r"(\d+\.\d+|\d+)(ms|[dhms])", text)
+    if not m:  # pragma: no cover — tokenizer guarantees the shape
+        raise KqlError(f"KQL: bad timespan literal {text!r}")
+    return float(m.group(1)) * _TIMESPAN_UNITS[m.group(2)]
 
 
 def _tokenize(s: str) -> list[_Tok]:
@@ -287,6 +299,11 @@ class _ExprParser:
         t = self.next()
         if t.kind == "datetime":
             return F.lit(t.text).cast("timestamp")
+        if t.kind == "timespan":
+            # Timespans surface as their length in seconds; functions that
+            # need the *token* (bin, make-series step) read it from `raw`.
+            secs = _timespan_seconds(t.text)
+            return F.lit(int(secs) if secs == int(secs) else secs)
         if t.kind == "string":
             return F.lit(t.text)
         if t.kind == "number":
@@ -337,8 +354,29 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return F.sum(F.when(args[0], 1).otherwise(0))
     if name == "dcount" and n == 1:
         return F.count_distinct(args[0])
+    if name == "dcountif" and n == 2:
+        return F.count_distinct(F.when(args[1], args[0]))
     if name in ("sum", "avg", "min", "max") and n == 1:
         return getattr(F, name)(args[0])
+    if name in ("sumif", "avgif", "minif", "maxif") and n == 2:
+        return getattr(F, name[:-2])(F.when(args[1], args[0]))
+    if name in ("arg_max", "arg_min") and n == 2:
+        # KQL arg_max(maximized, returned) ↔ Spark max_by(returned, ord)
+        fn = F.max_by if name == "arg_max" else F.min_by
+        return fn(args[1], args[0])
+    if name == "percentile" and n == 2:
+        p = raw[1]
+        if p is None or p.kind != "number":
+            raise KqlError(f"KQL: percentile(col, p) needs a literal p at {pos}")
+        return F.percentile(args[0], F.lit(float(p.text) / 100.0))
+    if name == "case":
+        if n < 3 or n % 2 == 0:
+            raise KqlError(
+                f"KQL: case() needs pred1, val1, ..., default (odd ≥3 args) at {pos}")
+        col = F.when(args[0], args[1])
+        for j in range(2, n - 1, 2):
+            col = col.when(args[j], args[j + 1])
+        return col.otherwise(args[-1])
     if name == "any" and n == 1:
         return F.first(args[0], ignorenulls=True)
     if name == "make_list" and n == 1:
@@ -387,6 +425,20 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return F.length(args[0].cast("string"))
     if name == "strcat":
         return F.concat(*[a.cast("string") for a in args])
+    if name == "strcat_delim" and n >= 2:
+        delim = _lit_str(raw[0])
+        if delim is None:
+            raise KqlError(f"KQL: strcat_delim delimiter must be a literal at {pos}")
+        return F.concat_ws(delim, *[a.cast("string") for a in args[1:]])
+    if name == "indexof" and n == 2:
+        sub = _lit_str(raw[1])
+        if sub is None:
+            raise KqlError(f"KQL: indexof search term must be a literal at {pos}")
+        return F.instr(args[0].cast("string"), sub) - 1  # KQL 0-based, -1 miss
+    if name == "reverse" and n == 1:
+        return F.reverse(args[0].cast("string"))
+    if name == "hash" and n == 1:
+        return F.xxhash64(args[0])
     if name == "substring" and n in (2, 3):
         start = args[1] + 1  # KQL 0-based → SQL 1-based
         if n == 2:
@@ -405,6 +457,10 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return args[0].isNull()
     if name == "isnotnull" and n == 1:
         return args[0].isNotNull()
+    if name == "todatetime" and n == 1:
+        return args[0].cast("timestamp")
+    if name == "toreal" and n == 1:
+        return args[0].cast("double")
     if name == "datetime" and n == 1:
         # quoted form datetime('2015-03-01T00:00:00Z'); string→timestamp
         # cast accepts ISO 8601 (incl. 'T'/'Z'), unlike to_timestamp's
@@ -415,9 +471,45 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
     if name == "coalesce":
         return F.coalesce(*args)
     if name == "bin" and n == 2:
+        if raw[1] is not None and raw[1].kind == "timespan":
+            # datetime bin: epoch-aligned buckets of the timespan width.
+            # Sub-second timespans would truncate (unix_timestamp is whole
+            # seconds); keep the contract honest.
+            secs = _timespan_seconds(raw[1].text)
+            if secs < 1 or secs != int(secs):
+                raise KqlError(f"KQL: bin() timespan must be whole seconds at {pos}")
+            secs_l = int(secs)
+            return F.timestamp_seconds(
+                F.floor(F.unix_timestamp(args[0]) / secs_l) * secs_l)
         return F.floor(args[0] / args[1]) * args[1]
+    if name == "datetime_diff" and n == 3:
+        period = _lit_str(raw[0])
+        widths = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                  "week": 604800}
+        if period not in widths:
+            raise KqlError(
+                f"KQL: datetime_diff period must be one of {sorted(widths)} at {pos}")
+        w = widths[period]
+        # KQL counts period *boundaries crossed* between d2 and d1
+        return (F.floor(F.unix_timestamp(args[1]) / w)
+                - F.floor(F.unix_timestamp(args[2]) / w)).cast("long")
     if name == "startofday" and n == 1:
         return F.date_trunc("day", args[0])
+    if name == "startofmonth" and n == 1:
+        return F.date_trunc("month", args[0])
+    if name == "startofyear" and n == 1:
+        return F.date_trunc("year", args[0])
+    if name == "startofweek" and n == 1:
+        # KQL weeks start on Sunday; Spark's date_trunc('week') is Monday.
+        return F.to_timestamp(F.date_sub(F.to_date(args[0]), F.dayofweek(args[0]) - 1))
+    if name in ("monthofyear", "getmonth") and n == 1:
+        return F.month(args[0])
+    if name == "dayofmonth" and n == 1:
+        return F.dayofmonth(args[0])
+    if name == "getyear" and n == 1:
+        return F.year(args[0])
+    if name == "hourofday" and n == 1:
+        return F.hour(args[0])
     if name == "format_datetime" and n == 2:
         fmt = _lit_str(raw[1])
         if fmt is None:
@@ -430,9 +522,10 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
 # Pipeline parsing
 # ---------------------------------------------------------------------------
 
-def _split_stages(query: str) -> list[str]:
-    """Split on top-level '|' (ignoring pipes inside strings/parens)."""
-    stages: list[str] = []
+def _split_on_top_level(query: str, sep: str) -> list[str]:
+    """Split on a top-level separator char (ignoring ones inside
+    strings/parens/brackets)."""
+    parts: list[str] = []
     depth = 0
     quote: str | None = None
     start = 0
@@ -451,12 +544,21 @@ def _split_stages(query: str) -> list[str]:
             depth += 1
         elif ch in ")]":
             depth -= 1
-        elif ch == "|" and depth == 0:
-            stages.append(query[start:i])
+        elif ch == sep and depth == 0:
+            parts.append(query[start:i])
             start = i + 1
         i += 1
-    stages.append(query[start:])
-    return [s.strip() for s in stages if s.strip()]
+    parts.append(query[start:])
+    return [s.strip() for s in parts if s.strip()]
+
+
+def _split_top_commas(s: str) -> list[str]:
+    return _split_on_top_level(s, ",")
+
+
+def _split_stages(query: str) -> list[str]:
+    """Split on top-level '|' (ignoring pipes inside strings/parens)."""
+    return _split_on_top_level(query, "|")
 
 
 def _expr_name(toks: list[_Tok], start: int, end: int, fallback: str) -> str:
@@ -503,6 +605,20 @@ class _StageCompiler:
         if op == "project-away":
             cols = [c.strip() for c in rest.split(",")]
             return df.drop(*cols)
+        if op == "project-keep":
+            cols = [c.strip() for c in rest.split(",")]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise KqlError(f"KQL: project-keep of unknown column(s) {missing}")
+            return df.select(*cols)
+        if op == "project-rename":
+            return self._project_rename(df, rest)
+        if op == "parse":
+            return self._parse(df, rest)
+        if op == "union":
+            return self._union(df, rest)
+        if op == "make-series":
+            return self._make_series(df, rest)
         if op == "extend":
             return self._extend(df, rest)
         if op == "summarize":
@@ -617,19 +733,233 @@ class _StageCompiler:
             return df.groupBy(*keys).agg(*aggs)
         return df.agg(*aggs)
 
-    def _mv_expand(self, df: DataFrame, rest: str) -> DataFrame:
+    def _project_rename(self, df: DataFrame, rest: str) -> DataFrame:
+        for pair in rest.split(","):
+            m = re.fullmatch(r"\s*(\w+)\s*=\s*(\w+)\s*", pair)
+            if not m:
+                raise KqlError(f"KQL: project-rename needs New = Old, got {pair!r}")
+            new, old = m.group(1), m.group(2)
+            if old not in df.columns:
+                raise KqlError(f"KQL: project-rename of unknown column {old!r}")
+            df = df.withColumnRenamed(old, new)
+        return df
+
+    #: parse capture type → (Spark cast type, regex fragment)
+    _PARSE_TYPES = {
+        "string": "string", "long": "long", "int": "int",
+        "real": "double", "double": "double", "bool": "boolean",
+        "datetime": "timestamp",
+    }
+
+    def _parse(self, df: DataFrame, rest: str) -> DataFrame:
+        """`parse Expr with 'lit' Name[:type] 'lit' Name2 ...` — simple
+        mode: literals anchor non-greedy captures, the final capture runs
+        to end-of-string (Kusto parse-operator semantics). `*` skips.
+        Compiles to ONE anchored regex evaluated per capture with
+        regexp_extract — pure JVM, no UDF."""
+        rest = re.sub(r"^\s*kind\s*=\s*simple\s+", "", rest, flags=re.IGNORECASE)
         toks = _tokenize(rest)
-        name = None
-        i = 0
-        if (toks and toks[0].kind == "ident" and len(toks) > 1
-                and toks[1].kind == "op" and toks[1].text == "="):
-            name = toks[0].text
-            i = 2
-        p = _ExprParser(toks, i)
-        col = p.parse()
-        if name is None:
-            name = _expr_name(toks, i, p.i, "value")
-        return df.withColumn(name, F.explode(col))
+        p = _ExprParser(toks)
+        src = p.parse().cast("string")
+        i = p.i
+        if not (i < len(toks) and toks[i].kind == "ident"
+                and toks[i].text.lower() == "with"):
+            raise KqlError("KQL: parse needs `parse Expr with <pattern>`")
+        i += 1
+        pattern = "^"
+        captures: list[tuple[str, str]] = []  # (name, cast type)
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == "string":
+                pattern += re.escape(t.text)
+                i += 1
+            elif t.kind == "op" and t.text == "*":
+                pattern += ".*?"
+                i += 1
+            elif t.kind == "ident":
+                name = t.text
+                ctype = "string"
+                i += 1
+                if i < len(toks) and toks[i].kind == "op" and toks[i].text == ":":
+                    if i + 1 >= len(toks) or toks[i + 1].kind != "ident" \
+                            or toks[i + 1].text.lower() not in self._PARSE_TYPES:
+                        raise KqlError(
+                            f"KQL: parse capture type must be one of "
+                            f"{sorted(self._PARSE_TYPES)} at {toks[i].pos}")
+                    ctype = self._PARSE_TYPES[toks[i + 1].text.lower()]
+                    i += 2
+                captures.append((name, ctype))
+                # last capture is greedy-to-end; non-last are lazy
+                pattern += "(.*)" if i >= len(toks) else "(.*?)"
+            else:
+                raise KqlError(f"KQL: unexpected token {t.text!r} in parse pattern")
+        if not captures:
+            raise KqlError("KQL: parse pattern has no captures")
+        for g, (name, ctype) in enumerate(captures, start=1):
+            got = F.regexp_extract(src, pattern, g)
+            col = F.when(got != "", got).cast(ctype) if ctype != "string" \
+                else F.when(got != "", got)
+            df = df.withColumn(name, col)
+        return df
+
+    def _union(self, df: DataFrame, rest: str) -> DataFrame:
+        """`union [kind=outer|inner] T2, (subquery), ...` — outer (the
+        Kusto default) aligns by name and null-fills missing columns;
+        inner keeps only columns common to every operand."""
+        m = re.match(r"\s*kind\s*=\s*(outer|inner)\s+(.*)$", rest,
+                     re.DOTALL | re.IGNORECASE)
+        kind = "outer"
+        if m:
+            kind, rest = m.group(1).lower(), m.group(2)
+        operands = [df]
+        for part in _split_top_commas(rest):
+            part = part.strip()
+            if part.startswith("("):
+                if not part.endswith(")"):
+                    raise KqlError(f"KQL: unbalanced parens in union operand {part!r}")
+                operands.append(self.compile(part[1:-1].strip()))
+            elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part):
+                if part.lower() not in self.tables:
+                    raise KqlError(f"KQL: union of unknown table {part!r}")
+                operands.append(self.tables[part.lower()])
+            else:
+                raise KqlError(f"KQL: cannot parse union operand {part!r}")
+        if kind == "inner":
+            common = [c for c in operands[0].columns
+                      if all(c in o.columns for o in operands[1:])]
+            if not common:
+                raise KqlError("KQL: union kind=inner with no common columns")
+            operands = [o.select(*common) for o in operands]
+        out = operands[0]
+        for o in operands[1:]:
+            out = out.unionByName(o, allowMissingColumns=(kind == "outer"))
+        return out
+
+    def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
+        """`make-series Name = agg() [default = lit][, ...] on TsExpr
+        from datetime(..) to datetime(..) step <timespan> [by keys]`.
+
+        Scale shape: one filter + one groupBy on (keys, bin) with map-side
+        partial aggregation, then a broadcast-able grid join (|keys| ×
+        nbins rows) and a collect_list per group — the series arrays are
+        bounded by nbins, never by |input rows|. The timeline column gets
+        the on-expression's name, mirroring Kusto's output."""
+        import datetime as _dt
+
+        m = re.match(
+            r"(?P<series>.+?)\s+on\s+(?P<on>.+?)\s+from\s+(?P<from>datetime\([^)]*\))"
+            r"\s+to\s+(?P<to>datetime\([^)]*\))\s+step\s+(?P<step>\S+)"
+            r"(?:\s+by\s+(?P<by>.+))?$",
+            rest.strip(), re.DOTALL | re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "KQL: make-series needs `Name = agg() on Ts from datetime(..) "
+                "to datetime(..) step <span> [by keys]`")
+
+        def _epoch(lit: str) -> int:
+            body = lit[lit.index("(") + 1:-1].strip()
+            t = _dt.datetime.fromisoformat(body.replace("Z", "+00:00"))
+            if t.tzinfo is None:
+                t = t.replace(tzinfo=_dt.timezone.utc)
+            return int(t.timestamp())
+
+        start, end = _epoch(m.group("from")), _epoch(m.group("to"))
+        step_tok = m.group("step")
+        step = int(_timespan_seconds(step_tok)) if re.fullmatch(
+            r"(?:\d+\.\d+|\d+)(?:ms|[dhms])", step_tok) else int(step_tok)
+        if step <= 0 or end <= start:
+            raise KqlError("KQL: make-series needs end > start and step > 0")
+        nbins = -(-(end - start) // step)  # ceil
+
+        # series specs: Name = agg() [default = lit]
+        series: list[tuple[str, Column, object]] = []
+        for spec in _split_top_commas(m.group("series")):
+            sm = re.match(r"\s*(\w+)\s*=\s*(.+?)(?:\s+default\s*=\s*(\S+))?\s*$",
+                          spec, re.DOTALL | re.IGNORECASE)
+            if not sm:
+                raise KqlError(f"KQL: bad make-series spec {spec!r}")
+            name, agg_src, dflt = sm.group(1), sm.group(2), sm.group(3)
+            toks = _tokenize(agg_src)
+            agg_col = _ExprParser(toks).parse()
+            default = None
+            if dflt is not None:
+                default = float(dflt) if "." in dflt else int(dflt)
+            series.append((name, agg_col, default))
+
+        on_toks = _tokenize(m.group("on"))
+        on_p = _ExprParser(on_toks)
+        ts_col = on_p.parse()
+        ts_name = _expr_name(on_toks, 0, on_p.i, "timeline")
+
+        keys: list[str] = []
+        if m.group("by"):
+            for k in _split_top_commas(m.group("by")):
+                k = k.strip()
+                if not re.fullmatch(r"\w+", k):
+                    raise KqlError(f"KQL: make-series by-keys must be columns, got {k!r}")
+                keys.append(k)
+
+        epoch = F.unix_timestamp(ts_col)
+        binned = (
+            df.filter((epoch >= start) & (epoch < end))
+            .withColumn("__bin", F.floor((epoch - F.lit(start)) / step).cast("long"))
+        )
+        agg_df = binned.groupBy(*keys, "__bin").agg(
+            *[c.alias(f"__v_{j}") for j, (_, c, _d) in enumerate(series)])
+
+        spark = df.sparkSession
+        grid = spark.range(nbins).select(F.col("id").alias("__bin"))
+        if keys:
+            grid = binned.select(*keys).distinct().crossJoin(grid)
+        joined = grid.join(agg_df, on=[*keys, "__bin"], how="left")
+
+        out_aggs = []
+        for j, (name, _c, default) in enumerate(series):
+            v = F.col(f"__v_{j}")
+            if default is not None:
+                v = F.coalesce(v, F.lit(default))
+            out_aggs.append(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("__bin"), v.alias("v")))),
+                    lambda x: x["v"],
+                ).alias(name))
+        out_aggs.append(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbins - 1)),
+                lambda b: F.timestamp_seconds(F.lit(start) + b * step),
+            ).alias(ts_name))
+        if keys:
+            return joined.groupBy(*keys).agg(*out_aggs)
+        return joined.groupBy().agg(*out_aggs)
+
+    def _mv_expand(self, df: DataFrame, rest: str) -> DataFrame:
+        items: list[tuple[str, Column]] = []
+        for part in _split_top_commas(rest):
+            toks = _tokenize(part)
+            name = None
+            i = 0
+            if (toks and toks[0].kind == "ident" and len(toks) > 1
+                    and toks[1].kind == "op" and toks[1].text == "="):
+                name = toks[0].text
+                i = 2
+            p = _ExprParser(toks, i)
+            col = p.parse()
+            if name is None:
+                name = _expr_name(toks, i, p.i, "value")
+            items.append((name, col))
+        if len(items) == 1:
+            name, col = items[0]
+            return df.withColumn(name, F.explode(col))
+        # Parallel expansion (Kusto zips multi-column mv-expand): posexplode
+        # the first array, index the rest at the same position (null when
+        # shorter — KQL pads with null).
+        names = [n for n, _ in items]
+        out = df.select("*", F.posexplode(items[0][1]).alias("__mvpos", "__mv_0"))
+        for j, (_, col) in enumerate(items[1:], start=1):
+            out = out.withColumn(f"__mv_{j}", F.try_element_at(col, F.col("__mvpos") + 1))
+        keep = [c for c in df.columns if c not in names]
+        return out.select(
+            *keep, *[F.col(f"__mv_{j}").alias(names[j]) for j in range(len(items))])
 
     def _order_by(self, df: DataFrame, rest: str) -> DataFrame:
         rest = re.sub(r"^\s*by\s+", "", rest, flags=re.IGNORECASE)

@@ -144,3 +144,223 @@ def kql_time_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_case_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 300000 THEN 'jumbo'
+                WHEN o_totalprice >= 150000 THEN 'large'
+                ELSE 'regular' END                             AS tier,
+           COUNT(*)                                            AS n,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')      AS urgent,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS spend_f,
+           COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END)   AS open_custs
+    FROM orders
+    GROUP BY 1
+    ORDER BY tier ASC
+    """,
+)
+def kql_case_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`case()` bucketing + the conditional-aggregate family (countif /
+    sumif / dcountif) from a raw KQL string — the shape ARG dashboards
+    use for severity rollups (resource_graph.go:83-110)."""
+    return kql_to_df(
+        """
+        orders
+        | extend tier = case(o_totalprice >= 300000, 'jumbo',
+                             o_totalprice >= 150000, 'large', 'regular')
+        | summarize n = count(),
+                    urgent = countif(o_orderpriority == '1-URGENT'),
+                    spend_f = round(sumif(o_totalprice, o_orderstatus == 'F'), 2),
+                    open_custs = dcountif(o_custkey, o_orderstatus == 'O') by tier
+        | order by tier asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_arg_max_order",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX(o_orderkey)                 AS last_key,
+           arg_max(o_totalprice, o_orderkey) AS last_price,
+           arg_min(o_totalprice, o_orderkey) AS first_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def kql_arg_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`arg_max`/`arg_min` (row-attribute-at-extremum). The maximized
+    expression is the unique o_orderkey so the result is deterministic
+    across engines (ties on a non-unique key would not be)."""
+    return kql_to_df(
+        """
+        orders
+        | summarize last_key = max(o_orderkey),
+                    last_price = arg_max(o_orderkey, o_totalprice),
+                    first_price = arg_min(o_orderkey, o_totalprice) by o_orderpriority
+        | order by o_orderpriority asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_percentile_value",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile()` — Spark's exact linear-interpolation percentile
+    matches quantile_cont; KQL's native percentile is approximate
+    (t-digest), so this surface intentionally promises the exact
+    variant (documented deviation, same argument shape)."""
+    return kql_to_df(
+        """
+        events
+        | summarize p50 = round(percentile(value, 50), 4),
+                    p95 = round(percentile(value, 95), 4) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_bin_6h",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS b,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 2) AS v
+    FROM events
+    GROUP BY 1
+    ORDER BY b ASC
+    LIMIT 20
+    """,
+)
+def kql_bin_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timespan-literal `bin(ts, 6h)` — epoch-aligned datetime buckets
+    (the resourcechanges timeline at sub-day granularity)."""
+    return kql_to_df(
+        """
+        events
+        | summarize n = count(), v = round(sum(value), 2) by b = bin(ts, 6h)
+        | order by b asc
+        | limit 20
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_parse_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)    AS n,
+           SUM(CAST(regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS BIGINT)) AS ksum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse Expr with 'lit' Name:type 'lit'` — typed capture between
+    literal anchors compiled to one anchored regex (Kusto parse simple
+    mode), aggregated to prove the long cast."""
+    return kql_to_df(
+        """
+        events
+        | parse props with '{"k": ' k:long '}'
+        | summarize n = count(), ksum = sum(k) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_union_mix",
+    oracle="""
+    SELECT * FROM (
+        SELECT event_id, user_id, value, NULL AS ts
+        FROM events WHERE event_type = 'click' AND value >= 9.0
+        UNION ALL
+        SELECT event_id, user_id, NULL AS value, ts
+        FROM events WHERE event_type = 'purchase' AND value >= 9.9
+    )
+    ORDER BY event_id ASC
+    """,
+)
+def kql_union_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`union kind=outer (subquery)` — by-name alignment with null fill
+    for columns present on only one side, plus project-keep /
+    project-rename exercised on the branches."""
+    return kql_to_df(
+        """
+        events
+        | where event_type == 'click' and value >= 9.0
+        | project-keep event_id, user_id, value
+        | union kind=outer (
+            events
+            | where event_type == 'purchase' and value >= 9.9
+            | project-rename when = ts
+            | project event_id, user_id, ts = when
+          )
+        | order by event_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_make_series_daily",
+    oracle="""
+    WITH bins AS (SELECT unnest(generate_series(0, 5)) AS b),
+    filtered AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    ),
+    types AS (SELECT DISTINCT event_type FROM filtered),
+    agg AS (
+        SELECT event_type,
+               CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 432000) AS BIGINT) AS b,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        FROM filtered GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           CAST(to_timestamp(epoch(TIMESTAMP '2024-01-01') + bins.b * 432000) AS TIMESTAMP) AS ts,
+           COALESCE(a.n, 0) AS n,
+           a.v              AS v
+    FROM types t
+    CROSS JOIN bins
+    LEFT JOIN agg a ON a.event_type = t.event_type AND a.b = bins.b
+    ORDER BY t.event_type ASC, ts ASC
+    """,
+)
+def kql_make_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`make-series` (regular time grid per group, default-filled) +
+    parallel multi-column `mv-expand` back to rows so the oracle can
+    compare. Series arrays are bounded by nbins (6 here), never by
+    |rows| — the agg is one (keys, bin) groupBy with map-side partials,
+    the grid join is |keys|×nbins (broadcast-sized)."""
+    return kql_to_df(
+        """
+        events
+        | make-series n = count() default = 0, v = round(sum(value), 2)
+            on ts from datetime(2024-01-01T00:00:00Z) to datetime(2024-01-31T00:00:00Z) step 5d
+            by event_type
+        | mv-expand n, v, ts
+        | project event_type, ts, n, v
+        | order by event_type asc, ts asc
+        """,
+        register_tables(spark, sf_dir),
+    )

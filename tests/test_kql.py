@@ -261,3 +261,146 @@ def test_errors_are_kqlerrors(resources):
     "name", ["kql_events_rollup", "kql_docs_tokens", "kql_join_spend"])
 def test_kql_queries_match_oracle(spark, sf_dir, name):
     assert compare_to_oracle(spark, name, sf_dir) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: case/argmax/percentile/conditional aggs, timespans,
+# parse, union, project-rename/keep, make-series, parallel mv-expand
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        (1, "2024-01-01 00:30:00", 10, "click", 1.5, '{"k": 7}'),
+        (2, "2024-01-01 07:10:00", 11, "view", 2.5, '{"k": 9}'),
+        (3, "2024-01-02 01:00:00", 10, "click", 4.0, '{"k": 11}'),
+        (4, "2024-01-03 09:00:00", 12, "purchase", 9.0, '{"k": 2}'),
+    ]
+    schema = ("event_id long, ts string, user_id long, event_type string,"
+              "value double, props string")
+    return (spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp")))
+
+
+def test_case_requires_odd_args(tiny_events):
+    with pytest.raises(KqlError, match="case"):
+        kql_to_df("T | extend x = case(value > 1, 'a')", {"T": tiny_events})
+
+
+def test_conditional_aggs_and_argmax(tiny_events):
+    rows = kql_to_df(
+        """
+        T
+        | summarize clicks = countif(event_type == 'click'),
+                    click_v = sumif(value, event_type == 'click'),
+                    users_click = dcountif(user_id, event_type == 'click'),
+                    at_max = arg_max(value, event_id),
+                    at_min = arg_min(value, event_id)
+        """, {"T": tiny_events}).collect()
+    r = rows[0]
+    assert (r["clicks"], r["click_v"], r["users_click"]) == (2, 5.5, 1)
+    assert r["at_max"] == 4 and r["at_min"] == 1
+
+
+def test_timespan_bin_is_epoch_aligned(tiny_events):
+    rows = kql_to_df(
+        "T | extend b = bin(ts, 6h) | project event_id, b | order by event_id asc",
+        {"T": tiny_events}).collect()
+    assert [str(r["b"]) for r in rows] == [
+        "2024-01-01 00:00:00", "2024-01-01 06:00:00",
+        "2024-01-02 00:00:00", "2024-01-03 06:00:00"]
+    with pytest.raises(KqlError, match="whole seconds"):
+        kql_to_df("T | extend b = bin(ts, 500ms)", {"T": tiny_events})
+
+
+def test_datetime_diff_counts_boundaries(tiny_events):
+    rows = kql_to_df(
+        """T | extend d = datetime_diff('day', ts, datetime(2024-01-01T00:00:00Z))
+           | project event_id, d | order by event_id asc""",
+        {"T": tiny_events}).collect()
+    assert [r["d"] for r in rows] == [0, 0, 1, 2]
+    with pytest.raises(KqlError, match="period"):
+        kql_to_df("T | extend d = datetime_diff('fortnight', ts, ts)",
+                  {"T": tiny_events})
+
+
+def test_startofweek_is_sunday(tiny_events):
+    rows = kql_to_df(
+        "T | extend w = startofweek(ts) | project w | limit 1",
+        {"T": tiny_events}).collect()
+    # 2024-01-01 is a Monday; KQL weeks start Sunday → 2023-12-31
+    assert str(rows[0]["w"]) == "2023-12-31 00:00:00"
+
+
+def test_parse_typed_captures_and_miss(tiny_events):
+    rows = kql_to_df(
+        """T | parse props with '{"k": ' k:long '}'
+           | project event_id, k | order by event_id asc""",
+        {"T": tiny_events}).collect()
+    assert [r["k"] for r in rows] == [7, 9, 11, 2]
+    # non-matching input yields null, not ''
+    rows = kql_to_df(
+        """T | parse event_type with 'cli' tail
+           | project event_id, tail | order by event_id asc""",
+        {"T": tiny_events}).collect()
+    assert [r["tail"] for r in rows] == ["ck", None, "ck", None]
+    with pytest.raises(KqlError, match="capture type"):
+        kql_to_df("T | parse props with 'x' k:complex128", {"T": tiny_events})
+
+
+def test_union_outer_nullfills_and_inner_intersects(tiny_events):
+    outer = kql_to_df(
+        """T | where event_type == 'click' | project event_id, value
+           | union kind=outer ( T | where event_type == 'view' | project event_id, user_id )""",
+        {"T": tiny_events})
+    assert sorted(outer.columns) == ["event_id", "user_id", "value"]
+    assert outer.count() == 3
+    inner = kql_to_df(
+        """T | where event_type == 'click' | project event_id, value
+           | union kind=inner ( T | where event_type == 'view' | project event_id, user_id )""",
+        {"T": tiny_events})
+    assert inner.columns == ["event_id"]
+    with pytest.raises(KqlError, match="unknown table"):
+        kql_to_df("T | union Nope", {"T": tiny_events})
+
+
+def test_project_rename_and_keep(tiny_events):
+    df = kql_to_df(
+        "T | project-rename id = event_id | project-keep id, value",
+        {"T": tiny_events})
+    assert df.columns == ["id", "value"]
+    with pytest.raises(KqlError, match="unknown column"):
+        kql_to_df("T | project-rename x = nope", {"T": tiny_events})
+    with pytest.raises(KqlError, match="unknown column"):
+        kql_to_df("T | project-keep nope", {"T": tiny_events})
+
+
+def test_make_series_grid_default_and_parallel_mvexpand(tiny_events):
+    rows = kql_to_df(
+        """
+        T
+        | make-series n = count() default = 0 on ts
+            from datetime(2024-01-01T00:00:00Z) to datetime(2024-01-04T00:00:00Z) step 1d
+            by event_type
+        | mv-expand n, ts
+        | project event_type, ts, n
+        | order by event_type asc, ts asc
+        """, {"T": tiny_events}).collect()
+    # 3 types × 3 daily bins, zero-filled where no events
+    assert len(rows) == 9
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    assert by_type == {"click": [1, 1, 0], "view": [1, 0, 0],
+                       "purchase": [0, 0, 1]}
+    with pytest.raises(KqlError, match="make-series"):
+        kql_to_df("T | make-series n = count() on ts step 1d", {"T": tiny_events})
+
+
+def test_scalar_string_helpers(tiny_events):
+    r = kql_to_df(
+        """T | where event_id == 1
+           | extend i = indexof(event_type, 'ick'), miss = indexof(event_type, 'zz'),
+                    s = strcat_delim('-', event_type, user_id), r = reverse(event_type)
+           | project i, miss, s, r""", {"T": tiny_events}).collect()[0]
+    assert (r["i"], r["miss"], r["s"], r["r"]) == (2, -1, "click-10", "kcilc")
