@@ -172,54 +172,61 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     Per iteration: contribution = rank/out_degree shipped along edges
     (one shuffle on dst), dangling mass (sinks with no out-edges)
     redistributed uniformly so total rank stays 1, then
-    rank = (1-d)/N + d·(contrib + dangling/N). Plans stay O(1) via
-    localCheckpoint per iteration like the other graph operators; the
-    dangling sum is a scalar driver aggregate (one number per iter).
+    rank = (1-d)/N + d·(contrib + dangling/N).
+
+    One Spark job per iteration: the static out-degree is carried in the
+    ranks frame (joined once up front, not per iteration), and the
+    dangling sum rides along as a broadcast 1-row aggregate instead of a
+    driver collect — the eager localCheckpoint is the only action, and it
+    keeps the plan O(1) across iterations like the other graph operators.
 
     Returns (node, rank) with sum(rank) == 1 up to float error.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("src")  # fixed hash layout: the per-iteration join on
+        .localCheckpoint(eager=True)  # src reuses it with no new exchange
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    # (node, deg, rank): deg is null for sinks; joined ONCE, carried through.
+    ranks = (
+        nodes.join(out_deg, "node", "left")
         .localCheckpoint(eager=True)
     )
-    n_total = nodes.count()
-    out_deg = (
-        e.groupBy("src").agg(F.count("*").alias("deg"))
-        .withColumnRenamed("src", "deg_node")
-    )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
-    for _ in range(iters):
-        with_deg = (
-            ranks.join(out_deg, ranks["node"] == out_deg["deg_node"], "left")
-            .drop("deg_node")
-        )
+    n_total = ranks.count()
+    ranks = ranks.withColumn("rank", F.lit(1.0 / n_total))
+    for it in range(iters):
+        # Sinks (deg null) have no out-edges, so the inner join drops them
+        # from the contribution shuffle naturally.
         contrib = (
-            with_deg.filter(F.col("deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
+            ranks.join(e, ranks["node"] == e["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
         dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            ranks.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
-        base = (1.0 - damping) / n_total + damping * dangling / n_total
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            ranks.drop("rank")
+            .join(contrib, ranks["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
-                "node",
-                (F.lit(base)
-                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                 ).alias("rank"),
+                "node", "deg",
+                (F.lit((1.0 - damping) / n_total)
+                 + F.lit(damping)
+                 * (F.coalesce("contrib", F.lit(0.0))
+                    + F.col("dangling") / n_total)).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
-    return ranks
+        # Checkpoint every 2nd iteration (and the last): halves the job
+        # count while keeping the lineage bounded at two iterations.
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
