@@ -406,6 +406,74 @@ def cmd_version(_args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_init(args: argparse.Namespace) -> int:
+    """Workspace bootstrap — parity with cmd/corkscrew/init.go runInit
+    (:114-230): create the ~/.corkscrew tree, check dependencies, read
+    (or seed) the configuration, and report the enabled providers.
+
+    The reference downloads protoc/duckdb and compiles Go plugins; the
+    Spark rebuild's runtime dependencies are Python packages, so step 2
+    verifies importability instead of downloading, and step 4 resolves
+    the provider service lists the scanners will fan out over instead of
+    generating plugin code.
+    """
+    import os as _os
+    from pathlib import Path
+
+    from corkscrew_spark import config as cfgmod
+
+    print(f"Initializing corkscrew-spark v{VERSION}...")
+    root = Path(_os.environ.get("CORKSCREW_HOME")
+                or Path(_os.environ.get("HOME", ".")) / ".corkscrew")
+    dirs = [root, root / "config", root / "packs", root / "warehouse"]
+
+    print("Creating directory structure...")
+    for d in dirs:
+        if args.dry_run:
+            print(f"  DRY RUN: would create {d}")
+        else:
+            d.mkdir(parents=True, exist_ok=True)
+    if not args.dry_run:
+        print(f"  created {root}")
+
+    print("Checking dependencies...")
+    for mod in ("pyspark", "pyarrow", "pandas", "duckdb"):
+        try:
+            m = __import__(mod)
+            print(f"  ok {mod} {getattr(m, '__version__', '?')}")
+        except ImportError:
+            print(f"  MISSING {mod}")
+            return 2
+
+    print("Reading configuration...")
+    cfg_path = root / "config.yaml"
+    try:
+        cfg = cfgmod.load_config()
+        print("  loaded existing configuration")
+    except cfgmod.ConfigError as ex:
+        print(f"error: {ex}", file=sys.stderr)
+        return 2
+    if args.upgrade or cfgmod._config_path() is None:
+        if args.dry_run:
+            print(f"  DRY RUN: would write default config to {cfg_path}")
+        else:
+            if cfg_path.exists():  # --upgrade rewrites the seeded default
+                cfg_path.unlink()
+            cfgmod.init_config_file(cfg_path)
+            print(f"  wrote default config to {cfg_path}")
+            cfg = cfgmod.load_config()
+
+    print("Resolving provider services...")
+    for provider in sorted(cfg.providers):
+        services = cfg.services_for_provider(provider)
+        print(f"  {provider}: {len(services)} services")
+
+    print("corkscrew-spark initialized successfully!")
+    print("Next: python -m corkscrew_spark.cli scan --synthetic 300 "
+          f"--out {root / 'warehouse' / 'resources'}")
+    return 0
+
+
 def cmd_kql(args: argparse.Namespace) -> int:
     """Run a raw KQL pipeline over the registered tables — the reference's
     Azure surface accepts these strings verbatim (resource_graph.go:71-118);
@@ -488,6 +556,12 @@ def main(argv: list[str] | None = None) -> int:
 
     vv = sub.add_parser("version", help="show version")
     vv.set_defaults(fn=cmd_version)
+
+    ini = sub.add_parser("init", help="bootstrap the ~/.corkscrew workspace")
+    ini.add_argument("--dry-run", action="store_true")
+    ini.add_argument("--upgrade", action="store_true",
+                     help="rewrite the default config even if one exists")
+    ini.set_defaults(fn=cmd_init)
 
     kq = sub.add_parser("kql", help="run a raw KQL pipeline over the tables")
     kq.add_argument("kql")

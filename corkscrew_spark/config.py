@@ -147,6 +147,9 @@ def _config_path(cwd: str | Path = ".") -> Path | None:
         return Path(env)
     home = Path(os.environ.get("HOME", "/"))
     candidates = [Path(cwd) / n for n in _DEFAULT_LOCATIONS]
+    ws = os.environ.get("CORKSCREW_HOME")
+    if ws:  # `cli init` seeds its config here
+        candidates.append(Path(ws) / "config.yaml")
     candidates.append(home / ".corkscrew" / "config.yaml")
     for loc in candidates:
         if loc.exists():

@@ -346,6 +346,46 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
+                  nlist: int = 16, threshold: float = 0.97,
+                  train_iters: int = 2,
+                  centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup (semantic dedup over embeddings): k-means-cluster the
+    corpus, find near-identical pairs *within* clusters only, keep one
+    representative per duplicate component.
+
+    Composition of the existing scale primitives: the IVF coarse
+    quantizer (similarity.ivf_centroids — codegen'd literal assignment,
+    no shuffle) provides the blocking, embedding_near_dup does the
+    within-cluster pair scan (all-pairs only inside a cluster, never
+    across the corpus), and dup_clusters collapses pairs to components.
+    Pass ``centroids`` (e.g. from a persisted IVF index) to skip
+    training — the build-once/probe-many pattern.
+
+    Returns (id, cluster_id, keep): every corpus row appears; rows with
+    no near-duplicate keep cluster_id = own id and keep = true.
+    """
+    from corkscrew_spark.operators import similarity
+
+    cents = centroids if centroids is not None else similarity.ivf_centroids(
+        corpus, id_col, vec_col, nlist=nlist, iters=train_iters)
+    assigned = corpus.withColumn(
+        "_semcid", similarity.assign_list(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents))
+    pairs = embedding_near_dup(assigned, id_col, vec_col, "_semcid",
+                               threshold=threshold)
+    comps = dup_clusters(pairs, "id_a", "id_b")
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(comps.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", "id").alias("cluster_id"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster formation — pairs → connected components → keep-list
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from corkscrew_spark.catalog import register_tables
-from corkscrew_spark.operators import dedup, packing, sampling, similarity, text
+from corkscrew_spark.operators import corpus, dedup, packing, sampling, similarity, text
 from corkscrew_spark.plans.queries import query
 
 #: the shared shingle→candidate→verify CTE chain (also embedded in the
@@ -694,4 +694,145 @@ def token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[2].alias("p99_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "boilerplate_removal",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source, replace(text, ' ', chr(10)) AS text FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source, ls[i] AS line, i AS pos
+        FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM docs),
+             UNNEST(range(1, len(ls) + 1)) AS u(i)
+    ),
+    freq AS (
+        SELECT source, trim(line) AS line_key
+        FROM lines WHERE trim(line) <> ''
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 50
+    ),
+    kept AS (
+        SELECT l.doc_id, l.line, l.pos
+        FROM lines l
+        LEFT JOIN freq f ON f.source = l.source AND f.line_key = trim(l.line)
+        WHERE f.line_key IS NULL
+    ),
+    clean AS (
+        SELECT d.doc_id,
+               COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text
+        FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN clean_text = '' THEN 0
+                ELSE len(string_split(clean_text, chr(10))) END AS BIGINT) AS n_kept_lines,
+           md5(clean_text) AS clean_md5
+    FROM clean ORDER BY doc_id
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb/CCNet line dedup):
+    lines repeating across >= min_docs docs of the same source are
+    stripped, order preserved. The synthetic corpus has no newlines, so
+    the query maps tokens to lines (one replace) — common tokens then
+    play the role of nav-chrome lines, exercising the full
+    explode → frequency → anti-join → reassemble pipeline. Output is
+    per-doc kept-line count + md5 of the reassembled text (portable
+    engine-side hash of the exact result)."""
+    d = register_tables(spark, sf_dir)["documents"].withColumn(
+        "text", F.translate("text", " ", "\n"))
+    cleaned = corpus.remove_boilerplate_lines(
+        d, "doc_id", "text", "source", min_docs=50)
+    n_kept = F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("clean_text"), "\n")))
+    return cleaned.select(
+        "doc_id",
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(-AVG(LN(tf / n_total)), 6) AS avg_neg_logprob
+    FROM toks JOIN vocab USING (tok), total
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM scoring — the CCNet perplexity-filter
+    analog with no external model: mean -ln p(token) under the corpus's
+    own unigram distribution. Both engines compute tf/n_total as true
+    division (long/long -> double) and LN the same IEEE double."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        corpus.unigram_logprob(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, ROUND(tf * LN(n_docs / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term), nd
+    )
+    SELECT doc_id, term, tfidf, term_rank FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT)
+               AS term_rank
+        FROM scored
+    ) WHERE term_rank <= 3
+    ORDER BY doc_id, term_rank
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc: two natural-key aggs + broadcast doc
+    count + per-doc window (partitioned — no global funnel). Ranking is
+    on the ROUNDED score so float tie order is engine-independent."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        corpus.tfidf_top_terms(d, "doc_id", "text", k=3)
+        .select(
+            F.col("id").alias("doc_id"), "term", "tfidf",
+            F.col("rank").alias("term_rank"),
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+@query("semdedup_embeddings")
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision over the embedding corpus: k-means
+    blocking (deterministically seeded) + within-cluster cosine + 
+    connected components. Rows-only: centroid training uses float
+    averages whose exact values have no SQL oracle; planted-duplicate
+    recall and keep-list invariants are asserted in tests/test_corpus.py.
+    Threshold matches dedup_embedding_cosine (the corpus plants no >0.5
+    pairs). Returns only the dropped rows + their surviving
+    representative."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    res = dedup.semdedup_keep(e, "vec_id", "embedding", nlist=8, threshold=0.4)
+    return (
+        res.filter(~F.col("keep"))
+        .select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("kept_id"))
+        .orderBy("vec_id")
     )

@@ -141,3 +141,43 @@ def test_query_from_file(tmp_path, capsys):
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines() if l]
     assert out[0] == "doc_id" and len(out) == 4
+
+
+def test_init_bootstrap(tmp_path, capsys, monkeypatch):
+    """init creates the workspace tree and seeds a default config
+    (init.go:114-230 analog: dirs + deps + config + provider resolve)."""
+    monkeypatch.setenv("CORKSCREW_HOME", str(tmp_path / "ws"))
+    monkeypatch.setenv("HOME", str(tmp_path))  # keep _config_path off the real home
+    monkeypatch.delenv("CORKSCREW_CONFIG_FILE", raising=False)
+    monkeypatch.chdir(tmp_path)  # no ./corkscrew.yaml in cwd
+
+    rc = cli.main(["init"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    ws = tmp_path / "ws"
+    for sub in ("config", "packs", "warehouse"):
+        assert (ws / sub).is_dir()
+    assert (ws / "config.yaml").exists()
+    assert "initialized successfully" in out
+    assert "ok pyspark" in out
+
+    # second run: config already exists, not rewritten (timestamps equal)
+    before = (ws / "config.yaml").read_text()
+    (ws / "config.yaml").write_text(before + "\n# user edit\n")
+    assert cli.main(["init"]) == 0
+    assert "# user edit" in (ws / "config.yaml").read_text()
+    # --upgrade rewrites the default
+    assert cli.main(["init", "--upgrade"]) == 0
+    assert "# user edit" not in (ws / "config.yaml").read_text()
+
+
+def test_init_dry_run_touches_nothing(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("CORKSCREW_HOME", str(tmp_path / "ws"))
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.delenv("CORKSCREW_CONFIG_FILE", raising=False)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["init", "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert not (tmp_path / "ws").exists()
+    assert "DRY RUN" in out

@@ -1,0 +1,118 @@
+"""Corpus-pass operators: boilerplate line removal, unigram LM scoring,
+TF-IDF salience, SemDeDup. The oracle queries cover the fixture corpus;
+these tests pin the multi-line / planted-duplicate semantics the
+single-line fixture can't exercise.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from corkscrew_spark.operators import corpus, dedup
+
+
+@pytest.fixture()
+def multiline_docs(spark):
+    header = "SITE NAV | home | about"
+    footer = "(c) example footer"
+    rows = [
+        (1, "web", f"{header}\nunique first body\n{footer}"),
+        (2, "web", f"{header}\nsecond body line\nextra detail\n{footer}"),
+        (3, "web", f"{header}\n{footer}"),          # all-boilerplate doc
+        (4, "web", "standalone page no chrome"),
+        (5, "mail", f"{header}\nmail body"),        # other group: freq 1 there
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_boilerplate_removed_within_group_only(multiline_docs):
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus.remove_boilerplate_lines(
+            multiline_docs, "doc_id", "text", "source", min_docs=2
+        ).collect()
+    }
+    assert out[1] == "unique first body"
+    assert out[2] == "second body line\nextra detail"  # order preserved
+    assert out[3] == ""                                 # fully boilerplate
+    assert out[4] == "standalone page no chrome"
+    # group 'mail' sees the header only once -> kept
+    assert out[5] == "SITE NAV | home | about\nmail body"
+
+
+def test_boilerplate_blank_lines_never_counted(spark):
+    docs = spark.createDataFrame(
+        [(1, "g", "a\n\nb"), (2, "g", "c\n\nd"), (3, "g", "e\n\nf")],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus.remove_boilerplate_lines(
+            docs, "doc_id", "text", "source", min_docs=2
+        ).collect()
+    }
+    # the blank middle line appears in all 3 docs but must survive
+    assert out[1] == "a\n\nb" and out[2] == "c\n\nd" and out[3] == "e\n\nf"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: tokens a a a b  ->  p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string")
+    rows = {r.id: r for r in corpus.unigram_logprob(docs, "doc_id", "text").collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].avg_neg_logprob == pytest.approx(-math.log(0.75), abs=1e-6)
+    assert rows[2].avg_neg_logprob == pytest.approx(-math.log(0.25), abs=1e-6)
+    # rarer-token doc scores strictly higher
+    assert rows[2].avg_neg_logprob > rows[1].avg_neg_logprob
+
+
+def test_tfidf_rare_term_ranks_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "common words and zyzzyva"), (2, "common words and filler"),
+         (3, "common words and filler")],
+        "doc_id long, text string",
+    )
+    top = {
+        (r.id, r.rank): r.term
+        for r in corpus.tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    }
+    assert top[(1, 1)] == "zyzzyva"  # unique to doc 1 -> max idf
+
+
+def test_semdedup_planted_duplicates(spark):
+    # two identical vectors + one scaled copy (cosine 1.0), others orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # dup of 1
+        (3, [2.0, 0.0, 0.0, 0.0]),     # scaled dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = dedup.semdedup_keep(vecs, "vec_id", "embedding",
+                              nlist=2, threshold=0.97)
+    by_id = {r.id: r for r in res.collect()}
+    assert len(by_id) == 6                       # every row present
+    dup_group = {1, 2, 3}
+    kept_dups = [i for i in dup_group if by_id[i].keep]
+    # 1,2,3 land in one cluster (identical direction -> same centroid),
+    # exactly one survives and it is the min id
+    assert kept_dups == [1]
+    assert all(by_id[i].cluster_id == 1 for i in dup_group)
+    for i in (4, 5, 6):
+        assert by_id[i].keep and by_id[i].cluster_id == i
+
+
+def test_semdedup_accepts_precomputed_centroids(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    res = dedup.semdedup_keep(vecs, "vec_id", "embedding",
+                              threshold=0.99, centroids=cents)
+    assert res.filter("NOT keep").count() == 0   # no dups planted
+    assert res.count() == 4
