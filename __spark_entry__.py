@@ -29,11 +29,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, SMOKE_SF_DIR)
 
 
+#: Names with a green row in CORRECTNESS_r01/r02. The driver's correctness
+#: pass records only the first 50 dict entries per round, so queries whose
+#: contract is already proven yield their slot to never-verified ones —
+#: ordering here rotates the 50-query window across rounds until every
+#: registered query has a recorded row. (pack_sequences is deliberately
+#: absent: its r02 row hash-mismatched on a DuckDB HUGEINT promotion and
+#: the fixed oracle must re-verify.)
+_DRIVER_RECORDED = frozenset({
+    "pricing_summary", "region_rollup", "top_customers", "count_distinct_rollup",
+    "telemetry_rollup", "filter_project_sort", "filter_range_limit", "like_filter",
+    "time_range_agg", "in_list_filter", "case_buckets", "left_join_histogram",
+    "semi_join", "anti_join", "self_join_pairs", "union_branches", "topk_per_group",
+    "window_lag", "json_extract_agg", "regex_extract", "string_functions",
+    "graph_khop", "graph_shortest_path", "graph_topo_levels", "graph_pagerank",
+    "dedup_prefix_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "ann_cosine_topk", "text_quality", "text_langid", "text_fingerprint",
+    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+    "sample_stratified", "dedup_clusters", "text_redact", "decontaminate",
+    "text_repetition", "sample_mixture", "corpus_stats", "shuffle_order",
+    "ann_quantized_topk", "token_quantiles_approx", "boilerplate_removal",
+    "text_unigram_logprob", "tfidf_top_terms",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Never-driver-verified queries come first (see _DRIVER_RECORDED).
+    """
     from corkscrew_spark.plans.queries import QUERIES
 
-    return dict(QUERIES)
+    ordered = sorted(QUERIES, key=lambda n: n in _DRIVER_RECORDED)
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

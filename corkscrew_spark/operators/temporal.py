@@ -1,0 +1,217 @@
+"""Temporal / event-sequence operators: as-of join, sessionization,
+activity streaks, funnels, cohort retention.
+
+These are the event-analytics operators a change-tracking engine grows
+into (the reference's change timeline, `internal/changes/change_storage.go`,
+stops at per-resource ORDER BY timestamp; these generalize it to
+cross-stream temporal correlation).
+
+Scale shapes:
+
+* **as-of join** is the union-merge formulation: tag both streams, union,
+  one window pass per key carries the latest right-side row forward.
+  ONE shuffle on the join key, zero inequality joins — the naive
+  `l.ts >= r.ts` theta join is quadratic per key and is exactly what a
+  100 TB as-of must never do.
+* **sessionize / streaks** are gaps-and-islands: lag + running sum inside
+  a per-entity window — one shuffle on the entity key, no self-joins.
+* **funnel** is K ordered min-aggregations joined per entity (K = number
+  of steps, each agg map-side partial); **cohort retention** is two
+  aggregations over the same shuffle key.
+
+All outputs are integer/timestamp-typed (no float drift), so the DuckDB
+oracles replay them hash-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_payload: list[str] | None = None,
+              tiebreak: str | None = None) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` on the same key (inclusive, ASOF-join
+    semantics). Left rows with no prior right row keep NULL payload.
+
+    ``right_payload`` names the right columns to carry (default: all
+    non-key, non-ts columns). ``tiebreak`` orders right rows that share a
+    timestamp (highest wins) so the match is deterministic.
+
+    Union-merge plan: rows of both sides are unioned with a side tag,
+    sorted per key by (ts, side, tiebreak) inside one window, and the
+    payload is carried forward with ``last(ignorenulls=True)``. Right
+    rows sort before left rows at equal ts, which is what makes the
+    join inclusive.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (key, right_ts)]
+
+    # The payload travels as ONE struct so the carried match is row-atomic
+    # (independently-carried columns could mix two right rows when a
+    # payload column is NULL).
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    pay_type = right.select(pay_struct.alias("p")).schema["p"].dataType
+    r = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        pay_struct.alias("__pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    tb = (F.col("__pay")[tiebreak] if tiebreak else F.lit(0))
+    l = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(pay_type).alias("__pay"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts"), F.col("__side"), tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l)
+    out = (
+        merged.select(
+            "__side",
+            *[f"__l_{c}" for c in left.columns],
+            F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
+        )
+        .filter(F.col("__side") == 1)
+    )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__pay")[c].alias(c) for c in right_payload],
+    )
+
+
+def sessionize(events: DataFrame, entity_col: str, ts_col: str,
+               gap_seconds: int, order_tiebreak: str) -> DataFrame:
+    """Assign gaps-and-islands session ids: a new session starts when the
+    gap to the previous event of the same entity exceeds ``gap_seconds``.
+
+    Adds ``session_id`` (1-based per entity, BIGINT). The comparison is
+    exact (microseconds), no truncation ambiguity across engines.
+    """
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull() | (us - prev > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+
+
+def session_stats(events: DataFrame, entity_col: str, ts_col: str,
+                  gap_seconds: int, order_tiebreak: str) -> DataFrame:
+    """One row per (entity, session): event count and time bounds."""
+    s = sessionize(events, entity_col, ts_col, gap_seconds, order_tiebreak)
+    return s.groupBy(entity_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("started"),
+        F.max(ts_col).alias("ended"),
+    )
+
+
+def activity_streaks(events: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
+    """Longest run of consecutive active days per entity.
+
+    Classic islands trick: day − row_number(day) is constant within a
+    consecutive run, so the streak is a count per (entity, anchor).
+    Two window-free aggregations + one per-entity window — single
+    shuffle key throughout.
+    """
+    days = events.select(
+        F.col(entity_col).alias("entity"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("entity").orderBy("day")
+    runs = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("entity", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    return (
+        runs.groupBy("entity")
+        .agg(F.max("streak").cast("long").alias("max_streak"))
+        .withColumnRenamed("entity", entity_col)
+    )
+
+
+def funnel(events: DataFrame, entity_col: str, ts_col: str, type_col: str,
+           steps: list[str]) -> DataFrame:
+    """Ordered-funnel reach: entities whose step k+1 happens strictly
+    after their first qualifying step k.
+
+    Returns (step, entities): step name in funnel order, BIGINT count of
+    entities that reached it. Each stage is a min-aggregation on the
+    entity key (map-side partial) joined to the previous stage's
+    survivors — K small hash joins on one key, no window, no theta join.
+    """
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(entity_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    counts = [(steps[0], reached)]
+    prev = reached.withColumnRenamed("t0", "t_prev")
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(prev, entity_col)
+            .filter(F.col(ts_col) > F.col("t_prev"))
+            .groupBy(entity_col)
+            .agg(F.min(ts_col).alias("t_prev"))
+        )
+        counts.append((step, nxt))
+        prev = nxt
+    frames = [
+        df.agg(
+            F.lit(f"step{i + 1}_{name}").alias("step"),
+            F.count(F.lit(1)).cast("long").alias("entities"),
+        )
+        for i, (name, df) in enumerate(counts)
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def cohort_retention(events: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    Cohort = ISO week of the entity's first event; for every later-or-equal
+    active week, count distinct entities of that cohort still active.
+    Returns (cohort, week_offset, users). Two aggregations sharing the
+    entity-key shuffle; the cohort⋈activity join is on the entity key.
+    """
+    first = events.groupBy(F.col(entity_col).alias("entity")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort")
+    )
+    active = events.select(
+        F.col(entity_col).alias("entity"),
+        F.date_trunc("week", F.col(ts_col)).alias("wk"),
+    ).distinct()
+    return (
+        active.join(first, "entity")
+        .groupBy(
+            "cohort",
+            (F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("entity").alias("users"))
+    )

@@ -332,8 +332,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  CAST(FLOOR((e - 1) / 256) AS BIGINT) + 1)) AS u(seq_id)
     )
     SELECT stratum, seq_id, doc_id,
-           GREATEST(s, seq_id * 256) - seq_id * 256 AS seq_offset,
-           LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256) AS n_tokens
+           CAST(GREATEST(s, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_offset,
+           CAST(LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256) AS BIGINT) AS n_tokens
     FROM chunks
     ORDER BY stratum, seq_id, seq_offset, doc_id
     """,

@@ -266,7 +266,7 @@ def kql_bin_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)    AS n,
-           SUM(CAST(regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS BIGINT)) AS ksum
+           CAST(SUM(CAST(regexp_extract(props, '^\\{"k": (.*)\\}$', 1) AS BIGINT)) AS BIGINT) AS ksum
     FROM events
     GROUP BY event_type
     ORDER BY event_type ASC

@@ -47,6 +47,18 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str 
         f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
     )
     assert len(a) == len(b), f"{name}: row count spark={len(a)} oracle={len(b)}"
+    # The driver's value-hash is dtype-sensitive: an oracle column that
+    # comes back float64 (e.g. DuckDB promoting SUM(BIGINT) to HUGEINT)
+    # hash-mismatches an int64 Spark column even when every value is
+    # equal. Catch the int-vs-float family split locally.
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if ka in "iuf" and kb in "iuf" and (ka == "f") != (kb == "f"):
+            raise AssertionError(
+                f"{name}: dtype family mismatch on {col!r}: spark={a[col].dtype} "
+                f"oracle={b[col].dtype} — cast the oracle (HUGEINT→BIGINT?) so "
+                f"the driver's value-hash agrees"
+            )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9,
                                   obj=name or "result")
 
