@@ -166,3 +166,55 @@ def tfidf_top_terms(docs: DataFrame, id_col: str, text_col: str,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-trained bigram LM scoring
+# ---------------------------------------------------------------------------
+
+def doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent lowercase token pair.
+
+    Pair expansion is a map-side transform over index ranges (no join,
+    no window); docs with fewer than two tokens contribute nothing.
+    """
+    toks = F.split(F.lower(_c(text_col)), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("tl")) - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("tl"), i).alias("w1"),
+            F.element_at(F.col("tl"), i + 1).alias("w2"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("tl"))
+        .filter(F.size("tl") >= 2)
+        .select("id", F.explode(pairs).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_logprob(docs: DataFrame, id_col: str, text_col: str,
+                   round_to: int = 6) -> DataFrame:
+    """Mean negative log conditional bigram probability per doc under the
+    corpus's own bigram LM: -avg(ln(c(w1,w2) / c(w1 ·))).
+
+    The unigram scorer's natural next order: catches scrambled word
+    salads unigram statistics miss. Two aggs on natural keys + two
+    joins back to the pair stream — AQE broadcasts small vocabularies;
+    at corpus scale both joins shuffle on token keys, never all-pairs.
+    Returns (id, n_bigrams, avg_neg_logprob).
+    """
+    bg = doc_bigrams(docs, id_col, text_col)
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    prefix_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(pair_counts, ["w1", "w2"])
+        .join(prefix_counts, ["w1"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), round_to)
+            .alias("avg_neg_logprob"),
+        )
+    )

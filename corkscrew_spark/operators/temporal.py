@@ -100,7 +100,10 @@ def sessionize(events: DataFrame, entity_col: str, ts_col: str,
     exact (microseconds), no truncation ambiguity across engines.
     """
     w = Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
-    us = F.unix_micros(F.col(ts_col))
+    # parquet NTZ timestamps need an explicit TIMESTAMP cast for
+    # unix_micros; the session timezone is pinned UTC so the cast is a
+    # pure reinterpretation.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(us).over(w)
     new_session = F.when(
         prev.isNull() | (us - prev > gap_seconds * 1_000_000), 1

@@ -228,3 +228,48 @@ def with_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFr
         sig["dup_3gram_frac"].alias("dup_3gram_frac"),
         sig["top_token_frac"].alias("top_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style document heuristics (Raffel et al. 2020 cleaning rules)
+# ---------------------------------------------------------------------------
+
+def c4_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
+                     min_words: int = 50) -> DataFrame:
+    """Per-document C4 cleaning signals, all integer-typed so the verdict
+    is reproducible bit-for-bit in any engine:
+
+    * ``n_lines`` / ``punct_lines`` — physical lines, and lines ending in
+      terminal punctuation (C4 keeps only sentences ending in punctuation);
+    * ``n_words`` — whitespace token count (C4 drops pages < ~50 words);
+    * ``has_lorem`` / ``has_brace`` — placeholder-text and code/markup
+      tripwires (C4 removes any page with "lorem ipsum" or '{');
+    * ``keep`` — the combined verdict. The punctuation-ratio >= 0.5 test
+      is integer cross-multiplication (2*punct >= lines), so no float
+      compare can diverge between engines.
+
+    Pure Column expressions — map-only at any scale.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    punct = F.filter(lines, lambda ln: ln.rlike(r"[.!?]$"))
+    words = F.size(F.split(F.trim(text), r"\s+"))
+    n_lines = F.size(lines).cast("long")
+    punct_lines = F.size(punct).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum").cast("long")
+    has_brace = text.contains("{").cast("long")
+    keep = (
+        (punct_lines * 2 >= n_lines)
+        & (words >= min_words)
+        & (has_lorem == 0)
+        & (has_brace == 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        punct_lines.alias("punct_lines"),
+        words.cast("long").alias("n_words"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    )

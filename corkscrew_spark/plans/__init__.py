@@ -6,3 +6,4 @@ from . import ops_queries  # noqa: F401
 from . import surface_queries  # noqa: F401
 from . import analytics_queries  # noqa: F401
 from . import kql_queries  # noqa: F401
+from . import temporal_queries  # noqa: F401

@@ -446,3 +446,167 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_mktsegment", "c_custkey")
         .limit(200)
     )
+
+
+@query(
+    "intersect_except_branches",
+    oracle="""
+    WITH y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y97 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT 'both' AS branch, o_custkey
+    FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'only_1996' AS branch, o_custkey
+    FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    ORDER BY branch, o_custkey
+    """,
+)
+def intersect_except_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (U1/U2's missing siblings —
+    the reference's DuckDB passthrough accepts both,
+    pkg/query/engine.go:130-229). Spark plans both as aggregated
+    left-semi / left-anti hash joins on the projected key — one shuffle
+    each, no sort."""
+    o = _t(spark, sf_dir)["orders"]
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).select(
+        F.lit("both").alias("branch"), "o_custkey")
+    only96 = y96.distinct().subtract(y97.distinct()).select(
+        F.lit("only_1996").alias("branch"), "o_custkey")
+    return both.unionByName(only96).orderBy("branch", "o_custkey")
+
+
+@query(
+    "moving_avg_frame",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      ROUND(SUM(value), 2) AS revenue
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, day, revenue,
+           ROUND(AVG(revenue) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+           CAST(COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY day) AS BIGINT) AS days_seen
+    FROM d ORDER BY event_type, day
+    """,
+)
+def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS window frames: 7-day moving average + running count
+    per event type. Framed windows share one WindowExec after the daily
+    pre-aggregation, so the shuffle carries days, not raw events — the
+    pre-agg-then-window layering is what keeps the window input small at
+    100 TB. The moving average runs over ROUNDED daily sums so frame
+    summation order cannot leak ulp drift."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type", "day", "revenue",
+        F.round(F.avg("revenue").over(w.rowsBetween(-6, 0)), 4).alias("ma7"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("days_seen"),
+    ).orderBy("event_type", "day")
+
+
+@query(
+    "orders_above_cust_avg",
+    oracle="""
+    WITH a AS (SELECT o_custkey, AVG(o_totalprice) AS ap,
+                      CAST(COUNT(*) AS BIGINT) AS n_cust_orders
+               FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           a.n_cust_orders
+    FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > 1.5 * a.ap
+    ORDER BY o.o_orderkey
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape (orders 1.5x above their
+    customer's average) decorrelated into agg + self-join on the
+    customer key — the plan Catalyst produces for the subquery form, and
+    the only shape that scales (no per-row re-aggregation). The sf0.01
+    margin between price and threshold is >28, so the float predicate is
+    engine-stable; the float average itself is never emitted (averages
+    of 2-decimal prices sit exactly on rounding boundaries where
+    engines' summation order breaks the tie differently)."""
+    o = _t(spark, sf_dir)["orders"]
+    avgs = o.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("ap"),
+        F.count(F.lit(1)).cast("long").alias("n_cust_orders"),
+    )
+    return (
+        o.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("ap"))
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "n_cust_orders",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all four grouping sets (priority x status, each
+    alone, grand total) in ONE Expand+aggregate pass — same single
+    shuffle as the plain groupBy, 4x the map-side rows, vs four separate
+    jobs. Completes the rollup_segment_nation family."""
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+        )
+    )
+
+
+@query(
+    "percentile_exact",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (quantile_cont
+    semantics) — the exact counterpart to token_quantiles_approx's GK
+    sketch. Spark's percentile() aggregates per group in one pass;
+    use the approx variant instead when group cardinality explodes."""
+    ev = _t(spark, sf_dir)["events"]
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+        )
+        .orderBy("event_type")
+    )

@@ -830,9 +830,76 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). Returns only the dropped rows + their surviving
     representative."""
     e = register_tables(spark, sf_dir)["embeddings"]
-    res = dedup.semdedup_keep(e, "vec_id", "embedding", nlist=8, threshold=0.4)
+    key = (id(spark), sf_dir + "#semdedup")
+    cents = _IVF_CENTROIDS.get(key)
+    if cents is None:
+        cents = _IVF_CENTROIDS[key] = similarity.ivf_centroids(
+            e, "vec_id", "embedding", nlist=8, iters=2
+        )
+    res = dedup.semdedup_keep(e, "vec_id", "embedding", nlist=8, threshold=0.4,
+                              centroids=cents)
     return (
         res.filter(~F.col("keep"))
         .select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("kept_id"))
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "text_c4_filters",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                                x -> regexp_matches(x, '[.!?]$'))) AS BIGINT)
+               AS punct_lines,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           CAST(contains(lower(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+           CAST(contains(text, '{') AS BIGINT) AS has_brace,
+           CAST(CAST(2 * len(list_filter(string_split(text, chr(10)),
+                                x -> regexp_matches(x, '[.!?]$')))
+                     >= len(string_split(text, chr(10))) AS INTEGER)
+                * CAST(len(string_split_regex(trim(text), '\\s+')) >= 50 AS INTEGER)
+                * CAST(NOT contains(lower(text), 'lorem ipsum') AS INTEGER)
+                * CAST(NOT contains(text, '{') AS INTEGER) AS BIGINT) AS keep
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (terminal-punctuation lines, minimum word
+    count, lorem-ipsum / brace tripwires) as integer-typed per-doc flags
+    — map-only Column expressions, no UDF, no shuffle."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return text.c4_quality_flags(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tl
+                  FROM documents),
+         bg AS (SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
+                FROM toks, UNNEST(range(1, len(tl))) AS t(i)
+                WHERE len(tl) >= 2),
+         pc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+         pf AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(LN(c2 / c1)), 6) AS avg_neg_logprob
+    FROM bg JOIN pc USING (w1, w2) JOIN pf USING (w1)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM scoring: mean -ln P(w2|w1) under the
+    corpus's own bigram counts — the next-order refinement of
+    text_unigram_logprob that flags scrambled word salads. Both engines
+    compute c2/c1 as long/long true division and LN the same IEEE
+    double; avg is rounded to absorb summation-order drift."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        corpus.bigram_logprob(d, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     )

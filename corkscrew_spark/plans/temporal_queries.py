@@ -1,0 +1,172 @@
+"""Temporal / event-sequence queries: as-of join, sessions, streaks,
+funnels, cohort retention.
+
+The reference's change subsystem exposes per-resource timelines ordered
+by timestamp (internal/changes/change_storage.go:249-272) and drift
+windows (pkg/drift/detector.go); these queries generalize that temporal
+surface to the cross-stream operators an event warehouse needs. All are
+built on operators/temporal.py (union-merge as-of, gaps-and-islands
+sessionization) — one shuffle on the entity key, no inequality joins.
+
+Determinism rules as in plans/queries.py; every output column is
+integer / timestamp / string-typed so oracle hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from corkscrew_spark.operators import temporal
+from corkscrew_spark.plans.queries import query, _t
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY p.purchase_id
+                          ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+               FROM p LEFT JOIN v
+                 ON v.user_id = p.user_id AND v.view_ts <= p.purchase_ts)
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+    FROM j WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest view at or
+    before it. The oracle is the quadratic-per-key formulation DuckDB can
+    afford at sf0.01; the Spark plan is the union-merge (one shuffle on
+    user_id, window carry-forward) that survives 100 TB."""
+    ev = _t(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return temporal.asof_join(
+        purchases, views, key="user_id", left_ts="purchase_ts", right_ts="ts",
+        right_payload=["view_id", "view_ts"], tiebreak="view_id",
+    ).orderBy("purchase_id")
+
+
+@query(
+    "session_stats_30m",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT user_id, ts,
+                 CAST(SUM(new_s) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                 AS session_id
+          FROM o)
+    SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS started, MAX(ts) AS ended
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-minute inactivity gap): lag +
+    running sum inside one per-user window, then a per-session rollup —
+    a single shuffle on user_id end to end. Gap compare is exact
+    microseconds (unix_micros / epoch_us), no truncation ambiguity."""
+    ev = _t(spark, sf_dir)["events"]
+    return temporal.session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id"
+    ).orderBy("user_id", "session_id")
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'step1_view' AS step, CAST(COUNT(*) AS BIGINT) AS entities FROM s1
+    UNION ALL
+    SELECT 'step2_click', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'step3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    ORDER BY step
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: step k+1 must happen strictly
+    after the user's first qualifying step k. K min-aggregations joined
+    on the user key — map-side partials, no window, no theta join."""
+    ev = _t(spark, sf_dir)["events"]
+    return temporal.funnel(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT f.cohort,
+           CAST(FLOOR(date_diff('day', f.cohort, a.wk) / 7) AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = ISO week of first
+    activity, users counted per (cohort, week offset). Two aggregations
+    sharing the user-key shuffle; ISO Monday week start in both engines."""
+    ev = _t(spark, sf_dir)["events"]
+    return temporal.cohort_retention(ev, "user_id", "ts").orderBy(
+        "cohort", "week_offset"
+    )
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+               FROM events),
+         g AS (SELECT user_id, day,
+                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+               FROM d),
+         i AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor FROM g),
+         r AS (SELECT user_id, anchor, COUNT(*) AS streak
+               FROM i GROUP BY user_id, anchor)
+    SELECT user_id, CAST(MAX(streak) AS BIGINT) AS max_streak
+    FROM r GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day run per user (islands trick:
+    day − row_number is constant within a run). Every stage keys on
+    user_id — one shuffle, no self-join."""
+    ev = _t(spark, sf_dir)["events"]
+    return temporal.activity_streaks(ev, "user_id", "ts").orderBy("user_id")

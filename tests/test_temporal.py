@@ -1,0 +1,129 @@
+"""Unit semantics for operators/temporal.py — the edge cases the sf0.01
+differential can't isolate: inclusive as-of matching, tie-breaks,
+row-atomic payload carry, gap boundaries, strict funnel ordering."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from corkscrew_spark.operators import temporal
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=_ts("2024-01-01T10:00:00"), lid=100),  # exact-ts match
+            Row(k=1, lts=_ts("2024-01-01T09:00:00"), lid=101),  # before any right
+            Row(k=2, lts=_ts("2024-01-01T12:00:00"), lid=102),  # no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01T10:00:00"), val="a"),
+            Row(k=1, rts=_ts("2024-01-01T11:00:00"), val="b"),
+        ]
+    )
+    out = {
+        r.lid: r.val
+        for r in temporal.asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["val"],
+        ).collect()
+    }
+    assert out == {100: "a", 101: None, 102: None}
+
+
+def test_asof_tiebreak_picks_highest(spark):
+    left = spark.createDataFrame([Row(k=1, lts=_ts("2024-01-01T10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01T09:00:00"), rid=5, val="low"),
+            Row(k=1, rts=_ts("2024-01-01T09:00:00"), rid=9, val="high"),
+        ]
+    )
+    rows = temporal.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["rid", "val"], tiebreak="rid",
+    ).collect()
+    assert rows[0].rid == 9 and rows[0].val == "high"
+
+
+def test_asof_payload_is_row_atomic(spark):
+    """A NULL inside the latest payload must NOT be backfilled from an
+    older right row — the struct carry keeps the match row-atomic."""
+    left = spark.createDataFrame([Row(k=1, lts=_ts("2024-01-01T12:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01T10:00:00"), a="old-a", b="old-b"),
+            Row(k=1, rts=_ts("2024-01-01T11:00:00"), a="new-a", b=None),
+        ]
+    )
+    row = temporal.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["a", "b"],
+    ).collect()[0]
+    assert (row.a, row.b) == ("new-a", None)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Exactly-at-gap stays in the session; one microsecond over splits."""
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts("2024-01-01T10:00:00"), eid=1),
+            Row(u=1, ts=_ts("2024-01-01T10:30:00"), eid=2),          # == 1800s
+            Row(u=1, ts=_ts("2024-01-01T11:00:00.000001"), eid=3),   # 1800.000001s
+        ]
+    )
+    got = {
+        r.eid: r.session_id
+        for r in temporal.sessionize(ev, "u", "ts", 1800, "eid").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_funnel_strictly_after(spark):
+    """A step-2 event at the same instant as step 1 does not count."""
+    t0 = _ts("2024-01-01T10:00:00")
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=t0, et="view"),
+            Row(u=1, ts=t0, et="click"),                      # simultaneous: no
+            Row(u=2, ts=t0, et="view"),
+            Row(u=2, ts=_ts("2024-01-01T10:01:00"), et="click"),  # after: yes
+            Row(u=3, ts=t0, et="click"),                      # click w/o view: no
+        ]
+    )
+    got = {r.step: r.entities for r in
+           temporal.funnel(ev, "u", "ts", "et", ["view", "click"]).collect()}
+    assert got == {"step1_view": 2, "step2_click": 1}
+
+
+def test_activity_streaks_gap_resets(spark):
+    ev = spark.createDataFrame(
+        [Row(u=1, ts=_ts(f"2024-01-0{d}T09:00:00")) for d in (1, 2, 3, 5, 6)]
+        + [Row(u=2, ts=_ts("2024-01-01T09:00:00"))]
+        + [Row(u=2, ts=_ts("2024-01-01T17:00:00"))]  # same day twice: streak 1
+    )
+    got = {r.u: r.max_streak for r in
+           temporal.activity_streaks(ev, "u", "ts").collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts("2024-01-01T09:00:00")),  # Mon wk0
+            Row(u=1, ts=_ts("2024-01-10T09:00:00")),  # wk1
+            Row(u=2, ts=_ts("2024-01-02T09:00:00")),  # wk0 cohort
+        ]
+    )
+    rows = temporal.cohort_retention(ev, "u", "ts").collect()
+    got = {(r.week_offset): r.users for r in rows}
+    assert got == {0: 2, 1: 1}
