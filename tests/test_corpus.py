@@ -116,3 +116,46 @@ def test_semdedup_accepts_precomputed_centroids(spark):
                               threshold=0.99, centroids=cents)
     assert res.filter("NOT keep").count() == 0   # no dups planted
     assert res.count() == 4
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus bigrams: doc1 (a,b),(b,a),(a,b) + doc2 (a,a) give prefix
+    counts c(a.)=3, c(b.)=1 and P(b|a)=2/3, P(a|a)=1/3, P(a|b)=1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "solo")], "id long, text string"
+    )
+    from corkscrew_spark.operators import corpus
+
+    rows = {r.id: r for r in corpus.bigram_logprob(docs, "id", "text").collect()}
+    assert 3 not in rows                       # <2 tokens: no bigrams
+    assert rows[2].n_bigrams == 1
+    assert abs(rows[2].avg_neg_logprob - (-math.log(1 / 3))) < 1e-6
+    expect1 = -(math.log(2 / 3) + math.log(1.0) + math.log(2 / 3)) / 3
+    assert abs(rows[1].avg_neg_logprob - expect1) < 1e-6
+
+
+def test_c4_flags_verdicts(spark):
+    from corkscrew_spark.operators import text as tx
+
+    good = " ".join(["word"] * 60) + "." # one line, ends in punct, 60 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short line."),                        # < min_words
+            (3, good + "\nlorem ipsum dolor."),        # placeholder text
+            (4, good.replace("word.", "word{.")),      # brace
+            (5, "no punct here\n" + good),             # 1/2 lines punct: keep
+            (6, "no\nno\npunct." ),                    # 1/3 lines punct: drop
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           tx.c4_quality_flags(docs, "doc_id", "text", min_words=50).collect()}
+    assert got[1].keep == 1
+    assert got[2].keep == 0
+    assert got[3].keep == 0 and got[3].has_lorem == 1
+    assert got[4].keep == 0 and got[4].has_brace == 1
+    assert got[5].keep == 1 and got[5].punct_lines == 1 and got[5].n_lines == 2
+    assert got[6].keep == 0
