@@ -53,14 +53,23 @@ _DRIVER_RECORDED = frozenset({
 })
 
 
+#: Registered late in round 3, after the 50-slot window was already full
+#: of never-verified queries. They pass the local sf0.001/sf0.01
+#: differential gate and rotate to the FRONT of the window next round.
+_DEFERRED = frozenset({"interval_join_sessions", "graph_triangles"})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Never-driver-verified queries come first (see _DRIVER_RECORDED).
+    Never-driver-verified queries come first (see _DRIVER_RECORDED),
+    this round's overflow (_DEFERRED) directly after, proven queries last.
     """
     from corkscrew_spark.plans.queries import QUERIES
 
-    ordered = sorted(QUERIES, key=lambda n: n in _DRIVER_RECORDED)
+    ordered = sorted(
+        QUERIES, key=lambda n: (n in _DRIVER_RECORDED, n in _DEFERRED)
+    )
     return {n: QUERIES[n] for n in ordered}
 
 

@@ -230,3 +230,139 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         if it % 2 == 1 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph.
+
+    Degree-ordering trick (Cohen's MapReduce formulation): direct every
+    undirected edge from the lower-(degree, id) endpoint to the higher
+    one, so each triangle is enumerated exactly once from its smallest
+    vertex and the wedge-join fan-out is bounded by the max out-degree
+    after ordering — O(sqrt(|E|)) even on power-law graphs, which is what
+    makes this survive a hub node with millions of neighbors.
+
+    Plan: degree agg -> ordered edge list -> wedge self-join on the
+    common endpoint -> closing-edge semi join -> count per corner.
+    Returns (node, triangles) for every node of the graph (0 for
+    triangle-free nodes).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    nodes = deg.select("node")
+    # order each edge by (deg, id): keep only the low -> high direction
+    d1 = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")
+    d2 = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")
+    ordered = (
+        und.join(d1, "a").join(d2, "b")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    # wedges centered at the ordered edges' source: (u -> v), (u -> w), v < w
+    e1 = ordered.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = ordered.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    closing = ordered.select(
+        F.col("a").alias("v"), F.col("b").alias("w")
+    ).unionByName(
+        ordered.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    ).distinct()
+    tris = wedges.join(closing, ["v", "w"])  # one row per triangle corner set
+    per_node = (
+        tris.select(F.col("u").alias("node"))
+        .unionByName(tris.select(F.col("v").alias("node")))
+        .unionByName(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select("node", F.coalesce("triangles", F.lit(0)).cast("long")
+                .alias("triangles"))
+    )
+
+
+def weighted_shortest_paths(edges: DataFrame, source: str,
+                            src_col: str = "src", dst_col: str = "dst",
+                            weight_col: str = "weight",
+                            max_rounds: int = 30,
+                            directed: bool = True) -> DataFrame:
+    """Single-source shortest path distances under non-negative edge
+    weights — Bellman-Ford by synchronous rounds as DataFrame joins
+    (the SSSP every Pregel-style system ships; Dijkstra's priority queue
+    is inherently sequential and does not distribute).
+
+    Per round: tentative distances join out-edges (one shuffle on the
+    edge key), candidate = dist + weight, new dist = min(old, best
+    candidate). Converges in <= graph-diameter rounds; rounds stop early
+    at fixpoint. localCheckpoint after every round keeps the plan O(1).
+    Negative weights raise (Bellman-Ford would need |V|-1 forced rounds
+    and a negative-cycle check — out of scope for path costs, which are
+    non-negative).
+
+    Returns (node, dist DOUBLE, hops BIGINT) for every reachable node;
+    ``hops`` is the hop count of the minimal-cost path (min-dist ties
+    broken by fewer hops, then it is stable because candidates merge
+    through a commutative min over (dist, hops)).
+    """
+    if not edges.filter(F.col(weight_col) < 0).isEmpty():
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    e = (
+        e.groupBy("src", "dst").agg(F.min("w").alias("w"))  # parallel edges
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dists = spark.createDataFrame(
+        [(source, 0.0, 0)], "node string, dist double, hops long"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            dists.join(e, dists["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        merged = (
+            dists.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "hops")).alias("s"))
+            .select("node", F.col("s.dist").alias("dist"),
+                    F.col("s.hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: no node improved its (dist, hops)
+        changed = merged.join(
+            dists, ["node", "dist", "hops"], "left_anti"
+        )
+        stable = changed.isEmpty() and merged.count() == dists.count()
+        dists = merged
+        if stable:
+            break
+    else:
+        raise ValueError(
+            f"weighted_shortest_paths did not converge in {max_rounds} rounds"
+        )
+    return dists

@@ -218,3 +218,62 @@ def cohort_retention(events: DataFrame, entity_col: str, ts_col: str) -> DataFra
         )
         .agg(F.countDistinct("entity").alias("users"))
     )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_ts: str, start_ts: str, end_ts: str,
+                  bucket_seconds: int = 3600,
+                  point_keys: list[str] | None = None,
+                  interval_keys: list[str] | None = None) -> DataFrame:
+    """Range join: each point row matched to every interval containing it
+    (``start <= t < end``), without the cartesian product Spark would
+    plan for a bare inequality join.
+
+    Blocking: intervals are exploded to the fixed-width time buckets they
+    overlap, points map to exactly one bucket, and the join is a plain
+    equi-join on bucket with the interval predicate as a residual filter.
+    Shuffle volume is |points| + |intervals| x avg_buckets_per_interval —
+    pick ``bucket_seconds`` near the typical interval length so the
+    expansion factor stays small. An interval column that is NULL or
+    inverted (end <= start) contributes nothing.
+
+    Returns the selected point columns + interval columns, one row per
+    containment. Column name collisions must be resolved by the caller.
+    """
+    p_cols = point_keys if point_keys is not None else points.columns
+    i_cols = interval_keys if interval_keys is not None else intervals.columns
+    b = F.lit(bucket_seconds).cast("long")
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+    us_per_bucket = b * 1_000_000
+
+    p = points.select(
+        *p_cols, F.floor(p_us / us_per_bucket).alias("__bucket"),
+        p_us.alias("__p_us"),
+    )
+    i = (
+        intervals.filter(
+            F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull()
+            & (e_us > s_us)
+        )
+        .select(
+            *i_cols,
+            F.explode(
+                # end is exclusive: a zero-length tail bucket is never
+                # emitted because (e_us - 1) anchors the last bucket.
+                F.sequence(
+                    F.floor(s_us / us_per_bucket),
+                    F.floor((e_us - 1) / us_per_bucket),
+                )
+            ).alias("__bucket"),
+            s_us.alias("__s_us"),
+            e_us.alias("__e_us"),
+        )
+    )
+    return (
+        p.join(i, "__bucket")
+        .filter((F.col("__p_us") >= F.col("__s_us"))
+                & (F.col("__p_us") < F.col("__e_us")))
+        .select(*p_cols, *i_cols)
+    )

@@ -170,3 +170,54 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — one shuffle, no self-join."""
     ev = _t(spark, sf_dir)["events"]
     return temporal.activity_streaks(ev, "user_id", "ts").orderBy("user_id")
+
+
+@query(
+    "interval_join_sessions",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase' AND user_id < 10),
+         o AS (SELECT user_id, ts, event_id,
+                      CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                                > 604800000000
+                           THEN 1 ELSE 0 END AS new_s
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+                      CAST(SUM(new_s) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                      AS session_id,
+                      ts
+               FROM o),
+         iv AS (SELECT user_id AS s_user, session_id,
+                       MIN(ts) AS started, MAX(ts) AS ended
+                FROM s GROUP BY 1, 2),
+         err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id, iv.s_user, iv.session_id
+    FROM err e JOIN iv ON e.ts >= iv.started AND e.ts < iv.ended
+    ORDER BY event_id, s_user, session_id
+    """,
+)
+def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket blocking: error events matched into the
+    purchase sessions (7-day gap) of users 0-9 whose [start, end) span
+    contains them. The oracle affords the quadratic theta join at
+    sf0.01; the Spark plan explodes intervals to day buckets and
+    equi-joins on the bucket — shuffle volume is
+    |points| + |intervals| x days_per_interval, never |points| x
+    |intervals|."""
+    ev = _t(spark, sf_dir)["events"]
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 10)
+    )
+    sess = temporal.session_stats(
+        purch, "user_id", "ts", gap_seconds=7 * 86400, order_tiebreak="event_id"
+    )
+    iv = sess.select(
+        F.col("user_id").alias("s_user"), "session_id", "started", "ended"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    return temporal.interval_join(
+        errs, iv, "ts", "started", "ended", bucket_seconds=86400,
+        point_keys=["event_id"], interval_keys=["s_user", "session_id"],
+    ).orderBy("event_id", "s_user", "session_id")

@@ -85,3 +85,51 @@ def test_pagerank_star_and_cycle(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     for v in ranks.values():
         assert abs(v - 1 / 3) < 1e-9
+
+
+def test_triangle_count_k4_with_pendant(spark):
+    """K4: every vertex is in C(3,2)=3 triangles; a pendant vertex is in 0."""
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.triangles for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    """Duplicate and reversed edges must not inflate counts."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (1, 2), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.triangles for r in graph.triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_weighted_sssp_prefers_cheap_long_path(spark):
+    """a->b->c (1+1=2) beats the direct a->c edge of weight 5."""
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("x", "y", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {r.node: (r.dist, r.hops) for r in
+           graph.weighted_shortest_paths(e, "a").collect()}
+    assert got == {"a": (0.0, 0), "b": (1.0, 1), "c": (2.0, 2)}
+
+
+def test_weighted_sssp_undirected_and_parallel_edges(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 3.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {r.node: r.dist for r in
+           graph.weighted_shortest_paths(e, "c", directed=False).collect()}
+    assert got == {"c": 0.0, "b": 1.0, "a": 2.0}
+
+
+def test_weighted_sssp_rejects_negative(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([("a", "b", -1.0)],
+                              "src string, dst string, weight double")
+    with _pytest.raises(ValueError):
+        graph.weighted_shortest_paths(e, "a")

@@ -127,3 +127,51 @@ def test_cohort_retention_offsets(spark):
     rows = temporal.cohort_retention(ev, "u", "ts").collect()
     got = {(r.week_offset): r.users for r in rows}
     assert got == {0: 2, 1: 1}
+
+
+def test_interval_join_containment(spark):
+    pts = spark.createDataFrame(
+        [
+            Row(pid=1, ts=_ts("2024-01-01T10:30:00")),
+            Row(pid=2, ts=_ts("2024-01-01T11:00:00")),  # == end: excluded
+            Row(pid=3, ts=_ts("2024-01-01T10:00:00")),  # == start: included
+            Row(pid=4, ts=_ts("2024-01-02T00:00:00")),  # no interval
+        ]
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(iid=10, s=_ts("2024-01-01T10:00:00"), e=_ts("2024-01-01T11:00:00")),
+            Row(iid=11, s=_ts("2024-01-01T10:15:00"), e=_ts("2024-01-01T10:45:00")),
+            Row(iid=12, s=_ts("2024-01-01T12:00:00"), e=_ts("2024-01-01T12:00:00")),  # empty
+        ]
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in temporal.interval_join(
+            pts, iv, "ts", "s", "e",
+            bucket_seconds=600, point_keys=["pid"], interval_keys=["iid"],
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (3, 10)]
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The answer must not depend on the blocking bucket width."""
+    pts = spark.createDataFrame(
+        [Row(pid=i, ts=_ts(f"2024-01-01T{h:02d}:{m:02d}:00"))
+         for i, (h, m) in enumerate([(9, 59), (10, 0), (13, 30), (23, 59)])]
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(iid=1, s=_ts("2024-01-01T10:00:00"), e=_ts("2024-01-01T14:00:00")),
+            Row(iid=2, s=_ts("2024-01-01T13:00:00"), e=_ts("2024-01-02T01:00:00")),
+        ]
+    )
+    results = []
+    for width in (60, 3600, 86400):
+        rows = temporal.interval_join(
+            pts, iv, "ts", "s", "e", bucket_seconds=width,
+            point_keys=["pid"], interval_keys=["iid"],
+        ).collect()
+        results.append(sorted((r.pid, r.iid) for r in rows))
+    assert results[0] == results[1] == results[2] == [(1, 1), (2, 1), (2, 2), (3, 2)]
