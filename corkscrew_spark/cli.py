@@ -406,6 +406,53 @@ def cmd_version(_args: argparse.Namespace) -> int:
     return 0
 
 
+#: provider name -> (module path, optional real-SDK import gate)
+_PROVIDER_MODULES = {
+    "aws": ("corkscrew_spark.ingest.aws_scanner", "boto3"),
+    "azure": ("corkscrew_spark.ingest.cloud_sources", None),
+    "gcp": ("corkscrew_spark.ingest.cloud_sources", None),
+    "kubernetes": ("corkscrew_spark.ingest.k8s_scanner", "kubernetes"),
+}
+
+
+def cmd_plugin(args: argparse.Namespace) -> int:
+    """Provider-module management — parity with cmd/corkscrew/main.go
+    runPlugin (:1533-1560, list/build/status). The reference manages
+    compiled plugin binaries; here providers are in-process PySpark
+    modules, so `list` enumerates them, `status` reports whether the
+    real cloud SDK is importable (falling back to the deterministic
+    offline fake), and `build` explains there is nothing to compile.
+    """
+    sub = args.plugin_cmd
+    if sub == "build":
+        print("providers are in-process PySpark modules; nothing to build")
+        return 0
+    import importlib
+    import importlib.util
+
+    rows = []
+    for name, (module, sdk) in _PROVIDER_MODULES.items():
+        try:
+            importlib.import_module(module)
+            loaded = "loaded"
+        except Exception as exc:  # pragma: no cover - import errors are fatal bugs
+            loaded = f"error: {exc}"
+        if sdk is None:
+            backend = "in-process"
+        elif importlib.util.find_spec(sdk) is not None:
+            backend = f"sdk:{sdk}"
+        else:
+            backend = "offline-fake"
+        rows.append((name, module, loaded, backend))
+    if sub == "list":
+        for name, module, _loaded, _backend in rows:
+            print(f"{name}\t{module}")
+    else:  # status
+        for name, module, loaded, backend in rows:
+            print(f"{name}\t{loaded}\t{backend}")
+    return 0
+
+
 def cmd_init(args: argparse.Namespace) -> int:
     """Workspace bootstrap — parity with cmd/corkscrew/init.go runInit
     (:114-230): create the ~/.corkscrew tree, check dependencies, read
@@ -556,6 +603,10 @@ def main(argv: list[str] | None = None) -> int:
 
     vv = sub.add_parser("version", help="show version")
     vv.set_defaults(fn=cmd_version)
+
+    pl = sub.add_parser("plugin", help="provider module management")
+    pl.add_argument("plugin_cmd", choices=["list", "build", "status"])
+    pl.set_defaults(fn=cmd_plugin)
 
     ini = sub.add_parser("init", help="bootstrap the ~/.corkscrew workspace")
     ini.add_argument("--dry-run", action="store_true")

@@ -833,8 +833,12 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir + "#semdedup")
     cents = _IVF_CENTROIDS.get(key)
     if cents is None:
+        # iters=1: the quantizer only BLOCKS the pair scan — one Lloyd
+        # refinement from the deterministic seed is enough for blocking
+        # quality, and it halves the training driver round-trips (same
+        # trade ann_ivf_topk makes; operator default stays 2).
         cents = _IVF_CENTROIDS[key] = similarity.ivf_centroids(
-            e, "vec_id", "embedding", nlist=8, iters=2
+            e, "vec_id", "embedding", nlist=8, iters=1
         )
     res = dedup.semdedup_keep(e, "vec_id", "embedding", nlist=8, threshold=0.4,
                               centroids=cents)

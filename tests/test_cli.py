@@ -181,3 +181,15 @@ def test_init_dry_run_touches_nothing(tmp_path, capsys, monkeypatch):
     assert rc == 0
     assert not (tmp_path / "ws").exists()
     assert "DRY RUN" in out
+
+
+def test_plugin_list_and_status(capsys):
+    assert cli.main(["plugin", "list"]) == 0
+    out = capsys.readouterr().out
+    for provider in ("aws", "azure", "gcp", "kubernetes"):
+        assert provider in out
+    assert cli.main(["plugin", "status"]) == 0
+    out = capsys.readouterr().out
+    assert "loaded" in out and ("offline-fake" in out or "sdk:" in out)
+    assert cli.main(["plugin", "build"]) == 0
+    assert "nothing to build" in capsys.readouterr().out
