@@ -175,3 +175,76 @@ def test_interval_join_bucket_width_invariance(spark):
         ).collect()
         results.append(sorted((r.pid, r.iid) for r in rows))
     assert results[0] == results[1] == results[2] == [(1, 1), (2, 1), (2, 2), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the union-merge as-of join and windowed sessionization
+# must agree with a brute-force reference on arbitrary inputs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EPOCH = _ts("2024-01-01T00:00:00")
+_TS = st.integers(min_value=0, max_value=5000)  # offsets in seconds
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), _TS), min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 3), _TS), min_size=0, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from datetime import timedelta
+
+    left = spark.createDataFrame(
+        [Row(k=k, lts=_EPOCH + timedelta(seconds=s), lid=i)
+         for i, (k, s) in enumerate(lefts)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=k, rts=_EPOCH + timedelta(seconds=s), rid=i)
+         for i, (k, s) in enumerate(rights)],
+        schema="k int, rts timestamp, rid int",
+    )
+    got = {
+        r.lid: r.rid
+        for r in temporal.asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    for i, (k, s) in enumerate(lefts):
+        cands = [(rs, j) for j, (rk, rs) in enumerate(rights)
+                 if rk == k and rs <= s]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, s, cands)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), _TS), min_size=1, max_size=15),
+    gap=st.integers(min_value=1, max_value=1000),
+)
+def test_sessionize_matches_bruteforce(spark, events, gap):
+    from datetime import timedelta
+
+    df = spark.createDataFrame(
+        [Row(u=u, ts=_EPOCH + timedelta(seconds=s), eid=i)
+         for i, (u, s) in enumerate(events)]
+    )
+    got = {r.eid: r.session_id
+           for r in temporal.sessionize(df, "u", "ts", gap, "eid").collect()}
+    # brute force: sort each user's events by (ts, eid), split on gap
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(events):
+        by_user.setdefault(u, []).append((s, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for s, i in evs:
+            if prev is None or s - prev > gap:
+                sid += 1
+            prev = s
+            assert got[i] == sid, (u, s, i, gap, evs)
