@@ -56,7 +56,9 @@ _DRIVER_RECORDED = frozenset({
 #: Registered late in round 3, after the 50-slot window was already full
 #: of never-verified queries. They pass the local sf0.001/sf0.01
 #: differential gate and rotate to the FRONT of the window next round.
-_DEFERRED = frozenset({"interval_join_sessions", "graph_triangles"})
+_DEFERRED = frozenset({
+    "interval_join_sessions", "graph_triangles", "corpus_training_mix",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

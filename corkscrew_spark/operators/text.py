@@ -234,6 +234,24 @@ def with_repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFr
 # C4-style document heuristics (Raffel et al. 2020 cleaning rules)
 # ---------------------------------------------------------------------------
 
+def c4_keep(text_col: str | Column, min_words: int = 50) -> Column:
+    """The C4 keep verdict as one boolean Column (the predicate form of
+    c4_quality_flags for pipeline filters): >= half the lines end in
+    terminal punctuation, >= ``min_words`` whitespace tokens, no
+    'lorem ipsum', no '{'. Integer/boolean arithmetic only — map-only
+    and engine-reproducible."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(text, "\n")
+    punct_lines = F.size(F.filter(lines, lambda ln: ln.rlike(r"[.!?]$")))
+    words = F.size(F.split(F.trim(text), r"\s+"))
+    return (
+        (punct_lines * 2 >= F.size(lines))
+        & (words >= min_words)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+
+
 def c4_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
                      min_words: int = 50) -> DataFrame:
     """Per-document C4 cleaning signals, all integer-typed so the verdict

@@ -907,3 +907,79 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_training_mix",
+    oracle="""
+    WITH kept0 AS (
+        SELECT doc_id, text, lang, source,
+               array_to_string(string_split(lower(text), ' ')[1:5], ' ') AS pk
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
+          AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept0 GROUP BY pk),
+    deduped AS (SELECT k0.* FROM kept0 k0 JOIN keepers USING (doc_id)),
+    sampled AS (
+        SELECT doc_id, text, source FROM deduped
+        WHERE substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '{en}' ELSE '{rest}' END
+    ),
+    sp AS (
+        SELECT source AS stratum, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS tokens,
+               SUM(len(string_split_regex(trim(text), '\\s+')))
+                   OVER (PARTITION BY source ORDER BY doc_id) AS e
+        FROM sampled
+    ),
+    spans AS (SELECT stratum, doc_id, tokens, e, e - tokens AS s FROM sp),
+    chunks AS (
+        SELECT stratum, doc_id, s, e, seq_id
+        FROM spans, UNNEST(range(CAST(FLOOR(s / 256) AS BIGINT),
+                                 CAST(FLOOR((e - 1) / 256) AS BIGINT) + 1)) AS u(seq_id)
+    )
+    SELECT stratum, seq_id, doc_id,
+           CAST(GREATEST(s, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_offset,
+           CAST(LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256) AS BIGINT) AS n_tokens
+    FROM chunks
+    ORDER BY stratum, seq_id, seq_offset, doc_id
+    """.format(
+        en=__import__("corkscrew_spark.operators.sampling", fromlist=["threshold_hex"]).threshold_hex(0.5),
+        rest=__import__("corkscrew_spark.operators.sampling", fromlist=["threshold_hex"]).threshold_hex(1.0),
+    ),
+)
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end training-data pipeline as ONE composed
+    plan: quality gate (>=20 words, no placeholder text / markup
+    tripwires — the punctuation rule is omitted because the synthetic
+    corpus is single-line) -> exact prefix dedup (keep the min doc per
+    5-token prefix) -> deterministic stratified downsampling (50% of
+    English, everything else kept, md5-threshold so membership is a pure
+    function of the id) -> concat-and-chunk packing into 256-token
+    sequences per source shard.
+
+    Every stage is one of the already-verified operators; the
+    composition stays a single declarative plan (filter is map-only,
+    dedup is one groupBy + semi join on the doc key, sampling is
+    map-only, packing windows per shard), so Catalyst pipelines the
+    whole thing with three shuffles total at any corpus scale."""
+    d = register_tables(spark, sf_dir)["documents"]
+    kept = d.filter(
+        (packing.whitespace_tokens("text") >= 20)
+        & ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+    keepers = (
+        kept.groupBy(text.prefix_key("text").alias("pk"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(keepers, "doc_id", "left_semi")
+    sampled = sampling.stratified_hash_sample(
+        deduped, "doc_id", "lang", {"en": 0.5}, default=1.0, seed="mix-v1"
+    )
+    return packing.pack_sequences(
+        sampled, "doc_id", "text", budget=256, stratify_col="source"
+    ).orderBy("stratum", "seq_id", "seq_offset", "doc_id")
