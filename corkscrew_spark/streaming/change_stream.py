@@ -123,3 +123,48 @@ def start_to_parquet(df: DataFrame, path: str, checkpoint: str,
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+def correlate_streams(changes: DataFrame, alerts: DataFrame,
+                      within: str = "10 minutes",
+                      watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream join: each change event paired with the alert-feed
+    events for the same resource that occur within ``within`` AFTER it —
+    the "which alert did this change trigger" correlation the reference
+    answers only after landing both feeds in the warehouse
+    (internal/changes/change_storage.go QueryChanges + manual join).
+
+    Structured Streaming requirements encoded here: BOTH sides carry an
+    event-time watermark and the join condition bounds the alert's event
+    time relative to the change's, so the state store can evict rows
+    once the watermark passes — state stays O(events inside the
+    correlation window), not O(stream length).
+    """
+    c = (
+        changes.withWatermark("timestamp", watermark)
+        .select(
+            F.col("id").alias("change_id"),
+            F.col("resource_id").alias("c_resource_id"),
+            F.col("change_type"),
+            F.col("timestamp").alias("c_ts"),
+        )
+    )
+    a = (
+        alerts.withWatermark("timestamp", watermark)
+        .select(
+            F.col("id").alias("alert_id"),
+            F.col("resource_id").alias("a_resource_id"),
+            F.col("severity").alias("alert_severity"),
+            F.col("timestamp").alias("a_ts"),
+        )
+    )
+    return c.join(
+        a,
+        F.expr(
+            "c_resource_id = a_resource_id AND "
+            f"a_ts >= c_ts AND a_ts <= c_ts + interval {within}"
+        ),
+    ).select(
+        "change_id", "alert_id", F.col("c_resource_id").alias("resource_id"),
+        "change_type", "alert_severity", "c_ts", "a_ts",
+    )

@@ -107,3 +107,37 @@ def test_session_change_bursts(spark, tmp_path):
     assert str(burst["burst_end"]) == "2024-01-01 00:55:00"
     assert rows[("r-0", "2024-01-01 02:30:00")]["events"] == 1
     assert rows[("r-1", "2024-01-01 00:00:00")]["events"] == 1
+
+
+def test_correlate_streams_time_bounded(spark, tmp_path):
+    """Stream-stream join pairs changes with after-the-fact alerts on the
+    same resource inside the correlation window, and only those."""
+    chg_dir, alr_dir = tmp_path / "chg", tmp_path / "alr"
+    _write_events(chg_dir, [
+        _event(1, ts="2024-01-01T00:00:00"),
+        _event(2, ts="2024-01-01T01:00:00"),
+    ])
+    # r-1 alert 5 min after change 1 (in window); r-2 alert 40 min after
+    # change 2 (outside the 10-minute bound); r-3 alert with no change.
+    _write_events(alr_dir, [
+        _event(101, sev="HIGH", ts="2024-01-01T00:05:00"),
+        _event(102, sev="HIGH", ts="2024-01-01T01:40:00"),
+        _event(103, sev="LOW", ts="2024-01-01T02:00:00"),
+    ])
+    # ids 1 and 101 share resource r-1 (i % 5); 2/102 share r-2; 103 -> r-3
+    joined = change_stream.correlate_streams(
+        change_stream.read_change_stream(spark, str(chg_dir)),
+        change_stream.read_change_stream(spark, str(alr_dir)),
+        within="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("corr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT change_id, alert_id FROM corr_test").collect()
+    got = sorted((r.change_id, r.alert_id) for r in rows)
+    assert got == [("ce-1", "ce-101")]
