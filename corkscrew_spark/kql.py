@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+\.\d+|\d+)
   | (?P<ident>[$A-Za-z_][A-Za-z0-9_]*)
   | (?P<bangword>![a-z_]+)                          # !contains, !in, ...
-  | (?P<op>==|!=|=~|!~|<=|>=|[|,()\[\]=<>+\-*/%.:])
+  | (?P<op>==|!=|=~|!~|<=|>=|\.\.|[|,()\[\]=<>+\-*/%.:])
     """,
     re.VERBOSE,
 )
@@ -123,6 +123,17 @@ def _tokenize(s: str) -> list[_Tok]:
 
 def _lower_eq(a: Column, b: Column) -> Column:
     return F.lower(a.cast("string")) == F.lower(b.cast("string"))
+
+
+def _has_term(haystack: Column, term: Column) -> Column:
+    """Kusto ``has`` semantics: case-insensitive whole-term match, where a
+    term boundary is any non-alphanumeric character (shared by has /
+    !has / has_any / has_all)."""
+    return F.regexp_like(
+        F.lower(haystack.cast("string")),
+        F.concat(F.lit(r"(^|[^a-z0-9])"),
+                 _regex_quote(F.lower(term.cast("string"))),
+                 F.lit(r"($|[^a-z0-9])")))
 
 
 class _ExprParser:
@@ -217,11 +228,7 @@ class _ExprParser:
                 res = F.endswith(F.lower(left.cast("string")),
                                  F.lower(right.cast("string")))
             else:  # has: whole-term match, term = alphanumeric run
-                res = F.regexp_like(
-                    F.lower(left.cast("string")),
-                    F.concat(F.lit(r"(^|[^a-z0-9])"),
-                             _regex_quote(F.lower(right.cast("string"))),
-                             F.lit(r"($|[^a-z0-9])")))
+                res = _has_term(left, right)
             return ~res if op.startswith("!") else res
         if op == "in" or op == "!in":
             self.i += 1
@@ -232,6 +239,29 @@ class _ExprParser:
             self.expect(")")
             res = left.isin(vals)
             return ~res if op == "!in" else res
+        if op in ("between", "!between"):
+            # x between (lo .. hi) — inclusive both ends (Kusto semantics)
+            self.i += 1
+            self.expect("(")
+            lo = self.add_expr()
+            self.expect("..")
+            hi = self.add_expr()
+            self.expect(")")
+            res = (left >= lo) & (left <= hi)
+            return ~res if op == "!between" else res
+        if op in ("has_any", "has_all"):
+            # col has_any ('t1', 't2') — whole-term match on any/all terms
+            self.i += 1
+            self.expect("(")
+            vals = [self.literal_value()]
+            while self.accept(","):
+                vals.append(self.literal_value())
+            self.expect(")")
+            terms = [_has_term(left, F.lit(str(v))) for v in vals]
+            res = terms[0]
+            for term in terms[1:]:
+                res = (res | term) if op == "has_any" else (res & term)
+            return res
         return left
 
     def literal_value(self):

@@ -404,3 +404,22 @@ def test_scalar_string_helpers(tiny_events):
                     s = strcat_delim('-', event_type, user_id), r = reverse(event_type)
            | project i, miss, s, r""", {"T": tiny_events}).collect()[0]
     assert (r["i"], r["miss"], r["s"], r["r"]) == (2, -1, "click-10", "kcilc")
+
+
+def test_between_inclusive_and_negated(spark):
+    df = spark.createDataFrame([(1,), (5,), (10,), (11,)], "x long")
+    got = kql_to_df("T | where x between (5 .. 10) | project x", {"T": df}).collect()
+    assert sorted(r["x"] for r in got) == [5, 10]
+    got = kql_to_df("T | where x !between (5 .. 10) | project x", {"T": df}).collect()
+    assert sorted(r["x"] for r in got) == [1, 11]
+
+
+def test_has_any_and_has_all_whole_terms(spark):
+    df = spark.createDataFrame(
+        [("alpha beta",), ("beta gamma",), ("alphabet soup",)], "s string")
+    got = kql_to_df("T | where s has_any ('alpha', 'gamma') | project s",
+                    {"T": df}).collect()
+    assert sorted(r["s"] for r in got) == ["alpha beta", "beta gamma"]
+    got = kql_to_df("T | where s has_all ('beta', 'gamma') | project s",
+                    {"T": df}).collect()
+    assert [r["s"] for r in got] == ["beta gamma"]
