@@ -152,3 +152,54 @@ def write_partitioned(df: DataFrame, path: str,
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet table directory tree —
+    driver-side directory walk (metadata-sized, not data-sized)."""
+    n_files = total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                n_files += 1
+                total += os.path.getsize(os.path.join(root, name))
+    return n_files, total
+
+
+def compact_table(spark: SparkSession, path: str,
+                  partition_cols: list[str] | None = None,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+    """Small-file compaction (OPTIMIZE-style rewrite): coalesce a table's
+    many small parquet files into ~``target_file_bytes`` files, keeping
+    the hive partition layout when ``partition_cols`` is given.
+
+    Why it exists: every streaming micro-batch / incremental append adds
+    files; a long-running 100 TB warehouse degrades to millions of tiny
+    files whose open/footer costs dominate scans. Rewrite-and-swap with
+    a target size restores scan efficiency and is idempotent.
+
+    The file-count target comes from the on-disk byte size (driver-side
+    metadata walk, no data read); the rewrite itself is one distributed
+    repartition + write, atomically swapped into place. Returns
+    (files_before, files_after).
+    """
+    before, total_bytes = table_file_stats(spark, path)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    tmp = f"{path}.__compact__{time.time_ns()}"
+    if partition_cols:
+        # one task per hive partition, files re-split by the record cap
+        (
+            df.repartition(n_out, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old__{time.time_ns()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after, _ = table_file_stats(spark, path)
+    return before, after

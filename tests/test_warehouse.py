@@ -109,3 +109,36 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # the layout really is hive-style directories
     import os
     assert any(d.startswith("provider=") for d in os.listdir(path))
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "frag")
+    # fragment: 8 separate appends of 1 partition each -> >= 8 files
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).repartition(1).write.mode(
+            "append").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    before, after = warehouse.compact_table(spark, path)
+    assert before >= 8 and after < before
+    assert spark.read.parquet(path).count() == before_rows
+
+
+def test_compact_table_keeps_hive_layout(spark, tmp_path):
+    import os
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "hive")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)], "id long, part string"
+    )
+    for _ in range(4):
+        df.write.mode("append").partitionBy("part").parquet(path)
+    before, after = warehouse.compact_table(spark, path, partition_cols=["part"])
+    assert after < before
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=a", "part=b"]
+    assert spark.read.parquet(path).count() == 800
