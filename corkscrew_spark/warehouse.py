@@ -203,3 +203,55 @@ def compact_table(spark: SparkSession, path: str,
     shutil.rmtree(old)
     after, _ = table_file_stats(spark, path)
     return before, after
+
+
+def zorder_value(x: Column, y: Column, x_min: float, x_max: float,
+                 y_min: float, y_max: float, bits: int = 16) -> Column:
+    """Morton (Z-order) key interleaving ``bits`` quantized bits of two
+    columns — pure integer Column arithmetic, no UDF."""
+    def quantize(c: Column, lo: float, hi: float) -> Column:
+        span = (hi - lo) or 1.0
+        scaled = ((c.cast("double") - F.lit(lo)) / F.lit(span)) * ((1 << bits) - 1)
+        return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+                       F.lit((1 << bits) - 1))
+
+    qx, qy = quantize(x, x_min, x_max), quantize(y, y_min, y_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
+                 n_files: int = 16, bits: int = 16) -> None:
+    """Write ``df`` clustered by the Z-order of (x_col, y_col) so that
+    parquet row-group/file min-max statistics prune BOTH dimensions.
+
+    A table sorted by one column skips scans only for predicates on that
+    column; the Morton interleave gives every output file a small
+    rectangle of (x, y) space, so a selective predicate on either column
+    (or both) eliminates most files from the scan — the layout half of
+    data skipping, complementing partition pruning (categorical dirs)
+    and bucketing (join co-location).
+
+    The min/max bounds come from one metadata-sized aggregate;
+    repartitionByRange on the z-key gives contiguous key ranges per
+    file; the within-partition sort keeps row groups tight.
+    """
+    bounds = df.agg(
+        F.min(x_col).cast("double"), F.max(x_col).cast("double"),
+        F.min(y_col).cast("double"), F.max(y_col).cast("double"),
+    ).first()
+    z = zorder_value(F.col(x_col), F.col(y_col),
+                     bounds[0], bounds[1], bounds[2], bounds[3], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )

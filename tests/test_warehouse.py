@@ -142,3 +142,38 @@ def test_compact_table_keeps_hive_layout(spark, tmp_path):
         d for d in os.listdir(path) if d.startswith("part=")
     ) == ["part=a", "part=b"]
     assert spark.read.parquet(path).count() == 800
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    """Every z-clustered file must cover a small rectangle of (x, y):
+    per-file min-max spans average far below the global span on BOTH
+    columns — the property that lets parquet stats prune either
+    predicate. A plain x-sorted layout fails this for y."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from corkscrew_spark import warehouse
+
+    n = 1 << 14
+    df = spark.range(n).selectExpr(
+        "CAST(id % 128 AS LONG) AS x", "CAST(id DIV 128 AS LONG) AS y"
+    )
+    path = str(tmp_path / "zorder")
+    warehouse.zorder_write(df, path, "x", "y", n_files=16)
+
+    def span_fractions(col_idx_name):
+        fracs = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(md.row_group(i).column(col_idx_name).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx_name).statistics.max
+                     for i in range(md.num_row_groups))
+            fracs.append((hi - lo) / 127.0)
+        return sum(fracs) / len(fracs)
+
+    # x is column 0, y column 1 in the written schema
+    assert span_fractions(0) <= 0.5
+    assert span_fractions(1) <= 0.5
+    assert spark.read.parquet(path).count() == n
