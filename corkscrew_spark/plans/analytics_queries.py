@@ -610,3 +610,63 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "variant_json_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS ksum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS kmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json once, variant_get typed paths — the engine-native JSON
+    path (binary-encoded variant, no per-access string re-parse), vs
+    kql_parse_props' regex route. Same plan shape as any agg:
+    map-side partial over the extracted longs, one shuffle."""
+    ev = _t(spark, sf_dir)["events"]
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("ksum"),
+            F.max("k").cast("long").alias("kmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("distinct_sketch_rollup")
+def distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per event_type, unioned into a grand total WITHOUT touching
+    raw data again — the pre-aggregation pattern that makes 100 TB
+    distinct-count rollups cheap (per-partition sketches merge in bytes,
+    the raw keys never reshuffle). Rows-only: sketch estimates are
+    engine-native; the error bound and merge-vs-direct consistency are
+    asserted in tests/test_analytics_sketch.py."""
+    ev = _t(spark, sf_dir)["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).select(F.lit("__all__").alias("event_type"),
+             F.col("est").cast("long").alias("approx_users"))
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        )
+        .unionByName(merged)
+        .orderBy("event_type")
+    )

@@ -1,0 +1,41 @@
+"""DataSketches HLL invariants for distinct_sketch_rollup: merging
+per-group sketches estimates the union like a directly-built sketch
+does (within the sketch's own envelope — union promotion means the two
+are close, not bit-identical), and estimates stay within the error
+envelope of exact counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hll_merge_equals_direct(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 600 else "b") for i in range(1000)], "uid long, grp string"
+    )
+    merged = (
+        df.groupBy("grp").agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    direct = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("est")).first().est
+    assert abs(merged - direct) <= 0.02 * 1000
+    assert abs(merged - 1000) <= 0.05 * 1000
+
+
+def test_hll_estimate_error_bound(spark):
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("uid"))
+    est = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")).first().e
+    assert abs(est - n) <= 0.05 * n
+
+
+def test_sketch_rollup_shape(spark, sf_dir):
+    from corkscrew_spark.plans.queries import QUERIES
+
+    rows = QUERIES["distinct_sketch_rollup"](spark, sf_dir).collect()
+    by_type = {r.event_type: r.approx_users for r in rows}
+    assert "__all__" in by_type
+    # the union can never estimate below the largest member
+    assert by_type["__all__"] >= max(v for k, v in by_type.items() if k != "__all__") * 0.95
