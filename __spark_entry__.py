@@ -58,7 +58,7 @@ _DRIVER_RECORDED = frozenset({
 #: differential gate and rotate to the FRONT of the window next round.
 _DEFERRED = frozenset({
     "interval_join_sessions", "graph_triangles", "corpus_training_mix",
-    "variant_json_agg", "distinct_sketch_rollup",
+    "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
 })
 
 

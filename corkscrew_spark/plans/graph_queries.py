@@ -226,3 +226,71 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("triangles"), "node")
         .limit(50)
     )
+
+
+@query(
+    "graph_weighted_sssp",
+    oracle="""
+    WITH RECURSIVE g AS (
+        SELECT CAST(p_partkey AS BIGINT) AS node,
+               CAST(p_size AS BIGINT) AS w
+        FROM part WHERE p_partkey < 64
+    ),
+    edges AS (
+        SELECT a.node AS src, b.node AS dst, b.w
+        FROM g a JOIN g b ON b.node = a.node + 1 AND a.node % 8 != 7
+        UNION ALL
+        SELECT a.node, b.node, b.w
+        FROM g a JOIN g b ON b.node = a.node + 8
+    ),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+               CAST(0 AS BIGINT) AS hops
+        UNION ALL
+        SELECT e.dst, w.dist + e.w, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < 14
+    )
+    SELECT node, dist, hops FROM (
+        SELECT node, dist, hops,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY dist, hops) AS rn
+        FROM walk
+    ) WHERE rn = 1
+    ORDER BY node
+    """,
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source weighted shortest distances over a deterministic
+    8x8 grid DAG (nodes = first 64 parts, right/down edges weighted by
+    the destination's p_size): Bellman-Ford rounds
+    (operators/graph.weighted_shortest_paths) vs the oracle's exhaustive
+    recursive path enumeration — tractable for DuckDB only because the
+    grid is a DAG with <= C(14,7) distinct paths; the Spark side is the
+    formulation that scales to arbitrary graphs. Integer weights keep
+    the hash exact."""
+    p = register_tables(spark, sf_dir)["part"]
+    g = p.filter(F.col("p_partkey") < 64).select(
+        F.col("p_partkey").cast("long").alias("node"),
+        F.col("p_size").cast("long").alias("w"),
+    )
+    right = (
+        g.alias("a")
+        .filter(F.col("a.node") % 8 != 7)
+        .join(g.alias("b"), F.col("b.node") == F.col("a.node") + 1)
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"),
+                F.col("b.w").alias("weight"))
+    )
+    down = (
+        g.alias("a")
+        .join(g.alias("b"), F.col("b.node") == F.col("a.node") + 8)
+        .select(F.col("a.node").alias("src"), F.col("b.node").alias("dst"),
+                F.col("b.w").alias("weight"))
+    )
+    edges = right.unionByName(down)
+    return (
+        graph.weighted_shortest_paths(edges, source="0", max_rounds=16)
+        .select(F.col("node").cast("long").alias("node"),
+                F.col("dist").cast("long").alias("dist"), "hops")
+        .orderBy("node")
+    )
