@@ -39,3 +39,18 @@ def test_sketch_rollup_shape(spark, sf_dir):
     assert "__all__" in by_type
     # the union can never estimate below the largest member
     assert by_type["__all__"] >= max(v for k, v in by_type.items() if k != "__all__") * 0.95
+
+
+def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    """Sketches are plain binary columns: persist per-group sketches,
+    reopen, merge — the build-once/merge-often warehouse pattern."""
+    path = str(tmp_path / "sketches")
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4)) for i in range(2000)], "uid long, grp string"
+    )
+    df.groupBy("grp").agg(F.hll_sketch_agg("uid").alias("sk")) \
+        .write.mode("overwrite").parquet(path)
+    reopened = spark.read.parquet(path)
+    est = reopened.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first().e
+    assert abs(est - 2000) <= 0.05 * 2000

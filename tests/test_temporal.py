@@ -248,3 +248,37 @@ def test_sessionize_matches_bruteforce(spark, events, gap):
                 sid += 1
             prev = s
             assert got[i] == sid, (u, s, i, gap, evs)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(_TS, min_size=1, max_size=10),
+    intervals=st.lists(st.tuples(_TS, _TS), min_size=1, max_size=8),
+    bucket=st.sampled_from([60, 600, 7200]),
+)
+def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
+    from datetime import timedelta
+
+    pts = spark.createDataFrame(
+        [Row(pid=i, ts=_EPOCH + timedelta(seconds=s)) for i, s in enumerate(points)]
+    )
+    iv = spark.createDataFrame(
+        [Row(iid=i, s=_EPOCH + timedelta(seconds=min(a, b)),
+             e=_EPOCH + timedelta(seconds=max(a, b)))
+         for i, (a, b) in enumerate(intervals)]
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in temporal.interval_join(
+            pts, iv, "ts", "s", "e", bucket_seconds=bucket,
+            point_keys=["pid"], interval_keys=["iid"],
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (a, b) in enumerate(intervals)
+        if min(a, b) <= p < max(a, b)
+    )
+    assert got == expect
