@@ -224,7 +224,8 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                   point_ts: str, start_ts: str, end_ts: str,
                   bucket_seconds: int = 3600,
                   point_keys: list[str] | None = None,
-                  interval_keys: list[str] | None = None) -> DataFrame:
+                  interval_keys: list[str] | None = None,
+                  max_buckets_per_interval: int = 100_000) -> DataFrame:
     """Range join: each point row matched to every interval containing it
     (``start <= t < end``), without the cartesian product Spark would
     plan for a bare inequality join.
@@ -252,6 +253,18 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         *p_cols, F.floor(p_us / us_per_bucket).alias("__bucket"),
         p_us.alias("__p_us"),
     )
+    # Loud failure beats a silent multi-billion-row explode: an interval
+    # spanning max_buckets_per_interval buckets means bucket_seconds is
+    # mis-sized for this data (raise it, or pre-split giant intervals).
+    first_bucket = F.floor(s_us / us_per_bucket)
+    last_bucket = F.floor((e_us - 1) / us_per_bucket)
+    guard = F.when(
+        last_bucket - first_bucket >= max_buckets_per_interval,
+        F.raise_error(F.lit(
+            f"interval_join: an interval spans >= {max_buckets_per_interval} "
+            f"buckets of {bucket_seconds}s — raise bucket_seconds or split "
+            "the interval"))
+    ).otherwise(last_bucket)
     i = (
         intervals.filter(
             F.col(start_ts).isNotNull() & F.col(end_ts).isNotNull()
@@ -262,10 +275,7 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             F.explode(
                 # end is exclusive: a zero-length tail bucket is never
                 # emitted because (e_us - 1) anchors the last bucket.
-                F.sequence(
-                    F.floor(s_us / us_per_bucket),
-                    F.floor((e_us - 1) / us_per_bucket),
-                )
+                F.sequence(first_bucket, guard)
             ).alias("__bucket"),
             s_us.alias("__s_us"),
             e_us.alias("__e_us"),

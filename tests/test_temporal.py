@@ -282,3 +282,19 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, bucket):
         if min(a, b) <= p < max(a, b)
     )
     assert got == expect
+
+
+def test_interval_join_rejects_pathological_width(spark):
+    """A years-long interval against second buckets fails loudly instead
+    of exploding into billions of bucket rows."""
+    import pytest as _pytest
+
+    pts = spark.createDataFrame([Row(pid=1, ts=_ts("2024-01-01T00:00:00"))])
+    iv = spark.createDataFrame(
+        [Row(iid=1, s=_ts("2000-01-01T00:00:00"), e=_ts("2030-01-01T00:00:00"))]
+    )
+    with _pytest.raises(Exception, match="interval_join"):
+        temporal.interval_join(
+            pts, iv, "ts", "s", "e", bucket_seconds=1,
+            point_keys=["pid"], interval_keys=["iid"],
+        ).collect()
