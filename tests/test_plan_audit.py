@@ -55,3 +55,25 @@ def test_no_global_window_over_unbounded_input(spark, sf_dir, name):
             assert any(k in below for k in _LIMITED), (
                 f"{name}: partition-less Window over unbounded input:\n{line}"
             )
+
+
+#: (query, fragment that must appear in its executed plan) — pushdown and
+#: broadcast assertions for the scale-critical star joins: a regression
+#: here silently multiplies scan and shuffle volume at warehouse scale.
+_PLAN_MUST_CONTAIN = {
+    "returned_items_revenue": [
+        "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)",
+        "BroadcastHashJoin",
+    ],
+    "having_large_orders": ["BroadcastHashJoin"],
+    "regional_revenue": ["BroadcastHashJoin"],
+    "filter_project_sort": ["PushedFilters"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_MUST_CONTAIN))
+def test_pushdown_and_broadcast_survive(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for fragment in _PLAN_MUST_CONTAIN[name]:
+        assert fragment in plan, f"{name}: plan lost {fragment!r}"
