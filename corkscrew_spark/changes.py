@@ -20,7 +20,7 @@ import uuid
 from collections.abc import Sequence
 from datetime import datetime
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from corkscrew_spark.operators.paging import limit_offset
@@ -323,4 +323,94 @@ def drift_summary(drift: DataFrame, total_resources: int) -> DataFrame:
         .withColumn("drifted_resources", F.lit(drifted))
         .withColumn("compliance_score", F.lit(score))
         .orderBy("drift_type", "severity")
+    )
+
+
+def detect_anomalies(events: DataFrame, resource_col: str = "resource_id",
+                     service_col: str = "service",
+                     freq_threshold: int = 1000,
+                     resource_threshold: int = 50) -> DataFrame:
+    """Change-pattern anomaly report — ChangeAnalytics parity
+    (plugins/gcp-provider/change_analytics.go:715-775: frequency_spike,
+    service_concentration, resource_hotspot), re-expressed as three
+    aggregations unioned into one frame instead of the reference's
+    collect-10k-rows-and-loop. Each detector is a groupBy on its natural
+    key plus a broadcast 1-row total — nothing leaves the executors, so
+    the same report runs over billions of change events.
+
+    Returns (anomaly_type, subject, observed, threshold, severity,
+    confidence) ordered for deterministic hashing by the caller.
+    """
+    total = events.agg(F.count(F.lit(1)).alias("__total"))
+    spike = (
+        total.filter(F.col("__total") > freq_threshold)
+        .select(
+            F.lit("frequency_spike").alias("anomaly_type"),
+            F.lit("__total__").alias("subject"),
+            F.col("__total").cast("long").alias("observed"),
+            F.lit(freq_threshold).cast("long").alias("threshold"),
+            F.lit("HIGH").alias("severity"),
+            F.lit(0.8).alias("confidence"),
+        )
+    )
+    concentration = (
+        events.groupBy(F.col(service_col).alias("subject"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 2 > F.col("__total"))
+        .select(
+            F.lit("service_concentration").alias("anomaly_type"),
+            "subject",
+            F.col("n").cast("long").alias("observed"),
+            (F.col("__total") / 2).cast("long").alias("threshold"),
+            F.lit("MEDIUM").alias("severity"),
+            F.lit(0.7).alias("confidence"),
+        )
+    )
+    hotspot = (
+        events.groupBy(F.col(resource_col).alias("subject"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > resource_threshold)
+        .select(
+            F.lit("resource_hotspot").alias("anomaly_type"),
+            "subject",
+            F.col("n").cast("long").alias("observed"),
+            F.lit(resource_threshold).cast("long").alias("threshold"),
+            F.lit("MEDIUM").alias("severity"),
+            F.lit(0.9).alias("confidence"),
+        )
+    )
+    return spike.unionByName(concentration).unionByName(hotspot)
+
+
+def top_changed_resources(events: DataFrame, resource_col: str = "resource_id",
+                          type_col: str = "change_type",
+                          ts_col: str = "timestamp", k: int = 25) -> DataFrame:
+    """Most-changed resources with per-resource summaries —
+    createResourceSummary / sortResourceSummaries parity
+    (change_analytics.go:794-843): change count, activity span, distinct
+    change types, and the dominant change type (ties broken
+    lexicographically so the result is engine-stable). One shuffle on the
+    resource key + a tiny per-resource window for the dominant type.
+    """
+    per_type = events.groupBy(
+        F.col(resource_col).alias("resource_id"),
+        F.col(type_col).alias("change_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("resource_id").orderBy(F.desc("n"), "change_type")
+    dominant = (
+        per_type.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("resource_id", F.col("change_type").alias("dominant_type"))
+    )
+    summary = events.groupBy(F.col(resource_col).alias("resource_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.min(ts_col).alias("first_change"),
+        F.max(ts_col).alias("last_change"),
+        F.countDistinct(type_col).cast("long").alias("n_change_types"),
+    )
+    return (
+        summary.join(dominant, "resource_id")
+        .orderBy(F.desc("n_changes"), "resource_id")
+        .limit(k)
     )

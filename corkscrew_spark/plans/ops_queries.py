@@ -299,3 +299,87 @@ def compliance_duckdb_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert not run.errors, run.errors
     return run.results.orderBy("control_id", "resource_id", "status")
+
+
+@query(
+    "change_anomaly_report",
+    oracle="""
+    WITH ce AS (
+        SELECT CAST(user_id AS VARCHAR) AS resource_id,
+               event_type AS service, ts
+        FROM events
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM ce)
+    SELECT * FROM (
+        SELECT 'frequency_spike' AS anomaly_type, '__total__' AS subject,
+               CAST(t AS BIGINT) AS observed, CAST(1000 AS BIGINT) AS threshold,
+               'HIGH' AS severity, 0.8 AS confidence
+        FROM tot WHERE t > 1000
+        UNION ALL
+        SELECT 'service_concentration', service, CAST(n AS BIGINT),
+               CAST(t // 2 AS BIGINT), 'MEDIUM', 0.7
+        FROM (SELECT service, COUNT(*) AS n FROM ce GROUP BY service), tot
+        WHERE n * 2 > t
+        UNION ALL
+        SELECT 'resource_hotspot', resource_id, CAST(n AS BIGINT),
+               CAST(50 AS BIGINT), 'MEDIUM', 0.9
+        FROM (SELECT resource_id, COUNT(*) AS n FROM ce GROUP BY resource_id)
+        WHERE n > 50
+    )
+    ORDER BY anomaly_type, subject
+    """,
+)
+def change_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangeAnalytics anomaly detection (frequency spike / service
+    concentration / resource hotspot) as three aggregations unioned on
+    the executors — the reference collects up to 10k events to the
+    driver and loops (change_analytics.go:234-266,715-775)."""
+    ev = register_tables(spark, sf_dir)["events"]
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("resource_id"),
+        F.col("event_type").alias("service"),
+        F.col("ts"),
+    )
+    return changes.detect_anomalies(ce).orderBy("anomaly_type", "subject")
+
+
+@query(
+    "top_changed_resources",
+    oracle="""
+    WITH ce AS (
+        SELECT CAST(user_id AS VARCHAR) AS resource_id,
+               event_type AS change_type, ts AS timestamp
+        FROM events
+    ),
+    dom AS (
+        SELECT resource_id, change_type AS dominant_type FROM (
+            SELECT resource_id, change_type,
+                   ROW_NUMBER() OVER (PARTITION BY resource_id
+                                      ORDER BY COUNT(*) DESC, change_type) AS rn
+            FROM ce GROUP BY resource_id, change_type
+        ) WHERE rn = 1
+    )
+    SELECT s.resource_id, s.n_changes, s.first_change, s.last_change,
+           s.n_change_types, dom.dominant_type
+    FROM (
+        SELECT resource_id, CAST(COUNT(*) AS BIGINT) AS n_changes,
+               MIN(timestamp) AS first_change, MAX(timestamp) AS last_change,
+               CAST(COUNT(DISTINCT change_type) AS BIGINT) AS n_change_types
+        FROM ce GROUP BY resource_id
+    ) s JOIN dom ON dom.resource_id = s.resource_id
+    ORDER BY n_changes DESC, s.resource_id
+    LIMIT 25
+    """,
+)
+def top_changed_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-changed resources with activity span, distinct change
+    types, and the lexicographic-tie-broken dominant type —
+    createResourceSummary parity (change_analytics.go:794-843), one
+    shuffle on the resource key."""
+    ev = register_tables(spark, sf_dir)["events"]
+    ce = ev.select(
+        F.col("user_id").cast("string").alias("resource_id"),
+        F.col("event_type").alias("change_type"),
+        F.col("ts").alias("timestamp"),
+    )
+    return changes.top_changed_resources(ce, k=25)
