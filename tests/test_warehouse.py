@@ -177,3 +177,49 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     assert span_fractions(0) <= 0.5
     assert span_fractions(1) <= 0.5
     assert spark.read.parquet(path).count() == n
+
+
+def test_scd2_merge_versions_history(spark, tmp_path):
+    from datetime import datetime
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "dim")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    v1 = spark.createDataFrame(
+        [("r1", "small", t1), ("r2", "large", t1)],
+        "rid string, size string, scanned_at timestamp",
+    )
+    warehouse.scd2_merge(spark, path, v1, keys=["rid"], tracked_cols=["size"])
+    # r1 changes, r2 unchanged, r3 new
+    v2 = spark.createDataFrame(
+        [("r1", "medium", t2), ("r2", "large", t2), ("r3", "tiny", t2)],
+        "rid string, size string, scanned_at timestamp",
+    )
+    n = warehouse.scd2_merge(spark, path, v2, keys=["rid"], tracked_cols=["size"])
+    assert n == 4  # r1 x2 versions, r2 x1, r3 x1
+    rows = {(r.rid, r.is_current): r for r in spark.read.parquet(path).collect()}
+    old_r1 = rows[("r1", False)]
+    assert old_r1.size == "small" and old_r1.valid_to == t2
+    new_r1 = rows[("r1", True)]
+    assert new_r1.size == "medium" and new_r1.valid_from == t2 and new_r1.valid_to is None
+    assert rows[("r2", True)].valid_from == t1      # untouched, still open
+    assert rows[("r3", True)].size == "tiny"
+
+
+def test_scd2_merge_noop_update_keeps_single_version(spark, tmp_path):
+    from datetime import datetime
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "dim2")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    v1 = spark.createDataFrame([("r1", "s", t1)],
+                               "rid string, size string, scanned_at timestamp")
+    warehouse.scd2_merge(spark, path, v1, keys=["rid"], tracked_cols=["size"])
+    v2 = spark.createDataFrame([("r1", "s", t2)],
+                               "rid string, size string, scanned_at timestamp")
+    n = warehouse.scd2_merge(spark, path, v2, keys=["rid"], tracked_cols=["size"])
+    assert n == 1
+    row = spark.read.parquet(path).collect()[0]
+    assert row.is_current and row.valid_from == t1 and row.valid_to is None
