@@ -60,7 +60,7 @@ _DEFERRED = frozenset({
     "interval_join_sessions", "graph_triangles", "corpus_training_mix",
     "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
     "having_large_orders", "returned_items_revenue",
-    "change_anomaly_report", "top_changed_resources",
+    "change_anomaly_report", "top_changed_resources", "daily_activity_dense",
 })
 
 

@@ -221,3 +221,57 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         errs, iv, "ts", "started", "ended", bucket_seconds=86400,
         point_keys=["event_id"], interval_keys=["s_user", "session_id"],
     ).orderBy("event_id", "s_user", "session_id")
+
+
+@query(
+    "daily_activity_dense",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+               CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM days d
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+    ORDER BY d.day, t.event_type
+    """,
+)
+def daily_activity_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: a generated (day x event_type) spine
+    left-joined to the actual counts so silent days appear as explicit
+    zeros — the gap-filling every time-series rollup needs before
+    moving averages or anomaly thresholds make sense. The spine comes
+    from a 1-row bounds aggregate exploded map-side (sequence +
+    explode); the spine x dimension cross join is broadcast (both sides
+    are metadata-sized at any event volume); only the counts agg
+    shuffles."""
+    ev = _t(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        days.crossJoin(F.broadcast(types))
+        .join(counts, ["day", "event_type"], "left")
+        .select("day", "event_type",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
+        .orderBy("day", "event_type")
+    )
