@@ -298,3 +298,35 @@ def test_interval_join_rejects_pathological_width(spark):
             pts, iv, "ts", "s", "e", bucket_seconds=1,
             point_keys=["pid"], interval_keys=["iid"],
         ).collect()
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), _TS, st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=20),
+)
+def test_funnel_matches_bruteforce(spark, events):
+    from datetime import timedelta
+
+    df = spark.createDataFrame(
+        [Row(u=u, ts=_EPOCH + timedelta(seconds=s), et=et)
+         for u, s, et in events]
+    )
+    got = {r.step: r.entities for r in
+           temporal.funnel(df, "u", "ts", "et", ["a", "b", "c"]).collect()}
+    # brute force per user: strictly-increasing min-times through a, b, c
+    reached = [0, 0, 0]
+    for u in {u for u, _, _ in events}:
+        evs = [(s, et) for uu, s, et in events if uu == u]
+        t_prev = None
+        for step_i, step in enumerate(["a", "b", "c"]):
+            cands = [s for s, et in evs
+                     if et == step and (t_prev is None or s > t_prev)]
+            if not cands:
+                break
+            t_prev = min(cands)
+            reached[step_i] += 1
+    assert got == {"step1_a": reached[0], "step2_b": reached[1],
+                   "step3_c": reached[2]}
