@@ -32,10 +32,15 @@ from pyspark.sql import functions as F
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_payload: list[str] | None = None,
-              tiebreak: str | None = None) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` on the same key (inclusive, ASOF-join
-    semantics). Left rows with no prior right row keep NULL payload.
+              tiebreak: str | None = None,
+              direction: str = "backward",
+              tolerance_seconds: int | None = None) -> DataFrame:
+    """For each left row, attach the closest right row on the same key:
+    the latest with ``right.ts <= left.ts`` (``direction="backward"``,
+    the default) or the earliest with ``right.ts >= left.ts``
+    (``"forward"``). Matches are inclusive; left rows with no candidate
+    keep NULL payload. ``tolerance_seconds`` voids matches farther than
+    the given gap (pandas ``merge_asof`` tolerance semantics).
 
     ``right_payload`` names the right columns to carry (default: all
     non-key, non-ts columns). ``tiebreak`` orders right rows that share a
@@ -45,15 +50,21 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     sorted per key by (ts, side, tiebreak) inside one window, and the
     payload is carried forward with ``last(ignorenulls=True)``. Right
     rows sort before left rows at equal ts, which is what makes the
-    join inclusive.
+    join inclusive; ``forward`` simply reverses the time ordering.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (key, right_ts)]
 
     # The payload travels as ONE struct so the carried match is row-atomic
     # (independently-carried columns could mix two right rows when a
-    # payload column is NULL).
-    pay_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    # payload column is NULL). The matched timestamp rides along for the
+    # tolerance check.
+    pay_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_payload],
+        F.col(right_ts).cast("timestamp").alias("__rts"),
+    )
     pay_type = right.select(pay_struct.alias("p")).schema["p"].dataType
     r = right.select(
         F.col(key).alias("__key"),
@@ -71,20 +82,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(None).cast(pay_type).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts"), F.col("__side"), tb)
+        .orderBy(ts_order, F.col("__side"), tb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l)
     out = (
         merged.select(
             "__side",
+            F.col("__ts").alias("__lts"),
             *[f"__l_{c}" for c in left.columns],
             F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
         )
         .filter(F.col("__side") == 1)
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("__pay")["__rts"])
+            - F.unix_micros(F.col("__lts").cast("timestamp"))
+        )
+        out = out.withColumn(
+            "__pay",
+            F.when(gap <= tolerance_seconds * 1_000_000, F.col("__pay")),
+        )
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__pay")[c].alias(c) for c in right_payload],

@@ -330,3 +330,42 @@ def test_funnel_matches_bruteforce(spark, events):
             reached[step_i] += 1
     assert got == {"step1_a": reached[0], "step2_b": reached[1],
                    "step3_c": reached[2]}
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame([Row(k=1, lts=_ts("2024-01-01T10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01T09:00:00"), rid=1),   # before: ignored
+            Row(k=1, rts=_ts("2024-01-01T10:30:00"), rid=2),   # earliest after
+            Row(k=1, rts=_ts("2024-01-01T11:00:00"), rid=3),
+        ]
+    )
+    row = temporal.asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        right_payload=["rid"], direction="forward",
+    ).collect()[0]
+    assert row.rid == 2
+
+
+def test_asof_tolerance_voids_far_matches(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=_ts("2024-01-01T10:00:00"), lid=1),  # 30 min gap: keep
+            Row(k=2, lts=_ts("2024-01-01T10:00:00"), lid=2),  # 2 h gap: void
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=_ts("2024-01-01T09:30:00"), rid=10),
+            Row(k=2, rts=_ts("2024-01-01T08:00:00"), rid=20),
+        ]
+    )
+    got = {
+        r.lid: r.rid
+        for r in temporal.asof_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_payload=["rid"], tolerance_seconds=3600,
+        ).collect()
+    }
+    assert got == {1: 10, 2: None}
