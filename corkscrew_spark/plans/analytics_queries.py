@@ -761,3 +761,36 @@ def returned_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    ORDER BY priority, status
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the arbitrary-subset sibling of
+    rollup_segment_nation / cube_orders): per-priority and per-status
+    marginals in ONE Expand+aggregate pass — two independent rollups for
+    the price of one shuffle, vs two jobs in a naive translation. NULL
+    markers normalized to 'ALL' for engine-stable hashing."""
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority", "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+        .orderBy("priority", "status")
+    )
