@@ -549,3 +549,56 @@ def flag_against_index(new_docs: DataFrame, index: DataFrame, id_col: str,
         .select(F.col("doc").alias(id_col), "corpus_doc",
                 F.round(jac, 4).alias("jaccard"))
     )
+
+
+def doc_spans(docs: DataFrame, id_col: str, text_col: str,
+              n: int = 20) -> DataFrame:
+    """(id, pos, span_key) — one row per length-``n`` token window of
+    each doc (stride 1), keyed by the md5 of the joined window so the
+    key is engine-portable. Map-side transform over index ranges; docs
+    shorter than ``n`` tokens contribute nothing.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    keys = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, n), " ")),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .select("id", F.posexplode(keys).alias("pos0", "span_key"))
+        .select("id", (F.col("pos0") + 1).alias("pos"), "span_key")
+    )
+
+
+def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
+                     n: int = 20) -> DataFrame:
+    """Exact duplicated-substring detection (the span-level dedup pass of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, bounded to fixed-length token windows instead of a suffix
+    array): count, per doc, the windows whose exact content also occurs
+    in ANOTHER doc.
+
+    Plan: the span relation is |tokens| rows; shared keys come from one
+    groupBy on the span key (map-side partial) filtered to
+    cross-document keys, then a semi-join flags each doc's spans. At
+    corpus scale both steps shuffle on the 128-bit key — no all-pairs
+    anywhere. Returns (id, n_spans, n_dup_spans).
+    """
+    spans = doc_spans(docs, id_col, text_col, n)
+    shared = (
+        spans.groupBy("span_key")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("span_key")
+    )
+    flagged = spans.join(
+        shared.withColumn("__dup", F.lit(1)), "span_key", "left"
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+    )

@@ -983,3 +983,38 @@ def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(
         sampled, "doc_id", "text", budget=256, stratify_col="source"
     ).orderBy("stratum", "seq_id", "seq_offset", "doc_id")
+
+
+@query(
+    "dedup_exact_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+         spans AS (
+             SELECT doc_id, i AS pos,
+                    md5(array_to_string(t[i:i+19], ' ')) AS k
+             FROM toks, UNNEST(range(1, len(t) - 18)) AS u(i)
+             WHERE len(t) >= 20
+         ),
+         shared AS (SELECT k FROM spans GROUP BY k
+                    HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN k IN (SELECT k FROM shared)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+    FROM spans GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact duplication profile: per doc, how many of its
+    20-token windows occur verbatim in another document (Lee et al.
+    2022's substring dedup bounded to fixed windows — the pass that
+    catches copied paragraphs prefix/minhash dedup miss). md5 span keys
+    make the check engine-portable; everything shuffles on the key,
+    never doc x doc."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        dedup.duplicated_spans(d, "doc_id", "text", n=20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )

@@ -181,3 +181,25 @@ def test_streaming_near_dup_flagging(spark, tmp_path):
     flagged = spark.read.parquet(str(tmp_path / "flags")).collect()
     assert sorted((r["doc_id"], r["corpus_doc"]) for r in flagged) \
         == [(100, 1), (102, 1)]
+
+
+def test_duplicated_spans_planted_copy(spark):
+    """A 20-token paragraph copied across two docs is flagged in both;
+    a doc with unique text has zero duplicated spans."""
+    from corkscrew_spark.operators import dedup as dd
+
+    para = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, para + " unique tail one two three four five"),
+            (2, "prefix words here " + para),
+            (3, " ".join(f"z{i}" for i in range(25))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: (r.n_spans, r.n_dup_spans)
+           for r in dd.duplicated_spans(docs, "doc_id", "text", n=20).collect()}
+    # doc1: 27 tokens -> 8 spans, the first (exact para) is shared
+    assert got[1][1] >= 1 and got[1][1] < got[1][0]
+    assert got[2][1] >= 1
+    assert got[3] == (6, 0)
