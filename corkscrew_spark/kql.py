@@ -655,6 +655,8 @@ class _StageCompiler:
             return self._summarize(df, rest)
         if op == "mv-expand":
             return self._mv_expand(df, rest)
+        if op == "mv-apply":
+            return self._mv_apply(df, rest)
         if op in ("order", "sort"):
             return self._order_by(df, rest)
         if op in ("limit", "take"):
@@ -673,6 +675,41 @@ class _StageCompiler:
         raise KqlError(f"KQL: unsupported operator {op!r}")
 
     # -- stage impls ---------------------------------------------------------
+    def _mv_apply(self, df: DataFrame, rest: str) -> DataFrame:
+        """``mv-apply col on ( stages... | summarize aggs )`` — run a
+        subpipeline over each record's expanded array elements and emit
+        one row per surviving record with the aggregate results attached
+        (Kusto mv-apply with the usual summarize-terminated body).
+
+        Compiled as: tag records with a per-plan row id, explode the
+        array, apply the inner stages as ordinary operators, then group
+        the final summarize by the row id and join back — the row id
+        never escapes, so results stay deterministic. Records whose
+        expanded rows are all filtered away drop out (Kusto semantics).
+        """
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+on\s*\((.*)\)\s*$",
+                     rest, re.DOTALL | re.IGNORECASE)
+        if not m:
+            raise KqlError(f"KQL: cannot parse mv-apply stage {rest!r}")
+        col, inner = m.group(1), m.group(2)
+        if col not in df.columns:
+            raise KqlError(f"KQL: mv-apply of unknown column {col!r}")
+        tagged = df.withColumn("__mvrow", F.monotonically_increasing_id())
+        expanded = tagged.withColumn(col, F.explode(col))
+        stages = _split_stages(inner)
+        if not stages:
+            raise KqlError("KQL: empty mv-apply subquery")
+        for st in stages[:-1]:
+            expanded = self.apply_stage(expanded, st)
+        last = stages[-1].strip()
+        lm = re.match(r"summarize\s+(.*)", last, re.DOTALL | re.IGNORECASE)
+        if not lm:
+            raise KqlError("KQL: mv-apply subquery must end with summarize")
+        srest = lm.group(1).strip()
+        srest += (", __mvrow" if re.search(r"\bby\b", srest) else " by __mvrow")
+        agg = self._summarize(expanded, srest)
+        return tagged.join(agg, "__mvrow").drop("__mvrow")
+
     def _project(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
         cols: list[Column] = []

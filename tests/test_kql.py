@@ -423,3 +423,26 @@ def test_has_any_and_has_all_whole_terms(spark):
     got = kql_to_df("T | where s has_all ('beta', 'gamma') | project s",
                     {"T": df}).collect()
     assert [r["s"] for r in got] == ["beta gamma"]
+
+
+def test_mv_apply_summarize_per_record(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 5, 9]), (2, [2, 2]), (3, [])],
+        "id long, xs array<long>",
+    )
+    got = {r["id"]: (r["n"], r["s"]) for r in kql_to_df(
+        "T | mv-apply xs on ( where xs >= 2 | summarize n = count(), s = sum(xs) )"
+        " | project id, n, s",
+        {"T": df}).collect()}
+    # id 1: elements 5, 9 survive; id 2: both 2s; id 3: empty array drops out
+    assert got == {1: (2, 14), 2: (2, 4)}
+
+
+def test_mv_apply_requires_summarize_tail(spark):
+    import pytest as _pytest
+
+    from corkscrew_spark.kql import KqlError
+
+    df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
+    with _pytest.raises(KqlError, match="summarize"):
+        kql_to_df("T | mv-apply xs on ( where xs > 0 )", {"T": df})
