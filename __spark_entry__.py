@@ -61,7 +61,7 @@ _DEFERRED = frozenset({
     "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
     "having_large_orders", "returned_items_revenue",
     "change_anomaly_report", "top_changed_resources", "daily_activity_dense",
-    "grouping_sets_orders", "dedup_exact_spans",
+    "grouping_sets_orders", "dedup_exact_spans", "kql_mv_apply_tokens",
 })
 
 

@@ -364,3 +364,35 @@ def kql_make_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_mv_apply_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> contains(lower(x), 'a'))) AS BIGINT)
+               AS a_toks
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '),
+                          x -> contains(lower(x), 'a'))) > 0
+    ORDER BY doc_id ASC
+    """,
+)
+def kql_mv_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mv-apply` end-to-end: per-document token subquery (filter +
+    count) without any hand-written explode/groupBy — the compiler
+    plans rowid-tag -> explode -> filter -> grouped summarize -> join.
+    Documents with no qualifying token drop out (Kusto inner
+    semantics), which the oracle mirrors with its > 0 guard."""
+    return kql_to_df(
+        """
+        documents
+        | extend toks = split(text, ' ')
+        | mv-apply toks on ( where toks contains 'a'
+                             | summarize a_toks = count() )
+        | project doc_id, a_toks
+        | order by doc_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )
