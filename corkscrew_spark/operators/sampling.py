@@ -17,7 +17,7 @@ with the filter pushed to the parquet reader's row batches.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPAN = 16 ** 8
@@ -120,4 +120,27 @@ def global_shuffle(df: DataFrame, key_col: str, seed: str = "",
     return (
         keyed.repartitionByRange(n, "_shuffle_key")
         .sortWithinPartitions("_shuffle_key")
+    )
+
+
+def fixed_per_stratum_sample(df: DataFrame, key_col: str, strata_col: str,
+                             k: int, seed: str = "") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen uniformly and
+    DETERMINISTICALLY: rank rows inside each stratum by their md5 sample
+    key and keep the first k — a reservoir sample whose membership is a
+    pure function of (seed, key), stable under repartitioning, re-runs,
+    and engine choice (the oracle replays the identical ranking).
+
+    One per-stratum window over the hash order — strata partition the
+    window, so no global funnel; use this over fraction-based
+    stratified_hash_sample when downstream needs exact group sizes
+    (eval set construction, per-language caps).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(key_col, seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

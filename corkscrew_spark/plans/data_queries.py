@@ -1018,3 +1018,31 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_fixed_per_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5('eval-v1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 25
+    ORDER BY doc_id
+    """,
+)
+def sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-per-language deterministic sample (eval-set
+    construction): rows ranked inside each language by their md5 sample
+    key — membership is a pure function of (seed, doc_id), stable under
+    repartitioning and engine choice, unlike rand()-based reservoirs.
+    The ranking window partitions by the stratum, so no global funnel."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        sampling.fixed_per_stratum_sample(d, "doc_id", "lang", k=25, seed="eval-v1")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -131,3 +131,20 @@ def test_global_shuffle_total_order_and_permutation(corpus, spark):
         again.select(F.spark_partition_id().alias("pid"), "_shuffle_key").collect(),
         key=lambda r: (r["pid"], r["_shuffle_key"]))]
     assert seq2 == seq
+
+
+def test_fixed_per_stratum_exact_sizes_and_stability(spark):
+    from corkscrew_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(50)], "id long, g string"
+    )
+    out1 = sp.fixed_per_stratum_sample(df, "id", "g", k=10, seed="s")
+    sizes = {r.g: r.n for r in out1.groupBy("g").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert sizes == {"a": 10, "b": 10}
+    # stability: same seed -> same membership even after repartitioning
+    out2 = sp.fixed_per_stratum_sample(df.repartition(7), "id", "g", k=10, seed="s")
+    assert sorted(r.id for r in out1.collect()) == sorted(r.id for r in out2.collect())
+    # k larger than stratum: whole stratum kept
+    out3 = sp.fixed_per_stratum_sample(df, "id", "g", k=100, seed="s")
+    assert out3.count() == 50
