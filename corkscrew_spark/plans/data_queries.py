@@ -1046,3 +1046,50 @@ def sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "source_token_kl",
+    oracle="""
+    WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+         st AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+         ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM st GROUP BY 1),
+         ctot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM st)
+    SELECT source,
+           ROUND(SUM((c * 1.0 / n) * LN((c * 1.0 / n) / (cc * 1.0 / nn))), 6)
+               AS kl_div,
+           n AS n_tokens
+    FROM st JOIN stot USING (source) JOIN ct USING (tok), ctot
+    GROUP BY source, n
+    ORDER BY source
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per corpus slice: KL(source token distribution
+    || corpus distribution) — the mixture-health check a training
+    pipeline runs when a new source lands (a spiking KL means the slice
+    speaks a different language than the blend). Two aggregations on
+    natural keys + a token-key join; the float formula mirrors the
+    oracle term-for-term and the sum is rounded to absorb
+    summation-order ulp drift."""
+    d = register_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stot = st.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    ct = st.groupBy("tok").agg(F.sum("c").cast("long").alias("cc"))
+    ctot = st.agg(F.sum("c").cast("long").alias("nn"))
+    p = F.col("c") * 1.0 / F.col("n")
+    q = F.col("cc") * 1.0 / F.col("nn")
+    return (
+        st.join(stot, "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_div"))
+        .select("source", "kl_div", F.col("n").alias("n_tokens"))
+        .orderBy("source")
+    )
