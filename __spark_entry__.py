@@ -62,7 +62,7 @@ _DEFERRED = frozenset({
     "having_large_orders", "returned_items_revenue",
     "change_anomaly_report", "top_changed_resources", "daily_activity_dense",
     "grouping_sets_orders", "dedup_exact_spans", "kql_mv_apply_tokens",
-    "sample_fixed_per_lang", "source_token_kl",
+    "sample_fixed_per_lang", "source_token_kl", "bigram_collocations_pmi",
 })
 
 

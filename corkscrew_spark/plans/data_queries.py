@@ -1093,3 +1093,52 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "kl_div", F.col("n").alias("n_tokens"))
         .orderBy("source")
     )
+
+
+@query(
+    "bigram_collocations_pmi",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tl
+                  FROM documents),
+         bg AS (SELECT tl[i] AS w1, tl[i + 1] AS w2
+                FROM toks, UNNEST(range(1, len(tl))) AS t(i)
+                WHERE len(tl) >= 2),
+         pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+         pf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         sf AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cs FROM bg GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bg)
+    SELECT w1, w2, c2,
+           ROUND(LN((c2 * 1.0 / nn) / ((c1 * 1.0 / nn) * (cs * 1.0 / nn))), 4)
+               AS pmi
+    FROM pc JOIN pf USING (w1) JOIN sf USING (w2), tot
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def bigram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over the corpus
+    bigram stream (min support 5): the phrase-mining pass that finds
+    multi-word expressions worth treating as single tokens. Three
+    natural-key aggregations + two token joins; ranking is on the
+    ROUNDED score with a (w1, w2) tie-break so float ulp cannot reorder
+    the cut."""
+    d = register_tables(spark, sf_dir)["documents"]
+    bg = corpus.doc_bigrams(d, "doc_id", "text")
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    pf = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    sf_ = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    tot = bg.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    p12 = F.col("c2") * 1.0 / F.col("nn")
+    p1 = F.col("c1") * 1.0 / F.col("nn")
+    p2 = F.col("cs") * 1.0 / F.col("nn")
+    return (
+        pc.join(pf, "w1")
+        .join(sf_, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c2") >= 5)
+        .select("w1", "w2", "c2", F.round(F.log(p12 / (p1 * p2)), 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(30)
+    )
