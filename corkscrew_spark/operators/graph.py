@@ -353,11 +353,13 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
                     F.col("s.hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
-        # fixpoint: no node improved its (dist, hops)
-        changed = merged.join(
+        # Fixpoint when nothing changed: a left-anti on the full
+        # (node, dist, hops) tuple also catches newly-reached nodes
+        # (they exist in merged but not dists), so no separate count
+        # comparison is needed — one check job per round.
+        stable = merged.join(
             dists, ["node", "dist", "hops"], "left_anti"
-        )
-        stable = changed.isEmpty() and merged.count() == dists.count()
+        ).isEmpty()
         dists = merged
         if stable:
             break
