@@ -181,38 +181,66 @@ def funnel(events: DataFrame, entity_col: str, ts_col: str, type_col: str,
     after their first qualifying step k.
 
     Returns (step, entities): step name in funnel order, BIGINT count of
-    entities that reached it. Each stage is a min-aggregation on the
-    entity key (map-side partial) joined to the previous stage's
-    survivors — K small hash joins on one key, no window, no theta join.
+    entities that reached it. Single-pass plan: per entity, the
+    step-relevant events are collected and sorted once, and a JVM-side
+    ``aggregate`` fold walks them in time order carrying the K reached
+    timestamps — ONE shuffle on the entity key + a 1-row final rollup,
+    vs the naive K join chains. Per-entity memory is bounded by that
+    entity's step-typed event count (filtered before the collect).
+    Step types must be distinct.
     """
-    reached = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(entity_col)
-        .agg(F.min(ts_col).alias("t0"))
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    k_steps = len(steps)
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+        )
     )
-    counts = [(steps[0], reached)]
-    prev = reached.withColumnRenamed("t0", "t_prev")
-    for step in steps[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(prev, entity_col)
-            .filter(F.col(ts_col) > F.col("t_prev"))
-            .groupBy(entity_col)
-            .agg(F.min(ts_col).alias("t_prev"))
-        )
-        counts.append((step, nxt))
-        prev = nxt
-    frames = [
-        df.agg(
-            F.lit(f"step{i + 1}_{name}").alias("step"),
-            F.count(F.lit(1)).cast("long").alias("entities"),
-        )
-        for i, (name, df) in enumerate(counts)
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{k}") for k in range(k_steps)]
+    )
+
+    def fold(acc, x):
+        fields = []
+        for k, name in enumerate(steps):
+            hit = (x["et"] == name) & acc[f"t{k}"].isNull()
+            if k > 0:
+                hit = hit & acc[f"t{k - 1}"].isNotNull() & (
+                    x["ts"].cast("timestamp") > acc[f"t{k - 1}"]
+                )
+            fields.append(
+                F.when(hit, x["ts"].cast("timestamp"))
+                .otherwise(acc[f"t{k}"])
+                .alias(f"t{k}")
+            )
+        return F.struct(*fields)
+
+    per_entity = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(entity_col)
+        .agg(F.aggregate(pairs, init, fold).alias("st"))
+    )
+    rollup = per_entity.agg(
+        *[
+            F.count(F.col(f"st.t{k}")).cast("long").alias(f"c{k}")
+            for k in range(k_steps)
+        ]
+    )
+    melted = rollup.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"step{k + 1}_{name}").alias("step"),
+                        F.col(f"c{k}").alias("entities"),
+                    )
+                    for k, name in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return melted.select("r.step", "r.entities")
 
 
 def cohort_retention(events: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
