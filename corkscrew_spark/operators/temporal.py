@@ -15,9 +15,9 @@ Scale shapes:
   100 TB as-of must never do.
 * **sessionize / streaks** are gaps-and-islands: lag + running sum inside
   a per-entity window — one shuffle on the entity key, no self-joins.
-* **funnel** is K ordered min-aggregations joined per entity (K = number
-  of steps, each agg map-side partial); **cohort retention** is two
-  aggregations over the same shuffle key.
+* **funnel** is a single-pass sorted fold per entity (one shuffle, a
+  JVM-side aggregate() walks each entity's step events in time order);
+  **cohort retention** is two aggregations over the same shuffle key.
 
 All outputs are integer/timestamp-typed (no float drift), so the DuckDB
 oracles replay them hash-identically.

@@ -116,8 +116,9 @@ def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: step k+1 must happen strictly
-    after the user's first qualifying step k. K min-aggregations joined
-    on the user key — map-side partials, no window, no theta join."""
+    after the user's first qualifying step k. Single-pass sorted fold
+    per user (one shuffle + a 1-row rollup) — no join chain, no window,
+    no theta join."""
     ev = _t(spark, sf_dir)["events"]
     return temporal.funnel(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
