@@ -276,3 +276,51 @@ def daily_activity_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id AS error_id, user_id, ts AS error_ts
+               FROM events WHERE event_type = 'error'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT e.error_id, e.user_id, e.error_ts,
+                      p.purchase_id, p.purchase_ts,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY e.error_id
+                          ORDER BY p.purchase_ts ASC, p.purchase_id DESC) AS rn
+               FROM e LEFT JOIN p
+                 ON p.user_id = e.user_id AND p.purchase_ts >= e.error_ts)
+    SELECT error_id, user_id, error_ts,
+           CASE WHEN epoch_us(purchase_ts) - epoch_us(error_ts) <= 86400000000
+                THEN purchase_id END AS purchase_id,
+           CASE WHEN epoch_us(purchase_ts) - epoch_us(error_ts) <= 86400000000
+                THEN purchase_ts END AS purchase_ts
+    FROM j WHERE rn = 1
+    ORDER BY error_id
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each error matched to the user's
+    NEXT purchase, voided when it is more than a day later — the
+    recovery-time correlation. Same union-merge single-shuffle plan as
+    the backward join with the time ordering reversed; the oracle
+    affords the quadratic formulation at sf0.01."""
+    ev = _t(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return temporal.asof_join(
+        errors, purchases, key="user_id", left_ts="error_ts", right_ts="ts",
+        right_payload=["purchase_id", "purchase_ts"], tiebreak="purchase_id",
+        direction="forward", tolerance_seconds=86400,
+    ).orderBy("error_id")
