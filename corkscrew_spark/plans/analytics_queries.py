@@ -794,3 +794,47 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "status")
     )
+
+
+@query(
+    "range_frame_weekly_sum",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      ROUND(SUM(value), 2) AS revenue
+               FROM events WHERE value >= 9.0 GROUP BY 1, 2)
+    SELECT event_type, day, revenue,
+           ROUND(SUM(revenue) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+               AS w7_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY event_type ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS w7_days
+    FROM d ORDER BY event_type, day
+    """,
+)
+def range_frame_weekly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: the trailing-7-CALENDAR-day sum over a
+    sparse daily series (high-value events only, so days are missing) —
+    where a ROWS frame would wrongly reach back past the week,
+    the RANGE frame spans value distance on the order key. Spark
+    expresses it as rangeBetween over a day-number key; pre-aggregation
+    keeps the window input at days, not raw events."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = (
+        ev.filter(F.col("value") >= 9.0)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    daynum = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(daynum)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type", "day", "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("w7_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("w7_days"),
+    ).orderBy("event_type", "day")
