@@ -259,7 +259,9 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
 
 def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
                keys: list[str], tracked_cols: list[str],
-               effective_col: str = "scanned_at") -> int:
+               effective_col: str = "scanned_at",
+               snapshot: bool = False,
+               snapshot_ts=None) -> int:
     """Type-2 slowly-changing-dimension merge: instead of overwriting a
     changed row (merge_upsert, SCD1), close out the current version
     (set ``valid_to`` = the update's effective time, ``is_current`` =
@@ -271,6 +273,12 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     ``tracked_cols`` decide what counts as a change; updates identical on
     all of them are no-ops (no new version). The dimension table gains
     ``valid_from`` / ``valid_to`` (NULL = open) / ``is_current``.
+
+    ``snapshot=True`` treats ``updates`` as a FULL snapshot: current
+    rows whose key is absent from it are closed out at ``snapshot_ts``
+    (deletion detection — the reference's DetectDrift "missing resource"
+    case, pkg/drift/detector.go, expressed as history instead of a
+    report).
 
     Plan shape: one join of updates to current rows on the key (updates
     are batch-sized; AQE broadcasts small ones), no window over the full
@@ -308,8 +316,15 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     has_cur = F.col(f"c.{keys[0]}").isNotNull()
     has_upd = F.col(f"u.{keys[0]}").isNotNull()
 
-    # current rows: keep unchanged ones open; close out changed ones
-    kept_open = joined.filter(has_cur & (~has_upd | ~change_pred)).select(
+    # current rows: keep unchanged ones open; close out changed ones.
+    # In snapshot mode a current row with no update means the resource
+    # vanished: close it at snapshot_ts instead of keeping it open.
+    if snapshot and snapshot_ts is None:
+        raise ValueError("snapshot=True requires snapshot_ts")
+    keep_pred = has_cur & (~has_upd if not snapshot else F.lit(False))
+    kept_open = joined.filter(
+        (has_cur & has_upd & ~change_pred) | keep_pred
+    ).select(
         *[F.col(f"c.{c}").alias(c) for c in data_cols],
         F.col("c.valid_from").alias("valid_from"),
         F.col("c.valid_to").alias("valid_to"),
@@ -321,6 +336,15 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
         F.col(f"u.{effective_col}").alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
+    if snapshot:
+        vanished = joined.filter(has_cur & ~has_upd).select(
+            *[F.col(f"c.{c}").alias(c) for c in data_cols],
+            F.col("c.valid_from").alias("valid_from"),
+            F.lit(snapshot_ts).cast(
+                updates.schema[effective_col].dataType).alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        closed_out = closed_out.unionByName(vanished)
     # new versions: changed keys + brand-new keys
     inserted = joined.filter(has_upd & (~has_cur | change_pred)).select(
         *[F.col(f"u.{c}").alias(c) for c in data_cols],

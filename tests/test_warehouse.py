@@ -223,3 +223,28 @@ def test_scd2_merge_noop_update_keeps_single_version(spark, tmp_path):
     assert n == 1
     row = spark.read.parquet(path).collect()[0]
     assert row.is_current and row.valid_from == t1 and row.valid_to is None
+
+
+def test_scd2_snapshot_mode_closes_vanished_keys(spark, tmp_path):
+    from datetime import datetime
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "dim3")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    v1 = spark.createDataFrame(
+        [("r1", "s", t1), ("r2", "m", t1)],
+        "rid string, size string, scanned_at timestamp",
+    )
+    warehouse.scd2_merge(spark, path, v1, keys=["rid"], tracked_cols=["size"])
+    # full snapshot without r2: it vanished
+    v2 = spark.createDataFrame(
+        [("r1", "s", t2)], "rid string, size string, scanned_at timestamp"
+    )
+    warehouse.scd2_merge(spark, path, v2, keys=["rid"], tracked_cols=["size"],
+                         snapshot=True, snapshot_ts=t2)
+    rows = {(r.rid, r.is_current): r for r in spark.read.parquet(path).collect()}
+    assert rows[("r1", True)].valid_to is None           # unchanged, open
+    gone = rows[("r2", False)]
+    assert gone.valid_to == t2                           # closed at snapshot
+    assert ("r2", True) not in rows
