@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: ordering here rotates the 50-query window across rounds until every
 #: registered query has a recorded row. (pack_sequences is deliberately
 #: absent: its r02 row hash-mismatched on a DuckDB HUGEINT promotion and
-#: the fixed oracle must re-verify.)
+#: the fixed oracle must re-verify.) Round-4 upkeep: fold the names
+#: recorded in CORRECTNESS_r03.json into this set and empty _DEFERRED.
 _DRIVER_RECORDED = frozenset({
     "pricing_summary", "region_rollup", "top_customers", "count_distinct_rollup",
     "telemetry_rollup", "filter_project_sort", "filter_range_limit", "like_filter",
@@ -54,8 +55,10 @@ _DRIVER_RECORDED = frozenset({
 
 
 #: Registered late in round 3, after the 50-slot window was already full
-#: of never-verified queries. They pass the local sf0.001/sf0.01
-#: differential gate and rotate to the FRONT of the window next round.
+#: of never-verified queries (the window holds the 38 carried-over names
+#: plus round 3's first 12 registrations). Every deferred query passes
+#: the local sf0.001/sf0.01 differential gate and rotates to the FRONT
+#: of the window next round.
 _DEFERRED = frozenset({
     "interval_join_sessions", "graph_triangles", "corpus_training_mix",
     "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
