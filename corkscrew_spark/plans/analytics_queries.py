@@ -838,3 +838,31 @@ def range_frame_weekly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue").over(w), 2).alias("w7_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("w7_days"),
     ).orderBy("event_type", "day")
+
+
+@query("sketch_weekly_distinct")
+def sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day WITHOUT re-scanning raw
+    events per window: one pass builds a daily HLL sketch, then the
+    30-row daily table self-joins over the trailing week and unions
+    sketches — the temporal application of mergeable sketches (build
+    daily, merge per window; raw user ids shuffle exactly once). At any
+    event volume the window join touches |days| rows, not events.
+    Rows-only: estimates are engine-native; the error envelope vs the
+    exact trailing distinct is asserted in tests/test_analytics_sketch.py."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = daily.select(F.col("day").alias("day"))
+    b = daily.select(F.col("day").alias("bday"), F.col("sk").alias("bsk"))
+    window_days = a.join(
+        b, (F.datediff(F.col("day"), F.col("bday")) >= 0)
+           & (F.datediff(F.col("day"), F.col("bday")) <= 6)
+    )
+    return (
+        window_days.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("bsk")).cast("long")
+             .alias("approx_users_7d"))
+        .orderBy("day")
+    )

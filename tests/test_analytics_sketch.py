@@ -54,3 +54,23 @@ def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
     est = reopened.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).first().e
     assert abs(est - 2000) <= 0.05 * 2000
+
+
+def test_sketch_weekly_distinct_error_bound(spark, sf_dir):
+    """The merged-sketch trailing-week estimate stays within 5% of the
+    exact trailing-week distinct computed from raw events."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from corkscrew_spark.plans.queries import QUERIES
+
+    got = {r.day: r.approx_users_7d for r in
+           QUERIES["sketch_weekly_distinct"](spark, sf_dir).collect()}
+    by_day = defaultdict(set)
+    for r in spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .selectExpr("CAST(ts AS DATE) AS day", "user_id").collect():
+        by_day[r.day].add(r.user_id)
+    for day, est in got.items():
+        exact = len(set().union(*(by_day.get(day - timedelta(days=k), set())
+                                  for k in range(7))))
+        assert abs(est - exact) <= max(3, 0.05 * exact), (day, est, exact)
