@@ -369,3 +369,26 @@ def test_asof_tolerance_voids_far_matches(spark):
         ).collect()
     }
     assert got == {1: 10, 2: None}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 20)),
+                    min_size=1, max_size=25),
+)
+def test_activity_streaks_matches_bruteforce(spark, events):
+    from datetime import timedelta
+
+    df = spark.createDataFrame(
+        [Row(u=u, ts=_EPOCH + timedelta(days=d, hours=u)) for u, d in events]
+    )
+    got = {r.u: r.max_streak for r in
+           temporal.activity_streaks(df, "u", "ts").collect()}
+    for u in {u for u, _ in events}:
+        days = sorted({d for uu, d in events if uu == u})
+        best = run = 1
+        for a, b in zip(days, days[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        assert got[u] == best, (u, days, got[u], best)
