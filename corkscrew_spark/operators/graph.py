@@ -368,3 +368,94 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
             f"weighted_shortest_paths did not converge in {max_rounds} rounds"
         )
     return dists
+
+
+class Graph:
+    """Unified graph facade bundling an edge DataFrame with the iterative
+    operators — the ergonomic surface the reference exposes through its
+    graph loader (pkg/graph/graph_loader.go builds one graph object and
+    hangs path/neighborhood queries off it; SURVEY §4 suggested the same
+    API could front multiple backends). Methods delegate to the
+    module-level operators, so plans and guarantees are identical; the
+    class only fixes the column-name contract once.
+
+    >>> g = Graph(edges)                  # (src, dst[, weight]) columns
+    >>> g.k_hop(["C1"], 3)
+    >>> g.pagerank().orderBy(F.desc("rank"))
+    >>> g.triangle_count()
+    >>> g.shortest_path("C1", "R0")
+    >>> g.connected_components()
+    """
+
+    def __init__(self, edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst", weight_col: str | None = None):
+        for col in (src_col, dst_col):
+            if col not in edges.columns:
+                raise ValueError(f"edge frame is missing column {col!r}")
+        self.edges = edges
+        self.src_col = src_col
+        self.dst_col = dst_col
+        self.weight_col = weight_col
+
+    def _e(self) -> DataFrame:
+        return self.edges.select(
+            F.col(self.src_col).alias("src"), F.col(self.dst_col).alias("dst")
+        )
+
+    def vertices(self) -> DataFrame:
+        e = self._e()
+        return (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+
+    def degrees(self) -> DataFrame:
+        e = self._e()
+        both = e.unionByName(e.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+        return both.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("degree"))
+
+    def k_hop(self, sources: list[str], max_depth: int,
+              directed: bool = False) -> DataFrame:
+        return k_hop(self._e(), sources, max_depth=max_depth, directed=directed)
+
+    def shortest_path(self, src: str, dst: str, max_depth: int = 10,
+                      directed: bool = False) -> DataFrame:
+        return shortest_path(self._e(), src, dst, max_depth=max_depth,
+                             directed=directed)
+
+    def topo_levels(self, max_depth: int = 100) -> DataFrame:
+        return topo_levels(self._e(), max_depth=max_depth)
+
+    def pagerank(self, damping: float = 0.85, iters: int = 10) -> DataFrame:
+        return pagerank(self._e(), damping=damping, iters=iters)
+
+    def triangle_count(self) -> DataFrame:
+        return triangle_count(self._e())
+
+    def weighted_shortest_paths(self, source: str, max_rounds: int = 30,
+                                directed: bool = True) -> DataFrame:
+        if self.weight_col is None:
+            raise ValueError("Graph was built without a weight column")
+        return weighted_shortest_paths(
+            self.edges.select(
+                F.col(self.src_col).alias("src"),
+                F.col(self.dst_col).alias("dst"),
+                F.col(self.weight_col).alias("weight"),
+            ),
+            source, max_rounds=max_rounds, directed=directed,
+        )
+
+    def connected_components(self) -> DataFrame:
+        """(node, component) — min-reachable-id labels via the dedup
+        cluster propagation (same operator the corpus dedup uses)."""
+        from corkscrew_spark.operators.dedup import dup_clusters
+
+        labels = dup_clusters(
+            self._e().withColumnRenamed("src", "doc_a")
+            .withColumnRenamed("dst", "doc_b")
+        )
+        return labels.select("doc_id", "cluster_id").withColumnsRenamed(
+            {"doc_id": "node", "cluster_id": "component"})

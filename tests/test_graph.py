@@ -133,3 +133,32 @@ def test_weighted_sssp_rejects_negative(spark):
                               "src string, dst string, weight double")
     with _pytest.raises(ValueError):
         graph.weighted_shortest_paths(e, "a")
+
+
+def test_graph_facade_delegates(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 2.0), ("x", "y", 1.0)],
+        "src string, dst string, weight double",
+    )
+    g = graph.Graph(edges, weight_col="weight")
+    assert g.vertices().count() == 5
+    assert {r.node: r.degree for r in g.degrees().collect()}["b"] == 2
+    hops = {r.node: r.distance for r in g.k_hop(["a"], 2).collect()}
+    assert hops == {"a": 0, "b": 1, "c": 2}
+    comps = {r.node: r.component for r in g.connected_components().collect()}
+    assert comps["c"] == "a" and comps["y"] == "x"
+    dists = {r.node: r.dist for r in g.weighted_shortest_paths("a").collect()}
+    assert dists == {"a": 0.0, "b": 1.0, "c": 3.0}
+    tri = g.triangle_count()
+    assert tri.filter("triangles > 0").count() == 0
+
+
+def test_graph_facade_validates_columns(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([("a", "b")], "u string, v string")
+    with _pytest.raises(ValueError, match="missing column"):
+        graph.Graph(edges)
+    g = graph.Graph(edges, src_col="u", dst_col="v")
+    with _pytest.raises(ValueError, match="weight"):
+        g.weighted_shortest_paths("a")
