@@ -14,7 +14,7 @@ integer / timestamp / string-typed so oracle hashes match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corkscrew_spark.operators import temporal
@@ -324,3 +324,47 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["purchase_id", "purchase_ts"], tiebreak="purchase_id",
         direction="forward", tolerance_seconds=86400,
     ).orderBy("error_id")
+
+
+@query(
+    "state_as_of",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, value, event_id, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT user_id, ROUND(value, 2) AS value_at, valid_from
+    FROM v
+    WHERE valid_from <= TIMESTAMP '2024-01-15'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+    ORDER BY user_id
+    """,
+)
+def state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table reconstruction (`FOR SYSTEM_TIME AS OF` emulation):
+    the signup event stream becomes versioned state via one lead()
+    window (valid_from = event time, valid_to = next event), and the
+    state at 2024-01-15 is the single version whose interval contains
+    the instant — the query-side complement of warehouse.scd2_merge's
+    storage-side versioning. One shuffle on the entity key."""
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id", "value", "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    return (
+        v.filter(
+            (F.col("valid_from") <= cutoff)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
+        )
+        .select("user_id", F.round("value", 2).alias("value_at"), "valid_from")
+        .orderBy("user_id")
+    )
