@@ -67,7 +67,8 @@ _DEFERRED = frozenset({
     "grouping_sets_orders", "dedup_exact_spans", "kql_mv_apply_tokens",
     "sample_fixed_per_lang", "source_token_kl", "bigram_collocations_pmi",
     "asof_forward_next_purchase", "range_frame_weekly_sum",
-    "sketch_weekly_distinct", "state_as_of",
+    "sketch_weekly_distinct", "state_as_of", "value_regression",
+    "numeric_histogram",
 })
 
 

@@ -866,3 +866,88 @@ def sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("approx_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "value_regression",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, CAST(hour(ts) AS DOUBLE)), 4)           AS corr_hr,
+           ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4)     AS slope,
+           ROUND(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4) AS intercept,
+           ROUND(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 4)        AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass statistical aggregates: Pearson correlation and OLS
+    slope/intercept/R² of event value against hour-of-day, per type —
+    all computed as one partial-aggregable pass (no second scan, no
+    collect), the shape that matters when the regression runs over
+    billions of rows. Rounded to absorb accumulation-order ulp drift."""
+    ev = _t(spark, sf_dir)["events"]
+    hr = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", hr), 4).alias("corr_hr"),
+            F.round(F.regr_slope("value", hr), 4).alias("slope"),
+            F.round(F.regr_intercept("value", hr), 4).alias("intercept"),
+            F.round(F.regr_r2("value", hr), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "numeric_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+         bins AS (SELECT unnest(range(0, 10)) AS bin),
+         types AS (SELECT DISTINCT event_type FROM events),
+         counts AS (
+             SELECT event_type,
+                    LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10)) AS BIGINT),
+                          9) AS bin,
+                    COUNT(*) AS n
+             FROM events, b GROUP BY 1, 2
+         )
+    SELECT t.event_type, CAST(bins.bin AS BIGINT) AS bin,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM bins CROSS JOIN types t
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = bins.bin
+    ORDER BY t.event_type, bins.bin
+    """,
+)
+def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with zero-filled bins: global min/max from a
+    1-row aggregate (broadcast), bin assignment is map-only arithmetic,
+    the (bin x type) spine makes empty bins explicit. The bin edge
+    formula is mirrored term-for-term so IEEE float boundaries land
+    identically in both engines."""
+    ev = _t(spark, sf_dir)["events"]
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    counts = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / 10)).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bins = ev.sparkSession.range(0, 10).select(F.col("id").alias("bin"))
+    types = ev.select("event_type").distinct()
+    return (
+        bins.crossJoin(F.broadcast(types))
+        .join(counts, ["event_type", "bin"], "left")
+        .select("event_type", "bin",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .orderBy("event_type", "bin")
+    )
