@@ -68,7 +68,7 @@ _DEFERRED = frozenset({
     "sample_fixed_per_lang", "source_token_kl", "bigram_collocations_pmi",
     "asof_forward_next_purchase", "range_frame_weekly_sum",
     "sketch_weekly_distinct", "state_as_of", "value_regression",
-    "numeric_histogram",
+    "numeric_histogram", "iqr_outliers", "user_event_timeline",
 })
 
 

@@ -951,3 +951,81 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n", F.lit(0)).cast("long").alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "iqr_outliers",
+    oracle="""
+    WITH q AS (SELECT event_type,
+                      quantile_cont(value, 0.25) AS q1,
+                      quantile_cont(value, 0.75) AS q3
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           ROUND(MIN(e.value), 4) AS min_outlier,
+           ROUND(MAX(e.value), 4) AS max_outlier
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per group: exact quartiles in one agg,
+    broadcast back to the stream, fence predicate evaluated map-side —
+    two passes total at any scale (the quartile table is
+    |groups|-sized). The sf0.01 margin between every value and its
+    fence is 0.075, so the float predicate is engine-stable."""
+    ev = _t(spark, sf_dir)["events"]
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter((F.col("value") > F.col("q3") + 1.5 * iqr)
+                | (F.col("value") < F.col("q1") - 1.5 * iqr))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_outliers"),
+            F.round(F.min("value"), 4).alias("min_outlier"),
+            F.round(F.max("value"), 4).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "user_event_timeline",
+    oracle="""
+    SELECT user_id,
+           (list(event_type ORDER BY ts, event_id))[1:10] AS first_events
+    FROM events
+    WHERE user_id < 10
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's first 10 event types in
+    time order. collect_list order is partition-dependent in Spark, so
+    the deterministic shape is collect structs -> array_sort ->
+    transform — the same fold discipline the funnel uses, one shuffle
+    on the user key."""
+    ev = _t(spark, sf_dir)["events"]
+    ordered = F.array_sort(
+        F.collect_list(F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("et"),
+        ))
+    )
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.slice(F.transform(ordered, lambda x: x["et"]), 1, 10)
+             .alias("first_events"))
+        .orderBy("user_id")
+    )
