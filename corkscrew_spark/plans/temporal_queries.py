@@ -368,3 +368,46 @@ def state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.round("value", 2).alias("value_at"), "valid_from")
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev), 4)
+               AS p
+    FROM o WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    ORDER BY prev, next
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag pairs from one per-user window, transition counts
+    from one groupBy, row-normalized probabilities from a tiny
+    |types|-partitioned window over the aggregated matrix (25 rows at
+    any event volume) — the behavioral-model summary downstream
+    sequence models sanity-check against."""
+    ev = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev", F.col("event_type").alias("next")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wn = Window.partitionBy("prev")
+    return (
+        counts.select(
+            "prev", "next",
+            F.col("cnt").cast("long").alias("n"),
+            F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wn), 4).alias("p"),
+        )
+        .orderBy("prev", "next")
+    )
