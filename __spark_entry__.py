@@ -69,7 +69,7 @@ _DEFERRED = frozenset({
     "asof_forward_next_purchase", "range_frame_weekly_sum",
     "sketch_weekly_distinct", "state_as_of", "value_regression",
     "numeric_histogram", "iqr_outliers", "user_event_timeline",
-    "event_transition_matrix",
+    "event_transition_matrix", "pack_sequences_sep", "dedup_keep_longest",
 })
 
 

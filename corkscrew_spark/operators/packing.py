@@ -35,13 +35,18 @@ def whitespace_tokens(text_col: str | Column) -> Column:
 
 
 def pack_sequences(docs: DataFrame, id_col: str, text_col: str, budget: int,
-                   stratify_col: str) -> DataFrame:
+                   stratify_col: str, sep_tokens: int = 0) -> DataFrame:
     """One row per (document, sequence) chunk:
 
     (stratum, seq_id, doc_id, seq_offset, n_tokens): ``seq_offset`` is the
     chunk's first-token position inside the sequence and ``n_tokens`` the
     chunk length; sum(n_tokens) over a non-final seq_id == budget.
     Documents with zero tokens are dropped (nothing to pack).
+
+    ``sep_tokens`` charges each document a trailing separator cost (the
+    EOS/BOS tokens a real tokenizer inserts between concatenated docs);
+    the separator rides inside the doc's span, so stream offsets stay a
+    pure cumsum.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -50,9 +55,10 @@ def pack_sequences(docs: DataFrame, id_col: str, text_col: str, budget: int,
         docs.select(
             F.col(stratify_col).alias("stratum"),
             F.col(id_col).alias("doc_id"),
-            whitespace_tokens(text_col).cast("long").alias("tokens"),
+            (whitespace_tokens(text_col) + sep_tokens).cast("long")
+            .alias("tokens"),
         )
-        .filter(F.col("tokens") > 0)
+        .filter(F.col("tokens") > sep_tokens)
         .withColumn("end", F.sum("tokens").over(w))
         .withColumn("start", F.col("end") - F.col("tokens"))
     )

@@ -1142,3 +1142,78 @@ def bigram_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(30)
     )
+
+
+@query(
+    "pack_sequences_sep",
+    oracle="""
+    WITH sp AS (
+        SELECT source AS stratum, doc_id,
+               len(string_split_regex(trim(text), '\\s+')) + 1 AS tokens,
+               SUM(len(string_split_regex(trim(text), '\\s+')) + 1)
+                   OVER (PARTITION BY source ORDER BY doc_id) AS e
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+    ),
+    spans AS (SELECT stratum, doc_id, tokens, e, e - tokens AS s FROM sp),
+    chunks AS (
+        SELECT stratum, doc_id, s, e, seq_id
+        FROM spans, UNNEST(range(CAST(FLOOR(s / 256) AS BIGINT),
+                                 CAST(FLOOR((e - 1) / 256) AS BIGINT) + 1)) AS u(seq_id)
+    )
+    SELECT stratum, seq_id, doc_id,
+           CAST(GREATEST(s, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_offset,
+           CAST(LEAST(e, (seq_id + 1) * 256) - GREATEST(s, seq_id * 256) AS BIGINT) AS n_tokens
+    FROM chunks
+    ORDER BY stratum, seq_id, seq_offset, doc_id
+    """,
+)
+def pack_sequences_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separator-aware packing: every document carries one trailing
+    EOS token inside its span (what a real concat-and-chunk tokenizer
+    emits between documents), shifting all downstream chunk boundaries
+    — same pure window-cumsum plan as pack_sequences."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return packing.pack_sequences(
+        d, "doc_id", "text", budget=256, stratify_col="source", sep_tokens=1
+    ).orderBy("stratum", "seq_id", "seq_offset", "doc_id")
+
+
+@query(
+    "dedup_keep_longest",
+    oracle="""
+    SELECT dup_key, doc_count, keep_id FROM (
+        SELECT dup_key,
+               CAST(COUNT(*) OVER (PARTITION BY dup_key) AS BIGINT) AS doc_count,
+               CAST(doc_id AS BIGINT) AS keep_id,
+               ROW_NUMBER() OVER (PARTITION BY dup_key
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM (SELECT doc_id, n_chars,
+                     array_to_string(string_split(lower(text), ' ')[1:5], ' ')
+                         AS dup_key
+              FROM documents)
+    ) WHERE rn = 1 AND doc_count > 1
+    ORDER BY dup_key
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-policy variant of prefix dedup: the surviving representative
+    is the LONGEST duplicate (ties to the smallest id) instead of the
+    minimum id — the policy most pipelines actually want (near-dup
+    groups usually contain truncations). max_by over a (length, -id)
+    struct stays one map-side-partial aggregation."""
+    d = register_tables(spark, sf_dir)["documents"]
+    k = text.prefix_key("text")
+    return (
+        d.select("doc_id", "n_chars", k.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).cast("long").alias("keep_id"),
+        )
+        .filter(F.col("doc_count") > 1)
+        .select("dup_key", "doc_count", "keep_id")
+        .orderBy("dup_key")
+    )
