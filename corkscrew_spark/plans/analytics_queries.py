@@ -1001,7 +1001,8 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_timeline",
     oracle="""
     SELECT user_id,
-           (list(event_type ORDER BY ts, event_id))[1:10] AS first_events
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:10], '>')
+               AS first_events
     FROM events
     WHERE user_id < 10
     GROUP BY user_id
@@ -1025,7 +1026,8 @@ def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(F.col("user_id") < 10)
         .groupBy("user_id")
-        .agg(F.slice(F.transform(ordered, lambda x: x["et"]), 1, 10)
+        .agg(F.array_join(
+            F.slice(F.transform(ordered, lambda x: x["et"]), 1, 10), ">")
              .alias("first_events"))
         .orderBy("user_id")
     )

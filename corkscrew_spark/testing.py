@@ -33,8 +33,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = out[sorted(out.columns)]
     for c in out.columns:
         # Dates/timestamps and decimals → canonical strings so engine-side
-        # representation differences don't fail equality.
-        if out[c].dtype == object or "datetime" in str(out[c].dtype):
+        # representation differences don't fail equality. List-like cells
+        # are converted to Python lists first: Spark without Arrow yields
+        # lists while DuckDB yields numpy arrays, and their str() forms
+        # differ ("[a, b]" vs "[a b]").
+        if out[c].dtype == object:
+            out[c] = out[c].map(
+                lambda v: str(list(v))
+                if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+                else str(v)
+            )
+        elif "datetime" in str(out[c].dtype):
             out[c] = out[c].astype(str)
     if len(out):
         out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
