@@ -291,3 +291,18 @@ def c4_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
         has_brace.alias("has_brace"),
         keep.alias("keep"),
     )
+
+
+#: GPT-2-style pretokenizer, simplified to the lookahead-free subset both
+#: Java regex and RE2 (DuckDB) interpret identically: a token is an
+#: optionally-space-prefixed letter run, digit run, or punctuation run.
+BPE_ISH_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Token count under a BPE-style pretokenizer split (letters, digit
+    runs, punctuation runs as separate tokens) — tracks real tokenizer
+    budgets far better than whitespace counting on code/punctuated text,
+    while staying a pure engine-portable regex (no vocab artifact)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), F.lit(0)))

@@ -1217,3 +1217,29 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dup_key", "doc_count", "keep_id")
         .orderBy("dup_key")
     )
+
+
+@query(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
+               AS BIGINT) AS bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts side by side (the two budget
+    estimators a packing pipeline chooses between): the BPE-style
+    pretokenizer regex splits digit runs and punctuation into their own
+    tokens, mirrored byte-for-byte in both engines (lookahead-free so
+    Java regex and RE2 agree). Map-only."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        packing.whitespace_tokens("text").cast("long").alias("ws_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
