@@ -20,18 +20,32 @@ def test_no_forbidden_plan_nodes(spark, sf_dir, name):
         assert node not in plan, f"{name} plans {node}"
 
 
-def _top_level_groups(line: str) -> int:
-    """Count [...] groups at bracket depth 0 in a plan-node line."""
+def _top_level_groups(line: str) -> list[str]:
+    """Contents of [...] groups at bracket depth 0 in a plan-node line."""
     depth = 0
-    groups = 0
+    groups: list[str] = []
+    buf: list[str] = []
     for ch in line:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
             depth += 1
         elif ch == "]":
             depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth >= 1:
+            buf.append(ch)
     return groups
+
+
+def _window_is_partitioned(node: str) -> bool:
+    """`Window [exprs], [part], [order]` / `Window [exprs], [part]` are
+    partitioned; `Window [exprs], [order]` / `Window [exprs]` are not.
+    The order group always carries ASC/DESC sort directions, a partition
+    group never does — that distinguishes the 2-group renderings."""
+    groups = _top_level_groups(node)
+    return any(" ASC" not in g and " DESC" not in g for g in groups[1:])
 
 
 _LIMITED = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit")
@@ -48,9 +62,7 @@ def test_no_global_window_over_unbounded_input(spark, sf_dir, name):
     lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
     for i, line in enumerate(lines):
         node = line.lstrip(" +-*:")
-        # physical node renders as `Window [exprs], [part], [order]` with
-        # a partitionBy, `Window [exprs], [order]` without one
-        if node.startswith("Window ") and _top_level_groups(node) < 3:
+        if node.startswith("Window ") and not _window_is_partitioned(node):
             below = "\n".join(lines[i + 1:])
             assert any(k in below for k in _LIMITED), (
                 f"{name}: partition-less Window over unbounded input:\n{line}"
