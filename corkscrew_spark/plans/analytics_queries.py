@@ -1031,3 +1031,38 @@ def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("first_events"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, tier_price, n_orders, rnk FROM (
+        SELECT o_orderpriority,
+               ROUND(o_totalprice / 10000, 0) AS tier_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(DENSE_RANK() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ROUND(o_totalprice / 10000, 0) DESC) AS BIGINT)
+                   AS rnk
+        FROM orders
+        GROUP BY o_orderpriority, ROUND(o_totalprice / 10000, 0)
+    ) WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk, tier_price
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-AWARE top-k (dense_rank keeps every row of a tied value,
+    row_number would cut arbitrarily — the subtlety topk_per_group's
+    unique-key variant sidesteps): top-3 price tiers per priority.
+    Ranking on the rounded tier keeps tie membership engine-stable."""
+    o = _t(spark, sf_dir)["orders"]
+    tier = F.round(F.col("o_totalprice") / 10000, 0)
+    agg = o.groupBy(
+        "o_orderpriority", tier.alias("tier_price")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("tier_price"))
+    return (
+        agg.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_orderpriority", "rnk", "tier_price")
+    )
