@@ -70,7 +70,8 @@ _DEFERRED = frozenset({
     "sketch_weekly_distinct", "state_as_of", "value_regression",
     "numeric_histogram", "iqr_outliers", "user_event_timeline",
     "event_transition_matrix", "pack_sequences_sep", "dedup_keep_longest",
-    "token_count_bpe", "topk_with_ties",
+    "token_count_bpe", "topk_with_ties", "window_filtered_sum",
+    "date_functions_family",
 })
 
 

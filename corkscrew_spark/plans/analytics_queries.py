@@ -1066,3 +1066,76 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("o_orderpriority", "rnk", "tier_price")
     )
+
+
+@query(
+    "window_filtered_sum",
+    oracle="""
+    WITH d AS (SELECT user_id, ts, event_id, event_type, value FROM events
+               WHERE user_id < 20)
+    SELECT user_id, event_id,
+           ROUND(SUM(value) FILTER (event_type = 'purchase') OVER w, 2)
+               AS purchases_so_far,
+           CAST(COUNT(*) FILTER (event_type = 'error') OVER w AS BIGINT)
+               AS errors_so_far
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates inside a running window (SQL FILTER clause):
+    per user, cumulative purchase value and error count as of each
+    event. Spark expresses FILTER as sum(CASE WHEN ...) over the same
+    frame — one WindowExec carries both accumulations."""
+    ev = _t(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase = F.when(F.col("event_type") == "purchase", F.col("value"))
+    error = F.when(F.col("event_type") == "error", 1)
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select(
+            "user_id", "event_id",
+            F.round(F.sum(purchase).over(w), 2).alias("purchases_so_far"),
+            F.count(error).over(w).cast("long").alias("errors_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "date_functions_family",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+               AS plus_two_months,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    ORDER BY month, plus_two_months
+    """,
+)
+def date_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-function family (quarter, last_day, month
+    arithmetic with end-of-month clamping) proven equivalent across
+    engines — add_months(Jan 31, 1) clamps to Feb 28/29 in both. Dates
+    only in the output, per the determinism rules."""
+    o = _t(spark, sf_dir)["orders"]
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 2).alias("plus_two_months"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("month", "plus_two_months")
+    )
