@@ -71,7 +71,7 @@ _DEFERRED = frozenset({
     "numeric_histogram", "iqr_outliers", "user_event_timeline",
     "event_transition_matrix", "pack_sequences_sep", "dedup_keep_longest",
     "token_count_bpe", "topk_with_ties", "window_filtered_sum",
-    "date_functions_family",
+    "date_functions_family", "null_safe_join", "locf_gap_fill",
 })
 
 

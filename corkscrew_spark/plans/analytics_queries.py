@@ -1139,3 +1139,73 @@ def date_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("month", "plus_two_months")
     )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT event_id, NULLIF(event_type, 'error') AS k
+               FROM events WHERE event_id < 500),
+         b AS (SELECT event_id AS bid, NULLIF(event_type, 'error') AS k
+               FROM events WHERE event_id >= 500 AND event_id < 1000)
+    SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics that decide
+    whether unknown-keyed rows correlate. Still plans as a hash join on
+    the null-safe key, one shuffle."""
+    ev = _t(spark, sf_dir)["events"]
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = ev.filter(F.col("event_id") < 500).select("event_id", k.alias("k"))
+    b = (
+        ev.filter((F.col("event_id") >= 500) & (F.col("event_id") < 1000))
+        .select(F.col("event_id").alias("bid"), k.alias("bk"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["bk"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.asc_nulls_first("k"))
+    )
+
+
+@query(
+    "locf_gap_fill",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS) OVER w, 2) AS last_purchase_value
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap filling: every event carries
+    the user's most recent purchase value (NULL until the first one) —
+    the imputation pass time-series pipelines run before modeling, as
+    one last(IGNORE NULLS) window. Same carry-forward machinery the
+    as-of join builds on, exposed as a direct surface."""
+    ev = _t(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.filter(F.col("user_id") < 10)
+        .select(
+            "user_id", "event_id",
+            F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
+            .alias("last_purchase_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
