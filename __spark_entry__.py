@@ -72,6 +72,7 @@ _DEFERRED = frozenset({
     "event_transition_matrix", "pack_sequences_sep", "dedup_keep_longest",
     "token_count_bpe", "topk_with_ties", "window_filtered_sum",
     "date_functions_family", "null_safe_join", "locf_gap_fill",
+    "decay_weighted_value", "char_trigram_profile",
 })
 
 

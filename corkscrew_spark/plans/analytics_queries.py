@@ -1209,3 +1209,43 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "decay_weighted_value",
+    oracle="""
+    WITH m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id,
+           ROUND(SUM(value * EXP(-0.1 *
+               (epoch_us(mx) - epoch_us(ts)) / 86400000000.0)), 4)
+               AS decayed_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, m
+    WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency decay (half-life ~6.9 days at lambda=0.1/day):
+    each event's value weighted by exp(-lambda * age) relative to the
+    corpus horizon — the recency-weighted engagement score ranking
+    systems use. One broadcast 1-row horizon + a map-side weight, one
+    aggregation; the float formula mirrors the oracle term-for-term."""
+    ev = _t(spark, sf_dir)["events"]
+    m = ev.agg(F.max("ts").alias("mx"))
+    age_days = (
+        (F.unix_micros(F.col("mx").cast("timestamp"))
+         - F.unix_micros(F.col("ts").cast("timestamp"))) / 86400000000.0
+    )
+    return (
+        ev.filter(F.col("user_id") < 30)
+        .crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.exp(-0.1 * age_days)), 4)
+            .alias("decayed_value"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("user_id")
+    )

@@ -1243,3 +1243,43 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         packing.whitespace_tokens("text").cast("long").alias("ws_tokens"),
         text.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "char_trigram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, substr(lower(text), i, 3) AS g
+        FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+    )
+    SELECT lang, g, n FROM (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g)
+                   AS rk
+        FROM grams GROUP BY lang, g
+    ) WHERE rk <= 10
+    ORDER BY lang, n DESC, g
+    """,
+)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram frequency profile per language (the signature
+    real language-ID models are trained on — the char-level sibling of
+    the word-marker heuristic in text.language_id): sliding 3-char
+    windows via a map-side index transform, one (lang, gram) agg, top-10
+    per language with a deterministic tie-break."""
+    d = register_tables(spark, sf_dir)["documents"]
+    # substr's start argument inside a higher-order lambda is a Column,
+    # which the python substring() helper rejects — the expr form binds it.
+    g = F.expr("transform(sequence(1, length(lower(text)) - 2), "
+               "i -> substr(lower(text), i, 3))")
+    exploded = d.select("lang", F.explode(g).alias("g"))
+    from pyspark.sql import Window as W
+    counts = exploded.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "g")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "g", "n")
+        .orderBy("lang", F.desc("n"), "g")
+    )
