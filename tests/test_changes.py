@@ -85,3 +85,51 @@ def test_baseline_and_drift_roundtrip(spark, world):
 
     summary = changes.drift_summary(drift, res.count()).collect()
     assert summary and all(0 <= r["compliance_score"] <= 100 for r in summary)
+
+
+def test_detect_anomalies_thresholds(spark):
+    from pyspark.sql import Row
+
+    from corkscrew_spark import changes
+
+    # 60 changes on r-hot (> 50 threshold), 120 total (not > 1000: no
+    # spike), svc-a holds 100/120 (> half: concentration).
+    rows = (
+        [Row(resource_id="r-hot", service="svc-a") for _ in range(60)]
+        + [Row(resource_id=f"r-{i}", service="svc-a") for i in range(40)]
+        + [Row(resource_id=f"q-{i}", service="svc-b") for i in range(20)]
+    )
+    ev = spark.createDataFrame(rows)
+    got = {(r.anomaly_type, r.subject): r.observed
+           for r in changes.detect_anomalies(ev).collect()}
+    assert got[("resource_hotspot", "r-hot")] == 60
+    assert got[("service_concentration", "svc-a")] == 100
+    assert not any(t == "frequency_spike" for t, _ in got)
+    # exactly-at-threshold cases do NOT fire (strict >)
+    ev2 = spark.createDataFrame(
+        [Row(resource_id="r", service="a") for _ in range(50)]
+        + [Row(resource_id=f"x{i}", service="b") for i in range(50)]
+    )
+    got2 = {r.anomaly_type for r in changes.detect_anomalies(ev2).collect()}
+    assert "resource_hotspot" not in got2          # 50 is not > 50
+    assert "service_concentration" not in got2     # 50*2 == 100, not >
+
+
+def test_top_changed_resources_dominant_tiebreak(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from corkscrew_spark import changes
+
+    t = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [Row(resource_id="r1", change_type=c, timestamp=t)
+         for c in ("UPDATE", "DELETE", "UPDATE", "DELETE")]  # tie 2-2
+        + [Row(resource_id="r2", change_type="CREATE", timestamp=t)]
+    )
+    got = {r.resource_id: r for r in
+           changes.top_changed_resources(ev, k=10).collect()}
+    assert got["r1"].dominant_type == "DELETE"     # lexicographic tie-break
+    assert got["r1"].n_changes == 4 and got["r1"].n_change_types == 2
+    assert got["r2"].dominant_type == "CREATE"
