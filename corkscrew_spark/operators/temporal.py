@@ -337,3 +337,52 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                 & (F.col("__p_us") < F.col("__e_us")))
         .select(*p_cols, *i_cols)
     )
+
+
+def interpolate_linear(df: DataFrame, entity_col: str, ts_col: str,
+                       value_col: str, order_tiebreak: str,
+                       out_col: str = "interp") -> DataFrame:
+    """Time-weighted linear interpolation of missing values.
+
+    Rows whose ``value_col`` is NULL get
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` from the
+    nearest non-null observations on either side (per entity, ordered by
+    ``(ts, tiebreak)``). Leading/trailing NULLs (no neighbor on one side)
+    stay NULL — interpolation never extrapolates; chain with LOCF
+    (``last(ignorenulls)``) if edge filling is wanted.
+
+    Scale shape: two window passes over the SAME per-entity shuffle
+    (Catalyst plans one Sort+Exchange, both windows ride it) — the
+    standard imputation step before model training, at one shuffle on the
+    entity key. Equal-timestamp neighbors fall back to the midpoint
+    (the time fraction is 0/0 there).
+
+    Generalizes the reference's per-resource timeline ordering
+    (internal/changes/change_storage.go:249-272) to value reconstruction
+    between observations.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_back = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_fwd = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_val = F.when(v.isNotNull(), v)
+    obs_us = F.when(v.isNotNull(), us)
+    prev_v = F.last(obs_val, ignorenulls=True).over(w_back)
+    prev_us = F.last(obs_us, ignorenulls=True).over(w_back)
+    next_v = F.first(obs_val, ignorenulls=True).over(w_fwd)
+    next_us = F.first(obs_us, ignorenulls=True).over(w_fwd)
+    frac = F.when(next_us == prev_us, F.lit(0.5)).otherwise(
+        (us - prev_us) / (next_us - prev_us)
+    )
+    return df.withColumn(
+        out_col,
+        F.when(v.isNotNull(), v).otherwise(prev_v + (next_v - prev_v) * frac),
+    )

@@ -1249,3 +1249,68 @@ def decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ordered_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: collect_set -> array_sort -> concat_ws
+    makes the concatenated list independent of partition arrival order
+    (a bare collect_list/string_agg is nondeterministic under
+    parallelism — the classic distributed-agg trap). One map-side
+    partial-aggregable pass."""
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus")))
+            .alias("statuses"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "bitwise_flag_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id % 16) AS BIGINT) AS flags_and,
+           CAST(bit_or(user_id % 16) AS BIGINT) AS flags_or,
+           CAST(bit_xor(user_id % 16) AS BIGINT) AS flags_xor,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_large
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bitwise_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate family (bit_and/or/xor,
+    bool_and/bool_or): flag-mask rollups are how permission bitmaps and
+    feature flags aggregate without exploding to one row per bit. All
+    are commutative partial aggregates — map-side combine, one shuffle
+    of |groups| rows."""
+    ev = _t(spark, sf_dir)["events"]
+    flags = F.col("user_id") % 16
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(flags).cast("long").alias("flags_and"),
+            F.bit_or(flags).cast("long").alias("flags_or"),
+            F.bit_xor(flags).cast("long").alias("flags_xor"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_large"),
+        )
+        .orderBy("event_type")
+    )

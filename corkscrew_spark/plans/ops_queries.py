@@ -383,3 +383,69 @@ def top_changed_resources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("timestamp"),
     )
     return changes.top_changed_resources(ce, k=25)
+
+
+@query(
+    "profile_orders",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM src
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM src
+    ORDER BY col_name
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-ingest data profile (operators/profile.profile_columns): one
+    aggregation pass over orders produces per-column null counts, exact
+    cardinalities, and stringified min/max — the stats surface behind
+    `corkscrew info` / GetStats (internal/server/api_server.go),
+    generalized to column-level profiling. The money column is profiled
+    as DECIMAL(12,2) so both engines render identical strings."""
+    from corkscrew_spark.operators import profile
+
+    o = register_tables(spark, sf_dir)["orders"].withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(12,2)")
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate", "o_totalprice"]
+    return profile.profile_columns(o.select(*cols), cols).orderBy("col_name")

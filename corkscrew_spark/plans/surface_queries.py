@@ -331,3 +331,43 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "fuzzy_match_parts",
+    oracle="""
+    WITH probes AS (
+        SELECT p_partkey AS probe_id,
+               substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+        FROM part WHERE p_partkey % 37 = 0
+    )
+    SELECT pr.probe_id, pa.p_partkey,
+           CAST(levenshtein(pr.probe_name, pa.p_name) AS BIGINT) AS distance
+    FROM probes pr, part pa
+    WHERE levenshtein(pr.probe_name, pa.p_name) <= 2
+    ORDER BY probe_id, p_partkey
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join (operators/fuzzy.fuzzy_join): part names with a
+    deleted character resolve back to the catalog within distance 2 via
+    Ed-Join prefix filtering — rare-gram probes against a full gram
+    postings index, length filter, exact levenshtein verify. The oracle
+    brute-forces the cross join; the Spark side must produce the
+    identical pair set from blocked candidates only."""
+    from corkscrew_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf_dir)["part"]
+    probes = part.filter(F.col("p_partkey") % 37 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.col("p_name").substr(F.lit(4), F.length("p_name")),
+        ).alias("probe_name"),
+    )
+    return (
+        fuzzy_join(probes, part.select("p_partkey", "p_name"),
+                   "probe_id", "probe_name", "p_partkey", "p_name",
+                   max_dist=2, q=2)
+        .orderBy("probe_id", "p_partkey")
+    )

@@ -411,3 +411,58 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "next")
     )
+
+
+@query(
+    "linear_interpolate_value",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+               CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 10
+    ),
+    w AS (
+        SELECT event_id, user_id, us, v,
+               LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wb AS pus,
+               FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+                   OVER wf AS nus
+        FROM e
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) *
+                      (CASE WHEN nus = pus THEN 0.5
+                            ELSE (us - pus) * 1.0 / (nus - pus) END)
+                 END, 4) AS value_filled
+    FROM w ORDER BY event_id
+    """,
+)
+def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation (operators/temporal.
+    interpolate_linear): 'view' events are treated as missing
+    observations and reconstructed from the nearest purchases on either
+    side, weighted by actual elapsed time — the imputation complement of
+    locf_gap_fill. Both window passes share one per-user shuffle; edges
+    never extrapolate (stay NULL)."""
+    ev = _t(spark, sf_dir)["events"]
+    masked = ev.filter(F.col("user_id") < 10).withColumn(
+        "v",
+        F.when(F.col("event_type") == "view", F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+    return (
+        temporal.interpolate_linear(
+            masked, "user_id", "ts", "v", "event_id", out_col="interp")
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("interp"), 4).alias("value_filled"),
+        )
+        .orderBy("event_id")
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -392,3 +394,52 @@ def test_activity_streaks_matches_bruteforce(spark, events):
             run = run + 1 if b == a + 1 else 1
             best = max(best, run)
         assert got[u] == best, (u, days, got[u], best)
+
+
+class TestInterpolateLinear:
+    def _df(self, spark, rows):
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType, TimestampType)
+        import datetime as dt
+        schema = StructType([
+            StructField("e", LongType()), StructField("i", LongType()),
+            StructField("ts", TimestampType()), StructField("v", DoubleType()),
+        ])
+        base = dt.datetime(2025, 1, 1)
+        data = [(e, i, base + dt.timedelta(seconds=s), v)
+                for e, i, s, v in rows]
+        return spark.createDataFrame(data, schema)
+
+    def _run(self, spark, rows):
+        from corkscrew_spark.operators import temporal
+        df = self._df(spark, rows)
+        out = temporal.interpolate_linear(df, "e", "ts", "v", "i")
+        return {(r.e, r.i): r.interp for r in out.collect()}
+
+    def test_time_weighted_interior(self, spark):
+        got = self._run(spark, [
+            (1, 1, 0, 10.0), (1, 2, 10, None), (1, 3, 40, 40.0),
+        ])
+        # 10s of a 40s gap: 10 + 30 * 0.25
+        assert got[(1, 2)] == pytest.approx(17.5)
+
+    def test_edges_never_extrapolate(self, spark):
+        got = self._run(spark, [
+            (1, 1, 0, None), (1, 2, 10, 5.0), (1, 3, 20, None),
+        ])
+        assert got[(1, 1)] is None and got[(1, 3)] is None
+        assert got[(1, 2)] == 5.0
+
+    def test_equal_timestamp_midpoint(self, spark):
+        got = self._run(spark, [
+            (1, 1, 5, 2.0), (1, 2, 5, None), (1, 3, 5, 6.0),
+        ])
+        assert got[(1, 2)] == pytest.approx(4.0)
+
+    def test_entities_independent(self, spark):
+        got = self._run(spark, [
+            (1, 1, 0, 1.0), (1, 2, 5, None), (1, 3, 10, 3.0),
+            (2, 1, 0, 100.0), (2, 2, 5, None), (2, 3, 10, 200.0),
+        ])
+        assert got[(1, 2)] == pytest.approx(2.0)
+        assert got[(2, 2)] == pytest.approx(150.0)
