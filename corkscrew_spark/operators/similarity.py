@@ -393,3 +393,186 @@ def quantized_cosine_topk(corpus_q: DataFrame, queries_q: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — m-subspace codebooks, asymmetric distance.
+# Public technique: Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011.
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
+             m: int = 8, ksub: int = 16, iters: int = 1,
+             ) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split dim into ``m`` equal blocks,
+    k-means each block to ``ksub`` centroids.
+
+    Returns ``codebooks[s][j]`` = centroid ``j`` of subspace ``s``.
+
+    Scale shape: ALL subspaces train in one pass per Lloyd iteration —
+    each vector explodes to its m (subspace, subvector) rows, assignment
+    is a pure-codegen literal expression (m*ksub small sqdists behind a
+    subspace when-chain), and mean recomputation is ONE
+    groupBy((s, cid, pos)) job of m*ksub*subdim output rows. Driver
+    round-trips: 1 seed collect + ``iters`` mean collects, independent
+    of corpus size.
+    """
+    dim = corpus.select(F.size(_as_double(vec_col)).alias("d")).first().d
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    # Deterministic seeds: the ksub corpus vectors with smallest
+    # xxhash64(id), sliced per subspace (same pattern as ivf_centroids).
+    seeds = (
+        corpus.select(_as_double(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(ksub)
+        .collect()
+    )
+    codebooks = [
+        [list(r.v[s * sub:(s + 1) * sub]) for r in seeds]
+        for s in range(m)
+    ]
+
+    subvecs = corpus.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(_as_double(vec_col), s * sub + 1, sub).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e")
+    ).select("e.s", "e.sv")
+
+    for _ in range(iters):
+        cid = F.when(F.col("s") == 0, assign_list(F.col("sv"), codebooks[0]))
+        for s in range(1, m):
+            cid = cid.when(F.col("s") == s,
+                           assign_list(F.col("sv"), codebooks[s]))
+        means = (
+            subvecs.withColumn("cid", cid)
+            .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        for row in means:
+            codebooks[row.s][row.cid][row.pos] = row.mval
+    return codebooks
+
+
+def pq_encode(df: DataFrame, vec_col: str,
+              codebooks: list[list[list[float]]],
+              code_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to ``m`` codebook indices (array<tinyint> — dim
+    doubles compress to m bytes, the memory footprint that lets a 100 TB
+    embedding corpus live in executor page cache). Map-only codegen
+    expression; drops the raw vector column.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(*[
+        assign_list(F.slice(_as_double(vec_col), s * sub + 1, sub),
+                    codebooks[s]).cast("tinyint")
+        for s in range(m)
+    ])
+    return df.withColumn(code_col, codes).drop(vec_col)
+
+
+def _codebook_lit(codebook: list[list[float]]) -> Column:
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in codebook
+    ])
+
+
+def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, codebooks: list[list[list[float]]], k: int = 5,
+            code_col: str = "pq_code", rerank: DataFrame | None = None,
+            shortlist: int | None = None) -> DataFrame:
+    """Asymmetric-distance top-k: full-precision queries against the
+    PQ-encoded corpus. approx_l2 = sqrt(sum_s ||q_s - codebook[s][code_s]||^2)
+    — per corpus row this is m array lookups + m small sqdists, all
+    whole-stage codegen, no decode materialization.
+
+    Same contract as cosine_topk: the query set is the SMALL side
+    (broadcast); the encoded corpus streams once. Deterministic ranking
+    via (rounded distance, neighbor id). Returns
+    (query_id, neighbor_id, approx_l2, rank).
+
+    ``rerank``: the production two-stage pattern — pass the
+    full-precision corpus (``id_col``, ``vec_col``) and the PQ pass only
+    SHORTLISTS ``shortlist`` (default 10·k) candidates per query; exact
+    L2 re-scores the |queries|·shortlist survivors. The expensive exact
+    math touches a fixed small row set no matter the corpus size, which
+    is what makes coarse codebooks usable on isotropic embeddings.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(code_col).alias("code"),
+    )
+    sub = len(codebooks[0][0])
+    terms = []
+    for s, cb in enumerate(codebooks):
+        cent = F.element_at(_codebook_lit(cb),
+                            F.col("code")[s].cast("int") + 1)
+        qs = F.slice(F.col("qv"), s * sub + 1, sub)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qs, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(F.sqrt(total), 4).alias("approx_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    n_short = shortlist if shortlist is not None else 10 * k
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    full = rerank.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("nv"),
+    )
+    exact = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.sqrt(F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("nv"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)),
+                4,
+            ).alias("approx_l2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -1283,3 +1283,31 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "g", "n")
         .orderBy("lang", F.desc("n"), "g")
     )
+
+
+#: trained PQ codebooks per (session, sf_dir) — build-once/probe-many,
+#: same pattern as _IVF_CENTROIDS
+_PQ_CODEBOOKS: dict[tuple[int, str], list[list[list[float]]]] = {}
+
+
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_train/pq_encode/pq_topk):
+    64-dim embeddings compress to 8 one-byte codes (32× vs float32), and
+    10 full-precision queries rank the corpus by asymmetric distance —
+    m codebook lookups + small sqdists per row, all codegen. Rows-only
+    (approximate distances have no SQL oracle); exactness-when-codebooks-
+    are-exact and trained-recall bounds live in tests/test_similarity.py."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir + "#pq")
+    cbs = _PQ_CODEBOOKS.get(key)
+    if cbs is None:
+        cbs = _PQ_CODEBOOKS[key] = similarity.pq_train(
+            e, "vec_id", "embedding", m=8, ksub=16, iters=1)
+    corpus = similarity.pq_encode(e, "embedding", cbs)
+    queries = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.pq_topk(corpus, queries, "vec_id", "embedding", cbs, k=5,
+                           rerank=e, shortlist=50)
+        .orderBy("query_id", "rank")
+    )

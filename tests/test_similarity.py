@@ -169,3 +169,90 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert abs(got[1]["qscale"] - 1.0 / 127) < 1e-9
     assert got[2]["qvec"] == [0, 0, 0]  # zero vector: no div-by-zero
     assert "embedding" not in got[1].asDict()
+
+
+class TestProductQuantization:
+    def test_exact_when_codebooks_exact(self, spark):
+        """Vectors drawn exactly from the codebooks quantize losslessly,
+        so PQ ranking must equal exact L2 ranking."""
+        from corkscrew_spark.operators import similarity
+
+        # 2 subspaces x 2-dim, 3 centroids each
+        cbs = [
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]],
+            [[5.0, 5.0], [6.0, 5.0], [5.0, 7.0]],
+        ]
+        rows = []
+        vid = 0
+        for a in range(3):
+            for b in range(3):
+                rows.append((vid, cbs[0][a] + cbs[1][b]))
+                vid += 1
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        codes = similarity.pq_encode(df, "embedding", cbs)
+        got = similarity.pq_topk(codes, df.filter("vec_id < 3"),
+                                 "vec_id", "embedding", cbs, k=3).collect()
+        import math
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r)
+        vecs = {i: v for i, v in rows}
+        for qid, lst in by_q.items():
+            exact = sorted(
+                ((math.dist(vecs[qid], vecs[i]), i)
+                 for i in vecs if i != qid))[:3]
+            assert [r.neighbor_id for r in sorted(lst, key=lambda r: r.rank)] \
+                == [i for _, i in exact]
+            for r in lst:
+                d = math.dist(vecs[qid], vecs[r.neighbor_id])
+                assert abs(r.approx_l2 - round(d, 4)) < 1e-6
+
+    def test_trained_recall(self, spark, sf_dir):
+        """PQ trained on the synthetic embeddings must put a decent
+        fraction of true L2 neighbors in its top-5."""
+        from corkscrew_spark.catalog import register_tables
+        from corkscrew_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        e = register_tables(spark, sf_dir)["embeddings"]
+        cbs = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=16,
+                                  iters=1)
+        codes = similarity.pq_encode(e, "embedding", cbs)
+        q = e.filter(F.col("vec_id") < 10)
+        approx = similarity.pq_topk(codes, q, "vec_id", "embedding", cbs,
+                                    k=5, rerank=e, shortlist=50).collect()
+
+        exact_pairs = {(r.vec_id, r.other_id) for r in (
+            q.alias("a").crossJoin(e.alias("b"))
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("other_id"),
+                F.sqrt(F.aggregate(
+                    F.zip_with(
+                        F.col("a.embedding").cast("array<double>"),
+                        F.col("b.embedding").cast("array<double>"),
+                        lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)).alias("d"))
+            .withColumn("rk", F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("vec_id").orderBy("d", "other_id")))
+            .filter("rk <= 5").collect())}
+        got_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+        recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.3, recall
+
+    def test_code_shape_and_dim_check(self, spark):
+        from corkscrew_spark.operators import similarity
+        import pytest
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 6) for i in range(20)], ["vec_id", "embedding"])
+        with pytest.raises(ValueError):
+            similarity.pq_train(df, "vec_id", "embedding", m=4)
+        cbs = similarity.pq_train(df, "vec_id", "embedding", m=3, ksub=4)
+        assert len(cbs) == 3 and len(cbs[0]) == 4 and len(cbs[0][0]) == 2
+        enc = similarity.pq_encode(df, "embedding", cbs)
+        row = enc.first()
+        assert len(row.pq_code) == 3
+        assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
