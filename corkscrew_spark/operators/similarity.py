@@ -177,23 +177,48 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid id as one codegen expression: array_min over
-    (distance, cid) structs — lexicographic min gives the closest list,
-    cid tie-break keeps it deterministic."""
-    pairs = F.array(*[
-        F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cid"))
-        for i, c in enumerate(centroids)
+def _dist_structs(vec: Column, cents: Column) -> Column:
+    """(sqdist, cid) structs of ``vec`` against a 2-D centroid array
+    COLUMN — one transform over the centroid list instead of one
+    expression subtree per centroid, which keeps Catalyst analysis and
+    codegen time flat as nlist/ksub grow (a per-centroid expression
+    forest made PQ/IVF planning dominate small-job wall time)."""
+    d = F.zip_with(
+        F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        ),
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda dist, i: F.struct(dist.alias("d"), i.alias("cid")),
+    )
+    return d
+
+
+def centroids_lit(centroids: list[list[float]]) -> Column:
+    """Centroid list as a 2-D array literal."""
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
     ])
-    return F.array_min(pairs).getField("cid")
+
+
+def assign_col(vec: Column, cents: Column) -> Column:
+    """Nearest-centroid id against a centroid-array Column:
+    array_min over (distance, cid) structs — lexicographic min gives the
+    closest list, cid tie-break keeps it deterministic."""
+    return F.array_min(_dist_structs(vec, cents)).getField("cid")
+
+
+def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a Python centroid list (inlined literal)."""
+    return assign_col(vec, centroids_lit(centroids))
 
 
 def probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """The `nprobe` nearest centroid ids, closest first."""
-    pairs = F.array(*[
-        F.struct(_sqdist(vec, c).alias("d"), F.lit(i).alias("cid"))
-        for i, c in enumerate(centroids)
-    ])
+    pairs = _dist_structs(vec, centroids_lit(centroids))
     return F.transform(
         F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s.getField("cid")
     )
@@ -449,10 +474,10 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
     ).select("e.s", "e.sv")
 
     for _ in range(iters):
-        cid = F.when(F.col("s") == 0, assign_list(F.col("sv"), codebooks[0]))
-        for s in range(1, m):
-            cid = cid.when(F.col("s") == s,
-                           assign_list(F.col("sv"), codebooks[s]))
+        # one 3-D literal (m x ksub x sub) indexed by the subspace tag —
+        # a single assignment expression for every subspace at once
+        cb3 = F.array(*[centroids_lit(cb) for cb in codebooks])
+        cid = assign_col(F.col("sv"), F.element_at(cb3, F.col("s") + 1))
         means = (
             subvecs.withColumn("cid", cid)
             .select("s", "cid", F.posexplode("sv").alias("pos", "val"))
@@ -481,12 +506,6 @@ def pq_encode(df: DataFrame, vec_col: str,
         for s in range(m)
     ])
     return df.withColumn(code_col, codes).drop(vec_col)
-
-
-def _codebook_lit(codebook: list[list[float]]) -> Column:
-    return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in codebook
-    ])
 
 
 def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
@@ -523,7 +542,7 @@ def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
     sub = len(codebooks[0][0])
     terms = []
     for s, cb in enumerate(codebooks):
-        cent = F.element_at(_codebook_lit(cb),
+        cent = F.element_at(centroids_lit(cb),
                             F.col("code")[s].cast("int") + 1)
         qs = F.slice(F.col("qv"), s * sub + 1, sub)
         terms.append(
