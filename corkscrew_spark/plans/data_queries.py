@@ -1311,3 +1311,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rerank=e, shortlist=50)
         .orderBy("query_id", "rank")
     )
+
+
+#: learned BPE merges per (session, sf_dir) — train-once like _PQ_CODEBOOKS
+_BPE_MERGES: dict[tuple[int, str], list[tuple[str, str]]] = {}
+
+
+@query("bpe_vocab_tokenize")
+def bpe_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe): learn 6 merges over the
+    corpus word table (one corpus-sized word count, then vocab-sized
+    merge rounds with deterministic tie-breaks), then tokenize documents
+    with the learned vocabulary as a map-only fold chain. Returns per-doc
+    BPE token counts for a fixed slice. Rows-only (iterative learning has
+    no SQL oracle); exact merge-sequence equality against a reference
+    implementation is asserted in tests/test_bpe.py."""
+    from corkscrew_spark.operators import bpe
+
+    d = register_tables(spark, sf_dir)["documents"]
+    key = (id(spark), sf_dir + "#bpe")
+    merges = _BPE_MERGES.get(key)
+    if merges is None:
+        merges = _BPE_MERGES[key] = bpe.learn_bpe(d, "text", num_merges=6)
+    return (
+        bpe.apply_bpe(d.filter(F.col("doc_id") < 50), "doc_id", "text", merges)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
