@@ -119,14 +119,23 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 1 if run.errors else 0
 
 
-def cmd_schemas(_args: argparse.Namespace) -> int:
-    from corkscrew_spark.schema import CORE_TABLES
+def cmd_schemas(args: argparse.Namespace) -> int:
+    """Reference parity: cmd/corkscrew/main.go:655-736 (runSchemas) —
+    --dialect duckdb|postgres|sqlite DDL rendering, --output json."""
+    from corkscrew_spark.schema import CORE_TABLES, schemas_json, table_ddl
 
+    if getattr(args, "output", "sql") == "json":
+        import json as _json
+
+        print(_json.dumps(schemas_json(), indent=2))
+        return 0
+    print("\n-- Resource Schemas")
+    print("-- Generated by corkscrew_spark")
+    print(f"-- Dialect: {args.dialect}\n")
     for name, schema in CORE_TABLES.items():
-        print(f"-- {name}")
-        for f in schema.fields:
-            nn = "" if f.nullable else " NOT NULL"
-            print(f"  {f.name} {f.dataType.simpleString()}{nn}")
+        print(f"-- Table: {name}")
+        print(table_ddl(name, schema, args.dialect))
+        print()
     return 0
 
 
@@ -641,6 +650,10 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("schemas", help="print core table DDL")
+    s.add_argument("--dialect", default="duckdb",
+                   choices=["duckdb", "postgres", "sqlite"],
+                   help="SQL dialect for DDL rendering")
+    s.add_argument("--output", default="sql", choices=["sql", "json"])
     s.set_defaults(fn=cmd_schemas)
 
     sc = sub.add_parser("scan", help="run a provider scan into the warehouse")

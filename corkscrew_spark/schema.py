@@ -191,3 +191,85 @@ CORE_TABLES = {
     "drift_baselines": DRIFT_BASELINE_SCHEMA,
     "baseline_resources": BASELINE_RESOURCE_SCHEMA,
 }
+
+
+# ---------------------------------------------------------------------------
+# Dialect DDL rendering (cmd/corkscrew/main.go:715-793 printSchemaSQL /
+# getSQLType parity): render the core tables as CREATE TABLE statements
+# for duckdb (default), postgres, or sqlite.
+# ---------------------------------------------------------------------------
+
+#: Spark type → proto-ish type key, mirroring what the reference's plugin
+#: schemas carry (unified_schema.go column types).
+_TYPE_KEY = {
+    "string": "string",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float",
+    "double": "double",
+    "boolean": "bool",
+    "timestamp": "timestamp",
+}
+
+_DIALECT_TYPES = {
+    "postgres": {
+        "string": "TEXT", "int32": "BIGINT", "int64": "BIGINT",
+        "float": "DOUBLE PRECISION", "double": "DOUBLE PRECISION",
+        "bool": "BOOLEAN", "timestamp": "TIMESTAMP", "json": "JSONB",
+        "default": "TEXT",
+    },
+    "sqlite": {
+        "string": "TEXT", "int32": "INTEGER", "int64": "INTEGER",
+        "float": "REAL", "double": "REAL",
+        "bool": "INTEGER", "timestamp": "TEXT", "json": "TEXT",
+        "default": "TEXT",
+    },
+    "duckdb": {
+        "string": "VARCHAR", "int32": "INTEGER", "int64": "BIGINT",
+        "float": "FLOAT", "double": "DOUBLE",
+        "bool": "BOOLEAN", "timestamp": "TIMESTAMP", "json": "JSON",
+        "default": "VARCHAR",
+    },
+}
+
+#: columns the reference stores as JSON blobs (schema-on-read strings on
+#: the Spark side) — rendered with the dialect's JSON type.
+_JSON_COLUMNS = {"attributes", "raw_data", "tags", "properties", "details",
+                 "metadata", "labels", "annotations"}
+
+
+def sql_type(field, dialect: str = "duckdb") -> str:
+    """Dialect SQL type for one StructField (getSQLType parity)."""
+    types = _DIALECT_TYPES.get(dialect, _DIALECT_TYPES["duckdb"])
+    simple = field.dataType.simpleString()
+    if field.name in _JSON_COLUMNS or simple.startswith("map"):
+        return types["json"]
+    return types.get(_TYPE_KEY.get(simple, "default"), types["default"])
+
+
+def table_ddl(name: str, schema: StructType, dialect: str = "duckdb") -> str:
+    """CREATE TABLE statement for one core table in the given dialect."""
+    cols = [
+        f"  {f.name} {sql_type(f, dialect)}"
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.fields
+    ]
+    return f"CREATE TABLE IF NOT EXISTS {name} (\n" + ",\n".join(cols) + "\n);"
+
+
+def schemas_json() -> list[dict]:
+    """JSON-friendly schema listing (--output json parity)."""
+    return [
+        {
+            "table": name,
+            "columns": [
+                {
+                    "name": f.name,
+                    "type": f.dataType.simpleString(),
+                    "nullable": f.nullable,
+                }
+                for f in schema.fields
+            ],
+        }
+        for name, schema in CORE_TABLES.items()
+    ]

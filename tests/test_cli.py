@@ -193,3 +193,28 @@ def test_plugin_list_and_status(capsys):
     assert "loaded" in out and ("offline-fake" in out or "sdk:" in out)
     assert cli.main(["plugin", "build"]) == 0
     assert "nothing to build" in capsys.readouterr().out
+
+
+def test_schemas_dialects(capsys):
+    """main.go:715-793 parity: per-dialect type rendering + JSON output."""
+    assert cli.main(["schemas"]) == 0
+    duck = capsys.readouterr().out
+    assert "-- Dialect: duckdb" in duck
+    assert "id VARCHAR NOT NULL" in duck and "CREATE TABLE IF NOT EXISTS" in duck
+
+    assert cli.main(["schemas", "--dialect", "postgres"]) == 0
+    pg = capsys.readouterr().out
+    assert "id TEXT NOT NULL" in pg and "TIMESTAMP" in pg
+    assert "JSONB" in pg  # json-blob columns map to the dialect json type
+
+    assert cli.main(["schemas", "--dialect", "sqlite"]) == 0
+    lite = capsys.readouterr().out
+    assert "REAL" in lite or "INTEGER" in lite
+    assert "JSONB" not in lite
+
+    assert cli.main(["schemas", "--output", "json"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    tables = {t["table"] for t in doc}
+    assert "resources" in tables
+    res = next(t for t in doc if t["table"] == "resources")
+    assert {"name", "type", "nullable"} <= set(res["columns"][0])
