@@ -248,6 +248,10 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     Returns (node, triangles) for every node of the graph (0 for
     triangle-free nodes).
     """
+    # materialize the deduped symmetric edge list ONCE: degrees, the
+    # ordered orientation, and the closing-edge probe all reuse it (the
+    # closing set IS `und` — recomputing it as ordered ∪ reversed +
+    # distinct would pay a third dedup shuffle for an identical relation)
     und = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -255,6 +259,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
     nodes = deg.select("node")
@@ -274,11 +279,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     e1 = ordered.select(F.col("a").alias("u"), F.col("b").alias("v"))
     e2 = ordered.select(F.col("a").alias("u"), F.col("b").alias("w"))
     wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
-    closing = ordered.select(
-        F.col("a").alias("v"), F.col("b").alias("w")
-    ).unionByName(
-        ordered.select(F.col("b").alias("v"), F.col("a").alias("w"))
-    ).distinct()
+    closing = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tris = wedges.join(closing, ["v", "w"])  # one row per triangle corner set
     per_node = (
         tris.select(F.col("u").alias("node"))
@@ -298,7 +299,8 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
                             src_col: str = "src", dst_col: str = "dst",
                             weight_col: str = "weight",
                             max_rounds: int = 30,
-                            directed: bool = True) -> DataFrame:
+                            directed: bool = True,
+                            hops_per_round: int = 2) -> DataFrame:
     """Single-source shortest path distances under non-negative edge
     weights — Bellman-Ford by synchronous rounds as DataFrame joins
     (the SSSP every Pregel-style system ships; Dijkstra's priority queue
@@ -306,11 +308,16 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
 
     Per round: tentative distances join out-edges (one shuffle on the
     edge key), candidate = dist + weight, new dist = min(old, best
-    candidate). Converges in <= graph-diameter rounds; rounds stop early
-    at fixpoint. localCheckpoint after every round keeps the plan O(1).
-    Negative weights raise (Bellman-Ford would need |V|-1 forced rounds
-    and a negative-cycle check — out of scope for path costs, which are
-    non-negative).
+    candidate). ``hops_per_round`` chains that relaxation h times INSIDE
+    one round (each step min-merged per node before the next expansion,
+    so candidate volume stays <= |V| between steps): the iteration count
+    — and with it the number of synchronization barriers and driver
+    round-trips, the real cost of Pregel loops on a cluster — drops to
+    ceil(diameter / h) for the same total edge-join work. Rounds stop
+    early at fixpoint; localCheckpoint after every round keeps the plan
+    O(1). Negative weights raise (Bellman-Ford would need |V|-1 forced
+    rounds and a negative-cycle check — out of scope for path costs,
+    which are non-negative).
 
     Returns (node, dist DOUBLE, hops BIGINT) for every reachable node;
     ``hops`` is the hop count of the minimal-cost path (min-dist ties
@@ -336,23 +343,30 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
     dists = spark.createDataFrame(
         [(source, 0.0, 0)], "node string, dist double, hops long"
     ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        cand = (
-            dists.join(e, dists["node"] == e["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-                (F.col("hops") + 1).alias("hops"),
-            )
-        )
-        merged = (
-            dists.unionByName(cand)
-            .groupBy("node")
+    if hops_per_round < 1:
+        raise ValueError("hops_per_round must be >= 1")
+
+    def _min_merge(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("node")
             .agg(F.min(F.struct("dist", "hops")).alias("s"))
             .select("node", F.col("s.dist").alias("dist"),
                     F.col("s.hops").alias("hops"))
-            .localCheckpoint(eager=True)
         )
+
+    for _ in range(max_rounds):
+        acc = dists
+        for _h in range(hops_per_round):
+            cand = (
+                acc.join(e, acc["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                    (F.col("hops") + 1).alias("hops"),
+                )
+            )
+            acc = _min_merge(acc.unionByName(cand))
+        merged = acc.localCheckpoint(eager=True)
         # Fixpoint when nothing changed: a left-anti on the full
         # (node, dist, hops) tuple also catches newly-reached nodes
         # (they exist in merged but not dists), so no separate count

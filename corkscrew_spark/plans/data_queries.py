@@ -1268,11 +1268,16 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows via a map-side index transform, one (lang, gram) agg, top-10
     per language with a deterministic tie-break."""
     d = register_tables(spark, sf_dir)["documents"]
-    # substr's start argument inside a higher-order lambda is a Column,
-    # which the python substring() helper rejects — the expr form binds it.
-    g = F.expr("transform(sequence(1, length(lower(text)) - 2), "
-               "i -> substr(lower(text), i, 3))")
-    exploded = d.select("lang", F.explode(g).alias("g"))
+    # lower(text) is hoisted to its own projection: inlined in the lambda
+    # it re-lowercases the whole document for EVERY trigram position
+    # (O(len^2) per doc). substr's start argument inside a higher-order
+    # lambda is a Column, which the python substring() helper rejects —
+    # the expr form binds it.
+    g = F.expr("transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3))")
+    exploded = (
+        d.select("lang", F.lower(F.col("text")).alias("lt"))
+        .select("lang", F.explode(g).alias("g"))
+    )
     from pyspark.sql import Window as W
     counts = exploded.groupBy("lang", "g").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
