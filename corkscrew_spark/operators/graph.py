@@ -384,6 +384,94 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
     return dists
 
 
+def connected_components_star(edges: DataFrame, src_col: str = "src",
+                              dst_col: str = "dst",
+                              max_rounds: int = 50) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — public algorithm).
+
+    The min-label propagation behind dedup.dup_clusters needs
+    O(diameter) rounds — right for shallow near-dup clusters, wrong for
+    chain-shaped graphs (a 1M-hop lineage path would take 1M barriers).
+    Star contraction instead repoints every node at its neighborhood
+    minimum, so component trees halve in height every other round:
+
+    * large-star(u): every neighbor v > u re-attaches to
+      m = min(neighborhood(u) + {u});
+    * small-star(u): every neighbor v < u, and u itself, re-attach to m.
+
+    Each half-round is one groupBy(node) min + one join back — two
+    shuffles over the CURRENT edge set, which only shrinks (edges
+    canonicalize + dedupe every round). Fixpoint when the canonical edge
+    set stops changing; at that point edges form stars centered at
+    component minima.
+
+    Returns (node, component) for every node incident to an input edge
+    (self-loop-only nodes map to themselves).
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        j = sym.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b"))
+        else:
+            out = j.filter(F.col("v") < F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).unionByName(
+                m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        stable = (
+            nxt.join(cur, ["a", "b"], "left_anti").isEmpty()
+            and cur.join(nxt, ["a", "b"], "left_anti").isEmpty()
+        )
+        cur = nxt
+        if stable:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_star did not converge in {max_rounds} rounds")
+
+    comp = (
+        cur.select(F.col("b").alias("node"), F.col("a").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
 class Graph:
     """Unified graph facade bundling an edge DataFrame with the iterative
     operators — the ergonomic surface the reference exposes through its
@@ -462,9 +550,20 @@ class Graph:
             source, max_rounds=max_rounds, directed=directed,
         )
 
-    def connected_components(self) -> DataFrame:
-        """(node, component) — min-reachable-id labels via the dedup
-        cluster propagation (same operator the corpus dedup uses)."""
+    def connected_components(self, method: str = "label") -> DataFrame:
+        """(node, component) under min-reachable-id labels.
+
+        ``method="label"``: per-round min-label propagation — O(diameter)
+        rounds, right for shallow clusters (near-dup components).
+        ``method="star"``: large-star/small-star contraction — O(log n)
+        rounds, the scale path for deep/chain-shaped graphs.
+        Both return identical labels (asserted in tests/test_graph.py).
+        """
+        if method == "star":
+            return connected_components_star(
+                self.edges, self.src_col, self.dst_col)
+        if method != "label":
+            raise ValueError(f"unknown method {method!r}")
         from corkscrew_spark.operators.dedup import dup_clusters
 
         labels = dup_clusters(

@@ -162,3 +162,53 @@ def test_graph_facade_validates_columns(spark):
     g = graph.Graph(edges, src_col="u", dst_col="v")
     with _pytest.raises(ValueError, match="weight"):
         g.weighted_shortest_paths("a")
+
+
+class TestStarComponents:
+    """connected_components_star vs min-label propagation (must agree)."""
+
+    def _star(self, spark, edges):
+        from corkscrew_spark.operators.graph import connected_components_star
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.component
+                for r in connected_components_star(df).collect()}
+
+    def _label(self, spark, edges):
+        from corkscrew_spark.operators.graph import Graph
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {r.node: r.component
+                for r in Graph(df).connected_components("label").collect()}
+
+    def test_deep_path_graph(self, spark):
+        """A 40-hop chain: label propagation's worst case, star's best."""
+        edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+        got = self._star(spark, edges)
+        assert set(got.values()) == {"n00"}
+        assert len(got) == 41
+
+    def test_matches_label_propagation(self, spark):
+        edges = [
+            ("a", "b"), ("b", "c"), ("c", "a"),      # triangle
+            ("d", "e"),                               # pair
+            ("f", "f"),                               # self-loop only
+            ("g", "h"), ("h", "i"), ("i", "j"),       # chain
+        ]
+        star = self._star(spark, edges)
+        label = self._label(spark, edges)
+        assert star == label
+        assert star["f"] == "f"  # self-loop-only node: singleton component
+
+    def test_two_components_deterministic(self, spark):
+        edges = [("x2", "x1"), ("x3", "x2"), ("y9", "y8")]
+        got = self._star(spark, edges)
+        assert got == {"x1": "x1", "x2": "x1", "x3": "x1",
+                       "y8": "y8", "y9": "y8"}
+
+    def test_graph_facade_method(self, spark):
+        from corkscrew_spark.operators.graph import Graph
+        df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+        rows = Graph(df).connected_components("star").collect()
+        assert {(r.node, r.component) for r in rows} == {("a", "a"), ("b", "a")}
+        import pytest as _p
+        with _p.raises(ValueError):
+            Graph(df).connected_components("nope")
