@@ -76,16 +76,50 @@ _DEFERRED = frozenset({
 })
 
 
+#: Round 3's pinned 50-slot correctness window — every name was verified
+#: green against its oracle (or rows-only contract) by tools/driver_sim.py
+#: at sf0.01 before pinning. Pinning keeps queries registered later in
+#: the round from silently displacing a planned slot. Round-4 upkeep:
+#: fold CORRECTNESS_r03.json names into _DRIVER_RECORDED, then rebuild
+#: this list from the not-yet-recorded backlog (_DEFERRED + round-3/4
+#: registrations), oldest first.
+_WINDOW = (
+    "pack_sequences", "semdedup_embeddings", "text_c4_filters",
+    "text_bigram_logprob", "engine_param_binding", "compliance_pack",
+    "drift_detect", "impact_scoring", "compliance_duckdb_pack",
+    "kql_summarize", "mv_expand_tokens", "array_lambda_stats",
+    "levenshtein_suggest", "paginate_offset", "change_query_builder",
+    "upsert_latest", "correlation_rules", "multimodal_features",
+    "regional_revenue", "order_priority_exists", "state_checksum",
+    "rollup_segment_nation", "change_history_timeline",
+    "approx_distinct_users", "shipping_priority",
+    "customer_order_distribution", "pivot_priority_status",
+    "unpivot_priority_status", "window_rank_family",
+    "intersect_except_branches", "moving_avg_frame",
+    "orders_above_cust_avg", "cube_orders", "percentile_exact",
+    "kql_events_rollup", "kql_docs_tokens", "kql_join_spend",
+    "kql_time_bins", "kql_case_tiers", "kql_arg_max_order",
+    "kql_percentile_value", "kql_bin_6h", "kql_parse_props",
+    "kql_union_mix", "kql_make_series_daily", "asof_join_events",
+    "session_stats_30m", "funnel_steps", "retention_cohorts",
+    "activity_streaks",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Never-driver-verified queries come first (see _DRIVER_RECORDED),
-    this round's overflow (_DEFERRED) directly after, proven queries last.
+    The pinned round window comes first (see _WINDOW), then the
+    never-driver-verified backlog (_DEFERRED + later registrations),
+    proven queries last.
     """
     from corkscrew_spark.plans.queries import QUERIES
 
+    pos = {n: i for i, n in enumerate(_WINDOW)}
     ordered = sorted(
-        QUERIES, key=lambda n: (n in _DRIVER_RECORDED, n in _DEFERRED)
+        QUERIES,
+        key=lambda n: (n not in pos, n in _DRIVER_RECORDED,
+                       pos.get(n, 0)),
     )
     return {n: QUERIES[n] for n in ordered}
 
