@@ -144,3 +144,40 @@ def fixed_per_stratum_sample(df: DataFrame, key_col: str, strata_col: str,
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_fixed_sample(df: DataFrame, key_col: str, strata_col: str,
+                          weight_col, k: int, seed: int = 0) -> DataFrame:
+    """Weighted reservoir sampling, deterministic: exactly
+    min(k, |stratum|) rows per stratum, selection probability
+    proportional to weight (Efraimidis–Spirakis A-ES, Inf. Process.
+    Lett. 2006 — public algorithm), with membership a pure function of
+    (seed, key).
+
+    priority = ln(u) / w with u a two-round LCG mix of (key, seed) —
+    rank by priority DESC is equivalent to the classic u^(1/w) keys,
+    but needs one transcendental instead of two. Two multiply-mod
+    rounds (modulus 2^31, intermediates < 2^63 so BIGINT arithmetic
+    never overflows) make distinct seeds produce decorrelated uniforms;
+    a single additive seed would shift every u by the same constant and
+    leave most rankings untouched. All arithmetic is integer + one IEEE
+    ln, so any engine replays the member set. One shuffle on the
+    stratum key (the top-k window); map-side priority computation.
+    """
+    m = F.lit(2147483648).cast("long")
+    a = F.lit(1103515245).cast("long")
+    c = F.lit(12345).cast("long")
+    x0 = F.col(key_col).cast("long") % m
+    x1 = (x0 * a + c + F.lit(int(seed) * 1000003).cast("long")) % m
+    x2 = (x1 * a + c) % m
+    u = (x2.cast("double") + 0.5) / 2147483648.0
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    pri = F.log(u) / w
+    ranked = df.withColumn("__pri", pri).withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(strata_col)
+            .orderBy(F.desc("__pri"), key_col)
+        ),
+    )
+    return ranked.filter(F.col("__rk") <= k).drop("__pri", "__rk")

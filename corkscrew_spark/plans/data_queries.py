@@ -1346,3 +1346,45 @@ def bpe_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sample_weighted_tokens",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS w FROM documents
+    ),
+    p AS (
+        SELECT doc_id, lang,
+               ln((CAST((((doc_id % 2147483648) * 1103515245 + 12345
+                          + 7 * 1000003) % 2147483648 * 1103515245 + 12345)
+                        % 2147483648 AS DOUBLE)
+                   + 0.5) / 2147483648.0) / w AS pri
+        FROM d WHERE w > 0
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY pri DESC, doc_id) AS rk
+        FROM p
+    )
+    SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+    """,
+)
+def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (sampling.weighted_fixed_sample):
+    exactly 20 docs per language, selection probability proportional to
+    token count — the length-weighted subsampling step of corpus
+    curation. Priorities are pure integer-hash + one ln, so the DuckDB
+    oracle reproduces the member set exactly."""
+    d = register_tables(spark, sf_dir)["documents"]
+    weighted = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("w"),
+    ).filter(F.col("w") > 0)
+    return (
+        sampling.weighted_fixed_sample(
+            weighted, "doc_id", "lang", "w", k=20, seed=7)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -449,3 +449,49 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
             "o_orderdate", "o_totalprice"]
     return profile.profile_columns(o.select(*cols), cols).orderBy("col_name")
+
+
+@query(
+    "reconcile_snapshots",
+    oracle="""
+    WITH before AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 1
+    ),
+    after AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 != 2
+    )
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'ADDED'
+                WHEN a.o_orderkey IS NULL THEN 'REMOVED'
+                WHEN a.o_totalprice = b.o_totalprice THEN 'UNCHANGED'
+                ELSE 'CHANGED' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM before b FULL OUTER JOIN after a USING (o_orderkey)
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (warehouse.table_diff): two derived
+    versions of orders full-outer-joined on (key, row-hash) — each side
+    reduces to (key, xxhash64(struct)) map-side, one join classifies
+    ADDED/REMOVED/CHANGED/UNCHANGED, O(1) per row in column count. The
+    oracle recomputes statuses by direct value comparison, proving the
+    hash path classifies identically."""
+    from corkscrew_spark import warehouse
+
+    o = register_tables(spark, sf_dir)["orders"]
+    before = o.filter(F.col("o_orderkey") % 7 != 1).select(
+        "o_orderkey", "o_totalprice")
+    after = o.filter(F.col("o_orderkey") % 5 != 2).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return (
+        warehouse.table_diff(before, after, ["o_orderkey"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("status")
+    )

@@ -360,3 +360,41 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     )
     _swap_write(result, path)
     return result.count()
+
+
+def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ADDED / REMOVED /
+    CHANGED / UNCHANGED between two table versions.
+
+    The anti-entropy pass a warehouse runs after a migration or replica
+    sync — the row-set generalization of the per-key checksum surface
+    (reference drift detection compares per-resource property maps,
+    aws_change_tracker.go:750-811; this compares whole relations).
+
+    Scale shape: each side reduces to (key, xxhash64 of the compared
+    columns) map-side, then ONE full-outer hash join on the key decides
+    the status — no column-by-column join, no second shuffle, and the
+    hash comparison is O(1) per row regardless of column count. NULL vs
+    absent is disambiguated by hashing a struct (field order fixed by
+    ``compare_cols``).
+
+    Returns (*keys, status) with status in
+    {'ADDED','REMOVED','CHANGED','UNCHANGED'}.
+    """
+    cols = compare_cols or [c for c in after.columns if c not in keys]
+
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            *keys, F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias(out)
+        )
+
+    b = hashed(before, "__hb")
+    a = hashed(after, "__ha")
+    status = (
+        F.when(F.col("__hb").isNull(), F.lit("ADDED"))
+        .when(F.col("__ha").isNull(), F.lit("REMOVED"))
+        .when(F.col("__ha") == F.col("__hb"), F.lit("UNCHANGED"))
+        .otherwise(F.lit("CHANGED"))
+    )
+    return b.join(a, keys, "full_outer").select(*keys, status.alias("status"))

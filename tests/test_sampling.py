@@ -148,3 +148,34 @@ def test_fixed_per_stratum_exact_sizes_and_stability(spark):
     # k larger than stratum: whole stratum kept
     out3 = sp.fixed_per_stratum_sample(df, "id", "g", k=100, seed="s")
     assert out3.count() == 50
+
+
+class TestWeightedFixedSample:
+    def test_exact_k_and_determinism(self, spark):
+        from corkscrew_spark.operators.sampling import weighted_fixed_sample
+        rows = [(i, "s", float(1 + i % 5)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["k", "g", "w"])
+        a = {r.k for r in weighted_fixed_sample(df, "k", "g", "w", 10, seed=3).collect()}
+        b = {r.k for r in weighted_fixed_sample(df, "k", "g", "w", 10, seed=3).collect()}
+        assert a == b and len(a) == 10
+        c = {r.k for r in weighted_fixed_sample(df, "k", "g", "w", 10, seed=4).collect()}
+        assert a != c  # seed moves the member set
+
+    def test_small_stratum_returns_all(self, spark):
+        from corkscrew_spark.operators.sampling import weighted_fixed_sample
+        df = spark.createDataFrame([(1, "g", 1.0), (2, "g", 9.0)], ["k", "g", "w"])
+        assert weighted_fixed_sample(df, "k", "g", "w", 10).count() == 2
+
+    def test_weight_bias(self, spark):
+        """Items with 10x weight must be picked far more often across seeds."""
+        from corkscrew_spark.operators.sampling import weighted_fixed_sample
+        rows = [(i, "g", 10.0 if i < 20 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, ["k", "g", "w"])
+        heavy = 0
+        for seed in range(8):
+            picks = {r.k for r in
+                     weighted_fixed_sample(df, "k", "g", "w", 20, seed=seed).collect()}
+            heavy += len([k for k in picks if k < 20])
+        # heavy items are 10% of the population with 10x weight -> ~52%
+        # of picks in expectation; require well above the unweighted 10%
+        assert heavy / (8 * 20) > 0.3, heavy

@@ -248,3 +248,29 @@ def test_scd2_snapshot_mode_closes_vanished_keys(spark, tmp_path):
     gone = rows[("r2", False)]
     assert gone.valid_to == t2                           # closed at snapshot
     assert ("r2", True) not in rows
+
+
+class TestTableDiff:
+    def test_classification(self, spark):
+        from corkscrew_spark.warehouse import table_diff
+        before = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+            ["k", "s", "v"])
+        after = spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+            ["k", "s", "v"])
+        got = {r.k: r.status for r in table_diff(before, after, ["k"]).collect()}
+        assert got == {1: "REMOVED", 2: "UNCHANGED", 3: "CHANGED", 4: "ADDED"}
+
+    def test_compare_subset(self, spark):
+        from corkscrew_spark.warehouse import table_diff
+        before = spark.createDataFrame([(1, "a", 1.0)], ["k", "s", "v"])
+        after = spark.createDataFrame([(1, "ZZZ", 1.0)], ["k", "s", "v"])
+        got = table_diff(before, after, ["k"], compare_cols=["v"]).collect()
+        assert got[0].status == "UNCHANGED"
+
+    def test_null_vs_value(self, spark):
+        from corkscrew_spark.warehouse import table_diff
+        before = spark.createDataFrame([(1, None)], "k long, v string")
+        after = spark.createDataFrame([(1, "x")], "k long, v string")
+        assert table_diff(before, after, ["k"]).first().status == "CHANGED"
