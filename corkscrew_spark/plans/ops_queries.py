@@ -495,3 +495,44 @@ def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("status")
     )
+
+
+@query(
+    "incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (warehouse.init/merge/
+    finalize_agg_state): events split into three disjoint batches, each
+    reduced to mergeable per-key state, states merged and finalized —
+    and the result must equal the direct one-pass aggregate the oracle
+    computes. The refresh pattern that makes a 100 TB rollup cost
+    O(new batch) instead of O(history)."""
+    from corkscrew_spark import warehouse
+
+    ev = register_tables(spark, sf_dir)["events"]
+    states = [
+        warehouse.init_agg_state(
+            ev.filter(F.col("event_id") % 3 == i), ["event_type"], "value")
+        for i in range(3)
+    ]
+    merged = warehouse.merge_agg_state(*states, keys=["event_type"])
+    return (
+        warehouse.finalize_agg_state(merged, ["event_type"])
+        .select(
+            "event_type", "cnt",
+            F.round("total", 2).alias("total"),
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )

@@ -398,3 +398,67 @@ def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
         .otherwise(F.lit("CHANGED"))
     )
     return b.join(a, keys, "full_outer").select(*keys, status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — mergeable partial-aggregation state
+# tables (the materialized-rollup pattern: refresh by merging the new
+# batch's state, never by re-scanning history).
+# ---------------------------------------------------------------------------
+
+def init_agg_state(df: DataFrame, keys: list[str], value_col: str,
+                   distinct_col: str | None = None) -> DataFrame:
+    """Reduce a batch to per-key mergeable aggregate state:
+    (keys..., cnt, total, vmin, vmax[, dsk]) — counts/sums/extrema merge
+    by sum/min/max, the distinct sketch (DataSketches HLL binary) merges
+    by union. This is exactly the map-side partial-aggregation state
+    Spark itself shuffles; persisting it per batch makes a 100 TB rollup
+    refresh cost O(|new batch| + |key space|) instead of O(history).
+    """
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col(value_col).cast("double")).alias("total"),
+        F.min(F.col(value_col).cast("double")).alias("vmin"),
+        F.max(F.col(value_col).cast("double")).alias("vmax"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(*states: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge any number of state tables into one (union + one groupBy —
+    a single shuffle over |keys| rows per input, commutative and
+    associative so batch order never matters)."""
+    if not states:
+        raise ValueError("merge_agg_state: no states given")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s, allowMissingColumns=False)
+    has_sketch = "dsk" in u.columns
+    aggs = [
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    ]
+    if has_sketch:
+        aggs.append(F.hll_union_agg("dsk").alias("dsk"))
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Render state as user-facing aggregates (avg derived from
+    sum/count; sketch rendered as an estimate)."""
+    cols = [
+        *keys,
+        F.col("cnt"),
+        F.col("total"),
+        (F.col("total") / F.col("cnt")).alias("avg"),
+        F.col("vmin"),
+        F.col("vmax"),
+    ]
+    if "dsk" in state.columns:
+        cols.append(
+            F.hll_sketch_estimate("dsk").cast("long").alias("approx_distinct"))
+    return state.select(*cols)

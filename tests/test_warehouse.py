@@ -274,3 +274,64 @@ class TestTableDiff:
         before = spark.createDataFrame([(1, None)], "k long, v string")
         after = spark.createDataFrame([(1, "x")], "k long, v string")
         assert table_diff(before, after, ["k"]).first().status == "CHANGED"
+
+
+class TestAggState:
+    def test_incremental_equals_direct(self, spark, sf_dir, tmp_path):
+        """Three batch states merged (with a parquet round-trip) must
+        equal the direct full-data aggregate."""
+        from corkscrew_spark import warehouse
+        from corkscrew_spark.catalog import register_tables
+        from pyspark.sql import functions as F
+
+        ev = register_tables(spark, sf_dir)["events"]
+        batches = [
+            ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+        ]
+        states = [
+            warehouse.init_agg_state(b, ["event_type"], "value",
+                                     distinct_col="user_id")
+            for b in batches
+        ]
+        # persist one batch state and re-read: the state table must
+        # round-trip through parquet (binary sketch column included)
+        p = str(tmp_path / "state0")
+        states[0].write.mode("overwrite").parquet(p)
+        states[0] = spark.read.parquet(p)
+
+        merged = warehouse.finalize_agg_state(
+            warehouse.merge_agg_state(*states, keys=["event_type"]),
+            ["event_type"])
+        direct = warehouse.finalize_agg_state(
+            warehouse.init_agg_state(ev, ["event_type"], "value",
+                                     distinct_col="user_id"),
+            ["event_type"])
+
+        m = {r.event_type: r for r in merged.collect()}
+        d = {r.event_type: r for r in direct.collect()}
+        assert set(m) == set(d)
+        for k in m:
+            assert m[k].cnt == d[k].cnt
+            assert abs(m[k].total - d[k].total) < 1e-6 * max(1, abs(d[k].total))
+            assert m[k].vmin == d[k].vmin and m[k].vmax == d[k].vmax
+            # HLL union of partitioned sketches is estimate-stable
+            assert abs(m[k].approx_distinct - d[k].approx_distinct) \
+                <= max(3, 0.05 * d[k].approx_distinct)
+
+    def test_merge_order_invariant(self, spark):
+        from corkscrew_spark import warehouse
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 2.0, 2), ("b", 3.0, 3)], ["k", "v", "u"])
+        s1 = warehouse.init_agg_state(df.filter("u <= 1"), ["k"], "v", "u")
+        s2 = warehouse.init_agg_state(df.filter("u > 1"), ["k"], "v", "u")
+        ab = warehouse.finalize_agg_state(
+            warehouse.merge_agg_state(s1, s2, keys=["k"]), ["k"]).collect()
+        ba = warehouse.finalize_agg_state(
+            warehouse.merge_agg_state(s2, s1, keys=["k"]), ["k"]).collect()
+        assert sorted(map(tuple, ab)) == sorted(map(tuple, ba))
+
+    def test_empty_states_raise(self, spark):
+        from corkscrew_spark import warehouse
+        import pytest
+        with pytest.raises(ValueError):
+            warehouse.merge_agg_state(keys=["k"])
