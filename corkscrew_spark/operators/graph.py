@@ -572,3 +572,64 @@ class Graph:
         )
         return labels.select("doc_id", "cluster_id").withColumnsRenamed(
             {"doc_id": "node", "cluster_id": "component"})
+
+
+def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+         iters: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities scores (Kleinberg, JACM 1999 — public
+    algorithm): authority(v) = sum of hub scores pointing at v, hub(u) =
+    sum of authority scores u points at, L2-normalized each iteration.
+
+    Same iterative discipline as pagerank: edges checkpoint once; each
+    iteration is two edge-joins (auth from hubs, hubs from fresh auth)
+    with groupBy sums, and the normalizers ride along as broadcast 1-row
+    aggregates — no driver collect, one eager localCheckpoint per
+    iteration keeps the plan O(1).
+
+    Returns (node, hub, authority), both scores L2-normalized.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        auth = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_norm = auth.agg(
+            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("an"))
+        auth_n = auth.crossJoin(F.broadcast(a_norm)).select(
+            "node", (F.col("a_raw") / F.col("an")).alias("authority"))
+        hub = (
+            e.join(auth_n.select(F.col("node").alias("dst"), "authority"),
+                   "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h_norm = hub.agg(
+            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("hn"))
+        hub_n = hub.crossJoin(F.broadcast(h_norm)).select(
+            "node", (F.col("h_raw") / F.col("hn")).alias("hub"))
+        scores = (
+            nodes.join(hub_n, "node", "left")
+            .join(auth_n, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

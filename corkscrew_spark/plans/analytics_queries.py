@@ -1314,3 +1314,41 @@ def bitwise_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ntile_price_bins",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS q
+        FROM orders
+    )
+    SELECT o_orderpriority, q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY o_orderpriority, q
+    ORDER BY o_orderpriority, q
+    """,
+)
+def ntile_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning via NTILE(4): equal-frequency price buckets per
+    priority — the discretization step feature pipelines run before
+    modeling. Unlike interpolated-percentile edges (engine-unstable at
+    bucket boundaries), NTILE over a unique (value, key) ordering is
+    exactly reproducible across engines. One window shuffle + one agg."""
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("q", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "q")
+    )

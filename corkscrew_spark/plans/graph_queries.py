@@ -294,3 +294,20 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dist").cast("long").alias("dist"), "hops")
         .orderBy("node")
     )
+
+
+@query("graph_hits")
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 authorities in the containment graph under HITS
+    (operators/graph.hits): containers that many high-hub entities point
+    at. Rows-only — mutually recursive normalized sums aren't
+    recursive-CTE expressible; numpy power-iteration equality is
+    asserted in tests/test_graph.py."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    return (
+        graph.hits(e, iters=6)
+        .select("node", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+        .orderBy(F.desc("authority"), "node")
+        .limit(20)
+    )

@@ -212,3 +212,40 @@ class TestStarComponents:
         import pytest as _p
         with _p.raises(ValueError):
             Graph(df).connected_components("nope")
+
+
+class TestHits:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+        from corkscrew_spark.operators.graph import hits
+
+        edges = [("a", "c"), ("b", "c"), ("c", "d"), ("a", "d"),
+                 ("d", "e"), ("b", "e")]
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for s, d in edges:
+            A[idx[s], idx[d]] = 1.0
+        h = np.ones(len(nodes))
+        a = np.ones(len(nodes))
+        for _ in range(8):
+            a = A.T @ h
+            a = a / np.linalg.norm(a)
+            h = A @ a
+            h = h / np.linalg.norm(h)
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.node: (r.hub, r.authority)
+               for r in hits(df, iters=8).collect()}
+        for n in nodes:
+            assert abs(got[n][0] - h[idx[n]]) < 1e-9, n
+            assert abs(got[n][1] - a[idx[n]]) < 1e-9, n
+
+    def test_hub_authority_roles(self, spark):
+        """Pure source is a hub (authority 0); pure sink the reverse."""
+        from corkscrew_spark.operators.graph import hits
+        df = spark.createDataFrame(
+            [("s", "t1"), ("s", "t2")], ["src", "dst"])
+        got = {r.node: r for r in hits(df, iters=3).collect()}
+        assert got["s"].authority == 0.0 and got["s"].hub > 0.9
+        assert got["t1"].hub == 0.0 and got["t1"].authority > 0.5
