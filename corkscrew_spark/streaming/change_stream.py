@@ -168,3 +168,31 @@ def correlate_streams(changes: DataFrame, alerts: DataFrame,
         "change_id", "alert_id", F.col("c_resource_id").alias("resource_id"),
         "change_type", "alert_severity", "c_ts", "a_ts",
     )
+
+
+def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
+                      keys: list[str], order_col: str = "scanned_at",
+                      once: bool = True):
+    """CDC-style sink: merge each micro-batch into the keyed warehouse
+    table via foreachBatch + warehouse.merge_upsert — the streaming
+    complement of the batch upsert path (reference auto-save upserts the
+    latest resource state per key; this keeps a live table current from
+    a change stream). Newest ``order_col`` per key wins, so replays and
+    at-least-once delivery stay idempotent. On Delta the same call site
+    becomes MERGE; the parquet path keeps it dependency-free.
+    """
+    from corkscrew_spark import warehouse
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.merge_upsert(batch_df.sparkSession, path, batch_df,
+                               keys, order_col=order_col)
+
+    writer = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

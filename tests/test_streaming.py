@@ -141,3 +141,42 @@ def test_correlate_streams_time_bounded(spark, tmp_path):
     rows = spark.sql("SELECT change_id, alert_id FROM corr_test").collect()
     got = sorted((r.change_id, r.alert_id) for r in rows)
     assert got == [("ce-1", "ce-101")]
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """Micro-batches merge into a keyed table; replayed keys keep the
+    newest row (idempotent under at-least-once delivery)."""
+    import json as _json
+
+    from corkscrew_spark.streaming import change_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+
+    rows1 = [
+        {"id": "r1", "state": "CREATING", "scanned_at": "2025-01-01T00:00:00"},
+        {"id": "r2", "state": "ACTIVE", "scanned_at": "2025-01-01T00:00:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(map(_json.dumps, rows1)))
+    schema = "id string, state string, scanned_at timestamp"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = change_stream.start_upsert_sink(stream, table, ck, ["id"])
+    q.awaitTermination(60)
+
+    got = {r.id: r.state for r in spark.read.parquet(table).collect()}
+    assert got == {"r1": "CREATING", "r2": "ACTIVE"}
+
+    rows2 = [
+        {"id": "r1", "state": "ACTIVE", "scanned_at": "2025-01-02T00:00:00"},
+        {"id": "r3", "state": "ACTIVE", "scanned_at": "2025-01-02T00:00:00"},
+        # stale duplicate of r2 — must NOT regress the stored row
+        {"id": "r2", "state": "DELETED", "scanned_at": "2024-12-01T00:00:00"},
+    ]
+    (src / "b2.json").write_text("\n".join(map(_json.dumps, rows2)))
+    q = change_stream.start_upsert_sink(stream, table, ck, ["id"])
+    q.awaitTermination(60)
+
+    got = {r.id: (r.state) for r in spark.read.parquet(table).collect()}
+    assert got == {"r1": "ACTIVE", "r2": "ACTIVE", "r3": "ACTIVE"}
