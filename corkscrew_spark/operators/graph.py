@@ -582,9 +582,11 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
 
     Same iterative discipline as pagerank: edges checkpoint once; each
     iteration is two edge-joins (auth from hubs, hubs from fresh auth)
-    with groupBy sums, and the normalizers ride along as broadcast 1-row
-    aggregates — no driver collect, one eager localCheckpoint per
-    iteration keeps the plan O(1).
+    with groupBy sums and ONE action (the checkpoint). Normalization is
+    deferred to the very end — HITS directions are scale-invariant, so
+    per-iteration L2 norms only buy numerical headroom, and a constant
+    1/|E| rescale each iteration provides that without the two extra
+    aggregation barriers a data-dependent norm would cost per round.
 
     Returns (node, hub, authority), both scores L2-normalized.
     """
@@ -594,42 +596,49 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = max(e.count(), 1)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    scores = nodes.select(
-        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
-    ).localCheckpoint(eager=True)
+    # The loop keeps SPARSE frames: a node missing from `hubs`/`auth`
+    # has score 0 and contributes nothing to the next sums, so the full
+    # node set only re-attaches once at the end — two fewer shuffles per
+    # iteration than materializing dense score frames each round.
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
     for _ in range(iters):
         auth = (
-            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            e.join(hubs.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("a_raw"))
+            .agg((F.sum("hub") / F.lit(float(n_edges))).alias("authority"))
         )
-        a_norm = auth.agg(
-            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("an"))
-        auth_n = auth.crossJoin(F.broadcast(a_norm)).select(
-            "node", (F.col("a_raw") / F.col("an")).alias("authority"))
-        hub = (
-            e.join(auth_n.select(F.col("node").alias("dst"), "authority"),
+        hubs = (
+            e.join(auth.select(F.col("node").alias("dst"), "authority"),
                    "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("authority").alias("h_raw"))
-        )
-        h_norm = hub.agg(
-            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("hn"))
-        hub_n = hub.crossJoin(F.broadcast(h_norm)).select(
-            "node", (F.col("h_raw") / F.col("hn")).alias("hub"))
-        scores = (
-            nodes.join(hub_n, "node", "left")
-            .join(auth_n, "node", "left")
-            .select(
-                "node",
-                F.coalesce("hub", F.lit(0.0)).alias("hub"),
-                F.coalesce("authority", F.lit(0.0)).alias("authority"),
-            )
+            .agg(F.sum("authority").alias("hub"))
             .localCheckpoint(eager=True)
         )
-    return scores
+    scores = (
+        nodes.join(hubs, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+    norms = scores.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
+        F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("an"),
+    )
+    return scores.crossJoin(F.broadcast(norms)).select(
+        "node",
+        F.when(F.col("hn") > 0, F.col("hub") / F.col("hn"))
+        .otherwise(F.lit(0.0)).alias("hub"),
+        F.when(F.col("an") > 0, F.col("authority") / F.col("an"))
+        .otherwise(F.lit(0.0)).alias("authority"),
+    )

@@ -238,8 +238,10 @@ class TestHits:
         got = {r.node: (r.hub, r.authority)
                for r in hits(df, iters=8).collect()}
         for n in nodes:
-            assert abs(got[n][0] - h[idx[n]]) < 1e-9, n
-            assert abs(got[n][1] - a[idx[n]]) < 1e-9, n
+            # impl normalizes once at the end (scale-invariant direction),
+            # so agreement is to float error, not bitwise
+            assert abs(got[n][0] - h[idx[n]]) < 1e-6, n
+            assert abs(got[n][1] - a[idx[n]]) < 1e-6, n
 
     def test_hub_authority_roles(self, spark):
         """Pure source is a hub (authority 0); pure sink the reverse."""
