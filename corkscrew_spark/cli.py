@@ -57,6 +57,13 @@ def cmd_query(args: argparse.Namespace) -> int:
     except QueryValidationError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 2
+    if getattr(args, "explain", False):
+        # the formatted physical plan: scans (PushedFilters/ReadSchema),
+        # exchanges, and codegen spans — the scale-debugging surface
+        print(res.df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")))
+        return 0
     print(formatter.FORMATTERS[args.format](res.df, limit=args.limit))
     print(f"-- {res.duration_s*1000:.0f} ms", file=sys.stderr)
     return 0
@@ -590,6 +597,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--param", action="append")
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--data", default=sf_dir())
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
     q.set_defaults(fn=cmd_query)
 
     od = sub.add_parser("orchestrator-discover",

@@ -1352,3 +1352,140 @@ def ntile_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "q")
     )
+
+
+@query(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    w AS (
+        SELECT event_type, d, n,
+               AVG(n) OVER win AS mu,
+               STDDEV_POP(n) OVER win AS sigma,
+               COUNT(*) OVER win AS w_n
+        FROM daily
+        WINDOW win AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, CAST(n AS BIGINT) AS n,
+           ROUND((n - mu) / sigma, 4) AS z
+    FROM w
+    WHERE w_n >= 7 AND sigma > 0 AND ABS(ROUND((n - mu) / sigma, 4)) > 2.0
+    ORDER BY event_type, d
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each day's event volume scored
+    against the mean/stddev of the PRECEDING 7 days (the current value
+    never contaminates its own baseline — frame ends at 1 PRECEDING),
+    flag |z| > 2. The volume-spike complement of the reference's
+    frequency anomaly report (gcp change_analytics.go:715-775), windowed
+    instead of global. Two shuffles total: the daily rollup and the
+    per-type window."""
+    ev = _t(spark, sf_dir)["events"]
+    daily = (
+        ev.groupBy("event_type",
+                   F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    )
+    z = (F.col("n") - F.avg("n").over(win)) / F.stddev_pop("n").over(win)
+    return (
+        daily.withColumn("w_n", F.count(F.lit(1)).over(win))
+        .withColumn("sigma", F.stddev_pop("n").over(win))
+        .withColumn("z", F.round(z, 4))
+        .filter((F.col("w_n") >= 7) & (F.col("sigma") > 0)
+                & (F.abs(F.col("z")) > 2.0))
+        .select("event_type", "d", F.col("n").cast("long").alias("n"), "z")
+        .orderBy("event_type", "d")
+    )
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events WHERE user_id < 50
+        GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           ROUND(-SUM((n * 1.0 / tot) * ln(n * 1.0 / tot) / ln(2)), 4)
+               AS entropy_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (0 bits = single-type user). Two
+    aggregations over one user-key shuffle; the log2 arithmetic mirrors
+    the oracle term-for-term."""
+    ev = _t(spark, sf_dir)["events"]
+    c = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 4)
+            .alias("entropy_bits"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "chi2_lang_source",
+    oracle="""
+    WITH o AS (SELECT lang, source, COUNT(*) AS obs FROM documents
+               GROUP BY lang, source),
+    r AS (SELECT lang, SUM(obs) AS rn FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS cn FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS total FROM o)
+    SELECT o.lang, o.source, CAST(obs AS BIGINT) AS obs,
+           ROUND(rn * cn * 1.0 / total, 4) AS expected,
+           ROUND(POW(obs - rn * cn * 1.0 / total, 2)
+                 / (rn * cn * 1.0 / total), 4) AS chi2_term
+    FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+    ORDER BY lang, source
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association terms for the (lang x source) contingency
+    table — the corpus-mixture independence check (is language
+    distribution uniform across sources?). Marginals are two tiny
+    re-aggregations of the |langs x sources| cell table; everything
+    joins broadcast-small frames."""
+    d = _t(spark, sf_dir)["documents"]
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rn"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("cn"))
+    n = o.agg(F.sum("obs").alias("total"))
+    exp = F.col("rn") * F.col("cn") / F.col("total")
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang", "source", F.col("obs").cast("long").alias("obs"),
+            F.round(exp, 4).alias("expected"),
+            F.round(F.pow(F.col("obs") - exp, 2) / exp, 4).alias("chi2_term"),
+        )
+        .orderBy("lang", "source")
+    )

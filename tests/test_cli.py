@@ -218,3 +218,12 @@ def test_schemas_dialects(capsys):
     assert "resources" in tables
     res = next(t for t in doc if t["table"] == "resources")
     assert {"name", "type", "nullable"} <= set(res["columns"][0])
+
+
+def test_query_explain(capsys, spark):
+    rc = cli.main(["query", "SELECT r_name FROM region WHERE r_regionkey = 1",
+                   "--data", "/root/testdata/sf0.001", "--explain"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out  # the predicate reached the parquet scan
