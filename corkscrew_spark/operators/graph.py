@@ -534,6 +534,9 @@ class Graph:
     def pagerank(self, damping: float = 0.85, iters: int = 10) -> DataFrame:
         return pagerank(self._e(), damping=damping, iters=iters)
 
+    def hits(self, iters: int = 8) -> DataFrame:
+        return hits(self._e(), iters=iters)
+
     def triangle_count(self) -> DataFrame:
         return triangle_count(self._e())
 

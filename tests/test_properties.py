@@ -81,3 +81,42 @@ def test_fingerprint_invariants(spark, doc):
     r = df.collect()[0]
     assert r.n1 == r.n2
     assert r.f == r.f_upper == r.f_pad
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_fuzzy_join_blocking_complete(spark, data):
+    """Property: blocked fuzzy_join == brute-force cross join, for random
+    corpora with random single/double edits of corpus strings as probes."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.operators.fuzzy import fuzzy_join
+
+    alphabet = "abcdef "
+    words = data.draw(st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=12),
+        min_size=2, max_size=8, unique=True))
+    # probes: corpus words with a random deletion/substitution applied
+    probes = []
+    for i, w in enumerate(words[:4]):
+        pos = data.draw(st.integers(min_value=0, max_value=max(0, len(w) - 1)))
+        if data.draw(st.booleans()) and len(w) > 1:
+            p = w[:pos] + w[pos + 1:]          # deletion
+        else:
+            p = w[:pos] + "z" + w[pos + 1:]    # substitution
+        probes.append((100 + i, p))
+    corpus = [(i, w) for i, w in enumerate(words)]
+
+    l = spark.createDataFrame(probes, ["lid", "ls"])
+    r = spark.createDataFrame(corpus, ["rid", "rs"])
+    got = {(x.lid, x.rid, x.distance)
+           for x in fuzzy_join(l, r, "lid", "ls", "rid", "rs",
+                               max_dist=2).collect()}
+    want = {(x.lid, x.rid, x.d)
+            for x in l.crossJoin(r)
+            .withColumn("d", F.levenshtein("ls", "rs"))
+            .filter(F.col("d") <= 2)
+            .select("lid", "rid", F.col("d").cast("long").alias("d"))
+            .collect()}
+    assert got == want
