@@ -223,11 +223,28 @@ def _service_inventory(provider: str) -> list[dict[str, object]]:
 def cmd_discover(args: argparse.Namespace) -> int:
     import json as _json
 
-    services = _service_inventory(args.provider)
-    if args.output == "json":
-        print(_json.dumps({"provider": args.provider, "services": services}, indent=2))
+    if getattr(args, "idms", False):
+        from corkscrew_spark.ingest import idms
+
+        spark = get_spark(app_name="corkscrew-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        result = idms.discover_idms_services(
+            spark, providers=[args.provider] if args.provider else None)
+        if args.output == "json":
+            print(_json.dumps(result, indent=2))
+            return 0
+        print(f"{result['total_found']} IDMS services "
+              f"across {len(result['by_provider'])} provider(s)")
+        for svc in result["services"]:
+            print(f"  {svc['provider']:10s} {svc['name']:24s} "
+                  f"{svc['region']:18s} {svc['service_type']}")
         return 0
-    print(f"provider: {args.provider} — {len(services)} services")
+    provider = args.provider or "aws"
+    services = _service_inventory(provider)
+    if args.output == "json":
+        print(_json.dumps({"provider": provider, "services": services}, indent=2))
+        return 0
+    print(f"provider: {provider} — {len(services)} services")
     for svc in services:
         extras = " ".join(f"{k}={v}" for k, v in svc.items() if k != "service")
         print(f"  {svc['service']:28s} {extras}")
@@ -676,8 +693,13 @@ def main(argv: list[str] | None = None) -> int:
     sc.set_defaults(fn=cmd_scan)
 
     dv = sub.add_parser("discover", help="list a provider's services/resource types")
+    # default None so --idms can tell "all providers" from an explicit one;
+    # the service-inventory path falls back to aws below
     dv.add_argument("--provider", choices=["aws", "azure", "gcp", "kubernetes"],
-                    default="aws")
+                    default=None)
+    dv.add_argument("--idms", action="store_true",
+                    help="discover identity-management services "
+                         "(pkg/idmsdiscovery parity)")
     dv.add_argument("--output", choices=["table", "json"], default="table")
     dv.set_defaults(fn=cmd_discover)
 

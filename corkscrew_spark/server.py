@@ -43,6 +43,7 @@ MAX_ROWS = 10_000
 
 class ApiServer:
     def __init__(self, spark: SparkSession, max_rows: int = MAX_ROWS):
+        self.spark = spark
         self.engine = QueryEngine(spark)
         self.start_time = time.monotonic()
         self.request_count = 0
@@ -101,6 +102,20 @@ class ApiServer:
             },
         }
 
+    def discover_idms(self) -> tuple[int, dict]:
+        """DiscoverIDMSServices endpoint parity
+        (internal/server/api_server.go:248-295): the identity-service
+        catalog envelope with per-provider counts."""
+        from corkscrew_spark.ingest import idms
+
+        try:
+            result = idms.discover_idms_services(self.spark)
+        except Exception as ex:  # noqa: BLE001 — error envelope parity
+            self.error_count += 1
+            return 500, {"success": False,
+                         "error": f"IDMS discovery failed: {ex}"}
+        return 200, {"success": True, **result}
+
     def list_providers(self) -> tuple[int, dict]:
         return 200, {
             "providers": [
@@ -134,6 +149,8 @@ class ApiServer:
                     self._send(*api.get_status())
                 elif self.path == "/v1/providers":
                     self._send(*api.list_providers())
+                elif self.path == "/v1/discover-idms":
+                    self._send(*api.discover_idms())
                 else:
                     api.error_count += 1
                     self._send(404, {"error": f"no such endpoint: {self.path}"})
