@@ -368,6 +368,9 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fuzzy_join(probes, part.select("p_partkey", "p_name"),
                    "probe_id", "probe_name", "p_partkey", "p_name",
-                   max_dist=2, q=2)
+                   # q=3: part names draw on a tiny color-word vocabulary,
+                   # so bigrams are all common; trigram postings are ~2x
+                   # more selective here (13s -> 5.6s at sf0.1)
+                   max_dist=2, q=3)
         .orderBy("probe_id", "p_partkey")
     )
