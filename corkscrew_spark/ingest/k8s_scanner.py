@@ -22,6 +22,7 @@ import json
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from corkscrew_spark.schema import RESOURCE_SCHEMA
 
@@ -57,17 +58,40 @@ class _FakeDynamicClient:
             labels = {"app": ("web", "db", "cache")[i % 3], "tier": ("frontend", "backend")[i % 2]}
             if want and any(labels.get(k) != v for k, v in want.items()):
                 continue  # server-side selector: filtered before paging
-            items.append({
+            meta = {
+                "name": f"{kind.lower()}-{i:03d}",
+                "uid": hashlib.sha256(f"{self._cluster}|{gvr}|{i}".encode()).hexdigest()[:16],
+                "namespace": _NAMESPACES[i % 3] if namespaced else None,
+                "labels": labels,
+                "creationTimestamp": "2024-01-01T00:00:00Z",
+            }
+            obj = {
                 "kind": kind,
-                "metadata": {
-                    "name": f"{kind.lower()}-{i:03d}",
-                    "uid": hashlib.sha256(f"{self._cluster}|{gvr}|{i}".encode()).hexdigest()[:16],
-                    "namespace": _NAMESPACES[i % 3] if namespaced else None,
-                    "labels": labels,
-                    "creationTimestamp": "2024-01-01T00:00:00Z",
-                },
+                "metadata": meta,
                 "status": {"phase": ("Running", "Pending")[i % 7 == 0]},
-            })
+            }
+            # Relationship-bearing spec fields, mirroring what real
+            # manifests carry (extract_relationships parses these):
+            if gvr == "v1/pods":
+                # pod i is owned by deployment i%3 (same namespace by
+                # construction: both index into _NAMESPACES with i%3)
+                j = i % 3
+                meta["ownerReferences"] = [{
+                    "kind": "Deployment",
+                    "name": f"deployment-{j:03d}",
+                    "uid": hashlib.sha256(
+                        f"{self._cluster}|apps/v1/deployments|{j}".encode()
+                    ).hexdigest()[:16],
+                }]
+                vol = [
+                    {"name": "cfg", "configMap": {"name": f"configmap-{i % 5:03d}"}},
+                    {"name": "sec", "secret": {"secretName": f"secret-{i % 4:03d}"}},
+                    {"name": "data", "persistentVolumeClaim": {"claimName": f"pvc-{i % 4:03d}"}},
+                ][i % 3]
+                obj["spec"] = {"volumes": [vol]}
+            elif gvr == "v1/services":
+                obj["spec"] = {"selector": {"app": ("web", "db", "cache")[i % 3]}}
+            items.append(obj)
         start = int(_continue or 0)
         page = items[start:start + page_size]
         nxt = str(start + page_size) if start + page_size < len(items) else None
@@ -145,3 +169,171 @@ def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None
         ),
         RESOURCE_SCHEMA,
     )
+
+
+#: the spec/metadata subset relationship extraction parses — from_json
+#: with a partial schema: absent fields read as NULL, extra fields are
+#: ignored (schema-on-read over the raw manifest column)
+_REL_SCHEMA = (
+    "STRUCT<"
+    "metadata: STRUCT<"
+    "  ownerReferences: ARRAY<STRUCT<kind: STRING, name: STRING, uid: STRING>>"
+    ">, "
+    "spec: STRUCT<"
+    "  selector: MAP<STRING, STRING>, "
+    "  volumes: ARRAY<STRUCT<"
+    "    configMap: STRUCT<name: STRING>, "
+    "    secret: STRUCT<secretName: STRING>, "
+    "    persistentVolumeClaim: STRUCT<claimName: STRING>"
+    "  >>"
+    ">>"
+)
+
+
+def extract_relationships(resources: DataFrame) -> DataFrame:
+    """Typed relationship edges from scanned K8s manifests — parity with
+    the reference's extractBasicRelationships
+    (plugins/kubernetes-provider/kubernetes_provider.go; kinds per
+    IMPLEMENTATION_STATUS.md): OWNED_BY (ownerReferences), SELECTS /
+    SELECTED_BY (service spec.selector ⊆ pod labels), MOUNTS
+    (configMap / secret / PVC volumes).
+
+    Spark shape: the manifest JSON parses once per row with a partial
+    schema (no Python in the row path); owner and mount targets resolve
+    to scanned resource ids via (cluster, kind, namespace, name)
+    equi-joins — unresolved targets (e.g. unscanned Secrets) keep a
+    deterministic name-based id, matching the reference's behavior of
+    emitting the edge anyway. Selector matching explodes (service,
+    key, value) pairs against pod label entries and keeps pairs whose
+    match count equals the selector size — a label-subset join, never
+    services × pods.
+
+    Returns RELATIONSHIP_SCHEMA-shaped rows.
+    """
+    parsed = resources.select(
+        "id", "name", "type", "region", "account_id", "tags", "scanned_at",
+        F.from_json("raw_data", _REL_SCHEMA).alias("j"),
+    ).localCheckpoint(eager=True)
+
+    ids = parsed.select(
+        F.col("region").alias("t_cluster"), F.col("type").alias("t_kind"),
+        F.col("account_id").alias("t_ns"), F.col("name").alias("t_name"),
+        F.col("id").alias("t_id"),
+    )
+
+    def resolve(edges: DataFrame, rel_type: str) -> DataFrame:
+        """(from_id, cluster, kind, ns, name, props) -> RELATIONSHIP rows
+        with the target resolved to a scanned id when present."""
+        return (
+            edges.join(
+                ids,
+                (edges["cluster"] == ids["t_cluster"])
+                & (edges["kind"] == ids["t_kind"])
+                & (edges["ns"].eqNullSafe(ids["t_ns"]))
+                & (edges["tname"] == ids["t_name"]),
+                "left",
+            )
+            .select(
+                "from_id",
+                F.coalesce(
+                    "t_id",
+                    F.concat(F.lit("k8s://unresolved/"), "kind", F.lit("/"),
+                             F.coalesce("ns", F.lit("_cluster")),
+                             F.lit("/"), "tname"),
+                ).alias("to_id"),
+                F.lit(rel_type).alias("relationship_type"),
+                F.lit("kubernetes").alias("provider"),
+                F.col("subtype").alias("relationship_subtype"),
+                F.col("props").alias("properties"),
+                F.col("from_kind").alias("from_resource_type"),
+                F.col("kind").alias("to_resource_type"),
+                F.lit("outbound").alias("direction"),
+                F.lit(None).cast("timestamp").alias("created_at"),
+                F.col("scanned_at").alias("discovered_at"),
+            )
+        )
+
+    owners = resolve(
+        parsed.select(
+            F.col("id").alias("from_id"), F.col("type").alias("from_kind"),
+            F.col("region").alias("cluster"), F.col("account_id").alias("ns"),
+            "scanned_at",
+            F.explode("j.metadata.ownerReferences").alias("o"),
+        ).select(
+            "from_id", "from_kind", "cluster", "ns", "scanned_at",
+            F.col("o.kind").alias("kind"), F.col("o.name").alias("tname"),
+            F.lit("owner_reference").alias("subtype"),
+            F.to_json(F.struct(F.col("o.uid").alias("owner_uid"))).alias("props"),
+        ),
+        "OWNED_BY",
+    )
+
+    vols = parsed.filter(F.col("type") == "Pod").select(
+        F.col("id").alias("from_id"), F.col("type").alias("from_kind"),
+        F.col("region").alias("cluster"), F.col("account_id").alias("ns"),
+        "scanned_at", F.explode("j.spec.volumes").alias("v"),
+    )
+    mounts = resolve(
+        vols.select(
+            "from_id", "from_kind", "cluster", "ns", "scanned_at",
+            F.coalesce(
+                F.when(F.col("v.configMap.name").isNotNull(), F.lit("ConfigMap")),
+                F.when(F.col("v.secret.secretName").isNotNull(), F.lit("Secret")),
+                F.when(F.col("v.persistentVolumeClaim.claimName").isNotNull(),
+                       F.lit("PersistentVolumeClaim")),
+            ).alias("kind"),
+            F.coalesce("v.configMap.name", "v.secret.secretName",
+                       "v.persistentVolumeClaim.claimName").alias("tname"),
+            F.lit("volume").alias("subtype"),
+            F.lit(None).cast("string").alias("props"),
+        ).filter(F.col("kind").isNotNull()),
+        "MOUNTS",
+    )
+
+    # Service selector ⊆ pod labels, within (cluster, namespace)
+    sel = (
+        parsed.filter(
+            (F.col("type") == "Service") & (F.size("j.spec.selector") > 0))
+        .select(
+            F.col("id").alias("svc_id"), F.col("region").alias("cluster"),
+            F.col("account_id").alias("ns"), "scanned_at",
+            F.size("j.spec.selector").alias("n_sel"),
+            F.explode("j.spec.selector").alias("k", "v"),
+        )
+    )
+    pod_labels = (
+        parsed.filter((F.col("type") == "Pod") & F.col("tags").isNotNull())
+        .select(
+            F.col("id").alias("pod_id"), F.col("region").alias("cluster"),
+            F.col("account_id").alias("ns"),
+            F.explode("tags").alias("k", "v"),
+        )
+    )
+    matched = (
+        sel.join(pod_labels, ["cluster", "ns", "k", "v"])
+        .groupBy("svc_id", "pod_id", "n_sel", "scanned_at")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == F.col("n_sel"))
+    )
+    selects = matched.select(
+        F.col("svc_id").alias("from_id"), F.col("pod_id").alias("to_id"),
+        F.lit("SELECTS").alias("relationship_type"),
+        F.lit("kubernetes").alias("provider"),
+        F.lit("label_selector").alias("relationship_subtype"),
+        F.lit(None).cast("string").alias("properties"),
+        F.lit("Service").alias("from_resource_type"),
+        F.lit("Pod").alias("to_resource_type"),
+        F.lit("outbound").alias("direction"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.col("scanned_at").alias("discovered_at"),
+    )
+    selected_by = selects.select(
+        F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id"),
+        F.lit("SELECTED_BY").alias("relationship_type"),
+        "provider",
+        "relationship_subtype", "properties",
+        F.col("to_resource_type").alias("from_resource_type"),
+        F.col("from_resource_type").alias("to_resource_type"),
+        F.lit("inbound").alias("direction"), "created_at", "discovered_at",
+    )
+    return owners.unionByName(mounts).unionByName(selects).unionByName(selected_by)

@@ -40,3 +40,67 @@ def test_cluster_scoped_resources_have_no_namespace(spark):
     nodes = k8s_scanner.scan(spark, ["c1"], gvrs=["v1/nodes"]).collect()
     assert nodes and all(r.account_id is None for r in nodes)
     assert all("/_cluster/" in r.id for r in nodes)
+
+
+class TestRelationshipExtraction:
+    """extractBasicRelationships parity: OWNED_BY, SELECTS/SELECTED_BY,
+    MOUNTS, with id resolution and name-fallback."""
+
+    def _rels(self, spark):
+        from corkscrew_spark.ingest import k8s_scanner
+
+        res = k8s_scanner.scan(spark, ["c1"])
+        return res, k8s_scanner.extract_relationships(res)
+
+    def test_owned_by_resolves_to_deployment(self, spark):
+        res, rels = self._rels(spark)
+        owned = rels.filter("relationship_type = 'OWNED_BY'").collect()
+        assert owned, "pods must carry ownerReferences"
+        dep_ids = {r.id for r in res.filter("type = 'Deployment'").collect()}
+        for e in owned:
+            assert e.from_resource_type == "Pod"
+            assert e.to_resource_type == "Deployment"
+            assert e.to_id in dep_ids, "owner must resolve to a scanned id"
+            assert "owner_uid" in (e.properties or "")
+
+    def test_selects_requires_full_label_match(self, spark):
+        from pyspark.sql import functions as F
+        res, rels = self._rels(spark)
+        sel = rels.filter("relationship_type = 'SELECTS'")
+        pods = {r.id: r.tags for r in res.filter("type = 'Pod'").collect()}
+        svcs = {r.id: r.raw_data for r in res.filter("type = 'Service'").collect()}
+        import json as _json
+        rows = sel.collect()
+        assert rows
+        for e in rows:
+            want = _json.loads(svcs[e.from_id])["spec"]["selector"]
+            have = pods[e.to_id]
+            assert all(have.get(k) == v for k, v in want.items())
+        # inverse edges exist 1:1
+        n_selected = rels.filter("relationship_type = 'SELECTED_BY'").count()
+        assert n_selected == len(rows)
+        # services and pods only pair within the same namespace
+        joined = (sel.alias("e")
+                  .join(res.select(F.col("id").alias("from_id"),
+                                   F.col("account_id").alias("sns")), "from_id")
+                  .join(res.select(F.col("id").alias("to_id"),
+                                   F.col("account_id").alias("pns")), "to_id"))
+        assert joined.filter("sns != pns").count() == 0
+
+    def test_mounts_resolution_and_fallback(self, spark):
+        res, rels = self._rels(spark)
+        mounts = rels.filter("relationship_type = 'MOUNTS'").collect()
+        kinds = {e.to_resource_type for e in mounts}
+        assert "ConfigMap" in kinds and "Secret" in kinds
+        cm_ids = {r.id for r in res.filter("type = 'ConfigMap'").collect()}
+        resolved = [e for e in mounts if e.to_resource_type == "ConfigMap"
+                    and e.to_id in cm_ids]
+        assert resolved, "same-namespace configmap mounts must resolve"
+        secrets = [e for e in mounts if e.to_resource_type == "Secret"]
+        assert all(e.to_id.startswith("k8s://unresolved/Secret/")
+                   for e in secrets), "unscanned Secrets keep name-based ids"
+
+    def test_schema_matches_relationship_table(self, spark):
+        from corkscrew_spark.schema import RELATIONSHIP_SCHEMA
+        _res, rels = self._rels(spark)
+        assert [f.name for f in RELATIONSHIP_SCHEMA.fields] == rels.columns
