@@ -1,0 +1,70 @@
+"""Versioned tables: snapshot isolation, time travel, conflicts, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from corkscrew_spark import versioned
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "v"])
+
+
+class TestVersioned:
+    def test_versions_and_time_travel(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        v1 = versioned.write_version(_df(spark, [(1, "a")]), p, commit_ts=100.0)
+        v2 = versioned.write_version(_df(spark, [(1, "b"), (2, "c")]), p,
+                                     commit_ts=200.0)
+        assert (v1, v2) == (1, 2)
+        assert {r.v for r in versioned.read_version(spark, p).collect()} == {"b", "c"}
+        assert {r.v for r in versioned.read_version(spark, p, version=1).collect()} == {"a"}
+        assert {r.v for r in
+                versioned.read_version(spark, p, as_of_ts=150.0).collect()} == {"a"}
+        assert {r.v for r in
+                versioned.read_version(spark, p, as_of_ts=250.0).collect()} == {"b", "c"}
+        with pytest.raises(ValueError, match="no version at or before"):
+            versioned.read_version(spark, p, as_of_ts=50.0)
+
+    def test_history_log(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(_df(spark, [(1, "a")]), p)
+        versioned.upsert_version(spark, p, _df(spark, [(1, "z")]), ["k"],
+                                 order_col="v")
+        h = versioned.history(p)
+        assert [e["op"] for e in h] == ["overwrite", "upsert"]
+        assert [e["version"] for e in h] == [1, 2]
+        assert h[0]["rows"] == 1
+
+    def test_upsert_merges_by_key(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(_df(spark, [(1, "a"), (2, "b")]), p)
+        versioned.upsert_version(spark, p, _df(spark, [(2, "z2"), (3, "c")]),
+                                 ["k"], order_col="v")
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a", 2: "z2", 3: "c"}
+        # old snapshot still intact (readers keep their version)
+        old = {r.k for r in versioned.read_version(spark, p, version=1).collect()}
+        assert old == {1, 2}
+
+    def test_concurrent_writer_conflict(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(_df(spark, [(1, "a")]), p)
+        # a racing writer claimed v=2 first
+        os.mkdir(os.path.join(p, "v=2"))
+        with pytest.raises(versioned.VersionConflict):
+            versioned.write_version(_df(spark, [(9, "x")]), p)
+
+    def test_vacuum_keeps_manifest_lineage(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        for i in range(4):
+            versioned.write_version(_df(spark, [(i, str(i))]), p)
+        dropped = versioned.vacuum(p, keep_last=2)
+        assert dropped == [1, 2]
+        assert len(versioned.history(p)) == 4  # lineage survives
+        with pytest.raises(ValueError, match="vacuumed"):
+            versioned.read_version(spark, p, version=1)
+        assert versioned.read_version(spark, p, version=4).count() == 1
