@@ -116,6 +116,13 @@ class ApiServer:
                          "error": f"IDMS discovery failed: {ex}"}
         return 200, {"success": True, **result}
 
+    def get_schemas(self) -> tuple[int, dict]:
+        """GetSchemas parity: the machine-readable core-table schemas
+        (cmd/corkscrew/main.go:700-713 --output json path)."""
+        from corkscrew_spark.schema import schemas_json
+
+        return 200, {"schemas": schemas_json()}
+
     def list_providers(self) -> tuple[int, dict]:
         return 200, {
             "providers": [
@@ -151,6 +158,8 @@ class ApiServer:
                     self._send(*api.list_providers())
                 elif self.path == "/v1/discover-idms":
                     self._send(*api.discover_idms())
+                elif self.path == "/v1/schemas":
+                    self._send(*api.get_schemas())
                 else:
                     api.error_count += 1
                     self._send(404, {"error": f"no such endpoint: {self.path}"})

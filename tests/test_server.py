@@ -104,3 +104,23 @@ def _get_404(url: str):
             return r.status, json.loads(r.read())
     except urllib.error.HTTPError as ex:
         return ex.code, json.loads(ex.read())
+
+
+def test_schemas_endpoint(spark):
+    import json as _json
+    import threading
+    import urllib.request
+
+    from corkscrew_spark.server import ApiServer
+
+    srv = ApiServer(spark).make_http_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/schemas", timeout=30) as resp:
+        doc = _json.loads(resp.read())
+    t.join(timeout=30)
+    srv.server_close()
+    tables = {t_["table"] for t_ in doc["schemas"]}
+    assert {"resources", "relationships"} <= tables
