@@ -218,3 +218,50 @@ def bigram_logprob(docs: DataFrame, id_col: str, text_col: str,
             .alias("avg_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (training / RAG ingestion)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, id_col: str, text_col: str,
+                    window: int = 128, stride: int = 96) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window chunking pass of a training/RAG ingestion pipeline
+    (window=stride gives disjoint chunks; stride < window overlaps by
+    ``window - stride`` tokens so no span straddles a boundary unseen).
+
+    Chunk starts are ``1, 1+stride, 2·stride+1, …`` over the whitespace
+    token array, generated per-row with ``sequence`` + ``explode`` — a
+    map-side row generator, linear in total tokens, no shuffle, no UDF.
+    The final short chunk is kept (callers filter ``chunk_len`` if they
+    need full windows only). Deterministic chunk ids ``(doc, ordinal)``.
+
+    Returns (id, chunk_no, start_tok, chunk_len, chunk_text).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(_c(text_col)), r"\s+")
+    # Start grid 1, 1+stride, … capped at n − window + stride: the largest
+    # start whose chunk adds tokens the previous one did not cover. Every
+    # token lands in some chunk (largest grid point ≥ n − window + 1);
+    # docs shorter than one window produce exactly one chunk.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(window - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            _c(id_col).alias("id"),
+            toks.alias("t"),
+            F.posexplode(starts).alias("chunk_no", "start_tok"),
+        )
+        .select(
+            "id", "chunk_no", "start_tok",
+            F.size(F.slice("t", F.col("start_tok"), F.lit(window)))
+            .cast("long").alias("chunk_len"),
+            F.array_join(F.slice("t", F.col("start_tok"), F.lit(window)), " ")
+            .alias("chunk_text"),
+        )
+    )

@@ -306,3 +306,143 @@ def bpe_ish_token_count(text_col: str | Column) -> Column:
     while staying a pure engine-portable regex (no vocab artifact)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), F.lit(0)))
+
+
+#: The Gopher required-stopword list (Rae et al. 2021 §A1.1): a document
+#: must contain at least 2 of these to pass the quality gate.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Per-document Gopher quality-filter signals (Rae et al. 2021 §A1.1),
+    the standard pretraining heuristic gate alongside C4's
+    (``c4_quality_flags``). All signals are integer-typed and every ratio
+    test is integer cross-multiplication, so the keep verdict is
+    bit-reproducible in any engine:
+
+    * word count in [min_words, max_words];
+    * mean word length in [3, 10] chars (3·n ≤ Σlen ≤ 10·n);
+    * symbol-to-word ratio ('#' chars + '...' runs) < 0.1;
+    * < 90% of lines start with a bullet ('-', '*', '•');
+    * ≤ 30% of lines end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * at least 2 distinct GOPHER_STOPWORDS present.
+
+    Pure Column expressions over the token/line arrays — map-only at any
+    scale, no shuffle, no UDF.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    lower_words = F.split(F.lower(F.trim(t)), r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("long")
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0))).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^\s*[-*•]"))).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"\.\.\.$|…$"))).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(F.array_intersect(
+        lower_words, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (sum_word_len >= 3 * n_words) & (sum_word_len <= 10 * n_words)
+        & (n_symbols * 10 < n_words)
+        & (bullet_lines * 10 < n_lines * 9)
+        & (ellipsis_lines * 10 <= n_lines * 3)
+        & (alpha_words * 5 >= n_words * 4)
+        & (stop_hits >= 2)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_word_len.alias("sum_word_len"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def hashed_terms(text_col: str | Column, n_buckets: int = 4096) -> Column:
+    """Hashing-trick featurizer (fastText-style): word unigrams + bigrams
+    of the lowercased whitespace tokens, each hashed into ``n_buckets``
+    via the engine-portable md5-prefix idiom (``conv(md5[:4], 16, 10) %
+    B``) — the same feature indices come out of Spark, DuckDB, or any
+    engine with md5, so a model trained once scores identically
+    everywhere. Returns an array<long> of bucket ids (multiset: repeated
+    terms keep their weight mass)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )).otherwise(F.array().cast("array<string>"))
+    terms = F.concat(toks, bigrams)
+    return F.transform(
+        terms,
+        lambda term: F.conv(F.substring(F.md5(term), 1, 4), 16, 10)
+        .cast("long") % n_buckets,
+    )
+
+
+def hashed_ngram_score(df: DataFrame, id_col: str, text_col: str = "text",
+                       n_buckets: int = 4096,
+                       weights: DataFrame | None = None) -> DataFrame:
+    """Linear text-classifier inference with the hashing trick — the
+    serving path of a fastText-style quality model, entirely in
+    whole-stage codegen (score 100 TB without a Python row in the loop).
+
+    Two weight sources:
+
+    * ``weights`` DataFrame (bucket, weight): the real-model path. The
+      |buckets|-sized table broadcasts; scoring is explode → broadcast
+      hash join → per-doc sum — one narrow shuffle on the doc id.
+    * ``weights=None``: closed-form pseudo-weights
+      ``w(b) = (b·2654435761) mod 1000001 − 500000`` (a Knuth LCG step),
+      an integer function evaluated inline — zero joins, map-only, and
+      exactly reproducible in the DuckDB oracle. Stands in for trained
+      weights where determinism matters more than the model.
+
+    Output: (id, n_terms, margin, score) where ``margin`` is the exact
+    integer weight sum and ``score = margin / (500000·n_terms)`` — one
+    float op on exact integers, so cross-engine bit-equality holds.
+    """
+    buckets = hashed_terms(text_col, n_buckets)
+    if weights is not None:
+        exploded = df.select(F.col(id_col), F.explode(buckets).alias("bucket"))
+        return (
+            exploded.join(F.broadcast(weights), "bucket", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum(F.coalesce("weight", F.lit(0.0))).alias("margin"),
+            )
+            .select(
+                id_col, "n_terms",
+                F.col("margin"),
+                (F.col("margin") / F.col("n_terms")).alias("score"),
+            )
+        )
+    margin = F.aggregate(
+        buckets, F.lit(0).cast("long"),
+        lambda acc, b: acc + (b * 2654435761) % 1000001 - 500000,
+    )
+    n_terms = F.size(buckets).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_terms.alias("n_terms"),
+        margin.alias("margin"),
+        F.round(margin / (n_terms * F.lit(500000.0)), 6).alias("score"),
+    )

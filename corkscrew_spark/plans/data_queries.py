@@ -1388,3 +1388,133 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "text_gopher_filters",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+')        AS w,
+               string_split_regex(lower(trim(text)), '\s+') AS lw,
+               string_split(text, chr(10))                  AS ln,
+               len(text) - len(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\.\.\.'))  AS n_symbols
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT)                                    AS n_words,
+               CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)  AS sum_word_len,
+               CAST(n_symbols AS BIGINT)                                 AS n_symbols,
+               CAST(len(ln) AS BIGINT)                                   AS n_lines,
+               CAST(len(list_filter(ln, x -> regexp_matches(x, '^\s*[-*•]')))
+                    AS BIGINT)                                           AS bullet_lines,
+               CAST(len(list_filter(ln, x -> regexp_matches(x, '\.\.\.$|…$')))
+                    AS BIGINT)                                           AS ellipsis_lines,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS BIGINT)                                           AS alpha_words,
+               CAST(len(list_intersect(lw, ['the','be','to','of','and','that','have','with']))
+                    AS BIGINT)                                           AS stop_hits
+        FROM f
+    )
+    SELECT *,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+                AND n_symbols * 10 < n_words
+                AND bullet_lines * 10 < n_lines * 9
+                AND ellipsis_lines * 10 <= n_lines * 3
+                AND alpha_words * 5 >= n_words * 4
+                AND stop_hits >= 2 AS BIGINT) AS keep
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter signals per document (Rae et al. 2021
+    §A1.1) — the second standard heuristic gate next to C4's. All
+    verdict ratios are integer cross-multiplications (map-only, no
+    shuffle, engine-bit-reproducible)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return text.gopher_quality_flags(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "text_classifier_score",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               list_concat(
+                   toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END) AS terms
+        FROM t
+    ), h AS (
+        SELECT doc_id,
+               list_transform(terms,
+                   x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 4096) AS bks
+        FROM b
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(bks) AS BIGINT) AS n_terms,
+               CAST(list_sum(list_transform(bks,
+                    k -> (k * 2654435761) % 1000001 - 500000)) AS BIGINT) AS margin
+        FROM h
+    )
+    SELECT doc_id, n_terms, margin,
+           ROUND(margin / (n_terms * 500000.0), 6) AS score
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier inference with the hashing trick:
+    unigram+bigram features hashed via the portable md5-prefix idiom,
+    integer pseudo-weights summed in codegen — the 100 TB model-scoring
+    shape (swap the closed-form weights for a broadcast weight table via
+    ``text.hashed_ngram_score(weights=...)``)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return text.hashed_ngram_score(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "chunk_windows",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+    ), s AS (
+        SELECT doc_id, tk, u.i AS start_tok
+        FROM t, UNNEST(range(1, greatest(len(tk) - 16, 1) + 1, 48)) AS u(i)
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // 48 AS BIGINT)            AS chunk_no,
+           CAST(start_tok AS BIGINT)                        AS start_tok,
+           CAST(len(tk[start_tok : start_tok + 63]) AS BIGINT) AS chunk_len,
+           md5(array_to_string(tk[start_tok : start_tok + 63], ' ')) AS chunk_md5
+    FROM s
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token context-window chunks with stride 48
+    (``corpus.chunk_documents``) — the chunking pass of a training/RAG
+    ingestion pipeline as a map-side row generator (sequence + explode,
+    linear in tokens, zero shuffle). Chunk text hashed to md5 to keep
+    the correctness contract light."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        corpus.chunk_documents(d, "doc_id", "text", window=64, stride=48)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("chunk_len"),
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )

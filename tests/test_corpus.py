@@ -159,3 +159,47 @@ def test_c4_flags_verdicts(spark):
     assert got[4].keep == 0 and got[4].has_brace == 1
     assert got[5].keep == 1 and got[5].punct_lines == 1 and got[5].n_lines == 2
     assert got[6].keep == 0
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, window, stride):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return (corpus.chunk_documents(df, "doc_id", "text",
+                                       window=window, stride=stride)
+                .orderBy("chunk_no").collect())
+
+    def test_full_coverage_with_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        rows = self._chunks(spark, text, window=4, stride=3)
+        covered = set()
+        for r in rows:
+            covered.update(range(r.start_tok, r.start_tok + r.chunk_len))
+        assert covered == set(range(1, 11))
+        # consecutive chunks overlap by window - stride tokens
+        assert [r.start_tok for r in rows] == [1, 4, 7]
+
+    def test_disjoint_when_stride_equals_window(self, spark):
+        text = " ".join(f"t{i}" for i in range(9))
+        rows = self._chunks(spark, text, window=3, stride=3)
+        assert [(r.start_tok, r.chunk_len) for r in rows] == [(1, 3), (4, 3), (7, 3)]
+        rebuilt = " ".join(r.chunk_text for r in rows)
+        assert rebuilt == text
+
+    def test_short_doc_single_chunk(self, spark):
+        rows = self._chunks(spark, "only three tokens", window=10, stride=8)
+        assert len(rows) == 1
+        assert rows[0].chunk_len == 3 and rows[0].chunk_text == "only three tokens"
+
+    def test_exact_window_no_tail_chunk(self, spark):
+        text = " ".join(f"t{i}" for i in range(4))
+        rows = self._chunks(spark, text, window=4, stride=3)
+        assert len(rows) == 1  # second chunk would add nothing new
+
+    def test_invalid_args_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            corpus.chunk_documents(df, "doc_id", "text", window=0, stride=3)

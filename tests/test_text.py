@@ -156,3 +156,100 @@ def test_token_quantiles_approx_close_to_exact(spark):
     for source, p50, p90 in exact:
         assert abs(got[source]["p50_tokens"] - p50) <= 2
         assert abs(got[source]["p90_tokens"] - p90) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality filters
+# ---------------------------------------------------------------------------
+
+class TestGopherFlags:
+    def _flags(self, spark, text, **kw):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        from corkscrew_spark.operators import text as t
+        return t.gopher_quality_flags(df, "doc_id", "text", **kw).collect()[0]
+
+    def test_good_doc_keeps(self, spark):
+        body = "the quick brown fox jumps over that lazy dog with vigor " * 6
+        row = self._flags(spark, body.strip())
+        assert row.keep == 1 and row.n_words == 66 and row.stop_hits >= 2
+
+    def test_short_doc_dropped(self, spark):
+        assert self._flags(spark, "the cat sat with that hat").keep == 0
+
+    def test_bullet_heavy_dropped(self, spark):
+        # 10 lines, all bullets -> bullet ratio 1.0 > 0.9
+        lines = "\n".join("- the item be of and that have with filler pad" for _ in range(10))
+        row = self._flags(spark, lines, min_words=10)
+        assert row.bullet_lines == 10 and row.keep == 0
+
+    def test_ellipsis_lines_dropped(self, spark):
+        lines = "\n".join(
+            ("the trailing thought goes on..." if i < 5 else "a plain sentence here")
+            for i in range(10))
+        row = self._flags(spark, lines, min_words=10)
+        assert row.ellipsis_lines == 5 and row.keep == 0  # 50% > 30%
+
+    def test_no_stopwords_dropped(self, spark):
+        body = "alpha beta gamma delta epsilon zeta " * 10
+        row = self._flags(spark, body.strip(), min_words=10)
+        assert row.stop_hits == 0 and row.keep == 0
+
+    def test_symbol_heavy_dropped(self, spark):
+        body = "the code #tag be of and that have with " + "# " * 20
+        row = self._flags(spark, body.strip(), min_words=10)
+        assert row.n_symbols >= 20 and row.keep == 0
+
+    def test_mean_word_length_bounds(self, spark):
+        # single-char words -> mean length 1 < 3
+        body = "the be to of and " + "a b c d e f g h i j " * 5
+        row = self._flags(spark, body.strip(), min_words=10)
+        assert row.sum_word_len < 3 * row.n_words and row.keep == 0
+
+    def test_alpha_word_ratio(self, spark):
+        nums = " ".join(str(i) for i in range(40))
+        body = "the be of and that have with words here now " + nums
+        row = self._flags(spark, body, min_words=10)
+        assert row.alpha_words * 5 < row.n_words * 4 and row.keep == 0
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram classifier scoring
+# ---------------------------------------------------------------------------
+
+class TestHashedNgramScore:
+    def test_term_count_unigrams_plus_bigrams(self, spark):
+        from corkscrew_spark.operators import text as t
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        row = t.hashed_ngram_score(df, "doc_id", "text").collect()[0]
+        assert row.n_terms == 7  # 4 unigrams + 3 bigrams
+
+    def test_single_token_has_no_bigrams(self, spark):
+        from corkscrew_spark.operators import text as t
+        df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        assert t.hashed_ngram_score(df, "doc_id", "text").collect()[0].n_terms == 1
+
+    def test_weights_table_path_matches_closed_form(self, spark):
+        """Feeding the closed-form weights through the broadcast-join path
+        reproduces the inline margins exactly (integer weights)."""
+        from corkscrew_spark.operators import text as t
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "jumps over the lazy dog")],
+            "doc_id long, text string")
+        n_buckets = 4096
+        weights = spark.range(n_buckets).select(
+            F.col("id").alias("bucket"),
+            ((F.col("id") * 2654435761) % 1000001 - 500000)
+            .cast("double").alias("weight"))
+        inline = {r.doc_id: r.margin
+                  for r in t.hashed_ngram_score(docs, "doc_id", "text").collect()}
+        joined = {r.doc_id: int(r.margin)
+                  for r in t.hashed_ngram_score(
+                      docs, "doc_id", "text", weights=weights).collect()}
+        assert inline == joined
+
+    def test_deterministic_across_runs(self, spark):
+        from corkscrew_spark.operators import text as t
+        df = spark.createDataFrame([(1, "stable input text")], "doc_id long, text string")
+        a = t.hashed_ngram_score(df, "doc_id", "text").collect()[0]
+        b = t.hashed_ngram_score(df, "doc_id", "text").collect()[0]
+        assert a == b
