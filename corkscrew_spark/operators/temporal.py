@@ -386,3 +386,31 @@ def interpolate_linear(df: DataFrame, entity_col: str, ts_col: str,
         out_col,
         F.when(v.isNotNull(), v).otherwise(prev_v + (next_v - prev_v) * frac),
     )
+
+
+def ohlc_bars(df: DataFrame, ts_col: str, value_col: str, tiebreak_col: str,
+              by: tuple[str, ...] = (), bucket: str = "hour") -> DataFrame:
+    """Time-bar downsampling: open/high/low/close + event count per
+    (group, time-bucket) — the resample pass that turns a raw event
+    stream into fixed-interval bars for dashboards / models.
+
+    open/close are ``min_by``/``max_by`` over the total order
+    (ts, tiebreak), so bars are deterministic even with equal
+    timestamps. All five aggregates are commutative partial aggregates
+    (map-side combine); the single shuffle is on the (group, bucket)
+    key — at 100 TB the reduce state is |groups|x|buckets| rows, never
+    the raw events.
+
+    Returns (*by, bar_ts, open, high, low, close, n_events).
+    """
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.groupBy(*by, F.date_trunc(bucket, F.col(ts_col)).alias("bar_ts"))
+        .agg(
+            F.min_by(value_col, ordk).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ordk).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -311,3 +311,21 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "node")
         .limit(20)
     )
+
+
+@query("graph_communities")
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes under deterministic label propagation over the
+    customer–nation–region containment graph (orders included). LPA
+    splits the connected graph at sparse cuts — the community view the
+    reference's relationship graph lacks. Rows-only: the vote-argmax
+    recurrence isn't recursive-CTE expressible; determinism + planted-
+    community recovery are pinned in tests/test_graph.py."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    return (
+        graph.label_propagation(e, iters=4)
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(25)
+    )

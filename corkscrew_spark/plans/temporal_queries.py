@@ -466,3 +466,34 @@ def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ohlc_hourly",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           first(value ORDER BY ts, event_id) AS open,
+           MAX(value)                         AS high,
+           MIN(value)                         AS low,
+           last(value ORDER BY ts, event_id)  AS close,
+           CAST(COUNT(*) AS BIGINT)           AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2
+    ORDER BY event_type, bar_ts
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type over week one
+    (``temporal.ohlc_bars``): the resample/downsample pass that turns a
+    raw event stream into fixed-interval bars. open/close pick along the
+    (ts, event_id) total order via min_by/max_by — deterministic under
+    timestamp ties; all five aggregates combine map-side, one shuffle on
+    the (type, hour) key."""
+    e = _t(spark, sf_dir)["events"].filter(F.col("ts") < "2024-01-08")
+    return (
+        temporal.ohlc_bars(e, "ts", "value", "event_id",
+                           by=("event_type",), bucket="hour")
+        .orderBy("event_type", "bar_ts")
+    )

@@ -251,3 +251,57 @@ class TestHits:
         got = {r.node: r for r in hits(df, iters=3).collect()}
         assert got["s"].authority == 0.0 and got["s"].hub > 0.9
         assert got["t1"].hub == 0.0 and got["t1"].authority > 0.5
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_two_cliques_with_bridge(self, spark):
+        from corkscrew_spark.operators.graph import label_propagation
+        a = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+             ("a2", "a4"), ("a3", "a4")]
+        b = [("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"),
+             ("b2", "b4"), ("b3", "b4")]
+        bridge = [("a1", "b1")]
+        out = {r.node: r.community
+               for r in label_propagation(
+                   self._edges(spark, a + b + bridge), iters=5).collect()}
+        assert len({out[n] for n in ("a1", "a2", "a3", "a4")}) == 1
+        assert len({out[n] for n in ("b1", "b2", "b3", "b4")}) == 1
+        assert out["a1"] != out["b1"]  # sparse cut separates the cliques
+
+    def test_matches_reference_simulation(self, spark):
+        """Exact parity with a Python simulation of the same rule:
+        most-frequent neighbor+self label, ties -> smallest label."""
+        from corkscrew_spark.operators.graph import label_propagation
+        import collections
+        pairs = [("n0", "n1"), ("n1", "n2"), ("n2", "n0"), ("n2", "n3"),
+                 ("n3", "n4"), ("n4", "n5"), ("n5", "n3"), ("n1", "n6")]
+        iters = 4
+        adj = collections.defaultdict(set)
+        for s, d in pairs:
+            adj[s].add(d)
+            adj[d].add(s)
+        labels = {n: n for n in adj}
+        for _ in range(iters):
+            nxt = {}
+            for n in adj:
+                votes = collections.Counter(labels[m] for m in adj[n])
+                votes[labels[n]] += 1
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                nxt[n] = best
+            labels = nxt
+        out = {r.node: r.community
+               for r in label_propagation(
+                   self._edges(spark, pairs), iters=iters).collect()}
+        assert out == labels
+
+    def test_deterministic_and_facade(self, spark):
+        from corkscrew_spark.operators.graph import Graph
+        e = self._edges(spark, [("x", "y"), ("y", "z")])
+        g = Graph(e)
+        r1 = sorted(map(tuple, g.communities(iters=3).collect()))
+        r2 = sorted(map(tuple, g.communities(iters=3).collect()))
+        assert r1 == r2
+        assert {c for _, c in r1} == {"x"}  # tiny path collapses to min label

@@ -443,3 +443,36 @@ class TestInterpolateLinear:
         ])
         assert got[(1, 2)] == pytest.approx(2.0)
         assert got[(2, 2)] == pytest.approx(150.0)
+
+
+class TestOhlcBars:
+    def test_bar_semantics_and_tie_break(self, spark):
+        from corkscrew_spark.operators import temporal
+        rows = [
+            # same timestamp for the first two: event_id breaks the tie
+            (1, "2024-01-01 10:00:05", 50.0),
+            (0, "2024-01-01 10:00:05", 10.0),
+            (2, "2024-01-01 10:30:00", 99.0),
+            (3, "2024-01-01 10:59:59", 20.0),
+            (4, "2024-01-01 11:00:00", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        bars = {r.bar_ts.hour: r
+                for r in temporal.ohlc_bars(df, "ts", "value", "event_id").collect()}
+        b10 = bars[10]
+        assert b10.open == 10.0    # event_id 0 wins the equal-ts tie
+        assert b10.high == 99.0 and b10.low == 10.0
+        assert b10.close == 20.0 and b10.n_events == 4
+        assert bars[11].open == bars[11].close == 7.0
+
+    def test_grouped_bars(self, spark):
+        from corkscrew_spark.operators import temporal
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01 10:05:00", 1.0),
+             (2, "b", "2024-01-01 10:06:00", 2.0)],
+            "event_id long, k string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = temporal.ohlc_bars(df, "ts", "value", "event_id", by=("k",)).collect()
+        assert {(r.k, r.n_events) for r in out} == {("a", 1), ("b", 1)}
