@@ -34,25 +34,63 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
     cols = columns if columns is not None else list(df.columns)
     if not cols:
         raise ValueError("profile_columns: no columns to profile")
-    distinct = (
-        (lambda c: F.approx_count_distinct(c)) if approx
-        else (lambda c: F.countDistinct(c))
-    )
-    structs = [
+    if approx:
+        # HLL sketches have binary buffers: the whole profile stays ONE
+        # non-expanded hash-aggregation pass.
+        structs = [
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+                .cast("long").alias("n_null"),
+                F.approx_count_distinct(F.col(name))
+                .cast("long").alias("n_distinct"),
+                F.min(F.col(name)).cast("string").alias("min_value"),
+                F.max(F.col(name)).cast("string").alias("max_value"),
+            ).alias(f"__p_{name}")
+            for name in cols
+        ]
+        return (
+            df.agg(*structs)
+            .select(F.explode(F.array(*[F.col(f"__p_{n}") for n in cols]))
+                    .alias("p"))
+            .select("p.*")
+        )
+    # Exact path, two global aggregations instead of one combined agg:
+    # mixing k countDistincts with string-buffered min/max makes Catalyst
+    # plan the distinct-rewrite Expand as a SortAggregate (string/decimal
+    # aggregation buffers disqualify hash agg), which SORTS the k-times
+    # expanded relation — the dominant cost. Separated, the min/max agg
+    # is ungrouped (no sort, no Expand) and the distinct agg's Expand
+    # carries only long count buffers, so it stays a HashAggregate.
+    # Both results are single rows; the crossJoin is free.
+    base = df.agg(*[
         F.struct(
-            F.lit(name).alias("col_name"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
             .cast("long").alias("n_null"),
-            distinct(F.col(name)).cast("long").alias("n_distinct"),
             F.min(F.col(name)).cast("string").alias("min_value"),
             F.max(F.col(name)).cast("string").alias("max_value"),
-        ).alias(f"__p_{name}")
+        ).alias(f"__b_{name}")
+        for name in cols
+    ])
+    dist = df.agg(*[
+        F.countDistinct(F.col(name)).cast("long").alias(f"__d_{name}")
+        for name in cols
+    ])
+    structs = [
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col(f"__b_{name}.n_rows").alias("n_rows"),
+            F.col(f"__b_{name}.n_null").alias("n_null"),
+            F.col(f"__d_{name}").alias("n_distinct"),
+            F.col(f"__b_{name}.min_value").alias("min_value"),
+            F.col(f"__b_{name}.max_value").alias("max_value"),
+        )
         for name in cols
     ]
     return (
-        df.agg(*structs)
-        .select(F.explode(F.array(*[F.col(f"__p_{n}") for n in cols]))
-                .alias("p"))
+        base.crossJoin(dist)
+        .select(F.explode(F.array(*structs)).alias("p"))
         .select("p.*")
     )
