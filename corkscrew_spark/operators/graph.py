@@ -618,7 +618,7 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     # iteration than materializing dense score frames each round.
     hubs = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
-    for _ in range(iters):
+    for it in range(iters):
         auth = (
             e.join(hubs.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -629,8 +629,11 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
                    "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint every 2nd iteration (and the last): halves the
+        # action count; lineage stays bounded at two iterations.
+        if it % 2 == 1 or it == iters - 1:
+            hubs = hubs.localCheckpoint(eager=True)
     scores = (
         nodes.join(hubs, "node", "left")
         .join(auth, "node", "left")
