@@ -536,3 +536,64 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_orphan_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+)
+def dq_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per foreign
+    key, total rows and orphan rows (no parent) in ONE pass per edge —
+    a LEFT join probed against the distinct parent key set, counted
+    map-side. The warehouse health check behind `corkscrew config
+    validate`'s data-side analog. Join strategy is left to Catalyst/AQE
+    on purpose: dimension parents (nation) broadcast, fact-sized
+    parents (orders) must shuffle — forcing a broadcast hint here would
+    OOM the build side at 100 TB."""
+    t = register_tables(spark, sf_dir)
+
+    def _audit(fk_name, child, child_key, parent, parent_key):
+        p = t[parent].select(F.col(parent_key).alias("__pk")).distinct()
+        return (
+            t[child].select(F.col(child_key).alias("__ck"))
+            .join(p, F.col("__ck") == F.col("__pk"), "left")
+            .agg(
+                F.lit(fk_name).alias("fk"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_orphans"),
+            )
+            .select("fk", "n_rows", "n_orphans")
+        )
+
+    out = (
+        _audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+               "orders", "o_orderkey")
+        .unionByName(_audit("orders.o_custkey->customer", "orders",
+                            "o_custkey", "customer", "c_custkey"))
+        .unionByName(_audit("customer.c_nationkey->nation", "customer",
+                            "c_nationkey", "nation", "n_nationkey"))
+        .unionByName(_audit("supplier.s_nationkey->nation", "supplier",
+                            "s_nationkey", "nation", "n_nationkey"))
+    )
+    return out.orderBy("fk")

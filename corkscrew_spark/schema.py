@@ -273,3 +273,114 @@ def schemas_json() -> list[dict]:
         }
         for name, schema in CORE_TABLES.items()
     ]
+
+
+# ---------------------------------------------------------------------------
+# Sampled property-schema inference (Azure resource_graph.go parity)
+# ---------------------------------------------------------------------------
+
+#: mixed-type resolution priority (resource_graph.go:935-970
+#: inferPropertyType): containers beat scalars, string beats numerics.
+_INFER_PRIORITY = ("object", "array", "string", "number", "integer",
+                   "boolean", "unknown")
+
+
+def _walk_json(value, prefix: str, seen: dict) -> None:
+    """Dotted-path recursive type walk (analyzeProperties parity,
+    resource_graph.go:893-930): every nested object contributes both an
+    'object' entry for its own path and entries for its children."""
+    for key, val in value.items():
+        path = f"{prefix}.{key}" if prefix else key
+        types = seen.setdefault(path, set())
+        if isinstance(val, bool):      # bool before int: bool is an int in Python
+            types.add("boolean")
+        elif isinstance(val, str):
+            types.add("string")
+        elif isinstance(val, int):
+            types.add("integer")
+        elif isinstance(val, float):
+            types.add("number")
+        elif isinstance(val, dict):
+            types.add("object")
+            _walk_json(val, path, seen)
+        elif isinstance(val, list):
+            types.add("array")
+        else:
+            types.add("unknown")
+
+
+def infer_resource_schema(df, resource_type: str, sample_n: int = 10,
+                          properties_col: str = "attributes",
+                          type_col: str = "type") -> dict:
+    """Discover a resource type's property schema from ``sample_n`` live
+    rows — DiscoverResourceSchema parity (plugins/azure-provider/
+    resource_graph.go:112-127 samples 10 resources, extractSchemaFromSamples
+    at :850-907 walks the property JSON into dotted-path PropertyDefs).
+
+    The sample fetch is the distributed part (filter + LIMIT push into
+    the scan); the walk runs driver-side over <= sample_n parsed blobs —
+    bounded work by construction, the same design point as the
+    reference. ``required`` means present in every sampled resource
+    (the reference *intends* this; its ``len(types) == len(samples)``
+    comparison at :900 actually counts distinct types — reproduced
+    faithfully in spirit, not in bug).
+
+    Returns {resource_type, sample_count, locations, common_tags,
+    properties: {path: {name, type, required, examples}}}.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F  # local: schema.py stays import-light
+
+    rows = (
+        df.filter(F.col(type_col) == resource_type)
+        .select("region", "tags", properties_col)
+        .limit(sample_n)
+        .collect()
+    )
+    locations: set[str] = set()
+    tag_keys: set[str] = set()
+    # path -> (types, presence) where presence counts samples containing it
+    path_types: dict[str, set] = {}
+    path_presence: dict[str, int] = {}
+    for row in rows:
+        if row.region:
+            locations.add(row.region)
+        if row.tags:
+            tag_keys.update(row.tags.keys())
+        blob = row[properties_col]
+        if not blob:
+            continue
+        try:
+            parsed = _json.loads(blob)
+        except (TypeError, ValueError):
+            continue
+        if not isinstance(parsed, dict):
+            continue
+        seen: dict = {}
+        _walk_json(parsed, "", seen)
+        for path, types in seen.items():
+            path_types.setdefault(path, set()).update(types)
+            path_presence[path] = path_presence.get(path, 0) + 1
+
+    def _resolve(types: set) -> str:
+        for t in _INFER_PRIORITY:
+            if t in types:
+                return t
+        return "unknown"
+
+    return {
+        "resource_type": resource_type,
+        "sample_count": len(rows),
+        "locations": sorted(locations),
+        "common_tags": sorted(tag_keys),
+        "properties": {
+            path: {
+                "name": path,
+                "type": _resolve(types),
+                "required": bool(rows) and path_presence.get(path, 0) == len(rows),
+                "examples": [],
+            }
+            for path, types in sorted(path_types.items())
+        },
+    }

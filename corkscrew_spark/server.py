@@ -123,6 +123,25 @@ class ApiServer:
 
         return 200, {"schemas": schemas_json()}
 
+    def discover_schema(self, resource_type: str) -> tuple[int, dict]:
+        """DiscoverResourceSchema parity (plugins/azure-provider/
+        resource_graph.go:112-127): sample live rows of one resource
+        type from the registered ``resources`` view and walk the
+        property JSON into dotted-path PropertyDefs."""
+        from corkscrew_spark.schema import infer_resource_schema
+
+        if not resource_type:
+            return 400, {"success": False,
+                         "error": "missing ?type=<resource_type>"}
+        try:
+            df = self.spark.table("resources")
+            result = infer_resource_schema(df, resource_type)
+        except Exception as ex:  # noqa: BLE001 — error envelope parity
+            self.error_count += 1
+            return 500, {"success": False,
+                         "error": f"schema discovery failed: {ex}"}
+        return 200, {"success": True, **result}
+
     def list_providers(self) -> tuple[int, dict]:
         return 200, {
             "providers": [
@@ -160,6 +179,12 @@ class ApiServer:
                     self._send(*api.discover_idms())
                 elif self.path == "/v1/schemas":
                     self._send(*api.get_schemas())
+                elif self.path.startswith("/v1/discover-schema"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    qs = parse_qs(urlparse(self.path).query)
+                    self._send(*api.discover_schema(
+                        (qs.get("type") or [""])[0]))
                 else:
                     api.error_count += 1
                     self._send(404, {"error": f"no such endpoint: {self.path}"})

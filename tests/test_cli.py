@@ -227,3 +227,54 @@ def test_query_explain(capsys, spark):
     out = capsys.readouterr().out
     assert "Physical Plan" in out
     assert "PushedFilters" in out  # the predicate reached the parquet scan
+
+
+# ---------------------------------------------------------------------------
+# Sampled property-schema inference (DiscoverResourceSchema parity)
+# ---------------------------------------------------------------------------
+
+class TestInferResourceSchema:
+    def _resources(self, spark):
+        import json
+        rows = [
+            ("r1", "aws_s3_bucket", "us-east-1", {"env": "prod"},
+             json.dumps({"versioning": True, "size": 12,
+                         "config": {"tier": "STANDARD", "ratio": 0.5},
+                         "grants": ["a", "b"]})),
+            ("r2", "aws_s3_bucket", "eu-west-1", {"team": "core"},
+             json.dumps({"versioning": False, "size": 7,
+                         "config": {"tier": "IA"}})),
+            ("r3", "aws_s3_bucket", "us-east-1", None,
+             json.dumps({"versioning": "Suspended"})),
+            ("r4", "aws_ec2_instance", "us-east-1", None,
+             json.dumps({"cpu": 4})),
+        ]
+        return spark.createDataFrame(
+            rows, "id string, type string, region string, "
+                  "tags map<string,string>, attributes string")
+
+    def test_property_walk_types_and_required(self, spark):
+        from corkscrew_spark.schema import infer_resource_schema
+        s = infer_resource_schema(self._resources(spark), "aws_s3_bucket",
+                                  sample_n=10)
+        assert s["sample_count"] == 3
+        assert s["locations"] == ["eu-west-1", "us-east-1"]
+        assert s["common_tags"] == ["env", "team"]
+        props = s["properties"]
+        # mixed bool/string resolves to string (priority order)
+        assert props["versioning"]["type"] == "string"
+        assert props["versioning"]["required"] is True
+        assert props["size"] == {"name": "size", "type": "integer",
+                                 "required": False, "examples": []}
+        # nested object contributes its own path and dotted children
+        assert props["config"]["type"] == "object"
+        assert props["config.tier"]["type"] == "string"
+        assert props["config.ratio"]["type"] == "number"
+        assert props["grants"]["type"] == "array"
+        # other resource type's properties don't leak in
+        assert "cpu" not in props
+
+    def test_empty_type_yields_empty_schema(self, spark):
+        from corkscrew_spark.schema import infer_resource_schema
+        s = infer_resource_schema(self._resources(spark), "nope")
+        assert s["sample_count"] == 0 and s["properties"] == {}

@@ -124,3 +124,37 @@ def test_schemas_endpoint(spark):
     srv.server_close()
     tables = {t_["table"] for t_ in doc["schemas"]}
     assert {"resources", "relationships"} <= tables
+
+
+def test_discover_schema_endpoint(spark):
+    import json as _json
+    import threading
+    import urllib.request
+
+    from corkscrew_spark.server import ApiServer
+
+    rows = [
+        ("r1", "aws_s3_bucket", "us-east-1", {"env": "prod"},
+         _json.dumps({"versioning": True, "config": {"tier": "IA"}})),
+        ("r2", "aws_s3_bucket", "eu-west-1", None,
+         _json.dumps({"versioning": False})),
+    ]
+    spark.createDataFrame(
+        rows, "id string, type string, region string, "
+              "tags map<string,string>, attributes string"
+    ).createOrReplaceTempView("resources")
+
+    srv = ApiServer(spark).make_http_server()
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/discover-schema?type=aws_s3_bucket",
+            timeout=60) as resp:
+        doc = _json.loads(resp.read())
+    t.join(timeout=60)
+    srv.server_close()
+    assert doc["success"] is True and doc["sample_count"] == 2
+    assert doc["properties"]["versioning"]["required"] is True
+    assert doc["properties"]["config.tier"]["type"] == "string"
+    assert doc["common_tags"] == ["env"]
