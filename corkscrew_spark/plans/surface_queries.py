@@ -374,3 +374,96 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max_dist=2, q=3)
         .orderBy("probe_id", "p_partkey")
     )
+
+
+@query(
+    "resolve_entities",
+    oracle="""
+    WITH RECURSIVE recs AS (
+        SELECT p_partkey AS rec_id, p_name AS name FROM part
+        WHERE p_partkey % 10 = 0
+        UNION ALL
+        SELECT p_partkey + 10000000,
+               substr(p_name, 1, 2) || substr(p_name, 4)
+        FROM part WHERE p_partkey % 70 = 0
+    ),
+    pairs AS (
+        SELECT a.rec_id AS ra, b.rec_id AS rb
+        FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (SELECT ra AS a, rb AS b FROM pairs
+              UNION SELECT rb, ra FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lbl AS (SELECT node, MIN(lab) AS entity FROM reach GROUP BY node),
+    resolved AS (
+        SELECT r.rec_id, COALESCE(l.entity, r.rec_id) AS entity_id
+        FROM recs r LEFT JOIN lbl l ON l.node = r.rec_id
+    )
+    SELECT rec_id, entity_id,
+           rec_id = entity_id AS is_canonical,
+           CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_records
+    FROM resolved
+    ORDER BY rec_id
+    """,
+)
+def resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution as ONE declarative pipeline: a dirty
+    registry (a tenth of the part catalog; every 70th part re-registered
+    with a typo'd name and a new
+    record id) → blocked fuzzy self-join (Ed-Join prefix filtering, no
+    all-pairs scan) → connected components (min-label propagation) →
+    survivorship (canonical record = min id per entity). The oracle
+    brute-forces the cross join and recomputes components with a
+    recursive CTE — the Spark side must reach the identical entity
+    assignment from blocked candidates only. Per-entity counts use a
+    window PARTITIONED by entity (never a global window)."""
+    from corkscrew_spark.operators.dedup import dup_clusters
+    from corkscrew_spark.operators.fuzzy import fuzzy_join
+
+    part = _t(spark, sf_dir)["part"]
+    base = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name"))
+    typos = part.filter(F.col("p_partkey") % 70 == 0).select(
+        (F.col("p_partkey") + 10_000_000).alias("rec_id"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.col("p_name").substr(F.lit(4), F.length("p_name")),
+        ).alias("name"),
+    )
+    records = base.unionByName(typos).localCheckpoint(eager=True)
+    probes = records.select(F.col("rec_id").alias("a_id"),
+                            F.col("name").alias("a_name"))
+    targets = records.select(F.col("rec_id").alias("b_id"),
+                             F.col("name").alias("b_name"))
+    pairs = (
+        fuzzy_join(probes, targets, "a_id", "a_name", "b_id", "b_name",
+                   max_dist=1, q=3)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    labels = dup_clusters(pairs)
+    resolved = (
+        records.join(
+            labels.select(F.col("doc_id").alias("rec_id"),
+                          F.col("cluster_id").alias("entity_id")),
+            "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("entity_id", F.col("rec_id")).alias("entity_id"),
+        )
+    )
+    w = Window.partitionBy("entity_id")
+    return (
+        resolved.select(
+            "rec_id", "entity_id",
+            (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_records"),
+        )
+        .orderBy("rec_id")
+    )
