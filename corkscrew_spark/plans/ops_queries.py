@@ -597,3 +597,72 @@ def dq_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "s_nationkey", "nation", "n_nationkey"))
     )
     return out.orderBy("fk")
+
+
+@query(
+    "blast_radius",
+    oracle="""
+    WITH ev AS (
+        SELECT 'N' || CAST(user_id % 25 AS VARCHAR) AS nation_id,
+               COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    seeds AS (
+        SELECT nation_id, n_errors FROM ev
+        ORDER BY n_errors DESC, nation_id LIMIT 3
+    ),
+    cust AS (
+        SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS nation_id, c_custkey
+        FROM customer
+    ),
+    aff AS (
+        SELECT s.nation_id, s.n_errors, c.c_custkey
+        FROM seeds s JOIN cust c USING (nation_id)
+    )
+    SELECT a.nation_id,
+           CAST(MAX(a.n_errors) AS BIGINT)          AS n_errors,
+           CAST(COUNT(DISTINCT a.c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM aff a
+    LEFT JOIN orders o ON o.o_custkey = a.c_custkey
+    GROUP BY a.nation_id
+    ORDER BY nation_id
+    """,
+)
+def blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius analysis, the cloud-ops composition the reference's
+    change + graph subsystems exist for: hottest changed resources
+    (top-3 nations by error-event volume, deterministic tie-break) →
+    downstream dependents through the containment hierarchy (nation →
+    customers → orders). Seeds come from an event aggregation and reach
+    the expansion as a TakeOrderedAndProject + broadcast semi-probe —
+    the fact tables shuffle once each on their natural join keys; no
+    global window anywhere."""
+    t = register_tables(spark, sf_dir)
+    seeds = (
+        t["events"].filter(F.col("event_type") == "error")
+        .select(
+            F.concat(F.lit("N"), (F.col("user_id") % 25).cast("string"))
+            .alias("nation_id"))
+        .groupBy("nation_id").agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy(F.desc("n_errors"), "nation_id")
+        .limit(3)
+    )
+    cust = t["customer"].select(
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string"))
+        .alias("nation_id"),
+        "c_custkey",
+    )
+    affected = F.broadcast(seeds).join(cust, "nation_id")
+    return (
+        affected.join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            affected["c_custkey"] == F.col("o_custkey"), "left")
+        .groupBy("nation_id")
+        .agg(
+            F.max("n_errors").cast("long").alias("n_errors"),
+            F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+        )
+        .orderBy("nation_id")
+    )
