@@ -1518,3 +1518,73 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+@query(
+    "sample_by_quality",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   toks,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END) AS terms
+        FROM t
+    ), m AS (
+        SELECT doc_id, lang,
+               CAST(len(terms) AS BIGINT) AS n_terms,
+               CAST(list_sum(list_transform(terms,
+                    x -> (('0x' || substr(md5(x), 1, 4))::BIGINT % 4096
+                          * 2654435761) % 1000001 - 500000)) AS BIGINT) AS margin
+        FROM b
+    ), wts AS (
+        SELECT doc_id, lang,
+               margin + 500000 * n_terms + 1 AS w_int
+        FROM m
+    ), p AS (
+        SELECT doc_id, lang, w_int,
+               ln((CAST((((doc_id % 2147483648) * 1103515245 + 12345
+                          + 11 * 1000003) % 2147483648 * 1103515245 + 12345)
+                        % 2147483648 AS DOUBLE)
+                   + 0.5) / 2147483648.0) / CAST(w_int AS DOUBLE) AS pri
+        FROM wts
+    ), r AS (
+        SELECT doc_id, lang, w_int,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY pri DESC, doc_id) AS rk
+        FROM p
+    )
+    SELECT lang, doc_id, CAST(w_int AS BIGINT) AS quality_weight
+    FROM r WHERE rk <= 15 ORDER BY lang, doc_id
+    """,
+)
+def sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsample: the hashing-trick classifier's
+    integer margin becomes the selection weight of a deterministic
+    weighted reservoir (Efraimidis–Spirakis), 15 docs per language —
+    the importance-resampling step between scoring and training-mix
+    assembly. The weight is the exact integer ``margin + 500000·n + 1``
+    (always ≥ 1), so the member set replays bit-for-bit in any engine;
+    scoring is map-only, the sample is one shuffle on the language key."""
+    d = register_tables(spark, sf_dir)["documents"]
+    scored = text.hashed_ngram_score(d, "doc_id", "text")
+    weighted = (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang",
+            (F.col("margin") + 500000 * F.col("n_terms") + 1)
+            .cast("long").alias("w_int"),
+        )
+    )
+    return (
+        sampling.weighted_fixed_sample(
+            weighted.withColumn("w", F.col("w_int").cast("double")),
+            "doc_id", "lang", "w", k=15, seed=11)
+        .select("lang", "doc_id", F.col("w_int").alias("quality_weight"))
+        .orderBy("lang", "doc_id")
+    )

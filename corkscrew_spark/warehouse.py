@@ -462,3 +462,71 @@ def finalize_agg_state(state: DataFrame, keys: list[str]) -> DataFrame:
         cols.append(
             F.hll_sketch_estimate("dsk").cast("long").alias("approx_distinct"))
     return state.select(*cols)
+
+
+def write_sharded_corpus(df: DataFrame, path: str, key_col: str,
+                         n_shards: int, seed: str = "shard-v1") -> dict:
+    """Export a corpus as ``n_shards`` deterministic shard files plus a
+    manifest — the layout a training data-loader consumes (each worker
+    reads shard ``i`` of ``n``; re-exports of the same corpus are
+    byte-stable, so loaders can resume by manifest).
+
+    Shard assignment is the engine-portable md5 idiom over (seed, key):
+    every engine, and every re-run, routes a document to the same shard.
+    One shuffle (repartition on the shard id) routes each shard's rows
+    to exactly one task → exactly one file per shard directory, no
+    small-files explosion. Rows are sorted by key within each shard so
+    file contents are deterministic, not partition-arrival-ordered.
+
+    Returns the manifest: {n_shards, seed, total_rows, shards: [{shard,
+    n_rows, key_checksum}]} — key_checksum is an order-insensitive
+    64-bit xor-fold of the member keys, letting a loader verify a shard
+    without reading the data twice. The manifest is also written to
+    ``path/_manifest.json``.
+    """
+    import json as _json
+    import os as _os
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(key_col)
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))),
+                           1, 8), 16, 10)
+        .cast("long") % n_shards
+    ).alias("shard")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # bit_xor of xxhash64(key): commutative and overflow-free,
+            # so neither partition order nor row order can change it
+            F.expr(f"bit_xor(xxhash64(cast({key_col} as string)))")
+            .alias("key_checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "total_rows": int(sum(r.n_rows for r in stats)),
+        "shards": [
+            {"shard": int(r.shard), "n_rows": int(r.n_rows),
+             "key_checksum": int(r.key_checksum)}
+            for r in stats
+        ],
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return manifest

@@ -335,3 +335,41 @@ class TestAggState:
         import pytest
         with pytest.raises(ValueError):
             warehouse.merge_agg_state(keys=["k"])
+
+
+class TestShardedCorpusWriter:
+    def test_shard_export_round_trip(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"))
+        path = str(tmp_path / "shards")
+        manifest = warehouse.write_sharded_corpus(docs, path, "doc_id",
+                                                  n_shards=4)
+        assert manifest["total_rows"] == 200
+        assert [s["shard"] for s in manifest["shards"]] == [0, 1, 2, 3]
+        back = spark.read.parquet(path)
+        assert back.count() == 200
+        assert back.select("doc_id").distinct().count() == 200
+        # exactly one data file per shard directory
+        import glob
+        for i in range(4):
+            files = glob.glob(f"{path}/shard={i}/*.parquet")
+            assert len(files) == 1, files
+
+    def test_deterministic_across_reexports(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+        m1 = warehouse.write_sharded_corpus(
+            docs.repartition(7), str(tmp_path / "a"), "doc_id", n_shards=3)
+        m2 = warehouse.write_sharded_corpus(
+            docs.repartition(2), str(tmp_path / "b"), "doc_id", n_shards=3)
+        assert m1["shards"] == m2["shards"]  # layout-invariant assignment
+
+    def test_invalid_shards_raise(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            warehouse.write_sharded_corpus(
+                spark.range(1), str(tmp_path / "x"), "id", n_shards=0)
