@@ -116,3 +116,34 @@ def start_near_dup_flagging(stream: DataFrame, index: DataFrame,
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_value_bars(stream: DataFrame, ts_col: str, value_col: str,
+                         tiebreak_col: str, by: tuple[str, ...] = (),
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC bars: the event-time windowed form of
+    ``operators/temporal.ohlc_bars`` — open/high/low/close + count per
+    (group, tumbling window), with late data folded in until the
+    watermark closes the bar. State per open bar is ONE row of five
+    commutative partial aggregates (min_by/max_by carry the (ts, id)
+    total order), so memory is bounded by |groups| x |open windows|,
+    never by stream length — the stream and batch paths compute the
+    same bars from the same events.
+    """
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*by, F.window(ts_col, window))
+        .agg(
+            F.min_by(value_col, ordk).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ordk).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            *by, F.col("window.start").alias("bar_ts"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )

@@ -79,3 +79,55 @@ def test_quality_gate_filters_short_and_lowscore(spark, tmp_path):
     rows = spark.sql("SELECT doc_id, n_tokens FROM doc_gate").collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["n_tokens"] == 32
+
+
+def test_streaming_value_bars_match_batch(spark, tmp_path):
+    """The streaming bars equal temporal.ohlc_bars on the same events."""
+    import json
+
+    from corkscrew_spark.operators import temporal
+    from corkscrew_spark.streaming import doc_stream
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = [
+        (0, "2024-01-01T10:00:05", "a", 10.0),
+        (1, "2024-01-01T10:00:05", "a", 50.0),
+        (2, "2024-01-01T10:30:00", "a", 99.0),
+        (3, "2024-01-01T11:10:00", "a", 7.0),
+        (4, "2024-01-01T10:15:00", "b", 3.0),
+    ]
+    with open(src / "batch.json", "w") as fh:
+        for eid, ts, k, v in rows:
+            fh.write(json.dumps(
+                {"event_id": eid, "ts": ts, "k": k, "value": v}) + "\n")
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("k", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    bars = doc_stream.streaming_value_bars(
+        stream, "ts", "value", "event_id", by=("k",))
+    out = tmp_path / "bars_out"
+    q = (
+        bars.writeStream.format("memory").queryName("bars_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_events)
+           for r in spark.sql("select * from bars_t").collect()}
+
+    batch_df = spark.createDataFrame(
+        [(e, ts.replace("T", " "), k, v) for e, ts, k, v in rows],
+        "event_id long, ts string, k string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {(r.k, r.bar_ts): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in temporal.ohlc_bars(
+                batch_df, "ts", "value", "event_id", by=("k",)).collect()}
+    assert got == want and len(got) == 3
