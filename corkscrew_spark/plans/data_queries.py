@@ -1588,3 +1588,116 @@ def sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("w_int").alias("quality_weight"))
         .orderBy("lang", "doc_id")
     )
+
+
+#: the Jaccard pair/cluster chain re-pointed at the gated subset (same
+#: SQL as _JACCARD_CTES, different source relation)
+_GATED_JACCARD = _JACCARD_CTES.replace("FROM documents", "FROM gated")
+
+@query(
+    "corpus_curation_full",
+    oracle=r"""
+    WITH RECURSIVE gsig AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_words,
+               list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                       x -> len(x))) AS sum_word_len,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words
+        FROM documents
+    ),
+    cls AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(
+                   list_transform(
+                       list_concat(
+                           toks,
+                           CASE WHEN len(toks) >= 2
+                                THEN list_transform(range(1, len(toks)),
+                                                    i -> toks[i] || ' ' || toks[i+1])
+                                ELSE [] END),
+                       x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 4096),
+                   k -> (k * 2654435761) % 1000001 - 500000)) AS BIGINT) AS margin
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents)
+    ),
+    gated AS (
+        SELECT d.doc_id, d.text, d.lang, c.margin
+        FROM documents d
+        JOIN gsig g USING (doc_id) JOIN cls c USING (doc_id)
+        WHERE g.n_words >= 30
+          AND g.sum_word_len >= 3 * g.n_words
+          AND g.sum_word_len <= 10 * g.n_words
+          AND g.alpha_words * 5 >= g.n_words * 4
+          AND c.margin > 0
+    ),
+    {jacc},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lbl AS (SELECT node, MIN(lab) AS entity FROM reach GROUP BY node),
+    kept AS (
+        SELECT g.* FROM gated g LEFT JOIN lbl l ON l.node = g.doc_id
+        WHERE l.entity IS NULL OR l.entity = g.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(margin) AS BIGINT) AS sum_margin
+    FROM kept GROUP BY lang
+    ORDER BY lang
+    """.replace("{jacc}", _GATED_JACCARD),
+)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline, second flagship next to
+    corpus_training_mix: heuristic quality gates (the Gopher word-count
+    / mean-word-length / alpha-ratio rules as integer arithmetic) AND
+    a positive classifier margin (hashing-trick inference, exact
+    integers) → near-duplicate removal by exact 3-gram Jaccard ≥ 0.8
+    blocked through shared rare shingles → connected components →
+    keep-representative → per-language corpus accounting (docs, tokens,
+    summed margin — all integers, so the whole chain hash-matches).
+
+    Every stage reuses an already-oracle-verified operator; the
+    composed plan is: two map-only scoring passes + one semi-join gate,
+    the shingle shuffle, the component rounds on the (tiny) pair graph,
+    one final rollup."""
+    d = register_tables(spark, sf_dir)["documents"]
+    gop = text.gopher_quality_flags(d, "doc_id")
+    good = gop.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("sum_word_len") >= 3 * F.col("n_words"))
+        & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+        & (F.col("alpha_words") * 5 >= F.col("n_words") * 4)
+    ).select("doc_id")
+    cls = text.hashed_ngram_score(d, "doc_id", "text").select("doc_id", "margin")
+    gated = (
+        d.join(good, "doc_id", "left_semi")
+        .join(cls.filter(F.col("margin") > 0), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = dedup.ngram_jaccard_pairs(gated, "doc_id", "text", n=3,
+                                      threshold=0.8, max_shingle_df=100)
+    labels = dedup.dup_clusters(pairs)
+    kept = (
+        gated.join(
+            labels.select("doc_id", "keep"), "doc_id", "left")
+        .filter(F.col("keep").isNull() | F.col("keep"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("long").alias("n_tokens"),
+            F.sum("margin").cast("long").alias("sum_margin"),
+        )
+        .orderBy("lang")
+    )
