@@ -305,3 +305,48 @@ class TestLabelPropagation:
         r2 = sorted(map(tuple, g.communities(iters=3).collect()))
         assert r1 == r2
         assert {c for _, c in r1} == {"x"}  # tiny path collapses to min label
+
+
+class TestBidirectionalShortestPath:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_matches_unidirectional_on_grid(self, spark):
+        from corkscrew_spark.operators.graph import (shortest_path,
+                                                     shortest_path_bidirectional)
+        # 4x4 grid: many equal-length paths -> exercises the tie-break
+        pairs = []
+        for r in range(4):
+            for c in range(4):
+                if c < 3:
+                    pairs.append((f"n{r}{c}", f"n{r}{c+1}"))
+                if r < 3:
+                    pairs.append((f"n{r}{c}", f"n{r+1}{c}"))
+        e = self._e(spark, pairs)
+        for a, b in [("n00", "n33"), ("n03", "n30"), ("n11", "n22")]:
+            uni = shortest_path(e, a, b).collect()
+            bi = shortest_path_bidirectional(e, a, b).collect()
+            assert [tuple(r) for r in uni] == [tuple(r) for r in bi]
+
+    def test_directed_odd_length(self, spark):
+        from corkscrew_spark.operators.graph import (shortest_path,
+                                                     shortest_path_bidirectional)
+        e = self._e(spark, [("a", "b"), ("b", "c"), ("c", "d"),
+                            ("a", "x"), ("x", "d"), ("d", "a")])
+        uni = shortest_path(e, "a", "d", directed=True).collect()
+        bi = shortest_path_bidirectional(e, "a", "d", directed=True).collect()
+        assert [tuple(r) for r in uni] == [tuple(r) for r in bi]
+        assert bi[0].depth == 2 and bi[0].path == ["a", "x", "d"]
+
+    def test_unreachable_and_trivial(self, spark):
+        from corkscrew_spark.operators.graph import shortest_path_bidirectional
+        e = self._e(spark, [("a", "b"), ("c", "d")])
+        assert shortest_path_bidirectional(e, "a", "d", max_depth=5).count() == 0
+        triv = shortest_path_bidirectional(e, "a", "a").collect()
+        assert triv[0].depth == 0 and triv[0].path == ["a"]
+
+    def test_direct_edge(self, spark):
+        from corkscrew_spark.operators.graph import shortest_path_bidirectional
+        e = self._e(spark, [("s", "t"), ("s", "m"), ("m", "t")])
+        row = shortest_path_bidirectional(e, "s", "t").collect()[0]
+        assert row.depth == 1 and row.path == ["s", "t"]
