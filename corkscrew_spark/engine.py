@@ -149,16 +149,67 @@ class QueryResult:
         return self.df.collect()
 
 
+#: `<table> VERSION AS OF <n>` / `<table> TIMESTAMP AS OF '<ts>'` —
+#: the Delta/Iceberg time-travel clause, resolved against tables
+#: registered with QueryEngine.register_versioned.
+_TIME_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(\d+|'[^']*')", re.IGNORECASE)
+
+
 class QueryEngine:
     """Session wrapper: macro registration + validated execution."""
 
     def __init__(self, spark: SparkSession, register_helpers: bool = True):
         self.spark = spark
+        self._versioned: dict[str, str] = {}
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 
+    def register_versioned(self, name: str, path: str) -> None:
+        """Attach a versioned table (versioned.py snapshot log) to the SQL
+        surface: registers the LATEST snapshot as view ``name`` and
+        enables `name VERSION AS OF n` / `name TIMESTAMP AS OF 'ts'`
+        time-travel clauses in queries (Delta/Iceberg SQL parity over
+        the plain-parquet snapshot store)."""
+        from corkscrew_spark import versioned
+
+        versioned.read_version(self.spark, path).createOrReplaceTempView(name)
+        self._versioned[name] = path
+
+    def _resolve_time_travel(self, sql: str) -> str:
+        """Rewrite time-travel clauses on registered versioned tables to
+        snapshot views (registered on demand as ``name__v<N>``)."""
+        from corkscrew_spark import versioned
+
+        def _sub(m: re.Match) -> str:
+            name, kind, arg = m.group(1), m.group(2).upper(), m.group(3)
+            path = self._versioned.get(name)
+            if path is None:
+                return m.group(0)  # not ours — let Spark handle/fail it
+            if kind == "VERSION":
+                df = versioned.read_version(self.spark, path,
+                                            version=int(arg))
+                tag = arg
+            else:
+                from datetime import datetime, timezone
+
+                ts = datetime.fromisoformat(arg.strip("'"))
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                df = versioned.read_version(self.spark, path,
+                                            as_of_ts=ts.timestamp())
+                tag = re.sub(r"[^0-9]", "", arg)
+            view = f"{name}__v{tag}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return _TIME_TRAVEL_RE.sub(_sub, sql)
+
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         bound = bind_params(sql, params)
+        if self._versioned:
+            bound = self._resolve_time_travel(bound)
         validate_readonly(bound)
         # Parse/analyze without executing (engine.go:389-413). NOTE: Spark's
         # `EXPLAIN` renders analysis errors into its *output* instead of

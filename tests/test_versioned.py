@@ -68,3 +68,37 @@ class TestVersioned:
         with pytest.raises(ValueError, match="vacuumed"):
             versioned.read_version(spark, p, version=1)
         assert versioned.read_version(spark, p, version=4).count() == 1
+
+
+class TestEngineTimeTravel:
+    def test_version_as_of_clause(self, spark, tmp_path):
+        from corkscrew_spark import versioned
+        from corkscrew_spark.engine import QueryEngine
+
+        path = str(tmp_path / "vt")
+        versioned.write_version(
+            spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        versioned.write_version(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            path)
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_versioned("items", path)
+        # latest view
+        assert eng.execute("SELECT COUNT(*) AS n FROM items").rows()[0].n == 2
+        # explicit version travel
+        r = eng.execute(
+            "SELECT COUNT(*) AS n FROM items VERSION AS OF 1").rows()
+        assert r[0].n == 1
+        # timestamp travel: as-of far future resolves to latest
+        r = eng.execute(
+            "SELECT COUNT(*) AS n FROM items TIMESTAMP AS OF '2099-01-01'"
+        ).rows()
+        assert r[0].n == 2
+
+    def test_unregistered_table_clause_untouched(self, spark, tmp_path):
+        from corkscrew_spark.engine import QueryEngine, QueryValidationError
+        import pytest as _pytest
+
+        eng = QueryEngine(spark, register_helpers=False)
+        with _pytest.raises(QueryValidationError):
+            eng.execute("SELECT * FROM nosuch VERSION AS OF 1")
