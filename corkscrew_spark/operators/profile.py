@@ -94,3 +94,37 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
         .select(F.explode(F.array(*structs)).alias("p"))
         .select("p.*")
     )
+
+
+def profile_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: per-key row counts for the
+    ``top_k`` heaviest keys plus each key's share of the total and its
+    ratio to the MEAN key load — the number that predicts whether a
+    shuffle on this key stalls on one straggler task (ratio ≫ 1 means
+    salt it or let AQE skew-join split it; pairs with
+    warehouse.salted_join).
+
+    One count aggregation (map-side partial) + a broadcast 1-row total;
+    no sort of the full relation (top-k via TakeOrderedAndProject).
+
+    Returns (key, n_rows, pct_of_total, skew_factor) with the two floats
+    rounded to 4.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") * 100.0 / F.col("__total"), 4)
+            .alias("pct_of_total"),
+            F.round(F.col("n_rows") * F.col("__n_keys")
+                    / F.col("__total"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(top_k)
+    )

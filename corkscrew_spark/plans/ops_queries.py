@@ -666,3 +666,30 @@ def blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_id")
     )
+
+
+@query(
+    "skew_profile_custkey",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey AS key, COUNT(*) AS n_rows
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM counts)
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows * 100.0 / total, 4) AS pct_of_total,
+           ROUND(n_rows * n_keys / total, 4) AS skew_factor
+    FROM counts, t
+    ORDER BY n_rows DESC, key LIMIT 10
+    """,
+)
+def skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (operators/profile.profile_skew) on
+    the orders→customer join key: the 10 heaviest keys with their share
+    and mean-load ratio — the pre-flight check before deciding between
+    a plain shuffle, salting, or AQE skew-join. One map-side count agg
+    + broadcast totals; top-k via TakeOrderedAndProject."""
+    from corkscrew_spark.operators import profile
+
+    o = register_tables(spark, sf_dir)["orders"]
+    return profile.profile_skew(o, "o_custkey", top_k=10)

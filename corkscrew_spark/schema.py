@@ -384,3 +384,40 @@ def infer_resource_schema(df, resource_type: str, sample_n: int = 10,
             for path, types in sorted(path_types.items())
         },
     }
+
+
+def shred_json(df, json_col: str, sample_n: int = 100,
+               prefix: str = "", drop_source: bool = True):
+    """Schema-on-read → columnar: infer a typed StructType for a JSON
+    string column from a bounded sample, then parse the WHOLE column
+    once with ``from_json`` and star-expand the struct into top-level
+    columns (``prefix`` guards collisions).
+
+    This is the shredding step that turns the reference's JSON-blob
+    columns (attributes / raw_data / properties) into pruned, pushed-
+    down columnar reads: after shredding, a query touching two fields
+    scans two Parquet columns instead of re-parsing every blob per
+    predicate. Inference cost is bounded (``limit(sample_n)`` sampled
+    through Spark's JSON schema inference); the shred itself is map-only
+    whole-stage codegen at any scale. Fields absent from the sample
+    parse as NULL (schema-on-read semantics preserved).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    sample = [r[0] for r in df.select(json_col).dropna()
+              .limit(sample_n).collect()]
+    if not sample:
+        return df if not drop_source else df
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(sample, 1)).schema
+    bad = [f.name for f in inferred.fields
+           if f.name.startswith("_corrupt_record")]
+    fields = [f.name for f in inferred.fields if f.name not in bad]
+    parsed = df.withColumn("__shred", F.from_json(F.col(json_col), inferred))
+    out = parsed.select(
+        "*",
+        *[F.col(f"__shred.{name}").alias(f"{prefix}{name}")
+          for name in fields],
+    ).drop("__shred")
+    return out.drop(json_col) if drop_source else out

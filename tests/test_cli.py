@@ -278,3 +278,31 @@ class TestInferResourceSchema:
         from corkscrew_spark.schema import infer_resource_schema
         s = infer_resource_schema(self._resources(spark), "nope")
         assert s["sample_count"] == 0 and s["properties"] == {}
+
+
+class TestShredJson:
+    def test_typed_expansion_and_pruning_semantics(self, spark):
+        import json
+        from corkscrew_spark.schema import shred_json
+        rows = [
+            (1, json.dumps({"size": 12, "tier": "hot", "enc": True,
+                            "cfg": {"ratio": 0.5}})),
+            (2, json.dumps({"size": 7, "tier": "cold"})),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, attrs string")
+        out = shred_json(df, "attrs", prefix="a_")
+        got = {r.id: r for r in out.collect()}
+        assert got[1].a_size == 12 and got[1].a_tier == "hot"
+        assert got[1].a_enc is True and got[1].a_cfg.ratio == 0.5
+        assert got[2].a_enc is None and got[2].a_cfg is None
+        assert got[3].a_size is None
+        assert "attrs" not in out.columns  # source dropped by default
+
+    def test_keep_source_and_empty(self, spark):
+        from corkscrew_spark.schema import shred_json
+        df = spark.createDataFrame([(1, '{"x": 1}')], "id long, attrs string")
+        out = shred_json(df, "attrs", drop_source=False)
+        assert "attrs" in out.columns and out.collect()[0].x == 1
+        empty = spark.createDataFrame([], "id long, attrs string")
+        assert shred_json(empty, "attrs").columns == ["id", "attrs"]
