@@ -1701,3 +1701,50 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "langid_confusion",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang AS gold, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, gold,
+               len(list_intersect(t, ['the','a','of','and','to'])) AS s_en,
+               len(list_intersect(t, ['el','la','de','que','los'])) AS s_es,
+               len(list_intersect(t, ['der','die','und','das','ist'])) AS s_de
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, gold,
+               CASE
+                   WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                   WHEN s_es > 0 AND s_es > s_en AND s_es >= s_de THEN 'es'
+                   WHEN s_de > 0 AND s_de > s_en AND s_de > s_es THEN 'de'
+                   ELSE 'und'
+               END AS predicted
+        FROM scored
+    )
+    SELECT gold, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY gold, predicted
+    ORDER BY gold, predicted
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-language-ID evaluation: confusion matrix of the marker-
+    lexicon predictor against the corpus's gold ``lang`` labels — the
+    eval loop that belongs next to any classifier operator. Map-only
+    scoring + one rollup; the oracle spells out the same argmax cascade
+    (ties resolve by the fixed en > es > de priority)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(
+            F.col("lang").alias("gold"),
+            text.language_id("text").alias("predicted"),
+        )
+        .groupBy("gold", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("gold", "predicted")
+    )
