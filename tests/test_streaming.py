@@ -180,3 +180,72 @@ def test_streaming_upsert_sink(spark, tmp_path):
 
     got = {r.id: (r.state) for r in spark.read.parquet(table).collect()}
     assert got == {"r1": "ACTIVE", "r2": "ACTIVE", "r3": "ACTIVE"}
+
+
+def test_continuous_compliance_on_resource_feed(spark, tmp_path):
+    """A pack evaluated per micro-batch through foreachBatch: violations
+    surface with the batch id, and the result contract holds."""
+    import json
+
+    from corkscrew_spark.compliance.pack import PackLoader
+    from corkscrew_spark.streaming import compliance_stream
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    # a minimal pack whose single control reads the streamed view
+    packdir = tmp_path / "packs" / "live" / "open-buckets"
+    (packdir / "queries").mkdir(parents=True)
+    (packdir / "manifest.yaml").write_text(
+        "metadata:\n"
+        "  namespace: live/open-buckets\n"
+        "  name: Live bucket checks\n"
+        "  version: \"1.0.0\"\n"
+        "  description: streaming demo\n"
+        "queries:\n"
+        "  - id: public-bucket\n"
+        "    name: No public buckets\n"
+        "    severity: CRITICAL\n"
+        "    file: queries/public_bucket.sql\n")
+    (packdir / "queries" / "public_bucket.sql").write_text(
+        "SELECT id AS resource_id, name AS resource_name,\n"
+        "       'bucket' AS resource_type,\n"
+        "       'public-bucket' AS control_id,\n"
+        "       'No public buckets' AS control_name,\n"
+        "       CASE WHEN acl = 'public' THEN 'FAIL' ELSE 'PASS' END AS status,\n"
+        "       CASE WHEN acl = 'public' THEN 'CRITICAL' ELSE 'INFO' END AS severity,\n"
+        "       acl AS details\n"
+        "FROM resources\n")
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"id": "b-1", "name": "logs", "acl": "private"}) + "\n")
+        fh.write(json.dumps({"id": "b-2", "name": "www", "acl": "public"}) + "\n")
+
+    schema = StructType([
+        StructField("id", StringType()), StructField("name", StringType()),
+        StructField("acl", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = str(tmp_path / "results")
+    q = compliance_stream.start_continuous_compliance(
+        stream, "live/open-buckets", out, str(tmp_path / "ckpt"),
+        loader=PackLoader([str(tmp_path / "packs")]),
+        available_now=True)
+    q.awaitTermination(180)
+
+    rows = {r.resource_id: r for r in spark.read.parquet(out).collect()}
+    assert rows["b-2"].status == "FAIL" and rows["b-2"].severity == "CRITICAL"
+    assert rows["b-1"].status == "PASS"
+    assert rows["b-2"].batch_id == 0 and rows["b-2"].evaluated_at is not None
+
+    # a second file picked up incrementally carries the next batch id
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"id": "b-3", "name": "tmp", "acl": "public"}) + "\n")
+    q2 = compliance_stream.start_continuous_compliance(
+        stream, "live/open-buckets", out, str(tmp_path / "ckpt"),
+        loader=PackLoader([str(tmp_path / "packs")]),
+        available_now=True)
+    q2.awaitTermination(180)
+    rows = {r.resource_id: r for r in spark.read.parquet(out).collect()}
+    assert rows["b-3"].status == "FAIL" and rows["b-3"].batch_id == 1
