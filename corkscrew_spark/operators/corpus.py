@@ -265,3 +265,52 @@ def chunk_documents(docs: DataFrame, id_col: str, text_col: str,
             .alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + conjunctive term search
+# ---------------------------------------------------------------------------
+
+def build_inverted_index(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Term → document postings over the lowercased whitespace tokens:
+    (term, doc_id, tf). The index build is explode + one groupBy on
+    (term, doc) — the shape that scales to any corpus because postings
+    shuffle on the term key and never materialize per-term lists in one
+    task. Persist with warehouse.write_partitioned/bucketed on ``term``
+    to make later lookups partition-pruned."""
+    return (
+        docs.select(
+            _c(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.trim(_c(text_col))), r"\s+"))
+            .alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def search_all_terms(index: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive (AND) search over the inverted index: documents
+    containing EVERY query term, ranked by summed term frequency.
+
+    Plan: filter the postings to the |terms| query keys (an IN-list the
+    scan prunes on), then ONE groupBy counting distinct matched terms —
+    a doc qualifies iff it matched all of them. No join per term, no
+    intersection loop: |terms|-way conjunction costs one shuffle on
+    doc_id regardless of term count.
+
+    Returns (doc_id, total_tf) for qualifying docs.
+    """
+    if not terms:
+        raise ValueError("search_all_terms: need at least one term")
+    uniq = sorted({t.lower() for t in terms})
+    return (
+        index.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("__matched"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("__matched") == len(uniq))
+        .drop("__matched")
+    )

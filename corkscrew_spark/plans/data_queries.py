@@ -1748,3 +1748,37 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("gold", "predicted")
     )
+
+
+@query(
+    "text_search_and",
+    oracle=r"""
+    WITH postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    ),
+    hits AS (
+        SELECT doc_id, COUNT(DISTINCT term) AS matched,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM postings WHERE term IN ('data', 'table', 'query')
+        GROUP BY doc_id
+    )
+    SELECT doc_id, total_tf FROM hits WHERE matched = 3
+    ORDER BY total_tf DESC, doc_id
+    """,
+)
+def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term search through an inverted index
+    (corpus.build_inverted_index + search_all_terms): docs containing
+    all of {data, table, query}, ranked by summed term frequency. The
+    k-way conjunction is ONE groupBy on doc_id (count distinct matched
+    terms == k), never a join per term."""
+    d = register_tables(spark, sf_dir)["documents"]
+    idx = corpus.build_inverted_index(d, "doc_id", "text")
+    return (
+        corpus.search_all_terms(idx, ["data", "table", "query"])
+        .orderBy(F.desc("total_tf"), "doc_id")
+    )

@@ -203,3 +203,27 @@ class TestChunkDocuments:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             corpus.chunk_documents(df, "doc_id", "text", window=0, stride=3)
+
+
+class TestInvertedIndex:
+    def test_postings_and_search(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "spark query engine"), (2, "query engine spark spark"),
+             (3, "spark only here"), (4, "query engine")],
+            "doc_id long, text string")
+        idx = corpus.build_inverted_index(docs, "doc_id", "text")
+        assert {(r.term, r.doc_id, r.tf) for r in
+                idx.filter(F.col("term") == "spark").collect()} == {
+                    ("spark", 1, 1), ("spark", 2, 2), ("spark", 3, 1)}
+        hits = {r.doc_id: r.total_tf for r in
+                corpus.search_all_terms(idx, ["spark", "query"]).collect()}
+        # docs 1 and 2 contain both; 3 and 4 miss one term each
+        assert hits == {1: 2, 2: 3}
+
+    def test_case_folding_and_validation(self, spark):
+        import pytest as _pytest
+        docs = spark.createDataFrame([(1, "Spark SPARK")], "doc_id long, text string")
+        idx = corpus.build_inverted_index(docs, "doc_id", "text")
+        assert corpus.search_all_terms(idx, ["SPARK"]).collect()[0].total_tf == 2
+        with _pytest.raises(ValueError):
+            corpus.search_all_terms(idx, [])
