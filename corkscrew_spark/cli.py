@@ -114,6 +114,46 @@ def cmd_pack(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
     exe = ComplianceExecutor(spark, loader)
+    if args.all:
+        # run every discovered pack; the shipped packs read the synthetic
+        # resource views, so register those fixtures up front
+        from corkscrew_spark.compliance.fixtures import register_s3_fixture
+        from corkscrew_spark.ingest import synthetic
+
+        register_s3_fixture(spark)
+        synthetic.resources(spark, n=300).createOrReplaceTempView("resources")
+        supplied = _parse_params(args.param)
+        failures = 0
+        for ns in loader.discover():
+            try:
+                chain = loader.load_with_dependencies(ns)
+                declared = {p.name for pk in chain for p in pk.parameters}
+                required = {p.name for pk in chain for p in pk.parameters
+                            if p.required or p.default is None}
+                missing = required - set(supplied)
+                if missing:
+                    print(f"{ns}: skipped (missing parameter(s): "
+                          f"{', '.join(sorted(missing))})")
+                    continue
+                run = exe.run_pack(
+                    ns, {k: v for k, v in supplied.items() if k in declared},
+                    dry_run=args.dry_run)
+            except Exception as ex:  # noqa: BLE001 — keep sweeping
+                print(f"{ns}: ERROR {ex}", file=sys.stderr)
+                failures += 1
+                continue
+            if args.dry_run:
+                print(f"{ns}: {len(run.pack.queries)} controls validated")
+            else:
+                print(f"== {ns}")
+                print(formatter.format_table(run.summary(), limit=1000))
+            failures += 1 if run.errors else 0
+            for err in run.errors:
+                print(f"{ns}: error: {err}", file=sys.stderr)
+        return 1 if failures else 0
+    if not args.namespace:
+        print("error: namespace required (or --all)", file=sys.stderr)
+        return 2
     run = exe.run_pack(args.namespace, _parse_params(args.param),
                        dry_run=args.dry_run, controls=args.control,
                        tags=args.tag)
@@ -124,6 +164,40 @@ def cmd_pack(args: argparse.Namespace) -> int:
     for err in run.errors:
         print(f"error: {err}", file=sys.stderr)
     return 1 if run.errors else 0
+
+
+def cmd_maintenance(args: argparse.Namespace) -> int:
+    """Warehouse maintenance verbs over the library operators: small-file
+    compaction, versioned-table history/vacuum, Z-order rewrite."""
+    from corkscrew_spark import versioned, warehouse
+
+    if args.maint_cmd == "history":
+        for e in versioned.history(args.path):
+            print(f"v{e['version']}\t{e['op']}\t{e['ts']}\t{e.get('rows', '?')} rows")
+        return 0
+    if args.maint_cmd == "vacuum":
+        removed = versioned.vacuum(args.path, keep_last=args.keep_last)
+        print(f"vacuumed versions: {removed or 'none'}")
+        return 0
+    spark = get_spark(app_name="corkscrew-maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.maint_cmd == "compact":
+        parts = args.partition_by.split(",") if args.partition_by else None
+        before, after = warehouse.compact_table(
+            spark, args.path, partition_cols=parts,
+            target_file_bytes=args.target_mb * 1024 * 1024)
+        print(f"compacted {args.path}: {before} -> {after} files")
+        return 0
+    if args.maint_cmd == "zorder":
+        if not args.by or "," not in args.by:
+            print("error: --by xcol,ycol is required for zorder", file=sys.stderr)
+            return 2
+        xc, yc = args.by.split(",", 1)
+        warehouse.zorder_write(spark.read.parquet(args.path), args.out or args.path + ".zorder",
+                               xc, yc)
+        print(f"z-ordered {args.path} on ({xc}, {yc}) -> {args.out or args.path + '.zorder'}")
+        return 0
+    return 2
 
 
 def cmd_schemas(args: argparse.Namespace) -> int:
@@ -660,6 +734,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("pack_cmd", choices=["run", "list", "search", "install", "installed"])
     p.add_argument("namespace", nargs="?")
     p.add_argument("--param", action="append")
+    p.add_argument("--all", action="store_true",
+                   help="run every discovered pack (run only)")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--search-path", action="append")
     p.add_argument("--control", action="append",
@@ -735,6 +811,18 @@ def main(argv: list[str] | None = None) -> int:
     dg.add_argument("--region")
     dg.add_argument("--limit", type=int, default=50)
     dg.set_defaults(fn=cmd_diagram)
+
+    mt = sub.add_parser("maintenance",
+                        help="warehouse maintenance (compact/vacuum/zorder/history)")
+    mt.add_argument("maint_cmd", choices=["compact", "vacuum", "zorder", "history"])
+    mt.add_argument("path", help="table directory")
+    mt.add_argument("--partition-by", help="hive partition columns (compact)")
+    mt.add_argument("--target-mb", type=int, default=128)
+    mt.add_argument("--keep-last", type=int, default=2)
+    mt.add_argument("--by", help="xcol,ycol for zorder")
+    mt.add_argument("--out", help="output path for zorder (default <path>.zorder)")
+    mt.set_defaults(fn=cmd_maintenance)
+
 
     args = ap.parse_args(argv)
     return args.fn(args)

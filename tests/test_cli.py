@@ -306,3 +306,40 @@ class TestShredJson:
         assert "attrs" in out.columns and out.collect()[0].x == 1
         empty = spark.createDataFrame([], "id long, attrs string")
         assert shred_json(empty, "attrs").columns == ["id", "attrs"]
+
+
+class TestMaintenanceVerb:
+    def test_compact_and_history_vacuum(self, spark, tmp_path, capsys):
+        from corkscrew_spark import cli, versioned
+
+        # fragmented table -> compact
+        tbl = str(tmp_path / "frag")
+        spark.range(1000).repartition(24).write.parquet(tbl)
+        assert cli.main(["maintenance", "compact", tbl, "--target-mb", "64"]) == 0
+        out = capsys.readouterr().out
+        assert "compacted" in out and spark.read.parquet(tbl).count() == 1000
+
+        # versioned history + vacuum
+        vt = str(tmp_path / "vt")
+        for n in (2, 3, 4):
+            versioned.write_version(spark.range(n).toDF("id"), vt)
+        assert cli.main(["maintenance", "history", vt]) == 0
+        assert "v3" in capsys.readouterr().out
+        assert cli.main(["maintenance", "vacuum", vt, "--keep-last", "1"]) == 0
+
+    def test_zorder_requires_by(self, tmp_path, capsys, spark):
+        from corkscrew_spark import cli
+        tbl = str(tmp_path / "z")
+        spark.range(10).selectExpr("id as x", "id*2 as y").write.parquet(tbl)
+        assert cli.main(["maintenance", "zorder", tbl]) == 2
+        assert cli.main(["maintenance", "zorder", tbl, "--by", "x,y",
+                         "--out", str(tmp_path / "zz")]) == 0
+
+
+def test_pack_run_all(capsys):
+    from corkscrew_spark import cli
+
+    rc = cli.main(["pack", "run", "--all", "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "demo/tpch-orders" in out and "controls validated" in out
