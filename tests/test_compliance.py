@@ -188,3 +188,30 @@ def test_control_and_tag_filters(executor):
 
     with _pytest.raises(PackError, match="no controls match"):
         executor.run_pack("cfi/ccc-storage", tags=["nonexistent"])
+
+
+def test_s3_observability_pack(spark):
+    """Third shipped pack: logging / lifecycle / public-access-block over
+    the JSON raw_data blobs. The three synthetic archetypes must produce
+    all three verdicts deterministically."""
+    from corkscrew_spark.compliance import ComplianceExecutor, PackLoader
+    from corkscrew_spark.ingest import synthetic
+
+    synthetic.resources(spark, n=60).createOrReplaceTempView("resources")
+    run = ComplianceExecutor(spark, PackLoader([])).run_pack(
+        "cfi/s3-observability", {})
+    assert not run.errors
+    rows = run.results.collect()
+    by_control = {}
+    for r in rows:
+        by_control.setdefault(r["control_id"], set()).add(r["status"])
+    assert set(by_control) == {"s3-obs-01", "s3-obs-02", "s3-obs-03"}
+    # compliant archetype passes everything; insecure archetype fails PAB
+    assert {"PASS", "WARNING"} <= by_control["s3-obs-01"]
+    assert {"PASS", "FAIL"} <= by_control["s3-obs-03"]
+    # every S3 resource is covered by every control
+    n_s3 = spark.sql("select count(*) n from resources where service='s3'").collect()[0].n
+    assert all(
+        sum(1 for r in rows if r["control_id"] == c) == n_s3
+        for c in by_control
+    )
