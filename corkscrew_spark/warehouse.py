@@ -530,3 +530,76 @@ def write_sharded_corpus(df: DataFrame, path: str, key_col: str,
     with open(_os.path.join(path, "_manifest.json"), "w") as fh:
         _json.dump(manifest, fh)
     return manifest
+
+
+def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Data-contract validation: evaluate declarative expectations over a
+    table in ONE aggregation pass and return a violations summary — the
+    post-ingest gate a warehouse runs before publishing a snapshot.
+
+    Each rule is a dict with ``name`` plus one of:
+
+    * ``{"not_null": col}`` — no NULLs in col;
+    * ``{"unique": col}`` — col values are distinct (NULLs ignored);
+    * ``{"range": col, "min": x, "max": y}`` — values inside [x, y]
+      (either bound optional);
+    * ``{"in_set": col, "values": [...]}`` — values drawn from a set;
+    * ``{"expr": sql_bool}`` — arbitrary SQL predicate that must hold
+      for every row.
+
+    All non-unique checks compile to conditional counts inside one
+    ``agg`` (single scan, map-side combine); each ``unique`` rule adds
+    one countDistinct (Expand pass shared by all unique rules). Returns
+    (rule, violations, n_rows, passed) — a rule passes iff violations
+    is 0.
+    """
+    if not rules:
+        raise ValueError("validate_expectations: no rules given")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    uniques: list[tuple[str, str]] = []
+    for rule in rules:
+        name = rule["name"]
+        if "not_null" in rule:
+            cond = F.col(rule["not_null"]).isNull()
+        elif "unique" in rule:
+            uniques.append((name, rule["unique"]))
+            continue
+        elif "range" in rule:
+            c = F.col(rule["range"])
+            cond = F.lit(False)
+            if "min" in rule:
+                cond = cond | (c < rule["min"])
+            if "max" in rule:
+                cond = cond | (c > rule["max"])
+            cond = cond & c.isNotNull()
+        elif "in_set" in rule:
+            cond = (~F.col(rule["in_set"]).isin(rule["values"])
+                    & F.col(rule["in_set"]).isNotNull())
+        elif "expr" in rule:
+            cond = ~F.expr(rule["expr"])
+        else:
+            raise ValueError(f"unknown expectation kind in rule {name!r}")
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"__v_{name}"))
+    for name, col in uniques:
+        aggs.append(F.count(F.col(col)).cast("long").alias(f"__c_{name}"))
+        aggs.append(F.countDistinct(F.col(col)).cast("long")
+                    .alias(f"__d_{name}"))
+    row = df.agg(*aggs)
+    structs = []
+    for rule in rules:
+        name = rule["name"]
+        if "unique" in rule:
+            viol = F.col(f"__c_{name}") - F.col(f"__d_{name}")
+        else:
+            viol = F.col(f"__v_{name}")
+        structs.append(F.struct(
+            F.lit(name).alias("rule"),
+            viol.alias("violations"),
+            F.col("__n").alias("n_rows"),
+            (viol == 0).alias("passed"),
+        ))
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+    )

@@ -373,3 +373,43 @@ class TestShardedCorpusWriter:
         with _pytest.raises(ValueError):
             warehouse.write_sharded_corpus(
                 spark.range(1), str(tmp_path / "x"), "id", n_shards=0)
+
+
+class TestExpectations:
+    def test_all_rule_kinds(self, spark):
+        from corkscrew_spark import warehouse
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, "US"), (2, "b", 200.0, "EU"),
+             (2, None, -5.0, "XX"), (4, "d", 50.0, "US")],
+            "id long, name string, v double, region string")
+        rules = [
+            {"name": "id_unique", "unique": "id"},
+            {"name": "name_not_null", "not_null": "name"},
+            {"name": "v_in_range", "range": "v", "min": 0, "max": 100},
+            {"name": "region_known", "in_set": "region", "values": ["US", "EU"]},
+            {"name": "id_positive", "expr": "id > 0"},
+        ]
+        got = {r.rule: (r.violations, r.passed)
+               for r in warehouse.validate_expectations(df, rules).collect()}
+        assert got["id_unique"] == (1, False)      # 2 appears twice
+        assert got["name_not_null"] == (1, False)
+        assert got["v_in_range"] == (2, False)     # 200 and -5
+        assert got["region_known"] == (1, False)   # XX
+        assert got["id_positive"] == (0, True)
+        assert all(r.n_rows == 4 for r in
+                   warehouse.validate_expectations(df, rules).collect())
+
+    def test_clean_table_passes(self, spark):
+        from corkscrew_spark import warehouse
+        df = spark.range(100).selectExpr("id", "id * 2 as v")
+        out = warehouse.validate_expectations(df, [
+            {"name": "id_unique", "unique": "id"},
+            {"name": "v_even", "expr": "v % 2 = 0"},
+        ]).collect()
+        assert all(r.passed for r in out)
+
+    def test_empty_rules_raise(self, spark):
+        from corkscrew_spark import warehouse
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            warehouse.validate_expectations(spark.range(1), [])
