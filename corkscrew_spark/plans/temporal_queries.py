@@ -497,3 +497,52 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                            by=("event_type",), bucket="hour")
         .orderBy("event_type", "bar_ts")
     )
+
+
+@query(
+    "seasonal_anomaly_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, cnt,
+               LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev_week_cnt
+        FROM daily
+    )
+    SELECT event_type, day, cnt, prev_week_cnt,
+           cnt - prev_week_cnt AS dev,
+           CAST(ABS(cnt - prev_week_cnt) * 10 > prev_week_cnt * 3 AS BIGINT)
+               AS anomaly
+    FROM lagged
+    WHERE prev_week_cnt IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly flags: each day's event volume against the
+    same weekday one week earlier (lag-7 over per-type daily counts);
+    a >30% swing flags, tested as integer cross-multiplication so the
+    verdict is engine-exact. The window runs over PRE-AGGREGATED
+    (type, day) rows — |types|x|days| state, never raw events — and is
+    partitioned by type (no global window)."""
+    e = _t(spark, sf_dir)["events"]
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev_week_cnt", F.lag("cnt", 7).over(w))
+    return (
+        lagged.filter(F.col("prev_week_cnt").isNotNull())
+        .select(
+            "event_type", "day", "cnt", "prev_week_cnt",
+            (F.col("cnt") - F.col("prev_week_cnt")).alias("dev"),
+            (F.abs(F.col("cnt") - F.col("prev_week_cnt")) * 10
+             > F.col("prev_week_cnt") * 3).cast("long").alias("anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
