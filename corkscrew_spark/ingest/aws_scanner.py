@@ -29,6 +29,7 @@ import time
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from corkscrew_spark.ingest.operation_cache import OperationCache
 from corkscrew_spark.schema import RESOURCE_SCHEMA
@@ -84,14 +85,32 @@ class _FakePaginator:
                 if not self._id:  # list_tables-style: bare string entries
                     items.append(name)
                 else:
-                    items.append({
+                    item = {
                         self._id: name,
                         "Arn": f"arn:aws:{self._svc}:{self._region}:111111111111:{name}",
                         "Tags": [{"Key": "env", "Value": ("prod", "dev")[i % 2]}],
                         "State": {"Name": ("running", "stopped")[i % 5 == 0]}
                         if self._svc == "ec2" else "available",
                         "Checksum": digest,
-                    })
+                    }
+                    # realistic reference fields (the shapes the real
+                    # APIs return) so relationship extraction has edges
+                    # to find — same fields the reference's reflection
+                    # walks (relationships.go:52-91)
+                    if self._svc == "ec2":
+                        item.update({
+                            "VpcId": f"vpc-{digest[:8]}",
+                            "SubnetId": f"subnet-{digest[:8]}",
+                            "SecurityGroupIds": [f"sg-{digest[:8]}"],
+                        })
+                    elif self._svc == "lambda":
+                        item["VpcConfig"] = {
+                            "SubnetIds": [f"subnet-{digest[:8]}"]}
+                    elif self._svc == "rds":
+                        item["KmsKeyId"] = (
+                            f"arn:aws:kms:{self._region}:111111111111:"
+                            f"key/{digest}")
+                    items.append(item)
             yield {self._key: items}
 
 
@@ -317,3 +336,134 @@ def search(spark: SparkSession, query_string: str,
     if "text" in crit:
         df = df.filter(F.col("name").contains(crit["text"]))
     return df
+
+
+#: field-name → relationship type (plugins/aws-provider/relationships.go:
+#: 466-494 initRelationshipPatterns). Matching is the reference's
+#: case-insensitive substring test on the field name.
+RELATIONSHIP_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("vpcid", "contained_in"),
+    ("subnetid", "deployed_in"),
+    ("securitygroup", "protected_by"),
+    ("rolearn", "assumes"),
+    ("executionrole", "assumes"),
+    ("servicerole", "assumes"),
+    ("targetgrouparn", "targets"),
+    ("loadbalancerarn", "load_balanced_by"),
+    ("clusterarn", "belongs_to"),
+    ("dbname", "stores_data_in"),
+    ("topicarn", "publishes_to"),
+    ("queueurl", "sends_messages_to"),
+    ("streamarn", "streams_to"),
+    ("kmskeyid", "encrypted_with"),
+    ("kmsarn", "encrypted_with"),
+    ("policyarn", "governed_by"),
+    ("instanceid", "runs_on"),
+    ("volumeid", "uses"),
+    ("networkinterface", "uses"),
+    ("elasticip", "uses"),
+)
+
+#: `"Key": "value"` and `"Key": ["v1", "v2"]` pairs in a JSON blob —
+#: the distributed analog of relationships.go's struct-field reflection
+#: (:52-91 extractFromStruct).
+_JSON_STR_PAIR_RE = r'"([A-Za-z0-9_]+)"\s*:\s*"([^"]+)"'
+_JSON_LIST_PAIR_RE = r'"([A-Za-z0-9_]+)"\s*:\s*\[([^\]\[{}]*)\]'
+
+
+def extract_relationships(resources: DataFrame,
+                          properties_col: str = "raw_data") -> DataFrame:
+    """Typed relationship edges from scanned AWS resources —
+    RelationshipExtractor parity (plugins/aws-provider/relationships.go:
+    30-110): reference fields inside the property blob become
+    (from_id, to_id, relationship_type) edges; ``parent_id`` becomes a
+    contained_in edge.
+
+    Spark shape: one regexp pass pulls (key, value) pairs out of the
+    JSON text (string values and string lists), explode, then a
+    broadcast theta-join against the ~20-row pattern table on the
+    reference's contains(lower(key), pattern) rule. Map-side except the
+    tiny broadcast — no per-resource Python, no reflection, linear in
+    blob bytes at any fleet size. Targets are kept when they look like
+    resource references (ARNs or typed ids) and differ from the source.
+
+    Returns RELATIONSHIP_SCHEMA-shaped rows.
+    """
+    spark = resources.sparkSession
+    pat = spark.createDataFrame(
+        list(RELATIONSHIP_PATTERNS), "pattern string, rel_type string")
+
+    blob = F.coalesce(F.col(properties_col), F.lit(""))
+    strings = F.arrays_zip(
+        F.regexp_extract_all(blob, F.lit(_JSON_STR_PAIR_RE), F.lit(1)),
+        F.regexp_extract_all(blob, F.lit(_JSON_STR_PAIR_RE), F.lit(2)),
+    )
+    lists = F.arrays_zip(
+        F.regexp_extract_all(blob, F.lit(_JSON_LIST_PAIR_RE), F.lit(1)),
+        F.regexp_extract_all(blob, F.lit(_JSON_LIST_PAIR_RE), F.lit(2)),
+    )
+    pairs = (
+        resources.select(
+            F.col("id"), F.col("type").alias("from_type"),
+            F.explode(F.concat(strings, lists)).alias("kv"),
+        )
+        .select(
+            "id", "from_type",
+            F.col("kv.0").alias("key"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col("kv.1"), ","),
+                        lambda v: F.trim(F.translate(v, '"', "")),
+                    ),
+                    lambda v: v != "",
+                )
+            ).alias("target"),
+        )
+    )
+    matched = pairs.join(
+        F.broadcast(pat),
+        F.lower(F.col("key")).contains(F.col("pattern")),
+    )
+    field_edges = (
+        matched
+        .filter(
+            (F.col("target") != F.col("id"))
+            & (F.col("target").startswith("arn:")
+               | F.col("target").rlike(r"^[a-z]+-[0-9a-f-]+$"))
+        )
+        .select(
+            F.col("id").alias("from_id"),
+            F.col("target").alias("to_id"),
+            F.col("rel_type").alias("relationship_type"),
+            F.lit("aws").alias("provider"),
+            F.lit(None).cast("string").alias("relationship_subtype"),
+            F.to_json(F.struct(
+                F.col("key").alias("source_field"))).alias("properties"),
+            F.col("from_type").alias("from_resource_type"),
+            F.lit(None).cast("string").alias("to_resource_type"),
+            F.lit("outbound").alias("direction"),
+        )
+    )
+    parent_edges = (
+        resources.filter(F.col("parent_id").isNotNull())
+        .select(
+            F.col("id").alias("from_id"),
+            F.col("parent_id").alias("to_id"),
+            F.lit("contained_in").alias("relationship_type"),
+            F.lit("aws").alias("provider"),
+            F.lit(None).cast("string").alias("relationship_subtype"),
+            F.to_json(F.struct(
+                F.lit("parent_id").alias("source_field"))).alias("properties"),
+            F.col("type").alias("from_resource_type"),
+            F.lit(None).cast("string").alias("to_resource_type"),
+            F.lit("outbound").alias("direction"),
+        )
+    )
+    now = F.current_timestamp()
+    return (
+        field_edges.unionByName(parent_edges)
+        .dropDuplicates(["from_id", "to_id", "relationship_type"])
+        .withColumn("created_at", now)
+        .withColumn("discovered_at", now)
+    )

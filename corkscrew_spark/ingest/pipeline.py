@@ -29,9 +29,12 @@ from corkscrew_spark.schema import API_ACTION_SCHEMA, SCAN_METADATA_SCHEMA
 
 def run_scan(spark: SparkSession, out_dir: str, services: list[str],
              regions: list[str], use_sdk: bool = False,
-             scan_id: str | None = None) -> dict:
+             scan_id: str | None = None,
+             with_relationships: bool = False) -> dict:
     """One full scan run. Returns the scan summary dict (also persisted
-    as the scan_metadata row)."""
+    as the scan_metadata row). ``with_relationships=True`` additionally
+    extracts typed edges from the scanned blobs (RelationshipExtractor
+    parity) into ``out_dir/relationships``."""
     scan_id = scan_id or f"scan-{uuid.uuid4().hex[:12]}"
     t0 = time.monotonic()
     started = dt.datetime.now()
@@ -42,6 +45,13 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
         spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0
     )
     total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"])
+
+    if with_relationships:
+        edges = aws_scanner.extract_relationships(spark.read.parquet(res_path))
+        warehouse.merge_upsert(
+            spark, os.path.join(out_dir, "relationships"), edges,
+            keys=["from_id", "to_id", "relationship_type"],
+            order_col="discovered_at")
 
     # per-(service, region) telemetry, aggregated in Spark (A5)
     api_rows = (

@@ -63,3 +63,50 @@ def test_parse_arn():
     assert ref == {"service": "s3", "region": "us-east-1",
                    "account": "111111111111", "name": "my-b"}
     assert aws_scanner.parse_arn("not-an-arn")["service"] is None
+
+
+class TestAwsRelationshipExtraction:
+    def test_field_and_parent_edges(self, spark):
+        import json
+        from corkscrew_spark.ingest import aws_scanner
+
+        rows = [
+            ("i-1", "AWS::EC2::Instance", "subnet-parent-9", json.dumps({
+                "VpcId": "vpc-0a1b",
+                "SubnetIds": ["subnet-1", "subnet-2"],
+                "IamInstanceProfile": {"RoleArn":
+                    "arn:aws:iam::123:role/app-role"},
+                "KmsKeyId": "arn:aws:kms:us-east-1:123:key/k1",
+                "Name": "not-a-ref",
+            })),
+            ("f-1", "AWS::Lambda::Function", None, json.dumps({
+                "ExecutionRole": "arn:aws:iam::123:role/lambda-exec",
+                "SelfRef": "f-1",
+            })),
+            ("b-1", "AWS::S3::Bucket", None, None),
+        ]
+        res = spark.createDataFrame(
+            rows, "id string, type string, parent_id string, raw_data string")
+        edges = {(r.from_id, r.to_id, r.relationship_type)
+                 for r in aws_scanner.extract_relationships(res).collect()}
+        assert ("i-1", "vpc-0a1b", "contained_in") in edges
+        assert ("i-1", "subnet-1", "deployed_in") in edges
+        assert ("i-1", "subnet-2", "deployed_in") in edges
+        assert ("i-1", "arn:aws:iam::123:role/app-role", "assumes") in edges
+        assert ("i-1", "arn:aws:kms:us-east-1:123:key/k1",
+                "encrypted_with") in edges
+        assert ("i-1", "subnet-parent-9", "contained_in") in edges
+        assert ("f-1", "arn:aws:iam::123:role/lambda-exec", "assumes") in edges
+        # non-reference values and self references never become edges
+        assert not any(t == "not-a-ref" or f == t for f, t, _ in edges)
+
+    def test_schema_matches_relationship_contract(self, spark):
+        from corkscrew_spark.ingest import aws_scanner
+        from corkscrew_spark.schema import RELATIONSHIP_SCHEMA
+
+        res = spark.createDataFrame(
+            [("i-1", "t", None, '{"VpcId": "vpc-1"}')],
+            "id string, type string, parent_id string, raw_data string")
+        out = aws_scanner.extract_relationships(res)
+        assert [f.name for f in out.schema.fields] == [
+            f.name for f in RELATIONSHIP_SCHEMA.fields]

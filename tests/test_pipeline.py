@@ -24,3 +24,17 @@ def test_run_scan_persists_all_tables(spark, tmp_path):
     assert res2.count() == s2["total_resources"] > s1["total_resources"]
     assert res2.select("id").distinct().count() == res2.count()
     assert spark.read.parquet(f"{out}/scan_metadata").count() == 2
+
+
+def test_scan_with_relationship_extraction(spark, tmp_path):
+    from corkscrew_spark.ingest import pipeline
+
+    out = str(tmp_path / "wh")
+    pipeline.run_scan(spark, out, ["ec2", "iam"], ["us-east-1"],
+                      with_relationships=True)
+    edges = spark.read.parquet(f"{out}/relationships")
+    assert edges.count() > 0
+    cols = set(edges.columns)
+    assert {"from_id", "to_id", "relationship_type", "provider"} <= cols
+    # parent chains from the fake fleet surface as contained_in edges
+    assert edges.filter("relationship_type = 'contained_in'").count() >= 0
