@@ -1489,3 +1489,45 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "fulfillment_latency",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS min_ship_days,
+           CAST(MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS max_ship_days,
+           CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+               AS total_ship_days,
+           CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot latency rollup: order→ship lag statistics
+    and slow-shipment (>90 day) counts per priority — the fulfillment-funnel
+    metric over the fact join. One shuffle on the order key (AQE picks
+    the join strategy), integer day arithmetic end-to-end so the rollup
+    is engine-exact (sums instead of float averages)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = t["lineitem"].select("l_orderkey", "l_shipdate")
+    ship_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min(ship_days).cast("long").alias("min_ship_days"),
+            F.max(ship_days).cast("long").alias("max_ship_days"),
+            F.sum(ship_days).cast("long").alias("total_ship_days"),
+            F.sum(F.when(ship_days > 90, 1).otherwise(0))
+            .cast("long").alias("n_late"),
+        )
+        .orderBy("priority")
+    )

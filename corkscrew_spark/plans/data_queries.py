@@ -1782,3 +1782,20 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.search_all_terms(idx, ["data", "table", "query"])
         .orderBy(F.desc("total_tf"), "doc_id")
     )
+
+
+@query("dedup_minhash_clusters")
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale fuzzy-dedup decision path end to end:
+    MinHash-LSH candidate pairs (banded signatures — |docs|·num_hashes
+    rows shuffle, never all-pairs) verified by exact Jaccard, then
+    connected components → keep-representative flags. This is the path
+    a 100 TB corpus takes (the exact-Jaccard shingle join used by
+    dedup_clusters scales with shingle postings; banded MinHash scales
+    with documents). Rows-only: MinHash uses engine-native xxhash64;
+    the same decision contract is proven exactly by dedup_clusters'
+    oracle and the recall/precision bounds in tests/test_dedup.py."""
+    d = register_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3,
+                                    num_hashes=32, bands=8, threshold=0.8)
+    return dedup.dup_clusters(pairs).orderBy("doc_id")
