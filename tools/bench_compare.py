@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Compare two bench_detail.json files and flag per-query regressions.
+
+Usage:
+    python tools/bench_compare.py OLD.json [NEW.json] [--threshold 1.3]
+
+NEW defaults to the repo's current bench_detail.json. Exit code 1 when
+any query slowed by more than the threshold AND by more than 0.3s
+absolute (local-mode timings under ~0.5s are scheduler noise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new", nargs="?", default="bench_detail.json")
+    ap.add_argument("--threshold", type=float, default=1.3)
+    args = ap.parse_args()
+
+    with open(args.old) as fh:
+        old = json.load(fh)
+    with open(args.new) as fh:
+        new = json.load(fh)
+    oq, nq = old["queries"], new["queries"]
+
+    print(f"total: {old['value']}s ({len(oq)} queries) -> "
+          f"{new['value']}s ({len(nq)} queries)")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print(f"added ({len(added)}): " + ", ".join(
+            f"{n} {nq[n]}s" for n in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+
+    regressions = []
+    for name in sorted(set(oq) & set(nq)):
+        a, b = oq[name], nq[name]
+        if b > a * args.threshold and b - a > 0.3:
+            regressions.append((name, a, b))
+    improvements = [
+        (name, oq[name], nq[name])
+        for name in sorted(set(oq) & set(nq))
+        if nq[name] * args.threshold < oq[name] and oq[name] - nq[name] > 0.3
+    ]
+    for name, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
+        print(f"REGRESSION {name}: {a}s -> {b}s ({b / a:.2f}x)")
+    for name, a, b in sorted(improvements, key=lambda r: r[2] - r[1]):
+        print(f"improved  {name}: {a}s -> {b}s ({b / a:.2f}x)")
+    if not regressions:
+        print("no regressions above threshold")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
