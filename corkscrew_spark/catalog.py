@@ -117,6 +117,14 @@ def load_table_between(spark: SparkSession, sf_dir: str, name: str,
 #: register_tables() freely, so cache it (parquet files are immutable here).
 _REGISTRY: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+#: Which sf_dir each session's temp VIEW currently points at. View names
+#: are session-global while the DataFrame memo is per (session, sf_dir):
+#: after register_tables(spark, sfA) then register_tables(spark, sfB),
+#: a later register_tables(spark, sfA) must RE-POINT the views back to
+#: sfA even though its DataFrames are memoized — otherwise view-based
+#: consumers (engine SQL, packs) silently read sfB.
+_ACTIVE_VIEW: dict[tuple[int, str], str] = {}
+
 
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
@@ -127,9 +135,14 @@ def register_tables(
     against the parquet scan, keeping pushdown/pruning intact. Callers that
     reuse a small table many times can ``.cache()`` the returned df.
     """
-    key = (id(spark), os.path.abspath(sf_dir))
+    abs_dir = os.path.abspath(sf_dir)
+    key = (id(spark), abs_dir)
     cached = _REGISTRY.get(key)
     if cached is not None and set(tables) <= set(cached):
+        for name, df in cached.items():
+            if _ACTIVE_VIEW.get((id(spark), name)) != abs_dir:
+                df.createOrReplaceTempView(name)
+                _ACTIVE_VIEW[(id(spark), name)] = abs_dir
         return cached
     out: dict[str, DataFrame] = dict(cached or {})
     for name in tables:
@@ -140,6 +153,7 @@ def register_tables(
             continue
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
+        _ACTIVE_VIEW[(id(spark), name)] = abs_dir
         out[name] = df
     _REGISTRY[key] = out
     return out

@@ -169,3 +169,18 @@ def test_readonly_gate_comment_opener_inside_literal_cannot_hide_dml():
     validate_readonly("SELECT '--' AS dashes, '/* not a comment */' AS c")
     validate_readonly("SELECT 1 -- a real trailing comment\n")
     validate_readonly("/* leading comment */ SELECT 1")
+
+
+def test_register_tables_repoints_views_across_sf_dirs(spark):
+    """Views are session-global; switching sf_dirs and back must re-point
+    them (regression: a cached registration left views aimed at the last
+    sf_dir, so engine-SQL consumers silently read the wrong scale)."""
+    from corkscrew_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    n_small = spark.sql("select count(*) n from orders").collect()[0].n
+    register_tables(spark, "/root/testdata/sf0.01")
+    n_big = spark.sql("select count(*) n from orders").collect()[0].n
+    assert n_big > n_small
+    register_tables(spark, "/root/testdata/sf0.001")  # cached path
+    assert spark.sql("select count(*) n from orders").collect()[0].n == n_small
