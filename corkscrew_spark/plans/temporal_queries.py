@@ -546,3 +546,90 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "sequence_spans",
+    oracle="""
+    WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+               FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, event_id AS error_id, ts AS error_ts
+               FROM events WHERE event_type = 'error'),
+         j1 AS (SELECT s.signup_id, s.user_id, s.signup_ts,
+                       p.purchase_id, p.purchase_ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.signup_id
+                           ORDER BY p.purchase_ts ASC, p.purchase_id DESC) AS rn
+                FROM s LEFT JOIN p
+                  ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts),
+         step1 AS (SELECT signup_id, user_id, signup_ts,
+                          purchase_id, purchase_ts
+                   FROM j1 WHERE rn = 1),
+         j2 AS (SELECT t.*, e.error_id, e.error_ts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY t.signup_id
+                           ORDER BY e.error_ts ASC, e.error_id DESC) AS rn
+                FROM step1 t LEFT JOIN e
+                  ON e.user_id = t.user_id AND t.purchase_ts IS NOT NULL
+                 AND e.error_ts >= t.purchase_ts)
+    SELECT signup_id, user_id, signup_ts, purchase_id, purchase_ts,
+           error_id, error_ts,
+           CAST(purchase_id IS NOT NULL AND error_id IS NOT NULL AS BIGINT)
+               AS complete,
+           CASE WHEN error_id IS NOT NULL
+                THEN (epoch_us(error_ts) - epoch_us(signup_ts)) // 1000000
+           END AS span_seconds
+    FROM j2 WHERE rn = 1 OR rn IS NULL
+    ORDER BY signup_id
+    """,
+)
+def sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pattern span extraction (MATCH_RECOGNIZE-lite): for every
+    signup, the user's next purchase at-or-after it, then the next
+    error at-or-after that purchase — the A→B→C match with its span.
+    Composed as TWO chained forward as-of joins, each the union-merge
+    single-shuffle plan (never an inequality join); a missing step
+    leaves NULLs and an incomplete flag. The funnel counts how many
+    users complete the pattern; this extracts each match itself."""
+    ev = _t(spark, sf_dir)["events"]
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("signup_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"))
+    step1 = temporal.asof_join(
+        signups, purchases, key="user_id", left_ts="signup_ts", right_ts="ts",
+        right_payload=["purchase_id", "purchase_ts"], tiebreak="purchase_id",
+        direction="forward")
+    # rows without a purchase can't match step 2; join them back after
+    matched = step1.filter(F.col("purchase_ts").isNotNull())
+    unmatched = step1.filter(F.col("purchase_ts").isNull())
+    step2 = temporal.asof_join(
+        matched, errors, key="user_id", left_ts="purchase_ts", right_ts="ts",
+        right_payload=["error_id", "error_ts"], tiebreak="error_id",
+        direction="forward")
+    out = step2.unionByName(
+        unmatched.withColumn("error_id", F.lit(None).cast("long"))
+        .withColumn("error_ts", F.lit(None).cast("timestamp")))
+    return (
+        out.select(
+            "signup_id", "user_id", "signup_ts", "purchase_id", "purchase_ts",
+            "error_id", "error_ts",
+            (F.col("purchase_id").isNotNull() & F.col("error_id").isNotNull())
+            .cast("long").alias("complete"),
+            F.when(
+                F.col("error_id").isNotNull(),
+                F.expr("(unix_micros(cast(error_ts as timestamp)) - "
+                       "unix_micros(cast(signup_ts as timestamp))) "
+                       "div 1000000")).alias("span_seconds"),
+        )
+        .orderBy("signup_id")
+    )
