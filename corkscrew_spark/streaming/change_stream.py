@@ -196,3 +196,25 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_with_inventory(stream: DataFrame, inventory: DataFrame,
+                          key: str = "resource_id",
+                          inventory_key: str = "id",
+                          columns: list[str] | None = None) -> DataFrame:
+    """Stream-static enrichment: attach warehouse inventory attributes
+    (owner tags, account, type detail) to each live change event.
+
+    The static side re-resolves PER MICRO-BATCH (Spark re-plans the
+    static relation each trigger), so a warehouse refresh lands on the
+    stream without a restart. The join broadcasts when the inventory
+    fits, otherwise shuffles only the micro-batch — either way the
+    streaming side never accumulates join state (no watermark needed;
+    that is the stream-static contract vs stream-stream joins).
+    """
+    cols = columns or [c for c in inventory.columns if c != inventory_key]
+    right = inventory.select(
+        F.col(inventory_key).alias("__ik"),
+        *[F.col(c).alias(f"inv_{c}") for c in cols],
+    )
+    return stream.join(right, stream[key] == right["__ik"], "left").drop("__ik")

@@ -249,3 +249,33 @@ def test_continuous_compliance_on_resource_feed(spark, tmp_path):
     q2.awaitTermination(180)
     rows = {r.resource_id: r for r in spark.read.parquet(out).collect()}
     assert rows["b-3"].status == "FAIL" and rows["b-3"].batch_id == 1
+
+
+def test_stream_static_inventory_enrichment(spark, tmp_path):
+    """Change events enriched with warehouse attributes per micro-batch;
+    unmatched resources keep NULL inventory columns."""
+    import json
+
+    from corkscrew_spark.streaming import change_stream
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inventory = spark.createDataFrame(
+        [("r-1", "s3", {"env": "prod"}), ("r-2", "ec2", {"env": "dev"})],
+        "id string, service string, tags map<string,string>")
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    with open(src / "c1.json", "w") as fh:
+        fh.write(json.dumps({"resource_id": "r-1", "change_type": "UPDATE"}) + "\n")
+        fh.write(json.dumps({"resource_id": "r-9", "change_type": "DELETE"}) + "\n")
+    schema = StructType([StructField("resource_id", StringType()),
+                         StructField("change_type", StringType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    enriched = change_stream.enrich_with_inventory(
+        stream, inventory, columns=["service", "tags"])
+    q = (enriched.writeStream.format("memory").queryName("enr_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r.resource_id: r for r in spark.sql("select * from enr_t").collect()}
+    assert rows["r-1"].inv_service == "s3" and rows["r-1"].inv_tags["env"] == "prod"
+    assert rows["r-9"].inv_service is None  # unmatched stays, NULL-enriched
