@@ -350,3 +350,48 @@ class TestBidirectionalShortestPath:
         e = self._e(spark, [("s", "t"), ("s", "m"), ("m", "t")])
         row = shortest_path_bidirectional(e, "s", "t").collect()[0]
         assert row.depth == 1 and row.path == ["s", "t"]
+
+
+class TestKCore:
+    def test_clique_with_tail(self, spark):
+        from corkscrew_spark.operators.graph import k_core
+        clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                  ("b", "d"), ("c", "d")]
+        tail = [("d", "t1"), ("t1", "t2"), ("t2", "t3")]
+        e = spark.createDataFrame(clique + tail, "src string, dst string")
+        core3 = {r.node: r.degree for r in k_core(e, 3).collect()}
+        assert set(core3) == {"a", "b", "c", "d"}
+        assert all(d == 3 for d in core3.values())
+        # 1-core keeps everything; 4-core is empty (peels recursively)
+        assert k_core(e, 1).count() == 7
+        assert k_core(e, 4).count() == 0
+
+    def test_matches_reference_peeling(self, spark):
+        from corkscrew_spark.operators.graph import k_core
+        import collections
+        import random
+        rng = random.Random(11)
+        nodes = [f"n{i}" for i in range(30)]
+        pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(70)})
+        adj = collections.defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        k = 3
+        alive = {n for n in adj}
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if len(adj[n] & alive) < k:
+                    alive.discard(n)
+                    changed = True
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        got = {r.node for r in k_core(e, k).collect()}
+        assert got == alive
+
+    def test_invalid_k(self, spark):
+        from corkscrew_spark.operators.graph import k_core
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            k_core(spark.createDataFrame([("a", "b")], "src string, dst string"), 0)
