@@ -562,6 +562,10 @@ class Graph:
             source, max_rounds=max_rounds, directed=directed,
         )
 
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif search over the edge relation."""
+        return find_motifs(self._e(), pattern)
+
     def k_core(self, k: int) -> DataFrame:
         """(node, degree) of the maximal subgraph with min degree >= k."""
         return k_core(self._e(), k)
@@ -850,3 +854,68 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         if cur.isEmpty():
             return cur.sparkSession.createDataFrame([], "node string, degree long")
     raise RuntimeError(f"k_core did not converge within {max_iter} rounds")
+
+
+def find_motifs(edges: DataFrame, pattern: str, src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Structural motif search à la GraphFrames ``find()`` (public API
+    shape): a pattern is ';'-separated edge terms ``(a)-[]->(b)``, where
+    repeated node names mean THE SAME node — ``(a)-[]->(b); (b)-[]->(c)``
+    matches directed 2-paths, adding ``(a)-[]->(c)`` closes it into a
+    transitive triangle. Anonymous endpoints ``()`` match any node
+    without binding. A term prefixed with ``!`` is a negation:
+    ``!(a)-[]->(c)`` keeps only matches where that edge is ABSENT.
+
+    Compilation: one aliased scan of the (deduped) edge relation per
+    positive term, equi-joined on shared node variables — Catalyst
+    orders the join chain; negations become left-anti joins at the end.
+    Distinct node variables are NOT required to differ (GraphFrames
+    semantics); filter afterwards if needed.
+
+    Returns one row per match with a column per named node variable.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    terms = [t.strip() for t in pattern.split(";") if t.strip()]
+    import re as _re
+
+    parsed = []
+    for t in terms:
+        m = _re.fullmatch(
+            r"(!?)\s*\(\s*(\w*)\s*\)\s*-\s*\[\s*\w*\s*\]\s*->\s*\(\s*(\w*)\s*\)", t)
+        if not m:
+            raise ValueError(f"unparseable motif term: {t!r}")
+        parsed.append((m.group(1) == "!", m.group(2), m.group(3)))
+    positives = [(a, b) for neg, a, b in parsed if not neg]
+    negatives = [(a, b) for neg, a, b in parsed if neg]
+    if not positives:
+        raise ValueError("motif needs at least one positive edge term")
+    for a, b in negatives:
+        if not a or not b:
+            raise ValueError("negated terms must use named endpoints")
+
+    out = None
+    bound: set[str] = set()
+    for i, (a, b) in enumerate(positives):
+        sa = a or f"__anon{i}a"
+        sb = b or f"__anon{i}b"
+        step = e.select(F.col("src").alias(sa), F.col("dst").alias(sb))
+        if out is None:
+            out = step
+        else:
+            on = [v for v in (sa, sb) if v in bound]
+            if on:
+                out = out.join(step, on)
+            else:
+                out = out.crossJoin(step)  # disconnected pattern component
+        bound.update((sa, sb))
+    for a, b in negatives:
+        if a not in bound or b not in bound:
+            raise ValueError(f"negated term references unbound variable: ({a})->({b})")
+        out = out.join(
+            e.select(F.col("src").alias(a), F.col("dst").alias(b)),
+            [a, b], "left_anti")
+    named = [v for v in bound if not v.startswith("__anon")]
+    return out.select(*sorted(named)).distinct()

@@ -329,3 +329,33 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "community")
         .limit(25)
     )
+
+
+@query(
+    "motif_open_triads",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGE_WITH_ORDERS_DUCK}) t),
+    triads AS (
+        SELECT DISTINCT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e e3 WHERE e3.src = e1.src AND e3.dst = e2.dst)
+    )
+    SELECT substr(b, 1, 1) AS mid_kind, CAST(COUNT(*) AS BIGINT) AS n_triads
+    FROM triads GROUP BY 1 ORDER BY mid_kind
+    """,
+)
+def motif_open_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif search through the pattern compiler
+    (graph.find_motifs): open directed 2-paths —
+    ``(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)`` — rolled up by the kind
+    of the middle node. The pattern compiles to two aliased edge scans
+    equi-joined on the shared variable plus one anti join for the
+    negation; the oracle spells the same joins out as SQL."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    triads = graph.find_motifs(e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+    return (
+        triads.groupBy(F.substring("b", 1, 1).alias("mid_kind"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triads"))
+        .orderBy("mid_kind")
+    )

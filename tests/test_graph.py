@@ -395,3 +395,47 @@ class TestKCore:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             k_core(spark.createDataFrame([("a", "b")], "src string, dst string"), 0)
+
+
+class TestMotifFind:
+    def _e(self, spark):
+        pairs = [("a", "b"), ("b", "c"), ("a", "c"),   # transitive triangle
+                 ("c", "d"),                            # tail
+                 ("x", "y")]                            # disconnected edge
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_two_paths_and_triangle(self, spark):
+        from corkscrew_spark.operators.graph import find_motifs
+        e = self._e(spark)
+        paths = {(r.a, r.b, r.c) for r in
+                 find_motifs(e, "(a)-[]->(b); (b)-[]->(c)").collect()}
+        assert ("a", "b", "c") in paths and ("b", "c", "d") in paths
+        tri = {(r.a, r.b, r.c) for r in find_motifs(
+            e, "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)").collect()}
+        assert tri == {("a", "b", "c")}
+
+    def test_negation(self, spark):
+        from corkscrew_spark.operators.graph import find_motifs
+        e = self._e(spark)
+        open_paths = {(r.a, r.b, r.c) for r in find_motifs(
+            e, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)").collect()}
+        assert ("a", "b", "c") not in open_paths     # closed by a->c
+        assert ("b", "c", "d") in open_paths
+
+    def test_anonymous_and_fanout(self, spark):
+        from corkscrew_spark.operators.graph import find_motifs
+        e = self._e(spark)
+        # nodes with at least one out-neighbor that itself has an
+        # out-neighbor: anonymous middle still joins, unbound tail ignored
+        hubs = {r.a for r in find_motifs(e, "(a)-[]->(m); (m)-[]->()").collect()}
+        assert hubs == {"a", "b"}
+
+    def test_facade_and_errors(self, spark):
+        from corkscrew_spark.operators.graph import Graph, find_motifs
+        import pytest as _pytest
+        g = Graph(self._e(spark))
+        assert g.find("(a)-[]->(b)").count() == 5
+        with _pytest.raises(ValueError):
+            find_motifs(self._e(spark), "nonsense")
+        with _pytest.raises(ValueError):
+            find_motifs(self._e(spark), "!(a)-[]->(b)")
