@@ -693,3 +693,34 @@ def skew_profile_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = register_tables(spark, sf_dir)["orders"]
     return profile.profile_skew(o, "o_custkey", top_k=10)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n,
+           CAST(n < 5 AS BIGINT) AS below_k,
+           CAST(n < 20 AS BIGINT) AS below_20
+    FROM cells
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: equivalence classes of
+    (nation, market segment) sized and flagged against k=5 (hard
+    re-identification risk) and k=20 (review threshold) — the release
+    gate a governed dataset runs before export. One aggregation on the
+    quasi-identifier key (map-side combine); output is |cells| rows,
+    small by construction."""
+    c = register_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("below_k", (F.col("n") < 5).cast("long"))
+        .withColumn("below_20", (F.col("n") < 20).cast("long"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -633,3 +633,47 @@ def sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_id")
     )
+
+
+@query(
+    "state_dwell_times",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS state, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM((epoch_us(next_ts) - epoch_us(ts)) // 1000000) AS BIGINT)
+               AS total_seconds,
+           CAST(MAX((epoch_us(next_ts) - epoch_us(ts)) // 1000000) AS BIGINT)
+               AS max_seconds
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY state ORDER BY state
+    """,
+)
+def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-duration analysis: how long each entity dwells in a state
+    before its next event (lead over the per-user timeline), rolled up
+    per state — the state-machine residency metric behind MTTR-style
+    ops reporting. One per-entity window over the event stream, whole-
+    second integer arithmetic end to end."""
+    e = _t(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", F.col("event_type").alias("state"), "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    secs = F.expr("(unix_micros(cast(next_ts as timestamp)) - "
+                  "unix_micros(cast(ts as timestamp))) div 1000000")
+    return (
+        seq.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(secs).cast("long").alias("total_seconds"),
+            F.max(secs).cast("long").alias("max_seconds"),
+        )
+        .orderBy("state")
+    )
