@@ -77,6 +77,8 @@ def main() -> None:
             "sec": round(scan_sec, 3),
             "rps": round(summary["total_resources"] / scan_sec, 1),
         }
+    except Exception as ex:  # noqa: BLE001 — the metric must never sink the bench
+        scan = {"error": str(ex)[:120]}
     finally:
         shutil.rmtree(scan_dir, ignore_errors=True)
 
