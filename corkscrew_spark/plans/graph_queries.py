@@ -158,14 +158,50 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")
+
+def _pagerank_oracle(iters: int = 8, d: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: recursive CTEs cannot aggregate
+    in the recursive term, but a FIXED iteration count unrolls into
+    chained CTEs — one contribution agg + one dangling sum per round,
+    mirroring operators/graph.pagerank term-for-term (same IEEE ops in
+    the same order; summation order inside SUM() is engine-arbitrary on
+    BOTH sides, which ROUND(…, 8) absorbs)."""
+    parts = [f"""
+    WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGE_WITH_ORDERS_DUCK}) t),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(iters):
+        parts.append(f""",
+    c{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+             FROM r{k} r JOIN e ON e.src = r.node
+             JOIN deg ON deg.node = r.node
+             GROUP BY 1),
+    d{k} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0) AS dang FROM r{k}
+             WHERE node NOT IN (SELECT node FROM deg)),
+    r{k + 1} AS MATERIALIZED (SELECT nodes.node,
+                 (1 - {d}) / (SELECT n FROM nn)
+                 + {d} * (COALESCE(c.contrib, 0)
+                          + (SELECT dang FROM d{k}) / (SELECT n FROM nn))
+                     AS rank
+                 FROM nodes LEFT JOIN c{k} c ON c.node = nodes.node)""")
+    parts.append(f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{iters}
+    ORDER BY ROUND(rank, 8) DESC, node LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nodes by PageRank over the containment graph (orders
     included): nations and regions accumulate rank from the entities
-    that point at them. Rows-only — power iteration isn't recursive-CTE
-    expressible in the oracle (aggregation in the recursive term);
-    invariants (mass conservation, symmetry, hub dominance) are asserted
-    in tests/test_graph.py."""
+    that point at them. The oracle UNROLLS the fixed 8-round power
+    iteration into chained CTEs (recursive CTEs cannot aggregate in the
+    recursive term, a fixed count needs no recursion), mirroring the
+    Spark math term-for-term; invariants (mass conservation, symmetry,
+    hub dominance) are additionally asserted in tests/test_graph.py."""
     e = containment_edges(spark, sf_dir, with_orders=True)
     return (
         graph.pagerank(e, iters=8)
