@@ -332,13 +332,64 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_hits")
+
+def _hits_oracle(iters: int = 6) -> str:
+    """Unrolled HITS oracle mirroring operators/graph.hits term-for-term:
+    per round authority = SUM(hub)/|E| per target then hub =
+    SUM(authority) per source (sparse frames — only nodes reached by the
+    joins carry scores), constant 1/|E| rescale instead of per-round
+    norms, one L2 normalization at the very end. ROUND(…, 6) absorbs
+    engine-arbitrary summation order."""
+    parts = ["""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({edges}) t WHERE src != dst),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ne AS MATERIALIZED (SELECT COUNT(*) AS m FROM e),
+    h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""]
+    for k in range(iters):
+        parts.append(f""",
+    a{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(h.hub) / (SELECT m FROM ne) AS authority
+        FROM h{k} h JOIN e ON e.src = h.node GROUP BY 1),
+    h{k + 1} AS MATERIALIZED (
+        SELECT e.src AS node, SUM(a.authority) AS hub
+        FROM a{k} a JOIN e ON e.dst = a.node GROUP BY 1)""")
+    last = iters - 1
+    parts.append(f""",
+    scores AS MATERIALIZED (
+        SELECT nodes.node,
+               COALESCE(h.hub, 0) AS hub,
+               COALESCE(a.authority, 0) AS authority
+        FROM nodes LEFT JOIN h{iters} h ON h.node = nodes.node
+        LEFT JOIN a{last} a ON a.node = nodes.node),
+    norms AS MATERIALIZED (
+        SELECT sqrt(SUM(hub * hub)) AS hn,
+               sqrt(SUM(authority * authority)) AS an
+        FROM scores)
+    SELECT node,
+           ROUND(CASE WHEN (SELECT hn FROM norms) > 0
+                      THEN hub / (SELECT hn FROM norms) ELSE 0 END, 6) AS hub,
+           ROUND(CASE WHEN (SELECT an FROM norms) > 0
+                      THEN authority / (SELECT an FROM norms) ELSE 0 END, 6)
+               AS authority
+    FROM scores
+    ORDER BY ROUND(CASE WHEN (SELECT an FROM norms) > 0
+                        THEN authority / (SELECT an FROM norms)
+                        ELSE 0 END, 6) DESC, node
+    LIMIT 20
+    """)
+    return "".join(parts).replace("{edges}", _EDGE_WITH_ORDERS_DUCK)
+
+
+@query("graph_hits", oracle=_hits_oracle())
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 authorities in the containment graph under HITS
     (operators/graph.hits): containers that many high-hub entities point
-    at. Rows-only — mutually recursive normalized sums aren't
-    recursive-CTE expressible; numpy power-iteration equality is
-    asserted in tests/test_graph.py."""
+    at. The oracle unrolls the fixed 6 mutually-recursive rounds into
+    MATERIALIZED chained CTEs mirroring the Spark math term-for-term
+    (sparse frames, constant 1/|E| rescale, end-only L2 normalization);
+    numpy power-iteration equality is additionally asserted in
+    tests/test_graph.py."""
     e = containment_edges(spark, sf_dir, with_orders=True)
     return (
         graph.hits(e, iters=6)
@@ -349,14 +400,53 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_communities")
+
+def _lpa_oracle(iters: int = 4) -> str:
+    """Unrolled label-propagation oracle mirroring
+    operators/graph.label_propagation exactly: per round each node
+    adopts the most frequent label among neighbors + self, ties to the
+    smallest label (ROW_NUMBER over cnt DESC, community ASC). All
+    integer counts and string labels — hash-exact, no float anywhere."""
+    parts = ["""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({edges}) t WHERE src != dst),
+    und AS MATERIALIZED (
+        SELECT src, dst FROM base
+        UNION SELECT dst, src FROM base),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS community FROM und)"""]
+    for k in range(iters):
+        parts.append(f""",
+    v{k} AS MATERIALIZED (
+        SELECT u.dst AS node, l.community
+        FROM und u JOIN l{k} l ON l.node = u.src
+        UNION ALL SELECT node, community FROM l{k}),
+    c{k} AS MATERIALIZED (
+        SELECT node, community, COUNT(*) AS cnt FROM v{k} GROUP BY 1, 2),
+    l{k + 1} AS MATERIALIZED (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, community) AS rn
+            FROM c{k}) WHERE rn = 1)""")
+    parts.append(f"""
+    SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{iters} GROUP BY 1
+    ORDER BY n_nodes DESC, community LIMIT 25
+    """)
+    return "".join(parts).replace("{edges}", _EDGE_WITH_ORDERS_DUCK)
+
+
+@query("graph_communities", oracle=_lpa_oracle())
 def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community sizes under deterministic label propagation over the
     customer–nation–region containment graph (orders included). LPA
     splits the connected graph at sparse cuts — the community view the
-    reference's relationship graph lacks. Rows-only: the vote-argmax
-    recurrence isn't recursive-CTE expressible; determinism + planted-
-    community recovery are pinned in tests/test_graph.py."""
+    reference's relationship graph lacks. The oracle unrolls the fixed
+    4 vote-argmax rounds into MATERIALIZED chained CTEs — integer
+    counts and string labels throughout, so the hash check is exact;
+    determinism + planted-community recovery are additionally pinned in
+    tests/test_graph.py."""
     e = containment_edges(spark, sf_dir, with_orders=True)
     return (
         graph.label_propagation(e, iters=4)
