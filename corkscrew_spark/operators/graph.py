@@ -164,15 +164,23 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
-             damping: float = 0.85, iters: int = 10) -> DataFrame:
+             damping: float = 0.85, iters: int = 10,
+             reset_nodes: list[str] | None = None) -> DataFrame:
     """PageRank by power iteration as DataFrame joins — beyond-reference
     graph analytics (the reference walks paths; ranking needs no new
     engine machinery here, just the same join-per-iteration shape as BFS).
 
     Per iteration: contribution = rank/out_degree shipped along edges
     (one shuffle on dst), dangling mass (sinks with no out-edges)
-    redistributed uniformly so total rank stays 1, then
-    rank = (1-d)/N + d·(contrib + dangling/N).
+    redistributed so total rank stays 1, then
+    rank = (1-d)·reset + d·(contrib + dangling·reset).
+
+    ``reset_nodes=None`` is classic PageRank (uniform reset 1/N).
+    A seed list gives PERSONALIZED PageRank: teleport (and dangling)
+    mass returns only to the seeds, so rank measures proximity to the
+    seed set — "which resources sit closest to the changed set", the
+    ranking companion to the blast-radius expansion. Seeds ride along
+    as a 0/1 column; nothing about the plan shape changes.
 
     One Spark job per iteration: the static out-degree is carried in the
     ranks frame (joined once up front, not per iteration), and the
@@ -200,7 +208,35 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         .localCheckpoint(eager=True)
     )
     n_total = ranks.count()
-    ranks = ranks.withColumn("rank", F.lit(1.0 / n_total))
+    if reset_nodes is None:
+        # classic path: keep the exact original expression shape —
+        # (1-d)/N precomputed, dangling/N in-engine — so the unrolled
+        # DuckDB oracle stays bit-compatible (x·(1/N) ≠ x/N in IEEE)
+        ranks = ranks.withColumn("rank", F.lit(1.0 / n_total))
+        new_rank = (
+            F.lit((1.0 - damping) / n_total)
+            + F.lit(damping)
+            * (F.coalesce("contrib", F.lit(0.0))
+               + F.col("dangling") / n_total)
+        )
+        carry = ["node", "deg"]
+    else:
+        if not reset_nodes:
+            raise ValueError("reset_nodes must be None or non-empty")
+        seed_arr = F.array(*[F.lit(s) for s in reset_nodes])
+        reset = F.when(F.array_contains(seed_arr, F.col("node")),
+                       F.lit(1.0 / len(reset_nodes))).otherwise(0.0)
+        ranks = (
+            ranks.withColumn("reset", reset)
+            .withColumn("rank", F.col("reset"))
+        )
+        new_rank = (
+            F.lit(1.0 - damping) * F.col("reset")
+            + F.lit(damping)
+            * (F.coalesce("contrib", F.lit(0.0))
+               + F.col("dangling") * F.col("reset"))
+        )
+        carry = ["node", "deg", "reset"]
     for it in range(iters):
         # Sinks (deg null) have no out-edges, so the inner join drops them
         # from the contribution shuffle naturally.
@@ -217,13 +253,7 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
             ranks.drop("rank")
             .join(contrib, ranks["node"] == contrib["dst"], "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node", "deg",
-                (F.lit((1.0 - damping) / n_total)
-                 + F.lit(damping)
-                 * (F.coalesce("contrib", F.lit(0.0))
-                    + F.col("dangling") / n_total)).alias("rank"),
-            )
+            .select(*carry, new_rank.alias("rank"))
         )
         # Checkpoint every 2nd iteration (and the last): halves the job
         # count while keeping the lineage bounded at two iterations.
@@ -540,8 +570,12 @@ class Graph:
     def topo_levels(self, max_depth: int = 100) -> DataFrame:
         return topo_levels(self._e(), max_depth=max_depth)
 
-    def pagerank(self, damping: float = 0.85, iters: int = 10) -> DataFrame:
-        return pagerank(self._e(), damping=damping, iters=iters)
+    def pagerank(self, damping: float = 0.85, iters: int = 10,
+                 reset_nodes: list[str] | None = None) -> DataFrame:
+        """Classic (uniform reset) or, with ``reset_nodes``, personalized
+        PageRank — rank as proximity to the seed set."""
+        return pagerank(self._e(), damping=damping, iters=iters,
+                        reset_nodes=reset_nodes)
 
     def hits(self, iters: int = 8) -> DataFrame:
         return hits(self._e(), iters=iters)
