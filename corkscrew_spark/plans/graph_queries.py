@@ -485,3 +485,76 @@ def motif_open_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_triads"))
         .orderBy("mid_kind")
     )
+
+
+def _ppr_oracle(iters: int = 6, d: float = 0.85) -> str:
+    """Unrolled PERSONALIZED-PageRank oracle: seeds come from the same
+    top-3-by-error-volume CTE the Spark side uses, the per-node reset
+    column is CASE node-in-seeds, and the fixed rounds unroll exactly
+    like _pagerank_oracle with reset replacing the uniform 1/N."""
+    parts = ["""
+    WITH ev AS MATERIALIZED (
+        SELECT 'N' || CAST(user_id % 25 AS VARCHAR) AS nation_id,
+               COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1),
+    seeds AS MATERIALIZED (
+        SELECT nation_id FROM ev ORDER BY n_errors DESC, nation_id LIMIT 3),
+    e AS MATERIALIZED (
+        SELECT DISTINCT dst AS src, src AS dst FROM ({edges}) t),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    rs AS MATERIALIZED (
+        SELECT node,
+               CASE WHEN node IN (SELECT nation_id FROM seeds)
+                    THEN 1.0 / 3 ELSE 0.0 END AS reset
+        FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, reset AS rank FROM rs)"""]
+    for k in range(iters):
+        parts.append(f""",
+    c{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.rank / deg.deg) AS contrib
+        FROM r{k} r JOIN e ON e.src = r.node
+        JOIN deg ON deg.node = r.node GROUP BY 1),
+    d{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(rank), 0) AS dang FROM r{k}
+        WHERE node NOT IN (SELECT node FROM deg)),
+    r{k + 1} AS MATERIALIZED (
+        SELECT rs.node,
+               (1 - {d}) * rs.reset
+               + {d} * (COALESCE(c.contrib, 0)
+                        + (SELECT dang FROM d{k}) * rs.reset) AS rank
+        FROM rs LEFT JOIN c{k} c ON c.node = rs.node)""")
+    parts.append(f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{iters}
+    ORDER BY ROUND(rank, 8) DESC, node LIMIT 20
+    """)
+    return "".join(parts).replace("{edges}", _EDGE_WITH_ORDERS_DUCK)
+
+
+@query("blast_radius_rank", oracle=_ppr_oracle())
+def blast_radius_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius RANKING: personalized PageRank seeded at the top-3
+    error-hotspot nations, walked over the REVERSED containment graph so
+    rank flows downstream to the customers and orders nearest the
+    changed set — the continuous-score companion to blast_radius's hop
+    counts. Seeds are a 3-row bounded collect (the sanctioned seed-
+    frontier shape); the oracle recomputes the seeds and unrolls the 6
+    fixed rounds into MATERIALIZED CTEs."""
+    t = register_tables(spark, sf_dir)
+    seeds_df = (
+        t["events"].filter(F.col("event_type") == "error")
+        .select(F.concat(F.lit("N"), (F.col("user_id") % 25).cast("string"))
+                .alias("nation_id"))
+        .groupBy("nation_id").agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy(F.desc("n_errors"), "nation_id")
+        .limit(3)
+    )
+    seeds = [r.nation_id for r in seeds_df.collect()]
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    reversed_e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        graph.pagerank(reversed_e, iters=6, reset_nodes=seeds)
+        .select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
