@@ -172,7 +172,8 @@ def correlate_streams(changes: DataFrame, alerts: DataFrame,
 
 def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
                       keys: list[str], order_col: str = "scanned_at",
-                      once: bool = True):
+                      once: bool = True, op_col: str | None = None,
+                      delete_value: str = "DELETE"):
     """CDC-style sink: merge each micro-batch into the keyed warehouse
     table via foreachBatch + warehouse.merge_upsert — the streaming
     complement of the batch upsert path (reference auto-save upserts the
@@ -180,14 +181,25 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
     a change stream). Newest ``order_col`` per key wins, so replays and
     at-least-once delivery stay idempotent. On Delta the same call site
     becomes MERGE; the parquet path keeps it dependency-free.
+
+    ``op_col`` opts into DELETE propagation: rows whose op equals
+    ``delete_value`` are tombstones that remove their key when they are
+    the newest version (warehouse.merge_upsert_cdc) — the full
+    CREATE/UPDATE/DELETE change-event vocabulary lands correctly.
     """
     from corkscrew_spark import warehouse
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        warehouse.merge_upsert(batch_df.sparkSession, path, batch_df,
-                               keys, order_col=order_col)
+        if op_col is not None:
+            warehouse.merge_upsert_cdc(batch_df.sparkSession, path, batch_df,
+                                       keys, order_col=order_col,
+                                       op_col=op_col,
+                                       delete_value=delete_value)
+        else:
+            warehouse.merge_upsert(batch_df.sparkSession, path, batch_df,
+                                   keys, order_col=order_col)
 
     writer = (
         df.writeStream.foreachBatch(_merge)

@@ -603,3 +603,41 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         row.select(F.explode(F.array(*structs)).alias("r"))
         .select("r.*")
     )
+
+
+def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
+                     keys: list[str], order_col: str = "scanned_at",
+                     op_col: str = "op", delete_value: str = "DELETE") -> int:
+    """CDC merge with delete propagation: rows whose ``op_col`` equals
+    ``delete_value`` act as TOMBSTONES — if the tombstone is the newest
+    version of its key, the key disappears from the table; otherwise the
+    newest non-delete row wins as in ``merge_upsert``. Delta's
+    ``MERGE … WHEN MATCHED AND op = 'DELETE' THEN DELETE`` on the plain-
+    parquet snapshot store.
+
+    Same single shuffle on the key columns (keep-newest window), one
+    extra map-side filter for the tombstones. Replay-safe: re-applying
+    the same batch reaches the same table (newest-wins + the update
+    side beating existing on order ties). Returns the resulting row
+    count.
+    """
+    updates = updates.withColumn("_src", F.lit(1))
+    if os.path.exists(path):
+        existing = (
+            spark.read.parquet(path)
+            .withColumn("_src", F.lit(0))
+            .withColumn(op_col, F.lit(None).cast("string"))
+        )
+        merged = existing.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.coalesce(F.col(op_col), F.lit("")) != delete_value)
+        .drop("_rn", "_src", op_col)
+    )
+    result = result.localCheckpoint(eager=True)
+    _swap_write(result, path)
+    return result.count()

@@ -279,3 +279,40 @@ def test_stream_static_inventory_enrichment(spark, tmp_path):
     rows = {r.resource_id: r for r in spark.sql("select * from enr_t").collect()}
     assert rows["r-1"].inv_service == "s3" and rows["r-1"].inv_tags["env"] == "prod"
     assert rows["r-9"].inv_service is None  # unmatched stays, NULL-enriched
+
+
+def test_streaming_cdc_sink_propagates_deletes(spark, tmp_path):
+    import json
+    from corkscrew_spark.streaming import change_stream
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    src = tmp_path / "cdc_feed"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"id": "r1", "scanned_at": 1, "state": "up",
+                             "op": "CREATE"}) + "\n")
+        fh.write(json.dumps({"id": "r2", "scanned_at": 1, "state": "up",
+                             "op": "CREATE"}) + "\n")
+    schema = StructType([
+        StructField("id", StringType()), StructField("scanned_at", LongType()),
+        StructField("state", StringType()), StructField("op", StringType()),
+    ])
+    table = str(tmp_path / "live")
+    q = change_stream.start_upsert_sink(
+        spark.readStream.schema(schema).json(str(src)), table,
+        str(tmp_path / "ck"), keys=["id"], op_col="op")
+    q.awaitTermination(120)
+    assert spark.read.parquet(table).count() == 2
+
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"id": "r1", "scanned_at": 2, "state": None,
+                             "op": "DELETE"}) + "\n")
+        fh.write(json.dumps({"id": "r2", "scanned_at": 2, "state": "down",
+                             "op": "UPDATE"}) + "\n")
+    q = change_stream.start_upsert_sink(
+        spark.readStream.schema(schema).json(str(src)), table,
+        str(tmp_path / "ck"), keys=["id"], op_col="op")
+    q.awaitTermination(120)
+    rows = {r.id: r.state for r in spark.read.parquet(table).collect()}
+    assert rows == {"r2": "down"}  # r1 deleted, r2 updated

@@ -413,3 +413,53 @@ class TestExpectations:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             warehouse.validate_expectations(spark.range(1), [])
+
+
+class TestCdcMerge:
+    def _tbl(self, spark, tmp_path, name):
+        return str(tmp_path / name)
+
+    def test_delete_tombstones_and_replay(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        path = self._tbl(spark, tmp_path, "cdc")
+        base = spark.createDataFrame(
+            [("a", 1, 10), ("b", 1, 20), ("c", 1, 30)],
+            "id string, scanned_at long, v long")
+        warehouse.merge_upsert(spark, path, base, keys=["id"])
+        batch = spark.createDataFrame(
+            [("b", 2, 21, "UPDATE"),       # newer value wins
+             ("c", 2, None, "DELETE"),     # tombstone removes the key
+             ("d", 2, 40, "CREATE")],      # new key inserted
+            "id string, scanned_at long, v long, op string")
+        n = warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"])
+        assert n == 3
+        got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        assert got == {"a": 10, "b": 21, "d": 40}
+        # replaying the same batch is a no-op (at-least-once safety)
+        warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"])
+        assert {r.id: r.v for r in spark.read.parquet(path).collect()} == got
+
+    def test_stale_tombstone_loses_to_newer_upsert(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        path = self._tbl(spark, tmp_path, "cdc2")
+        batch = spark.createDataFrame(
+            [("k", 1, 5, "CREATE"), ("k", 2, None, "DELETE"),
+             ("k", 3, 7, "UPDATE")],
+            "id string, scanned_at long, v long, op string")
+        warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"])
+        rows = spark.read.parquet(path).collect()
+        assert len(rows) == 1 and rows[0].v == 7  # newest wins over tombstone
+
+    def test_delete_to_empty_table(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        path = self._tbl(spark, tmp_path, "cdc3")
+        warehouse.merge_upsert(
+            spark, path,
+            spark.createDataFrame([("x", 1, 1)],
+                                  "id string, scanned_at long, v long"),
+            keys=["id"])
+        batch = spark.createDataFrame(
+            [("x", 2, None, "DELETE")],
+            "id string, scanned_at long, v long, op string")
+        assert warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"]) == 0
+        assert spark.read.parquet(path).count() == 0
