@@ -641,3 +641,26 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
     result = result.localCheckpoint(eager=True)
     _swap_write(result, path)
     return result.count()
+
+
+def retention_drop_partitions(path: str, partition_col: str,
+                              cutoff: str) -> list[str]:
+    """K7 retention on a hive-partitioned table as a PARTITION DROP:
+    remove every ``partition_col=value`` directory whose value sorts
+    strictly below ``cutoff`` — a metadata-only operation (no data read,
+    no rewrite), which is why date-partitioned layouts are the retention
+    story at 100 TB (the generic ``retention_delete`` rewrites all
+    survivors). String comparison matches hive's lexicographic partition
+    values; use zero-padded / ISO-formatted partition values (dates
+    already are). Returns the dropped partition values.
+    """
+    prefix = f"{partition_col}="
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return dropped

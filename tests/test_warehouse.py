@@ -463,3 +463,21 @@ class TestCdcMerge:
             "id string, scanned_at long, v long, op string")
         assert warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"]) == 0
         assert spark.read.parquet(path).count() == 0
+
+
+class TestPartitionDropRetention:
+    def test_drops_only_expired_partitions(self, spark, tmp_path):
+        from corkscrew_spark import warehouse
+        path = str(tmp_path / "byday")
+        df = spark.createDataFrame(
+            [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(5)],
+            "id long, day string")
+        warehouse.write_partitioned(df, path, ["day"])
+        dropped = warehouse.retention_drop_partitions(path, "day", "2024-01-03")
+        assert dropped == ["2024-01-01", "2024-01-02"]
+        back = spark.read.parquet(path)
+        assert back.count() == 10
+        assert {str(r.day) for r in back.select("day").distinct().collect()} == {
+            "2024-01-03", "2024-01-04"}
+        # idempotent
+        assert warehouse.retention_drop_partitions(path, "day", "2024-01-03") == []
