@@ -1531,3 +1531,34 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "top_selling_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_name,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+    ORDER BY total_qty DESC, p_partkey LIMIT 20
+    """,
+)
+def top_selling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by shipped quantity: the classic fact⋈dimension
+    rollup. The dimension broadcasts at this scale via AQE; the fact
+    shuffles once on the part key; quantities are integral doubles so
+    the BIGINT-cast sum hashes exactly. Tie-break on partkey keeps the
+    LIMIT deterministic."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"].join(t["part"],
+                           t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("total_qty"), "p_partkey")
+        .limit(20)
+    )

@@ -558,3 +558,33 @@ def blast_radius_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH base AS (SELECT DISTINCT src, dst FROM ({{edges}}) t),
+    und AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1 ORDER BY degree
+    """.replace("{edges}", _EDGE_WITH_ORDERS_DUCK),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree histogram of the containment graph — the first
+    diagnostic of any graph workload (power-law tail ⇒ salt the hub
+    keys; bounded degrees ⇒ plain shuffles are safe). Two aggregations
+    on natural keys; output is |distinct degrees| rows."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    base = e.select("src", "dst").distinct()
+    und = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("degree")
+    )
