@@ -1562,3 +1562,67 @@ def top_selling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "p_partkey")
         .limit(20)
     )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+        FROM lineitem
+    ),
+    pair_counts AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    item_counts AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS item_cnt
+        FROM items GROUP BY 1
+    )
+    SELECT p.item_a, p.item_b, p.pair_cnt,
+           ia.item_cnt AS cnt_a, ib.item_cnt AS cnt_b
+    FROM pair_counts p
+    JOIN item_counts ia ON ia.item = p.item_a
+    JOIN item_counts ib ON ib.item = p.item_b
+    WHERE p.pair_cnt >= 5
+    ORDER BY p.pair_cnt DESC, p.item_a, p.item_b LIMIT 25
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part-family pairs appearing
+    together in an order (support ≥ 5), with each side's solo count so
+    confidence/lift are exact integer ratios downstream. Items are
+    bucketed to 50 part families so the pair space is bounded; the
+    pair join is WITHIN the order key (equi-join on l_orderkey, a < b)
+    — fan-out is Σ items-per-order², bounded by basket size, never
+    |items|². Counts stay integers end to end."""
+    t = _t(spark, sf_dir)
+    items = (
+        t["lineitem"]
+        .select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("item").alias("item_b"))
+    pair_counts = (
+        a.join(b, "ok")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 5)
+    )
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_cnt"))
+    return (
+        pair_counts
+        .join(item_counts.select(F.col("item").alias("item_a"),
+                                 F.col("item_cnt").alias("cnt_a")), "item_a")
+        .join(item_counts.select(F.col("item").alias("item_b"),
+                                 F.col("item_cnt").alias("cnt_b")), "item_b")
+        .select("item_a", "item_b", "pair_cnt", "cnt_a", "cnt_b")
+        .orderBy(F.desc("pair_cnt"), "item_a", "item_b")
+        .limit(25)
+    )
