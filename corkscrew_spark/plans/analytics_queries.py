@@ -1626,3 +1626,57 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_cnt"), "item_a", "item_b")
         .limit(25)
     )
+
+
+@query(
+    "mad_outlier_bounds",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON m.event_type = e.event_type
+        GROUP BY 1
+    )
+    SELECT e.event_type AS event_type,
+           ROUND(med.med, 4) AS median_value,
+           ROUND(mad.mad, 4) AS mad,
+           CAST(COUNT(*) FILTER (
+               WHERE abs(e.value - med.med) > 3 * mad.mad) AS BIGINT)
+               AS n_outliers
+    FROM events e
+    JOIN med ON med.event_type = e.event_type
+    JOIN mad ON mad.event_type = e.event_type
+    GROUP BY 1, 2, 3 ORDER BY e.event_type
+    """,
+)
+def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION: per event
+    type, the median, the MAD (median of |x − median|), and the count
+    beyond the 3·MAD fence — the robust-statistics twin of the Tukey
+    IQR fence (MAD survives 50% contamination; IQR only 25%). Two exact
+    percentile passes with the medians broadcast back, fence counting
+    map-side; same quantile_cont interpolation parity as
+    percentile_exact."""
+    ev = _t(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .alias("mad"))
+    joined = with_med.join(F.broadcast(mad), "event_type")
+    return (
+        joined.groupBy("event_type",
+                       F.round("med", 4).alias("median_value"),
+                       F.round("mad", 4).alias("mad"))
+        .agg(
+            F.sum(F.when(F.abs(F.col("value") - F.col("med"))
+                         > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
