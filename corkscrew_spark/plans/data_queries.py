@@ -1799,3 +1799,49 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3,
                                     num_hashes=32, bands=8, threshold=0.8)
     return dedup.dup_clusters(pairs).orderBy("doc_id")
+
+
+@query(
+    "vocab_growth",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    per_tok AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(tf) AS BIGINT)   AS total_tokens,
+           CAST(COUNT(*) AS BIGINT)  AS vocab_size,
+           CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count
+    FROM per_tok GROUP BY source ORDER BY source
+    """,
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics vitals per source: token volume, vocabulary
+    size, and hapax legomena (once-only tokens) — the Heaps'-law /
+    type-token inputs that reveal templated or synthetic slices (tiny
+    vocabularies, near-zero hapax mass). One explode + one (source,
+    token)-keyed agg + one rollup, all map-side-combined integers."""
+    d = register_tables(spark, sf_dir)["documents"]
+    per_tok = (
+        d.select("source",
+                 F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                 .alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+            .cast("long").alias("hapax_count"),
+        )
+        .orderBy("source")
+    )

@@ -677,3 +677,75 @@ def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "cusum_drift_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT) AS ref_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_ref
+        FROM daily WHERE day < DATE '2024-01-08' GROUP BY 1
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.cnt,
+               d.cnt * r.n_ref - r.ref_sum AS dev_scaled,
+               r.ref_sum, r.n_ref
+        FROM daily d JOIN ref r ON r.event_type = d.event_type
+        WHERE d.day >= DATE '2024-01-08'
+    ),
+    cs AS (
+        SELECT event_type, day, cnt, ref_sum, n_ref,
+               SUM(dev_scaled) OVER (PARTITION BY event_type
+                                     ORDER BY day) AS cusum_scaled
+        FROM dev
+    )
+    SELECT event_type, day, cnt,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           CAST(ABS(cusum_scaled) * 10 > ref_sum * 3 AS BIGINT) AS drifted
+    FROM cs ORDER BY event_type, day
+    """,
+)
+def cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volumes: deviations
+    from the first-week reference accumulate per type; sustained drift
+    pushes the cumulative sum past a fence a single spiky day cannot
+    reach (the classic complement to the week-over-week flags of
+    seasonal_anomaly_days). Deviations are integer-scaled by the
+    reference day count — no float enters the verdict; the running sum
+    is a type-partitioned window over |type|×|day| pre-aggregated
+    rows."""
+    e = _t(spark, sf_dir)["events"]
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ref = (
+        daily.filter(F.col("day") < F.lit("2024-01-08").cast("date"))
+        .groupBy("event_type")
+        .agg(F.sum("cnt").cast("long").alias("ref_sum"),
+             F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    dev = (
+        daily.filter(F.col("day") >= F.lit("2024-01-08").cast("date"))
+        .join(F.broadcast(ref), "event_type")
+        .withColumn("dev_scaled",
+                    F.col("cnt") * F.col("n_ref") - F.col("ref_sum"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        dev.withColumn("cusum_scaled",
+                       F.sum("dev_scaled").over(w).cast("long"))
+        .select(
+            "event_type", "day", "cnt", "cusum_scaled",
+            (F.abs(F.col("cusum_scaled")) * 10 > F.col("ref_sum") * 3)
+            .cast("long").alias("drifted"),
+        )
+        .orderBy("event_type", "day")
+    )
