@@ -12,7 +12,7 @@ ROUND(x, 4) lands identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corkscrew_spark.catalog import register_tables
@@ -1842,6 +1842,63 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("vocab_size"),
             F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
             .cast("long").alias("hapax_count"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "zipf_slope",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source,
+               UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, tf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY tf DESC, tok) AS rnk
+        FROM freq
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(tf AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(tf AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 4)    AS fit_r2
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(frequency) against
+    ln(rank) over the per-source vocabulary (natural text sits near −1;
+    templated/synthetic slices flatten) plus the fit R². Rank is a
+    source-partitioned window over the |vocab| frequency table — never
+    the token stream — and the regression is one partial-aggregable
+    pass (same regr_* parity as value_regression)."""
+    d = register_tables(spark, sf_dir)["documents"]
+    freq = (
+        d.select("source",
+                 F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                 .alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), "tok")
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    ln_tf = F.log(F.col("tf").cast("double"))
+    ln_rk = F.log(F.col("rnk").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(F.regr_slope(ln_tf, ln_rk), 4).alias("zipf_slope"),
+            F.round(F.regr_r2(ln_tf, ln_rk), 4).alias("fit_r2"),
         )
         .orderBy("source")
     )
