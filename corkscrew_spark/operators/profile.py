@@ -128,3 +128,60 @@ def profile_skew(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(top_k)
     )
+
+
+def layout_advisor(df: DataFrame, candidate_cols: list[str],
+                   partition_max_card: int = 1000,
+                   bucket_min_card: int = 10_000,
+                   skew_threshold: float = 4.0) -> DataFrame:
+    """Physical-layout recommendations from data statistics: for each
+    candidate column, ONE profiling pass (cardinality via HLL, null
+    share, heaviest-key skew factor) feeds the standard layout rules —
+
+    * low cardinality (≤ ``partition_max_card``) and low skew →
+      ``PARTITION``: directory pruning, safe file counts;
+    * high cardinality (≥ ``bucket_min_card``) → ``BUCKET``: join/agg
+      co-location where directories would explode;
+    * heaviest key ≥ ``skew_threshold``× the mean load →
+      ``SALT_OR_SKEW_JOIN`` rides along as a warning whatever the
+      cardinality says;
+    * otherwise ``NONE`` (mid-cardinality columns make poor layout
+      keys: too many directories, too little co-location value).
+
+    The stats pass is |cols| aggregations + one heaviest-key lookup per
+    column over the count relation — metadata-sized output. This is
+    the advisor half of warehouse.write_partitioned / write_bucketed /
+    salted_join; it recommends, the caller decides.
+
+    Returns (column, n_distinct, null_pct, skew_factor, advice).
+    """
+    if not candidate_cols:
+        raise ValueError("layout_advisor: no candidate columns")
+    out_rows = []
+    total = df.count()
+    for col in candidate_cols:
+        counts = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("n"))
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("card"),
+            F.max("n").alias("top"),
+            F.sum(F.when(F.col("k").isNull(), F.col("n")).otherwise(0))
+            .alias("nulls"),
+        ).collect()[0]
+        card = int(stats.card)
+        skew = float(stats.top) * card / total if total else 0.0
+        null_pct = 100.0 * int(stats.nulls or 0) / total if total else 0.0
+        if card <= partition_max_card and skew < skew_threshold:
+            advice = "PARTITION"
+        elif card >= bucket_min_card:
+            advice = "BUCKET"
+        else:
+            advice = "NONE"
+        if skew >= skew_threshold:
+            advice += "+SALT_OR_SKEW_JOIN"
+        out_rows.append((col, card, round(null_pct, 2), round(skew, 2),
+                         advice))
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "column string, n_distinct long, null_pct double, "
+        "skew_factor double, advice string")

@@ -47,3 +47,30 @@ def test_approx_single_pass(spark, sample):
 def test_empty_columns_raise(spark, sample):
     with pytest.raises(ValueError):
         profile_columns(sample, [])
+
+
+class TestLayoutAdvisor:
+    def test_recommendations(self, spark):
+        from corkscrew_spark.operators import profile
+        import pyspark.sql.functions as F
+        df = spark.range(20000).select(
+            (F.col("id") % 5).cast("string").alias("region"),      # partition
+            F.col("id").cast("string").alias("resource_id"),        # bucket
+            (F.col("id") % 300).cast("string").alias("mid_card"),   # none
+            F.when(F.col("id") % 10 == 0, "hot")                    # skewed
+            .otherwise(F.col("id").cast("string")).alias("owner"),
+        )
+        got = {r.column: r for r in profile.layout_advisor(
+            df, ["region", "resource_id", "mid_card", "owner"],
+            partition_max_card=100).collect()}
+        assert got["region"].advice == "PARTITION"
+        assert got["resource_id"].advice == "BUCKET"
+        assert got["mid_card"].advice == "NONE"
+        assert "SALT_OR_SKEW_JOIN" in got["owner"].advice
+        assert got["region"].n_distinct == 5
+
+    def test_empty_candidates_raise(self, spark):
+        from corkscrew_spark.operators import profile
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            profile.layout_advisor(spark.range(1), [])
