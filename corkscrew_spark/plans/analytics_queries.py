@@ -1680,3 +1680,63 @@ def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(datediff('day', MAX(o_orderdate), DATE '1998-08-02')
+                    AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT CASE WHEN recency_days <= 180 THEN 'R1'
+                WHEN recency_days <= 720 THEN 'R2' ELSE 'R3' END AS r_tier,
+           CASE WHEN frequency >= 12 THEN 'F1'
+                WHEN frequency >= 6 THEN 'F2' ELSE 'F3' END AS f_tier,
+           CASE WHEN monetary_cents >= 150000000 THEN 'M1'
+                WHEN monetary_cents >= 50000000 THEN 'M2' ELSE 'M3' END AS m_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS tier_cents
+    FROM rfm GROUP BY 1, 2, 3
+    ORDER BY r_tier, f_tier, m_tier
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) with every tier
+    verdict engine-exact: money becomes integer CENTS by rounding each
+    2-decimal price BEFORE summing (per-row round of price·100 lands on
+    the same integer under any rounding mode because representation
+    noise keeps it off .5; an after-the-sum floor would sit on integer
+    boundaries). Fixed thresholds, one agg per customer + one rollup —
+    no global ntile window."""
+    o = _t(spark, sf_dir)["orders"]
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit("1998-08-02").cast("date"),
+                       F.max(F.col("o_orderdate").cast("date")))
+            .cast("long").alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").alias("monetary_cents"),
+        )
+    )
+    r_tier = (F.when(F.col("recency_days") <= 180, "R1")
+              .when(F.col("recency_days") <= 720, "R2").otherwise("R3"))
+    f_tier = (F.when(F.col("frequency") >= 12, "F1")
+              .when(F.col("frequency") >= 6, "F2").otherwise("F3"))
+    m_tier = (F.when(F.col("monetary_cents") >= 150_000_000, "M1")
+              .when(F.col("monetary_cents") >= 50_000_000, "M2")
+              .otherwise("M3"))
+    return (
+        rfm.groupBy(r_tier.alias("r_tier"), f_tier.alias("f_tier"),
+                    m_tier.alias("m_tier"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("monetary_cents").cast("long").alias("tier_cents"))
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )

@@ -588,3 +588,57 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@query(
+    "graph_summary",
+    oracle=f"""
+    WITH e AS (SELECT DISTINCT src, dst FROM ({{edges}}) t WHERE src != dst),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    recip AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+    ),
+    sinks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+        WHERE node NOT IN (SELECT src FROM e)
+    ),
+    sources AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+        WHERE node NOT IN (SELECT dst FROM e)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT)     AS n_edges,
+           (SELECT n FROM recip)                        AS n_reciprocal,
+           (SELECT n FROM sources)                      AS n_sources,
+           (SELECT n FROM sinks)                        AS n_sinks
+    """.replace("{edges}", _EDGE_WITH_ORDERS_DUCK),
+)
+def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the directed graph: node/edge
+    counts, reciprocal edge pairs (A→B with B→A), pure sources and pure
+    sinks — the shape facts that pick the right algorithm variants
+    (reciprocity ≈ 0 and deep sink fan-in here say: treat as a DAG-ish
+    hierarchy). Each stat is one join or anti-join on the deduped edge
+    relation; all integers."""
+    e = containment_edges(spark, sf_dir, with_orders=True)
+    base = (
+        e.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        base.select(F.col("src").alias("node"))
+        .unionByName(base.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = base.join(rev, ["src", "dst"]).count()
+    n_sources = nodes.join(base.select(F.col("dst").alias("node")).distinct(),
+                           "node", "left_anti").count()
+    n_sinks = nodes.join(base.select(F.col("src").alias("node")).distinct(),
+                         "node", "left_anti").count()
+    return spark.createDataFrame(
+        [(nodes.count(), base.count(), n_recip, n_sources, n_sinks)],
+        "n_nodes long, n_edges long, n_reciprocal long, "
+        "n_sources long, n_sinks long")
