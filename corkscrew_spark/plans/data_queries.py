@@ -1902,3 +1902,108 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_health_report",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS w,
+               string_split_regex(lower(trim(text)), '\s+') AS lw
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_sum(list_transform(w, x -> len(x))) AS sum_len,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS alpha_words,
+               array_to_string(lw[1:5], ' ') AS pk
+        FROM base
+    ),
+    cls AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(
+                   list_transform(
+                       list_concat(lw,
+                           CASE WHEN len(lw) >= 2
+                                THEN list_transform(range(1, len(lw)),
+                                                    i -> lw[i] || ' ' || lw[i+1])
+                                ELSE [] END),
+                       x -> ('0x' || substr(md5(x), 1, 4))::BIGINT % 4096),
+                   k -> (k * 2654435761) % 1000001 - 500000)) AS BIGINT)
+                   AS margin
+        FROM base
+    ),
+    dup AS (
+        SELECT pk FROM sig GROUP BY pk HAVING COUNT(*) > 1
+    )
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM sig
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(n_words) AS BIGINT) FROM sig
+    UNION ALL
+    SELECT 'prefix_dup_docs',
+           CAST(COUNT(*) AS BIGINT)
+    FROM sig WHERE pk IN (SELECT pk FROM dup)
+    UNION ALL
+    SELECT 'quality_keep_docs',
+           CAST(SUM(CASE WHEN n_words >= 30
+                          AND sum_len >= 3 * n_words
+                          AND sum_len <= 10 * n_words
+                          AND alpha_words * 5 >= n_words * 4
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM sig
+    UNION ALL
+    SELECT 'classifier_pos_docs',
+           CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM cls
+    ORDER BY metric
+    """,
+)
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard in ONE query: document and token volume,
+    exact prefix-duplicate mass, heuristic-quality keep count, and
+    classifier-positive count as (metric, value) rows — every KPI an
+    integer so the whole report hash-matches. Three map-only scoring
+    passes + one prefix-key agg; composes the already-verified Gopher,
+    classifier, and prefix-dedup fragments."""
+    d = register_tables(spark, sf_dir)["documents"]
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    sig = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("sum_len"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+        .cast("long").alias("alpha_words"),
+        text.prefix_key("text").alias("pk"),
+    ).localCheckpoint(eager=True)
+    cls = text.hashed_ngram_score(d, "doc_id", "text").select("doc_id", "margin")
+    dup_pk = sig.groupBy("pk").agg(F.count(F.lit(1)).alias("c")) \
+        .filter(F.col("c") > 1).select("pk")
+    rows = [
+        sig.agg(F.lit("n_docs").alias("metric"),
+                F.count(F.lit(1)).cast("long").alias("value")),
+        sig.agg(F.lit("n_tokens").alias("metric"),
+                F.sum("n_words").cast("long").alias("value")),
+        sig.join(dup_pk, "pk", "left_semi").agg(
+            F.lit("prefix_dup_docs").alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("value")),
+        sig.agg(
+            F.lit("quality_keep_docs").alias("metric"),
+            F.sum(F.when(
+                (F.col("n_words") >= 30)
+                & (F.col("sum_len") >= 3 * F.col("n_words"))
+                & (F.col("sum_len") <= 10 * F.col("n_words"))
+                & (F.col("alpha_words") * 5 >= F.col("n_words") * 4), 1)
+                .otherwise(0)).cast("long").alias("value")),
+        cls.agg(
+            F.lit("classifier_pos_docs").alias("metric"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+            .cast("long").alias("value")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")
