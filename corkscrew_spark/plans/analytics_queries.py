@@ -1740,3 +1740,53 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("monetary_cents").cast("long").alias("tier_cents"))
         .orderBy("r_tier", "f_tier", "m_tier")
     )
+
+
+@query(
+    "region_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev)
+    SELECT region, cents,
+           CAST(cents * 10000 // (SELECT total FROM tot) AS BIGINT)
+               AS share_bps
+    FROM rev ORDER BY region
+    """,
+)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per region in EXACT integers: per-row cents
+    rounding before summation (the representation-noise-off-.5 trick),
+    then basis points by integer floor division against the broadcast
+    total — no float touches the result. Star join with broadcast
+    dimensions; the fact shuffles once on the customer key."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(t["customer"],
+              t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .cast("long").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "region", "cents",
+            F.expr("cents * 10000 div total").cast("long").alias("share_bps"),
+        )
+        .orderBy("region")
+    )

@@ -749,3 +749,45 @@ def cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "hourly_seasonality",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hr, h.n_events,
+           CAST(h.n_events * 10000 // t.total AS BIGINT) AS share_bps
+    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+    ORDER BY h.event_type, h.hr
+    """,
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type with shares in
+    exact basis points (integer floor division against the per-type
+    total) — the load-shape fingerprint behind alert thresholds and
+    capacity curves. Two aggs on (type, hour) / (type); the share join
+    touches |type|×24 rows."""
+    e = _t(spark, sf_dir)["events"]
+    hourly = (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("total"))
+    return (
+        hourly.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "hr", "n_events",
+            F.expr("n_events * 10000 div total").cast("long")
+            .alias("share_bps"),
+        )
+        .orderBy("event_type", "hr")
+    )
