@@ -1790,3 +1790,35 @@ def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@query(
+    "discount_effectiveness",
+    oracle="""
+    SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS gross_cents
+    FROM lineitem
+    GROUP BY 1 ORDER BY discount_pct
+    """,
+)
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume and gross revenue by discount band: the pricing-analytics
+    rollup with every column engine-exact — discount percent and price
+    cents via per-row round-before-aggregate (representation noise
+    keeps the values off .5), quantities as integral doubles cast after
+    the sum. One map-side-combined aggregation over the fact table."""
+    l = _t(spark, sf_dir)["lineitem"]
+    return (
+        l.groupBy(F.round(F.col("l_discount") * 100, 0).cast("long")
+                  .alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("total_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("long").alias("gross_cents"),
+        )
+        .orderBy("discount_pct")
+    )

@@ -791,3 +791,54 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+@query(
+    "order_gap_profile",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderdate,
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                   AS prev_date
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey,
+               CAST(datediff('day', prev_date, o_orderdate) AS BIGINT)
+                   AS gap_days
+        FROM seq WHERE prev_date IS NOT NULL
+    )
+    SELECT CAST(gap_days // 30 AS BIGINT) AS gap_months,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days
+    FROM gaps GROUP BY 1 ORDER BY gap_months
+    """,
+)
+def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution: per-customer lag over the order
+    timeline, gaps bucketed to 30-day months by integer division — the
+    repurchase-cadence profile behind churn thresholds. The lag window
+    is customer-partitioned over |orders| rows; everything downstream
+    is integer day arithmetic."""
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    ).filter(F.col("prev_date").isNotNull())
+    gaps = seq.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.col("prev_date").cast("date"))
+        .cast("long").alias("gap_days"))
+    return (
+        gaps.groupBy(F.expr("gap_days div 30").cast("long")
+                     .alias("gap_months"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_days"),
+            F.max("gap_days").cast("long").alias("max_days"),
+        )
+        .orderBy("gap_months")
+    )
