@@ -1822,3 +1822,51 @@ def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+@query(
+    "supplier_reliability",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+           CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS slow_bps
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY nation
+    """,
+)
+def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability by nation: shipment volume, slow shipments
+    (>90 days order-to-ship) and the slow rate in exact basis points
+    (integer floor division) — the vendor scorecard over the double
+    fact join. Supplier and nation dimensions broadcast; the fact
+    tables shuffle once each on their natural keys."""
+    t = _t(spark, sf_dir)
+    slow = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+    ).otherwise(0)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(slow).cast("long").alias("n_slow"),
+        )
+        .select(
+            "nation", "n_items", "n_slow",
+            F.expr("n_slow * 10000 div n_items").cast("long")
+            .alias("slow_bps"),
+        )
+        .orderBy("nation")
+    )

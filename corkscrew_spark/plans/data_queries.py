@@ -2007,3 +2007,42 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("metric")
+
+
+@query(
+    "text_length_bands",
+    oracle=r"""
+    WITH n AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_tokens < 64 THEN '<64'
+                WHEN n_tokens < 128 THEN '64-127'
+                WHEN n_tokens < 256 THEN '128-255'
+                WHEN n_tokens < 512 THEN '256-511'
+                ELSE '512+' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM n GROUP BY 1, 2 ORDER BY lang, band
+    """,
+)
+def text_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in fixed token bands —
+    the sequence-length histogram that sizes packing budgets and
+    context windows (a corpus skewed under 128 tokens packs very
+    differently from one at 512+). Map-only banding + one rollup, all
+    integers."""
+    d = register_tables(spark, sf_dir)["documents"]
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    band = (F.when(n < 64, "<64").when(n < 128, "64-127")
+            .when(n < 256, "128-255").when(n < 512, "256-511")
+            .otherwise("512+"))
+    return (
+        d.select("lang", band.alias("band"), n.alias("nt"))
+        .groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("nt").cast("long").alias("n_tokens"))
+        .orderBy("lang", "band")
+    )
