@@ -38,19 +38,38 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the fixed oracle must re-verify.) Round-4 upkeep: fold the names
 #: recorded in CORRECTNESS_r03.json into this set and empty _DEFERRED.
 _DRIVER_RECORDED = frozenset({
-    "pricing_summary", "region_rollup", "top_customers", "count_distinct_rollup",
-    "telemetry_rollup", "filter_project_sort", "filter_range_limit", "like_filter",
-    "time_range_agg", "in_list_filter", "case_buckets", "left_join_histogram",
-    "semi_join", "anti_join", "self_join_pairs", "union_branches", "topk_per_group",
-    "window_lag", "json_extract_agg", "regex_extract", "string_functions",
-    "graph_khop", "graph_shortest_path", "graph_topo_levels", "graph_pagerank",
-    "dedup_prefix_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_cosine_topk", "text_quality", "text_langid", "text_fingerprint",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
-    "sample_stratified", "dedup_clusters", "text_redact", "decontaminate",
-    "text_repetition", "sample_mixture", "corpus_stats", "shuffle_order",
-    "ann_quantized_topk", "token_quantiles_approx", "boilerplate_removal",
-    "text_unigram_logprob", "tfidf_top_terms",
+    "activity_streaks", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_quantized_topk", "anti_join", "approx_distinct_users",
+    "array_lambda_stats", "asof_join_events", "boilerplate_removal",
+    "case_buckets", "change_history_timeline", "change_query_builder",
+    "compliance_duckdb_pack", "compliance_pack", "corpus_stats",
+    "correlation_rules", "count_distinct_rollup", "cube_orders",
+    "customer_order_distribution", "decontaminate", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_prefix_exact", "dedup_simhash", "drift_detect",
+    "engine_param_binding", "filter_project_sort", "filter_range_limit",
+    "funnel_steps", "graph_khop", "graph_pagerank", "graph_shortest_path",
+    "graph_topo_levels", "impact_scoring", "in_list_filter",
+    "intersect_except_branches", "json_extract_agg", "kql_arg_max_order",
+    "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens", "kql_events_rollup",
+    "kql_join_spend", "kql_make_series_daily", "kql_parse_props",
+    "kql_percentile_value", "kql_summarize", "kql_time_bins",
+    "kql_union_mix", "left_join_histogram", "levenshtein_suggest",
+    "like_filter", "moving_avg_frame", "multimodal_features",
+    "mv_expand_tokens", "order_priority_exists", "orders_above_cust_avg",
+    "pack_sequences", "paginate_offset", "percentile_exact",
+    "pivot_priority_status", "pricing_summary", "regex_extract",
+    "region_rollup", "regional_revenue", "retention_cohorts",
+    "rollup_segment_nation", "sample_mixture", "sample_stratified",
+    "self_join_pairs", "semdedup_embeddings", "semi_join",
+    "session_stats_30m", "shipping_priority", "shuffle_order",
+    "state_checksum", "string_functions", "telemetry_rollup",
+    "text_bigram_logprob", "text_c4_filters", "text_fingerprint",
+    "text_langid", "text_quality", "text_redact", "text_repetition",
+    "text_unigram_logprob", "tfidf_top_terms", "time_range_agg",
+    "token_quantiles_approx", "top_customers", "topk_per_group",
+    "union_branches", "unpivot_priority_status", "upsert_latest",
+    "window_lag", "window_rank_family",
 })
 
 
@@ -65,21 +84,8 @@ _DRIVER_RECORDED = frozenset({
 #: sf0.01 in one session, and the 943-test suite + plan audit are
 #: green. Round-4 upkeep: `python tools/rotate_window.py` then
 #: `python tools/driver_sim.py --window 50` before committing the pin.
-_DEFERRED = frozenset({
-    "interval_join_sessions", "graph_triangles", "corpus_training_mix",
-    "variant_json_agg", "distinct_sketch_rollup", "graph_weighted_sssp",
-    "having_large_orders", "returned_items_revenue",
-    "change_anomaly_report", "top_changed_resources", "daily_activity_dense",
-    "grouping_sets_orders", "dedup_exact_spans", "kql_mv_apply_tokens",
-    "sample_fixed_per_lang", "source_token_kl", "bigram_collocations_pmi",
-    "asof_forward_next_purchase", "range_frame_weekly_sum",
-    "sketch_weekly_distinct", "state_as_of", "value_regression",
-    "numeric_histogram", "iqr_outliers", "user_event_timeline",
-    "event_transition_matrix", "pack_sequences_sep", "dedup_keep_longest",
-    "token_count_bpe", "topk_with_ties", "window_filtered_sum",
-    "date_functions_family", "null_safe_join", "locf_gap_fill",
-    "decay_weighted_value", "char_trigram_profile",
-})
+_DEFERRED = frozenset()  # rebuilt by tools/rotate_window.py: the
+# backlog is now derived from registration order minus _DRIVER_RECORDED
 
 
 #: Round 3's pinned 50-slot correctness window — every name was verified
@@ -90,25 +96,56 @@ _DEFERRED = frozenset({
 #: this list from the not-yet-recorded backlog (_DEFERRED + round-3/4
 #: registrations), oldest first.
 _WINDOW = (
-    "pack_sequences", "semdedup_embeddings", "text_c4_filters",
-    "text_bigram_logprob", "engine_param_binding", "compliance_pack",
-    "drift_detect", "impact_scoring", "compliance_duckdb_pack",
-    "kql_summarize", "mv_expand_tokens", "array_lambda_stats",
-    "levenshtein_suggest", "paginate_offset", "change_query_builder",
-    "upsert_latest", "correlation_rules", "multimodal_features",
-    "regional_revenue", "order_priority_exists", "state_checksum",
-    "rollup_segment_nation", "change_history_timeline",
-    "approx_distinct_users", "shipping_priority",
-    "customer_order_distribution", "pivot_priority_status",
-    "unpivot_priority_status", "window_rank_family",
-    "intersect_except_branches", "moving_avg_frame",
-    "orders_above_cust_avg", "cube_orders", "percentile_exact",
-    "kql_events_rollup", "kql_docs_tokens", "kql_join_spend",
-    "kql_time_bins", "kql_case_tiers", "kql_arg_max_order",
-    "kql_percentile_value", "kql_bin_6h", "kql_parse_props",
-    "kql_union_mix", "kql_make_series_daily", "asof_join_events",
-    "session_stats_30m", "funnel_steps", "retention_cohorts",
-    "activity_streaks",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_weighted_sssp",
+    "graph_hits",
+    "graph_communities",
+    "motif_open_triads",
+    "blast_radius_rank",
+    "graph_degree_distribution",
+    "graph_summary",
+    "corpus_training_mix",
+    "dedup_exact_spans",
+    "sample_fixed_per_lang",
+    "source_token_kl",
+    "bigram_collocations_pmi",
+    "pack_sequences_sep",
+    "dedup_keep_longest",
+    "token_count_bpe",
+    "char_trigram_profile",
+    "ann_pq_topk",
+    "bpe_vocab_tokenize",
+    "sample_weighted_tokens",
+    "text_gopher_filters",
+    "text_classifier_score",
+    "chunk_windows",
+    "sample_by_quality",
+    "corpus_curation_full",
+    "langid_confusion",
+    "text_search_and",
+    "dedup_minhash_clusters",
+    "vocab_growth",
+    "zipf_slope",
+    "corpus_health_report",
+    "text_length_bands",
+    "change_anomaly_report",
+    "top_changed_resources",
+    "profile_orders",
+    "reconcile_snapshots",
+    "incremental_rollup",
+    "dq_orphan_audit",
+    "blast_radius",
+    "skew_profile_custkey",
+    "k_anonymity_audit",
+    "fuzzy_match_parts",
+    "resolve_entities",
+    "variant_json_agg",
+    "distinct_sketch_rollup",
+    "having_large_orders",
+    "returned_items_revenue",
+    "grouping_sets_orders",
+    "range_frame_weekly_sum",
 )
 
 

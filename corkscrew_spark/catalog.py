@@ -147,6 +147,11 @@ def register_tables(
     out: dict[str, DataFrame] = dict(cached or {})
     for name in tables:
         if name in out:
+            # Memoized DataFrame, but the session-global view may still
+            # point at another sf_dir from an interleaved registration.
+            if _ACTIVE_VIEW.get((id(spark), name)) != abs_dir:
+                out[name].createOrReplaceTempView(name)
+                _ACTIVE_VIEW[(id(spark), name)] = abs_dir
             continue
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):

@@ -179,10 +179,23 @@ class QueryEngine:
 
     def _resolve_time_travel(self, sql: str) -> str:
         """Rewrite time-travel clauses on registered versioned tables to
-        snapshot views (registered on demand as ``name__v<N>``)."""
+        snapshot views (registered on demand as ``name__v<N>``).
+
+        Matches that *start* inside a string literal or comment are left
+        untouched — the clause identifier must be real SQL text (the
+        quoted TIMESTAMP argument is itself a literal, so the opaque-span
+        check applies to the match start, not its full extent).
+        """
         from corkscrew_spark import versioned
 
+        opaque = [m.span() for m in _OPAQUE_RE.finditer(sql)]
+
+        def _in_opaque(pos: int) -> bool:
+            return any(a <= pos < b for a, b in opaque)
+
         def _sub(m: re.Match) -> str:
+            if _in_opaque(m.start()):
+                return m.group(0)
             name, kind, arg = m.group(1), m.group(2).upper(), m.group(3)
             path = self._versioned.get(name)
             if path is None:
@@ -208,9 +221,13 @@ class QueryEngine:
 
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         bound = bind_params(sql, params)
+        # Gate BEFORE the time-travel rewrite: _resolve_time_travel
+        # registers temp views as a side effect, and a rejected query
+        # must not mutate session view state.
+        validate_readonly(bound)
         if self._versioned:
             bound = self._resolve_time_travel(bound)
-        validate_readonly(bound)
+            validate_readonly(bound)
         # Parse/analyze without executing (engine.go:389-413). NOTE: Spark's
         # `EXPLAIN` renders analysis errors into its *output* instead of
         # raising, so eager analysis at DataFrame creation is the real

@@ -935,11 +935,18 @@ def find_motifs(edges: DataFrame, pattern: str, src_col: str = "src",
     for i, (a, b) in enumerate(positives):
         sa = a or f"__anon{i}a"
         sb = b or f"__anon{i}b"
-        step = e.select(F.col("src").alias(sa), F.col("dst").alias(sb))
+        if sa == sb:
+            # Self-loop term "(a)-[]->(a)": aliasing src AND dst to the
+            # same name would produce an ambiguous duplicate column, so
+            # filter to loops and bind the single variable once.
+            step = (e.filter(F.col("src") == F.col("dst"))
+                    .select(F.col("src").alias(sa)))
+        else:
+            step = e.select(F.col("src").alias(sa), F.col("dst").alias(sb))
         if out is None:
             out = step
         else:
-            on = [v for v in (sa, sb) if v in bound]
+            on = list(dict.fromkeys(v for v in (sa, sb) if v in bound))
             if on:
                 out = out.join(step, on)
             else:

@@ -323,8 +323,9 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
 
     * word count in [min_words, max_words];
     * mean word length in [3, 10] chars (3·n ≤ Σlen ≤ 10·n);
-    * symbol-to-word ratio ('#' chars + '...' runs) < 0.1;
-    * < 90% of lines start with a bullet ('-', '*', '•');
+    * symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1 (the paper
+      removes docs strictly ABOVE each threshold, so the boundary keeps);
+    * ≤ 90% of lines start with a bullet ('-', '*', '•');
     * ≤ 30% of lines end with an ellipsis;
     * ≥ 80% of words contain at least one alphabetic character;
     * at least 2 distinct GOPHER_STOPWORDS present.
@@ -354,8 +355,8 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str = "text",
     keep = (
         (n_words >= min_words) & (n_words <= max_words)
         & (sum_word_len >= 3 * n_words) & (sum_word_len <= 10 * n_words)
-        & (n_symbols * 10 < n_words)
-        & (bullet_lines * 10 < n_lines * 9)
+        & (n_symbols * 10 <= n_words)
+        & (bullet_lines * 10 <= n_lines * 9)
         & (ellipsis_lines * 10 <= n_lines * 3)
         & (alpha_words * 5 >= n_words * 4)
         & (stop_hits >= 2)

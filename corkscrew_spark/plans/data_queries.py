@@ -1420,8 +1420,8 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT *,
            CAST(n_words >= 50 AND n_words <= 100000
                 AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
-                AND n_symbols * 10 < n_words
-                AND bullet_lines * 10 < n_lines * 9
+                AND n_symbols * 10 <= n_words
+                AND bullet_lines * 10 <= n_lines * 9
                 AND ellipsis_lines * 10 <= n_lines * 3
                 AND alpha_words * 5 >= n_words * 4
                 AND stop_hits >= 2 AS BIGINT) AS keep

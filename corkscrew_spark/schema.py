@@ -408,7 +408,9 @@ def shred_json(df, json_col: str, sample_n: int = 100,
     sample = [r[0] for r in df.select(json_col).dropna()
               .limit(sample_n).collect()]
     if not sample:
-        return df if not drop_source else df
+        # No shredded columns to add, but honor drop_source so the
+        # output schema doesn't depend on whether the sample was empty.
+        return df.drop(json_col) if drop_source else df
     inferred = spark.read.json(
         spark.sparkContext.parallelize(sample, 1)).schema
     bad = [f.name for f in inferred.fields

@@ -305,7 +305,20 @@ class TestShredJson:
         out = shred_json(df, "attrs", drop_source=False)
         assert "attrs" in out.columns and out.collect()[0].x == 1
         empty = spark.createDataFrame([], "id long, attrs string")
-        assert shred_json(empty, "attrs").columns == ["id", "attrs"]
+        # default drop_source=True applies even with nothing to shred
+        assert shred_json(empty, "attrs").columns == ["id"]
+        assert shred_json(empty, "attrs",
+                          drop_source=False).columns == ["id", "attrs"]
+
+    def test_empty_sample_honors_drop_source(self, spark):
+        """drop_source must not be data-dependent: an all-null/empty json
+        column still drops when asked (regression: the empty-sample early
+        return ignored drop_source)."""
+        from corkscrew_spark.schema import shred_json
+        allnull = spark.createDataFrame([(1, None)], "id long, attrs string")
+        assert shred_json(allnull, "attrs").columns == ["id"]
+        assert shred_json(allnull, "attrs",
+                          drop_source=False).columns == ["id", "attrs"]
 
 
 class TestMaintenanceVerb:

@@ -184,3 +184,22 @@ def test_register_tables_repoints_views_across_sf_dirs(spark):
     assert n_big > n_small
     register_tables(spark, "/root/testdata/sf0.001")  # cached path
     assert spark.sql("select count(*) n from orders").collect()[0].n == n_small
+
+
+def test_register_tables_partial_cache_repoints_views(spark):
+    """The loop path (requested tables ⊄ cached set) must also re-point
+    memoized views — regression: only the fully-cached branch applied
+    the _ACTIVE_VIEW check, so a superset registration after switching
+    sf_dirs silently kept views on the other scale."""
+    from corkscrew_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001", tables=("orders",))
+    n_small = spark.sql("select count(*) n from orders").collect()[0].n
+    register_tables(spark, "/root/testdata/sf0.01")
+    assert spark.sql("select count(*) n from orders").collect()[0].n > n_small
+    # superset of sf0.001's cached {orders} -> takes the loop path
+    register_tables(spark, "/root/testdata/sf0.001",
+                    tables=("orders", "customer"))
+    assert spark.sql("select count(*) n from orders").collect()[0].n == n_small
+    # restore full registrations for neighbouring tests
+    register_tables(spark, "/root/testdata/sf0.001")

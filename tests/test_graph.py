@@ -422,6 +422,20 @@ class TestMotifFind:
         assert ("a", "b", "c") not in open_paths     # closed by a->c
         assert ("b", "c", "d") in open_paths
 
+    def test_self_loop_term(self, spark):
+        """"(a)-[]->(a)" matches self-loops (GraphFrames semantics) —
+        regression: aliasing src and dst to the same name raised
+        AMBIGUOUS_REFERENCE."""
+        from corkscrew_spark.operators.graph import find_motifs
+        pairs = [("a", "a"), ("a", "b"), ("b", "c"), ("c", "c")]
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        loops = {r.a for r in find_motifs(e, "(a)-[]->(a)").collect()}
+        assert loops == {"a", "c"}
+        # composed: self-loop node that also points elsewhere
+        both = {(r.a, r.b) for r in
+                find_motifs(e, "(a)-[]->(a); (a)-[]->(b)").collect()}
+        assert ("a", "b") in both and ("a", "a") in both
+
     def test_anonymous_and_fanout(self, spark):
         from corkscrew_spark.operators.graph import find_motifs
         e = self._e(spark)

@@ -211,6 +211,27 @@ class TestGopherFlags:
         row = self._flags(spark, body, min_words=10)
         assert row.alpha_words * 5 < row.n_words * 4 and row.keep == 0
 
+    def test_bullet_ratio_boundary_kept(self, spark):
+        # Rae et al. A1.1 removes docs with MORE than 90% bullet lines;
+        # exactly 90% (9 of 10 lines) must be KEPT.
+        lines = ["- the item be of and that have with filler pad"] * 9
+        lines.append("the plain closing sentence with that word here")
+        row = self._flags(spark, "\n".join(lines), min_words=10)
+        assert row.bullet_lines * 10 == row.n_lines * 9
+        assert row.keep == 1
+
+    def test_symbol_ratio_boundary_kept(self, spark):
+        # Exactly 0.1 symbols-per-word sits ON the threshold -> keep
+        # (only strictly-above is removed). 20 words with 2 '#' chars
+        # embedded inside the last word => ratio exactly 0.1.
+        words = ["the", "be", "of", "and", "that", "have", "with",
+                 "word", "here", "now"] + ["pad"] * 9 + ["pa#d#"]
+        body = " ".join(words)
+        row = self._flags(spark, body, min_words=10)
+        assert row.n_words == 20 and row.n_symbols == 2
+        assert row.n_symbols * 10 == row.n_words
+        assert row.keep == 1
+
 
 # ---------------------------------------------------------------------------
 # Hashed n-gram classifier scoring

@@ -102,3 +102,40 @@ class TestEngineTimeTravel:
         eng = QueryEngine(spark, register_helpers=False)
         with _pytest.raises(QueryValidationError):
             eng.execute("SELECT * FROM nosuch VERSION AS OF 1")
+
+    def test_clause_inside_literal_or_comment_not_rewritten(self, spark, tmp_path):
+        """`items VERSION AS OF 1` inside a string literal or comment is
+        data/prose, not a time-travel clause — it must survive verbatim
+        (regression: the rewrite was literal-blind)."""
+        from corkscrew_spark import versioned
+        from corkscrew_spark.engine import QueryEngine
+
+        path = str(tmp_path / "lit")
+        versioned.write_version(
+            spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        versioned.write_version(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+            path)
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_versioned("items", path)
+        r = eng.execute(
+            "SELECT 'items VERSION AS OF 1' AS s, COUNT(*) AS n "
+            "FROM items -- items VERSION AS OF 1\nGROUP BY s").rows()
+        assert r[0].s == "items VERSION AS OF 1" and r[0].n == 2
+
+    def test_rejected_query_registers_no_views(self, spark, tmp_path):
+        """validate_readonly runs BEFORE the time-travel rewrite: a
+        denied statement must not register `name__v<N>` views as a side
+        effect."""
+        from corkscrew_spark import versioned
+        from corkscrew_spark.engine import QueryEngine, QueryValidationError
+        import pytest as _pytest
+
+        path = str(tmp_path / "gate")
+        versioned.write_version(
+            spark.createDataFrame([(1,)], "id long"), path)
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_versioned("gated", path)
+        with _pytest.raises(QueryValidationError):
+            eng.execute("DELETE FROM gated VERSION AS OF 1")
+        assert not spark.catalog.tableExists("gated__v1")
