@@ -391,20 +391,23 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-                 max_iter: int = 20) -> DataFrame:
+                 max_iter: int = 20, star_after: int = 4) -> DataFrame:
     """Connected components over near-dup pairs: the step that turns pair
     lists (from any of the strategies above) into the actual dedup
     decision. Returns (doc_id, cluster_id, keep) where cluster_id is the
     MIN doc id reachable through dup edges and ``keep`` marks the one
     representative per cluster.
 
-    Algorithm: iterative min-label propagation (label(x) ←
-    min(label(x), min label of neighbors)) to fixpoint — each round is
-    one join + groupBy on the edge list, localCheckpointed so the plan
-    stays O(1) like the graph operators. Rounds needed = graph diameter;
-    near-dup clusters are shallow (dup sets, not social graphs), so this
-    converges in a handful of rounds. Components whose diameter exceeds
-    ``max_iter`` raise instead of silently mislabeling.
+    Two-phase algorithm. Phase 1: iterative min-label propagation
+    (label(x) ← min(label(x), min label of neighbors)) — one join +
+    groupBy per round, localCheckpointed so the plan stays O(1). Rounds
+    needed = graph diameter; near-dup clusters are normally shallow
+    (dup sets, not social graphs), so this converges in a handful of
+    rounds. Phase 2: if the graph hasn't converged after ``star_after``
+    rounds, the diameter is adversarially large (templated-spam chains —
+    exactly when dedup matters most), so the remaining work routes to
+    graph.connected_components_star, whose large-star/small-star
+    contraction finishes in O(log n) rounds instead of O(diameter).
 
     Parity note: same shape as operators/graph.py BFS;
     the reference has no dedup subsystem — this is part of the
@@ -422,7 +425,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    for _ in range(min(max_iter, star_after)):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -439,9 +443,15 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         updated = updated.localCheckpoint(eager=True)
         labels = updated.drop("changed")
         if updated.filter("changed").isEmpty():
+            converged = True
             break
-    else:
-        raise ValueError(f"dup_clusters did not converge within {max_iter} iterations")
+    if not converged:
+        # Deep-chain fallback: O(log n) star contraction labels every
+        # node with its component minimum — same output contract.
+        from corkscrew_spark.operators.graph import connected_components_star
+
+        labels = connected_components_star(edges).select(
+            "node", F.col("component").alias("label"))
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -158,10 +158,11 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
     else:
         merged = tagged
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
+    # No checkpoint needed: the merge writes a NEW v=N+1 directory while
+    # the plan reads the prior snapshots, which stay in place.
     result = (
         merged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
-        .localCheckpoint(eager=True)
     )
     return write_version(result, path, op="upsert")

@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 def _swap_write(df: DataFrame, path: str) -> None:
     """Write to a temp dir, then swap it into place. POSIX rename keeps
     the exposure window to one directory move (parquet's stand-in for a
-    transactional commit)."""
+    transactional commit). The staged write reads the live directory
+    (it is only replaced after the write completes), so no checkpoint /
+    re-materialization of the result is ever needed."""
     tmp = f"{path}.__staging__{time.time_ns()}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.__old__{time.time_ns()}"
@@ -42,24 +44,154 @@ def _swap_write(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+#: Characters Spark/Hive percent-escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName's char set).
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape(value) -> str:
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        "%%%02X" % ord(ch) if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
+        for ch in str(value))
+
+
+def _partition_reldir(partition_cols: list[str], values: tuple) -> str:
+    return "/".join(f"{c}={_hive_escape(v)}"
+                    for c, v in zip(partition_cols, values))
+
+
+def _is_hive_partitioned(path: str, first_col: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith(first_col + "=") for e in os.listdir(path))
+
+
+def _touched_partitions(updates: DataFrame,
+                        partition_cols: list[str]) -> list[tuple]:
+    """Distinct partition tuples present in the update batch — metadata-
+    sized by construction (partition columns are low-cardinality
+    provider/service/date values; a batch touches a handful)."""
+    return [tuple(r) for r in
+            updates.select(*partition_cols).distinct().collect()]
+
+
+def _partition_predicate(partition_cols: list[str], touched: list[tuple]):
+    """OR-of-ANDs partition filter that Catalyst turns into pure
+    PARTITION PRUNING on the hive layout — untouched directories are
+    never listed, read, or shuffled."""
+    pred = F.lit(False)
+    for values in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, values):
+            clause = clause & (F.col(c).isNull() if v is None
+                               else (F.col(c) == F.lit(v)))
+        pred = pred | clause
+    return pred
+
+
+def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
+                     touched: list[tuple]) -> None:
+    """Write ONLY the merged partitions to staging, then swap each
+    touched ``col=value`` directory into the live table — untouched
+    partitions keep their exact files (no read, no rewrite, no
+    listing). A touched partition absent from staging (every row
+    deleted) is dropped. Old directories move to a trash dir OUTSIDE
+    the table tree first so readers never see a non-hive entry."""
+    tmp = f"{path}.__staging__{time.time_ns()}"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    trash = f"{path}.__old__{time.time_ns()}"
+    os.makedirs(trash)
+    try:
+        for i, values in enumerate(touched):
+            rel = _partition_reldir(partition_cols, values)
+            new_dir = os.path.join(tmp, rel)
+            live_dir = os.path.join(path, rel)
+            if os.path.isdir(live_dir):
+                os.rename(live_dir, os.path.join(trash, str(i)))
+            if os.path.isdir(new_dir):
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(new_dir, live_dir)
+    finally:
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _swap_write_partitioned(df: DataFrame, path: str,
+                            partition_cols: list[str]) -> None:
+    """First write / layout migration: full swap-write laying the table
+    out hive-partitioned so every subsequent merge can scope. The
+    pre-write repartition routes each partition's rows to one task
+    (no small-files explosion)."""
+    tmp = f"{path}.__staging__{time.time_ns()}"
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    old = f"{path}.__old__{time.time_ns()}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def _table_count(spark: SparkSession, path: str) -> int:
+    """Fresh post-swap row count. Parquet COUNT(*) aggregates row-group
+    metadata without decoding columns — cheap at any table size. An
+    all-deleted table may hold zero schema'd part files; that reads as
+    empty."""
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:
+        return 0
+
+
 def append(df: DataFrame, path: str) -> None:
     """Append-only sinks (scan_metadata K5, api_action_metadata K6)."""
     df.write.mode("append").parquet(path)
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
-                 keys: list[str], order_col: str = "scanned_at") -> int:
+                 keys: list[str], order_col: str = "scanned_at",
+                 partition_cols: list[str] | None = None) -> int:
     """Upsert ``updates`` into the parquet table at ``path``: rows whose
     ``keys`` match an existing row replace it (newest ``order_col`` wins,
     update beating existing on ties); new keys are inserted.
+
+    With ``partition_cols`` (low-cardinality, string/date/int hive
+    partition columns; must be a prefix of the merge locality — every
+    version of a key lives in one partition), the merge is PARTITION-
+    SCOPED: only the hive partitions containing the batch's partition
+    values are read, shuffled, rewritten, and swapped; the rest of a
+    100 TB table is untouched — no listing, no scan, no rewrite. This
+    matches the reference's keyed-upsert cost model
+    (internal/db/graph_loader.go:155-253 — ``INSERT … ON CONFLICT DO
+    UPDATE`` touches only conflicting rows, never the table). A first
+    merge (or a merge into a non-partitioned table) lays the table out
+    hive-partitioned so subsequent merges scope.
 
     Returns the resulting row count. Equivalent to Delta
     ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
     """
     updates = updates.withColumn("_src", F.lit(1))
+    scoped = bool(partition_cols) and _is_hive_partitioned(
+        path, partition_cols[0])
+    touched: list[tuple] = []
     if os.path.exists(path):
         existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
-        merged = existing.unionByName(updates)
+        if scoped:
+            touched = _touched_partitions(updates, partition_cols)
+            existing = existing.filter(
+                _partition_predicate(partition_cols, touched))
+        merged = existing.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
@@ -68,11 +200,13 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    # Materialize before the swap: the plan reads the directory being
-    # replaced, so the result must be cut loose from it first.
-    result = result.localCheckpoint(eager=True)
-    _swap_write(result, path)
-    return result.count()
+    if scoped:
+        _swap_partitions(result, path, partition_cols, touched)
+    elif partition_cols:
+        _swap_write_partitioned(result, path, partition_cols)
+    else:
+        _swap_write(result, path)
+    return _table_count(spark, path)
 
 
 def retention_delete(spark: SparkSession, path: str, ts_col: str,
@@ -84,9 +218,8 @@ def retention_delete(spark: SparkSession, path: str, ts_col: str,
     if not os.path.exists(path):
         return 0
     kept = spark.read.parquet(path).filter(F.col(ts_col) >= F.lit(cutoff))
-    kept = kept.localCheckpoint(eager=True)
     _swap_write(kept, path)
-    return kept.count()
+    return _table_count(spark, path)
 
 
 # ---------------------------------------------------------------------------
@@ -356,10 +489,9 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
         closed.unionByName(kept_open)
         .unionByName(closed_out)
         .unionByName(inserted)
-        .localCheckpoint(eager=True)
     )
     _swap_write(result, path)
-    return result.count()
+    return _table_count(spark, path)
 
 
 def table_diff(before: DataFrame, after: DataFrame, keys: list[str],
@@ -607,13 +739,18 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
 
 def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
                      keys: list[str], order_col: str = "scanned_at",
-                     op_col: str = "op", delete_value: str = "DELETE") -> int:
+                     op_col: str = "op", delete_value: str = "DELETE",
+                     partition_cols: list[str] | None = None) -> int:
     """CDC merge with delete propagation: rows whose ``op_col`` equals
     ``delete_value`` act as TOMBSTONES — if the tombstone is the newest
     version of its key, the key disappears from the table; otherwise the
     newest non-delete row wins as in ``merge_upsert``. Delta's
     ``MERGE … WHEN MATCHED AND op = 'DELETE' THEN DELETE`` on the plain-
     parquet snapshot store.
+
+    ``partition_cols`` scopes the merge to the hive partitions the batch
+    touches, exactly as in ``merge_upsert`` — a partition whose every
+    row is tombstoned is dropped as a directory (no empty-dir residue).
 
     Same single shuffle on the key columns (keep-newest window), one
     extra map-side filter for the tombstones. Replay-safe: re-applying
@@ -622,12 +759,19 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
     count.
     """
     updates = updates.withColumn("_src", F.lit(1))
+    scoped = bool(partition_cols) and _is_hive_partitioned(
+        path, partition_cols[0])
+    touched: list[tuple] = []
     if os.path.exists(path):
         existing = (
             spark.read.parquet(path)
             .withColumn("_src", F.lit(0))
             .withColumn(op_col, F.lit(None).cast("string"))
         )
+        if scoped:
+            touched = _touched_partitions(updates, partition_cols)
+            existing = existing.filter(
+                _partition_predicate(partition_cols, touched))
         merged = existing.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
@@ -638,9 +782,13 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
         .filter(F.coalesce(F.col(op_col), F.lit("")) != delete_value)
         .drop("_rn", "_src", op_col)
     )
-    result = result.localCheckpoint(eager=True)
-    _swap_write(result, path)
-    return result.count()
+    if scoped:
+        _swap_partitions(result, path, partition_cols, touched)
+    elif partition_cols:
+        _swap_write_partitioned(result, path, partition_cols)
+    else:
+        _swap_write(result, path)
+    return _table_count(spark, path)
 
 
 def retention_drop_partitions(path: str, partition_col: str,

@@ -110,15 +110,35 @@ def test_dup_clusters_chain_converges(spark):
     assert sum(r["keep"] for r in got) == 1
 
 
-def test_dup_clusters_nonconvergence_raises(spark):
+def test_dup_clusters_deep_chain_routes_to_star(spark):
+    """A diameter-8 chain with star_after=2 can't converge by
+    propagation; it must fall back to star contraction and still label
+    every node with the component minimum (regression: this used to
+    raise, punishing exactly the adversarially-chained dup graphs where
+    dedup matters most)."""
     from corkscrew_spark.operators import dedup
-    import pytest
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
-    with pytest.raises(ValueError, match="converge"):
-        dedup.dup_clusters(chain, max_iter=2)
+    got = dedup.dup_clusters(chain, star_after=2).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert sum(r["keep"] for r in got) == 1 and len(got) == 9
+
+
+def test_dup_clusters_40_hop_chain(spark):
+    """40-hop templated-spam chain: far beyond the default propagation
+    bound (star_after=4), resolved by the O(log n) star fallback —
+    one cluster rooted at the min id, one representative."""
+    from corkscrew_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = dedup.dup_clusters(chain).collect()
+    assert len(got) == 41
+    assert {r["cluster_id"] for r in got} == {0}
+    assert [r["doc_id"] for r in got if r["keep"]] == [0]
 
 
 def test_flag_against_index_batch(spark):

@@ -34,6 +34,106 @@ def test_merge_upsert_tie_prefers_update(spark, tmp_path):
     assert spark.read.parquet(path).collect()[0].val == "new"
 
 
+def _pdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, region string, val string, scanned_at timestamp")
+
+
+def _partition_files(path):
+    """{relpath: (size, mtime_ns)} for every parquet file under path."""
+    import os
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+class TestPartitionScopedMerge:
+    def test_first_merge_lays_out_hive_partitions(self, spark, tmp_path):
+        import os
+        path = str(tmp_path / "pt")
+        t0 = dt.datetime(2024, 1, 1)
+        n = warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        assert n == 2
+        assert sorted(e for e in os.listdir(path) if e.startswith("region=")) \
+            == ["region=eu", "region=us"]
+
+    def test_merge_touches_only_updated_partitions(self, spark, tmp_path):
+        """The scale contract: a merge into one partition must leave every
+        other partition's data files byte-for-byte untouched (same paths,
+        sizes, and mtimes) — no full-table rewrite."""
+        path = str(tmp_path / "pt2")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0),
+                         ("c", "ap", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        before = _partition_files(path)
+        untouched_before = {k: v for k, v in before.items()
+                            if not k.startswith("region=eu")}
+        assert untouched_before  # us + ap files exist
+
+        n = warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v2", t1), ("e", "eu", "v1", t1)]),
+            ["id"], partition_cols=["region"])
+        assert n == 4
+        after = _partition_files(path)
+        untouched_after = {k: v for k, v in after.items()
+                           if not k.startswith("region=eu")}
+        # identical file sets AND identical (size, mtime) per file
+        assert untouched_after == untouched_before
+        got = {r.id: (r.region, r.val)
+               for r in spark.read.parquet(path).collect()}
+        assert got == {"a": ("eu", "v2"), "b": ("us", "v1"),
+                       "c": ("ap", "v1"), "e": ("eu", "v1")}
+
+    def test_cdc_scoped_merge_and_partition_drop(self, spark, tmp_path):
+        import os
+        path = str(tmp_path / "pt3")
+        base = spark.createDataFrame(
+            [("a", "eu", 1, 10), ("b", "us", 1, 20)],
+            "id string, region string, scanned_at long, v long")
+        warehouse.merge_upsert(spark, path, base, keys=["id"],
+                               partition_cols=["region"])
+        before_us = {k: v for k, v in _partition_files(path).items()
+                     if k.startswith("region=us")}
+        batch = spark.createDataFrame(
+            [("a", "eu", 2, None, "DELETE")],
+            "id string, region string, scanned_at long, v long, op string")
+        n = warehouse.merge_upsert_cdc(spark, path, batch, keys=["id"],
+                                       partition_cols=["region"])
+        assert n == 1
+        # the emptied partition directory is gone; us is byte-identical
+        assert not os.path.exists(os.path.join(path, "region=eu"))
+        after_us = {k: v for k, v in _partition_files(path).items()
+                    if k.startswith("region=us")}
+        assert after_us == before_us
+        assert [r.id for r in spark.read.parquet(path).collect()] == ["b"]
+
+    def test_new_partition_value_inserted(self, spark, tmp_path):
+        import os
+        path = str(tmp_path / "pt4")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("a", "eu", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("z", "sa", "v1", t1)]),
+            ["id"], partition_cols=["region"])
+        assert os.path.isdir(os.path.join(path, "region=sa"))
+        got = {r.id: r.region for r in spark.read.parquet(path).collect()}
+        assert got == {"a": "eu", "z": "sa"}
+
+
 def test_retention_delete(spark, tmp_path):
     path = str(tmp_path / "events")
     rows = [(f"e{i}", "x", dt.datetime(2024, 1, 1 + i)) for i in range(10)]
