@@ -550,7 +550,18 @@ class Graph:
             F.count("*").alias("degree"))
 
     def k_hop(self, sources: list[str], max_depth: int,
-              directed: bool = False) -> DataFrame:
+              directed: bool = False, backend: str = "iterative") -> DataFrame:
+        """``backend="iterative"`` (default) runs the frontier-BFS in
+        this module; ``"cte"`` runs Spark 4's WITH RECURSIVE — one
+        Catalyst plan, the literal rendering of the reference's
+        recursive SQL (graph_cte.py). Identical schema and values."""
+        if backend == "cte":
+            from corkscrew_spark.operators.graph_cte import k_hop_cte
+
+            return k_hop_cte(self._e(), sources, max_depth=max_depth,
+                             directed=directed)
+        if backend != "iterative":
+            raise ValueError(f"unknown backend {backend!r}")
         return k_hop(self._e(), sources, max_depth=max_depth, directed=directed)
 
     def shortest_path(self, src: str, dst: str, max_depth: int = 10,
@@ -558,10 +569,17 @@ class Graph:
                       method: str = "bfs") -> DataFrame:
         """``method="bfs"`` expands one frontier from src;
         ``"bidirectional"`` meets in the middle — same result, O(b^(d/2))
-        instead of O(b^d) frontier volume for long-distance queries."""
+        instead of O(b^d) frontier volume for long-distance queries;
+        ``"cte"`` runs the whole search as ONE Spark 4 recursive CTE
+        (array path accumulation + cycle guard, graph_cte.py)."""
         if method == "bidirectional":
             return shortest_path_bidirectional(
                 self._e(), src, dst, max_depth=max_depth, directed=directed)
+        if method == "cte":
+            from corkscrew_spark.operators.graph_cte import shortest_path_cte
+
+            return shortest_path_cte(self._e(), src, dst,
+                                     max_depth=max_depth, directed=directed)
         if method != "bfs":
             raise ValueError(f"unknown method {method!r}")
         return shortest_path(self._e(), src, dst, max_depth=max_depth,

@@ -55,6 +55,76 @@ def test_shortest_path_src_equals_dst_is_zero_hops(spark):
     assert row["depth"] == 0 and row["path"] == ["b"]
 
 
+class TestCteBackend:
+    """Spark 4 WITH RECURSIVE backend (operators/graph_cte.py) must pass
+    the exact scenarios the iterative backend does — the two are
+    interchangeable behind the Graph facade (SURVEY §4 item 1)."""
+
+    def test_khop_matches_iterative_scenarios(self, spark):
+        from corkscrew_spark.operators.graph_cte import k_hop_cte
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+        got = {r["node"]: r["distance"]
+               for r in k_hop_cte(e, ["a"], 3, directed=True).collect()}
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+        # depth bound
+        e2 = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert {r["node"] for r in
+                k_hop_cte(e2, ["a"], 2, directed=True).collect()} \
+            == {"a", "b", "c"}
+        # cycle terminates with exact min distances
+        e3 = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert {r["node"]: r["distance"] for r in
+                k_hop_cte(e3, ["a"], 10, directed=True).collect()} \
+            == {"a": 0, "b": 1, "c": 2}
+
+    def test_shortest_path_matches_iterative_scenarios(self, spark):
+        from corkscrew_spark.operators.graph_cte import shortest_path_cte
+        e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "z"), ("c", "z"),
+                           ("a", "x")])
+        row = shortest_path_cte(e, "a", "z", directed=True).collect()[0]
+        assert row["depth"] == 2 and row["path"] == ["a", "b", "z"]
+        # cycle guard
+        e2 = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+        row = shortest_path_cte(e2, "a", "c", directed=True).collect()[0]
+        assert row["depth"] == 2 and row["path"] == ["a", "b", "c"]
+        # unreachable -> empty; src == dst -> zero hops
+        e3 = _edges(spark, [("a", "b"), ("c", "d")])
+        assert shortest_path_cte(e3, "a", "d", max_depth=5,
+                                 directed=True).count() == 0
+        row = shortest_path_cte(e3, "a", "a", directed=True).collect()[0]
+        assert row["depth"] == 0 and row["path"] == ["a"]
+
+    def test_backends_agree_on_grid(self, spark):
+        """Full-result parity on a 4x4 undirected grid from a corner."""
+        from corkscrew_spark.operators.graph_cte import k_hop_cte
+        pairs = []
+        for i in range(4):
+            for j in range(4):
+                if i + 1 < 4:
+                    pairs.append((f"n{i}{j}", f"n{i+1}{j}"))
+                if j + 1 < 4:
+                    pairs.append((f"n{i}{j}", f"n{i}{j+1}"))
+        e = _edges(spark, pairs)
+        it = {(r["node"], r["distance"])
+              for r in graph.k_hop(e, ["n00"], 6, directed=False).collect()}
+        ct = {(r["node"], r["distance"])
+              for r in k_hop_cte(e, ["n00"], 6, directed=False).collect()}
+        assert it == ct and len(it) == 16
+
+    def test_facade_backend_selection(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c")])
+        g = graph.Graph(e)
+        assert {r["node"]: r["distance"]
+                for r in g.k_hop(["a"], 2, directed=True,
+                                 backend="cte").collect()} \
+            == {"a": 0, "b": 1, "c": 2}
+        row = g.shortest_path("a", "c", directed=True,
+                              method="cte").collect()[0]
+        assert row["depth"] == 2 and row["path"] == ["a", "b", "c"]
+        with pytest.raises(ValueError):
+            g.k_hop(["a"], 2, backend="nope")
+
+
 def test_topo_levels_longest_path(spark):
     # diamond with a long arm: d's level is max(path) = 3
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
