@@ -190,7 +190,8 @@ _OPERATION_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
 
 def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
                     scanned_at: dt.datetime, use_sdk: bool,
-                    use_cache: bool = True) -> Iterator[Row]:
+                    use_cache: bool = True,
+                    client_factory=None) -> Iterator[Row]:
     bucket = _TokenBucket(rate_per_sec)
     for work in rows:
         service, region = work.service, work.region
@@ -199,9 +200,11 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
         op_name, result_key, _ = LIST_OPERATIONS[service]
 
         def fetch_pages(service=service, region=region, op_name=op_name):
-            client = (_boto3_client(service, region) if use_sdk else None) or _FakeClient(
-                service, region
-            )
+            if client_factory is not None:
+                client = client_factory(service, region)
+            else:
+                client = (_boto3_client(service, region)
+                          if use_sdk else None) or _FakeClient(service, region)
             pages = []
             for page in client.get_paginator(op_name).paginate():
                 bucket.take()  # one token per API page, like the Go limiter
@@ -210,7 +213,10 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
 
         if use_cache:
             pages = _OPERATION_CACHE.get_or_fetch(
-                service, op_name, {"region": region, "sdk": use_sdk}, fetch_pages
+                service, op_name,
+                {"region": region, "sdk": use_sdk,
+                 "factory": getattr(client_factory, "__qualname__", None)},
+                fetch_pages
             )
         else:
             pages = fetch_pages()
@@ -224,7 +230,8 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
 
 def scan(spark: SparkSession, services: list[str], regions: list[str],
          rate_per_sec: float = 50.0, parallelism: int | None = None,
-         use_sdk: bool = False, scanned_at: dt.datetime | None = None) -> DataFrame:
+         use_sdk: bool = False, scanned_at: dt.datetime | None = None,
+         client_factory=None) -> DataFrame:
     """BatchScan (aws_provider.go:575-677): fan (service × region) work
     items across executors, paginate each, normalize to RESOURCE_SCHEMA.
 
@@ -235,7 +242,13 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
 
     ``use_sdk=True`` opts into real boto3 clients (needs credentials +
     network on every executor); the default serves deterministic fake
-    pages through the same pagination protocol.
+    pages through the same pagination protocol. ``client_factory`` is
+    the dependency-injection seam between the two: a picklable
+    ``(service, region) -> client`` callable built on each executor —
+    tests use it to run REAL botocore clients wrapped in
+    ``botocore.stub.Stubber`` through the whole scan loop, proving the
+    paginator-protocol handling against genuine SDK response shapes
+    without network.
     """
     work = [Row(service=s, region=r) for s in services for r in regions]
     n = parallelism or min(len(work), spark.sparkContext.defaultParallelism)
@@ -246,7 +259,8 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
     work_df = spark.createDataFrame(work).repartition(n)
     return spark.createDataFrame(
         work_df.rdd.mapPartitions(
-            lambda it: _scan_partition(it, rate_per_sec, scanned_at, use_sdk)
+            lambda it: _scan_partition(it, rate_per_sec, scanned_at, use_sdk,
+                                       client_factory=client_factory)
         ),
         RESOURCE_SCHEMA,
     )

@@ -30,16 +30,19 @@ from corkscrew_spark.schema import API_ACTION_SCHEMA, SCAN_METADATA_SCHEMA
 def run_scan(spark: SparkSession, out_dir: str, services: list[str],
              regions: list[str], use_sdk: bool = False,
              scan_id: str | None = None,
-             with_relationships: bool = False) -> dict:
+             with_relationships: bool = False,
+             client_factory=None) -> dict:
     """One full scan run. Returns the scan summary dict (also persisted
     as the scan_metadata row). ``with_relationships=True`` additionally
     extracts typed edges from the scanned blobs (RelationshipExtractor
-    parity) into ``out_dir/relationships``."""
+    parity) into ``out_dir/relationships``. ``client_factory`` passes
+    through to aws_scanner.scan (the stubbed-real-client test seam)."""
     scan_id = scan_id or f"scan-{uuid.uuid4().hex[:12]}"
     t0 = time.monotonic()
     started = dt.datetime.now()
 
-    resources = aws_scanner.scan(spark, services, regions, use_sdk=use_sdk)
+    resources = aws_scanner.scan(spark, services, regions, use_sdk=use_sdk,
+                                 client_factory=client_factory)
     res_path = os.path.join(out_dir, "resources")
     before = (
         spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0

@@ -110,3 +110,90 @@ class TestAwsRelationshipExtraction:
         out = aws_scanner.extract_relationships(res)
         assert [f.name for f in out.schema.fields] == [
             f.name for f in RELATIONSHIP_SCHEMA.fields]
+
+
+class TestStubbedRealClient:
+    """S6 proof against REAL SDK shapes: the scan loop drives genuine
+    botocore clients (response validation, operation model, paginator
+    token protocol) wrapped in botocore.stub.Stubber — no network, no
+    fake paginator. The factory closure is cloudpickled by value to each
+    executor worker, where it builds + activates the stub."""
+
+    @staticmethod
+    def _make_factory():
+        # Nested closure: its qualname isn't importable, so Spark's
+        # cloudpickle serializes it (and everything it does) BY VALUE —
+        # executor workers never need the test module on their path.
+        def factory(service, region):
+            import datetime as _dt
+
+            import boto3
+            from botocore.stub import Stubber
+
+            client = boto3.client(
+                service, region_name=region,
+                aws_access_key_id="testing",
+                aws_secret_access_key="testing")
+            st = Stubber(client)
+            if service == "s3":
+                st.add_response("list_buckets", {
+                    "Buckets": [
+                        {"Name": f"bkt-{region}-a",
+                         "CreationDate": _dt.datetime(2024, 1, 1)},
+                        {"Name": f"bkt-{region}-b",
+                         "CreationDate": _dt.datetime(2024, 1, 2)},
+                    ],
+                    "Owner": {"ID": "owner-1"},
+                }, {})
+            elif service == "ec2":
+                # two pages linked by NextToken — exercises the real
+                # paginator's token protocol end-to-end
+                st.add_response("describe_instances", {
+                    "Reservations": [{"Instances": [{
+                        "InstanceId": f"i-{region}-001",
+                        "State": {"Name": "running"},
+                        "Tags": [{"Key": "env", "Value": "prod"}],
+                        "VpcId": "vpc-1", "SubnetId": "subnet-1",
+                    }]}],
+                    "NextToken": "page-2",
+                }, {})
+                st.add_response("describe_instances", {
+                    "Reservations": [{"Instances": [{
+                        "InstanceId": f"i-{region}-002",
+                        "State": {"Name": "stopped"},
+                    }]}],
+                }, {"NextToken": "page-2"})
+            else:
+                raise AssertionError(f"unexpected service {service}")
+            st.activate()
+            return client
+
+        return factory
+
+    def test_scan_through_stubbed_botocore(self, spark):
+        df = aws_scanner.scan(
+            spark, ["s3", "ec2"], ["us-east-1", "eu-west-1"],
+            rate_per_sec=0, client_factory=self._make_factory())
+        assert df.schema == RESOURCE_SCHEMA
+        rows = {r.name: r for r in df.collect()}
+        # 2 buckets + 2 instances per region
+        assert len(rows) == 8
+        assert rows["bkt-us-east-1-a"].type == "AWS::S3::Bucket"
+        inst = rows["i-eu-west-1-001"]
+        assert inst.type == "AWS::EC2::Instance"
+        assert inst.state == "running" and inst.tags["env"] == "prod"
+        # page 2 (reached only via the real NextToken round-trip)
+        assert rows["i-eu-west-1-002"].state == "stopped"
+        assert all(r.provider == "aws" for r in rows.values())
+
+    def test_run_scan_pipeline_with_stubbed_client(self, spark, tmp_path):
+        from corkscrew_spark.ingest import pipeline
+
+        out = str(tmp_path / "warehouse")
+        summary = pipeline.run_scan(
+            spark, out, ["s3", "ec2"], ["us-east-1"],
+            client_factory=self._make_factory())
+        assert summary["total_resources"] == 4
+        res = spark.read.parquet(f"{out}/resources")
+        assert res.count() == 4
+        assert {r.service for r in res.collect()} == {"s3", "ec2"}
