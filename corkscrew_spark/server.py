@@ -20,6 +20,10 @@ Endpoints:
   GET  /v1/health
   GET  /v1/status
   GET  /v1/providers
+  POST /v1/grpc/<Method>   binary protobuf CorkscrewAPI envelopes
+                           (proto_wire.py codec; server_grpc.py also
+                           binds the same handlers to real grpcio
+                           where that package is installed)
 """
 
 from __future__ import annotations
@@ -191,6 +195,9 @@ class ApiServer:
 
             def do_POST(self):
                 api.request_count += 1
+                if self.path.startswith("/v1/grpc/"):
+                    self._grpc_binary(self.path[len("/v1/grpc/"):])
+                    return
                 if self.path != "/v1/query":
                     api.error_count += 1
                     self._send(404, {"error": f"no such endpoint: {self.path}"})
@@ -203,6 +210,34 @@ class ApiServer:
                     self._send(400, {"error": "invalid JSON body"})
                     return
                 self._send(*api.execute_query(body))
+
+            def _grpc_binary(self, method: str) -> None:
+                """POST /v1/grpc/<Method>: the CorkscrewAPI proto
+                envelope as raw binary protobuf (proto/api.proto:8-22)
+                — protoc-compatible bytes in, protoc-compatible bytes
+                out, for clients scripted against the reference's
+                message stubs. Content-Length frames the message (no
+                gRPC length prefix needed over HTTP/1.1)."""
+                from corkscrew_spark import server_grpc
+
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n)
+                try:
+                    data = server_grpc.call_method(
+                        server_grpc.GrpcMethods(api), method, body)
+                except KeyError:
+                    api.error_count += 1
+                    self._send(404, {"error": f"no such RPC: {method}"})
+                    return
+                except ValueError as ex:  # INVALID_ARGUMENT parity
+                    api.error_count += 1
+                    self._send(400, {"error": str(ex)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
 
         return ThreadingHTTPServer((host, port), Handler)
 
