@@ -47,7 +47,12 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
     before = (
         spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0
     )
-    total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"])
+    # Partition the warehouse by service so each scan's upsert is
+    # PARTITION-SCOPED: scanning two services rewrites two directories,
+    # never the whole table (a resource id embeds its service, so keyed
+    # merge locality holds). First run lays out the hive directories.
+    total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"],
+                                   partition_cols=["service"])
 
     if with_relationships:
         edges = aws_scanner.extract_relationships(spark.read.parquet(res_path))

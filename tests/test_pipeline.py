@@ -18,12 +18,29 @@ def test_run_scan_persists_all_tables(spark, tmp_path):
     api = spark.read.parquet(f"{out}/api_action_metadata")
     assert api.count() == 2  # (s3, iam) × us-east-1
 
+    # the warehouse is hive-partitioned by service so re-scans are
+    # partition-scoped merges, not full-table rewrites
+    import os
+    assert sorted(e for e in os.listdir(f"{out}/resources")
+                  if e.startswith("service=")) \
+        == ["service=iam", "service=s3"]
+    iam_files = {
+        f: os.stat(os.path.join(f"{out}/resources/service=iam", f)).st_mtime_ns
+        for f in os.listdir(f"{out}/resources/service=iam")
+        if f.endswith(".parquet")}
+
     # second scan widens services: upsert keeps ids unique, metadata appends
-    s2 = pipeline.run_scan(spark, out, ["s3", "iam", "lambda"], ["us-east-1"])
+    s2 = pipeline.run_scan(spark, out, ["s3", "lambda"], ["us-east-1"])
     res2 = spark.read.parquet(f"{out}/resources")
     assert res2.count() == s2["total_resources"] > s1["total_resources"]
     assert res2.select("id").distinct().count() == res2.count()
     assert spark.read.parquet(f"{out}/scan_metadata").count() == 2
+    # iam wasn't in the second scan -> its partition files are untouched
+    iam_after = {
+        f: os.stat(os.path.join(f"{out}/resources/service=iam", f)).st_mtime_ns
+        for f in os.listdir(f"{out}/resources/service=iam")
+        if f.endswith(".parquet")}
+    assert iam_after == iam_files
 
 
 def test_scan_with_relationship_extraction(spark, tmp_path):
