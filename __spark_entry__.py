@@ -29,14 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, SMOKE_SF_DIR)
 
 
-#: Names with a green row in CORRECTNESS_r01/r02. The driver's correctness
-#: pass records only the first 50 dict entries per round, so queries whose
-#: contract is already proven yield their slot to never-verified ones —
-#: ordering here rotates the 50-query window across rounds until every
-#: registered query has a recorded row. (pack_sequences is deliberately
-#: absent: its r02 row hash-mismatched on a DuckDB HUGEINT promotion and
-#: the fixed oracle must re-verify.) Round-4 upkeep: fold the names
-#: recorded in CORRECTNESS_r03.json into this set and empty _DEFERRED.
+#: Names with a green row in CORRECTNESS_r01/r02/r03 (99 distinct; folded
+#: by tools/rotate_window.py at round-4 start). The driver's correctness
+#: pass records only the first 50 dict entries per round, so queries
+#: whose contract is already proven yield their slot to never-verified
+#: ones — ordering here rotates the 50-query window across rounds until
+#: every registered query has a recorded row. Round-5 upkeep: run
+#: `python tools/rotate_window.py` again (folds CORRECTNESS_r04.json),
+#: then `python tools/driver_sim.py --window 50` before committing.
 _DRIVER_RECORDED = frozenset({
     "activity_streaks", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_quantized_topk", "anti_join", "approx_distinct_users",
@@ -73,28 +73,20 @@ _DRIVER_RECORDED = frozenset({
 })
 
 
-#: Registered late in round 3, after the 50-slot window was already full
-#: of never-verified queries (the window holds the 38 carried-over names
-#: plus round 3's first 12 registrations). Every deferred query passes
-#: the local sf0.001/sf0.01 differential gate and rotates to the FRONT
-#: of the window next round.
-#:
-#: Round-3 session end-state: ALL 185 registered queries (the pinned
-#: window AND the full backlog) were driver-sim-verified green at
-#: sf0.01 in one session, and the 943-test suite + plan audit are
-#: green. Round-4 upkeep: `python tools/rotate_window.py` then
-#: `python tools/driver_sim.py --window 50` before committing the pin.
-_DEFERRED = frozenset()  # rebuilt by tools/rotate_window.py: the
-# backlog is now derived from registration order minus _DRIVER_RECORDED
+#: The never-recorded backlog is now derived from registration order
+#: minus _DRIVER_RECORDED (rotate_window.py rebuilds everything; no
+#: hand-maintained deferral list needed). Round 4 froze new query
+#: registration per VERDICT r3: the full registry stays at 187 names
+#: until the backlog clears.
+_DEFERRED = frozenset()
 
 
-#: Round 3's pinned 50-slot correctness window — every name was verified
-#: green against its oracle (or rows-only contract) by tools/driver_sim.py
-#: at sf0.01 before pinning. Pinning keeps queries registered later in
-#: the round from silently displacing a planned slot. Round-4 upkeep:
-#: fold CORRECTNESS_r03.json names into _DRIVER_RECORDED, then rebuild
-#: this list from the not-yet-recorded backlog (_DEFERRED + round-3/4
-#: registrations), oldest first.
+#: Round 4's pinned 50-slot correctness window: the 49 oldest
+#: never-recorded registrations, plus graph_pagerank up front (its r02
+#: row predated the unrolled-power-iteration oracle, so the hash-exact
+#: claim needs a recorded row). Every name was verified green by
+#: `tools/driver_sim.py --window 50` at sf0.01 before pinning (50/50).
+#: After this round ~39 backlog names remain for round 5's window.
 _WINDOW = (
     "graph_pagerank",
     "graph_triangles",
