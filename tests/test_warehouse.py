@@ -119,6 +119,29 @@ class TestPartitionScopedMerge:
         assert after_us == before_us
         assert [r.id for r in spark.read.parquet(path).collect()] == ["b"]
 
+    def test_scoped_read_is_partition_pruned(self, spark, tmp_path):
+        """The scoped merge's existing-side read must compile to pure
+        partition pruning (PartitionFilters on the hive layout), so
+        untouched partitions are never listed or scanned — the plan-level
+        proof behind the mtime assertion above."""
+        from corkscrew_spark.warehouse import (_partition_predicate,
+                                               _touched_partitions)
+        path = str(tmp_path / "pt5")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0),
+                         ("c", "ap", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        updates = _pdf(spark, [("a", "eu", "v2", t0)])
+        touched = _touched_partitions(updates, ["region"])
+        assert touched == [("eu",)]
+        pruned = spark.read.parquet(path).filter(
+            _partition_predicate(["region"], touched))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert pruned.count() == 1
+
     def test_new_partition_value_inserted(self, spark, tmp_path):
         import os
         path = str(tmp_path / "pt4")
