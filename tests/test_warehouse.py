@@ -142,6 +142,42 @@ class TestPartitionScopedMerge:
         assert "PartitionFilters: [" in plan
         assert pruned.count() == 1
 
+    def test_hive_escaping_matches_spark(self, spark, tmp_path):
+        """_hive_escape must reproduce Spark's partition-directory
+        escaping byte-for-byte, or the swap would silently miss dirs.
+        Covers the escaped charset (/ = % : control chars) and a space
+        (NOT escaped by Spark)."""
+        import os
+        from corkscrew_spark.warehouse import _hive_escape
+        vals = ["us:east 1", "a/b", "pct%20", "eq=x", "plain"]
+        df = spark.createDataFrame([(v, 1) for v in vals],
+                                   "region string, v int")
+        path = str(tmp_path / "esc")
+        df.write.partitionBy("region").parquet(path)
+        dirs = {e for e in os.listdir(path) if e.startswith("region=")}
+        for v in vals:
+            assert f"region={_hive_escape(v)}" in dirs, v
+
+        # end-to-end: scoped merge into an escaped partition swaps the
+        # right directory and leaves the others untouched
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        tbl = str(tmp_path / "esc2")
+        warehouse.merge_upsert(
+            spark, tbl,
+            _pdf(spark, [("a", "us:east 1", "v1", t0),
+                         ("b", "a/b", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        before = {k: v for k, v in _partition_files(tbl).items()
+                  if k.startswith("region=a%2Fb")}
+        warehouse.merge_upsert(
+            spark, tbl, _pdf(spark, [("a", "us:east 1", "v2", t1)]),
+            ["id"], partition_cols=["region"])
+        after = {k: v for k, v in _partition_files(tbl).items()
+                 if k.startswith("region=a%2Fb")}
+        assert after == before
+        got = {r.id: r.val for r in spark.read.parquet(tbl).collect()}
+        assert got == {"a": "v2", "b": "v1"}
+
     def test_new_partition_value_inserted(self, spark, tmp_path):
         import os
         path = str(tmp_path / "pt4")
