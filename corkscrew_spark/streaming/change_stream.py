@@ -173,7 +173,8 @@ def correlate_streams(changes: DataFrame, alerts: DataFrame,
 def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
                       keys: list[str], order_col: str = "scanned_at",
                       once: bool = True, op_col: str | None = None,
-                      delete_value: str = "DELETE"):
+                      delete_value: str = "DELETE",
+                      partition_cols: list[str] | None = None):
     """CDC-style sink: merge each micro-batch into the keyed warehouse
     table via foreachBatch + warehouse.merge_upsert — the streaming
     complement of the batch upsert path (reference auto-save upserts the
@@ -186,6 +187,11 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
     ``delete_value`` are tombstones that remove their key when they are
     the newest version (warehouse.merge_upsert_cdc) — the full
     CREATE/UPDATE/DELETE change-event vocabulary lands correctly.
+
+    ``partition_cols`` makes every micro-batch merge PARTITION-SCOPED
+    (warehouse.merge_upsert semantics): a batch touching two services
+    rewrites two directories of a 100 TB table, never the table — the
+    setting that keeps a continuously-merging sink viable at scale.
     """
     from corkscrew_spark import warehouse
 
@@ -196,10 +202,12 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
             warehouse.merge_upsert_cdc(batch_df.sparkSession, path, batch_df,
                                        keys, order_col=order_col,
                                        op_col=op_col,
-                                       delete_value=delete_value)
+                                       delete_value=delete_value,
+                                       partition_cols=partition_cols)
         else:
             warehouse.merge_upsert(batch_df.sparkSession, path, batch_df,
-                                   keys, order_col=order_col)
+                                   keys, order_col=order_col,
+                                   partition_cols=partition_cols)
 
     writer = (
         df.writeStream.foreachBatch(_merge)

@@ -182,6 +182,51 @@ def test_streaming_upsert_sink(spark, tmp_path):
     assert got == {"r1": "ACTIVE", "r2": "ACTIVE", "r3": "ACTIVE"}
 
 
+def test_upsert_sink_partition_scoped(spark, tmp_path):
+    """partition_cols on the streaming sink: each micro-batch merges
+    only its partitions; a service absent from the batch keeps its
+    partition files byte-identical across the merge."""
+    import json as _json
+    import os
+
+    from corkscrew_spark.streaming import change_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    schema = "id string, service string, state string, scanned_at timestamp"
+
+    rows1 = [
+        {"id": "a", "service": "s3", "state": "ACTIVE",
+         "scanned_at": "2025-01-01T00:00:00"},
+        {"id": "b", "service": "ec2", "state": "ACTIVE",
+         "scanned_at": "2025-01-01T00:00:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(map(_json.dumps, rows1)))
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = change_stream.start_upsert_sink(stream, table, ck, ["id"],
+                                        partition_cols=["service"])
+    q.awaitTermination(60)
+    ec2_dir = os.path.join(table, "service=ec2")
+    before = {f: os.stat(os.path.join(ec2_dir, f)).st_mtime_ns
+              for f in os.listdir(ec2_dir) if f.endswith(".parquet")}
+    assert before
+
+    rows2 = [{"id": "a", "service": "s3", "state": "DELETING",
+              "scanned_at": "2025-01-02T00:00:00"}]
+    (src / "b2.json").write_text("\n".join(map(_json.dumps, rows2)))
+    q = change_stream.start_upsert_sink(stream, table, ck, ["id"],
+                                        partition_cols=["service"])
+    q.awaitTermination(60)
+
+    after = {f: os.stat(os.path.join(ec2_dir, f)).st_mtime_ns
+             for f in os.listdir(ec2_dir) if f.endswith(".parquet")}
+    assert after == before  # ec2 untouched by the s3-only batch
+    got = {r.id: r.state for r in spark.read.parquet(table).collect()}
+    assert got == {"a": "DELETING", "b": "ACTIVE"}
+
+
 def test_continuous_compliance_on_resource_feed(spark, tmp_path):
     """A pack evaluated per micro-batch through foreachBatch: violations
     surface with the batch id, and the result contract holds."""
