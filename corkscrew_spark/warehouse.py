@@ -107,16 +107,27 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
     )
     trash = f"{path}.__old__{time.time_ns()}"
     os.makedirs(trash)
+    displaced: list[tuple[str, str]] = []  # (trash location, live dir)
     try:
         for i, values in enumerate(touched):
             rel = _partition_reldir(partition_cols, values)
             new_dir = os.path.join(tmp, rel)
             live_dir = os.path.join(path, rel)
             if os.path.isdir(live_dir):
-                os.rename(live_dir, os.path.join(trash, str(i)))
+                moved = os.path.join(trash, str(i))
+                os.rename(live_dir, moved)
+                displaced.append((moved, live_dir))
             if os.path.isdir(new_dir):
                 os.makedirs(os.path.dirname(live_dir), exist_ok=True)
                 os.rename(new_dir, live_dir)
+    except BaseException:
+        # Restore every displaced partition whose slot is still empty
+        # before the trash is dropped — a mid-swap failure must not
+        # lose pre-merge data.
+        for moved, live_dir in displaced:
+            if os.path.isdir(moved) and not os.path.exists(live_dir):
+                os.rename(moved, live_dir)
+        raise
     finally:
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
