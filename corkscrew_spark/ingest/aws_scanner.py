@@ -211,11 +211,15 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
                 pages.append(page)
             return pages
 
-        if use_cache:
+        if use_cache and client_factory is None:
+            # Injected factories bypass the cache: two distinct factories
+            # can share a __qualname__ (closures from one helper,
+            # functools.partial), so no cache key reliably identifies
+            # them — serving one factory's pages as another's would be a
+            # silent wrong-data bug. The cache exists to amortize real
+            # API calls, which only the sdk/fake paths make repeatedly.
             pages = _OPERATION_CACHE.get_or_fetch(
-                service, op_name,
-                {"region": region, "sdk": use_sdk,
-                 "factory": getattr(client_factory, "__qualname__", None)},
+                service, op_name, {"region": region, "sdk": use_sdk},
                 fetch_pages
             )
         else:

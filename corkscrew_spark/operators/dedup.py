@@ -408,6 +408,10 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     exactly when dedup matters most), so the remaining work routes to
     graph.connected_components_star, whose large-star/small-star
     contraction finishes in O(log n) rounds instead of O(diameter).
+    ``max_iter`` is the TOTAL iteration budget: it caps phase 1 (jointly
+    with ``star_after``) and bounds the star contraction's rounds — the
+    star phase raises if even O(log n) contraction can't converge
+    within it.
 
     Parity note: same shape as operators/graph.py BFS;
     the reference has no dedup subsystem — this is part of the
@@ -450,7 +454,7 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         # node with its component minimum — same output contract.
         from corkscrew_spark.operators.graph import connected_components_star
 
-        labels = connected_components_star(edges).select(
+        labels = connected_components_star(edges, max_rounds=max_iter).select(
             "node", F.col("component").alias("label"))
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -973,8 +973,14 @@ def find_motifs(edges: DataFrame, pattern: str, src_col: str = "src",
     for a, b in negatives:
         if a not in bound or b not in bound:
             raise ValueError(f"negated term references unbound variable: ({a})->({b})")
-        out = out.join(
-            e.select(F.col("src").alias(a), F.col("dst").alias(b)),
-            [a, b], "left_anti")
+        if a == b:
+            # "!(a)-[]->(a)": exclude matches whose node has a self-loop
+            neg = e.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(a))
+            out = out.join(neg, [a], "left_anti")
+        else:
+            out = out.join(
+                e.select(F.col("src").alias(a), F.col("dst").alias(b)),
+                [a, b], "left_anti")
     named = [v for v in bound if not v.startswith("__anon")]
     return out.select(*sorted(named)).distinct()

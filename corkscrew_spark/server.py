@@ -230,7 +230,8 @@ class ApiServer:
                     self._send(404, {"error": f"no such RPC: {method}"})
                     return
                 except ValueError as ex:  # INVALID_ARGUMENT parity
-                    api.error_count += 1
+                    # no error_count bump here: the method handler that
+                    # raised (execute_query) already counted the error
                     self._send(400, {"error": str(ex)})
                     return
                 self.send_response(200)

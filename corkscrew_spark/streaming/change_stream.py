@@ -198,16 +198,20 @@ def start_upsert_sink(df: DataFrame, path: str, checkpoint: str,
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # count_rows=False: the sink discards the return value, and the
+        # post-merge count is a full-table metadata read per micro-batch
         if op_col is not None:
             warehouse.merge_upsert_cdc(batch_df.sparkSession, path, batch_df,
                                        keys, order_col=order_col,
                                        op_col=op_col,
                                        delete_value=delete_value,
-                                       partition_cols=partition_cols)
+                                       partition_cols=partition_cols,
+                                       count_rows=False)
         else:
             warehouse.merge_upsert(batch_df.sparkSession, path, batch_df,
                                    keys, order_col=order_col,
-                                   partition_cols=partition_cols)
+                                   partition_cols=partition_cols,
+                                   count_rows=False)
 
     writer = (
         df.writeStream.foreachBatch(_merge)

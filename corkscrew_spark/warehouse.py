@@ -50,7 +50,9 @@ _HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
 
 
 def _hive_escape(value) -> str:
-    if value is None:
+    # Spark's getPartitionValueString maps BOTH null and the empty
+    # string to the default partition directory.
+    if value is None or value == "":
         return "__HIVE_DEFAULT_PARTITION__"
     return "".join(
         "%%%02X" % ord(ch) if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
@@ -84,7 +86,9 @@ def _partition_predicate(partition_cols: list[str], touched: list[tuple]):
     for values in touched:
         clause = F.lit(True)
         for c, v in zip(partition_cols, values):
-            clause = clause & (F.col(c).isNull() if v is None
+            # null and "" share the default-partition directory, and
+            # Spark reads that directory back as null — match both.
+            clause = clause & (F.col(c).isNull() if v is None or v == ""
                                else (F.col(c) == F.lit(v)))
         pred = pred | clause
     return pred
@@ -108,24 +112,37 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
     trash = f"{path}.__old__{time.time_ns()}"
     os.makedirs(trash)
     displaced: list[tuple[str, str]] = []  # (trash location, live dir)
+    # null and "" partition values share one directory — dedupe by the
+    # resolved relpath so the swap never processes a directory twice.
+    rels = list(dict.fromkeys(
+        _partition_reldir(partition_cols, values) for values in touched))
+    added: list[str] = []  # live dirs swapped in where none existed
     try:
-        for i, values in enumerate(touched):
-            rel = _partition_reldir(partition_cols, values)
+        for i, rel in enumerate(rels):
             new_dir = os.path.join(tmp, rel)
             live_dir = os.path.join(path, rel)
-            if os.path.isdir(live_dir):
+            had_original = os.path.isdir(live_dir)
+            if had_original:
                 moved = os.path.join(trash, str(i))
                 os.rename(live_dir, moved)
                 displaced.append((moved, live_dir))
             if os.path.isdir(new_dir):
                 os.makedirs(os.path.dirname(live_dir), exist_ok=True)
                 os.rename(new_dir, live_dir)
+                if not had_original:
+                    added.append(live_dir)
     except BaseException:
-        # Restore every displaced partition whose slot is still empty
-        # before the trash is dropped — a mid-swap failure must not
-        # lose pre-merge data.
+        # Roll the live table back to its pre-merge state before the
+        # trash is dropped: remove every swapped-in staging dir (all
+        # reproducible by re-running the merge) and put every displaced
+        # original back — a mid-swap failure must neither lose pre-merge
+        # data nor leave a half-merged mix.
+        for live_dir in added:
+            shutil.rmtree(live_dir, ignore_errors=True)
         for moved, live_dir in displaced:
-            if os.path.isdir(moved) and not os.path.exists(live_dir):
+            if os.path.isdir(moved):
+                if os.path.exists(live_dir):
+                    shutil.rmtree(live_dir, ignore_errors=True)
                 os.rename(moved, live_dir)
         raise
     finally:
@@ -157,12 +174,30 @@ def _swap_write_partitioned(df: DataFrame, path: str,
 def _table_count(spark: SparkSession, path: str) -> int:
     """Fresh post-swap row count. Parquet COUNT(*) aggregates row-group
     metadata without decoding columns — cheap at any table size. An
-    all-deleted table may hold zero schema'd part files; that reads as
-    empty."""
+    all-deleted table may hold zero schema'd part files; ONLY that
+    (schema-inference failure) reads as empty — real IO errors raise."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path).count()
-    except Exception:
+    except AnalysisException:
         return 0
+
+
+def _aligned_updates(existing: DataFrame, updates: DataFrame,
+                     ignore: tuple[str, ...] = ()) -> DataFrame:
+    """Reorder ``updates`` to the existing table's column order, raising
+    on columns the table doesn't have — silent projection would hide
+    schema drift (a new scanner field that never lands in the
+    warehouse)."""
+    extra = [c for c in updates.columns
+             if c not in existing.columns and c not in ignore]
+    if extra:
+        raise ValueError(
+            f"update batch has columns absent from the table: {extra} — "
+            "migrate the table schema before merging (silent drops hide "
+            "schema drift)")
+    return updates.select(*existing.columns)
 
 
 def append(df: DataFrame, path: str) -> None:
@@ -172,7 +207,8 @@ def append(df: DataFrame, path: str) -> None:
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  keys: list[str], order_col: str = "scanned_at",
-                 partition_cols: list[str] | None = None) -> int:
+                 partition_cols: list[str] | None = None,
+                 count_rows: bool = True) -> int:
     """Upsert ``updates`` into the parquet table at ``path``: rows whose
     ``keys`` match an existing row replace it (newest ``order_col`` wins,
     update beating existing on ties); new keys are inserted.
@@ -189,8 +225,11 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     merge (or a merge into a non-partitioned table) lays the table out
     hive-partitioned so subsequent merges scope.
 
-    Returns the resulting row count. Equivalent to Delta
-    ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *``.
+    Returns the resulting row count, or -1 with ``count_rows=False`` —
+    the post-merge count is a full-table parquet metadata read, which a
+    high-frequency caller (the streaming sink) should skip. Equivalent
+    to Delta ``MERGE WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT
+    *``.
     """
     updates = updates.withColumn("_src", F.lit(1))
     scoped = bool(partition_cols) and _is_hive_partitioned(
@@ -202,7 +241,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
             touched = _touched_partitions(updates, partition_cols)
             existing = existing.filter(
                 _partition_predicate(partition_cols, touched))
-        merged = existing.unionByName(updates.select(*existing.columns))
+        merged = existing.unionByName(_aligned_updates(existing, updates))
     else:
         merged = updates
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
@@ -217,7 +256,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
         _swap_write_partitioned(result, path, partition_cols)
     else:
         _swap_write(result, path)
-    return _table_count(spark, path)
+    return _table_count(spark, path) if count_rows else -1
 
 
 def retention_delete(spark: SparkSession, path: str, ts_col: str,
@@ -751,7 +790,8 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
 def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
                      keys: list[str], order_col: str = "scanned_at",
                      op_col: str = "op", delete_value: str = "DELETE",
-                     partition_cols: list[str] | None = None) -> int:
+                     partition_cols: list[str] | None = None,
+                     count_rows: bool = True) -> int:
     """CDC merge with delete propagation: rows whose ``op_col`` equals
     ``delete_value`` act as TOMBSTONES — if the tombstone is the newest
     version of its key, the key disappears from the table; otherwise the
@@ -767,7 +807,8 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
     extra map-side filter for the tombstones. Replay-safe: re-applying
     the same batch reaches the same table (newest-wins + the update
     side beating existing on order ties). Returns the resulting row
-    count.
+    count (-1 with ``count_rows=False``, skipping the full-table
+    metadata read — see merge_upsert).
     """
     updates = updates.withColumn("_src", F.lit(1))
     scoped = bool(partition_cols) and _is_hive_partitioned(
@@ -783,7 +824,7 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
             touched = _touched_partitions(updates, partition_cols)
             existing = existing.filter(
                 _partition_predicate(partition_cols, touched))
-        merged = existing.unionByName(updates.select(*existing.columns))
+        merged = existing.unionByName(_aligned_updates(existing, updates))
     else:
         merged = updates
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
@@ -799,7 +840,7 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
         _swap_write_partitioned(result, path, partition_cols)
     else:
         _swap_write(result, path)
-    return _table_count(spark, path)
+    return _table_count(spark, path) if count_rows else -1
 
 
 def retention_drop_partitions(path: str, partition_col: str,

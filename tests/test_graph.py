@@ -505,6 +505,12 @@ class TestMotifFind:
         both = {(r.a, r.b) for r in
                 find_motifs(e, "(a)-[]->(a); (a)-[]->(b)").collect()}
         assert ("a", "b") in both and ("a", "a") in both
+        # negated self-loop: sources WITHOUT a loop (regression: the
+        # positive-term fix didn't cover negation)
+        no_loop = {(r.a, r.b) for r in
+                   find_motifs(e, "(a)-[]->(b); !(a)-[]->(a)").collect()}
+        assert ("b", "c") in no_loop
+        assert not any(a == "a" or a == "c" for a, _ in no_loop)
 
     def test_anonymous_and_fanout(self, spark):
         from corkscrew_spark.operators.graph import find_motifs

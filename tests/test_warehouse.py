@@ -178,6 +178,42 @@ class TestPartitionScopedMerge:
         got = {r.id: r.val for r in spark.read.parquet(tbl).collect()}
         assert got == {"a": "v2", "b": "v1"}
 
+    def test_empty_string_partition_value(self, spark, tmp_path):
+        """Spark maps BOTH null and '' partition values to the
+        __HIVE_DEFAULT_PARTITION__ directory; the scoped swap must
+        follow (regression: '' produced 'region=' which matched no
+        staging dir, silently dropping the batch's rows)."""
+        import os
+        path = str(tmp_path / "pt6")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        assert os.path.isdir(
+            os.path.join(path, "region=__HIVE_DEFAULT_PARTITION__"))
+        # scoped merge into the default partition ('' and None collapse)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("b", "", "v2", t1), ("c", None, "v1", t1)]),
+            ["id"], partition_cols=["region"])
+        got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+        assert got == {"a": "v1", "b": "v2", "c": "v1"}
+
+    def test_update_with_unknown_column_raises(self, spark, tmp_path):
+        """Schema drift surfaces instead of silently dropping the new
+        column on every merge."""
+        import pytest as _pytest
+        path = str(tmp_path / "pt7")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(spark, path,
+                               _df(spark, [("a", "v1", t0)]), ["id"])
+        widened = spark.createDataFrame(
+            [("a", "v2", t0, "new")],
+            "id string, val string, scanned_at timestamp, extra string")
+        with _pytest.raises(ValueError, match="absent from the table"):
+            warehouse.merge_upsert(spark, path, widened, ["id"])
+
     def test_new_partition_value_inserted(self, spark, tmp_path):
         import os
         path = str(tmp_path / "pt4")
