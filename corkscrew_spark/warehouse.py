@@ -444,7 +444,8 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
                keys: list[str], tracked_cols: list[str],
                effective_col: str = "scanned_at",
                snapshot: bool = False,
-               snapshot_ts=None) -> int:
+               snapshot_ts=None,
+               partition_cols: list[str] | None = None) -> int:
     """Type-2 slowly-changing-dimension merge: instead of overwriting a
     changed row (merge_upsert, SCD1), close out the current version
     (set ``valid_to`` = the update's effective time, ``is_current`` =
@@ -467,11 +468,26 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     are batch-sized; AQE broadcasts small ones), no window over the full
     history — closed versions are untouched pass-through rows.
 
+    ``partition_cols`` makes the merge PARTITION-SCOPED exactly as in
+    merge_upsert: only the hive partitions carrying the batch's
+    partition values are read and rewritten (history AND current rows
+    of other partitions keep their files untouched). In snapshot mode
+    the completeness contract becomes per-partition: deletion detection
+    closes out keys missing from the snapshot WITHIN the touched
+    partitions only.
+
     Returns the resulting row count.
     """
     meta = {"valid_from", "valid_to", "is_current"}
+    scoped = bool(partition_cols) and _is_hive_partitioned(
+        path, partition_cols[0])
+    touched: list[tuple] = []
     if os.path.exists(path):
         existing = spark.read.parquet(path)
+        if scoped:
+            touched = _touched_partitions(updates, partition_cols)
+            existing = existing.filter(
+                _partition_predicate(partition_cols, touched))
     else:
         empty_schema = (
             updates
@@ -482,6 +498,11 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
         )
         existing = spark.createDataFrame([], empty_schema)
     data_cols = [c for c in existing.columns if c not in meta]
+    extra = [c for c in updates.columns if c not in data_cols]
+    if extra:
+        raise ValueError(
+            f"update batch has columns absent from the dimension: {extra} "
+            "— migrate the table schema before merging")
 
     upd = updates.select(*data_cols).alias("u")
     cur = existing.filter(F.col("is_current")).alias("c")
@@ -540,7 +561,12 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
         .unionByName(closed_out)
         .unionByName(inserted)
     )
-    _swap_write(result, path)
+    if scoped:
+        _swap_partitions(result, path, partition_cols, touched)
+    elif partition_cols:
+        _swap_write_partitioned(result, path, partition_cols)
+    else:
+        _swap_write(result, path)
     return _table_count(spark, path)
 
 

@@ -402,6 +402,46 @@ def test_scd2_merge_versions_history(spark, tmp_path):
     assert rows[("r3", True)].size == "tiny"
 
 
+def test_scd2_merge_partition_scoped(spark, tmp_path):
+    """SCD2 with partition_cols: a merge touching one service rewrites
+    only that service's directory; history AND current rows of other
+    services keep their exact files."""
+    import os
+    from datetime import datetime
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "dim")
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    v1 = spark.createDataFrame(
+        [("r1", "s3", "small", t1), ("r2", "ec2", "large", t1)],
+        "rid string, service string, size string, scanned_at timestamp",
+    )
+    warehouse.scd2_merge(spark, path, v1, keys=["rid"],
+                         tracked_cols=["size"], partition_cols=["service"])
+    ec2_dir = os.path.join(path, "service=ec2")
+    before = {f: os.stat(os.path.join(ec2_dir, f)).st_mtime_ns
+              for f in os.listdir(ec2_dir) if f.endswith(".parquet")}
+    assert before
+
+    v2 = spark.createDataFrame(
+        [("r1", "s3", "medium", t2)],
+        "rid string, service string, size string, scanned_at timestamp",
+    )
+    n = warehouse.scd2_merge(spark, path, v2, keys=["rid"],
+                             tracked_cols=["size"],
+                             partition_cols=["service"])
+    assert n == 3  # r1 x2 versions + r2 x1
+    after = {f: os.stat(os.path.join(ec2_dir, f)).st_mtime_ns
+             for f in os.listdir(ec2_dir) if f.endswith(".parquet")}
+    assert after == before
+    rows = {(r.rid, r.is_current): r
+            for r in spark.read.parquet(path).collect()}
+    assert rows[("r1", False)].size == "small"
+    assert rows[("r1", True)].size == "medium"
+    assert rows[("r2", True)].size == "large"
+
+
 def test_scd2_merge_noop_update_keeps_single_version(spark, tmp_path):
     from datetime import datetime
 
