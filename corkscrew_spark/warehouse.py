@@ -104,8 +104,11 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
     the table tree first so readers never see a non-hive entry."""
     tmp = f"{path}.__staging__{time.time_ns()}"
     (
+        # one task per partition directory (no small-files explosion);
+        # maxRecordsPerFile re-splits an oversized partition's output
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )
@@ -160,6 +163,7 @@ def _swap_write_partitioned(df: DataFrame, path: str,
     (
         df.repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )
