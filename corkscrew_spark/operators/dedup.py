@@ -408,10 +408,11 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     exactly when dedup matters most), so the remaining work routes to
     graph.connected_components_star, whose large-star/small-star
     contraction finishes in O(log n) rounds instead of O(diameter).
-    ``max_iter`` is the TOTAL iteration budget: it caps phase 1 (jointly
-    with ``star_after``) and bounds the star contraction's rounds — the
-    star phase raises if even O(log n) contraction can't converge
-    within it.
+    ``max_iter`` caps phase 1 (jointly with ``star_after``) and RAISES
+    the star fallback's round bound when larger than star's default of
+    50 — lowering it never starves the fallback below the bound that
+    always sufficed (O(log n) needs far fewer than 50 rounds on any
+    real graph).
 
     Parity note: same shape as operators/graph.py BFS;
     the reference has no dedup subsystem — this is part of the
@@ -454,7 +455,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         # node with its component minimum — same output contract.
         from corkscrew_spark.operators.graph import connected_components_star
 
-        labels = connected_components_star(edges, max_rounds=max_iter).select(
+        labels = connected_components_star(
+            edges, max_rounds=max(max_iter, 50)).select(
             "node", F.col("component").alias("label"))
     return labels.select(
         F.col("node").alias("doc_id"),

@@ -229,10 +229,14 @@ class ApiServer:
                     api.error_count += 1
                     self._send(404, {"error": f"no such RPC: {method}"})
                     return
-                except ValueError as ex:  # INVALID_ARGUMENT parity
-                    # no error_count bump here: the method handler that
-                    # raised (execute_query) already counted the error
+                except server_grpc.InvalidArgument as ex:
+                    # handler-validated failure: execute_query already
+                    # counted it — bumping again would double-count
                     self._send(400, {"error": str(ex)})
+                    return
+                except ValueError as ex:  # malformed protobuf bytes
+                    api.error_count += 1
+                    self._send(400, {"error": f"invalid request body: {ex}"})
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-protobuf")

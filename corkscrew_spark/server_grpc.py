@@ -29,6 +29,13 @@ import time
 from corkscrew_spark import proto_wire as pw
 
 
+class InvalidArgument(ValueError):
+    """Raised by a method handler for a request that fails validation
+    AFTER the handler has accounted for it (error_count already bumped)
+    — distinct from a wire-decode ValueError, which the transport must
+    count itself."""
+
+
 def _now_ts() -> dict:
     t = time.time()
     seconds = int(t)
@@ -49,7 +56,7 @@ class GrpcMethods:
         code, payload = self.api.execute_query(body)
         if code == 400:
             # transport-level error: gRPC INVALID_ARGUMENT (see call site)
-            raise ValueError(payload.get("error", "invalid request"))
+            raise InvalidArgument(payload.get("error", "invalid request"))
         if "error" in payload:
             return {"error": payload["error"]}
         return {

@@ -103,15 +103,9 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
     deleted) is dropped. Old directories move to a trash dir OUTSIDE
     the table tree first so readers never see a non-hive entry."""
     tmp = f"{path}.__staging__{time.time_ns()}"
-    (
-        # one task per partition directory (no small-files explosion);
-        # maxRecordsPerFile re-splits an oversized partition's output
-        df.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 1_000_000)
-        .partitionBy(*partition_cols)
-        .parquet(tmp)
-    )
+    # one task per partition directory, oversized output re-split by the
+    # record cap — the shared partitioned-write recipe
+    write_partitioned(df, tmp, partition_cols)
     trash = f"{path}.__old__{time.time_ns()}"
     os.makedirs(trash)
     displaced: list[tuple[str, str]] = []  # (trash location, live dir)
@@ -160,13 +154,7 @@ def _swap_write_partitioned(df: DataFrame, path: str,
     pre-write repartition routes each partition's rows to one task
     (no small-files explosion)."""
     tmp = f"{path}.__staging__{time.time_ns()}"
-    (
-        df.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", 1_000_000)
-        .partitionBy(*partition_cols)
-        .parquet(tmp)
-    )
+    write_partitioned(df, tmp, partition_cols)
     old = f"{path}.__old__{time.time_ns()}"
     if os.path.exists(path):
         os.rename(path, old)
@@ -188,14 +176,12 @@ def _table_count(spark: SparkSession, path: str) -> int:
         return 0
 
 
-def _aligned_updates(existing: DataFrame, updates: DataFrame,
-                     ignore: tuple[str, ...] = ()) -> DataFrame:
+def _aligned_updates(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """Reorder ``updates`` to the existing table's column order, raising
     on columns the table doesn't have — silent projection would hide
     schema drift (a new scanner field that never lands in the
     warehouse)."""
-    extra = [c for c in updates.columns
-             if c not in existing.columns and c not in ignore]
+    extra = [c for c in updates.columns if c not in existing.columns]
     if extra:
         raise ValueError(
             f"update batch has columns absent from the table: {extra} — "
@@ -449,7 +435,8 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
                effective_col: str = "scanned_at",
                snapshot: bool = False,
                snapshot_ts=None,
-               partition_cols: list[str] | None = None) -> int:
+               partition_cols: list[str] | None = None,
+               count_rows: bool = True) -> int:
     """Type-2 slowly-changing-dimension merge: instead of overwriting a
     changed row (merge_upsert, SCD1), close out the current version
     (set ``valid_to`` = the update's effective time, ``is_current`` =
@@ -480,7 +467,8 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     closes out keys missing from the snapshot WITHIN the touched
     partitions only.
 
-    Returns the resulting row count.
+    Returns the resulting row count (-1 with ``count_rows=False``,
+    skipping the full-table metadata read — see merge_upsert).
     """
     meta = {"valid_from", "valid_to", "is_current"}
     scoped = bool(partition_cols) and _is_hive_partitioned(
@@ -505,8 +493,9 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     extra = [c for c in updates.columns if c not in data_cols]
     if extra:
         raise ValueError(
-            f"update batch has columns absent from the dimension: {extra} "
-            "— migrate the table schema before merging")
+            f"update batch has columns absent from the table: {extra} — "
+            "migrate the table schema before merging (silent drops hide "
+            "schema drift)")
 
     upd = updates.select(*data_cols).alias("u")
     cur = existing.filter(F.col("is_current")).alias("c")
@@ -571,7 +560,7 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
         _swap_write_partitioned(result, path, partition_cols)
     else:
         _swap_write(result, path)
-    return _table_count(spark, path)
+    return _table_count(spark, path) if count_rows else -1
 
 
 def table_diff(before: DataFrame, after: DataFrame, keys: list[str],

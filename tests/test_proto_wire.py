@@ -223,8 +223,18 @@ class TestHttpBinaryEndpoint:
             # unknown RPC -> 404; empty query -> 400 INVALID_ARGUMENT
             conn.request("POST", "/v1/grpc/Nope", body=b"")
             assert conn.getresponse().status == 404
+            errs_before = api.error_count
             conn.request("POST", "/v1/grpc/ExecuteQuery", body=b"")
             assert conn.getresponse().status == 400
+            # handler-validated failure counts exactly ONCE
+            assert api.error_count == errs_before + 1
+            # malformed protobuf (truncated varint) -> 400, counted by
+            # the transport (the handler never ran)
+            conn.request("POST", "/v1/grpc/HealthCheck", body=b"\x08")
+            r = conn.getresponse()
+            assert r.status == 400
+            assert b"invalid request body" in r.read()
+            assert api.error_count == errs_before + 2
         finally:
             httpd.shutdown()
 
