@@ -120,3 +120,71 @@ def test_fuzzy_join_blocking_complete(spark, data):
             .select("lid", "rid", F.col("d").cast("long").alias("d"))
             .collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# proto3 wire codec (proto_wire.py)
+# ---------------------------------------------------------------------------
+
+_pw_strings = st.text(max_size=40)
+_pw_maps = st.dictionaries(st.text(min_size=1, max_size=20),
+                           st.text(max_size=20), max_size=5)
+
+
+@given(st.integers(min_value=0, max_value=2 ** 64 - 1))
+def test_varint_roundtrip_any_u64(v):
+    from corkscrew_spark import proto_wire as pw
+
+    got, pos = pw.decode_varint(pw.encode_varint(v), 0)
+    assert got == v
+
+
+@given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+def test_int64_field_roundtrip(v):
+    from corkscrew_spark import proto_wire as pw
+
+    desc = {5: ("execution_time_ms", "int64")}
+    back = pw.decode(pw.encode({"execution_time_ms": v}, desc), desc)
+    assert back["execution_time_ms"] == v
+
+
+@given(st.fixed_dictionaries({
+    "query": _pw_strings,
+    "output_format": _pw_strings,
+    "parameters": _pw_maps,
+    "limit": st.integers(min_value=0, max_value=2 ** 31 - 1),
+}))
+def test_execute_query_request_roundtrip(msg):
+    from corkscrew_spark import proto_wire as pw
+
+    back = pw.decode(pw.encode(msg, pw.API_EXECUTE_QUERY_REQUEST),
+                     pw.API_EXECUTE_QUERY_REQUEST)
+    assert back == msg
+
+
+@given(st.lists(st.fixed_dictionaries({"values": _pw_maps}), max_size=4),
+       st.lists(_pw_strings, max_size=4),
+       _pw_strings)
+def test_execute_query_response_roundtrip(rows, columns, error):
+    from corkscrew_spark import proto_wire as pw
+
+    msg = {"rows": rows, "columns": columns,
+           "row_count": len(rows), "error": error,
+           "execution_time_ms": 0}
+    back = pw.decode(pw.encode(msg, pw.API_EXECUTE_QUERY_RESPONSE),
+                     pw.API_EXECUTE_QUERY_RESPONSE)
+    assert back == msg
+
+
+@given(st.binary(max_size=64))
+def test_decode_never_hangs_or_crashes_uncontrolled(buf):
+    """Arbitrary bytes either decode (unknown fields skipped, defaults
+    filled) or raise ValueError — never an unbounded loop or another
+    exception type."""
+    from corkscrew_spark import proto_wire as pw
+
+    try:
+        out = pw.decode(buf, pw.API_EXECUTE_QUERY_REQUEST)
+        assert set(out) == {"query", "output_format", "parameters", "limit"}
+    except (ValueError, UnicodeDecodeError):
+        pass
