@@ -188,3 +188,57 @@ def test_decode_never_hangs_or_crashes_uncontrolled(buf):
         assert set(out) == {"query", "output_format", "parameters", "limit"}
     except (ValueError, UnicodeDecodeError):
         pass
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped merge == flat merge (warehouse.py)
+# ---------------------------------------------------------------------------
+
+_regions = ("eu", "us", "ap", "")
+# one row per key per batch: duplicate (key, ts) rows in one batch tie
+# in the keep-newest window and BOTH paths pick arbitrarily — that's
+# merge semantics, not a layout property, so keep it out of the test
+_batch = st.dictionaries(
+    st.sampled_from("abcdefgh"),                       # key
+    st.tuples(st.sampled_from(_regions),               # partition value
+              st.integers(min_value=0, max_value=9),   # payload
+              st.integers(min_value=0, max_value=5)),  # order ts
+    min_size=1, max_size=8).map(
+        lambda d: [(k, r, v, ts) for k, (r, v, ts) in sorted(d.items())])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(_batch, min_size=2, max_size=3))
+def test_scoped_merge_equals_flat_merge(spark, tmp_path_factory, batches):
+    """Differential invariant: a sequence of partition-scoped merges
+    reaches exactly the same table contents as the same sequence of
+    flat (full-rewrite) merges — partitioning is a layout decision,
+    never a semantics one. Keys are region-qualified so merge locality
+    holds (a key lives in one partition), as the API requires."""
+    import datetime as _dt
+
+    from corkscrew_spark import warehouse
+
+    base = tmp_path_factory.mktemp("scoped_vs_flat")
+    scoped, flat = str(base / "scoped"), str(base / "flat")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(f"{k}-{r or 'null'}", r, v, _dt.datetime(2024, 1, 1 + ts))
+             for k, r, v, ts in rows],
+            "id string, region string, v int, scanned_at timestamp")
+
+    for rows in batches:
+        warehouse.merge_upsert(spark, scoped, df(rows), ["id"],
+                               partition_cols=["region"], count_rows=False)
+        warehouse.merge_upsert(spark, flat, df(rows), ["id"],
+                               count_rows=False)
+
+    def snap(path):
+        # '' partition values read back as null under the hive layout;
+        # normalize both sides to compare semantics, not encoding
+        return sorted((r.id, r.region or "", r.v)
+                      for r in spark.read.parquet(path).collect())
+
+    assert snap(scoped) == snap(flat)
