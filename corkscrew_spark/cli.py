@@ -653,6 +653,27 @@ def cmd_serve(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-serve")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
+    if getattr(args, "grpc", False):
+        from corkscrew_spark import server_grpc
+
+        api = server.ApiServer(spark)
+        try:
+            grpc_server, port = server_grpc.make_grpc_server(
+                api, host=args.host, port=args.grpc_port)
+        except ImportError:
+            print("grpcio is not installed — the binary-protobuf "
+                  "envelopes remain available at POST /v1/grpc/<Method>")
+        else:
+            grpc_server.start()
+            print(f"corkscrew gRPC listening on {args.host}:{port}")
+        httpd = api.make_http_server(args.host, args.port)
+        print("corkscrew API listening on "
+              f"http://{args.host}:{httpd.server_address[1]}")
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            httpd.shutdown()
+        return 0
     server.serve(spark, host=args.host, port=args.port)
     return 0
 
@@ -798,9 +819,18 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--use-sdk", action="store_true")
     de.set_defaults(fn=cmd_describe)
 
-    sv = sub.add_parser("serve", help="serve the JSON query API")
+    sv = sub.add_parser(
+        "serve",
+        help="serve the query API (JSON/HTTP + binary-protobuf "
+             "/v1/grpc/<Method>; --grpc adds a real gRPC listener "
+             "where grpcio is installed)")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8032)
+    sv.add_argument("--grpc-port", type=int, default=0,
+                    help="also serve CorkscrewAPI over gRPC on this port "
+                         "(requires grpcio; 0 = auto-pick)")
+    sv.add_argument("--grpc", action="store_true",
+                    help="start the gRPC listener alongside HTTP")
     sv.add_argument("--data", default=sf_dir())
     sv.set_defaults(fn=cmd_serve)
 
