@@ -78,12 +78,20 @@ _KQL_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
 def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
                          scanned_at: dt.datetime | None = None,
                          kql: str = "Resources",
-                         use_cache: bool = True) -> DataFrame:
+                         use_cache: bool = True,
+                         fetch_fn=None) -> DataFrame:
     """Tenant-wide bulk query: one executor task per subscription, each
     landing its skip-token-paged result (resource_graph.go:298-340 — the
     fake collapses paging into the generator; AWS/K8s scanners exercise
     the explicit token loop). Results are cached per (subscription, kql)
-    with a TTL, mirroring the provider's QueryCache."""
+    with a TTL, mirroring the provider's QueryCache.
+
+    ``fetch_fn`` is the real-SDK seam (azure.mgmt.resourcegraph or a
+    recorded-fixture stub): a picklable ``(subscription, kql) ->
+    list[dict]`` built on each executor, rows shaped like
+    RESOURCE_SCHEMA minus scanned_at (the scan re-stamps it). Injected
+    fetches bypass the cache — no key reliably distinguishes two
+    closures (same rule as aws_scanner.client_factory)."""
     scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
     work = spark.createDataFrame([Row(sub=s) for s in subscriptions]).repartition(
         min(len(subscriptions), spark.sparkContext.defaultParallelism)
@@ -94,7 +102,8 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
             lambda it: (
                 r
                 for w in it
-                for r in _resource_graph_rows(w.sub, kql, scanned_at, use_cache)
+                for r in _resource_graph_rows(w.sub, kql, scanned_at,
+                                              use_cache, fetch_fn)
             )
         ),
         RESOURCE_SCHEMA,
@@ -102,29 +111,48 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
 
 
 def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
-                         use_cache: bool) -> Iterator[Row]:
+                         use_cache: bool, fetch_fn=None) -> Iterator[Row]:
     """One subscription's Resource Graph result, served from the
     per-worker QueryCache within the TTL. The cached value is the API
     payload (rows sans scan stamp); every scan re-stamps scanned_at."""
+    field_names = [f.name for f in RESOURCE_SCHEMA.fields]
+
     def fetch():
+        if fetch_fn is not None:
+            return [dict(d) for d in fetch_fn(sub, kql)]
         return [r.asDict() for r in _azure_rows(sub, scanned_at)]
 
-    if use_cache:
+    if use_cache and fetch_fn is None:
         cached = _KQL_CACHE.get_or_fetch(
             "azure", "resource_graph", {"sub": sub, "kql": kql}, fetch
         )
     else:
         cached = fetch()
     for d in cached:
-        yield Row(**{**d, "scanned_at": scanned_at})
+        full = {**dict.fromkeys(field_names), **d, "scanned_at": scanned_at}
+        yield Row(**full)
 
 
 def gcp_asset_inventory(spark: SparkSession, projects: list[str],
-                        scanned_at: dt.datetime | None = None) -> DataFrame:
-    """Bulk ListAssets per project scope (asset_inventory.go:66-135)."""
+                        scanned_at: dt.datetime | None = None,
+                        fetch_fn=None) -> DataFrame:
+    """Bulk ListAssets per project scope (asset_inventory.go:66-135).
+
+    ``fetch_fn``: real-SDK seam (google-cloud-asset or a recorded
+    fixture) — picklable ``project -> iterable[dict]`` run on each
+    executor, rows shaped like RESOURCE_SCHEMA minus scanned_at."""
     scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+    field_names = [f.name for f in RESOURCE_SCHEMA.fields]
+
+    def injected(project: str) -> Iterator[Row]:
+        for d in fetch_fn(project):
+            yield Row(**{**dict.fromkeys(field_names), **dict(d),
+                         "scanned_at": scanned_at})
 
     def rows(project: str) -> Iterator[Row]:
+        if fetch_fn is not None:
+            yield from injected(project)
+            return
         for asset_type, service in _GCP_TYPES:
             kind = asset_type.rsplit("/", 1)[-1].lower()
             for i in range(_fleet(f"{project}|{asset_type}")):

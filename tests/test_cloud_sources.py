@@ -81,3 +81,53 @@ def test_azure_kql_result_cache(monkeypatch):
     # cache off → refetch
     list(cloud_sources._resource_graph_rows("sub-a", "Resources", t2, False))
     assert calls["n"] == 3
+
+
+class TestFetchFnInjection:
+    """The real-SDK seam: picklable fetch closures run on executors and
+    their rows land schema-conformant with the scan stamp applied."""
+
+    def test_azure_injected_rows(self, spark):
+        import datetime as dt
+
+        from corkscrew_spark.ingest import cloud_sources
+        from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+        def fetch(sub, kql):
+            return [{"id": f"{sub}/vm-1", "name": "vm-1",
+                     "type": "Microsoft.Compute/virtualMachines",
+                     "service": "compute", "provider": "azure",
+                     "region": "westeurope", "account_id": sub,
+                     "state": "Succeeded"}]
+
+        t = dt.datetime(2024, 3, 1)
+        df = cloud_sources.azure_resource_graph(
+            spark, ["sub-x", "sub-y"], scanned_at=t, fetch_fn=fetch)
+        assert df.schema == RESOURCE_SCHEMA
+        rows = {r.id: r for r in df.collect()}
+        assert set(rows) == {"sub-x/vm-1", "sub-y/vm-1"}
+        r = rows["sub-x/vm-1"]
+        assert r.provider == "azure" and r.scanned_at == t
+        assert r.arn is None  # unsupplied fields default to NULL
+
+    def test_gcp_injected_rows(self, spark):
+        import datetime as dt
+
+        from corkscrew_spark.ingest import cloud_sources
+        from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+        def fetch(project):
+            yield {"id": f"//compute/projects/{project}/instances/i1",
+                   "name": "i1",
+                   "type": "compute.googleapis.com/Instance",
+                   "service": "compute", "provider": "gcp",
+                   "region": "us-central1", "account_id": project,
+                   "state": "RUNNING"}
+
+        t = dt.datetime(2024, 3, 1)
+        df = cloud_sources.gcp_asset_inventory(spark, ["p1"],
+                                               scanned_at=t, fetch_fn=fetch)
+        assert df.schema == RESOURCE_SCHEMA
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].name == "i1"
+        assert rows[0].scanned_at == t
