@@ -137,12 +137,19 @@ def _to_resource(cluster: str, gvr: str, obj: dict, scanned_at: dt.datetime) -> 
 
 
 def _scan_partition(rows: Iterator[Row], label_selector: str | None,
-                    scanned_at: dt.datetime, use_sdk: bool) -> Iterator[Row]:
+                    scanned_at: dt.datetime, use_sdk: bool,
+                    client_factory=None) -> Iterator[Row]:
     for work in rows:
         cluster, gvr = work.cluster, work.gvr
-        if gvr not in KNOWN_GVRS and not use_sdk:
+        if gvr not in KNOWN_GVRS and not use_sdk and client_factory is None:
             continue
-        client = _FakeDynamicClient(cluster)  # use_sdk would build kubernetes.dynamic here
+        if client_factory is not None:
+            # DI seam: same contract as the fake (list(gvr, ...) with
+            # continue-token paging) — a picklable factory built on each
+            # executor can wrap kubernetes.dynamic or a recorded fixture
+            client = client_factory(cluster)
+        else:
+            client = _FakeDynamicClient(cluster)  # use_sdk would build kubernetes.dynamic here
         token: str | None = None
         while True:
             resp = client.list(gvr, label_selector=label_selector, _continue=token)
@@ -155,9 +162,15 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
 
 def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None,
          label_selector: str | None = None, use_sdk: bool = False,
-         scanned_at: dt.datetime | None = None) -> DataFrame:
+         scanned_at: dt.datetime | None = None,
+         client_factory=None) -> DataFrame:
     """List every (cluster, gvr) cell across executors; selectors are
-    pushed to the (fake) API server, pagination uses continue tokens."""
+    pushed to the (fake) API server, pagination uses continue tokens.
+
+    ``client_factory``: picklable ``cluster -> client`` built on each
+    executor, speaking the same ``list(gvr, label_selector, _continue)``
+    protocol as the fake — the seam for kubernetes.dynamic or
+    recorded-fixture clients (mirrors aws_scanner.client_factory)."""
     gvrs = gvrs or sorted(KNOWN_GVRS)
     work = [Row(cluster=c, gvr=g) for c in clusters for g in gvrs]
     n = min(len(work), spark.sparkContext.defaultParallelism)
@@ -165,7 +178,8 @@ def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None
     work_df = spark.createDataFrame(work).repartition(n)
     return spark.createDataFrame(
         work_df.rdd.mapPartitions(
-            lambda it: _scan_partition(it, label_selector, scanned_at, use_sdk)
+            lambda it: _scan_partition(it, label_selector, scanned_at, use_sdk,
+                                       client_factory=client_factory)
         ),
         RESOURCE_SCHEMA,
     )

@@ -104,3 +104,37 @@ class TestRelationshipExtraction:
         from corkscrew_spark.schema import RELATIONSHIP_SCHEMA
         _res, rels = self._rels(spark)
         assert [f.name for f in RELATIONSHIP_SCHEMA.fields] == rels.columns
+
+
+def test_injected_client_factory(spark):
+    """client_factory seam: a closure-built client speaking the fake's
+    list/continue protocol runs through the whole scan loop (the shape
+    kubernetes.dynamic would take on a real cluster)."""
+    import datetime as dt
+
+    from corkscrew_spark.ingest import k8s_scanner
+    from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+    def factory(cluster):
+        class Client:
+            def list(self, gvr, label_selector=None, _continue=None):
+                if _continue is None:  # page 1 -> continue token
+                    return {"items": [{"metadata": {
+                                "name": f"{cluster}-pod-1", "uid": "u1",
+                                "namespace": "default",
+                                "labels": {"app": "web"}},
+                                "kind": "Pod", "status": {"phase": "Running"}}],
+                            "metadata": {"continue": "t1"}}
+                return {"items": [{"metadata": {
+                            "name": f"{cluster}-pod-2", "uid": "u2",
+                            "namespace": "default"},
+                            "kind": "Pod", "status": {"phase": "Pending"}}],
+                        "metadata": {}}
+        return Client()
+
+    df = k8s_scanner.scan(spark, ["c1"], gvrs=["v1/pods"],
+                          scanned_at=dt.datetime(2024, 1, 1),
+                          client_factory=factory)
+    assert df.schema == RESOURCE_SCHEMA
+    names = sorted(r.name for r in df.collect())
+    assert names == ["c1-pod-1", "c1-pod-2"]  # page 2 via continue token
