@@ -653,7 +653,12 @@ def cmd_serve(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-serve")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
-    if getattr(args, "grpc", False):
+    # --grpc-port implies --grpc: specifying a port IS asking for the
+    # listener
+    want_grpc = getattr(args, "grpc", False) or getattr(
+        args, "grpc_port", 0) > 0
+    grpc_server = None
+    if want_grpc:
         from corkscrew_spark import server_grpc
 
         api = server.ApiServer(spark)
@@ -663,16 +668,19 @@ def cmd_serve(args: argparse.Namespace) -> int:
         except ImportError:
             print("grpcio is not installed — the binary-protobuf "
                   "envelopes remain available at POST /v1/grpc/<Method>")
+            api = None
         else:
+            if port == 0:  # grpcio's bind-failure sentinel (no raise)
+                print(f"ERROR: could not bind gRPC listener on "
+                      f"{args.host}:{args.grpc_port}")
+                return 1
             grpc_server.start()
             print(f"corkscrew gRPC listening on {args.host}:{port}")
-        httpd = api.make_http_server(args.host, args.port)
-        print("corkscrew API listening on "
-              f"http://{args.host}:{httpd.server_address[1]}")
         try:
-            httpd.serve_forever()
-        except KeyboardInterrupt:
-            httpd.shutdown()
+            server.serve(spark, host=args.host, port=args.port, api=api)
+        finally:
+            if grpc_server is not None:
+                grpc_server.stop(grace=5)
         return 0
     server.serve(spark, host=args.host, port=args.port)
     return 0

@@ -110,13 +110,24 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
     )
 
 
+def _injected_row(d: dict, scanned_at: dt.datetime) -> Row:
+    """Schema-align one injected dict: unsupplied fields default to
+    NULL; unknown keys raise a clear error instead of an executor-side
+    field-count mismatch deep in createDataFrame."""
+    field_names = [f.name for f in RESOURCE_SCHEMA.fields]
+    unknown = [k for k in d if k not in field_names]
+    if unknown:
+        raise ValueError(
+            f"fetch_fn row has keys not in RESOURCE_SCHEMA: {unknown}")
+    return Row(**{**dict.fromkeys(field_names), **d,
+                  "scanned_at": scanned_at})
+
+
 def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
                          use_cache: bool, fetch_fn=None) -> Iterator[Row]:
     """One subscription's Resource Graph result, served from the
     per-worker QueryCache within the TTL. The cached value is the API
     payload (rows sans scan stamp); every scan re-stamps scanned_at."""
-    field_names = [f.name for f in RESOURCE_SCHEMA.fields]
-
     def fetch():
         if fetch_fn is not None:
             return [dict(d) for d in fetch_fn(sub, kql)]
@@ -129,8 +140,7 @@ def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
     else:
         cached = fetch()
     for d in cached:
-        full = {**dict.fromkeys(field_names), **d, "scanned_at": scanned_at}
-        yield Row(**full)
+        yield _injected_row(d, scanned_at)
 
 
 def gcp_asset_inventory(spark: SparkSession, projects: list[str],
@@ -142,16 +152,11 @@ def gcp_asset_inventory(spark: SparkSession, projects: list[str],
     fixture) — picklable ``project -> iterable[dict]`` run on each
     executor, rows shaped like RESOURCE_SCHEMA minus scanned_at."""
     scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
-    field_names = [f.name for f in RESOURCE_SCHEMA.fields]
-
-    def injected(project: str) -> Iterator[Row]:
-        for d in fetch_fn(project):
-            yield Row(**{**dict.fromkeys(field_names), **dict(d),
-                         "scanned_at": scanned_at})
 
     def rows(project: str) -> Iterator[Row]:
         if fetch_fn is not None:
-            yield from injected(project)
+            for d in fetch_fn(project):
+                yield _injected_row(dict(d), scanned_at)
             return
         for asset_type, service in _GCP_TYPES:
             kind = asset_type.rsplit("/", 1)[-1].lower()

@@ -141,7 +141,10 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
                     client_factory=None) -> Iterator[Row]:
     for work in rows:
         cluster, gvr = work.cluster, work.gvr
-        if gvr not in KNOWN_GVRS and not use_sdk and client_factory is None:
+        # Only an injected client can serve a GVR the fake doesn't know —
+        # use_sdk documents intent but never builds a real client here,
+        # so without a factory an unknown GVR must skip, not KeyError.
+        if gvr not in KNOWN_GVRS and client_factory is None:
             continue
         if client_factory is not None:
             # DI seam: same contract as the fake (list(gvr, ...) with

@@ -247,9 +247,12 @@ class ApiServer:
         return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8032) -> None:
-    """Blocking serve loop (the CLI `serve` verb)."""
-    httpd = ApiServer(spark).make_http_server(host, port)
+def serve(spark: SparkSession, host: str = "127.0.0.1", port: int = 8032,
+          api: "ApiServer | None" = None) -> None:
+    """Blocking serve loop (the CLI `serve` verb). ``api`` lets a caller
+    that already built an ApiServer (e.g. to hang a gRPC listener off
+    the same stats/engine) share it with the HTTP transport."""
+    httpd = (api or ApiServer(spark)).make_http_server(host, port)
     print(f"corkscrew API listening on http://{host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()

@@ -159,14 +159,29 @@ def make_grpc_server(api, host: str = "127.0.0.1", port: int = 0):
         req_desc, resp_desc = pw.SERVICE_METHODS[name]
 
         def handler(request: dict, context):
+            api.request_count += 1
             try:
                 return getattr(methods, name)(request)
-            except ValueError as ex:
+            except InvalidArgument as ex:
+                # handler already counted the error
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(ex))
+            except ValueError as ex:
+                api.error_count += 1
+                context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(ex))
+
+        def deserialize(b, d=req_desc):
+            try:
+                return pw.decode(b, d)
+            except ValueError:
+                # malformed wire bytes never reach the handler — the
+                # transport counts them (matches the HTTP binary path)
+                api.request_count += 1
+                api.error_count += 1
+                raise
 
         return grpc.unary_unary_rpc_method_handler(
             handler,
-            request_deserializer=lambda b, d=req_desc: pw.decode(b, d),
+            request_deserializer=deserialize,
             response_serializer=lambda m, d=resp_desc: pw.encode(m, d),
         )
 
