@@ -20,12 +20,63 @@ either the old or the new directory listing, never a mix).
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import os
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+#: how long a writer waits for a competing merge before giving up
+TABLE_LOCK_TIMEOUT_S = 120.0
+
+
+@contextlib.contextmanager
+def _table_lock(path: str, timeout_s: float | None = None,
+                poll_s: float = 0.2):
+    """Advisory writer lock (O_CREAT|O_EXCL sidecar file): two merges
+    racing the same table would each read the pre-merge state and the
+    second swap would silently drop the first's rows — plain parquet's
+    stand-in for Delta's optimistic-concurrency commit. Readers are
+    never blocked (the directory swap stays their consistency story).
+    A crash can leave the sidecar behind; the timeout error names it so
+    an operator can remove the stale lock."""
+    lock = f"{path}.__lock__"
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    deadline = time.monotonic() + (timeout_s if timeout_s is not None
+                                   else TABLE_LOCK_TIMEOUT_S)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"writer lock {lock} is held — another merge is in "
+                    "progress (or crashed; remove the file if stale)")
+            time.sleep(poll_s)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _locked_writer(fn):
+    """Serialize (spark, path, ...) table writers per table path."""
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        with _table_lock(path):
+            return fn(spark, path, *args, **kwargs)
+    return wrapper
 
 
 def _swap_write(df: DataFrame, path: str) -> None:
@@ -195,6 +246,41 @@ def append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+@_locked_writer
+def evolve_schema(spark: SparkSession, path: str, updates: DataFrame,
+                  partition_cols: list[str] | None = None) -> list[str]:
+    """ADD-COLUMN schema migration — the remedy the merge functions'
+    schema-drift error points at. Every ``updates`` column absent from
+    the table is added as NULL (typed from the update schema) via one
+    rewrite-and-swap; existing columns are untouched, and a
+    hive-partitioned layout is preserved when ``partition_cols`` is
+    given. Idempotent: a no-drift call rewrites nothing.
+
+    Delta's ``ALTER TABLE ADD COLUMNS`` / mergeSchema on the plain-
+    parquet store. One full rewrite per migration — migrations are
+    rare, deliberate events; merges stay partition-scoped. Returns the
+    added column names.
+    """
+    existing = spark.read.parquet(path)
+    added = [c for c in updates.columns if c not in existing.columns]
+    if not added:
+        return []
+    widened = existing.select(
+        "*",
+        *[F.lit(None).cast(updates.schema[c].dataType).alias(c)
+          for c in added],
+    )
+    if partition_cols:
+        # keep partition columns last, matching the hive read layout
+        ordered = [c for c in widened.columns if c not in partition_cols]
+        widened = widened.select(*ordered, *partition_cols)
+        _swap_write_partitioned(widened, path, partition_cols)
+    else:
+        _swap_write(widened, path)
+    return added
+
+
+@_locked_writer
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
                  keys: list[str], order_col: str = "scanned_at",
                  partition_cols: list[str] | None = None,
@@ -249,6 +335,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     return _table_count(spark, path) if count_rows else -1
 
 
+@_locked_writer
 def retention_delete(spark: SparkSession, path: str, ts_col: str,
                      cutoff: str) -> int:
     """K7 retention: drop rows older than ``cutoff`` (change_storage.go:
@@ -339,6 +426,7 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n_files, total
 
 
+@_locked_writer
 def compact_table(spark: SparkSession, path: str,
                   partition_cols: list[str] | None = None,
                   target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
@@ -430,6 +518,7 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     )
 
 
+@_locked_writer
 def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
                keys: list[str], tracked_cols: list[str],
                effective_col: str = "scanned_at",
@@ -806,6 +895,7 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     )
 
 
+@_locked_writer
 def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
                      keys: list[str], order_col: str = "scanned_at",
                      op_col: str = "op", delete_value: str = "DELETE",
@@ -875,11 +965,12 @@ def retention_drop_partitions(path: str, partition_col: str,
     """
     prefix = f"{partition_col}="
     dropped = []
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith(prefix):
-            continue
-        value = entry[len(prefix):]
-        if value < cutoff:
-            shutil.rmtree(os.path.join(path, entry))
-            dropped.append(value)
+    with _table_lock(path):
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith(prefix):
+                continue
+            value = entry[len(prefix):]
+            if value < cutoff:
+                shutil.rmtree(os.path.join(path, entry))
+                dropped.append(value)
     return dropped

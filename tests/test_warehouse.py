@@ -374,6 +374,56 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
+class TestEvolveSchemaAndLock:
+    def test_evolve_then_merge_widened_batch(self, spark, tmp_path):
+        """The remedy path the drift error names: evolve_schema adds the
+        new column as typed NULLs, after which the widened batch merges
+        cleanly."""
+        path = str(tmp_path / "ev")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(spark, path,
+                               _df(spark, [("a", "v1", t0)]), ["id"])
+        widened = spark.createDataFrame(
+            [("a", "v2", t1, "x")],
+            "id string, val string, scanned_at timestamp, extra string")
+        added = warehouse.evolve_schema(spark, path, widened)
+        assert added == ["extra"]
+        assert warehouse.evolve_schema(spark, path, widened) == []  # idempotent
+        n = warehouse.merge_upsert(spark, path, widened, ["id"])
+        assert n == 1
+        row = spark.read.parquet(path).collect()[0]
+        assert row.val == "v2" and row.extra == "x"
+
+    def test_evolve_partitioned_layout_preserved(self, spark, tmp_path):
+        import os
+        path = str(tmp_path / "evp")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("a", "eu", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        widened = _pdf(spark, [("a", "eu", "v1", t0)]).withColumn(
+            "extra", F.lit("x"))
+        assert warehouse.evolve_schema(
+            spark, path, widened, partition_cols=["region"]) == ["extra"]
+        assert os.path.isdir(os.path.join(path, "region=eu"))
+        row = spark.read.parquet(path).collect()[0]
+        assert row.extra is None  # existing rows read the new column as NULL
+
+    def test_writer_lock_blocks_second_writer(self, spark, tmp_path):
+        import pytest as _pytest
+        path = str(tmp_path / "locked")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(spark, path,
+                               _df(spark, [("a", "v1", t0)]), ["id"])
+        with warehouse._table_lock(path):
+            with _pytest.raises(TimeoutError, match="writer lock"):
+                with warehouse._table_lock(path, timeout_s=0.5):
+                    pass
+        # lock released -> next merge proceeds
+        assert warehouse.merge_upsert(
+            spark, path, _df(spark, [("b", "v1", t0)]), ["id"]) == 2
+
+
 def test_scd2_merge_versions_history(spark, tmp_path):
     from datetime import datetime
 
