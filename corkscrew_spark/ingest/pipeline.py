@@ -31,18 +31,45 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
              regions: list[str], use_sdk: bool = False,
              scan_id: str | None = None,
              with_relationships: bool = False,
-             client_factory=None) -> dict:
+             client_factory=None,
+             expectations: list[dict] | None = None,
+             strict_expectations: bool = False) -> dict:
     """One full scan run. Returns the scan summary dict (also persisted
     as the scan_metadata row). ``with_relationships=True`` additionally
     extracts typed edges from the scanned blobs (RelationshipExtractor
     parity) into ``out_dir/relationships``. ``client_factory`` passes
-    through to aws_scanner.scan (the stubbed-real-client test seam)."""
+    through to aws_scanner.scan (the stubbed-real-client test seam).
+
+    ``expectations`` (warehouse.validate_expectations rules) gate the
+    batch BEFORE it merges: violations land in the summary's
+    ``warnings`` (and ``failed_resources`` counts their rows); with
+    ``strict_expectations`` a violated rule aborts the scan and nothing
+    is written — the publish gate a warehouse runs so one bad scan
+    can't poison the keyed table. The batch is persisted across the
+    validation+merge double-use so real SDK calls never re-fire.
+    """
     scan_id = scan_id or f"scan-{uuid.uuid4().hex[:12]}"
     t0 = time.monotonic()
     started = dt.datetime.now()
 
     resources = aws_scanner.scan(spark, services, regions, use_sdk=use_sdk,
                                  client_factory=client_factory)
+    warnings = None
+    failed_rows = 0
+    if expectations:
+        resources = resources.persist()
+        report = warehouse.validate_expectations(
+            resources, expectations).collect()  # rule-sized, not data-sized
+        violated = [r for r in report if not r.passed]
+        if violated:
+            msgs = [f"{r.rule}: {r.violations} violation(s)"
+                    for r in violated]
+            if strict_expectations:
+                resources.unpersist()
+                raise ValueError(
+                    "scan aborted by expectations: " + "; ".join(msgs))
+            warnings = json.dumps(msgs)
+            failed_rows = int(sum(r.violations for r in violated))
     res_path = os.path.join(out_dir, "resources")
     before = (
         spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0
@@ -53,6 +80,8 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
     # merge locality holds). First run lays out the hive directories.
     total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"],
                                    partition_cols=["service"])
+    if expectations:
+        resources.unpersist()
 
     if with_relationships:
         edges = aws_scanner.extract_relationships(spark.read.parquet(res_path))
@@ -107,14 +136,14 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
         "new_resources": new,
         "updated_resources": total - new if before else 0,
         "deleted_resources": 0,
-        "failed_resources": 0,
+        "failed_resources": failed_rows,
         "scan_start_time": started,
         "scan_end_time": dt.datetime.now(),
         "duration_ms": duration_ms,
         "initiated_by": "cli",
         "scan_reason": None,
         "error_messages": None,
-        "warnings": None,
+        "warnings": warnings,
         "metadata": None,
         "status": "completed",
     }

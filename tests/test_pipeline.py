@@ -55,3 +55,38 @@ def test_scan_with_relationship_extraction(spark, tmp_path):
     assert {"from_id", "to_id", "relationship_type", "provider"} <= cols
     # parent chains from the fake fleet surface as contained_in edges
     assert edges.filter("relationship_type = 'contained_in'").count() >= 0
+
+
+def test_run_scan_expectations_gate(spark, tmp_path):
+    """Expectations validate the batch BEFORE it merges: violations
+    surface as summary warnings/failed_resources; strict mode aborts
+    with nothing written."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "gated")
+    rules = [
+        {"name": "id_present", "not_null": "id"},
+        {"name": "ids_unique", "unique": "id"},
+        {"name": "impossible", "expr": "provider = 'nope'"},  # always fails
+    ]
+    # strict: abort, no warehouse writes at all
+    with pytest.raises(ValueError, match="scan aborted by expectations"):
+        pipeline.run_scan(spark, out, ["s3"], ["us-east-1"],
+                          expectations=rules, strict_expectations=True)
+    assert not os.path.exists(f"{out}/resources")
+
+    # lenient: scan completes, violations recorded in the summary row
+    s = pipeline.run_scan(spark, out, ["s3"], ["us-east-1"],
+                          expectations=rules)
+    assert s["status"] == "completed"
+    assert "impossible" in s["warnings"]
+    assert s["failed_resources"] == s["total_resources"]  # every row fails
+    meta = spark.read.parquet(f"{out}/scan_metadata").collect()[0]
+    assert "impossible" in meta.warnings
+
+    # all-passing rules leave warnings empty
+    s2 = pipeline.run_scan(spark, out, ["s3"], ["us-east-1"],
+                           expectations=rules[:2])
+    assert s2["warnings"] is None and s2["failed_resources"] == 0
