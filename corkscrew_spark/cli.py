@@ -242,14 +242,31 @@ def cmd_scan(args: argparse.Namespace) -> int:
                             if s in LIST_OPERATIONS]
             except cfgmod.ConfigError:
                 services = sorted(LIST_OPERATIONS)
-        summary = pipeline.run_scan(
-            spark, args.out,
-            services=services,
-            regions=(args.regions or "us-east-1").split(","),
-            use_sdk=args.use_sdk,
-        )
+        expectations = None
+        if getattr(args, "expectations", None):
+            import json as _json
+
+            with open(args.expectations) as fh:
+                expectations = _json.load(fh)
+        try:
+            summary = pipeline.run_scan(
+                spark, args.out,
+                services=services,
+                regions=(args.regions or "us-east-1").split(","),
+                use_sdk=args.use_sdk,
+                expectations=expectations,
+                strict_expectations=getattr(args, "strict_expectations",
+                                            False),
+            )
+        except ValueError as ex:
+            if "expectations" not in str(ex):
+                raise
+            print(f"ERROR: {ex}")
+            return 1
         print(f"scan {summary['id']}: {summary['total_resources']} resources "
               f"({summary['new_resources']} new) in {summary['duration_ms']} ms -> {args.out}")
+        if summary.get("warnings"):
+            print(f"WARNINGS: {summary['warnings']}")
         return 0
     res = synthetic.resources(spark, args.synthetic)
     rel = synthetic.relationships(spark, res)
@@ -795,6 +812,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="real boto3 clients (needs credentials + network)")
     sc.add_argument("--synthetic", type=int, default=300)
     sc.add_argument("--out", required=True)
+    sc.add_argument("--expectations", metavar="RULES.json",
+                    help="validate_expectations rules (JSON list) gating "
+                         "the batch before it merges")
+    sc.add_argument("--strict-expectations", action="store_true",
+                    help="abort the scan (write nothing) on any violation")
     sc.set_defaults(fn=cmd_scan)
 
     dv = sub.add_parser("discover", help="list a provider's services/resource types")

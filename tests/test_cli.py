@@ -356,3 +356,29 @@ def test_pack_run_all(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "demo/tpch-orders" in out and "controls validated" in out
+
+
+def test_scan_expectations_flags(spark, tmp_path, capsys):
+    """--expectations RULES.json gates the scan; --strict-expectations
+    aborts with exit 1 and nothing written."""
+    import json as _json
+
+    from corkscrew_spark import cli
+
+    rules = [{"name": "impossible", "expr": "provider = 'nope'"}]
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(_json.dumps(rules))
+    out = str(tmp_path / "wh")
+
+    rc = cli.main(["scan", "--provider", "aws", "--services", "s3",
+                   "--out", out, "--expectations", str(rules_file),
+                   "--strict-expectations"])
+    assert rc == 1
+    assert "ERROR" in capsys.readouterr().out
+    import os
+    assert not os.path.exists(f"{out}/resources")
+
+    rc = cli.main(["scan", "--provider", "aws", "--services", "s3",
+                   "--out", out, "--expectations", str(rules_file)])
+    assert rc == 0
+    assert "WARNINGS" in capsys.readouterr().out
