@@ -79,7 +79,54 @@ def _locked_writer(fn):
     return wrapper
 
 
-def _swap_write(df: DataFrame, path: str) -> None:
+_COMMIT_LOG = "_commits.jsonl"
+
+
+def _log_commit(path: str, op: str, partitions: list[str] | None) -> None:
+    """Append one JSON line to ``path/_commits.jsonl`` recording what a
+    writer changed: ``{"ts_ns", "op", "partitions"}``. ``partitions``
+    is the list of touched ``col=value`` relpaths for a scoped write,
+    or null for a full rewrite (everything changed). Spark ignores
+    underscore-prefixed files, so the log rides inside the table dir
+    and survives partition swaps; full-rewrite swaps carry it over.
+    This is the incremental-consumer hook: a downstream pipeline polls
+    ``changed_partitions_since`` and rescans ONLY those directories."""
+    import json as _json
+
+    rec = {"ts_ns": time.time_ns(), "op": op, "partitions": partitions}
+    with open(os.path.join(path, _COMMIT_LOG), "a") as fh:
+        fh.write(_json.dumps(rec) + "\n")
+
+
+def _carry_commit_log(old_dir: str, new_dir: str) -> None:
+    src_log = os.path.join(old_dir, _COMMIT_LOG)
+    if os.path.exists(src_log):
+        os.rename(src_log, os.path.join(new_dir, _COMMIT_LOG))
+
+
+def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
+    """Partition relpaths touched by commits strictly after ``ts_ns``.
+    Returns None when any of those commits was a full rewrite (the
+    caller must treat every partition as changed); [] when nothing
+    changed. Metadata-only — reads one small JSONL file, never data."""
+    import json as _json
+
+    log = os.path.join(path, _COMMIT_LOG)
+    if not os.path.exists(log):
+        return None  # pre-log table (or never written): assume all changed
+    touched: set[str] = set()
+    with open(log) as fh:
+        for line in fh:
+            rec = _json.loads(line)
+            if rec["ts_ns"] <= ts_ns:
+                continue
+            if rec["partitions"] is None:
+                return None
+            touched.update(rec["partitions"])
+    return sorted(touched)
+
+
+def _swap_write(df: DataFrame, path: str, op: str = "rewrite") -> None:
     """Write to a temp dir, then swap it into place. POSIX rename keeps
     the exposure window to one directory move (parquet's stand-in for a
     transactional commit). The staged write reads the live directory
@@ -92,7 +139,9 @@ def _swap_write(df: DataFrame, path: str) -> None:
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
+        _carry_commit_log(old, path)
         shutil.rmtree(old)
+    _log_commit(path, op, None)
 
 
 #: Characters Spark/Hive percent-escape in partition directory names
@@ -196,6 +245,7 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
     finally:
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+    _log_commit(path, "merge-scoped", rels)
 
 
 def _swap_write_partitioned(df: DataFrame, path: str,
@@ -211,7 +261,9 @@ def _swap_write_partitioned(df: DataFrame, path: str,
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
+        _carry_commit_log(old, path)
         shutil.rmtree(old)
+    _log_commit(path, "rewrite-partitioned", None)
 
 
 def _table_count(spark: SparkSession, path: str) -> int:

@@ -374,6 +374,50 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
+class TestCommitLog:
+    def test_changed_partitions_since(self, spark, tmp_path):
+        """The incremental-consumer hook: scoped merges record their
+        touched partitions; a poller rescans only those. Full rewrites
+        return None (everything changed)."""
+        path = str(tmp_path / "log")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        # initial layout is a full partitioned write -> None before mark
+        assert warehouse.changed_partitions_since(path, 0) is None
+        import time as _time
+        mark = _time.time_ns()
+        assert warehouse.changed_partitions_since(path, mark) == []
+
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("a", "eu", "v2", t1)]),
+            ["id"], partition_cols=["region"])
+        assert warehouse.changed_partitions_since(path, mark) \
+            == ["region=eu"]
+
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("c", "ap", "v1", t1)]),
+            ["id"], partition_cols=["region"])
+        assert warehouse.changed_partitions_since(path, mark) \
+            == ["region=ap", "region=eu"]
+
+    def test_log_survives_full_rewrite(self, spark, tmp_path):
+        path = str(tmp_path / "log2")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(spark, path,
+                               _df(spark, [("a", "v1", t0)]), ["id"])
+        warehouse.retention_delete(spark, path, "scanned_at", "2023-01-01")
+        import json as _json
+        import os
+        with open(os.path.join(path, "_commits.jsonl")) as fh:
+            ops = [_json.loads(l)["op"] for l in fh]
+        assert len(ops) >= 2  # the merge's commit survived the rewrite
+        # Spark still reads the table cleanly with the sidecar log present
+        assert spark.read.parquet(path).count() == 1
+
+
 class TestEvolveSchemaAndLock:
     def test_evolve_then_merge_widened_batch(self, spark, tmp_path):
         """The remedy path the drift error names: evolve_schema adds the
