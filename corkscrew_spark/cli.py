@@ -258,9 +258,7 @@ def cmd_scan(args: argparse.Namespace) -> int:
                 strict_expectations=getattr(args, "strict_expectations",
                                             False),
             )
-        except ValueError as ex:
-            if "expectations" not in str(ex):
-                raise
+        except pipeline.ExpectationsViolated as ex:
             print(f"ERROR: {ex}")
             return 1
         print(f"scan {summary['id']}: {summary['total_resources']} resources "

@@ -27,6 +27,12 @@ from corkscrew_spark.ingest import aws_scanner
 from corkscrew_spark.schema import API_ACTION_SCHEMA, SCAN_METADATA_SCHEMA
 
 
+class ExpectationsViolated(ValueError):
+    """Raised by run_scan(strict_expectations=True) when the batch
+    fails its gate — typed so callers (the CLI) never have to
+    string-match the message."""
+
+
 def run_scan(spark: SparkSession, out_dir: str, services: list[str],
              regions: list[str], use_sdk: bool = False,
              scan_id: str | None = None,
@@ -42,11 +48,15 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
 
     ``expectations`` (warehouse.validate_expectations rules) gate the
     batch BEFORE it merges: violations land in the summary's
-    ``warnings`` (and ``failed_resources`` counts their rows); with
-    ``strict_expectations`` a violated rule aborts the scan and nothing
+    ``warnings``, and ``failed_resources`` records the LARGEST
+    violation count across rules — a lower bound on distinct failing
+    rows (a row violating several rules counts once; exact row
+    attribution would need a second scan). With ``strict_expectations``
+    a violated rule aborts the scan (ExpectationsViolated) and nothing
     is written — the publish gate a warehouse runs so one bad scan
     can't poison the keyed table. The batch is persisted across the
-    validation+merge double-use so real SDK calls never re-fire.
+    validation+merge double-use so real SDK calls never re-fire, and
+    unpersisted even when the merge fails.
     """
     scan_id = scan_id or f"scan-{uuid.uuid4().hex[:12]}"
     t0 = time.monotonic()
@@ -56,32 +66,39 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
                                  client_factory=client_factory)
     warnings = None
     failed_rows = 0
-    if expectations:
-        resources = resources.persist()
-        report = warehouse.validate_expectations(
-            resources, expectations).collect()  # rule-sized, not data-sized
-        violated = [r for r in report if not r.passed]
-        if violated:
-            msgs = [f"{r.rule}: {r.violations} violation(s)"
-                    for r in violated]
-            if strict_expectations:
-                resources.unpersist()
-                raise ValueError(
-                    "scan aborted by expectations: " + "; ".join(msgs))
-            warnings = json.dumps(msgs)
-            failed_rows = int(sum(r.violations for r in violated))
-    res_path = os.path.join(out_dir, "resources")
-    before = (
-        spark.read.parquet(res_path).count() if os.path.exists(res_path) else 0
-    )
-    # Partition the warehouse by service so each scan's upsert is
-    # PARTITION-SCOPED: scanning two services rewrites two directories,
-    # never the whole table (a resource id embeds its service, so keyed
-    # merge locality holds). First run lays out the hive directories.
-    total = warehouse.merge_upsert(spark, res_path, resources, keys=["id"],
-                                   partition_cols=["service"])
-    if expectations:
-        resources.unpersist()
+    persisted = False
+    try:
+        if expectations:
+            resources = resources.persist()
+            persisted = True
+            report = warehouse.validate_expectations(
+                resources, expectations).collect()  # rule-sized, not data-sized
+            violated = [r for r in report if not r.passed]
+            if violated:
+                msgs = [f"{r.rule}: {r.violations} violation(s)"
+                        for r in violated]
+                if strict_expectations:
+                    raise ExpectationsViolated(
+                        "scan aborted by expectations: " + "; ".join(msgs))
+                warnings = json.dumps(msgs)
+                # lower bound on distinct failing rows (see docstring)
+                failed_rows = int(max(r.violations for r in violated))
+        res_path = os.path.join(out_dir, "resources")
+        before = (
+            spark.read.parquet(res_path).count()
+            if os.path.exists(res_path) else 0
+        )
+        # Partition the warehouse by service so each scan's upsert is
+        # PARTITION-SCOPED: scanning two services rewrites two
+        # directories, never the whole table (a resource id embeds its
+        # service, so keyed merge locality holds). First run lays out
+        # the hive directories.
+        total = warehouse.merge_upsert(spark, res_path, resources,
+                                       keys=["id"],
+                                       partition_cols=["service"])
+    finally:
+        if persisted:
+            resources.unpersist()
 
     if with_relationships:
         edges = aws_scanner.extract_relationships(spark.read.parquet(res_path))

@@ -29,8 +29,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-#: how long a writer waits for a competing merge before giving up
-TABLE_LOCK_TIMEOUT_S = 120.0
+#: how long a writer waits for a competing merge before giving up —
+#: sized for a slow compaction ahead in the queue, not a quick merge
+TABLE_LOCK_TIMEOUT_S = 600.0
 
 
 @contextlib.contextmanager
@@ -55,9 +56,18 @@ def _table_lock(path: str, timeout_s: float | None = None,
             break
         except FileExistsError:
             if time.monotonic() >= deadline:
+                holder = "?"
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip() or "?"
+                except OSError:
+                    pass
                 raise TimeoutError(
-                    f"writer lock {lock} is held — another merge is in "
-                    "progress (or crashed; remove the file if stale)")
+                    f"writer lock {lock} is held by pid {holder} — "
+                    "another writer is in progress. Verify that pid is "
+                    "dead before removing the lock file; deleting a "
+                    "LIVE writer's lock reintroduces the lost-update "
+                    "race this lock prevents")
             time.sleep(poll_s)
     try:
         os.write(fd, str(os.getpid()).encode())
@@ -167,6 +177,22 @@ def _partition_reldir(partition_cols: list[str], values: tuple) -> str:
 def _is_hive_partitioned(path: str, first_col: str) -> bool:
     return os.path.isdir(path) and any(
         e.startswith(first_col + "=") for e in os.listdir(path))
+
+
+def _detect_partition_cols(path: str) -> list[str]:
+    """Partition column names from the on-disk hive layout (descend the
+    first ``col=value`` chain); [] for a flat table."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        part_dirs = [e for e in os.listdir(cur)
+                     if "=" in e and os.path.isdir(os.path.join(cur, e))]
+        if not part_dirs:
+            break
+        name = part_dirs[0].split("=", 1)[0]
+        cols.append(name)
+        cur = os.path.join(cur, part_dirs[0])
+    return cols
 
 
 def _touched_partitions(updates: DataFrame,
@@ -314,6 +340,10 @@ def evolve_schema(spark: SparkSession, path: str, updates: DataFrame,
     added column names.
     """
     existing = spark.read.parquet(path)
+    if not partition_cols:
+        # auto-detect: rewriting a hive-partitioned table flat would
+        # silently demote every later merge to a full-table rewrite
+        partition_cols = _detect_partition_cols(path)
     added = [c for c in updates.columns if c not in existing.columns]
     if not added:
         return []
@@ -513,7 +543,9 @@ def compact_table(spark: SparkSession, path: str,
     old = f"{path}.__old__{time.time_ns()}"
     os.rename(path, old)
     os.rename(tmp, path)
+    _carry_commit_log(old, path)
     shutil.rmtree(old)
+    _log_commit(path, "compact", None)
     after, _ = table_file_stats(spark, path)
     return before, after
 
@@ -561,13 +593,15 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     ).first()
     z = zorder_value(F.col(x_col), F.col(y_col),
                      bounds[0], bounds[1], bounds[2], bounds[3], bits=bits)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite").parquet(path)
-    )
+    with _table_lock(path):
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite").parquet(path)
+        )
+        _log_commit(path, "zorder-rewrite", None)
 
 
 @_locked_writer
@@ -1025,4 +1059,9 @@ def retention_drop_partitions(path: str, partition_col: str,
             if value < cutoff:
                 shutil.rmtree(os.path.join(path, entry))
                 dropped.append(value)
+        if dropped:
+            # deletions are changes too — incremental consumers must
+            # drop these partitions from their mirror
+            _log_commit(path, "retention-drop",
+                        [f"{prefix}{v}" for v in dropped])
     return dropped
