@@ -29,13 +29,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join(left: DataFrame, right: DataFrame, key: str,
+def asof_join(left: DataFrame, right: DataFrame, key: str | list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_payload: list[str] | None = None,
               tiebreak: str | None = None,
               direction: str = "backward",
               tolerance_seconds: int | None = None) -> DataFrame:
-    """For each left row, attach the closest right row on the same key:
+    """For each left row, attach the closest right row on the same key
+    (a single column or a list — pandas ``merge_asof`` ``by`` parity):
     the latest with ``right.ts <= left.ts`` (``direction="backward"``,
     the default) or the earliest with ``right.ts >= left.ts``
     (``"forward"``). Matches are inclusive; left rows with no candidate
@@ -54,8 +55,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    keys = [key] if isinstance(key, str) else list(key)
     if right_payload is None:
-        right_payload = [c for c in right.columns if c not in (key, right_ts)]
+        right_payload = [c for c in right.columns
+                         if c not in keys and c != right_ts]
 
     # The payload travels as ONE struct so the carried match is row-atomic
     # (independently-carried columns could mix two right rows when a
@@ -66,8 +69,9 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.col(right_ts).cast("timestamp").alias("__rts"),
     )
     pay_type = right.select(pay_struct.alias("p")).schema["p"].dataType
+    key_cols = [f"__key{i}" for i in range(len(keys))]
     r = right.select(
-        F.col(key).alias("__key"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, key_cols)],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         pay_struct.alias("__pay"),
@@ -76,7 +80,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
     tb = (F.col("__pay")[tiebreak] if tiebreak else F.lit(0))
     l = left.select(
-        F.col(key).alias("__key"),
+        *[F.col(k).alias(kc) for k, kc in zip(keys, key_cols)],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(pay_type).alias("__pay"),
@@ -84,7 +88,7 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     )
     ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy(*key_cols)
         .orderBy(ts_order, F.col("__side"), tb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

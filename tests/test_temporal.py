@@ -476,3 +476,29 @@ class TestOhlcBars:
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         out = temporal.ohlc_bars(df, "ts", "value", "event_id", by=("k",)).collect()
         assert {(r.k, r.n_events) for r in out} == {("a", 1), ("b", 1)}
+
+
+def test_asof_join_composite_key(spark):
+    """Multi-column key (pandas merge_asof `by` list): matches only
+    where EVERY key column agrees."""
+    import datetime as dt
+
+    from corkscrew_spark.operators.temporal import asof_join
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    quotes = spark.createDataFrame(
+        [("acct1", "AAA", ts(9), 10.0), ("acct1", "BBB", ts(9), 20.0),
+         ("acct2", "AAA", ts(9), 99.0), ("acct1", "AAA", ts(11), 11.0)],
+        "account string, symbol string, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [("acct1", "AAA", ts(10)), ("acct1", "BBB", ts(10)),
+         ("acct2", "AAA", ts(10)), ("acct2", "BBB", ts(10))],
+        "account string, symbol string, ts timestamp")
+
+    got = {(r.account, r.symbol): r.px
+           for r in asof_join(trades, quotes,
+                              key=["account", "symbol"]).collect()}
+    assert got == {("acct1", "AAA"): 10.0, ("acct1", "BBB"): 20.0,
+                   ("acct2", "AAA"): 99.0, ("acct2", "BBB"): None}
