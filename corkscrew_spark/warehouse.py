@@ -136,6 +136,28 @@ def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
     return sorted(touched)
 
 
+def read_changed(spark: SparkSession, path: str, since_ns: int) -> DataFrame:
+    """The read half of the incremental loop: a DataFrame over ONLY the
+    partitions written since ``since_ns`` (per the commit log). Falls
+    back to the whole table when a full rewrite intervened (or the
+    table predates the log); returns an empty frame when nothing
+    changed. Partition dirs dropped since (retention/tombstones) simply
+    don't appear — a mirroring consumer diffing keys sees the deletes.
+
+    Scan cost is |changed partitions|: the read lists only those
+    directories (basePath keeps the partition columns in the schema).
+    """
+    changed = changed_partitions_since(path, since_ns)
+    if changed is None:
+        return spark.read.parquet(path)
+    live = [os.path.join(path, rel) for rel in changed
+            if os.path.isdir(os.path.join(path, rel))]
+    if not live:
+        full = spark.read.parquet(path)
+        return full.filter(F.lit(False))
+    return spark.read.option("basePath", path).parquet(*live)
+
+
 def _swap_write(df: DataFrame, path: str, op: str = "rewrite") -> None:
     """Write to a temp dir, then swap it into place. POSIX rename keeps
     the exposure window to one directory move (parquet's stand-in for a

@@ -403,6 +403,30 @@ class TestCommitLog:
         assert warehouse.changed_partitions_since(path, mark) \
             == ["region=ap", "region=eu"]
 
+    def test_read_changed(self, spark, tmp_path):
+        """read_changed scans only partitions written since the mark:
+        rows from untouched partitions don't appear; a full rewrite
+        falls back to the whole table; no changes -> empty frame."""
+        import time as _time
+        path = str(tmp_path / "rc")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        mark = _time.time_ns()
+        assert warehouse.read_changed(spark, path, mark).count() == 0
+
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("a", "eu", "v2", t1)]),
+            ["id"], partition_cols=["region"])
+        got = warehouse.read_changed(spark, path, mark).collect()
+        assert {(r.id, r.region, r.val) for r in got} == {("a", "eu", "v2")}
+
+        # a full rewrite (retention) falls back to the whole table
+        warehouse.retention_delete(spark, path, "scanned_at", "2023-01-01")
+        assert warehouse.read_changed(spark, path, mark).count() == 2
+
     def test_log_survives_full_rewrite(self, spark, tmp_path):
         path = str(tmp_path / "log2")
         t0 = dt.datetime(2024, 1, 1)
