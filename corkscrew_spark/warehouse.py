@@ -136,7 +136,8 @@ def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
     return sorted(touched)
 
 
-def read_changed(spark: SparkSession, path: str, since_ns: int) -> DataFrame:
+def read_changed(spark: SparkSession, path: str, since_ns: int,
+                 schema=None) -> DataFrame:
     """The read half of the incremental loop: a DataFrame over ONLY the
     partitions written since ``since_ns`` (per the commit log). Falls
     back to the whole table when a full rewrite intervened (or the
@@ -144,18 +145,47 @@ def read_changed(spark: SparkSession, path: str, since_ns: int) -> DataFrame:
     changed. Partition dirs dropped since (retention/tombstones) simply
     don't appear — a mirroring consumer diffing keys sees the deletes.
 
-    Scan cost is |changed partitions|: the read lists only those
-    directories (basePath keeps the partition columns in the schema).
+    ``schema`` types the empty result when it can't be inferred (table
+    not yet written, or every partition dropped) — without it those
+    cases raise with a clear message instead of an executor-side
+    AnalysisException. The empty/no-change path never lists the whole
+    table: it infers from one partition directory (or ``schema``), so
+    an idle poll costs one directory, not O(table).
+
+    Caveat: the result enumerates individual partition directories, so
+    an action racing a concurrent scoped merge can hit that merge's
+    brief rename window (PATH_NOT_FOUND) — poll loops on hot tables
+    should retry, exactly as they would around any eventual listing.
     """
+    if not os.path.exists(path):
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"{path} does not exist — pass schema= for a typed empty "
+            "result while the producer hasn't written yet")
     changed = changed_partitions_since(path, since_ns)
     if changed is None:
         return spark.read.parquet(path)
     live = [os.path.join(path, rel) for rel in changed
             if os.path.isdir(os.path.join(path, rel))]
-    if not live:
-        full = spark.read.parquet(path)
-        return full.filter(F.lit(False))
-    return spark.read.option("basePath", path).parquet(*live)
+    if live:
+        return spark.read.option("basePath", path).parquet(*live)
+    # nothing changed (or every changed dir was dropped): typed empty
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    any_dir = next(
+        (os.path.join(path, e) for e in sorted(os.listdir(path))
+         if "=" in e and os.path.isdir(os.path.join(path, e))), None)
+    from pyspark.errors import AnalysisException
+
+    try:
+        probe = (spark.read.option("basePath", path).parquet(any_dir)
+                 if any_dir else spark.read.parquet(path))
+        return probe.filter(F.lit(False))
+    except AnalysisException as ex:
+        raise ValueError(
+            f"cannot infer a schema for the empty result on {path} "
+            "(no readable partition left) — pass schema=") from ex
 
 
 def _swap_write(df: DataFrame, path: str, op: str = "rewrite") -> None:

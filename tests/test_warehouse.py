@@ -427,6 +427,36 @@ class TestCommitLog:
         warehouse.retention_delete(spark, path, "scanned_at", "2023-01-01")
         assert warehouse.read_changed(spark, path, mark).count() == 2
 
+    def test_read_changed_edge_cases(self, spark, tmp_path):
+        """Never-written and all-partitions-dropped tables: typed empty
+        with schema=, clear errors without; idle polls never list the
+        whole table."""
+        import time as _time
+
+        import pytest as _pytest
+        missing = str(tmp_path / "nope")
+        with _pytest.raises(FileNotFoundError, match="schema="):
+            warehouse.read_changed(spark, missing, 0)
+        empty = warehouse.read_changed(
+            spark, missing, 0, schema="id string, v int")
+        assert empty.count() == 0 and empty.columns == ["id", "v"]
+
+        # drop EVERY partition: commit log survives, data gone
+        path = str(tmp_path / "dropped")
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "2020-01-01", "v1",
+                          dt.datetime(2020, 1, 1))]),
+            ["id"], partition_cols=["region"])
+        mark = _time.time_ns()
+        warehouse.retention_drop_partitions(path, "region", "2099-01-01")
+        with _pytest.raises(ValueError, match="schema="):
+            warehouse.read_changed(spark, path, mark)
+        typed = warehouse.read_changed(
+            spark, path, mark,
+            schema="id string, val string, scanned_at timestamp, region string")
+        assert typed.count() == 0
+
     def test_log_survives_full_rewrite(self, spark, tmp_path):
         path = str(tmp_path / "log2")
         t0 = dt.datetime(2024, 1, 1)
