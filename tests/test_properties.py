@@ -242,3 +242,51 @@ def test_scoped_merge_equals_flat_merge(spark, tmp_path_factory, batches):
                       for r in spark.read.parquet(path).collect())
 
     assert snap(scoped) == snap(flat)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(_batch, min_size=2, max_size=3),
+       deletes=st.sets(st.sampled_from("abcdefgh"), max_size=4))
+def test_scoped_cdc_equals_flat_cdc(spark, tmp_path_factory, batches,
+                                    deletes):
+    """CDC differential: tombstone batches reach identical tables through
+    the scoped and flat paths — including partitions deleted empty."""
+    import datetime as _dt
+
+    from corkscrew_spark import warehouse
+
+    base = tmp_path_factory.mktemp("cdc_scoped_vs_flat")
+    scoped, flat = str(base / "scoped"), str(base / "flat")
+
+    def df(rows, ts_off=0, op=None):
+        return spark.createDataFrame(
+            [(f"{k}-{r or 'null'}", r, v,
+              _dt.datetime(2024, 1, 1 + ts + ts_off),
+              op or "UPSERT")
+             for k, r, v, ts in rows],
+            "id string, region string, v int, scanned_at timestamp, "
+            "op string")
+
+    for rows in batches:
+        for path, pc in ((scoped, ["region"]), (flat, None)):
+            warehouse.merge_upsert_cdc(spark, path, df(rows), ["id"],
+                                       partition_cols=pc,
+                                       count_rows=False)
+    # tombstone every selected key in every region it may inhabit
+    del_rows = [(k, r, 0, 5) for k in sorted(deletes) for r in _regions]
+    if del_rows:
+        for path, pc in ((scoped, ["region"]), (flat, None)):
+            warehouse.merge_upsert_cdc(
+                spark, path, df(del_rows, ts_off=10, op="DELETE"),
+                ["id"], partition_cols=pc, count_rows=False)
+
+    def snap(path):
+        from pyspark.errors import AnalysisException
+        try:
+            return sorted((r.id, r.region or "", r.v)
+                          for r in spark.read.parquet(path).collect())
+        except AnalysisException:
+            return []
+
+    assert snap(scoped) == snap(flat)

@@ -507,6 +507,28 @@ class TestEvolveSchemaAndLock:
         row = spark.read.parquet(path).collect()[0]
         assert row.extra is None  # existing rows read the new column as NULL
 
+    def test_evolve_autodetects_hive_layout(self, spark, tmp_path):
+        """Omitting partition_cols on a hive-partitioned table must NOT
+        flatten it (regression: a flat rewrite silently demoted every
+        later merge to full-table cost)."""
+        import os
+        path = str(tmp_path / "evauto")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(
+            spark, path, _pdf(spark, [("a", "eu", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+        widened = _pdf(spark, [("a", "eu", "v1", t0)]).withColumn(
+            "extra", F.lit("x"))
+        assert warehouse.evolve_schema(spark, path, widened) == ["extra"]
+        assert os.path.isdir(os.path.join(path, "region=eu"))  # still hive
+        # scoped merges keep working post-migration
+        t1 = dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            widened.withColumn("scanned_at", F.lit(t1)), ["id"],
+            partition_cols=["region"])
+        assert spark.read.parquet(path).collect()[0].extra == "x"
+
     def test_writer_lock_blocks_second_writer(self, spark, tmp_path):
         import pytest as _pytest
         path = str(tmp_path / "locked")
