@@ -595,7 +595,11 @@ def compact_table(spark: SparkSession, path: str,
     old = f"{path}.__old__{time.time_ns()}"
     os.rename(path, old)
     os.rename(tmp, path)
-    _carry_commit_log(old, path)
+    # Deliberately NOT carrying the old commit log: compaction is a
+    # full rewrite, so any consumer whose mark predates it must full-
+    # rescan regardless — starting a fresh log with just the compact
+    # record is semantically lossless AND bounds log growth through
+    # routine maintenance.
     shutil.rmtree(old)
     _log_commit(path, "compact", None)
     after, _ = table_file_stats(spark, path)
