@@ -1094,5 +1094,22 @@ def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
 
     `tables` maps table names (case-insensitive) to DataFrames; the
     query's first pipeline stage must name one of them.
+
+    Type mismatches Kusto rejects at compile time (a numeric column
+    compared to a non-numeric string literal) would otherwise surface
+    as an opaque executor CAST_INVALID_INPUT mid-action under Spark's
+    ANSI folding — forcing the optimized plan here converts them into
+    an immediate KqlError.
     """
-    return _StageCompiler(tables).compile(query)
+    df = _StageCompiler(tables).compile(query)
+    try:
+        df._jdf.queryExecution().optimizedPlan()
+    except Exception as ex:  # Py4J wraps the Spark exception classes
+        msg = str(ex)
+        if "CAST_INVALID_INPUT" in msg:
+            first = msg.splitlines()[0]
+            raise KqlError(
+                "KQL: type mismatch in comparison — a numeric column is "
+                f"compared to a non-numeric literal ({first})") from ex
+        raise
+    return df

@@ -446,3 +446,21 @@ def test_mv_apply_requires_summarize_tail(spark):
     df = spark.createDataFrame([(1, [1])], "id long, xs array<long>")
     with _pytest.raises(KqlError, match="summarize"):
         kql_to_df("T | mv-apply xs on ( where xs > 0 )", {"T": df})
+
+
+def test_numeric_vs_string_literal_is_compile_error(spark):
+    """Kusto rejects `longcol == 'text'` at compile time; Spark's ANSI
+    folding would otherwise raise CAST_INVALID_INPUT mid-action on an
+    executor — the compiler must surface a KqlError immediately."""
+    import pytest
+
+    from corkscrew_spark.catalog import register_tables
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    t = register_tables(spark, "/root/testdata/sf0.001")
+    with pytest.raises(KqlError, match="type mismatch"):
+        kql_to_df("documents | where doc_id == 'd-000001'", t)
+    # numeric-to-numeric and string-to-string comparisons still compile
+    assert kql_to_df("documents | where doc_id == 1", t).count() == 1
+    assert kql_to_df("documents | where lang == 'en' | take 1",
+                     t).count() == 1
