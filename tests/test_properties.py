@@ -290,3 +290,43 @@ def test_scoped_cdc_equals_flat_cdc(spark, tmp_path_factory, batches,
             return []
 
     assert snap(scoped) == snap(flat)
+
+
+# ---------------------------------------------------------------------------
+# KQL compiler robustness (kql.py)
+# ---------------------------------------------------------------------------
+
+_KQL_FRAGMENTS = st.lists(st.sampled_from([
+    "where value > 5", "where lang == 'en'", "where doc_id == 1",
+    "project doc_id, lang", "project-away text", "extend d = value * 2",
+    "summarize n = count() by lang", "order by doc_id asc", "take 3",
+    "distinct lang", "count", "top 2 by value",
+    "where lang =~ 'EN'", "where source has 'web'",
+    "summarize m = max(value)", "extend b = bin(ts, 1h)",
+]), min_size=0, max_size=4)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(table=st.sampled_from(["documents", "events"]),
+       frags=_KQL_FRAGMENTS)
+def test_kql_random_pipelines_compile_or_kqlerror(spark, table, frags):
+    """Random stage compositions either compile to a runnable plan or
+    raise KqlError — never an AnalysisException / AttributeError /
+    executor-side crash. (Stages may reference columns a prior
+    projection dropped; that must still be a *typed* failure.)"""
+    from corkscrew_spark.catalog import register_tables
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    t = register_tables(spark, "/root/testdata/sf0.001")
+    q = " | ".join([table] + frags)
+    try:
+        df = kql_to_df(q, t)
+        df.limit(1).collect()  # end-to-end: the plan actually runs
+    except KqlError:
+        pass
+    except Exception as ex:
+        from pyspark.errors import AnalysisException
+        # a column dropped by an earlier stage surfaces as Spark's
+        # UNRESOLVED_COLUMN at analysis — acceptable, positioned error
+        assert isinstance(ex, AnalysisException), (q, type(ex), ex)
