@@ -1099,9 +1099,14 @@ def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     compared to a non-numeric string literal) would otherwise surface
     as an opaque executor CAST_INVALID_INPUT mid-action under Spark's
     ANSI folding — forcing the optimized plan here converts them into
-    an immediate KqlError.
+    an immediate KqlError. The probe uses the classic-PySpark ``_jdf``
+    internal, so it is capability-gated: under Spark Connect (no
+    ``_jdf``) compilation stays lazy and the mismatch surfaces at
+    action time instead — degraded error UX, never a broken compiler.
     """
     df = _StageCompiler(tables).compile(query)
+    if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
+        return df
     try:
         df._jdf.queryExecution().optimizedPlan()
     except Exception as ex:  # Py4J wraps the Spark exception classes

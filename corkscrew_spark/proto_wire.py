@@ -133,16 +133,30 @@ def encode(msg: dict, descriptor: dict) -> bytes:
     return bytes(out)
 
 
+def _bounds_check(buf: bytes, pos: int, n: int) -> None:
+    """A length prefix (or fixed width) that extends past the buffer means
+    the message was truncated in transit — raise, exactly as a truncated
+    varint does, so the transport's malformed-request accounting fires
+    instead of silently decoding a short slice to wrong values."""
+    if pos + n > len(buf):
+        raise ValueError(
+            f"truncated message: field needs {n} bytes at offset {pos}, "
+            f"buffer has {len(buf) - pos}")
+
+
 def _skip(buf: bytes, pos: int, wire_type: int) -> int:
     if wire_type == _WT_VARINT:
         _, pos = decode_varint(buf, pos)
         return pos
     if wire_type == _WT_I64:
+        _bounds_check(buf, pos, 8)
         return pos + 8
     if wire_type == _WT_LEN:
         n, pos = decode_varint(buf, pos)
+        _bounds_check(buf, pos, n)
         return pos + n
     if wire_type == _WT_I32:
+        _bounds_check(buf, pos, 4)
         return pos + 4
     raise ValueError(f"unsupported wire type {wire_type}")
 
@@ -171,6 +185,7 @@ def decode(buf: bytes, descriptor: dict) -> dict:
         elif kind in ("string", "message", "repeated_string",
                       "repeated_message", "map_str_str"):
             n, pos = decode_varint(buf, pos)
+            _bounds_check(buf, pos, n)
             data = buf[pos:pos + n]
             pos += n
             if kind == "string":

@@ -306,23 +306,36 @@ def _swap_partitions(df: DataFrame, path: str, partition_cols: list[str],
                 os.rename(new_dir, live_dir)
                 if not had_original:
                     added.append(live_dir)
-    except BaseException:
+    except BaseException as swap_err:
         # Roll the live table back to its pre-merge state before the
         # trash is dropped: remove every swapped-in staging dir (all
         # reproducible by re-running the merge) and put every displaced
         # original back — a mid-swap failure must neither lose pre-merge
-        # data nor leave a half-merged mix.
-        for live_dir in added:
-            shutil.rmtree(live_dir, ignore_errors=True)
-        for moved, live_dir in displaced:
-            if os.path.isdir(moved):
-                if os.path.exists(live_dir):
-                    shutil.rmtree(live_dir, ignore_errors=True)
-                os.rename(moved, live_dir)
-        raise
-    finally:
+        # data nor leave a half-merged mix. If the ROLLBACK itself fails
+        # (e.g. an os.rename error restoring a displaced partition), the
+        # trash dir is the only surviving copy of pre-merge data — leave
+        # it in place and name it in the raised error for manual
+        # recovery instead of rmtree'ing it below.
+        try:
+            for live_dir in added:
+                shutil.rmtree(live_dir, ignore_errors=True)
+            for moved, live_dir in displaced:
+                if os.path.isdir(moved):
+                    if os.path.exists(live_dir):
+                        shutil.rmtree(live_dir, ignore_errors=True)
+                    os.rename(moved, live_dir)
+        except BaseException as rollback_err:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"partition swap failed AND rollback failed — displaced "
+                f"pre-merge partitions are preserved at {trash} (numbered "
+                f"dirs map to {rels}); restore them manually. Rollback "
+                f"error: {rollback_err!r}") from swap_err
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
     _log_commit(path, "merge-scoped", rels)
 
 
@@ -372,8 +385,19 @@ def _aligned_updates(existing: DataFrame, updates: DataFrame) -> DataFrame:
 
 
 def append(df: DataFrame, path: str) -> None:
-    """Append-only sinks (scan_metadata K5, api_action_metadata K6)."""
-    df.write.mode("append").parquet(path)
+    """Append-only sinks (scan_metadata K5, api_action_metadata K6).
+
+    Takes the same writer lock as the merge family so an append can
+    never land between a swap-write's two renames, and logs a
+    full-rewrite commit (partitions=None) when the table already has a
+    commit log — appended rows must not be invisible to
+    ``changed_partitions_since``/``read_changed`` consumers that trust
+    the log. A table without a log stays log-free (pre-log tables
+    already read as "assume all changed")."""
+    with _table_lock(path):
+        df.write.mode("append").parquet(path)
+        if os.path.exists(os.path.join(path, _COMMIT_LOG)):
+            _log_commit(path, "append", None)
 
 
 @_locked_writer
@@ -473,13 +497,29 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
 def retention_delete(spark: SparkSession, path: str, ts_col: str,
                      cutoff: str) -> int:
     """K7 retention: drop rows older than ``cutoff`` (change_storage.go:
-    283-295). Returns rows kept. With a date-partitioned table this
-    becomes a pure partition drop — no data rewrite; the generic path
-    rewrites the survivors."""
+    283-295). Returns rows kept.
+
+    AUTO-ROUTES to the partition-drop path when ``ts_col`` IS the
+    table's leading hive partition column: every row in a
+    ``ts_col=value`` directory carries exactly that value, so dropping
+    directories lexicographically below ``cutoff`` equals the row
+    filter — a metadata-only delete that rewrites ZERO surviving bytes
+    (the 100 TB retention story; use ISO / zero-padded partition
+    values so string order is value order). Tables partitioned by a
+    DERIVED column (e.g. ``dt=date(ts)``) should call
+    ``retention_drop_partitions`` directly with an aligned cutoff —
+    deriving the mapping here would guess. The generic path (non-
+    partitioned, or partitioned on another column) rewrites the
+    survivors via swap-write, unchanged."""
     if not os.path.exists(path):
         return 0
-    kept = spark.read.parquet(path).filter(F.col(ts_col) >= F.lit(cutoff))
-    _swap_write(kept, path)
+    pcols = _detect_partition_cols(path)
+    if pcols and pcols[0] == ts_col:
+        _drop_partitions_below(path, ts_col, cutoff)
+    else:
+        kept = spark.read.parquet(path).filter(
+            F.col(ts_col) >= F.lit(cutoff))
+        _swap_write(kept, path)
     return _table_count(spark, path)
 
 
@@ -650,14 +690,16 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     z = zorder_value(F.col(x_col), F.col(y_col),
                      bounds[0], bounds[1], bounds[2], bounds[3], bits=bits)
     with _table_lock(path):
-        (
+        # Stage-and-swap like every other writer: an in-place overwrite
+        # deletes the live dir first, so readers (and a df derived from
+        # reading this same path) would observe a missing/partial table
+        # mid-rewrite.
+        _swap_write(
             df.withColumn("__z", z)
             .repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite").parquet(path)
-        )
-        _log_commit(path, "zorder-rewrite", None)
+            .drop("__z"),
+            path, op="zorder-rewrite")
 
 
 @_locked_writer
@@ -1094,30 +1136,38 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
     return _table_count(spark, path) if count_rows else -1
 
 
+def _drop_partitions_below(path: str, partition_col: str,
+                           cutoff: str) -> list[str]:
+    """Lock-free core of the partition-drop retention path (callers hold
+    the table lock). Returns the dropped partition values."""
+    prefix = f"{partition_col}="
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    if dropped:
+        # deletions are changes too — incremental consumers must
+        # drop these partitions from their mirror
+        _log_commit(path, "retention-drop",
+                    [f"{prefix}{v}" for v in dropped])
+    return dropped
+
+
 def retention_drop_partitions(path: str, partition_col: str,
                               cutoff: str) -> list[str]:
     """K7 retention on a hive-partitioned table as a PARTITION DROP:
     remove every ``partition_col=value`` directory whose value sorts
     strictly below ``cutoff`` — a metadata-only operation (no data read,
     no rewrite), which is why date-partitioned layouts are the retention
-    story at 100 TB (the generic ``retention_delete`` rewrites all
+    story at 100 TB (``retention_delete`` auto-routes here when its
+    ``ts_col`` is the partition column; its generic path rewrites all
     survivors). String comparison matches hive's lexicographic partition
     values; use zero-padded / ISO-formatted partition values (dates
     already are). Returns the dropped partition values.
     """
-    prefix = f"{partition_col}="
-    dropped = []
     with _table_lock(path):
-        for entry in sorted(os.listdir(path)):
-            if not entry.startswith(prefix):
-                continue
-            value = entry[len(prefix):]
-            if value < cutoff:
-                shutil.rmtree(os.path.join(path, entry))
-                dropped.append(value)
-        if dropped:
-            # deletions are changes too — incremental consumers must
-            # drop these partitions from their mirror
-            _log_commit(path, "retention-drop",
-                        [f"{prefix}{v}" for v in dropped])
-    return dropped
+        return _drop_partitions_below(path, partition_col, cutoff)

@@ -268,3 +268,60 @@ class TestGrpcSocket:
             assert resp["rows"][0]["values"] == {"three": "3"}
         finally:
             server.stop(0)
+
+
+class TestTruncationSafety:
+    """Round-5 hardening: a message truncated mid-field must raise
+    ValueError, never silently decode a short slice to wrong values
+    (varint truncation already raised; this pins the length-delimited
+    and fixed-width paths too)."""
+
+    def test_truncated_string_field_raises(self):
+        full = pw.encode({"query": "SELECT count(*) FROM resources"},
+                         pw.API_EXECUTE_QUERY_REQUEST)
+        with pytest.raises(ValueError, match="truncated"):
+            pw.decode(full[:-5], pw.API_EXECUTE_QUERY_REQUEST)
+
+    def test_truncated_nested_message_raises(self):
+        full = pw.encode(
+            {"status": 1, "timestamp": {"seconds": 1700000000, "nanos": 5}},
+            pw.API_HEALTH_CHECK_RESPONSE)
+        with pytest.raises(ValueError, match="truncated"):
+            pw.decode(full[:-1], pw.API_HEALTH_CHECK_RESPONSE)
+
+    def test_truncated_unknown_len_field_raises(self):
+        # unknown field 15, LEN wire type, claims 10 bytes but has 2
+        buf = pw._tag(15, 2) + pw.encode_varint(10) + b"xy"
+        with pytest.raises(ValueError, match="truncated"):
+            pw.decode(buf, pw.API_EXECUTE_QUERY_REQUEST)
+
+    def test_truncated_unknown_fixed_width_raises(self):
+        # unknown field 15 with I64/I32 wire types, short payloads
+        for wt, width in ((1, 8), (5, 4)):
+            buf = pw._tag(15, wt) + b"\x00" * (width - 1)
+            with pytest.raises(ValueError, match="truncated"):
+                pw.decode(buf, pw.API_EXECUTE_QUERY_REQUEST)
+
+    def test_every_prefix_raises_or_decodes_consistently(self):
+        """Fuzz: for every strict prefix of a rich valid message, decode
+        either raises ValueError (truncation detected) or returns a dict
+        whose encodable content is a prefix-consistent submessage — it
+        must never raise anything else or crash the transport layer."""
+        msg = {
+            "rows": [{"values": {"id": "i-1", "region": "eu-west-1"}},
+                     {"values": {"id": "i-2"}}],
+            "columns": ["id", "region"],
+            "row_count": 2,
+            "execution_time_ms": 1234,
+        }
+        full = pw.encode(msg, pw.API_EXECUTE_QUERY_RESPONSE)
+        assert pw.decode(full, pw.API_EXECUTE_QUERY_RESPONSE)["row_count"] == 2
+        outcomes = {"raised": 0, "decoded": 0}
+        for cut in range(len(full)):
+            try:
+                pw.decode(full[:cut], pw.API_EXECUTE_QUERY_RESPONSE)
+                outcomes["decoded"] += 1
+            except ValueError:
+                outcomes["raised"] += 1
+        # both outcomes occur (field boundaries decode, mid-field raises)
+        assert outcomes["raised"] > 0 and outcomes["decoded"] > 0

@@ -886,3 +886,138 @@ class TestPartitionDropRetention:
             "2024-01-03", "2024-01-04"}
         # idempotent
         assert warehouse.retention_drop_partitions(path, "day", "2024-01-03") == []
+
+
+class TestRound5Hardening:
+    """Round-5 ADVICE fixes: retention auto-route, append lock+log,
+    zorder staged swap, rollback-failure trash preservation."""
+
+    def test_retention_autoroutes_to_partition_drop(self, spark, tmp_path):
+        """When ts_col IS the hive partition column, retention_delete must
+        rewrite ZERO surviving bytes: expired dirs vanish, survivors stay
+        byte-for-byte identical (path, size, mtime)."""
+        import json
+        import os
+        path = str(tmp_path / "byday")
+        df = spark.createDataFrame(
+            [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(5)],
+            "id long, day string")
+        warehouse.write_partitioned(df, path, ["day"])
+        before = {k: v for k, v in _partition_files(path).items()
+                  if k.startswith(("day=2024-01-03", "day=2024-01-04"))}
+        kept = warehouse.retention_delete(spark, path, "day", "2024-01-03")
+        assert kept == 10
+        assert not os.path.exists(os.path.join(path, "day=2024-01-01"))
+        after = {k: v for k, v in _partition_files(path).items()}
+        assert after == before  # survivors untouched, nothing else left
+        # the drop was logged for incremental consumers
+        with open(os.path.join(path, "_commits.jsonl")) as fh:
+            ops = [json.loads(line) for line in fh]
+        assert ops[-1]["op"] == "retention-drop"
+        assert sorted(ops[-1]["partitions"]) == [
+            "day=2024-01-01", "day=2024-01-02"]
+
+    def test_retention_generic_path_for_other_partition_col(
+            self, spark, tmp_path):
+        """Partitioned on a DIFFERENT column: the row filter must still
+        apply (no bogus auto-route)."""
+        path = str(tmp_path / "byregion")
+        df = spark.createDataFrame(
+            [("a", "eu", "2024-01-01"), ("b", "eu", "2024-01-05"),
+             ("c", "us", "2024-01-02")],
+            "id string, region string, scanned_at string")
+        warehouse.write_partitioned(df, path, ["region"])
+        kept = warehouse.retention_delete(
+            spark, path, "scanned_at", "2024-01-03")
+        assert kept == 1
+        assert [r.id for r in spark.read.parquet(path).collect()] == ["b"]
+
+    def test_append_logs_full_commit_on_logged_tables(self, spark, tmp_path):
+        """An append into a merge-managed (commit-logged) table must be
+        visible to incremental consumers — the log gains a full-rewrite
+        record, so changed_partitions_since reports 'all changed'."""
+        import time
+        path = str(tmp_path / "logged")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(
+            spark, path, _df(spark, [("a", "v1", t0)]), ["id"])
+        mark = time.time_ns()
+        assert warehouse.changed_partitions_since(path, mark) == []
+        warehouse.append(_df(spark, [("b", "v1", t0)]), path)
+        assert warehouse.changed_partitions_since(path, mark) is None
+        assert spark.read.parquet(path).count() == 2
+
+    def test_append_leaves_unlogged_tables_unlogged(self, spark, tmp_path):
+        import os
+        path = str(tmp_path / "sink")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.append(_df(spark, [("a", "v1", t0)]), path)
+        assert not os.path.exists(os.path.join(path, "_commits.jsonl"))
+        assert not os.path.exists(path + ".__lock__")  # lock released
+
+    def test_zorder_rewrite_is_staged_and_carries_log(self, spark, tmp_path):
+        """zorder_write must swap a staged dir into place (no in-place
+        overwrite window) and carry + extend the commit log."""
+        import json
+        import os
+        path = str(tmp_path / "zt")
+        t0 = dt.datetime(2024, 1, 1)
+        warehouse.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(i, i % 7, (i * 3) % 11, t0)
+                                   for i in range(100)],
+                                  "id long, x long, y long, scanned_at timestamp"),
+            ["id"])
+        df = spark.read.parquet(path)
+        warehouse.zorder_write(df, path, "x", "y", n_files=4)
+        assert spark.read.parquet(path).count() == 100
+        with open(os.path.join(path, "_commits.jsonl")) as fh:
+            ops = [json.loads(line)["op"] for line in fh]
+        assert ops[-1] == "zorder-rewrite" and len(ops) >= 2
+        leftovers = [e for e in os.listdir(str(tmp_path))
+                     if ".__staging__" in e or ".__old__" in e]
+        assert leftovers == []
+
+    def test_swap_rollback_failure_preserves_trash(self, spark, tmp_path,
+                                                   monkeypatch):
+        """If the mid-swap rollback itself fails, the displaced pre-merge
+        partition data must survive in the trash dir and the error must
+        name it — never rmtree the only remaining copy."""
+        import os
+        import shutil as _shutil
+        import pytest
+        path = str(tmp_path / "pt_rb")
+        t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+        warehouse.merge_upsert(
+            spark, path,
+            _pdf(spark, [("a", "eu", "v1", t0), ("b", "us", "v1", t0)]),
+            ["id"], partition_cols=["region"])
+
+        real_rename = os.rename
+        state = {"fail_swap": True}
+
+        def failing_rename(src, dst):
+            # fail the swap-in of the staged eu dir, then ALSO fail the
+            # rollback restore of the displaced original
+            if state["fail_swap"] and ".__staging__" in src:
+                raise OSError("injected swap failure")
+            if ".__old__" in src:
+                raise OSError("injected rollback failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", failing_rename)
+        with pytest.raises(RuntimeError, match="preserved at"):
+            warehouse.merge_upsert(
+                spark, path,
+                _pdf(spark, [("a", "eu", "v2", t1)]),
+                ["id"], partition_cols=["region"])
+        monkeypatch.setattr(os, "rename", real_rename)
+        trash = [e for e in os.listdir(str(tmp_path))
+                 if ".__old__" in e and os.path.isdir(str(tmp_path / e))]
+        assert len(trash) == 1
+        # the displaced eu partition's parquet files live in the trash
+        moved = os.path.join(str(tmp_path), trash[0], "0")
+        assert any(f.endswith(".parquet") for f in os.listdir(moved))
+        _shutil.rmtree(os.path.join(str(tmp_path), trash[0]))
+        os.remove(path + ".__lock__") if os.path.exists(
+            path + ".__lock__") else None
