@@ -14,8 +14,20 @@ to its load-bearing core so it stays dependency-free and testable:
   the new latest (Delta's commit-conflict semantics).
 * Time travel: read any retained version by number or "as of" a
   timestamp (audit/repro — what did the estate look like yesterday?).
+* **File-level commits** (the Delta/Iceberg cost model): a partitioned
+  table's upsert writes ONLY the hive partitions the batch touches into
+  ``v=N``; every untouched partition is *referenced* from its owning
+  older version via the manifest's ``parts`` map (``relpath → owner
+  version``) and materialized as a relative symlink so Spark reads
+  ``v=N/data`` as one ordinary hive tree. An hourly 1-partition upsert
+  into a 100 TB table therefore costs O(touched partition) + manifest,
+  not O(table) — on an object store the same ``parts`` map is the
+  copy-free manifest; symlinks are just the local-filesystem
+  materialization.
 * ``vacuum`` drops old snapshot directories but never the manifest
-  history rows (cheap lineage of what happened when).
+  history rows (cheap lineage of what happened when), and RESPECTS
+  cross-version sharing: a partition directory still referenced by a
+  retained version's ``parts`` map survives its owner's vacuum.
 
 On a real deployment these call sites map 1:1 onto Delta tables; this
 keeps the semantics runnable with zero extra dependencies, like
@@ -26,11 +38,21 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from corkscrew_spark.warehouse import (
+    _aligned_updates,
+    _partition_predicate,
+    _partition_reldir,
+    _touched_partitions,
+    write_partitioned,
+)
+
 MANIFEST = "_versions.json"
+VACUUMED_MARKER = "_vacuumed"
 
 
 class VersionConflict(RuntimeError):
@@ -61,16 +83,8 @@ def latest_version(path: str) -> int | None:
     return entries[-1]["version"] if entries else None
 
 
-def write_version(df: DataFrame, path: str, op: str = "overwrite",
-                  commit_ts: float | None = None) -> int:
-    """Commit ``df`` as the next snapshot; returns the version number.
-
-    Optimistic concurrency: the ``v=N`` directory is claimed with an
-    atomic mkdir before any data is written; a racing writer that
-    claimed it first surfaces as ``VersionConflict``.
-    """
-    os.makedirs(path, exist_ok=True)
-    version = (latest_version(path) or 0) + 1
+def _claim(path: str, version: int) -> str:
+    """Atomically claim the ``v=N`` directory (optimistic concurrency)."""
     vdir = os.path.join(path, f"v={version}")
     try:
         os.mkdir(vdir)  # atomic claim
@@ -78,17 +92,83 @@ def write_version(df: DataFrame, path: str, op: str = "overwrite",
         raise VersionConflict(
             f"version {version} at {path} was committed concurrently"
         ) from ex
-    df.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
-    rows = df.sparkSession.read.parquet(os.path.join(vdir, "data")).count()
+    return vdir
+
+
+def _leaf_partition_rels(data_dir: str, n_levels: int) -> list[str]:
+    """Relpaths of the hive leaf partition dirs ``n_levels`` deep —
+    metadata-sized directory walk, never reads data."""
+    rels = [""]
+    for _ in range(n_levels):
+        nxt = []
+        for rel in rels:
+            base = os.path.join(data_dir, rel) if rel else data_dir
+            if not os.path.isdir(base):
+                continue
+            for e in sorted(os.listdir(base)):
+                if "=" in e and os.path.isdir(os.path.join(base, e)):
+                    nxt.append(os.path.join(rel, e) if rel else e)
+        rels = nxt
+    return rels
+
+
+def _link_shared(data_dir: str, rel: str, owner: int) -> None:
+    """Materialize an unchanged-partition reference as a RELATIVE
+    symlink into the owning version's data dir, so ``v=N/data`` reads
+    as one ordinary hive tree and the whole table dir stays
+    relocatable. Depth-aware: ``rel`` may be nested (multi-column
+    partitioning)."""
+    link = os.path.join(data_dir, rel)
+    os.makedirs(os.path.dirname(link), exist_ok=True)
+    depth = rel.count("/") + 2  # data/ + nested partition levels
+    target = os.path.join(*[".."] * depth, f"v={owner}", "data", rel)
+    os.symlink(target, link)
+
+
+def _commit(path: str, version: int, op: str, rows: int,
+            commit_ts: float | None,
+            parts: dict[str, int] | None = None,
+            partition_cols: list[str] | None = None) -> int:
     entries = read_manifest(path)
-    entries.append({
+    entry: dict = {
         "version": version,
         "ts": commit_ts if commit_ts is not None else time.time(),
         "op": op,
         "rows": rows,
-    })
+    }
+    if parts is not None:
+        entry["parts"] = parts
+        entry["partition_cols"] = list(partition_cols or [])
+    entries.append(entry)
     _write_manifest(path, entries)
     return version
+
+
+def write_version(df: DataFrame, path: str, op: str = "overwrite",
+                  commit_ts: float | None = None,
+                  partition_cols: list[str] | None = None) -> int:
+    """Commit ``df`` as the next snapshot; returns the version number.
+
+    With ``partition_cols`` the snapshot is laid out hive-partitioned
+    and the manifest records a ``parts`` map (every partition owned by
+    this version) — the layout that lets every subsequent
+    ``upsert_version`` commit file-scoped instead of rewriting the
+    table.
+    """
+    os.makedirs(path, exist_ok=True)
+    version = (latest_version(path) or 0) + 1
+    vdir = _claim(path, version)
+    data = os.path.join(vdir, "data")
+    if partition_cols:
+        write_partitioned(df, data, partition_cols)
+        parts = {rel: version
+                 for rel in _leaf_partition_rels(data, len(partition_cols))}
+    else:
+        df.write.mode("overwrite").parquet(data)
+        parts = None
+    rows = df.sparkSession.read.parquet(data).count()
+    return _commit(path, version, op, rows, commit_ts, parts,
+                   partition_cols)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None,
@@ -113,8 +193,10 @@ def read_version(spark: SparkSession, path: str, version: int | None = None,
     known = {e["version"] for e in entries}
     if version not in known:
         raise ValueError(f"unknown version {version} (have {sorted(known)})")
-    vdir = os.path.join(path, f"v={version}", "data")
-    if not os.path.exists(vdir):
+    vroot = os.path.join(path, f"v={version}")
+    vdir = os.path.join(vroot, "data")
+    if (not os.path.exists(vdir)
+            or os.path.exists(os.path.join(vroot, VACUUMED_MARKER))):
         raise ValueError(f"version {version} was vacuumed")
     return spark.read.parquet(vdir)
 
@@ -125,36 +207,101 @@ def history(path: str) -> list[dict]:
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
-    """Drop snapshot data older than the last ``keep_last`` versions.
-    Manifest rows are kept (lineage survives); returns dropped versions."""
-    import shutil
-
+    """Drop snapshot data older than the last ``keep_last`` versions,
+    RESPECTING cross-version sharing: a partition directory that a
+    retained version's ``parts`` map still references survives (only
+    the unreferenced parts of its owning ``v=N`` are deleted, and that
+    version is marked vacuumed — no longer fully readable). Manifest
+    rows are always kept (lineage survives); returns the versions made
+    unreadable."""
     entries = read_manifest(path)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    keep = {e["version"] for e in entries[-keep_last:]}
+    retained = entries[-keep_last:]
+    keep_versions = {e["version"] for e in retained}
+    # (owner version, relpath) pairs still needed by retained snapshots
+    referenced: dict[int, set[str]] = {}
+    for e in retained:
+        for rel, owner in (e.get("parts") or {}).items():
+            if owner not in keep_versions:
+                referenced.setdefault(owner, set()).add(rel)
     dropped = []
-    for e in entries[:-keep_last] if keep_last else entries:
+    for e in entries[:-keep_last]:
         v = e["version"]
-        vdir = os.path.join(path, f"v={v}")
-        if v not in keep and os.path.exists(vdir):
-            shutil.rmtree(vdir)
+        if v in keep_versions:
+            continue
+        vroot = os.path.join(path, f"v={v}")
+        if not os.path.exists(vroot):
+            continue
+        if os.path.exists(os.path.join(vroot, VACUUMED_MARKER)):
+            continue  # already processed in an earlier vacuum
+        needed = referenced.get(v, set())
+        if not needed:
+            shutil.rmtree(vroot)
             dropped.append(v)
+            continue
+        # shared owner: delete only the unreferenced partition dirs
+        # (symlinks inside it are never referenced — removing a symlink
+        # never touches its target), mark the version vacuumed so a
+        # time-travel read fails loudly instead of returning a partial
+        # snapshot.
+        data = os.path.join(vroot, "data")
+        pcols = e.get("partition_cols") or []
+        for rel in _leaf_partition_rels(data, len(pcols)):
+            full = os.path.join(data, rel)
+            if rel in needed and not os.path.islink(full):
+                continue
+            if os.path.islink(full):
+                os.unlink(full)
+            else:
+                shutil.rmtree(full)
+        with open(os.path.join(vroot, VACUUMED_MARKER), "w") as fh:
+            fh.write(json.dumps({"kept_for": sorted(needed)}))
+        dropped.append(v)
     return dropped
 
 
 def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
-                   keys: list[str], order_col: str = "scanned_at") -> int:
+                   keys: list[str], order_col: str = "scanned_at",
+                   partition_cols: list[str] | None = None) -> int:
     """Keyed merge committed as a new snapshot: newest ``order_col`` per
     key wins (update beats existing on ties). The versioned sibling of
-    warehouse.merge_upsert — history stays queryable."""
+    warehouse.merge_upsert — history stays queryable.
+
+    With ``partition_cols`` (and a prior partitioned snapshot) the
+    commit is FILE-SCOPED: only the hive partitions present in the
+    batch are read, merged, and written into ``v=N``; every other
+    partition is carried by reference (manifest ``parts`` + symlink) —
+    the Delta/Iceberg upsert cost model, O(touched files) not O(table).
+    Partition columns must bound key locality (every version of a key
+    lives in one partition), exactly as in merge_upsert. A first
+    partitioned upsert over a flat snapshot migrates the layout with
+    one full rewrite; subsequent upserts scope.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    entries = read_manifest(path)
+    prev = entries[-1] if entries else None
+    prev_parts = (prev or {}).get("parts")
+    scoped = (
+        prev_parts is not None and bool(partition_cols)
+        and list(partition_cols) == list(prev.get("partition_cols") or [])
+    )
+
     tagged = updates.withColumn("_src", F.lit(1))
-    if latest_version(path) is not None:
+    touched_rels: list[str] = []
+    if prev is not None:
         existing = read_version(spark, path).withColumn("_src", F.lit(0))
-        merged = existing.unionByName(tagged)
+        if scoped:
+            touched = _touched_partitions(updates, partition_cols)
+            touched_rels = list(dict.fromkeys(
+                _partition_reldir(partition_cols, values)
+                for values in touched))
+            existing = existing.filter(
+                _partition_predicate(partition_cols, touched))
+        merged = existing.unionByName(
+            _aligned_updates(existing, tagged))
     else:
         merged = tagged
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("_src"))
@@ -165,4 +312,21 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
-    return write_version(result, path, op="upsert")
+    if not scoped:
+        return write_version(result, path, op="upsert",
+                             partition_cols=partition_cols)
+
+    version = prev["version"] + 1
+    vdir = _claim(path, version)
+    data = os.path.join(vdir, "data")
+    write_partitioned(result, data, list(partition_cols))
+    owned = set(_leaf_partition_rels(data, len(partition_cols)))
+    parts = {rel: version for rel in owned}
+    for rel, owner in prev_parts.items():
+        if rel in touched_rels or rel in owned:
+            continue  # superseded (or re-written) by this commit
+        _link_shared(data, rel, owner)
+        parts[rel] = owner
+    rows = spark.read.parquet(data).count()
+    return _commit(path, version, "upsert", rows, None, parts,
+                   list(partition_cols))

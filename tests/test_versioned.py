@@ -139,3 +139,148 @@ class TestEngineTimeTravel:
         with _pytest.raises(QueryValidationError):
             eng.execute("DELETE FROM gated VERSION AS OF 1")
         assert not spark.catalog.tableExists("gated__v1")
+
+
+class TestFileScopedVersioning:
+    """Round-5: partitioned snapshots commit file-scoped — an upsert
+    writes ONLY the touched partitions into v=N; untouched partitions
+    are carried by manifest reference (+ symlink), Delta/Iceberg cost
+    model (O(touched files), not O(table))."""
+
+    def _pdf(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, region string, v string, ts long")
+
+    def _real_parquet_files(self, root):
+        """{relpath: size} for parquet files physically inside root
+        (symlinked dirs excluded — those are references, not copies)."""
+        out = {}
+        for cur, dirs, files in os.walk(root):
+            dirs[:] = [d for d in dirs
+                       if not os.path.islink(os.path.join(cur, d))]
+            for name in files:
+                if name.endswith(".parquet"):
+                    p = os.path.join(cur, name)
+                    out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    def test_scoped_upsert_writes_only_touched_partition(
+            self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1),
+                              (3, "ap", "c", 1)]),
+            p, partition_cols=["region"])
+        v1_files = self._real_parquet_files(os.path.join(p, "v=1"))
+        v2 = versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        assert v2 == 2
+        # v=2 physically holds ONLY the eu partition
+        v2_files = self._real_parquet_files(os.path.join(p, "v=2"))
+        assert v2_files and all("region=eu" in rel for rel in v2_files)
+        # v=1 files untouched
+        assert self._real_parquet_files(os.path.join(p, "v=1")) == v1_files
+        # the manifest records shared ownership
+        parts = versioned.history(p)[-1]["parts"]
+        assert parts["region=eu"] == 2
+        assert parts["region=us"] == 1 and parts["region=ap"] == 1
+        # composed read is the full merged table
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a2", 2: "b", 3: "c"}
+        # time travel still sees the pre-upsert snapshot
+        old = {r.k: r.v
+               for r in versioned.read_version(spark, p, version=1).collect()}
+        assert old == {1: "a", 2: "b", 3: "c"}
+
+    def test_chained_upserts_reference_original_owner(self, spark, tmp_path):
+        """A partition untouched for many versions stays owned by its
+        original writer — references resolve O(1), never chain."""
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]),
+            p, partition_cols=["region"])
+        for i in range(2, 5):
+            versioned.upsert_version(
+                spark, p, self._pdf(spark, [(1, "eu", f"a{i}", i)]),
+                ["k"], order_col="ts", partition_cols=["region"])
+        parts = versioned.history(p)[-1]["parts"]
+        assert parts == {"region=eu": 4, "region=us": 1}
+        # the us symlink in v=4 points straight at v=1
+        link = os.path.join(p, "v=4", "data", "region=us")
+        assert os.path.islink(link)
+        assert "v=1" in os.readlink(link)
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a4", 2: "b"}
+
+    def test_new_partition_in_batch(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1)]), p,
+            partition_cols=["region"])
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(9, "sa", "new", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        parts = versioned.history(p)[-1]["parts"]
+        assert parts == {"region=eu": 1, "region=sa": 2}
+        assert versioned.read_version(spark, p).count() == 2
+
+    def test_vacuum_respects_cross_version_sharing(self, spark, tmp_path):
+        """Vacuuming the owner of a still-referenced partition must keep
+        that partition's data (and fail loudly on a time-travel read of
+        the partially-kept version), while unreferenced parts go."""
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]),
+            p, partition_cols=["region"])
+        for i in range(2, 5):  # v2, v3, v4 each rewrite only eu
+            versioned.upsert_version(
+                spark, p, self._pdf(spark, [(1, "eu", f"a{i}", i)]),
+                ["k"], order_col="ts", partition_cols=["region"])
+        dropped = versioned.vacuum(p, keep_last=2)  # keep v3, v4
+        assert dropped == [1, 2]
+        # v=2 (owned only superseded eu data) is fully gone
+        assert not os.path.exists(os.path.join(p, "v=2"))
+        # v=1 survives partially: us is still referenced by v3/v4
+        assert os.path.isdir(os.path.join(p, "v=1", "data", "region=us"))
+        assert not os.path.exists(os.path.join(p, "v=1", "data", "region=eu"))
+        # latest still composes correctly after vacuum
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a4", 2: "b"}
+        assert versioned.read_version(spark, p, version=3).count() == 2
+        # the partially-kept version is no longer fully readable
+        with pytest.raises(ValueError, match="vacuumed"):
+            versioned.read_version(spark, p, version=1)
+        # idempotent
+        assert versioned.vacuum(p, keep_last=2) == []
+
+    def test_flat_snapshot_migrates_then_scopes(self, spark, tmp_path):
+        """First partitioned upsert over a flat snapshot is a full
+        layout migration; the NEXT upsert scopes."""
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]), p)
+        assert versioned.history(p)[-1].get("parts") is None
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        assert versioned.history(p)[-1]["parts"] == {
+            "region=eu": 2, "region=us": 2}
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(2, "us", "b3", 3)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        parts = versioned.history(p)[-1]["parts"]
+        assert parts == {"region=eu": 2, "region=us": 3}
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a2", 2: "b3"}
+
+    def test_conflict_still_raised_on_scoped_path(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1)]), p,
+            partition_cols=["region"])
+        os.mkdir(os.path.join(p, "v=2"))
+        with pytest.raises(versioned.VersionConflict):
+            versioned.upsert_version(
+                spark, p, self._pdf(spark, [(1, "eu", "z", 2)]),
+                ["k"], order_col="ts", partition_cols=["region"])
