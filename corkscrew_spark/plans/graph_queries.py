@@ -86,6 +86,37 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_khop_cte",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_EDGE_SQL_DUCK}),
+    bidir AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk AS (
+        SELECT 'C1' AS node, 0 AS distance
+        UNION ALL
+        SELECT b.dst, w.distance + 1
+        FROM walk w JOIN bidir b ON b.src = w.node
+        WHERE w.distance < 3
+    )
+    SELECT node, CAST(MIN(distance) AS INT) AS distance
+    FROM walk GROUP BY node ORDER BY distance, node
+    """,
+)
+def graph_khop_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_khop on the SECOND backend: Spark 4 ``WITH RECURSIVE``
+    (operators/graph_cte.py) instead of iterative joins — the engine
+    itself runs the recursion the reference hands to DuckDB
+    (graph_loader.go:435-464), hash-checked against the same oracle so
+    the driver certifies the CTE plan, not just its iterative twin."""
+    from corkscrew_spark.operators.graph_cte import k_hop_cte
+
+    edges = containment_edges(spark, sf_dir)
+    return (
+        k_hop_cte(edges, ["C1"], max_depth=3, directed=False)
+        .orderBy("distance", "node")
+    )
+
+
+@query(
     "graph_shortest_path",
     oracle=f"""
     WITH RECURSIVE edges AS ({_EDGE_SQL_DUCK}),

@@ -539,6 +539,91 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_refresh_equals_recompute",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(MIN(value), 4) AS vmin,
+           ROUND(MAX(value), 4) AS vmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def incremental_refresh_equals_recompute(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The incremental loop END-TO-END on real storage, not simulated
+    batches: two date-split event batches are merged into a hive-
+    partitioned warehouse table (merge_upsert, commit-logged); after
+    each merge the consumer reads ONLY the delta via the commit log
+    (``read_changed``), reduces it to mergeable aggregate state, and
+    merges states (``init/merge/finalize_agg_state``). The final rollup
+    must equal the oracle's direct recompute over all events — proving
+    refresh cost O(new batch) with no accuracy loss. The query RAISES if
+    the second pass's commit-log delta overlaps the first batch's
+    partitions (i.e. if the refresh was not actually incremental), so a
+    green driver row certifies the scoping, not just the arithmetic.
+    Reference: the change-tracking storage loop
+    (internal/changes/change_storage.go) whose consumers re-read only
+    new change events.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from corkscrew_spark import warehouse
+
+    ev = (
+        register_tables(spark, sf_dir)["events"]
+        .withColumn("event_date",
+                    F.date_trunc("day", "ts").cast("date").cast("string"))
+    )
+    cutoff = "2024-01-21"
+    tmp = tempfile.mkdtemp(prefix="incr_loop_")
+    table = f"{tmp}/events_tbl"
+    try:
+        marks = []
+        states = []
+        for batch in (
+            ev.filter(F.col("event_date") < cutoff),
+            ev.filter(F.col("event_date") >= cutoff),
+        ):
+            marks.append(_time.time_ns())
+            warehouse.merge_upsert(
+                spark, table, batch, keys=["event_id"], order_col="ts",
+                partition_cols=["event_date"], count_rows=False)
+            delta = warehouse.read_changed(spark, table, marks[-1])
+            states.append(warehouse.init_agg_state(
+                delta, ["event_type"], "value"))
+        rel1 = warehouse.changed_partitions_since(table, marks[0])
+        rel2 = warehouse.changed_partitions_since(table, marks[1])
+        if rel2 is None or any(rel >= f"event_date={cutoff}" for rel in
+                               (rel1 or [])) or any(
+                rel < f"event_date={cutoff}" for rel in rel2):
+            raise RuntimeError(
+                f"refresh was not incremental: pass-1 partitions {rel1}, "
+                f"pass-2 partitions {rel2} — the second commit-log delta "
+                "must cover only the new dates")
+        final = warehouse.finalize_agg_state(
+            warehouse.merge_agg_state(*states, keys=["event_type"]),
+            ["event_type"],
+        ).select(
+            "event_type", "cnt",
+            F.round("total", 2).alias("total"),
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+        ).orderBy("event_type")
+        # the result is key-space-sized (one row per event_type);
+        # materialize it so the scratch table can be removed before the
+        # lazy frame escapes this scope
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "dq_orphan_audit",
     oracle="""
     SELECT 'lineitem.l_orderkey->orders' AS fk,

@@ -1021,3 +1021,47 @@ class TestRound5Hardening:
         _shutil.rmtree(os.path.join(str(tmp_path), trash[0]))
         os.remove(path + ".__lock__") if os.path.exists(
             path + ".__lock__") else None
+
+
+class TestIncrementalLoopEndToEnd:
+    def test_second_pass_reads_only_new_partitions(self, spark, tmp_path):
+        """The registered incremental_refresh_equals_recompute contract,
+        pinned at the storage layer: after a second scoped merge, the
+        commit-log delta names only the new partition dirs, and the
+        read_changed frame's input files all live under them."""
+        import time
+        path = str(tmp_path / "events_tbl")
+        b1 = spark.createDataFrame(
+            [(1, "2024-01-01", "click", 1.0), (2, "2024-01-02", "view", 2.0)],
+            "event_id long, event_date string, event_type string, value double")
+        b2 = spark.createDataFrame(
+            [(3, "2024-01-03", "click", 3.0)],
+            "event_id long, event_date string, event_type string, value double")
+        warehouse.merge_upsert(spark, path, b1, keys=["event_id"],
+                               order_col="event_id",
+                               partition_cols=["event_date"])
+        mark = time.time_ns()
+        warehouse.merge_upsert(spark, path, b2, keys=["event_id"],
+                               order_col="event_id",
+                               partition_cols=["event_date"])
+        assert warehouse.changed_partitions_since(path, mark) == [
+            "event_date=2024-01-03"]
+        delta = warehouse.read_changed(spark, path, mark)
+        files = delta.inputFiles()
+        assert files and all("event_date=2024-01-03" in f for f in files)
+        # state merged from the two deltas equals a direct recompute
+        s1 = warehouse.init_agg_state(
+            spark.read.parquet(path).filter(
+                F.col("event_date") < "2024-01-03"),
+            ["event_type"], "value")
+        s2 = warehouse.init_agg_state(delta, ["event_type"], "value")
+        inc = {r.event_type: (r.cnt, r.total) for r in
+               warehouse.finalize_agg_state(
+                   warehouse.merge_agg_state(s1, s2, keys=["event_type"]),
+                   ["event_type"]).collect()}
+        direct = {r.event_type: (r.cnt, r.total) for r in
+                  warehouse.finalize_agg_state(
+                      warehouse.init_agg_state(
+                          spark.read.parquet(path), ["event_type"], "value"),
+                      ["event_type"]).collect()}
+        assert inc == direct == {"click": (2, 4.0), "view": (1, 2.0)}
