@@ -31,8 +31,52 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StringType, StructField, StructType
+
 from corkscrew_spark.ingest.operation_cache import OperationCache
 from corkscrew_spark.schema import RESOURCE_SCHEMA
+
+#: scan output rows = resources plus an error side-channel: a failed
+#: (service, region) cell yields ONE error row (error_code set, resource
+#: fields null) instead of killing the task — the reference's scan keeps
+#: going and records the failure per service
+#: (plugins/aws-provider/tests/failure_mode_test.go).
+SCAN_RESULT_SCHEMA = StructType(
+    RESOURCE_SCHEMA.fields
+    + [StructField("error_code", StringType(), True),
+       StructField("error_message", StringType(), True)]
+)
+
+#: ``type`` value marking an error row (never merged into resources).
+SCAN_ERROR_TYPE = "Corkscrew::ScanError"
+
+#: Error codes the AWS SDKs treat as retryable throttling (botocore's
+#: public retry config lists these under "throttling" conditions).
+THROTTLE_CODES = frozenset({
+    "Throttling", "ThrottlingException", "ThrottledException",
+    "RequestThrottled", "RequestThrottledException",
+    "RequestLimitExceeded", "TooManyRequestsException", "SlowDown",
+    "ProvisionedThroughputExceededException", "TransactionInProgressException",
+    "EC2ThrottledException",
+})
+
+#: Permission errors — never retried, always recorded.
+ACCESS_DENIED_CODES = frozenset({
+    "AccessDenied", "AccessDeniedException", "AuthFailure",
+    "UnauthorizedOperation", "UnrecognizedClientException",
+    "InvalidClientTokenId",
+})
+
+
+def _error_code_of(ex: Exception) -> str:
+    """botocore ClientError carries response['Error']['Code']; anything
+    else classifies by exception type name."""
+    resp = getattr(ex, "response", None)
+    if isinstance(resp, dict):
+        code = resp.get("Error", {}).get("Code")
+        if code:
+            return str(code)
+    return type(ex).__name__
 
 #: service → (list operation, result key, id field) — the curated subset the
 #: reference hand-templates schemas for (schema_generator.go:152-418).
@@ -179,6 +223,28 @@ def _extract(service: str, region: str, item, scanned_at: dt.datetime) -> Row:
         created_at=None,
         modified_at=None,
         scanned_at=scanned_at,
+        error_code=None,
+        error_message=None,
+    )
+
+
+def _error_row(service: str, region: str, scanned_at: dt.datetime,
+               code: str, message: str) -> Row:
+    """One row per failed (service, region) cell — resource fields null,
+    error fields set; pipeline.run_scan routes these into
+    api_action_metadata (success=false) instead of the resources table."""
+    return Row(
+        id=f"error:{service}:{region}",
+        arn=None,
+        name=f"{service} List failed",
+        type=SCAN_ERROR_TYPE,
+        service=service, provider="aws", region=region,
+        account_id="111111111111",
+        parent_id=None, tags=None, attributes=None, raw_data=None,
+        state=None, created_at=None, modified_at=None,
+        scanned_at=scanned_at,
+        error_code=code,
+        error_message=message[:512],
     )
 
 
@@ -191,7 +257,9 @@ _OPERATION_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
 def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
                     scanned_at: dt.datetime, use_sdk: bool,
                     use_cache: bool = True,
-                    client_factory=None) -> Iterator[Row]:
+                    client_factory=None,
+                    max_retries: int = 3,
+                    retry_base_s: float = 0.2) -> Iterator[Row]:
     bucket = _TokenBucket(rate_per_sec)
     for work in rows:
         service, region = work.service, work.region
@@ -211,25 +279,75 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
                 pages.append(page)
             return pages
 
-        if use_cache and client_factory is None:
-            # Injected factories bypass the cache: two distinct factories
-            # can share a __qualname__ (closures from one helper,
-            # functools.partial), so no cache key reliably identifies
-            # them — serving one factory's pages as another's would be a
-            # silent wrong-data bug. The cache exists to amortize real
-            # API calls, which only the sdk/fake paths make repeatedly.
-            pages = _OPERATION_CACHE.get_or_fetch(
-                service, op_name, {"region": region, "sdk": use_sdk},
-                fetch_pages
-            )
-        else:
-            pages = fetch_pages()
+        def fetch_once():
+            if use_cache and client_factory is None:
+                # Injected factories bypass the cache: two distinct
+                # factories can share a __qualname__ (closures from one
+                # helper, functools.partial), so no cache key reliably
+                # identifies them — serving one factory's pages as
+                # another's would be a silent wrong-data bug. The cache
+                # exists to amortize real API calls, which only the
+                # sdk/fake paths make repeatedly.
+                return _OPERATION_CACHE.get_or_fetch(
+                    service, op_name, {"region": region, "sdk": use_sdk},
+                    fetch_pages)
+            return fetch_pages()
+
+        # Failure-mode contract (unified_scanner.go error paths +
+        # failure_mode_test.go): throttling retries the whole List with
+        # exponential backoff; any other error — or exhausted retries —
+        # records ONE error row for the cell and the scan moves on. A
+        # fault never kills the task, so one denied service can't sink
+        # a 1000-cell fan-out.
+        pages, err = None, None
+        for attempt in range(max_retries + 1):
+            try:
+                pages = fetch_once()
+                break
+            except Exception as ex:  # noqa: BLE001 — classified below
+                code = _error_code_of(ex)
+                if code in THROTTLE_CODES and attempt < max_retries:
+                    time.sleep(retry_base_s * (2 ** attempt))
+                    continue
+                err = (code, str(ex))
+                break
+        if err is not None:
+            yield _error_row(service, region, scanned_at, *err)
+            continue
         for page in pages:
             items = page.get(result_key, [])
             if service == "ec2":  # reservations wrap instances — keep ALL of them
                 items = [i for r in items for i in r.get("Instances", [r])]
             for item in items:
                 yield _extract(service, region, item, scanned_at)
+
+
+def scan_with_errors(spark: SparkSession, services: list[str],
+                     regions: list[str], rate_per_sec: float = 50.0,
+                     parallelism: int | None = None, use_sdk: bool = False,
+                     scanned_at: dt.datetime | None = None,
+                     client_factory=None, max_retries: int = 3,
+                     retry_base_s: float = 0.2) -> DataFrame:
+    """``scan`` including the error side-channel: SCAN_RESULT_SCHEMA rows
+    where a failed (service, region) cell appears as one error row
+    (``error_code`` set) instead of a dead task. ``pipeline.run_scan``
+    splits this into the resources merge and api_action_metadata error
+    accounting. Retry policy: throttling codes retry up to
+    ``max_retries`` with exponential backoff from ``retry_base_s``;
+    everything else records immediately."""
+    work = [Row(service=s, region=r) for s in services for r in regions]
+    n = parallelism or min(len(work), spark.sparkContext.defaultParallelism)
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+    work_df = spark.createDataFrame(work).repartition(n)
+    return spark.createDataFrame(
+        work_df.rdd.mapPartitions(
+            lambda it: _scan_partition(it, rate_per_sec, scanned_at, use_sdk,
+                                       client_factory=client_factory,
+                                       max_retries=max_retries,
+                                       retry_base_s=retry_base_s)
+        ),
+        SCAN_RESULT_SCHEMA,
+    )
 
 
 def scan(spark: SparkSession, services: list[str], regions: list[str],
@@ -254,19 +372,14 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
     paginator-protocol handling against genuine SDK response shapes
     without network.
     """
-    work = [Row(service=s, region=r) for s in services for r in regions]
-    n = parallelism or min(len(work), spark.sparkContext.defaultParallelism)
     # Real scan start time by default, so upsert newest-wins ordering and
     # retention on scanned_at are meaningful across runs; tests pass a
     # fixed value for determinism.
-    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
-    work_df = spark.createDataFrame(work).repartition(n)
-    return spark.createDataFrame(
-        work_df.rdd.mapPartitions(
-            lambda it: _scan_partition(it, rate_per_sec, scanned_at, use_sdk,
-                                       client_factory=client_factory)
-        ),
-        RESOURCE_SCHEMA,
+    return (
+        scan_with_errors(spark, services, regions, rate_per_sec,
+                         parallelism, use_sdk, scanned_at, client_factory)
+        .filter(F.col("error_code").isNull())
+        .drop("error_code", "error_message")
     )
 
 

@@ -62,15 +62,25 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
     t0 = time.monotonic()
     started = dt.datetime.now()
 
-    resources = aws_scanner.scan(spark, services, regions, use_sdk=use_sdk,
-                                 client_factory=client_factory)
+    # The raw scan (resources + error side-channel) is persisted for its
+    # multiple uses below (split, validate, merge) so API calls — real,
+    # stubbed, or faked — fire exactly once per cell.
+    raw = aws_scanner.scan_with_errors(
+        spark, services, regions, use_sdk=use_sdk,
+        client_factory=client_factory).persist()
+    resources = raw.filter(F.col("error_code").isNull()).drop(
+        "error_code", "error_message")
+    # failed cells: metadata-sized (bounded by |services| x |regions|)
+    error_cells = (
+        raw.filter(F.col("error_code").isNotNull())
+        .select("service", "region", "error_code", "error_message")
+        .collect()
+    )
     warnings = None
     failed_rows = 0
-    persisted = False
+    persisted = True
     try:
         if expectations:
-            resources = resources.persist()
-            persisted = True
             report = warehouse.validate_expectations(
                 resources, expectations).collect()  # rule-sized, not data-sized
             violated = [r for r in report if not r.passed]
@@ -98,7 +108,7 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
                                        partition_cols=["service"])
     finally:
         if persisted:
-            resources.unpersist()
+            raw.unpersist()
 
     if with_relationships:
         edges = aws_scanner.extract_relationships(spark.read.parquet(res_path))
@@ -133,6 +143,41 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
             F.lit(started).alias("created_at"),
         )
     )
+    # failed cells land in the same telemetry table as failed API
+    # actions: success=false, the SDK error code, and an HTTP status
+    # class matching it — the reference's per-operation error
+    # accounting (failure_mode_test.go asserts exactly this shape).
+    if error_cells:
+        err_api = spark.createDataFrame(
+            [
+                {
+                    "id": f"{scan_id}-{c.service}-{c.region}-error",
+                    "provider": "aws",
+                    "correlation_id": scan_id,
+                    "service": c.service,
+                    "operation_name": "List",
+                    "operation_type": "list",
+                    "execution_time": started,
+                    "region": c.region,
+                    "account_id": "111111111111",
+                    "success": False,
+                    "status_code": (
+                        403 if c.error_code in aws_scanner.ACCESS_DENIED_CODES
+                        else 429 if c.error_code in aws_scanner.THROTTLE_CODES
+                        else 500),
+                    "duration_ms": 0,
+                    "resource_count": 0,
+                    "error_code": c.error_code,
+                    "error_message": c.error_message,
+                    "rate_limit_remaining": None,
+                    "request_charge": None,
+                    "created_at": started,
+                }
+                for c in error_cells
+            ],
+            API_ACTION_SCHEMA,
+        )
+        api_rows = api_rows.select(err_api.columns).unionByName(err_api)
     # cast/align to the schema and append the DataFrame directly — no
     # driver round-trip through collect()
     warehouse.append(
@@ -159,10 +204,12 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
         "duration_ms": duration_ms,
         "initiated_by": "cli",
         "scan_reason": None,
-        "error_messages": None,
+        "error_messages": json.dumps(
+            [f"{c.service}/{c.region}: {c.error_code}"
+             for c in error_cells]) if error_cells else None,
         "warnings": warnings,
         "metadata": None,
-        "status": "completed",
+        "status": "completed_with_errors" if error_cells else "completed",
     }
     warehouse.append(
         spark.createDataFrame([summary], SCAN_METADATA_SCHEMA),

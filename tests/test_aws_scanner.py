@@ -197,3 +197,161 @@ class TestStubbedRealClient:
         res = spark.read.parquet(f"{out}/resources")
         assert res.count() == 4
         assert {r.service for r in res.collect()} == {"s3", "ec2"}
+
+
+class TestScanFaultModes:
+    """Round-5: the reference's failure modes driven through the real-
+    botocore Stubber seam (plugins/aws-provider/tests/
+    failure_mode_test.go): throttling retries with backoff, permission
+    errors record-and-continue, partial pages keep their good items —
+    and a fault never kills the task."""
+
+    @staticmethod
+    def _denied_s3_good_ec2():
+        def factory(service, region):
+            import boto3
+            from botocore.stub import Stubber
+            client = boto3.client(service, region_name=region,
+                                  aws_access_key_id="testing",
+                                  aws_secret_access_key="testing")
+            st = Stubber(client)
+            if service == "s3":
+                st.add_client_error("list_buckets",
+                                    service_error_code="AccessDenied",
+                                    service_message="not authorized",
+                                    http_status_code=403)
+            else:
+                st.add_response("describe_instances", {
+                    "Reservations": [{"Instances": [
+                        {"InstanceId": f"i-{region}-ok",
+                         "State": {"Name": "running"}}]}],
+                }, {})
+            st.activate()
+            return client
+
+        return factory
+
+    def test_access_denied_records_error_and_continues(self, spark):
+        raw = aws_scanner.scan_with_errors(
+            spark, ["s3", "ec2"], ["us-east-1"], rate_per_sec=0,
+            client_factory=self._denied_s3_good_ec2()).collect()
+        errors = [r for r in raw if r.error_code is not None]
+        good = [r for r in raw if r.error_code is None]
+        assert len(errors) == 1
+        assert errors[0].service == "s3"
+        assert errors[0].error_code == "AccessDenied"
+        assert "not authorized" in errors[0].error_message
+        assert [r.name for r in good] == ["i-us-east-1-ok"]
+        # the resources-only surface silently drops the failed cell
+        names = [r.name for r in aws_scanner.scan(
+            spark, ["s3", "ec2"], ["us-east-1"], rate_per_sec=0,
+            client_factory=self._denied_s3_good_ec2()).collect()]
+        assert names == ["i-us-east-1-ok"]
+
+    def test_throttling_retries_then_succeeds(self, spark):
+        def make_factory():
+            calls = {}
+
+            def factory(service, region):
+                import datetime as _dt
+
+                import boto3
+                from botocore.stub import Stubber
+                n = calls.get((service, region), 0)
+                calls[(service, region)] = n + 1
+                client = boto3.client(service, region_name=region,
+                                      aws_access_key_id="testing",
+                                      aws_secret_access_key="testing")
+                st = Stubber(client)
+                if n < 2:  # first two attempts throttled
+                    st.add_client_error(
+                        "list_buckets",
+                        service_error_code="ThrottlingException",
+                        http_status_code=400)
+                else:
+                    st.add_response("list_buckets", {
+                        "Buckets": [{"Name": "bkt-after-retry",
+                                     "CreationDate": _dt.datetime(2024, 1, 1)}],
+                        "Owner": {"ID": "o"},
+                    }, {})
+                st.activate()
+                return client
+
+            return factory
+
+        raw = aws_scanner.scan_with_errors(
+            spark, ["s3"], ["us-east-1"], rate_per_sec=0,
+            client_factory=make_factory(), retry_base_s=0.01).collect()
+        assert [r.error_code for r in raw] == [None]
+        assert raw[0].name == "bkt-after-retry"
+
+    def test_throttling_exhausts_to_error_row(self, spark):
+        def factory(service, region):
+            import boto3
+            from botocore.stub import Stubber
+            client = boto3.client(service, region_name=region,
+                                  aws_access_key_id="testing",
+                                  aws_secret_access_key="testing")
+            st = Stubber(client)
+            st.add_client_error("list_buckets",
+                                service_error_code="SlowDown",
+                                http_status_code=503)
+            st.activate()
+            return client
+
+        raw = aws_scanner.scan_with_errors(
+            spark, ["s3"], ["us-east-1"], rate_per_sec=0,
+            client_factory=factory, max_retries=1,
+            retry_base_s=0.01).collect()
+        assert len(raw) == 1
+        assert raw[0].error_code == "SlowDown"
+        assert raw[0].id == "error:s3:us-east-1"
+
+    def test_partial_page_keeps_good_items(self, spark):
+        """A page with no result items (the partial-result shape) must
+        not drop the other pages' resources."""
+        def factory(service, region):
+            import datetime as _dt
+
+            import boto3
+            from botocore.stub import Stubber
+            client = boto3.client(service, region_name=region,
+                                  aws_access_key_id="testing",
+                                  aws_secret_access_key="testing")
+            st = Stubber(client)
+            st.add_response("describe_instances", {
+                "Reservations": [{"Instances": [
+                    {"InstanceId": "i-001",
+                     "LaunchTime": _dt.datetime(2024, 1, 1)}]}],
+                "NextToken": "p2",
+            }, {})
+            st.add_response("describe_instances", {"Reservations": []},
+                            {"NextToken": "p2"})
+            st.activate()
+            return client
+
+        rows = aws_scanner.scan(
+            spark, ["ec2"], ["us-east-1"], rate_per_sec=0,
+            client_factory=factory).collect()
+        assert [r.name for r in rows] == ["i-001"]
+
+    def test_run_scan_accounts_errors_in_metadata(self, spark, tmp_path):
+        from corkscrew_spark.ingest import pipeline
+
+        out = str(tmp_path / "wh")
+        summary = pipeline.run_scan(
+            spark, out, ["s3", "ec2"], ["us-east-1"],
+            client_factory=self._denied_s3_good_ec2())
+        assert summary["status"] == "completed_with_errors"
+        assert "s3/us-east-1: AccessDenied" in summary["error_messages"]
+        # only the healthy cell's resources merged
+        res = spark.read.parquet(f"{out}/resources")
+        assert {r.service for r in res.collect()} == {"ec2"}
+        # the failed cell landed in api_action_metadata as a failed op
+        api = spark.read.parquet(f"{out}/api_action_metadata")
+        err = [r for r in api.collect() if not r.success]
+        assert len(err) == 1
+        assert (err[0].service, err[0].status_code, err[0].error_code) == (
+            "s3", 403, "AccessDenied")
+        ok = [r for r in api.collect() if r.success]
+        assert {r.service for r in ok} == {"ec2"}
