@@ -106,6 +106,17 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
         total = warehouse.merge_upsert(spark, res_path, resources,
                                        keys=["id"],
                                        partition_cols=["service"])
+        # per-cell counts for THIS scan's telemetry — metadata-sized
+        # (bounded by |services| x |regions|), collected while the batch
+        # is persisted. Sourcing from the batch, not the merged table,
+        # attributes to this scan only its own resources (a re-scan of
+        # one service must not re-claim other scans' rows) and saves a
+        # full table re-read.
+        cell_counts = (
+            resources.groupBy("service", "region")
+            .agg(F.count(F.lit(1)).cast("int").alias("resource_count"))
+            .collect()
+        )
     finally:
         if persisted:
             raw.unpersist()
@@ -117,71 +128,51 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
             keys=["from_id", "to_id", "relationship_type"],
             order_col="discovered_at")
 
-    # per-(service, region) telemetry, aggregated in Spark (A5)
-    api_rows = (
-        spark.read.parquet(res_path)
-        .groupBy("service", "region")
-        .agg(F.count("*").alias("resource_count"))
-        .select(
-            F.concat(F.lit(scan_id + "-"), "service", F.lit("-"), "region").alias("id"),
-            F.lit("aws").alias("provider"),
-            F.lit(scan_id).alias("correlation_id"),
-            "service",
-            F.lit("List").alias("operation_name"),
-            F.lit("list").alias("operation_type"),
-            F.lit(started).alias("execution_time"),
-            "region",
-            F.lit("111111111111").alias("account_id"),
-            F.lit(True).alias("success"),
-            F.lit(200).alias("status_code"),
-            F.lit(0).cast("long").alias("duration_ms"),
-            F.col("resource_count").cast("int"),
-            F.lit(None).cast("string").alias("error_code"),
-            F.lit(None).cast("string").alias("error_message"),
-            F.lit(None).cast("int").alias("rate_limit_remaining"),
-            F.lit(None).cast("double").alias("request_charge"),
-            F.lit(started).alias("created_at"),
-        )
-    )
-    # failed cells land in the same telemetry table as failed API
-    # actions: success=false, the SDK error code, and an HTTP status
-    # class matching it — the reference's per-operation error
-    # accounting (failure_mode_test.go asserts exactly this shape).
-    if error_cells:
-        err_api = spark.createDataFrame(
-            [
-                {
-                    "id": f"{scan_id}-{c.service}-{c.region}-error",
-                    "provider": "aws",
-                    "correlation_id": scan_id,
-                    "service": c.service,
-                    "operation_name": "List",
-                    "operation_type": "list",
-                    "execution_time": started,
-                    "region": c.region,
-                    "account_id": "111111111111",
-                    "success": False,
-                    "status_code": (
-                        403 if c.error_code in aws_scanner.ACCESS_DENIED_CODES
-                        else 429 if c.error_code in aws_scanner.THROTTLE_CODES
-                        else 500),
-                    "duration_ms": 0,
-                    "resource_count": 0,
-                    "error_code": c.error_code,
-                    "error_message": c.error_message,
-                    "rate_limit_remaining": None,
-                    "request_charge": None,
-                    "created_at": started,
-                }
-                for c in error_cells
-            ],
-            API_ACTION_SCHEMA,
-        )
-        api_rows = api_rows.select(err_api.columns).unionByName(err_api)
-    # cast/align to the schema and append the DataFrame directly — no
-    # driver round-trip through collect()
+    # per-(service, region) telemetry (A5): one success row per healthy
+    # cell counted from THIS scan's batch, one failure row per faulted
+    # cell with the SDK error code and a matching HTTP status class —
+    # the reference's per-operation error accounting
+    # (failure_mode_test.go asserts exactly this shape).
+    def _api_row(service, region, *, success, resource_count=0,
+                 status_code=200, error_code=None, error_message=None):
+        return {
+            "id": f"{scan_id}-{service}-{region}"
+                  + ("" if success else "-error"),
+            "provider": "aws",
+            "correlation_id": scan_id,
+            "service": service,
+            "operation_name": "List",
+            "operation_type": "list",
+            "execution_time": started,
+            "region": region,
+            "account_id": "111111111111",
+            "success": success,
+            "status_code": status_code,
+            "duration_ms": 0,
+            "resource_count": resource_count,
+            "error_code": error_code,
+            "error_message": error_message,
+            "rate_limit_remaining": None,
+            "request_charge": None,
+            "created_at": started,
+        }
+
+    api_rows = [
+        _api_row(c.service, c.region, success=True,
+                 resource_count=c.resource_count)
+        for c in cell_counts
+    ] + [
+        _api_row(
+            c.service, c.region, success=False,
+            status_code=(
+                403 if c.error_code in aws_scanner.ACCESS_DENIED_CODES
+                else 429 if c.error_code in aws_scanner.THROTTLE_CODES
+                else 500),
+            error_code=c.error_code, error_message=c.error_message)
+        for c in error_cells
+    ]
     warehouse.append(
-        api_rows.select(*[F.col(f.name).cast(f.dataType) for f in API_ACTION_SCHEMA.fields]),
+        spark.createDataFrame(api_rows, API_ACTION_SCHEMA),
         os.path.join(out_dir, "api_action_metadata"),
     )
 

@@ -55,7 +55,22 @@ def main() -> int:
         print(f"improved  {name}: {a}s -> {b}s ({b / a:.2f}x)")
     if not regressions:
         print("no regressions above threshold")
-    return 1 if regressions else 0
+
+    # scan-throughput tripwire (round-4 verdict: the rps dipped 9%
+    # unnoticed; flag any further +/-15% drift so feature cost in the
+    # scan loop is a decision, not an accident)
+    scan_ok = True
+    o_rps = (old.get("scan") or {}).get("rps")
+    n_rps = (new.get("scan") or {}).get("rps")
+    if o_rps and n_rps:
+        drift = (n_rps - o_rps) / o_rps
+        tag = "SCAN REGRESSION" if drift < -0.15 else (
+            "scan improved" if drift > 0.15 else "scan ok")
+        print(f"{tag}: {o_rps} -> {n_rps} resources/s ({drift:+.1%})")
+        scan_ok = drift >= -0.15
+    elif n_rps:
+        print(f"scan: {n_rps} resources/s (no prior number)")
+    return 1 if regressions or not scan_ok else 0
 
 
 if __name__ == "__main__":
