@@ -39,37 +39,53 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then `python tools/driver_sim.py --window 50` before committing.
 _DRIVER_RECORDED = frozenset({
     "activity_streaks", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_quantized_topk", "anti_join", "approx_distinct_users",
-    "array_lambda_stats", "asof_join_events", "boilerplate_removal",
-    "case_buckets", "change_history_timeline", "change_query_builder",
-    "compliance_duckdb_pack", "compliance_pack", "corpus_stats",
+    "ann_pq_topk", "ann_quantized_topk", "anti_join",
+    "approx_distinct_users", "array_lambda_stats", "asof_join_events",
+    "bigram_collocations_pmi", "blast_radius", "blast_radius_rank",
+    "boilerplate_removal", "bpe_vocab_tokenize", "case_buckets",
+    "change_anomaly_report", "change_history_timeline",
+    "change_query_builder", "char_trigram_profile", "chunk_windows",
+    "compliance_duckdb_pack", "compliance_pack", "corpus_curation_full",
+    "corpus_health_report", "corpus_stats", "corpus_training_mix",
     "correlation_rules", "count_distinct_rollup", "cube_orders",
     "customer_order_distribution", "decontaminate", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_prefix_exact", "dedup_simhash", "drift_detect",
-    "engine_param_binding", "filter_project_sort", "filter_range_limit",
-    "funnel_steps", "graph_khop", "graph_pagerank", "graph_shortest_path",
-    "graph_topo_levels", "impact_scoring", "in_list_filter",
-    "intersect_except_branches", "json_extract_agg", "kql_arg_max_order",
-    "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens", "kql_events_rollup",
-    "kql_join_spend", "kql_make_series_daily", "kql_parse_props",
-    "kql_percentile_value", "kql_summarize", "kql_time_bins",
-    "kql_union_mix", "left_join_histogram", "levenshtein_suggest",
-    "like_filter", "moving_avg_frame", "multimodal_features",
+    "dedup_embedding_cosine", "dedup_exact_spans", "dedup_keep_longest",
+    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_prefix_exact", "dedup_simhash", "distinct_sketch_rollup",
+    "dq_orphan_audit", "drift_detect", "engine_param_binding",
+    "filter_project_sort", "filter_range_limit", "funnel_steps",
+    "fuzzy_match_parts", "graph_communities", "graph_degree_distribution",
+    "graph_hits", "graph_khop", "graph_pagerank", "graph_shortest_path",
+    "graph_summary", "graph_topo_levels", "graph_triangles",
+    "graph_weighted_sssp", "grouping_sets_orders", "having_large_orders",
+    "impact_scoring", "in_list_filter", "incremental_rollup",
+    "intersect_except_branches", "json_extract_agg", "k_anonymity_audit",
+    "kql_arg_max_order", "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens",
+    "kql_events_rollup", "kql_join_spend", "kql_make_series_daily",
+    "kql_parse_props", "kql_percentile_value", "kql_summarize",
+    "kql_time_bins", "kql_union_mix", "langid_confusion",
+    "left_join_histogram", "levenshtein_suggest", "like_filter",
+    "motif_open_triads", "moving_avg_frame", "multimodal_features",
     "mv_expand_tokens", "order_priority_exists", "orders_above_cust_avg",
-    "pack_sequences", "paginate_offset", "percentile_exact",
-    "pivot_priority_status", "pricing_summary", "regex_extract",
-    "region_rollup", "regional_revenue", "retention_cohorts",
-    "rollup_segment_nation", "sample_mixture", "sample_stratified",
-    "self_join_pairs", "semdedup_embeddings", "semi_join",
-    "session_stats_30m", "shipping_priority", "shuffle_order",
-    "state_checksum", "string_functions", "telemetry_rollup",
-    "text_bigram_logprob", "text_c4_filters", "text_fingerprint",
-    "text_langid", "text_quality", "text_redact", "text_repetition",
-    "text_unigram_logprob", "tfidf_top_terms", "time_range_agg",
-    "token_quantiles_approx", "top_customers", "topk_per_group",
-    "union_branches", "unpivot_priority_status", "upsert_latest",
-    "window_lag", "window_rank_family",
+    "pack_sequences", "pack_sequences_sep", "paginate_offset",
+    "percentile_exact", "pivot_priority_status", "pricing_summary",
+    "profile_orders", "range_frame_weekly_sum", "reconcile_snapshots",
+    "regex_extract", "region_rollup", "regional_revenue", "resolve_entities",
+    "retention_cohorts", "returned_items_revenue", "rollup_segment_nation",
+    "sample_by_quality", "sample_fixed_per_lang", "sample_mixture",
+    "sample_stratified", "sample_weighted_tokens", "self_join_pairs",
+    "semdedup_embeddings", "semi_join", "session_stats_30m",
+    "shipping_priority", "shuffle_order", "skew_profile_custkey",
+    "source_token_kl", "state_checksum", "string_functions",
+    "telemetry_rollup", "text_bigram_logprob", "text_c4_filters",
+    "text_classifier_score", "text_fingerprint", "text_gopher_filters",
+    "text_langid", "text_length_bands", "text_quality", "text_redact",
+    "text_repetition", "text_search_and", "text_unigram_logprob",
+    "tfidf_top_terms", "time_range_agg", "token_count_bpe",
+    "token_quantiles_approx", "top_changed_resources", "top_customers",
+    "topk_per_group", "union_branches", "unpivot_priority_status",
+    "upsert_latest", "variant_json_agg", "vocab_growth", "window_lag",
+    "window_rank_family", "zipf_slope",
 })
 
 
@@ -81,66 +97,70 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 4's pinned 50-slot correctness window: the 49 oldest
-#: never-recorded registrations, plus graph_pagerank up front (its r02
-#: row predated the unrolled-power-iteration oracle, so the hash-exact
-#: claim needs a recorded row). Every name was verified green by
-#: `tools/driver_sim.py --window 50` at sf0.01 before pinning (50/50).
-#: After this round ~39 backlog names remain for round 5's window —
-#: ALL 39 were also driver-sim-verified green this session, and a final
-#: full sweep of the complete 187-query registry came back 187/187
-#: green at sf0.01 after every round-4 change landed.
+#: Round 5's pinned 50-slot correctness window: the ENTIRE remaining
+#: never-recorded backlog — the 39 names left after round 4 plus the two
+#: queries this round registered (graph_khop_cte,
+#: incremental_refresh_equals_recompute) — so a green round closes the
+#: verification ledger at 100% of the registry driver-verified. The 9
+#: spare slots RE-RECORD queries whose implementation changed after
+#: their green row: upsert_latest/paginate_offset (partition-scoped
+#: merge + TakeOrderedAndProject changes), dedup_clusters (star-
+#: contraction fallback), the kql trio (compile-time type checks + the
+#: Spark Connect _jdf gate), graph_khop (now with a CTE sibling),
+#: decontaminate + dedup_embedding_cosine (round-4 perf rework). Every
+#: name verified green by `tools/driver_sim.py --window 50` at sf0.01
+#: before pinning.
 _WINDOW = (
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_weighted_sssp",
-    "graph_hits",
-    "graph_communities",
-    "motif_open_triads",
-    "blast_radius_rank",
-    "graph_degree_distribution",
-    "graph_summary",
-    "corpus_training_mix",
-    "dedup_exact_spans",
-    "sample_fixed_per_lang",
-    "source_token_kl",
-    "bigram_collocations_pmi",
-    "pack_sequences_sep",
-    "dedup_keep_longest",
-    "token_count_bpe",
-    "char_trigram_profile",
-    "ann_pq_topk",
-    "bpe_vocab_tokenize",
-    "sample_weighted_tokens",
-    "text_gopher_filters",
-    "text_classifier_score",
-    "chunk_windows",
-    "sample_by_quality",
-    "corpus_curation_full",
-    "langid_confusion",
-    "text_search_and",
-    "dedup_minhash_clusters",
-    "vocab_growth",
-    "zipf_slope",
-    "corpus_health_report",
-    "text_length_bands",
-    "change_anomaly_report",
-    "top_changed_resources",
-    "profile_orders",
-    "reconcile_snapshots",
-    "incremental_rollup",
-    "dq_orphan_audit",
-    "blast_radius",
-    "skew_profile_custkey",
-    "k_anonymity_audit",
-    "fuzzy_match_parts",
-    "resolve_entities",
-    "variant_json_agg",
-    "distinct_sketch_rollup",
-    "having_large_orders",
-    "returned_items_revenue",
-    "grouping_sets_orders",
-    "range_frame_weekly_sum",
+    "graph_khop_cte",
+    "incremental_refresh_equals_recompute",
+    "sketch_weekly_distinct",
+    "value_regression",
+    "numeric_histogram",
+    "iqr_outliers",
+    "user_event_timeline",
+    "topk_with_ties",
+    "window_filtered_sum",
+    "date_functions_family",
+    "null_safe_join",
+    "locf_gap_fill",
+    "decay_weighted_value",
+    "ordered_listagg",
+    "bitwise_flag_rollup",
+    "ntile_price_bins",
+    "rolling_zscore_anomalies",
+    "user_event_entropy",
+    "chi2_lang_source",
+    "fulfillment_latency",
+    "top_selling_parts",
+    "basket_part_pairs",
+    "mad_outlier_bounds",
+    "customer_rfm",
+    "region_revenue_share",
+    "discount_effectiveness",
+    "supplier_reliability",
+    "kql_mv_apply_tokens",
+    "interval_join_sessions",
+    "daily_activity_dense",
+    "asof_forward_next_purchase",
+    "state_as_of",
+    "event_transition_matrix",
+    "linear_interpolate_value",
+    "ohlc_hourly",
+    "seasonal_anomaly_days",
+    "sequence_spans",
+    "state_dwell_times",
+    "cusum_drift_days",
+    "hourly_seasonality",
+    "order_gap_profile",
+    "upsert_latest",
+    "dedup_clusters",
+    "paginate_offset",
+    "kql_summarize",
+    "kql_join_spend",
+    "kql_docs_tokens",
+    "graph_khop",
+    "decontaminate",
+    "dedup_embedding_cosine",
 )
 
 
