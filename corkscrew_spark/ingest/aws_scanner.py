@@ -50,33 +50,14 @@ SCAN_RESULT_SCHEMA = StructType(
 #: ``type`` value marking an error row (never merged into resources).
 SCAN_ERROR_TYPE = "Corkscrew::ScanError"
 
-#: Error codes the AWS SDKs treat as retryable throttling (botocore's
-#: public retry config lists these under "throttling" conditions).
-THROTTLE_CODES = frozenset({
-    "Throttling", "ThrottlingException", "ThrottledException",
-    "RequestThrottled", "RequestThrottledException",
-    "RequestLimitExceeded", "TooManyRequestsException", "SlowDown",
-    "ProvisionedThroughputExceededException", "TransactionInProgressException",
-    "EC2ThrottledException",
-})
-
-#: Permission errors — never retried, always recorded.
-ACCESS_DENIED_CODES = frozenset({
-    "AccessDenied", "AccessDeniedException", "AuthFailure",
-    "UnauthorizedOperation", "UnrecognizedClientException",
-    "InvalidClientTokenId",
-})
-
-
-def _error_code_of(ex: Exception) -> str:
-    """botocore ClientError carries response['Error']['Code']; anything
-    else classifies by exception type name."""
-    resp = getattr(ex, "response", None)
-    if isinstance(resp, dict):
-        code = resp.get("Error", {}).get("Code")
-        if code:
-            return str(code)
-    return type(ex).__name__
+#: Shared provider fault policy (see ingest/faults.py); re-exported here
+#: because the AWS scanner grew them first and pipeline.run_scan maps
+#: codes to HTTP status classes through these names.
+from corkscrew_spark.ingest.faults import (  # noqa: E402
+    ACCESS_DENIED_CODES,
+    THROTTLE_CODES,
+    call_with_retry,
+)
 
 #: service → (list operation, result key, id field) — the curated subset the
 #: reference hand-templates schemas for (schema_generator.go:152-418).
@@ -229,17 +210,19 @@ def _extract(service: str, region: str, item, scanned_at: dt.datetime) -> Row:
 
 
 def _error_row(service: str, region: str, scanned_at: dt.datetime,
-               code: str, message: str) -> Row:
-    """One row per failed (service, region) cell — resource fields null,
-    error fields set; pipeline.run_scan routes these into
-    api_action_metadata (success=false) instead of the resources table."""
+               code: str, message: str, provider: str = "aws",
+               account_id: str | None = "111111111111") -> Row:
+    """One row per failed scan cell — resource fields null, error fields
+    set; pipeline.run_scan routes these into api_action_metadata
+    (success=false) instead of the resources table. Shared by the
+    Azure/GCP sources (provider/account overridden)."""
     return Row(
         id=f"error:{service}:{region}",
         arn=None,
         name=f"{service} List failed",
         type=SCAN_ERROR_TYPE,
-        service=service, provider="aws", region=region,
-        account_id="111111111111",
+        service=service, provider=provider, region=region,
+        account_id=account_id,
         parent_id=None, tags=None, attributes=None, raw_data=None,
         state=None, created_at=None, modified_at=None,
         scanned_at=scanned_at,
@@ -299,18 +282,7 @@ def _scan_partition(rows: Iterator[Row], rate_per_sec: float,
         # records ONE error row for the cell and the scan moves on. A
         # fault never kills the task, so one denied service can't sink
         # a 1000-cell fan-out.
-        pages, err = None, None
-        for attempt in range(max_retries + 1):
-            try:
-                pages = fetch_once()
-                break
-            except Exception as ex:  # noqa: BLE001 — classified below
-                code = _error_code_of(ex)
-                if code in THROTTLE_CODES and attempt < max_retries:
-                    time.sleep(retry_base_s * (2 ** attempt))
-                    continue
-                err = (code, str(ex))
-                break
+        pages, err = call_with_retry(fetch_once, max_retries, retry_base_s)
         if err is not None:
             yield _error_row(service, region, scanned_at, *err)
             continue

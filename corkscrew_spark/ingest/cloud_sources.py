@@ -75,6 +75,48 @@ def _azure_rows(sub: str, scanned_at: dt.datetime) -> Iterator[Row]:
 _KQL_CACHE = OperationCache(max_size_mb=64, ttl_seconds=300.0)
 
 
+def azure_resource_graph_with_errors(
+        spark: SparkSession, subscriptions: list[str],
+        scanned_at: dt.datetime | None = None,
+        kql: str = "Resources", use_cache: bool = True,
+        fetch_fn=None, max_retries: int = 3,
+        retry_base_s: float = 0.2) -> DataFrame:
+    """``azure_resource_graph`` including the error side-channel
+    (aws_scanner.SCAN_RESULT_SCHEMA): a failed subscription query —
+    after the shared throttle-retry policy (ingest/faults.py; ARG's 429
+    quota responses are the classic case, resource_graph.go retry
+    handling) — appears as ONE error row instead of a dead task."""
+    from corkscrew_spark.ingest.aws_scanner import (
+        SCAN_RESULT_SCHEMA,
+        _error_row,
+    )
+    from corkscrew_spark.ingest.faults import call_with_retry
+
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+    work = spark.createDataFrame(
+        [Row(sub=s) for s in subscriptions]).repartition(
+        min(len(subscriptions), spark.sparkContext.defaultParallelism)
+    )
+
+    def cell(sub: str) -> Iterator[Row]:
+        rows, err = call_with_retry(
+            lambda: list(_resource_graph_rows(sub, kql, scanned_at,
+                                              use_cache, fetch_fn)),
+            max_retries, retry_base_s)
+        if err is not None:
+            yield _error_row("resource-graph", sub, scanned_at, *err,
+                             provider="azure", account_id=sub)
+            return
+        for r in rows:
+            yield Row(**r.asDict(), error_code=None, error_message=None)
+
+    return spark.createDataFrame(
+        work.rdd.mapPartitions(
+            lambda it: (r for w in it for r in cell(w.sub))),
+        SCAN_RESULT_SCHEMA,
+    )
+
+
 def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
                          scanned_at: dt.datetime | None = None,
                          kql: str = "Resources",
@@ -92,21 +134,13 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
     RESOURCE_SCHEMA minus scanned_at (the scan re-stamps it). Injected
     fetches bypass the cache — no key reliably distinguishes two
     closures (same rule as aws_scanner.client_factory)."""
-    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
-    work = spark.createDataFrame([Row(sub=s) for s in subscriptions]).repartition(
-        min(len(subscriptions), spark.sparkContext.defaultParallelism)
-    )
+    from pyspark.sql import functions as F
 
-    return spark.createDataFrame(
-        work.rdd.mapPartitions(
-            lambda it: (
-                r
-                for w in it
-                for r in _resource_graph_rows(w.sub, kql, scanned_at,
-                                              use_cache, fetch_fn)
-            )
-        ),
-        RESOURCE_SCHEMA,
+    return (
+        azure_resource_graph_with_errors(
+            spark, subscriptions, scanned_at, kql, use_cache, fetch_fn)
+        .filter(F.col("error_code").isNull())
+        .drop("error_code", "error_message")
     )
 
 
@@ -143,6 +177,47 @@ def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
         yield _injected_row(d, scanned_at)
 
 
+def gcp_asset_inventory_with_errors(
+        spark: SparkSession, projects: list[str],
+        scanned_at: dt.datetime | None = None, fetch_fn=None,
+        max_retries: int = 3, retry_base_s: float = 0.2) -> DataFrame:
+    """``gcp_asset_inventory`` including the error side-channel: a
+    failed project ListAssets (after the shared throttle-retry policy —
+    ResourceExhausted/QuotaExceeded retry, PermissionDenied records)
+    appears as one error row instead of a dead task."""
+    from corkscrew_spark.ingest.aws_scanner import (
+        SCAN_RESULT_SCHEMA,
+        _error_row,
+    )
+    from corkscrew_spark.ingest.faults import call_with_retry
+
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+
+    def cell(project: str) -> Iterator[Row]:
+        if fetch_fn is None:
+            for r in _gcp_fake_rows(project, scanned_at):
+                yield Row(**r.asDict(), error_code=None, error_message=None)
+            return
+        data, err = call_with_retry(
+            lambda: [dict(d) for d in fetch_fn(project)],
+            max_retries, retry_base_s)
+        if err is not None:
+            yield _error_row("asset-inventory", project, scanned_at, *err,
+                             provider="gcp", account_id=project)
+            return
+        for d in data:
+            yield Row(**_injected_row(d, scanned_at).asDict(),
+                      error_code=None, error_message=None)
+
+    work = spark.createDataFrame([Row(p=p) for p in projects]).repartition(
+        min(len(projects), spark.sparkContext.defaultParallelism)
+    )
+    return spark.createDataFrame(
+        work.rdd.mapPartitions(lambda it: (r for w in it for r in cell(w.p))),
+        SCAN_RESULT_SCHEMA,
+    )
+
+
 def gcp_asset_inventory(spark: SparkSession, projects: list[str],
                         scanned_at: dt.datetime | None = None,
                         fetch_fn=None) -> DataFrame:
@@ -151,37 +226,34 @@ def gcp_asset_inventory(spark: SparkSession, projects: list[str],
     ``fetch_fn``: real-SDK seam (google-cloud-asset or a recorded
     fixture) — picklable ``project -> iterable[dict]`` run on each
     executor, rows shaped like RESOURCE_SCHEMA minus scanned_at."""
-    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+    from pyspark.sql import functions as F
 
-    def rows(project: str) -> Iterator[Row]:
-        if fetch_fn is not None:
-            for d in fetch_fn(project):
-                yield _injected_row(dict(d), scanned_at)
-            return
-        for asset_type, service in _GCP_TYPES:
-            kind = asset_type.rsplit("/", 1)[-1].lower()
-            for i in range(_fleet(f"{project}|{asset_type}")):
-                name = f"{kind}-{i:03d}"
-                rid = f"//{asset_type.split('/')[0]}/projects/{project}/{kind}s/{name}"
-                yield Row(
-                    id=rid, arn=None, name=name, type=asset_type, service=service,
-                    provider="gcp", region=("us-central1", "europe-west1")[i % 2],
-                    account_id=project, parent_id=project,
-                    tags={"team": ("core", "data")[i % 2]},
-                    attributes=None,
-                    raw_data=json.dumps({"name": rid, "assetType": asset_type},
-                                        sort_keys=True),
-                    state="ACTIVE", created_at=None, modified_at=None,
-                    scanned_at=scanned_at,
-                )
+    return (
+        gcp_asset_inventory_with_errors(spark, projects, scanned_at,
+                                        fetch_fn)
+        .filter(F.col("error_code").isNull())
+        .drop("error_code", "error_message")
+    )
 
-    work = spark.createDataFrame([Row(p=p) for p in projects]).repartition(
-        min(len(projects), spark.sparkContext.defaultParallelism)
-    )
-    return spark.createDataFrame(
-        work.rdd.mapPartitions(lambda it: (r for w in it for r in rows(w.p))),
-        RESOURCE_SCHEMA,
-    )
+
+def _gcp_fake_rows(project: str, scanned_at: dt.datetime) -> Iterator[Row]:
+    """Deterministic offline asset fleet (the no-SDK default)."""
+    for asset_type, service in _GCP_TYPES:
+        kind = asset_type.rsplit("/", 1)[-1].lower()
+        for i in range(_fleet(f"{project}|{asset_type}")):
+            name = f"{kind}-{i:03d}"
+            rid = f"//{asset_type.split('/')[0]}/projects/{project}/{kind}s/{name}"
+            yield Row(
+                id=rid, arn=None, name=name, type=asset_type, service=service,
+                provider="gcp", region=("us-central1", "europe-west1")[i % 2],
+                account_id=project, parent_id=project,
+                tags={"team": ("core", "data")[i % 2]},
+                attributes=None,
+                raw_data=json.dumps({"name": rid, "assetType": asset_type},
+                                    sort_keys=True),
+                state="ACTIVE", created_at=None, modified_at=None,
+                scanned_at=scanned_at,
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -131,3 +131,74 @@ class TestFetchFnInjection:
         rows = df.collect()
         assert len(rows) == 1 and rows[0].name == "i1"
         assert rows[0].scanned_at == t
+
+
+class TestCloudSourceFaultModes:
+    """Shared fault policy (ingest/faults.py) on the Azure/GCP seams:
+    throttling retries, everything else records one error row."""
+
+    def test_azure_throttle_retries_then_succeeds(self, spark):
+        from corkscrew_spark.ingest import cloud_sources
+
+        def make_fetch():
+            calls = {}
+
+            def fetch(sub, kql):
+                n = calls.get(sub, 0)
+                calls[sub] = n + 1
+                if n < 2:
+                    class Throttled(Exception):
+                        status_code = 429
+                    raise Throttled("ARG quota exceeded")
+                return [{"id": f"/subscriptions/{sub}/r1", "name": "r1",
+                         "type": "microsoft.compute/virtualmachines",
+                         "service": "compute", "provider": "azure",
+                         "region": "westeurope", "account_id": sub}]
+
+            return fetch
+
+        raw = cloud_sources.azure_resource_graph_with_errors(
+            spark, ["sub-1"], fetch_fn=make_fetch(),
+            retry_base_s=0.01).collect()
+        assert [r.error_code for r in raw] == [None]
+        assert raw[0].name == "r1"
+
+    def test_azure_exhausted_throttle_records_error(self, spark):
+        from corkscrew_spark.ingest import cloud_sources
+
+        def fetch(sub, kql):
+            class Throttled(Exception):
+                status_code = 429
+            raise Throttled("always throttled")
+
+        raw = cloud_sources.azure_resource_graph_with_errors(
+            spark, ["sub-1"], fetch_fn=fetch, max_retries=1,
+            retry_base_s=0.01).collect()
+        assert len(raw) == 1
+        assert raw[0].error_code == "TooManyRequests"
+        assert raw[0].provider == "azure" and raw[0].account_id == "sub-1"
+
+    def test_gcp_permission_denied_records_and_continues(self, spark):
+        from corkscrew_spark.ingest import cloud_sources
+
+        def fetch(project):
+            if project == "locked":
+                class PermissionDenied(Exception):
+                    pass
+                raise PermissionDenied("caller lacks cloudasset.assets.list")
+            return [{"id": f"//compute/projects/{project}/instances/a",
+                     "name": "a", "type": "compute.googleapis.com/Instance",
+                     "service": "compute", "provider": "gcp",
+                     "account_id": project}]
+
+        raw = cloud_sources.gcp_asset_inventory_with_errors(
+            spark, ["open", "locked"], fetch_fn=fetch).collect()
+        errs = [r for r in raw if r.error_code is not None]
+        good = [r for r in raw if r.error_code is None]
+        assert len(errs) == 1 and errs[0].error_code == "PermissionDenied"
+        assert errs[0].account_id == "locked"
+        assert [r.name for r in good] == ["a"]
+        # plain surface drops the failed cell, keeps the healthy one
+        names = [r.name for r in cloud_sources.gcp_asset_inventory(
+            spark, ["open", "locked"], fetch_fn=fetch).collect()]
+        assert names == ["a"]

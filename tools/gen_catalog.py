@@ -25,9 +25,9 @@ def main() -> None:
     for i, (name, fn) in enumerate(qs.items()):
         mode = "oracle" if name in ORACLE else "rows-only + invariant tests"
         if name in e._DEFERRED:
-            mode += " (deferred→r4 window)"
+            mode += " (deferred window)"
         elif name not in e._DRIVER_RECORDED:
-            mode += " (r3 window)"
+            mode += " (r5 window)"
         doc = (fn.__doc__ or "").strip().split("\n")[0].rstrip(".")
         doc = doc.replace("|", "\\|")
         mod = fn.__module__.replace("corkscrew_spark.", "")
