@@ -343,6 +343,10 @@ def scan(spark: SparkSession, services: list[str], regions: list[str],
     ``botocore.stub.Stubber`` through the whole scan loop, proving the
     paginator-protocol handling against genuine SDK response shapes
     without network.
+
+    Failed cells are silently DROPPED from this resources-only surface
+    (after the shared throttle-retry policy); callers that must account
+    for failures — the pipeline does — use ``scan_with_errors``.
     """
     # Real scan start time by default, so upsert newest-wins ordering and
     # retention on scanned_at are meaningful across runs; tests pass a

@@ -574,12 +574,16 @@ def incremental_refresh_equals_recompute(spark: SparkSession,
 
     from corkscrew_spark import warehouse
 
+    # weekly partition grain: the scoping proof is identical at any
+    # grain, and 5 directories per table keep the two merge writes
+    # task-overhead-light at bench scale (a real deployment picks the
+    # grain matching its batch cadence)
     ev = (
         register_tables(spark, sf_dir)["events"]
         .withColumn("event_date",
-                    F.date_trunc("day", "ts").cast("date").cast("string"))
+                    F.date_trunc("week", "ts").cast("date").cast("string"))
     )
-    cutoff = "2024-01-21"
+    cutoff = "2024-01-15"
     tmp = tempfile.mkdtemp(prefix="incr_loop_")
     table = f"{tmp}/events_tbl"
     try:

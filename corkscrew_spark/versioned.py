@@ -284,6 +284,11 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
     entries = read_manifest(path)
     prev = entries[-1] if entries else None
     prev_parts = (prev or {}).get("parts")
+    if partition_cols is None and prev_parts is not None:
+        # scoping is sticky: an upsert that doesn't name partition_cols
+        # inherits the prior snapshot's layout instead of silently
+        # demoting the table to flat full-rewrite versions
+        partition_cols = list(prev.get("partition_cols") or []) or None
     scoped = (
         prev_parts is not None and bool(partition_cols)
         and list(partition_cols) == list(prev.get("partition_cols") or [])

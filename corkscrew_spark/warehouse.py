@@ -519,7 +519,13 @@ def retention_delete(spark: SparkSession, path: str, ts_col: str,
     else:
         kept = spark.read.parquet(path).filter(
             F.col(ts_col) >= F.lit(cutoff))
-        _swap_write(kept, path)
+        if pcols:
+            # preserve the hive layout: rewriting a partitioned table
+            # flat would silently demote every later merge to a
+            # full-table rewrite
+            _swap_write_partitioned(kept, path, pcols)
+        else:
+            _swap_write(kept, path)
     return _table_count(spark, path)
 
 

@@ -284,3 +284,18 @@ class TestFileScopedVersioning:
             versioned.upsert_version(
                 spark, p, self._pdf(spark, [(1, "eu", "z", 2)]),
                 ["k"], order_col="ts", partition_cols=["region"])
+
+    def test_upsert_inherits_partition_layout(self, spark, tmp_path):
+        """An upsert that omits partition_cols on a partitioned history
+        must inherit the layout and still scope, not demote to flat."""
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]),
+            p, partition_cols=["region"])
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2)]),
+            ["k"], order_col="ts")  # no partition_cols
+        parts = versioned.history(p)[-1]["parts"]
+        assert parts == {"region=eu": 2, "region=us": 1}
+        got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
+        assert got == {1: "a2", 2: "b"}

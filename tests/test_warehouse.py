@@ -1065,3 +1065,34 @@ class TestIncrementalLoopEndToEnd:
                           spark.read.parquet(path), ["event_type"], "value"),
                       ["event_type"]).collect()}
         assert inc == direct == {"click": (2, 4.0), "view": (1, 2.0)}
+
+    def test_retention_generic_path_preserves_hive_layout(
+            self, spark, tmp_path):
+        """Survivor rewrite on a table partitioned by ANOTHER column must
+        keep the hive layout (flattening would demote later merges to
+        full rewrites)."""
+        import os
+        path = str(tmp_path / "keeplayout")
+        df = spark.createDataFrame(
+            [("a", "eu", "2024-01-01"), ("b", "eu", "2024-01-05"),
+             ("c", "us", "2024-01-04")],
+            "id string, region string, scanned_at string")
+        warehouse.write_partitioned(df, path, ["region"])
+        kept = warehouse.retention_delete(
+            spark, path, "scanned_at", "2024-01-03")
+        assert kept == 2
+        assert sorted(e for e in os.listdir(path)
+                      if e.startswith("region=")) == [
+            "region=eu", "region=us"]
+        # and a subsequent merge still scopes
+        t = dt.datetime(2024, 1, 6)
+        warehouse.merge_upsert(
+            spark, path,
+            spark.createDataFrame([("d", "us", "2024-01-06")],
+                                  "id string, region string, scanned_at string"),
+            ["id"], partition_cols=["region"])
+        import json
+        with open(os.path.join(path, "_commits.jsonl")) as fh:
+            last = json.loads(fh.readlines()[-1])
+        assert last["op"] == "merge-scoped" and last["partitions"] == [
+            "region=us"]
