@@ -138,7 +138,11 @@ def _to_resource(cluster: str, gvr: str, obj: dict, scanned_at: dt.datetime) -> 
 
 def _scan_partition(rows: Iterator[Row], label_selector: str | None,
                     scanned_at: dt.datetime, use_sdk: bool,
-                    client_factory=None) -> Iterator[Row]:
+                    client_factory=None, max_retries: int = 3,
+                    retry_base_s: float = 0.2) -> Iterator[Row]:
+    from corkscrew_spark.ingest.aws_scanner import _error_row
+    from corkscrew_spark.ingest.faults import call_with_retry
+
     for work in rows:
         cluster, gvr = work.cluster, work.gvr
         # Only an injected client can serve a GVR the fake doesn't know —
@@ -146,21 +150,67 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
         # so without a factory an unknown GVR must skip, not KeyError.
         if gvr not in KNOWN_GVRS and client_factory is None:
             continue
-        if client_factory is not None:
-            # DI seam: same contract as the fake (list(gvr, ...) with
-            # continue-token paging) — a picklable factory built on each
-            # executor can wrap kubernetes.dynamic or a recorded fixture
-            client = client_factory(cluster)
-        else:
-            client = _FakeDynamicClient(cluster)  # use_sdk would build kubernetes.dynamic here
-        token: str | None = None
-        while True:
-            resp = client.list(gvr, label_selector=label_selector, _continue=token)
-            for obj in resp["items"]:
-                yield _to_resource(cluster, gvr, obj, scanned_at)
-            token = resp["metadata"].get("continue")
-            if not token:
-                break
+
+        def fetch(cluster=cluster, gvr=gvr):
+            if client_factory is not None:
+                # DI seam: same contract as the fake (list(gvr, ...) with
+                # continue-token paging) — a picklable factory built on
+                # each executor can wrap kubernetes.dynamic or a
+                # recorded fixture
+                client = client_factory(cluster)
+            else:
+                client = _FakeDynamicClient(cluster)  # use_sdk would build kubernetes.dynamic here
+            items, token = [], None
+            while True:
+                resp = client.list(gvr, label_selector=label_selector,
+                                   _continue=token)
+                items.extend(resp["items"])
+                token = resp["metadata"].get("continue")
+                if not token:
+                    return items
+
+        # Shared fault policy (ingest/faults.py): a 429'd cell retries
+        # with backoff (k8s ApiException carries .status -> status_code
+        # when wrapped); a forbidden GVR records one error row and the
+        # fan-out continues — RBAC gaps are routine in cluster scans.
+        items, err = call_with_retry(fetch, max_retries, retry_base_s)
+        if err is not None:
+            yield _error_row(gvr, cluster, scanned_at, *err,
+                             provider="k8s", account_id=cluster)
+            continue
+        for obj in items:
+            yield Row(**_to_resource(cluster, gvr, obj, scanned_at).asDict(),
+                      error_code=None, error_message=None)
+
+
+def scan_with_errors(spark: SparkSession, clusters: list[str],
+                     gvrs: list[str] | None = None,
+                     label_selector: str | None = None,
+                     use_sdk: bool = False,
+                     scanned_at: dt.datetime | None = None,
+                     client_factory=None, max_retries: int = 3,
+                     retry_base_s: float = 0.2) -> DataFrame:
+    """``scan`` including the error side-channel
+    (aws_scanner.SCAN_RESULT_SCHEMA): a failed (cluster, gvr) cell —
+    throttled past retries, or RBAC-forbidden — appears as one error
+    row instead of a dead task."""
+    from corkscrew_spark.ingest.aws_scanner import SCAN_RESULT_SCHEMA
+
+    gvrs = gvrs or sorted(KNOWN_GVRS)
+    work = [Row(cluster=c, gvr=g) for c in clusters for g in gvrs]
+    n = min(len(work), spark.sparkContext.defaultParallelism)
+    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
+    work_df = spark.createDataFrame(work).repartition(n)
+    return spark.createDataFrame(
+        work_df.rdd.mapPartitions(
+            lambda it: _scan_partition(it, label_selector, scanned_at,
+                                       use_sdk,
+                                       client_factory=client_factory,
+                                       max_retries=max_retries,
+                                       retry_base_s=retry_base_s)
+        ),
+        SCAN_RESULT_SCHEMA,
+    )
 
 
 def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None,
@@ -173,18 +223,16 @@ def scan(spark: SparkSession, clusters: list[str], gvrs: list[str] | None = None
     ``client_factory``: picklable ``cluster -> client`` built on each
     executor, speaking the same ``list(gvr, label_selector, _continue)``
     protocol as the fake — the seam for kubernetes.dynamic or
-    recorded-fixture clients (mirrors aws_scanner.client_factory)."""
-    gvrs = gvrs or sorted(KNOWN_GVRS)
-    work = [Row(cluster=c, gvr=g) for c in clusters for g in gvrs]
-    n = min(len(work), spark.sparkContext.defaultParallelism)
-    scanned_at = scanned_at or dt.datetime.now(dt.timezone.utc)
-    work_df = spark.createDataFrame(work).repartition(n)
-    return spark.createDataFrame(
-        work_df.rdd.mapPartitions(
-            lambda it: _scan_partition(it, label_selector, scanned_at, use_sdk,
-                                       client_factory=client_factory)
-        ),
-        RESOURCE_SCHEMA,
+    recorded-fixture clients (mirrors aws_scanner.client_factory).
+    Failed cells are dropped from this resources-only surface; use
+    ``scan_with_errors`` for accounting."""
+    from pyspark.sql import functions as F
+
+    return (
+        scan_with_errors(spark, clusters, gvrs, label_selector, use_sdk,
+                         scanned_at, client_factory)
+        .filter(F.col("error_code").isNull())
+        .drop("error_code", "error_message")
     )
 
 

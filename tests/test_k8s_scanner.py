@@ -138,3 +138,70 @@ def test_injected_client_factory(spark):
     assert df.schema == RESOURCE_SCHEMA
     names = sorted(r.name for r in df.collect())
     assert names == ["c1-pod-1", "c1-pod-2"]  # page 2 via continue token
+
+
+class TestK8sFaultModes:
+    """Shared fault policy on the k8s seam: RBAC-forbidden GVRs record
+    one error row and the fan-out continues; 429s retry."""
+
+    def test_forbidden_gvr_records_and_continues(self, spark):
+        from corkscrew_spark.ingest import k8s_scanner
+
+        def factory(cluster):
+            class Client:
+                def list(self, gvr, label_selector=None, _continue=None):
+                    if gvr == "v1/secrets":
+                        class Forbidden(Exception):
+                            status_code = 403
+                        raise Forbidden("secrets is forbidden: RBAC")
+                    return {"items": [{"apiVersion": "v1", "kind": "Pod",
+                                       "metadata": {"name": "p1",
+                                                    "uid": "u1",
+                                                    "namespace": "default"}}],
+                            "metadata": {}}
+            return Client()
+
+        raw = k8s_scanner.scan_with_errors(
+            spark, ["c1"], gvrs=["v1/pods", "v1/secrets"],
+            client_factory=factory).collect()
+        errs = [r for r in raw if r.error_code is not None]
+        good = [r for r in raw if r.error_code is None]
+        assert len(errs) == 1
+        assert errs[0].error_code == "Forbidden"
+        assert errs[0].service == "v1/secrets" and errs[0].provider == "k8s"
+        assert [r.name for r in good] == ["p1"]
+        # plain surface drops the forbidden cell
+        names = [r.name for r in k8s_scanner.scan(
+            spark, ["c1"], gvrs=["v1/pods", "v1/secrets"],
+            client_factory=factory).collect()]
+        assert names == ["p1"]
+
+    def test_throttled_list_retries_then_succeeds(self, spark):
+        from corkscrew_spark.ingest import k8s_scanner
+
+        def make_factory():
+            calls = {"n": 0}
+
+            def factory(cluster):
+                class Client:
+                    def list(self, gvr, label_selector=None, _continue=None):
+                        calls["n"] += 1
+                        if calls["n"] < 3:
+                            class TooMany(Exception):
+                                status_code = 429
+                            raise TooMany("apiserver overloaded")
+                        return {"items": [{"apiVersion": "v1",
+                                           "kind": "Pod",
+                                           "metadata": {"name": "ok",
+                                                        "uid": "u",
+                                                        "namespace": "d"}}],
+                                "metadata": {}}
+                return Client()
+
+            return factory
+
+        raw = k8s_scanner.scan_with_errors(
+            spark, ["c1"], gvrs=["v1/pods"], client_factory=make_factory(),
+            retry_base_s=0.01).collect()
+        assert [r.error_code for r in raw] == [None]
+        assert raw[0].name == "ok"
