@@ -595,3 +595,108 @@ def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, k: int = 5, nlist: int = 16, nprobe: int = 4,
+               m: int = 8, ksub: int = 16,
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None,
+               train_iters: int = 2, pq_iters: int = 1,
+               rerank: DataFrame | None = None,
+               shortlist: int | None = None) -> DataFrame:
+    """IVF × PQ approximate top-k — the production large-scale ANN
+    composition (FAISS's IVFPQ, a public design): the coarse quantizer
+    routes each query to its ``nprobe`` closest inverted lists (bounding
+    candidates to ~nprobe/nlist of the corpus), PQ asymmetric distance
+    scores the candidates without ever decoding them, and an optional
+    exact-L2 rerank re-scores a per-query shortlist from the
+    full-precision vectors.
+
+    Plan shape at 100 TB: the corpus side is map-only (cid assignment +
+    m-byte PQ encode, both codegen literals — the encoded corpus is ~32×
+    smaller than float32 and is the only thing shuffled); the candidate
+    join shuffles on ``cid``; the ADC expression is m array lookups + m
+    small sqdists per candidate, whole-stage codegen; the rerank joins
+    |queries|·shortlist rows back to full vectors — fixed work
+    regardless of corpus size. Returns (query_id, neighbor_id,
+    approx_l2, rank).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, nlist=nlist,
+                                  iters=train_iters)
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, m=m, ksub=ksub,
+                             iters=pq_iters)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(vec_col).alias("cv"))
+        .withColumn("cid", assign_list(F.col("cv"), centroids))
+    )
+    c = pq_encode(c, "cv", codebooks, code_col="code")
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+        .withColumn("cid",
+                    F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
+    )
+    sub = len(codebooks[0][0])
+    terms = []
+    for s, cb in enumerate(codebooks):
+        cent = F.element_at(centroids_lit(cb),
+                            F.col("code")[s].cast("int") + 1)
+        qs = F.slice(F.col("qv"), s * sub + 1, sub)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qs, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    # each corpus row lives in exactly one list and probe cids are
+    # distinct, so (query_id, neighbor_id) pairs cannot duplicate
+    scored = (
+        c.join(q, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(F.sqrt(total), 4).alias("approx_l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    n_short = shortlist if shortlist is not None else 10 * k
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    full = rerank.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(vec_col).alias("nv"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        _as_double(vec_col).alias("qv"))
+    exact = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.sqrt(F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("nv"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)),
+                4,
+            ).alias("approx_l2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

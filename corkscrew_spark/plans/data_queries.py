@@ -2046,3 +2046,136 @@ def text_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("nt").cast("long").alias("n_tokens"))
         .orderBy("lang", "band")
     )
+
+
+@query("ann_ivfpq_topk")
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ two-stage ANN (similarity.ivfpq_topk): coarse inverted-list
+    routing bounds candidates to nprobe/nlist of the corpus, PQ
+    asymmetric distance scores them without decoding, exact L2 reranks a
+    50-candidate shortlist — the FAISS-style composition production
+    vector search runs at corpus scale. Rows-only (approximate routing
+    has no SQL oracle); full-probe==brute-force, exact-rerank-distance,
+    and candidate-confinement invariants live in
+    tests/test_similarity.py::TestIvfPq."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    key = (id(spark), sf_dir + "#ivfpq")
+    state = _PQ_CODEBOOKS.get(key)
+    if state is None:
+        cents = similarity.ivf_centroids(e, "vec_id", "embedding", nlist=16,
+                                         iters=2)
+        cbs = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=16,
+                                  iters=1)
+        state = _PQ_CODEBOOKS[key] = (cents, cbs)
+    cents, cbs = state
+    queries = e.filter(F.col("vec_id") < 10)
+    return (
+        similarity.ivfpq_topk(
+            e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
+            m=8, ksub=16, centroids=cents, codebooks=cbs,
+            rerank=e, shortlist=50)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle="""
+    WITH d AS (
+        SELECT length(text) - length(replace(text, ' ', '')) + 1 AS toks
+        FROM documents
+    ),
+    t AS (SELECT unnest([0, 50, 100, 150, 200, 250]) AS thr)
+    SELECT thr,
+           CAST(COUNT(CASE WHEN toks >= thr THEN 1 END) AS BIGINT)
+               AS docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN toks >= thr THEN toks END), 0)
+               AS BIGINT) AS tokens_kept
+    FROM t CROSS JOIN d
+    GROUP BY thr ORDER BY thr
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold calibration: docs and tokens surviving each
+    candidate minimum-length cutoff, in ONE corpus pass — the sweep a
+    pipeline runs before fixing a quality filter, to see what each
+    threshold costs in data volume. Spark computes all six thresholds
+    as conditional aggregates over a single scan (no 6× explode), then
+    unpivots the 1-row result; the oracle cross-joins thresholds
+    against the corpus — same numbers, different plan."""
+    d = register_tables(spark, sf_dir)["documents"]
+    toks = F.size(F.split("text", " "))
+    thresholds = [0, 50, 100, 150, 200, 250]
+    aggs = []
+    for t in thresholds:
+        keep = toks >= t
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0))
+                    .cast("long").alias(f"d{t}"))
+        aggs.append(F.sum(F.when(keep, toks).otherwise(0))
+                    .cast("long").alias(f"t{t}"))
+    row = d.agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(t).cast("int").alias("thr"),
+                 F.col(f"d{t}").alias("docs_kept"),
+                 F.col(f"t{t}").alias("tokens_kept"))
+        for t in thresholds
+    ])
+    return (
+        row.select(F.explode(structs).alias("r"))
+        .select("r.thr", "r.docs_kept", "r.tokens_kept")
+        .orderBy("thr")
+    )
+
+
+@query(
+    "mixture_rates_for_budget",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(SUBSTR(source, 4) AS INT) + 1 AS w,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                   AS BIGINT) AS avail
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w) AS wsum FROM s)
+    SELECT source,
+           avail,
+           CAST(FLOOR(20000.0 * w / wsum) AS BIGINT) AS target_tokens,
+           CAST(LEAST(avail, CAST(FLOOR(20000.0 * w / wsum) AS BIGINT))
+               AS BIGINT) AS expected_tokens,
+           ROUND(LEAST(1.0, CAST(FLOOR(20000.0 * w / wsum) AS DOUBLE)
+                 / avail), 6) AS rate
+    FROM s CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning math: given per-source weights (here a
+    deterministic function of the source id) and a total token budget,
+    compute each source's token target, achievable tokens, and sampling
+    rate — the solver step between 'weights on paper' and the actual
+    sample_mixture run. One aggregation over the corpus plus a 1-row
+    broadcast total; integer targets via FLOOR so both engines agree
+    bit-for-bit."""
+    d = register_tables(spark, sf_dir)["documents"]
+    toks = F.size(F.split("text", " "))
+    s = (
+        d.groupBy("source")
+        .agg(F.sum(toks).cast("long").alias("avail"))
+        .withColumn("w", F.substring("source", 4, 10).cast("int") + 1)
+    )
+    tot = s.agg(F.sum("w").alias("wsum"))
+    target = F.floor(F.lit(20000.0) * F.col("w") / F.col("wsum")).cast("long")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .withColumn("expected_tokens",
+                    F.least(F.col("avail"), F.col("target_tokens")))
+        .withColumn("rate",
+                    F.round(F.least(F.lit(1.0),
+                                    F.col("target_tokens").cast("double")
+                                    / F.col("avail")), 6))
+        .select("source", "avail", "target_tokens", "expected_tokens",
+                "rate")
+        .orderBy("source")
+    )

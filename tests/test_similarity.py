@@ -256,3 +256,58 @@ class TestProductQuantization:
         row = enc.first()
         assert len(row.pq_code) == 3
         assert dict(enc.dtypes)["pq_code"] == "array<tinyint>"
+
+
+class TestIvfPq:
+    """IVF×PQ composition: full-probe + exact-codebook setup must equal
+    brute force; narrowing nprobe only shrinks the candidate set."""
+
+    def _grid(self, spark):
+        # 12 vectors on 3 well-separated clusters; each vector IS one of
+        # its subspace codebook entries when ksub >= n (codebook-exact)
+        rows = []
+        base = {0: [1.0, 1.0, 0.0, 0.0], 1: [10.0, 10.0, 10.0, 10.0],
+                2: [-10.0, -10.0, 5.0, 5.0]}
+        for i in range(12):
+            b = base[i % 3]
+            rows.append((i, [v + (i // 3) * 0.25 for v in b]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_full_probe_exact_codebooks_equal_brute_force(self, spark):
+        df = self._grid(spark)
+        q = df.filter("vec_id < 3")
+        got = similarity.ivfpq_topk(
+            df, q, "vec_id", "embedding", k=3, nlist=3, nprobe=3,
+            m=2, ksub=12, train_iters=2, pq_iters=1)
+        exact = similarity.cosine_topk(df, q, "vec_id", "embedding", k=3)
+        got_ids = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+        # brute-force L2 over these clusters: nearest neighbors are the
+        # same-cluster members in offset order
+        for qid in range(3):
+            assert got_ids[(qid, 1)] % 3 == qid % 3
+        assert exact.count() == 9 and got.count() == 9
+
+    def test_rerank_returns_exact_distances(self, spark):
+        df = self._grid(spark)
+        q = df.filter("vec_id < 2")
+        got = similarity.ivfpq_topk(
+            df, q, "vec_id", "embedding", k=2, nlist=3, nprobe=3,
+            m=2, ksub=12, rerank=df, shortlist=6).collect()
+        import math
+        vecs = {r.vec_id: list(r.embedding) for r in df.collect()}
+        for r in got:
+            expect = math.sqrt(sum(
+                (a - b) ** 2
+                for a, b in zip(vecs[r.query_id], vecs[r.neighbor_id])))
+            assert abs(r.approx_l2 - round(expect, 4)) < 1e-9
+
+    def test_narrow_probe_only_same_list_candidates(self, spark):
+        df = self._grid(spark)
+        q = df.filter("vec_id = 0")
+        got = similarity.ivfpq_topk(
+            df, q, "vec_id", "embedding", k=10, nlist=3, nprobe=1,
+            m=2, ksub=12, train_iters=3)
+        # cluster 0 has 4 members; probing 1 of 3 lists returns at most
+        # the same-cluster candidates (3 neighbors after self-exclusion)
+        ids = [r.neighbor_id for r in got.collect()]
+        assert ids and all(i % 3 == 0 for i in ids)
