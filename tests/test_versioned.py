@@ -299,3 +299,77 @@ class TestFileScopedVersioning:
         assert parts == {"region=eu": 2, "region=us": 1}
         got = {r.k: r.v for r in versioned.read_version(spark, p).collect()}
         assert got == {1: "a2", 2: "b"}
+
+
+class TestFileScopedModelCheck:
+    """Seeded random scenarios against an in-memory model: any
+    interleaving of partitioned writes, scoped upserts, and vacuums must
+    keep the composed latest snapshot (and every retained historical
+    version) exactly equal to the model — the manifest/symlink
+    machinery can never lose, duplicate, or cross-wire a partition."""
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_random_interleavings_match_model(self, spark, tmp_path, seed):
+        import random
+        rng = random.Random(seed)
+        p = str(tmp_path / f"mc{seed}")
+
+        def region_of(k):  # fixed key->partition mapping (locality holds)
+            return f"r{k % 3}"
+
+        def batch(ts):
+            ks = rng.sample(range(8), rng.randint(1, 4))
+            return [(k, region_of(k), f"v{ts}-{k}", ts) for k in ks]
+
+        def df_of(rows):
+            return spark.createDataFrame(
+                rows, "k long, region string, v string, ts long")
+
+        model: dict[int, tuple] = {}      # k -> (region, v, ts)
+        history: dict[int, dict] = {}     # version -> snapshot of model
+        vacuumed: set[int] = set()
+
+        # initial full snapshot
+        rows = batch(0)
+        for k, r, v, ts in rows:
+            model[k] = (r, v, ts)
+        ver = versioned.write_version(df_of(rows), p,
+                                      partition_cols=["region"])
+        history[ver] = dict(model)
+
+        for ts in range(1, 13):
+            op = rng.random()
+            if op < 0.65:
+                rows = batch(ts)
+                for k, r, v, t in rows:
+                    # newest-ts wins; same-ts update beats existing
+                    if k not in model or model[k][2] <= t:
+                        model[k] = (r, v, t)
+                ver = versioned.upsert_version(
+                    spark, p, df_of(rows), ["k"], order_col="ts",
+                    partition_cols=["region"])
+                history[ver] = dict(model)
+            elif op < 0.85:
+                rows = batch(ts)
+                model = {k: (r, v, t) for k, r, v, t in rows}
+                ver = versioned.write_version(
+                    df_of(rows), p, partition_cols=["region"])
+                history[ver] = dict(model)
+            else:
+                vacuumed.update(versioned.vacuum(p, keep_last=2))
+
+            got = {r.k: (r.region, r.v, r.ts)
+                   for r in versioned.read_version(spark, p).collect()}
+            assert got == model, f"latest mismatch after ts={ts}"
+
+        # every retained historical version still reads exactly as it
+        # was committed; vacuumed ones fail loudly
+        for ver, snap in history.items():
+            if ver in vacuumed:
+                with pytest.raises(ValueError, match="vacuum"):
+                    versioned.read_version(spark, p, version=ver)
+                continue
+            got = {r.k: (r.region, r.v, r.ts)
+                   for r in versioned.read_version(
+                       spark, p, version=ver).collect()}
+            assert got == snap, f"version {ver} drifted"
