@@ -107,8 +107,7 @@ def azure_resource_graph_with_errors(
             yield _error_row("resource-graph", sub, scanned_at, *err,
                              provider="azure", account_id=sub)
             return
-        for r in rows:
-            yield Row(**r.asDict(), error_code=None, error_message=None)
+        yield from rows  # already SCAN_RESULT-shaped (_injected_row)
 
     return spark.createDataFrame(
         work.rdd.mapPartitions(
@@ -147,14 +146,17 @@ def azure_resource_graph(spark: SparkSession, subscriptions: list[str],
 def _injected_row(d: dict, scanned_at: dt.datetime) -> Row:
     """Schema-align one injected dict: unsupplied fields default to
     NULL; unknown keys raise a clear error instead of an executor-side
-    field-count mismatch deep in createDataFrame."""
+    field-count mismatch deep in createDataFrame. Rows carry the
+    SCAN_RESULT error columns (NULL on this happy path) so the hot loop
+    builds each row exactly once."""
     field_names = [f.name for f in RESOURCE_SCHEMA.fields]
     unknown = [k for k in d if k not in field_names]
     if unknown:
         raise ValueError(
             f"fetch_fn row has keys not in RESOURCE_SCHEMA: {unknown}")
     return Row(**{**dict.fromkeys(field_names), **d,
-                  "scanned_at": scanned_at})
+                  "scanned_at": scanned_at,
+                  "error_code": None, "error_message": None})
 
 
 def _resource_graph_rows(sub: str, kql: str, scanned_at: dt.datetime,
@@ -195,8 +197,7 @@ def gcp_asset_inventory_with_errors(
 
     def cell(project: str) -> Iterator[Row]:
         if fetch_fn is None:
-            for r in _gcp_fake_rows(project, scanned_at):
-                yield Row(**r.asDict(), error_code=None, error_message=None)
+            yield from _gcp_fake_rows(project, scanned_at)
             return
         data, err = call_with_retry(
             lambda: [dict(d) for d in fetch_fn(project)],
@@ -206,8 +207,7 @@ def gcp_asset_inventory_with_errors(
                              provider="gcp", account_id=project)
             return
         for d in data:
-            yield Row(**_injected_row(d, scanned_at).asDict(),
-                      error_code=None, error_message=None)
+            yield _injected_row(d, scanned_at)
 
     work = spark.createDataFrame([Row(p=p) for p in projects]).repartition(
         min(len(projects), spark.sparkContext.defaultParallelism)
@@ -253,6 +253,7 @@ def _gcp_fake_rows(project: str, scanned_at: dt.datetime) -> Iterator[Row]:
                                     sort_keys=True),
                 state="ACTIVE", created_at=None, modified_at=None,
                 scanned_at=scanned_at,
+                error_code=None, error_message=None,
             )
 
 

@@ -47,17 +47,19 @@ ACCESS_DENIED_CODES = frozenset({
 def error_code_of(ex: Exception) -> str:
     """Best-effort provider error code: botocore ClientError carries
     ``response['Error']['Code']``; Azure core errors carry a numeric
-    ``status_code``; everything else classifies by exception type name."""
+    ``status_code``; kubernetes ApiException carries ``status``;
+    everything else classifies by exception type name."""
     resp = getattr(ex, "response", None)
     if isinstance(resp, dict):
         code = resp.get("Error", {}).get("Code")
         if code:
             return str(code)
-    status = getattr(ex, "status_code", None)
-    if status == 429:
-        return "TooManyRequests"
-    if status in (401, 403):
-        return "Forbidden"
+    for attr in ("status_code", "status"):
+        status = getattr(ex, attr, None)
+        if status == 429:
+            return "TooManyRequests"
+        if status in (401, 403):
+            return "Forbidden"
     return type(ex).__name__
 
 

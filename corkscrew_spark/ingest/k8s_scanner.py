@@ -133,6 +133,8 @@ def _to_resource(cluster: str, gvr: str, obj: dict, scanned_at: dt.datetime) -> 
         created_at=None,
         modified_at=None,
         scanned_at=scanned_at,
+        error_code=None,
+        error_message=None,
     )
 
 
@@ -179,8 +181,7 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
                              provider="k8s", account_id=cluster)
             continue
         for obj in items:
-            yield Row(**_to_resource(cluster, gvr, obj, scanned_at).asDict(),
-                      error_code=None, error_message=None)
+            yield _to_resource(cluster, gvr, obj, scanned_at)
 
 
 def scan_with_errors(spark: SparkSession, clusters: list[str],

@@ -157,10 +157,21 @@ def run_scan(spark: SparkSession, out_dir: str, services: list[str],
             "created_at": started,
         }
 
+    # one success row per HEALTHY cell — including cells that succeeded
+    # with zero resources (monitoring must distinguish 'scanned and
+    # empty' from 'never scanned'); unknown services never scan at all
+    # and get no row, failed cells get the failure row below
+    counts = {(c.service, c.region): c.resource_count for c in cell_counts}
+    failed = {(c.service, c.region) for c in error_cells}
+    healthy = [
+        (s, r)
+        for s in services if s in aws_scanner.LIST_OPERATIONS
+        for r in regions
+        if (s, r) not in failed
+    ]
     api_rows = [
-        _api_row(c.service, c.region, success=True,
-                 resource_count=c.resource_count)
-        for c in cell_counts
+        _api_row(s, r, success=True, resource_count=counts.get((s, r), 0))
+        for s, r in healthy
     ] + [
         _api_row(
             c.service, c.region, success=False,

@@ -508,6 +508,68 @@ def pq_encode(df: DataFrame, vec_col: str,
     return df.withColumn(code_col, codes).drop(vec_col)
 
 
+def _adc_l2(codebooks: list[list[list[float]]],
+            code_col: str = "code", qv_col: str = "qv") -> Column:
+    """Asymmetric-distance expression: L2 between the full-precision
+    query (``qv_col``) and a PQ-coded row (``code_col``) — m codebook
+    lookups + m small sqdists, all whole-stage codegen. Shared by
+    pq_topk and ivfpq_topk so distance/rounding semantics can't drift."""
+    sub = len(codebooks[0][0])
+    total = None
+    for s, cb in enumerate(codebooks):
+        cent = F.element_at(centroids_lit(cb),
+                            F.col(code_col)[s].cast("int") + 1)
+        qs = F.slice(F.col(qv_col), s * sub + 1, sub)
+        term = F.aggregate(
+            F.zip_with(qs, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        total = term if total is None else total + term
+    return F.round(F.sqrt(total), 4)
+
+
+def _exact_rerank(scored: DataFrame, rerank: DataFrame, queries: DataFrame,
+                  id_col: str, vec_col: str, k: int,
+                  shortlist: int | None) -> DataFrame:
+    """The production two-stage tail: shortlist the approximate pass's
+    top candidates per query (default 10·k), re-score exactly from the
+    full-precision corpus, return the exact top-k. |queries|·shortlist
+    exact distances — fixed work regardless of corpus size. Shared by
+    pq_topk and ivfpq_topk."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    n_short = shortlist if shortlist is not None else 10 * k
+    short = (
+        scored.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= n_short)
+        .select("query_id", "neighbor_id")
+    )
+    full = rerank.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    exact = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.sqrt(F.aggregate(
+                    F.zip_with(F.col("qv"), F.col("nv"),
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x)),
+                4,
+            ).alias("approx_l2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, codebooks: list[list[list[float]]], k: int = 5,
             code_col: str = "pq_code", rerank: DataFrame | None = None,
@@ -539,60 +601,17 @@ def pq_topk(corpus_codes: DataFrame, queries: DataFrame, id_col: str,
         F.col(id_col).alias("neighbor_id"),
         F.col(code_col).alias("code"),
     )
-    sub = len(codebooks[0][0])
-    terms = []
-    for s, cb in enumerate(codebooks):
-        cent = F.element_at(centroids_lit(cb),
-                            F.col("code")[s].cast("int") + 1)
-        qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        terms.append(
-            F.aggregate(
-                F.zip_with(qs, cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-        )
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(F.sqrt(total), 4).alias("approx_l2"))
+                _adc_l2(codebooks).alias("approx_l2"))
     )
+    if rerank is not None:
+        return _exact_rerank(scored, rerank, queries, id_col, vec_col, k,
+                             shortlist)
     w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
-    if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-
-    n_short = shortlist if shortlist is not None else 10 * k
-    short = (
-        scored.withColumn("srank", F.row_number().over(w))
-        .filter(F.col("srank") <= n_short)
-        .select("query_id", "neighbor_id")
-    )
-    full = rerank.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("nv"),
-    )
-    exact = (
-        short.join(full, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id", "neighbor_id",
-            F.round(
-                F.sqrt(F.aggregate(
-                    F.zip_with(F.col("qv"), F.col("nv"),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x)),
-                4,
-            ).alias("approx_l2"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
     return (
-        exact.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -642,61 +661,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .withColumn("cid",
                     F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
     )
-    sub = len(codebooks[0][0])
-    terms = []
-    for s, cb in enumerate(codebooks):
-        cent = F.element_at(centroids_lit(cb),
-                            F.col("code")[s].cast("int") + 1)
-        qs = F.slice(F.col("qv"), s * sub + 1, sub)
-        terms.append(
-            F.aggregate(
-                F.zip_with(qs, cent, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-        )
-    total = terms[0]
-    for t in terms[1:]:
-        total = total + t
     # each corpus row lives in exactly one list and probe cids are
     # distinct, so (query_id, neighbor_id) pairs cannot duplicate
     scored = (
         c.join(q, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(F.sqrt(total), 4).alias("approx_l2"))
+                _adc_l2(codebooks).alias("approx_l2"))
     )
+    if rerank is not None:
+        return _exact_rerank(scored, rerank, queries, id_col, vec_col, k,
+                             shortlist)
     w = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
-    if rerank is None:
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-    n_short = shortlist if shortlist is not None else 10 * k
-    short = (
-        scored.withColumn("srank", F.row_number().over(w))
-        .filter(F.col("srank") <= n_short)
-        .select("query_id", "neighbor_id")
-    )
-    full = rerank.select(F.col(id_col).alias("neighbor_id"),
-                         _as_double(vec_col).alias("nv"))
-    qv = queries.select(F.col(id_col).alias("query_id"),
-                        _as_double(vec_col).alias("qv"))
-    exact = (
-        short.join(full, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id", "neighbor_id",
-            F.round(
-                F.sqrt(F.aggregate(
-                    F.zip_with(F.col("qv"), F.col("nv"),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, x: acc + x)),
-                4,
-            ).alias("approx_l2"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy("approx_l2", "neighbor_id")
     return (
-        exact.withColumn("rank", F.row_number().over(w2))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

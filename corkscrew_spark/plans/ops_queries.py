@@ -589,6 +589,7 @@ def incremental_refresh_equals_recompute(spark: SparkSession,
     try:
         marks = []
         states = []
+        rels = []
         for batch in (
             ev.filter(F.col("event_date") < cutoff),
             ev.filter(F.col("event_date") >= cutoff),
@@ -597,18 +598,28 @@ def incremental_refresh_equals_recompute(spark: SparkSession,
             warehouse.merge_upsert(
                 spark, table, batch, keys=["event_id"], order_col="ts",
                 partition_cols=["event_date"], count_rows=False)
+            # capture this pass's commit-log delta BEFORE the next merge
+            # can extend it — the guard below inspects each pass's own
+            # write set, not the union
+            rels.append(warehouse.changed_partitions_since(
+                table, marks[-1]))
             delta = warehouse.read_changed(spark, table, marks[-1])
             states.append(warehouse.init_agg_state(
                 delta, ["event_type"], "value"))
-        rel1 = warehouse.changed_partitions_since(table, marks[0])
-        rel2 = warehouse.changed_partitions_since(table, marks[1])
-        if rel2 is None or any(rel >= f"event_date={cutoff}" for rel in
-                               (rel1 or [])) or any(
+        rel1, rel2 = rels
+        # pass 1 is the table's first write = a full layout rewrite
+        # (commit log records None); pass 2 MUST be scoped to only the
+        # new date partitions
+        if rel1 is not None:
+            raise RuntimeError(
+                f"pass 1 should be the initial full layout write, got a "
+                f"scoped commit {rel1}")
+        if rel2 is None or not rel2 or any(
                 rel < f"event_date={cutoff}" for rel in rel2):
             raise RuntimeError(
-                f"refresh was not incremental: pass-1 partitions {rel1}, "
-                f"pass-2 partitions {rel2} — the second commit-log delta "
-                "must cover only the new dates")
+                f"refresh was not incremental: pass-2 commit-log delta "
+                f"{rel2} must be exactly the new (>= {cutoff}) date "
+                "partitions")
         final = warehouse.finalize_agg_state(
             warehouse.merge_agg_state(*states, keys=["event_type"]),
             ["event_type"],

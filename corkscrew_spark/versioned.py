@@ -233,18 +233,24 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         vroot = os.path.join(path, f"v={v}")
         if not os.path.exists(vroot):
             continue
-        if os.path.exists(os.path.join(vroot, VACUUMED_MARKER)):
-            continue  # already processed in an earlier vacuum
         needed = referenced.get(v, set())
+        already_marked = os.path.exists(
+            os.path.join(vroot, VACUUMED_MARKER))
         if not needed:
+            # nothing retained references this version anymore — drop it
+            # entirely, INCLUDING versions partially kept by an earlier
+            # vacuum whose referencing snapshots have since been dropped
+            # (otherwise their kept-for partitions would leak forever)
             shutil.rmtree(vroot)
-            dropped.append(v)
+            if not already_marked:
+                dropped.append(v)
             continue
         # shared owner: delete only the unreferenced partition dirs
         # (symlinks inside it are never referenced — removing a symlink
         # never touches its target), mark the version vacuumed so a
         # time-travel read fails loudly instead of returning a partial
-        # snapshot.
+        # snapshot. Idempotent: re-running shrinks the kept set as
+        # references age out.
         data = os.path.join(vroot, "data")
         pcols = e.get("partition_cols") or []
         for rel in _leaf_partition_rels(data, len(pcols)):
@@ -257,7 +263,8 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
                 shutil.rmtree(full)
         with open(os.path.join(vroot, VACUUMED_MARKER), "w") as fh:
             fh.write(json.dumps({"kept_for": sorted(needed)}))
-        dropped.append(v)
+        if not already_marked:
+            dropped.append(v)
     return dropped
 
 

@@ -205,3 +205,22 @@ class TestK8sFaultModes:
             retry_base_s=0.01).collect()
         assert [r.error_code for r in raw] == [None]
         assert raw[0].name == "ok"
+
+    def test_real_apiexception_shape_classified(self, spark):
+        """kubernetes.client.ApiException carries `.status` (not
+        `.status_code`) — the classifier must still map 403 -> Forbidden
+        so RBAC faults record instead of generically erroring."""
+        from corkscrew_spark.ingest import k8s_scanner
+
+        def factory(cluster):
+            class Client:
+                def list(self, gvr, label_selector=None, _continue=None):
+                    class ApiException(Exception):
+                        status = 403
+                        reason = "Forbidden"
+                    raise ApiException("(403) Reason: Forbidden")
+            return Client()
+
+        raw = k8s_scanner.scan_with_errors(
+            spark, ["c1"], gvrs=["v1/pods"], client_factory=factory).collect()
+        assert len(raw) == 1 and raw[0].error_code == "Forbidden"

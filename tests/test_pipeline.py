@@ -90,3 +90,29 @@ def test_run_scan_expectations_gate(spark, tmp_path):
     s2 = pipeline.run_scan(spark, out, ["s3"], ["us-east-1"],
                            expectations=rules[:2])
     assert s2["warnings"] is None and s2["failed_resources"] == 0
+
+
+def test_zero_resource_healthy_cell_gets_success_row(spark, tmp_path):
+    """A cell that scans successfully but returns nothing must still get
+    a success telemetry row — monitoring distinguishes 'scanned and
+    empty' from 'never scanned'."""
+    def factory(service, region):
+        import boto3
+        from botocore.stub import Stubber
+        client = boto3.client(service, region_name=region,
+                              aws_access_key_id="testing",
+                              aws_secret_access_key="testing")
+        st = Stubber(client)
+        st.add_response("list_buckets", {"Buckets": [], "Owner": {"ID": "o"}},
+                        {})
+        st.activate()
+        return client
+
+    out = str(tmp_path / "wh")
+    summary = pipeline.run_scan(spark, out, ["s3"], ["eu-north-1"],
+                                client_factory=factory)
+    assert summary["status"] == "completed"
+    api = spark.read.parquet(f"{out}/api_action_metadata").collect()
+    assert len(api) == 1
+    assert api[0].success and api[0].resource_count == 0
+    assert api[0].service == "s3" and api[0].region == "eu-north-1"

@@ -373,3 +373,31 @@ class TestFileScopedModelCheck:
                    for r in versioned.read_version(
                        spark, p, version=ver).collect()}
             assert got == snap, f"version {ver} drifted"
+
+
+def test_vacuum_reclaims_orphaned_kept_partitions(spark, tmp_path):
+    """A partition kept for a referencing version must be reclaimed
+    once that referencing version itself ages out (no disk leak)."""
+    def pdf(rows):
+        return spark.createDataFrame(
+            rows, "k long, region string, v string, ts long")
+
+    p = str(tmp_path / "t")
+    versioned.write_version(
+        pdf([(1, "eu", "a", 1), (2, "us", "b", 1)]),
+        p, partition_cols=["region"])
+    for i in range(2, 5):  # v2..v4 touch only eu; us stays owned by v1
+        versioned.upsert_version(
+            spark, p, pdf([(1, "eu", f"a{i}", i)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+    versioned.vacuum(p, keep_last=2)  # v1 partially kept (us)
+    assert os.path.isdir(os.path.join(p, "v=1", "data", "region=us"))
+    # two full overwrites: v5/v6 own everything, v3/v4 age out
+    for i in (5, 6):
+        versioned.write_version(
+            pdf([(1, "eu", f"x{i}", i), (2, "us", "y", i)]),
+            p, partition_cols=["region"])
+    versioned.vacuum(p, keep_last=2)
+    # the orphaned v1 remnant is gone now
+    assert not os.path.exists(os.path.join(p, "v=1"))
+    assert versioned.read_version(spark, p).count() == 2

@@ -70,6 +70,12 @@ def main() -> int:
         scan_ok = drift >= -0.15
     elif n_rps:
         print(f"scan: {n_rps} resources/s (no prior number)")
+    elif o_rps:
+        # the metric disappearing is exactly the drift this tripwire
+        # exists to catch — fail loudly, don't silently pass
+        print("SCAN METRIC MISSING: prior bench had "
+              f"{o_rps} resources/s, new bench has no scan block")
+        scan_ok = False
     return 1 if regressions or not scan_ok else 0
 
 
