@@ -824,3 +824,154 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("below_20", (F.col("n") < 20).cast("long"))
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@query(
+    "versioned_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0
+    ),
+    latest AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    )
+    SELECT 1 AS version, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM base GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 2, o_orderpriority, CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM latest GROUP BY o_orderpriority
+    ORDER BY version, o_orderpriority
+    """,
+)
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store END-TO-END, driver-hash-checked: commit a
+    partitioned base snapshot, apply a keyed upsert (new keys + changed
+    rows) as a FILE-SCOPED v=2 (manifest parts + shared-partition
+    references, versioned.upsert_version), then TIME-TRAVEL both
+    versions and aggregate each — v=1 must still read exactly as
+    committed after v=2 exists, and v=2 must equal the oracle's direct
+    recompute of the merged state. Certifies snapshot isolation and the
+    round-5 manifest machinery, not just the arithmetic.
+    Reference: the reference keeps one mutable DuckDB file; history
+    queries are the capability its change tracking promises
+    (internal/changes/change_storage.go) expressed as storage."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import versioned
+
+    o = register_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "ts", F.lit(1).cast("long"))
+    updates = (
+        o.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")))
+        .withColumn("ts", F.lit(2).cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="vtt_")
+    table = f"{tmp}/orders_versioned"
+    try:
+        v1 = versioned.write_version(base, table,
+                                     partition_cols=["o_orderpriority"])
+        v2 = versioned.upsert_version(spark, table, updates,
+                                      ["o_orderkey"], order_col="ts")
+        if (v1, v2) != (1, 2):
+            raise RuntimeError(f"unexpected versions {(v1, v2)}")
+        parts = versioned.history(table)[-1]["parts"]
+        if not parts or any(owner not in (1, 2) for owner in parts.values()):
+            raise RuntimeError(f"v=2 manifest not file-scoped: {parts}")
+        outs = []
+        for v in (1, 2):
+            outs.append(
+                versioned.read_version(spark, table, version=v)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .select(F.lit(v).alias("version"), "o_orderpriority",
+                        "n", "total")
+            )
+        result = outs[0].unionByName(outs[1]).orderBy(
+            "version", "o_orderpriority")
+        rows = result.collect()  # key-space-sized (2 x 5 priorities)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "retention_drop_effect",
+    oracle="""
+    SELECT CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE CAST(o_orderdate AS VARCHAR) >= '1996-01-01'
+      AND CAST(o_orderdate AS VARCHAR) < '1996-02-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def retention_drop_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 retention at scale, driver-hash-checked: lay a month of orders
+    out date-partitioned, run retention_delete with ts_col == the
+    partition column — which must AUTO-ROUTE to the metadata-only
+    partition drop (the query RAISES if any surviving partition file
+    was rewritten, pinned by mtime) — and return the surviving per-day
+    counts, which must equal the oracle's row filter. Certifies the
+    zero-rewrite retention path (change_storage.go:283-295 at 100 TB),
+    not just the surviving rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import warehouse
+
+    o = (
+        register_tables(spark, sf_dir)["orders"]
+        .filter((F.col("o_orderdate") >= "1995-12-01")
+                & (F.col("o_orderdate") < "1996-02-01"))
+        .select("o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"))
+    )
+    tmp = tempfile.mkdtemp(prefix="ret_")
+    table = f"{tmp}/orders_by_day"
+    try:
+        warehouse.write_partitioned(o, table, ["o_orderdate"])
+
+        def survivors():
+            out = {}
+            for root, _dirs, files in os.walk(table):
+                for name in files:
+                    if name.endswith(".parquet") and "1996" in root:
+                        p = os.path.join(root, name)
+                        out[p] = os.stat(p).st_mtime_ns
+            return out
+
+        before = survivors()
+        warehouse.retention_delete(spark, table, "o_orderdate",
+                                   "1996-01-01")
+        if survivors() != before:
+            raise RuntimeError(
+                "retention rewrote surviving partition files — the "
+                "auto-route to partition drop did not engage")
+        result = (
+            spark.read.parquet(table)
+            .groupBy("o_orderdate")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("o_orderdate").cast("string").alias("o_orderdate"),
+                    "n")
+            .orderBy("o_orderdate")
+        )
+        rows = result.collect()  # one row per surviving day (31)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
