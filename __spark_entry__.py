@@ -98,18 +98,19 @@ _DEFERRED = frozenset()
 
 
 #: Round 5's pinned 50-slot correctness window: the ENTIRE remaining
-#: never-recorded backlog — the 39 names left after round 4 plus the two
-#: queries this round registered (graph_khop_cte,
-#: incremental_refresh_equals_recompute) — so a green round closes the
-#: verification ledger at 100% of the registry driver-verified. The 9
-#: spare slots RE-RECORD queries whose implementation changed after
-#: their green row: upsert_latest/paginate_offset (partition-scoped
-#: merge + TakeOrderedAndProject changes), dedup_clusters (star-
-#: contraction fallback), the kql trio (compile-time type checks + the
-#: Spark Connect _jdf gate), graph_khop (now with a CTE sibling),
-#: decontaminate + dedup_embedding_cosine (round-4 perf rework). Every
-#: name verified green by `tools/driver_sim.py --window 50` at sf0.01
-#: before pinning.
+#: never-recorded backlog — the 39 names left after round 4 plus the
+#: seven queries this round registered (graph_khop_cte,
+#: incremental_refresh_equals_recompute, ann_ivfpq_topk,
+#: quality_threshold_sweep, mixture_rates_for_budget,
+#: versioned_time_travel, retention_drop_effect) — so a green round
+#: closes the verification ledger at 100% of the registry
+#: driver-verified. The 4 spare slots RE-RECORD the queries whose
+#: implementation changed most after their green row:
+#: upsert_latest/paginate_offset (partition-scoped merge +
+#: TakeOrderedAndProject changes), dedup_clusters (star-contraction
+#: fallback), kql_summarize (compile-time type checks + the Spark
+#: Connect _jdf gate). Every name verified green by
+#: `tools/driver_sim.py --window 50` at sf0.01 before pinning.
 _WINDOW = (
     "graph_khop_cte",
     "incremental_refresh_equals_recompute",
@@ -152,15 +153,15 @@ _WINDOW = (
     "cusum_drift_days",
     "hourly_seasonality",
     "order_gap_profile",
+    "ann_ivfpq_topk",
+    "quality_threshold_sweep",
+    "mixture_rates_for_budget",
+    "versioned_time_travel",
+    "retention_drop_effect",
     "upsert_latest",
     "dedup_clusters",
     "paginate_offset",
     "kql_summarize",
-    "kql_join_spend",
-    "kql_docs_tokens",
-    "graph_khop",
-    "decontaminate",
-    "dedup_embedding_cosine",
 )
 
 
