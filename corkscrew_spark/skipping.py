@@ -1,0 +1,249 @@
+"""File-statistics data skipping (zone maps) for parquet tables.
+
+Delta-lake-style min/max pruning on NON-partition columns: a one-pass
+Spark job records per-data-file column statistics (min, max, null
+count, row count) into ``_column_stats.json`` inside the table
+directory, and ``read_skipping`` consults them to open ONLY the files
+whose [min, max] range can satisfy a conjunctive predicate. Hive
+partition pruning eliminates directories by partition VALUE; zone maps
+eliminate files by DATA range — together with ``warehouse.zorder_write``
+/ ``compact_table(sort_cols=...)`` clustering, a selective predicate on
+a 100 TB table touches a handful of files instead of every footer.
+
+Correctness never depends on the statistics:
+
+* the real predicate is always re-applied to whatever is read, so a
+  stale or wrong zone map can only cost extra I/O, never wrong rows;
+* files NOT present in the stats (appended since) are always read;
+* partitions written since the stats snapshot (per the table's
+  ``_commits.jsonl``, see ``warehouse._log_commit``) are always read,
+  and a full-rewrite commit drops back to a plain scan;
+* an all-null file is skipped for comparison predicates (SQL
+  comparisons never match NULL) but kept for ``is_null``.
+
+Reference parity: the reference delegates scans to DuckDB, whose
+parquet reader prunes row groups via zone maps automatically
+(duckdb row-group min/max statistics; the reference's storage layer at
+``internal/storage`` inherits it). At 100 TB the same decision must
+happen BEFORE listing/opening files — materialized file-level
+statistics are the distributed analogue (Delta data skipping /
+Iceberg manifest column bounds).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import json
+import os
+import time
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .warehouse import changed_partitions_since
+
+_STATS_FILE = "_column_stats.json"
+
+#: Supported predicate operators, AND-combined: ``(col, op, value)``;
+#: ``between`` takes ``value=(lo, hi)`` inclusive; ``is_null`` ignores
+#: ``value``.
+_OPS = ("<", "<=", ">", ">=", "=", "between", "is_null")
+
+
+def _norm(v):
+    """JSON-safe, order-preserving scalar encoding. Timestamps and
+    dates become ISO-8601 strings (lexicographic order == temporal
+    order), Decimal becomes float; numbers and strings pass through."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _stats_path(path: str) -> str:
+    return os.path.join(path, _STATS_FILE)
+
+
+def _file_rel(path: str, uri: str) -> str:
+    """input_file_name() URI -> relpath under the table dir. The URI
+    percent-encodes the on-disk name once, so one unquote restores it
+    (a disk name already containing hive-escaped ``%3A`` arrives as
+    ``%253A`` and round-trips correctly)."""
+    p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+    return os.path.relpath(p, os.path.abspath(path))
+
+
+def compute_stats(spark: SparkSession, path: str,
+                  cols: list[str]) -> dict:
+    """One distributed pass recording per-file zone maps for ``cols``.
+
+    ``groupBy(input_file_name())`` makes the aggregate exactly
+    file-grained; map-side partial aggregation reduces each file to one
+    row before the (tiny, #files-sized) shuffle, and column pruning
+    means only ``cols`` are decoded. The JSON goes through a tmp file +
+    ``os.replace`` so readers never see a torn stats file. Returns the
+    stats dict that was written."""
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("__file"), *cols)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+        ]
+    rows = df.groupBy("__file").agg(*aggs).collect()  # one row per file
+    files: dict[str, dict] = {}
+    for r in rows:
+        rec = {"rows": r["__rows"], "stats": {}}
+        for c in cols:
+            rec["stats"][c] = [_norm(r[f"__min_{c}"]),
+                               _norm(r[f"__max_{c}"]),
+                               int(r[f"__nulls_{c}"] or 0)]
+        files[_file_rel(path, r["__file"])] = rec
+    stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
+    tmp = _stats_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, _stats_path(path))  # atomic on POSIX
+    return stats
+
+
+def load_stats(path: str) -> dict | None:
+    p = _stats_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _file_may_match(rec: dict, predicates: list[tuple]) -> bool:
+    """Can any row of a file with zone map ``rec`` satisfy the AND of
+    ``predicates``? Conservative: unknown column / type mismatch /
+    unparseable bound => True (read the file)."""
+    for col, op, value in predicates:
+        cs = rec["stats"].get(col)
+        if cs is None:
+            continue  # no stats for this column: cannot prune on it
+        mn, mx, nulls = cs
+        if op == "is_null":
+            if nulls == 0:
+                return False
+            continue
+        if mn is None and mx is None:
+            return False  # all-NULL file: comparisons never match
+        try:
+            if op == "between":
+                lo, hi = _norm(value[0]), _norm(value[1])
+                if mx < lo or mn > hi:
+                    return False
+            else:
+                v = _norm(value)
+                if ((op == "=" and not (mn <= v <= mx))
+                        or (op == "<" and not (mn < v))
+                        or (op == "<=" and not (mn <= v))
+                        or (op == ">" and not (mx > v))
+                        or (op == ">=" and not (mx >= v))):
+                    return False
+        except TypeError:
+            continue  # incomparable types: never prune on a guess
+    return True
+
+
+def _predicate_column(col: str, op: str, value):
+    c = F.col(col)
+    if op == "is_null":
+        return c.isNull()
+    if op == "between":
+        return c.between(F.lit(value[0]), F.lit(value[1]))
+    return {"<": c < F.lit(value), "<=": c <= F.lit(value),
+            ">": c > F.lit(value), ">=": c >= F.lit(value),
+            "=": c == F.lit(value)}[op]
+
+
+def predicate_filter(predicates: list[tuple]):
+    """The AND of ``predicates`` as a Column — ALWAYS re-applied on top
+    of the pruned read so stats can only cost I/O, never rows."""
+    out = F.lit(True)
+    for col, op, value in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {_OPS}")
+        out = out & _predicate_column(col, op, value)
+    return out
+
+
+def _list_data_files(path: str) -> list[str]:
+    """Current data-file relpaths — driver-side metadata walk, the same
+    listing any parquet scan performs (skips dot/underscore dirs and
+    the staging/trash siblings, which live OUTSIDE the table dir)."""
+    out = []
+    base = os.path.abspath(path)
+    for root, dirs, names in os.walk(base):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for name in names:
+            if name.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, name), base))
+    return sorted(out)
+
+
+def plan_skip(path: str, predicates: list[tuple],
+              stats: dict | None = None) -> dict:
+    """The pruning decision, file by file, without reading anything:
+    ``{"kept": [...], "pruned": [...], "stale": [...], "unknown": [...],
+    "fallback": reason|None}``. ``kept`` includes stale and unknown
+    files (they must be read); ``fallback`` is set when the whole table
+    must be scanned (no stats, or a full rewrite since the snapshot)."""
+    stats = stats if stats is not None else load_stats(path)
+    if stats is None:
+        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
+                "fallback": "no stats file"}
+    changed = changed_partitions_since(path, stats["ts_ns"])
+    if changed is None and os.path.exists(
+            os.path.join(path, "_commits.jsonl")):
+        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
+                "fallback": "full rewrite since stats snapshot"}
+    stale_rels = tuple(changed or [])
+    kept, pruned, stale, unknown = [], [], [], []
+    for rel in _list_data_files(path):
+        if stale_rels and rel.startswith(
+                tuple(r + "/" for r in stale_rels)):
+            stale.append(rel)
+            kept.append(rel)
+            continue
+        rec = stats["files"].get(rel)
+        if rec is None:
+            unknown.append(rel)  # appended after the snapshot
+            kept.append(rel)
+        elif _file_may_match(rec, predicates):
+            kept.append(rel)
+        else:
+            pruned.append(rel)
+    return {"kept": kept, "pruned": pruned, "stale": stale,
+            "unknown": unknown, "fallback": None}
+
+
+def read_skipping(spark: SparkSession, path: str,
+                  predicates: list[tuple],
+                  stats: dict | None = None) -> DataFrame:
+    """Predicate-filtered read that opens only the files the zone maps
+    cannot rule out. ``predicates`` is an AND-list of
+    ``(col, op, value)`` with ops from ``_OPS``. Falls back to a plain
+    scan when stats are missing or invalidated; in every path the real
+    predicate is re-applied, so the result is ALWAYS identical to
+    ``spark.read.parquet(path).filter(...)`` — stats only change how
+    many files are opened."""
+    flt = predicate_filter(predicates)
+    plan = plan_skip(path, predicates, stats=stats)
+    if plan["fallback"] is not None:
+        return spark.read.parquet(path).filter(flt)
+    if not plan["kept"]:
+        # nothing can match: typed-empty via one footer, no data read
+        return spark.read.parquet(path).filter(F.lit(False))
+    paths = [os.path.join(path, rel) for rel in plan["kept"]]
+    return (spark.read.option("basePath", path).parquet(*paths)
+            .filter(flt))

@@ -609,7 +609,9 @@ def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
 @_locked_writer
 def compact_table(spark: SparkSession, path: str,
                   partition_cols: list[str] | None = None,
-                  target_file_bytes: int = 128 * 1024 * 1024) -> tuple[int, int]:
+                  target_file_bytes: int = 128 * 1024 * 1024,
+                  sort_cols: list[str] | None = None,
+                  stats_cols: list[str] | None = None) -> tuple[int, int]:
     """Small-file compaction (OPTIMIZE-style rewrite): coalesce a table's
     many small parquet files into ~``target_file_bytes`` files, keeping
     the hive partition layout when ``partition_cols`` is given.
@@ -623,6 +625,12 @@ def compact_table(spark: SparkSession, path: str,
     metadata walk, no data read); the rewrite itself is one distributed
     repartition + write, atomically swapped into place. Returns
     (files_before, files_after).
+
+    ``sort_cols`` linearly clusters the rewrite (range-partition + sort
+    within files for a flat table; sort within each hive partition's
+    task otherwise) and ``stats_cols`` materializes file-level zone
+    maps afterwards — compaction is the natural moment to tighten the
+    layout that makes ``skipping.read_skipping`` pruning effective.
     """
     before, total_bytes = table_file_stats(spark, path)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
@@ -630,14 +638,20 @@ def compact_table(spark: SparkSession, path: str,
     tmp = f"{path}.__compact__{time.time_ns()}"
     if partition_cols:
         # one task per hive partition, files re-split by the record cap
+        shaped = df.repartition(n_out, *[F.col(c) for c in partition_cols])
+        if sort_cols:
+            shaped = shaped.sortWithinPartitions(*partition_cols,
+                                                 *sort_cols)
         (
-            df.repartition(n_out, *[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
+            shaped.write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(tmp)
         )
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        shaped = (df.repartitionByRange(n_out, *sort_cols)
+                  .sortWithinPartitions(*sort_cols)
+                  if sort_cols else df.repartition(n_out))
+        shaped.write.mode("overwrite").parquet(tmp)
     old = f"{path}.__old__{time.time_ns()}"
     os.rename(path, old)
     os.rename(tmp, path)
@@ -648,6 +662,10 @@ def compact_table(spark: SparkSession, path: str,
     # routine maintenance.
     shutil.rmtree(old)
     _log_commit(path, "compact", None)
+    if stats_cols:
+        from . import skipping  # local import: skipping imports us
+
+        skipping.compute_stats(spark, path, stats_cols)
     after, _ = table_file_stats(spark, path)
     return before, after
 
@@ -674,7 +692,8 @@ def zorder_value(x: Column, y: Column, x_min: float, x_max: float,
 
 
 def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
-                 n_files: int = 16, bits: int = 16) -> None:
+                 n_files: int = 16, bits: int = 16,
+                 stats_cols: list[str] | None = None) -> None:
     """Write ``df`` clustered by the Z-order of (x_col, y_col) so that
     parquet row-group/file min-max statistics prune BOTH dimensions.
 
@@ -688,6 +707,11 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     The min/max bounds come from one metadata-sized aggregate;
     repartitionByRange on the z-key gives contiguous key ranges per
     file; the within-partition sort keeps row groups tight.
+
+    ``stats_cols`` additionally materializes file-level zone maps
+    (``skipping.compute_stats``) right after the rewrite — the moment
+    the layout makes them tight — so ``skipping.read_skipping`` prunes
+    files driver-side before Spark opens a single footer.
     """
     bounds = df.agg(
         F.min(x_col).cast("double"), F.max(x_col).cast("double"),
@@ -706,6 +730,10 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
             .sortWithinPartitions("__z")
             .drop("__z"),
             path, op="zorder-rewrite")
+        if stats_cols:
+            from . import skipping  # local import: skipping imports us
+
+            skipping.compute_stats(df.sparkSession, path, stats_cols)
 
 
 @_locked_writer

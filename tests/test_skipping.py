@@ -1,0 +1,220 @@
+"""File-statistics data skipping: zone-map pruning with a correctness
+net — every read_skipping result must equal the plain filtered scan,
+no matter how stale the statistics are."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from corkscrew_spark import skipping, warehouse
+
+
+def _write_clustered(spark, path, n_files=8, rows_per=100):
+    """A table laid out so zone maps are tight: `k` is globally sorted
+    across files via repartitionByRange, so each file owns a disjoint
+    k-range — the layout compact_table(sort)/zorder_write produce."""
+    df = spark.range(n_files * rows_per).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.date_add(F.lit(dt.date(2024, 1, 1)),
+                   (F.col("id") / rows_per).cast("int")).alias("day"),
+    )
+    df.repartitionByRange(n_files, "k").write.parquet(path)
+    return df
+
+
+def _full_scan(spark, path, predicates):
+    return (spark.read.parquet(path)
+            .filter(skipping.predicate_filter(predicates)))
+
+
+def _same_rows(a, b, key="k"):
+    return ([tuple(r) for r in a.orderBy(key).collect()]
+            == [tuple(r) for r in b.orderBy(key).collect()])
+
+
+class TestZoneMapPruning:
+    def test_range_predicate_prunes_most_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k", "day"])
+        preds = [("k", ">=", 700)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["fallback"] is None
+        assert plan["pruned"], "a sorted layout must prune some files"
+        # disjoint 100-row ranges over 800 rows: >= 700 keeps 1 file
+        assert len(plan["kept"]) <= 2
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+
+    def test_equality_and_between_and_dates(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k", "day"])
+        for preds in (
+            [("k", "=", 42)],
+            [("k", "between", (150, 260))],
+            [("day", ">=", dt.date(2024, 1, 7))],
+            [("k", "<", 100), ("day", "<=", dt.date(2024, 1, 1))],
+        ):
+            plan = skipping.plan_skip(path, preds)
+            assert plan["pruned"], preds
+            got = skipping.read_skipping(spark, path, preds)
+            assert _same_rows(got, _full_scan(spark, path, preds)), preds
+
+    def test_nothing_can_match_reads_no_data_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        preds = [("k", ">", 10_000)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["kept"] == []
+        assert skipping.read_skipping(spark, path, preds).count() == 0
+
+    def test_all_null_file_pruned_for_comparison_kept_for_isnull(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, None), (2, None)], "k int, v int"
+        ).coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(3, 30), (4, 40)], "k int, v int"
+        ).coalesce(1).write.mode("append").parquet(path)
+        skipping.compute_stats(spark, path, ["v"])
+        plan = skipping.plan_skip(path, [("v", ">=", 0)])
+        assert len(plan["pruned"]) == 1  # the all-null file
+        preds_null = [("v", "is_null", None)]
+        plan_null = skipping.plan_skip(path, preds_null)
+        assert len(plan_null["pruned"]) == 1  # the no-null file
+        got = skipping.read_skipping(spark, path, preds_null)
+        assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+class TestStaleness:
+    def test_appended_files_always_read(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        # rows appended AFTER the snapshot land in the pruned k-range
+        spark.createDataFrame(
+            [(5, 99, dt.date(2024, 2, 1))], "k long, v long, day date"
+        ).write.mode("append").parquet(path)
+        preds = [("k", "<", 10)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["unknown"], "the appended file must be unknown"
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        assert got.filter("v = 99").count() == 1
+
+    def test_merged_partition_goes_stale_not_wrong(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(f"id{i}", f"r{i % 2}", i, t0) for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "id string, region string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, df, ["id"],
+                               partition_cols=["region"])
+        skipping.compute_stats(spark, path, ["score"])
+        # post-snapshot merge pushes r0's scores past the stats range
+        upd = spark.createDataFrame(
+            [("id0", "r0", 999, dt.datetime(2024, 1, 2))],
+            "id string, region string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, upd, ["id"],
+                               partition_cols=["region"])
+        preds = [("score", ">=", 500)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["stale"], "the merged partition must be re-read"
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.id for r in got.collect()] == ["id0"]
+
+    def test_full_rewrite_falls_back_to_plain_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", 1, t0), ("b", 2, t0)],
+            "id string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, df, ["id"])
+        skipping.compute_stats(spark, path, ["score"])
+        upd = spark.createDataFrame(
+            [("c", 900, dt.datetime(2024, 1, 2))],
+            "id string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, upd, ["id"])  # unpartitioned
+        preds = [("score", ">=", 500)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["fallback"] is not None
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.id for r in got.collect()] == ["c"]
+
+    def test_no_stats_file_is_a_plain_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        preds = [("k", ">=", 700)]
+        assert skipping.plan_skip(path, preds)["fallback"] == "no stats file"
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+
+    def test_stats_survive_being_stale_under_compaction(
+            self, spark, tmp_path):
+        """compact_table replaces the directory (stats file gone) — the
+        reader must degrade to a plain scan, never error."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=4)
+        skipping.compute_stats(spark, path, ["k"])
+        warehouse.compact_table(spark, path)
+        preds = [("k", "<", 50)]
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == 50
+
+
+class TestLayoutHooks:
+    def test_compact_sort_then_skip(self, spark, tmp_path):
+        """Compaction with sort_cols + stats_cols turns an unsorted
+        many-file table into a pruned scan in one maintenance call."""
+        path = str(tmp_path / "t")
+        df = spark.range(800).select(
+            F.shiftright(F.xxhash64("id"), 1).alias("r"),
+            F.col("id").alias("k"))
+        df.orderBy("r").drop("r").repartition(8).write.parquet(path)
+        # unsorted layout: every file straddles the whole k-range
+        skipping.compute_stats(spark, path, ["k"])
+        assert not skipping.plan_skip(path, [("k", ">=", 700)])["pruned"]
+        warehouse.compact_table(spark, path, target_file_bytes=2000,
+                                sort_cols=["k"], stats_cols=["k"])
+        plan = skipping.plan_skip(path, [("k", ">=", 700)])
+        assert plan["fallback"] is None  # stats are post-compaction
+        assert plan["pruned"], "sorted compaction must enable pruning"
+        got = skipping.read_skipping(spark, path, [("k", ">=", 700)])
+        assert got.count() == 100
+
+    def test_zorder_stats_prune_both_dimensions(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"))
+        warehouse.zorder_write(df, path, "x", "y", n_files=16,
+                               stats_cols=["x", "y"])
+        for preds in ([("x", "<", 8)], [("y", ">=", 56)]):
+            plan = skipping.plan_skip(path, preds)
+            assert plan["fallback"] is None
+            assert len(plan["pruned"]) >= 8, preds
+            got = skipping.read_skipping(spark, path, preds)
+            assert got.count() == 512, preds
+
+
+class TestPlanShape:
+    def test_pruned_read_scans_only_kept_files(self, spark, tmp_path):
+        """The physical plan's scan must list only the kept files —
+        pruning happens before Spark ever opens a footer."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        preds = [("k", ">=", 700)]
+        plan = skipping.plan_skip(path, preds)
+        df = skipping.read_skipping(spark, path, preds)
+        files = {skipping._file_rel(path, r.f)
+                 for r in df.select(
+                     F.input_file_name().alias("f")).distinct().collect()}
+        assert files <= set(plan["kept"])
+        assert not files & set(plan["pruned"])
