@@ -42,9 +42,8 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .warehouse import changed_partitions_since
-
 _STATS_FILE = "_column_stats.json"
+_COMMIT_LOG = "_commits.jsonl"
 
 #: Supported predicate operators, AND-combined: ``(col, op, value)``;
 #: ``between`` takes ``value=(lo, hi)`` inclusive; ``is_null`` ignores
@@ -191,6 +190,28 @@ def _list_data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _invalidated_since(path: str, ts_ns: int) -> list[str] | None:
+    """Partition relpaths whose EXISTING files may have changed since
+    ``ts_ns`` per the commit log; None when a full rewrite invalidates
+    everything. Unlike ``warehouse.changed_partitions_since`` this is
+    op-aware: ``append`` commits are ignored — an append only ADDS
+    uniquely-named files (caught by the unknown-file net), it never
+    rewrites a file a zone map describes."""
+    log = os.path.join(path, _COMMIT_LOG)
+    if not os.path.exists(log):
+        return []  # no log: rewrites rename files, unknown-net catches
+    touched: set[str] = set()
+    with open(log) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec["ts_ns"] <= ts_ns or rec["op"] == "append":
+                continue
+            if rec["partitions"] is None:
+                return None
+            touched.update(rec["partitions"])
+    return sorted(touched)
+
+
 def plan_skip(path: str, predicates: list[tuple],
               stats: dict | None = None) -> dict:
     """The pruning decision, file by file, without reading anything:
@@ -202,12 +223,11 @@ def plan_skip(path: str, predicates: list[tuple],
     if stats is None:
         return {"kept": None, "pruned": [], "stale": [], "unknown": [],
                 "fallback": "no stats file"}
-    changed = changed_partitions_since(path, stats["ts_ns"])
-    if changed is None and os.path.exists(
-            os.path.join(path, "_commits.jsonl")):
+    changed = _invalidated_since(path, stats["ts_ns"])
+    if changed is None:
         return {"kept": None, "pruned": [], "stale": [], "unknown": [],
                 "fallback": "full rewrite since stats snapshot"}
-    stale_rels = tuple(changed or [])
+    stale_rels = tuple(changed)
     kept, pruned, stale, unknown = [], [], [], []
     for rel in _list_data_files(path):
         if stale_rels and rel.startswith(

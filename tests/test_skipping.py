@@ -129,6 +129,29 @@ class TestStaleness:
         got = skipping.read_skipping(spark, path, preds)
         assert [r.id for r in got.collect()] == ["id0"]
 
+    def test_logged_append_does_not_invalidate_stats(self, spark, tmp_path):
+        """warehouse.append logs a partitions=None commit for
+        read_changed consumers, but an append only ADDS files — zone
+        maps on existing files stay valid, and the new file is read via
+        the unknown-file net (no full-scan fallback)."""
+        path = str(tmp_path / "t")
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", 1, t0), ("b", 2, t0)],
+            "id string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, df, ["id"])
+        skipping.compute_stats(spark, path, ["score"])
+        extra = spark.createDataFrame(
+            [("c", 900, dt.datetime(2024, 1, 2))],
+            "id string, score int, scanned_at timestamp")
+        warehouse.append(extra, path)
+        preds = [("score", ">=", 500)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["fallback"] is None
+        assert plan["unknown"], "appended file must be unknown-read"
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.id for r in got.collect()] == ["c"]
+
     def test_full_rewrite_falls_back_to_plain_scan(self, spark, tmp_path):
         path = str(tmp_path / "t")
         t0 = dt.datetime(2024, 1, 1)
