@@ -166,6 +166,30 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 1 if run.errors else 0
 
 
+def _parse_preds(specs: list[str] | None) -> list[tuple]:
+    """``col,op,value`` triples from repeated --pred flags; values try
+    int, then float, then stay strings (dates as ISO strings compare
+    correctly against the stored zone-map bounds)."""
+    out = []
+    for spec in specs or []:
+        col, op, raw = spec.split(",", 2)
+        if op == "between":
+            lo, hi = raw.split(",", 1)
+            out.append((col, op, (_parse_scalar(lo), _parse_scalar(hi))))
+        else:
+            out.append((col, op, _parse_scalar(raw)))
+    return out
+
+
+def _parse_scalar(raw: str):
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    return raw
+
+
 def cmd_maintenance(args: argparse.Namespace) -> int:
     """Warehouse maintenance verbs over the library operators: small-file
     compaction, versioned-table history/vacuum, Z-order rewrite."""
@@ -179,13 +203,37 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         removed = versioned.vacuum(args.path, keep_last=args.keep_last)
         print(f"vacuumed versions: {removed or 'none'}")
         return 0
+    if args.maint_cmd == "skip-plan":
+        from corkscrew_spark import skipping
+
+        plan = skipping.plan_skip(args.path, _parse_preds(args.pred))
+        if plan["fallback"]:
+            print(f"full scan: {plan['fallback']}")
+            return 0
+        print(f"kept {len(plan['kept'])} files "
+              f"(stale {len(plan['stale'])}, unknown {len(plan['unknown'])}), "
+              f"pruned {len(plan['pruned'])}")
+        return 0
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.maint_cmd == "stats":
+        from corkscrew_spark import skipping
+
+        if not args.cols:
+            print("error: --cols a,b is required for stats", file=sys.stderr)
+            return 2
+        stats = skipping.compute_stats(spark, args.path,
+                                       args.cols.split(","))
+        print(f"zone maps for {len(stats['files'])} files "
+              f"on {stats['cols']} -> {args.path}/_column_stats.json")
+        return 0
     if args.maint_cmd == "compact":
         parts = args.partition_by.split(",") if args.partition_by else None
         before, after = warehouse.compact_table(
             spark, args.path, partition_cols=parts,
-            target_file_bytes=args.target_mb * 1024 * 1024)
+            target_file_bytes=args.target_mb * 1024 * 1024,
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+            stats_cols=args.cols.split(",") if args.cols else None)
         print(f"compacted {args.path}: {before} -> {after} files")
         return 0
     if args.maint_cmd == "zorder":
@@ -870,15 +918,24 @@ def main(argv: list[str] | None = None) -> int:
     dg.add_argument("--limit", type=int, default=50)
     dg.set_defaults(fn=cmd_diagram)
 
-    mt = sub.add_parser("maintenance",
-                        help="warehouse maintenance (compact/vacuum/zorder/history)")
-    mt.add_argument("maint_cmd", choices=["compact", "vacuum", "zorder", "history"])
+    mt = sub.add_parser(
+        "maintenance",
+        help="warehouse maintenance "
+             "(compact/vacuum/zorder/history/stats/skip-plan)")
+    mt.add_argument("maint_cmd", choices=["compact", "vacuum", "zorder",
+                                          "history", "stats", "skip-plan"])
     mt.add_argument("path", help="table directory")
     mt.add_argument("--partition-by", help="hive partition columns (compact)")
     mt.add_argument("--target-mb", type=int, default=128)
     mt.add_argument("--keep-last", type=int, default=2)
     mt.add_argument("--by", help="xcol,ycol for zorder")
     mt.add_argument("--out", help="output path for zorder (default <path>.zorder)")
+    mt.add_argument("--sort-by", help="linear clustering columns (compact)")
+    mt.add_argument("--cols", help="zone-map columns (stats; compact --cols "
+                                   "recomputes them after the rewrite)")
+    mt.add_argument("--pred", action="append",
+                    help="col,op,value predicate for skip-plan (repeatable; "
+                         "op: < <= > >= = between is_null)")
     mt.set_defaults(fn=cmd_maintenance)
 
 

@@ -340,6 +340,26 @@ class TestMaintenanceVerb:
         assert "v3" in capsys.readouterr().out
         assert cli.main(["maintenance", "vacuum", vt, "--keep-last", "1"]) == 0
 
+    def test_stats_then_skip_plan(self, spark, tmp_path, capsys):
+        from corkscrew_spark import cli
+
+        tbl = str(tmp_path / "t")
+        spark.range(400).toDF("k").repartitionByRange(
+            4, "k").write.parquet(tbl)
+        assert cli.main(["maintenance", "stats", tbl, "--cols", "k"]) == 0
+        assert "zone maps for 4 files" in capsys.readouterr().out
+        assert cli.main(["maintenance", "skip-plan", tbl,
+                         "--pred", "k,>=,350"]) == 0
+        out = capsys.readouterr().out
+        assert "kept 1 files" in out and "pruned 3" in out
+        # compact with clustering + stats refresh in one call
+        assert cli.main(["maintenance", "compact", tbl, "--target-mb", "64",
+                         "--sort-by", "k", "--cols", "k"]) == 0
+        capsys.readouterr()
+        assert cli.main(["maintenance", "skip-plan", tbl,
+                         "--pred", "k,between,100,199"]) == 0
+        assert "full scan" not in capsys.readouterr().out
+
     def test_zorder_requires_by(self, tmp_path, capsys, spark):
         from corkscrew_spark import cli
         tbl = str(tmp_path / "z")
