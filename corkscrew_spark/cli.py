@@ -206,13 +206,17 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
     if args.maint_cmd == "skip-plan":
         from corkscrew_spark import skipping
 
-        plan = skipping.plan_skip(args.path, _parse_preds(args.pred))
+        preds = _parse_preds(args.pred)
+        plan = skipping.plan_skip(args.path, preds)
         if plan["fallback"]:
             print(f"full scan: {plan['fallback']}")
             return 0
+        est = skipping.estimate_scan(args.path, preds)
         print(f"kept {len(plan['kept'])} files "
               f"(stale {len(plan['stale'])}, unknown {len(plan['unknown'])}), "
-              f"pruned {len(plan['pruned'])}")
+              f"pruned {len(plan['pruned'])}; "
+              f"{est['bytes_kept']:,} of {est['bytes_total']:,} bytes, "
+              f"{est['rows_known_kept']:,} known rows")
         return 0
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")

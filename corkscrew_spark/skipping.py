@@ -247,6 +247,36 @@ def plan_skip(path: str, predicates: list[tuple],
             "unknown": unknown, "fallback": None}
 
 
+def estimate_scan(path: str, predicates: list[tuple],
+                  stats: dict | None = None) -> dict:
+    """Metadata-only scan-cost estimate for a predicate: how many
+    files/bytes the pruned read will open vs the whole table, and the
+    known row count behind the kept files (stale/unknown files have no
+    trustworthy stats row count). The admission-control half of data
+    skipping: a scheduler can refuse or re-cluster a query that would
+    open 95% of a 100 TB table."""
+    stats = stats if stats is not None else load_stats(path)
+    plan = plan_skip(path, predicates, stats=stats)
+    all_files = _list_data_files(path)
+    bytes_total = sum(
+        os.path.getsize(os.path.join(path, rel)) for rel in all_files)
+    if plan["fallback"] is not None:
+        return {"files_total": len(all_files), "files_kept": len(all_files),
+                "bytes_total": bytes_total, "bytes_kept": bytes_total,
+                "rows_known_kept": None, "fallback": plan["fallback"]}
+    fresh = set(plan["kept"]) - set(plan["stale"]) - set(plan["unknown"])
+    return {
+        "files_total": len(all_files),
+        "files_kept": len(plan["kept"]),
+        "bytes_total": bytes_total,
+        "bytes_kept": sum(os.path.getsize(os.path.join(path, rel))
+                          for rel in plan["kept"]),
+        "rows_known_kept": sum(stats["files"][rel]["rows"]
+                               for rel in fresh),
+        "fallback": None,
+    }
+
+
 def read_skipping(spark: SparkSession, path: str,
                   predicates: list[tuple],
                   stats: dict | None = None) -> DataFrame:

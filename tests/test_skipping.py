@@ -226,6 +226,93 @@ class TestLayoutHooks:
             assert got.count() == 512, preds
 
 
+class TestEstimate:
+    def test_estimate_matches_plan_and_bytes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        est = skipping.estimate_scan(path, [("k", ">=", 700)])
+        assert est["fallback"] is None
+        assert est["files_total"] == 8
+        assert est["files_kept"] <= 2
+        assert 0 < est["bytes_kept"] < est["bytes_total"]
+        assert est["rows_known_kept"] >= 100  # the matching k-range
+
+    def test_estimate_fallback_is_full_table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=3)
+        est = skipping.estimate_scan(path, [("k", "<", 5)])
+        assert est["fallback"] == "no stats file"
+        assert est["files_kept"] == est["files_total"] == 3
+
+
+def _row_matches(v, preds) -> bool:
+    """SQL three-valued truth of the AND-predicate on one value: NULL
+    never satisfies a comparison; is_null matches exactly NULL."""
+    for _col, op, arg in preds:
+        if op == "is_null":
+            if v is not None:
+                return False
+        elif v is None:
+            return False
+        elif op == "between":
+            if not (arg[0] <= v <= arg[1]):
+                return False
+        elif not {"<": v < arg, "<=": v <= arg, ">": v > arg,
+                  ">=": v >= arg, "=": v == arg}[op]:
+            return False
+    return True
+
+
+def _rec_for(rows) -> dict:
+    present = [v for v in rows if v is not None]
+    return {"rows": len(rows), "stats": {"v": [
+        min(present) if present else None,
+        max(present) if present else None,
+        sum(1 for v in rows if v is None)]}}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _VALS = st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                     min_size=1, max_size=10)
+
+    def _one_pred(draw_op, a, b):
+        if draw_op == "between":
+            return ("v", "between", (min(a, b), max(a, b)))
+        return ("v", draw_op, a)
+
+    _PREDS = st.lists(
+        st.builds(_one_pred,
+                  st.sampled_from(["<", "<=", ">", ">=", "=",
+                                   "between", "is_null"]),
+                  st.integers(-60, 60), st.integers(-60, 60)),
+        min_size=1, max_size=3)
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows=_VALS, preds=_PREDS)
+    def test_never_prunes_a_matching_file(rows, preds):
+        """The safety property zone maps must satisfy: a file containing
+        ANY row that matches the AND-predicate must never be pruned.
+        (False keeps cost I/O; a false prune would lose rows.)"""
+        if any(_row_matches(v, preds) for v in rows):
+            assert skipping._file_may_match(_rec_for(rows), preds)
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows=_VALS, preds=_PREDS)
+    def test_pruning_is_exact_on_singleton_files(rows, preds):
+        """With one row per file the zone map IS the row, so pruning
+        must be exact, not merely safe — keeps the bounds math honest
+        (e.g. off-by-one in the open/closed comparisons)."""
+        for v in rows:
+            assert skipping._file_may_match(_rec_for([v]), preds) \
+                == _row_matches(v, preds)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 class TestPlanShape:
     def test_pruned_read_scans_only_kept_files(self, spark, tmp_path):
         """The physical plan's scan must list only the kept files —
