@@ -87,8 +87,21 @@ def compute_stats(spark: SparkSession, path: str,
     means only ``cols`` are decoded. The JSON goes through a tmp file +
     ``os.replace`` so readers never see a torn stats file. Returns the
     stats dict that was written."""
-    df = spark.read.parquet(path).select(
-        F.input_file_name().alias("__file"), *cols)
+    files = _per_file_stats(path, spark.read.parquet(path), cols)
+    _fill_empty_files(files, _list_data_files(path), cols)
+    stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
+    tmp = _stats_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, _stats_path(path))  # atomic on POSIX
+    return stats
+
+
+def _per_file_stats(path: str, df: DataFrame,
+                    cols: list[str]) -> dict[str, dict]:
+    """min/max/null-count/rows per data file of ``df`` — one row per
+    file after map-side partial aggregation (metadata-sized result)."""
+    df = df.select(F.input_file_name().alias("__file"), *cols)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
@@ -96,7 +109,7 @@ def compute_stats(spark: SparkSession, path: str,
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
         ]
-    rows = df.groupBy("__file").agg(*aggs).collect()  # one row per file
+    rows = df.groupBy("__file").agg(*aggs).collect()
     files: dict[str, dict] = {}
     for r in rows:
         rec = {"rows": r["__rows"], "stats": {}}
@@ -105,12 +118,57 @@ def compute_stats(spark: SparkSession, path: str,
                                _norm(r[f"__max_{c}"]),
                                int(r[f"__nulls_{c}"] or 0)]
         files[_file_rel(path, r["__file"])] = rec
-    stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
+    return files
+
+
+def _fill_empty_files(files: dict, expected: list[str],
+                      cols: list[str]) -> None:
+    """Zero-row part files never surface in the input_file_name
+    aggregation (no rows to group); give them explicit empty records so
+    they don't stay perpetually 'unknown'. An empty file matches no
+    predicate, so pruning it is exact: all-NULL bounds prune every
+    comparison and a 0 null count prunes is_null."""
+    for rel in expected:
+        if rel not in files:
+            files[rel] = {"rows": 0,
+                          "stats": {c: [None, None, 0] for c in cols}}
+
+
+def refresh_stats(spark: SparkSession, path: str) -> dict:
+    """Incremental zone-map maintenance: recompute statistics ONLY for
+    files the snapshot doesn't cover — appended (unknown) files and
+    files under partitions invalidated by scoped merges — and drop
+    entries for files gone from disk. Cost is O(delta), not O(table):
+    the steady-state upkeep for a continuously-ingested table, where
+    ``compute_stats`` is the one-off bootstrap. Falls back to a full
+    recompute after a full-rewrite commit (everything changed anyway).
+    Returns the refreshed stats dict."""
+    stats = load_stats(path)
+    if stats is None:
+        raise FileNotFoundError(
+            f"{path}/{_STATS_FILE} missing — run compute_stats first")
+    cols = stats["cols"]
+    changed = _invalidated_since(path, stats["ts_ns"])
+    if changed is None:
+        return compute_stats(spark, path, cols)
+    stale_pfx = tuple(r + "/" for r in changed)
+    current = _list_data_files(path)
+    todo = [rel for rel in current
+            if rel not in stats["files"]
+            or (stale_pfx and rel.startswith(stale_pfx))]
+    files = {rel: rec for rel, rec in stats["files"].items()
+             if rel in set(current)}
+    if todo:
+        sub = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, rel) for rel in todo])
+        files.update(_per_file_stats(path, sub, cols))
+        _fill_empty_files(files, todo, cols)
+    out = {"ts_ns": time.time_ns(), "cols": cols, "files": files}
     tmp = _stats_path(path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(stats, fh)
-    os.replace(tmp, _stats_path(path))  # atomic on POSIX
-    return stats
+        json.dump(out, fh)
+    os.replace(tmp, _stats_path(path))
+    return out
 
 
 def load_stats(path: str) -> dict | None:

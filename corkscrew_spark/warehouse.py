@@ -109,9 +109,15 @@ def _log_commit(path: str, op: str, partitions: list[str] | None) -> None:
 
 
 def _carry_commit_log(old_dir: str, new_dir: str) -> None:
-    src_log = os.path.join(old_dir, _COMMIT_LOG)
-    if os.path.exists(src_log):
-        os.rename(src_log, os.path.join(new_dir, _COMMIT_LOG))
+    """Carry table-level metadata files across a directory swap: the
+    commit log (so incremental consumers keep their history) and the
+    zone-map stats file (the rewrite's partitions=None commit marks it
+    stale; skipping.refresh_stats then recomputes — a table that opted
+    into data skipping stays opted in across maintenance rewrites)."""
+    for name in (_COMMIT_LOG, "_column_stats.json"):
+        src = os.path.join(old_dir, name)
+        if os.path.exists(src):
+            os.rename(src, os.path.join(new_dir, name))
 
 
 def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
@@ -660,6 +666,12 @@ def compact_table(spark: SparkSession, path: str,
     # rescan regardless — starting a fresh log with just the compact
     # record is semantically lossless AND bounds log growth through
     # routine maintenance.
+    # carry the (now-stale) zone maps — the fresh log's compact commit
+    # routes skipping straight to fallback/recompute, but the table
+    # stays opted into data skipping without an operator re-bootstrap
+    old_stats = os.path.join(old, "_column_stats.json")
+    if os.path.exists(old_stats):
+        os.rename(old_stats, os.path.join(path, "_column_stats.json"))
     shutil.rmtree(old)
     _log_commit(path, "compact", None)
     if stats_cols:

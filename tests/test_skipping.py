@@ -226,6 +226,92 @@ class TestLayoutHooks:
             assert got.count() == 512, preds
 
 
+class TestRefresh:
+    def test_refresh_touches_only_delta_files(self, spark, tmp_path):
+        """Untouched files' entries must be carried over verbatim, not
+        recomputed — proven by tampering one stored bound and watching
+        it survive the refresh."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=4)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        spark.createDataFrame(
+            [(9999, 0, dt.date(2024, 3, 1))], "k long, v long, day date"
+        ).write.mode("append").parquet(path)
+        victim = sorted(stats["files"])[0]
+        stats["files"][victim]["stats"]["k"][0] = -777  # tamper marker
+        import json as _json
+        with open(path + "/_column_stats.json", "w") as fh:
+            _json.dump(stats, fh)
+        refreshed = skipping.refresh_stats(spark, path)
+        assert refreshed["files"][victim]["stats"]["k"][0] == -777
+        # every appended part file (incl. zero-row parts) gained stats
+        assert len(refreshed["files"]) >= 5
+        plan = skipping.plan_skip(path, [("k", "=", 9999)])
+        assert not plan["unknown"] and len(plan["kept"]) == 1
+
+    def test_refresh_recomputes_stale_partition_and_clears_it(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(f"id{i}", f"r{i % 2}", i, t0) for i in range(20)],
+            "id string, region string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, df, ["id"],
+                               partition_cols=["region"])
+        skipping.compute_stats(spark, path, ["score"])
+        upd = spark.createDataFrame(
+            [("id0", "r0", 999, dt.datetime(2024, 1, 2))],
+            "id string, region string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, upd, ["id"],
+                               partition_cols=["region"])
+        refreshed = skipping.refresh_stats(spark, path)
+        preds = [("score", ">=", 500)]
+        plan = skipping.plan_skip(path, preds, stats=refreshed)
+        assert plan["fallback"] is None and not plan["stale"]
+        assert plan["pruned"], "r1's files prune on the fresh bounds"
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.id for r in got.collect()] == ["id0"]
+
+    def test_refresh_drops_deleted_partitions(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") < 50, "2024-01-01")
+            .otherwise("2024-02-01").alias("day"))
+        warehouse.write_partitioned(df, path, ["day"])
+        skipping.compute_stats(spark, path, ["k"])
+        # write_partitioned doesn't log; seed the log so the drop's
+        # commit is the only entry after the stats snapshot
+        warehouse.retention_drop_partitions(path, "day", "2024-02-01")
+        refreshed = skipping.refresh_stats(spark, path)
+        assert all(not rel.startswith("day=2024-01-01/")
+                   for rel in refreshed["files"])
+        assert skipping.read_skipping(
+            spark, path, [("k", "<", 200)]).count() == 50
+
+    def test_refresh_after_full_rewrite_recomputes_all(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("a", 1, t0), ("b", 2, t0)],
+            "id string, score int, scanned_at timestamp")
+        warehouse.merge_upsert(spark, path, df, ["id"])
+        skipping.compute_stats(spark, path, ["score"])
+        warehouse.merge_upsert(
+            spark, path,
+            spark.createDataFrame(
+                [("c", 900, dt.datetime(2024, 1, 2))],
+                "id string, score int, scanned_at timestamp"),
+            ["id"])
+        refreshed = skipping.refresh_stats(spark, path)
+        plan = skipping.plan_skip(path, [("score", ">=", 500)],
+                                  stats=refreshed)
+        assert plan["fallback"] is None
+        got = skipping.read_skipping(spark, path, [("score", ">=", 500)])
+        assert [r.id for r in got.collect()] == ["c"]
+
+
 class TestEstimate:
     def test_estimate_matches_plan_and_bytes(self, spark, tmp_path):
         path = str(tmp_path / "t")
