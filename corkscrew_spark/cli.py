@@ -223,11 +223,15 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
     if args.maint_cmd == "stats":
         from corkscrew_spark import skipping
 
-        if not args.cols:
-            print("error: --cols a,b is required for stats", file=sys.stderr)
+        if args.refresh:
+            stats = skipping.refresh_stats(spark, args.path)
+        elif args.cols:
+            stats = skipping.compute_stats(spark, args.path,
+                                           args.cols.split(","))
+        else:
+            print("error: --cols a,b (bootstrap) or --refresh is required",
+                  file=sys.stderr)
             return 2
-        stats = skipping.compute_stats(spark, args.path,
-                                       args.cols.split(","))
         print(f"zone maps for {len(stats['files'])} files "
               f"on {stats['cols']} -> {args.path}/_column_stats.json")
         return 0
@@ -940,6 +944,9 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--pred", action="append",
                     help="col,op,value predicate for skip-plan (repeatable; "
                          "op: < <= > >= = between is_null)")
+    mt.add_argument("--refresh", action="store_true",
+                    help="incremental stats upkeep: recompute only "
+                         "new/invalidated files (stats)")
     mt.set_defaults(fn=cmd_maintenance)
 
 

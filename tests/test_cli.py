@@ -352,6 +352,11 @@ class TestMaintenanceVerb:
                          "--pred", "k,>=,350"]) == 0
         out = capsys.readouterr().out
         assert "kept 1 files" in out and "pruned 3" in out
+        # appends then incremental refresh
+        spark.createDataFrame([(999,)], "k long").write.mode(
+            "append").parquet(tbl)
+        assert cli.main(["maintenance", "stats", tbl, "--refresh"]) == 0
+        assert "zone maps for" in capsys.readouterr().out
         # compact with clustering + stats refresh in one call
         assert cli.main(["maintenance", "compact", tbl, "--target-mb", "64",
                          "--sort-by", "k", "--cols", "k"]) == 0
