@@ -172,12 +172,16 @@ def _parse_preds(specs: list[str] | None) -> list[tuple]:
     correctly against the stored zone-map bounds)."""
     out = []
     for spec in specs or []:
-        col, op, raw = spec.split(",", 2)
-        if op == "between":
-            lo, hi = raw.split(",", 1)
+        col, op, *rest = spec.split(",", 2)
+        if op == "is_null":
+            out.append((col, op, None))
+        elif not rest:
+            raise SystemExit(f"error: --pred {spec!r} is missing a value")
+        elif op == "between":
+            lo, hi = rest[0].split(",", 1)
             out.append((col, op, (_parse_scalar(lo), _parse_scalar(hi))))
         else:
-            out.append((col, op, _parse_scalar(raw)))
+            out.append((col, op, _parse_scalar(rest[0])))
     return out
 
 
@@ -207,11 +211,13 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         from corkscrew_spark import skipping
 
         preds = _parse_preds(args.pred)
-        plan = skipping.plan_skip(args.path, preds)
+        stats = skipping.load_stats(args.path)
+        plan = skipping.plan_skip(args.path, preds, stats=stats)
         if plan["fallback"]:
             print(f"full scan: {plan['fallback']}")
             return 0
-        est = skipping.estimate_scan(args.path, preds)
+        est = skipping.estimate_scan(args.path, preds, stats=stats,
+                                     plan=plan)
         print(f"kept {len(plan['kept'])} files "
               f"(stale {len(plan['stale'])}, unknown {len(plan['unknown'])}), "
               f"pruned {len(plan['pruned'])}; "

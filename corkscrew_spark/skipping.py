@@ -19,7 +19,11 @@ Correctness never depends on the statistics:
   ``_commits.jsonl``, see ``warehouse._log_commit``) are always read,
   and a full-rewrite commit drops back to a plain scan;
 * an all-null file is skipped for comparison predicates (SQL
-  comparisons never match NULL) but kept for ``is_null``.
+  comparisons never match NULL) but kept for ``is_null``;
+* edge values never prune on a guess: NaN bounds keep the file (Spark
+  orders NaN largest, Python won't compare it), Decimal bounds widen
+  outward by one float ulp, and date/datetime/ISO-string comparisons
+  all coerce to datetime (matching Spark's date→timestamp promotion).
 
 Reference parity: the reference delegates scans to DuckDB, whose
 parquet reader prunes row groups via zone maps automatically
@@ -35,6 +39,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import json
+import math
 import os
 import time
 import urllib.parse
@@ -42,8 +47,7 @@ import urllib.parse
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_STATS_FILE = "_column_stats.json"
-_COMMIT_LOG = "_commits.jsonl"
+from .warehouse import _COMMIT_LOG, _STATS_FILE
 
 #: Supported predicate operators, AND-combined: ``(col, op, value)``;
 #: ``between`` takes ``value=(lo, hi)`` inclusive; ``is_null`` ignores
@@ -62,6 +66,51 @@ def _norm(v):
     if isinstance(v, _decimal.Decimal):
         return float(v)
     return v
+
+
+def _enc_bound(v, direction: int):
+    """Encode a file's min (direction=-1) or max (+1) bound. Decimals
+    widen OUTWARD by one float ulp: float() rounds to nearest, and a
+    max rounded down (or min rounded up) would let a matching row's
+    file be pruned — the bound must always contain the true value."""
+    if isinstance(v, _decimal.Decimal):
+        return math.nextafter(float(v), -math.inf if direction < 0
+                              else math.inf)
+    return _norm(v)
+
+
+def _is_nan(x) -> bool:
+    return isinstance(x, float) and x != x
+
+
+def _cmp_key(x):
+    """Comparison-domain coercion: ISO-looking strings (the stored
+    encoding of dates AND timestamps) and date/datetime values all
+    become datetimes, so date-typed stats compare correctly against
+    datetime predicates and vice versa — Spark promotes date to
+    timestamp-at-midnight in real filters, and lexicographic
+    'YYYY-MM-DD' vs 'YYYY-MM-DD HH:MM:SS' does NOT reproduce that."""
+    if isinstance(x, str):
+        try:
+            return _dt.datetime.fromisoformat(x)
+        except ValueError:
+            return x
+    if isinstance(x, _dt.datetime):
+        return x
+    if isinstance(x, _dt.date):
+        return _dt.datetime(x.year, x.month, x.day)
+    return x
+
+
+def _widen(value) -> tuple:
+    """Predicate value -> (lo, hi) comparison keys. Decimals widen one
+    float ulp each way (their float image is inexact); everything else
+    is an exact point. Callers pick the conservative side per op."""
+    if isinstance(value, _decimal.Decimal):
+        f = float(value)
+        return (math.nextafter(f, -math.inf), math.nextafter(f, math.inf))
+    v = _cmp_key(_norm(value))
+    return v, v
 
 
 def _stats_path(path: str) -> str:
@@ -87,13 +136,14 @@ def compute_stats(spark: SparkSession, path: str,
     means only ``cols`` are decoded. The JSON goes through a tmp file +
     ``os.replace`` so readers never see a torn stats file. Returns the
     stats dict that was written."""
+    # List BEFORE the scan: a file appended mid-pass must stay out of
+    # the snapshot (and be caught later as unknown), not be given a
+    # fabricated empty record that would prune its rows forever.
+    expected = _list_data_files(path)
     files = _per_file_stats(path, spark.read.parquet(path), cols)
-    _fill_empty_files(files, _list_data_files(path), cols)
+    _fill_empty_files(files, expected, cols)
     stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
-    tmp = _stats_path(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(stats, fh)
-    os.replace(tmp, _stats_path(path))  # atomic on POSIX
+    _write_stats(path, stats)
     return stats
 
 
@@ -114,8 +164,8 @@ def _per_file_stats(path: str, df: DataFrame,
     for r in rows:
         rec = {"rows": r["__rows"], "stats": {}}
         for c in cols:
-            rec["stats"][c] = [_norm(r[f"__min_{c}"]),
-                               _norm(r[f"__max_{c}"]),
+            rec["stats"][c] = [_enc_bound(r[f"__min_{c}"], -1),
+                               _enc_bound(r[f"__max_{c}"], +1),
                                int(r[f"__nulls_{c}"] or 0)]
         files[_file_rel(path, r["__file"])] = rec
     return files
@@ -153,22 +203,27 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
         return compute_stats(spark, path, cols)
     stale_pfx = tuple(r + "/" for r in changed)
     current = _list_data_files(path)
+    current_set = set(current)
     todo = [rel for rel in current
             if rel not in stats["files"]
             or (stale_pfx and rel.startswith(stale_pfx))]
     files = {rel: rec for rel, rec in stats["files"].items()
-             if rel in set(current)}
+             if rel in current_set}
     if todo:
         sub = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, rel) for rel in todo])
         files.update(_per_file_stats(path, sub, cols))
         _fill_empty_files(files, todo, cols)
     out = {"ts_ns": time.time_ns(), "cols": cols, "files": files}
+    _write_stats(path, out)
+    return out
+
+
+def _write_stats(path: str, stats: dict) -> None:
     tmp = _stats_path(path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    os.replace(tmp, _stats_path(path))
-    return out
+        json.dump(stats, fh)
+    os.replace(tmp, _stats_path(path))  # atomic on POSIX
 
 
 def load_stats(path: str) -> dict | None:
@@ -194,18 +249,26 @@ def _file_may_match(rec: dict, predicates: list[tuple]) -> bool:
             continue
         if mn is None and mx is None:
             return False  # all-NULL file: comparisons never match
+        mnk, mxk = _cmp_key(mn), _cmp_key(mx)
         try:
             if op == "between":
-                lo, hi = _norm(value[0]), _norm(value[1])
-                if mx < lo or mn > hi:
+                lo, _ = _widen(value[0])
+                _, hi = _widen(value[1])
+                if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
+                    continue  # Spark orders NaN largest; don't guess
+                if mxk < lo or mnk > hi:
                     return False
             else:
-                v = _norm(value)
-                if ((op == "=" and not (mn <= v <= mx))
-                        or (op == "<" and not (mn < v))
-                        or (op == "<=" and not (mn <= v))
-                        or (op == ">" and not (mx > v))
-                        or (op == ">=" and not (mx >= v))):
+                v_lo, v_hi = _widen(value)
+                if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
+                    continue  # Spark orders NaN largest; don't guess
+                # bounds/values that went through widening are
+                # intervals: compare against the side that KEEPS more
+                if ((op == "=" and not (mnk <= v_hi and v_lo <= mxk))
+                        or (op == "<" and not (mnk < v_hi))
+                        or (op == "<=" and not (mnk <= v_hi))
+                        or (op == ">" and not (mxk > v_lo))
+                        or (op == ">=" and not (mxk >= v_lo))):
                     return False
         except TypeError:
             continue  # incomparable types: never prune on a guess
@@ -285,11 +348,10 @@ def plan_skip(path: str, predicates: list[tuple],
     if changed is None:
         return {"kept": None, "pruned": [], "stale": [], "unknown": [],
                 "fallback": "full rewrite since stats snapshot"}
-    stale_rels = tuple(changed)
+    stale_pfx = tuple(r + "/" for r in changed)
     kept, pruned, stale, unknown = [], [], [], []
     for rel in _list_data_files(path):
-        if stale_rels and rel.startswith(
-                tuple(r + "/" for r in stale_rels)):
+        if stale_pfx and rel.startswith(stale_pfx):
             stale.append(rel)
             kept.append(rel)
             continue
@@ -306,15 +368,18 @@ def plan_skip(path: str, predicates: list[tuple],
 
 
 def estimate_scan(path: str, predicates: list[tuple],
-                  stats: dict | None = None) -> dict:
+                  stats: dict | None = None,
+                  plan: dict | None = None) -> dict:
     """Metadata-only scan-cost estimate for a predicate: how many
     files/bytes the pruned read will open vs the whole table, and the
     known row count behind the kept files (stale/unknown files have no
     trustworthy stats row count). The admission-control half of data
     skipping: a scheduler can refuse or re-cluster a query that would
-    open 95% of a 100 TB table."""
+    open 95% of a 100 TB table. Pass ``stats``/``plan`` from an earlier
+    call to avoid re-parsing and re-walking."""
     stats = stats if stats is not None else load_stats(path)
-    plan = plan_skip(path, predicates, stats=stats)
+    plan = plan if plan is not None else plan_skip(
+        path, predicates, stats=stats)
     all_files = _list_data_files(path)
     bytes_total = sum(
         os.path.getsize(os.path.join(path, rel)) for rel in all_files)

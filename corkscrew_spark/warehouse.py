@@ -90,6 +90,9 @@ def _locked_writer(fn):
 
 
 _COMMIT_LOG = "_commits.jsonl"
+#: zone-map stats file maintained by skipping.py; named here so the
+#: swap/compaction carry logic and skipping share one constant
+_STATS_FILE = "_column_stats.json"
 
 
 def _log_commit(path: str, op: str, partitions: list[str] | None) -> None:
@@ -114,7 +117,7 @@ def _carry_commit_log(old_dir: str, new_dir: str) -> None:
     zone-map stats file (the rewrite's partitions=None commit marks it
     stale; skipping.refresh_stats then recomputes — a table that opted
     into data skipping stays opted in across maintenance rewrites)."""
-    for name in (_COMMIT_LOG, "_column_stats.json"):
+    for name in (_COMMIT_LOG, _STATS_FILE):
         src = os.path.join(old_dir, name)
         if os.path.exists(src):
             os.rename(src, os.path.join(new_dir, name))
@@ -669,9 +672,9 @@ def compact_table(spark: SparkSession, path: str,
     # carry the (now-stale) zone maps — the fresh log's compact commit
     # routes skipping straight to fallback/recompute, but the table
     # stays opted into data skipping without an operator re-bootstrap
-    old_stats = os.path.join(old, "_column_stats.json")
+    old_stats = os.path.join(old, _STATS_FILE)
     if os.path.exists(old_stats):
-        os.rename(old_stats, os.path.join(path, "_column_stats.json"))
+        os.rename(old_stats, os.path.join(path, _STATS_FILE))
     shutil.rmtree(old)
     _log_commit(path, "compact", None)
     if stats_cols:

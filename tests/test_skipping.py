@@ -226,6 +226,87 @@ class TestLayoutHooks:
             assert got.count() == 512, preds
 
 
+class TestEdgeValues:
+    def test_nan_bounds_never_prune(self, spark, tmp_path):
+        """Spark orders NaN larger than any double; Python NaN
+        comparisons are all False — a NaN bound must keep the file,
+        or read_skipping silently drops the NaN rows a plain scan
+        returns."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan"))], "k int, v double"
+        ).coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(3, 2.0), (4, 3.0)], "k int, v double"
+        ).coalesce(1).write.mode("append").parquet(path)
+        skipping.compute_stats(spark, path, ["v"])
+        preds = [("v", ">", 5.0)]
+        got = skipping.read_skipping(spark, path, preds)
+        full = _full_scan(spark, path, preds)
+        # repr-compare: tuple equality would fail on nan != nan
+        assert ([repr(tuple(r)) for r in got.orderBy("k").collect()]
+                == [repr(tuple(r)) for r in full.orderBy("k").collect()])
+        assert got.count() == 1  # the NaN row matches v > 5 in Spark
+
+    def test_datetime_predicate_on_date_column(self, spark, tmp_path):
+        """Stored date bounds are 'YYYY-MM-DD'; a datetime predicate
+        must compare in the temporal domain (Spark promotes the date to
+        midnight), not lexicographically — '2024-01-07' >=
+        '2024-01-07 00:00:00' is False as strings."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["day"])
+        preds = [("day", ">=", dt.datetime(2024, 1, 7, 0, 0, 0))]
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        assert got.count() == 200  # Jan 7 and Jan 8 rows survive
+
+    def test_date_predicate_on_timestamp_column(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1 + i, 0, 0, 0)) for i in range(6)],
+            "k int, ts timestamp"
+        ).repartitionByRange(3, "ts").write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        preds = [("ts", "<=", dt.date(2024, 1, 5))]
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        assert got.count() == 5  # midnight rows through Jan 5 inclusive
+
+    def test_decimal_bounds_widen_outward(self, spark, tmp_path):
+        """float() rounds Decimals to nearest; a max rounded DOWN would
+        prune the file holding the true (slightly larger) value. The
+        17-digit decimals here are exactly the values float can't
+        represent."""
+        import decimal as _dec
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, _dec.Decimal("10000000000000000.3"))],
+            "k int, d decimal(38,1)").coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(2, _dec.Decimal("5.0"))],
+            "k int, d decimal(38,1)").coalesce(1).write.mode(
+            "append").parquet(path)
+        skipping.compute_stats(spark, path, ["d"])
+        preds = [("d", ">", _dec.Decimal("10000000000000000.1"))]
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        assert got.count() == 1
+
+    def test_cli_is_null_pred_parses(self, spark, tmp_path, capsys):
+        from corkscrew_spark import cli
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame([(1, None), (2, 5)], "k int, v int"
+                              ).write.parquet(path)
+        assert cli.main(["maintenance", "stats", path, "--cols", "v"]) == 0
+        capsys.readouterr()
+        assert cli.main(["maintenance", "skip-plan", path,
+                         "--pred", "v,is_null"]) == 0
+        assert "kept" in capsys.readouterr().out
+
+
 class TestRefresh:
     def test_refresh_touches_only_delta_files(self, spark, tmp_path):
         """Untouched files' entries must be carried over verbatim, not
