@@ -232,8 +232,10 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         if args.refresh:
             stats = skipping.refresh_stats(spark, args.path)
         elif args.cols:
-            stats = skipping.compute_stats(spark, args.path,
-                                           args.cols.split(","))
+            stats = skipping.compute_stats(
+                spark, args.path, args.cols.split(","),
+                bloom_cols=(args.bloom_cols.split(",")
+                            if args.bloom_cols else None))
         else:
             print("error: --cols a,b (bootstrap) or --refresh is required",
                   file=sys.stderr)
@@ -953,6 +955,10 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--refresh", action="store_true",
                     help="incremental stats upkeep: recompute only "
                          "new/invalidated files (stats)")
+    mt.add_argument("--bloom-cols",
+                    help="also build per-file Bloom filters for these "
+                         "columns — equality-probe pruning on "
+                         "high-cardinality ids (stats)")
     mt.set_defaults(fn=cmd_maintenance)
 
 

@@ -36,6 +36,7 @@ Iceberg manifest column bounds).
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import decimal as _decimal
 import json
@@ -43,6 +44,7 @@ import math
 import os
 import time
 import urllib.parse
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,31 +129,83 @@ def _file_rel(path: str, uri: str) -> str:
 
 
 def compute_stats(spark: SparkSession, path: str,
-                  cols: list[str]) -> dict:
-    """One distributed pass recording per-file zone maps for ``cols``.
+                  cols: list[str],
+                  bloom_cols: list[str] | None = None,
+                  bloom_bits: int = 8192,
+                  bloom_hashes: int = 5) -> dict:
+    """One distributed pass recording per-file zone maps for ``cols``
+    and (optionally) per-file Bloom filters for ``bloom_cols``.
+
+    Zone maps prune RANGES — useless for equality probes on
+    high-cardinality id-like columns whose values spread across every
+    file. A per-file Bloom filter answers "can this file contain
+    value X?" for ``=`` predicates with ~``(1-e^{-kn/m})^k`` false-
+    positive rate and zero false negatives: the point-lookup path at
+    100 TB (Delta's bloom filter index). Bits are set with
+    ``crc32(concat(cast(col as string), '#', seed))`` — chosen because
+    Python's ``zlib.crc32`` computes the identical value, so the probe
+    side needs no Spark session. Defaults (8192 bits, 5 hashes) hold
+    <1% false positives to ~800 distinct values per file.
 
     ``groupBy(input_file_name())`` makes the aggregate exactly
     file-grained; map-side partial aggregation reduces each file to one
     row before the (tiny, #files-sized) shuffle, and column pruning
-    means only ``cols`` are decoded. The JSON goes through a tmp file +
-    ``os.replace`` so readers never see a torn stats file. Returns the
-    stats dict that was written."""
+    means only the stats columns are decoded. The JSON goes through a
+    tmp file + ``os.replace`` so readers never see a torn stats file.
+    Returns the stats dict that was written."""
     # List BEFORE the scan: a file appended mid-pass must stay out of
     # the snapshot (and be caught later as unknown), not be given a
     # fabricated empty record that would prune its rows forever.
     expected = _list_data_files(path)
-    files = _per_file_stats(path, spark.read.parquet(path), cols)
+    bloom = ({"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
+             if bloom_cols else None)
+    files = _per_file_stats(path, spark.read.parquet(path), cols, bloom)
     _fill_empty_files(files, expected, cols)
     stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
+    if bloom:
+        stats["bloom"] = bloom
     _write_stats(path, stats)
     return stats
 
 
-def _per_file_stats(path: str, df: DataFrame,
-                    cols: list[str]) -> dict[str, dict]:
-    """min/max/null-count/rows per data file of ``df`` — one row per
-    file after map-side partial aggregation (metadata-sized result)."""
-    df = df.select(F.input_file_name().alias("__file"), *cols)
+def _bloom_positions_col(c: str, seed: int, m: int):
+    """Spark-side bit position: crc32 of the value's string image plus
+    a seed suffix — byte-identical to the Python probe in
+    ``_bloom_positions`` (verified: zlib.crc32 == F.crc32 on UTF-8)."""
+    return F.crc32(F.concat(F.col(c).cast("string"),
+                            F.lit(f"#{seed}")).cast("binary")) % m
+
+
+def _bloom_positions(text: str, m: int, k: int) -> list[int]:
+    return [zlib.crc32(f"{text}#{s}".encode("utf-8")) % m
+            for s in range(k)]
+
+
+def _bloom_probe_str(v) -> str | None:
+    """The value's string image as Spark's CAST(col AS STRING) renders
+    it — None when the rendering is not reproducible in Python (float/
+    Decimal scientific-notation forms differ), in which case the bloom
+    filter simply isn't consulted (zone maps still apply)."""
+    if isinstance(v, bool) or v is None:
+        return None  # booleans are 2-valued (zone maps suffice); no null probes
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _per_file_stats(path: str, df: DataFrame, cols: list[str],
+                    bloom: dict | None = None) -> dict[str, dict]:
+    """min/max/null-count/rows (and optional bloom bitmaps) per data
+    file of ``df`` — one row per file after map-side partial
+    aggregation. Bloom sets are collect_set over bit POSITIONS (already
+    reduced mod m), so each set is bounded by m, never by row count."""
+    stat_cols = list(dict.fromkeys(
+        list(cols) + (bloom["cols"] if bloom else [])))
+    df = df.select(F.input_file_name().alias("__file"), *stat_cols)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
@@ -159,6 +213,12 @@ def _per_file_stats(path: str, df: DataFrame,
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
         ]
+    if bloom:
+        for c in bloom["cols"]:
+            for s in range(bloom["k"]):
+                aggs.append(F.collect_set(
+                    _bloom_positions_col(c, s, bloom["m"])
+                ).alias(f"__bloom_{c}_{s}"))
     rows = df.groupBy("__file").agg(*aggs).collect()
     files: dict[str, dict] = {}
     for r in rows:
@@ -167,6 +227,14 @@ def _per_file_stats(path: str, df: DataFrame,
             rec["stats"][c] = [_enc_bound(r[f"__min_{c}"], -1),
                                _enc_bound(r[f"__max_{c}"], +1),
                                int(r[f"__nulls_{c}"] or 0)]
+        if bloom:
+            rec["bloom"] = {}
+            for c in bloom["cols"]:
+                bits = bytearray(bloom["m"] // 8)
+                for s in range(bloom["k"]):
+                    for pos in r[f"__bloom_{c}_{s}"]:
+                        bits[pos // 8] |= 1 << (pos % 8)
+                rec["bloom"][c] = base64.b64encode(bytes(bits)).decode()
         files[_file_rel(path, r["__file"])] = rec
     return files
 
@@ -200,7 +268,12 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
     cols = stats["cols"]
     changed = _invalidated_since(path, stats["ts_ns"])
     if changed is None:
-        return compute_stats(spark, path, cols)
+        bloom = stats.get("bloom")
+        return compute_stats(
+            spark, path, cols,
+            bloom_cols=bloom["cols"] if bloom else None,
+            bloom_bits=bloom["m"] if bloom else 8192,
+            bloom_hashes=bloom["k"] if bloom else 5)
     stale_pfx = tuple(r + "/" for r in changed)
     current = _list_data_files(path)
     current_set = set(current)
@@ -212,9 +285,12 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
     if todo:
         sub = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, rel) for rel in todo])
-        files.update(_per_file_stats(path, sub, cols))
+        files.update(_per_file_stats(path, sub, cols,
+                                     stats.get("bloom")))
         _fill_empty_files(files, todo, cols)
     out = {"ts_ns": time.time_ns(), "cols": cols, "files": files}
+    if stats.get("bloom"):
+        out["bloom"] = stats["bloom"]
     _write_stats(path, out)
     return out
 
@@ -234,11 +310,23 @@ def load_stats(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _file_may_match(rec: dict, predicates: list[tuple]) -> bool:
+def _file_may_match(rec: dict, predicates: list[tuple],
+                    bloom: dict | None = None) -> bool:
     """Can any row of a file with zone map ``rec`` satisfy the AND of
     ``predicates``? Conservative: unknown column / type mismatch /
-    unparseable bound => True (read the file)."""
+    unparseable bound => True (read the file). Equality predicates
+    additionally probe the file's Bloom filter when one was built for
+    the column — no false negatives, so a missing bit proves absence."""
     for col, op, value in predicates:
+        if (op == "=" and bloom is not None and "bloom" in rec
+                and col in rec["bloom"]):
+            text = _bloom_probe_str(value)
+            if text is not None:
+                bits = base64.b64decode(rec["bloom"][col])
+                if any(not (bits[p // 8] >> (p % 8)) & 1
+                       for p in _bloom_positions(text, bloom["m"],
+                                                 bloom["k"])):
+                    return False
         cs = rec["stats"].get(col)
         if cs is None:
             continue  # no stats for this column: cannot prune on it
@@ -359,7 +447,7 @@ def plan_skip(path: str, predicates: list[tuple],
         if rec is None:
             unknown.append(rel)  # appended after the snapshot
             kept.append(rel)
-        elif _file_may_match(rec, predicates):
+        elif _file_may_match(rec, predicates, stats.get("bloom")):
             kept.append(rel)
         else:
             pruned.append(rel)

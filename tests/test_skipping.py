@@ -307,6 +307,93 @@ class TestEdgeValues:
         assert "kept" in capsys.readouterr().out
 
 
+class TestBloom:
+    def _write_ids(self, spark, path, n_files=8, rows_per=100):
+        """Round-robin ids: every file's [min,max] RANGE spans the whole
+        id space, so zone maps alone can never prune — the layout that
+        motivates Bloom filters."""
+        df = spark.range(n_files * rows_per).select(
+            F.concat(F.lit("doc-"), F.lpad(F.col("id") % 997, 4, "0")
+                     ).alias("doc_id"),
+            F.col("id").alias("k"))
+        df.repartition(n_files).write.parquet(path)
+        return df
+
+    def test_equality_probe_prunes_unsortable_ids(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path)
+        skipping.compute_stats(spark, path, ["doc_id"],
+                               bloom_cols=["doc_id"])
+        # zone maps alone: nothing pruned (every file spans the range)
+        # find an id that lives in exactly one file
+        target = spark.read.parquet(path).filter(
+            F.col("k") == 5).head().doc_id
+        preds = [("doc_id", "=", target)]
+        plan = skipping.plan_skip(path, preds)
+        assert len(plan["pruned"]) >= 6, "bloom must prune most files"
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+
+    def test_no_false_negatives_over_every_id(self, spark, tmp_path):
+        """Each present id's plan must keep its containing file — the
+        zero-false-negative contract, checked exhaustively."""
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path, n_files=4, rows_per=50)
+        skipping.compute_stats(spark, path, ["doc_id"],
+                               bloom_cols=["doc_id"])
+        full = spark.read.parquet(path).select(
+            "doc_id", F.input_file_name().alias("f")).collect()
+        stats = skipping.load_stats(path)
+        for r in full:
+            rel = skipping._file_rel(path, r.f)
+            plan = skipping.plan_skip(
+                path, [("doc_id", "=", r.doc_id)], stats=stats)
+            assert rel in plan["kept"], r.doc_id
+
+    def test_int_and_date_probes(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(200).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit(dt.date(2024, 1, 1)),
+                       (F.col("id") % 40).cast("int")).alias("day"))
+        df.repartition(4).write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"],
+                               bloom_cols=["k", "day"])
+        for preds in ([("k", "=", 42)],
+                      [("day", "=", dt.date(2024, 1, 7))]):
+            got = skipping.read_skipping(spark, path, preds)
+            assert _same_rows(got, _full_scan(spark, path, preds)), preds
+
+    def test_float_probe_skips_bloom_conservatively(self, spark, tmp_path):
+        """Python can't reproduce Spark's scientific-notation string
+        image of floats, so float probes must bypass the bloom (keep
+        the file) rather than hash a mismatched rendering and prune."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame([(1, 1e-7), (2, 0.5)], "k int, v double"
+                              ).coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["v"], bloom_cols=["v"])
+        preds = [("v", "=", 1e-7)]
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == 1
+
+    def test_bloom_survives_refresh(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path, n_files=4, rows_per=50)
+        skipping.compute_stats(spark, path, ["doc_id"],
+                               bloom_cols=["doc_id"])
+        spark.createDataFrame([("doc-new", 9999)], "doc_id string, k long"
+                              ).coalesce(1).write.mode(
+            "append").parquet(path)
+        refreshed = skipping.refresh_stats(spark, path)
+        assert refreshed.get("bloom"), "bloom config must carry through"
+        preds = [("doc_id", "=", "doc-new")]
+        plan = skipping.plan_skip(path, preds, stats=refreshed)
+        assert not plan["unknown"] and len(plan["kept"]) >= 1
+        assert plan["pruned"], "old files prune on the new id"
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == 1
+
+
 class TestRefresh:
     def test_refresh_touches_only_delta_files(self, spark, tmp_path):
         """Untouched files' entries must be carried over verbatim, not
