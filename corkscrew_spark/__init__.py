@@ -18,6 +18,9 @@ Layout:
   changes     — change tracking, baselines, drift detection
   ingest      — batch ingestion of resource snapshots
   streaming   — structured-streaming change feed
+  warehouse   — keyed upserts, retention, compaction, commit log
+  versioned   — file-scoped snapshot store (time travel, vacuum)
+  skipping    — zone-map + Bloom data skipping over parquet tables
 """
 
 __version__ = "0.1.0"
