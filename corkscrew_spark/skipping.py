@@ -153,6 +153,9 @@ def compute_stats(spark: SparkSession, path: str,
     means only the stats columns are decoded. The JSON goes through a
     tmp file + ``os.replace`` so readers never see a torn stats file.
     Returns the stats dict that was written."""
+    if bloom_cols and bloom_bits % 8:
+        raise ValueError("bloom_bits must be a multiple of 8 "
+                         "(bitmap is packed bytes)")
     # List BEFORE the scan: a file appended mid-pass must stay out of
     # the snapshot (and be caught later as unknown), not be given a
     # fabricated empty record that would prune its rows forever.
@@ -168,12 +171,36 @@ def compute_stats(spark: SparkSession, path: str,
     return stats
 
 
-def _bloom_positions_col(c: str, seed: int, m: int):
-    """Spark-side bit position: crc32 of the value's string image plus
-    a seed suffix — byte-identical to the Python probe in
+#: Spark types bloom filters support, mapped to a canonical-rendering
+#: tag. Float/double/decimal/boolean/binary are REJECTED at build
+#: time: their Spark string images (scientific notation, trailing
+#: zeros) aren't reproducible from a Python literal, and a mismatched
+#: hash is a false-negative prune — wrong results, not just wasted I/O.
+_BLOOM_TYPES = {"string": "string",
+                "byte": "integral", "short": "integral",
+                "int": "integral", "integer": "integral",
+                "long": "integral", "bigint": "integral",
+                "date": "date", "timestamp": "timestamp"}
+
+
+def _bloom_canonical_col(c: str, tag: str):
+    """Spark-side canonical string image per type tag. date_format with
+    a fixed-width fraction makes timestamps reproducible (CAST trims
+    trailing zeros — '00:00:00.5' — which Python's %f never emits)."""
+    if tag == "string":
+        return F.col(c)
+    if tag == "integral":
+        return F.col(c).cast("string")
+    if tag == "date":
+        return F.date_format(c, "yyyy-MM-dd")
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def _bloom_positions_col(expr, seed: int, m: int):
+    """Spark-side bit position: crc32 of the canonical image plus a
+    seed suffix — byte-identical to the Python probe in
     ``_bloom_positions`` (verified: zlib.crc32 == F.crc32 on UTF-8)."""
-    return F.crc32(F.concat(F.col(c).cast("string"),
-                            F.lit(f"#{seed}")).cast("binary")) % m
+    return F.crc32(F.concat(expr, F.lit(f"#{seed}")).cast("binary")) % m
 
 
 def _bloom_positions(text: str, m: int, k: int) -> list[int]:
@@ -181,19 +208,48 @@ def _bloom_positions(text: str, m: int, k: int) -> list[int]:
             for s in range(k)]
 
 
-def _bloom_probe_str(v) -> str | None:
-    """The value's string image as Spark's CAST(col AS STRING) renders
-    it — None when the rendering is not reproducible in Python (float/
-    Decimal scientific-notation forms differ), in which case the bloom
-    filter simply isn't consulted (zone maps still apply)."""
-    if isinstance(v, bool) or v is None:
-        return None  # booleans are 2-valued (zone maps suffice); no null probes
-    if isinstance(v, (int, str)):
-        return str(v)
-    if isinstance(v, _dt.datetime):
-        return v.isoformat(sep=" ")
-    if isinstance(v, _dt.date):
-        return v.isoformat()
+def _bloom_probe_str(v, tag: str) -> str | None:
+    """The predicate literal's canonical image for a column of type
+    ``tag``, mirroring Spark's equality-comparison coercion of the
+    LITERAL toward the COLUMN type — or None when the coercion isn't
+    reproducible, in which case the bloom is skipped (zone maps still
+    apply, file kept: only ever conservative)."""
+    if v is None or isinstance(v, bool):
+        return None
+    if tag == "string":
+        # a non-string literal makes Spark cast the COLUMN, not the
+        # literal ('042' == 42 matches) — only same-type probes are sound
+        return v if isinstance(v, str) else None
+    if tag == "integral":
+        # Spark casts a string literal to the int ('042' -> 42), and a
+        # fractional double can never equal an integral column
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            try:
+                return str(int(v))
+            except ValueError:
+                return None
+        if isinstance(v, float) and v.is_integer() and not _is_nan(v):
+            return str(int(v))
+        return None
+    if tag == "date":
+        if isinstance(v, _dt.datetime):
+            # date col == timestamp literal promotes the COLUMN to
+            # timestamp-at-midnight: only a midnight literal can match
+            if (v.hour, v.minute, v.second, v.microsecond) != (0, 0, 0, 0):
+                return None
+            return v.date().isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return None
+    if tag == "timestamp":
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day).strftime(
+                "%Y-%m-%d %H:%M:%S.%f")
+        return None
     return None
 
 
@@ -206,6 +262,18 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
     stat_cols = list(dict.fromkeys(
         list(cols) + (bloom["cols"] if bloom else [])))
     df = df.select(F.input_file_name().alias("__file"), *stat_cols)
+    if bloom:
+        bloom["types"] = {}
+        for c in bloom["cols"]:
+            t = df.schema[c].dataType.simpleString()
+            tag = _BLOOM_TYPES.get("timestamp" if t.startswith("timestamp")
+                                   else t)
+            if tag is None:
+                raise ValueError(
+                    f"bloom filter on {c!r} ({t}) unsupported — the "
+                    f"probe can't reproduce that type's string image; "
+                    f"supported: {sorted(set(_BLOOM_TYPES))}")
+            bloom["types"][c] = tag
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
@@ -216,9 +284,9 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
     if bloom:
         for c in bloom["cols"]:
             for s in range(bloom["k"]):
-                aggs.append(F.collect_set(
-                    _bloom_positions_col(c, s, bloom["m"])
-                ).alias(f"__bloom_{c}_{s}"))
+                aggs.append(F.collect_set(_bloom_positions_col(
+                    _bloom_canonical_col(c, bloom["types"][c]),
+                    s, bloom["m"])).alias(f"__bloom_{c}_{s}"))
     rows = df.groupBy("__file").agg(*aggs).collect()
     files: dict[str, dict] = {}
     for r in rows:
@@ -250,6 +318,20 @@ def _fill_empty_files(files: dict, expected: list[str],
         if rel not in files:
             files[rel] = {"rows": 0,
                           "stats": {c: [None, None, 0] for c in cols}}
+
+
+def recompute_stats(spark: SparkSession, path: str,
+                    cols: list[str]) -> dict:
+    """Full recompute that PRESERVES an existing stats file's bloom
+    opt-in — the call maintenance rewrites (compaction, Z-order) make,
+    so a table that built bloom filters doesn't silently lose its
+    point-lookup pruning on the next OPTIMIZE."""
+    bloom = (load_stats(path) or {}).get("bloom")
+    return compute_stats(
+        spark, path, cols,
+        bloom_cols=bloom["cols"] if bloom else None,
+        bloom_bits=bloom["m"] if bloom else 8192,
+        bloom_hashes=bloom["k"] if bloom else 5)
 
 
 def refresh_stats(spark: SparkSession, path: str) -> dict:
@@ -320,7 +402,8 @@ def _file_may_match(rec: dict, predicates: list[tuple],
     for col, op, value in predicates:
         if (op == "=" and bloom is not None and "bloom" in rec
                 and col in rec["bloom"]):
-            text = _bloom_probe_str(value)
+            text = _bloom_probe_str(
+                value, bloom.get("types", {}).get(col, ""))
             if text is not None:
                 bits = base64.b64decode(rec["bloom"][col])
                 if any(not (bits[p // 8] >> (p % 8)) & 1

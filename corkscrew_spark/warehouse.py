@@ -680,7 +680,7 @@ def compact_table(spark: SparkSession, path: str,
     if stats_cols:
         from . import skipping  # local import: skipping imports us
 
-        skipping.compute_stats(spark, path, stats_cols)
+        skipping.recompute_stats(spark, path, stats_cols)
     after, _ = table_file_stats(spark, path)
     return before, after
 
@@ -748,7 +748,8 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
         if stats_cols:
             from . import skipping  # local import: skipping imports us
 
-            skipping.compute_stats(df.sparkSession, path, stats_cols)
+            skipping.recompute_stats(df.sparkSession, path,
+                                     stats_cols)
 
 
 @_locked_writer

@@ -364,17 +364,81 @@ class TestBloom:
             got = skipping.read_skipping(spark, path, preds)
             assert _same_rows(got, _full_scan(spark, path, preds)), preds
 
-    def test_float_probe_skips_bloom_conservatively(self, spark, tmp_path):
-        """Python can't reproduce Spark's scientific-notation string
-        image of floats, so float probes must bypass the bloom (keep
-        the file) rather than hash a mismatched rendering and prune."""
+    def test_unsupported_bloom_column_type_rejected(self, spark, tmp_path):
+        """Float/double string images (scientific notation, trimmed
+        zeros) aren't reproducible from a Python literal; a mismatched
+        hash would be a false-negative PRUNE — so the build refuses."""
+        import pytest
+
         path = str(tmp_path / "t")
         spark.createDataFrame([(1, 1e-7), (2, 0.5)], "k int, v double"
                               ).coalesce(1).write.parquet(path)
-        skipping.compute_stats(spark, path, ["v"], bloom_cols=["v"])
-        preds = [("v", "=", 1e-7)]
+        with pytest.raises(ValueError, match="unsupported"):
+            skipping.compute_stats(spark, path, ["v"], bloom_cols=["v"])
+        with pytest.raises(ValueError, match="multiple of 8"):
+            skipping.compute_stats(spark, path, ["k"], bloom_cols=["k"],
+                                   bloom_bits=100)
+
+    def test_timestamp_fractional_seconds_probe(self, spark, tmp_path):
+        """Spark CAST trims fractional-second zeros ('00:00:00.5');
+        the canonical fixed-width rendering keeps build == probe."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+             (2, dt.datetime(2024, 1, 2, 12, 0, 0))],
+            "k int, ts timestamp").coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(3, dt.datetime(2025, 6, 6, 6, 6, 6))],
+            "k int, ts timestamp").coalesce(1).write.mode(
+            "append").parquet(path)
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["ts"])
+        preds = [("ts", "=", dt.datetime(2024, 1, 1, 0, 0, 0, 500000))]
+        plan = skipping.plan_skip(path, preds)
+        assert len(plan["kept"]) == 1 and plan["pruned"]
         got = skipping.read_skipping(spark, path, preds)
-        assert got.count() == 1
+        assert [r.k for r in got.collect()] == [1]
+
+    def test_cross_type_probes_match_spark_coercion(self, spark, tmp_path):
+        """Spark coerces the LITERAL toward the column type for
+        integral columns ('042' == 42) and promotes a midnight
+        timestamp literal onto a date column — the probe must follow,
+        never hash the literal's raw rendering."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(42, dt.date(2024, 1, 7)), (7, dt.date(2024, 2, 1))],
+            "k long, day date").coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(1000, dt.date(2030, 1, 1))],
+            "k long, day date").coalesce(1).write.mode(
+            "append").parquet(path)
+        skipping.compute_stats(spark, path, ["k"],
+                               bloom_cols=["k", "day"])
+        for preds, want in (
+            [[("k", "=", "042")], [42]],            # string lit -> int col
+            [[("k", "=", 42.0)], [42]],             # integral double lit
+            [[("day", "=", dt.datetime(2024, 1, 7))], [42]],  # midnight ts
+        ):
+            plan = skipping.plan_skip(path, preds)
+            assert plan["pruned"], preds
+            got = skipping.read_skipping(spark, path, preds)
+            assert [r.k for r in got.collect()] == want, preds
+
+    def test_maintenance_rewrites_preserve_bloom(self, spark, tmp_path):
+        """compact_table(stats_cols=...) must not silently drop the
+        table's bloom opt-in — the EXAMPLES.md sequence."""
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path, n_files=4, rows_per=50)
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["doc_id"])
+        warehouse.compact_table(spark, path, target_file_bytes=2000,
+                                sort_cols=["k"], stats_cols=["k"])
+        stats = skipping.load_stats(path)
+        assert stats.get("bloom"), "bloom opt-in lost by compaction"
+        target = spark.read.parquet(path).head().doc_id
+        preds = [("doc_id", "=", target)]
+        plan = skipping.plan_skip(path, preds, stats=stats)
+        assert plan["fallback"] is None and plan["pruned"]
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
 
     def test_bloom_survives_refresh(self, spark, tmp_path):
         path = str(tmp_path / "t")
