@@ -173,13 +173,16 @@ def _parse_preds(specs: list[str] | None) -> list[tuple]:
     out = []
     for spec in specs or []:
         col, op, *rest = spec.split(",", 2)
-        if op == "is_null":
+        if op in ("is_null", "is_not_null"):
             out.append((col, op, None))
         elif not rest:
             raise SystemExit(f"error: --pred {spec!r} is missing a value")
         elif op == "between":
             lo, hi = rest[0].split(",", 1)
             out.append((col, op, (_parse_scalar(lo), _parse_scalar(hi))))
+        elif op == "in":
+            out.append((col, op,
+                        [_parse_scalar(s) for s in rest[0].split(",")]))
         else:
             out.append((col, op, _parse_scalar(rest[0])))
     return out
@@ -951,7 +954,8 @@ def main(argv: list[str] | None = None) -> int:
                                    "recomputes them after the rewrite)")
     mt.add_argument("--pred", action="append",
                     help="col,op,value predicate for skip-plan (repeatable; "
-                         "op: < <= > >= = between is_null)")
+                         "op: < <= > >= = between in is_null is_not_null; "
+                         "in/between take comma-separated values)")
     mt.add_argument("--refresh", action="store_true",
                     help="incremental stats upkeep: recompute only "
                          "new/invalidated files (stats)")

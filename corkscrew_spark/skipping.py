@@ -52,9 +52,11 @@ from pyspark.sql import functions as F
 from .warehouse import _COMMIT_LOG, _STATS_FILE
 
 #: Supported predicate operators, AND-combined: ``(col, op, value)``;
-#: ``between`` takes ``value=(lo, hi)`` inclusive; ``is_null`` ignores
-#: ``value``.
-_OPS = ("<", "<=", ">", ">=", "=", "between", "is_null")
+#: ``between`` takes ``value=(lo, hi)`` inclusive; ``in`` takes a list
+#: (prunable only when EVERY member misses); ``is_null``/``is_not_null``
+#: ignore ``value``.
+_OPS = ("<", "<=", ">", ">=", "=", "between", "in",
+        "is_null", "is_not_null")
 
 
 def _norm(v):
@@ -418,6 +420,17 @@ def _file_may_match(rec: dict, predicates: list[tuple],
             if nulls == 0:
                 return False
             continue
+        if op == "is_not_null":
+            if nulls >= rec["rows"]:
+                return False  # every row (possibly zero) is NULL
+            continue
+        if op == "in":
+            # prunable only when EVERY member misses; each member gets
+            # the full single-equality treatment (bloom + zone map)
+            if not any(_file_may_match(rec, [(col, "=", m)], bloom)
+                       for m in value):
+                return False
+            continue
         if mn is None and mx is None:
             return False  # all-NULL file: comparisons never match
         mnk, mxk = _cmp_key(mn), _cmp_key(mx)
@@ -450,6 +463,12 @@ def _predicate_column(col: str, op: str, value):
     c = F.col(col)
     if op == "is_null":
         return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
+    if op == "in":
+        if not value:
+            raise ValueError("in-list predicate may not be empty")
+        return c.isin(*value)
     if op == "between":
         return c.between(F.lit(value[0]), F.lit(value[1]))
     return {"<": c < F.lit(value), "<=": c <= F.lit(value),

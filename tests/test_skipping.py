@@ -423,6 +423,38 @@ class TestBloom:
             got = skipping.read_skipping(spark, path, preds)
             assert [r.k for r in got.collect()] == want, preds
 
+    def test_in_list_probe_prunes_when_all_members_miss(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path, n_files=6, rows_per=80)
+        skipping.compute_stats(spark, path, ["doc_id"],
+                               bloom_cols=["doc_id"])
+        present = [r.doc_id for r in
+                   spark.read.parquet(path).limit(2).collect()]
+        preds = [("doc_id", "in", present + ["doc-none"])]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["pruned"], "files holding no member must prune"
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        # all-absent list prunes every file, result still correct (empty)
+        gone = [("doc_id", "in", ["nope-1", "nope-2"])]
+        assert skipping.plan_skip(path, gone)["kept"] == []
+        assert skipping.read_skipping(spark, path, gone).count() == 0
+
+    def test_is_not_null_prunes_all_null_files(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame([(1, None), (2, None)], "k int, v int"
+                              ).coalesce(1).write.parquet(path)
+        spark.createDataFrame([(3, 30)], "k int, v int"
+                              ).coalesce(1).write.mode(
+            "append").parquet(path)
+        skipping.compute_stats(spark, path, ["v"])
+        preds = [("v", "is_not_null", None)]
+        plan = skipping.plan_skip(path, preds)
+        assert len(plan["pruned"]) == 1
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.k for r in got.collect()] == [3]
+
     def test_maintenance_rewrites_preserve_bloom(self, spark, tmp_path):
         """compact_table(stats_cols=...) must not silently drop the
         table's bloom opt-in — the EXAMPLES.md sequence."""
@@ -571,10 +603,16 @@ def _row_matches(v, preds) -> bool:
         if op == "is_null":
             if v is not None:
                 return False
+        elif op == "is_not_null":
+            if v is None:
+                return False
         elif v is None:
             return False
         elif op == "between":
             if not (arg[0] <= v <= arg[1]):
+                return False
+        elif op == "in":
+            if v not in arg:
                 return False
         elif not {"<": v < arg, "<=": v <= arg, ">": v > arg,
                   ">=": v >= arg, "=": v == arg}[op]:
@@ -600,12 +638,14 @@ try:
     def _one_pred(draw_op, a, b):
         if draw_op == "between":
             return ("v", "between", (min(a, b), max(a, b)))
+        if draw_op == "in":
+            return ("v", "in", [a, b])
         return ("v", draw_op, a)
 
     _PREDS = st.lists(
         st.builds(_one_pred,
-                  st.sampled_from(["<", "<=", ">", ">=", "=",
-                                   "between", "is_null"]),
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "between",
+                                   "in", "is_null", "is_not_null"]),
                   st.integers(-60, 60), st.integers(-60, 60)),
         min_size=1, max_size=3)
 
