@@ -225,7 +225,9 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
               f"(stale {len(plan['stale'])}, unknown {len(plan['unknown'])}), "
               f"pruned {len(plan['pruned'])}; "
               f"{est['bytes_kept']:,} of {est['bytes_total']:,} bytes, "
-              f"{est['rows_known_kept']:,} known rows")
+              f"{est['rows_known_kept']:,} known rows"
+              + (f", ~{est['rows_est_matched']:,} est. matches"
+                 if est.get("rows_est_matched") is not None else ""))
         return 0
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")

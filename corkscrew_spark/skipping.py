@@ -282,6 +282,9 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
             F.min(c).alias(f"__min_{c}"),
             F.max(c).alias(f"__max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            # HLL distinct-count: powers estimate_scan's selectivity
+            # guess for equality probes (rows/ndv per kept file)
+            F.approx_count_distinct(c).alias(f"__ndv_{c}"),
         ]
     if bloom:
         for c in bloom["cols"]:
@@ -296,7 +299,8 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
         for c in cols:
             rec["stats"][c] = [_enc_bound(r[f"__min_{c}"], -1),
                                _enc_bound(r[f"__max_{c}"], +1),
-                               int(r[f"__nulls_{c}"] or 0)]
+                               int(r[f"__nulls_{c}"] or 0),
+                               int(r[f"__ndv_{c}"] or 0)]
         if bloom:
             rec["bloom"] = {}
             for c in bloom["cols"]:
@@ -319,7 +323,7 @@ def _fill_empty_files(files: dict, expected: list[str],
     for rel in expected:
         if rel not in files:
             files[rel] = {"rows": 0,
-                          "stats": {c: [None, None, 0] for c in cols}}
+                          "stats": {c: [None, None, 0, 0] for c in cols}}
 
 
 def recompute_stats(spark: SparkSession, path: str,
@@ -415,7 +419,7 @@ def _file_may_match(rec: dict, predicates: list[tuple],
         cs = rec["stats"].get(col)
         if cs is None:
             continue  # no stats for this column: cannot prune on it
-        mn, mx, nulls = cs
+        mn, mx, nulls = cs[:3]  # [3]=ndv (absent in pre-ndv snapshots)
         if op == "is_null":
             if nulls == 0:
                 return False
@@ -586,8 +590,32 @@ def estimate_scan(path: str, predicates: list[tuple],
                           for rel in plan["kept"]),
         "rows_known_kept": sum(stats["files"][rel]["rows"]
                                for rel in fresh),
+        "rows_est_matched": _est_matched(stats, fresh, predicates),
         "fallback": None,
     }
+
+
+def _est_matched(stats: dict, fresh: set, predicates: list[tuple]):
+    """Uniform-distribution row estimate for equality/IN predicates:
+    per kept file, rows × Π 1/ndv (or L/ndv for an L-member IN) over
+    the eq-predicates that have an HLL distinct count — the classic
+    CBO selectivity guess. None when no predicate is estimable (no
+    eq ops, or pre-ndv stats snapshots)."""
+    eq = [(c, 1) for c, op, _ in predicates if op == "="] + \
+         [(c, len(v)) for c, op, v in predicates if op == "in"]
+    if not eq:
+        return None
+    est, estimable = 0.0, False
+    for rel in fresh:
+        rec = stats["files"][rel]
+        sel = 1.0
+        for c, members in eq:
+            cs = rec["stats"].get(c)
+            if cs is not None and len(cs) > 3 and cs[3] > 0:
+                estimable = True
+                sel *= min(1.0, members / cs[3])
+        est += rec["rows"] * sel
+    return round(est, 1) if estimable else None
 
 
 def read_skipping(spark: SparkSession, path: str,

@@ -588,6 +588,23 @@ class TestEstimate:
         assert 0 < est["bytes_kept"] < est["bytes_total"]
         assert est["rows_known_kept"] >= 100  # the matching k-range
 
+    def test_estimate_selectivity_for_equality(self, spark, tmp_path):
+        """rows_est_matched ~ rows/ndv per kept file — the CBO guess
+        behind admission control. 100 distinct k per 100-row file ->
+        about one match for an equality probe."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        est = skipping.estimate_scan(path, [("k", "=", 42)])
+        assert est["rows_est_matched"] is not None
+        assert est["rows_est_matched"] <= 5  # ~1 with HLL error margin
+        est_in = skipping.estimate_scan(
+            path, [("k", "in", [1, 2, 3, 150])])
+        assert 2 <= est_in["rows_est_matched"] <= 12
+        # range predicates carry no estimate (no histogram)
+        assert skipping.estimate_scan(
+            path, [("k", ">=", 700)])["rows_est_matched"] is None
+
     def test_estimate_fallback_is_full_table(self, spark, tmp_path):
         path = str(tmp_path / "t")
         _write_clustered(spark, path, n_files=3)
