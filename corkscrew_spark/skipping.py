@@ -398,24 +398,60 @@ def load_stats(path: str) -> dict | None:
         return json.load(fh)
 
 
+def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
+                  cache: dict) -> bool:
+    """Single-equality test behind ``=`` and each IN member: the Bloom
+    probe (bitmap decoded ONCE per file+column via ``cache`` — an
+    L-member IN over many files would otherwise re-decode L times)
+    then the zone-map range check. Conservative like everything here:
+    only a provable miss returns False."""
+    if bloom is not None and "bloom" in rec and col in rec["bloom"]:
+        if col not in cache:
+            cache[col] = base64.b64decode(rec["bloom"][col])
+        bits = cache[col]
+        text = _bloom_probe_str(value, bloom.get("types", {}).get(col, ""))
+        if text is not None and any(
+                not (bits[p // 8] >> (p % 8)) & 1
+                for p in _bloom_positions(text, bloom["m"], bloom["k"])):
+            return False
+    cs = rec["stats"].get(col)
+    if cs is None:
+        return True  # bloom-only column: no range to check
+    mn, mx = cs[0], cs[1]
+    if mn is None and mx is None:
+        return False  # all-NULL file: equality never matches
+    mnk, mxk = _cmp_key(mn), _cmp_key(mx)
+    try:
+        v_lo, v_hi = _widen(value)
+        if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
+            return True  # Spark orders NaN largest; don't guess
+        return mnk <= v_hi and v_lo <= mxk
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+
+
 def _file_may_match(rec: dict, predicates: list[tuple],
                     bloom: dict | None = None) -> bool:
     """Can any row of a file with zone map ``rec`` satisfy the AND of
     ``predicates``? Conservative: unknown column / type mismatch /
-    unparseable bound => True (read the file). Equality predicates
-    additionally probe the file's Bloom filter when one was built for
-    the column — no false negatives, so a missing bit proves absence."""
+    unparseable bound => True (read the file). Equality and IN
+    predicates additionally probe the file's Bloom filter when one was
+    built for the column — no false negatives, so a missing bit proves
+    absence."""
+    bloom_cache: dict = {}
     for col, op, value in predicates:
-        if (op == "=" and bloom is not None and "bloom" in rec
-                and col in rec["bloom"]):
-            text = _bloom_probe_str(
-                value, bloom.get("types", {}).get(col, ""))
-            if text is not None:
-                bits = base64.b64decode(rec["bloom"][col])
-                if any(not (bits[p // 8] >> (p % 8)) & 1
-                       for p in _bloom_positions(text, bloom["m"],
-                                                 bloom["k"])):
-                    return False
+        if op == "=":
+            if not _eq_may_match(rec, col, value, bloom, bloom_cache):
+                return False
+            continue
+        if op == "in":
+            # prunable only when EVERY member misses (empty IN matches
+            # nothing); runs BEFORE the stats guard so bloom-only
+            # columns still prune
+            if not any(_eq_may_match(rec, col, m, bloom, bloom_cache)
+                       for m in value):
+                return False
+            continue
         cs = rec["stats"].get(col)
         if cs is None:
             continue  # no stats for this column: cannot prune on it
@@ -427,13 +463,6 @@ def _file_may_match(rec: dict, predicates: list[tuple],
         if op == "is_not_null":
             if nulls >= rec["rows"]:
                 return False  # every row (possibly zero) is NULL
-            continue
-        if op == "in":
-            # prunable only when EVERY member misses; each member gets
-            # the full single-equality treatment (bloom + zone map)
-            if not any(_file_may_match(rec, [(col, "=", m)], bloom)
-                       for m in value):
-                return False
             continue
         if mn is None and mx is None:
             return False  # all-NULL file: comparisons never match
@@ -452,8 +481,7 @@ def _file_may_match(rec: dict, predicates: list[tuple],
                     continue  # Spark orders NaN largest; don't guess
                 # bounds/values that went through widening are
                 # intervals: compare against the side that KEEPS more
-                if ((op == "=" and not (mnk <= v_hi and v_lo <= mxk))
-                        or (op == "<" and not (mnk < v_hi))
+                if ((op == "<" and not (mnk < v_hi))
                         or (op == "<=" and not (mnk <= v_hi))
                         or (op == ">" and not (mxk > v_lo))
                         or (op == ">=" and not (mxk >= v_lo))):
@@ -471,7 +499,9 @@ def _predicate_column(col: str, op: str, value):
         return c.isNotNull()
     if op == "in":
         if not value:
-            raise ValueError("in-list predicate may not be empty")
+            # SQL: IN () matches nothing — mirror the planner, which
+            # prunes every file, instead of raising asymmetrically
+            return F.lit(False)
         return c.isin(*value)
     if op == "between":
         return c.between(F.lit(value[0]), F.lit(value[1]))
@@ -580,7 +610,8 @@ def estimate_scan(path: str, predicates: list[tuple],
     if plan["fallback"] is not None:
         return {"files_total": len(all_files), "files_kept": len(all_files),
                 "bytes_total": bytes_total, "bytes_kept": bytes_total,
-                "rows_known_kept": None, "fallback": plan["fallback"]}
+                "rows_known_kept": None, "rows_est_matched": None,
+                "fallback": plan["fallback"]}
     fresh = set(plan["kept"]) - set(plan["stale"]) - set(plan["unknown"])
     return {
         "files_total": len(all_files),
@@ -605,17 +636,23 @@ def _est_matched(stats: dict, fresh: set, predicates: list[tuple]):
          [(c, len(v)) for c, op, v in predicates if op == "in"]
     if not eq:
         return None
-    est, estimable = 0.0, False
+    est = 0.0
     for rel in fresh:
         rec = stats["files"][rel]
+        if rec["rows"] == 0:
+            continue
         sel = 1.0
         for c, members in eq:
             cs = rec["stats"].get(c)
-            if cs is not None and len(cs) > 3 and cs[3] > 0:
-                estimable = True
-                sel *= min(1.0, members / cs[3])
+            if cs is None or len(cs) <= 3 or cs[3] <= 0:
+                # a kept file with no ndv for this column would count
+                # at FULL row weight — one pre-ndv snapshot file among
+                # fresh ones could inflate the estimate 10^6x, so the
+                # whole answer degrades to "unknown" instead of wrong
+                return None
+            sel *= min(1.0, members / cs[3])
         est += rec["rows"] * sel
-    return round(est, 1) if estimable else None
+    return round(est, 1)
 
 
 def read_skipping(spark: SparkSession, path: str,

@@ -441,6 +441,30 @@ class TestBloom:
         assert skipping.plan_skip(path, gone)["kept"] == []
         assert skipping.read_skipping(spark, path, gone).count() == 0
 
+    def test_in_prunes_on_bloom_only_column(self, spark, tmp_path):
+        """A column can have a bloom WITHOUT zone-map stats (--cols ts
+        --bloom-cols doc_id); IN must still probe the bloom instead of
+        falling through the missing-stats guard."""
+        path = str(tmp_path / "t")
+        self._write_ids(spark, path, n_files=4, rows_per=50)
+        skipping.compute_stats(spark, path, ["k"],
+                               bloom_cols=["doc_id"])
+        gone = [("doc_id", "in", ["nope-1", "nope-2"])]
+        assert skipping.plan_skip(path, gone)["kept"] == []
+        present = spark.read.parquet(path).head().doc_id
+        both = [("doc_id", "in", [present, "nope-1"])]
+        got = skipping.read_skipping(spark, path, both)
+        assert _same_rows(got, _full_scan(spark, path, both))
+
+    def test_empty_in_list_consistent_everywhere(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=2)
+        skipping.compute_stats(spark, path, ["k"])
+        preds = [("k", "in", [])]
+        assert skipping.plan_skip(path, preds)["kept"] == []
+        assert skipping.estimate_scan(path, preds)["rows_est_matched"] == 0
+        assert skipping.read_skipping(spark, path, preds).count() == 0
+
     def test_is_not_null_prunes_all_null_files(self, spark, tmp_path):
         path = str(tmp_path / "t")
         spark.createDataFrame([(1, None), (2, None)], "k int, v int"
@@ -604,6 +628,23 @@ class TestEstimate:
         # range predicates carry no estimate (no histogram)
         assert skipping.estimate_scan(
             path, [("k", ">=", 700)])["rows_est_matched"] is None
+
+    def test_estimate_none_on_mixed_era_stats(self, spark, tmp_path):
+        """A pre-ndv (3-element) record among the kept files must turn
+        the estimate into None, not count at full row weight."""
+        import json as _json
+
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=4)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        victim = sorted(stats["files"])[0]
+        stats["files"][victim]["stats"]["k"] = \
+            stats["files"][victim]["stats"]["k"][:3]  # old-era record
+        with open(path + "/_column_stats.json", "w") as fh:
+            _json.dump(stats, fh)
+        est = skipping.estimate_scan(path, [("k", "=", 5)])
+        assert est["rows_est_matched"] is None
+        assert est["fallback"] is None  # pruning itself still works
 
     def test_estimate_fallback_is_full_table(self, spark, tmp_path):
         path = str(tmp_path / "t")
