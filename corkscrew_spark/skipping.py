@@ -384,10 +384,88 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
 
 
 def _write_stats(path: str, stats: dict) -> None:
+    stats["dirs"] = _dir_rollup(stats)
     tmp = _stats_path(path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
     os.replace(tmp, _stats_path(path))  # atomic on POSIX
+
+
+def _dir_rollup(stats: dict) -> dict:
+    """Partition-directory bounds combined from the per-file records
+    (Iceberg's manifest-level pruning): at millions of files, plan_skip
+    rules out a whole `date=…` directory with ONE comparison instead of
+    one per file. Only comparison bounds roll up (a dir-level bloom
+    would need the bitmap OR — per-file probes stay precise enough);
+    null/ndv counts don't participate in dir pruning. A column whose
+    bounds won't combine (mixed un-comparable encodings) is simply
+    absent — per-file checks still run."""
+    dirs: dict[str, dict] = {}
+    for rel, rec in stats["files"].items():
+        d = os.path.dirname(rel)
+        bounds = dirs.setdefault(d, {})
+        for c, cs in rec["stats"].items():
+            mn, mx = cs[0], cs[1]
+            if mn is None and mx is None:
+                continue  # all-null file constrains nothing
+            cur = bounds.get(c)
+            if cur is ...:
+                continue  # poisoned: uncombinable encodings
+            try:
+                if cur is None:
+                    bounds[c] = [mn, mx]
+                    continue
+                # Spark orders NaN largest: a NaN max IS the dir max
+                # (plain `nan > x` is False and would silently DROP it,
+                # leaving bounds that wrongly prune the NaN rows); a
+                # NaN min never lowers the bound
+                if _is_nan(_cmp_key(cur[0])):
+                    cur[0] = mn
+                elif (not _is_nan(_cmp_key(mn))
+                        and _cmp_key(mn) < _cmp_key(cur[0])):
+                    cur[0] = mn
+                if _is_nan(_cmp_key(mx)):
+                    cur[1] = mx
+                elif (not _is_nan(_cmp_key(cur[1]))
+                        and _cmp_key(mx) > _cmp_key(cur[1])):
+                    cur[1] = mx
+            except TypeError:
+                bounds[c] = ...
+    return {d: {c: b for c, b in bounds.items() if b is not ...}
+            for d, bounds in dirs.items()}
+
+
+def _dir_may_match(bounds: dict, predicates: list[tuple]) -> bool:
+    """Dir-level analogue of the comparison half of _file_may_match:
+    False only when the combined [min,max] of EVERY file in the dir
+    provably misses a comparison predicate. Equality/IN/null ops fall
+    through to the per-file pass (blooms and null counts don't roll
+    up here)."""
+    for col, op, value in predicates:
+        b = bounds.get(col)
+        if b is None or op in ("=", "in", "is_null", "is_not_null"):
+            continue
+        mnk, mxk = _cmp_key(b[0]), _cmp_key(b[1])
+        try:
+            if op == "between":
+                lo, _ = _widen(value[0])
+                _, hi = _widen(value[1])
+                if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
+                    continue
+                if mxk < lo or mnk > hi:
+                    return False
+            else:
+                v_lo, v_hi = _widen(value)
+                if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
+                    continue
+                if ((op == "<" and not (mnk < v_hi))
+                        or (op == "<=" and not (mnk <= v_hi))
+                        or (op == ">" and not (mxk > v_lo))
+                        or (op == ">=" and not (mxk >= v_lo))):
+                    return False
+        except TypeError:
+            continue
+    return True
 
 
 def load_stats(path: str) -> dict | None:
@@ -574,6 +652,8 @@ def plan_skip(path: str, predicates: list[tuple],
                 "fallback": "full rewrite since stats snapshot"}
     stale_pfx = tuple(r + "/" for r in changed)
     kept, pruned, stale, unknown = [], [], [], []
+    dir_verdicts: dict[str, bool] = {}  # manifest-level short-circuit
+    rollup = stats.get("dirs") or {}
     for rel in _list_data_files(path):
         if stale_pfx and rel.startswith(stale_pfx):
             stale.append(rel)
@@ -583,6 +663,16 @@ def plan_skip(path: str, predicates: list[tuple],
         if rec is None:
             unknown.append(rel)  # appended after the snapshot
             kept.append(rel)
+            continue
+        d = os.path.dirname(rel)
+        verdict = dir_verdicts.get(d)
+        if verdict is None:
+            bounds = rollup.get(d)
+            verdict = (_dir_may_match(bounds, predicates)
+                       if bounds is not None else True)
+            dir_verdicts[d] = verdict
+        if not verdict:
+            pruned.append(rel)  # whole-directory bounds miss
         elif _file_may_match(rec, predicates, stats.get("bloom")):
             kept.append(rel)
         else:

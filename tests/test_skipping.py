@@ -600,6 +600,65 @@ class TestRefresh:
         assert [r.id for r in got.collect()] == ["c"]
 
 
+class TestDirRollup:
+    def _partitioned(self, spark, path):
+        df = spark.range(300).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("d"), (F.col("id") / 100).cast("int"))
+            .alias("bucket"))
+        warehouse.write_partitioned(df, path, ["bucket"])
+
+    def test_rollup_written_and_prunes_directories(self, spark, tmp_path):
+        """k correlates with the partition: the dir-level combined
+        bounds alone rule out non-matching directories (manifest-style
+        pruning), and the per-file pass agrees."""
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        assert stats["dirs"], "rollup must be materialized"
+        assert any(d.startswith("bucket=") for d in stats["dirs"])
+        preds = [("k", ">=", 250)]
+        plan = skipping.plan_skip(path, preds)
+        assert not any(r.startswith(("bucket=d0/", "bucket=d1/"))
+                       for r in plan["kept"])
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        assert got.count() == 50
+
+    def test_unknown_file_in_pruned_directory_still_read(
+            self, spark, tmp_path):
+        """Dir-level pruning only covers files the snapshot knows; a
+        file appended into an otherwise-pruned directory must be
+        kept via the unknown-file net."""
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        spark.createDataFrame([(999,)], "k long").coalesce(1).write.mode(
+            "append").parquet(path + "/bucket=d0")
+        preds = [("k", ">=", 900)]
+        plan = skipping.plan_skip(path, preds)
+        assert any(r.startswith("bucket=d0/") for r in plan["unknown"])
+        got = skipping.read_skipping(spark, path, preds)
+        assert [r.k for r in got.collect()] == [999]
+
+    def test_pre_rollup_snapshot_still_plans(self, spark, tmp_path):
+        """Old stats files without the 'dirs' key fall back to the
+        per-file pass untouched."""
+        import json as _json
+
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        del stats["dirs"]
+        with open(path + "/_column_stats.json", "w") as fh:
+            _json.dump(stats, fh)
+        preds = [("k", "<", 100)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["pruned"]
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == 100
+
+
 class TestEstimate:
     def test_estimate_matches_plan_and_bytes(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -715,6 +774,20 @@ try:
         (False keeps cost I/O; a false prune would lose rows.)"""
         if any(_row_matches(v, preds) for v in rows):
             assert skipping._file_may_match(_rec_for(rows), preds)
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows_files=st.lists(_VALS, min_size=1, max_size=5),
+           preds=_PREDS)
+    def test_dir_rollup_never_prunes_a_matching_directory(
+            rows_files, preds):
+        """Manifest-level safety: if ANY row in ANY of the directory's
+        files matches, the combined dir bounds must not prune."""
+        files = {f"f{i}.parquet": _rec_for(rows)
+                 for i, rows in enumerate(rows_files)}
+        rollup = skipping._dir_rollup({"files": files})
+        if any(_row_matches(v, preds)
+               for rows in rows_files for v in rows):
+            assert skipping._dir_may_match(rollup[""], preds)
 
     @settings(max_examples=400, deadline=None)
     @given(rows=_VALS, preds=_PREDS)
