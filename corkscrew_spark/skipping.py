@@ -412,26 +412,29 @@ def _dir_rollup(stats: dict) -> dict:
             if cur is ...:
                 continue  # poisoned: uncombinable encodings
             try:
+                # accumulator carries the coerced comparison keys
+                # ([2]=min key, [3]=max key) so each file's bounds are
+                # coerced ONCE, not re-parsed per combine — the rollup
+                # is O(files), and ISO strings parse one time each
+                mnk, mxk = _cmp_key(mn), _cmp_key(mx)
                 if cur is None:
-                    bounds[c] = [mn, mx]
+                    bounds[c] = [mn, mx, mnk, mxk]
                     continue
                 # Spark orders NaN largest: a NaN max IS the dir max
                 # (plain `nan > x` is False and would silently DROP it,
                 # leaving bounds that wrongly prune the NaN rows); a
                 # NaN min never lowers the bound
-                if _is_nan(_cmp_key(cur[0])):
-                    cur[0] = mn
-                elif (not _is_nan(_cmp_key(mn))
-                        and _cmp_key(mn) < _cmp_key(cur[0])):
-                    cur[0] = mn
-                if _is_nan(_cmp_key(mx)):
-                    cur[1] = mx
-                elif (not _is_nan(_cmp_key(cur[1]))
-                        and _cmp_key(mx) > _cmp_key(cur[1])):
-                    cur[1] = mx
+                if _is_nan(cur[2]):
+                    cur[0], cur[2] = mn, mnk
+                elif not _is_nan(mnk) and mnk < cur[2]:
+                    cur[0], cur[2] = mn, mnk
+                if _is_nan(mxk):
+                    cur[1], cur[3] = mx, mxk
+                elif not _is_nan(cur[3]) and mxk > cur[3]:
+                    cur[1], cur[3] = mx, mxk
             except TypeError:
                 bounds[c] = ...
-    return {d: {c: b for c, b in bounds.items() if b is not ...}
+    return {d: {c: b[:2] for c, b in bounds.items() if b is not ...}
             for d, bounds in dirs.items()}
 
 
@@ -445,26 +448,9 @@ def _dir_may_match(bounds: dict, predicates: list[tuple]) -> bool:
         b = bounds.get(col)
         if b is None or op in ("=", "in", "is_null", "is_not_null"):
             continue
-        mnk, mxk = _cmp_key(b[0]), _cmp_key(b[1])
-        try:
-            if op == "between":
-                lo, _ = _widen(value[0])
-                _, hi = _widen(value[1])
-                if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
-                    continue
-                if mxk < lo or mnk > hi:
-                    return False
-            else:
-                v_lo, v_hi = _widen(value)
-                if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
-                    continue
-                if ((op == "<" and not (mnk < v_hi))
-                        or (op == "<=" and not (mnk <= v_hi))
-                        or (op == ">" and not (mxk > v_lo))
-                        or (op == ">=" and not (mxk >= v_lo))):
-                    return False
-        except TypeError:
-            continue
+        if not _range_may_match(_cmp_key(b[0]), _cmp_key(b[1]),
+                                op, value):
+            return False
     return True
 
 
@@ -474,6 +460,30 @@ def load_stats(path: str) -> dict | None:
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def _range_may_match(mnk, mxk, op, value) -> bool:
+    """The ONE range check behind file-level, directory-level, and
+    equality pruning, over pre-coerced bound keys: True = the range
+    cannot be ruled out (keep). All the conservatism lives here — NaN
+    anywhere keeps (Spark orders NaN largest, Python won't compare
+    it), incomparable types keep, Decimal literals compare against
+    their widened side."""
+    try:
+        if op == "between":
+            lo, _ = _widen(value[0])
+            _, hi = _widen(value[1])
+            if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
+                return True
+            return not (mxk < lo or mnk > hi)
+        v_lo, v_hi = _widen(value)
+        if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
+            return True
+        return {"<": mnk < v_hi, "<=": mnk <= v_hi,
+                ">": mxk > v_lo, ">=": mxk >= v_lo,
+                "=": mnk <= v_hi and v_lo <= mxk}[op]
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
 
 
 def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
@@ -498,14 +508,7 @@ def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
     mn, mx = cs[0], cs[1]
     if mn is None and mx is None:
         return False  # all-NULL file: equality never matches
-    mnk, mxk = _cmp_key(mn), _cmp_key(mx)
-    try:
-        v_lo, v_hi = _widen(value)
-        if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
-            return True  # Spark orders NaN largest; don't guess
-        return mnk <= v_hi and v_lo <= mxk
-    except TypeError:
-        return True  # incomparable types: never prune on a guess
+    return _range_may_match(_cmp_key(mn), _cmp_key(mx), "=", value)
 
 
 def _file_may_match(rec: dict, predicates: list[tuple],
@@ -544,28 +547,8 @@ def _file_may_match(rec: dict, predicates: list[tuple],
             continue
         if mn is None and mx is None:
             return False  # all-NULL file: comparisons never match
-        mnk, mxk = _cmp_key(mn), _cmp_key(mx)
-        try:
-            if op == "between":
-                lo, _ = _widen(value[0])
-                _, hi = _widen(value[1])
-                if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
-                    continue  # Spark orders NaN largest; don't guess
-                if mxk < lo or mnk > hi:
-                    return False
-            else:
-                v_lo, v_hi = _widen(value)
-                if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
-                    continue  # Spark orders NaN largest; don't guess
-                # bounds/values that went through widening are
-                # intervals: compare against the side that KEEPS more
-                if ((op == "<" and not (mnk < v_hi))
-                        or (op == "<=" and not (mnk <= v_hi))
-                        or (op == ">" and not (mxk > v_lo))
-                        or (op == ">=" and not (mxk >= v_lo))):
-                    return False
-        except TypeError:
-            continue  # incomparable types: never prune on a guess
+        if not _range_may_match(_cmp_key(mn), _cmp_key(mx), op, value):
+            return False
     return True
 
 

@@ -641,6 +641,28 @@ class TestDirRollup:
         got = skipping.read_skipping(spark, path, preds)
         assert [r.k for r in got.collect()] == [999]
 
+    def test_dir_verdict_fires_before_per_file_checks(
+            self, spark, tmp_path):
+        """Prove the directory short-circuit is live, not dead code:
+        widen a pruned dir's PER-FILE bounds so the file pass would
+        keep them — the untouched dir rollup must still prune."""
+        import json as _json
+
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        doctored = _json.loads(_json.dumps(stats))  # deep copy
+        victims = [r for r in doctored["files"]
+                   if r.startswith("bucket=d0/")]
+        assert victims
+        for r in victims:
+            doctored["files"][r]["stats"]["k"][0] = 0
+            doctored["files"][r]["stats"]["k"][1] = 10_000
+        preds = [("k", ">=", 250)]
+        plan = skipping.plan_skip(path, preds, stats=doctored)
+        assert all(r in plan["pruned"] for r in victims), \
+            "dir rollup must prune despite keep-able per-file bounds"
+
     def test_pre_rollup_snapshot_still_plans(self, spark, tmp_path):
         """Old stats files without the 'dirs' key fall back to the
         per-file pass untouched."""
