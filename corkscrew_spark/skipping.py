@@ -385,10 +385,37 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
 
 def _write_stats(path: str, stats: dict) -> None:
     stats["dirs"] = _dir_rollup(stats)
+    if stats.get("bloom"):
+        stats["dir_blooms"] = _dir_bloom_rollup(stats)
     tmp = _stats_path(path) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
     os.replace(tmp, _stats_path(path))  # atomic on POSIX
+
+
+def _dir_bloom_rollup(stats: dict) -> dict:
+    """Directory-level Bloom filters: the bitwise OR of the member
+    files' bitmaps — a union of sets is the OR of their filters, so the
+    dir filter has the same zero-false-negative guarantee. Point
+    lookups and IN lists on a million-file table then rule out whole
+    directories with one probe each before any per-file bitmap is
+    decoded (FP rate is higher — the dir holds more distinct values —
+    which only costs descending into the per-file pass)."""
+    dirs: dict[str, dict] = {}
+    for rel, rec in stats["files"].items():
+        if "bloom" not in rec:
+            continue
+        d = os.path.dirname(rel)
+        acc = dirs.setdefault(d, {})
+        for c, b64 in rec["bloom"].items():
+            bits = base64.b64decode(b64)
+            if c in acc:
+                acc[c] = bytes(a | b for a, b in zip(acc[c], bits))
+            else:
+                acc[c] = bits
+    return {d: {c: base64.b64encode(bits).decode()
+                for c, bits in acc.items()}
+            for d, acc in dirs.items()}
 
 
 def _dir_rollup(stats: dict) -> dict:
@@ -486,6 +513,23 @@ def _range_may_match(mnk, mxk, op, value) -> bool:
         return True  # incomparable types: never prune on a guess
 
 
+def _bloom_hit(b64maps: dict, col: str, value, bloom: dict,
+               cache: dict) -> bool:
+    """Probe one base64 bitmap container (a file record's ``bloom``
+    map, or a directory's OR-rollup) for ``value``. True = may be
+    present (or the probe isn't reproducible); False = provably
+    absent. ``cache`` holds decoded bitmaps per column so an L-member
+    IN decodes once, not L times."""
+    if col not in cache:
+        cache[col] = base64.b64decode(b64maps[col])
+    bits = cache[col]
+    text = _bloom_probe_str(value, bloom.get("types", {}).get(col, ""))
+    if text is None:
+        return True
+    return all((bits[p // 8] >> (p % 8)) & 1
+               for p in _bloom_positions(text, bloom["m"], bloom["k"]))
+
+
 def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
                   cache: dict) -> bool:
     """Single-equality test behind ``=`` and each IN member: the Bloom
@@ -493,15 +537,9 @@ def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
     L-member IN over many files would otherwise re-decode L times)
     then the zone-map range check. Conservative like everything here:
     only a provable miss returns False."""
-    if bloom is not None and "bloom" in rec and col in rec["bloom"]:
-        if col not in cache:
-            cache[col] = base64.b64decode(rec["bloom"][col])
-        bits = cache[col]
-        text = _bloom_probe_str(value, bloom.get("types", {}).get(col, ""))
-        if text is not None and any(
-                not (bits[p // 8] >> (p % 8)) & 1
-                for p in _bloom_positions(text, bloom["m"], bloom["k"])):
-            return False
+    if (bloom is not None and "bloom" in rec and col in rec["bloom"]
+            and not _bloom_hit(rec["bloom"], col, value, bloom, cache)):
+        return False
     cs = rec["stats"].get(col)
     if cs is None:
         return True  # bloom-only column: no range to check
@@ -637,6 +675,28 @@ def plan_skip(path: str, predicates: list[tuple],
     kept, pruned, stale, unknown = [], [], [], []
     dir_verdicts: dict[str, bool] = {}  # manifest-level short-circuit
     rollup = stats.get("dirs") or {}
+    dir_blooms = stats.get("dir_blooms") or {}
+    bloom_cfg = stats.get("bloom")
+
+    def _dir_ok(d: str) -> bool:
+        bounds = rollup.get(d)
+        if bounds is not None and not _dir_may_match(bounds, predicates):
+            return False
+        dbl = dir_blooms.get(d)
+        if dbl and bloom_cfg:
+            cache: dict = {}
+            for col, op, value in predicates:
+                if col not in dbl:
+                    continue
+                if op == "=" and not _bloom_hit(dbl, col, value,
+                                                bloom_cfg, cache):
+                    return False
+                if op == "in" and value and not any(
+                        _bloom_hit(dbl, col, m, bloom_cfg, cache)
+                        for m in value):
+                    return False
+        return True
+
     for rel in _list_data_files(path):
         if stale_pfx and rel.startswith(stale_pfx):
             stale.append(rel)
@@ -650,10 +710,7 @@ def plan_skip(path: str, predicates: list[tuple],
         d = os.path.dirname(rel)
         verdict = dir_verdicts.get(d)
         if verdict is None:
-            bounds = rollup.get(d)
-            verdict = (_dir_may_match(bounds, predicates)
-                       if bounds is not None else True)
-            dir_verdicts[d] = verdict
+            verdict = dir_verdicts[d] = _dir_ok(d)
         if not verdict:
             pruned.append(rel)  # whole-directory bounds miss
         elif _file_may_match(rec, predicates, stats.get("bloom")):

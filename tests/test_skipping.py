@@ -663,6 +663,39 @@ class TestDirRollup:
         assert all(r in plan["pruned"] for r in victims), \
             "dir rollup must prune despite keep-able per-file bounds"
 
+    def test_dir_bloom_rollup_prunes_point_lookups(self, spark, tmp_path):
+        """The OR of member bitmaps keeps zero false negatives at the
+        directory level; an absent id prunes dirs before any per-file
+        bitmap is decoded — proven by doctoring the per-file blooms to
+        all-ones (which would keep every file) and watching the
+        untouched dir rollup still prune."""
+        import base64 as _b64
+        import json as _json
+
+        path = str(tmp_path / "t")
+        df = spark.range(300).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("d"), (F.col("id") / 100).cast("int"))
+            .alias("bucket"))
+        warehouse.write_partitioned(df, path, ["bucket"])
+        stats = skipping.compute_stats(spark, path, ["doc_id"],
+                                       bloom_cols=["doc_id"])
+        assert stats.get("dir_blooms")
+        # present id: kept, result identical to a full scan
+        preds = [("doc_id", "=", "doc-250")]
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == 1
+        # doctored: per-file blooms say "maybe" for everything
+        doctored = _json.loads(_json.dumps(stats))
+        ones = _b64.b64encode(
+            bytes([0xFF]) * (doctored["bloom"]["m"] // 8)).decode()
+        for rec in doctored["files"].values():
+            rec["bloom"]["doc_id"] = ones
+        plan = skipping.plan_skip(
+            path, [("doc_id", "=", "doc-nope")], stats=doctored)
+        assert plan["kept"] == [], \
+            "dir blooms must prune even when file blooms would keep"
+
     def test_pre_rollup_snapshot_still_plans(self, spark, tmp_path):
         """Old stats files without the 'dirs' key fall back to the
         per-file pass untouched."""
