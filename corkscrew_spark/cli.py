@@ -215,7 +215,11 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
 
         preds = _parse_preds(args.pred)
         stats = skipping.load_stats(args.path)
-        plan = skipping.plan_skip(args.path, preds, stats=stats)
+        try:
+            plan = skipping.plan_skip(args.path, preds, stats=stats)
+        except ValueError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+            return 2
         if plan["fallback"]:
             print(f"full scan: {plan['fallback']}")
             return 0

@@ -410,7 +410,11 @@ def _dir_bloom_rollup(stats: dict) -> dict:
         for c, b64 in rec["bloom"].items():
             bits = base64.b64decode(b64)
             if c in acc:
-                acc[c] = bytes(a | b for a, b in zip(acc[c], bits))
+                # big-int OR: one machine-word pass instead of a
+                # per-byte Python loop (matters at many files x 1-32 KB)
+                acc[c] = (int.from_bytes(acc[c], "big")
+                          | int.from_bytes(bits, "big")
+                          ).to_bytes(len(bits), "big")
             else:
                 acc[c] = bits
     return {d: {c: base64.b64encode(bits).decode()
@@ -422,8 +426,7 @@ def _dir_rollup(stats: dict) -> dict:
     """Partition-directory bounds combined from the per-file records
     (Iceberg's manifest-level pruning): at millions of files, plan_skip
     rules out a whole `date=…` directory with ONE comparison instead of
-    one per file. Only comparison bounds roll up (a dir-level bloom
-    would need the bitmap OR — per-file probes stay precise enough);
+    one per file (blooms roll up separately in ``_dir_bloom_rollup``);
     null/ndv counts don't participate in dir pruning. A column whose
     bounds won't combine (mixed un-comparable encodings) is simply
     absent — per-file checks still run."""
@@ -468,15 +471,21 @@ def _dir_rollup(stats: dict) -> dict:
 def _dir_may_match(bounds: dict, predicates: list[tuple]) -> bool:
     """Dir-level analogue of the comparison half of _file_may_match:
     False only when the combined [min,max] of EVERY file in the dir
-    provably misses a comparison predicate. Equality/IN/null ops fall
-    through to the per-file pass (blooms and null counts don't roll
-    up here)."""
+    provably misses the predicate — including ``=`` and ``in`` (any
+    member in range keeps). Null-count ops fall through to the
+    per-file pass (null counts don't roll up here); bloom probes have
+    their own rollup in ``_dir_bloom_rollup``."""
     for col, op, value in predicates:
         b = bounds.get(col)
-        if b is None or op in ("=", "in", "is_null", "is_not_null"):
+        if b is None or op in ("is_null", "is_not_null"):
             continue
-        if not _range_may_match(_cmp_key(b[0]), _cmp_key(b[1]),
-                                op, value):
+        mnk, mxk = _cmp_key(b[0]), _cmp_key(b[1])
+        if op == "in":
+            if value and not any(_range_may_match(mnk, mxk, "=", m)
+                                 for m in value):
+                return False
+            continue
+        if not _range_may_match(mnk, mxk, op, value):
             return False
     return True
 
@@ -506,9 +515,19 @@ def _range_may_match(mnk, mxk, op, value) -> bool:
         v_lo, v_hi = _widen(value)
         if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
             return True
-        return {"<": mnk < v_hi, "<=": mnk <= v_hi,
-                ">": mxk > v_lo, ">=": mxk >= v_lo,
-                "=": mnk <= v_hi and v_lo <= mxk}[op]
+        # one comparison per op, short-circuited: an eager dict of all
+        # five would pay 5x on the per-file hot path AND let a
+        # TypeError from an IRRELEVANT bound (mixed-encoding column)
+        # forfeit pruning the requested op could prove
+        if op == "<":
+            return mnk < v_hi
+        if op == "<=":
+            return mnk <= v_hi
+        if op == ">":
+            return mxk > v_lo
+        if op == ">=":
+            return mxk >= v_lo
+        return mnk <= v_hi and v_lo <= mxk  # "="
     except TypeError:
         return True  # incomparable types: never prune on a guess
 
@@ -663,6 +682,11 @@ def plan_skip(path: str, predicates: list[tuple],
     "fallback": reason|None}``. ``kept`` includes stale and unknown
     files (they must be read); ``fallback`` is set when the whole table
     must be scanned (no stats, or a full rewrite since the snapshot)."""
+    for _c, op, _v in predicates:
+        if op not in _OPS:
+            # reject up front: a typo'd op reaching the comparison
+            # kernel would either crash or silently mis-prune
+            raise ValueError(f"unsupported op {op!r}; one of {_OPS}")
     stats = stats if stats is not None else load_stats(path)
     if stats is None:
         return {"kept": None, "pruned": [], "stale": [], "unknown": [],

@@ -696,6 +696,44 @@ class TestDirRollup:
         assert plan["kept"] == [], \
             "dir blooms must prune even when file blooms would keep"
 
+    def test_unknown_op_rejected_not_crashed(self, spark, tmp_path,
+                                             capsys):
+        """A typo'd op must raise a clear ValueError (and exit 2 from
+        the CLI), not crash in the kernel or silently mis-prune."""
+        import pytest
+
+        from corkscrew_spark import cli
+
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        with pytest.raises(ValueError, match="unsupported op"):
+            skipping.plan_skip(path, [("k", "!=", 5)])
+        assert cli.main(["maintenance", "skip-plan", path,
+                         "--pred", "k,!=,5"]) == 2
+        assert "unsupported op" in capsys.readouterr().err
+
+    def test_dir_bounds_prune_equality_without_bloom(
+            self, spark, tmp_path):
+        """= and IN prune at directory granularity from zone-map bounds
+        alone (no bloom built) — proven via the doctored-file trick."""
+        import json as _json
+
+        path = str(tmp_path / "t")
+        self._partitioned(spark, path)
+        stats = skipping.compute_stats(spark, path, ["k"])
+        doctored = _json.loads(_json.dumps(stats))
+        victims = [r for r in doctored["files"]
+                   if r.startswith("bucket=d0/")]
+        for r in victims:  # per-file bounds would KEEP everything
+            doctored["files"][r]["stats"]["k"][0] = 0
+            doctored["files"][r]["stats"]["k"][1] = 10_000
+        for preds in ([("k", "=", 250)], [("k", "in", [250, 299])]):
+            plan = skipping.plan_skip(path, preds, stats=doctored)
+            assert all(r in plan["pruned"] for r in victims), preds
+        got = skipping.read_skipping(spark, path, [("k", "=", 250)])
+        assert got.count() == 1
+
     def test_pre_rollup_snapshot_still_plans(self, spark, tmp_path):
         """Old stats files without the 'dirs' key fall back to the
         per-file pass untouched."""
