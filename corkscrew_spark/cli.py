@@ -263,12 +263,15 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         return 0
     if args.maint_cmd == "zorder":
         if not args.by or "," not in args.by:
-            print("error: --by xcol,ycol is required for zorder", file=sys.stderr)
+            print("error: --by col1,col2[,col3...] is required for zorder",
+                  file=sys.stderr)
             return 2
-        xc, yc = args.by.split(",", 1)
-        warehouse.zorder_write(spark.read.parquet(args.path), args.out or args.path + ".zorder",
-                               xc, yc)
-        print(f"z-ordered {args.path} on ({xc}, {yc}) -> {args.out or args.path + '.zorder'}")
+        zcols = args.by.split(",")
+        out = args.out or args.path + ".zorder"
+        warehouse.zorder_write_nd(
+            spark.read.parquet(args.path), out, zcols,
+            stats_cols=args.cols.split(",") if args.cols else None)
+        print(f"z-ordered {args.path} on ({', '.join(zcols)}) -> {out}")
         return 0
     return 2
 

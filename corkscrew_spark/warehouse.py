@@ -685,24 +685,43 @@ def compact_table(spark: SparkSession, path: str,
     return before, after
 
 
+def _quantize(c: Column, lo: float, hi: float, bits: int) -> Column:
+    span = (hi - lo) or 1.0
+    scaled = ((c.cast("double") - F.lit(lo)) / F.lit(span)) * ((1 << bits) - 1)
+    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
+                   F.lit((1 << bits) - 1))
+
+
 def zorder_value(x: Column, y: Column, x_min: float, x_max: float,
                  y_min: float, y_max: float, bits: int = 16) -> Column:
     """Morton (Z-order) key interleaving ``bits`` quantized bits of two
     columns — pure integer Column arithmetic, no UDF."""
-    def quantize(c: Column, lo: float, hi: float) -> Column:
-        span = (hi - lo) or 1.0
-        scaled = ((c.cast("double") - F.lit(lo)) / F.lit(span)) * ((1 << bits) - 1)
-        return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)),
-                       F.lit((1 << bits) - 1))
+    return zorder_value_nd([x, y], [x_min, y_min], [x_max, y_max],
+                           bits=bits)
 
-    qx, qy = quantize(x, x_min, x_max), quantize(y, y_min, y_max)
+
+def zorder_value_nd(cols: list[Column], mins: list[float],
+                    maxs: list[float], bits: int = 16) -> Column:
+    """N-dimensional Morton key: bit i of quantized dim j lands at
+    position ``i*k + j`` so every dimension contributes equally at
+    every scale — each output file covers a small k-dim hyper-box and
+    a selective predicate on ANY clustered column prunes. Still pure
+    integer Column arithmetic in whole-stage codegen (k*bits
+    shift/or terms). ``k * bits`` must fit a signed long; bits is
+    capped accordingly (e.g. 4 dims -> <=15 bits/dim)."""
+    k = len(cols)
+    if not (k and k == len(mins) == len(maxs)):
+        raise ValueError("cols/mins/maxs must be equal, non-zero length")
+    if k * bits > 62:
+        raise ValueError(f"{k} dims x {bits} bits overflows a long — "
+                         f"use bits<={62 // k}")
+    qs = [_quantize(c, lo, hi, bits)
+          for c, lo, hi in zip(cols, mins, maxs)]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, q in enumerate(qs):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j))
     return z
 
 
@@ -728,12 +747,26 @@ def zorder_write(df: DataFrame, path: str, x_col: str, y_col: str,
     the layout makes them tight — so ``skipping.read_skipping`` prunes
     files driver-side before Spark opens a single footer.
     """
-    bounds = df.agg(
-        F.min(x_col).cast("double"), F.max(x_col).cast("double"),
-        F.min(y_col).cast("double"), F.max(y_col).cast("double"),
-    ).first()
-    z = zorder_value(F.col(x_col), F.col(y_col),
-                     bounds[0], bounds[1], bounds[2], bounds[3], bits=bits)
+    zorder_write_nd(df, path, [x_col, y_col], n_files=n_files,
+                    bits=bits, stats_cols=stats_cols)
+
+
+def zorder_write_nd(df: DataFrame, path: str, cols: list[str],
+                    n_files: int = 16, bits: int | None = None,
+                    stats_cols: list[str] | None = None) -> None:
+    """N-dimensional Z-order rewrite: every output file covers a small
+    hyper-box of the k clustered columns, so selective predicates on
+    ANY of them prune files (Delta's OPTIMIZE ZORDER BY shape). bits
+    defaults to the largest per-dim resolution that fits a long key."""
+    if bits is None:
+        bits = min(16, 62 // len(cols))
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(c).cast("double"),
+                                F.max(c).cast("double"))]).first()
+    z = zorder_value_nd([F.col(c) for c in cols],
+                        [bounds[2 * j] for j in range(len(cols))],
+                        [bounds[2 * j + 1] for j in range(len(cols))],
+                        bits=bits)
     with _table_lock(path):
         # Stage-and-swap like every other writer: an in-place overwrite
         # deletes the live dir first, so readers (and a df derived from

@@ -374,6 +374,41 @@ def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
     assert spark.read.parquet(path).count() == n
 
 
+def test_zorder_nd_bounds_three_dimensions(spark, tmp_path):
+    """3-D Morton keys: every file covers a small hyper-box, so ALL
+    three clustered columns prune — checked through the skipping
+    planner (plan per single-dim predicate must drop most files) and
+    result identity against a full scan."""
+    from corkscrew_spark import skipping, warehouse
+
+    n = 1 << 12
+    df = spark.range(n).selectExpr(
+        "CAST(id % 16 AS LONG) AS x",
+        "CAST((id DIV 16) % 16 AS LONG) AS y",
+        "CAST(id DIV 256 AS LONG) AS z")
+    path = str(tmp_path / "z3")
+    warehouse.zorder_write_nd(df, path, ["x", "y", "z"], n_files=16,
+                              stats_cols=["x", "y", "z"])
+    for col in ("x", "y", "z"):
+        preds = [(col, "<", 4)]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["fallback"] is None
+        assert len(plan["pruned"]) >= 6, col
+        got = skipping.read_skipping(spark, path, preds)
+        assert got.count() == n // 4, col
+
+
+def test_zorder_nd_bits_overflow_rejected(spark):
+    import pytest
+
+    from corkscrew_spark import warehouse
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="overflows"):
+        warehouse.zorder_value_nd([F.col("a")] * 4, [0] * 4, [1] * 4,
+                                  bits=16)
+
+
 class TestCommitLog:
     def test_changed_partitions_since(self, spark, tmp_path):
         """The incremental-consumer hook: scoped merges record their
