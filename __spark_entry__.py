@@ -38,54 +38,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #: `python tools/rotate_window.py` again (folds CORRECTNESS_r04.json),
 #: then `python tools/driver_sim.py --window 50` before committing.
 _DRIVER_RECORDED = frozenset({
-    "activity_streaks", "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_pq_topk", "ann_quantized_topk", "anti_join",
-    "approx_distinct_users", "array_lambda_stats", "asof_join_events",
-    "bigram_collocations_pmi", "blast_radius", "blast_radius_rank",
-    "boilerplate_removal", "bpe_vocab_tokenize", "case_buckets",
-    "change_anomaly_report", "change_history_timeline",
-    "change_query_builder", "char_trigram_profile", "chunk_windows",
-    "compliance_duckdb_pack", "compliance_pack", "corpus_curation_full",
-    "corpus_health_report", "corpus_stats", "corpus_training_mix",
-    "correlation_rules", "count_distinct_rollup", "cube_orders",
-    "customer_order_distribution", "decontaminate", "dedup_clusters",
+    "activity_streaks", "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_lsh_topk", "ann_pq_topk", "ann_quantized_topk", "anti_join",
+    "approx_distinct_users", "array_lambda_stats",
+    "asof_forward_next_purchase", "asof_join_events", "basket_part_pairs",
+    "bigram_collocations_pmi", "bitwise_flag_rollup", "blast_radius",
+    "blast_radius_rank", "boilerplate_removal", "bpe_vocab_tokenize",
+    "case_buckets", "change_anomaly_report", "change_history_timeline",
+    "change_query_builder", "char_trigram_profile", "chi2_lang_source",
+    "chunk_windows", "compliance_duckdb_pack", "compliance_pack",
+    "corpus_curation_full", "corpus_health_report", "corpus_stats",
+    "corpus_training_mix", "correlation_rules", "count_distinct_rollup",
+    "cube_orders", "customer_order_distribution", "customer_rfm",
+    "cusum_drift_days", "daily_activity_dense", "date_functions_family",
+    "decay_weighted_value", "decontaminate", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_exact_spans", "dedup_keep_longest",
     "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_prefix_exact", "dedup_simhash", "distinct_sketch_rollup",
-    "dq_orphan_audit", "drift_detect", "engine_param_binding",
-    "filter_project_sort", "filter_range_limit", "funnel_steps",
+    "dedup_prefix_exact", "dedup_simhash", "discount_effectiveness",
+    "distinct_sketch_rollup", "dq_orphan_audit", "drift_detect",
+    "engine_param_binding", "event_transition_matrix", "filter_project_sort",
+    "filter_range_limit", "fulfillment_latency", "funnel_steps",
     "fuzzy_match_parts", "graph_communities", "graph_degree_distribution",
-    "graph_hits", "graph_khop", "graph_pagerank", "graph_shortest_path",
-    "graph_summary", "graph_topo_levels", "graph_triangles",
-    "graph_weighted_sssp", "grouping_sets_orders", "having_large_orders",
-    "impact_scoring", "in_list_filter", "incremental_rollup",
-    "intersect_except_branches", "json_extract_agg", "k_anonymity_audit",
-    "kql_arg_max_order", "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens",
-    "kql_events_rollup", "kql_join_spend", "kql_make_series_daily",
-    "kql_parse_props", "kql_percentile_value", "kql_summarize",
-    "kql_time_bins", "kql_union_mix", "langid_confusion",
-    "left_join_histogram", "levenshtein_suggest", "like_filter",
+    "graph_hits", "graph_khop", "graph_khop_cte", "graph_pagerank",
+    "graph_shortest_path", "graph_summary", "graph_topo_levels",
+    "graph_triangles", "graph_weighted_sssp", "grouping_sets_orders",
+    "having_large_orders", "hourly_seasonality", "impact_scoring",
+    "in_list_filter", "incremental_refresh_equals_recompute",
+    "incremental_rollup", "intersect_except_branches",
+    "interval_join_sessions", "iqr_outliers", "json_extract_agg",
+    "k_anonymity_audit", "kql_arg_max_order", "kql_bin_6h", "kql_case_tiers",
+    "kql_docs_tokens", "kql_events_rollup", "kql_join_spend",
+    "kql_make_series_daily", "kql_mv_apply_tokens", "kql_parse_props",
+    "kql_percentile_value", "kql_summarize", "kql_time_bins",
+    "kql_union_mix", "langid_confusion", "left_join_histogram",
+    "levenshtein_suggest", "like_filter", "linear_interpolate_value",
+    "locf_gap_fill", "mad_outlier_bounds", "mixture_rates_for_budget",
     "motif_open_triads", "moving_avg_frame", "multimodal_features",
-    "mv_expand_tokens", "order_priority_exists", "orders_above_cust_avg",
+    "mv_expand_tokens", "ntile_price_bins", "null_safe_join",
+    "numeric_histogram", "ohlc_hourly", "order_gap_profile",
+    "order_priority_exists", "ordered_listagg", "orders_above_cust_avg",
     "pack_sequences", "pack_sequences_sep", "paginate_offset",
     "percentile_exact", "pivot_priority_status", "pricing_summary",
-    "profile_orders", "range_frame_weekly_sum", "reconcile_snapshots",
-    "regex_extract", "region_rollup", "regional_revenue", "resolve_entities",
-    "retention_cohorts", "returned_items_revenue", "rollup_segment_nation",
-    "sample_by_quality", "sample_fixed_per_lang", "sample_mixture",
-    "sample_stratified", "sample_weighted_tokens", "self_join_pairs",
-    "semdedup_embeddings", "semi_join", "session_stats_30m",
-    "shipping_priority", "shuffle_order", "skew_profile_custkey",
-    "source_token_kl", "state_checksum", "string_functions",
-    "telemetry_rollup", "text_bigram_logprob", "text_c4_filters",
-    "text_classifier_score", "text_fingerprint", "text_gopher_filters",
-    "text_langid", "text_length_bands", "text_quality", "text_redact",
-    "text_repetition", "text_search_and", "text_unigram_logprob",
-    "tfidf_top_terms", "time_range_agg", "token_count_bpe",
-    "token_quantiles_approx", "top_changed_resources", "top_customers",
-    "topk_per_group", "union_branches", "unpivot_priority_status",
-    "upsert_latest", "variant_json_agg", "vocab_growth", "window_lag",
-    "window_rank_family", "zipf_slope",
+    "profile_orders", "quality_threshold_sweep", "range_frame_weekly_sum",
+    "reconcile_snapshots", "regex_extract", "region_revenue_share",
+    "region_rollup", "regional_revenue", "resolve_entities",
+    "retention_cohorts", "retention_drop_effect", "returned_items_revenue",
+    "rolling_zscore_anomalies", "rollup_segment_nation", "sample_by_quality",
+    "sample_fixed_per_lang", "sample_mixture", "sample_stratified",
+    "sample_weighted_tokens", "seasonal_anomaly_days", "self_join_pairs",
+    "semdedup_embeddings", "semi_join", "sequence_spans",
+    "session_stats_30m", "shipping_priority", "shuffle_order",
+    "sketch_weekly_distinct", "skew_profile_custkey", "source_token_kl",
+    "state_as_of", "state_checksum", "state_dwell_times", "string_functions",
+    "supplier_reliability", "telemetry_rollup", "text_bigram_logprob",
+    "text_c4_filters", "text_classifier_score", "text_fingerprint",
+    "text_gopher_filters", "text_langid", "text_length_bands",
+    "text_quality", "text_redact", "text_repetition", "text_search_and",
+    "text_unigram_logprob", "tfidf_top_terms", "time_range_agg",
+    "token_count_bpe", "token_quantiles_approx", "top_changed_resources",
+    "top_customers", "top_selling_parts", "topk_per_group", "topk_with_ties",
+    "union_branches", "unpivot_priority_status", "upsert_latest",
+    "user_event_entropy", "user_event_timeline", "value_regression",
+    "variant_json_agg", "versioned_time_travel", "vocab_growth",
+    "window_filtered_sum", "window_lag", "window_rank_family", "zipf_slope",
 })
 
 
@@ -112,56 +127,56 @@ _DEFERRED = frozenset()
 #: Connect _jdf gate). Every name verified green by
 #: `tools/driver_sim.py --window 50` at sf0.01 before pinning.
 _WINDOW = (
+    "pricing_summary",
+    "region_rollup",
+    "top_customers",
+    "count_distinct_rollup",
+    "telemetry_rollup",
+    "filter_project_sort",
+    "filter_range_limit",
+    "like_filter",
+    "time_range_agg",
+    "in_list_filter",
+    "case_buckets",
+    "left_join_histogram",
+    "semi_join",
+    "anti_join",
+    "self_join_pairs",
+    "union_branches",
+    "topk_per_group",
+    "window_lag",
+    "json_extract_agg",
+    "regex_extract",
+    "string_functions",
+    "graph_khop",
     "graph_khop_cte",
-    "incremental_refresh_equals_recompute",
-    "sketch_weekly_distinct",
-    "value_regression",
-    "numeric_histogram",
-    "iqr_outliers",
-    "user_event_timeline",
-    "topk_with_ties",
-    "window_filtered_sum",
-    "date_functions_family",
-    "null_safe_join",
-    "locf_gap_fill",
-    "decay_weighted_value",
-    "ordered_listagg",
-    "bitwise_flag_rollup",
-    "ntile_price_bins",
-    "rolling_zscore_anomalies",
-    "user_event_entropy",
-    "chi2_lang_source",
-    "fulfillment_latency",
-    "top_selling_parts",
-    "basket_part_pairs",
-    "mad_outlier_bounds",
-    "customer_rfm",
-    "region_revenue_share",
-    "discount_effectiveness",
-    "supplier_reliability",
-    "kql_mv_apply_tokens",
-    "interval_join_sessions",
-    "daily_activity_dense",
-    "asof_forward_next_purchase",
-    "state_as_of",
-    "event_transition_matrix",
-    "linear_interpolate_value",
-    "ohlc_hourly",
-    "seasonal_anomaly_days",
-    "sequence_spans",
-    "state_dwell_times",
-    "cusum_drift_days",
-    "hourly_seasonality",
-    "order_gap_profile",
-    "ann_ivfpq_topk",
-    "quality_threshold_sweep",
-    "mixture_rates_for_budget",
-    "versioned_time_travel",
-    "retention_drop_effect",
-    "upsert_latest",
+    "graph_shortest_path",
+    "graph_topo_levels",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_weighted_sssp",
+    "graph_hits",
+    "graph_communities",
+    "motif_open_triads",
+    "blast_radius_rank",
+    "graph_degree_distribution",
+    "graph_summary",
+    "dedup_prefix_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "pack_sequences",
+    "sample_stratified",
     "dedup_clusters",
-    "paginate_offset",
-    "kql_summarize",
+    "text_redact",
+    "decontaminate",
 )
 
 

@@ -22,8 +22,13 @@ Correctness never depends on the statistics:
   comparisons never match NULL) but kept for ``is_null``;
 * edge values never prune on a guess: NaN bounds keep the file (Spark
   orders NaN largest, Python won't compare it), Decimal bounds widen
-  outward by one float ulp, and date/datetime/ISO-string comparisons
-  all coerce to datetime (matching Spark's date→timestamp promotion).
+  outward by one float ulp, and comparison-domain coercion is gated
+  on the column's RECORDED Spark type (``types`` in the stats file):
+  only date/timestamp columns parse ISO bounds into datetimes
+  (matching Spark's date→timestamp promotion) — string columns
+  compare lexicographically exactly as Spark compares them, and a
+  column whose type is unknown (pre-``types`` snapshot) only prunes
+  on unambiguous bounds.
 
 Reference parity: the reference delegates scans to DuckDB, whose
 parquet reader prunes row groups via zone maps automatically
@@ -87,13 +92,52 @@ def _is_nan(x) -> bool:
     return isinstance(x, float) and x != x
 
 
-def _cmp_key(x):
-    """Comparison-domain coercion: ISO-looking strings (the stored
-    encoding of dates AND timestamps) and date/datetime values all
-    become datetimes, so date-typed stats compare correctly against
-    datetime predicates and vice versa — Spark promotes date to
+def _is_temporal(t: str | None) -> bool:
+    """Is a recorded Spark simpleString type date/timestamp-family?"""
+    return bool(t) and (t == "date" or t.startswith("timestamp"))
+
+
+#: Sentinel for bounds whose comparison domain can't be determined
+#: (pre-``types`` stats snapshot + ISO-parseable string bound, which
+#: could be genuine string data OR a temporal encoding — the two
+#: orders disagree). Comparisons with anything raise TypeError, which
+#: every pruning kernel catches as "keep the file".
+_INCOMPARABLE = object()
+
+
+def _cmp_key(x, temporal: bool | None = True):
+    """Comparison-domain coercion, gated on the column's RECORDED Spark
+    type. For date/timestamp columns (``temporal=True``) ISO strings
+    (the stored bound encoding) and date/datetime values all become
+    datetimes, so date-typed stats compare correctly against datetime
+    predicates and vice versa — Spark promotes date to
     timestamp-at-midnight in real filters, and lexicographic
-    'YYYY-MM-DD' vs 'YYYY-MM-DD HH:MM:SS' does NOT reproduce that."""
+    'YYYY-MM-DD' vs 'YYYY-MM-DD HH:MM:SS' does NOT reproduce that.
+
+    For every OTHER column type no coercion happens: Spark compares
+    string columns lexicographically, and datetime order is NOT
+    isomorphic to it (mixed 'T'/space separators, date-only vs
+    'date 00:00:00'), so parsing an ISO-looking string bound of a
+    genuine STRING column would mis-prune matching rows. A string
+    column probed with a date/datetime literal (Spark casts the
+    COLUMN) stays un-coerced too: the str-vs-datetime TypeError keeps
+    the file — conservative, never wrong.
+
+    ``temporal=None`` = the column's type is UNKNOWN (a stats snapshot
+    written before types were recorded): coerce only what is
+    unambiguous — date/datetime objects and non-ISO strings — and mark
+    ISO-parseable strings ``_INCOMPARABLE`` so neither wrong order can
+    prune; the file is kept."""
+    if temporal is None:
+        if isinstance(x, str):
+            try:
+                _dt.datetime.fromisoformat(x)
+            except ValueError:
+                return x  # unambiguously a plain string
+            return _INCOMPARABLE
+        temporal = True  # date/datetime objects are unambiguous below
+    if not temporal:
+        return x
     if isinstance(x, str):
         try:
             return _dt.datetime.fromisoformat(x)
@@ -106,14 +150,14 @@ def _cmp_key(x):
     return x
 
 
-def _widen(value) -> tuple:
+def _widen(value, temporal: bool | None = True) -> tuple:
     """Predicate value -> (lo, hi) comparison keys. Decimals widen one
     float ulp each way (their float image is inexact); everything else
     is an exact point. Callers pick the conservative side per op."""
     if isinstance(value, _decimal.Decimal):
         f = float(value)
         return (math.nextafter(f, -math.inf), math.nextafter(f, math.inf))
-    v = _cmp_key(_norm(value))
+    v = _cmp_key(value, temporal)
     return v, v
 
 
@@ -162,15 +206,32 @@ def compute_stats(spark: SparkSession, path: str,
     # the snapshot (and be caught later as unknown), not be given a
     # fabricated empty record that would prune its rows forever.
     expected = _list_data_files(path)
-    bloom = ({"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes}
+    bloom = ({"cols": list(bloom_cols), "m": bloom_bits, "k": bloom_hashes,
+              # timestamp bloom canonicalization renders in the session
+              # time zone; record it so probes under a DIFFERENT zone
+              # know to stand down (see _bloom_tz_ok)
+              "tz": spark.conf.get("spark.sql.session.timeZone")}
              if bloom_cols else None)
-    files = _per_file_stats(path, spark.read.parquet(path), cols, bloom)
-    _fill_empty_files(files, expected, cols)
-    stats = {"ts_ns": time.time_ns(), "cols": list(cols), "files": files}
+    df = spark.read.parquet(path)
+    files = _per_file_stats(path, df, cols, bloom)
+    _fill_empty_files(files, expected, cols, path)
+    stats = {"ts_ns": time.time_ns(), "cols": list(cols),
+             # per-column Spark types gate the comparison-domain
+             # coercion: only date/timestamp bounds parse as datetimes;
+             # string columns compare lexicographically like Spark does
+             "types": _schema_types(df, cols, bloom),
+             "files": files}
     if bloom:
         stats["bloom"] = bloom
     _write_stats(path, stats)
     return stats
+
+
+def _schema_types(df: DataFrame, cols: list[str],
+                  bloom: dict | None) -> dict[str, str]:
+    stat_cols = list(dict.fromkeys(
+        list(cols) + (bloom["cols"] if bloom else [])))
+    return {c: df.schema[c].dataType.simpleString() for c in stat_cols}
 
 
 #: Spark types bloom filters support, mapped to a canonical-rendering
@@ -295,7 +356,15 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
     rows = df.groupBy("__file").agg(*aggs).collect()
     files: dict[str, dict] = {}
     for r in rows:
-        rec = {"rows": r["__rows"], "stats": {}}
+        rel = _file_rel(path, r["__file"])
+        # record the on-disk size ONCE at stats time so estimate_scan
+        # never walks the filesystem (O(files) getsize syscalls per
+        # estimate would be the million-file anti-pattern)
+        try:
+            nbytes = os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            nbytes = None
+        rec = {"rows": r["__rows"], "bytes": nbytes, "stats": {}}
         for c in cols:
             rec["stats"][c] = [_enc_bound(r[f"__min_{c}"], -1),
                                _enc_bound(r[f"__max_{c}"], +1),
@@ -309,12 +378,12 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
                     for pos in r[f"__bloom_{c}_{s}"]:
                         bits[pos // 8] |= 1 << (pos % 8)
                 rec["bloom"][c] = base64.b64encode(bytes(bits)).decode()
-        files[_file_rel(path, r["__file"])] = rec
+        files[rel] = rec
     return files
 
 
 def _fill_empty_files(files: dict, expected: list[str],
-                      cols: list[str]) -> None:
+                      cols: list[str], path: str | None = None) -> None:
     """Zero-row part files never surface in the input_file_name
     aggregation (no rows to group); give them explicit empty records so
     they don't stay perpetually 'unknown'. An empty file matches no
@@ -322,7 +391,12 @@ def _fill_empty_files(files: dict, expected: list[str],
     comparison and a 0 null count prunes is_null."""
     for rel in expected:
         if rel not in files:
-            files[rel] = {"rows": 0,
+            try:
+                nbytes = (os.path.getsize(os.path.join(path, rel))
+                          if path else None)
+            except OSError:
+                nbytes = None
+            files[rel] = {"rows": 0, "bytes": nbytes,
                           "stats": {c: [None, None, 0, 0] for c in cols}}
 
 
@@ -375,8 +449,13 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
             *[os.path.join(path, rel) for rel in todo])
         files.update(_per_file_stats(path, sub, cols,
                                      stats.get("bloom")))
-        _fill_empty_files(files, todo, cols)
+        _fill_empty_files(files, todo, cols, path)
     out = {"ts_ns": time.time_ns(), "cols": cols, "files": files}
+    types = stats.get("types")
+    if types is None and todo:
+        types = _schema_types(sub, cols, stats.get("bloom"))
+    if types is not None:
+        out["types"] = types
     if stats.get("bloom"):
         out["bloom"] = stats["bloom"]
     _write_stats(path, out)
@@ -430,6 +509,7 @@ def _dir_rollup(stats: dict) -> dict:
     null/ndv counts don't participate in dir pruning. A column whose
     bounds won't combine (mixed un-comparable encodings) is simply
     absent — per-file checks still run."""
+    types = stats.get("types") or {}
     dirs: dict[str, dict] = {}
     for rel, rec in stats["files"].items():
         d = os.path.dirname(rel)
@@ -446,7 +526,10 @@ def _dir_rollup(stats: dict) -> dict:
                 # ([2]=min key, [3]=max key) so each file's bounds are
                 # coerced ONCE, not re-parsed per combine — the rollup
                 # is O(files), and ISO strings parse one time each
-                mnk, mxk = _cmp_key(mn), _cmp_key(mx)
+                temporal = (_is_temporal(types[c]) if c in types
+                            else None)
+                mnk = _cmp_key(mn, temporal)
+                mxk = _cmp_key(mx, temporal)
                 if cur is None:
                     bounds[c] = [mn, mx, mnk, mxk]
                     continue
@@ -468,24 +551,29 @@ def _dir_rollup(stats: dict) -> dict:
             for d, bounds in dirs.items()}
 
 
-def _dir_may_match(bounds: dict, predicates: list[tuple]) -> bool:
+def _dir_may_match(bounds: dict, predicates: list[tuple],
+                   types: dict | None = None) -> bool:
     """Dir-level analogue of the comparison half of _file_may_match:
     False only when the combined [min,max] of EVERY file in the dir
     provably misses the predicate — including ``=`` and ``in`` (any
     member in range keeps). Null-count ops fall through to the
     per-file pass (null counts don't roll up here); bloom probes have
     their own rollup in ``_dir_bloom_rollup``."""
+    types = types or {}
     for col, op, value in predicates:
         b = bounds.get(col)
         if b is None or op in ("is_null", "is_not_null"):
             continue
-        mnk, mxk = _cmp_key(b[0]), _cmp_key(b[1])
+        temporal = _is_temporal(types[col]) if col in types else None
+        mnk = _cmp_key(b[0], temporal)
+        mxk = _cmp_key(b[1], temporal)
         if op == "in":
-            if value and not any(_range_may_match(mnk, mxk, "=", m)
-                                 for m in value):
+            if value and not any(
+                    _range_may_match(mnk, mxk, "=", m, temporal)
+                    for m in value):
                 return False
             continue
-        if not _range_may_match(mnk, mxk, op, value):
+        if not _range_may_match(mnk, mxk, op, value, temporal):
             return False
     return True
 
@@ -498,21 +586,24 @@ def load_stats(path: str) -> dict | None:
         return json.load(fh)
 
 
-def _range_may_match(mnk, mxk, op, value) -> bool:
+def _range_may_match(mnk, mxk, op, value,
+                     temporal: bool | None = True) -> bool:
     """The ONE range check behind file-level, directory-level, and
     equality pruning, over pre-coerced bound keys: True = the range
     cannot be ruled out (keep). All the conservatism lives here — NaN
     anywhere keeps (Spark orders NaN largest, Python won't compare
     it), incomparable types keep, Decimal literals compare against
-    their widened side."""
+    their widened side. ``temporal`` is the COLUMN's recorded
+    comparison domain (see ``_cmp_key``) and governs how the predicate
+    VALUE is coerced — the bound keys arrive pre-coerced the same way."""
     try:
         if op == "between":
-            lo, _ = _widen(value[0])
-            _, hi = _widen(value[1])
+            lo, _ = _widen(value[0], temporal)
+            _, hi = _widen(value[1], temporal)
             if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
                 return True
             return not (mxk < lo or mnk > hi)
-        v_lo, v_hi = _widen(value)
+        v_lo, v_hi = _widen(value, temporal)
         if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
             return True
         # one comparison per op, short-circuited: an eager dict of all
@@ -532,17 +623,46 @@ def _range_may_match(mnk, mxk, op, value) -> bool:
         return True  # incomparable types: never prune on a guess
 
 
+def _bloom_tz_ok(bloom: dict) -> bool:
+    """Are TIMESTAMP bloom probes sound right now? Timestamp bitmaps
+    were built from ``date_format`` strings rendered in the SESSION
+    time zone at compute time, while the probe strftime's the naive
+    predicate literal directly — the literal a query session would
+    interpret in ITS zone. The canonical images agree only when the
+    two zones match; otherwise a matching file could probe false — a
+    false-negative prune, wrong rows. So: stand down (probe returns
+    may-match) unless the recorded zone equals the active session's.
+    Non-timestamp bloom columns are zone-free and never gated."""
+    if "timestamp" not in set(bloom.get("types", {}).values()):
+        return True
+    stored = bloom.get("tz")
+    if stored is None:
+        return False  # pre-tz snapshot: never trust timestamp probes
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return False
+    try:
+        return sess.conf.get("spark.sql.session.timeZone") == stored
+    except Exception:
+        return False
+
+
 def _bloom_hit(b64maps: dict, col: str, value, bloom: dict,
-               cache: dict) -> bool:
+               cache: dict, tz_ok: bool = True) -> bool:
     """Probe one base64 bitmap container (a file record's ``bloom``
     map, or a directory's OR-rollup) for ``value``. True = may be
     present (or the probe isn't reproducible); False = provably
     absent. ``cache`` holds decoded bitmaps per column so an L-member
-    IN decodes once, not L times."""
+    IN decodes once, not L times. ``tz_ok`` (from ``_bloom_tz_ok``,
+    computed once per plan) disables timestamp probes when the session
+    time zone differs from the one the bitmaps were rendered under."""
+    tag = bloom.get("types", {}).get(col, "")
+    if tag == "timestamp" and not tz_ok:
+        return True
     if col not in cache:
         cache[col] = base64.b64decode(b64maps[col])
     bits = cache[col]
-    text = _bloom_probe_str(value, bloom.get("types", {}).get(col, ""))
+    text = _bloom_probe_str(value, tag)
     if text is None:
         return True
     return all((bits[p // 8] >> (p % 8)) & 1
@@ -550,14 +670,16 @@ def _bloom_hit(b64maps: dict, col: str, value, bloom: dict,
 
 
 def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
-                  cache: dict) -> bool:
+                  cache: dict, temporal: bool | None = True,
+                  tz_ok: bool = True) -> bool:
     """Single-equality test behind ``=`` and each IN member: the Bloom
     probe (bitmap decoded ONCE per file+column via ``cache`` — an
     L-member IN over many files would otherwise re-decode L times)
     then the zone-map range check. Conservative like everything here:
     only a provable miss returns False."""
     if (bloom is not None and "bloom" in rec and col in rec["bloom"]
-            and not _bloom_hit(rec["bloom"], col, value, bloom, cache)):
+            and not _bloom_hit(rec["bloom"], col, value, bloom, cache,
+                               tz_ok)):
         return False
     cs = rec["stats"].get(col)
     if cs is None:
@@ -565,28 +687,37 @@ def _eq_may_match(rec: dict, col: str, value, bloom: dict | None,
     mn, mx = cs[0], cs[1]
     if mn is None and mx is None:
         return False  # all-NULL file: equality never matches
-    return _range_may_match(_cmp_key(mn), _cmp_key(mx), "=", value)
+    return _range_may_match(_cmp_key(mn, temporal),
+                            _cmp_key(mx, temporal), "=", value, temporal)
 
 
 def _file_may_match(rec: dict, predicates: list[tuple],
-                    bloom: dict | None = None) -> bool:
+                    bloom: dict | None = None,
+                    types: dict | None = None,
+                    tz_ok: bool = True) -> bool:
     """Can any row of a file with zone map ``rec`` satisfy the AND of
     ``predicates``? Conservative: unknown column / type mismatch /
     unparseable bound => True (read the file). Equality and IN
     predicates additionally probe the file's Bloom filter when one was
     built for the column — no false negatives, so a missing bit proves
-    absence."""
+    absence. ``types`` is the stats snapshot's recorded column-type
+    map (absent for a pre-``types`` snapshot: each column's comparison
+    domain is then 'unknown' and only unambiguous bounds prune)."""
+    types = types or {}
     bloom_cache: dict = {}
     for col, op, value in predicates:
+        temporal = _is_temporal(types[col]) if col in types else None
         if op == "=":
-            if not _eq_may_match(rec, col, value, bloom, bloom_cache):
+            if not _eq_may_match(rec, col, value, bloom, bloom_cache,
+                                 temporal, tz_ok):
                 return False
             continue
         if op == "in":
             # prunable only when EVERY member misses (empty IN matches
             # nothing); runs BEFORE the stats guard so bloom-only
             # columns still prune
-            if not any(_eq_may_match(rec, col, m, bloom, bloom_cache)
+            if not any(_eq_may_match(rec, col, m, bloom, bloom_cache,
+                                     temporal, tz_ok)
                        for m in value):
                 return False
             continue
@@ -604,7 +735,9 @@ def _file_may_match(rec: dict, predicates: list[tuple],
             continue
         if mn is None and mx is None:
             return False  # all-NULL file: comparisons never match
-        if not _range_may_match(_cmp_key(mn), _cmp_key(mx), op, value):
+        if not _range_may_match(_cmp_key(mn, temporal),
+                                _cmp_key(mx, temporal), op, value,
+                                temporal):
             return False
     return True
 
@@ -701,10 +834,13 @@ def plan_skip(path: str, predicates: list[tuple],
     rollup = stats.get("dirs") or {}
     dir_blooms = stats.get("dir_blooms") or {}
     bloom_cfg = stats.get("bloom")
+    types = stats.get("types")
+    tz_ok = _bloom_tz_ok(bloom_cfg) if bloom_cfg else True
 
     def _dir_ok(d: str) -> bool:
         bounds = rollup.get(d)
-        if bounds is not None and not _dir_may_match(bounds, predicates):
+        if bounds is not None and not _dir_may_match(bounds, predicates,
+                                                     types):
             return False
         dbl = dir_blooms.get(d)
         if dbl and bloom_cfg:
@@ -713,10 +849,10 @@ def plan_skip(path: str, predicates: list[tuple],
                 if col not in dbl:
                     continue
                 if op == "=" and not _bloom_hit(dbl, col, value,
-                                                bloom_cfg, cache):
+                                                bloom_cfg, cache, tz_ok):
                     return False
                 if op == "in" and value and not any(
-                        _bloom_hit(dbl, col, m, bloom_cfg, cache)
+                        _bloom_hit(dbl, col, m, bloom_cfg, cache, tz_ok)
                         for m in value):
                     return False
         return True
@@ -737,7 +873,8 @@ def plan_skip(path: str, predicates: list[tuple],
             verdict = dir_verdicts[d] = _dir_ok(d)
         if not verdict:
             pruned.append(rel)  # whole-directory bounds miss
-        elif _file_may_match(rec, predicates, stats.get("bloom")):
+        elif _file_may_match(rec, predicates, stats.get("bloom"),
+                             types, tz_ok):
             kept.append(rel)
         else:
             pruned.append(rel)
@@ -754,13 +891,38 @@ def estimate_scan(path: str, predicates: list[tuple],
     trustworthy stats row count). The admission-control half of data
     skipping: a scheduler can refuse or re-cluster a query that would
     open 95% of a 100 TB table. Pass ``stats``/``plan`` from an earlier
-    call to avoid re-parsing and re-walking."""
+    call to avoid re-parsing and re-walking.
+
+    Sizes come from the stats records (captured once at compute time),
+    NOT a per-call filesystem walk: on a stats-fresh table the estimate
+    makes ZERO getsize syscalls — only stale/unknown files (and the
+    no-stats fallback) touch the filesystem, because their recorded
+    size is the one thing that may have changed."""
     stats = stats if stats is not None else load_stats(path)
     plan = plan if plan is not None else plan_skip(
         path, predicates, stats=stats)
-    all_files = _list_data_files(path)
-    bytes_total = sum(
-        os.path.getsize(os.path.join(path, rel)) for rel in all_files)
+    recs = (stats or {}).get("files", {})
+    if plan["fallback"] is not None:
+        all_files = _list_data_files(path)
+        sized: set = set()
+    else:
+        # kept + pruned IS the current file listing plan_skip just
+        # walked — no second walk
+        all_files = plan["kept"] + plan["pruned"]
+        untrusted = set(plan["stale"]) | set(plan["unknown"])
+        sized = {rel for rel in all_files
+                 if rel not in untrusted
+                 and recs.get(rel, {}).get("bytes") is not None}
+
+    def _size(rel: str) -> int:
+        if rel in sized:
+            return recs[rel]["bytes"]
+        try:
+            return os.path.getsize(os.path.join(path, rel))
+        except OSError:
+            return 0  # raced with a concurrent rewrite: estimate only
+
+    bytes_total = sum(_size(rel) for rel in all_files)
     if plan["fallback"] is not None:
         return {"files_total": len(all_files), "files_kept": len(all_files),
                 "bytes_total": bytes_total, "bytes_kept": bytes_total,
@@ -771,8 +933,7 @@ def estimate_scan(path: str, predicates: list[tuple],
         "files_total": len(all_files),
         "files_kept": len(plan["kept"]),
         "bytes_total": bytes_total,
-        "bytes_kept": sum(os.path.getsize(os.path.join(path, rel))
-                          for rel in plan["kept"]),
+        "bytes_kept": sum(_size(rel) for rel in plan["kept"]),
         "rows_known_kept": sum(stats["files"][rel]["rows"]
                                for rel in fresh),
         "rows_est_matched": _est_matched(stats, fresh, predicates),

@@ -125,10 +125,34 @@ def _link_shared(data_dir: str, rel: str, owner: int) -> None:
     os.symlink(target, link)
 
 
+def _rows_by_partition(spark: SparkSession, data: str,
+                       rels: list[str]) -> dict[str, int]:
+    """Row count per partition dir, reading ONLY the named dirs — the
+    O(touched) half of the manifest row-count arithmetic. One
+    file-grained aggregate; counts attach to a rel via each file's
+    dirname (no value re-escaping round-trip)."""
+    from pyspark.sql import functions as F
+
+    if not rels:
+        return {}
+    sub = spark.read.parquet(*[os.path.join(data, rel) for rel in rels])
+    counts = (sub.groupBy(F.input_file_name().alias("__f"))
+              .agg(F.count(F.lit(1)).alias("__n")).collect())
+    base = os.path.abspath(data)
+    out = {rel: 0 for rel in rels}
+    import urllib.parse
+    for r in counts:
+        p = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+        rel = os.path.relpath(os.path.dirname(p), base)
+        out[rel] = out.get(rel, 0) + r["__n"]
+    return out
+
+
 def _commit(path: str, version: int, op: str, rows: int,
             commit_ts: float | None,
             parts: dict[str, int] | None = None,
-            partition_cols: list[str] | None = None) -> int:
+            partition_cols: list[str] | None = None,
+            part_rows: dict[str, int] | None = None) -> int:
     entries = read_manifest(path)
     entry: dict = {
         "version": version,
@@ -139,6 +163,11 @@ def _commit(path: str, version: int, op: str, rows: int,
     if parts is not None:
         entry["parts"] = parts
         entry["partition_cols"] = list(partition_cols or [])
+    if part_rows is not None:
+        # per-partition row counts: lets the NEXT upsert derive its
+        # manifest total arithmetically (carried partitions keep their
+        # recorded count) instead of re-counting the composed snapshot
+        entry["part_rows"] = part_rows
     entries.append(entry)
     _write_manifest(path, entries)
     return version
@@ -159,16 +188,19 @@ def write_version(df: DataFrame, path: str, op: str = "overwrite",
     version = (latest_version(path) or 0) + 1
     vdir = _claim(path, version)
     data = os.path.join(vdir, "data")
+    spark = df.sparkSession
     if partition_cols:
         write_partitioned(df, data, partition_cols)
-        parts = {rel: version
-                 for rel in _leaf_partition_rels(data, len(partition_cols))}
+        rels = _leaf_partition_rels(data, len(partition_cols))
+        parts = {rel: version for rel in rels}
+        part_rows = _rows_by_partition(spark, data, rels)
+        rows = sum(part_rows.values())
     else:
         df.write.mode("overwrite").parquet(data)
-        parts = None
-    rows = df.sparkSession.read.parquet(data).count()
+        parts, part_rows = None, None
+        rows = spark.read.parquet(data).count()
     return _commit(path, version, op, rows, commit_ts, parts,
-                   partition_cols)
+                   partition_cols, part_rows)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None,
@@ -332,13 +364,29 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
     vdir = _claim(path, version)
     data = os.path.join(vdir, "data")
     write_partitioned(result, data, list(partition_cols))
-    owned = set(_leaf_partition_rels(data, len(partition_cols)))
+    owned = sorted(_leaf_partition_rels(data, len(partition_cols)))
     parts = {rel: version for rel in owned}
+    # O(touched) manifest row count: count ONLY the freshly written
+    # partitions; carried partitions keep the count recorded when THEY
+    # were written (part_rows carries forward commit to commit). The
+    # old full `read.parquet(data).count()` re-opened every carried
+    # partition — O(table files) on every commit for one metadata field.
+    part_rows = _rows_by_partition(spark, data, owned)
+    prev_rows = prev.get("part_rows") or {}
+    carried = []
     for rel, owner in prev_parts.items():
         if rel in touched_rels or rel in owned:
             continue  # superseded (or re-written) by this commit
         _link_shared(data, rel, owner)
         parts[rel] = owner
-    rows = spark.read.parquet(data).count()
+        carried.append(rel)
+    if all(rel in prev_rows for rel in carried):
+        for rel in carried:
+            part_rows[rel] = prev_rows[rel]
+    else:
+        # pre-part_rows manifest: one last composed-snapshot count,
+        # attributed per partition so every FUTURE commit is O(touched)
+        part_rows = _rows_by_partition(spark, data, sorted(parts))
+    rows = sum(part_rows.values())
     return _commit(path, version, "upsert", rows, None, parts,
-                   list(partition_cols))
+                   list(partition_cols), part_rows)

@@ -294,6 +294,70 @@ class TestEdgeValues:
         assert _same_rows(got, _full_scan(spark, path, preds))
         assert got.count() == 1
 
+    def test_iso_looking_strings_compare_lexicographically(
+            self, spark, tmp_path):
+        """A genuine STRING column holding ISO-looking values must be
+        pruned in Spark's comparison domain (lexicographic), never via
+        datetime parsing — mixed 'T'/space separators and date-only vs
+        'date 00:00:00' order differently as datetimes than as strings,
+        and the old always-coerce behavior silently dropped matching
+        rows (round-5 advice, high)."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "2024-01-01T05:00:00")], "k int, s string"
+        ).coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(2, "2024-01-01 00:00:00")], "k int, s string"
+        ).coalesce(1).write.mode("append").parquet(path)
+        skipping.compute_stats(spark, path, ["s"])
+        assert skipping.load_stats(path)["types"]["s"] == "string"
+        # exact repro 1: equality on the 'T'-separated value — datetime
+        # coercion would normalize it onto the space-separated file's
+        # bounds and prune the true match
+        for preds in ([("s", "=", "2024-01-01T05:00:00")],
+                      # repro 2: '2024-01-01 00:00:00' > '2024-01-01'
+                      # lexicographically (row matches); as datetimes
+                      # they are EQUAL and the file would be pruned
+                      [("s", ">", "2024-01-01")],
+                      [("s", "between",
+                        ("2024-01-01 00:00:00", "2024-01-01T99"))]):
+            got = skipping.read_skipping(spark, path, preds)
+            full = _full_scan(spark, path, preds)
+            assert _same_rows(got, full)
+            assert got.count() == full.count() > 0
+
+    def test_unknown_type_snapshot_never_misprunes(self, spark, tmp_path):
+        """A stats file written before column types were recorded must
+        degrade to keep-on-ambiguity: strip `types` from the snapshot
+        and every read must still equal the plain scan — for BOTH a
+        string column with ISO-looking data and a real date column."""
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "2024-01-01T05:00:00", dt.date(2024, 1, 3))],
+            "k int, s string, d date").coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(2, "2024-01-01 00:00:00", dt.date(2024, 1, 9))],
+            "k int, s string, d date"
+        ).coalesce(1).write.mode("append").parquet(path)
+        skipping.compute_stats(spark, path, ["s", "d"])
+        p = _os.path.join(path, warehouse._STATS_FILE)
+        st = _json.load(open(p))
+        del st["types"]
+        # the persisted rollup was built WITH types; rebuild without
+        st.pop("dirs", None)
+        _json.dump(st, open(p, "w"))
+        for preds in ([("s", "=", "2024-01-01T05:00:00")],
+                      [("s", ">", "2024-01-01")],
+                      [("d", ">=", dt.date(2024, 1, 9))],
+                      [("d", ">=", dt.datetime(2024, 1, 9, 0, 0))]):
+            got = skipping.read_skipping(spark, path, preds)
+            full = _full_scan(spark, path, preds)
+            assert _same_rows(got, full)
+            assert got.count() == full.count() > 0
+
     def test_cli_is_null_pred_parses(self, spark, tmp_path, capsys):
         from corkscrew_spark import cli
 
@@ -397,6 +461,64 @@ class TestBloom:
         assert len(plan["kept"]) == 1 and plan["pruned"]
         got = skipping.read_skipping(spark, path, preds)
         assert [r.k for r in got.collect()] == [1]
+
+    def test_timestamp_probe_stands_down_on_tz_change(
+            self, spark, tmp_path):
+        """Timestamp bloom bitmaps render in the SESSION time zone at
+        compute time; if the probing session runs under a different
+        zone the canonical strings diverge and a matching file would
+        probe false (a wrong-rows prune — round-5 advice, medium). The
+        probe must stand down (keep all files) when zones differ, and
+        keep pruning when they match."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 5, 0, 0))],
+            "k int, ts timestamp").coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(2, dt.datetime(2025, 6, 6, 6, 6, 6))],
+            "k int, ts timestamp").coalesce(1).write.mode(
+            "append").parquet(path)
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["ts"])
+        stats = skipping.load_stats(path)
+        assert stats["bloom"]["tz"] == tz0
+        preds = [("ts", "=", dt.datetime(2024, 1, 1, 5, 0, 0))]
+        # same zone: the probe prunes the non-matching file
+        plan = skipping.plan_skip(path, preds, stats=stats)
+        assert len(plan["kept"]) == 1 and plan["pruned"]
+        try:
+            other = ("America/New_York" if tz0 != "America/New_York"
+                     else "Asia/Tokyo")
+            spark.conf.set("spark.sql.session.timeZone", other)
+            # zone mismatch: timestamp probes stand down — nothing is
+            # pruned by the bloom (zone maps on k don't constrain ts),
+            # and the read equals the plain scan IN THE NEW ZONE
+            plan2 = skipping.plan_skip(path, preds, stats=stats)
+            assert sorted(plan2["kept"]) == sorted(
+                plan["kept"] + plan["pruned"])
+            got = skipping.read_skipping(spark, path, preds, stats=stats)
+            assert _same_rows(got, _full_scan(spark, path, preds))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)
+
+    def test_pre_tz_bloom_snapshot_never_trusts_timestamp_probe(
+            self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 5, 0, 0)),
+             (2, dt.datetime(2025, 6, 6, 6, 6, 6))],
+            "k int, ts timestamp").repartition(2).write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["ts"])
+        p = _os.path.join(path, warehouse._STATS_FILE)
+        st = _json.load(open(p))
+        del st["bloom"]["tz"]
+        _json.dump(st, open(p, "w"))
+        plan = skipping.plan_skip(
+            path, [("ts", "=", dt.datetime(2024, 1, 1, 5, 0, 0))])
+        assert plan["pruned"] == []  # stand down: no zone on record
 
     def test_cross_type_probes_match_spark_coercion(self, spark, tmp_path):
         """Spark coerces the LITERAL toward the column type for
@@ -763,6 +885,38 @@ class TestEstimate:
         assert est["files_kept"] <= 2
         assert 0 < est["bytes_kept"] < est["bytes_total"]
         assert est["rows_known_kept"] >= 100  # the matching k-range
+
+    def test_estimate_on_fresh_stats_makes_no_getsize_calls(
+            self, spark, tmp_path, monkeypatch):
+        """Sizes are recorded in the stats at compute time; an estimate
+        over a stats-fresh table must not walk the filesystem (O(files)
+        getsize syscalls per estimate is the million-file
+        anti-pattern). Only stale/unknown files may be stat'ed."""
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        stats = skipping.load_stats(path)
+        plan = skipping.plan_skip(path, [("k", ">=", 700)], stats=stats)
+        calls = []
+        real = skipping.os.path.getsize
+        monkeypatch.setattr(skipping.os.path, "getsize",
+                            lambda p: calls.append(p) or real(p))
+        est = skipping.estimate_scan(path, [("k", ">=", 700)],
+                                     stats=stats, plan=plan)
+        assert calls == []
+        assert est["files_total"] == 8 and est["bytes_total"] > 0
+        # an appended (unknown) file IS allowed to be stat'ed — and
+        # its bytes must still be counted
+        spark.range(5).select(F.col("id").alias("k"),
+                              F.lit(0).alias("v"),
+                              F.lit(dt.date(2024, 2, 1)).alias("day")
+                              ).coalesce(1).write.mode(
+            "append").parquet(path)
+        plan2 = skipping.plan_skip(path, [("k", ">=", 700)], stats=stats)
+        est2 = skipping.estimate_scan(path, [("k", ">=", 700)],
+                                      stats=stats, plan=plan2)
+        assert len(calls) == len(plan2["unknown"]) * 2  # total + kept
+        assert est2["bytes_total"] > est["bytes_total"]
 
     def test_estimate_selectivity_for_equality(self, spark, tmp_path):
         """rows_est_matched ~ rows/ndv per kept file — the CBO guess

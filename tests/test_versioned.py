@@ -225,6 +225,85 @@ class TestFileScopedVersioning:
         assert parts == {"region=eu": 1, "region=sa": 2}
         assert versioned.read_version(spark, p).count() == 2
 
+    def test_commit_row_count_is_o_touched(self, spark, tmp_path,
+                                           monkeypatch):
+        """The manifest row total must be ARITHMETIC over per-partition
+        counts (part_rows carried commit to commit), not a count() over
+        the composed snapshot — the old full count re-opened every
+        carried partition on every commit just for a metadata field.
+        Asserts: (1) the counting read covers ONLY freshly written
+        partitions, (2) carried files keep their mtimes, (3) recorded
+        totals still equal full recounts."""
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1),
+                              (3, "ap", "c", 1), (4, "us", "d", 1)]),
+            p, partition_cols=["region"])
+        assert versioned.history(p)[-1]["part_rows"] == {
+            "region=eu": 1, "region=us": 2, "region=ap": 1}
+        before = {rel: os.path.getmtime(os.path.join(p, "v=1", rel))
+                  for rel in self._real_parquet_files(
+                      os.path.join(p, "v=1"))}
+        seen = []
+        real = versioned._rows_by_partition
+        monkeypatch.setattr(
+            versioned, "_rows_by_partition",
+            lambda spark_, data, rels: seen.append(sorted(rels))
+            or real(spark_, data, rels))
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2),
+                                        (5, "eu", "e", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        assert seen == [["region=eu"]]  # counted ONLY the touched part
+        h = versioned.history(p)[-1]
+        assert h["part_rows"] == {"region=eu": 2, "region=us": 2,
+                                  "region=ap": 1}
+        assert h["rows"] == 5
+        assert h["rows"] == versioned.read_version(spark, p).count()
+        after = {rel: os.path.getmtime(os.path.join(p, "v=1", rel))
+                 for rel in before}
+        assert after == before  # carried files never rewritten
+
+    def test_pre_part_rows_manifest_recounts_once_then_scopes(
+            self, spark, tmp_path, monkeypatch):
+        """A manifest written before part_rows existed gets ONE
+        composed-snapshot recount (attributed per partition, including
+        through carried symlinks) — and every commit after that is
+        O(touched) again."""
+        import json as _json
+
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]),
+            p, partition_cols=["region"])
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        mpath = versioned._manifest_path(p)
+        entries = _json.load(open(mpath))
+        for e in entries:
+            e.pop("part_rows", None)  # simulate the older manifest era
+        _json.dump(entries, open(mpath, "w"))
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(2, "us", "b2", 3)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        h = versioned.history(p)[-1]
+        # the recount attributed rows correctly even for the eu
+        # partition, which v=3 carries as a symlink into v=2
+        assert h["part_rows"] == {"region=eu": 1, "region=us": 1}
+        assert h["rows"] == 2 == versioned.read_version(spark, p).count()
+        seen = []
+        real = versioned._rows_by_partition
+        monkeypatch.setattr(
+            versioned, "_rows_by_partition",
+            lambda spark_, data, rels: seen.append(sorted(rels))
+            or real(spark_, data, rels))
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a4", 4)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        assert seen == [["region=eu"]]  # back to O(touched)
+        assert versioned.history(p)[-1]["rows"] == 2
+
     def test_vacuum_respects_cross_version_sharing(self, spark, tmp_path):
         """Vacuuming the owner of a still-referenced partition must keep
         that partition's data (and fail loudly on a time-travel read of
