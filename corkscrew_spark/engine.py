@@ -163,8 +163,61 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, register_helpers: bool = True):
         self.spark = spark
         self._versioned: dict[str, str] = {}
+        self._warehouse: dict[str, str] = {}
         if register_helpers:
             register_json_helpers(spark, self_test=False)
+
+    def register_warehouse(self, name: str, path: str,
+                           skipping: bool = True) -> None:
+        """Attach a warehouse table DIRECTORY to the SQL surface:
+        registers its contents as view ``name``, and — when the table
+        has zone-map/bloom statistics (``skipping.compute_stats``) —
+        routes single-table queries whose WHERE contains simple
+        conjunctive predicates through file-level data skipping
+        automatically, so the engine's own SQL benefits from the stats
+        the same way the reference's SQL benefits from DuckDB's
+        row-group pruning (internal/db). Soundness: the full SQL always
+        re-applies its WHERE on the pruned view, and pruning uses only
+        conjuncts implied by the whole predicate — result identity with
+        the plain view is structural, not statistical. Disable per
+        table with ``skipping=False`` or globally with env
+        ``CORKSCREW_DATA_SKIPPING=0``."""
+        import os
+
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        if skipping and os.environ.get(
+                "CORKSCREW_DATA_SKIPPING", "1") != "0":
+            self._warehouse[name] = path
+
+    def _skipping_repoint(self, bound: str):
+        """When ``bound`` is a single-table query over a registered
+        warehouse table with extractable conjuncts, re-point that view
+        at a ``read_skipping`` pruned read and return a restore
+        callback (None = nothing to do). The caller restores the plain
+        view right after analysis — view resolution happens at
+        DataFrame creation, so the returned frame keeps the pruned
+        scan while the session state goes back to normal."""
+        from corkscrew_spark import predicates as _pred
+        from corkscrew_spark import skipping as _skip
+
+        st = _pred.single_table(bound)
+        if st is None or st[0] not in self._warehouse:
+            return None
+        name, alias = st
+        preds = _pred.extract_predicates(bound, name, alias)
+        if not preds:
+            return None
+        path = self._warehouse[name]
+        try:
+            pruned = _skip.read_skipping(self.spark, path, preds)
+        except Exception:
+            return None  # unreadable stats/files: the plain view stands
+        pruned.createOrReplaceTempView(name)
+
+        def _restore() -> None:
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+        return _restore
 
     def register_versioned(self, name: str, path: str) -> None:
         """Attach a versioned table (versioned.py snapshot log) to the SQL
@@ -240,8 +293,13 @@ class QueryEngine:
 
     def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
         bound = self.validate(sql, params)
+        restore = self._skipping_repoint(bound) if self._warehouse else None
         t0 = time.perf_counter()
-        df = self.spark.sql(bound)
+        try:
+            df = self.spark.sql(bound)
+        finally:
+            if restore is not None:
+                restore()
         return QueryResult(df=df, sql=bound, duration_s=time.perf_counter() - t0,
                            columns=list(df.columns))
 
@@ -250,7 +308,12 @@ class QueryEngine:
         streaming path (engine.go:232-365) maps to toLocalIterator, which
         fetches one partition at a time (bounded driver memory)."""
         bound = self.validate(sql, params)
-        return self.spark.sql(bound).toLocalIterator()
+        restore = self._skipping_repoint(bound) if self._warehouse else None
+        try:
+            return self.spark.sql(bound).toLocalIterator()
+        finally:
+            if restore is not None:
+                restore()
 
     def _friendly(self, msg: str) -> str:
         if _TABLE_ERR_RE.search(msg):

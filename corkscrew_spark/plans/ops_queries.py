@@ -975,3 +975,72 @@ def retention_drop_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "engine_pruned_scan",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def engine_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping wired into the DEFAULT SQL read path, driver-hash-
+    checked: lineitem is laid out shipdate-clustered in a warehouse
+    table dir with zone-map stats, registered on a QueryEngine via
+    ``register_warehouse``, and queried with PLAIN SQL — the engine
+    extracts the WHERE's conjuncts itself (predicates.py) and re-points
+    the view at a ``read_skipping`` pruned read. The query RAISES
+    unless the engine-executed scan opened strictly fewer files than
+    the table holds (counted with input_file_name() THROUGH the engine
+    path), so a green driver row certifies both result identity and
+    that pruning actually engaged. Reference parity: the reference's
+    SQL gets DuckDB row-group pruning implicitly (internal/db); this is
+    the file-level analogue on the engine's own surface."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine
+
+    li = register_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+    tmp = tempfile.mkdtemp(prefix="prune_")
+    table = f"{tmp}/lineitem_tbl"
+    try:
+        # shipdate-clustered layout: disjoint date ranges per file, the
+        # layout compact_table(sort)/zorder_write produce at scale
+        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
+        skipping.compute_stats(spark, table, ["l_shipdate"])
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("li_skip_tbl", table)
+        where = ("WHERE l_shipdate >= DATE '1996-03-01' "
+                 "AND l_shipdate < DATE '1996-06-01'")
+        total = len(skipping._list_data_files(table))
+        opened = eng.execute(
+            "SELECT DISTINCT input_file_name() AS f "
+            f"FROM li_skip_tbl {where}").df.count()
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"engine read path did not prune: opened {opened} of "
+                f"{total} files for a 3-month range over a "
+                "shipdate-clustered table")
+        result = eng.execute(f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS revenue
+            FROM li_skip_tbl {where}
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""").df
+        rows = result.collect()  # key-space-sized (<= 6 flag/status)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

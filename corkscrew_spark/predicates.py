@@ -1,0 +1,378 @@
+"""Conservative conjunctive-predicate extraction from SQL text.
+
+The bridge between the engine's SQL surface and file-level data
+skipping (``skipping.plan_skip``): given an already-validated,
+already-bound SELECT, find the simple ``col op literal`` conjuncts of
+its WHERE clause so the table's view can be re-pointed at a
+``read_skipping`` pruned read before execution.
+
+Soundness does NOT depend on completeness: the engine executes the
+FULL original SQL against the pruned view, so pruning with any SUBSET
+of the WHERE's top-level conjuncts keeps every file a full scan would
+need (each conjunct is implied by the whole predicate). Anything this
+parser is unsure about it simply ignores:
+
+* queries that aren't single-table (JOINs, comma lists, subqueries)
+  yield no table — multi-table pruning would need per-table predicate
+  attribution, which raw text can't do safely;
+* a top-level OR in the WHERE yields no conjuncts (a disjunct prunes
+  nothing on its own);
+* any conjunct that isn't literally ``col op literal`` / ``BETWEEN`` /
+  ``IN (list)`` / ``IS [NOT] NULL`` — function calls, arithmetic,
+  column-to-column comparisons, qualified refs to another alias — is
+  dropped from the extraction, never guessed at.
+
+Reference parity: the reference hands its SQL to DuckDB, whose
+planner prunes row groups from the real predicate tree
+(``internal/db``); this module recovers the prunable fragment for the
+file-level analogue without re-implementing a SQL planner.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE",
+    "WHERE", "FROM", "JOIN", "GROUP", "ORDER", "LIMIT", "HAVING",
+    "WINDOW", "UNION", "INTERSECT", "EXCEPT", "SELECT", "AS",
+    "DATE", "TIMESTAMP", "QUALIFY", "DISTRIBUTE", "CLUSTER", "SORT",
+    "LATERAL", "TABLESAMPLE", "PIVOT", "UNPIVOT", "ON", "USING",
+    "CROSS", "NATURAL", "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
+    "SEMI", "ANTI", "VALUES", "WITH", "EXISTS",
+}
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+      | (?P<str>'(?:\\.|''|[^'\\])*')
+      | (?P<bq>`[^`]+`)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+      | (?P<op><=|>=|<>|!=|==|=|<|>)
+      | (?P<punc>[(),.;*+\-/%\[\]{}:])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+class _Unparseable(Exception):
+    pass
+
+
+def _tokens(sql: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens; kind in str/bq/ident/kw/num/op/punc.
+    Raises _Unparseable on any character the lexer doesn't know —
+    callers treat that as 'extract nothing' (sound)."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise _Unparseable(sql[pos:pos + 10])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group(0)
+        if kind == "ident" and text.upper() in _KEYWORDS:
+            out.append(("kw", text.upper()))
+        else:
+            out.append((kind, text))
+    return out
+
+
+def _unquote_ident(tok: tuple[str, str]) -> str:
+    kind, text = tok
+    return text[1:-1] if kind == "bq" else text
+
+
+def _unquote_str(text: str) -> str:
+    """Invert engine.quote_literal's escaping dialect: '' doubling,
+    backslash-escaped quote, doubled backslash."""
+    body = text[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        elif ch == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def single_table(sql: str) -> tuple[str, str | None] | None:
+    """``(table, alias|None)`` when the statement is a single-table
+    SELECT: exactly one FROM, no JOIN/comma/subquery in its table
+    position, no set operators. None otherwise — the safe answer."""
+    try:
+        toks = _tokens(sql)
+    except _Unparseable:
+        return None
+    kws = [t for t in toks if t[0] == "kw"]
+    if sum(1 for k, v in kws if v == "FROM") != 1:
+        return None
+    if any(v in ("JOIN", "UNION", "INTERSECT", "EXCEPT", "LATERAL",
+                 "TABLESAMPLE", "PIVOT", "UNPIVOT", "VALUES",
+                 # a CTE can shadow the registered view — re-pointing
+                 # would then be a harmless no-op, but don't reason
+                 # about shadowing at all: just stand down
+                 "WITH", "EXISTS")
+           for _k, v in kws):
+        return None
+    i = next(i for i, t in enumerate(toks) if t == ("kw", "FROM"))
+    j = i + 1
+    if j >= len(toks) or toks[j][0] not in ("ident", "bq"):
+        return None  # FROM (subquery) / FROM VALUES — not a table ref
+    table = _unquote_ident(toks[j])
+    j += 1
+    alias = None
+    if j < len(toks) and toks[j] == ("kw", "AS"):
+        j += 1
+        if j >= len(toks) or toks[j][0] not in ("ident", "bq"):
+            return None
+        alias = _unquote_ident(toks[j])
+        j += 1
+    elif j < len(toks) and toks[j][0] in ("ident", "bq"):
+        alias = _unquote_ident(toks[j])
+        j += 1
+    if j < len(toks):
+        k, v = toks[j]
+        if (k, v) == ("punc", ","):
+            return None  # comma join
+        if k == "punc" and v == ".":
+            return None  # db-qualified name — not a registered view
+        if not (k == "kw" and v in ("WHERE", "GROUP", "ORDER", "LIMIT",
+                                    "HAVING", "WINDOW", "QUALIFY",
+                                    "DISTRIBUTE", "CLUSTER", "SORT")) \
+                and (k, v) != ("punc", ";") and (k, v) != ("punc", ")"):
+            return None
+    return table, alias
+
+
+def _where_tokens(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Tokens of the (single) WHERE clause at paren depth 0, up to the
+    next top-level clause keyword; [] when there is no WHERE."""
+    depth = 0
+    start = None
+    for i, (k, v) in enumerate(toks):
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        elif depth == 0 and (k, v) == ("kw", "WHERE"):
+            if start is not None:
+                return []  # two top-level WHEREs: not a shape we parse
+            start = i + 1
+    if start is None:
+        return []
+    out = []
+    depth = 0
+    for k, v in toks[start:]:
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            if depth == 0:
+                break  # closing a subquery we're inside of
+            depth -= 1
+        elif depth == 0 and k == "kw" and v in (
+                "GROUP", "ORDER", "LIMIT", "HAVING", "WINDOW", "QUALIFY",
+                "UNION", "INTERSECT", "EXCEPT",
+                "DISTRIBUTE", "CLUSTER", "SORT"):
+            break
+        elif depth == 0 and (k, v) == ("punc", ";"):
+            break
+        out.append((k, v))
+    return out
+
+
+def _split_conjuncts(
+        where: list[tuple[str, str]]) -> list[list[tuple[str, str]]] | None:
+    """Split on top-level AND (BETWEEN's AND binds to its BETWEEN).
+    None when a top-level OR makes conjunct extraction impossible."""
+    terms: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    pending_between = 0
+    for k, v in where:
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        if depth == 0 and (k, v) == ("kw", "OR"):
+            return None
+        if depth == 0 and (k, v) == ("kw", "AND") and pending_between == 0:
+            terms.append([])
+            continue
+        if depth == 0 and (k, v) == ("kw", "BETWEEN"):
+            pending_between += 1
+        elif depth == 0 and (k, v) == ("kw", "AND") and pending_between:
+            pending_between -= 1
+        terms[-1].append((k, v))
+    return [t for t in terms if t]
+
+
+def _parse_lit(toks: list[tuple[str, str]], i: int):
+    """Literal starting at index i -> (value, next_index) or None."""
+    if i >= len(toks):
+        return None
+    k, v = toks[i]
+    neg = False
+    if (k, v) == ("punc", "-"):
+        neg = True
+        i += 1
+        if i >= len(toks):
+            return None
+        k, v = toks[i]
+    if k == "num":
+        num = (float(v) if ("." in v or "e" in v or "E" in v) else int(v))
+        return (-num if neg else num), i + 1
+    if neg:
+        return None
+    if k == "str":
+        return _unquote_str(v), i + 1
+    if k == "kw" and v in ("DATE", "TIMESTAMP") and i + 1 < len(toks) \
+            and toks[i + 1][0] == "str":
+        raw = _unquote_str(toks[i + 1][1])
+        try:
+            if v == "DATE":
+                return _dt.date.fromisoformat(raw), i + 2
+            return _dt.datetime.fromisoformat(raw), i + 2
+        except ValueError:
+            return None
+    return None
+
+
+def _parse_colref(toks: list[tuple[str, str]], i: int,
+                  names: set[str]):
+    """Column reference at index i -> (col, next_index) or None.
+    A qualifier must be the table name or its alias (``names``,
+    lower-cased); anything else is treated as not-a-column."""
+    if i >= len(toks) or toks[i][0] not in ("ident", "bq"):
+        return None
+    first = _unquote_ident(toks[i])
+    j = i + 1
+    if j + 1 < len(toks) and toks[j] == ("punc", ".") \
+            and toks[j + 1][0] in ("ident", "bq"):
+        if first.lower() not in names:
+            return None
+        return _unquote_ident(toks[j + 1]), j + 2
+    return first, j
+
+
+_OPS_MAP = {"=": "=", "==": "=", "<": "<", "<=": "<=",
+            ">": ">", ">=": ">="}
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+
+def _parse_term(toks: list[tuple[str, str]],
+                names: set[str]) -> tuple | None:
+    """One conjunct -> (col, op, value) in skipping's predicate form,
+    or None when it isn't a simple prunable shape."""
+    # strip one level of fully-enclosing parens
+    while (len(toks) >= 2 and toks[0] == ("punc", "(")
+           and toks[-1] == ("punc", ")")):
+        depth = 0
+        closes_at_end = True
+        for idx, t in enumerate(toks):
+            if t == ("punc", "("):
+                depth += 1
+            elif t == ("punc", ")"):
+                depth -= 1
+                if depth == 0 and idx != len(toks) - 1:
+                    closes_at_end = False
+                    break
+        if not closes_at_end:
+            break
+        toks = toks[1:-1]
+    # literal-first comparison: lit op col
+    lit = _parse_lit(toks, 0)
+    if lit is not None:
+        value, i = lit
+        if i < len(toks) and toks[i][0] == "op" \
+                and toks[i][1] in _OPS_MAP:
+            op = _FLIP[_OPS_MAP[toks[i][1]]]
+            ref = _parse_colref(toks, i + 1, names)
+            if ref is not None and ref[1] == len(toks):
+                return ref[0], op, value
+        return None
+    ref = _parse_colref(toks, 0, names)
+    if ref is None:
+        return None
+    col, i = ref
+    if i >= len(toks):
+        return None
+    k, v = toks[i]
+    if k == "op" and v in _OPS_MAP:
+        lit = _parse_lit(toks, i + 1)
+        if lit is not None and lit[1] == len(toks):
+            return col, _OPS_MAP[v], lit[0]
+        return None
+    if (k, v) == ("kw", "BETWEEN"):
+        lo = _parse_lit(toks, i + 1)
+        if lo is None:
+            return None
+        j = lo[1]
+        if j >= len(toks) or toks[j] != ("kw", "AND"):
+            return None
+        hi = _parse_lit(toks, j + 1)
+        if hi is not None and hi[1] == len(toks):
+            return col, "between", (lo[0], hi[0])
+        return None
+    if (k, v) == ("kw", "IN") and i + 1 < len(toks) \
+            and toks[i + 1] == ("punc", "("):
+        members = []
+        j = i + 2
+        while True:
+            lit = _parse_lit(toks, j)
+            if lit is None:
+                return None
+            members.append(lit[0])
+            j = lit[1]
+            if j >= len(toks):
+                return None
+            if toks[j] == ("punc", ","):
+                j += 1
+                continue
+            if toks[j] == ("punc", ")") and j == len(toks) - 1:
+                return col, "in", members
+            return None
+    if (k, v) == ("kw", "IS"):
+        rest = toks[i + 1:]
+        if rest == [("kw", "NULL")]:
+            return col, "is_null", None
+        if rest == [("kw", "NOT"), ("kw", "NULL")]:
+            return col, "is_not_null", None
+    return None
+
+
+def extract_predicates(sql: str, table: str,
+                       alias: str | None = None) -> list[tuple]:
+    """The WHERE clause's simple conjuncts over ``table`` (or its
+    ``alias``) in ``skipping`` predicate form. Empty list whenever the
+    text is anything but certain — pruning on a subset of conjuncts is
+    sound, pruning on a guess is not."""
+    try:
+        toks = _tokens(sql)
+    except _Unparseable:
+        return []
+    names = {table.lower()}
+    if alias:
+        names.add(alias.lower())
+    where = _where_tokens(toks)
+    if not where:
+        return []
+    conjuncts = _split_conjuncts(where)
+    if conjuncts is None:
+        return []
+    out = []
+    for term in conjuncts:
+        parsed = _parse_term(term, names)
+        if parsed is not None:
+            out.append(parsed)
+    return out

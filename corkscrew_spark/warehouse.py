@@ -145,6 +145,32 @@ def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
     return sorted(touched)
 
 
+def read_table(spark: SparkSession, path: str,
+               predicates: list[tuple] | None = None,
+               use_stats: bool | None = None) -> DataFrame:
+    """THE default read for a warehouse table directory. With
+    ``predicates`` (AND-list of ``(col, op, value)``, ops per
+    ``skipping._OPS``) the read consults the table's zone-map/bloom
+    statistics when they exist and opens only the files that can match
+    — the filter is always re-applied, so the result is identical to a
+    plain filtered scan no matter how stale the stats are. Without
+    predicates (or without stats) it is a plain scan.
+
+    ``use_stats``: None = auto (honor env ``CORKSCREW_DATA_SKIPPING``,
+    default on), True/False = force. The SQL-surface twin is
+    ``QueryEngine.register_warehouse``."""
+    from corkscrew_spark import skipping as _skip
+
+    if not predicates:
+        return spark.read.parquet(path)
+    if use_stats is None:
+        use_stats = os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
+    if not use_stats:
+        return (spark.read.parquet(path)
+                .filter(_skip.predicate_filter(predicates)))
+    return _skip.read_skipping(spark, path, predicates)
+
+
 def read_changed(spark: SparkSession, path: str, since_ns: int,
                  schema=None) -> DataFrame:
     """The read half of the incremental loop: a DataFrame over ONLY the

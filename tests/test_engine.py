@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from corkscrew_spark import formatter
 from corkscrew_spark.catalog import register_tables
@@ -203,3 +204,118 @@ def test_register_tables_partial_cache_repoints_views(spark):
     assert spark.sql("select count(*) n from orders").collect()[0].n == n_small
     # restore full registrations for neighbouring tests
     register_tables(spark, "/root/testdata/sf0.001")
+
+
+class TestWarehouseSkipping:
+    """register_warehouse wires zone-map data skipping into the SQL
+    surface: single-table conjunctive WHEREs read through
+    skipping.read_skipping, everything else (and every failure mode)
+    falls back to the plain view — result identity is structural."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path / "tbl")
+        df = spark.range(800).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 13).cast("string")
+                     ).alias("s"))
+        df.repartitionByRange(8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        return path
+
+    def _files_opened(self, eng, sql):
+        return eng.execute(sql.replace(
+            "SELECT *", "SELECT DISTINCT input_file_name() AS f",
+            1)).df.count()
+
+    def test_pruned_sql_equals_plain_and_opens_fewer_files(
+            self, spark, table):
+        from corkscrew_spark.engine import QueryEngine
+
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        sql = "SELECT * FROM wtbl WHERE k >= 700 ORDER BY k"
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        plain = [tuple(r) for r in spark.read.parquet(table)
+                 .filter("k >= 700").orderBy("k").collect()]
+        assert got == plain and len(got) == 100
+        assert self._files_opened(
+            eng, "SELECT * FROM wtbl WHERE k >= 700") <= 2  # of 8 files
+        # the view is restored: a predicate-free query sees every row
+        assert eng.execute("SELECT COUNT(*) AS n FROM wtbl"
+                           ).rows()[0].n == 800
+
+    def test_unprunable_shapes_fall_back_to_plain_view(
+            self, spark, table):
+        from corkscrew_spark.engine import QueryEngine
+
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        for sql in (
+            "SELECT * FROM wtbl WHERE k >= 700 OR v = 1",
+            "SELECT * FROM wtbl w1, wtbl w2 WHERE w1.k = w2.k AND w1.k >= 790",
+            "SELECT * FROM wtbl WHERE k + 0 >= 700",
+        ):
+            got = eng.execute(sql).df.count()
+            n = spark.sql(sql.replace(
+                "wtbl", f"parquet.`{table}`")).count()
+            assert got == n, sql
+
+    def test_alias_and_mixed_conjuncts_prune_on_parsable_subset(
+            self, spark, table):
+        from corkscrew_spark.engine import QueryEngine
+
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        sql = ("SELECT w.k, w.v FROM wtbl w "
+               "WHERE w.k BETWEEN 750 AND 760 AND upper(w.s) LIKE 'S%' "
+               "ORDER BY w.k")
+        got = [r.k for r in eng.execute(sql).rows()]
+        assert got == list(range(750, 761))
+        assert self._files_opened(
+            eng, "SELECT * FROM wtbl w WHERE w.k BETWEEN 750 AND 760 "
+                 "AND upper(w.s) LIKE 'S%'") <= 2
+
+    def test_env_flag_disables_skipping(self, spark, table, monkeypatch):
+        from corkscrew_spark.engine import QueryEngine
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        sql = "SELECT * FROM wtbl WHERE k >= 700"
+        assert eng._skipping_repoint(sql) is None
+        assert eng.execute(sql).df.count() == 100
+
+    def test_execute_stream_prunes_and_restores(self, spark, table):
+        from corkscrew_spark.engine import QueryEngine
+
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        rows = list(eng.execute_stream(
+            "SELECT k FROM wtbl WHERE k >= 795 ORDER BY k"))
+        assert [r.k for r in rows] == list(range(795, 800))
+        assert eng.execute("SELECT COUNT(*) AS n FROM wtbl"
+                           ).rows()[0].n == 800
+
+
+def test_read_table_default_path_prunes(spark, tmp_path):
+    from corkscrew_spark import skipping, warehouse
+
+    path = str(tmp_path / "tbl")
+    spark.range(400).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    preds = [("k", "between", (100, 150))]
+    got = warehouse.read_table(spark, path, preds)
+    want = spark.read.parquet(path).filter(
+        skipping.predicate_filter(preds))
+    assert sorted(r.k for r in got.collect()) \
+        == sorted(r.k for r in want.collect())
+    opened = got.select(F.input_file_name()).distinct().count()
+    assert opened < 4
+    # forced off: same rows, full listing
+    off = warehouse.read_table(spark, path, preds, use_stats=False)
+    assert off.count() == got.count()

@@ -1,0 +1,110 @@
+"""SQL conjunct extraction (predicates.py): everything it returns must
+be a top-level conjunct of the WHERE (soundness for data skipping), and
+everything uncertain must yield nothing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from corkscrew_spark.predicates import extract_predicates, single_table
+
+
+def _both(sql):
+    st = single_table(sql)
+    assert st is not None, sql
+    return extract_predicates(sql, *st)
+
+
+class TestSingleTable:
+    def test_plain_and_aliased(self):
+        assert single_table("SELECT * FROM t WHERE a=1") == ("t", None)
+        assert single_table("SELECT x FROM t u WHERE u.a=1") == ("t", "u")
+        assert single_table("SELECT x FROM t AS u") == ("t", "u")
+        assert single_table(
+            "SELECT * FROM `my t` m WHERE m.x=1") == ("my t", "m")
+
+    def test_multi_table_shapes_yield_none(self):
+        for sql in (
+            "SELECT * FROM t JOIN s ON t.k = s.k WHERE a=1",
+            "SELECT * FROM t, s WHERE a=1",
+            "SELECT * FROM (SELECT * FROM t) WHERE a=1",
+            "SELECT * FROM t WHERE a = (SELECT max(x) FROM s)",
+            "WITH x AS (SELECT 1) SELECT * FROM t WHERE a=1",
+            "SELECT * FROM t WHERE EXISTS (SELECT 1)",
+            "SELECT * FROM t UNION ALL SELECT * FROM s",
+            "SELECT * FROM db.t WHERE a=1",
+            "SELECT 1",
+        ):
+            assert single_table(sql) is None, sql
+
+
+class TestExtraction:
+    def test_simple_conjuncts(self):
+        assert _both("SELECT * FROM t WHERE a >= 5 AND b = 'x'") == [
+            ("a", ">=", 5), ("b", "=", "x")]
+        assert _both("SELECT * FROM t WHERE 5 < a") == [("a", ">", 5)]
+        assert _both("SELECT * FROM t WHERE a = -2.5") == [
+            ("a", "=", -2.5)]
+        assert _both("SELECT * FROM t WHERE a IS NULL") == [
+            ("a", "is_null", None)]
+        assert _both("SELECT * FROM t WHERE a IS NOT NULL") == [
+            ("a", "is_not_null", None)]
+
+    def test_between_in_and_typed_literals(self):
+        assert _both(
+            "SELECT * FROM t u WHERE u.a BETWEEN 1 AND 3") == [
+            ("a", "between", (1, 3))]
+        assert _both("SELECT * FROM t WHERE k IN (1, 2, 3)") == [
+            ("k", "in", [1, 2, 3])]
+        assert _both(
+            "SELECT * FROM t WHERE d >= DATE '2024-01-05' "
+            "AND ts < TIMESTAMP '2024-01-05 10:00:00'") == [
+            ("d", ">=", dt.date(2024, 1, 5)),
+            ("ts", "<", dt.datetime(2024, 1, 5, 10, 0))]
+        # two BETWEENs: their ANDs must bind to the BETWEEN, not split
+        assert _both(
+            "SELECT * FROM t WHERE a BETWEEN 1 AND 3 "
+            "AND b BETWEEN 4 AND 5 AND c=1") == [
+            ("a", "between", (1, 3)), ("b", "between", (4, 5)),
+            ("c", "=", 1)]
+
+    def test_top_level_or_extracts_nothing(self):
+        assert _both("SELECT * FROM t WHERE a = 1 OR b = 2") == []
+
+    def test_unparsable_conjuncts_dropped_parsable_kept(self):
+        assert _both(
+            "SELECT a, count(*) FROM t WHERE (a > 1) AND b LIKE 'x%' "
+            "GROUP BY a ORDER BY a") == [("a", ">", 1)]
+        assert _both(
+            "SELECT * FROM t WHERE a > 1 AND (b = 2 OR c = 3)") == [
+            ("a", ">", 1)]
+        assert _both("SELECT * FROM t WHERE k + 0 >= 7") == []
+        assert _both("SELECT * FROM t WHERE upper(b) = 'X'") == []
+        assert _both("SELECT * FROM t WHERE a != 3") == []  # no != prune
+        assert _both("SELECT * FROM t WHERE NOT a = 3") == []
+
+    def test_foreign_qualifier_rejected(self):
+        # a qualifier that is neither the table nor its alias could be
+        # a lateral/correlated name — never attribute it to this table
+        assert _both("SELECT * FROM t WHERE o.a = 1") == []
+        assert extract_predicates(
+            "SELECT * FROM t u WHERE t.a = 1", "t", "u") == [
+            ("a", "=", 1)]
+
+    def test_string_escaping_dialects(self):
+        assert _both(
+            "SELECT * FROM t WHERE a = 'it''s' AND b = 'p\\'q'") == [
+            ("a", "=", "it's"), ("b", "=", "p'q")]
+
+    def test_where_in_subquery_not_confused(self):
+        # single-table guard already bails on the two-FROM shape, and
+        # the raw extractor must not pick up the inner WHERE either
+        sql = ("SELECT * FROM t WHERE a IN "
+               "(SELECT x FROM s WHERE s.y = 9)")
+        assert single_table(sql) is None
+        assert extract_predicates(sql, "t", None) == []
+
+    def test_order_by_and_limit_not_swallowed(self):
+        assert _both(
+            "SELECT * FROM t WHERE a = 1 ORDER BY b LIMIT 5") == [
+            ("a", "=", 1)]
