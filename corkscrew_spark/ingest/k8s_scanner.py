@@ -153,6 +153,14 @@ def _scan_partition(rows: Iterator[Row], label_selector: str | None,
         if gvr not in KNOWN_GVRS and client_factory is None:
             continue
 
+        # Memory trade-off: fetch accumulates EVERY page of one
+        # (cluster, gvr) listing before yielding, so a retry replays
+        # the whole listing atomically (no duplicate rows from a
+        # half-consumed iterator). The cost is O(listing) executor
+        # memory for that one GVR; clusters with pathological object
+        # counts should shrink the unit of work (more granular GVR/
+        # namespace work rows) rather than stream-and-retry per page,
+        # which would need dedup state to stay exactly-once.
         def fetch(cluster=cluster, gvr=gvr):
             if client_factory is not None:
                 # DI seam: same contract as the fake (list(gvr, ...) with

@@ -241,7 +241,7 @@ def probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Colum
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
              k: int = 5, nlist: int = 16, nprobe: int = 4,
              centroids: list[list[float]] | None = None,
-             train_iters: int = 2) -> DataFrame:
+             train_iters: int = 2, broadcast: bool = True) -> DataFrame:
     """IVF approximate top-k: assign the corpus to inverted lists once,
     probe the `nprobe` closest lists per query, exact cosine inside.
 
@@ -253,7 +253,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     per-query top-k window over the candidate set.
 
     Recall improves with nprobe (== brute force when nprobe == nlist).
-    Returns (query_id, neighbor_id, cosine, rank).
+    ``broadcast=False`` falls back to a shuffle join for query sets too
+    large to broadcast (mirrors ivf_topk_indexed's prune=False escape
+    hatch) — slower (the corpus funnels onto nlist reducers) but never
+    driver/executor-OOM. Returns (query_id, neighbor_id, cosine, rank).
     """
     from pyspark.sql import Window
 
@@ -275,7 +278,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     # distinct, so (query_id, neighbor_id) pairs cannot duplicate — no
     # dedup shuffle needed after the join
     scored = (
-        c.join(F.broadcast(q), "cid")
+        c.join(F.broadcast(q) if broadcast else q, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -643,7 +646,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                codebooks: list[list[list[float]]] | None = None,
                train_iters: int = 2, pq_iters: int = 1,
                rerank: DataFrame | None = None,
-               shortlist: int | None = None) -> DataFrame:
+               shortlist: int | None = None,
+               broadcast: bool = True) -> DataFrame:
     """IVF × PQ approximate top-k — the production large-scale ANN
     composition (FAISS's IVFPQ, a public design): the coarse quantizer
     routes each query to its ``nprobe`` closest inverted lists (bounding
@@ -658,8 +662,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     join shuffles on ``cid``; the ADC expression is m array lookups + m
     small sqdists per candidate, whole-stage codegen; the rerank joins
     |queries|·shortlist rows back to full vectors — fixed work
-    regardless of corpus size. Returns (query_id, neighbor_id,
-    approx_l2, rank).
+    regardless of corpus size. ``broadcast=False`` falls back to a
+    shuffle join when the query set is too large to broadcast (the
+    corpus then funnels onto nlist reducers — slow, but bounded).
+    Returns (query_id, neighbor_id, approx_l2, rank).
     """
     from pyspark.sql import Window
 
@@ -687,7 +693,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # distinct keys, which would funnel the whole encoded corpus onto
     # nlist reducers; broadcasting keeps the corpus map-only.
     scored = (
-        c.join(F.broadcast(q), "cid")
+        c.join(F.broadcast(q) if broadcast else q, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 _adc_l2(codebooks).alias("approx_l2"))

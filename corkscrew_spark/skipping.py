@@ -775,10 +775,13 @@ def predicate_filter(predicates: list[tuple]):
 def _list_data_files(path: str) -> list[str]:
     """Current data-file relpaths — driver-side metadata walk, the same
     listing any parquet scan performs (skips dot/underscore dirs and
-    the staging/trash siblings, which live OUTSIDE the table dir)."""
+    the staging/trash siblings, which live OUTSIDE the table dir).
+    Follows directory symlinks: a versioned snapshot's ``v=N/data``
+    materializes carried partitions as symlinks into older versions
+    (versioned._link_shared), and those files are part of the table."""
     out = []
     base = os.path.abspath(path)
-    for root, dirs, names in os.walk(base):
+    for root, dirs, names in os.walk(base, followlinks=True):
         dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for name in names:
             if name.endswith(".parquet"):

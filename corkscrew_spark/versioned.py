@@ -203,10 +203,9 @@ def write_version(df: DataFrame, path: str, op: str = "overwrite",
                    partition_cols, part_rows)
 
 
-def read_version(spark: SparkSession, path: str, version: int | None = None,
-                 as_of_ts: float | None = None) -> DataFrame:
-    """Read a snapshot: latest by default, a specific ``version``, or the
-    newest version committed at or before ``as_of_ts`` (time travel)."""
+def _resolve_version(path: str, version: int | None,
+                     as_of_ts: float | None) -> tuple[dict, str]:
+    """(manifest entry, data dir) for a readable snapshot selector."""
     entries = read_manifest(path)
     if not entries:
         raise FileNotFoundError(f"no versions at {path}")
@@ -222,15 +221,104 @@ def read_version(spark: SparkSession, path: str, version: int | None = None,
                 f"no version at or before ts={as_of_ts} (earliest: "
                 f"{entries[0]['ts']})")
         version = pool[-1]["version"]
-    known = {e["version"] for e in entries}
-    if version not in known:
-        raise ValueError(f"unknown version {version} (have {sorted(known)})")
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise ValueError(
+            f"unknown version {version} (have {sorted(by_v)})")
     vroot = os.path.join(path, f"v={version}")
     vdir = os.path.join(vroot, "data")
     if (not os.path.exists(vdir)
             or os.path.exists(os.path.join(vroot, VACUUMED_MARKER))):
         raise ValueError(f"version {version} was vacuumed")
+    return by_v[version], vdir
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None,
+                 as_of_ts: float | None = None,
+                 predicates: list[tuple] | None = None) -> DataFrame:
+    """Read a snapshot: latest by default, a specific ``version``, or the
+    newest version committed at or before ``as_of_ts`` (time travel).
+
+    With ``predicates`` (AND-list of ``(col, op, value)``, ops per
+    ``skipping._OPS``) the read consults the snapshot's zone-map stats
+    (``compute_stats_version``) when present and opens only the files
+    that can match — the predicate is always re-applied, so the result
+    is identical to filtering the plain snapshot read."""
+    _entry, vdir = _resolve_version(path, version, as_of_ts)
+    if predicates:
+        from corkscrew_spark import skipping
+
+        return skipping.read_skipping(spark, vdir, predicates)
     return spark.read.parquet(vdir)
+
+
+def compute_stats_version(spark: SparkSession, path: str,
+                          cols: list[str],
+                          version: int | None = None) -> dict:
+    """Zone-map statistics for snapshot ``v=N``, REUSING carried
+    partitions' per-file records from their owner version's stats —
+    the manifest ``parts`` idea applied to statistics. Only partitions
+    this version physically owns (plus carried ones whose owner has no
+    usable stats for exactly these ``cols``) are scanned, so stats
+    upkeep is O(touched), matching the file-scoped upsert itself.
+    Writes ``v=N/data/_column_stats.json`` and returns it;
+    ``read_version(..., predicates=...)`` then prunes time-travel
+    reads with it. Rel-paths are identical between a version's data
+    dir and the owner's (the symlink preserves layout), so records
+    transfer verbatim. Zone maps only — a snapshot that wants bloom
+    filters can run ``skipping.compute_stats`` directly on its data
+    dir (full rescan). A version dir is immutable, so these stats
+    never go stale."""
+    from corkscrew_spark import skipping
+
+    entry, data = _resolve_version(path, version, None)
+    v = entry["version"]
+    parts = entry.get("parts")
+    if parts is None:
+        return skipping.compute_stats(spark, data, cols)
+    files: dict[str, dict] = {}
+    todo: list[str] = []
+    owner_stats: dict[int, dict | None] = {}
+    types: dict | None = None
+    for rel, owner in sorted(parts.items()):
+        if owner == v:
+            todo.append(rel)
+            continue
+        if owner not in owner_stats:
+            owner_stats[owner] = skipping.load_stats(
+                os.path.join(path, f"v={owner}", "data"))
+        ostats = owner_stats[owner]
+        recs = None
+        if ostats and list(ostats.get("cols") or []) == list(cols):
+            pfx = rel + "/"
+            recs = {f: r for f, r in ostats["files"].items()
+                    if f.startswith(pfx)}
+            on_disk = {
+                os.path.join(rel, f) for f in skipping._list_data_files(
+                    os.path.join(path, f"v={owner}", "data", rel))}
+            if set(recs) != on_disk:
+                recs = None  # owner stats don't cover this dir exactly
+        if recs:
+            files.update(recs)
+            if types is None:
+                types = ostats.get("types")
+        else:
+            todo.append(rel)
+    if todo:
+        expected = [
+            os.path.join(rel, f) for rel in todo
+            for f in skipping._list_data_files(os.path.join(data, rel))]
+        sub = spark.read.option("basePath", data).parquet(
+            *[os.path.join(data, rel) for rel in todo])
+        files.update(skipping._per_file_stats(data, sub, cols, None))
+        skipping._fill_empty_files(files, expected, cols, data)
+        types = skipping._schema_types(sub, cols, None)
+    stats: dict = {"ts_ns": time.time_ns(), "cols": list(cols),
+                   "files": files}
+    if types is not None:
+        stats["types"] = types
+    skipping._write_stats(data, stats)
+    return stats
 
 
 def history(path: str) -> list[dict]:

@@ -789,6 +789,16 @@ def zorder_write_nd(df: DataFrame, path: str, cols: list[str],
     bounds = df.agg(*[f for c in cols
                       for f in (F.min(c).cast("double"),
                                 F.max(c).cast("double"))]).first()
+    missing = [c for j, c in enumerate(cols)
+               if bounds[2 * j] is None or bounds[2 * j + 1] is None]
+    if missing:
+        # empty df or all-NULL clustered column: (hi - lo) on None
+        # would raise a TypeError deep in expression construction
+        raise ValueError(
+            f"zorder_write_nd: no min/max bounds for {missing} — the "
+            "DataFrame is empty or those clustered columns are entirely "
+            "NULL; Z-ordering needs at least one non-NULL value per "
+            "clustered column")
     z = zorder_value_nd([F.col(c) for c in cols],
                         [bounds[2 * j] for j in range(len(cols))],
                         [bounds[2 * j + 1] for j in range(len(cols))],

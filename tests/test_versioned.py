@@ -480,3 +480,84 @@ def test_vacuum_reclaims_orphaned_kept_partitions(spark, tmp_path):
     # the orphaned v1 remnant is gone now
     assert not os.path.exists(os.path.join(p, "v=1"))
     assert versioned.read_version(spark, p).count() == 2
+
+
+class TestVersionStats:
+    """compute_stats_version: zone maps over snapshots, with carried
+    partitions' stats REUSED from their owner version (the manifest
+    `parts` idea applied to statistics) — and time-travel reads pruned
+    through them with result identity."""
+
+    def _pdf(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, region string, v string, ts long")
+
+    def test_carried_stats_reused_and_pruned_read_identical(
+            self, spark, tmp_path, monkeypatch):
+        from corkscrew_spark import skipping
+
+        p = str(tmp_path / "t")
+        base = [(i, r, f"{r}{i}", 1)
+                for r in ("eu", "us", "ap") for i in range(10)]
+        versioned.write_version(self._pdf(spark, base), p,
+                                partition_cols=["region"])
+        versioned.compute_stats_version(spark, p, ["k"], version=1)
+        v1_stats = skipping.load_stats(os.path.join(p, "v=1", "data"))
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(3, "eu", "eu3b", 2),
+                                        (99, "eu", "eu99", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        # spy: the v=2 stats pass must scan ONLY the owned partition
+        scanned = []
+        real = skipping._per_file_stats
+        monkeypatch.setattr(
+            skipping, "_per_file_stats",
+            lambda path, df, cols, bloom=None:
+            scanned.append(path) or real(path, df, cols, bloom))
+        stats2 = versioned.compute_stats_version(spark, p, ["k"],
+                                                 version=2)
+        assert len(scanned) == 1
+        # carried us/ap records are verbatim copies of v=1's
+        for rel, rec in v1_stats["files"].items():
+            if rel.startswith(("region=us/", "region=ap/")):
+                assert stats2["files"][rel] == rec
+        assert any(rel.startswith("region=eu/") for rel in stats2["files"])
+        # pruned time-travel read == full read, and it actually pruned
+        preds = [("k", ">=", 99)]
+        pruned = versioned.read_version(spark, p, version=2,
+                                        predicates=preds)
+        full = versioned.read_version(spark, p, version=2).filter(
+            skipping.predicate_filter(preds))
+        assert sorted(map(tuple, pruned.collect())) \
+            == sorted(map(tuple, full.collect()))
+        assert pruned.count() == 1
+        data2 = os.path.join(p, "v=2", "data")
+        plan = skipping.plan_skip(data2, preds)
+        assert plan["fallback"] is None and plan["pruned"]
+        assert len(plan["kept"]) < len(plan["kept"]) + len(plan["pruned"])
+        # v=1 pruned read still sees its own snapshot (no 99 yet)
+        assert versioned.read_version(
+            spark, p, version=1, predicates=[("k", ">=", 9)]).count() == 3
+
+    def test_owner_without_stats_recomputes_through_symlink(
+            self, spark, tmp_path):
+        from corkscrew_spark import skipping
+
+        p = str(tmp_path / "t")
+        versioned.write_version(
+            self._pdf(spark, [(1, "eu", "a", 1), (2, "us", "b", 1)]),
+            p, partition_cols=["region"])
+        versioned.upsert_version(
+            spark, p, self._pdf(spark, [(1, "eu", "a2", 2)]),
+            ["k"], order_col="ts", partition_cols=["region"])
+        # no v=1 stats exist: the carried us partition must be scanned
+        # fresh THROUGH its symlink, with rel-paths staying inside v=2
+        stats = versioned.compute_stats_version(spark, p, ["k"],
+                                                version=2)
+        rels = set(stats["files"])
+        assert any(r.startswith("region=eu/") for r in rels)
+        assert any(r.startswith("region=us/") for r in rels)
+        assert not any(r.startswith("..") for r in rels)
+        preds = [("k", "=", 2)]
+        got = versioned.read_version(spark, p, predicates=preds)
+        assert [r.v for r in got.collect()] == ["b"]

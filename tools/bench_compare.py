@@ -13,7 +13,43 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _retime(names: list[str], sf: float | None) -> dict[str, float]:
+    """Min-of-3 warm re-timing of ``names`` at the bench's sf dir.
+    Returns {} (all flags stand, tagged 're-time failed') when the
+    session can't come up rather than masking a real regression."""
+    import time
+
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from corkscrew_spark.plans.queries import QUERIES
+        from corkscrew_spark.session import get_spark, sf_dir
+
+        data_dir = sf_dir()
+        spark = get_spark(app_name="bench-retime")
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+        out: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, data_dir).write.format("noop").mode(
+                    "overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+    except Exception as ex:  # noqa: BLE001 — never mask the flag
+        print(f"warm re-time unavailable ({str(ex)[:80]}); "
+              "flags stand unconfirmed")
+        return {}
 
 
 def main() -> int:
@@ -21,6 +57,8 @@ def main() -> int:
     ap.add_argument("old")
     ap.add_argument("new", nargs="?", default="bench_detail.json")
     ap.add_argument("--threshold", type=float, default=1.3)
+    ap.add_argument("--no-retime", action="store_true",
+                    help="skip the warm re-timing of flagged queries")
     args = ap.parse_args()
 
     with open(args.old) as fh:
@@ -49,8 +87,33 @@ def main() -> int:
         for name in sorted(set(oq) & set(nq))
         if nq[name] * args.threshold < oq[name] and oq[name] - nq[name] > 0.3
     ]
-    for name, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
-        print(f"REGRESSION {name}: {a}s -> {b}s ({b / a:.2f}x)")
+    # Warm re-time before believing a flag: iterative/graph queries
+    # swing ±40% run-to-run on a noisy local host, so a raw flag is as
+    # likely scheduler noise as a real plan change. Re-run each flagged
+    # query min-of-3 in a warm session and keep the flag only when the
+    # warm number still breaches the threshold — "confirmed warm" vs
+    # "noise" is then explicit in the report (round-5 verdict, next #7).
+    if regressions and not args.no_retime:
+        confirmed = []
+        warm = _retime([name for name, _a, _b in regressions],
+                       new.get("sf"))
+        for name, a, b in regressions:
+            w = warm.get(name)
+            if w is None:
+                confirmed.append((name, a, b, None))
+            elif w > a * args.threshold and w - a > 0.3:
+                confirmed.append((name, a, b, w))
+            else:
+                print(f"noise      {name}: {a}s -> {b}s, "
+                      f"warm re-time {w}s — within threshold, dropped")
+        regressions = [(n, a, b) for n, a, b, _ in confirmed]
+        for name, a, b, w in sorted(confirmed, key=lambda r: r[1] - r[2]):
+            tag = f"warm {w}s" if w is not None else "re-time failed"
+            print(f"REGRESSION (confirmed) {name}: {a}s -> {b}s "
+                  f"({b / a:.2f}x, {tag})")
+    else:
+        for name, a, b in sorted(regressions, key=lambda r: r[1] - r[2]):
+            print(f"REGRESSION {name}: {a}s -> {b}s ({b / a:.2f}x)")
     for name, a, b in sorted(improvements, key=lambda r: r[2] - r[1]):
         print(f"improved  {name}: {a}s -> {b}s ({b / a:.2f}x)")
     if not regressions:
