@@ -197,25 +197,45 @@ class QueryEngine:
         view right after analysis — view resolution happens at
         DataFrame creation, so the returned frame keeps the pruned
         scan while the session state goes back to normal."""
+        from collections import Counter
+
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
         st = _pred.single_table(bound)
-        if st is None or st[0] not in self._warehouse:
+        if st is not None:
+            targets = [(st[0], st[1], False)] \
+                if st[0] in self._warehouse else []
+        else:
+            # pure INNER-join chains prune each registered table on its
+            # explicitly-qualified conjuncts (see predicates.
+            # inner_join_tables for the outer-join soundness argument);
+            # a self-joined table is skipped — one reference's
+            # predicates must not prune the other's rows
+            tabs = _pred.inner_join_tables(bound) or []
+            counts = Counter(t for t, _a in tabs)
+            targets = [(t, a, True) for t, a in tabs
+                       if t in self._warehouse and counts[t] == 1]
+        repointed: list[str] = []
+        for name, alias, qualified_only in targets:
+            preds = _pred.extract_predicates(bound, name, alias,
+                                             qualified_only)
+            if not preds:
+                continue
+            try:
+                pruned = _skip.read_skipping(
+                    self.spark, self._warehouse[name], preds)
+            except Exception:
+                continue  # unreadable stats/files: the plain view stands
+            pruned.createOrReplaceTempView(name)
+            repointed.append(name)
+        if not repointed:
             return None
-        name, alias = st
-        preds = _pred.extract_predicates(bound, name, alias)
-        if not preds:
-            return None
-        path = self._warehouse[name]
-        try:
-            pruned = _skip.read_skipping(self.spark, path, preds)
-        except Exception:
-            return None  # unreadable stats/files: the plain view stands
-        pruned.createOrReplaceTempView(name)
 
         def _restore() -> None:
-            self.spark.read.parquet(path).createOrReplaceTempView(name)
+            for name in repointed:
+                self.spark.read.parquet(
+                    self._warehouse[name]).createOrReplaceTempView(name)
 
         return _restore
 

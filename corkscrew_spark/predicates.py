@@ -156,6 +156,101 @@ def single_table(sql: str) -> tuple[str, str | None] | None:
     return table, alias
 
 
+def inner_join_tables(
+        sql: str) -> list[tuple[str, str | None]] | None:
+    """Table references when the statement is a SELECT over a pure
+    INNER-join chain — ``FROM t1 [AS a] (JOIN t2 [AS b] ON ...)*`` —
+    as ``[(table, alias|None), ...]``. None for ANY other shape.
+
+    Why inner-only: pruning a table's files drops rows that provably
+    fail that table's own conjuncts; in an inner join every output row
+    containing a dropped row fails the re-applied WHERE anyway, so the
+    result is identical. In an OUTER join a dropped match turns into a
+    null-extended row instead, which a ``t.col IS NULL`` predicate then
+    wrongly ACCEPTS — so any LEFT/RIGHT/FULL/CROSS/NATURAL/SEMI/ANTI
+    keyword bails, as do subqueries, comma lists, and set operators."""
+    try:
+        toks = _tokens(sql)
+    except _Unparseable:
+        return None
+    kws = {v for k, v in toks if k == "kw"}
+    if sum(1 for k, v in toks if (k, v) == ("kw", "FROM")) != 1:
+        return None
+    if kws & {"UNION", "INTERSECT", "EXCEPT", "LATERAL", "TABLESAMPLE",
+              "PIVOT", "UNPIVOT", "VALUES", "WITH", "EXISTS", "LEFT",
+              "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI", "ANTI",
+              "OUTER", "USING"}:
+        return None
+    i = next(i for i, t in enumerate(toks) if t == ("kw", "FROM"))
+    out: list[tuple[str, str | None]] = []
+    j = i + 1
+
+    def _table_ref(j):
+        if j >= len(toks) or toks[j][0] not in ("ident", "bq"):
+            return None
+        table = _unquote_ident(toks[j])
+        j += 1
+        if j < len(toks) and toks[j] == ("punc", "."):
+            return None  # db-qualified name — not a registered view
+        alias = None
+        if j < len(toks) and toks[j] == ("kw", "AS"):
+            j += 1
+            if j >= len(toks) or toks[j][0] not in ("ident", "bq"):
+                return None
+            alias = _unquote_ident(toks[j])
+            j += 1
+        elif j < len(toks) and toks[j][0] in ("ident", "bq"):
+            alias = _unquote_ident(toks[j])
+            j += 1
+        return table, alias, j
+
+    ref = _table_ref(j)
+    if ref is None:
+        return None
+    out.append(ref[:2])
+    j = ref[2]
+    while j < len(toks):
+        k, v = toks[j]
+        if (k, v) == ("punc", ","):
+            return None  # comma join: keep the accepted grammar tight
+        if (k, v) == ("kw", "INNER"):
+            j += 1
+            continue
+        if (k, v) == ("kw", "JOIN"):
+            ref = _table_ref(j + 1)
+            if ref is None:
+                return None
+            out.append(ref[:2])
+            j = ref[2]
+            if j >= len(toks) or toks[j] != ("kw", "ON"):
+                return None
+            # skip the ON condition up to the next top-level JOIN /
+            # clause keyword
+            depth = 0
+            j += 1
+            while j < len(toks):
+                k2, v2 = toks[j]
+                if (k2, v2) == ("punc", "("):
+                    depth += 1
+                elif (k2, v2) == ("punc", ")"):
+                    depth -= 1
+                elif depth == 0 and k2 == "kw" and v2 in (
+                        "JOIN", "INNER", "WHERE", "GROUP", "ORDER",
+                        "LIMIT", "HAVING", "WINDOW", "QUALIFY",
+                        "DISTRIBUTE", "CLUSTER", "SORT"):
+                    break
+                j += 1
+            continue
+        if k == "kw" and v in ("WHERE", "GROUP", "ORDER", "LIMIT",
+                               "HAVING", "WINDOW", "QUALIFY",
+                               "DISTRIBUTE", "CLUSTER", "SORT"):
+            break
+        if (k, v) == ("punc", ";"):
+            break
+        return None  # anything else in table position: stand down
+    return out if len(out) >= 2 else None
+
+
 def _where_tokens(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Tokens of the (single) WHERE clause at paren depth 0, up to the
     next top-level clause keyword; [] when there is no WHERE."""
@@ -249,10 +344,13 @@ def _parse_lit(toks: list[tuple[str, str]], i: int):
 
 
 def _parse_colref(toks: list[tuple[str, str]], i: int,
-                  names: set[str]):
+                  names: set[str], require_qualifier: bool = False):
     """Column reference at index i -> (col, next_index) or None.
     A qualifier must be the table name or its alias (``names``,
-    lower-cased); anything else is treated as not-a-column."""
+    lower-cased); anything else is treated as not-a-column. With
+    ``require_qualifier`` an UNQUALIFIED name is rejected too — in a
+    multi-table query a bare column can belong to any table, so only
+    explicit ``t.col`` refs are attributable."""
     if i >= len(toks) or toks[i][0] not in ("ident", "bq"):
         return None
     first = _unquote_ident(toks[i])
@@ -262,6 +360,8 @@ def _parse_colref(toks: list[tuple[str, str]], i: int,
         if first.lower() not in names:
             return None
         return _unquote_ident(toks[j + 1]), j + 2
+    if require_qualifier:
+        return None
     return first, j
 
 
@@ -271,7 +371,8 @@ _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
 
 def _parse_term(toks: list[tuple[str, str]],
-                names: set[str]) -> tuple | None:
+                names: set[str],
+                require_qualifier: bool = False) -> tuple | None:
     """One conjunct -> (col, op, value) in skipping's predicate form,
     or None when it isn't a simple prunable shape."""
     # strip one level of fully-enclosing parens
@@ -297,11 +398,11 @@ def _parse_term(toks: list[tuple[str, str]],
         if i < len(toks) and toks[i][0] == "op" \
                 and toks[i][1] in _OPS_MAP:
             op = _FLIP[_OPS_MAP[toks[i][1]]]
-            ref = _parse_colref(toks, i + 1, names)
+            ref = _parse_colref(toks, i + 1, names, require_qualifier)
             if ref is not None and ref[1] == len(toks):
                 return ref[0], op, value
         return None
-    ref = _parse_colref(toks, 0, names)
+    ref = _parse_colref(toks, 0, names, require_qualifier)
     if ref is None:
         return None
     col, i = ref
@@ -352,11 +453,14 @@ def _parse_term(toks: list[tuple[str, str]],
 
 
 def extract_predicates(sql: str, table: str,
-                       alias: str | None = None) -> list[tuple]:
+                       alias: str | None = None,
+                       qualified_only: bool = False) -> list[tuple]:
     """The WHERE clause's simple conjuncts over ``table`` (or its
     ``alias``) in ``skipping`` predicate form. Empty list whenever the
     text is anything but certain — pruning on a subset of conjuncts is
-    sound, pruning on a guess is not."""
+    sound, pruning on a guess is not. ``qualified_only`` (the
+    multi-table mode) accepts only explicitly ``t.col``-qualified
+    terms, since a bare column in a join could belong to any table."""
     try:
         toks = _tokens(sql)
     except _Unparseable:
@@ -372,7 +476,7 @@ def extract_predicates(sql: str, table: str,
         return []
     out = []
     for term in conjuncts:
-        parsed = _parse_term(term, names)
+        parsed = _parse_term(term, names, qualified_only)
         if parsed is not None:
             out.append(parsed)
     return out

@@ -319,3 +319,69 @@ def test_read_table_default_path_prunes(spark, tmp_path):
     # forced off: same rows, full listing
     off = warehouse.read_table(spark, path, preds, use_stats=False)
     assert off.count() == got.count()
+
+
+class TestJoinSkipping:
+    """Inner-join chains prune each registered warehouse table on its
+    explicitly-qualified conjuncts; outer joins and self-joins fall
+    back to plain views (soundness over coverage)."""
+
+    @pytest.fixture()
+    def two_tables(self, spark, tmp_path):
+        from corkscrew_spark import skipping
+
+        facts = str(tmp_path / "facts")
+        dims = str(tmp_path / "dims")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")
+        ).repartitionByRange(8, "k").write.parquet(facts)
+        spark.range(10).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("dim"), F.col("id").cast("string")).alias("nm")
+        ).coalesce(1).write.parquet(dims)
+        skipping.compute_stats(spark, facts, ["k"])
+        skipping.compute_stats(spark, dims, ["d"])
+        return facts, dims
+
+    def test_join_prunes_fact_side(self, spark, two_tables):
+        facts, dims = two_tables
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("facts", facts)
+        eng.register_warehouse("dims", dims)
+        sql = ("SELECT f.k, d.nm FROM facts f JOIN dims d ON f.d = d.d "
+               "WHERE f.k >= 700 AND d.nm IS NOT NULL ORDER BY f.k")
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        plain = [tuple(r) for r in spark.sql(
+            f"SELECT f.k, d.nm FROM parquet.`{facts}` f "
+            f"JOIN parquet.`{dims}` d ON f.d = d.d "
+            "WHERE f.k >= 700 AND d.nm IS NOT NULL ORDER BY f.k"
+        ).collect()]
+        assert got == plain and len(got) == 100
+        # the fact side was re-pointed at a pruned read during analysis
+        restore = eng._skipping_repoint(sql)
+        assert restore is not None
+        opened = spark.sql(
+            "SELECT DISTINCT input_file_name() AS f FROM facts").count()
+        restore()
+        assert opened <= 2  # of 8 range-clustered fact files
+        assert spark.sql("SELECT COUNT(*) AS n FROM facts"
+                         ).first().n == 800  # restored
+
+    def test_outer_join_and_self_join_never_repoint(self, spark,
+                                                    two_tables):
+        facts, dims = two_tables
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("facts", facts)
+        eng.register_warehouse("dims", dims)
+        for sql in (
+            # outer join: pruning the null-extendable side is unsound
+            # under IS NULL — the extractor must stand down entirely
+            "SELECT f.k FROM facts f LEFT JOIN dims d ON f.d = d.d "
+            "WHERE f.k >= 700",
+            # self-join: one reference's predicate must not prune the
+            # other's rows
+            "SELECT a.k FROM facts a JOIN facts b ON a.d = b.d "
+            "WHERE a.k >= 700",
+        ):
+            assert eng._skipping_repoint(sql) is None, sql
+            assert eng.execute(sql).df.count() > 0

@@ -108,3 +108,42 @@ class TestExtraction:
         assert _both(
             "SELECT * FROM t WHERE a = 1 ORDER BY b LIMIT 5") == [
             ("a", "=", 1)]
+
+
+class TestInnerJoinTables:
+    def test_accepts_pure_inner_chains(self):
+        from corkscrew_spark.predicates import inner_join_tables as ijt
+
+        assert ijt("SELECT * FROM a JOIN b ON a.k = b.k WHERE a.x=1") \
+            == [("a", None), ("b", None)]
+        assert ijt("SELECT * FROM a x INNER JOIN b AS y ON x.k = y.k "
+                   "JOIN c ON c.k = x.k WHERE x.v > 2") \
+            == [("a", "x"), ("b", "y"), ("c", None)]
+
+    def test_rejects_everything_else(self):
+        from corkscrew_spark.predicates import inner_join_tables as ijt
+
+        for sql in (
+            "SELECT * FROM a LEFT JOIN b ON a.k=b.k",
+            "SELECT * FROM a FULL OUTER JOIN b ON a.k=b.k",
+            "SELECT * FROM a CROSS JOIN b",
+            "SELECT * FROM a JOIN b USING (k)",
+            "SELECT * FROM a, b WHERE a.k=b.k",
+            "SELECT * FROM a JOIN (SELECT * FROM b) s ON a.k=s.k",
+            "SELECT * FROM a WHERE x=1",  # single table: not a chain
+            "SELECT * FROM a JOIN b ON a.k=b.k UNION SELECT * FROM c",
+            "WITH c AS (SELECT 1) SELECT * FROM a JOIN b ON a.k=b.k",
+        ):
+            assert ijt(sql) is None, sql
+
+    def test_qualified_only_extraction(self):
+        from corkscrew_spark.predicates import extract_predicates
+
+        sql = ("SELECT * FROM a x JOIN b ON x.k = b.k "
+               "WHERE x.v > 2 AND b.w = 3 AND v2 = 5")
+        # per-table, explicitly-qualified conjuncts only: the bare `v2`
+        # could belong to either table and must never be attributed
+        assert extract_predicates(sql, "a", "x", qualified_only=True) \
+            == [("v", ">", 2)]
+        assert extract_predicates(sql, "b", None, qualified_only=True) \
+            == [("w", "=", 3)]
