@@ -127,6 +127,7 @@ _DEFERRED = frozenset()
 #: Connect _jdf gate). Every name verified green by
 #: `tools/driver_sim.py --window 50` at sf0.01 before pinning.
 _WINDOW = (
+    "engine_pruned_scan",
     "pricing_summary",
     "region_rollup",
     "top_customers",
@@ -176,7 +177,6 @@ _WINDOW = (
     "sample_stratified",
     "dedup_clusters",
     "text_redact",
-    "decontaminate",
 )
 
 

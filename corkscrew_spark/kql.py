@@ -1089,6 +1089,153 @@ class _StageCompiler:
         return out
 
 
+def _skip_predicates(where_text: str) -> list[tuple]:
+    """Mine one ``where`` stage's text for simple conjuncts in
+    ``skipping`` predicate form: ``col op literal`` (==, <, <=, >, >=),
+    ``col in (lits)``, ``isnull(col)`` / ``isnotnull(col)``, AND-joined
+    at the top level. Anything else — ``or``, functions, arithmetic,
+    case-insensitive operators (=~, has, contains), negations — makes
+    that term (or, for a top-level ``or``, the whole stage) contribute
+    nothing: pruning on a subset of conjuncts is sound because the
+    compiled stage still applies the FULL filter."""
+    try:
+        toks = _tokenize(where_text)
+    except KqlError:
+        return []
+    # split on top-level `and`; any top-level `or` voids the stage
+    terms: list[list[_Tok]] = [[]]
+    depth = 0
+    for t in toks:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if depth == 0 and t.kind == "ident" and t.text.lower() == "or":
+            return []
+        if depth == 0 and t.kind == "ident" and t.text.lower() == "and":
+            terms.append([])
+            continue
+        terms[-1].append(t)
+
+    def _lit(t: _Tok):
+        if t.kind == "number":
+            return float(t.text) if "." in t.text or "e" in t.text.lower() \
+                else int(t.text)
+        if t.kind == "string":
+            return t.text
+        if t.kind == "datetime":
+            import datetime as _dtm
+
+            raw = t.text.strip("'\"")
+            # the compiled filter is lit(text).cast("timestamp"), which
+            # Spark reads in the SESSION zone for offset-free text but
+            # honors an explicit Z/±hh:mm — a naive mined value would
+            # then disagree with the real filter, so offset-bearing
+            # literals contribute nothing (no prune, never wrong)
+            if raw.endswith(("Z", "z")) or re.search(
+                    r"[+-]\d{2}:?\d{2}$", raw):
+                return None
+            try:
+                return _dtm.datetime.fromisoformat(raw)
+            except ValueError:
+                return None
+        return None
+
+    _OPMAP = {"==": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    _FLIPM = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+    out: list[tuple] = []
+    for term in terms:
+        if len(term) == 3 and term[0].kind == "ident" \
+                and term[1].kind == "op" and term[1].text in _OPMAP:
+            v = _lit(term[2])
+            if v is not None:
+                out.append((term[0].text, _OPMAP[term[1].text], v))
+            continue
+        if len(term) == 3 and term[2].kind == "ident" \
+                and term[1].kind == "op" and term[1].text in _OPMAP:
+            v = _lit(term[0])
+            if v is not None:
+                out.append((term[2].text, _FLIPM[_OPMAP[term[1].text]], v))
+            continue
+        if (len(term) == 4 and term[0].kind == "ident"
+                and term[0].text.lower() in ("isnull", "isnotnull")
+                and term[1].kind == "op" and term[1].text == "("
+                and term[2].kind == "ident"
+                and term[3].kind == "op" and term[3].text == ")"):
+            op = ("is_null" if term[0].text.lower() == "isnull"
+                  else "is_not_null")
+            out.append((term[2].text, op, None))
+            continue
+        if (len(term) >= 4 and term[0].kind == "ident"
+                and term[1].kind == "ident"
+                and term[1].text.lower() == "in"
+                and term[2].kind == "op" and term[2].text == "("
+                and term[-1].kind == "op" and term[-1].text == ")"):
+            members = []
+            expect_lit = True
+            ok = True
+            for t in term[3:-1]:
+                if expect_lit:
+                    v = _lit(t)
+                    if v is None:
+                        ok = False
+                        break
+                    members.append(v)
+                    expect_lit = False
+                elif t.kind == "op" and t.text == ",":
+                    expect_lit = True
+                else:
+                    ok = False
+                    break
+            if ok and members and not expect_lit:
+                out.append((term[0].text, "in", members))
+            continue
+    return out
+
+
+def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
+                       tables: dict[str, DataFrame] | None = None
+                       ) -> DataFrame:
+    """``kql_to_df`` with warehouse-directory sources read through
+    zone-map/bloom data skipping: ``warehouse`` maps KQL table names to
+    table DIRECTORIES, and when the pipeline's head table is one of
+    them, its LEADING ``where`` stages (consecutive, before any other
+    operator can rename or reshape columns) are mined for simple
+    conjuncts and the source becomes a ``read_skipping`` pruned read.
+    Every stage still executes in full on top — including those wheres
+    — so the result is identical to a plain read; stats only change
+    how many files are opened. Non-head warehouse tables (join/union
+    sides) get plain reads. Env ``CORKSCREW_DATA_SKIPPING=0``
+    disables the pruning (plain reads everywhere)."""
+    import os as _os
+
+    from corkscrew_spark import skipping as _skip
+
+    stages = _split_stages(query)
+    if not stages:
+        raise KqlError("KQL: empty query")
+    head = stages[0].strip().lower()
+    enabled = _os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
+    resolved: dict[str, DataFrame] = dict(tables or {})
+    for name, path in warehouse.items():
+        if name.lower() == head and enabled:
+            preds: list[tuple] = []
+            for stage in stages[1:]:
+                m = re.match(r"where\s+(.*)", stage.strip(),
+                             re.DOTALL | re.IGNORECASE)
+                if not m:
+                    break  # first non-where stage ends the minable prefix
+                preds.extend(_skip_predicates(m.group(1)))
+            if preds:
+                try:
+                    resolved[name] = _skip.read_skipping(spark, path, preds)
+                    continue
+                except Exception:  # noqa: BLE001 — plain read stands
+                    pass
+        resolved[name] = spark.read.parquet(path)
+    return kql_to_df(query, resolved)
+
+
 def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     """Compile a KQL pipeline string onto the given named DataFrames.
 

@@ -464,3 +464,96 @@ def test_numeric_vs_string_literal_is_compile_error(spark):
     assert kql_to_df("documents | where doc_id == 1", t).count() == 1
     assert kql_to_df("documents | where lang == 'en' | take 1",
                      t).count() == 1
+
+
+class TestKqlSkipping:
+    """kql_to_df_skipping: warehouse-dir sources read through zone maps
+    mined from the pipeline's leading where stages — result identity
+    with plain reads, fewer files opened."""
+
+    def test_skip_predicates_mining(self):
+        from corkscrew_spark.kql import _skip_predicates
+
+        assert _skip_predicates("k >= 700 and s == 'x'") == [
+            ("k", ">=", 700), ("s", "=", "x")]
+        assert _skip_predicates("700 <= k") == [("k", ">=", 700)]
+        assert _skip_predicates("k in (1, 2, 3)") == [("k", "in", [1, 2, 3])]
+        assert _skip_predicates("isnull(v) and isnotnull(s)") == [
+            ("v", "is_null", None), ("s", "is_not_null", None)]
+        # a top-level `or` voids the stage; unsound shapes drop the term
+        assert _skip_predicates("k >= 700 or s == 'x'") == []
+        assert _skip_predicates("tolower(s) == 'x' and k > 5") == [
+            ("k", ">", 5)]
+        assert _skip_predicates("s =~ 'X'") == []     # case-insensitive
+        assert _skip_predicates("s has 'word'") == []
+        assert _skip_predicates("k != 3") == []
+        # offset-bearing datetimes can disagree with the session zone
+        assert _skip_predicates("ts > datetime(2024-01-01T00:00:00Z)") == []
+        got = _skip_predicates("ts > datetime(2024-01-05 06:00:00)")
+        import datetime as dt
+        assert got == [("ts", ">", dt.datetime(2024, 1, 5, 6, 0))]
+
+    def test_warehouse_source_pruned_and_identical(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        path = str(tmp_path / "events_tbl")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+            F.concat(F.lit("u"), (F.col("id") % 13).cast("string")
+                     ).alias("user")
+        ).repartitionByRange(8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        q = ("Events | where k >= 700 and user != 'u3' "
+             "| summarize Count=count() by v | order by v asc")
+        got = kql_to_df_skipping(spark, q, {"Events": path})
+        plain = kql_to_df(q, {"Events": spark.read.parquet(path)})
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in plain.collect()]
+        # the source really went through read_skipping with the mined
+        # conjuncts, and the plan kept a strict file subset
+        plan = skipping.plan_skip(path, [("k", ">=", 700)])
+        assert plan["fallback"] is None and plan["pruned"]
+        assert len(plan["kept"]) <= 2
+
+    def test_non_head_and_later_wheres_not_mined(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        path = str(tmp_path / "t2")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ).repartitionByRange(4, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        # the where AFTER summarize refers to an aggregate column: it
+        # must not be mined (only the leading-where prefix is), and the
+        # result must match the plain compile
+        q = ("T | summarize n=count() by g | where n > 10 "
+             "| order by g asc")
+        got = kql_to_df_skipping(spark, q, {"T": path})
+        plain = kql_to_df(q, {"T": spark.read.parquet(path)})
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in plain.collect()]
+
+    def test_env_flag_disables(self, spark, tmp_path, monkeypatch):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        path = str(tmp_path / "t3")
+        spark.range(100).select(F.col("id").alias("k")).repartitionByRange(
+            4, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        calls = []
+        monkeypatch.setattr(
+            skipping, "read_skipping",
+            lambda *a, **k: calls.append(a) or (_ for _ in ()).throw(
+                AssertionError("read_skipping must not be called")))
+        src = kql_to_df_skipping(spark, "T | where k >= 90", {"T": path})
+        assert calls == [] and src.count() == 10
