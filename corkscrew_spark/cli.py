@@ -47,6 +47,13 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
     eng = QueryEngine(spark)
+    for spec in args.warehouse or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"error: --warehouse expects name=path, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        eng.register_warehouse(name, path)
     if args.file:
         with open(args.file) as f:
             sql = f.read()
@@ -723,14 +730,22 @@ def cmd_kql(args: argparse.Namespace) -> int:
     """Run a raw KQL pipeline over the registered tables — the reference's
     Azure surface accepts these strings verbatim (resource_graph.go:71-118);
     here they compile locally via corkscrew_spark.kql."""
-    from corkscrew_spark.kql import KqlError, kql_to_df
+    from corkscrew_spark.kql import KqlError, kql_to_df_skipping
 
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     tables = register_tables(spark, args.data)
+    warehouse = {}
+    for spec in args.warehouse or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"error: --warehouse expects name=path, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        warehouse[name] = path
     kql = args.kql if args.kql != "-" else sys.stdin.read()
     try:
-        df = kql_to_df(kql, tables)
+        df = kql_to_df_skipping(spark, kql, warehouse, tables)
     except KqlError as ex:
         print(f"error: {ex}", file=sys.stderr)
         return 2
@@ -810,6 +825,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--data", default=sf_dir())
     q.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of rows")
+    q.add_argument("--warehouse", action="append", metavar="NAME=DIR",
+                   help="register a warehouse table dir as a view; "
+                        "simple WHERE conjuncts then read through "
+                        "zone-map/bloom data skipping")
     q.set_defaults(fn=cmd_query)
 
     od = sub.add_parser("orchestrator-discover",
@@ -848,6 +867,9 @@ def main(argv: list[str] | None = None) -> int:
     kq.add_argument("--format", choices=sorted(formatter.FORMATTERS), default="table")
     kq.add_argument("--limit", type=int, default=100)
     kq.add_argument("--data", default=sf_dir())
+    kq.add_argument("--warehouse", action="append", metavar="NAME=DIR",
+                   help="add a warehouse table dir as a KQL table; "
+                        "leading where conjuncts prune via zone maps")
     kq.set_defaults(fn=cmd_kql)
 
     p = sub.add_parser("pack", help="compliance packs")

@@ -407,3 +407,22 @@ def test_scan_expectations_flags(spark, tmp_path, capsys):
                    "--out", out, "--expectations", str(rules_file)])
     assert rc == 0
     assert "WARNINGS" in capsys.readouterr().out
+
+
+def test_query_and_kql_warehouse_flag(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli, skipping
+
+    path = str(tmp_path / "wtbl")
+    spark.range(200).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    assert cli.main(["query", "SELECT COUNT(*) AS n FROM wt WHERE k >= 150",
+                     "--warehouse", f"wt={path}", "--format", "csv"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[1] == "50"
+    assert cli.main(["kql", "wt | where k >= 150 | count",
+                     "--warehouse", f"wt={path}", "--format", "csv"]) == 0
+    assert capsys.readouterr().out.splitlines()[1] == "50"
+    assert cli.main(["query", "SELECT 1", "--warehouse", "nopath"]) == 2
