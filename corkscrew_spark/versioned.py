@@ -265,10 +265,15 @@ def compute_stats_version(spark: SparkSession, path: str,
     ``read_version(..., predicates=...)`` then prunes time-travel
     reads with it. Rel-paths are identical between a version's data
     dir and the owner's (the symlink preserves layout), so records
-    transfer verbatim. Zone maps only — a snapshot that wants bloom
-    filters can run ``skipping.compute_stats`` directly on its data
-    dir (full rescan). A version dir is immutable, so these stats
-    never go stale."""
+    transfer verbatim. Bloom filters are INHERITED: when every carried
+    record's owner built blooms under one identical config (cols/m/k —
+    and, for timestamp columns, the same session time zone as now,
+    since bitmaps render zone-dependently), the freshly scanned
+    partitions get the same config and the carried bitmaps carry over;
+    otherwise the snapshot's stats are zone-map-only and reused records
+    are stripped of their bitmaps (a bitmap probed under the wrong
+    config is a false negative — wrong rows, never acceptable). A
+    version dir is immutable, so these stats never go stale."""
     from corkscrew_spark import skipping
 
     entry, data = _resolve_version(path, version, None)
@@ -276,7 +281,7 @@ def compute_stats_version(spark: SparkSession, path: str,
     parts = entry.get("parts")
     if parts is None:
         return skipping.compute_stats(spark, data, cols)
-    files: dict[str, dict] = {}
+    reused: list[tuple[dict, dict | None]] = []  # (recs, owner bloom cfg)
     todo: list[str] = []
     owner_stats: dict[int, dict | None] = {}
     types: dict | None = None
@@ -299,24 +304,63 @@ def compute_stats_version(spark: SparkSession, path: str,
             if set(recs) != on_disk:
                 recs = None  # owner stats don't cover this dir exactly
         if recs:
-            files.update(recs)
+            reused.append((recs, ostats.get("bloom")))
             if types is None:
                 types = ostats.get("types")
         else:
             todo.append(rel)
+
+    def _cfg_key(cfg: dict | None):
+        if not cfg:
+            return None
+        return (tuple(cfg["cols"]), cfg["m"], cfg["k"], cfg.get("tz"))
+
+    cfg_keys = {_cfg_key(cfg) for _recs, cfg in reused} - {None}
+    adopted: dict | None = None
+    if len(cfg_keys) == 1:
+        cand = next(cfg for _recs, cfg in reused
+                    if _cfg_key(cfg) in cfg_keys)
+        tz_now = spark.conf.get("spark.sql.session.timeZone")
+        if ("timestamp" not in set(cand.get("types", {}).values())
+                or cand.get("tz") == tz_now):
+            adopted = {"cols": list(cand["cols"]), "m": cand["m"],
+                       "k": cand["k"], "tz": cand.get("tz") or tz_now}
+    files: dict[str, dict] = {}
+    for recs, cfg in reused:
+        if adopted is not None and _cfg_key(cfg) == (
+                tuple(adopted["cols"]), adopted["m"], adopted["k"],
+                adopted["tz"]):
+            files.update(recs)
+        else:
+            # zone-only snapshot (or off-config owner): strip bitmaps —
+            # a bitmap probed under the wrong config false-negatives
+            files.update({f: ({k2: v2 for k2, v2 in r.items()
+                               if k2 != "bloom"} if "bloom" in r else r)
+                          for f, r in recs.items()})
     if todo:
         expected = [
             os.path.join(rel, f) for rel in todo
             for f in skipping._list_data_files(os.path.join(data, rel))]
         sub = spark.read.option("basePath", data).parquet(
             *[os.path.join(data, rel) for rel in todo])
-        files.update(skipping._per_file_stats(data, sub, cols, None))
+        bloom_arg = dict(adopted) if adopted else None
+        files.update(skipping._per_file_stats(data, sub, cols, bloom_arg))
         skipping._fill_empty_files(files, expected, cols, data)
-        types = skipping._schema_types(sub, cols, None)
+        types = skipping._schema_types(sub, cols, bloom_arg)
+        if bloom_arg is not None:
+            adopted = bloom_arg  # now carries the types tag map
     stats: dict = {"ts_ns": time.time_ns(), "cols": list(cols),
                    "files": files}
     if types is not None:
         stats["types"] = types
+    if adopted is not None:
+        if "types" not in adopted:
+            # no fresh dirs were scanned: recover the tag map from the
+            # config source so probes know each column's rendering
+            src_cfg = next(cfg for _recs, cfg in reused
+                           if _cfg_key(cfg) in cfg_keys)
+            adopted["types"] = dict(src_cfg.get("types") or {})
+        stats["bloom"] = adopted
     skipping._write_stats(data, stats)
     return stats
 
