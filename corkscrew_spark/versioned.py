@@ -53,6 +53,9 @@ from corkscrew_spark.warehouse import (
 
 MANIFEST = "_versions.json"
 VACUUMED_MARKER = "_vacuumed"
+#: skipping._STATS_FILE without the import cycle (skipping imports
+#: warehouse; keep versioned's module graph flat)
+_SKIP_STATS_FILE = "_column_stats.json"
 
 
 class VersionConflict(RuntimeError):
@@ -520,5 +523,22 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
         # attributed per partition so every FUTURE commit is O(touched)
         part_rows = _rows_by_partition(spark, data, sorted(parts))
     rows = sum(part_rows.values())
-    return _commit(path, version, "upsert", rows, None, parts,
-                   list(partition_cols), part_rows)
+    out = _commit(path, version, "upsert", rows, None, parts,
+                  list(partition_cols), part_rows)
+    # Stats opt-in is STICKY across versions (like compaction
+    # preserving the bloom opt-in): if the snapshot this upsert built
+    # on had zone maps, the new version gets them too — O(touched) via
+    # carried-record reuse, so keeping a versioned table stats-fresh
+    # costs what the upsert itself cost.
+    prev_stats_path = os.path.join(
+        path, f"v={prev['version']}", "data", _SKIP_STATS_FILE)
+    if os.path.exists(prev_stats_path):
+        try:
+            with open(prev_stats_path) as fh:
+                prev_cols = json.load(fh).get("cols") or []
+            if prev_cols:
+                compute_stats_version(spark, path, prev_cols,
+                                      version=version)
+        except Exception:  # noqa: BLE001 — stats upkeep never fails a commit
+            pass
+    return out

@@ -147,3 +147,56 @@ class TestInnerJoinTables:
             == [("v", ">", 2)]
         assert extract_predicates(sql, "b", None, qualified_only=True) \
             == [("w", "=", 3)]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _COLS = st.sampled_from(["k", "v", "day", "big_col_2"])
+    _NUMS = st.one_of(st.integers(-10**6, 10**6),
+                      st.floats(-1e6, 1e6, allow_nan=False,
+                                allow_infinity=False).map(
+                          lambda f: round(f, 3)))
+    _STRS = st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="\x00"),
+        max_size=12)
+
+    def _render(pred) -> str:
+        from corkscrew_spark.engine import quote_literal
+
+        col, op, v = pred
+        if op in ("<", "<=", ">", ">=", "="):
+            return f"{col} {'=' if op == '=' else op} {quote_literal(v)}"
+        if op == "between":
+            return (f"{col} BETWEEN {quote_literal(v[0])} "
+                    f"AND {quote_literal(v[1])}")
+        if op == "in":
+            return f"{col} IN ({', '.join(quote_literal(m) for m in v)})"
+        return f"{col} IS NULL" if op == "is_null" else f"{col} IS NOT NULL"
+
+    _PRED = st.one_of(
+        st.tuples(_COLS, st.sampled_from(["<", "<=", ">", ">=", "="]),
+                  st.one_of(_NUMS, _STRS)),
+        st.tuples(_COLS, st.just("between"), st.tuples(_NUMS, _NUMS)),
+        st.tuples(_COLS, st.just("in"),
+                  st.lists(st.one_of(_NUMS, _STRS), min_size=1,
+                           max_size=4)),
+        st.tuples(_COLS, st.sampled_from(["is_null", "is_not_null"]),
+                  st.none()),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(preds=st.lists(_PRED, min_size=1, max_size=5))
+    def test_roundtrip_through_quote_literal(preds):
+        """Render arbitrary conjuncts with the engine's own literal
+        quoting, parse them back, and require EXACT recovery — the
+        extractor and the binder must agree on one escaping dialect, or
+        a bound :param value would prune on the wrong string."""
+        sql = "SELECT * FROM t WHERE " + " AND ".join(
+            _render(p) for p in preds)
+        got = extract_predicates(sql, "t", None)
+        assert got == [tuple(p) for p in preds]
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

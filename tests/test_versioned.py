@@ -647,3 +647,35 @@ class TestVersionStatsBloom:
         got = versioned.read_version(spark, p, version=4,
                                      predicates=preds)
         assert [r.k for r in got.collect()] == [2]
+
+
+def test_stats_opt_in_sticky_across_upserts(spark, tmp_path):
+    """A versioned table whose snapshot has zone maps keeps them: the
+    next upsert_version auto-computes v=N+1 stats (carried-record
+    reuse, O(touched)) without the caller asking."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from corkscrew_spark import skipping
+
+    p = str(tmp_path / "t")
+    pdf = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, region string, v string, ts long")
+    versioned.write_version(
+        pdf([(1, "eu", "a", 1), (2, "us", "b", 1)]), p,
+        partition_cols=["region"])
+    versioned.compute_stats_version(spark, p, ["k"], version=1)
+    versioned.upsert_version(spark, p, pdf([(1, "eu", "a2", 2)]),
+                             ["k"], order_col="ts",
+                             partition_cols=["region"])
+    st = skipping.load_stats(os.path.join(p, "v=2", "data"))
+    assert st is not None and st["cols"] == ["k"]
+    got = versioned.read_version(spark, p, predicates=[("k", "=", 2)])
+    assert [r.v for r in got.collect()] == ["b"]
+    # a table WITHOUT stats stays without them (no silent opt-in)
+    p2 = str(tmp_path / "t2")
+    versioned.write_version(pdf([(1, "eu", "a", 1)]), p2,
+                            partition_cols=["region"])
+    versioned.upsert_version(spark, p2, pdf([(1, "eu", "a2", 2)]),
+                             ["k"], order_col="ts",
+                             partition_cols=["region"])
+    assert skipping.load_stats(os.path.join(p2, "v=2", "data")) is None
