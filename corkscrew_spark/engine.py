@@ -292,8 +292,23 @@ class QueryEngine:
 
         return _TIME_TRAVEL_RE.sub(_sub, sql)
 
+    def _refresh_warehouse_views(self, bound: str) -> None:
+        """Re-point every registered warehouse view the query mentions
+        at a FRESH read. A parquet DataFrame caches its file listing at
+        creation, and warehouse tables mutate via directory swaps
+        (merge_upsert/compaction) — a view captured at registration
+        would read files that no longer exist. One word-scan + footer
+        read per referenced table per query; false positives (the name
+        inside a longer context) just refresh harmlessly."""
+        for name, path in self._warehouse.items():
+            if re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
+                         rf"(?![A-Za-z0-9_])", bound):
+                self.spark.read.parquet(path).createOrReplaceTempView(name)
+
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         bound = bind_params(sql, params)
+        if self._warehouse:
+            self._refresh_warehouse_views(bound)
         # Gate BEFORE the time-travel rewrite: _resolve_time_travel
         # registers temp views as a side effect, and a rejected query
         # must not mutate session view state.

@@ -385,3 +385,28 @@ class TestJoinSkipping:
         ):
             assert eng._skipping_repoint(sql) is None, sql
             assert eng.execute(sql).df.count() > 0
+
+
+def test_warehouse_view_survives_directory_swap(spark, tmp_path):
+    """merge_upsert swaps table directories; a view captured at
+    registration would read dead file paths. The engine re-points
+    referenced warehouse views per query, so post-merge SQL sees the
+    merged state with no re-registration."""
+    from corkscrew_spark import skipping, warehouse
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ts long"
+    ).write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("swp", path)
+    assert eng.execute("SELECT COUNT(*) AS n FROM swp").rows()[0].n == 2
+    warehouse.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "b2", 2), (3, "c", 2)],
+                              "k long, v string, ts long"),
+        keys=["k"], order_col="ts")
+    r = eng.execute("SELECT v FROM swp WHERE k = 2").rows()
+    assert [x.v for x in r] == ["b2"]
+    assert eng.execute("SELECT COUNT(*) AS n FROM swp").rows()[0].n == 3
