@@ -305,6 +305,44 @@ class QueryEngine:
                          rf"(?![A-Za-z0-9_])", bound):
                 self.spark.read.parquet(path).createOrReplaceTempView(name)
 
+    def estimate_scan(self, sql: str,
+                      params: dict[str, Any] | None = None
+                      ) -> dict[str, dict]:
+        """Metadata-only scan estimate per prunable warehouse table the
+        query references: files/bytes the pruned read will open vs the
+        whole table, plus an ndv-based matched-rows guess — WITHOUT
+        running anything. The admission-control half of data skipping:
+        a caller can refuse (or re-cluster for) a query whose estimate
+        opens 95% of a 100 TB table. Tables the extractor can't
+        attribute conjuncts to are absent from the result."""
+        from collections import Counter
+
+        from corkscrew_spark import predicates as _pred
+        from corkscrew_spark import skipping as _skip
+
+        bound = bind_params(sql, params)
+        st = _pred.single_table(bound)
+        if st is not None:
+            targets = [(st[0], st[1], False)] \
+                if st[0] in self._warehouse else []
+        else:
+            tabs = _pred.inner_join_tables(bound) or []
+            counts = Counter(t for t, _a in tabs)
+            targets = [(t, a, True) for t, a in tabs
+                       if t in self._warehouse and counts[t] == 1]
+        out: dict[str, dict] = {}
+        for name, alias, qualified_only in targets:
+            preds = _pred.extract_predicates(bound, name, alias,
+                                             qualified_only)
+            if not preds:
+                continue
+            try:
+                out[name] = _skip.estimate_scan(
+                    self._warehouse[name], preds)
+            except Exception:  # noqa: BLE001 — estimates are advisory
+                continue
+        return out
+
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         bound = bind_params(sql, params)
         if self._warehouse:

@@ -410,3 +410,25 @@ def test_warehouse_view_survives_directory_swap(spark, tmp_path):
     r = eng.execute("SELECT v FROM swp WHERE k = 2").rows()
     assert [x.v for x in r] == ["b2"]
     assert eng.execute("SELECT COUNT(*) AS n FROM swp").rows()[0].n == 3
+
+
+def test_engine_estimate_scan(spark, tmp_path):
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).selectExpr("id AS k").repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("est", path)
+    est = eng.estimate_scan(
+        "SELECT COUNT(*) FROM est WHERE k >= :lo", {"lo": 700})
+    assert set(est) == {"est"}
+    e = est["est"]
+    assert e["fallback"] is None
+    assert e["files_total"] == 8 and 0 < e["files_kept"] <= 2
+    assert 0 < e["bytes_kept"] < e["bytes_total"]
+    # unattributable shapes estimate nothing
+    assert eng.estimate_scan("SELECT COUNT(*) FROM est") == {}
+    assert eng.estimate_scan(
+        "SELECT * FROM est WHERE k = 1 OR k = 2") == {}
