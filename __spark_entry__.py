@@ -128,6 +128,8 @@ _DEFERRED = frozenset()
 #: `tools/driver_sim.py --window 50` at sf0.01 before pinning.
 _WINDOW = (
     "engine_pruned_scan",
+    "versioned_pruned_read",
+    "kql_pruned_pipeline",
     "pricing_summary",
     "region_rollup",
     "top_customers",
@@ -175,8 +177,6 @@ _WINDOW = (
     "ann_ivf_topk",
     "pack_sequences",
     "sample_stratified",
-    "dedup_clusters",
-    "text_redact",
 )
 
 

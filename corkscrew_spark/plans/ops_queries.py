@@ -1044,3 +1044,160 @@ def engine_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "versioned_pruned_read",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 3 != 0 OR o_orderpriority = '1-URGENT'
+    ),
+    probe_keys AS (
+        SELECT MIN(o_orderkey) AS k FROM v2
+        WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT MAX(o_orderkey) FROM v2
+        WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT MIN(o_orderkey) FROM v2
+        WHERE o_orderpriority <> '1-URGENT'
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS price
+    FROM v2 JOIN probe_keys ON v2.o_orderkey = probe_keys.k
+    ORDER BY o_orderkey
+    """,
+)
+def versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-store × data-skipping COMPOSITION, driver-hash-
+    checked: v=1 commits orders partitioned by priority with zone maps
+    + an order-key bloom; a file-scoped upsert creates v=2, whose stats
+    arrive AUTOMATICALLY (sticky opt-in) with carried partitions'
+    records REUSED from v=1 byte-for-byte and the freshly written
+    partition's bitmaps built under the inherited config. The query
+    RAISES unless (a) v=2 physically carries partitions owned by v=1,
+    (b) v=2's stats exist without any explicit compute and the carried
+    records equal v=1's, and (c) the bloom point-probe prunes files —
+    then returns three deterministic key lookups through
+    ``read_version(predicates=...)``, which must equal the oracle's
+    direct recompute. Reference parity: the reference's history
+    queries inherit DuckDB row-group pruning on its single mutable
+    file; this is the same capability across immutable snapshots."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping, versioned
+
+    o = register_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "ts", F.lit(1).cast("long"))
+    updates = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "ts", F.lit(2).cast("long"))
+    tmp = tempfile.mkdtemp(prefix="vpr_")
+    table = f"{tmp}/orders_versioned"
+    try:
+        versioned.write_version(base, table,
+                                partition_cols=["o_orderpriority"])
+        v1_data = _os.path.join(table, "v=1", "data")
+        # size the bloom to the per-partition key count (manifest rows,
+        # free): ~16 bits/key keeps the false-positive rate ~1e-3 at
+        # ANY sf, where the 8192-bit default saturates above ~800 keys
+        rows_v1 = versioned.history(table)[-1]["rows"]
+        bits = max(8192, 1 << int(rows_v1 * 16 / 5 - 1).bit_length())
+        skipping.compute_stats(spark, v1_data, ["o_totalprice"],
+                               bloom_cols=["o_orderkey"],
+                               bloom_bits=bits)
+        v1_stats = skipping.load_stats(v1_data)
+        v2 = versioned.upsert_version(spark, table, updates,
+                                      ["o_orderkey"], order_col="ts")
+        parts = versioned.history(table)[-1]["parts"]
+        carried = [rel for rel, owner in parts.items() if owner == 1]
+        if not carried or parts.get("o_orderpriority=1-URGENT") != v2:
+            raise RuntimeError(f"v=2 not file-scoped: {parts}")
+        v2_data = _os.path.join(table, f"v={v2}", "data")
+        v2_stats = skipping.load_stats(v2_data)
+        if v2_stats is None or not v2_stats.get("bloom"):
+            raise RuntimeError(
+                "sticky stats did not materialize v=2 zone maps/bloom")
+        for rel in carried:
+            for f, rec in v1_stats["files"].items():
+                if f.startswith(rel + "/") and v2_stats["files"][f] != rec:
+                    raise RuntimeError(
+                        f"carried record {f} recomputed, not reused")
+        cur = versioned.read_version(spark, table)
+        is_urgent = F.col("o_orderpriority") == "1-URGENT"
+        krow = cur.agg(
+            F.min(F.when(is_urgent, F.col("o_orderkey"))).alias("a"),
+            F.max(F.when(is_urgent, F.col("o_orderkey"))).alias("b"),
+            F.min(F.when(~is_urgent, F.col("o_orderkey"))).alias("c"),
+        ).first()  # one action, three scalars
+        keys = [krow["a"], krow["b"], krow["c"]]
+        preds = [("o_orderkey", "in", keys)]
+        plan = skipping.plan_skip(v2_data, preds)
+        if plan["fallback"] is not None or not plan["pruned"]:
+            raise RuntimeError(
+                f"bloom probe did not prune the v=2 snapshot: {plan}")
+        result = (
+            versioned.read_version(spark, table, predicates=preds)
+            .select("o_orderkey", "o_orderpriority",
+                    F.round("o_totalprice", 2).alias("price"))
+            .orderBy("o_orderkey")
+        )
+        rows = result.collect()  # three probed rows
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "kql_pruned_pipeline",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE n_chars >= 2000 AND lang <> 'de'
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def kql_pruned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KQL surface × data skipping, driver-hash-checked: documents
+    laid out n_chars-clustered in a warehouse dir with zone maps, then
+    queried with a RAW KQL pipeline through ``kql_to_df_skipping`` —
+    the leading ``where`` stage's conjuncts are mined from the KQL
+    tokens and the head table becomes a pruned read. RAISES unless the
+    plan actually pruned files; the compiled pipeline (which re-applies
+    the full where) must equal the oracle's direct recompute.
+    Reference parity: the reference forwards KQL to Azure Resource
+    Graph (resource_graph.go:71-118), whose backend prunes storage by
+    predicate; locally the same query now prunes parquet files."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.kql import kql_to_df_skipping
+
+    docs = register_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="kqlskip_")
+    table = f"{tmp}/docs_tbl"
+    try:
+        docs.repartitionByRange(8, "n_chars").write.parquet(table)
+        skipping.compute_stats(spark, table, ["n_chars"])
+        plan = skipping.plan_skip(table, [("n_chars", ">=", 2000)])
+        if plan["fallback"] is not None or not plan["pruned"]:
+            raise RuntimeError(
+                f"zone maps did not prune the clustered layout: {plan}")
+        kql = ("Docs | where n_chars >= 2000 and lang != 'de' "
+               "| summarize n=count(), chars=sum(n_chars) by lang "
+               "| order by lang asc")
+        result = kql_to_df_skipping(spark, kql, {"Docs": table}).select(
+            "lang", F.col("n").cast("long").alias("n"),
+            F.col("chars").cast("long").alias("chars"))
+        rows = result.collect()  # one row per language
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
