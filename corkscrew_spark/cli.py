@@ -759,6 +759,14 @@ def cmd_serve(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-serve")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
+    warehouse = {}
+    for spec in args.warehouse or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"error: --warehouse expects name=path, got {spec!r}",
+                  file=sys.stderr)
+            return 2
+        warehouse[name] = path
     # --grpc-port implies --grpc: specifying a port IS asking for the
     # listener
     want_grpc = getattr(args, "grpc", False) or getattr(
@@ -767,7 +775,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
     if want_grpc:
         from corkscrew_spark import server_grpc
 
-        api = server.ApiServer(spark)
+        api = server.ApiServer(spark, warehouse=warehouse)
         try:
             grpc_server, port = server_grpc.make_grpc_server(
                 api, host=args.host, port=args.grpc_port)
@@ -788,7 +796,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
             if grpc_server is not None:
                 grpc_server.stop(grace=5)
         return 0
-    server.serve(spark, host=args.host, port=args.port)
+    server.serve(spark, host=args.host, port=args.port,
+                 api=server.ApiServer(spark, warehouse=warehouse))
     return 0
 
 
@@ -958,6 +967,10 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--grpc", action="store_true",
                     help="start the gRPC listener alongside HTTP")
     sv.add_argument("--data", default=sf_dir())
+    sv.add_argument("--warehouse", action="append", metavar="NAME=DIR",
+                    help="register a warehouse table dir on the served "
+                         "engine; SQL conjuncts then read through "
+                         "zone-map/bloom data skipping")
     sv.set_defaults(fn=cmd_serve)
 
     dg = sub.add_parser("diagram", help="render resources as mermaid/ascii")

@@ -46,9 +46,14 @@ MAX_ROWS = 10_000
 
 
 class ApiServer:
-    def __init__(self, spark: SparkSession, max_rows: int = MAX_ROWS):
+    def __init__(self, spark: SparkSession, max_rows: int = MAX_ROWS,
+                 warehouse: dict[str, str] | None = None):
         self.spark = spark
         self.engine = QueryEngine(spark)
+        # warehouse table dirs served with data skipping: the API's SQL
+        # queries prune through zone maps/blooms exactly like the CLI's
+        for name, path in (warehouse or {}).items():
+            self.engine.register_warehouse(name, path)
         self.start_time = time.monotonic()
         self.request_count = 0
         self.error_count = 0

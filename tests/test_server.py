@@ -158,3 +158,31 @@ def test_discover_schema_endpoint(spark):
     assert doc["properties"]["versioning"]["required"] is True
     assert doc["properties"]["config.tier"]["type"] == "string"
     assert doc["common_tags"] == ["env"]
+
+
+def test_served_warehouse_table_reads_through_skipping(spark, tmp_path):
+    """An ApiServer built with warehouse dirs serves SQL over them with
+    data skipping: HTTP query results equal the plain scan, and the
+    engine holds the registration."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(400).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    srv = ApiServer(spark, warehouse={"wt": path})
+    assert "wt" in srv.engine._warehouse
+    httpd = srv.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, body = _post(
+            f"{base}/v1/query",
+            {"query": "SELECT COUNT(*) AS n FROM wt WHERE k >= 350"})
+        assert status == 200
+        assert body["rows"][0]["values"]["n"] == "50"
+    finally:
+        httpd.shutdown()
