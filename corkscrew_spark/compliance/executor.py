@@ -48,10 +48,20 @@ class PackRunResult:
 
 
 class ComplianceExecutor:
-    def __init__(self, spark: SparkSession, loader: PackLoader | None = None):
+    def __init__(self, spark: SparkSession, loader: PackLoader | None = None,
+                 warehouse: dict[str, str] | None = None):
+        """``warehouse`` maps table names the pack SQL references (e.g.
+        ``aws_resources``) to warehouse table DIRECTORIES: controls with
+        simple conjunctive WHEREs then read through zone-map/bloom data
+        skipping (QueryEngine.register_warehouse) — a nightly pack over
+        a 100 TB estate scans only the files each control's predicate
+        can touch, the same pruning the reference's controls inherit
+        from DuckDB's row groups."""
         self.spark = spark
         self.loader = loader or PackLoader()
         self.engine = QueryEngine(spark)
+        for name, path in (warehouse or {}).items():
+            self.engine.register_warehouse(name, path)
 
     # -- validation ---------------------------------------------------------
 

@@ -215,3 +215,42 @@ def test_s3_observability_pack(spark):
         sum(1 for r in rows if r["control_id"] == c) == n_s3
         for c in by_control
     )
+
+
+def test_pack_over_warehouse_table_prunes(spark, tmp_path):
+    """A pack run with warehouse={name: dir} reads its table through
+    data skipping: same contract rows as the in-memory view, and the
+    executor's engine holds the registration."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.compliance import ComplianceExecutor
+    from corkscrew_spark.compliance.fixtures import (
+        S3_FIXTURE_VIEW_SQL,
+        TRUSTED_KEYS,
+        register_s3_fixture,
+    )
+    from corkscrew_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    # materialize the fixture view as a warehouse DIR with stats
+    path = str(tmp_path / "aws_resources")
+    spark.sql(S3_FIXTURE_VIEW_SQL).repartitionByRange(
+        4, "id").write.parquet(path)
+    skipping.compute_stats(spark, path, ["type"], bloom_cols=["id"])
+    ex = ComplianceExecutor(spark, warehouse={"aws_resources": path})
+    assert "aws_resources" in ex.engine._warehouse
+    run = ex.run_pack("cfi/ccc/ccc-storage",
+                      {"trusted_kms_keys": TRUSTED_KEYS})
+    assert not run.errors
+    got = {(r["control_id"], r["status"])
+           for r in run.results.groupBy("control_id", "status")
+           .count().collect()}
+    # reference behavior: the plain-view run produces the same set
+    register_s3_fixture(spark)
+    ref = ComplianceExecutor(spark).run_pack(
+        "cfi/ccc/ccc-storage", {"trusted_kms_keys": TRUSTED_KEYS})
+    want = {(r["control_id"], r["status"])
+            for r in ref.results.groupBy("control_id", "status")
+            .count().collect()}
+    assert got == want
