@@ -187,7 +187,10 @@ class QueryEngine:
         self.spark.read.parquet(path).createOrReplaceTempView(name)
         if skipping and os.environ.get(
                 "CORKSCREW_DATA_SKIPPING", "1") != "0":
-            self._warehouse[name] = path
+            # keyed lower-cased: Spark resolves view names
+            # case-insensitively, so `FROM Estate` must find the
+            # registration made as "estate"
+            self._warehouse[name.lower()] = path
 
     def _skipping_repoint(self, bound: str):
         """When ``bound`` is a single-table query over a registered
@@ -205,7 +208,7 @@ class QueryEngine:
         st = _pred.single_table(bound)
         if st is not None:
             targets = [(st[0], st[1], False)] \
-                if st[0] in self._warehouse else []
+                if st[0].lower() in self._warehouse else []
         else:
             # pure INNER-join chains prune each registered table on its
             # explicitly-qualified conjuncts (see predicates.
@@ -213,9 +216,10 @@ class QueryEngine:
             # a self-joined table is skipped — one reference's
             # predicates must not prune the other's rows
             tabs = _pred.inner_join_tables(bound) or []
-            counts = Counter(t for t, _a in tabs)
+            counts = Counter(t.lower() for t, _a in tabs)
             targets = [(t, a, True) for t, a in tabs
-                       if t in self._warehouse and counts[t] == 1]
+                       if t.lower() in self._warehouse
+                       and counts[t.lower()] == 1]
         repointed: list[str] = []
         for name, alias, qualified_only in targets:
             preds = _pred.extract_predicates(bound, name, alias,
@@ -224,11 +228,11 @@ class QueryEngine:
                 continue
             try:
                 pruned = _skip.read_skipping(
-                    self.spark, self._warehouse[name], preds)
+                    self.spark, self._warehouse[name.lower()], preds)
             except Exception:
                 continue  # unreadable stats/files: the plain view stands
             pruned.createOrReplaceTempView(name)
-            repointed.append(name)
+            repointed.append(name.lower())
         if not repointed:
             return None
 
@@ -302,7 +306,7 @@ class QueryEngine:
         inside a longer context) just refresh harmlessly."""
         for name, path in self._warehouse.items():
             if re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
-                         rf"(?![A-Za-z0-9_])", bound):
+                         rf"(?![A-Za-z0-9_])", bound, re.IGNORECASE):
                 self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     def estimate_scan(self, sql: str,
@@ -324,12 +328,13 @@ class QueryEngine:
         st = _pred.single_table(bound)
         if st is not None:
             targets = [(st[0], st[1], False)] \
-                if st[0] in self._warehouse else []
+                if st[0].lower() in self._warehouse else []
         else:
             tabs = _pred.inner_join_tables(bound) or []
-            counts = Counter(t for t, _a in tabs)
+            counts = Counter(t.lower() for t, _a in tabs)
             targets = [(t, a, True) for t, a in tabs
-                       if t in self._warehouse and counts[t] == 1]
+                       if t.lower() in self._warehouse
+                       and counts[t.lower()] == 1]
         out: dict[str, dict] = {}
         for name, alias, qualified_only in targets:
             preds = _pred.extract_predicates(bound, name, alias,
@@ -337,8 +342,8 @@ class QueryEngine:
             if not preds:
                 continue
             try:
-                out[name] = _skip.estimate_scan(
-                    self._warehouse[name], preds)
+                out[name.lower()] = _skip.estimate_scan(
+                    self._warehouse[name.lower()], preds)
             except Exception:  # noqa: BLE001 — estimates are advisory
                 continue
         return out

@@ -432,3 +432,22 @@ def test_engine_estimate_scan(spark, tmp_path):
     assert eng.estimate_scan("SELECT COUNT(*) FROM est") == {}
     assert eng.estimate_scan(
         "SELECT * FROM est WHERE k = 1 OR k = 2") == {}
+
+
+def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
+    """Spark resolves view names case-insensitively; the skipping
+    registry must too — `FROM Estate` has to find the registration
+    made as 'estate' (and still prune)."""
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(400).selectExpr("id AS k").repartitionByRange(
+        4, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("estate", path)
+    sql = "SELECT COUNT(*) AS n FROM Estate WHERE k >= 300"
+    assert eng._skipping_repoint(sql) is not None
+    assert eng.execute(sql).rows()[0].n == 100
+    est = eng.estimate_scan("SELECT * FROM ESTATE WHERE k >= 300")
+    assert est and est["estate"]["files_kept"] < est["estate"]["files_total"]
