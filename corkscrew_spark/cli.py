@@ -42,17 +42,31 @@ def _parse_params(pairs: list[str] | None) -> dict[str, object]:
     return out
 
 
+
+
+def _parse_warehouse_specs(specs) -> dict[str, str] | None:
+    """--warehouse NAME=DIR values -> {name: dir}; None + stderr on a
+    malformed spec (shared by the query/kql/serve verbs)."""
+    out: dict[str, str] = {}
+    for spec in specs or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            print(f"error: --warehouse expects name=path, got {spec!r}",
+                  file=sys.stderr)
+            return None
+        out[name] = path
+    return out
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
     eng = QueryEngine(spark)
-    for spec in args.warehouse or []:
-        name, _, path = spec.partition("=")
-        if not path:
-            print(f"error: --warehouse expects name=path, got {spec!r}",
-                  file=sys.stderr)
-            return 2
+    warehouse = _parse_warehouse_specs(args.warehouse)
+    if warehouse is None:
+        return 2
+    for name, path in warehouse.items():
         eng.register_warehouse(name, path)
     if args.file:
         with open(args.file) as f:
@@ -735,14 +749,9 @@ def cmd_kql(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     tables = register_tables(spark, args.data)
-    warehouse = {}
-    for spec in args.warehouse or []:
-        name, _, path = spec.partition("=")
-        if not path:
-            print(f"error: --warehouse expects name=path, got {spec!r}",
-                  file=sys.stderr)
-            return 2
-        warehouse[name] = path
+    warehouse = _parse_warehouse_specs(args.warehouse)
+    if warehouse is None:
+        return 2
     kql = args.kql if args.kql != "-" else sys.stdin.read()
     try:
         df = kql_to_df_skipping(spark, kql, warehouse, tables)
@@ -759,14 +768,9 @@ def cmd_serve(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-serve")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
-    warehouse = {}
-    for spec in args.warehouse or []:
-        name, _, path = spec.partition("=")
-        if not path:
-            print(f"error: --warehouse expects name=path, got {spec!r}",
-                  file=sys.stderr)
-            return 2
-        warehouse[name] = path
+    warehouse = _parse_warehouse_specs(args.warehouse)
+    if warehouse is None:
+        return 2
     # --grpc-port implies --grpc: specifying a port IS asking for the
     # listener
     want_grpc = getattr(args, "grpc", False) or getattr(

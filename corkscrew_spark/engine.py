@@ -163,7 +163,8 @@ class QueryEngine:
     def __init__(self, spark: SparkSession, register_helpers: bool = True):
         self.spark = spark
         self._versioned: dict[str, str] = {}
-        self._warehouse: dict[str, str] = {}
+        self._warehouse: dict[str, str] = {}  # every registered dir
+        self._warehouse_skip: set[str] = set()  # pruning-enabled names
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 
@@ -185,12 +186,37 @@ class QueryEngine:
         import os
 
         self.spark.read.parquet(path).createOrReplaceTempView(name)
+        # keyed lower-cased: Spark resolves view names case-
+        # insensitively, so `FROM Estate` must find the registration
+        # made as "estate". The view-FRESHNESS refresh applies to every
+        # registration — a swapped directory must never serve a stale
+        # listing — while the skipping flag gates only the PRUNING.
+        self._warehouse[name.lower()] = path
         if skipping and os.environ.get(
                 "CORKSCREW_DATA_SKIPPING", "1") != "0":
-            # keyed lower-cased: Spark resolves view names
-            # case-insensitively, so `FROM Estate` must find the
-            # registration made as "estate"
-            self._warehouse[name.lower()] = path
+            self._warehouse_skip.add(name.lower())
+
+    def _warehouse_targets(self, bound: str) -> list[tuple]:
+        """(name, alias, qualified_only) per PRUNING-ENABLED warehouse
+        table the query's shape lets us attribute conjuncts to — the
+        ONE implementation of the soundness-critical resolution shared
+        by the execution repoint and estimate_scan: single-table
+        queries, or pure inner-join chains with self-joined tables
+        excluded (one reference's predicate must not prune the
+        other's rows)."""
+        from collections import Counter
+
+        from corkscrew_spark import predicates as _pred
+
+        st = _pred.single_table(bound)
+        if st is not None:
+            return ([(st[0], st[1], False)]
+                    if st[0].lower() in self._warehouse_skip else [])
+        tabs = _pred.inner_join_tables(bound) or []
+        counts = Counter(t.lower() for t, _a in tabs)
+        return [(t, a, True) for t, a in tabs
+                if t.lower() in self._warehouse_skip
+                and counts[t.lower()] == 1]
 
     def _skipping_repoint(self, bound: str):
         """When ``bound`` is a single-table query over a registered
@@ -200,28 +226,11 @@ class QueryEngine:
         view right after analysis — view resolution happens at
         DataFrame creation, so the returned frame keeps the pruned
         scan while the session state goes back to normal."""
-        from collections import Counter
-
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
-        st = _pred.single_table(bound)
-        if st is not None:
-            targets = [(st[0], st[1], False)] \
-                if st[0].lower() in self._warehouse else []
-        else:
-            # pure INNER-join chains prune each registered table on its
-            # explicitly-qualified conjuncts (see predicates.
-            # inner_join_tables for the outer-join soundness argument);
-            # a self-joined table is skipped — one reference's
-            # predicates must not prune the other's rows
-            tabs = _pred.inner_join_tables(bound) or []
-            counts = Counter(t.lower() for t, _a in tabs)
-            targets = [(t, a, True) for t, a in tabs
-                       if t.lower() in self._warehouse
-                       and counts[t.lower()] == 1]
         repointed: list[str] = []
-        for name, alias, qualified_only in targets:
+        for name, alias, qualified_only in self._warehouse_targets(bound):
             preds = _pred.extract_predicates(bound, name, alias,
                                              qualified_only)
             if not preds:
@@ -319,24 +328,12 @@ class QueryEngine:
         a caller can refuse (or re-cluster for) a query whose estimate
         opens 95% of a 100 TB table. Tables the extractor can't
         attribute conjuncts to are absent from the result."""
-        from collections import Counter
-
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
-        st = _pred.single_table(bound)
-        if st is not None:
-            targets = [(st[0], st[1], False)] \
-                if st[0].lower() in self._warehouse else []
-        else:
-            tabs = _pred.inner_join_tables(bound) or []
-            counts = Counter(t.lower() for t, _a in tabs)
-            targets = [(t, a, True) for t, a in tabs
-                       if t.lower() in self._warehouse
-                       and counts[t.lower()] == 1]
         out: dict[str, dict] = {}
-        for name, alias, qualified_only in targets:
+        for name, alias, qualified_only in self._warehouse_targets(bound):
             preds = _pred.extract_predicates(bound, name, alias,
                                              qualified_only)
             if not preds:

@@ -87,16 +87,24 @@ def _unquote_ident(tok: tuple[str, str]) -> str:
     return text[1:-1] if kind == "bq" else text
 
 
-def _unquote_str(text: str) -> str:
-    """Invert engine.quote_literal's escaping dialect: '' doubling,
-    backslash-escaped quote, doubled backslash."""
+def _unquote_str(text: str) -> str | None:
+    """Invert EXACTLY engine.quote_literal's escaping dialect — ''
+    doubling, backslash-escaped quote, doubled backslash — and refuse
+    everything else (None = term unparseable). Spark's lexer decodes
+    \n/\t/\b/... into CONTROL characters while a naive decoder would
+    yield the letter; a value that disagrees with the executed filter
+    would prune files containing matching rows, so any escape the
+    binder never emits makes the term contribute nothing."""
     body = text[1:-1]
     out = []
     i = 0
     while i < len(body):
         ch = body[i]
         if ch == "\\" and i + 1 < len(body):
-            out.append(body[i + 1])
+            nxt = body[i + 1]
+            if nxt not in ("\\", "'"):
+                return None  # an escape quote_literal never writes
+            out.append(nxt)
             i += 2
         elif ch == "'" and i + 1 < len(body) and body[i + 1] == "'":
             out.append("'")
@@ -330,10 +338,13 @@ def _parse_lit(toks: list[tuple[str, str]], i: int):
     if neg:
         return None
     if k == "str":
-        return _unquote_str(v), i + 1
+        s = _unquote_str(v)
+        return None if s is None else (s, i + 1)
     if k == "kw" and v in ("DATE", "TIMESTAMP") and i + 1 < len(toks) \
             and toks[i + 1][0] == "str":
         raw = _unquote_str(toks[i + 1][1])
+        if raw is None:
+            return None
         try:
             if v == "DATE":
                 return _dt.date.fromisoformat(raw), i + 2
@@ -465,9 +476,10 @@ def extract_predicates(sql: str, table: str,
         toks = _tokens(sql)
     except _Unparseable:
         return []
-    names = {table.lower()}
-    if alias:
-        names.add(alias.lower())
+    # an alias REPLACES the table name as a qualifier (Spark rejects
+    # `t.col FROM t AS u`), and honoring the raw name would let
+    # `FROM a x JOIN b a` mis-attribute b's predicates to table a
+    names = {(alias or table).lower()}
     where = _where_tokens(toks)
     if not where:
         return []

@@ -220,6 +220,9 @@ def compute_stats(spark: SparkSession, path: str,
              # coercion: only date/timestamp bounds parse as datetimes;
              # string columns compare lexicographically like Spark does
              "types": _schema_types(df, cols, bloom),
+             # the zone LTZ-timestamp bounds were rendered in; pruning
+             # on such columns requires the probing session to match
+             "tz": spark.conf.get("spark.sql.session.timeZone"),
              "files": files}
     if bloom:
         stats["bloom"] = bloom
@@ -339,9 +342,21 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
             bloom["types"][c] = tag
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
+        if df.schema[c].dataType.simpleString() == "timestamp":
+            # SESSION-zoned (LTZ) timestamps: collect() would convert
+            # the bound through the DRIVER OS zone (fromInternal uses
+            # fromtimestamp), while predicate literals are session-tz
+            # wall clock — render the bounds to session-tz strings
+            # JVM-side instead, and record the zone (stats["tz"]) so
+            # pruning stands down when a later session's zone differs.
+            # timestamp_ntz is zone-free and keeps the raw path.
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        else:
+            mn, mx = F.min(c), F.max(c)
         aggs += [
-            F.min(c).alias(f"__min_{c}"),
-            F.max(c).alias(f"__max_{c}"),
+            mn.alias(f"__min_{c}"),
+            mx.alias(f"__max_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
             # HLL distinct-count: powers estimate_scan's selectivity
             # guess for equality probes (rows/ndv per kept file)
@@ -428,6 +443,16 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
         raise FileNotFoundError(
             f"{path}/{_STATS_FILE} missing — run compute_stats first")
     cols = stats["cols"]
+    cur_tz = spark.conf.get("spark.sql.session.timeZone")
+    if _ltz_cols(stats) and stats.get("tz") != cur_tz:
+        # new files would render bounds in the CURRENT zone while old
+        # records hold another zone's strings — never mix; recompute
+        bloom = stats.get("bloom")
+        return compute_stats(
+            spark, path, cols,
+            bloom_cols=bloom["cols"] if bloom else None,
+            bloom_bits=bloom["m"] if bloom else 8192,
+            bloom_hashes=bloom["k"] if bloom else 5)
     changed = _invalidated_since(path, stats["ts_ns"])
     if changed is None:
         bloom = stats.get("bloom")
@@ -450,7 +475,8 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
         files.update(_per_file_stats(path, sub, cols,
                                      stats.get("bloom")))
         _fill_empty_files(files, todo, cols, path)
-    out = {"ts_ns": time.time_ns(), "cols": cols, "files": files}
+    out = {"ts_ns": time.time_ns(), "cols": cols, "files": files,
+           "tz": cur_tz}
     types = stats.get("types")
     if types is None and todo:
         types = _schema_types(sub, cols, stats.get("bloom"))
@@ -621,6 +647,34 @@ def _range_may_match(mnk, mxk, op, value,
         return mnk <= v_hi and v_lo <= mxk  # "="
     except TypeError:
         return True  # incomparable types: never prune on a guess
+
+
+def _ltz_cols(stats: dict) -> set[str]:
+    """Stat columns typed session-zoned timestamp ("timestamp"; the
+    zone-free "timestamp_ntz" is excluded) — the columns whose stored
+    bounds are zone-dependent renderings."""
+    return {c for c, t in (stats.get("types") or {}).items()
+            if t == "timestamp"}
+
+
+def _tz_disabled_cols(stats: dict) -> set[str]:
+    """LTZ-timestamp columns whose bounds must NOT prune right now:
+    the stats were rendered under a different session time zone than
+    the one the probing session would interpret literals in (or under
+    an unrecorded one). Mirrors _bloom_tz_ok for zone maps."""
+    ltz = _ltz_cols(stats)
+    if not ltz:
+        return set()
+    stz = stats.get("tz")
+    sess = SparkSession.getActiveSession()
+    try:
+        cur = (sess.conf.get("spark.sql.session.timeZone")
+               if sess is not None else None)
+    except Exception:  # noqa: BLE001 — conservative on any probe error
+        cur = None
+    if stz is not None and cur is not None and stz == cur:
+        return set()
+    return ltz
 
 
 def _bloom_tz_ok(bloom: dict) -> bool:
@@ -839,6 +893,12 @@ def plan_skip(path: str, predicates: list[tuple],
     bloom_cfg = stats.get("bloom")
     types = stats.get("types")
     tz_ok = _bloom_tz_ok(bloom_cfg) if bloom_cfg else True
+    disabled = _tz_disabled_cols(stats)
+    if disabled:
+        # drop conjuncts on zone-mismatched LTZ columns from the
+        # PRUNING decision only — read_skipping still re-applies the
+        # full predicate, so this costs I/O, never rows
+        predicates = [p for p in predicates if p[0] not in disabled]
 
     def _dir_ok(d: str) -> bool:
         bounds = rollup.get(d)

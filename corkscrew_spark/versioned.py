@@ -284,6 +284,7 @@ def compute_stats_version(spark: SparkSession, path: str,
     parts = entry.get("parts")
     if parts is None:
         return skipping.compute_stats(spark, data, cols)
+    cur_tz = spark.conf.get("spark.sql.session.timeZone")
     reused: list[tuple[dict, dict | None]] = []  # (recs, owner bloom cfg)
     todo: list[str] = []
     owner_stats: dict[int, dict | None] = {}
@@ -297,7 +298,12 @@ def compute_stats_version(spark: SparkSession, path: str,
                 os.path.join(path, f"v={owner}", "data"))
         ostats = owner_stats[owner]
         recs = None
-        if ostats and list(ostats.get("cols") or []) == list(cols):
+        if (ostats and list(ostats.get("cols") or []) == list(cols)
+                and (not skipping._ltz_cols(ostats)
+                     or ostats.get("tz") == cur_tz)):
+            # LTZ-timestamp bounds are session-zone renderings: an
+            # owner snapshot rendered under another zone can't merge
+            # with fresh current-zone records — recompute that dir
             pfx = rel + "/"
             recs = {f: r for f, r in ostats["files"].items()
                     if f.startswith(pfx)}
@@ -353,7 +359,7 @@ def compute_stats_version(spark: SparkSession, path: str,
         if bloom_arg is not None:
             adopted = bloom_arg  # now carries the types tag map
     stats: dict = {"ts_ns": time.time_ns(), "cols": list(cols),
-                   "files": files}
+                   "tz": cur_tz, "files": files}
     if types is not None:
         stats["types"] = types
     if adopted is not None:

@@ -451,3 +451,26 @@ def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
     assert eng.execute(sql).rows()[0].n == 100
     est = eng.estimate_scan("SELECT * FROM ESTATE WHERE k >= 300")
     assert est and est["estate"]["files_kept"] < est["estate"]["files_total"]
+
+
+def test_view_freshness_survives_skipping_opt_out(spark, tmp_path,
+                                                  monkeypatch):
+    """CORKSCREW_DATA_SKIPPING=0 disables PRUNING only: the per-query
+    view refresh is a correctness feature (directory swaps invalidate
+    a view's cached file listing) and must keep working."""
+    from corkscrew_spark import warehouse
+
+    monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a", 1)], "k long, v string, ts long"
+                          ).write.parquet(path)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("offt", path)
+    assert "offt" not in eng._warehouse_skip  # no pruning
+    assert eng.execute("SELECT COUNT(*) AS n FROM offt").rows()[0].n == 1
+    warehouse.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(2, "b", 2)], "k long, v string, ts long"),
+        keys=["k"], order_col="ts")
+    # the swap replaced every file; the refresh must re-point the view
+    assert eng.execute("SELECT COUNT(*) AS n FROM offt").rows()[0].n == 2

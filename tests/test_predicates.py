@@ -87,9 +87,31 @@ class TestExtraction:
         # a qualifier that is neither the table nor its alias could be
         # a lateral/correlated name — never attribute it to this table
         assert _both("SELECT * FROM t WHERE o.a = 1") == []
+        # an alias REPLACES the name (Spark rejects t.a once t is
+        # aliased u) — honoring the raw name would mis-attribute in
+        # `FROM a x JOIN b a` where one table's alias is another's name
         assert extract_predicates(
-            "SELECT * FROM t u WHERE t.a = 1", "t", "u") == [
+            "SELECT * FROM t u WHERE t.a = 1", "t", "u") == []
+        assert extract_predicates(
+            "SELECT * FROM t u WHERE u.a = 1", "t", "u") == [
             ("a", "=", 1)]
+
+    def test_exotic_escapes_refused(self):
+        # quote_literal only ever writes \\ and \'; anything else
+        # decodes differently in Spark's lexer (\n -> newline) and
+        # must contribute nothing
+        assert _both(r"SELECT * FROM t WHERE a = 'x\ny'") == []
+        assert _both(r"SELECT * FROM t WHERE a = 'x\ty' AND b = 1") == [
+            ("b", "=", 1)]
+
+    def test_alias_shadowing_never_misattributes(self):
+        sql = ("SELECT * FROM a x JOIN b a ON x.k = a.k "
+               "WHERE a.col = 5 AND x.v = 1")
+        # qualifier `a` binds to table b (its alias), never to table a
+        assert extract_predicates(sql, "a", "x",
+                                  qualified_only=True) == [("v", "=", 1)]
+        assert extract_predicates(sql, "b", "a",
+                                  qualified_only=True) == [("col", "=", 5)]
 
     def test_string_escaping_dialects(self):
         assert _both(

@@ -1064,3 +1064,75 @@ class TestPlanShape:
                      F.input_file_name().alias("f")).distinct().collect()}
         assert files <= set(plan["kept"])
         assert not files & set(plan["pruned"])
+
+
+class TestLtzZoneMaps:
+    def test_ltz_bounds_render_in_session_zone_and_gate_on_mismatch(
+            self, spark, tmp_path):
+        """Session-zoned (LTZ) timestamp bounds must be session-tz
+        renderings (collect() would go through the DRIVER OS zone),
+        and pruning on them must stand down when a later session runs
+        under a different zone — a naive literal means a different
+        instant there (round-6 review finding)."""
+        path = str(tmp_path / "t")
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        spark.sql(
+            "SELECT id AS k, timestamp'2024-06-01 00:00:00' + "
+            "make_interval(0,0,0,id,0,0,0) AS ts FROM range(6)"
+        ).repartitionByRange(3, "ts").write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        stats = skipping.load_stats(path)
+        assert stats["types"]["ts"] == "timestamp"
+        assert stats["tz"] == tz0
+        preds = [("ts", ">=", dt.datetime(2024, 6, 5, 0, 0))]
+        plan = skipping.plan_skip(path, preds)
+        assert plan["fallback"] is None and plan["pruned"]
+        got = skipping.read_skipping(spark, path, preds)
+        assert _same_rows(got, _full_scan(spark, path, preds))
+        try:
+            other = ("America/New_York" if tz0 != "America/New_York"
+                     else "Asia/Tokyo")
+            spark.conf.set("spark.sql.session.timeZone", other)
+            # zone mismatch: the ts conjunct must not prune anything,
+            # and the read equals the plain scan IN THE NEW ZONE
+            plan2 = skipping.plan_skip(path, preds)
+            assert plan2["pruned"] == []
+            got2 = skipping.read_skipping(spark, path, preds)
+            assert _same_rows(got2, _full_scan(spark, path, preds))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)
+
+    def test_ntz_timestamps_stay_zone_free(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1 + i)) for i in range(6)],
+            "k int, ts timestamp_ntz"
+        ).repartitionByRange(3, "ts").write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        assert skipping.load_stats(path)["types"]["ts"] == "timestamp_ntz"
+        preds = [("ts", ">=", dt.datetime(2024, 1, 5))]
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            plan = skipping.plan_skip(path, preds)
+            assert plan["pruned"]  # ntz never stands down
+            got = skipping.read_skipping(spark, path, preds)
+            assert _same_rows(got, _full_scan(spark, path, preds))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)
+
+    def test_refresh_recomputes_on_zone_change(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        tz0 = spark.conf.get("spark.sql.session.timeZone")
+        spark.sql(
+            "SELECT id AS k, timestamp'2024-06-01 00:00:00' AS ts "
+            "FROM range(4)").coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        try:
+            other = ("America/New_York" if tz0 != "America/New_York"
+                     else "Asia/Tokyo")
+            spark.conf.set("spark.sql.session.timeZone", other)
+            out = skipping.refresh_stats(spark, path)
+            assert out["tz"] == other  # full recompute, single zone
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz0)

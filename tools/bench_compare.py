@@ -29,7 +29,11 @@ def _retime(names: list[str], sf: float | None) -> dict[str, float]:
         from corkscrew_spark.plans.queries import QUERIES
         from corkscrew_spark.session import get_spark, sf_dir
 
-        data_dir = sf_dir()
+        # re-time at the BENCH's recorded scale, not the env default —
+        # confirming a flag against a different dataset size would
+        # classify real regressions as noise (or vice versa)
+        cand = f"/root/testdata/sf{sf:g}" if sf else None
+        data_dir = cand if cand and os.path.isdir(cand) else sf_dir()
         spark = get_spark(app_name="bench-retime")
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
