@@ -545,6 +545,15 @@ def upsert_version(spark: SparkSession, path: str, updates: DataFrame,
             if prev_cols:
                 compute_stats_version(spark, path, prev_cols,
                                       version=version)
-        except Exception:  # noqa: BLE001 — stats upkeep never fails a commit
-            pass
+        except Exception as ex:  # noqa: BLE001 — upkeep never fails a commit
+            # the commit itself is durable; reads fall back to plain
+            # scans until the next compute_stats_version — but never
+            # silently: a broken stats pipeline should be visible
+            import warnings
+
+            warnings.warn(
+                f"versioned stats upkeep for v={version} at {path} "
+                f"failed ({ex}); snapshot committed, reads fall back "
+                "to plain scans until compute_stats_version is re-run",
+                RuntimeWarning, stacklevel=2)
     return out

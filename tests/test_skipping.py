@@ -1036,6 +1036,51 @@ try:
                for rows in rows_files for v in rows):
             assert skipping._dir_may_match(rollup[""], preds)
 
+    # string values deliberately include ISO-timestamp LOOKALIKES with
+    # mixed 'T'/space separators and date-only forms — the shapes whose
+    # lexicographic and temporal orders disagree (the round-6 type
+    # gating exists exactly for these)
+    _STR_VALS = st.lists(
+        st.one_of(st.none(), st.sampled_from([
+            "2024-01-01", "2024-01-01 00:00:00", "2024-01-01T05:00:00",
+            "2024-01-01 23:59:59", "2024-01-02", "a", "z", "",
+            "2024-01-01T00:00:00.000001", "09", "10",
+        ])),
+        min_size=1, max_size=8)
+
+    _STR_PREDS = st.lists(
+        st.builds(_one_pred,
+                  st.sampled_from(["<", "<=", ">", ">=", "=", "between",
+                                   "in", "is_null", "is_not_null"]),
+                  st.sampled_from([
+                      "2024-01-01", "2024-01-01 00:00:00",
+                      "2024-01-01T05:00:00", "2024-01-02", "a", "m",
+                      "09", "1"]),
+                  st.sampled_from([
+                      "2024-01-01T23:00:00", "2024-01-01 12:00:00",
+                      "2024-01-03", "b", "z"])),
+        min_size=1, max_size=3)
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows=_STR_VALS, preds=_STR_PREDS)
+    def test_string_columns_never_prune_a_matching_file(rows, preds):
+        """Type-gated safety on STRING columns holding ISO-lookalikes:
+        Python string comparison IS Spark's string comparison, so with
+        the recorded type the kernel must keep every file containing a
+        match — the old always-coerce-to-datetime behavior fails this
+        on mixed 'T'/space separators (round-5 advice, high)."""
+        if any(_row_matches(v, preds) for v in rows):
+            assert skipping._file_may_match(_rec_for(rows), preds,
+                                            types={"v": "string"})
+
+    @settings(max_examples=400, deadline=None)
+    @given(rows=_STR_VALS, preds=_STR_PREDS)
+    def test_string_pruning_exact_on_singletons(rows, preds):
+        for v in rows:
+            assert skipping._file_may_match(
+                _rec_for([v]), preds, types={"v": "string"}) \
+                == _row_matches(v, preds)
+
     @settings(max_examples=400, deadline=None)
     @given(rows=_VALS, preds=_PREDS)
     def test_pruning_is_exact_on_singleton_files(rows, preds):
