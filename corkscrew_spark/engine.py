@@ -233,11 +233,21 @@ class QueryEngine:
         for name, alias, qualified_only in self._warehouse_targets(bound):
             preds = _pred.extract_predicates(bound, name, alias,
                                              qualified_only)
+            branches = None
             if not preds:
-                continue
+                # a WHERE whose TOP level is an OR still prunes when
+                # every disjunct contributes a conjunct (DNF pruning:
+                # a file is dropped only if ALL branches provably miss)
+                branches = _pred.extract_disjuncts(bound, name, alias,
+                                                   qualified_only)
+                if not branches:
+                    continue
             try:
-                pruned = _skip.read_skipping(
-                    self.spark, self._warehouse[name.lower()], preds)
+                path = self._warehouse[name.lower()]
+                pruned = (_skip.read_skipping(self.spark, path, preds)
+                          if preds else
+                          _skip.read_skipping_any(self.spark, path,
+                                                  branches))
             except Exception:
                 continue  # unreadable stats/files: the plain view stands
             pruned.createOrReplaceTempView(name)

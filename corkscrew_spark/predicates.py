@@ -15,8 +15,11 @@ parser is unsure about it simply ignores:
 * queries that aren't single-table (JOINs, comma lists, subqueries)
   yield no table — multi-table pruning would need per-table predicate
   attribution, which raw text can't do safely;
-* a top-level OR in the WHERE yields no conjuncts (a disjunct prunes
-  nothing on its own);
+* a top-level OR in the WHERE yields no conjuncts from
+  ``extract_predicates`` (a disjunct prunes nothing on its own) — but
+  ``extract_disjuncts`` recovers the DNF branches for
+  ``skipping.plan_skip_any`` when EVERY disjunct contributes at least
+  one simple conjunct;
 * any conjunct that isn't literally ``col op literal`` / ``BETWEEN`` /
   ``IN (list)`` / ``IS [NOT] NULL`` — function calls, arithmetic,
   column-to-column comparisons, qualified refs to another alias — is
@@ -491,4 +494,82 @@ def extract_predicates(sql: str, table: str,
         parsed = _parse_term(term, names, qualified_only)
         if parsed is not None:
             out.append(parsed)
+    return out
+
+
+
+
+def _strip_enclosing_parens(
+        toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Remove paren pairs that enclose the WHOLE token list."""
+    while (len(toks) >= 2 and toks[0] == ("punc", "(")
+           and toks[-1] == ("punc", ")")):
+        depth = 0
+        closes_at_end = True
+        for idx, t in enumerate(toks):
+            if t == ("punc", "("):
+                depth += 1
+            elif t == ("punc", ")"):
+                depth -= 1
+                if depth == 0 and idx != len(toks) - 1:
+                    closes_at_end = False
+                    break
+        if not closes_at_end:
+            break
+        toks = toks[1:-1]
+    return toks
+
+
+def _split_disjuncts(
+        where: list[tuple[str, str]]) -> list[list[tuple[str, str]]]:
+    """Split on top-level OR (parens-aware). A single element means the
+    WHERE has no top-level OR."""
+    parts: list[list[tuple[str, str]]] = [[]]
+    depth = 0
+    for k, v in where:
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        if depth == 0 and (k, v) == ("kw", "OR"):
+            parts.append([])
+            continue
+        parts[-1].append((k, v))
+    return parts
+
+
+def extract_disjuncts(sql: str, table: str,
+                      alias: str | None = None,
+                      qualified_only: bool = False
+                      ) -> list[list[tuple]] | None:
+    """DNF extraction for a WHERE whose TOP level is an OR: each
+    disjunct's simple conjuncts in ``skipping`` predicate form, for
+    ``plan_skip_any``. None unless there are >= 2 disjuncts and EVERY
+    disjunct yields at least one conjunct — an unparsed disjunct could
+    match anything, so pruning with the others alone would drop its
+    rows' files. (Within a disjunct, a subset of its conjuncts is
+    still sound, exactly as in ``extract_predicates``.)"""
+    try:
+        toks = _tokens(sql)
+    except _Unparseable:
+        return None
+    names = {(alias or table).lower()}
+    where = _where_tokens(toks)
+    if not where:
+        return None
+    parts = _split_disjuncts(where)
+    if len(parts) < 2:
+        return None
+    out: list[list[tuple]] = []
+    for part in parts:
+        part = _strip_enclosing_parens(part)
+        conjuncts = _split_conjuncts(part)
+        if conjuncts is None:
+            return None  # nested OR inside the disjunct: stand down
+        branch = [p for p in (
+            _parse_term(term, names, qualified_only)
+            for term in conjuncts) if p is not None]
+        if not branch:
+            return None  # this disjunct is unconstrained: no pruning
+        out.append(branch)
     return out

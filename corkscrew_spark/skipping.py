@@ -1053,3 +1053,98 @@ def read_skipping(spark: SparkSession, path: str,
     paths = [os.path.join(path, rel) for rel in plan["kept"]]
     return (spark.read.option("basePath", path).parquet(*paths)
             .filter(flt))
+
+
+def plan_skip_any(path: str, branches: list[list[tuple]],
+                  stats: dict | None = None) -> dict:
+    """Disjunctive (DNF) pruning: ``branches`` is an OR of AND-lists —
+    a file is pruned only when EVERY branch provably misses it. Same
+    result dict as ``plan_skip``. Soundness mirrors the conjunctive
+    case branch-wise: each branch keeps conservatively, and the union
+    of conservative keeps is conservative. A branch emptied by the
+    LTZ-zone guard (or passed empty) is unconstrained — nothing can be
+    pruned, so every file is kept without falling back."""
+    for branch in branches:
+        for _c, op, _v in branch:
+            if op not in _OPS:
+                raise ValueError(f"unsupported op {op!r}; one of {_OPS}")
+    stats = stats if stats is not None else load_stats(path)
+    if stats is None:
+        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
+                "fallback": "no stats file"}
+    changed = _invalidated_since(path, stats["ts_ns"])
+    if changed is None:
+        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
+                "fallback": "full rewrite since stats snapshot"}
+    disabled = _tz_disabled_cols(stats)
+    eff = [[p for p in b if p[0] not in disabled] for b in branches]
+    if not eff or any(not b for b in eff):
+        # an unconstrained branch matches anything: keep every file
+        # (stale/unknown bookkeeping still applies for the caller)
+        eff = None
+    stale_pfx = tuple(r + "/" for r in changed)
+    kept, pruned, stale, unknown = [], [], [], []
+    types = stats.get("types")
+    bloom_cfg = stats.get("bloom")
+    tz_ok = _bloom_tz_ok(bloom_cfg) if bloom_cfg else True
+    rollup = stats.get("dirs") or {}
+    dir_verdicts: dict[str, bool] = {}
+
+    def _dir_ok(d: str) -> bool:
+        bounds = rollup.get(d)
+        if bounds is None or eff is None:
+            return True
+        return any(_dir_may_match(bounds, b, types) for b in eff)
+
+    for rel in _list_data_files(path):
+        if stale_pfx and rel.startswith(stale_pfx):
+            stale.append(rel)
+            kept.append(rel)
+            continue
+        rec = stats["files"].get(rel)
+        if rec is None:
+            unknown.append(rel)
+            kept.append(rel)
+            continue
+        if eff is None:
+            kept.append(rel)
+            continue
+        d = os.path.dirname(rel)
+        verdict = dir_verdicts.get(d)
+        if verdict is None:
+            verdict = dir_verdicts[d] = _dir_ok(d)
+        if verdict and any(
+                _file_may_match(rec, b, bloom_cfg, types, tz_ok)
+                for b in eff):
+            kept.append(rel)
+        else:
+            pruned.append(rel)
+    return {"kept": kept, "pruned": pruned, "stale": stale,
+            "unknown": unknown, "fallback": None}
+
+
+def predicate_filter_any(branches: list[list[tuple]]):
+    """The OR of the branches' AND-filters as a Column — always
+    re-applied on top of the pruned read."""
+    out = F.lit(False)
+    for branch in branches:
+        out = out | predicate_filter(branch)
+    return out
+
+
+def read_skipping_any(spark: SparkSession, path: str,
+                      branches: list[list[tuple]],
+                      stats: dict | None = None) -> DataFrame:
+    """Disjunctive twin of ``read_skipping``: opens only the files no
+    branch can match is pruned from, re-applies the full OR-of-ANDs
+    predicate, so the result is ALWAYS identical to the plain filtered
+    scan."""
+    flt = predicate_filter_any(branches)
+    plan = plan_skip_any(path, branches, stats=stats)
+    if plan["fallback"] is not None:
+        return spark.read.parquet(path).filter(flt)
+    if not plan["kept"]:
+        return spark.read.parquet(path).filter(F.lit(False))
+    paths = [os.path.join(path, rel) for rel in plan["kept"]]
+    return (spark.read.option("basePath", path).parquet(*paths)
+            .filter(flt))

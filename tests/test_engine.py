@@ -474,3 +474,25 @@ def test_view_freshness_survives_skipping_opt_out(spark, tmp_path,
         keys=["k"], order_col="ts")
     # the swap replaced every file; the refresh must re-point the view
     assert eng.execute("SELECT COUNT(*) AS n FROM offt").rows()[0].n == 2
+
+
+def test_engine_prunes_top_level_or(spark, tmp_path):
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).selectExpr("id AS k", "id % 7 AS v"
+                                ).repartitionByRange(8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("ort", path)
+    sql = ("SELECT * FROM ort WHERE k < 50 OR (k >= 750 AND v = 1) "
+           "ORDER BY k")
+    assert eng._skipping_repoint(sql) is not None  # DNF path engaged
+    got = [tuple(r) for r in eng.execute(sql).rows()]
+    plain = [tuple(r) for r in spark.sql(
+        f"SELECT * FROM parquet.`{path}` WHERE k < 50 OR "
+        "(k >= 750 AND v = 1) ORDER BY k").collect()]
+    assert got == plain and len(got) > 0
+    # a bare unparsable disjunct still stands down entirely
+    assert eng._skipping_repoint(
+        "SELECT * FROM ort WHERE k < 50 OR upper('x') = 'X'") is None

@@ -222,3 +222,34 @@ try:
         assert got == [tuple(p) for p in preds]
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+class TestDisjuncts:
+    def test_dnf_extraction(self):
+        from corkscrew_spark.predicates import extract_disjuncts
+
+        assert extract_disjuncts(
+            "SELECT * FROM t WHERE k < 10 OR k >= 700", "t") == [
+            [("k", "<", 10)], [("k", ">=", 700)]]
+        assert extract_disjuncts(
+            "SELECT * FROM t WHERE (k < 10 AND v = 1) OR k >= 700",
+            "t") == [[("k", "<", 10), ("v", "=", 1)], [("k", ">=", 700)]]
+        # a subset of a disjunct's conjuncts is sound
+        assert extract_disjuncts(
+            "SELECT * FROM t WHERE (k < 10 AND upper(s)='X') OR k > 7",
+            "t") == [[("k", "<", 10)], [("k", ">", 7)]]
+
+    def test_dnf_stand_downs(self):
+        from corkscrew_spark.predicates import extract_disjuncts
+
+        for sql in (
+            "SELECT * FROM t WHERE k < 10",              # no OR
+            "SELECT * FROM t WHERE k < 10 OR upper(s) = 'X'",  # bare disj.
+            "SELECT * FROM t WHERE k < 10 OR (v = 1 OR v = 2)",
+        ):
+            assert extract_disjuncts(sql, "t") is None, sql
+        # an unqualified disjunct in multi-table mode is unattributable
+        assert extract_disjuncts(
+            "SELECT * FROM a x JOIN b ON x.k=b.k "
+            "WHERE x.v = 1 OR w = 2", "a", "x",
+            qualified_only=True) is None

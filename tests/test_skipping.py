@@ -1181,3 +1181,27 @@ class TestLtzZoneMaps:
             assert out["tz"] == other  # full recompute, single zone
         finally:
             spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+class TestDnfPruning:
+    def test_or_branches_prune_and_match_plain_scan(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        branches = [[("k", "<", 50)], [("k", ">=", 750), ("v", "=", 1)]]
+        plan = skipping.plan_skip_any(path, branches)
+        assert plan["fallback"] is None
+        assert plan["pruned"], "middle files miss BOTH branches"
+        assert len(plan["kept"]) <= 3
+        got = skipping.read_skipping_any(spark, path, branches)
+        full = spark.read.parquet(path).filter(
+            skipping.predicate_filter_any(branches))
+        assert _same_rows(got, full)
+        assert got.count() == full.count() > 0
+
+    def test_unconstrained_branch_keeps_everything(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)
+        skipping.compute_stats(spark, path, ["k"])
+        plan = skipping.plan_skip_any(path, [[("k", "<", 50)], []])
+        assert plan["pruned"] == [] and len(plan["kept"]) == 8
