@@ -1093,16 +1093,81 @@ def _skip_predicates(where_text: str) -> list[tuple]:
     """Mine one ``where`` stage's text for simple conjuncts in
     ``skipping`` predicate form: ``col op literal`` (==, <, <=, >, >=),
     ``col in (lits)``, ``isnull(col)`` / ``isnotnull(col)``, AND-joined
-    at the top level. Anything else — ``or``, functions, arithmetic,
+    at the top level. Anything else — functions, arithmetic,
     case-insensitive operators (=~, has, contains), negations — makes
-    that term (or, for a top-level ``or``, the whole stage) contribute
-    nothing: pruning on a subset of conjuncts is sound because the
-    compiled stage still applies the FULL filter."""
+    that term contribute nothing; a top-level ``or`` voids conjunct
+    mining (``_skip_branches`` recovers it as DNF). Pruning on a
+    subset of conjuncts is sound because the compiled stage still
+    applies the FULL filter."""
     try:
         toks = _tokenize(where_text)
     except KqlError:
         return []
-    # split on top-level `and`; any top-level `or` voids the stage
+    return _kql_conjuncts(toks) or []
+
+
+def _split_kql_top(toks: list, word: str) -> list[list] | None:
+    """Split on a top-level boolean word (paren-aware); None when the
+    OTHER boolean word appears at top level first would not matter —
+    callers check. Returns the parts (possibly a single one)."""
+    parts: list[list] = [[]]
+    depth = 0
+    for t in toks:
+        if t.kind == "op" and t.text == "(":
+            depth += 1
+        elif t.kind == "op" and t.text == ")":
+            depth -= 1
+        if depth == 0 and t.kind == "ident" and t.text.lower() == word:
+            parts.append([])
+            continue
+        parts[-1].append(t)
+    return parts
+
+
+def _strip_kql_parens(toks: list) -> list:
+    while (len(toks) >= 2 and toks[0].kind == "op"
+           and toks[0].text == "(" and toks[-1].kind == "op"
+           and toks[-1].text == ")"):
+        depth = 0
+        closes_at_end = True
+        for idx, t in enumerate(toks):
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                depth -= 1
+                if depth == 0 and idx != len(toks) - 1:
+                    closes_at_end = False
+                    break
+        if not closes_at_end:
+            break
+        toks = toks[1:-1]
+    return toks
+
+
+def _skip_branches(where_text: str) -> list[list[tuple]] | None:
+    """DNF mining for a ``where`` whose TOP level is an ``or``: each
+    disjunct's simple conjuncts, for ``skipping.plan_skip_any``. None
+    unless there are >= 2 disjuncts and EVERY one yields at least one
+    conjunct (an unparsed disjunct could match anything)."""
+    try:
+        toks = _tokenize(where_text)
+    except KqlError:
+        return None
+    parts = _split_kql_top(toks, "or")
+    if parts is None or len(parts) < 2:
+        return None
+    out: list[list[tuple]] = []
+    for part in parts:
+        preds = _kql_conjuncts(_strip_kql_parens(part))
+        if not preds:
+            return None
+        out.append(preds)
+    return out
+
+
+def _kql_conjuncts(toks: list) -> list[tuple] | None:
+    """Token-level conjunct kernel shared by conjunctive and DNF
+    mining. None when a top-level ``or`` makes conjuncts unsound."""
     terms: list[list[_Tok]] = [[]]
     depth = 0
     for t in toks:
@@ -1111,7 +1176,7 @@ def _skip_predicates(where_text: str) -> list[tuple]:
         elif t.kind == "op" and t.text == ")":
             depth -= 1
         if depth == 0 and t.kind == "ident" and t.text.lower() == "or":
-            return []
+            return None
         if depth == 0 and t.kind == "ident" and t.text.lower() == "and":
             terms.append([])
             continue
@@ -1220,18 +1285,34 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     for name, path in warehouse.items():
         if name.lower() == head and enabled:
             preds: list[tuple] = []
+            branches: list[list[tuple]] | None = None
             for stage in stages[1:]:
                 m = re.match(r"where\s+(.*)", stage.strip(),
                              re.DOTALL | re.IGNORECASE)
                 if not m:
                     break  # first non-where stage ends the minable prefix
-                preds.extend(_skip_predicates(m.group(1)))
-            if preds:
-                try:
+                got = _skip_predicates(m.group(1))
+                if got:
+                    preds.extend(got)
+                elif branches is None:
+                    # one top-level-or stage mines as DNF; the stages
+                    # AND together, so conjuncts distribute into every
+                    # branch: other AND (b1 OR b2) == (other AND b1)
+                    # OR (other AND b2). A second or-stage is ignored
+                    # (sound: pruning with fewer constraints keeps more)
+                    branches = _skip_branches(m.group(1))
+            try:
+                if branches:
+                    resolved[name] = _skip.read_skipping_any(
+                        spark, path,
+                        [preds + b for b in branches] if preds
+                        else branches)
+                    continue
+                if preds:
                     resolved[name] = _skip.read_skipping(spark, path, preds)
                     continue
-                except Exception:  # noqa: BLE001 — plain read stands
-                    pass
+            except Exception:  # noqa: BLE001 — plain read stands
+                pass
         resolved[name] = spark.read.parquet(path)
     return kql_to_df(query, resolved)
 

@@ -557,3 +557,30 @@ class TestKqlSkipping:
                 AssertionError("read_skipping must not be called")))
         src = kql_to_df_skipping(spark, "T | where k >= 90", {"T": path})
         assert calls == [] and src.count() == 10
+
+
+def test_kql_or_where_prunes_as_dnf(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+    path = str(tmp_path / "ort")
+    spark.range(800).selectExpr("id AS k", "id % 7 AS v"
+                                ).repartitionByRange(8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    seen = []
+    real = skipping.read_skipping_any
+    monkeypatch.setattr(skipping, "read_skipping_any",
+                        lambda s, p, b: seen.append(b) or real(s, p, b))
+    q = ("T | where v >= 0 | where k < 50 or (k >= 750 and v == 1) "
+         "| summarize n=count() by v | order by v asc")
+    got = kql_to_df_skipping(spark, q, {"T": path})
+    assert seen == [[[("v", ">=", 0), ("k", "<", 50)],
+                     [("v", ">=", 0), ("k", ">=", 750), ("v", "=", 1)]]]
+    plain = kql_to_df(q, {"T": spark.read.parquet(path)})
+    assert [tuple(r) for r in got.collect()] \
+        == [tuple(r) for r in plain.collect()]
+    plan = skipping.plan_skip_any(
+        path, [[("k", "<", 50)], [("k", ">=", 750)]])
+    assert plan["pruned"]
