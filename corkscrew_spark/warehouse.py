@@ -147,7 +147,8 @@ def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
 
 def read_table(spark: SparkSession, path: str,
                predicates: list[tuple] | None = None,
-               use_stats: bool | None = None) -> DataFrame:
+               use_stats: bool | None = None,
+               predicates_any: list[list[tuple]] | None = None) -> DataFrame:
     """THE default read for a warehouse table directory. With
     ``predicates`` (AND-list of ``(col, op, value)``, ops per
     ``skipping._OPS``) the read consults the table's zone-map/bloom
@@ -155,16 +156,25 @@ def read_table(spark: SparkSession, path: str,
     — the filter is always re-applied, so the result is identical to a
     plain filtered scan no matter how stale the stats are. Without
     predicates (or without stats) it is a plain scan.
+    ``predicates_any`` is the disjunctive form (an OR of AND-lists,
+    pruned via ``skipping.plan_skip_any``); pass one or the other.
 
     ``use_stats``: None = auto (honor env ``CORKSCREW_DATA_SKIPPING``,
     default on), True/False = force. The SQL-surface twin is
     ``QueryEngine.register_warehouse``."""
     from corkscrew_spark import skipping as _skip
 
-    if not predicates:
+    if predicates and predicates_any:
+        raise ValueError("pass predicates OR predicates_any, not both")
+    if not predicates and not predicates_any:
         return spark.read.parquet(path)
     if use_stats is None:
         use_stats = os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
+    if predicates_any:
+        if not use_stats:
+            return (spark.read.parquet(path)
+                    .filter(_skip.predicate_filter_any(predicates_any)))
+        return _skip.read_skipping_any(spark, path, predicates_any)
     if not use_stats:
         return (spark.read.parquet(path)
                 .filter(_skip.predicate_filter(predicates)))

@@ -496,3 +496,21 @@ def test_engine_prunes_top_level_or(spark, tmp_path):
     # a bare unparsable disjunct still stands down entirely
     assert eng._skipping_repoint(
         "SELECT * FROM ort WHERE k < 50 OR upper('x') = 'X'") is None
+
+
+def test_read_table_disjunctive_path(spark, tmp_path):
+    from corkscrew_spark import skipping, warehouse
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).selectExpr("id AS k").repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    branches = [[("k", "<", 50)], [("k", ">=", 750)]]
+    got = warehouse.read_table(spark, path, predicates_any=branches)
+    assert got.count() == 100
+    plan = skipping.plan_skip_any(path, branches)
+    assert plan["pruned"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not both"):
+        warehouse.read_table(spark, path, predicates=[("k", "<", 1)],
+                             predicates_any=branches)
