@@ -1081,6 +1081,27 @@ try:
                 _rec_for([v]), preds, types={"v": "string"}) \
                 == _row_matches(v, preds)
 
+    _BRANCHES = st.lists(_PREDS, min_size=1, max_size=3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(rows=_VALS, branches=_BRANCHES)
+    def test_dnf_never_prunes_a_matching_file(rows, branches):
+        """Disjunctive safety: if ANY row matches ANY branch, the file
+        must survive the any-branch check plan_skip_any runs."""
+        if any(_row_matches(v, b) for v in rows for b in branches):
+            rec = _rec_for(rows)
+            assert any(skipping._file_may_match(rec, b)
+                       for b in branches)
+
+    @settings(max_examples=300, deadline=None)
+    @given(rows=_VALS, branches=_BRANCHES)
+    def test_dnf_exact_on_singletons(rows, branches):
+        for v in rows:
+            rec = _rec_for([v])
+            assert any(skipping._file_may_match(rec, b)
+                       for b in branches) \
+                == any(_row_matches(v, b) for b in branches)
+
     @settings(max_examples=400, deadline=None)
     @given(rows=_VALS, preds=_PREDS)
     def test_pruning_is_exact_on_singleton_files(rows, preds):
