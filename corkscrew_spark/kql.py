@@ -1103,13 +1103,12 @@ def _skip_predicates(where_text: str) -> list[tuple]:
         toks = _tokenize(where_text)
     except KqlError:
         return []
-    return _kql_conjuncts(toks) or []
+    return _kql_conjuncts(_strip_kql_parens(toks)) or []
 
 
-def _split_kql_top(toks: list, word: str) -> list[list] | None:
-    """Split on a top-level boolean word (paren-aware); None when the
-    OTHER boolean word appears at top level first would not matter —
-    callers check. Returns the parts (possibly a single one)."""
+def _split_kql_top(toks: list, word: str) -> list[list]:
+    """Split on a top-level boolean word (paren-aware). Returns the
+    parts — a single one when the word never appears at depth 0."""
     parts: list[list] = [[]]
     depth = 0
     for t in toks:
@@ -1153,8 +1152,8 @@ def _skip_branches(where_text: str) -> list[list[tuple]] | None:
         toks = _tokenize(where_text)
     except KqlError:
         return None
-    parts = _split_kql_top(toks, "or")
-    if parts is None or len(parts) < 2:
+    parts = _split_kql_top(_strip_kql_parens(toks), "or")
+    if len(parts) < 2:
         return None
     out: list[list[tuple]] = []
     for part in parts:

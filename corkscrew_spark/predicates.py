@@ -44,7 +44,19 @@ _KEYWORDS = {
     "LATERAL", "TABLESAMPLE", "PIVOT", "UNPIVOT", "ON", "USING",
     "CROSS", "NATURAL", "LEFT", "RIGHT", "FULL", "INNER", "OUTER",
     "SEMI", "ANTI", "VALUES", "WITH", "EXISTS",
+    "CASE", "WHEN", "THEN", "ELSE", "END",
 }
+
+#: CASE expressions nest boolean connectives WITHOUT parentheses —
+#: an AND/OR inside `CASE WHEN a=1 AND q=2 ...` is NOT a top-level
+#: conjunct, and splitting through it would mint predicates the WHERE
+#: does not imply (wrong rows, not wasted I/O). The splitters stand
+#: down whenever any CASE-family keyword appears in the clause.
+_CASE_KWS = {"CASE", "WHEN", "THEN", "ELSE", "END"}
+
+
+def _has_case(toks) -> bool:
+    return any(k == "kw" and v in _CASE_KWS for k, v in toks)
 
 _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*|/\*.*?\*/)
@@ -389,22 +401,7 @@ def _parse_term(toks: list[tuple[str, str]],
                 require_qualifier: bool = False) -> tuple | None:
     """One conjunct -> (col, op, value) in skipping's predicate form,
     or None when it isn't a simple prunable shape."""
-    # strip one level of fully-enclosing parens
-    while (len(toks) >= 2 and toks[0] == ("punc", "(")
-           and toks[-1] == ("punc", ")")):
-        depth = 0
-        closes_at_end = True
-        for idx, t in enumerate(toks):
-            if t == ("punc", "("):
-                depth += 1
-            elif t == ("punc", ")"):
-                depth -= 1
-                if depth == 0 and idx != len(toks) - 1:
-                    closes_at_end = False
-                    break
-        if not closes_at_end:
-            break
-        toks = toks[1:-1]
+    toks = _strip_enclosing_parens(toks)
     # literal-first comparison: lit op col
     lit = _parse_lit(toks, 0)
     if lit is not None:
@@ -484,9 +481,9 @@ def extract_predicates(sql: str, table: str,
     # `FROM a x JOIN b a` mis-attribute b's predicates to table a
     names = {(alias or table).lower()}
     where = _where_tokens(toks)
-    if not where:
+    if not where or _has_case(where):
         return []
-    conjuncts = _split_conjuncts(where)
+    conjuncts = _split_conjuncts(_strip_enclosing_parens(where))
     if conjuncts is None:
         return []
     out = []
@@ -555,9 +552,9 @@ def extract_disjuncts(sql: str, table: str,
         return None
     names = {(alias or table).lower()}
     where = _where_tokens(toks)
-    if not where:
+    if not where or _has_case(where):
         return None
-    parts = _split_disjuncts(where)
+    parts = _split_disjuncts(_strip_enclosing_parens(where))
     if len(parts) < 2:
         return None
     out: list[list[tuple]] = []

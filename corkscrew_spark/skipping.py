@@ -872,11 +872,27 @@ def plan_skip(path: str, predicates: list[tuple],
     "fallback": reason|None}``. ``kept`` includes stale and unknown
     files (they must be read); ``fallback`` is set when the whole table
     must be scanned (no stats, or a full rewrite since the snapshot)."""
+    _validate_ops(predicates)
+    return _plan(path, [list(predicates)], stats)
+
+
+def _validate_ops(predicates: list[tuple]) -> None:
     for _c, op, _v in predicates:
         if op not in _OPS:
             # reject up front: a typo'd op reaching the comparison
             # kernel would either crash or silently mis-prune
             raise ValueError(f"unsupported op {op!r}; one of {_OPS}")
+
+
+def _plan(path: str, branches: list[list[tuple]],
+          stats: dict | None) -> dict:
+    """ONE planner for conjunctive and disjunctive (DNF) pruning:
+    ``branches`` is an OR of AND-lists — a file survives when ANY
+    branch may match it (a single branch reproduces plan_skip's
+    semantics exactly). Directory short-circuits (bounds rollup AND
+    bloom rollup) apply branch-wise; a branch emptied by the LTZ-zone
+    guard (or passed empty) is unconstrained, so nothing can be
+    pruned — every file is kept without falling back."""
     stats = stats if stats is not None else load_stats(path)
     if stats is None:
         return {"kept": None, "pruned": [], "stale": [], "unknown": [],
@@ -898,17 +914,21 @@ def plan_skip(path: str, predicates: list[tuple],
         # drop conjuncts on zone-mismatched LTZ columns from the
         # PRUNING decision only — read_skipping still re-applies the
         # full predicate, so this costs I/O, never rows
-        predicates = [p for p in predicates if p[0] not in disabled]
+        branches = [[p for p in b if p[0] not in disabled]
+                    for b in branches]
+    eff: list[list[tuple]] | None = branches
+    if not branches or any(not b for b in branches):
+        eff = None  # an unconstrained branch matches anything
 
-    def _dir_ok(d: str) -> bool:
+    def _dir_branch_ok(d: str, preds: list[tuple]) -> bool:
         bounds = rollup.get(d)
-        if bounds is not None and not _dir_may_match(bounds, predicates,
+        if bounds is not None and not _dir_may_match(bounds, preds,
                                                      types):
             return False
         dbl = dir_blooms.get(d)
         if dbl and bloom_cfg:
             cache: dict = {}
-            for col, op, value in predicates:
+            for col, op, value in preds:
                 if col not in dbl:
                     continue
                 if op == "=" and not _bloom_hit(dbl, col, value,
@@ -920,6 +940,9 @@ def plan_skip(path: str, predicates: list[tuple],
                     return False
         return True
 
+    def _dir_ok(d: str) -> bool:
+        return eff is None or any(_dir_branch_ok(d, b) for b in eff)
+
     for rel in _list_data_files(path):
         if stale_pfx and rel.startswith(stale_pfx):
             stale.append(rel)
@@ -930,14 +953,17 @@ def plan_skip(path: str, predicates: list[tuple],
             unknown.append(rel)  # appended after the snapshot
             kept.append(rel)
             continue
+        if eff is None:
+            kept.append(rel)
+            continue
         d = os.path.dirname(rel)
         verdict = dir_verdicts.get(d)
         if verdict is None:
             verdict = dir_verdicts[d] = _dir_ok(d)
         if not verdict:
-            pruned.append(rel)  # whole-directory bounds miss
-        elif _file_may_match(rec, predicates, stats.get("bloom"),
-                             types, tz_ok):
+            pruned.append(rel)  # whole-directory miss on every branch
+        elif any(_file_may_match(rec, b, bloom_cfg, types, tz_ok)
+                 for b in eff):
             kept.append(rel)
         else:
             pruned.append(rel)
@@ -1059,68 +1085,12 @@ def plan_skip_any(path: str, branches: list[list[tuple]],
                   stats: dict | None = None) -> dict:
     """Disjunctive (DNF) pruning: ``branches`` is an OR of AND-lists —
     a file is pruned only when EVERY branch provably misses it. Same
-    result dict as ``plan_skip``. Soundness mirrors the conjunctive
-    case branch-wise: each branch keeps conservatively, and the union
-    of conservative keeps is conservative. A branch emptied by the
-    LTZ-zone guard (or passed empty) is unconstrained — nothing can be
-    pruned, so every file is kept without falling back."""
+    result dict as ``plan_skip`` (which is the single-branch case of
+    the same shared planner, so directory rollups, bloom rollups, and
+    the LTZ-zone guard behave identically in both)."""
     for branch in branches:
-        for _c, op, _v in branch:
-            if op not in _OPS:
-                raise ValueError(f"unsupported op {op!r}; one of {_OPS}")
-    stats = stats if stats is not None else load_stats(path)
-    if stats is None:
-        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
-                "fallback": "no stats file"}
-    changed = _invalidated_since(path, stats["ts_ns"])
-    if changed is None:
-        return {"kept": None, "pruned": [], "stale": [], "unknown": [],
-                "fallback": "full rewrite since stats snapshot"}
-    disabled = _tz_disabled_cols(stats)
-    eff = [[p for p in b if p[0] not in disabled] for b in branches]
-    if not eff or any(not b for b in eff):
-        # an unconstrained branch matches anything: keep every file
-        # (stale/unknown bookkeeping still applies for the caller)
-        eff = None
-    stale_pfx = tuple(r + "/" for r in changed)
-    kept, pruned, stale, unknown = [], [], [], []
-    types = stats.get("types")
-    bloom_cfg = stats.get("bloom")
-    tz_ok = _bloom_tz_ok(bloom_cfg) if bloom_cfg else True
-    rollup = stats.get("dirs") or {}
-    dir_verdicts: dict[str, bool] = {}
-
-    def _dir_ok(d: str) -> bool:
-        bounds = rollup.get(d)
-        if bounds is None or eff is None:
-            return True
-        return any(_dir_may_match(bounds, b, types) for b in eff)
-
-    for rel in _list_data_files(path):
-        if stale_pfx and rel.startswith(stale_pfx):
-            stale.append(rel)
-            kept.append(rel)
-            continue
-        rec = stats["files"].get(rel)
-        if rec is None:
-            unknown.append(rel)
-            kept.append(rel)
-            continue
-        if eff is None:
-            kept.append(rel)
-            continue
-        d = os.path.dirname(rel)
-        verdict = dir_verdicts.get(d)
-        if verdict is None:
-            verdict = dir_verdicts[d] = _dir_ok(d)
-        if verdict and any(
-                _file_may_match(rec, b, bloom_cfg, types, tz_ok)
-                for b in eff):
-            kept.append(rel)
-        else:
-            pruned.append(rel)
-    return {"kept": kept, "pruned": pruned, "stale": stale,
-            "unknown": unknown, "fallback": None}
+        _validate_ops(branch)
+    return _plan(path, [list(b) for b in branches], stats)
 
 
 def predicate_filter_any(branches: list[list[tuple]]):

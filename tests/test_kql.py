@@ -584,3 +584,15 @@ def test_kql_or_where_prunes_as_dnf(spark, tmp_path, monkeypatch):
     plan = skipping.plan_skip_any(
         path, [[("k", "<", 50)], [("k", ">=", 750)]])
     assert plan["pruned"]
+
+
+def test_kql_parenthesized_stage_still_mines():
+    from corkscrew_spark.kql import _skip_branches, _skip_predicates
+
+    assert _skip_branches("(k < 50 or k >= 750)") == [
+        [("k", "<", 50)], [("k", ">=", 750)]]
+    assert _skip_predicates("(k >= 1 and v == 2)") == [
+        ("k", ">=", 1), ("v", "=", 2)]
+    # KQL case() is a parenthesized function: its inner and/or never
+    # leaks into the top-level split
+    assert _skip_predicates("case(k > 1 and v == 2, 1, 0) == 1") == []

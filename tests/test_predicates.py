@@ -253,3 +253,32 @@ class TestDisjuncts:
             "SELECT * FROM a x JOIN b ON x.k=b.k "
             "WHERE x.v = 1 OR w = 2", "a", "x",
             qualified_only=True) is None
+
+
+class TestCaseExpressions:
+    def test_case_in_where_stands_down_entirely(self):
+        """CASE nests AND/OR without parens: splitting through it mints
+        predicates the WHERE does not imply (high-severity review
+        finding — verified wrong-rows repro before the fix)."""
+        from corkscrew_spark.predicates import extract_disjuncts
+
+        bad = ("SELECT * FROM t WHERE CASE WHEN a = 1 AND q = 2 "
+               "OR y = 2 AND z = 3 THEN 1 ELSE 0 END = 0")
+        assert extract_predicates(bad, "t") == []
+        assert extract_disjuncts(bad, "t") is None
+        bad2 = ("SELECT * FROM t WHERE CASE WHEN a = 1 AND q = 2 "
+                "AND b = 3 THEN 1 ELSE 0 END = 0")
+        assert extract_predicates(bad2, "t") == []
+        # a column literally named `case` loses pruning, never crashes
+        assert extract_predicates(
+            "SELECT * FROM t WHERE case = 1 AND k = 2", "t") == []
+
+    def test_fully_parenthesized_clauses_still_extract(self):
+        from corkscrew_spark.predicates import extract_disjuncts
+
+        assert extract_predicates(
+            "SELECT * FROM t WHERE (a = 1 AND b = 2)", "t") == [
+            ("a", "=", 1), ("b", "=", 2)]
+        assert extract_disjuncts(
+            "SELECT * FROM t WHERE (k < 10 OR k >= 700)", "t") == [
+            [("k", "<", 10)], [("k", ">=", 700)]]
