@@ -1118,3 +1118,17 @@ def read_skipping_any(spark: SparkSession, path: str,
     paths = [os.path.join(path, rel) for rel in plan["kept"]]
     return (spark.read.option("basePath", path).parquet(*paths)
             .filter(flt))
+
+
+def estimate_scan_any(path: str, branches: list[list[tuple]],
+                      stats: dict | None = None,
+                      plan: dict | None = None) -> dict:
+    """DNF twin of ``estimate_scan``: files/bytes the disjunctive
+    pruned read will open vs the whole table. The matched-rows
+    estimate is omitted (None) — branch overlap is unknowable from
+    per-file statistics, and a sum over branches could overcount past
+    the table size."""
+    plan = plan if plan is not None else plan_skip_any(
+        path, branches, stats=stats)
+    stats = stats if stats is not None else load_stats(path)
+    return estimate_scan(path, [], stats=stats, plan=plan)

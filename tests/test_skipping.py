@@ -1226,3 +1226,15 @@ class TestDnfPruning:
         skipping.compute_stats(spark, path, ["k"])
         plan = skipping.plan_skip_any(path, [[("k", "<", 50)], []])
         assert plan["pruned"] == [] and len(plan["kept"]) == 8
+
+
+def test_estimate_scan_any(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_clustered(spark, path)
+    skipping.compute_stats(spark, path, ["k"])
+    est = skipping.estimate_scan_any(
+        path, [[("k", "<", 50)], [("k", ">=", 750)]])
+    assert est["fallback"] is None
+    assert est["files_total"] == 8 and 0 < est["files_kept"] <= 3
+    assert 0 < est["bytes_kept"] < est["bytes_total"]
+    assert est["rows_est_matched"] is None  # overlap unknowable
