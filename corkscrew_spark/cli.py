@@ -256,6 +256,23 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         return 0
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.maint_cmd == "vstats":
+        from corkscrew_spark import skipping
+
+        if not args.cols:
+            print("error: --cols a,b is required for vstats",
+                  file=sys.stderr)
+            return 2
+        stats = versioned.compute_stats_version(
+            spark, args.path, args.cols.split(","),
+            version=args.version)
+        v = args.version if args.version is not None else \
+            versioned.latest_version(args.path)
+        print(f"zone maps for {len(stats['files'])} files "
+              f"on {stats['cols']} -> {args.path}/v={v}/data/"
+              "_column_stats.json (carried partitions reused from "
+              "their owner versions)")
+        return 0
     if args.maint_cmd == "stats":
         from corkscrew_spark import skipping
 
@@ -990,7 +1007,8 @@ def main(argv: list[str] | None = None) -> int:
         help="warehouse maintenance "
              "(compact/vacuum/zorder/history/stats/skip-plan)")
     mt.add_argument("maint_cmd", choices=["compact", "vacuum", "zorder",
-                                          "history", "stats", "skip-plan"])
+                                          "history", "stats", "skip-plan",
+                                          "vstats"])
     mt.add_argument("path", help="table directory")
     mt.add_argument("--partition-by", help="hive partition columns (compact)")
     mt.add_argument("--target-mb", type=int, default=128)
@@ -1007,6 +1025,8 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--refresh", action="store_true",
                     help="incremental stats upkeep: recompute only "
                          "new/invalidated files (stats)")
+    mt.add_argument("--version", type=int,
+                    help="snapshot selector for vstats (default: latest)")
     mt.add_argument("--bloom-cols",
                     help="also build per-file Bloom filters for these "
                          "columns — equality-probe pruning on "

@@ -426,3 +426,17 @@ def test_query_and_kql_warehouse_flag(spark, tmp_path, capsys):
                      "--warehouse", f"wt={path}", "--format", "csv"]) == 0
     assert capsys.readouterr().out.splitlines()[1] == "50"
     assert cli.main(["query", "SELECT 1", "--warehouse", "nopath"]) == 2
+
+
+def test_maintenance_vstats_verb(spark, tmp_path, capsys):
+    from corkscrew_spark import cli, versioned
+
+    p = str(tmp_path / "vt")
+    versioned.write_version(
+        spark.createDataFrame([(1, "eu", 1), (2, "us", 1)],
+                              "k long, region string, ts long"),
+        p, partition_cols=["region"])
+    assert cli.main(["maintenance", "vstats", p, "--cols", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "v=1/data" in out and "zone maps" in out
+    assert cli.main(["maintenance", "vstats", p]) == 2  # --cols required
