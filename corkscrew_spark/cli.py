@@ -257,8 +257,6 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
     if args.maint_cmd == "vstats":
-        from corkscrew_spark import skipping
-
         if not args.cols:
             print("error: --cols a,b is required for vstats",
                   file=sys.stderr)

@@ -16,6 +16,7 @@ engine is Catalyst; this layer adds exactly what Spark doesn't have:
 from __future__ import annotations
 
 import difflib
+import itertools
 import re
 import time
 from dataclasses import dataclass, field
@@ -37,6 +38,12 @@ _DENY = (
     "MERGE", "GRANT", "REVOKE", "SET", "REFRESH",
 )
 _ALLOWED_STARTS = ("SELECT", "WITH", "EXPLAIN", "SHOW", "DESCRIBE", "DESC", "VALUES", "TABLE")
+
+#: Process-wide counter for the one-statement pruned-view names the
+#: skipping rewrite registers — unique across engines sharing a
+#: SparkSession, so two concurrent queries can never collide on (or
+#: observe) each other's pruned reads.
+_SKIP_SEQ = itertools.count(1)
 
 _PARAM_RE = re.compile(r"(?<!:):([a-zA-Z_][a-zA-Z0-9_]*)")
 _TABLE_ERR_RE = re.compile(r"TABLE_OR_VIEW_NOT_FOUND|Table or view not found", re.IGNORECASE)
@@ -218,18 +225,28 @@ class QueryEngine:
                 if t.lower() in self._warehouse_skip
                 and counts[t.lower()] == 1]
 
-    def _skipping_repoint(self, bound: str):
-        """When ``bound`` is a single-table query over a registered
-        warehouse table with extractable conjuncts, re-point that view
-        at a ``read_skipping`` pruned read and return a restore
-        callback (None = nothing to do). The caller restores the plain
-        view right after analysis — view resolution happens at
-        DataFrame creation, so the returned frame keeps the pruned
-        scan while the session state goes back to normal."""
+    def _skipping_rewrite(self, bound: str) -> tuple[str, list[str]]:
+        """When ``bound`` is a single-table query (or pure inner-join
+        chain) over registered warehouse tables with extractable
+        conjuncts, register each table's ``read_skipping`` pruned read
+        under a UNIQUE generated temp-view name and rewrite this
+        statement's table references to it (aliased back to the
+        original name so qualified column refs resolve). Returns
+        ``(sql_to_execute, temp_views_to_drop)``.
+
+        Why not re-point the shared view: view resolution happens at
+        DataFrame creation, so a concurrent query on the same
+        SparkSession (second thread, second QueryEngine, a direct
+        spark.sql call) that resolved the shared name inside a
+        repoint/restore window would silently read a file subset
+        pruned for a DIFFERENT predicate — missing rows, not wasted
+        I/O. Unique names make the pruned read invisible to every
+        other statement; the shared view is never touched."""
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
-        repointed: list[str] = []
+        mapping: dict[str, str] = {}
+        views: list[str] = []
         for name, alias, qualified_only in self._warehouse_targets(bound):
             preds = _pred.extract_predicates(bound, name, alias,
                                              qualified_only)
@@ -250,17 +267,20 @@ class QueryEngine:
                                                   branches))
             except Exception:
                 continue  # unreadable stats/files: the plain view stands
-            pruned.createOrReplaceTempView(name)
-            repointed.append(name.lower())
-        if not repointed:
-            return None
-
-        def _restore() -> None:
-            for name in repointed:
-                self.spark.read.parquet(
-                    self._warehouse[name]).createOrReplaceTempView(name)
-
-        return _restore
+            view = f"{name}__skip_{next(_SKIP_SEQ)}"
+            pruned.createOrReplaceTempView(view)
+            views.append(view)
+            mapping[name.lower()] = view
+        if not mapping:
+            return bound, views
+        rewritten = _pred.rewrite_table_refs(bound, mapping)
+        if rewritten is None:
+            # _warehouse_targets accepted the shape, so the refs must be
+            # locatable; if not, never execute against the pruned views
+            for view in views:
+                self.spark.catalog.dropTempView(view)
+            return bound, []
+        return rewritten, views
 
     def register_versioned(self, name: str, path: str) -> None:
         """Attach a versioned table (versioned.py snapshot log) to the SQL
@@ -357,12 +377,13 @@ class QueryEngine:
 
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         bound = bind_params(sql, params)
+        # Gate BEFORE any side effect: _refresh_warehouse_views re-points
+        # session views (and pays a parquet listing) and
+        # _resolve_time_travel registers temp views — a rejected query
+        # must mutate no session view state and do no I/O.
+        validate_readonly(bound)
         if self._warehouse:
             self._refresh_warehouse_views(bound)
-        # Gate BEFORE the time-travel rewrite: _resolve_time_travel
-        # registers temp views as a side effect, and a rejected query
-        # must not mutate session view state.
-        validate_readonly(bound)
         if self._versioned:
             bound = self._resolve_time_travel(bound)
             validate_readonly(bound)
@@ -378,13 +399,19 @@ class QueryEngine:
 
     def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
         bound = self.validate(sql, params)
-        restore = self._skipping_repoint(bound) if self._warehouse else None
+        # timing starts BEFORE the skipping rewrite so predicate mining,
+        # plan_skip's file listing, and pruned-view registration show up
+        # in the reported duration — planning is part of the query's cost
         t0 = time.perf_counter()
+        exec_sql, views = (self._skipping_rewrite(bound)
+                           if self._warehouse else (bound, []))
         try:
-            df = self.spark.sql(bound)
+            df = self.spark.sql(exec_sql)
         finally:
-            if restore is not None:
-                restore()
+            # resolution happened at DataFrame creation; dropping the
+            # one-statement views leaks nothing into the session
+            for view in views:
+                self.spark.catalog.dropTempView(view)
         return QueryResult(df=df, sql=bound, duration_s=time.perf_counter() - t0,
                            columns=list(df.columns))
 
@@ -393,12 +420,13 @@ class QueryEngine:
         streaming path (engine.go:232-365) maps to toLocalIterator, which
         fetches one partition at a time (bounded driver memory)."""
         bound = self.validate(sql, params)
-        restore = self._skipping_repoint(bound) if self._warehouse else None
+        exec_sql, views = (self._skipping_rewrite(bound)
+                           if self._warehouse else (bound, []))
         try:
-            return self.spark.sql(bound).toLocalIterator()
+            return self.spark.sql(exec_sql).toLocalIterator()
         finally:
-            if restore is not None:
-                restore()
+            for view in views:
+                self.spark.catalog.dropTempView(view)
 
     def _friendly(self, msg: str) -> str:
         if _TABLE_ERR_RE.search(msg):

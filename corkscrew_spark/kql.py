@@ -1281,6 +1281,17 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     head = stages[0].strip().lower()
     enabled = _os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
     resolved: dict[str, DataFrame] = dict(tables or {})
+    # kql_to_df lowercases table keys, so a warehouse entry whose
+    # lowered name collides with a caller-supplied DataFrame would
+    # silently REPLACE it with a directory read — refuse instead of
+    # guessing which source the caller meant
+    clash = ({n.lower() for n in resolved}
+             & {n.lower() for n in warehouse})
+    if clash:
+        raise KqlError(
+            "KQL: table name(s) registered both as DataFrame and "
+            f"warehouse directory: {sorted(clash)} — pass each name "
+            "through exactly one of `tables`/`warehouse`")
     for name, path in warehouse.items():
         if name.lower() == head and enabled:
             preds: list[tuple] = []

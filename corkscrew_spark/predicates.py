@@ -75,17 +75,20 @@ class _Unparseable(Exception):
     pass
 
 
-def _tokens(sql: str) -> list[tuple[str, str]]:
-    """(kind, text) tokens; kind in str/bq/ident/kw/num/op/punc.
-    Raises _Unparseable on any character the lexer doesn't know —
-    callers treat that as 'extract nothing' (sound)."""
+def _tokens_spans(
+        sql: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
+    """(tokens, spans): tokens as in ``_tokens``, spans as each token's
+    (start, end) character offsets in ``sql`` — the rewrite half
+    (``rewrite_table_refs``) needs to splice replacement text exactly
+    where the original token sat."""
     out: list[tuple[str, str]] = []
+    spans: list[tuple[int, int]] = []
     pos = 0
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
         if m is None:
             raise _Unparseable(sql[pos:pos + 10])
-        pos = m.end()
+        start, pos = pos, m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
@@ -94,7 +97,15 @@ def _tokens(sql: str) -> list[tuple[str, str]]:
             out.append(("kw", text.upper()))
         else:
             out.append((kind, text))
-    return out
+        spans.append((start, pos))
+    return out, spans
+
+
+def _tokens(sql: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens; kind in str/bq/ident/kw/num/op/punc.
+    Raises _Unparseable on any character the lexer doesn't know —
+    callers treat that as 'extract nothing' (sound)."""
+    return _tokens_spans(sql)[0]
 
 
 def _unquote_ident(tok: tuple[str, str]) -> str:
@@ -533,6 +544,62 @@ def _split_disjuncts(
             continue
         parts[-1].append((k, v))
     return parts
+
+
+def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str | None:
+    """Rewrite the depth-0 FROM/JOIN table references whose lower-cased
+    name is a ``mapping`` key to the mapped view name, appending
+    ``AS <original>`` when the reference carries no alias so qualified
+    column refs (``estate.col``) keep resolving against the new view.
+
+    The safe substitute for re-pointing a SHARED temp view at a pruned
+    read: the engine registers the pruned DataFrame under a UNIQUE
+    generated name and rewrites only this statement's reference to it,
+    so a concurrent query on the same SparkSession can never resolve
+    the shared view mid-swap and silently read a subset pruned for a
+    different predicate.
+
+    Only meaningful for statements ``single_table``/``inner_join_tables``
+    accept — those gates guarantee exactly one FROM, no subqueries, no
+    ``EXTRACT(x FROM y)``, no comma lists, so every depth-0 FROM/JOIN is
+    followed by a real table reference. Callers must gate on them first;
+    returns None when the text can't be tokenized or no reference was
+    rewritten (treat as 'do not rewrite')."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return None
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    depth = 0
+    for i, (k, v) in enumerate(toks):
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        if depth != 0 or k != "kw" or v not in ("FROM", "JOIN"):
+            continue
+        j = i + 1
+        if j >= len(toks) or toks[j][0] not in ("ident", "bq"):
+            continue
+        name = _unquote_ident(toks[j]).lower()
+        target = mapping.get(name)
+        if target is None:
+            continue
+        # alias present? `AS x` or a bare identifier right after — a
+        # keyword (WHERE/JOIN/ON/...) is kind "kw", so it never reads
+        # as an alias here
+        has_alias = (
+            (j + 1 < len(toks) and toks[j + 1] == ("kw", "AS"))
+            or (j + 1 < len(toks) and toks[j + 1][0] in ("ident", "bq"))
+        )
+        repl = target if has_alias else f"{target} AS {toks[j][1]}"
+        edits.append((spans[j][0], spans[j][1], repl))
+    if not edits:
+        return None
+    out = sql
+    for start, end, repl in reversed(edits):
+        out = out[:start] + repl + out[end:]
+    return out
 
 
 def extract_disjuncts(sql: str, table: str,

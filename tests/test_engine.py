@@ -286,7 +286,7 @@ class TestWarehouseSkipping:
         eng = QueryEngine(spark, register_helpers=False)
         eng.register_warehouse("wtbl", table)
         sql = "SELECT * FROM wtbl WHERE k >= 700"
-        assert eng._skipping_repoint(sql) is None
+        assert eng._skipping_rewrite(sql) == (sql, [])
         assert eng.execute(sql).df.count() == 100
 
     def test_execute_stream_prunes_and_restores(self, spark, table):
@@ -299,6 +299,54 @@ class TestWarehouseSkipping:
         assert [r.k for r in rows] == list(range(795, 800))
         assert eng.execute("SELECT COUNT(*) AS n FROM wtbl"
                            ).rows()[0].n == 800
+
+
+def test_concurrent_statement_never_sees_anothers_pruning(spark, tmp_path):
+    """The skipping rewrite must be invisible to every other statement
+    on the same SparkSession: while engine A's pruned statement is in
+    flight (pruned views registered, not yet dropped), engine B — and a
+    direct spark.sql on the shared view — must resolve the FULL table,
+    not A's subset. The old repoint-then-restore design failed exactly
+    this window."""
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).selectExpr("id AS k").repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    a = QueryEngine(spark, register_helpers=False)
+    b = QueryEngine(spark, register_helpers=False)
+    a.register_warehouse("shared", path)
+    b.register_warehouse("shared", path)
+    sql_a = "SELECT COUNT(*) AS n FROM shared WHERE k >= 700"
+    # freeze A mid-statement: rewrite done, pruned views live
+    exec_a, views_a = a._skipping_rewrite(sql_a)
+    assert views_a
+    try:
+        # B's unpredicated statement (would read a 700+ subset under
+        # the repoint design) sees the whole table
+        assert b.execute("SELECT COUNT(*) AS n FROM shared"
+                         ).rows()[0].n == 800
+        # and so does a bare spark.sql on the shared view
+        assert spark.sql("SELECT COUNT(*) AS n FROM shared"
+                         ).first().n == 800
+        # B's own pruned statement gets a DIFFERENT view name — the
+        # two in-flight statements cannot collide
+        exec_b, views_b = b._skipping_rewrite(
+            "SELECT COUNT(*) AS n FROM shared WHERE k < 100")
+        assert views_b and set(views_b).isdisjoint(views_a)
+        assert spark.sql(exec_b).first().n == 100
+        for v in views_b:
+            spark.catalog.dropTempView(v)
+        # A's frozen statement still executes against its own pruning
+        assert spark.sql(exec_a).first().n == 100
+    finally:
+        for v in views_a:
+            spark.catalog.dropTempView(v)
+    # nothing leaked into the session catalog
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if "__skip_" in t.name]
+    assert leftovers == []
 
 
 def test_read_table_default_path_prunes(spark, tmp_path):
@@ -357,17 +405,22 @@ class TestJoinSkipping:
             "WHERE f.k >= 700 AND d.nm IS NOT NULL ORDER BY f.k"
         ).collect()]
         assert got == plain and len(got) == 100
-        # the fact side was re-pointed at a pruned read during analysis
-        restore = eng._skipping_repoint(sql)
-        assert restore is not None
+        # the fact reference is rewritten to a uniquely-named pruned
+        # one-statement view; the SHARED view is never touched, so a
+        # concurrent reader mid-statement always sees the full table
+        exec_sql, views = eng._skipping_rewrite(sql)
+        assert views and exec_sql != sql
+        fact_view = next(v for v in views if v.startswith("facts__skip_"))
         opened = spark.sql(
-            "SELECT DISTINCT input_file_name() AS f FROM facts").count()
-        restore()
+            f"SELECT DISTINCT input_file_name() AS f FROM {fact_view}"
+        ).count()
         assert opened <= 2  # of 8 range-clustered fact files
         assert spark.sql("SELECT COUNT(*) AS n FROM facts"
-                         ).first().n == 800  # restored
+                         ).first().n == 800  # shared view: untouched
+        for v in views:
+            spark.catalog.dropTempView(v)
 
-    def test_outer_join_and_self_join_never_repoint(self, spark,
+    def test_outer_join_and_self_join_never_rewrite(self, spark,
                                                     two_tables):
         facts, dims = two_tables
         eng = QueryEngine(spark, register_helpers=False)
@@ -383,7 +436,7 @@ class TestJoinSkipping:
             "SELECT a.k FROM facts a JOIN facts b ON a.d = b.d "
             "WHERE a.k >= 700",
         ):
-            assert eng._skipping_repoint(sql) is None, sql
+            assert eng._skipping_rewrite(sql) == (sql, []), sql
             assert eng.execute(sql).df.count() > 0
 
 
@@ -447,7 +500,10 @@ def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
     eng = QueryEngine(spark, register_helpers=False)
     eng.register_warehouse("estate", path)
     sql = "SELECT COUNT(*) AS n FROM Estate WHERE k >= 300"
-    assert eng._skipping_repoint(sql) is not None
+    exec_sql, views = eng._skipping_rewrite(sql)
+    assert views and exec_sql != sql
+    for v in views:
+        spark.catalog.dropTempView(v)
     assert eng.execute(sql).rows()[0].n == 100
     est = eng.estimate_scan("SELECT * FROM ESTATE WHERE k >= 300")
     assert est and est["estate"]["files_kept"] < est["estate"]["files_total"]
@@ -487,15 +543,18 @@ def test_engine_prunes_top_level_or(spark, tmp_path):
     eng.register_warehouse("ort", path)
     sql = ("SELECT * FROM ort WHERE k < 50 OR (k >= 750 AND v = 1) "
            "ORDER BY k")
-    assert eng._skipping_repoint(sql) is not None  # DNF path engaged
+    exec_sql, views = eng._skipping_rewrite(sql)  # DNF path engaged
+    assert views and exec_sql != sql
+    for v in views:
+        spark.catalog.dropTempView(v)
     got = [tuple(r) for r in eng.execute(sql).rows()]
     plain = [tuple(r) for r in spark.sql(
         f"SELECT * FROM parquet.`{path}` WHERE k < 50 OR "
         "(k >= 750 AND v = 1) ORDER BY k").collect()]
     assert got == plain and len(got) > 0
     # a bare unparsable disjunct still stands down entirely
-    assert eng._skipping_repoint(
-        "SELECT * FROM ort WHERE k < 50 OR upper('x') = 'X'") is None
+    bad = "SELECT * FROM ort WHERE k < 50 OR upper('x') = 'X'"
+    assert eng._skipping_rewrite(bad) == (bad, [])
 
 
 def test_read_table_disjunctive_path(spark, tmp_path):

@@ -596,3 +596,20 @@ def test_kql_parenthesized_stage_still_mines():
     # KQL case() is a parenthesized function: its inner and/or never
     # leaks into the top-level split
     assert _skip_predicates("case(k > 1 and v == 2, 1, 0) == 1") == []
+
+
+def test_kql_skipping_rejects_tables_warehouse_collision(spark, tmp_path):
+    """A name registered both as a caller DataFrame and a warehouse dir
+    would silently resolve to the directory read (keys are lowered);
+    the compiler refuses the ambiguity instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.kql import KqlError, kql_to_df_skipping
+
+    path = str(tmp_path / "amb")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(path)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(KqlError, match="exactly one"):
+        kql_to_df_skipping(spark, "Amb | count", {"amb": path},
+                           tables={"AMB": df})

@@ -282,3 +282,67 @@ class TestCaseExpressions:
         assert extract_disjuncts(
             "SELECT * FROM t WHERE (k < 10 OR k >= 700)", "t") == [
             [("k", "<", 10)], [("k", ">=", 700)]]
+
+
+class TestRewriteTableRefs:
+    """rewrite_table_refs splices pruned-view names into the FROM/JOIN
+    positions of shapes single_table/inner_join_tables accept, keeping
+    qualified column refs resolvable via an appended alias."""
+
+    def test_unaliased_single_table_gets_alias_back(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        out = rewrite_table_refs(
+            "SELECT t.k FROM t WHERE t.k >= 7", {"t": "t__skip_1"})
+        assert out == "SELECT t.k FROM t__skip_1 AS t WHERE t.k >= 7"
+
+    def test_aliased_ref_keeps_its_alias(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        out = rewrite_table_refs(
+            "SELECT w.k FROM t w WHERE w.k >= 7", {"t": "t__skip_2"})
+        assert out == "SELECT w.k FROM t__skip_2 w WHERE w.k >= 7"
+        out = rewrite_table_refs(
+            "SELECT w.k FROM t AS w WHERE w.k >= 7", {"t": "t__skip_2"})
+        assert out == "SELECT w.k FROM t__skip_2 AS w WHERE w.k >= 7"
+
+    def test_join_chain_rewrites_each_mapped_ref(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        sql = ("SELECT f.k, d.nm FROM facts f JOIN dims d "
+               "ON f.d = d.d WHERE f.k >= 700")
+        out = rewrite_table_refs(sql, {"facts": "facts__skip_3"})
+        assert out == ("SELECT f.k, d.nm FROM facts__skip_3 f JOIN dims d "
+                       "ON f.d = d.d WHERE f.k >= 700")
+        both = rewrite_table_refs(sql, {"facts": "fx", "dims": "dx"})
+        assert both == ("SELECT f.k, d.nm FROM fx f JOIN dx d "
+                        "ON f.d = d.d WHERE f.k >= 700")
+
+    def test_case_insensitive_match_preserves_original_spelling(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        out = rewrite_table_refs(
+            "SELECT * FROM Estate WHERE k = 1", {"estate": "v9"})
+        assert out == "SELECT * FROM v9 AS Estate WHERE k = 1"
+
+    def test_backquoted_ref(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        out = rewrite_table_refs(
+            "SELECT * FROM `estate` WHERE k = 1", {"estate": "v9"})
+        assert out == "SELECT * FROM v9 AS `estate` WHERE k = 1"
+
+    def test_name_inside_literals_and_columns_untouched(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        out = rewrite_table_refs(
+            "SELECT t FROM t WHERE s = 'FROM t'", {"t": "v1"})
+        assert out == "SELECT t FROM v1 AS t WHERE s = 'FROM t'"
+
+    def test_no_mapped_ref_or_unlexable_returns_none(self):
+        from corkscrew_spark.predicates import rewrite_table_refs
+
+        assert rewrite_table_refs(
+            "SELECT * FROM other WHERE k = 1", {"t": "v1"}) is None
+        assert rewrite_table_refs(
+            "SELECT * FROM t WHERE s = $$", {"t": "v1"}) is None
