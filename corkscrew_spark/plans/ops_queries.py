@@ -1024,14 +1024,6 @@ def engine_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         where = ("WHERE l_shipdate >= DATE '1996-03-01' "
                  "AND l_shipdate < DATE '1996-06-01'")
         total = len(skipping._list_data_files(table))
-        opened = eng.execute(
-            "SELECT DISTINCT input_file_name() AS f "
-            f"FROM li_skip_tbl {where}").df.count()
-        if not 0 < opened < total:
-            raise RuntimeError(
-                f"engine read path did not prune: opened {opened} of "
-                f"{total} files for a 3-month range over a "
-                "shipdate-clustered table")
         result = eng.execute(f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(COUNT(*) AS BIGINT) AS n,
@@ -1040,7 +1032,95 @@ def engine_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM li_skip_tbl {where}
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""").df
+        # certify against the EXECUTED PLAN: inputFiles() lists the
+        # files the scan references — unlike counting distinct
+        # input_file_name() rows (files that happened to contain
+        # matches), an unpruned scan cannot pass this
+        opened = len([f for f in result.inputFiles()
+                      if "lineitem_tbl" in f])
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"engine read path did not prune: plan references "
+                f"{opened} of {total} files for a 3-month range over "
+                "a shipdate-clustered table")
         rows = result.collect()  # key-space-sized (<= 6 flag/status)
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "engine_pruned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-06-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def engine_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table data skipping UNDER A STAR JOIN through the default
+    SQL read path — the dominant 100 TB shape: a fact table carrying a
+    selective date conjunct joined to a dimension. The engine
+    attributes the alias-qualified conjuncts to the fact table
+    (predicates.inner_join_tables + qualified-only extraction), swaps
+    ONLY this statement's fact reference to a pruned one-statement
+    view, and executes the full join SQL on top. Certification is the
+    EXECUTED PLAN itself: DataFrame.inputFiles() lists the files the
+    fact scan references, and the query RAISES unless that is strictly
+    fewer than the table holds — files-with-matching-rows heuristics
+    can't fake this. Inner-join-only by soundness argument (an outer
+    join's null-extended rows could be wrongly accepted; see
+    predicates.py). Reference parity: the reference's pack queries get
+    this free from DuckDB's planner on every CTE join, e.g.
+    pkg/query/compliance/packs/cfi/ccc-storage/queries/
+    bucket_deletion_protection.sql:66-69."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine
+
+    t = register_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity",
+                              "l_extendedprice", "l_shipdate")
+    orders = t["orders"].select("o_orderkey", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="prunej_")
+    fact = f"{tmp}/lineitem_fact"
+    dim = f"{tmp}/orders_dim"
+    try:
+        # shipdate-clustered fact (the compact/zorder layout at scale);
+        # the dim is small — Spark broadcasts it on its own
+        li.repartitionByRange(8, "l_shipdate").write.parquet(fact)
+        orders.coalesce(1).write.parquet(dim)
+        skipping.compute_stats(spark, fact, ["l_shipdate"])
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("li_fact", fact)
+        eng.register_warehouse("ord_dim", dim)
+        result = eng.execute("""
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+                   ROUND(SUM(l.l_extendedprice), 2) AS revenue
+            FROM li_fact l JOIN ord_dim o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= DATE '1996-03-01'
+              AND l.l_shipdate < DATE '1996-06-01'
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority""").df
+        total = len(skipping._list_data_files(fact))
+        opened = len([f for f in result.inputFiles()
+                      if "lineitem_fact" in f])
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"fact scan under the join did not prune: plan "
+                f"references {opened} of {total} files for a 3-month "
+                "range over a shipdate-clustered fact table")
+        rows = result.collect()  # key-space-sized (5 priorities)
         return spark.createDataFrame(rows, result.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
