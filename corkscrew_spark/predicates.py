@@ -50,13 +50,50 @@ _KEYWORDS = {
 #: CASE expressions nest boolean connectives WITHOUT parentheses —
 #: an AND/OR inside `CASE WHEN a=1 AND q=2 ...` is NOT a top-level
 #: conjunct, and splitting through it would mint predicates the WHERE
-#: does not imply (wrong rows, not wasted I/O). The splitters stand
-#: down whenever any CASE-family keyword appears in the clause.
+#: does not imply (wrong rows, not wasted I/O). ``_collapse_case``
+#: swallows each CASE…END span into one opaque token BEFORE the
+#: splitters run: the span's internal AND/OR can no longer be split
+#: through, the conjunct containing the opaque token parses to
+#: nothing (never guessed at), and the CLEAN top-level conjuncts
+#: sitting NEXT to a CASE keep pruning.
 _CASE_KWS = {"CASE", "WHEN", "THEN", "ELSE", "END"}
 
 
-def _has_case(toks) -> bool:
-    return any(k == "kw" and v in _CASE_KWS for k, v in toks)
+def _collapse_case(
+        toks: list[tuple[str, str]]) -> list[tuple[str, str]] | None:
+    """Replace every CASE…END span (nesting-aware: CASE opens, END is
+    the hard delimiter that closes) with a single unparseable
+    ``("opaque", "CASE")`` token. None — the caller must extract
+    NOTHING — when the spans can't be delimited safely: an unmatched
+    CASE (e.g. a column literally named ``case``), a stray
+    WHEN/THEN/ELSE/END outside any span, or a span that crosses its
+    enclosing parenthesis (malformed text; collapsing it would
+    unbalance the depth tracking the splitters rely on)."""
+    out: list[tuple[str, str]] = []
+    depth = 0  # CASE nesting; 0 = outside any span
+    pdepth = 0  # paren depth INSIDE the current span
+    for k, v in toks:
+        if depth == 0:
+            if (k, v) == ("kw", "CASE"):
+                depth = 1
+                pdepth = 0
+                out.append(("opaque", "CASE"))
+            elif k == "kw" and v in _CASE_KWS:
+                return None  # WHEN/THEN/ELSE/END with no open CASE
+            else:
+                out.append((k, v))
+            continue
+        if (k, v) == ("kw", "CASE"):
+            depth += 1
+        elif (k, v) == ("kw", "END"):
+            depth -= 1
+        elif (k, v) == ("punc", "("):
+            pdepth += 1
+        elif (k, v) == ("punc", ")"):
+            pdepth -= 1
+            if pdepth < 0:
+                return None  # span escapes its enclosing parens
+    return out if depth == 0 else None  # unmatched CASE: stand down
 
 _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*|/\*.*?\*/)
@@ -492,7 +529,10 @@ def extract_predicates(sql: str, table: str,
     # `FROM a x JOIN b a` mis-attribute b's predicates to table a
     names = {(alias or table).lower()}
     where = _where_tokens(toks)
-    if not where or _has_case(where):
+    if not where:
+        return []
+    where = _collapse_case(where)
+    if where is None:
         return []
     conjuncts = _split_conjuncts(_strip_enclosing_parens(where))
     if conjuncts is None:
@@ -619,7 +659,10 @@ def extract_disjuncts(sql: str, table: str,
         return None
     names = {(alias or table).lower()}
     where = _where_tokens(toks)
-    if not where or _has_case(where):
+    if not where:
+        return None
+    where = _collapse_case(where)
+    if where is None:
         return None
     parts = _split_disjuncts(_strip_enclosing_parens(where))
     if len(parts) < 2:

@@ -279,6 +279,35 @@ class TestWarehouseSkipping:
             eng, "SELECT * FROM wtbl w WHERE w.k BETWEEN 750 AND 760 "
                  "AND upper(w.s) LIKE 'S%'") <= 2
 
+    def test_case_plus_range_prunes_on_the_clean_conjunct(
+            self, spark, table):
+        """Round-7 retention: a WHERE mixing a CASE expression with
+        clean top-level conjuncts keeps pruning on the clean ones
+        (the round-6 fix stood down wholesale), and the f5057ad
+        wrong-rows repro shape still extracts nothing."""
+        from corkscrew_spark.engine import QueryEngine
+
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("wtbl", table)
+        sql = ("SELECT k, v FROM wtbl WHERE k >= 700 AND "
+               "CASE WHEN v = 1 AND s = 's1' OR v = 2 THEN 1 ELSE 0 "
+               "END = 1 ORDER BY k")
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        plain = [tuple(r) for r in spark.sql(
+            sql.replace("wtbl", f"parquet.`{table}`")).collect()]
+        assert got == plain and len(got) > 0
+        exec_sql, views = eng._skipping_rewrite(sql)
+        assert views  # the k >= 700 conjunct survived the CASE
+        for v in views:
+            spark.catalog.dropTempView(v)
+        # CASE-only WHERE (the f5057ad repro shape): no rewrite, and
+        # the engine result equals the plain scan
+        bad = ("SELECT k FROM wtbl WHERE CASE WHEN v = 1 AND s = 's0' "
+               "OR v = 2 AND k = 3 THEN 1 ELSE 0 END = 0")
+        assert eng._skipping_rewrite(bad) == (bad, [])
+        assert eng.execute(bad).df.count() == spark.sql(
+            bad.replace("wtbl", f"parquet.`{table}`")).count()
+
     def test_env_flag_disables_skipping(self, spark, table, monkeypatch):
         from corkscrew_spark.engine import QueryEngine
 

@@ -256,10 +256,12 @@ class TestDisjuncts:
 
 
 class TestCaseExpressions:
-    def test_case_in_where_stands_down_entirely(self):
+    def test_case_conjunct_extracts_nothing_from_inside(self):
         """CASE nests AND/OR without parens: splitting through it mints
         predicates the WHERE does not imply (high-severity review
-        finding — verified wrong-rows repro before the fix)."""
+        finding — verified wrong-rows repro before the fix, f5057ad).
+        The span collapser swallows CASE…END whole: the conjunct it
+        sits in contributes nothing, ever."""
         from corkscrew_spark.predicates import extract_disjuncts
 
         bad = ("SELECT * FROM t WHERE CASE WHEN a = 1 AND q = 2 "
@@ -269,9 +271,45 @@ class TestCaseExpressions:
         bad2 = ("SELECT * FROM t WHERE CASE WHEN a = 1 AND q = 2 "
                 "AND b = 3 THEN 1 ELSE 0 END = 0")
         assert extract_predicates(bad2, "t") == []
-        # a column literally named `case` loses pruning, never crashes
+        # a column literally named `case` (unmatched span — no END)
+        # stands the whole clause down, never crashes
         assert extract_predicates(
             "SELECT * FROM t WHERE case = 1 AND k = 2", "t") == []
+        # stray END/WHEN outside any span: malformed, extract nothing
+        assert extract_predicates(
+            "SELECT * FROM t WHERE k = 1 AND end = 2", "t") == []
+
+    def test_clean_conjuncts_next_to_case_keep_pruning(self):
+        """The round-6 wholesale stand-down dropped pruning for ANY
+        WHERE containing a CASE; the span collapser keeps the clean
+        top-level conjuncts (VERDICT r6 item 4)."""
+        from corkscrew_spark.predicates import extract_disjuncts
+
+        sql = ("SELECT * FROM t WHERE k >= 5 AND CASE WHEN a = 1 "
+               "AND q = 2 OR y = 3 THEN 1 ELSE 0 END = 1 AND v = 2")
+        assert extract_predicates(sql, "t") == [
+            ("k", ">=", 5), ("v", "=", 2)]
+        # nested CASE: END closes the innermost span
+        nested = ("SELECT * FROM t WHERE k >= 5 AND CASE WHEN "
+                  "CASE WHEN a = 1 AND b = 2 THEN 1 END = 1 "
+                  "THEN 1 ELSE 0 END = 0")
+        assert extract_predicates(nested, "t") == [("k", ">=", 5)]
+        # DNF: each branch keeps its clean conjuncts; the CASE-only
+        # branch would be unconstrained, so that shape stands down
+        ok = ("SELECT * FROM t WHERE (k < 10 AND CASE WHEN v = 1 "
+              "OR v = 2 THEN 1 ELSE 0 END = 1) OR k >= 700")
+        assert extract_disjuncts(ok, "t") == [
+            [("k", "<", 10)], [("k", ">=", 700)]]
+        assert extract_disjuncts(
+            "SELECT * FROM t WHERE CASE WHEN a = 1 THEN 1 END = 1 "
+            "OR k > 5", "t") is None
+
+    def test_case_crossing_paren_stands_down(self):
+        # malformed: the CASE span escapes its enclosing parenthesis;
+        # collapsing would unbalance the splitters' depth tracking
+        assert extract_predicates(
+            "SELECT * FROM t WHERE (k = 1 AND CASE WHEN a THEN 1) "
+            "END = 0", "t") == []
 
     def test_fully_parenthesized_clauses_still_extract(self):
         from corkscrew_spark.predicates import extract_disjuncts
@@ -346,3 +384,54 @@ class TestRewriteTableRefs:
             "SELECT * FROM other WHERE k = 1", {"t": "v1"}) is None
         assert rewrite_table_refs(
             "SELECT * FROM t WHERE s = $$", {"t": "v1"}) is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # columns k/v are "clean"; p0..p3 exist ONLY inside CASE spans —
+    # the property is that no predicate is ever minted from them
+    _CLEAN = st.sampled_from([
+        ("k >= 5", ("k", ">=", 5)),
+        ("v = 2", ("v", "=", 2)),
+        ("k BETWEEN 1 AND 9", ("k", "between", (1, 9))),
+        ("v IN (1, 2)", ("v", "in", [1, 2])),
+    ])
+    _BOOL_OP = st.sampled_from(["AND", "OR"])
+    _PCOND = st.sampled_from(["p0 = 1", "p1 > 2", "p2 <= 3", "p3 = 0"])
+
+    @st.composite
+    def _case_term(draw, depth=0):
+        conds = draw(st.lists(_PCOND, min_size=1, max_size=3))
+        ops = draw(st.lists(_BOOL_OP, min_size=len(conds) - 1,
+                            max_size=len(conds) - 1))
+        cond = conds[0]
+        for op, c in zip(ops, conds[1:]):
+            cond += f" {op} {c}"
+        inner = ("1" if depth else
+                 draw(st.one_of(st.just("1"), _case_term(depth=1))))
+        tail = draw(st.sampled_from(["", " ELSE 0"]))
+        cmp = draw(st.sampled_from(["= 1", "= 0", ">= 1"]))
+        return f"CASE WHEN {cond} THEN {inner}{tail} END {cmp}"
+
+    @settings(max_examples=300, deadline=None)
+    @given(clean=st.lists(_CLEAN, min_size=0, max_size=3),
+           cases=st.lists(_case_term(), min_size=1, max_size=2),
+           data=st.data())
+    def test_case_fuzz_never_mints_predicates_from_inside_a_span(
+            clean, cases, data):
+        """For any AND-mix of clean conjuncts and CASE…END terms, the
+        extraction is EXACTLY the clean conjuncts — nothing from inside
+        a CASE span ever leaks out (that was the f5057ad wrong-rows
+        hole), and the clean terms are never lost (the round-7
+        retention win)."""
+        terms = [t for t, _p in clean] + list(cases)
+        order = data.draw(st.permutations(range(len(terms))))
+        where = " AND ".join(terms[i] for i in order)
+        got = extract_predicates(f"SELECT * FROM t WHERE {where}", "t")
+        assert sorted(map(repr, got)) \
+            == sorted(repr(p) for _t, p in clean)
+        assert not any(c.startswith("p") for c, _op, _v in got)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
