@@ -1124,11 +1124,38 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
                       stats: dict | None = None,
                       plan: dict | None = None) -> dict:
     """DNF twin of ``estimate_scan``: files/bytes the disjunctive
-    pruned read will open vs the whole table. The matched-rows
-    estimate is omitted (None) — branch overlap is unknowable from
-    per-file statistics, and a sum over branches could overcount past
-    the table size."""
+    pruned read will open vs the whole table. A point matched-rows
+    estimate is still omitted (``rows_est_matched`` = None) — branch
+    overlap is unknowable from per-file statistics — but the union
+    bound IS knowable: |A ∪ B| <= |A| + |B|, each branch bounded by
+    its own per-branch estimate (eq/IN selectivity when estimable,
+    else the rows behind the files that branch alone keeps), the sum
+    clamped to the rows recorded for the whole table. Emitted as
+    ``rows_est_upper`` so admission control covers OR queries too:
+    a scheduler can refuse a disjunctive query whose bound says it
+    touches most of a 100 TB table. None when any branch's kept set
+    includes files without trustworthy row counts (stale/unknown) —
+    a bound that silently under-counts is not a bound."""
     plan = plan if plan is not None else plan_skip_any(
         path, branches, stats=stats)
     stats = stats if stats is not None else load_stats(path)
-    return estimate_scan(path, [], stats=stats, plan=plan)
+    out = estimate_scan(path, [], stats=stats, plan=plan)
+    out["rows_est_upper"] = None
+    if out["fallback"] is not None or stats is None:
+        return out
+    total_known = sum(rec.get("rows", 0)
+                      for rec in stats["files"].values())
+    upper = 0.0
+    for branch in branches:
+        bplan = plan_skip(path, branch, stats=stats)
+        if bplan["fallback"] is not None:
+            return out
+        fresh = (set(bplan["kept"]) - set(bplan["stale"])
+                 - set(bplan["unknown"]))
+        if fresh != set(bplan["kept"]):
+            return out  # untrusted rows behind this branch: no bound
+        est = _est_matched(stats, fresh, branch)
+        upper += est if est is not None else sum(
+            stats["files"][rel]["rows"] for rel in fresh)
+    out["rows_est_upper"] = round(min(upper, total_known), 1)
+    return out

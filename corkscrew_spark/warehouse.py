@@ -114,13 +114,42 @@ def _log_commit(path: str, op: str, partitions: list[str] | None) -> None:
 def _carry_commit_log(old_dir: str, new_dir: str) -> None:
     """Carry table-level metadata files across a directory swap: the
     commit log (so incremental consumers keep their history) and the
-    zone-map stats file (the rewrite's partitions=None commit marks it
-    stale; skipping.refresh_stats then recomputes — a table that opted
-    into data skipping stays opted in across maintenance rewrites)."""
+    zone-map stats file — a table that opted into data skipping stays
+    opted in across maintenance rewrites. The carried stats are stale
+    (the rewrite's partitions=None commit invalidates them); the
+    maintenance rewrites re-emit fresh ones themselves via
+    ``_refresh_carried_stats`` so the table is never left unprunable."""
     for name in (_COMMIT_LOG, _STATS_FILE):
         src = os.path.join(old_dir, name)
         if os.path.exists(src):
             os.rename(src, os.path.join(new_dir, name))
+
+
+def _refresh_carried_stats(spark: SparkSession, path: str) -> None:
+    """Re-emit fresh `_column_stats.json` (recorded columns + bloom
+    opt-in preserved) right after a maintenance rewrite. Without this,
+    the very op that improves clustering (compaction, Z-order) would
+    turn pruning OFF until someone ran a manual ``refresh_stats`` —
+    and after a full rewrite that refresh is O(table) anyway, so the
+    rewrite is the cheapest moment to pay it: one column-pruned pass
+    over the files just written, decoding only the stats columns (a
+    sliver of the rewrite's own full-width I/O). Never fails the
+    rewrite — stale stats degrade to plain scans, which is safe; the
+    failure is surfaced as a warning, not an exception."""
+    from . import skipping  # local import: skipping imports us
+
+    stats = skipping.load_stats(path)
+    if stats is None:
+        return  # table never opted into skipping
+    try:
+        skipping.recompute_stats(spark, path, stats["cols"])
+    except Exception as ex:  # noqa: BLE001 — upkeep never fails a rewrite
+        import warnings
+
+        warnings.warn(
+            f"zone-map refresh after rewrite of {path} failed ({ex}); "
+            "reads fall back to plain scans until refresh_stats is run",
+            RuntimeWarning, stacklevel=2)
 
 
 def changed_partitions_since(path: str, ts_ns: int) -> list[str] | None:
@@ -676,6 +705,10 @@ def compact_table(spark: SparkSession, path: str,
     task otherwise) and ``stats_cols`` materializes file-level zone
     maps afterwards — compaction is the natural moment to tighten the
     layout that makes ``skipping.read_skipping`` pruning effective.
+    A table that ALREADY has zone maps gets them refreshed as part of
+    the rewrite even without ``stats_cols`` (recorded columns + bloom
+    opt-in preserved), so pruning works immediately after compaction —
+    no stale window, no separate O(table) ``refresh_stats``.
     """
     before, total_bytes = table_file_stats(spark, path)
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
@@ -717,6 +750,11 @@ def compact_table(spark: SparkSession, path: str,
         from . import skipping  # local import: skipping imports us
 
         skipping.recompute_stats(spark, path, stats_cols)
+    else:
+        # a table that already has zone maps gets them refreshed as
+        # part of the rewrite — compact→query never pays a stale
+        # window or a separate O(table) refresh_stats
+        _refresh_carried_stats(spark, path)
     after, _ = table_file_stats(spark, path)
     return before, after
 
@@ -829,6 +867,9 @@ def zorder_write_nd(df: DataFrame, path: str, cols: list[str],
 
             skipping.recompute_stats(df.sparkSession, path,
                                      stats_cols)
+        else:
+            # carried zone maps refresh in-pass (see compact_table)
+            _refresh_carried_stats(df.sparkSession, path)
 
 
 @_locked_writer

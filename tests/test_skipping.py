@@ -5,7 +5,9 @@ no matter how stale the statistics are."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from corkscrew_spark import skipping, warehouse
@@ -178,17 +180,71 @@ class TestStaleness:
         got = skipping.read_skipping(spark, path, preds)
         assert _same_rows(got, _full_scan(spark, path, preds))
 
-    def test_stats_survive_being_stale_under_compaction(
+    def test_compact_refreshes_carried_stats_in_pass(
             self, spark, tmp_path):
-        """compact_table replaces the directory (stats file gone) — the
-        reader must degrade to a plain scan, never error."""
+        """A table with zone maps keeps pruning IMMEDIATELY after
+        compaction: the rewrite re-emits fresh stats itself (recorded
+        cols + bloom opt-in preserved) — no manual refresh_stats, no
+        stale window, no separate O(table) pass later (VERDICT r6
+        item 2)."""
+        import json
+
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)  # 800 rows over 8 files
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["k"])
+        warehouse.compact_table(spark, path, target_file_bytes=2000,
+                                sort_cols=["k"])  # NO stats_cols
+        with open(os.path.join(path, "_commits.jsonl")) as fh:
+            last = json.loads(fh.readlines()[-1])
+        stats = skipping.load_stats(path)
+        # emitted BY the rewrite: newer than the compact commit itself
+        assert stats["ts_ns"] > last["ts_ns"]
+        assert stats["cols"] == ["k"]
+        assert stats.get("bloom") and stats["bloom"]["cols"] == ["k"]
+        plan = skipping.plan_skip(path, [("k", ">=", 700)])
+        assert plan["fallback"] is None and plan["pruned"]
+        assert not plan["stale"] and not plan["unknown"]
+        got = skipping.read_skipping(spark, path, [("k", ">=", 700)])
+        assert got.count() == 100
+
+    def test_zorder_refreshes_carried_stats_in_pass(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(1024).select(
+            (F.col("id") % 32).alias("x"),
+            (F.col("id") / 32).cast("long").alias("y"))
+        df.repartition(4).write.parquet(path)
+        skipping.compute_stats(spark, path, ["x"])
+        warehouse.zorder_write(df, path, "x", "y",
+                               n_files=8)  # NO stats_cols
+        plan = skipping.plan_skip(path, [("x", "<", 4)])
+        assert plan["fallback"] is None and plan["pruned"]
+        assert skipping.read_skipping(
+            spark, path, [("x", "<", 4)]).count() == 128
+
+    def test_rewrite_stats_refresh_failure_never_fails_compaction(
+            self, spark, tmp_path):
+        """The in-pass refresh is upkeep: a broken stats file warns and
+        degrades to plain scans — it must never fail the rewrite."""
+        import json
+        import warnings
+
         path = str(tmp_path / "t")
         _write_clustered(spark, path, n_files=4)
         skipping.compute_stats(spark, path, ["k"])
-        warehouse.compact_table(spark, path)
+        sp = os.path.join(path, "_column_stats.json")
+        with open(sp) as fh:
+            broken = json.load(fh)
+        broken["cols"] = ["no_such_column"]
+        with open(sp, "w") as fh:
+            json.dump(broken, fh)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            warehouse.compact_table(spark, path)
+        assert any("zone-map refresh" in str(w.message) for w in caught)
+        # table committed and readable; reader degrades, never errors
         preds = [("k", "<", 50)]
-        got = skipping.read_skipping(spark, path, preds)
-        assert got.count() == 50
+        assert skipping.read_skipping(spark, path, preds).count() == 50
 
 
 class TestLayoutHooks:
@@ -1238,3 +1294,57 @@ def test_estimate_scan_any(spark, tmp_path):
     assert est["files_total"] == 8 and 0 < est["files_kept"] <= 3
     assert 0 < est["bytes_kept"] < est["bytes_total"]
     assert est["rows_est_matched"] is None  # overlap unknowable
+    # but the union bound is knowable: each range branch keeps one
+    # 100-row file, so the bound is their sum
+    assert est["rows_est_upper"] == 200.0
+
+
+class TestDnfRowBound:
+    """rows_est_upper is an inclusion-exclusion (union) bound over the
+    per-branch estimates: monotone in added branches, never below a
+    single branch's own bound, clamped to the table's known rows."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path)  # 800 rows, 8 files of 100
+        skipping.compute_stats(spark, path, ["k"])
+        return path
+
+    def test_monotone_in_branches(self, table):
+        branches = [[("k", "<", 50)], [("k", ">=", 750)],
+                    [("k", "between", (300, 349))]]
+        prev = 0.0
+        for n in range(1, len(branches) + 1):
+            est = skipping.estimate_scan_any(table, branches[:n])
+            assert est["rows_est_upper"] is not None
+            assert est["rows_est_upper"] >= prev  # adding never shrinks
+            prev = est["rows_est_upper"]
+
+    def test_clamped_to_table_rows(self, table):
+        # 9 copies of a whole-table branch: naive sum would be 7200
+        est = skipping.estimate_scan_any(
+            table, [[("k", ">=", 0)]] * 9)
+        assert est["rows_est_upper"] == 800.0
+
+    def test_eq_branches_use_ndv_estimate(self, table):
+        # an equality branch bounds via rows/ndv, far below its file's
+        # 100 known rows; a range branch contributes full file rows
+        lone = skipping.estimate_scan_any(table, [[("k", "=", 10)]])
+        assert lone["rows_est_upper"] is not None
+        assert lone["rows_est_upper"] < 100
+        both = skipping.estimate_scan_any(
+            table, [[("k", "=", 10)], [("k", ">=", 750)]])
+        assert both["rows_est_upper"] >= lone["rows_est_upper"]
+        assert both["rows_est_upper"] < 100 + 101
+
+    def test_untrusted_files_void_the_bound(self, spark, table):
+        # append a file AFTER the stats snapshot: its rows are unknown,
+        # so any branch keeping it has no trustworthy bound
+        spark.range(5000, 5010).selectExpr(
+            "id AS k", "id % 7 AS v", "DATE '2024-01-01' AS day"
+        ).coalesce(1).write.mode("append").parquet(table)
+        est = skipping.estimate_scan_any(
+            table, [[("k", ">=", 750)]])
+        assert est["rows_est_upper"] is None
+        assert est["files_kept"] >= 2  # unknown file is still read

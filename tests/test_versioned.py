@@ -502,7 +502,10 @@ class TestVersionStats:
         versioned.write_version(self._pdf(spark, base), p,
                                 partition_cols=["region"])
         versioned.compute_stats_version(spark, p, ["k"], version=1)
+        v1_stats_path = os.path.join(p, "v=1", "data",
+                                     "_column_stats.json")
         v1_stats = skipping.load_stats(os.path.join(p, "v=1", "data"))
+        v1_mtime = os.path.getmtime(v1_stats_path)
         versioned.upsert_version(
             spark, p, self._pdf(spark, [(3, "eu", "eu3b", 2),
                                         (99, "eu", "eu99", 2)]),
@@ -517,6 +520,8 @@ class TestVersionStats:
         stats2 = versioned.compute_stats_version(spark, p, ["k"],
                                                  version=2)
         assert len(scanned) == 1
+        # the owner's stats file was REUSED, not recomputed: untouched
+        assert os.path.getmtime(v1_stats_path) == v1_mtime
         # carried us/ap records are verbatim copies of v=1's
         for rel, rec in v1_stats["files"].items():
             if rel.startswith(("region=us/", "region=ap/")):

@@ -54,9 +54,13 @@ def main() -> int:
     args = ap.parse_args()
 
     recorded: set[str] = set()
+    latest_round: dict[str, int] = {}  # name -> newest round with a row
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as fh:
-            recorded.update(json.load(fh).keys())
+            for name in json.load(fh):
+                recorded.add(name)
+                latest_round[name] = max(latest_round.get(name, 0), rnd)
     if not recorded:
         print("no CORRECTNESS_r*.json files found", file=sys.stderr)
         return 1
@@ -66,10 +70,15 @@ def main() -> int:
     registration_order = list(QUERIES)  # dict preserves registration order
     backlog = [n for n in registration_order if n not in recorded]
     window = backlog[: args.window_size]
-    # pad a short backlog with the longest-ago-recorded names (re-verify)
+    # pad a short backlog with the STALEST-recorded names: rows age as
+    # refactors pile on top of them, so re-verification slots go to the
+    # names whose newest green row is oldest (ties: registration order)
     if len(window) < args.window_size:
-        window += [n for n in registration_order if n in recorded][
-            : args.window_size - len(window)]
+        reg_pos = {n: i for i, n in enumerate(registration_order)}
+        stalest = sorted(
+            (n for n in registration_order if n in recorded),
+            key=lambda n: (latest_round[n], reg_pos[n]))
+        window += stalest[: args.window_size - len(window)]
 
     print(f"recorded: {len(recorded)}  backlog: {len(backlog)}  "
           f"window: {len(window)}")

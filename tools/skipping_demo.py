@@ -36,21 +36,44 @@ def _t(fn, runs: int = 3) -> float:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=1,
+                    help="explode lineitem N x (10 = sf1-sized from "
+                         "the sf0.1 dir) — distinct order keys, same "
+                         "date distribution, so range clustering and "
+                         "bloom point lookups measure at N x the rows")
+    ap.add_argument("--files", type=int, default=32)
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="skipping-demo",
                       master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="skipdemo-")
     path = os.path.join(work, "lineitem")
+    n_files = args.files
     try:
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-        (li.repartitionByRange(32, "l_shipdate")
+        if args.scale > 1:
+            # N distinct copies with disjoint order keys: row count and
+            # keyspace scale together, the ship-date histogram is
+            # unchanged — exactly what a larger SF looks like to range
+            # pruning and to the per-file bloom filters
+            rep = spark.range(args.scale).select(F.col("id").alias("__r"))
+            li = (li.crossJoin(F.broadcast(rep))
+                  .withColumn("l_orderkey",
+                              F.col("l_orderkey") * args.scale
+                              + F.col("__r"))
+                  .drop("__r"))
+        (li.repartitionByRange(n_files, "l_shipdate")
          .sortWithinPartitions("l_shipdate")
          .write.parquet(path))
         n_rows = li.count()
         # size the bloom for the actual per-file distinct count: with
         # k=5 hashes, ~1% FP needs m ≈ 10n bits (rounded up to bytes)
-        m_bits = max(8192, ((10 * n_rows // 32 + 7) // 8) * 8)
+        m_bits = max(8192, ((10 * n_rows // n_files + 7) // 8) * 8)
         skipping.compute_stats(spark, path, ["l_shipdate"],
                                bloom_cols=["l_orderkey"],
                                bloom_bits=m_bits)
