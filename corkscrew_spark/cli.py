@@ -237,22 +237,35 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         preds = _parse_preds(args.pred)
         stats = skipping.load_stats(args.path)
         try:
-            plan = skipping.plan_skip(args.path, preds, stats=stats)
+            if args.any:
+                # each --pred is its own DNF branch: files survive when
+                # ANY term may match (the OR-query admission story)
+                branches = [[p] for p in preds]
+                plan = skipping.plan_skip_any(args.path, branches,
+                                              stats=stats)
+            else:
+                plan = skipping.plan_skip(args.path, preds, stats=stats)
         except ValueError as ex:
             print(f"error: {ex}", file=sys.stderr)
             return 2
         if plan["fallback"]:
             print(f"full scan: {plan['fallback']}")
             return 0
-        est = skipping.estimate_scan(args.path, preds, stats=stats,
-                                     plan=plan)
+        est = (skipping.estimate_scan_any(args.path, branches,
+                                          stats=stats, plan=plan)
+               if args.any else
+               skipping.estimate_scan(args.path, preds, stats=stats,
+                                      plan=plan))
+        tail = ""
+        if est.get("rows_est_matched") is not None:
+            tail = f", ~{est['rows_est_matched']:,} est. matches"
+        elif est.get("rows_est_upper") is not None:
+            tail = f", <={est['rows_est_upper']:,} rows (union bound)"
         print(f"kept {len(plan['kept'])} files "
               f"(stale {len(plan['stale'])}, unknown {len(plan['unknown'])}), "
               f"pruned {len(plan['pruned'])}; "
               f"{est['bytes_kept']:,} of {est['bytes_total']:,} bytes, "
-              f"{est['rows_known_kept']:,} known rows"
-              + (f", ~{est['rows_est_matched']:,} est. matches"
-                 if est.get("rows_est_matched") is not None else ""))
+              f"{est['rows_known_kept']:,} known rows" + tail)
         return 0
     spark = get_spark(app_name="corkscrew-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1020,6 +1033,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="col,op,value predicate for skip-plan (repeatable; "
                          "op: < <= > >= = between in is_null is_not_null; "
                          "in/between take comma-separated values)")
+    mt.add_argument("--any", action="store_true",
+                    help="skip-plan: OR the --pred terms (DNF, one "
+                         "branch each) instead of ANDing them; the "
+                         "estimate reports the union row bound")
     mt.add_argument("--refresh", action="store_true",
                     help="incremental stats upkeep: recompute only "
                          "new/invalidated files (stats)")

@@ -604,12 +604,35 @@ def _dir_may_match(bounds: dict, predicates: list[tuple],
     return True
 
 
+#: (mtime_ns, size) -> parsed stats, keyed by stats-file path. A
+#: resident engine (ApiServer / QueryEngine) plans EVERY query through
+#: load_stats; re-parsing a multi-MB bloom-bearing JSON per query makes
+#: planning, not scanning, the hot path. _write_stats goes through
+#: os.replace, so any rewrite changes mtime_ns and misses the cache —
+#: staleness detection stays exactly the file's own identity. Entries
+#: are treated as IMMUTABLE by every reader (the write paths build
+#: fresh dicts); bounded so long-lived sessions over many tables don't
+#: accrete unbounded parsed JSON.
+_STATS_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+_STATS_CACHE_MAX = 64
+
+
 def load_stats(path: str) -> dict | None:
     p = _stats_path(path)
-    if not os.path.exists(p):
+    try:
+        st = os.stat(p)
+    except OSError:
         return None
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _STATS_CACHE.get(p)
+    if hit is not None and hit[0] == key:
+        return hit[1]
     with open(p) as fh:
-        return json.load(fh)
+        stats = json.load(fh)
+    if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))  # oldest insertion
+    _STATS_CACHE[p] = (key, stats)
+    return stats
 
 
 def _range_may_match(mnk, mxk, op, value,

@@ -365,6 +365,23 @@ class TestMaintenanceVerb:
                          "--pred", "k,between,100,199"]) == 0
         assert "full scan" not in capsys.readouterr().out
 
+    def test_skip_plan_any_union_bound(self, spark, tmp_path, capsys):
+        """skip-plan --any ORs the --pred terms (one DNF branch each)
+        and reports the union row bound for admission control."""
+        from corkscrew_spark import cli
+
+        tbl = str(tmp_path / "t")
+        spark.range(800).toDF("k").repartitionByRange(
+            8, "k").write.parquet(tbl)
+        assert cli.main(["maintenance", "stats", tbl, "--cols", "k"]) == 0
+        capsys.readouterr()
+        assert cli.main(["maintenance", "skip-plan", tbl, "--any",
+                         "--pred", "k,<,50",
+                         "--pred", "k,>=,750"]) == 0
+        out = capsys.readouterr().out
+        assert "kept 2 files" in out and "pruned 6" in out
+        assert "<=200" in out and "union bound" in out
+
     def test_zorder_requires_by(self, tmp_path, capsys, spark):
         from corkscrew_spark import cli
         tbl = str(tmp_path / "z")

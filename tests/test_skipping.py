@@ -1348,3 +1348,21 @@ class TestDnfRowBound:
             table, [[("k", ">=", 750)]])
         assert est["rows_est_upper"] is None
         assert est["files_kept"] >= 2  # unknown file is still read
+
+
+def test_load_stats_cached_until_file_changes(spark, tmp_path):
+    """load_stats parses once per file identity (mtime_ns, size) — a
+    resident engine plans every query through it, so re-parsing a
+    multi-MB bloom JSON per query would make planning the hot path.
+    Any rewrite goes through os.replace, changing the identity."""
+    path = str(tmp_path / "t")
+    _write_clustered(spark, path, n_files=4)
+    skipping.compute_stats(spark, path, ["k"])
+    a = skipping.load_stats(path)
+    assert skipping.load_stats(path) is a  # cache hit: same object
+    skipping.refresh_stats(spark, path)  # rewrites the stats file
+    b = skipping.load_stats(path)
+    assert b is not a  # new identity -> reparsed
+    assert skipping.load_stats(path) is b
+    os.remove(os.path.join(path, "_column_stats.json"))
+    assert skipping.load_stats(path) is None

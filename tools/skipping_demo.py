@@ -97,19 +97,30 @@ def main() -> int:
             b = full.filter(flt).count()
             assert a == b, (preds, a, b)
 
+        # time a decode-forcing aggregate: count() is metadata-bound
+        # (parquet aggregate pushdown answers it from footers), so it
+        # measures planning overhead, not the scan the pruning saves.
+        # Both sides create their DataFrame INSIDE the timer — the
+        # pruned path pays plan_skip + per-file-path analysis per call,
+        # so the full side must pay its own creation too
+        def _sum(df):
+            return df.agg(F.sum("l_extendedprice")).collect()
+
         out = {
             "rows": full.count(),
             "range": {
                 "est": skipping.estimate_scan(path, range_preds),
-                "full_s": _t(lambda: full.filter(flt_r).count()),
-                "skip_s": _t(lambda: skipping.read_skipping(
-                    spark, path, range_preds).count()),
+                "full_s": _t(lambda: _sum(
+                    spark.read.parquet(path).filter(flt_r))),
+                "skip_s": _t(lambda: _sum(skipping.read_skipping(
+                    spark, path, range_preds))),
             },
             "point": {
                 "est": skipping.estimate_scan(path, point_preds),
-                "full_s": _t(lambda: full.filter(flt_p).count()),
-                "skip_s": _t(lambda: skipping.read_skipping(
-                    spark, path, point_preds).count()),
+                "full_s": _t(lambda: _sum(
+                    spark.read.parquet(path).filter(flt_p))),
+                "skip_s": _t(lambda: _sum(skipping.read_skipping(
+                    spark, path, point_preds))),
             },
         }
         for blk in ("range", "point"):
