@@ -58,27 +58,37 @@ class ApiServer:
         self.request_count = 0
         self.error_count = 0
         self.max_rows = max_rows
+        # counters only — queries themselves run CONCURRENTLY. Safe
+        # because the engine's skipping path registers each statement's
+        # pruned read under a unique one-statement temp view and never
+        # mutates the shared warehouse views (engine._skipping_rewrite),
+        # and Spark sessions accept concurrent job submission. The old
+        # design serialized every query behind one lock, making the
+        # HTTP thread pool pointless under load.
         self._lock = threading.Lock()
+
+    def _bump(self, attr: str) -> None:
+        with self._lock:
+            setattr(self, attr, getattr(self, attr) + 1)
 
     # -- method handlers (transport-independent) ----------------------------
 
     def execute_query(self, body: dict) -> tuple[int, dict]:
         sql = body.get("query", "")
         if not sql:
-            self.error_count += 1
+            self._bump("error_count")
             return 400, {"error": "query is required"}
         limit = int(body.get("limit") or 0)
         cap = min(limit, self.max_rows) if limit > 0 else self.max_rows
         t0 = time.perf_counter()
         try:
-            with self._lock:
-                res = self.engine.execute(sql, body.get("params"))
-                rows = res.df.limit(cap).collect()
+            res = self.engine.execute(sql, body.get("params"))
+            rows = res.df.limit(cap).collect()
         except QueryValidationError as ex:
-            self.error_count += 1
+            self._bump("error_count")
             return 200, {"error": f"Query execution failed: {ex}"}
         except Exception as ex:  # runtime failure after validation
-            self.error_count += 1
+            self._bump("error_count")
             return 200, {"error": f"Query execution failed: {str(ex).splitlines()[0]}"}
         duration_ms = int((time.perf_counter() - t0) * 1000)
         out_rows = [
@@ -120,7 +130,7 @@ class ApiServer:
         try:
             result = idms.discover_idms_services(self.spark)
         except Exception as ex:  # noqa: BLE001 — error envelope parity
-            self.error_count += 1
+            self._bump("error_count")
             return 500, {"success": False,
                          "error": f"IDMS discovery failed: {ex}"}
         return 200, {"success": True, **result}
@@ -146,7 +156,7 @@ class ApiServer:
             df = self.spark.table("resources")
             result = infer_resource_schema(df, resource_type)
         except Exception as ex:  # noqa: BLE001 — error envelope parity
-            self.error_count += 1
+            self._bump("error_count")
             return 500, {"success": False,
                          "error": f"schema discovery failed: {ex}"}
         return 200, {"success": True, **result}
@@ -177,7 +187,7 @@ class ApiServer:
                 self.wfile.write(data)
 
             def do_GET(self):
-                api.request_count += 1
+                api._bump("request_count")
                 if self.path == "/v1/health":
                     self._send(*api.health_check())
                 elif self.path == "/v1/status":
@@ -195,23 +205,23 @@ class ApiServer:
                     self._send(*api.discover_schema(
                         (qs.get("type") or [""])[0]))
                 else:
-                    api.error_count += 1
+                    api._bump("error_count")
                     self._send(404, {"error": f"no such endpoint: {self.path}"})
 
             def do_POST(self):
-                api.request_count += 1
+                api._bump("request_count")
                 if self.path.startswith("/v1/grpc/"):
                     self._grpc_binary(self.path[len("/v1/grpc/"):])
                     return
                 if self.path != "/v1/query":
-                    api.error_count += 1
+                    api._bump("error_count")
                     self._send(404, {"error": f"no such endpoint: {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(n) or b"{}")
                 except (ValueError, json.JSONDecodeError):
-                    api.error_count += 1
+                    api._bump("error_count")
                     self._send(400, {"error": "invalid JSON body"})
                     return
                 self._send(*api.execute_query(body))
@@ -231,7 +241,7 @@ class ApiServer:
                     data = server_grpc.call_method(
                         server_grpc.GrpcMethods(api), method, body)
                 except KeyError:
-                    api.error_count += 1
+                    api._bump("error_count")
                     self._send(404, {"error": f"no such RPC: {method}"})
                     return
                 except server_grpc.InvalidArgument as ex:
@@ -240,7 +250,7 @@ class ApiServer:
                     self._send(400, {"error": str(ex)})
                     return
                 except ValueError as ex:  # malformed protobuf bytes
-                    api.error_count += 1
+                    api._bump("error_count")
                     self._send(400, {"error": f"invalid request body: {ex}"})
                     return
                 self.send_response(200)

@@ -186,3 +186,46 @@ def test_served_warehouse_table_reads_through_skipping(spark, tmp_path):
         assert body["rows"][0]["values"]["n"] == "50"
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_queries_see_consistent_views(spark, tmp_path):
+    """Queries execute CONCURRENTLY (no global lock): the engine's
+    one-statement pruned views mean simultaneous requests — one with a
+    selective predicate, one unpredicated — can never observe each
+    other's pruning. Under the old repoint design the unpredicated
+    query could silently read the other's file subset."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).select(F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    srv = ApiServer(spark, warehouse={"wt": path})
+    httpd = srv.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        def pruned(_):
+            return _post(f"{base}/v1/query", {
+                "query": "SELECT COUNT(*) AS n FROM wt WHERE k >= 700"})
+
+        def full(_):
+            return _post(f"{base}/v1/query", {
+                "query": "SELECT COUNT(*) AS n FROM wt"})
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(
+                lambda i: pruned(i) if i % 2 else full(i), range(16)))
+        for i, (status, body) in enumerate(results):
+            assert status == 200 and "error" not in body, body
+            want = "100" if i % 2 else "800"
+            assert body["rows"][0]["values"]["n"] == want, (i, body)
+        assert srv.request_count == 16 and srv.error_count == 0
+    finally:
+        httpd.shutdown()
