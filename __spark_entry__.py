@@ -113,9 +113,11 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 7's pinned 50-slot correctness window: the one new query
-#: (engine_pruned_join — fact-table pruning under a star join,
-#: self-certifying via the executed plan's inputFiles), then the
+#: Round 7's pinned 50-slot correctness window: the two new queries
+#: (engine_pruned_join — fact-table pruning under a star join;
+#: engine_pruned_cte — pruning inside CTE bodies, the reference's
+#: compliance-pack shape; both self-certifying via the executed
+#: plan's inputFiles), then the
 #: STALEST-recorded re-verifies (rotate_window.py now orders the
 #: padding by each name's newest green round): the 11 rows whose last
 #: green dated to round 2 (text_redact, decontaminate,
@@ -127,6 +129,7 @@ _DEFERRED = frozenset()
 #: pinning.
 _WINDOW = (
     "engine_pruned_join",
+    "engine_pruned_cte",
     "text_redact",
     "decontaminate",
     "text_repetition",
@@ -175,7 +178,6 @@ _WINDOW = (
     "kql_case_tiers",
     "kql_arg_max_order",
     "kql_percentile_value",
-    "kql_bin_6h",
 )
 
 

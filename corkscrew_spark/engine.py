@@ -203,14 +203,17 @@ class QueryEngine:
                 "CORKSCREW_DATA_SKIPPING", "1") != "0":
             self._warehouse_skip.add(name.lower())
 
-    def _warehouse_targets(self, bound: str) -> list[tuple]:
+    def _warehouse_targets(self, bound: str,
+                           exclude: frozenset | set = frozenset()
+                           ) -> list[tuple]:
         """(name, alias, qualified_only) per PRUNING-ENABLED warehouse
         table the query's shape lets us attribute conjuncts to — the
         ONE implementation of the soundness-critical resolution shared
-        by the execution repoint and estimate_scan: single-table
+        by the execution rewrite and estimate_scan: single-table
         queries, or pure inner-join chains with self-joined tables
         excluded (one reference's predicate must not prune the
-        other's rows)."""
+        other's rows). ``exclude`` drops names shadowed in the current
+        statement (CTE names shadow registered views)."""
         from collections import Counter
 
         from corkscrew_spark import predicates as _pred
@@ -218,12 +221,29 @@ class QueryEngine:
         st = _pred.single_table(bound)
         if st is not None:
             return ([(st[0], st[1], False)]
-                    if st[0].lower() in self._warehouse_skip else [])
+                    if st[0].lower() in self._warehouse_skip
+                    and st[0].lower() not in exclude else [])
         tabs = _pred.inner_join_tables(bound) or []
         counts = Counter(t.lower() for t, _a in tabs)
         return [(t, a, True) for t, a in tabs
                 if t.lower() in self._warehouse_skip
+                and t.lower() not in exclude
                 and counts[t.lower()] == 1]
+
+    def _statement_spans(self, bound: str) -> tuple[list[tuple[int, int]],
+                                                    frozenset]:
+        """The independently-prunable spans of ``bound``: the whole
+        statement for plain SELECTs; each CTE body plus the final query
+        for WITH statements (the reference's compliance-pack shape,
+        where DuckDB prunes inside CTE bodies), with the CTE names to
+        exclude from warehouse attribution (shadowing)."""
+        from corkscrew_spark import predicates as _pred
+
+        segs = _pred.statement_segments(bound)
+        if segs is None:
+            return [(0, len(bound))], frozenset()
+        spans, names = segs
+        return spans, frozenset(names)
 
     def _skipping_rewrite(self, bound: str) -> tuple[str, list[str]]:
         """When ``bound`` is a single-table query (or pure inner-join
@@ -241,46 +261,69 @@ class QueryEngine:
         repoint/restore window would silently read a file subset
         pruned for a DIFFERENT predicate — missing rows, not wasted
         I/O. Unique names make the pruned read invisible to every
-        other statement; the shared view is never touched."""
+        other statement; the shared view is never touched.
+
+        WITH statements prune PER SEGMENT: every CTE body and the
+        final query are independently-shaped SELECTs, so each runs the
+        same extraction on its own text — two segments reading one
+        table under different predicates each get their own pruned
+        view (the reference's compliance packs are exactly this shape,
+        pruned inside DuckDB; CTE names shadow registered views and
+        are excluded from attribution)."""
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
-        mapping: dict[str, str] = {}
+        spans, exclude = self._statement_spans(bound)
         views: list[str] = []
-        for name, alias, qualified_only in self._warehouse_targets(bound):
-            preds = _pred.extract_predicates(bound, name, alias,
-                                             qualified_only)
-            branches = None
-            if not preds:
-                # a WHERE whose TOP level is an OR still prunes when
-                # every disjunct contributes a conjunct (DNF pruning:
-                # a file is dropped only if ALL branches provably miss)
-                branches = _pred.extract_disjuncts(bound, name, alias,
-                                                   qualified_only)
-                if not branches:
-                    continue
-            try:
-                path = self._warehouse[name.lower()]
-                pruned = (_skip.read_skipping(self.spark, path, preds)
-                          if preds else
-                          _skip.read_skipping_any(self.spark, path,
-                                                  branches))
-            except Exception:
-                continue  # unreadable stats/files: the plain view stands
-            view = f"{name}__skip_{next(_SKIP_SEQ)}"
-            pruned.createOrReplaceTempView(view)
-            views.append(view)
-            mapping[name.lower()] = view
-        if not mapping:
+        edits: list[tuple[int, int, str]] = []
+        for start, end in spans:
+            seg = bound[start:end]
+            mapping: dict[str, str] = {}
+            seg_views: list[str] = []
+            for name, alias, qualified_only in self._warehouse_targets(
+                    seg, exclude):
+                preds = _pred.extract_predicates(seg, name, alias,
+                                                 qualified_only)
+                branches = None
+                if not preds:
+                    # a WHERE whose TOP level is an OR still prunes when
+                    # every disjunct contributes a conjunct (DNF pruning:
+                    # a file is dropped only if ALL branches provably
+                    # miss)
+                    branches = _pred.extract_disjuncts(seg, name, alias,
+                                                       qualified_only)
+                    if not branches:
+                        continue
+                try:
+                    path = self._warehouse[name.lower()]
+                    pruned = (_skip.read_skipping(self.spark, path, preds)
+                              if preds else
+                              _skip.read_skipping_any(self.spark, path,
+                                                      branches))
+                except Exception:
+                    continue  # unreadable stats/files: plain view stands
+                view = f"{name}__skip_{next(_SKIP_SEQ)}"
+                pruned.createOrReplaceTempView(view)
+                seg_views.append(view)
+                mapping[name.lower()] = view
+            if not mapping:
+                continue
+            rewritten = _pred.rewrite_table_refs(seg, mapping)
+            if rewritten is None:
+                # the targets resolver accepted the shape, so the refs
+                # must be locatable; if not, never execute against the
+                # pruned views
+                for view in seg_views:
+                    self.spark.catalog.dropTempView(view)
+                continue
+            views.extend(seg_views)
+            edits.append((start, end, rewritten))
+        if not edits:
             return bound, views
-        rewritten = _pred.rewrite_table_refs(bound, mapping)
-        if rewritten is None:
-            # _warehouse_targets accepted the shape, so the refs must be
-            # locatable; if not, never execute against the pruned views
-            for view in views:
-                self.spark.catalog.dropTempView(view)
-            return bound, []
-        return rewritten, views
+        out = bound
+        for start, end, repl in reversed(edits):
+            out = out[:start] + repl + out[end:]
+        return out, views
 
     def register_versioned(self, name: str, path: str) -> None:
         """Attach a versioned table (versioned.py snapshot log) to the SQL
@@ -363,16 +406,26 @@ class QueryEngine:
 
         bound = bind_params(sql, params)
         out: dict[str, dict] = {}
-        for name, alias, qualified_only in self._warehouse_targets(bound):
-            preds = _pred.extract_predicates(bound, name, alias,
-                                             qualified_only)
-            if not preds:
-                continue
-            try:
-                out[name.lower()] = _skip.estimate_scan(
-                    self._warehouse[name.lower()], preds)
-            except Exception:  # noqa: BLE001 — estimates are advisory
-                continue
+        spans, exclude = self._statement_spans(bound)
+        for start, end in spans:
+            seg = bound[start:end]
+            for name, alias, qualified_only in self._warehouse_targets(
+                    seg, exclude):
+                preds = _pred.extract_predicates(seg, name, alias,
+                                                 qualified_only)
+                if not preds:
+                    continue
+                try:
+                    est = _skip.estimate_scan(
+                        self._warehouse[name.lower()], preds)
+                except Exception:  # noqa: BLE001 — estimates are advisory
+                    continue
+                prev = out.get(name.lower())
+                # two CTE segments can read one table under different
+                # predicates: report the WIDER scan (admission control
+                # must see the worst case)
+                if prev is None or est["files_kept"] > prev["files_kept"]:
+                    out[name.lower()] = est
         return out
 
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:

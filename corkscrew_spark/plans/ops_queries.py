@@ -1127,6 +1127,87 @@ def engine_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_pruned_cte",
+    oracle="""
+    WITH recent AS (
+        SELECT l_orderkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-03-01'
+          AND l_shipdate < DATE '1996-06-01'
+    ),
+    per_order AS (
+        SELECT l_orderkey, SUM(l_quantity) AS qty,
+               SUM(l_extendedprice) AS spend
+        FROM recent GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           ROUND(SUM(spend), 2) AS total_spend
+    FROM per_order GROUP BY 1 ORDER BY status
+    """,
+)
+def engine_pruned_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping inside CTE BODIES through the default SQL path —
+    the reference's compliance packs are exactly this shape (CTE
+    mining a selective date window, then aggregation), and DuckDB
+    prunes their row groups for free
+    (pkg/query/compliance/packs/cfi/ccc-storage/queries/*.sql). The
+    engine splits the WITH statement into its CTE-body/final-query
+    segments (predicates.statement_segments), runs conjunct extraction
+    per segment, and rewrites only that segment's table reference to a
+    one-statement pruned view. RAISES unless the executed plan's fact
+    scan references strictly fewer files than the table holds
+    (DataFrame.inputFiles — the scan list itself, not a
+    rows-that-matched proxy)."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine
+
+    li = register_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    tmp = tempfile.mkdtemp(prefix="prunec_")
+    table = f"{tmp}/lineitem_cte"
+    try:
+        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
+        skipping.compute_stats(spark, table, ["l_shipdate"])
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("li_cte", table)
+        result = eng.execute("""
+            WITH recent AS (
+                SELECT l_orderkey, l_quantity, l_extendedprice
+                FROM li_cte
+                WHERE l_shipdate >= DATE '1996-03-01'
+                  AND l_shipdate < DATE '1996-06-01'
+            ),
+            per_order AS (
+                SELECT l_orderkey, SUM(l_quantity) AS qty,
+                       SUM(l_extendedprice) AS spend
+                FROM recent GROUP BY l_orderkey
+            )
+            SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END
+                       AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(qty) AS BIGINT) AS total_qty,
+                   ROUND(SUM(spend), 2) AS total_spend
+            FROM per_order GROUP BY 1 ORDER BY status""").df
+        total = len(skipping._list_data_files(table))
+        opened = len([f for f in result.inputFiles()
+                      if "lineitem_cte" in f])
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"CTE-body scan did not prune: plan references "
+                f"{opened} of {total} files for a 3-month window over "
+                "a shipdate-clustered table")
+        rows = result.collect()  # 2-row status rollup
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "versioned_pruned_read",
     oracle="""
     WITH v2 AS (

@@ -586,6 +586,88 @@ def _split_disjuncts(
     return parts
 
 
+def statement_segments(
+        sql: str) -> tuple[list[tuple[int, int]], set[str]] | None:
+    """For a ``WITH`` statement: the character spans of each CTE body
+    and of the final query, plus the set of lower-cased CTE names.
+    None when the statement isn't a WITH, is ``WITH RECURSIVE``, or the
+    clause structure can't be delimited with certainty.
+
+    Why it exists: the reference's compliance packs are CTE-shaped SQL
+    whose bodies carry the selective fact-table predicates — DuckDB
+    prunes row groups inside CTE bodies for free (internal/db). Each
+    span is a self-contained SELECT, so the engine can run the SAME
+    single-table/inner-join extraction per span and prune each
+    reference independently (two spans reading one table with
+    different predicates each get their own pruned view). CTE names
+    are returned so callers exclude them from warehouse attribution —
+    a CTE shadows a registered view of the same name."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return None
+    if not toks or toks[0] != ("kw", "WITH"):
+        return None
+    i = 1
+    # `WITH RECURSIVE name AS (` — iterative semantics, never pruned
+    # from text. (`WITH recursive AS (` is a CTE literally named
+    # "recursive": toks[2] is then AS, not an identifier.)
+    if (i + 2 < len(toks) and toks[i][0] == "ident"
+            and toks[i][1].upper() == "RECURSIVE"
+            and toks[i + 1][0] in ("ident", "bq")
+            and toks[i + 2] == ("kw", "AS")):
+        return None
+    names: set[str] = set()
+    segs: list[tuple[int, int]] = []
+    while True:
+        if i >= len(toks) or toks[i][0] not in ("ident", "bq"):
+            return None
+        names.add(_unquote_ident(toks[i]).lower())
+        i += 1
+        if i < len(toks) and toks[i] == ("punc", "("):
+            # optional column alias list: skip to its close
+            depth = 0
+            while i < len(toks):
+                if toks[i] == ("punc", "("):
+                    depth += 1
+                elif toks[i] == ("punc", ")"):
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                i += 1
+            else:
+                return None
+        if i >= len(toks) or toks[i] != ("kw", "AS"):
+            return None
+        i += 1
+        if i >= len(toks) or toks[i] != ("punc", "("):
+            return None
+        open_idx = i
+        depth = 0
+        while i < len(toks):
+            if toks[i] == ("punc", "("):
+                depth += 1
+            elif toks[i] == ("punc", ")"):
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if i >= len(toks):
+            return None  # unbalanced
+        # body span: just inside the parens
+        segs.append((spans[open_idx][1], spans[i][0]))
+        i += 1
+        if i < len(toks) and toks[i] == ("punc", ","):
+            i += 1
+            continue
+        break
+    if i >= len(toks):
+        return None  # WITH with no final query
+    segs.append((spans[i][0], len(sql)))
+    return segs, names
+
+
 def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str | None:
     """Rewrite the depth-0 FROM/JOIN table references whose lower-cased
     name is a ``mapping`` key to the mapped view name, appending

@@ -330,6 +330,73 @@ class TestWarehouseSkipping:
                            ).rows()[0].n == 800
 
 
+class TestCteSkipping:
+    """WITH statements prune per segment: each CTE body and the final
+    query run the extraction on their own text (the reference's
+    compliance-pack shape — DuckDB prunes inside CTE bodies)."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path / "tbl")
+        spark.range(800).selectExpr("id AS k", "id % 10 AS d"
+                                    ).repartitionByRange(
+            8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        return path
+
+    def test_cte_body_prunes_and_result_identical(self, spark, table):
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("ctbl", table)
+        sql = ("WITH hot AS (SELECT k, d FROM ctbl WHERE k >= 700) "
+               "SELECT d, COUNT(*) AS n FROM hot GROUP BY d ORDER BY d")
+        res = eng.execute(sql)
+        plain = spark.sql(sql.replace("ctbl", f"parquet.`{table}`"))
+        assert sorted(map(tuple, res.df.collect())) \
+            == sorted(map(tuple, plain.collect()))
+        opened = [f for f in res.df.inputFiles() if "tbl" in f]
+        assert 0 < len(opened) < 8  # the CTE body's scan was pruned
+
+    def test_two_segments_prune_independently(self, spark, table):
+        """Two CTE bodies read the SAME table under DIFFERENT
+        predicates — each gets its own pruned view (impossible under
+        the old one-view-per-table repoint)."""
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("ctbl", table)
+        sql = ("WITH lo AS (SELECT k FROM ctbl WHERE k < 50), "
+               "hi AS (SELECT k FROM ctbl WHERE k >= 750) "
+               "SELECT (SELECT COUNT(*) FROM lo) AS nlo, "
+               "(SELECT COUNT(*) FROM hi) AS nhi")
+        exec_sql, views = eng._skipping_rewrite(sql)
+        assert len(views) == 2 and views[0] != views[1]
+        row = spark.sql(exec_sql).first()
+        assert (row.nlo, row.nhi) == (50, 50)
+        for v in views:
+            spark.catalog.dropTempView(v)
+        # estimate reports the WIDER scan across segments
+        est = eng.estimate_scan(sql)
+        assert est["ctbl"]["files_kept"] >= 1
+
+    def test_cte_shadowing_stands_down(self, spark, table):
+        """A CTE named like the warehouse table shadows it — pruning
+        must not engage anywhere in the statement."""
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("ctbl", table)
+        sql = ("WITH ctbl AS (SELECT * FROM ctbl WHERE k >= 700) "
+               "SELECT COUNT(*) AS n FROM ctbl")
+        assert eng._skipping_rewrite(sql) == (sql, [])
+        assert eng.execute(sql).rows()[0].n == 100
+
+    def test_recursive_cte_untouched(self, spark, table):
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("ctbl", table)
+        sql = ("WITH RECURSIVE seq(x) AS (SELECT 1 UNION ALL "
+               "SELECT x + 1 FROM seq WHERE x < 3) "
+               "SELECT COUNT(*) AS n FROM seq")
+        assert eng._skipping_rewrite(sql) == (sql, [])
+
+
 def test_concurrent_statement_never_sees_anothers_pruning(spark, tmp_path):
     """The skipping rewrite must be invisible to every other statement
     on the same SparkSession: while engine A's pruned statement is in

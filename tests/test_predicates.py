@@ -435,3 +435,46 @@ try:
         assert not any(c.startswith("p") for c, _op, _v in got)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+class TestStatementSegments:
+    """statement_segments: CTE bodies + final query as independently
+    prunable spans, with CTE names for shadow exclusion."""
+
+    def test_spans_and_names(self):
+        from corkscrew_spark.predicates import statement_segments
+
+        sql = ("WITH a AS (SELECT * FROM t WHERE k > 5), "
+               "b AS (SELECT * FROM a) SELECT * FROM b")
+        segs = statement_segments(sql)
+        assert segs is not None
+        spans, names = segs
+        assert names == {"a", "b"}
+        texts = [sql[s:e] for s, e in spans]
+        assert texts[0] == "SELECT * FROM t WHERE k > 5"
+        assert texts[1] == "SELECT * FROM a"
+        assert texts[2] == "SELECT * FROM b"
+
+    def test_column_alias_list_and_nested_parens(self):
+        from corkscrew_spark.predicates import statement_segments
+
+        sql = ("WITH a (x, y) AS (SELECT k, (v + 1) FROM t "
+               "WHERE k IN (1, 2)) SELECT max(x) FROM a")
+        spans, names = statement_segments(sql)
+        assert names == {"a"}
+        assert sql[slice(*spans[0])].startswith("SELECT k, (v + 1)")
+        assert sql[slice(*spans[1])] == "SELECT max(x) FROM a"
+
+    def test_not_with_or_recursive_or_malformed(self):
+        from corkscrew_spark.predicates import statement_segments
+
+        assert statement_segments("SELECT * FROM t") is None
+        assert statement_segments(
+            "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r") is None
+        assert statement_segments("WITH a AS (SELECT 1") is None  # unbalanced
+        assert statement_segments("WITH a AS SELECT 1") is None
+        assert statement_segments("WITH a AS (SELECT 1)") is None  # no final
+        # a CTE literally NAMED recursive is a normal CTE
+        segs = statement_segments(
+            "WITH recursive AS (SELECT 1 AS x) SELECT * FROM recursive")
+        assert segs is not None and segs[1] == {"recursive"}
