@@ -413,11 +413,20 @@ class QueryEngine:
                     seg, exclude):
                 preds = _pred.extract_predicates(seg, name, alias,
                                                  qualified_only)
+                branches = None
                 if not preds:
-                    continue
+                    # top-level-OR WHEREs estimate through the DNF
+                    # planner; rows_est_upper is its union row bound
+                    branches = _pred.extract_disjuncts(
+                        seg, name, alias, qualified_only)
+                    if not branches:
+                        continue
                 try:
-                    est = _skip.estimate_scan(
+                    est = (_skip.estimate_scan(
                         self._warehouse[name.lower()], preds)
+                        if preds else
+                        _skip.estimate_scan_any(
+                            self._warehouse[name.lower()], branches))
                 except Exception:  # noqa: BLE001 — estimates are advisory
                     continue
                 prev = out.get(name.lower())

@@ -889,14 +889,19 @@ def _invalidated_since(path: str, ts_ns: int) -> list[str] | None:
 
 
 def plan_skip(path: str, predicates: list[tuple],
-              stats: dict | None = None) -> dict:
+              stats: dict | None = None,
+              files: list[str] | None = None) -> dict:
     """The pruning decision, file by file, without reading anything:
     ``{"kept": [...], "pruned": [...], "stale": [...], "unknown": [...],
     "fallback": reason|None}``. ``kept`` includes stale and unknown
     files (they must be read); ``fallback`` is set when the whole table
-    must be scanned (no stats, or a full rewrite since the snapshot)."""
+    must be scanned (no stats, or a full rewrite since the snapshot).
+    ``files`` short-circuits the directory walk when the caller already
+    holds the CURRENT listing (per-branch re-plans over one snapshot);
+    never pass a stale one — an appended file missing from it would be
+    silently dropped from the read."""
     _validate_ops(predicates)
-    return _plan(path, [list(predicates)], stats)
+    return _plan(path, [list(predicates)], stats, files=files)
 
 
 def _validate_ops(predicates: list[tuple]) -> None:
@@ -908,7 +913,7 @@ def _validate_ops(predicates: list[tuple]) -> None:
 
 
 def _plan(path: str, branches: list[list[tuple]],
-          stats: dict | None) -> dict:
+          stats: dict | None, files: list[str] | None = None) -> dict:
     """ONE planner for conjunctive and disjunctive (DNF) pruning:
     ``branches`` is an OR of AND-lists — a file survives when ANY
     branch may match it (a single branch reproduces plan_skip's
@@ -966,7 +971,7 @@ def _plan(path: str, branches: list[list[tuple]],
     def _dir_ok(d: str) -> bool:
         return eff is None or any(_dir_branch_ok(d, b) for b in eff)
 
-    for rel in _list_data_files(path):
+    for rel in (files if files is not None else _list_data_files(path)):
         if stale_pfx and rel.startswith(stale_pfx):
             stale.append(rel)
             kept.append(rel)
@@ -1168,9 +1173,12 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
         return out
     total_known = sum(rec.get("rows", 0)
                       for rec in stats["files"].values())
+    # the union plan already walked the CURRENT listing (kept+pruned);
+    # per-branch re-plans reuse it instead of N more directory walks
+    listing = plan["kept"] + plan["pruned"]
     upper = 0.0
     for branch in branches:
-        bplan = plan_skip(path, branch, stats=stats)
+        bplan = plan_skip(path, branch, stats=stats, files=listing)
         if bplan["fallback"] is not None:
             return out
         fresh = (set(bplan["kept"]) - set(bplan["stale"])

@@ -579,8 +579,13 @@ def test_engine_estimate_scan(spark, tmp_path):
     assert 0 < e["bytes_kept"] < e["bytes_total"]
     # unattributable shapes estimate nothing
     assert eng.estimate_scan("SELECT COUNT(*) FROM est") == {}
+    # top-level ORs estimate through the DNF planner with a union bound
+    dnf = eng.estimate_scan("SELECT * FROM est WHERE k < 50 OR k >= 750")
+    assert dnf["est"]["files_kept"] == 2
+    assert dnf["est"]["rows_est_upper"] == 200.0
+    # a bare unparsable disjunct still estimates nothing
     assert eng.estimate_scan(
-        "SELECT * FROM est WHERE k = 1 OR k = 2") == {}
+        "SELECT * FROM est WHERE k = 1 OR upper('x') = 'X'") == {}
 
 
 def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
