@@ -1320,7 +1320,7 @@ def versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents
-    WHERE n_chars >= 2000 AND lang <> 'de'
+    WHERE n_chars >= 400 AND lang <> 'de'
     GROUP BY lang ORDER BY lang
     """,
 )
@@ -1348,16 +1348,26 @@ def kql_pruned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs.repartitionByRange(8, "n_chars").write.parquet(table)
         skipping.compute_stats(spark, table, ["n_chars"])
-        plan = skipping.plan_skip(table, [("n_chars", ">=", 2000)])
+        plan = skipping.plan_skip(table, [("n_chars", ">=", 400)])
         if plan["fallback"] is not None or not plan["pruned"]:
             raise RuntimeError(
                 f"zone maps did not prune the clustered layout: {plan}")
-        kql = ("Docs | where n_chars >= 2000 and lang != 'de' "
+        kql = ("Docs | where n_chars >= 400 and lang != 'de' "
                "| summarize n=count(), chars=sum(n_chars) by lang "
                "| order by lang asc")
         result = kql_to_df_skipping(spark, kql, {"Docs": table}).select(
             "lang", F.col("n").cast("long").alias("n"),
             F.col("chars").cast("long").alias("chars"))
+        # certify the EXECUTED pipeline too: its scan must reference
+        # strictly fewer files than the table holds (r7 upgrade — the
+        # plan_skip check above is a metadata claim, this is the plan)
+        opened = len([f for f in result.inputFiles()
+                      if "docs_tbl" in f])
+        total = len(skipping._list_data_files(table))
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"compiled KQL pipeline did not prune: plan references "
+                f"{opened} of {total} files")
         rows = result.collect()  # one row per language
         return spark.createDataFrame(rows, result.schema)
     finally:
