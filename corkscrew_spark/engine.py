@@ -172,6 +172,7 @@ class QueryEngine:
         self._versioned: dict[str, str] = {}
         self._warehouse: dict[str, str] = {}  # every registered dir
         self._warehouse_skip: set[str] = set()  # pruning-enabled names
+        self._view_sig: dict[str, tuple | None] = {}  # freshness keys
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 
@@ -199,9 +200,34 @@ class QueryEngine:
         # registration — a swapped directory must never serve a stale
         # listing — while the skipping flag gates only the PRUNING.
         self._warehouse[name.lower()] = path
+        self._view_sig[name.lower()] = self._table_sig(path)
         if skipping and os.environ.get(
                 "CORKSCREW_DATA_SKIPPING", "1") != "0":
             self._warehouse_skip.add(name.lower())
+
+    @staticmethod
+    def _table_sig(path: str) -> tuple | None:
+        """Change signature for a warehouse table directory: the top
+        dir's (mtime_ns, ino) plus the commit log's (mtime_ns, size).
+        Every in-repo write path moves it — directory swaps replace
+        the dir (new inode), appends create files in it (dir mtime),
+        and partition-scoped merges append a `_commits.jsonl` line —
+        so an unchanged signature proves the cached view's file
+        listing is still current. None (= always refresh) when the
+        signature can't be read."""
+        import os
+
+        try:
+            st = os.stat(path)
+            sig: list = [st.st_mtime_ns, st.st_ino]
+        except OSError:
+            return None
+        try:
+            cl = os.stat(os.path.join(path, "_commits.jsonl"))
+            sig += [cl.st_mtime_ns, cl.st_size]
+        except OSError:
+            sig += [None, None]  # no log yet: dir identity still covers
+        return tuple(sig)
 
     def _warehouse_targets(self, bound: str,
                            exclude: frozenset | set = frozenset()
@@ -380,16 +406,29 @@ class QueryEngine:
 
     def _refresh_warehouse_views(self, bound: str) -> None:
         """Re-point every registered warehouse view the query mentions
-        at a FRESH read. A parquet DataFrame caches its file listing at
-        creation, and warehouse tables mutate via directory swaps
-        (merge_upsert/compaction) — a view captured at registration
-        would read files that no longer exist. One word-scan + footer
-        read per referenced table per query; false positives (the name
-        inside a longer context) just refresh harmlessly."""
+        at a FRESH read — IF its table changed. A parquet DataFrame
+        caches its file listing at creation, and warehouse tables
+        mutate via directory swaps (merge_upsert/compaction) — a view
+        captured at registration would read files that no longer
+        exist. Re-creating the view costs a listing + schema-inference
+        footer read, so it is gated on ``_table_sig``: dir identity
+        (mtime_ns, inode) + commit-log identity, which every in-repo
+        write path moves (swaps replace the dir, appends create
+        entries in it, scoped merges append the log). Unchanged
+        signature = the cached listing is provably current; unreadable
+        signature = always refresh. One os.stat pair per referenced
+        table per query instead of a full listing; false-positive name
+        mentions (the name inside a longer context) just stat
+        harmlessly."""
         for name, path in self._warehouse.items():
-            if re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
-                         rf"(?![A-Za-z0-9_])", bound, re.IGNORECASE):
-                self.spark.read.parquet(path).createOrReplaceTempView(name)
+            if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
+                             rf"(?![A-Za-z0-9_])", bound, re.IGNORECASE):
+                continue
+            sig = self._table_sig(path)
+            if sig is not None and sig == self._view_sig.get(name):
+                continue  # table unchanged: the cached view is current
+            self.spark.read.parquet(path).createOrReplaceTempView(name)
+            self._view_sig[name] = sig
 
     def estimate_scan(self, sql: str,
                       params: dict[str, Any] | None = None

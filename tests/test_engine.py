@@ -561,6 +561,43 @@ def test_warehouse_view_survives_directory_swap(spark, tmp_path):
     assert eng.execute("SELECT COUNT(*) AS n FROM swp").rows()[0].n == 3
 
 
+def test_view_refresh_gated_on_table_signature(spark, tmp_path):
+    """The per-query view refresh re-creates the view (listing +
+    schema-inference footer read) ONLY when the table's signature
+    (dir mtime/inode + commit-log identity) moved — an unchanged
+    table costs two os.stat calls, not a listing. Observable via a
+    marker view: while the table is unchanged the engine must leave
+    the session's view alone; any write path (swap-based merge,
+    plain append) must move the signature and re-point it."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import warehouse
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)],
+                          "k long, v string, ts long").write.parquet(path)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("sig", path)
+    assert eng.execute("SELECT COUNT(*) AS n FROM sig").rows()[0].n == 2
+    # plant a marker view over the same name: with the table unchanged
+    # the engine must NOT clobber it (refresh skipped)
+    spark.createDataFrame([(99,)], "k long").createOrReplaceTempView("sig")
+    assert eng.execute("SELECT COUNT(*) AS n FROM sig").rows()[0].n == 1
+    # a swap-based merge moves the signature: refresh re-points
+    warehouse.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(3, "c", 2)], "k long, v string, ts long"),
+        keys=["k"], order_col="ts")
+    assert eng.execute("SELECT COUNT(*) AS n FROM sig").rows()[0].n == 3
+    # a plain append (no commit log involvement) also moves it
+    spark.createDataFrame([(4, "d", 3)], "k long, v string, ts long"
+                          ).write.mode("append").parquet(path)
+    assert eng.execute("SELECT COUNT(*) AS n FROM sig").rows()[0].n == 4
+    # and the pruned path still sees fresh data end-to-end
+    assert eng.execute("SELECT v FROM sig WHERE k = 4"
+                       ).rows()[0].v == "d"
+
+
 def test_engine_estimate_scan(spark, tmp_path):
     from corkscrew_spark import skipping
 
