@@ -1307,6 +1307,16 @@ def versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 2).alias("price"))
             .orderBy("o_orderkey")
         )
+        # executed-plan certificate (r7 upgrade, matching the engine
+        # queries): the pruned snapshot read's scan must reference
+        # strictly fewer files than the snapshot holds
+        opened = len([f for f in result.inputFiles()
+                      if "orders_versioned" in f])
+        total = len(skipping._list_data_files(v2_data))
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"pruned time-travel read did not prune: plan "
+                f"references {opened} of {total} files")
         rows = result.collect()  # three probed rows
         return spark.createDataFrame(rows, result.schema)
     finally:
