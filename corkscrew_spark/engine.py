@@ -193,6 +193,11 @@ class QueryEngine:
         ``CORKSCREW_DATA_SKIPPING=0``."""
         import os
 
+        # sig BEFORE the read (same order as _refresh_warehouse_views):
+        # a swap landing between them makes the stored sig pre-date the
+        # table, so the next query refreshes — the reverse order could
+        # freeze a stale listing behind a post-swap signature
+        sig = self._table_sig(path)
         self.spark.read.parquet(path).createOrReplaceTempView(name)
         # keyed lower-cased: Spark resolves view names case-
         # insensitively, so `FROM Estate` must find the registration
@@ -200,7 +205,7 @@ class QueryEngine:
         # registration — a swapped directory must never serve a stale
         # listing — while the skipping flag gates only the PRUNING.
         self._warehouse[name.lower()] = path
-        self._view_sig[name.lower()] = self._table_sig(path)
+        self._view_sig[name.lower()] = sig
         if skipping and os.environ.get(
                 "CORKSCREW_DATA_SKIPPING", "1") != "0":
             self._warehouse_skip.add(name.lower())
@@ -271,6 +276,36 @@ class QueryEngine:
         spans, names = segs
         return spans, frozenset(names)
 
+    def _segment_targets(self, bound: str):
+        """THE extraction cascade, shared by the execution rewrite and
+        estimate_scan so what the engine executes can never drift from
+        what it estimates (review finding): per statement segment,
+        yield ``(start, end, seg_text, found)`` where ``found`` is
+        ``[(name, preds, branches), ...]`` — ``preds`` an AND-list, or
+        ``branches`` a DNF (a WHERE whose TOP level is an OR still
+        prunes when every disjunct contributes a conjunct: a file is
+        dropped only if ALL branches provably miss). Segments with no
+        prunable reference are skipped."""
+        from corkscrew_spark import predicates as _pred
+
+        spans, exclude = self._statement_spans(bound)
+        for start, end in spans:
+            seg = bound[start:end]
+            found: list[tuple] = []
+            for name, alias, qualified_only in self._warehouse_targets(
+                    seg, exclude):
+                preds = _pred.extract_predicates(seg, name, alias,
+                                                 qualified_only)
+                branches = None
+                if not preds:
+                    branches = _pred.extract_disjuncts(seg, name, alias,
+                                                       qualified_only)
+                    if not branches:
+                        continue
+                found.append((name, preds, branches))
+            if found:
+                yield start, end, seg, found
+
     def _skipping_rewrite(self, bound: str) -> tuple[str, list[str]]:
         """When ``bound`` is a single-table query (or pure inner-join
         chain) over registered warehouse tables with extractable
@@ -299,27 +334,12 @@ class QueryEngine:
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
-        spans, exclude = self._statement_spans(bound)
         views: list[str] = []
         edits: list[tuple[int, int, str]] = []
-        for start, end in spans:
-            seg = bound[start:end]
+        for start, end, seg, found in self._segment_targets(bound):
             mapping: dict[str, str] = {}
             seg_views: list[str] = []
-            for name, alias, qualified_only in self._warehouse_targets(
-                    seg, exclude):
-                preds = _pred.extract_predicates(seg, name, alias,
-                                                 qualified_only)
-                branches = None
-                if not preds:
-                    # a WHERE whose TOP level is an OR still prunes when
-                    # every disjunct contributes a conjunct (DNF pruning:
-                    # a file is dropped only if ALL branches provably
-                    # miss)
-                    branches = _pred.extract_disjuncts(seg, name, alias,
-                                                       qualified_only)
-                    if not branches:
-                        continue
+            for name, preds, branches in found:
                 try:
                     path = self._warehouse[name.lower()]
                     pruned = (_skip.read_skipping(self.spark, path, preds)
@@ -440,26 +460,12 @@ class QueryEngine:
         a caller can refuse (or re-cluster for) a query whose estimate
         opens 95% of a 100 TB table. Tables the extractor can't
         attribute conjuncts to are absent from the result."""
-        from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
         out: dict[str, dict] = {}
-        spans, exclude = self._statement_spans(bound)
-        for start, end in spans:
-            seg = bound[start:end]
-            for name, alias, qualified_only in self._warehouse_targets(
-                    seg, exclude):
-                preds = _pred.extract_predicates(seg, name, alias,
-                                                 qualified_only)
-                branches = None
-                if not preds:
-                    # top-level-OR WHEREs estimate through the DNF
-                    # planner; rows_est_upper is its union row bound
-                    branches = _pred.extract_disjuncts(
-                        seg, name, alias, qualified_only)
-                    if not branches:
-                        continue
+        for _start, _end, _seg, found in self._segment_targets(bound):
+            for name, preds, branches in found:
                 try:
                     est = (_skip.estimate_scan(
                         self._warehouse[name.lower()], preds)

@@ -47,6 +47,7 @@ import decimal as _decimal
 import json
 import math
 import os
+import threading
 import time
 import urllib.parse
 import zlib
@@ -213,6 +214,10 @@ def compute_stats(spark: SparkSession, path: str,
               "tz": spark.conf.get("spark.sql.session.timeZone")}
              if bloom_cols else None)
     df = spark.read.parquet(path)
+    if bloom:
+        # enrich the STORED config with the rendering tag map (probes
+        # need it); _per_file_stats enriches its own copy internally
+        bloom = _bloom_tag_map(df, bloom)
     files = _per_file_stats(path, df, cols, bloom)
     _fill_empty_files(files, expected, cols, path)
     stats = {"ts_ns": time.time_ns(), "cols": list(cols),
@@ -319,6 +324,29 @@ def _bloom_probe_str(v, tag: str) -> str | None:
     return None
 
 
+def _bloom_tag_map(df: DataFrame, bloom: dict) -> dict:
+    """COPY of ``bloom`` enriched with the per-column rendering tag map
+    (``bloom['types']``). Never mutates the input: refresh paths hand
+    over the cache-shared stored config, and enriching it in place
+    would break the stats cache's immutability contract — a concurrent
+    planner could observe a transiently empty tag map and silently
+    skip bloom pruning (review finding). Raises on types whose Spark
+    string image the Python probe can't reproduce."""
+    out = dict(bloom)
+    out["types"] = {}
+    for c in out["cols"]:
+        t = df.schema[c].dataType.simpleString()
+        tag = _BLOOM_TYPES.get("timestamp" if t.startswith("timestamp")
+                               else t)
+        if tag is None:
+            raise ValueError(
+                f"bloom filter on {c!r} ({t}) unsupported — the "
+                f"probe can't reproduce that type's string image; "
+                f"supported: {sorted(set(_BLOOM_TYPES))}")
+        out["types"][c] = tag
+    return out
+
+
 def _per_file_stats(path: str, df: DataFrame, cols: list[str],
                     bloom: dict | None = None) -> dict[str, dict]:
     """min/max/null-count/rows (and optional bloom bitmaps) per data
@@ -329,17 +357,7 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
         list(cols) + (bloom["cols"] if bloom else [])))
     df = df.select(F.input_file_name().alias("__file"), *stat_cols)
     if bloom:
-        bloom["types"] = {}
-        for c in bloom["cols"]:
-            t = df.schema[c].dataType.simpleString()
-            tag = _BLOOM_TYPES.get("timestamp" if t.startswith("timestamp")
-                                   else t)
-            if tag is None:
-                raise ValueError(
-                    f"bloom filter on {c!r} ({t}) unsupported — the "
-                    f"probe can't reproduce that type's string image; "
-                    f"supported: {sorted(set(_BLOOM_TYPES))}")
-            bloom["types"][c] = tag
+        bloom = _bloom_tag_map(df, bloom)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         if df.schema[c].dataType.simpleString() == "timestamp":
@@ -469,21 +487,27 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
             or (stale_pfx and rel.startswith(stale_pfx))]
     files = {rel: rec for rel, rec in stats["files"].items()
              if rel in current_set}
+    bloom_cfg = stats.get("bloom")
     if todo:
         sub = spark.read.option("basePath", path).parquet(
             *[os.path.join(path, rel) for rel in todo])
-        files.update(_per_file_stats(path, sub, cols,
-                                     stats.get("bloom")))
+        if bloom_cfg:
+            # enrich a COPY with the tag map (never the cache-shared
+            # stored dict — review finding: in-place enrichment let a
+            # concurrent planner observe a transiently empty map);
+            # also upgrades pre-tag-era snapshots on refresh
+            bloom_cfg = _bloom_tag_map(sub, bloom_cfg)
+        files.update(_per_file_stats(path, sub, cols, bloom_cfg))
         _fill_empty_files(files, todo, cols, path)
     out = {"ts_ns": time.time_ns(), "cols": cols, "files": files,
            "tz": cur_tz}
     types = stats.get("types")
     if types is None and todo:
-        types = _schema_types(sub, cols, stats.get("bloom"))
+        types = _schema_types(sub, cols, bloom_cfg)
     if types is not None:
         out["types"] = types
-    if stats.get("bloom"):
-        out["bloom"] = stats["bloom"]
+    if bloom_cfg:
+        out["bloom"] = bloom_cfg
     _write_stats(path, out)
     return out
 
@@ -612,9 +636,14 @@ def _dir_may_match(bounds: dict, predicates: list[tuple],
 #: staleness detection stays exactly the file's own identity. Entries
 #: are treated as IMMUTABLE by every reader (the write paths build
 #: fresh dicts); bounded so long-lived sessions over many tables don't
-#: accrete unbounded parsed JSON.
+#: accrete unbounded parsed JSON. Guarded by a lock: the API server
+#: executes queries CONCURRENTLY, and an unguarded evict-then-insert
+#: races (two threads pop the same oldest key → KeyError on a valid
+#: query). The parse itself happens outside the lock — only the
+#: get/evict/insert bookkeeping serializes.
 _STATS_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
 _STATS_CACHE_MAX = 64
+_STATS_CACHE_LOCK = threading.Lock()
 
 
 def load_stats(path: str) -> dict | None:
@@ -624,14 +653,17 @@ def load_stats(path: str) -> dict | None:
     except OSError:
         return None
     key = (st.st_mtime_ns, st.st_size)
-    hit = _STATS_CACHE.get(p)
-    if hit is not None and hit[0] == key:
-        return hit[1]
+    with _STATS_CACHE_LOCK:
+        hit = _STATS_CACHE.get(p)
+        if hit is not None and hit[0] == key:
+            return hit[1]
     with open(p) as fh:
         stats = json.load(fh)
-    if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
-        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))  # oldest insertion
-    _STATS_CACHE[p] = (key, stats)
+    with _STATS_CACHE_LOCK:
+        if p not in _STATS_CACHE and \
+                len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+            _STATS_CACHE.pop(next(iter(_STATS_CACHE)))  # oldest insert
+        _STATS_CACHE[p] = (key, stats)
     return stats
 
 
@@ -1156,14 +1188,18 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
     estimate is still omitted (``rows_est_matched`` = None) — branch
     overlap is unknowable from per-file statistics — but the union
     bound IS knowable: |A ∪ B| <= |A| + |B|, each branch bounded by
-    its own per-branch estimate (eq/IN selectivity when estimable,
-    else the rows behind the files that branch alone keeps), the sum
-    clamped to the rows recorded for the whole table. Emitted as
-    ``rows_est_upper`` so admission control covers OR queries too:
-    a scheduler can refuse a disjunctive query whose bound says it
-    touches most of a 100 TB table. None when any branch's kept set
-    includes files without trustworthy row counts (stale/unknown) —
-    a bound that silently under-counts is not a bound."""
+    the rows recorded behind the files that branch ALONE keeps (a
+    branch can only match rows inside its own kept set — a TRUE upper
+    bound, unlike the uniform-selectivity ndv guess, which undercounts
+    arbitrarily on skewed columns), the sum clamped to the rows
+    recorded for the whole table. Emitted as ``rows_est_upper`` so
+    admission control covers OR queries too: a scheduler can refuse a
+    disjunctive query whose bound says it touches most of a 100 TB
+    table. None when the branch list is empty or any branch is
+    unconstrained (nothing bounds an unconstrained scan) or any
+    branch's kept set includes files without trustworthy row counts
+    (stale/unknown) — a bound that silently under-counts is not a
+    bound."""
     plan = plan if plan is not None else plan_skip_any(
         path, branches, stats=stats)
     stats = stats if stats is not None else load_stats(path)
@@ -1171,12 +1207,14 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
     out["rows_est_upper"] = None
     if out["fallback"] is not None or stats is None:
         return out
+    if not branches or any(not b for b in branches):
+        return out  # unconstrained: every row may match, no bound
     total_known = sum(rec.get("rows", 0)
                       for rec in stats["files"].values())
     # the union plan already walked the CURRENT listing (kept+pruned);
     # per-branch re-plans reuse it instead of N more directory walks
     listing = plan["kept"] + plan["pruned"]
-    upper = 0.0
+    upper = 0
     for branch in branches:
         bplan = plan_skip(path, branch, stats=stats, files=listing)
         if bplan["fallback"] is not None:
@@ -1185,8 +1223,6 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
                  - set(bplan["unknown"]))
         if fresh != set(bplan["kept"]):
             return out  # untrusted rows behind this branch: no bound
-        est = _est_matched(stats, fresh, branch)
-        upper += est if est is not None else sum(
-            stats["files"][rel]["rows"] for rel in fresh)
-    out["rows_est_upper"] = round(min(upper, total_known), 1)
+        upper += sum(stats["files"][rel]["rows"] for rel in fresh)
+    out["rows_est_upper"] = min(upper, total_known)
     return out

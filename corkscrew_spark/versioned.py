@@ -352,12 +352,16 @@ def compute_stats_version(spark: SparkSession, path: str,
             for f in skipping._list_data_files(os.path.join(data, rel))]
         sub = spark.read.option("basePath", data).parquet(
             *[os.path.join(data, rel) for rel in todo])
-        bloom_arg = dict(adopted) if adopted else None
+        # _bloom_tag_map returns an enriched COPY (it no longer mutates
+        # its argument); adopt the copy so the stored config carries
+        # the rendering tag map the probes need
+        bloom_arg = (skipping._bloom_tag_map(sub, adopted)
+                     if adopted else None)
         files.update(skipping._per_file_stats(data, sub, cols, bloom_arg))
         skipping._fill_empty_files(files, expected, cols, data)
         types = skipping._schema_types(sub, cols, bloom_arg)
         if bloom_arg is not None:
-            adopted = bloom_arg  # now carries the types tag map
+            adopted = bloom_arg
     stats: dict = {"ts_ns": time.time_ns(), "cols": list(cols),
                    "tz": cur_tz, "files": files}
     if types is not None:

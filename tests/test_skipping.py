@@ -1327,16 +1327,24 @@ class TestDnfRowBound:
             table, [[("k", ">=", 0)]] * 9)
         assert est["rows_est_upper"] == 800.0
 
-    def test_eq_branches_use_ndv_estimate(self, table):
-        # an equality branch bounds via rows/ndv, far below its file's
-        # 100 known rows; a range branch contributes full file rows
+    def test_eq_branches_bound_by_kept_file_rows(self, table):
+        # an equality branch's bound is the rows behind its kept files
+        # — a TRUE upper bound. (The earlier rows/ndv point estimate
+        # undercounts arbitrarily on skewed columns: review finding.)
         lone = skipping.estimate_scan_any(table, [[("k", "=", 10)]])
-        assert lone["rows_est_upper"] is not None
-        assert lone["rows_est_upper"] < 100
+        assert lone["rows_est_upper"] == 100  # its one kept file
         both = skipping.estimate_scan_any(
             table, [[("k", "=", 10)], [("k", ">=", 750)]])
-        assert both["rows_est_upper"] >= lone["rows_est_upper"]
-        assert both["rows_est_upper"] < 100 + 101
+        assert both["rows_est_upper"] == 200  # one file per branch
+
+    def test_unconstrained_shapes_have_no_bound(self, table):
+        # no branches / an empty branch: every row may match — a 0.0
+        # "bound" for a full-table scan was the review's CLI bug
+        assert skipping.estimate_scan_any(
+            table, [])["rows_est_upper"] is None
+        est = skipping.estimate_scan_any(table, [[("k", "<", 50)], []])
+        assert est["rows_est_upper"] is None
+        assert est["files_kept"] == est["files_total"]  # nothing pruned
 
     def test_untrusted_files_void_the_bound(self, spark, table):
         # append a file AFTER the stats snapshot: its rows are unknown,

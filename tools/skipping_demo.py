@@ -70,7 +70,9 @@ def main() -> int:
         (li.repartitionByRange(n_files, "l_shipdate")
          .sortWithinPartitions("l_shipdate")
          .write.parquet(path))
-        n_rows = li.count()
+        # count from the parquet just written (footer metadata) —
+        # li.count() would re-execute the whole --scale explode
+        n_rows = spark.read.parquet(path).count()
         # size the bloom for the actual per-file distinct count: with
         # k=5 hashes, ~1% FP needs m ≈ 10n bits (rounded up to bytes)
         m_bits = max(8192, ((10 * n_rows // n_files + 7) // 8) * 8)
