@@ -62,7 +62,10 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
-    eng = QueryEngine(spark)
+    budget = getattr(args, "max_scan_mb", None)
+    eng = QueryEngine(
+        spark,
+        max_scan_bytes=budget * 1024 * 1024 if budget else None)
     warehouse = _parse_warehouse_specs(args.warehouse)
     if warehouse is None:
         return 2
@@ -870,6 +873,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="register a warehouse table dir as a view; "
                         "simple WHERE conjuncts then read through "
                         "zone-map/bloom data skipping")
+    q.add_argument("--max-scan-mb", type=int,
+                   help="admission control: refuse the query when its "
+                        "metadata-only scan estimate over a --warehouse "
+                        "table exceeds this many MB")
     q.set_defaults(fn=cmd_query)
 
     od = sub.add_parser("orchestrator-discover",

@@ -164,15 +164,32 @@ _TIME_TRAVEL_RE = re.compile(
     r"(\d+|'[^']*')", re.IGNORECASE)
 
 
-class QueryEngine:
-    """Session wrapper: macro registration + validated execution."""
+class ScanBudgetExceeded(QueryValidationError):
+    """A query's METADATA-ONLY scan estimate exceeds the engine's
+    ``max_scan_bytes`` budget — refused before a single file opens."""
 
-    def __init__(self, spark: SparkSession, register_helpers: bool = True):
+
+class QueryEngine:
+    """Session wrapper: macro registration + validated execution.
+
+    ``max_scan_bytes`` arms admission control: when a query's
+    metadata-only scan estimate (``estimate_scan`` — zone-map pruning
+    over recorded per-file sizes, zero data I/O) says a registered
+    warehouse table will be read past the budget, ``execute`` raises
+    ``ScanBudgetExceeded`` instead of running it. Enforcement is
+    advisory-on-known only: a query whose shape the extractor can't
+    estimate (no conjuncts, unregistered tables, missing stats) runs
+    normally — the governor exists to stop the 95%-of-100TB scan a
+    SELECTIVE-looking query would actually perform, not to guess."""
+
+    def __init__(self, spark: SparkSession, register_helpers: bool = True,
+                 max_scan_bytes: int | None = None):
         self.spark = spark
         self._versioned: dict[str, str] = {}
         self._warehouse: dict[str, str] = {}  # every registered dir
         self._warehouse_skip: set[str] = set()  # pruning-enabled names
         self._view_sig: dict[str, tuple | None] = {}  # freshness keys
+        self.max_scan_bytes = max_scan_bytes
         if register_helpers:
             register_json_helpers(spark, self_test=False)
 
@@ -504,8 +521,38 @@ class QueryEngine:
             raise QueryValidationError(self._friendly(str(ex))) from ex
         return bound
 
+    def _enforce_scan_budget(self, bound: str) -> None:
+        """Refuse ``bound`` when any registered table's metadata-only
+        scan estimate exceeds ``max_scan_bytes``. Unestimable queries
+        pass (see class docstring)."""
+        if self.max_scan_bytes is None or not self._warehouse:
+            return
+        from corkscrew_spark import skipping as _skip
+
+        for _s, _e, _seg, found in self._segment_targets(bound):
+            for name, preds, branches in found:
+                try:
+                    est = (_skip.estimate_scan(
+                        self._warehouse[name.lower()], preds)
+                        if preds else
+                        _skip.estimate_scan_any(
+                            self._warehouse[name.lower()], branches))
+                except Exception:  # noqa: BLE001 — advisory
+                    continue
+                if est["fallback"] is not None:
+                    continue  # no usable stats: nothing to enforce
+                if est["bytes_kept"] > self.max_scan_bytes:
+                    raise ScanBudgetExceeded(
+                        f"estimated scan of {name} is "
+                        f"{est['bytes_kept']:,} bytes "
+                        f"({est['files_kept']} of {est['files_total']} "
+                        f"files) — over the {self.max_scan_bytes:,}-byte "
+                        "budget; add a more selective predicate or "
+                        "re-cluster the table")
+
     def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
         bound = self.validate(sql, params)
+        self._enforce_scan_budget(bound)
         # timing starts BEFORE the skipping rewrite so predicate mining,
         # plan_skip's file listing, and pruned-view registration show up
         # in the reported duration — planning is part of the query's cost
@@ -527,6 +574,7 @@ class QueryEngine:
         streaming path (engine.go:232-365) maps to toLocalIterator, which
         fetches one partition at a time (bounded driver memory)."""
         bound = self.validate(sql, params)
+        self._enforce_scan_budget(bound)
         exec_sql, views = (self._skipping_rewrite(bound)
                            if self._warehouse else (bound, []))
         try:

@@ -445,6 +445,32 @@ def test_query_and_kql_warehouse_flag(spark, tmp_path, capsys):
     assert cli.main(["query", "SELECT 1", "--warehouse", "nopath"]) == 2
 
 
+def test_query_max_scan_mb_governor(spark, tmp_path, capsys):
+    """--max-scan-mb refuses a query whose metadata-only estimate
+    exceeds the budget (exit 2, error mentions the budget); a
+    selective query under the budget runs."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli, skipping
+
+    path = str(tmp_path / "wtbl")
+    spark.range(200_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).repartitionByRange(8, "k").write.parquet(path)  # multi-MB table
+    skipping.compute_stats(spark, path, ["k"])
+    assert cli.main(
+        ["query", "SELECT COUNT(*) AS n FROM wt WHERE k >= 199000",
+         "--warehouse", f"wt={path}", "--format", "csv",
+         "--max-scan-mb", "2"]) == 0
+    assert capsys.readouterr().out.splitlines()[1] == "1000"
+    assert cli.main(
+        ["query", "SELECT COUNT(*) AS n FROM wt WHERE k >= 0",
+         "--warehouse", f"wt={path}", "--format", "csv",
+         "--max-scan-mb", "2"]) == 2
+    assert "budget" in capsys.readouterr().err
+
+
 def test_maintenance_vstats_verb(spark, tmp_path, capsys):
     from corkscrew_spark import cli, versioned
 

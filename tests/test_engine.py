@@ -561,6 +561,66 @@ def test_warehouse_view_survives_directory_swap(spark, tmp_path):
     assert eng.execute("SELECT COUNT(*) AS n FROM swp").rows()[0].n == 3
 
 
+class TestScanBudget:
+    """max_scan_bytes arms admission control: a query whose
+    METADATA-ONLY estimate says it reads past the budget is refused
+    before any file opens; unestimable queries run normally."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path / "tbl")
+        spark.range(800).selectExpr("id AS k").repartitionByRange(
+            8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        return path
+
+    def _engine(self, spark, table, budget):
+        eng = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=budget)
+        eng.register_warehouse("bt", table)
+        return eng
+
+    def test_selective_query_runs_wide_query_refused(self, spark, table):
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        est = skipping.estimate_scan(table, [("k", ">=", 700)])
+        # budget sits between the selective scan and the near-full one
+        eng = self._engine(spark, table, est["bytes_kept"] + 1)
+        assert eng.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 700"
+                           ).rows()[0].n == 100
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            eng.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 0")
+        # the DNF path enforces too
+        with pytest.raises(ScanBudgetExceeded):
+            eng.execute("SELECT COUNT(*) AS n FROM bt "
+                        "WHERE k < 400 OR k >= 400")
+        # and execute_stream goes through the same gate
+        with pytest.raises(ScanBudgetExceeded):
+            eng.execute_stream("SELECT k FROM bt WHERE k >= 0")
+
+    def test_unestimable_queries_pass(self, spark, table):
+        # no extractable conjuncts -> no estimate -> no enforcement
+        eng = self._engine(spark, table, 1)
+        assert eng.execute("SELECT COUNT(*) AS n FROM bt"
+                           ).rows()[0].n == 800
+        # and a ScanBudgetExceeded is a QueryValidationError, so API
+        # servers surface it through the existing error envelope
+        from corkscrew_spark.engine import (
+            QueryValidationError,
+            ScanBudgetExceeded,
+        )
+
+        assert issubclass(ScanBudgetExceeded, QueryValidationError)
+
+    def test_no_budget_means_no_gate(self, spark, table):
+        eng = self._engine(spark, table, None)
+        assert eng.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 0"
+                           ).rows()[0].n == 800
+
+
 def test_view_refresh_gated_on_table_signature(spark, tmp_path):
     """The per-query view refresh re-creates the view (listing +
     schema-inference footer read) ONLY when the table's signature
