@@ -62,10 +62,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     spark = get_spark(app_name="corkscrew-cli")
     spark.sparkContext.setLogLevel("ERROR")
     register_tables(spark, args.data)
-    budget = getattr(args, "max_scan_mb", None)
-    eng = QueryEngine(
-        spark,
-        max_scan_bytes=budget * 1024 * 1024 if budget else None)
+    eng = QueryEngine(spark, max_scan_bytes=_scan_budget(args))
     warehouse = _parse_warehouse_specs(args.warehouse)
     if warehouse is None:
         return 2
@@ -793,6 +790,12 @@ def cmd_kql(args: argparse.Namespace) -> int:
     return 0
 
 
+def _scan_budget(args: argparse.Namespace) -> int | None:
+    """--max-scan-mb -> bytes (shared by query/serve verbs)."""
+    budget = getattr(args, "max_scan_mb", None)
+    return budget * 1024 * 1024 if budget else None
+
+
 def cmd_serve(args: argparse.Namespace) -> int:
     from corkscrew_spark import server
 
@@ -810,7 +813,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     if want_grpc:
         from corkscrew_spark import server_grpc
 
-        api = server.ApiServer(spark, warehouse=warehouse)
+        api = server.ApiServer(spark, warehouse=warehouse,
+                                max_scan_bytes=_scan_budget(args))
         try:
             grpc_server, port = server_grpc.make_grpc_server(
                 api, host=args.host, port=args.grpc_port)
@@ -832,7 +836,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
                 grpc_server.stop(grace=5)
         return 0
     server.serve(spark, host=args.host, port=args.port,
-                 api=server.ApiServer(spark, warehouse=warehouse))
+                 api=server.ApiServer(spark, warehouse=warehouse,
+                                      max_scan_bytes=_scan_budget(args)))
     return 0
 
 
@@ -1010,6 +1015,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="register a warehouse table dir on the served "
                          "engine; SQL conjuncts then read through "
                          "zone-map/bloom data skipping")
+    sv.add_argument("--max-scan-mb", type=int,
+                    help="admission control: the served engine refuses "
+                         "queries whose metadata-only estimate over a "
+                         "--warehouse table exceeds this many MB")
     sv.set_defaults(fn=cmd_serve)
 
     dg = sub.add_parser("diagram", help="render resources as mermaid/ascii")

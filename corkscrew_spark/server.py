@@ -47,9 +47,14 @@ MAX_ROWS = 10_000
 
 class ApiServer:
     def __init__(self, spark: SparkSession, max_rows: int = MAX_ROWS,
-                 warehouse: dict[str, str] | None = None):
+                 warehouse: dict[str, str] | None = None,
+                 max_scan_bytes: int | None = None):
         self.spark = spark
-        self.engine = QueryEngine(spark)
+        # max_scan_bytes arms the engine's scan-budget governor: a
+        # request whose metadata-only estimate reads past it gets the
+        # standard error envelope (ScanBudgetExceeded is a
+        # QueryValidationError), never a scan
+        self.engine = QueryEngine(spark, max_scan_bytes=max_scan_bytes)
         # warehouse table dirs served with data skipping: the API's SQL
         # queries prune through zone maps/blooms exactly like the CLI's
         for name, path in (warehouse or {}).items():

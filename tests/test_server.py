@@ -229,3 +229,35 @@ def test_concurrent_queries_see_consistent_views(spark, tmp_path):
         assert srv.request_count == 16 and srv.error_count == 0
     finally:
         httpd.shutdown()
+
+
+def test_scan_budget_surfaces_through_error_envelope(spark, tmp_path):
+    """ApiServer(max_scan_bytes=...) refuses over-budget queries with
+    the standard HTTP-200 error envelope (ScanBudgetExceeded is a
+    QueryValidationError), and under-budget queries run."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(50_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).repartitionByRange(8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    est = skipping.estimate_scan(path, [("k", ">=", 49_000)])
+    srv = ApiServer(spark, warehouse={"wt": path},
+                    max_scan_bytes=est["bytes_kept"] + 1)
+    httpd = srv.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, body = _post(f"{base}/v1/query", {
+            "query": "SELECT COUNT(*) AS n FROM wt WHERE k >= 49000"})
+        assert status == 200 and body["rows"][0]["values"]["n"] == "1000"
+        status, body = _post(f"{base}/v1/query", {
+            "query": "SELECT COUNT(*) AS n FROM wt WHERE k >= 0"})
+        assert status == 200 and "budget" in body["error"]
+    finally:
+        httpd.shutdown()
