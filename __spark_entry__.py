@@ -113,10 +113,12 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 7's pinned 50-slot correctness window: the two new queries
+#: Round 7's pinned 50-slot correctness window: the three new queries
 #: (engine_pruned_join — fact-table pruning under a star join;
 #: engine_pruned_cte — pruning inside CTE bodies, the reference's
-#: compliance-pack shape; both self-certifying via the executed
+#: compliance-pack shape; engine_scan_governor — the max_scan_bytes
+#: admission gate refusing an over-budget scan then admitting a
+#: selective one; all self-certifying via the executed
 #: plan's inputFiles), then the
 #: STALEST-recorded re-verifies (rotate_window.py now orders the
 #: padding by each name's newest green round): the 11 rows whose last
@@ -130,6 +132,7 @@ _DEFERRED = frozenset()
 _WINDOW = (
     "engine_pruned_join",
     "engine_pruned_cte",
+    "engine_scan_governor",
     "text_redact",
     "decontaminate",
     "text_repetition",
@@ -177,7 +180,6 @@ _WINDOW = (
     "kql_time_bins",
     "kql_case_tiers",
     "kql_arg_max_order",
-    "kql_percentile_value",
 )
 
 

@@ -1208,6 +1208,76 @@ def engine_pruned_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_scan_governor",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1998-09-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def engine_scan_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control end-to-end, driver-hash-checked: the engine is
+    armed with a ``max_scan_bytes`` budget sized between a selective
+    tail-window scan's estimate and the whole table. The query RAISES
+    unless (a) the wide scan is REFUSED with ScanBudgetExceeded before
+    any file opens, and (b) the selective scan both runs under the
+    budget and actually pruned (executed-plan inputFiles certificate) —
+    then returns the selective aggregate for the oracle to recompute.
+    Reference parity: the reference has no scan governor (DuckDB scans
+    whatever the query needs); at 100 TB the estimate-then-refuse loop
+    is what makes the skipping stats an OPERATIONAL control, not just
+    an optimization."""
+    import shutil
+    import tempfile
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
+
+    li = register_tables(spark, sf_dir)["lineitem"].select(
+        "l_linestatus", "l_quantity", "l_shipdate")
+    tmp = tempfile.mkdtemp(prefix="gov_")
+    table = f"{tmp}/lineitem_gov"
+    try:
+        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
+        skipping.compute_stats(spark, table, ["l_shipdate"])
+        import datetime as _dt
+
+        preds = [("l_shipdate", ">=", _dt.date(1998, 9, 1))]
+        est = skipping.estimate_scan(table, preds)
+        if not 0 < est["bytes_kept"] < est["bytes_total"]:
+            raise RuntimeError(f"tail window not selective: {est}")
+        eng = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=est["bytes_kept"] + 1)
+        eng.register_warehouse("li_gov", table)
+        try:
+            eng.execute("SELECT COUNT(*) FROM li_gov "
+                        "WHERE l_shipdate >= DATE '1992-01-01'")
+            raise RuntimeError(
+                "governor did not refuse the over-budget scan")
+        except ScanBudgetExceeded:
+            pass  # refused before any file opened — as designed
+        result = eng.execute("""
+            SELECT l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM li_gov WHERE l_shipdate >= DATE '1998-09-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus""").df
+        total = len(skipping._list_data_files(table))
+        opened = len([f for f in result.inputFiles()
+                      if "lineitem_gov" in f])
+        if not 0 < opened < total:
+            raise RuntimeError(
+                f"admitted query did not prune: {opened}/{total}")
+        rows = result.collect()  # <= 2 linestatus rows
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "versioned_pruned_read",
     oracle="""
     WITH v2 AS (
