@@ -73,6 +73,28 @@ def cmd_query(args: argparse.Namespace) -> int:
             sql = f.read()
     else:
         sql = args.sql if args.sql != "-" else sys.stdin.read()
+    if getattr(args, "estimate", False):
+        # metadata-only scan preview (no execution, zero data I/O):
+        # the admission-control loop's dry-run half
+        est = eng.estimate_scan(sql, _parse_params(args.param))
+        if not est:
+            print("no estimable warehouse scan in this query "
+                  "(unregistered tables, no extractable conjuncts, "
+                  "or no stats)")
+            return 0
+        for name, e in sorted(est.items()):
+            if e["fallback"] is not None:
+                print(f"{name}: full scan ({e['fallback']})")
+                continue
+            tail = ""
+            if e.get("rows_est_matched") is not None:
+                tail = f", ~{e['rows_est_matched']:,} est. matches"
+            elif e.get("rows_est_upper") is not None:
+                tail = f", <={e['rows_est_upper']:,} rows (union bound)"
+            print(f"{name}: {e['files_kept']}/{e['files_total']} files, "
+                  f"{e['bytes_kept']:,}/{e['bytes_total']:,} bytes"
+                  + tail)
+        return 0
     try:
         res = eng.execute(sql, _parse_params(args.param))
     except QueryValidationError as ex:
@@ -882,6 +904,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="admission control: refuse the query when its "
                         "metadata-only scan estimate over a --warehouse "
                         "table exceeds this many MB")
+    q.add_argument("--estimate", action="store_true",
+                   help="print the metadata-only scan estimate per "
+                        "--warehouse table instead of executing")
     q.set_defaults(fn=cmd_query)
 
     od = sub.add_parser("orchestrator-discover",

@@ -471,6 +471,30 @@ def test_query_max_scan_mb_governor(spark, tmp_path, capsys):
     assert "budget" in capsys.readouterr().err
 
 
+def test_query_estimate_flag(spark, tmp_path, capsys):
+    """query --estimate prints the metadata-only scan preview instead
+    of executing — the admission loop's dry-run half."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli, skipping
+
+    path = str(tmp_path / "wtbl")
+    spark.range(800).select(F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    assert cli.main(["query", "SELECT * FROM wt WHERE k >= 700",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    out = capsys.readouterr().out
+    assert "wt: 1/8 files" in out
+    assert cli.main(["query", "SELECT * FROM wt WHERE k < 50 OR k >= 750",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    out = capsys.readouterr().out
+    assert "2/8 files" in out and "union bound" in out
+    assert cli.main(["query", "SELECT COUNT(*) FROM wt",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    assert "no estimable" in capsys.readouterr().out
+
+
 def test_maintenance_vstats_verb(spark, tmp_path, capsys):
     from corkscrew_spark import cli, versioned
 
