@@ -258,10 +258,14 @@ class QueryEngine:
         table the query's shape lets us attribute conjuncts to — the
         ONE implementation of the soundness-critical resolution shared
         by the execution rewrite and estimate_scan: single-table
-        queries, or pure inner-join chains with self-joined tables
-        excluded (one reference's predicate must not prune the
-        other's rows). ``exclude`` drops names shadowed in the current
-        statement (CTE names shadow registered views)."""
+        queries, or INNER/LEFT join chains where only the PRESERVED
+        tables prune (the right side of a LEFT join null-extends —
+        see predicates.join_chain_tables) and self-joined tables are
+        excluded entirely (one reference's predicate must not prune
+        the other's rows — counted over the WHOLE chain, prunable or
+        not, since both references share files). ``exclude`` drops
+        names shadowed in the current statement (CTE names shadow
+        registered views)."""
         from collections import Counter
 
         from corkscrew_spark import predicates as _pred
@@ -271,10 +275,11 @@ class QueryEngine:
             return ([(st[0], st[1], False)]
                     if st[0].lower() in self._warehouse_skip
                     and st[0].lower() not in exclude else [])
-        tabs = _pred.inner_join_tables(bound) or []
-        counts = Counter(t.lower() for t, _a in tabs)
-        return [(t, a, True) for t, a in tabs
-                if t.lower() in self._warehouse_skip
+        tabs = _pred.join_chain_tables(bound) or []
+        counts = Counter(t.lower() for t, _a, _p in tabs)
+        return [(t, a, True) for t, a, prunable in tabs
+                if prunable
+                and t.lower() in self._warehouse_skip
                 and t.lower() not in exclude
                 and counts[t.lower()] == 1]
 

@@ -227,19 +227,24 @@ def single_table(sql: str) -> tuple[str, str | None] | None:
     return table, alias
 
 
-def inner_join_tables(
-        sql: str) -> list[tuple[str, str | None]] | None:
-    """Table references when the statement is a SELECT over a pure
-    INNER-join chain — ``FROM t1 [AS a] (JOIN t2 [AS b] ON ...)*`` —
-    as ``[(table, alias|None), ...]``. None for ANY other shape.
+def join_chain_tables(
+        sql: str) -> list[tuple[str, str | None, bool]] | None:
+    """Table references when the statement is a SELECT over a linear
+    INNER/LEFT-join chain — ``FROM t1 [AS a] ([INNER|LEFT [OUTER]]
+    JOIN t2 [AS b] ON ...)*`` — as ``[(table, alias|None, prunable),
+    ...]``. None for ANY other shape.
 
-    Why inner-only: pruning a table's files drops rows that provably
-    fail that table's own conjuncts; in an inner join every output row
-    containing a dropped row fails the re-applied WHERE anyway, so the
-    result is identical. In an OUTER join a dropped match turns into a
-    null-extended row instead, which a ``t.col IS NULL`` predicate then
-    wrongly ACCEPTS — so any LEFT/RIGHT/FULL/CROSS/NATURAL/SEMI/ANTI
-    keyword bails, as do subqueries, comma lists, and set operators."""
+    ``prunable`` is the soundness verdict per reference: pruning a
+    table's files drops rows that provably fail that table's own
+    conjuncts, which is sound only if every OUTPUT row's columns for
+    that table come from a REAL row of it — a null-extended row would
+    instead be wrongly dropped (or a ``t.col IS NULL`` predicate would
+    wrongly accept it). In a left-associative chain of INNER and LEFT
+    joins, the only null-extendable table is the RIGHT side of each
+    LEFT join: the first table and every INNER-joined table are
+    preserved by construction, so they prune. RIGHT/FULL (which
+    null-extend EARLIER tables), CROSS/NATURAL/SEMI/ANTI, USING,
+    comma lists, subqueries, and set operators all bail."""
     try:
         toks = _tokens(sql)
     except _Unparseable:
@@ -248,12 +253,12 @@ def inner_join_tables(
     if sum(1 for k, v in toks if (k, v) == ("kw", "FROM")) != 1:
         return None
     if kws & {"UNION", "INTERSECT", "EXCEPT", "LATERAL", "TABLESAMPLE",
-              "PIVOT", "UNPIVOT", "VALUES", "WITH", "EXISTS", "LEFT",
+              "PIVOT", "UNPIVOT", "VALUES", "WITH", "EXISTS",
               "RIGHT", "FULL", "CROSS", "NATURAL", "SEMI", "ANTI",
-              "OUTER", "USING"}:
+              "USING"}:
         return None
     i = next(i for i, t in enumerate(toks) if t == ("kw", "FROM"))
-    out: list[tuple[str, str | None]] = []
+    out: list[tuple[str, str | None, bool]] = []
     j = i + 1
 
     def _table_ref(j):
@@ -278,20 +283,32 @@ def inner_join_tables(
     ref = _table_ref(j)
     if ref is None:
         return None
-    out.append(ref[:2])
+    out.append((ref[0], ref[1], True))  # FROM table: always preserved
     j = ref[2]
     while j < len(toks):
         k, v = toks[j]
         if (k, v) == ("punc", ","):
             return None  # comma join: keep the accepted grammar tight
+        joined_prunable = None
         if (k, v) == ("kw", "INNER"):
+            if j + 1 >= len(toks) or toks[j + 1] != ("kw", "JOIN"):
+                return None
+            joined_prunable = True
             j += 1
-            continue
-        if (k, v) == ("kw", "JOIN"):
+        elif (k, v) == ("kw", "LEFT"):
+            j += 1
+            if j < len(toks) and toks[j] == ("kw", "OUTER"):
+                j += 1
+            if j >= len(toks) or toks[j] != ("kw", "JOIN"):
+                return None
+            joined_prunable = False  # right side of LEFT: extendable
+        elif (k, v) == ("kw", "JOIN"):
+            joined_prunable = True
+        if joined_prunable is not None:
             ref = _table_ref(j + 1)
             if ref is None:
                 return None
-            out.append(ref[:2])
+            out.append((ref[0], ref[1], joined_prunable))
             j = ref[2]
             if j >= len(toks) or toks[j] != ("kw", "ON"):
                 return None
@@ -306,8 +323,8 @@ def inner_join_tables(
                 elif (k2, v2) == ("punc", ")"):
                     depth -= 1
                 elif depth == 0 and k2 == "kw" and v2 in (
-                        "JOIN", "INNER", "WHERE", "GROUP", "ORDER",
-                        "LIMIT", "HAVING", "WINDOW", "QUALIFY",
+                        "JOIN", "INNER", "LEFT", "WHERE", "GROUP",
+                        "ORDER", "LIMIT", "HAVING", "WINDOW", "QUALIFY",
                         "DISTRIBUTE", "CLUSTER", "SORT"):
                     break
                 j += 1
@@ -320,6 +337,17 @@ def inner_join_tables(
             break
         return None  # anything else in table position: stand down
     return out if len(out) >= 2 else None
+
+
+def inner_join_tables(
+        sql: str) -> list[tuple[str, str | None]] | None:
+    """``join_chain_tables`` restricted to PURE inner chains (every
+    table prunable) — the original strict surface, kept for callers
+    and tests that reason about inner-only semantics."""
+    chain = join_chain_tables(sql)
+    if chain is None or any(not p for _t, _a, p in chain):
+        return None
+    return [(t, a) for t, a, _p in chain]
 
 
 def _where_tokens(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:

@@ -516,17 +516,50 @@ class TestJoinSkipping:
         for v in views:
             spark.catalog.dropTempView(v)
 
-    def test_outer_join_and_self_join_never_rewrite(self, spark,
+    def test_left_join_prunes_preserved_side_only(self, spark,
+                                                  two_tables):
+        """The preserved (left) side of a LEFT JOIN prunes on its own
+        qualified conjuncts — its rows are never null-extended, so the
+        re-applied WHERE filters them identically. The RIGHT side
+        never prunes, even with its own conjuncts: a dropped match
+        null-extends instead, and `d.col IS NULL` would wrongly
+        ACCEPT it (the classic trap, exercised below)."""
+        facts, dims = two_tables
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("facts", facts)
+        eng.register_warehouse("dims", dims)
+        sql = ("SELECT f.k, d.nm FROM facts f LEFT JOIN dims d "
+               "ON f.d = d.d AND d.d >= 5 "
+               "WHERE f.k >= 700 AND d.nm IS NULL ORDER BY f.k")
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        plain = [tuple(r) for r in spark.sql(
+            sql.replace("facts", f"parquet.`{facts}`")
+               .replace("dims", f"parquet.`{dims}`")).collect()]
+        assert got == plain and len(got) == 50  # d < 5: null-extended
+        exec_sql, views = eng._skipping_rewrite(sql)
+        assert views and all(v.startswith("facts__skip_") for v in views)
+        for v in views:
+            spark.catalog.dropTempView(v)
+        # a dims-qualified conjunct must never prune dims under LEFT
+        sql2 = ("SELECT f.k FROM facts f LEFT JOIN dims d ON f.d = d.d "
+                "WHERE f.k >= 700 AND d.d >= 5")
+        _s, views2 = eng._skipping_rewrite(sql2)
+        assert all(v.startswith("facts__skip_") for v in views2)
+        for v in views2:
+            spark.catalog.dropTempView(v)
+
+    def test_right_full_and_self_join_never_rewrite(self, spark,
                                                     two_tables):
         facts, dims = two_tables
         eng = QueryEngine(spark, register_helpers=False)
         eng.register_warehouse("facts", facts)
         eng.register_warehouse("dims", dims)
         for sql in (
-            # outer join: pruning the null-extendable side is unsound
-            # under IS NULL — the extractor must stand down entirely
-            "SELECT f.k FROM facts f LEFT JOIN dims d ON f.d = d.d "
+            # RIGHT/FULL null-extend EARLIER tables: stand down entirely
+            "SELECT f.k FROM facts f RIGHT JOIN dims d ON f.d = d.d "
             "WHERE f.k >= 700",
+            "SELECT f.k FROM facts f FULL OUTER JOIN dims d "
+            "ON f.d = d.d WHERE f.k >= 700",
             # self-join: one reference's predicate must not prune the
             # other's rows
             "SELECT a.k FROM facts a JOIN facts b ON a.d = b.d "

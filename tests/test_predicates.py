@@ -478,3 +478,52 @@ class TestStatementSegments:
         segs = statement_segments(
             "WITH recursive AS (SELECT 1 AS x) SELECT * FROM recursive")
         assert segs is not None and segs[1] == {"recursive"}
+
+
+class TestJoinChainTables:
+    """join_chain_tables: INNER/LEFT chains with per-table prunability
+    (preserved sides only); inner_join_tables stays inner-strict."""
+
+    def test_left_chain_prunability(self):
+        from corkscrew_spark.predicates import (
+            inner_join_tables,
+            join_chain_tables,
+        )
+
+        sql = ("SELECT * FROM f LEFT JOIN d ON f.k = d.k "
+               "WHERE f.x >= 1")
+        assert join_chain_tables(sql) == [
+            ("f", None, True), ("d", None, False)]
+        assert inner_join_tables(sql) is None  # inner-strict surface
+        sql2 = ("SELECT * FROM a JOIN b ON a.k = b.k "
+                "LEFT OUTER JOIN c AS x ON x.k = a.k WHERE a.v = 1")
+        assert join_chain_tables(sql2) == [
+            ("a", None, True), ("b", None, True), ("x", None, False)] \
+            or join_chain_tables(sql2) == [
+            ("a", None, True), ("b", None, True), ("c", "x", False)]
+
+    def test_right_full_cross_still_bail(self):
+        from corkscrew_spark.predicates import join_chain_tables
+
+        for sql in (
+            "SELECT * FROM a RIGHT JOIN b ON a.k = b.k",
+            "SELECT * FROM a FULL OUTER JOIN b ON a.k = b.k",
+            "SELECT * FROM a CROSS JOIN b",
+            "SELECT * FROM a LEFT JOIN b USING (k)",
+            "SELECT * FROM a, b WHERE a.k = b.k",
+            "SELECT * FROM a LEFT JOIN (SELECT 1) s ON true",
+        ):
+            assert join_chain_tables(sql) is None, sql
+
+    def test_inner_chain_all_prunable(self):
+        from corkscrew_spark.predicates import (
+            inner_join_tables,
+            join_chain_tables,
+        )
+
+        sql = ("SELECT * FROM a x INNER JOIN b AS y ON x.k = y.k "
+               "JOIN c ON c.k = x.k WHERE x.v > 2")
+        assert join_chain_tables(sql) == [
+            ("a", "x", True), ("b", "y", True), ("c", None, True)]
+        assert inner_join_tables(sql) == [
+            ("a", "x"), ("b", "y"), ("c", None)]
