@@ -804,3 +804,57 @@ def test_read_table_disjunctive_path(spark, tmp_path):
     with _pytest.raises(ValueError, match="not both"):
         warehouse.read_table(spark, path, predicates=[("k", "<", 1)],
                              predicates_any=branches)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    #: WHERE-clause building blocks spanning every extraction outcome:
+    #: prunable conjuncts, unparsable terms (functions, arithmetic,
+    #: LIKE), CASE spans, IS NULL — the fuzz asserts RESULT IDENTITY
+    #: between the engine's pruned execution and a plain scan for any
+    #: AND/OR mix, which is the one property the whole skipping stack
+    #: must never lose.
+    _FUZZ_TERMS = st.sampled_from([
+        "k >= 700", "k < 50", "k BETWEEN 100 AND 200", "v = 3",
+        "s = 's1'", "k IN (3, 5, 750)", "s LIKE 's1%'",
+        "upper(s) = 'S1'", "v IS NOT NULL", "k + 0 > 10",
+        "CASE WHEN v = 1 AND k > 10 OR v = 2 THEN 1 ELSE 0 END = 1",
+        "k = 799", "s IS NULL",
+    ])
+
+    @pytest.fixture(scope="module")
+    def fuzz_table(spark, tmp_path_factory):
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path_factory.mktemp("fuzz") / "tbl")
+        spark.range(800).selectExpr(
+            "id AS k", "id % 7 AS v",
+            "concat('s', id % 13) AS s"
+        ).repartitionByRange(8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k", "v", "s"],
+                               bloom_cols=["s"])
+        return path
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def test_fuzz_engine_pruning_identity(spark, fuzz_table, data):
+        terms = data.draw(st.lists(_FUZZ_TERMS, min_size=1, max_size=4))
+        ops = data.draw(st.lists(st.sampled_from(["AND", "OR"]),
+                                 min_size=len(terms) - 1,
+                                 max_size=len(terms) - 1))
+        where = terms[0]
+        for op, t in zip(ops, terms[1:]):
+            where += f" {op} {t}"
+        if data.draw(st.booleans()):
+            where = f"({where})"
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("fz", fuzz_table)
+        sql = f"SELECT k, v, s FROM fz WHERE {where} ORDER BY k"
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        want = [tuple(r) for r in spark.sql(
+            sql.replace("fz", f"parquet.`{fuzz_table}`")).collect()]
+        assert got == want, where
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
