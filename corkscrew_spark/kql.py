@@ -1257,28 +1257,87 @@ def _kql_conjuncts(toks: list) -> list[tuple] | None:
     return out
 
 
+def _mine_wheres(wheres: list[str]
+                 ) -> tuple[list[tuple], list[list[tuple]] | None]:
+    """(conjuncts, DNF branches|None) mined from consecutive leading
+    ``where`` stage texts. One top-level-or stage mines as DNF; the
+    stages AND together, so conjuncts distribute into every branch:
+    other AND (b1 OR b2) == (other AND b1) OR (other AND b2). A second
+    or-stage is ignored (sound: fewer constraints keep more files)."""
+    preds: list[tuple] = []
+    branches: list[list[tuple]] | None = None
+    for text in wheres:
+        got = _skip_predicates(text)
+        if got:
+            preds.extend(got)
+        elif branches is None:
+            branches = _skip_branches(text)
+    return preds, branches
+
+
+def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
+    """(head_table_lower, leading_where_texts) for this pipeline AND,
+    recursively, for each ``join kind=...( sub )`` / parenthesized or
+    bare ``union`` operand — every place the compiler resolves a table
+    name from the ``tables`` mapping."""
+    out: list[tuple[str, list[str]]] = []
+    stages = _split_stages(query)
+    if not stages:
+        return out
+    head = stages[0].strip()
+    if re.fullmatch(r"[A-Za-z_]\w*", head):
+        wheres: list[str] = []
+        for stage in stages[1:]:
+            m = re.match(r"where\s+(.*)", stage.strip(),
+                         re.DOTALL | re.IGNORECASE)
+            if not m:
+                break  # first non-where stage ends the minable prefix
+            wheres.append(m.group(1))
+        out.append((head.lower(), wheres))
+    for stage in stages[1:]:
+        s = stage.strip()
+        m = re.match(r"join\s+kind\s*=\s*[a-z]+\s*\((.*)\)\s*on\s+.+$",
+                     s, re.DOTALL | re.IGNORECASE)
+        if m:
+            out.extend(_pipeline_refs(m.group(1).strip()))
+            continue
+        m = re.match(r"union\s+(?:kind\s*=\s*\w+\s+)?(.*)$", s,
+                     re.DOTALL | re.IGNORECASE)
+        if m:
+            for part in _split_top_commas(m.group(1)):
+                part = part.strip()
+                if part.startswith("(") and part.endswith(")"):
+                    out.extend(_pipeline_refs(part[1:-1].strip()))
+                elif re.fullmatch(r"[A-Za-z_]\w*", part):
+                    out.append((part.lower(), []))
+    return out
+
+
 def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                        tables: dict[str, DataFrame] | None = None
                        ) -> DataFrame:
     """``kql_to_df`` with warehouse-directory sources read through
     zone-map/bloom data skipping: ``warehouse`` maps KQL table names to
-    table DIRECTORIES, and when the pipeline's head table is one of
-    them, its LEADING ``where`` stages (consecutive, before any other
-    operator can rename or reshape columns) are mined for simple
-    conjuncts and the source becomes a ``read_skipping`` pruned read.
-    Every stage still executes in full on top — including those wheres
-    — so the result is identical to a plain read; stats only change
-    how many files are opened. Non-head warehouse tables (join/union
-    sides) get plain reads. Env ``CORKSCREW_DATA_SKIPPING=0``
+    table DIRECTORIES; each table referenced EXACTLY ONCE in the query
+    (the pipeline head, a ``join kind=…( sub )`` side, or a ``union``
+    operand) has that reference's LEADING ``where`` stages
+    (consecutive, before any other operator can rename or reshape
+    columns) mined for simple conjuncts and becomes a
+    ``read_skipping`` pruned read. Every stage still executes in full
+    on top — including those wheres — so the result is identical to a
+    plain read; stats only change how many files are opened.
+    Soundness net: the once-only check counts WORD OCCURRENCES of the
+    name in the raw query text (an upper bound on references), so a
+    second mention anywhere — even one the parser doesn't understand —
+    forces the plain read; multi-referenced tables are never pruned by
+    one reference's predicate. Env ``CORKSCREW_DATA_SKIPPING=0``
     disables the pruning (plain reads everywhere)."""
     import os as _os
 
     from corkscrew_spark import skipping as _skip
 
-    stages = _split_stages(query)
-    if not stages:
+    if not _split_stages(query):
         raise KqlError("KQL: empty query")
-    head = stages[0].strip().lower()
     enabled = _os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
     resolved: dict[str, DataFrame] = dict(tables or {})
     # kql_to_df lowercases table keys, so a warehouse entry whose
@@ -1292,25 +1351,15 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
             "KQL: table name(s) registered both as DataFrame and "
             f"warehouse directory: {sorted(clash)} — pass each name "
             "through exactly one of `tables`/`warehouse`")
+    refs: dict[str, list[list[str]]] = {}
+    for h, wheres in _pipeline_refs(query):
+        refs.setdefault(h, []).append(wheres)
     for name, path in warehouse.items():
-        if name.lower() == head and enabled:
-            preds: list[tuple] = []
-            branches: list[list[tuple]] | None = None
-            for stage in stages[1:]:
-                m = re.match(r"where\s+(.*)", stage.strip(),
-                             re.DOTALL | re.IGNORECASE)
-                if not m:
-                    break  # first non-where stage ends the minable prefix
-                got = _skip_predicates(m.group(1))
-                if got:
-                    preds.extend(got)
-                elif branches is None:
-                    # one top-level-or stage mines as DNF; the stages
-                    # AND together, so conjuncts distribute into every
-                    # branch: other AND (b1 OR b2) == (other AND b1)
-                    # OR (other AND b2). A second or-stage is ignored
-                    # (sound: pruning with fewer constraints keeps more)
-                    branches = _skip_branches(m.group(1))
+        low = name.lower()
+        mentions = len(re.findall(
+            rf"(?<!\w){re.escape(name)}(?!\w)", query, re.IGNORECASE))
+        if enabled and mentions == 1 and len(refs.get(low, [])) == 1:
+            preds, branches = _mine_wheres(refs[low][0])
             try:
                 if branches:
                     resolved[name] = _skip.read_skipping_any(

@@ -613,3 +613,80 @@ def test_kql_skipping_rejects_tables_warehouse_collision(spark, tmp_path):
     with pytest.raises(KqlError, match="exactly one"):
         kql_to_df_skipping(spark, "Amb | count", {"amb": path},
                            tables={"AMB": df})
+
+
+class TestKqlJoinSideSkipping:
+    """Round-7: join/union sub-pipeline sources prune too — any table
+    referenced EXACTLY ONCE reads through its reference's leading
+    wheres; a second mention anywhere (even unparsed) forces plain."""
+
+    @pytest.fixture()
+    def dirs(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+
+        ev = str(tmp_path / "events_t")
+        us = str(tmp_path / "users_t")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("uid")
+        ).repartitionByRange(8, "k").write.parquet(ev)
+        spark.range(400).select(
+            F.col("id").alias("uid"), (F.col("id") % 4).alias("tier")
+        ).repartitionByRange(4, "uid").write.parquet(us)
+        skipping.compute_stats(spark, ev, ["k"])
+        skipping.compute_stats(spark, us, ["uid"])
+        return ev, us
+
+    def test_join_side_pruned_and_identical(self, spark, dirs):
+        from corkscrew_spark import skipping
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        ev, us = dirs
+        q = ("Ev | where k >= 700 "
+             "| join kind=inner (Us | where uid < 5) on uid "
+             "| summarize n=count() by tier | order by tier asc")
+        got = kql_to_df_skipping(spark, q, {"Ev": ev, "Us": us})
+        plain = kql_to_df(q, {"Ev": spark.read.parquet(ev),
+                              "Us": spark.read.parquet(us)})
+        assert [tuple(r) for r in got.collect()] \
+            == [tuple(r) for r in plain.collect()]
+        # BOTH sides' plans prune (head on k, join side on uid)
+        for path, preds in ((ev, [("k", ">=", 700)]),
+                            (us, [("uid", "<", 5)])):
+            plan = skipping.plan_skip(path, preds)
+            assert plan["fallback"] is None and plan["pruned"], path
+        files = got.inputFiles()
+        assert 0 < len([f for f in files if "events_t" in f]) < 8
+        assert 0 < len([f for f in files if "users_t" in f]) < 4
+
+    def test_union_operand_pruned(self, spark, dirs):
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        ev, us = dirs
+        q = ("Ev | where k < 50 "
+             "| union (Us | where uid >= 350) | count")
+        got = kql_to_df_skipping(spark, q, {"Ev": ev, "Us": us})
+        plain = kql_to_df(q, {"Ev": spark.read.parquet(ev),
+                              "Us": spark.read.parquet(us)})
+        assert got.first()["Count"] == plain.first()["Count"] == 100
+        files = got.inputFiles()
+        assert 0 < len([f for f in files if "users_t" in f]) < 4
+
+    def test_multi_reference_forces_plain(self, spark, dirs):
+        """The same table as head AND join side (different wheres):
+        one resolved frame serves both references, so pruning either
+        reference's predicate would drop the other's rows — the
+        once-only word-count net must force the plain read."""
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        ev, _us = dirs
+        q = ("Ev | where k >= 700 "
+             "| join kind=inner (Ev | where k < 50 "
+             "| project uid, k2=k) on uid | count")
+        got = kql_to_df_skipping(spark, q, {"Ev": ev})
+        plain = kql_to_df(q, {"Ev": spark.read.parquet(ev)})
+        assert got.first()["Count"] == plain.first()["Count"] > 0
+        # the resolved source really was the FULL table
+        assert len([f for f in got.inputFiles()
+                    if "events_t" in f]) == 8
