@@ -76,7 +76,11 @@ def cmd_query(args: argparse.Namespace) -> int:
     if getattr(args, "estimate", False):
         # metadata-only scan preview (no execution, zero data I/O):
         # the admission-control loop's dry-run half
-        est = eng.estimate_scan(sql, _parse_params(args.param))
+        try:
+            est = eng.estimate_scan(sql, _parse_params(args.param))
+        except QueryValidationError as ex:  # e.g. a missing :param
+            print(f"error: {ex}", file=sys.stderr)
+            return 2
         if not est:
             print("no estimable warehouse scan in this query "
                   "(unregistered tables, no extractable conjuncts, "
@@ -813,9 +817,12 @@ def cmd_kql(args: argparse.Namespace) -> int:
 
 
 def _scan_budget(args: argparse.Namespace) -> int | None:
-    """--max-scan-mb -> bytes (shared by query/serve verbs)."""
+    """--max-scan-mb -> bytes (shared by query/serve verbs). An
+    EXPLICIT 0 means a zero-byte budget — refuse every estimable
+    warehouse scan — not 'governor off' (fail-open on a typo'd limit
+    would be the opposite of what the operator asked for)."""
     budget = getattr(args, "max_scan_mb", None)
-    return budget * 1024 * 1024 if budget else None
+    return budget * 1024 * 1024 if budget is not None else None
 
 
 def cmd_serve(args: argparse.Namespace) -> int:

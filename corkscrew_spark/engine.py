@@ -252,8 +252,8 @@ class QueryEngine:
         return tuple(sig)
 
     def _warehouse_targets(self, bound: str,
-                           exclude: frozenset | set = frozenset()
-                           ) -> list[tuple]:
+                           exclude: frozenset | set = frozenset(),
+                           names: set | None = None) -> list[tuple]:
         """(name, alias, qualified_only) per PRUNING-ENABLED warehouse
         table the query's shape lets us attribute conjuncts to — the
         ONE implementation of the soundness-critical resolution shared
@@ -270,16 +270,18 @@ class QueryEngine:
 
         from corkscrew_spark import predicates as _pred
 
+        if names is None:
+            names = self._warehouse_skip
         st = _pred.single_table(bound)
         if st is not None:
             return ([(st[0], st[1], False)]
-                    if st[0].lower() in self._warehouse_skip
+                    if st[0].lower() in names
                     and st[0].lower() not in exclude else [])
         tabs = _pred.join_chain_tables(bound) or []
         counts = Counter(t.lower() for t, _a, _p in tabs)
         return [(t, a, True) for t, a, prunable in tabs
                 if prunable
-                and t.lower() in self._warehouse_skip
+                and t.lower() in names
                 and t.lower() not in exclude
                 and counts[t.lower()] == 1]
 
@@ -298,16 +300,21 @@ class QueryEngine:
         spans, names = segs
         return spans, frozenset(names)
 
-    def _segment_targets(self, bound: str):
-        """THE extraction cascade, shared by the execution rewrite and
-        estimate_scan so what the engine executes can never drift from
-        what it estimates (review finding): per statement segment,
-        yield ``(start, end, seg_text, found)`` where ``found`` is
+    def _segment_targets(self, bound: str, names: set | None = None):
+        """THE extraction cascade, shared by the execution rewrite,
+        estimate_scan, and the scan governor so what the engine
+        executes can never drift from what it estimates or enforces
+        (review finding): per statement segment, yield
+        ``(start, end, seg_text, found)`` where ``found`` is
         ``[(name, preds, branches), ...]`` — ``preds`` an AND-list, or
         ``branches`` a DNF (a WHERE whose TOP level is an OR still
         prunes when every disjunct contributes a conjunct: a file is
-        dropped only if ALL branches provably miss). Segments with no
-        prunable reference are skipped."""
+        dropped only if ALL branches provably miss). ``names``
+        overrides which registered tables resolve (default: the
+        pruning-enabled set; the governor passes ALL registered
+        tables — admission control must not be disarmed by the
+        pruning opt-out). Segments with no resolvable reference are
+        skipped."""
         from corkscrew_spark import predicates as _pred
 
         spans, exclude = self._statement_spans(bound)
@@ -315,7 +322,7 @@ class QueryEngine:
             seg = bound[start:end]
             found: list[tuple] = []
             for name, alias, qualified_only in self._warehouse_targets(
-                    seg, exclude):
+                    seg, exclude, names):
                 preds = _pred.extract_predicates(seg, name, alias,
                                                  qualified_only)
                 branches = None
@@ -352,40 +359,96 @@ class QueryEngine:
         table under different predicates each get their own pruned
         view (the reference's compliance packs are exactly this shape,
         pruned inside DuckDB; CTE names shadow registered views and
-        are excluded from attribution)."""
+        are excluded from attribution).
+
+        The scan-budget governor enforces HERE, on the same plan the
+        read will use (one listing/zone-map walk per table per query,
+        never two), raising ``ScanBudgetExceeded`` — with every
+        already-registered one-statement view dropped — before any
+        file opens. Enforcement covers ALL registered tables, pruning
+        opt-outs included."""
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
+        # when the governor is armed, resolve ALL registered tables —
+        # admission control must not be disarmed by the pruning
+        # opt-out (CORKSCREW_DATA_SKIPPING=0 / skipping=False); only
+        # pruning-enabled tables get rewritten below
+        enforce = self.max_scan_bytes is not None
+        names = {n for n in self._warehouse} if enforce else None
         views: list[str] = []
         edits: list[tuple[int, int, str]] = []
-        for start, end, seg, found in self._segment_targets(bound):
-            mapping: dict[str, str] = {}
-            seg_views: list[str] = []
-            for name, preds, branches in found:
-                try:
+        try:
+            for start, end, seg, found in self._segment_targets(
+                    bound, names):
+                mapping: dict[str, str] = {}
+                seg_views: list[str] = []
+                for name, preds, branches in found:
                     path = self._warehouse[name.lower()]
-                    pruned = (_skip.read_skipping(self.spark, path, preds)
-                              if preds else
-                              _skip.read_skipping_any(self.spark, path,
-                                                      branches))
-                except Exception:
-                    continue  # unreadable stats/files: plain view stands
-                view = f"{name}__skip_{next(_SKIP_SEQ)}"
-                pruned.createOrReplaceTempView(view)
-                seg_views.append(view)
-                mapping[name.lower()] = view
-            if not mapping:
-                continue
-            rewritten = _pred.rewrite_table_refs(seg, mapping)
-            if rewritten is None:
-                # the targets resolver accepted the shape, so the refs
-                # must be locatable; if not, never execute against the
-                # pruned views
-                for view in seg_views:
-                    self.spark.catalog.dropTempView(view)
-                continue
-            views.extend(seg_views)
-            edits.append((start, end, rewritten))
+                    try:
+                        # plan ONCE: enforcement and the pruned read
+                        # share it (a governed query must not pay the
+                        # listing/zone-map walk twice)
+                        stats = _skip.load_stats(path)
+                        plan = (_skip.plan_skip(path, preds, stats=stats)
+                                if preds else
+                                _skip.plan_skip_any(path, branches,
+                                                    stats=stats))
+                        if enforce:
+                            est = (_skip.estimate_scan(
+                                path, preds, stats=stats, plan=plan)
+                                if preds else
+                                _skip.estimate_scan_any(
+                                    path, branches, stats=stats,
+                                    plan=plan))
+                            if (est["fallback"] is None
+                                    and est["bytes_kept"]
+                                    > self.max_scan_bytes):
+                                raise ScanBudgetExceeded(
+                                    f"estimated scan of {name} is "
+                                    f"{est['bytes_kept']:,} bytes "
+                                    f"({est['files_kept']} of "
+                                    f"{est['files_total']} files) — "
+                                    f"over the {self.max_scan_bytes:,}"
+                                    "-byte budget; add a more selective"
+                                    " predicate or re-cluster the table")
+                        if name.lower() not in self._warehouse_skip:
+                            continue  # governed-only table: no rewrite
+                        pruned = (_skip.read_skipping(
+                            self.spark, path, preds,
+                            stats=stats, plan=plan)
+                            if preds else
+                            _skip.read_skipping_any(
+                                self.spark, path, branches,
+                                stats=stats, plan=plan))
+                    except ScanBudgetExceeded:
+                        raise
+                    except Exception:
+                        continue  # unreadable stats/files: plain view
+                    view = f"{name}__skip_{next(_SKIP_SEQ)}"
+                    pruned.createOrReplaceTempView(view)
+                    seg_views.append(view)
+                    views.append(view)  # tracked NOW: a mid-segment
+                    # ScanBudgetExceeded must clean these up too
+                    mapping[name.lower()] = view
+                if not mapping:
+                    continue
+                rewritten = _pred.rewrite_table_refs(seg, mapping)
+                if rewritten is None:
+                    # the targets resolver accepted the shape, so the
+                    # refs must be locatable; if not, never execute
+                    # against the pruned views
+                    for view in seg_views:
+                        self.spark.catalog.dropTempView(view)
+                        views.remove(view)
+                    continue
+                edits.append((start, end, rewritten))
+        except ScanBudgetExceeded:
+            # refusal must not leak earlier segments' one-statement
+            # views into the session
+            for view in views:
+                self.spark.catalog.dropTempView(view)
+            raise
         if not edits:
             return bound, views
         out = bound
@@ -526,38 +589,8 @@ class QueryEngine:
             raise QueryValidationError(self._friendly(str(ex))) from ex
         return bound
 
-    def _enforce_scan_budget(self, bound: str) -> None:
-        """Refuse ``bound`` when any registered table's metadata-only
-        scan estimate exceeds ``max_scan_bytes``. Unestimable queries
-        pass (see class docstring)."""
-        if self.max_scan_bytes is None or not self._warehouse:
-            return
-        from corkscrew_spark import skipping as _skip
-
-        for _s, _e, _seg, found in self._segment_targets(bound):
-            for name, preds, branches in found:
-                try:
-                    est = (_skip.estimate_scan(
-                        self._warehouse[name.lower()], preds)
-                        if preds else
-                        _skip.estimate_scan_any(
-                            self._warehouse[name.lower()], branches))
-                except Exception:  # noqa: BLE001 — advisory
-                    continue
-                if est["fallback"] is not None:
-                    continue  # no usable stats: nothing to enforce
-                if est["bytes_kept"] > self.max_scan_bytes:
-                    raise ScanBudgetExceeded(
-                        f"estimated scan of {name} is "
-                        f"{est['bytes_kept']:,} bytes "
-                        f"({est['files_kept']} of {est['files_total']} "
-                        f"files) — over the {self.max_scan_bytes:,}-byte "
-                        "budget; add a more selective predicate or "
-                        "re-cluster the table")
-
     def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
         bound = self.validate(sql, params)
-        self._enforce_scan_budget(bound)
         # timing starts BEFORE the skipping rewrite so predicate mining,
         # plan_skip's file listing, and pruned-view registration show up
         # in the reported duration — planning is part of the query's cost
@@ -579,7 +612,6 @@ class QueryEngine:
         streaming path (engine.go:232-365) maps to toLocalIterator, which
         fetches one partition at a time (bounded driver memory)."""
         bound = self.validate(sql, params)
-        self._enforce_scan_budget(bound)
         exec_sql, views = (self._skipping_rewrite(bound)
                            if self._warehouse else (bound, []))
         try:

@@ -356,7 +356,10 @@ def _per_file_stats(path: str, df: DataFrame, cols: list[str],
     stat_cols = list(dict.fromkeys(
         list(cols) + (bloom["cols"] if bloom else [])))
     df = df.select(F.input_file_name().alias("__file"), *stat_cols)
-    if bloom:
+    if bloom and "types" not in bloom:
+        # callers that already adopted an enriched copy (compute_stats,
+        # refresh_stats, compute_stats_version) pass it through; only a
+        # bare config gets the schema walk here
         bloom = _bloom_tag_map(df, bloom)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
@@ -1121,16 +1124,20 @@ def _est_matched(stats: dict, fresh: set, predicates: list[tuple]):
 
 def read_skipping(spark: SparkSession, path: str,
                   predicates: list[tuple],
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  plan: dict | None = None) -> DataFrame:
     """Predicate-filtered read that opens only the files the zone maps
     cannot rule out. ``predicates`` is an AND-list of
     ``(col, op, value)`` with ops from ``_OPS``. Falls back to a plain
     scan when stats are missing or invalidated; in every path the real
     predicate is re-applied, so the result is ALWAYS identical to
     ``spark.read.parquet(path).filter(...)`` — stats only change how
-    many files are opened."""
+    many files are opened. Pass ``plan`` from an earlier ``plan_skip``
+    of the SAME predicates to skip re-planning (the engine's governed
+    path plans once for enforcement and reuses it here)."""
     flt = predicate_filter(predicates)
-    plan = plan_skip(path, predicates, stats=stats)
+    if plan is None:
+        plan = plan_skip(path, predicates, stats=stats)
     if plan["fallback"] is not None:
         return spark.read.parquet(path).filter(flt)
     if not plan["kept"]:
@@ -1164,13 +1171,15 @@ def predicate_filter_any(branches: list[list[tuple]]):
 
 def read_skipping_any(spark: SparkSession, path: str,
                       branches: list[list[tuple]],
-                      stats: dict | None = None) -> DataFrame:
+                      stats: dict | None = None,
+                      plan: dict | None = None) -> DataFrame:
     """Disjunctive twin of ``read_skipping``: opens only the files no
     branch can match is pruned from, re-applies the full OR-of-ANDs
     predicate, so the result is ALWAYS identical to the plain filtered
-    scan."""
+    scan. ``plan`` as in ``read_skipping``."""
     flt = predicate_filter_any(branches)
-    plan = plan_skip_any(path, branches, stats=stats)
+    if plan is None:
+        plan = plan_skip_any(path, branches, stats=stats)
     if plan["fallback"] is not None:
         return spark.read.parquet(path).filter(flt)
     if not plan["kept"]:

@@ -653,6 +653,32 @@ class TestScanBudget:
         assert eng.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 0"
                            ).rows()[0].n == 800
 
+    def test_governor_survives_skipping_opt_out(self, spark, table,
+                                                monkeypatch):
+        """CORKSCREW_DATA_SKIPPING=0 disables the pruning OPTIMIZATION;
+        it must not disarm the admission CONTROL (review finding: the
+        governor reached tables only through the pruning-enabled set,
+        so the debug flag silently admitted every over-budget scan)."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        eng = self._engine(spark, table, 1)  # 1-byte budget
+        assert not eng._warehouse_skip  # pruning is off...
+        with pytest.raises(ScanBudgetExceeded):  # ...the governor isn't
+            eng.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 700")
+        big = self._engine(spark, table, 10 ** 12)
+        assert big.execute("SELECT COUNT(*) AS n FROM bt WHERE k >= 700"
+                           ).rows()[0].n == 100
+
+    def test_refusal_leaks_no_views(self, spark, table):
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        eng = self._engine(spark, table, 1)
+        with pytest.raises(ScanBudgetExceeded):
+            eng.execute("SELECT COUNT(*) FROM bt WHERE k >= 0")
+        assert not [t.name for t in spark.catalog.listTables()
+                    if "__skip_" in t.name]
+
 
 def test_view_refresh_gated_on_table_signature(spark, tmp_path):
     """The per-query view refresh re-creates the view (listing +
