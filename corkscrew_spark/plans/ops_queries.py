@@ -1334,10 +1334,10 @@ def versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 partition_cols=["o_orderpriority"])
         v1_data = _os.path.join(table, "v=1", "data")
         # size the bloom to the per-partition key count (manifest rows,
-        # free): ~16 bits/key keeps the false-positive rate ~1e-3 at
-        # ANY sf, where the 8192-bit default saturates above ~800 keys
+        # free) at a 1e-3 FP target — the 8192-bit default saturates
+        # above ~800 keys/file at ANY sf
         rows_v1 = versioned.history(table)[-1]["rows"]
-        bits = max(8192, 1 << int(rows_v1 * 16 / 5 - 1).bit_length())
+        bits = skipping.bloom_bits_for(rows_v1, fp=0.001)
         skipping.compute_stats(spark, v1_data, ["o_totalprice"],
                                bloom_cols=["o_orderkey"],
                                bloom_bits=bits)

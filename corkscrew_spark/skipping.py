@@ -175,6 +175,23 @@ def _file_rel(path: str, uri: str) -> str:
     return os.path.relpath(p, os.path.abspath(path))
 
 
+def bloom_bits_for(keys_per_file: int, hashes: int = 5,
+                   fp: float = 0.01) -> int:
+    """Bloom bitmap size (bits) for ~``keys_per_file`` distinct values
+    per file at the target false-positive rate: the classic
+    ``fp = (1 - e^{-kn/m})^k`` solved for m, rounded up to a byte
+    multiple with the 8192-bit default as the floor. The default
+    config saturates above ~800 keys/file (FP → 1, bloom pruning
+    silently stops winning); size per table instead:
+    ``compute_stats(..., bloom_bits=bloom_bits_for(rows // n_files))``.
+    For fp=1% at k=5 this is the ~10 bits/key rule of thumb."""
+    if keys_per_file <= 0:
+        return 8192
+    m = math.ceil(-hashes * keys_per_file
+                  / math.log(1 - fp ** (1.0 / hashes)))
+    return max(8192, ((m + 7) // 8) * 8)
+
+
 def compute_stats(spark: SparkSession, path: str,
                   cols: list[str],
                   bloom_cols: list[str] | None = None,

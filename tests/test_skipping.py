@@ -1374,3 +1374,33 @@ def test_load_stats_cached_until_file_changes(spark, tmp_path):
     assert skipping.load_stats(path) is b
     os.remove(os.path.join(path, "_column_stats.json"))
     assert skipping.load_stats(path) is None
+
+
+def test_bloom_bits_for_sizing():
+    """bloom_bits_for: byte-multiple, floored at the 8192-bit default,
+    monotone in keys, ~10 bits/key at the 1% default, and tighter
+    targets cost more bits."""
+    assert skipping.bloom_bits_for(0) == 8192
+    assert skipping.bloom_bits_for(100) == 8192  # floor
+    m = skipping.bloom_bits_for(10_000)
+    assert m % 8 == 0
+    assert 9 * 10_000 <= m <= 11 * 10_000  # ~10 bits/key @ 1%, k=5
+    assert skipping.bloom_bits_for(20_000) > m  # monotone
+    assert skipping.bloom_bits_for(10_000, fp=0.001) > m  # tighter FP
+    # the sized filter actually holds its target: build stats for a
+    # file with n distinct keys and probe misses
+    import zlib as _zlib
+
+    n, misses, fps = 5_000, 2_000, 0
+    bits = skipping.bloom_bits_for(n)
+    bitmap = bytearray(bits // 8)
+    for i in range(n):
+        for s in range(5):
+            pos = _zlib.crc32(f"{i}#{s}".encode()) % bits
+            bitmap[pos // 8] |= 1 << (pos % 8)
+    for i in range(n, n + misses):
+        if all(bitmap[(_zlib.crc32(f"{i}#{s}".encode()) % bits) // 8]
+               >> ((_zlib.crc32(f"{i}#{s}".encode()) % bits) % 8) & 1
+               for s in range(5)):
+            fps += 1
+    assert fps / misses < 0.03  # ~1% target with slack

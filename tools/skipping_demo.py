@@ -73,9 +73,8 @@ def main() -> int:
         # count from the parquet just written (footer metadata) —
         # li.count() would re-execute the whole --scale explode
         n_rows = spark.read.parquet(path).count()
-        # size the bloom for the actual per-file distinct count: with
-        # k=5 hashes, ~1% FP needs m ≈ 10n bits (rounded up to bytes)
-        m_bits = max(8192, ((10 * n_rows // n_files + 7) // 8) * 8)
+        # size the bloom for the actual per-file distinct count
+        m_bits = skipping.bloom_bits_for(n_rows // n_files)
         skipping.compute_stats(spark, path, ["l_shipdate"],
                                bloom_cols=["l_orderkey"],
                                bloom_bits=m_bits)
