@@ -316,10 +316,22 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         if args.refresh:
             stats = skipping.refresh_stats(spark, args.path)
         elif args.cols:
+            bloom_bits = 8192
+            spec = getattr(args, "bloom_bits", None)
+            if spec and spec != "auto":
+                bloom_bits = int(spec)
+            elif spec == "auto":
+                # size from the table's own per-file key density — the
+                # 8192-bit default saturates above ~800 keys per file
+                n_files, _b = warehouse.table_file_stats(spark, args.path)
+                n_rows = spark.read.parquet(args.path).count()
+                bloom_bits = skipping.bloom_bits_for(
+                    n_rows // max(1, n_files))
             stats = skipping.compute_stats(
                 spark, args.path, args.cols.split(","),
                 bloom_cols=(args.bloom_cols.split(",")
-                            if args.bloom_cols else None))
+                            if args.bloom_cols else None),
+                bloom_bits=bloom_bits)
         else:
             print("error: --cols a,b (bootstrap) or --refresh is required",
                   file=sys.stderr)
@@ -1094,6 +1106,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also build per-file Bloom filters for these "
                          "columns — equality-probe pruning on "
                          "high-cardinality ids (stats)")
+    mt.add_argument("--bloom-bits",
+                    help="bitmap bits per file per bloom column: a "
+                         "number, or 'auto' to size from the table's "
+                         "rows-per-file at ~1%% FP (the 8192 default "
+                         "saturates above ~800 keys/file) (stats)")
     mt.set_defaults(fn=cmd_maintenance)
 
 

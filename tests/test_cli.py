@@ -471,6 +471,38 @@ def test_query_max_scan_mb_governor(spark, tmp_path, capsys):
     assert "budget" in capsys.readouterr().err
 
 
+def test_stats_bloom_bits_auto(spark, tmp_path, capsys):
+    """--bloom-bits auto sizes the bitmaps from the table's rows-per-
+    file so dense files keep their FP target; explicit numbers pass
+    through."""
+    import base64
+    import json
+
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli
+
+    tbl = str(tmp_path / "t")
+    spark.range(20_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc")
+    ).repartitionByRange(4, "k").write.parquet(tbl)  # 5k keys/file
+    assert cli.main(["maintenance", "stats", tbl, "--cols", "k",
+                     "--bloom-cols", "doc", "--bloom-bits", "auto"]) == 0
+    capsys.readouterr()
+    with open(tbl + "/_column_stats.json") as fh:
+        stats = json.load(fh)
+    m = stats["bloom"]["m"]
+    assert m >= 9 * 5_000  # ~10 bits/key, not the saturating 8192
+    rec = next(iter(stats["files"].values()))
+    assert len(base64.b64decode(rec["bloom"]["doc"])) * 8 == m
+    # explicit number passes through
+    assert cli.main(["maintenance", "stats", tbl, "--cols", "k",
+                     "--bloom-cols", "doc", "--bloom-bits", "16384"]) == 0
+    with open(tbl + "/_column_stats.json") as fh:
+        assert json.load(fh)["bloom"]["m"] == 16384
+
+
 def test_query_estimate_flag(spark, tmp_path, capsys):
     """query --estimate prints the metadata-only scan preview instead
     of executing — the admission loop's dry-run half."""
