@@ -318,15 +318,30 @@ def cmd_maintenance(args: argparse.Namespace) -> int:
         elif args.cols:
             bloom_bits = 8192
             spec = getattr(args, "bloom_bits", None)
-            if spec and spec != "auto":
-                bloom_bits = int(spec)
-            elif spec == "auto":
+            if spec and not args.bloom_cols:
+                # without bloom columns the value is unused — and
+                # 'auto' would pay a directory walk + count job for it
+                print("error: --bloom-bits requires --bloom-cols",
+                      file=sys.stderr)
+                return 2
+            if spec == "auto":
                 # size from the table's own per-file key density — the
                 # 8192-bit default saturates above ~800 keys per file
                 n_files, _b = warehouse.table_file_stats(spark, args.path)
                 n_rows = spark.read.parquet(args.path).count()
                 bloom_bits = skipping.bloom_bits_for(
                     n_rows // max(1, n_files))
+            elif spec:
+                try:
+                    bloom_bits = int(spec)
+                except ValueError:
+                    print(f"error: --bloom-bits expects a number or "
+                          f"'auto', got {spec!r}", file=sys.stderr)
+                    return 2
+                if bloom_bits <= 0 or bloom_bits % 8:
+                    print("error: --bloom-bits must be a positive "
+                          "multiple of 8", file=sys.stderr)
+                    return 2
             stats = skipping.compute_stats(
                 spark, args.path, args.cols.split(","),
                 bloom_cols=(args.bloom_cols.split(",")

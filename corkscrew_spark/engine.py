@@ -443,9 +443,11 @@ class QueryEngine:
                         views.remove(view)
                     continue
                 edits.append((start, end, rewritten))
-        except ScanBudgetExceeded:
-            # refusal must not leak earlier segments' one-statement
-            # views into the session
+        except Exception:
+            # ANY failure out of this loop (a refusal, or an unexpected
+            # extraction/rewrite error in a later segment) must not
+            # leak earlier segments' one-statement views into the
+            # shared session — execute()'s finally never sees them
             for view in views:
                 self.spark.catalog.dropTempView(view)
             raise
@@ -549,7 +551,11 @@ class QueryEngine:
 
         bound = bind_params(sql, params)
         out: dict[str, dict] = {}
-        for _start, _end, _seg, found in self._segment_targets(bound):
+        # resolve ALL registered tables, exactly as the governor does —
+        # the dry-run must never say 'will run' for a query the
+        # governor would refuse (pruning opt-outs still estimate)
+        for _start, _end, _seg, found in self._segment_targets(
+                bound, {n for n in self._warehouse}):
             for name, preds, branches in found:
                 try:
                     est = (_skip.estimate_scan(

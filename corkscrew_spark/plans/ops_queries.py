@@ -1333,11 +1333,13 @@ def versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned.write_version(base, table,
                                 partition_cols=["o_orderpriority"])
         v1_data = _os.path.join(table, "v=1", "data")
-        # size the bloom to the per-partition key count (manifest rows,
-        # free) at a 1e-3 FP target — the 8192-bit default saturates
-        # above ~800 keys/file at ANY sf
+        # size the bloom to the PER-PARTITION key count (the 5
+        # o_orderpriority partitions split the table ~evenly; manifest
+        # rows are free) at a 1e-3 FP target — the 8192-bit default
+        # saturates above ~800 keys/file at ANY sf, and sizing from
+        # the WHOLE table would oversize every per-file bitmap ~5x
         rows_v1 = versioned.history(table)[-1]["rows"]
-        bits = skipping.bloom_bits_for(rows_v1, fp=0.001)
+        bits = skipping.bloom_bits_for(rows_v1 // 5, fp=0.001)
         skipping.compute_stats(spark, v1_data, ["o_totalprice"],
                                bloom_cols=["o_orderkey"],
                                bloom_bits=bits)

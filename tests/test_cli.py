@@ -539,3 +539,20 @@ def test_maintenance_vstats_verb(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "v=1/data" in out and "zone maps" in out
     assert cli.main(["maintenance", "vstats", p]) == 2  # --cols required
+
+
+def test_stats_bloom_bits_validation(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli
+
+    tbl = str(tmp_path / "t")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(tbl)
+    for bad in ("8k", "0", "-8", "100"):
+        assert cli.main(["maintenance", "stats", tbl, "--cols", "k",
+                         "--bloom-cols", "k", "--bloom-bits", bad]) == 2
+        assert "error" in capsys.readouterr().err
+    # --bloom-bits without --bloom-cols: unused value, refuse loudly
+    assert cli.main(["maintenance", "stats", tbl, "--cols", "k",
+                     "--bloom-bits", "auto"]) == 2
+    assert "requires --bloom-cols" in capsys.readouterr().err
