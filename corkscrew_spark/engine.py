@@ -477,7 +477,16 @@ class QueryEngine:
         untouched — the clause identifier must be real SQL text (the
         quoted TIMESTAMP argument is itself a literal, so the opaque-span
         check applies to the match start, not its full extent).
-        """
+
+        Each snapshot view also registers as a WAREHOUSE entry pointing
+        at the version's immutable data dir, so time-travel SQL prunes
+        through the snapshot's zone maps (``compute_stats_version``)
+        exactly like any registered table — previously only the
+        ``read_version(predicates=…)`` API pruned history reads. An
+        immutable dir means the freshness signature never moves: the
+        per-query refresh costs two stats and nothing else."""
+        import os
+
         from corkscrew_spark import versioned
 
         opaque = [m.span() for m in _OPAQUE_RE.finditer(sql)]
@@ -493,8 +502,8 @@ class QueryEngine:
             if path is None:
                 return m.group(0)  # not ours — let Spark handle/fail it
             if kind == "VERSION":
-                df = versioned.read_version(self.spark, path,
-                                            version=int(arg))
+                _entry, vdir = versioned._resolve_version(
+                    path, int(arg), None)
                 tag = arg
             else:
                 from datetime import datetime, timezone
@@ -502,11 +511,16 @@ class QueryEngine:
                 ts = datetime.fromisoformat(arg.strip("'"))
                 if ts.tzinfo is None:
                     ts = ts.replace(tzinfo=timezone.utc)
-                df = versioned.read_version(self.spark, path,
-                                            as_of_ts=ts.timestamp())
+                _entry, vdir = versioned._resolve_version(
+                    path, None, ts.timestamp())
                 tag = re.sub(r"[^0-9]", "", arg)
             view = f"{name}__v{tag}"
-            df.createOrReplaceTempView(view)
+            sig = self._table_sig(vdir)
+            self.spark.read.parquet(vdir).createOrReplaceTempView(view)
+            self._warehouse[view.lower()] = vdir
+            self._view_sig[view.lower()] = sig
+            if os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0":
+                self._warehouse_skip.add(view.lower())
             return view
 
         return _TIME_TRAVEL_RE.sub(_sub, sql)
