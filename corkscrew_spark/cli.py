@@ -835,8 +835,11 @@ def cmd_kql(args: argparse.Namespace) -> int:
         return 2
     kql = args.kql if args.kql != "-" else sys.stdin.read()
     try:
-        df = kql_to_df_skipping(spark, kql, warehouse, tables)
-    except KqlError as ex:
+        df = kql_to_df_skipping(spark, kql, warehouse, tables,
+                                max_scan_bytes=_scan_budget(args))
+    except (KqlError, QueryValidationError) as ex:
+        # ScanBudgetExceeded is a QueryValidationError — the refusal
+        # surfaces exactly like the query verb's (cli.py:937)
         print(f"error: {ex}", file=sys.stderr)
         return 2
     print(formatter.FORMATTERS[args.format](df, limit=args.limit))
@@ -982,6 +985,10 @@ def main(argv: list[str] | None = None) -> int:
     kq.add_argument("--warehouse", action="append", metavar="NAME=DIR",
                    help="add a warehouse table dir as a KQL table; "
                         "leading where conjuncts prune via zone maps")
+    kq.add_argument("--max-scan-mb", type=int,
+                    help="admission control: refuse the pipeline when "
+                         "its metadata-only scan estimate over a "
+                         "--warehouse table exceeds this many MB")
     kq.set_defaults(fn=cmd_kql)
 
     p = sub.add_parser("pack", help="compliance packs")

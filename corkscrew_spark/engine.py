@@ -176,11 +176,15 @@ class QueryEngine:
     metadata-only scan estimate (``estimate_scan`` — zone-map pruning
     over recorded per-file sizes, zero data I/O) says a registered
     warehouse table will be read past the budget, ``execute`` raises
-    ``ScanBudgetExceeded`` instead of running it. Enforcement is
-    advisory-on-known only: a query whose shape the extractor can't
-    estimate (no conjuncts, unregistered tables, missing stats) runs
-    normally — the governor exists to stop the 95%-of-100TB scan a
-    SELECTIVE-looking query would actually perform, not to guess."""
+    ``ScanBudgetExceeded`` instead of running it. A resolvable
+    reference with NO extractable conjuncts — the bare
+    ``SELECT * FROM big_table`` — is estimated at FULL scan and
+    enforced too (the most obviously over-budget query must be the
+    first one refused, review finding). Enforcement stays
+    advisory-on-known for what genuinely can't be estimated: shapes
+    the resolver can't attribute (correlated subqueries, self-joins),
+    unregistered tables, missing stats — the governor exists to stop
+    the 95%-of-100TB scan, not to guess."""
 
     def __init__(self, spark: SparkSession, register_helpers: bool = True,
                  max_scan_bytes: int | None = None):
@@ -300,7 +304,8 @@ class QueryEngine:
         spans, names = segs
         return spans, frozenset(names)
 
-    def _segment_targets(self, bound: str, names: set | None = None):
+    def _segment_targets(self, bound: str, names: set | None = None,
+                         include_bare: bool = False):
         """THE extraction cascade, shared by the execution rewrite,
         estimate_scan, and the scan governor so what the engine
         executes can never drift from what it estimates or enforces
@@ -313,8 +318,13 @@ class QueryEngine:
         overrides which registered tables resolve (default: the
         pruning-enabled set; the governor passes ALL registered
         tables — admission control must not be disarmed by the
-        pruning opt-out). Segments with no resolvable reference are
-        skipped."""
+        pruning opt-out). ``include_bare`` keeps resolvable references
+        with NO extractable conjuncts as ``(name, [], None)`` rows —
+        the governor/estimator's full-scan case (an empty AND-list
+        prunes nothing, so ``plan_skip`` yields the trivial
+        bytes_kept == bytes_total estimate); the rewrite path leaves
+        them out (nothing to prune). Segments with no resolvable
+        reference are skipped."""
         from corkscrew_spark import predicates as _pred
 
         spans, exclude = self._statement_spans(bound)
@@ -329,7 +339,7 @@ class QueryEngine:
                 if not preds:
                     branches = _pred.extract_disjuncts(seg, name, alias,
                                                        qualified_only)
-                    if not branches:
+                    if not branches and not include_bare:
                         continue
                 found.append((name, preds, branches))
             if found:
@@ -380,7 +390,7 @@ class QueryEngine:
         edits: list[tuple[int, int, str]] = []
         try:
             for start, end, seg, found in self._segment_targets(
-                    bound, names):
+                    bound, names, include_bare=enforce):
                 mapping: dict[str, str] = {}
                 seg_views: list[str] = []
                 for name, preds, branches in found:
@@ -388,16 +398,19 @@ class QueryEngine:
                     try:
                         # plan ONCE: enforcement and the pruned read
                         # share it (a governed query must not pay the
-                        # listing/zone-map walk twice)
+                        # listing/zone-map walk twice). An empty
+                        # AND-list (include_bare's full-scan case)
+                        # plans as keep-everything — the estimate the
+                        # bare `SELECT * FROM big` must be refused on.
                         stats = _skip.load_stats(path)
                         plan = (_skip.plan_skip(path, preds, stats=stats)
-                                if preds else
+                                if branches is None else
                                 _skip.plan_skip_any(path, branches,
                                                     stats=stats))
                         if enforce:
                             est = (_skip.estimate_scan(
                                 path, preds, stats=stats, plan=plan)
-                                if preds else
+                                if branches is None else
                                 _skip.estimate_scan_any(
                                     path, branches, stats=stats,
                                     plan=plan))
@@ -412,6 +425,8 @@ class QueryEngine:
                                     f"over the {self.max_scan_bytes:,}"
                                     "-byte budget; add a more selective"
                                     " predicate or re-cluster the table")
+                        if not preds and branches is None:
+                            continue  # bare scan: governed, no rewrite
                         if name.lower() not in self._warehouse_skip:
                             continue  # governed-only table: no rewrite
                         pruned = (_skip.read_skipping(
@@ -559,8 +574,11 @@ class QueryEngine:
         whole table, plus an ndv-based matched-rows guess — WITHOUT
         running anything. The admission-control half of data skipping:
         a caller can refuse (or re-cluster for) a query whose estimate
-        opens 95% of a 100 TB table. Tables the extractor can't
-        attribute conjuncts to are absent from the result."""
+        opens 95% of a 100 TB table. A resolvable reference with no
+        extractable conjuncts reports the trivial full-scan estimate
+        (bytes_kept == bytes_total), exactly what the governor
+        enforces on; only tables the resolver can't attribute at all
+        are absent from the result."""
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
@@ -569,12 +587,12 @@ class QueryEngine:
         # the dry-run must never say 'will run' for a query the
         # governor would refuse (pruning opt-outs still estimate)
         for _start, _end, _seg, found in self._segment_targets(
-                bound, {n for n in self._warehouse}):
+                bound, {n for n in self._warehouse}, include_bare=True):
             for name, preds, branches in found:
                 try:
                     est = (_skip.estimate_scan(
                         self._warehouse[name.lower()], preds)
-                        if preds else
+                        if branches is None else
                         _skip.estimate_scan_any(
                             self._warehouse[name.lower()], branches))
                 except Exception:  # noqa: BLE001 — estimates are advisory

@@ -1314,7 +1314,8 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
 
 
 def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
-                       tables: dict[str, DataFrame] | None = None
+                       tables: dict[str, DataFrame] | None = None,
+                       max_scan_bytes: int | None = None
                        ) -> DataFrame:
     """``kql_to_df`` with warehouse-directory sources read through
     zone-map/bloom data skipping: ``warehouse`` maps KQL table names to
@@ -1331,7 +1332,23 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     second mention anywhere — even one the parser doesn't understand —
     forces the plain read; multi-referenced tables are never pruned by
     one reference's predicate. Env ``CORKSCREW_DATA_SKIPPING=0``
-    disables the pruning (plain reads everywhere)."""
+    disables the pruning (plain reads everywhere).
+
+    ``max_scan_bytes`` arms the same admission control as
+    ``QueryEngine(max_scan_bytes=…)``: before any file opens, each
+    warehouse table the pipeline actually READS (``_pipeline_refs``
+    mirrors the compiler's three resolution sites — pipeline head,
+    ``join kind=…( sub )`` head, ``union`` operand — exactly) gets a
+    metadata-only ``estimate_scan``; the plan is computed ONCE and
+    shared with the pruned read (a governed query never pays the
+    listing/zone-map walk twice). A once-referenced table is estimated
+    under its mined leading-where conjuncts; a multi-referenced table
+    — or one with NO minable predicate, the bare ``BigTable | take``
+    shape — is estimated at full scan, so the most obviously
+    over-budget pipeline is the first one refused. Enforcement raises
+    ``ScanBudgetExceeded`` and is NOT disarmed by the pruning opt-out
+    (estimation is pure metadata); tables without stats stay
+    advisory-only, matching the engine."""
     import os as _os
 
     from corkscrew_spark import skipping as _skip
@@ -1339,6 +1356,7 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     if not _split_stages(query):
         raise KqlError("KQL: empty query")
     enabled = _os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
+    enforce = max_scan_bytes is not None
     resolved: dict[str, DataFrame] = dict(tables or {})
     # kql_to_df lowercases table keys, so a warehouse entry whose
     # lowered name collides with a caller-supplied DataFrame would
@@ -1356,20 +1374,59 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
         refs.setdefault(h, []).append(wheres)
     for name, path in warehouse.items():
         low = name.lower()
+        nrefs = refs.get(low, [])
         mentions = len(re.findall(
             rf"(?<!\w){re.escape(name)}(?!\w)", query, re.IGNORECASE))
-        if enabled and mentions == 1 and len(refs.get(low, [])) == 1:
-            preds, branches = _mine_wheres(refs[low][0])
+        # attribution soundness (independent of the pruning switch):
+        # the mined predicate belongs to THE one read of this table
+        attributable = mentions == 1 and len(nrefs) == 1
+        preds: list[tuple] = []
+        branches = None
+        if attributable:
+            preds, branches = _mine_wheres(nrefs[0])
+        eff = ([preds + b for b in branches] if preds else branches) \
+            if branches else None
+        stats = plan = None
+        if nrefs and (enforce or (enabled and attributable
+                                  and (preds or branches))):
+            # plan ONCE: enforcement and the pruned read share it
             try:
-                if branches:
+                stats = _skip.load_stats(path)
+                if not attributable:
+                    # multi-read / unattributable: each read is a
+                    # plain full scan — estimate it as one
+                    plan = _skip.plan_skip(path, [], stats=stats)
+                elif eff is not None:
+                    plan = _skip.plan_skip_any(path, eff, stats=stats)
+                else:
+                    plan = _skip.plan_skip(path, preds, stats=stats)
+            except Exception:  # noqa: BLE001 — advisory/plain stands
+                stats = plan = None
+        if enforce and nrefs and plan is not None:
+            # the predicates arg only feeds the row estimate; bytes
+            # come from the shared plan
+            est = _skip.estimate_scan(path, [], stats=stats, plan=plan)
+            if (est["fallback"] is None
+                    and est["bytes_kept"] > max_scan_bytes):
+                from corkscrew_spark.engine import ScanBudgetExceeded
+
+                raise ScanBudgetExceeded(
+                    f"estimated scan of {name} is "
+                    f"{est['bytes_kept']:,} bytes "
+                    f"({est['files_kept']} of {est['files_total']} "
+                    f"files) — over the {max_scan_bytes:,}-byte "
+                    "budget; add a more selective leading `where` "
+                    "or re-cluster the table")
+        if (enabled and attributable and (preds or branches)
+                and plan is not None):
+            try:
+                if eff is not None:
                     resolved[name] = _skip.read_skipping_any(
-                        spark, path,
-                        [preds + b for b in branches] if preds
-                        else branches)
-                    continue
-                if preds:
-                    resolved[name] = _skip.read_skipping(spark, path, preds)
-                    continue
+                        spark, path, eff, stats=stats, plan=plan)
+                else:
+                    resolved[name] = _skip.read_skipping(
+                        spark, path, preds, stats=stats, plan=plan)
+                continue
             except Exception:  # noqa: BLE001 — plain read stands
                 pass
         resolved[name] = spark.read.parquet(path)

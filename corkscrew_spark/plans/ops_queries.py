@@ -1003,50 +1003,77 @@ def engine_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pruning actually engaged. Reference parity: the reference's
     SQL gets DuckDB row-group pruning implicitly (internal/db); this is
     the file-level analogue on the engine's own surface."""
-    import shutil
-    import tempfile
-
     from corkscrew_spark import skipping
     from corkscrew_spark.engine import QueryEngine
 
-    li = register_tables(spark, sf_dir)["lineitem"].select(
-        "l_returnflag", "l_linestatus", "l_quantity",
-        "l_extendedprice", "l_shipdate")
-    tmp = tempfile.mkdtemp(prefix="prune_")
-    table = f"{tmp}/lineitem_tbl"
-    try:
+    def _build(tmp: str) -> None:
         # shipdate-clustered layout: disjoint date ranges per file, the
         # layout compact_table(sort)/zorder_write produce at scale
-        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
-        skipping.compute_stats(spark, table, ["l_shipdate"])
-        eng = QueryEngine(spark, register_helpers=False)
-        eng.register_warehouse("li_skip_tbl", table)
-        where = ("WHERE l_shipdate >= DATE '1996-03-01' "
-                 "AND l_shipdate < DATE '1996-06-01'")
-        total = len(skipping._list_data_files(table))
-        result = eng.execute(f"""
-            SELECT l_returnflag, l_linestatus,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS revenue
-            FROM li_skip_tbl {where}
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus""").df
-        # certify against the EXECUTED PLAN: inputFiles() lists the
-        # files the scan references — unlike counting distinct
-        # input_file_name() rows (files that happened to contain
-        # matches), an unpruned scan cannot pass this
-        opened = len([f for f in result.inputFiles()
-                      if "lineitem_tbl" in f])
-        if not 0 < opened < total:
-            raise RuntimeError(
-                f"engine read path did not prune: plan references "
-                f"{opened} of {total} files for a 3-month range over "
-                "a shipdate-clustered table")
-        rows = result.collect()  # key-space-sized (<= 6 flag/status)
-        return spark.createDataFrame(rows, result.schema)
-    finally:
+        register_tables(spark, sf_dir)["lineitem"].select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_tbl")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_tbl",
+                               ["l_shipdate"])
+
+    table = f"{_cert_fixture('prune', sf_dir, _build)}/lineitem_tbl"
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("li_skip_tbl", table)
+    where = ("WHERE l_shipdate >= DATE '1996-03-01' "
+             "AND l_shipdate < DATE '1996-06-01'")
+    total = len(skipping._list_data_files(table))
+    result = eng.execute(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM li_skip_tbl {where}
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""").df
+    # certify against the EXECUTED PLAN: inputFiles() lists the
+    # files the scan references — unlike counting distinct
+    # input_file_name() rows (files that happened to contain
+    # matches), an unpruned scan cannot pass this
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_tbl" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"engine read path did not prune: plan references "
+            f"{opened} of {total} files for a 3-month range over "
+            "a shipdate-clustered table")
+    rows = result.collect()  # key-space-sized (<= 6 flag/status)
+    return spark.createDataFrame(rows, result.schema)
+
+
+_CERT_FIXTURES: dict[tuple, str] = {}
+
+
+def _cert_fixture(name: str, sf_dir: str, build) -> str:
+    """Memoized per-process fixture directory for the self-certifying
+    engine_*/kql_* queries: ``build(tmp)`` writes the clustered tables
+    + skipping stats ONCE per (name, sf_dir); re-runs reuse the dir, so
+    bench.py's min-of-N times the ENGINE (planning + pruned execution),
+    not tmpdir writes and stats builds (round-7 review nit). Dirs are
+    removed at process exit; a half-built dir never memoizes."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (name, os.path.abspath(sf_dir))
+    got = _CERT_FIXTURES.get(key)
+    if got is not None and os.path.isdir(got):
+        return got
+    tmp = tempfile.mkdtemp(prefix=f"{name}_")
+    try:
+        build(tmp)
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _CERT_FIXTURES[key] = tmp
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
 
 
 @query(
@@ -1079,51 +1106,48 @@ def engine_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     this free from DuckDB's planner on every CTE join, e.g.
     pkg/query/compliance/packs/cfi/ccc-storage/queries/
     bucket_deletion_protection.sql:66-69."""
-    import shutil
-    import tempfile
-
     from corkscrew_spark import skipping
     from corkscrew_spark.engine import QueryEngine
 
-    t = register_tables(spark, sf_dir)
-    li = t["lineitem"].select("l_orderkey", "l_quantity",
-                              "l_extendedprice", "l_shipdate")
-    orders = t["orders"].select("o_orderkey", "o_orderpriority")
-    tmp = tempfile.mkdtemp(prefix="prunej_")
-    fact = f"{tmp}/lineitem_fact"
-    dim = f"{tmp}/orders_dim"
-    try:
+    def _build(tmp: str) -> None:
+        t = register_tables(spark, sf_dir)
         # shipdate-clustered fact (the compact/zorder layout at scale);
         # the dim is small — Spark broadcasts it on its own
-        li.repartitionByRange(8, "l_shipdate").write.parquet(fact)
-        orders.coalesce(1).write.parquet(dim)
-        skipping.compute_stats(spark, fact, ["l_shipdate"])
-        eng = QueryEngine(spark, register_helpers=False)
-        eng.register_warehouse("li_fact", fact)
-        eng.register_warehouse("ord_dim", dim)
-        result = eng.execute("""
-            SELECT o.o_orderpriority,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
-                   ROUND(SUM(l.l_extendedprice), 2) AS revenue
-            FROM li_fact l JOIN ord_dim o
-              ON l.l_orderkey = o.o_orderkey
-            WHERE l.l_shipdate >= DATE '1996-03-01'
-              AND l.l_shipdate < DATE '1996-06-01'
-            GROUP BY o.o_orderpriority
-            ORDER BY o.o_orderpriority""").df
-        total = len(skipping._list_data_files(fact))
-        opened = len([f for f in result.inputFiles()
-                      if "lineitem_fact" in f])
-        if not 0 < opened < total:
-            raise RuntimeError(
-                f"fact scan under the join did not prune: plan "
-                f"references {opened} of {total} files for a 3-month "
-                "range over a shipdate-clustered fact table")
-        rows = result.collect()  # key-space-sized (5 priorities)
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        t["lineitem"].select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_fact")
+        t["orders"].select("o_orderkey", "o_orderpriority"
+                           ).coalesce(1).write.parquet(f"{tmp}/orders_dim")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_fact",
+                               ["l_shipdate"])
+
+    tmp = _cert_fixture("prunej", sf_dir, _build)
+    fact = f"{tmp}/lineitem_fact"
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("li_fact", fact)
+    eng.register_warehouse("ord_dim", f"{tmp}/orders_dim")
+    result = eng.execute("""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+               ROUND(SUM(l.l_extendedprice), 2) AS revenue
+        FROM li_fact l JOIN ord_dim o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= DATE '1996-03-01'
+          AND l.l_shipdate < DATE '1996-06-01'
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority""").df
+    total = len(skipping._list_data_files(fact))
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_fact" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"fact scan under the join did not prune: plan "
+            f"references {opened} of {total} files for a 3-month "
+            "range over a shipdate-clustered fact table")
+    rows = result.collect()  # key-space-sized (5 priorities)
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -1160,51 +1184,48 @@ def engine_pruned_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan references strictly fewer files than the table holds
     (DataFrame.inputFiles — the scan list itself, not a
     rows-that-matched proxy)."""
-    import shutil
-    import tempfile
-
     from corkscrew_spark import skipping
     from corkscrew_spark.engine import QueryEngine
 
-    li = register_tables(spark, sf_dir)["lineitem"].select(
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
-    tmp = tempfile.mkdtemp(prefix="prunec_")
-    table = f"{tmp}/lineitem_cte"
-    try:
-        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
-        skipping.compute_stats(spark, table, ["l_shipdate"])
-        eng = QueryEngine(spark, register_helpers=False)
-        eng.register_warehouse("li_cte", table)
-        result = eng.execute("""
-            WITH recent AS (
-                SELECT l_orderkey, l_quantity, l_extendedprice
-                FROM li_cte
-                WHERE l_shipdate >= DATE '1996-03-01'
-                  AND l_shipdate < DATE '1996-06-01'
-            ),
-            per_order AS (
-                SELECT l_orderkey, SUM(l_quantity) AS qty,
-                       SUM(l_extendedprice) AS spend
-                FROM recent GROUP BY l_orderkey
-            )
-            SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END
-                       AS status,
-                   CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   CAST(SUM(qty) AS BIGINT) AS total_qty,
-                   ROUND(SUM(spend), 2) AS total_spend
-            FROM per_order GROUP BY 1 ORDER BY status""").df
-        total = len(skipping._list_data_files(table))
-        opened = len([f for f in result.inputFiles()
-                      if "lineitem_cte" in f])
-        if not 0 < opened < total:
-            raise RuntimeError(
-                f"CTE-body scan did not prune: plan references "
-                f"{opened} of {total} files for a 3-month window over "
-                "a shipdate-clustered table")
-        rows = result.collect()  # 2-row status rollup
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _build(tmp: str) -> None:
+        register_tables(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_cte")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_cte",
+                               ["l_shipdate"])
+
+    table = f"{_cert_fixture('prunec', sf_dir, _build)}/lineitem_cte"
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("li_cte", table)
+    result = eng.execute("""
+        WITH recent AS (
+            SELECT l_orderkey, l_quantity, l_extendedprice
+            FROM li_cte
+            WHERE l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-06-01'
+        ),
+        per_order AS (
+            SELECT l_orderkey, SUM(l_quantity) AS qty,
+                   SUM(l_extendedprice) AS spend
+            FROM recent GROUP BY l_orderkey
+        )
+        SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END
+                   AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(qty) AS BIGINT) AS total_qty,
+               ROUND(SUM(spend), 2) AS total_spend
+        FROM per_order GROUP BY 1 ORDER BY status""").df
+    total = len(skipping._list_data_files(table))
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_cte" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"CTE-body scan did not prune: plan references "
+            f"{opened} of {total} files for a 3-month window over "
+            "a shipdate-clustered table")
+    rows = result.collect()  # 2-row status rollup
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -1230,51 +1251,134 @@ def engine_scan_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
     whatever the query needs); at 100 TB the estimate-then-refuse loop
     is what makes the skipping stats an OPERATIONAL control, not just
     an optimization."""
-    import shutil
-    import tempfile
+    import datetime as _dt
 
     from corkscrew_spark import skipping
     from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
 
-    li = register_tables(spark, sf_dir)["lineitem"].select(
-        "l_linestatus", "l_quantity", "l_shipdate")
-    tmp = tempfile.mkdtemp(prefix="gov_")
-    table = f"{tmp}/lineitem_gov"
-    try:
-        li.repartitionByRange(8, "l_shipdate").write.parquet(table)
-        skipping.compute_stats(spark, table, ["l_shipdate"])
-        import datetime as _dt
+    def _build(tmp: str) -> None:
+        register_tables(spark, sf_dir)["lineitem"].select(
+            "l_linestatus", "l_quantity", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_gov")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_gov",
+                               ["l_shipdate"])
 
-        preds = [("l_shipdate", ">=", _dt.date(1998, 9, 1))]
-        est = skipping.estimate_scan(table, preds)
-        if not 0 < est["bytes_kept"] < est["bytes_total"]:
-            raise RuntimeError(f"tail window not selective: {est}")
-        eng = QueryEngine(spark, register_helpers=False,
-                          max_scan_bytes=est["bytes_kept"] + 1)
-        eng.register_warehouse("li_gov", table)
+    table = f"{_cert_fixture('gov', sf_dir, _build)}/lineitem_gov"
+    preds = [("l_shipdate", ">=", _dt.date(1998, 9, 1))]
+    est = skipping.estimate_scan(table, preds)
+    if not 0 < est["bytes_kept"] < est["bytes_total"]:
+        raise RuntimeError(f"tail window not selective: {est}")
+    eng = QueryEngine(spark, register_helpers=False,
+                      max_scan_bytes=est["bytes_kept"] + 1)
+    eng.register_warehouse("li_gov", table)
+    try:
+        eng.execute("SELECT COUNT(*) FROM li_gov "
+                    "WHERE l_shipdate >= DATE '1992-01-01'")
+        raise RuntimeError(
+            "governor did not refuse the over-budget scan")
+    except ScanBudgetExceeded:
+        pass  # refused before any file opened — as designed
+    try:
+        eng.execute("SELECT COUNT(*) FROM li_gov")
+        raise RuntimeError(
+            "governor did not refuse the BARE full scan — the "
+            "no-conjunct bypass is back (round-7 review finding)")
+    except ScanBudgetExceeded:
+        pass  # full-scan estimate enforced even with no WHERE
+    result = eng.execute("""
+        SELECT l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        FROM li_gov WHERE l_shipdate >= DATE '1998-09-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus""").df
+    total = len(skipping._list_data_files(table))
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_gov" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"admitted query did not prune: {opened}/{total}")
+    rows = result.collect()  # <= 2 linestatus rows
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "kql_scan_governor",
+    oracle="""
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty
+    FROM (SELECT l_linestatus AS status,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(l_shipdate AS VARCHAR) AS ship_day
+          FROM lineitem) t
+    WHERE ship_day >= '1998-09-01'
+    GROUP BY status ORDER BY status
+    """,
+)
+def kql_scan_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control on the KQL surface, driver-hash-checked —
+    round-7's top brief item: ``kql_to_df_skipping(max_scan_bytes=…)``
+    estimates every table the pipeline actually reads from the SAME
+    skip plan the pruned read uses (one listing, never two) and
+    refuses before any file opens. The query RAISES unless (a) a wide
+    pipeline (leading where over the whole key range) is REFUSED, (b)
+    the bare no-where pipeline — the shape the old governor admitted —
+    is REFUSED at its full-scan estimate, and (c) a selective pipeline
+    runs under the same budget AND actually pruned (executed-plan
+    inputFiles certificate); it returns the selective rollup for the
+    oracle to recompute. Reference parity: the reference pushes KQL to
+    Azure Resource Graph, which enforces service-side quotas
+    (plugins/azure-provider/resource_graph.go:71-118); locally the
+    byte budget is that operational control."""
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import ScanBudgetExceeded
+    from corkscrew_spark.kql import kql_to_df_skipping
+
+    def _build(tmp: str) -> None:
+        # ship_day as an ISO string: KQL string comparisons mine into
+        # zone-map conjuncts with no timezone semantics in play
+        register_tables(spark, sf_dir)["lineitem"].select(
+            F.col("l_linestatus").alias("status"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.col("l_shipdate").cast("string").alias("ship_day")
+        ).repartitionByRange(8, "ship_day").write.parquet(
+            f"{tmp}/lineitem_kgov")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_kgov",
+                               ["ship_day"])
+
+    table = f"{_cert_fixture('kgov', sf_dir, _build)}/lineitem_kgov"
+    est = skipping.estimate_scan(table, [("ship_day", ">=", "1998-09-01")])
+    if not 0 < est["bytes_kept"] < est["bytes_total"]:
+        raise RuntimeError(f"tail window not selective: {est}")
+    budget = est["bytes_kept"] + 1
+    sel = ("Li | where ship_day >= '1998-09-01' "
+           "| summarize n=count(), sum_qty=sum(qty) by status "
+           "| order by status asc")
+    for wide in ("Li | where ship_day >= '1992-01-01' "
+                 "| summarize n=count() by status",
+                 "Li | summarize n=count() by status"):
         try:
-            eng.execute("SELECT COUNT(*) FROM li_gov "
-                        "WHERE l_shipdate >= DATE '1992-01-01'")
+            kql_to_df_skipping(spark, wide, {"Li": table},
+                               max_scan_bytes=budget)
             raise RuntimeError(
-                "governor did not refuse the over-budget scan")
+                f"KQL governor did not refuse over-budget pipeline: "
+                f"{wide!r}")
         except ScanBudgetExceeded:
             pass  # refused before any file opened — as designed
-        result = eng.execute("""
-            SELECT l_linestatus,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
-            FROM li_gov WHERE l_shipdate >= DATE '1998-09-01'
-            GROUP BY l_linestatus ORDER BY l_linestatus""").df
-        total = len(skipping._list_data_files(table))
-        opened = len([f for f in result.inputFiles()
-                      if "lineitem_gov" in f])
-        if not 0 < opened < total:
-            raise RuntimeError(
-                f"admitted query did not prune: {opened}/{total}")
-        rows = result.collect()  # <= 2 linestatus rows
-        return spark.createDataFrame(rows, result.schema)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    result = kql_to_df_skipping(spark, sel, {"Li": table},
+                                max_scan_bytes=budget)
+    total = len(skipping._list_data_files(table))
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_kgov" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"admitted KQL pipeline did not prune: {opened}/{total}")
+    out = result.select(
+        "status", F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("long").alias("sum_qty"))
+    rows = out.collect()  # <= 2 linestatus rows
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query(

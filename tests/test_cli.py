@@ -471,6 +471,38 @@ def test_query_max_scan_mb_governor(spark, tmp_path, capsys):
     assert "budget" in capsys.readouterr().err
 
 
+def test_kql_max_scan_mb_governor(spark, tmp_path, capsys):
+    """The kql verb carries the same admission control as query/serve
+    (round-7 review finding: the dashboard-facing surface was the one
+    the governor didn't guard): a selective pipeline under --max-scan-mb
+    runs, a wide one is refused with exit 2 before any file opens."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import cli, skipping
+
+    path = str(tmp_path / "ktbl")
+    spark.range(200_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).repartitionByRange(8, "k").write.parquet(path)  # multi-MB table
+    skipping.compute_stats(spark, path, ["k"])
+    assert cli.main(
+        ["kql", "wt | where k >= 199000 | count",
+         "--warehouse", f"wt={path}", "--format", "csv",
+         "--max-scan-mb", "2"]) == 0
+    assert capsys.readouterr().out.splitlines()[1] == "1000"
+    assert cli.main(
+        ["kql", "wt | where k >= 0 | count",
+         "--warehouse", f"wt={path}", "--format", "csv",
+         "--max-scan-mb", "2"]) == 2
+    assert "budget" in capsys.readouterr().err
+    # the bare full-table pipeline is refused too
+    assert cli.main(
+        ["kql", "wt | count", "--warehouse", f"wt={path}",
+         "--max-scan-mb", "2"]) == 2
+    assert "budget" in capsys.readouterr().err
+
+
 def test_stats_bloom_bits_auto(spark, tmp_path, capsys):
     """--bloom-bits auto sizes the bitmaps from the table's rows-per-
     file so dense files keep their FP target; explicit numbers pass
@@ -522,7 +554,13 @@ def test_query_estimate_flag(spark, tmp_path, capsys):
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     out = capsys.readouterr().out
     assert "2/8 files" in out and "union bound" in out
+    # a bare scan previews as the full scan the governor enforces on
     assert cli.main(["query", "SELECT COUNT(*) FROM wt",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    assert "wt: 8/8 files" in capsys.readouterr().out
+    # only a genuinely unattributable shape has nothing to preview
+    assert cli.main(["query",
+                     "SELECT COUNT(*) FROM wt a JOIN wt b ON a.k = b.k",
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     assert "no estimable" in capsys.readouterr().out
 

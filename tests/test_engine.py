@@ -634,11 +634,29 @@ class TestScanBudget:
         with pytest.raises(ScanBudgetExceeded):
             eng.execute_stream("SELECT k FROM bt WHERE k >= 0")
 
-    def test_unestimable_queries_pass(self, spark, table):
-        # no extractable conjuncts -> no estimate -> no enforcement
+    def test_bare_full_scan_is_refused(self, spark, table):
+        """A resolvable reference with NO extractable conjuncts — the
+        bare `SELECT * FROM big_table` — estimates at full scan and is
+        enforced (review finding: the most obviously over-budget query
+        used to bypass admission control entirely), while the same
+        shape under a big-enough budget runs."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
         eng = self._engine(spark, table, 1)
-        assert eng.execute("SELECT COUNT(*) AS n FROM bt"
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            eng.execute("SELECT COUNT(*) AS n FROM bt")
+        big = self._engine(spark, table, 10 ** 12)
+        assert big.execute("SELECT COUNT(*) AS n FROM bt"
                            ).rows()[0].n == 800
+
+    def test_unattributable_shapes_pass(self, spark, table):
+        # a self-join is excluded from attribution (one reference's
+        # predicate must not prune the other's rows), so no estimate
+        # exists and enforcement stays advisory — it runs
+        eng = self._engine(spark, table, 1)
+        assert eng.execute(
+            "SELECT COUNT(*) AS n FROM bt a JOIN bt b ON a.k = b.k "
+            "WHERE a.k >= 700").rows()[0].n == 100
         # and a ScanBudgetExceeded is a QueryValidationError, so API
         # servers surface it through the existing error envelope
         from corkscrew_spark.engine import (
@@ -733,15 +751,24 @@ def test_engine_estimate_scan(spark, tmp_path):
     assert e["fallback"] is None
     assert e["files_total"] == 8 and 0 < e["files_kept"] <= 2
     assert 0 < e["bytes_kept"] < e["bytes_total"]
-    # unattributable shapes estimate nothing
-    assert eng.estimate_scan("SELECT COUNT(*) FROM est") == {}
+    # a resolvable reference with no conjuncts reports the trivial
+    # full-scan estimate — exactly what the governor enforces on
+    bare = eng.estimate_scan("SELECT COUNT(*) FROM est")
+    assert bare["est"]["fallback"] is None
+    assert bare["est"]["files_kept"] == bare["est"]["files_total"] == 8
+    assert bare["est"]["bytes_kept"] == bare["est"]["bytes_total"] > 0
     # top-level ORs estimate through the DNF planner with a union bound
     dnf = eng.estimate_scan("SELECT * FROM est WHERE k < 50 OR k >= 750")
     assert dnf["est"]["files_kept"] == 2
     assert dnf["est"]["rows_est_upper"] == 200.0
-    # a bare unparsable disjunct still estimates nothing
+    # an unparsable disjunct can't prune, so the honest estimate is the
+    # full scan the read will actually perform
+    und = eng.estimate_scan(
+        "SELECT * FROM est WHERE k = 1 OR upper('x') = 'X'")
+    assert und["est"]["files_kept"] == und["est"]["files_total"] == 8
+    # a genuinely unattributable shape (self-join) estimates nothing
     assert eng.estimate_scan(
-        "SELECT * FROM est WHERE k = 1 OR upper('x') = 'X'") == {}
+        "SELECT COUNT(*) FROM est a JOIN est b ON a.k = b.k") == {}
 
 
 def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):

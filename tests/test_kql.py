@@ -571,8 +571,9 @@ def test_kql_or_where_prunes_as_dnf(spark, tmp_path, monkeypatch):
     skipping.compute_stats(spark, path, ["k"])
     seen = []
     real = skipping.read_skipping_any
-    monkeypatch.setattr(skipping, "read_skipping_any",
-                        lambda s, p, b: seen.append(b) or real(s, p, b))
+    monkeypatch.setattr(
+        skipping, "read_skipping_any",
+        lambda s, p, b, **kw: seen.append(b) or real(s, p, b, **kw))
     q = ("T | where v >= 0 | where k < 50 or (k >= 750 and v == 1) "
          "| summarize n=count() by v | order by v asc")
     got = kql_to_df_skipping(spark, q, {"T": path})
@@ -690,3 +691,107 @@ class TestKqlJoinSideSkipping:
         # the resolved source really was the FULL table
         assert len([f for f in got.inputFiles()
                     if "events_t" in f]) == 8
+
+
+class TestKqlScanBudget:
+    """Round-8: `kql_to_df_skipping(max_scan_bytes=…)` is the same
+    admission control as `QueryEngine(max_scan_bytes=…)` — the
+    metadata-only estimate of every table the pipeline actually reads
+    is checked BEFORE any file opens, the plan shared with the pruned
+    read (one listing, never two)."""
+
+    @pytest.fixture()
+    def table(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path / "bud_t")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartitionByRange(8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        return path
+
+    def test_selective_runs_pruned_wide_refused(self, spark, table):
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        est = skipping.estimate_scan(table, [("k", ">=", 700)])
+        budget = est["bytes_kept"] + 1
+        got = kql_to_df_skipping(
+            spark, "T | where k >= 700 | summarize n=count()",
+            {"T": table}, max_scan_bytes=budget)
+        assert got.first()["n"] == 100
+        assert 0 < len(got.inputFiles()) <= 2  # still pruned
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            kql_to_df_skipping(
+                spark, "T | where k >= 0 | summarize n=count()",
+                {"T": table}, max_scan_bytes=budget)
+
+    def test_bare_pipeline_refused_at_full_scan(self, spark, table):
+        """`BigTable | take 5` — no minable where — estimates at FULL
+        scan and is refused (the engine-side review finding applies to
+        the KQL surface identically)."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            kql_to_df_skipping(spark, "T | take 5", {"T": table},
+                               max_scan_bytes=1)
+        big = kql_to_df_skipping(spark, "T | take 5", {"T": table},
+                                 max_scan_bytes=10 ** 12)
+        assert big.count() == 5
+
+    def test_multi_reference_enforced_at_full_scan(self, spark, table):
+        """A twice-read table can't attribute either where, so each
+        read is a plain full scan — and the governor refuses it on
+        exactly that estimate."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        q = ("T | where k >= 700 | join kind=inner "
+             "(T | where k < 50 | project v, k2=k) on v | count")
+        with pytest.raises(ScanBudgetExceeded):
+            kql_to_df_skipping(spark, q, {"T": table}, max_scan_bytes=1)
+        assert kql_to_df_skipping(
+            spark, q, {"T": table},
+            max_scan_bytes=10 ** 12).first()["Count"] > 0
+
+    def test_opt_out_disables_pruning_not_governor(self, spark, table,
+                                                   monkeypatch):
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        with pytest.raises(ScanBudgetExceeded):
+            kql_to_df_skipping(
+                spark, "T | where k >= 700 | count", {"T": table},
+                max_scan_bytes=1)
+        # a big-enough budget admits it — and the read is PLAIN
+        got = kql_to_df_skipping(
+            spark, "T | where k >= 700 | count", {"T": table},
+            max_scan_bytes=10 ** 12)
+        assert got.first()["Count"] == 100
+        assert len(got.inputFiles()) == 8
+
+    def test_unreferenced_and_statless_tables_pass(self, spark, table,
+                                                   tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        # a warehouse entry the pipeline never reads costs nothing
+        got = kql_to_df_skipping(
+            spark, "T | where k >= 700 | count",
+            {"T": table, "Unused": table}, max_scan_bytes=10 ** 12)
+        assert got.first()["Count"] == 100
+        # a table without stats cannot be estimated: advisory-only,
+        # exactly like the engine governor
+        nostats = str(tmp_path / "nostats_t")
+        spark.range(50).select(F.col("id").alias("k")
+                               ).write.parquet(nostats)
+        got = kql_to_df_skipping(spark, "N | count", {"N": nostats},
+                                 max_scan_bytes=1)
+        assert got.first()["Count"] == 50
