@@ -295,14 +295,29 @@ class QueryEngine:
         statement for plain SELECTs; each CTE body plus the final query
         for WITH statements (the reference's compliance-pack shape,
         where DuckDB prunes inside CTE bodies), with the CTE names to
-        exclude from warehouse attribution (shadowing)."""
+        exclude from warehouse attribution (shadowing). A span
+        containing depth-1 DERIVED TABLES (``FROM (SELECT …) t``) is
+        replaced by those bodies — each a self-contained SELECT, same
+        soundness as CTE bodies. The enclosing text is dropped, not
+        kept alongside: its references are unextractable anyway (both
+        resolvers require exactly one FROM, and the derived body adds
+        one), and keeping it would nest spans — the rewrite splices
+        per-span edits back by offset, so spans MUST stay disjoint."""
         from corkscrew_spark import predicates as _pred
 
         segs = _pred.statement_segments(bound)
         if segs is None:
-            return [(0, len(bound))], frozenset()
-        spans, names = segs
-        return spans, frozenset(names)
+            spans, names = [(0, len(bound))], frozenset()
+        else:
+            spans, names = segs[0], frozenset(segs[1])
+        out: list[tuple[int, int]] = []
+        for start, end in spans:
+            sub = _pred.derived_table_spans(bound[start:end])
+            if sub:
+                out.extend((start + s, start + e) for s, e in sub)
+            else:
+                out.append((start, end))
+        return out, names
 
     def _segment_targets(self, bound: str, names: set | None = None,
                          include_bare: bool = False):

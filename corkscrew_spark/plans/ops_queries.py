@@ -1303,6 +1303,69 @@ def engine_scan_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_pruned_derived",
+    oracle="""
+    SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1996-03-01'
+            AND l_shipdate < DATE '1996-06-01'
+          GROUP BY l_orderkey) per_order
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def engine_pruned_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping inside DERIVED-TABLE bodies through the default
+    SQL path — `FROM (SELECT … WHERE …) t`, the other common way users
+    write the reference's compliance-pack shape (round-7 brief item 3;
+    DuckDB prunes these row groups for free, internal/db). The engine
+    splits depth-1 derived bodies into their own statement spans
+    (predicates.derived_table_spans), runs the extraction cascade per
+    span, and rewrites only the body's table reference to a pruned
+    one-statement view. RAISES unless the executed plan's fact scan
+    references strictly fewer files than the table holds
+    (DataFrame.inputFiles — the scan list itself). Shares the
+    engine_pruned_cte fixture (same clustered layout, memoized)."""
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine
+
+    def _build(tmp: str) -> None:
+        register_tables(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_cte")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_cte",
+                               ["l_shipdate"])
+
+    table = f"{_cert_fixture('prunec', sf_dir, _build)}/lineitem_cte"
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("li_dt", table)
+    result = eng.execute("""
+        SELECT CASE WHEN qty > 60 THEN 'REVIEW' ELSE 'PASS' END
+                   AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(qty) AS BIGINT) AS total_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS qty
+              FROM li_dt
+              WHERE l_shipdate >= DATE '1996-03-01'
+                AND l_shipdate < DATE '1996-06-01'
+              GROUP BY l_orderkey) per_order
+        GROUP BY 1 ORDER BY status""").df
+    total = len(skipping._list_data_files(table))
+    opened = len([f for f in result.inputFiles()
+                  if "lineitem_cte" in f])
+    if not 0 < opened < total:
+        raise RuntimeError(
+            f"derived-table scan did not prune: plan references "
+            f"{opened} of {total} files for a 3-month window over "
+            "a shipdate-clustered table")
+    rows = result.collect()  # 2-row status rollup
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
     "kql_scan_governor",
     oracle="""
     SELECT status,

@@ -696,6 +696,56 @@ def statement_segments(
     return segs, names
 
 
+def derived_table_spans(sql: str) -> list[tuple[int, int]]:
+    """Character spans of depth-1 DERIVED-TABLE bodies: a
+    parenthesized SELECT sitting in table position — directly after
+    ``FROM`` or ``JOIN`` at paren depth 0 — i.e. the
+    ``FROM (SELECT … WHERE …) t`` shape, the other common way users
+    write the reference's compliance-pack CTE pattern. Each body is a
+    self-contained SELECT, so the engine can run the same extraction
+    cascade on it that it runs on CTE bodies (identical soundness
+    argument: the full statement still executes on top, pruning can
+    only cost I/O). Depth-1 only — a derived table nested inside
+    another derived table is left to that body's own (un)parsability.
+    ``LATERAL (SELECT …)`` never matches (LATERAL sits between the
+    keyword and the paren), so correlated subqueries — whose rows
+    depend on outer columns — are structurally excluded. Empty list
+    when there are none or the text can't be tokenized/balanced."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return []
+    out: list[tuple[int, int]] = []
+    depth = 0
+    i, n = 0, len(toks)
+    while i < n:
+        k, v = toks[i]
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        elif (depth == 0 and k == "kw" and v in ("FROM", "JOIN")
+                and i + 2 < n and toks[i + 1] == ("punc", "(")
+                and toks[i + 2] == ("kw", "SELECT")):
+            d = 0
+            j = i + 1
+            while j < n:
+                if toks[j] == ("punc", "("):
+                    d += 1
+                elif toks[j] == ("punc", ")"):
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= n:
+                return []  # unbalanced parens: stand down entirely
+            out.append((spans[i + 1][1], spans[j][0]))
+            i = j + 1  # the whole body is skipped; depth unchanged
+            continue
+        i += 1
+    return out
+
+
 def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str | None:
     """Rewrite the depth-0 FROM/JOIN table references whose lower-cased
     name is a ``mapping`` key to the mapped view name, appending

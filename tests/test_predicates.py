@@ -480,6 +480,56 @@ class TestStatementSegments:
         assert segs is not None and segs[1] == {"recursive"}
 
 
+class TestDerivedTableSpans:
+    """derived_table_spans: depth-1 `FROM (SELECT …) t` bodies as
+    independently prunable spans — the non-CTE spelling of the
+    compliance-pack shape."""
+
+    def test_from_and_join_positions(self):
+        from corkscrew_spark.predicates import derived_table_spans
+
+        sql = ("SELECT * FROM (SELECT a FROM t WHERE k > 5) d "
+               "WHERE a > 1")
+        [s] = derived_table_spans(sql)
+        assert sql[slice(*s)].strip() == "SELECT a FROM t WHERE k > 5"
+        sql2 = ("SELECT * FROM big b JOIN "
+                "(SELECT x FROM dim WHERE v = 1) d ON b.x = d.x")
+        [s2] = derived_table_spans(sql2)
+        assert sql2[slice(*s2)].strip() == "SELECT x FROM dim WHERE v = 1"
+        # two derived tables: both spans, in order, disjoint
+        sql3 = ("SELECT * FROM (SELECT a FROM t WHERE k > 1) x JOIN "
+                "(SELECT b FROM u WHERE j < 2) y ON x.a = y.b")
+        got = derived_table_spans(sql3)
+        assert len(got) == 2 and got[0][1] <= got[1][0]
+
+    def test_non_table_subqueries_never_match(self):
+        from corkscrew_spark.predicates import derived_table_spans
+
+        assert derived_table_spans(
+            "SELECT * FROM t WHERE k IN (SELECT k FROM u)") == []
+        assert derived_table_spans(
+            "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM u)") == []
+        # LATERAL sits between the keyword and the paren: correlated
+        # subqueries are structurally excluded
+        assert derived_table_spans(
+            "SELECT * FROM t JOIN LATERAL (SELECT 1) x") == []
+        # scalar subquery in the SELECT list: not in table position
+        assert derived_table_spans(
+            "SELECT (SELECT max(k) FROM u) FROM t") == []
+        # unions/plain parens in table position don't start with SELECT
+        assert derived_table_spans(
+            "SELECT * FROM ((SELECT 1) UNION ALL (SELECT 2)) t") == []
+
+    def test_depth_one_only_and_unbalanced(self):
+        from corkscrew_spark.predicates import derived_table_spans
+
+        sql = ("SELECT * FROM (SELECT * FROM "
+               "(SELECT a FROM t WHERE k > 5) i) o")
+        [s] = derived_table_spans(sql)  # outer body only, whole
+        assert sql[slice(*s)].strip().startswith("SELECT * FROM (SELECT")
+        assert derived_table_spans("SELECT * FROM (SELECT a FROM t") == []
+
+
 class TestJoinChainTables:
     """join_chain_tables: INNER/LEFT chains with per-table prunability
     (preserved sides only); inner_join_tables stays inner-strict."""
