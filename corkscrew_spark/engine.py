@@ -193,6 +193,8 @@ class QueryEngine:
         self._warehouse: dict[str, str] = {}  # every registered dir
         self._warehouse_skip: set[str] = set()  # pruning-enabled names
         self._view_sig: dict[str, tuple | None] = {}  # freshness keys
+        self._listing_cache: dict[str, tuple] = {}  # path -> (sig, files)
+        self._snapshots: set[str] = set()  # per-statement __v entries
         self.max_scan_bytes = max_scan_bytes
         if register_helpers:
             register_json_helpers(spark, self_test=False)
@@ -211,7 +213,20 @@ class QueryEngine:
         conjuncts implied by the whole predicate — result identity with
         the plain view is structural, not statistical. Disable per
         table with ``skipping=False`` or globally with env
-        ``CORKSCREW_DATA_SKIPPING=0``."""
+        ``CORKSCREW_DATA_SKIPPING=0``.
+
+        Freshness contract (IN-REPO WRITERS ONLY): the per-query view
+        refresh and the file-listing cache are gated on ``_table_sig``
+        — top-dir (mtime_ns, inode) + ``_commits.jsonl`` identity —
+        which every write path IN THIS PACKAGE moves (directory swaps,
+        top-level appends, scoped merges with a commit-log line). An
+        out-of-band writer that drops files into an existing PARTITION
+        SUBDIRECTORY moves neither, and the engine would keep serving
+        the cached listing. Tables written by external jobs must
+        either touch the table dir / commit log, or run the engine
+        with env ``CORKSCREW_VIEW_SIG=0``, which restores the
+        refresh-every-query behavior (and disables the listing
+        cache)."""
         import os
 
         # sig BEFORE the read (same order as _refresh_warehouse_views):
@@ -254,6 +269,52 @@ class QueryEngine:
         except OSError:
             sig += [None, None]  # no log yet: dir identity still covers
         return tuple(sig)
+
+    def _cached_listing(self, path: str) -> list[str] | None:
+        """The table's data-file listing, cached per path and keyed on
+        the freshness signature: a governed/pruned query on an
+        UNCHANGED table costs two os.stats instead of an O(files)
+        directory walk per statement (round-7 review nit —
+        ``plan_skip`` re-listed on every call). Soundness is the view
+        refresh's argument verbatim: the sig is read BEFORE the walk
+        (a swap landing between them leaves an old sig behind a new
+        listing, forcing a refresh next query — never the reverse),
+        and an unchanged signature proves the listing current under
+        the in-repo-writers contract (``register_warehouse``). None —
+        let the planner walk for itself — when the signature is
+        unreadable or env ``CORKSCREW_VIEW_SIG=0`` opts out."""
+        import os
+
+        from corkscrew_spark import skipping as _skip
+
+        if os.environ.get("CORKSCREW_VIEW_SIG", "1") == "0":
+            return None
+        sig = self._table_sig(path)
+        if sig is None:
+            return None
+        got = self._listing_cache.get(path)
+        if got is not None and got[0] == sig:
+            return got[1]
+        files = _skip._list_data_files(path)
+        self._listing_cache[path] = (sig, files)
+        return files
+
+    def _gc_snapshots(self) -> None:
+        """Drop the time-travel registrations ``_resolve_time_travel``
+        accumulated: a long-lived server receiving arbitrary
+        VERSION/TIMESTAMP AS OF literals must not grow the warehouse
+        registry (each entry costs a regex search plus two os.stats in
+        every subsequent refresh) without bound. Called before each
+        statement resolves and after it executes; the snapshot temp
+        views themselves are recreated on every resolution, so only
+        the registry entries need collecting."""
+        for key in self._snapshots:
+            path = self._warehouse.pop(key, None)
+            self._view_sig.pop(key, None)
+            self._warehouse_skip.discard(key)
+            if path is not None:
+                self._listing_cache.pop(path, None)
+        self._snapshots.clear()
 
     def _warehouse_targets(self, bound: str,
                            exclude: frozenset | set = frozenset(),
@@ -417,11 +478,17 @@ class QueryEngine:
                         # AND-list (include_bare's full-scan case)
                         # plans as keep-everything — the estimate the
                         # bare `SELECT * FROM big` must be refused on.
+                        # The listing itself is sig-cached: an
+                        # unchanged table costs two os.stats, not an
+                        # O(files) walk per statement.
+                        files = self._cached_listing(path)
                         stats = _skip.load_stats(path)
-                        plan = (_skip.plan_skip(path, preds, stats=stats)
+                        plan = (_skip.plan_skip(path, preds,
+                                                stats=stats, files=files)
                                 if branches is None else
                                 _skip.plan_skip_any(path, branches,
-                                                    stats=stats))
+                                                    stats=stats,
+                                                    files=files))
                         if enforce:
                             est = (_skip.estimate_scan(
                                 path, preds, stats=stats, plan=plan)
@@ -549,6 +616,9 @@ class QueryEngine:
             self.spark.read.parquet(vdir).createOrReplaceTempView(view)
             self._warehouse[view.lower()] = vdir
             self._view_sig[view.lower()] = sig
+            self._snapshots.add(view.lower())  # statement-scoped:
+            # collected by _gc_snapshots so arbitrary as-of literals
+            # can't grow the registry without bound
             if os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0":
                 self._warehouse_skip.add(view.lower())
             return view
@@ -570,13 +640,20 @@ class QueryEngine:
         signature = always refresh. One os.stat pair per referenced
         table per query instead of a full listing; false-positive name
         mentions (the name inside a longer context) just stat
-        harmlessly."""
+        harmlessly. Env ``CORKSCREW_VIEW_SIG=0`` disables the
+        signature gate — refresh every query — for tables written by
+        jobs outside this package (see ``register_warehouse``'s
+        freshness contract)."""
+        import os
+
+        gate = os.environ.get("CORKSCREW_VIEW_SIG", "1") != "0"
         for name, path in self._warehouse.items():
             if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
                              rf"(?![A-Za-z0-9_])", bound, re.IGNORECASE):
                 continue
             sig = self._table_sig(path)
-            if sig is not None and sig == self._view_sig.get(name):
+            if gate and sig is not None \
+                    and sig == self._view_sig.get(name):
                 continue  # table unchanged: the cached view is current
             self.spark.read.parquet(path).createOrReplaceTempView(name)
             self._view_sig[name] = sig
@@ -605,11 +682,12 @@ class QueryEngine:
                 bound, {n for n in self._warehouse}, include_bare=True):
             for name, preds, branches in found:
                 try:
-                    est = (_skip.estimate_scan(
-                        self._warehouse[name.lower()], preds)
-                        if branches is None else
-                        _skip.estimate_scan_any(
-                            self._warehouse[name.lower()], branches))
+                    path = self._warehouse[name.lower()]
+                    files = self._cached_listing(path)
+                    est = (_skip.estimate_scan(path, preds, files=files)
+                           if branches is None else
+                           _skip.estimate_scan_any(path, branches,
+                                                   files=files))
                 except Exception:  # noqa: BLE001 — estimates are advisory
                     continue
                 prev = out.get(name.lower())
@@ -627,6 +705,10 @@ class QueryEngine:
         # _resolve_time_travel registers temp views — a rejected query
         # must mutate no session view state and do no I/O.
         validate_readonly(bound)
+        # the PREVIOUS statement's time-travel registrations are dead
+        # weight by now (execute() collects its own; a standalone
+        # validate leaves at most one statement's worth behind)
+        self._gc_snapshots()
         if self._warehouse:
             self._refresh_warehouse_views(bound)
         if self._versioned:
@@ -654,9 +736,13 @@ class QueryEngine:
             df = self.spark.sql(exec_sql)
         finally:
             # resolution happened at DataFrame creation; dropping the
-            # one-statement views leaks nothing into the session
+            # one-statement views leaks nothing into the session, and
+            # this statement's time-travel registry entries are no
+            # longer needed either (snapshot temp views are recreated
+            # on each resolution)
             for view in views:
                 self.spark.catalog.dropTempView(view)
+            self._gc_snapshots()
         return QueryResult(df=df, sql=bound, duration_s=time.perf_counter() - t0,
                            columns=list(df.columns))
 
@@ -672,6 +758,7 @@ class QueryEngine:
         finally:
             for view in views:
                 self.spark.catalog.dropTempView(view)
+            self._gc_snapshots()
 
     def _friendly(self, msg: str) -> str:
         if _TABLE_ERR_RE.search(msg):

@@ -1053,14 +1053,17 @@ def _plan(path: str, branches: list[list[tuple]],
 
 def estimate_scan(path: str, predicates: list[tuple],
                   stats: dict | None = None,
-                  plan: dict | None = None) -> dict:
+                  plan: dict | None = None,
+                  files: list[str] | None = None) -> dict:
     """Metadata-only scan-cost estimate for a predicate: how many
     files/bytes the pruned read will open vs the whole table, and the
     known row count behind the kept files (stale/unknown files have no
     trustworthy stats row count). The admission-control half of data
     skipping: a scheduler can refuse or re-cluster a query that would
     open 95% of a 100 TB table. Pass ``stats``/``plan`` from an earlier
-    call to avoid re-parsing and re-walking.
+    call to avoid re-parsing and re-walking; ``files`` as in
+    ``plan_skip`` (a caller-held CURRENT listing, used only when a
+    plan must be computed or the fallback needs the full list).
 
     Sizes come from the stats records (captured once at compute time),
     NOT a per-call filesystem walk: on a stats-fresh table the estimate
@@ -1069,10 +1072,10 @@ def estimate_scan(path: str, predicates: list[tuple],
     size is the one thing that may have changed."""
     stats = stats if stats is not None else load_stats(path)
     plan = plan if plan is not None else plan_skip(
-        path, predicates, stats=stats)
+        path, predicates, stats=stats, files=files)
     recs = (stats or {}).get("files", {})
     if plan["fallback"] is not None:
-        all_files = _list_data_files(path)
+        all_files = files if files is not None else _list_data_files(path)
         sized: set = set()
     else:
         # kept + pruned IS the current file listing plan_skip just
@@ -1166,15 +1169,17 @@ def read_skipping(spark: SparkSession, path: str,
 
 
 def plan_skip_any(path: str, branches: list[list[tuple]],
-                  stats: dict | None = None) -> dict:
+                  stats: dict | None = None,
+                  files: list[str] | None = None) -> dict:
     """Disjunctive (DNF) pruning: ``branches`` is an OR of AND-lists —
     a file is pruned only when EVERY branch provably misses it. Same
     result dict as ``plan_skip`` (which is the single-branch case of
     the same shared planner, so directory rollups, bloom rollups, and
-    the LTZ-zone guard behave identically in both)."""
+    the LTZ-zone guard behave identically in both). ``files`` as in
+    ``plan_skip``: a caller-held CURRENT listing, never a stale one."""
     for branch in branches:
         _validate_ops(branch)
-    return _plan(path, [list(b) for b in branches], stats)
+    return _plan(path, [list(b) for b in branches], stats, files=files)
 
 
 def predicate_filter_any(branches: list[list[tuple]]):
@@ -1208,7 +1213,8 @@ def read_skipping_any(spark: SparkSession, path: str,
 
 def estimate_scan_any(path: str, branches: list[list[tuple]],
                       stats: dict | None = None,
-                      plan: dict | None = None) -> dict:
+                      plan: dict | None = None,
+                      files: list[str] | None = None) -> dict:
     """DNF twin of ``estimate_scan``: files/bytes the disjunctive
     pruned read will open vs the whole table. A point matched-rows
     estimate is still omitted (``rows_est_matched`` = None) — branch
@@ -1227,9 +1233,9 @@ def estimate_scan_any(path: str, branches: list[list[tuple]],
     (stale/unknown) — a bound that silently under-counts is not a
     bound."""
     plan = plan if plan is not None else plan_skip_any(
-        path, branches, stats=stats)
+        path, branches, stats=stats, files=files)
     stats = stats if stats is not None else load_stats(path)
-    out = estimate_scan(path, [], stats=stats, plan=plan)
+    out = estimate_scan(path, [], stats=stats, plan=plan, files=files)
     out["rows_est_upper"] = None
     if out["fallback"] is not None or stats is None:
         return out

@@ -841,6 +841,97 @@ def test_engine_prunes_top_level_or(spark, tmp_path):
     assert eng._skipping_rewrite(bad) == (bad, [])
 
 
+def test_listing_cache_pinned_on_signature(spark, tmp_path, monkeypatch):
+    """Round-8: the file listing behind plan_skip is cached per table
+    keyed on the freshness signature — N governed queries on an
+    unchanged table pay ONE directory walk; any commit (here: a
+    merge_upsert swap) invalidates it; CORKSCREW_VIEW_SIG=0 opts out
+    entirely (external writers)."""
+    from corkscrew_spark import skipping, warehouse
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)],
+        "k long, v string, ts long"
+    ).repartitionByRange(4, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("lct", path)
+    walks = []
+    real = skipping._list_data_files
+    monkeypatch.setattr(skipping, "_list_data_files",
+                        lambda p: walks.append(p) or real(p))
+    for _ in range(3):
+        assert eng.execute("SELECT COUNT(*) AS n FROM lct WHERE k >= 90"
+                           ).rows()[0].n == 10
+    # one walk for the cache fill; nothing re-lists while unchanged
+    # (compute_stats already ran, so plan_skip's own path is the only
+    # consumer left)
+    assert len([w for w in walks if w == path]) == 1
+    warehouse.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(95, "x", 2)], "k long, v string, ts long"),
+        keys=["k"], order_col="ts")
+    skipping.compute_stats(spark, path, ["k"])
+    n = len([w for w in walks if w == path])
+    assert eng.execute("SELECT v FROM lct WHERE k = 95"
+                       ).rows()[0].v == "x"
+    assert len([w for w in walks if w == path]) > n  # invalidated
+    # env opt-out: every statement walks for itself
+    monkeypatch.setenv("CORKSCREW_VIEW_SIG", "0")
+    m = len([w for w in walks if w == path])
+    eng.execute("SELECT COUNT(*) AS n FROM lct WHERE k >= 90")
+    eng.execute("SELECT COUNT(*) AS n FROM lct WHERE k >= 90")
+    assert len([w for w in walks if w == path]) >= m + 2
+
+
+def test_view_sig_opt_out_refreshes_every_query(spark, tmp_path,
+                                                monkeypatch):
+    """CORKSCREW_VIEW_SIG=0 restores the refresh-every-query behavior
+    for tables written by jobs outside this package: an out-of-band
+    append into an existing partition subdirectory moves neither the
+    dir mtime nor the commit log, so only the opt-out sees it."""
+    import shutil
+
+    monkeypatch.setenv("CORKSCREW_VIEW_SIG", "0")
+    path = tmp_path / "tbl"
+    spark.createDataFrame([(1, "eu")], "k long, region string"
+                          ).write.partitionBy("region").parquet(str(path))
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("ext", str(path), skipping=False)
+    assert eng.execute("SELECT COUNT(*) AS n FROM ext").rows()[0].n == 1
+    # out-of-band writer: copy the existing part file INSIDE the
+    # partition dir (new file, same dir mtime semantics as a foreign
+    # job's direct write; the top dir and commit log never move)
+    part = path / "region=eu"
+    src = next(p for p in part.iterdir() if p.suffix == ".parquet")
+    shutil.copy(src, part / "part-foreign.parquet")
+    assert eng.execute("SELECT COUNT(*) AS n FROM ext").rows()[0].n == 2
+
+
+def test_time_travel_registry_bounded(spark, tmp_path):
+    """Arbitrary VERSION AS OF literals must not grow the warehouse
+    registry: snapshot registrations are statement-scoped, collected
+    after execution (round-7 advice: a long-lived server paid a regex
+    search + two os.stats per accumulated entry on every query)."""
+    from corkscrew_spark import versioned
+
+    p = str(tmp_path / "vt")
+    for ts in (1, 2, 3):
+        versioned.write_version(
+            spark.createDataFrame([(ts, "a", ts)],
+                                  "k long, v string, ts long"), p)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_versioned("vt", p)
+    base = len(eng._warehouse)
+    for v in (1, 2, 3, 1, 2):
+        got = eng.execute(
+            f"SELECT COUNT(*) AS n FROM vt VERSION AS OF {v}").rows()
+        assert got[0].n == 1
+        assert len(eng._warehouse) == base  # collected after execute
+    assert not eng._snapshots
+
+
 def test_engine_prunes_derived_table_body(spark, tmp_path):
     """Round-8: `FROM (SELECT … WHERE …) t` — the non-CTE spelling of
     the compliance-pack shape — prunes through the default SQL path:
