@@ -56,7 +56,8 @@ _DRIVER_RECORDED = frozenset({
     "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_prefix_exact", "dedup_simhash", "discount_effectiveness",
     "distinct_sketch_rollup", "dq_orphan_audit", "drift_detect",
-    "engine_param_binding", "engine_pruned_scan", "event_transition_matrix",
+    "engine_param_binding", "engine_pruned_cte", "engine_pruned_join",
+    "engine_pruned_scan", "engine_scan_governor", "event_transition_matrix",
     "filter_project_sort", "filter_range_limit", "fulfillment_latency",
     "funnel_steps", "fuzzy_match_parts", "graph_communities",
     "graph_degree_distribution", "graph_hits", "graph_khop",
@@ -130,56 +131,56 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
-    "engine_pruned_join",
-    "engine_pruned_cte",
-    "engine_scan_governor",
-    "text_redact",
-    "decontaminate",
-    "text_repetition",
-    "sample_mixture",
-    "corpus_stats",
-    "shuffle_order",
-    "ann_quantized_topk",
-    "token_quantiles_approx",
-    "boilerplate_removal",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "semdedup_embeddings",
-    "text_c4_filters",
-    "text_bigram_logprob",
-    "engine_param_binding",
-    "compliance_pack",
-    "drift_detect",
-    "impact_scoring",
-    "compliance_duckdb_pack",
-    "mv_expand_tokens",
-    "array_lambda_stats",
-    "levenshtein_suggest",
-    "change_query_builder",
-    "correlation_rules",
-    "multimodal_features",
-    "regional_revenue",
-    "order_priority_exists",
-    "state_checksum",
-    "rollup_segment_nation",
-    "change_history_timeline",
-    "approx_distinct_users",
-    "shipping_priority",
-    "customer_order_distribution",
-    "pivot_priority_status",
-    "unpivot_priority_status",
-    "window_rank_family",
-    "intersect_except_branches",
-    "moving_avg_frame",
-    "orders_above_cust_avg",
-    "cube_orders",
-    "percentile_exact",
-    "kql_events_rollup",
-    "kql_docs_tokens",
-    "kql_join_spend",
-    "kql_time_bins",
-    "kql_case_tiers",
-    "kql_arg_max_order",
+    "engine_pruned_derived",
+    "kql_scan_governor",
+    "kql_percentile_value",
+    "kql_bin_6h",
+    "kql_parse_props",
+    "kql_union_mix",
+    "kql_make_series_daily",
+    "asof_join_events",
+    "session_stats_30m",
+    "funnel_steps",
+    "retention_cohorts",
+    "activity_streaks",
+    "corpus_training_mix",
+    "dedup_exact_spans",
+    "sample_fixed_per_lang",
+    "source_token_kl",
+    "bigram_collocations_pmi",
+    "pack_sequences_sep",
+    "dedup_keep_longest",
+    "token_count_bpe",
+    "char_trigram_profile",
+    "ann_pq_topk",
+    "bpe_vocab_tokenize",
+    "sample_weighted_tokens",
+    "text_gopher_filters",
+    "text_classifier_score",
+    "chunk_windows",
+    "sample_by_quality",
+    "corpus_curation_full",
+    "langid_confusion",
+    "text_search_and",
+    "dedup_minhash_clusters",
+    "vocab_growth",
+    "zipf_slope",
+    "corpus_health_report",
+    "text_length_bands",
+    "change_anomaly_report",
+    "top_changed_resources",
+    "profile_orders",
+    "reconcile_snapshots",
+    "incremental_rollup",
+    "dq_orphan_audit",
+    "blast_radius",
+    "skew_profile_custkey",
+    "k_anonymity_audit",
+    "fuzzy_match_parts",
+    "resolve_entities",
+    "variant_json_agg",
+    "distinct_sketch_rollup",
+    "having_large_orders",
 )
 
 
