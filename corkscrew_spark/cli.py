@@ -81,24 +81,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         except QueryValidationError as ex:  # e.g. a missing :param
             print(f"error: {ex}", file=sys.stderr)
             return 2
-        if not est:
-            print("no estimable warehouse scan in this query "
-                  "(unregistered tables, no extractable conjuncts, "
-                  "or no stats)")
-            return 0
-        for name, e in sorted(est.items()):
-            if e["fallback"] is not None:
-                print(f"{name}: full scan ({e['fallback']})")
-                continue
-            tail = ""
-            if e.get("rows_est_matched") is not None:
-                tail = f", ~{e['rows_est_matched']:,} est. matches"
-            elif e.get("rows_est_upper") is not None:
-                tail = f", <={e['rows_est_upper']:,} rows (union bound)"
-            print(f"{name}: {e['files_kept']}/{e['files_total']} files, "
-                  f"{e['bytes_kept']:,}/{e['bytes_total']:,} bytes"
-                  + tail)
-        return 0
+        return _print_estimates(est)
     try:
         res = eng.execute(sql, _parse_params(args.param))
     except QueryValidationError as ex:
@@ -834,6 +817,14 @@ def cmd_kql(args: argparse.Namespace) -> int:
     if warehouse is None:
         return 2
     kql = args.kql if args.kql != "-" else sys.stdin.read()
+    if getattr(args, "estimate", False):
+        from corkscrew_spark.kql import kql_estimate_scan
+
+        try:
+            return _print_estimates(kql_estimate_scan(kql, warehouse))
+        except KqlError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+            return 2
     try:
         df = kql_to_df_skipping(spark, kql, warehouse, tables,
                                 max_scan_bytes=_scan_budget(args))
@@ -843,6 +834,30 @@ def cmd_kql(args: argparse.Namespace) -> int:
         print(f"error: {ex}", file=sys.stderr)
         return 2
     print(formatter.FORMATTERS[args.format](df, limit=args.limit))
+    return 0
+
+
+def _print_estimates(est: dict[str, dict]) -> int:
+    """Render a per-table scan-estimate dict (query --estimate and
+    kql --estimate share this — the two dry-run surfaces must read
+    identically)."""
+    if not est:
+        print("no estimable warehouse scan in this query "
+              "(unregistered tables, no extractable conjuncts, "
+              "or no stats)")
+        return 0
+    for name, e in sorted(est.items()):
+        if e["fallback"] is not None:
+            print(f"{name}: full scan ({e['fallback']})")
+            continue
+        tail = ""
+        if e.get("rows_est_matched") is not None:
+            tail = f", ~{e['rows_est_matched']:,} est. matches"
+        elif e.get("rows_est_upper") is not None:
+            tail = f", <={e['rows_est_upper']:,} rows (union bound)"
+        print(f"{name}: {e['files_kept']}/{e['files_total']} files, "
+              f"{e['bytes_kept']:,}/{e['bytes_total']:,} bytes"
+              + tail)
     return 0
 
 
@@ -989,6 +1004,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="admission control: refuse the pipeline when "
                          "its metadata-only scan estimate over a "
                          "--warehouse table exceeds this many MB")
+    kq.add_argument("--estimate", action="store_true",
+                    help="print the metadata-only scan estimate per "
+                         "--warehouse table instead of executing")
     kq.set_defaults(fn=cmd_kql)
 
     p = sub.add_parser("pack", help="compliance packs")

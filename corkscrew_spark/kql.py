@@ -1313,6 +1313,66 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def _warehouse_refs(query: str, warehouse: dict[str, str]):
+    """Per warehouse table: ``(name, path, n_refs, attributable,
+    preds, branches)`` — the ONE attribution pass shared by the
+    pruned-read path, the governor, and the dry-run estimator so what
+    executes can never drift from what is estimated or enforced.
+    ``attributable`` = the table is word-mentioned EXACTLY once in the
+    raw text AND parsed as exactly one pipeline reference, so its
+    leading-where conjuncts belong to that one read."""
+    refs: dict[str, list[list[str]]] = {}
+    for h, wheres in _pipeline_refs(query):
+        refs.setdefault(h, []).append(wheres)
+    out = []
+    for name, path in warehouse.items():
+        low = name.lower()
+        nrefs = refs.get(low, [])
+        mentions = len(re.findall(
+            rf"(?<!\w){re.escape(name)}(?!\w)", query, re.IGNORECASE))
+        attributable = mentions == 1 and len(nrefs) == 1
+        preds: list[tuple] = []
+        branches = None
+        if attributable:
+            preds, branches = _mine_wheres(nrefs[0])
+        out.append((name, path, len(nrefs), attributable, preds,
+                    branches))
+    return out
+
+
+def kql_estimate_scan(query: str, warehouse: dict[str, str]
+                      ) -> dict[str, dict]:
+    """Metadata-only scan estimate per warehouse table the pipeline
+    actually reads — the KQL twin of ``QueryEngine.estimate_scan``
+    (dry-run half of the admission loop; `kql --estimate` on the CLI).
+    Attributable tables estimate under their mined leading-where
+    conjuncts; multi-referenced or where-less tables report the
+    trivial full-scan estimate the governor would enforce on. Tables
+    the pipeline never reads, or without stats, are absent."""
+    from corkscrew_spark import skipping as _skip
+
+    if not _split_stages(query):
+        raise KqlError("KQL: empty query")
+    out: dict[str, dict] = {}
+    for name, path, nrefs, attributable, preds, branches \
+            in _warehouse_refs(query, warehouse):
+        if not nrefs:
+            continue
+        try:
+            if not attributable:
+                est = _skip.estimate_scan(path, [])
+            elif branches:
+                est = _skip.estimate_scan_any(
+                    path, [preds + b for b in branches] if preds
+                    else branches)
+            else:
+                est = _skip.estimate_scan(path, preds)
+        except Exception:  # noqa: BLE001 — estimates are advisory
+            continue
+        out[name.lower()] = est
+    return out
+
+
 def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                        tables: dict[str, DataFrame] | None = None,
                        max_scan_bytes: int | None = None
@@ -1369,21 +1429,8 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
             "KQL: table name(s) registered both as DataFrame and "
             f"warehouse directory: {sorted(clash)} — pass each name "
             "through exactly one of `tables`/`warehouse`")
-    refs: dict[str, list[list[str]]] = {}
-    for h, wheres in _pipeline_refs(query):
-        refs.setdefault(h, []).append(wheres)
-    for name, path in warehouse.items():
-        low = name.lower()
-        nrefs = refs.get(low, [])
-        mentions = len(re.findall(
-            rf"(?<!\w){re.escape(name)}(?!\w)", query, re.IGNORECASE))
-        # attribution soundness (independent of the pruning switch):
-        # the mined predicate belongs to THE one read of this table
-        attributable = mentions == 1 and len(nrefs) == 1
-        preds: list[tuple] = []
-        branches = None
-        if attributable:
-            preds, branches = _mine_wheres(nrefs[0])
+    for name, path, nrefs, attributable, preds, branches \
+            in _warehouse_refs(query, warehouse):
         eff = ([preds + b for b in branches] if preds else branches) \
             if branches else None
         stats = plan = None

@@ -501,6 +501,15 @@ def test_kql_max_scan_mb_governor(spark, tmp_path, capsys):
         ["kql", "wt | count", "--warehouse", f"wt={path}",
          "--max-scan-mb", "2"]) == 2
     assert "budget" in capsys.readouterr().err
+    # --estimate is the dry-run half, same rendering as the query verb
+    assert cli.main(
+        ["kql", "wt | where k >= 199000 | count",
+         "--warehouse", f"wt={path}", "--estimate"]) == 0
+    assert "wt: 1/8 files" in capsys.readouterr().out
+    assert cli.main(
+        ["kql", "wt | count", "--warehouse", f"wt={path}",
+         "--estimate"]) == 0
+    assert "wt: 8/8 files" in capsys.readouterr().out
 
 
 def test_stats_bloom_bits_auto(spark, tmp_path, capsys):

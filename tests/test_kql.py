@@ -776,6 +776,46 @@ class TestKqlScanBudget:
         assert got.first()["Count"] == 100
         assert len(got.inputFiles()) == 8
 
+    def test_kql_estimate_scan_dry_run(self, spark, table, tmp_path):
+        """kql_estimate_scan is the dry-run half: mined-predicate
+        estimate for attributable reads, full-scan estimate for bare
+        or multi-referenced ones, absent for unread/no-stats tables —
+        never saying 'will run' for a pipeline the governor refuses."""
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark.kql import KqlError, kql_estimate_scan
+
+        est = kql_estimate_scan("T | where k >= 700 | count",
+                                {"T": table})
+        e = est["t"]
+        assert e["fallback"] is None
+        assert 0 < e["files_kept"] < e["files_total"] == 8
+        # bare pipeline: trivial full-scan estimate
+        bare = kql_estimate_scan("T | take 5", {"T": table})["t"]
+        assert bare["files_kept"] == bare["files_total"] == 8
+        # multi-referenced: full scan too (no attribution)
+        multi = kql_estimate_scan(
+            "T | where k >= 700 | join kind=inner "
+            "(T | where k < 50 | project v, k2=k) on v | count",
+            {"T": table})["t"]
+        assert multi["files_kept"] == 8
+        # DNF leading where estimates through the union-bound path
+        dnf = kql_estimate_scan(
+            "T | where k < 50 or k >= 750 | count", {"T": table})["t"]
+        assert dnf["files_kept"] == 2
+        # unread and stats-less tables are absent
+        nostats = str(tmp_path / "ns_t")
+        spark.range(10).select(F.col("id").alias("k")
+                               ).write.parquet(nostats)
+        got = kql_estimate_scan("T | count",
+                                {"T": table, "U": nostats})
+        assert set(got) == {"t"}
+        ns = kql_estimate_scan("N | count", {"N": nostats})
+        assert ns["n"]["fallback"] is not None  # no stats: full scan
+        import pytest as _pytest
+        with _pytest.raises(KqlError, match="empty"):
+            kql_estimate_scan("", {"T": table})
+
     def test_unreferenced_and_statless_tables_pass(self, spark, table,
                                                    tmp_path):
         from pyspark.sql import functions as F
