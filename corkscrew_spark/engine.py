@@ -318,19 +318,26 @@ class QueryEngine:
 
     def _warehouse_targets(self, bound: str,
                            exclude: frozenset | set = frozenset(),
-                           names: set | None = None) -> list[tuple]:
-        """(name, alias, qualified_only) per PRUNING-ENABLED warehouse
-        table the query's shape lets us attribute conjuncts to — the
-        ONE implementation of the soundness-critical resolution shared
-        by the execution rewrite and estimate_scan: single-table
-        queries, or INNER/LEFT join chains where only the PRESERVED
-        tables prune (the right side of a LEFT join null-extends —
-        see predicates.join_chain_tables) and self-joined tables are
-        excluded entirely (one reference's predicate must not prune
-        the other's rows — counted over the WHOLE chain, prunable or
-        not, since both references share files). ``exclude`` drops
-        names shadowed in the current statement (CTE names shadow
-        registered views)."""
+                           names: set | None = None,
+                           include_unprunable: bool = False
+                           ) -> list[tuple]:
+        """(name, alias, qualified_only, prunable) per warehouse table
+        the query's shape lets us RESOLVE — the ONE implementation of
+        the soundness-critical resolution shared by the execution
+        rewrite, estimate_scan, and the governor: single-table
+        queries, or INNER/LEFT join chains. ``prunable`` is the
+        attribution verdict: only PRESERVED, once-referenced tables
+        may have conjuncts attributed (the right side of a LEFT join
+        null-extends — see predicates.join_chain_tables — and a
+        self-joined table's two references share files, so one
+        reference's predicate must not prune the other's rows).
+        Non-prunable chain members are still RESOLVED reads that will
+        scan their whole table; ``include_unprunable`` keeps them
+        (deduplicated, prunable=False) so the governor/estimator can
+        enforce their full-scan bytes — without it only prunable rows
+        return (the rewrite path has nothing to do with the others).
+        ``exclude`` drops names shadowed in the current statement
+        (CTE names shadow registered views)."""
         from collections import Counter
 
         from corkscrew_spark import predicates as _pred
@@ -339,16 +346,23 @@ class QueryEngine:
             names = self._warehouse_skip
         st = _pred.single_table(bound)
         if st is not None:
-            return ([(st[0], st[1], False)]
+            return ([(st[0], st[1], False, True)]
                     if st[0].lower() in names
                     and st[0].lower() not in exclude else [])
         tabs = _pred.join_chain_tables(bound) or []
         counts = Counter(t.lower() for t, _a, _p in tabs)
-        return [(t, a, True) for t, a, prunable in tabs
-                if prunable
-                and t.lower() in names
-                and t.lower() not in exclude
-                and counts[t.lower()] == 1]
+        out: list[tuple] = []
+        seen_bare: set[str] = set()
+        for t, a, prunable in tabs:
+            low = t.lower()
+            if low not in names or low in exclude:
+                continue
+            if prunable and counts[low] == 1:
+                out.append((t, a, True, True))
+            elif include_unprunable and low not in seen_bare:
+                seen_bare.add(low)
+                out.append((t, a, True, False))
+        return out
 
     def _statement_spans(self, bound: str) -> tuple[list[tuple[int, int]],
                                                     frozenset]:
@@ -398,17 +412,25 @@ class QueryEngine:
         with NO extractable conjuncts as ``(name, [], None)`` rows —
         the governor/estimator's full-scan case (an empty AND-list
         prunes nothing, so ``plan_skip`` yields the trivial
-        bytes_kept == bytes_total estimate); the rewrite path leaves
-        them out (nothing to prune). Segments with no resolvable
-        reference are skipped."""
+        bytes_kept == bytes_total estimate) — and additionally
+        resolves NON-PRUNABLE chain members (the right side of a LEFT
+        join, self-joined tables): attribution there is unsound but
+        the read is still a whole-table scan, so they surface as bare
+        rows too. Segments with no resolvable reference are
+        skipped."""
         from corkscrew_spark import predicates as _pred
 
         spans, exclude = self._statement_spans(bound)
         for start, end in spans:
             seg = bound[start:end]
             found: list[tuple] = []
-            for name, alias, qualified_only in self._warehouse_targets(
-                    seg, exclude, names):
+            for name, alias, qualified_only, prunable \
+                    in self._warehouse_targets(
+                        seg, exclude, names,
+                        include_unprunable=include_bare):
+                if not prunable:
+                    found.append((name, [], None))  # full-scan row
+                    continue
                 preds = _pred.extract_predicates(seg, name, alias,
                                                  qualified_only)
                 branches = None

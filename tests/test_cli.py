@@ -567,9 +567,15 @@ def test_query_estimate_flag(spark, tmp_path, capsys):
     assert cli.main(["query", "SELECT COUNT(*) FROM wt",
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     assert "wt: 8/8 files" in capsys.readouterr().out
-    # only a genuinely unattributable shape has nothing to preview
+    # a self-join previews its (deduplicated) full scan
     assert cli.main(["query",
                      "SELECT COUNT(*) FROM wt a JOIN wt b ON a.k = b.k",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    assert "wt: 8/8 files" in capsys.readouterr().out
+    # only a shape the resolvers reject wholesale has nothing to preview
+    assert cli.main(["query",
+                     "SELECT COUNT(*) FROM wt a RIGHT JOIN wt b "
+                     "ON a.k = b.k",
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     assert "no estimable" in capsys.readouterr().out
 

@@ -649,14 +649,50 @@ class TestScanBudget:
         assert big.execute("SELECT COUNT(*) AS n FROM bt"
                            ).rows()[0].n == 800
 
-    def test_unattributable_shapes_pass(self, spark, table):
-        # a self-join is excluded from attribution (one reference's
-        # predicate must not prune the other's rows), so no estimate
-        # exists and enforcement stays advisory — it runs
+    def test_self_join_and_left_right_side_enforced_full(self, spark,
+                                                         table,
+                                                         tmp_path):
+        """A self-joined table and the right side of a LEFT join can't
+        have conjuncts ATTRIBUTED (pruning would be unsound) — but the
+        read is still a whole-table scan, so the governor enforces
+        their full-scan estimate instead of waving them through."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
         eng = self._engine(spark, table, 1)
-        assert eng.execute(
+        with pytest.raises(ScanBudgetExceeded):
+            eng.execute(
+                "SELECT COUNT(*) AS n FROM bt a JOIN bt b ON a.k = b.k "
+                "WHERE a.k >= 700")
+        big = self._engine(spark, table, 10 ** 12)
+        assert big.execute(
             "SELECT COUNT(*) AS n FROM bt a JOIN bt b ON a.k = b.k "
             "WHERE a.k >= 700").rows()[0].n == 100
+        # LEFT join: the preserved side's pruned estimate fits the
+        # budget, but the null-extendable right side reads its WHOLE
+        # table — the governor must count that scan too
+        dim = str(tmp_path / "dim")
+        spark.range(800).selectExpr("id AS k", "id % 3 AS tier"
+                                    ).repartitionByRange(
+            8, "k").write.parquet(dim)
+        skipping.compute_stats(spark, dim, ["k"])
+        est = skipping.estimate_scan(table, [("k", ">=", 700)])
+        gov = self._engine(spark, table, est["bytes_kept"] + 1)
+        gov.register_warehouse("dimt", dim)
+        with pytest.raises(ScanBudgetExceeded, match="dimt"):
+            gov.execute(
+                "SELECT COUNT(*) AS n FROM bt a LEFT JOIN dimt d "
+                "ON a.k = d.k WHERE a.k >= 700")
+
+    def test_unattributable_shapes_pass(self, spark, table):
+        # a shape the resolvers reject wholesale (RIGHT joins
+        # null-extend earlier tables; comma joins are outside the
+        # accepted grammar) has no estimate — enforcement stays
+        # advisory and the query runs
+        eng = self._engine(spark, table, 1)
+        assert eng.execute(
+            "SELECT COUNT(*) AS n FROM bt a RIGHT JOIN bt b "
+            "ON a.k = b.k WHERE b.k >= 700").rows()[0].n == 100
         # and a ScanBudgetExceeded is a QueryValidationError, so API
         # servers surface it through the existing error envelope
         from corkscrew_spark.engine import (
@@ -766,9 +802,15 @@ def test_engine_estimate_scan(spark, tmp_path):
     und = eng.estimate_scan(
         "SELECT * FROM est WHERE k = 1 OR upper('x') = 'X'")
     assert und["est"]["files_kept"] == und["est"]["files_total"] == 8
-    # a genuinely unattributable shape (self-join) estimates nothing
+    # a self-join can't attribute conjuncts but still reads the whole
+    # table: one deduplicated full-scan estimate
+    sj = eng.estimate_scan(
+        "SELECT COUNT(*) FROM est a JOIN est b ON a.k = b.k")
+    assert sj["est"]["files_kept"] == sj["est"]["files_total"] == 8
+    # a shape the resolvers reject wholesale estimates nothing
     assert eng.estimate_scan(
-        "SELECT COUNT(*) FROM est a JOIN est b ON a.k = b.k") == {}
+        "SELECT COUNT(*) FROM est a RIGHT JOIN est b ON a.k = b.k"
+    ) == {}
 
 
 def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
