@@ -37,6 +37,19 @@ def main() -> None:
     # measure the plans, not session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Host-speed calibration: a FIXED CPU-bound job (identical across
+    # rounds and trees) timed min-of-3. Cross-round bench deltas divide
+    # by this anchor to separate host drift from code regressions —
+    # rounds 6 and 7 both burned adjudication time proving 20-30% suite
+    # swings were the machine; now the evidence is a recorded number.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(crc32(cast(id as string)))").collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     # min-of-N per query: first touch pays one-time whole-stage-codegen
     # compilation + file-footer reads; the min reflects the plan's actual
     # cost, which is what a long-running cluster session sees.
@@ -85,7 +98,8 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_detail.json"), "w") as fh:
         json.dump({"metric": "query_suite_wall", "value": total, "unit": "sec",
-                   "queries": timings, "scan": scan, "sf": sf}, fh)
+                   "queries": timings, "scan": scan, "sf": sf,
+                   "calib_sec": calib}, fh)
 
     # The driver keeps only the last 2000 chars of stdout and parses the
     # final line as JSON (BENCH_r02 came back "parsed": null when the full
@@ -98,7 +112,7 @@ def main() -> None:
         line = json.dumps(
             {"metric": "query_suite_wall", "value": total, "unit": "sec",
              "queries": trial, "scan": scan, "sf": sf,
-             "n_queries": len(timings)},
+             "calib_sec": calib, "n_queries": len(timings)},
             separators=(",", ":"),
         )
         if len(line) > 1500:
@@ -108,7 +122,7 @@ def main() -> None:
         json.dumps(
             {"metric": "query_suite_wall", "value": total, "unit": "sec",
              "queries": shown, "scan": scan, "sf": sf,
-             "n_queries": len(timings)},
+             "calib_sec": calib, "n_queries": len(timings)},
             separators=(",", ":"),
         )
     )
