@@ -17,6 +17,8 @@ reference's envelope semantics preserved exactly:
 
 Endpoints:
   POST /v1/query      {"query": sql, "params": {...}, "limit": n}
+  POST /v1/estimate   {"query": sql, "params": {...}} — metadata-only
+                      scan preview (the governor's dry-run half)
   GET  /v1/health
   GET  /v1/status
   GET  /v1/providers
@@ -106,6 +108,25 @@ class ApiServer:
             "row_count": len(out_rows),
             "execution_time_ms": duration_ms,
         }
+
+    def estimate_query(self, body: dict) -> tuple[int, dict]:
+        """POST /v1/estimate: the metadata-only scan preview — the
+        dry-run half of the admission loop over HTTP, so a scheduler
+        can ask 'what would this cost' before submitting (the governor
+        refuses on exactly these numbers). Zero data I/O: zone-map
+        walks over recorded per-file stats only."""
+        sql = body.get("query", "")
+        if not sql:
+            self._bump("error_count")
+            return 400, {"error": "query is required"}
+        try:
+            est = self.engine.estimate_scan(sql, body.get("params"))
+        except QueryValidationError as ex:
+            self._bump("error_count")
+            return 200, {"error": f"Estimate failed: {ex}"}
+        return 200, {"tables": est,
+                     "estimable": bool(est),
+                     "max_scan_bytes": self.engine.max_scan_bytes}
 
     def health_check(self) -> tuple[int, dict]:
         return 200, {
@@ -218,7 +239,7 @@ class ApiServer:
                 if self.path.startswith("/v1/grpc/"):
                     self._grpc_binary(self.path[len("/v1/grpc/"):])
                     return
-                if self.path != "/v1/query":
+                if self.path not in ("/v1/query", "/v1/estimate"):
                     api._bump("error_count")
                     self._send(404, {"error": f"no such endpoint: {self.path}"})
                     return
@@ -228,6 +249,9 @@ class ApiServer:
                 except (ValueError, json.JSONDecodeError):
                     api._bump("error_count")
                     self._send(400, {"error": "invalid JSON body"})
+                    return
+                if self.path == "/v1/estimate":
+                    self._send(*api.estimate_query(body))
                     return
                 self._send(*api.execute_query(body))
 

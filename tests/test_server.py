@@ -231,6 +231,47 @@ def test_concurrent_queries_see_consistent_views(spark, tmp_path):
         httpd.shutdown()
 
 
+def test_estimate_endpoint_dry_run(spark, tmp_path):
+    """POST /v1/estimate returns the metadata-only scan preview the
+    governor refuses on — the admission loop's dry-run over HTTP."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+
+    path = str(tmp_path / "tbl")
+    spark.range(800).select(F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    srv = ApiServer(spark, warehouse={"et": path},
+                    max_scan_bytes=123_456_789)
+    httpd = srv.make_http_server(port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        status, body = _post(f"{base}/v1/estimate", {
+            "query": "SELECT * FROM et WHERE k >= 700"})
+        assert status == 200 and body["estimable"]
+        e = body["tables"]["et"]
+        assert e["fallback"] is None
+        assert 0 < e["files_kept"] < e["files_total"] == 8
+        assert body["max_scan_bytes"] == 123_456_789
+        # a bare scan previews its full-scan cost (what the governor
+        # would enforce on)
+        status, body = _post(f"{base}/v1/estimate", {
+            "query": "SELECT * FROM et"})
+        assert status == 200
+        assert body["tables"]["et"]["files_kept"] == 8
+        # missing query -> 400; unattributable -> estimable false
+        status, body = _post(f"{base}/v1/estimate", {})
+        assert status == 400
+        status, body = _post(f"{base}/v1/estimate", {
+            "query": "SELECT 1"})
+        assert status == 200 and not body["estimable"]
+    finally:
+        httpd.shutdown()
+
+
 def test_scan_budget_surfaces_through_error_envelope(spark, tmp_path):
     """ApiServer(max_scan_bytes=...) refuses over-budget queries with
     the standard HTTP-200 error envelope (ScanBudgetExceeded is a
