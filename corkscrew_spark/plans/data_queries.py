@@ -837,10 +837,15 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # refinement from the deterministic seed is enough for blocking
         # quality, and it halves the training driver round-trips (same
         # trade ann_ivf_topk makes; operator default stays 2).
+        # nlist scales with the corpus (constant ~256-row expected
+        # cluster) so the within-cluster pair scan stays O(n), not
+        # O(n²/nlist) — at sf0.01/sf0.1 this still resolves to the
+        # historical 8, keeping recorded numbers comparable.
+        nlist = max(8, e.count() // 256)
         cents = _IVF_CENTROIDS[key] = similarity.ivf_centroids(
-            e, "vec_id", "embedding", nlist=8, iters=1
+            e, "vec_id", "embedding", nlist=nlist, iters=1
         )
-    res = dedup.semdedup_keep(e, "vec_id", "embedding", nlist=8, threshold=0.4,
+    res = dedup.semdedup_keep(e, "vec_id", "embedding", threshold=0.4,
                               centroids=cents)
     return (
         res.filter(~F.col("keep"))

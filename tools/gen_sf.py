@@ -55,9 +55,20 @@ SINGLE_COPY = ("region", "nation")
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
+#: similarity-bearing columns get a PER-REPLICA token transform
+#: (every word suffixed with the replica index) — verbatim replication
+#: would make every document/part-name have 9 exact clones, inflating
+#: near-dup pair counts ~quadratically (fuzzy join buckets, MinHash
+#: bands) in a way real 10x data never does; suffixing every token
+#: keeps each replica's shingle/gram profile distinct, so near-dup
+#: DENSITY per item stays what it was at sf0.1 and the similarity
+#: operators scale the way they would on a genuinely larger corpus.
+TEXT_PERTURB = {"documents": ("text",), "part": ("p_name",)}
+
 
 def replicate(df: DataFrame, shifts: list[tuple[str, int]],
-              replicas: int) -> DataFrame:
+              replicas: int, text_cols: tuple = (),
+              vec_cols: tuple = ()) -> DataFrame:
     """Union `replicas` copies of df, each copy's key columns offset by
     replica * stride. One narrow projection per replica — map-only."""
     parts = []
@@ -67,6 +78,24 @@ def replicate(df: DataFrame, shifts: list[tuple[str, int]],
             stride = next((s for c, s in shifts if c == name), None)
             if stride is not None and i > 0:
                 cols.append((F.col(name) + F.lit(i * stride))
+                            .cast(dict(df.dtypes)[name]).alias(name))
+            elif name in text_cols and i > 0:
+                cols.append(F.regexp_replace(
+                    F.col(name), r"(\w+)", "$1" + str(i)).alias(name))
+            elif name in vec_cols and i > 0:
+                # deterministic directional noise (~2-3% relative):
+                # identical vectors would give every point 9 exact
+                # twins — degenerate ties no real embedding set has;
+                # pure scaling is useless (cosine is scale-invariant)
+                def _noise_fn(rep):
+                    # PySpark counts EVERY parameter (defaults too)
+                    # when matching the higher-order-function arity, so
+                    # capture the replica index in a closure
+                    return lambda x, idx: (
+                        x + F.sin(idx.cast("double") * 0.7 + rep)
+                        .cast("float") * F.lit(0.03))
+
+                cols.append(F.transform(F.col(name), _noise_fn(i))
                             .cast(dict(df.dtypes)[name]).alias(name))
             else:
                 cols.append(F.col(name))
@@ -115,7 +144,15 @@ def main() -> None:
         dst = f"{args.out}/{t}.parquet"
         df = src_df[t]
         if t not in SINGLE_COPY:
-            df = replicate(df, per_table[t], args.replicas)
+            df = replicate(df, per_table[t], args.replicas,
+                           text_cols=TEXT_PERTURB.get(t, ()),
+                           vec_cols=("embedding",)
+                           if t == "embeddings" else ())
+            if t == "documents":
+                # keep the derived length column consistent with the
+                # perturbed text (quality filters read it)
+                df = df.withColumn("n_chars",
+                                   F.length("text").cast("long"))
         # ONE file per table, exactly the driver's layout — the loader
         # reads `{dir}/{name}.parquet` as a FILE (catalog._nanos_columns
         # footer-probes it with pyarrow); Spark still parallelizes the
