@@ -131,6 +131,7 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
+    "dedup_embedding_gemm",
     "engine_pruned_derived",
     "kql_scan_governor",
     "kql_percentile_value",
@@ -180,7 +181,6 @@ _WINDOW = (
     "resolve_entities",
     "variant_json_agg",
     "distinct_sketch_rollup",
-    "having_large_orders",
 )
 
 

@@ -360,7 +360,10 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
         F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt"))
     dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("na") * F.col("nb"))
+    # zero-norm vectors (padding rows, failed encoders) are similar to
+    # nothing: cosine 0, not an ANSI DIVIDE_BY_ZERO mid-job
+    cos = F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+                 ).otherwise(dot / (F.col("na") * F.col("nb")))
     return (
         a.repartition(P, "blk", "__salt")
         .join(b.repartition(P, "blk", "__salt"), ["blk", "__salt"])
@@ -368,6 +371,59 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
+                            block_col: str,
+                            threshold: float = 0.95) -> DataFrame:
+    """``embedding_near_dup`` executed as ONE matrix multiply per
+    block (`applyInPandas`, Arrow-batched numpy): normalize the
+    block's (n×d) matrix, take M·Mᵀ once, emit the upper-triangle
+    pairs above threshold — the execution shape the SemDeDup paper
+    uses per cluster. Identical pair set and 4-dp cosines to the
+    expression-tree variant; the BLAS kernel runs the per-pair
+    arithmetic 10-100× faster than Catalyst's interpreted
+    higher-order-function dot product, at the cost of one Arrow
+    transfer of each block.
+
+    Trade-offs vs the expression variant (which remains the default):
+    parallelism is one task per BLOCK (no salting — the GEMM wants the
+    whole block), and a block must fit in one executor's memory
+    (n×d vectors + the n×n similarity triangle; ~20k×64 floats ≈
+    3 GB peak — size blocks accordingly, e.g. semdedup_keep's
+    constant-cluster-size blocking). Prefer this variant when blocks
+    are mid-sized and plentiful; prefer the salted expression variant
+    for few huge blocks."""
+    import pandas as pd
+
+    out_schema = ("id_a long, id_b long, cosine double")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(block_col).alias("blk"), vec.alias("v"))
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        ids = pdf["id"].to_numpy()
+        m = np.vstack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: cosine 0, never dup
+        m = m / norms[:, None]
+        sim = m @ m.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = np.round(sim[ia, ib], 4) >= threshold
+        ia, ib = ia[keep], ib[keep]
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": np.round(sim[ia, ib], 4)})
+
+    return base.groupBy("blk").applyInPandas(_pairs, out_schema)
 
 
 def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,

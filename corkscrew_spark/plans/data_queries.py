@@ -112,6 +112,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_gemm",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME label-blocked near-dup pair set as
+    ``dedup_embedding_cosine``, executed as one BLAS matrix multiply
+    per block through ``applyInPandas`` (operators/dedup.
+    embedding_near_dup_gemm — the SemDeDup-paper per-cluster shape,
+    and the sanctioned Arrow path for dense vector math). Same oracle
+    as the expression-tree variant: a green row certifies the two
+    execution strategies agree pair-for-pair at 4-dp cosine."""
+    e = register_tables(spark, sf_dir)["embeddings"]
+    return (
+        dedup.embedding_near_dup_gemm(e, "vec_id", "embedding", "label",
+                                      threshold=0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
     SELECT query_id, neighbor_id, cosine, rank FROM (

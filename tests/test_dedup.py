@@ -82,6 +82,36 @@ def test_embedding_near_dup_planted(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_near_dup_gemm_matches_expression(spark):
+    """The per-block GEMM variant (applyInPandas) and the
+    expression-tree variant must produce the IDENTICAL pair set and
+    4-dp cosines — two physical strategies, one operator contract.
+    Checked on a deterministic 120-vector corpus with planted
+    near-dups, plus the singleton-block and zero-vector edges."""
+    import math
+
+    rows = []
+    for i in range(120):
+        base = [math.sin(0.1 * i + j) for j in range(8)]
+        rows.append((i, base, f"b{i % 5}"))
+        if i % 11 == 0:  # planted near-dup
+            rows.append((1000 + i, [x * 1.001 + 0.0005 for x in base],
+                         f"b{i % 5}"))
+    rows.append((5000, [0.0] * 8, "b0"))      # zero vector: never a dup
+    rows.append((5001, [1.0] * 8, "lonely"))  # singleton block
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    expr = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            dedup.embedding_near_dup(
+                df, "vec_id", "embedding", "label", 0.98).collect()}
+    gemm = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            dedup.embedding_near_dup_gemm(
+                df, "vec_id", "embedding", "label", 0.98).collect()}
+    assert set(expr) == set(gemm) and len(expr) >= 11
+    for k in expr:
+        assert abs(expr[k] - gemm[k]) <= 1e-4  # same 4-dp rounding
+
+
 def test_dup_clusters_components(spark):
     """Hand-built pair graph: {1-2, 2-3} one cluster, {7-9} another,
     singleton 5 absent; min id is the representative."""
