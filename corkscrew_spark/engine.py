@@ -307,14 +307,23 @@ class QueryEngine:
         every subsequent refresh) without bound. Called before each
         statement resolves and after it executes; the snapshot temp
         views themselves are recreated on every resolution, so only
-        the registry entries need collecting."""
-        for key in self._snapshots:
+        the registry entries need collecting.
+
+        Concurrency (the lock-free ApiServer runs statements in
+        parallel on one engine): a GC landing between another
+        statement's resolution and its rewrite removes only REGISTRY
+        entries — the snapshot temp view stays, so that statement
+        still reads correct rows, at worst unpruned. Iteration is over
+        a snapshot of the set with per-key discard, never a blanket
+        clear, so concurrently-added keys are left for their own
+        statement's GC."""
+        for key in list(self._snapshots):
             path = self._warehouse.pop(key, None)
             self._view_sig.pop(key, None)
             self._warehouse_skip.discard(key)
             if path is not None:
                 self._listing_cache.pop(path, None)
-        self._snapshots.clear()
+            self._snapshots.discard(key)
 
     def _warehouse_targets(self, bound: str,
                            exclude: frozenset | set = frozenset(),
@@ -669,7 +678,10 @@ class QueryEngine:
         import os
 
         gate = os.environ.get("CORKSCREW_VIEW_SIG", "1") != "0"
-        for name, path in self._warehouse.items():
+        # snapshot the registry: a concurrent statement's time-travel
+        # resolution/GC mutates the dict (lock-free server), and
+        # iterating the live dict would raise mid-query
+        for name, path in list(self._warehouse.items()):
             if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(name)}"
                              rf"(?![A-Za-z0-9_])", bound, re.IGNORECASE):
                 continue

@@ -951,6 +951,47 @@ def test_view_sig_opt_out_refreshes_every_query(spark, tmp_path,
     assert eng.execute("SELECT COUNT(*) AS n FROM ext").rows()[0].n == 2
 
 
+def test_concurrent_time_travel_correct_and_bounded(spark, tmp_path):
+    """The lock-free server runs statements in parallel on ONE engine:
+    a statement-scoped snapshot GC landing mid-flight for another
+    thread may cost that thread pruning, never rows — every concurrent
+    time-travel/warehouse query must return correct results with no
+    iteration/registry exceptions, and the registry must be collected
+    afterward."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from corkscrew_spark import skipping, versioned
+
+    vt = str(tmp_path / "vt")
+    for ts in (1, 2, 3):
+        versioned.write_version(
+            spark.createDataFrame([(k, ts) for k in range(ts * 10)],
+                                  "k long, ts long"), vt)
+    wt = str(tmp_path / "wt")
+    spark.range(800).selectExpr("id AS k").repartitionByRange(
+        8, "k").write.parquet(wt)
+    skipping.compute_stats(spark, wt, ["k"])
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_versioned("vt", vt)
+    eng.register_warehouse("wt", wt)
+
+    def run(i: int) -> tuple[int, int]:
+        v = (i % 3) + 1
+        if i % 2:
+            n = eng.execute(
+                f"SELECT COUNT(*) AS n FROM vt VERSION AS OF {v}"
+            ).rows()[0].n
+            return i, n - v * 10  # 0 when correct
+        n = eng.execute("SELECT COUNT(*) AS n FROM wt WHERE k >= 700"
+                        ).rows()[0].n
+        return i, n - 100
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(run, range(24)))
+    assert all(delta == 0 for _i, delta in results), results
+    assert not eng._snapshots  # collected after the last statement
+
+
 def test_time_travel_registry_bounded(spark, tmp_path):
     """Arbitrary VERSION AS OF literals must not grow the warehouse
     registry: snapshot registrations are statement-scoped, collected
