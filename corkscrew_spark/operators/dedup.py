@@ -430,7 +430,8 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
                   nlist: int | None = 16, threshold: float = 0.97,
                   train_iters: int = 2,
                   centroids: list[list[float]] | None = None,
-                  rows_per_cluster: int = 256) -> DataFrame:
+                  rows_per_cluster: int = 256,
+                  impl: str = "expr") -> DataFrame:
     """SemDeDup (semantic dedup over embeddings): k-means-cluster the
     corpus, find near-identical pairs *within* clusters only, keep one
     representative per duplicate component.
@@ -452,10 +453,20 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
     100 TB a fixed cluster count is the difference between a dedup
     pass and an all-pairs job.
 
+    ``impl`` picks the within-cluster pair-scan strategy: ``"expr"``
+    (default, Catalyst expression dot products — no Python workers)
+    or ``"gemm"`` (``embedding_near_dup_gemm`` — one BLAS multiply
+    per cluster via applyInPandas; same pair contract, much faster
+    per pair; constant-size clusters from ``nlist=None`` are exactly
+    the block shape it wants).
+
     Returns (id, cluster_id, keep): every corpus row appears; rows with
     no near-duplicate keep cluster_id = own id and keep = true.
     """
     from corkscrew_spark.operators import similarity
+
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
 
     if nlist is None:
         # footer-count only (aggregate pushdown); one tiny job
@@ -465,8 +476,10 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
     assigned = corpus.withColumn(
         "_semcid", similarity.assign_list(
             F.transform(F.col(vec_col), lambda x: x.cast("double")), cents))
-    pairs = embedding_near_dup(assigned, id_col, vec_col, "_semcid",
-                               threshold=threshold)
+    scan = (embedding_near_dup_gemm if impl == "gemm"
+            else embedding_near_dup)
+    pairs = scan(assigned, id_col, vec_col, "_semcid",
+                 threshold=threshold)
     comps = dup_clusters(pairs, "id_a", "id_b")
     return (
         corpus.select(F.col(id_col).alias("id"))
