@@ -473,9 +473,20 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
         nlist = max(8, corpus.count() // rows_per_cluster)
     cents = centroids if centroids is not None else similarity.ivf_centroids(
         corpus, id_col, vec_col, nlist=nlist, iters=train_iters)
-    assigned = corpus.withColumn(
-        "_semcid", similarity.assign_list(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents))
+    if impl == "gemm":
+        # constant cluster size means nlist ∝ n: the expression-tree
+        # assignment would be O(n·nlist·dim) interpreted terms — the
+        # Arrow GEMM assignment keeps the whole pass BLAS-side
+        # (assignment parity is exact up to float-reorder ties at
+        # cluster boundaries — blocking-only effect, same class as
+        # k-means seeding)
+        assigned = similarity.assign_pandas(corpus, vec_col, cents,
+                                            "_semcid")
+    else:
+        assigned = corpus.withColumn(
+            "_semcid", similarity.assign_list(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                cents))
     scan = (embedding_near_dup_gemm if impl == "gemm"
             else embedding_near_dup)
     pairs = scan(assigned, id_col, vec_col, "_semcid",

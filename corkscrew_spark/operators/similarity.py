@@ -230,6 +230,45 @@ def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
     return assign_col(vec, centroids_lit(centroids))
 
 
+def assign_pandas(df: DataFrame, vec_col: str,
+                  centroids: list[list[float]],
+                  out_col: str = "cid") -> DataFrame:
+    """Nearest-centroid assignment as a vectorized Arrow pass
+    (``mapInPandas`` + one numpy GEMM per batch) — the scale path when
+    ``nlist`` GROWS with the corpus. The expression-tree assignment
+    (``assign_list``) evaluates nlist × dim interpreted terms PER ROW,
+    so with nlist ∝ n (constant cluster size) the assignment pass is
+    O(n²·dim/const) — measured 4.8× wall at a 2× scale step. Here the
+    argmin over ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² is one (batch × nlist)
+    BLAS product; same nearest-centroid ids (shared-arithmetic ties
+    break toward the lower cid, matching assign_col's < comparison
+    order). Centroid lists up to a few thousand × dim travel inside
+    the serialized closure — kilobytes to low MB."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype="float64")
+    cnorm = (cents * cents).sum(axis=1)
+    # a FRESH StructType: StructType.add mutates in place, and
+    # df.schema hands back the live object — appending to it would
+    # corrupt the input frame's own column list
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, IntegerType())])
+
+    def _assign(batches):
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            # argmin over -2x·c + ‖c‖² (‖x‖² is constant per row);
+            # np.argmin takes the FIRST minimum -> lowest cid on ties,
+            # same as the expression comparator
+            d = m @ (-2.0 * cents.T) + cnorm
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmin(d, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_assign, schema)
+
+
 def probe_lists(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """The `nprobe` nearest centroid ids, closest first."""
     pairs = _dist_structs(vec, centroids_lit(centroids))

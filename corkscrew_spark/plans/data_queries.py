@@ -869,11 +869,20 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(n²/nlist) — at sf0.01/sf0.1 this still resolves to the
         # historical 8, keeping recorded numbers comparable.
         nlist = max(8, e.count() // 256)
+        # max_train: Lloyd refinement on a bounded deterministic
+        # sample (the FAISS practice) — training cost stays constant
+        # as the corpus grows; blocking quality needs the sample, not
+        # the population
         cents = _IVF_CENTROIDS[key] = similarity.ivf_centroids(
-            e, "vec_id", "embedding", nlist=nlist, iters=1
+            e, "vec_id", "embedding", nlist=nlist, iters=1,
+            max_train=max(4096, nlist * 32)
         )
+    # impl='gemm': with nlist ∝ corpus, BOTH the centroid assignment
+    # and the within-cluster pair scan must be BLAS-side or the pass
+    # is O(n²) in interpreted expression terms (measured 4.8× wall at
+    # a 2× scale step on the expression path)
     res = dedup.semdedup_keep(e, "vec_id", "embedding", threshold=0.4,
-                              centroids=cents)
+                              centroids=cents, impl="gemm")
     return (
         res.filter(~F.col("keep"))
         .select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("kept_id"))

@@ -80,8 +80,20 @@ def replicate(df: DataFrame, shifts: list[tuple[str, int]],
                 cols.append((F.col(name) + F.lit(i * stride))
                             .cast(dict(df.dtypes)[name]).alias(name))
             elif name in text_cols and i > 0:
+                # letters, one char per base-26 digit: numeric tags
+                # alias gram-wise across replicas ("…1" is a substring
+                # of "…19"), re-inflating posting lists at >10
+                # replicas; distinct letters keep each replica's
+                # suffix grams disjoint from every other's
+                tag = ""
+                k = i
+                while True:
+                    tag = chr(ord("a") + k % 26) + tag
+                    k //= 26
+                    if k == 0:
+                        break
                 cols.append(F.regexp_replace(
-                    F.col(name), r"(\w+)", "$1" + str(i)).alias(name))
+                    F.col(name), r"(\w+)", "$1" + tag).alias(name))
             elif name in vec_cols and i > 0:
                 # deterministic directional noise (~2-3% relative):
                 # identical vectors would give every point 9 exact
@@ -114,6 +126,9 @@ def main() -> None:
         ".benchdata", "sf1"))
     ap.add_argument("--replicas", type=int, default=10)
     args = ap.parse_args()
+    if not 1 <= args.replicas <= 26:
+        # >26 would need 2-letter tags, whose grams alias 1-letter ones
+        ap.error("--replicas must be in [1, 26]")
 
     spark = get_spark(app_name="gen-sf")
     spark.sparkContext.setLogLevel("ERROR")
