@@ -857,6 +857,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs). Returns only the dropped rows + their surviving
     representative."""
     e = register_tables(spark, sf_dir)["embeddings"]
+    n = e.count()  # footer-only (aggregate pushdown)
     key = (id(spark), sf_dir + "#semdedup")
     cents = _IVF_CENTROIDS.get(key)
     if cents is None:
@@ -868,7 +869,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cluster) so the within-cluster pair scan stays O(n), not
         # O(n²/nlist) — at sf0.01/sf0.1 this still resolves to the
         # historical 8, keeping recorded numbers comparable.
-        nlist = max(8, e.count() // 256)
+        nlist = max(8, n // 256)
         # max_train: Lloyd refinement on a bounded deterministic
         # sample (the FAISS practice) — training cost stays constant
         # as the corpus grows; blocking quality needs the sample, not
@@ -877,12 +878,17 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, "vec_id", "embedding", nlist=nlist, iters=1,
             max_train=max(4096, nlist * 32)
         )
-    # impl='gemm': with nlist ∝ corpus, BOTH the centroid assignment
-    # and the within-cluster pair scan must be BLAS-side or the pass
-    # is O(n²) in interpreted expression terms (measured 4.8× wall at
-    # a 2× scale step on the expression path)
+    # cost-based strategy pick: with nlist ∝ corpus, BOTH the centroid
+    # assignment and the within-cluster pair scan must be BLAS-side
+    # ('gemm') or the pass is O(n²) interpreted expression terms
+    # (measured 4.8× wall at a 2× scale step); below ~10k vectors the
+    # Python-worker spin-up costs more than it saves, so small corpora
+    # stay on the zero-Python expression path — the same call, two
+    # physical strategies, identical contract (cross-impl equality
+    # test in tests/test_corpus.py)
     res = dedup.semdedup_keep(e, "vec_id", "embedding", threshold=0.4,
-                              centroids=cents, impl="gemm")
+                              centroids=cents,
+                              impl="gemm" if n >= 10_000 else "expr")
     return (
         res.filter(~F.col("keep"))
         .select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("kept_id"))
