@@ -501,7 +501,26 @@ class QueryEngine:
                 mapping: dict[str, str] = {}
                 seg_views: list[str] = []
                 for name, preds, branches in found:
-                    path = self._warehouse[name.lower()]
+                    # .get(), not []: a concurrent statement's
+                    # _gc_snapshots() may pop a time-travel registry
+                    # entry between _segment_targets resolution and
+                    # this lookup — the documented contract is "at
+                    # worst unpruned" (the snapshot temp view still
+                    # exists), never a KeyError failing the statement
+                    path = self._warehouse.get(name.lower())
+                    if path is None:
+                        continue
+                    # the rewrite below only fires for pruning-enabled
+                    # tables with mined predicates; any OTHER read
+                    # executes as a plain full scan, so the governor
+                    # must estimate it as one (an empty AND-list plans
+                    # as keep-everything) — a budget between pruned
+                    # and full bytes must refuse a read that will not
+                    # actually be pruned
+                    will_prune = (name.lower() in self._warehouse_skip
+                                  and (bool(preds) or branches is not None))
+                    eff_preds = preds if will_prune else []
+                    eff_branches = branches if will_prune else None
                     try:
                         # plan ONCE: enforcement and the pruned read
                         # share it (a governed query must not pay the
@@ -514,18 +533,18 @@ class QueryEngine:
                         # O(files) walk per statement.
                         files = self._cached_listing(path)
                         stats = _skip.load_stats(path)
-                        plan = (_skip.plan_skip(path, preds,
+                        plan = (_skip.plan_skip(path, eff_preds,
                                                 stats=stats, files=files)
-                                if branches is None else
-                                _skip.plan_skip_any(path, branches,
+                                if eff_branches is None else
+                                _skip.plan_skip_any(path, eff_branches,
                                                     stats=stats,
                                                     files=files))
                         if enforce:
                             est = (_skip.estimate_scan(
-                                path, preds, stats=stats, plan=plan)
-                                if branches is None else
+                                path, eff_preds, stats=stats, plan=plan)
+                                if eff_branches is None else
                                 _skip.estimate_scan_any(
-                                    path, branches, stats=stats,
+                                    path, eff_branches, stats=stats,
                                     plan=plan))
                             if (est["fallback"] is None
                                     and est["bytes_kept"]
@@ -538,10 +557,8 @@ class QueryEngine:
                                     f"over the {self.max_scan_bytes:,}"
                                     "-byte budget; add a more selective"
                                     " predicate or re-cluster the table")
-                        if not preds and branches is None:
-                            continue  # bare scan: governed, no rewrite
-                        if name.lower() not in self._warehouse_skip:
-                            continue  # governed-only table: no rewrite
+                        if not will_prune:
+                            continue  # bare or governed-only: no rewrite
                         pruned = (_skip.read_skipping(
                             self.spark, path, preds,
                             stats=stats, plan=plan)
@@ -717,6 +734,12 @@ class QueryEngine:
             for name, preds, branches in found:
                 try:
                     path = self._warehouse[name.lower()]
+                    # the dry-run must report the scan that WILL
+                    # happen: a pruning-opted-out (or governed-only)
+                    # table reads plain, so its estimate is the full
+                    # scan even when conjuncts are minable
+                    if name.lower() not in self._warehouse_skip:
+                        preds, branches = [], None
                     files = self._cached_listing(path)
                     est = (_skip.estimate_scan(path, preds, files=files)
                            if branches is None else

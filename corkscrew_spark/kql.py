@@ -1346,20 +1346,26 @@ def kql_estimate_scan(query: str, warehouse: dict[str, str]
     actually reads — the KQL twin of ``QueryEngine.estimate_scan``
     (dry-run half of the admission loop; `kql --estimate` on the CLI).
     Attributable tables estimate under their mined leading-where
-    conjuncts; multi-referenced or where-less tables report the
-    trivial full-scan estimate the governor would enforce on. Tables
-    the pipeline never reads, or without stats, are absent."""
+    conjuncts; multi-referenced or where-less tables — and EVERY table
+    when pruning is opted out (``CORKSCREW_DATA_SKIPPING=0``: the read
+    will be a plain full scan, so the dry-run must report one) —
+    report the trivial full-scan estimate the governor would enforce
+    on. Tables the pipeline never reads, or without stats, are
+    absent."""
+    import os as _os
+
     from corkscrew_spark import skipping as _skip
 
     if not _split_stages(query):
         raise KqlError("KQL: empty query")
+    enabled = _os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0"
     out: dict[str, dict] = {}
     for name, path, nrefs, attributable, preds, branches \
             in _warehouse_refs(query, warehouse):
         if not nrefs:
             continue
         try:
-            if not attributable:
+            if not (enabled and attributable):
                 est = _skip.estimate_scan(path, [])
             elif branches:
                 est = _skip.estimate_scan_any(
@@ -1407,8 +1413,11 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     shape — is estimated at full scan, so the most obviously
     over-budget pipeline is the first one refused. Enforcement raises
     ``ScanBudgetExceeded`` and is NOT disarmed by the pruning opt-out
-    (estimation is pure metadata); tables without stats stay
-    advisory-only, matching the engine."""
+    (estimation is pure metadata) — and under the opt-out it enforces
+    on the FULL-scan estimate, because that is the read that will
+    actually execute (a budget between pruned and full bytes must
+    refuse it); tables without stats stay advisory-only, matching the
+    engine."""
     import os as _os
 
     from corkscrew_spark import skipping as _skip
@@ -1433,15 +1442,22 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
             in _warehouse_refs(query, warehouse):
         eff = ([preds + b for b in branches] if preds else branches) \
             if branches else None
+        # the pruned read below only fires when skipping is enabled
+        # AND the reference is attributable with mined predicates; any
+        # other read (opt-out included) executes as a plain full scan,
+        # so the governor must estimate it as one — a budget between
+        # pruned and full bytes must refuse a read that will not
+        # actually be pruned
+        will_prune = (enabled and attributable
+                      and bool(preds or branches))
         stats = plan = None
-        if nrefs and (enforce or (enabled and attributable
-                                  and (preds or branches))):
+        if nrefs and (enforce or will_prune):
             # plan ONCE: enforcement and the pruned read share it
             try:
                 stats = _skip.load_stats(path)
-                if not attributable:
-                    # multi-read / unattributable: each read is a
-                    # plain full scan — estimate it as one
+                if not will_prune:
+                    # full scan (multi-read, bare, or pruning opted
+                    # out): estimate it as one
                     plan = _skip.plan_skip(path, [], stats=stats)
                 elif eff is not None:
                     plan = _skip.plan_skip_any(path, eff, stats=stats)
@@ -1464,8 +1480,7 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                     f"files) — over the {max_scan_bytes:,}-byte "
                     "budget; add a more selective leading `where` "
                     "or re-cluster the table")
-        if (enabled and attributable and (preds or branches)
-                and plan is not None):
+        if will_prune and plan is not None:
             try:
                 if eff is not None:
                     resolved[name] = _skip.read_skipping_any(

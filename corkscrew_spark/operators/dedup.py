@@ -380,11 +380,14 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     block (`applyInPandas`, Arrow-batched numpy): normalize the
     block's (n×d) matrix, take M·Mᵀ once, emit the upper-triangle
     pairs above threshold — the execution shape the SemDeDup paper
-    uses per cluster. Identical pair set and 4-dp cosines to the
-    expression-tree variant; the BLAS kernel runs the per-pair
-    arithmetic 10-100× faster than Catalyst's interpreted
-    higher-order-function dot product, at the cost of one Arrow
-    transfer of each block.
+    uses per cluster. Same operator contract as the expression-tree
+    variant (any orderable id type; cosine computed in the same
+    dot/(|a|·|b|) order), matching its pair set and 4-dp cosines up
+    to last-ulp float-summation differences at the exact threshold
+    boundary (BLAS sums pairwise, Catalyst folds sequentially); the
+    BLAS kernel runs the per-pair arithmetic 10-100× faster than
+    Catalyst's interpreted higher-order-function dot product, at the
+    cost of one Arrow transfer of each block.
 
     Trade-offs vs the expression variant (which remains the default):
     parallelism is one task per BLOCK (no salting — the GEMM wants the
@@ -396,7 +399,12 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     for few huge blocks."""
     import pandas as pd
 
-    out_schema = ("id_a long, id_b long, cosine double")
+    # the pair-id columns carry whatever type the input id column has
+    # (long ids, string doc keys, …) — same contract as the expression
+    # variant, checked here instead of failing at Arrow conversion
+    # mid-job
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"),
                      F.col(block_col).alias("blk"), vec.alias("v"))
@@ -406,20 +414,25 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
 
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
         ids = pdf["id"].to_numpy()
         m = np.vstack(pdf["v"].to_numpy())
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: cosine 0, never dup
-        m = m / norms[:, None]
-        sim = m @ m.T
+        # dot / (norm_a * norm_b), the SAME arithmetic order as the
+        # expression variant's `dot / (na * nb)` — normalizing rows
+        # before the multiply computes (x/|x|)·(y/|y|), whose last-ulp
+        # differences can flip the 4-dp rounding exactly at the
+        # threshold boundary (BLAS pairwise summation inside the dot
+        # still differs from Catalyst's sequential fold, so boundary
+        # parity is near-certain, not bit-guaranteed)
+        sim = (m @ m.T) / np.outer(norms, norms)
         ia, ib = np.triu_indices(n, k=1)
         keep = np.round(sim[ia, ib], 4) >= threshold
         ia, ib = ia[keep], ib[keep]
         a, b = ids[ia], ids[ib]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        lo = np.where(a <= b, a, b)  # object-safe (string ids too)
+        hi = np.where(a <= b, b, a)
         return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "cosine": np.round(sim[ia, ib], 4)})
 

@@ -112,6 +112,26 @@ def test_embedding_near_dup_gemm_matches_expression(spark):
         assert abs(expr[k] - gemm[k]) <= 1e-4  # same 4-dp rounding
 
 
+def test_embedding_near_dup_gemm_string_ids(spark):
+    """The GEMM variant carries the INPUT id type through to the pair
+    columns — string doc keys must work identically to long ids, not
+    fail at Arrow conversion mid-job (r8 advisor finding), and
+    semdedup_keep(impl='gemm') inherits the fix."""
+    rows = [("doc-b", [1.0, 2.0, 3.0], "x"),
+            ("doc-a", [1.0, 2.0, 3.001], "x"),
+            ("doc-c", [9.0, -1.0, 0.5], "x"),
+            ("doc-d", [1.0, 2.0, 3.0], "y")]  # other block: no pair
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label string")
+    got = dedup.embedding_near_dup_gemm(
+        df, "vec_id", "embedding", "label", 0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("doc-a", "doc-b")]
+    assert got[0]["cosine"] >= 0.99
+    expr = dedup.embedding_near_dup(
+        df, "vec_id", "embedding", "label", 0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in expr} == {("doc-a", "doc-b")}
+
+
 def test_dup_clusters_components(spark):
     """Hand-built pair graph: {1-2, 2-3} one cluster, {7-9} another,
     singleton 5 absent; min id is the representative."""

@@ -649,6 +649,34 @@ class TestScanBudget:
         assert big.execute("SELECT COUNT(*) AS n FROM bt"
                            ).rows()[0].n == 800
 
+    def test_governed_only_table_enforced_at_full_scan(
+            self, spark, table, monkeypatch):
+        """A pruning-opted-out table (CORKSCREW_DATA_SKIPPING=0 at
+        registration) reads PLAIN, so the governor must enforce — and
+        estimate_scan must report — the full-scan bytes even when the
+        WHERE has minable conjuncts: a budget between the pruned and
+        full estimates refuses the query instead of admitting a scan
+        that will not actually be pruned (r8 advisor finding)."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        pruned = skipping.estimate_scan(table, [("k", ">=", 700)])
+        full = skipping.estimate_scan(table, [])
+        assert pruned["bytes_kept"] < full["bytes_kept"]
+        mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        q = "SELECT COUNT(*) AS n FROM bt WHERE k >= 700"
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        eng = self._engine(spark, table, mid)
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            eng.execute(q)
+        # the dry-run agrees with the admission verdict (full scan)
+        est = eng.estimate_scan(q)["bt"]
+        assert est["files_kept"] == est["files_total"]
+        monkeypatch.delenv("CORKSCREW_DATA_SKIPPING")
+        ok = self._engine(spark, table, mid)
+        assert ok.execute(q).rows()[0].n == 100  # pruned: admitted
+
     def test_self_join_and_left_right_side_enforced_full(self, spark,
                                                          table,
                                                          tmp_path):

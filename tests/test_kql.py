@@ -761,6 +761,7 @@ class TestKqlScanBudget:
 
     def test_opt_out_disables_pruning_not_governor(self, spark, table,
                                                    monkeypatch):
+        from corkscrew_spark import skipping
         from corkscrew_spark.engine import ScanBudgetExceeded
         from corkscrew_spark.kql import kql_to_df_skipping
 
@@ -775,6 +776,41 @@ class TestKqlScanBudget:
             max_scan_bytes=10 ** 12)
         assert got.first()["Count"] == 100
         assert len(got.inputFiles()) == 8
+
+    def test_opt_out_enforces_on_full_scan_estimate(self, spark, table,
+                                                    monkeypatch):
+        """With pruning opted out the read IS a full scan, so a budget
+        between the pruned and full estimates must REFUSE the pipeline
+        — the governor enforces on the scan that will actually run,
+        not the one pruning would have produced (r8 advisor finding:
+        the pruned estimate admitted exactly the '95%-of-100TB' scan
+        it claims to stop). With pruning back on, the same budget
+        admits the same pipeline, because the read then really is the
+        pruned one."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import (kql_estimate_scan,
+                                         kql_to_df_skipping)
+
+        pruned = skipping.estimate_scan(table, [("k", ">=", 700)])
+        full = skipping.estimate_scan(table, [])
+        assert pruned["bytes_kept"] < full["bytes_kept"]
+        mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        q = "T | where k >= 700 | count"
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "0")
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            kql_to_df_skipping(spark, q, {"T": table},
+                               max_scan_bytes=mid)
+        # the dry-run agrees with the admission verdict (full scan)
+        est = kql_estimate_scan(q, {"T": table})["t"]
+        assert est["files_kept"] == est["files_total"] == 8
+
+        monkeypatch.setenv("CORKSCREW_DATA_SKIPPING", "1")
+        got = kql_to_df_skipping(spark, q, {"T": table},
+                                 max_scan_bytes=mid)
+        assert got.first()["Count"] == 100
+        assert 0 < len(got.inputFiles()) < 8  # really pruned
 
     def test_kql_estimate_scan_dry_run(self, spark, table, tmp_path):
         """kql_estimate_scan is the dry-run half: mined-predicate
