@@ -410,18 +410,34 @@ class QueryEngine:
         executes can never drift from what it estimates or enforces
         (review finding): per statement segment, yield
         ``(start, end, seg_text, found)`` where ``found`` is
-        ``[(name, preds, branches), ...]`` — ``preds`` an AND-list, or
-        ``branches`` a DNF (a WHERE whose TOP level is an OR still
-        prunes when every disjunct contributes a conjunct: a file is
-        dropped only if ALL branches provably miss). ``names``
-        overrides which registered tables resolve (default: the
-        pruning-enabled set; the governor passes ALL registered
-        tables — admission control must not be disarmed by the
-        pruning opt-out). ``include_bare`` keeps resolvable references
-        with NO extractable conjuncts as ``(name, [], None)`` rows —
-        the governor/estimator's full-scan case (an empty AND-list
-        prunes nothing, so ``plan_skip`` yields the trivial
-        bytes_kept == bytes_total estimate) — and additionally
+        ``[(name, preds, branches, region), ...]`` — ``preds`` an
+        AND-list, or ``branches`` a DNF (a WHERE whose TOP level is an
+        OR still prunes when every disjunct contributes a conjunct: a
+        file is dropped only if ALL branches provably miss), and
+        ``region`` locates the reference for the rewrite: None for the
+        segment's enclosing statement, or the ``(start, end)``
+        character span (absolute in ``bound``) of the EXISTS/IN
+        SUBQUERY BODY it sits in; the trailing ``regions`` element is
+        the ``[(region, resolution_text)]`` list the rewrite needs to
+        compute reference edits against the SAME (masked) text this
+        cascade resolved. Subquery handling: each segment's
+        outermost ``EXISTS (SELECT …)`` / ``IN (SELECT …)`` ranges are
+        length-preservingly MASKED for the enclosing statement's own
+        resolution (siblings of the subquery conjunct still extract;
+        the enclosing table resolves and is governed), and each body —
+        a self-contained SELECT block whose result pruning-wrt-its-own-
+        WHERE provably preserves, however the outer predicate consumes
+        it — runs the same cascade as its own region (its nested
+        subqueries masked likewise; depth-1 bodies only, a deeper
+        body's tables stay unresolved exactly as the whole statement
+        did before). ``names`` overrides which registered tables
+        resolve (default: the pruning-enabled set; the governor passes
+        ALL registered tables — admission control must not be disarmed
+        by the pruning opt-out). ``include_bare`` keeps resolvable
+        references with NO extractable conjuncts as ``(name, [], None,
+        region)`` rows — the governor/estimator's full-scan case (an
+        empty AND-list prunes nothing, so ``plan_skip`` yields the
+        trivial bytes_kept == bytes_total estimate) — and additionally
         resolves NON-PRUNABLE chain members (the right side of a LEFT
         join, self-joined tables): attribution there is unsound but
         the read is still a whole-table scan, so they surface as bare
@@ -432,25 +448,44 @@ class QueryEngine:
         spans, exclude = self._statement_spans(bound)
         for start, end in spans:
             seg = bound[start:end]
+            subs = _pred.subquery_spans(seg)
+            # (region, text): region None = the enclosing statement
+            # (masked when it has subqueries), else the body's
+            # absolute span; each body is masked for ITS OWN nested
+            # subqueries so its table still resolves
+            regions: list[tuple[tuple[int, int] | None, str]] = []
+            if subs:
+                regions.append((None, _pred.mask_subqueries(
+                    seg, [(ms, me) for ms, _b, _e, me in subs])))
+                for _ms, bs, be, _me in subs:
+                    body = seg[bs:be]
+                    nested = _pred.subquery_spans(body)
+                    if nested:
+                        body = _pred.mask_subqueries(
+                            body, [(ms, me) for ms, _b, _e, me in nested])
+                    regions.append(((start + bs, start + be), body))
+            else:
+                regions.append((None, seg))
             found: list[tuple] = []
-            for name, alias, qualified_only, prunable \
-                    in self._warehouse_targets(
-                        seg, exclude, names,
-                        include_unprunable=include_bare):
-                if not prunable:
-                    found.append((name, [], None))  # full-scan row
-                    continue
-                preds = _pred.extract_predicates(seg, name, alias,
-                                                 qualified_only)
-                branches = None
-                if not preds:
-                    branches = _pred.extract_disjuncts(seg, name, alias,
-                                                       qualified_only)
-                    if not branches and not include_bare:
+            for region, text in regions:
+                for name, alias, qualified_only, prunable \
+                        in self._warehouse_targets(
+                            text, exclude, names,
+                            include_unprunable=include_bare):
+                    if not prunable:
+                        found.append((name, [], None, region))
                         continue
-                found.append((name, preds, branches))
+                    preds = _pred.extract_predicates(text, name, alias,
+                                                     qualified_only)
+                    branches = None
+                    if not preds:
+                        branches = _pred.extract_disjuncts(
+                            text, name, alias, qualified_only)
+                        if not branches and not include_bare:
+                            continue
+                    found.append((name, preds, branches, region))
             if found:
-                yield start, end, seg, found
+                yield start, end, seg, found, regions
 
     def _skipping_rewrite(self, bound: str) -> tuple[str, list[str]]:
         """When ``bound`` is a single-table query (or pure inner-join
@@ -496,11 +531,15 @@ class QueryEngine:
         views: list[str] = []
         edits: list[tuple[int, int, str]] = []
         try:
-            for start, end, seg, found in self._segment_targets(
+            for start, end, seg, found, regions in self._segment_targets(
                     bound, names, include_bare=enforce):
-                mapping: dict[str, str] = {}
-                seg_views: list[str] = []
-                for name, preds, branches in found:
+                texts = dict(regions)
+                # view mapping PER REGION: the same table pruned in the
+                # enclosing statement and inside a subquery body gets
+                # two independent views, each rewritten in its own text
+                mapping: dict[tuple | None, dict[str, str]] = {}
+                region_views: dict[tuple | None, list[str]] = {}
+                for name, preds, branches, region in found:
                     # .get(), not []: a concurrent statement's
                     # _gc_snapshots() may pop a time-travel registry
                     # entry between _segment_targets resolution and
@@ -510,17 +549,6 @@ class QueryEngine:
                     path = self._warehouse.get(name.lower())
                     if path is None:
                         continue
-                    # the rewrite below only fires for pruning-enabled
-                    # tables with mined predicates; any OTHER read
-                    # executes as a plain full scan, so the governor
-                    # must estimate it as one (an empty AND-list plans
-                    # as keep-everything) — a budget between pruned
-                    # and full bytes must refuse a read that will not
-                    # actually be pruned
-                    will_prune = (name.lower() in self._warehouse_skip
-                                  and (bool(preds) or branches is not None))
-                    eff_preds = preds if will_prune else []
-                    eff_branches = branches if will_prune else None
                     try:
                         # plan ONCE: enforcement and the pruned read
                         # share it (a governed query must not pay the
@@ -533,6 +561,41 @@ class QueryEngine:
                         # O(files) walk per statement.
                         files = self._cached_listing(path)
                         stats = _skip.load_stats(path)
+                        if region is not None and (preds or branches):
+                            # a subquery body may reference OUTER
+                            # columns UNQUALIFIED (correlated
+                            # subquery): attribute only columns the
+                            # zone maps record for this table — an
+                            # unknown column can't prune anyway, and
+                            # read_skipping's re-applied filter must
+                            # never name a column the table lacks
+                            known = {c.lower() for c in
+                                     ((stats or {}).get("types")
+                                      or (stats or {}).get("cols")
+                                      or ())}
+                            preds = [p for p in preds
+                                     if p[0].lower() in known]
+                            if branches is not None:
+                                branches = [[p for p in b
+                                             if p[0].lower() in known]
+                                            for b in branches]
+                                if any(not b for b in branches):
+                                    # an unconstrained disjunct matches
+                                    # anything: no pruning possible
+                                    branches = None
+                        # the rewrite below only fires for
+                        # pruning-enabled tables with mined
+                        # predicates; any OTHER read executes as a
+                        # plain full scan, so the governor must
+                        # estimate it as one (an empty AND-list plans
+                        # as keep-everything) — a budget between
+                        # pruned and full bytes must refuse a read
+                        # that will not actually be pruned
+                        will_prune = (
+                            name.lower() in self._warehouse_skip
+                            and (bool(preds) or branches is not None))
+                        eff_preds = preds if will_prune else []
+                        eff_branches = branches if will_prune else None
                         plan = (_skip.plan_skip(path, eff_preds,
                                                 stats=stats, files=files)
                                 if eff_branches is None else
@@ -572,22 +635,37 @@ class QueryEngine:
                         continue  # unreadable stats/files: plain view
                     view = f"{name}__skip_{next(_SKIP_SEQ)}"
                     pruned.createOrReplaceTempView(view)
-                    seg_views.append(view)
                     views.append(view)  # tracked NOW: a mid-segment
                     # ScanBudgetExceeded must clean these up too
-                    mapping[name.lower()] = view
+                    mapping.setdefault(region, {})[name.lower()] = view
+                    region_views.setdefault(region, []).append(view)
                 if not mapping:
                     continue
-                rewritten = _pred.rewrite_table_refs(seg, mapping)
-                if rewritten is None:
-                    # the targets resolver accepted the shape, so the
-                    # refs must be locatable; if not, never execute
-                    # against the pruned views
-                    for view in seg_views:
-                        self.spark.catalog.dropTempView(view)
-                        views.remove(view)
+                # reference edits are computed against each region's
+                # RESOLUTION text (the masked statement / the body) —
+                # masking is length-preserving, so outer-region offsets
+                # are valid in the original seg, and body offsets shift
+                # by the body's start
+                ref_edits: list[tuple[int, int, str]] = []
+                for region, m in mapping.items():
+                    sub = _pred.table_ref_edits(texts[region], m)
+                    if sub is None:
+                        # the targets resolver accepted the shape, so
+                        # the refs must be locatable; if not, never
+                        # execute against this region's pruned views
+                        for view in region_views[region]:
+                            self.spark.catalog.dropTempView(view)
+                            views.remove(view)
+                        continue
+                    off = 0 if region is None else region[0] - start
+                    ref_edits.extend(
+                        (s + off, e + off, r) for s, e, r in sub)
+                if not ref_edits:
                     continue
-                edits.append((start, end, rewritten))
+                new_seg = seg
+                for s, e, r in sorted(ref_edits, reverse=True):
+                    new_seg = new_seg[:s] + r + new_seg[e:]
+                edits.append((start, end, new_seg))
         except Exception:
             # ANY failure out of this loop (a refusal, or an unexpected
             # extraction/rewrite error in a later segment) must not
@@ -729,9 +807,9 @@ class QueryEngine:
         # resolve ALL registered tables, exactly as the governor does —
         # the dry-run must never say 'will run' for a query the
         # governor would refuse (pruning opt-outs still estimate)
-        for _start, _end, _seg, found in self._segment_targets(
+        for _start, _end, _seg, found, _regions in self._segment_targets(
                 bound, {n for n in self._warehouse}, include_bare=True):
-            for name, preds, branches in found:
+            for name, preds, branches, region in found:
                 try:
                     path = self._warehouse[name.lower()]
                     # the dry-run must report the scan that WILL
@@ -740,6 +818,23 @@ class QueryEngine:
                     # scan even when conjuncts are minable
                     if name.lower() not in self._warehouse_skip:
                         preds, branches = [], None
+                    elif region is not None and (preds or branches):
+                        # subquery-body rows: same stats-column vetting
+                        # as the governor (a correlated body's
+                        # unqualified OUTER columns never attribute),
+                        # so dry-run == enforcement verdict
+                        stats = _skip.load_stats(path)
+                        known = {c.lower() for c in
+                                 ((stats or {}).get("types")
+                                  or (stats or {}).get("cols") or ())}
+                        preds = [p for p in preds
+                                 if p[0].lower() in known]
+                        if branches is not None:
+                            branches = [[p for p in b
+                                         if p[0].lower() in known]
+                                        for b in branches]
+                            if any(not b for b in branches):
+                                branches = None
                     files = self._cached_listing(path)
                     est = (_skip.estimate_scan(path, preds, files=files)
                            if branches is None else

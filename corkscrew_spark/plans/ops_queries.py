@@ -1366,6 +1366,113 @@ def engine_pruned_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_pruned_exists",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-03-01'
+      AND o.o_orderdate < DATE '1996-06-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= DATE '1996-03-01'
+                    AND l.l_shipdate < DATE '1996-07-01')
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def engine_pruned_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping + admission control through EXISTS-subquery
+    bodies (round-8 verdict item 1 — the last statement shape where a
+    scan escaped both pruning and the byte-budget governor; the
+    compliance-pack idiom users write instead of the reference's
+    LEFT-JOIN-IS-NULL shape, e.g.
+    pkg/query/compliance/packs/cfi/ccc-storage/queries/
+    untrusted_kms_keys.sql:26-34). TPC-H Q4's shape: a date-windowed
+    orders scan correlated to a shipdate-windowed lineitem EXISTS.
+    The engine masks the subquery range so the OUTER statement still
+    resolves (its date conjuncts prune orders), and runs the body —
+    a self-contained SELECT whose result is preserved under pruning
+    w.r.t. its own WHERE — as its own region (its shipdate conjuncts
+    prune lineitem). RAISES unless BOTH executed scans reference
+    strictly fewer files than their tables hold, and unless a
+    governor armed between lineitem's pruned and full estimates
+    REFUSES the same statement with the body's date window removed
+    (a bare correlated body is a full scan and must be refused on
+    exactly that estimate)."""
+    import datetime as _dt
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
+
+    def _build(tmp: str) -> None:
+        tables = register_tables(spark, sf_dir)
+        tables["lineitem"].select(
+            "l_orderkey", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_ex")
+        tables["orders"].select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ).repartitionByRange(8, "o_orderdate").write.parquet(
+            f"{tmp}/orders_ex")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_ex",
+                               ["l_shipdate"])
+        skipping.compute_stats(spark, f"{tmp}/orders_ex",
+                               ["o_orderdate"])
+
+    tmp = _cert_fixture("prunee", sf_dir, _build)
+    li, orders = f"{tmp}/lineitem_ex", f"{tmp}/orders_ex"
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_warehouse("li_ex", li)
+    eng.register_warehouse("ord_ex", orders)
+    q = """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM ord_ex o
+        WHERE o.o_orderdate >= DATE '1996-03-01'
+          AND o.o_orderdate < DATE '1996-06-01'
+          AND EXISTS (SELECT 1 FROM li_ex l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= DATE '1996-03-01'
+                        AND l.l_shipdate < DATE '1996-07-01')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""
+    result = eng.execute(q).df
+    opened = result.inputFiles()
+    for label, path in (("EXISTS-body", li), ("outer", orders)):
+        total = len(skipping._list_data_files(path))
+        got = len([f for f in opened if path.split("/")[-1] in f])
+        if not 0 < got < total:
+            raise RuntimeError(
+                f"{label} scan did not prune: plan references "
+                f"{got} of {total} files for a dated window over "
+                "a date-clustered table")
+    # governor leg: a budget between lineitem's pruned and full
+    # estimates must refuse the window-less body (full scan)
+    pruned = skipping.estimate_scan(
+        li, [("l_shipdate", ">=", _dt.date(1996, 3, 1)),
+             ("l_shipdate", "<", _dt.date(1996, 7, 1))])
+    full = skipping.estimate_scan(li, [])
+    ord_full = skipping.estimate_scan(orders, [])
+    budget = max((pruned["bytes_kept"] + full["bytes_kept"]) // 2,
+                 ord_full["bytes_kept"] + 1)
+    gov = QueryEngine(spark, register_helpers=False,
+                      max_scan_bytes=budget)
+    gov.register_warehouse("li_ex", li)
+    gov.register_warehouse("ord_ex", orders)
+    try:
+        gov.execute("""
+            SELECT COUNT(*) AS n FROM ord_ex o
+            WHERE EXISTS (SELECT 1 FROM li_ex l
+                          WHERE l.l_orderkey = o.o_orderkey)""")
+        raise RuntimeError(
+            "governor admitted a bare EXISTS-body full scan — the "
+            "subquery bypass is back (round-8 verdict item 1)")
+    except ScanBudgetExceeded:
+        pass  # refused on the full-scan estimate before any file opened
+    rows = result.collect()  # <= 5 orderpriority rows
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
     "kql_scan_governor",
     oracle="""
     SELECT status,

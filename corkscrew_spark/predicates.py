@@ -765,6 +765,24 @@ def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str | None:
     followed by a real table reference. Callers must gate on them first;
     returns None when the text can't be tokenized or no reference was
     rewritten (treat as 'do not rewrite')."""
+    edits = table_ref_edits(sql, mapping)
+    if not edits:
+        return None
+    out = sql
+    for start, end, repl in reversed(edits):
+        out = out[:start] + repl + out[end:]
+    return out
+
+
+def table_ref_edits(sql: str, mapping: dict[str, str]
+                    ) -> list[tuple[int, int, str]] | None:
+    """The edit list behind ``rewrite_table_refs``: ``(start, end,
+    replacement)`` per rewritten depth-0 FROM/JOIN reference, offsets
+    into ``sql``. Exposed separately so the engine can compute edits
+    against a length-preserving MASKED copy of a statement (subquery
+    bodies blanked out) and splice them into the ORIGINAL text — the
+    masked copy shares every token offset outside the masked ranges,
+    and a depth-0 table ref can never sit inside one."""
     try:
         toks, spans = _tokens_spans(sql)
     except _Unparseable:
@@ -794,11 +812,71 @@ def rewrite_table_refs(sql: str, mapping: dict[str, str]) -> str | None:
         )
         repl = target if has_alias else f"{target} AS {toks[j][1]}"
         edits.append((spans[j][0], spans[j][1], repl))
-    if not edits:
-        return None
+    return edits or None
+
+
+def subquery_spans(sql: str) -> list[tuple[int, int, int, int]]:
+    """``(mask_start, body_start, body_end, mask_end)`` per OUTERMOST
+    ``EXISTS ( SELECT … )`` / ``IN ( SELECT … )`` subquery:
+    ``mask_start..mask_end`` covers the EXISTS/IN keyword through the
+    closing paren (the range ``mask_subqueries`` blanks so the
+    ENCLOSING statement parses as subquery-free), ``body_start..
+    body_end`` is the self-contained SELECT just inside the parens
+    (its own extractable span — the compliance-pack ``WHERE EXISTS
+    (SELECT 1 FROM big WHERE …)`` idiom carries the fact table's
+    selective predicates there). Outermost only: the scan jumps past
+    each body, so a nested subquery is reported by a ``subquery_spans``
+    call on THAT body's text, not here. A preceding NOT is left
+    outside the range on purpose — ``NOT <mask>`` is an unparseable
+    conjunct the splitters skip, exactly like the mask itself.
+    Scalar subqueries (a bare parenthesized SELECT with no EXISTS/IN
+    head) are NOT matched: their enclosing statement keeps its extra
+    FROM and the resolvers stand down, same as before. Empty list
+    when there are none or the text can't be tokenized/balanced."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return []
+    out: list[tuple[int, int, int, int]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        k, v = toks[i]
+        if (k == "kw" and v in ("EXISTS", "IN") and i + 2 < n
+                and toks[i + 1] == ("punc", "(")
+                and toks[i + 2] == ("kw", "SELECT")):
+            d = 0
+            j = i + 1
+            while j < n:
+                if toks[j] == ("punc", "("):
+                    d += 1
+                elif toks[j] == ("punc", ")"):
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if j >= n:
+                return []  # unbalanced parens: stand down entirely
+            out.append((spans[i][0], spans[i + 1][1],
+                        spans[j][0], spans[j][1]))
+            i = j + 1
+            continue
+        i += 1
+    return out
+
+
+def mask_subqueries(sql: str, ranges: list[tuple[int, int]]) -> str:
+    """Length-preserving blank-out of the given character ranges: each
+    becomes `` 0`` padded with spaces. The replacement tokenizes as a
+    bare numeric term, which ``_parse_term`` rejects — so the masked
+    subquery conjunct contributes nothing while its SIBLING conjuncts
+    still extract, and the resolvers no longer see the subquery's
+    FROM/EXISTS (which would otherwise stand them down). Length
+    preservation is the point: every token offset outside the masked
+    ranges is identical in masked and original text, so rewrite edits
+    computed on the mask splice cleanly into the original."""
     out = sql
-    for start, end, repl in reversed(edits):
-        out = out[:start] + repl + out[end:]
+    for s, e in ranges:
+        out = out[:s] + " 0" + " " * (e - s - 2) + out[e:]
     return out
 
 

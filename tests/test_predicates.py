@@ -577,3 +577,68 @@ class TestJoinChainTables:
             ("a", "x", True), ("b", "y", True), ("c", None, True)]
         assert inner_join_tables(sql) == [
             ("a", "x"), ("b", "y"), ("c", None)]
+
+
+class TestSubquerySpans:
+    """subquery_spans + mask_subqueries: the EXISTS/IN-subquery halves
+    of statement decomposition — the last statement shape (r8 verdict)
+    where a scan escaped both pruning and admission control."""
+
+    def test_exists_body_and_mask(self):
+        from corkscrew_spark.predicates import (extract_predicates,
+                                                mask_subqueries,
+                                                single_table,
+                                                subquery_spans)
+
+        sql = ("SELECT * FROM small s WHERE s.fk < 100 AND EXISTS "
+               "(SELECT 1 FROM big b WHERE b.k >= 700) AND s.v = 3")
+        [(ms, bs, be, me)] = subquery_spans(sql)
+        assert sql[bs:be].strip().startswith("SELECT 1 FROM big")
+        assert sql[ms:ms + 6] == "EXISTS" and sql[me - 1] == ")"
+        masked = mask_subqueries(sql, [(ms, me)])
+        assert len(masked) == len(sql)
+        # enclosing statement now resolves and keeps sibling conjuncts
+        assert single_table(masked) == ("small", "s")
+        got = extract_predicates(masked, "small", "s")
+        assert ("fk", "<", 100) in got and ("v", "=", 3) in got
+        # the body is its own single-table statement
+        assert single_table(sql[bs:be]) == ("big", "b")
+        assert extract_predicates(sql[bs:be], "big", "b") == [
+            ("k", ">=", 700)]
+
+    def test_in_select_and_not_exists(self):
+        from corkscrew_spark.predicates import (mask_subqueries,
+                                                single_table,
+                                                subquery_spans)
+
+        sql = ("SELECT * FROM t WHERE t.id IN "
+               "(SELECT uid FROM u WHERE tier = 1)")
+        [(ms, bs, be, me)] = subquery_spans(sql)
+        assert sql[ms:ms + 2] == "IN"
+        assert single_table(sql[bs:be]) == ("u", None)
+        # NOT stays outside the span: `NOT <mask>` is an unparseable
+        # conjunct the splitters skip
+        sql2 = ("SELECT * FROM t WHERE NOT EXISTS "
+                "(SELECT 1 FROM u WHERE u.x = 1) AND t.k > 5")
+        [(m2, b2, e2, x2)] = subquery_spans(sql2)
+        assert sql2[m2:m2 + 6] == "EXISTS"
+        masked = mask_subqueries(sql2, [(m2, x2)])
+        assert single_table(masked) == ("t", None)
+
+    def test_outermost_only_and_literal_in_list(self):
+        from corkscrew_spark.predicates import subquery_spans
+
+        # nested subquery: only the OUTER body is reported; the inner
+        # one belongs to a subquery_spans call on that body's text
+        sql = ("SELECT * FROM a WHERE EXISTS (SELECT 1 FROM b WHERE "
+               "EXISTS (SELECT 1 FROM c))")
+        [(_m, bs, be, _e)] = subquery_spans(sql)
+        inner = subquery_spans(sql[bs:be])
+        assert len(inner) == 1
+        assert sql[bs:be][inner[0][1]:inner[0][2]].startswith(
+            "SELECT 1 FROM c")
+        # IN over a literal list is NOT a subquery
+        assert subquery_spans("SELECT * FROM t WHERE k IN (1, 2)") == []
+        # unbalanced parens: stand down entirely
+        assert subquery_spans(
+            "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM b") == []
