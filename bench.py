@@ -99,7 +99,7 @@ def main() -> None:
                            "bench_detail.json"), "w") as fh:
         json.dump({"metric": "query_suite_wall", "value": total, "unit": "sec",
                    "queries": timings, "scan": scan, "sf": sf,
-                   "calib_sec": calib}, fh)
+                   "calib_sec": calib, "runs": runs}, fh)
 
     # The driver keeps only the last 2000 chars of stdout and parses the
     # final line as JSON (BENCH_r02 came back "parsed": null when the full
@@ -112,7 +112,7 @@ def main() -> None:
         line = json.dumps(
             {"metric": "query_suite_wall", "value": total, "unit": "sec",
              "queries": trial, "scan": scan, "sf": sf,
-             "calib_sec": calib, "n_queries": len(timings)},
+             "calib_sec": calib, "runs": runs, "n_queries": len(timings)},
             separators=(",", ":"),
         )
         if len(line) > 1500:
@@ -122,7 +122,7 @@ def main() -> None:
         json.dumps(
             {"metric": "query_suite_wall", "value": total, "unit": "sec",
              "queries": shown, "scan": scan, "sf": sf,
-             "calib_sec": calib, "n_queries": len(timings)},
+             "calib_sec": calib, "runs": runs, "n_queries": len(timings)},
             separators=(",", ":"),
         )
     )

@@ -84,11 +84,32 @@ def main() -> int:
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
 
+    # Calibration anchoring: when BOTH files carry the fixed CPU-job
+    # calib_sec, a flag whose CALIB-NORMALIZED delta is inside the band
+    # is host drift by construction (the whole machine moved, the code
+    # didn't) and is auto-dismissed — rounds 7 and 8 each spent a
+    # commit's worth of prose adjudicating these by hand. Warm
+    # re-timing still vets whatever survives normalization.
+    o_cal, n_cal = old.get("calib_sec"), new.get("calib_sec")
+    cal_ratio = (n_cal / o_cal) if o_cal and n_cal else None
+    if cal_ratio is not None:
+        print(f"calib: {o_cal}s -> {n_cal}s (host {cal_ratio:.3f}x; "
+              "flags are calib-normalized)")
     regressions = []
+    host_drift: list[tuple[str, float, float, float]] = []
     for name in sorted(set(oq) & set(nq)):
         a, b = oq[name], nq[name]
-        if b > a * args.threshold and b - a > 0.3:
-            regressions.append((name, a, b))
+        if not (b > a * args.threshold and b - a > 0.3):
+            continue
+        if cal_ratio is not None and cal_ratio > 1.0:
+            adj = b / cal_ratio
+            if not (adj > a * args.threshold and adj - a > 0.3):
+                host_drift.append((name, a, b, round(adj, 3)))
+                continue
+        regressions.append((name, a, b))
+    for name, a, b, adj in host_drift:
+        print(f"host drift {name}: {a}s -> {b}s "
+              f"(calib-normalized {adj}s — inside band, dismissed)")
     improvements = [
         (name, oq[name], nq[name])
         for name in sorted(set(oq) & set(nq))
@@ -167,7 +188,10 @@ def main() -> int:
     if not args.no_emit:
         common = sorted(set(oq) & set(nq))
         ratios = sorted(nq[n] / oq[n] for n in common if oq[n] > 0)
-        o_cal, n_cal = old.get("calib_sec"), new.get("calib_sec")
+        for name, a, b, adj in host_drift:
+            flag_records.append({"name": name, "old": a, "new": b,
+                                 "calib_normalized": adj,
+                                 "verdict": "host_drift"})
         new["compare"] = {
             "old_file": os.path.basename(args.old),
             "old_total": old["value"],
