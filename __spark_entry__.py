@@ -52,25 +52,26 @@ _DRIVER_RECORDED = frozenset({
     "cube_orders", "customer_order_distribution", "customer_rfm",
     "cusum_drift_days", "daily_activity_dense", "date_functions_family",
     "decay_weighted_value", "decontaminate", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact_spans", "dedup_keep_longest",
-    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_prefix_exact", "dedup_simhash", "discount_effectiveness",
-    "distinct_sketch_rollup", "dq_orphan_audit", "drift_detect",
-    "engine_param_binding", "engine_pruned_cte", "engine_pruned_join",
-    "engine_pruned_scan", "engine_scan_governor", "event_transition_matrix",
-    "filter_project_sort", "filter_range_limit", "fulfillment_latency",
-    "funnel_steps", "fuzzy_match_parts", "graph_communities",
-    "graph_degree_distribution", "graph_hits", "graph_khop",
-    "graph_khop_cte", "graph_pagerank", "graph_shortest_path",
-    "graph_summary", "graph_topo_levels", "graph_triangles",
-    "graph_weighted_sssp", "grouping_sets_orders", "having_large_orders",
-    "hourly_seasonality", "impact_scoring", "in_list_filter",
-    "incremental_refresh_equals_recompute", "incremental_rollup",
-    "intersect_except_branches", "interval_join_sessions", "iqr_outliers",
-    "json_extract_agg", "k_anonymity_audit", "kql_arg_max_order",
-    "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens", "kql_events_rollup",
-    "kql_join_spend", "kql_make_series_daily", "kql_mv_apply_tokens",
-    "kql_parse_props", "kql_percentile_value", "kql_pruned_pipeline",
+    "dedup_embedding_cosine", "dedup_embedding_gemm", "dedup_exact_spans",
+    "dedup_keep_longest", "dedup_minhash_clusters", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_prefix_exact", "dedup_simhash",
+    "discount_effectiveness", "distinct_sketch_rollup", "dq_orphan_audit",
+    "drift_detect", "engine_param_binding", "engine_pruned_cte",
+    "engine_pruned_derived", "engine_pruned_join", "engine_pruned_scan",
+    "engine_scan_governor", "event_transition_matrix", "filter_project_sort",
+    "filter_range_limit", "fulfillment_latency", "funnel_steps",
+    "fuzzy_match_parts", "graph_communities", "graph_degree_distribution",
+    "graph_hits", "graph_khop", "graph_khop_cte", "graph_pagerank",
+    "graph_shortest_path", "graph_summary", "graph_topo_levels",
+    "graph_triangles", "graph_weighted_sssp", "grouping_sets_orders",
+    "having_large_orders", "hourly_seasonality", "impact_scoring",
+    "in_list_filter", "incremental_refresh_equals_recompute",
+    "incremental_rollup", "intersect_except_branches",
+    "interval_join_sessions", "iqr_outliers", "json_extract_agg",
+    "k_anonymity_audit", "kql_arg_max_order", "kql_bin_6h", "kql_case_tiers",
+    "kql_docs_tokens", "kql_events_rollup", "kql_join_spend",
+    "kql_make_series_daily", "kql_mv_apply_tokens", "kql_parse_props",
+    "kql_percentile_value", "kql_pruned_pipeline", "kql_scan_governor",
     "kql_summarize", "kql_time_bins", "kql_union_mix", "langid_confusion",
     "left_join_histogram", "levenshtein_suggest", "like_filter",
     "linear_interpolate_value", "locf_gap_fill", "mad_outlier_bounds",
@@ -131,56 +132,56 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
-    "dedup_embedding_gemm",
-    "engine_pruned_derived",
-    "kql_scan_governor",
-    "kql_percentile_value",
-    "kql_bin_6h",
-    "kql_parse_props",
-    "kql_union_mix",
-    "kql_make_series_daily",
-    "asof_join_events",
-    "session_stats_30m",
-    "funnel_steps",
-    "retention_cohorts",
-    "activity_streaks",
-    "corpus_training_mix",
-    "dedup_exact_spans",
-    "sample_fixed_per_lang",
-    "source_token_kl",
-    "bigram_collocations_pmi",
-    "pack_sequences_sep",
-    "dedup_keep_longest",
-    "token_count_bpe",
-    "char_trigram_profile",
-    "ann_pq_topk",
-    "bpe_vocab_tokenize",
-    "sample_weighted_tokens",
-    "text_gopher_filters",
-    "text_classifier_score",
-    "chunk_windows",
-    "sample_by_quality",
-    "corpus_curation_full",
-    "langid_confusion",
-    "text_search_and",
-    "dedup_minhash_clusters",
-    "vocab_growth",
-    "zipf_slope",
-    "corpus_health_report",
-    "text_length_bands",
-    "change_anomaly_report",
-    "top_changed_resources",
-    "profile_orders",
-    "reconcile_snapshots",
-    "incremental_rollup",
-    "dq_orphan_audit",
-    "blast_radius",
-    "skew_profile_custkey",
-    "k_anonymity_audit",
-    "fuzzy_match_parts",
-    "resolve_entities",
-    "variant_json_agg",
-    "distinct_sketch_rollup",
+    "engine_pruned_exists",
+    "having_large_orders",
+    "returned_items_revenue",
+    "grouping_sets_orders",
+    "range_frame_weekly_sum",
+    "dedup_clusters",
+    "ann_ivfpq_topk",
+    "quality_threshold_sweep",
+    "mixture_rates_for_budget",
+    "incremental_refresh_equals_recompute",
+    "versioned_time_travel",
+    "retention_drop_effect",
+    "kql_summarize",
+    "paginate_offset",
+    "upsert_latest",
+    "sketch_weekly_distinct",
+    "value_regression",
+    "numeric_histogram",
+    "iqr_outliers",
+    "user_event_timeline",
+    "topk_with_ties",
+    "window_filtered_sum",
+    "date_functions_family",
+    "null_safe_join",
+    "locf_gap_fill",
+    "decay_weighted_value",
+    "ordered_listagg",
+    "bitwise_flag_rollup",
+    "ntile_price_bins",
+    "rolling_zscore_anomalies",
+    "user_event_entropy",
+    "chi2_lang_source",
+    "fulfillment_latency",
+    "top_selling_parts",
+    "basket_part_pairs",
+    "mad_outlier_bounds",
+    "customer_rfm",
+    "region_revenue_share",
+    "discount_effectiveness",
+    "supplier_reliability",
+    "kql_mv_apply_tokens",
+    "interval_join_sessions",
+    "daily_activity_dense",
+    "asof_forward_next_purchase",
+    "state_as_of",
+    "event_transition_matrix",
+    "linear_interpolate_value",
+    "ohlc_hourly",
+    "seasonal_anomaly_days",
+    "sequence_spans",
 )
 
 

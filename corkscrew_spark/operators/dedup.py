@@ -16,6 +16,8 @@ Strategies:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -321,7 +323,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
                        block_col: str, threshold: float = 0.95,
-                       salt: int = 4) -> DataFrame:
+                       salt: int = 4,
+                       max_block_pairs: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine similarity, blocked on ``block_col``
     (a cluster/label/LSH-bucket key): all-pairs only *within* blocks.
 
@@ -342,7 +345,25 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
     build-side shuffle 4x), raise it for corpora with very few
     blocks. Measured at a 10x scale step: the label-blocked pair scan
     went 273 s → seconds once the work actually spread across the
-    executor threads."""
+    executor threads.
+
+    Scale GUARDRAIL: blocking only bounds the pair scan if the block
+    key's cardinality grows with the corpus. A fixed-cardinality key
+    (a handful of labels) is a documented quadratic trap — measured
+    14.5× wall at a 10× decade step — and at 100 TB a one-label
+    corpus would silently attempt ~n²/2 dot products. The plan
+    therefore embeds a lazy per-block pair budget: if any block's
+    n·(n-1)/2 exceeds ``max_block_pairs`` (default
+    ``CORKSCREW_EMB_BLOCK_PAIR_BUDGET`` env, 100M pairs), the job
+    fails fast at the first scanned row of the offending block with a
+    message pointing at the scale path (``semdedup_keep``, whose
+    k-means blocking has constant expected cluster size at any corpus
+    size). The check is a broadcast of per-block counts — no extra
+    driver job, and the count subtree scans only the block column.
+    Pass ``max_block_pairs=0`` to disable."""
+    if max_block_pairs is None:
+        max_block_pairs = int(os.environ.get(
+            "CORKSCREW_EMB_BLOCK_PAIR_BUDGET", str(100_000_000)))
     P = df.sparkSession.sparkContext.defaultParallelism
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -350,6 +371,28 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
         F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
         vec.alias("v"), norm.alias("nrm"),
     )
+    if max_block_pairs:
+        # lazy fail-fast: per-block row counts (a tiny one-row-per-block
+        # aggregate, broadcast back) gate the probe side through
+        # assert_true BEFORE the pair join fans out — the filter fires on
+        # the first row of an over-budget block, not after n²/2 work
+        pairs = (F.col("__blk_n") * (F.col("__blk_n") - 1) / 2).cast("long")
+        counts = base.groupBy("blk").agg(F.count("*").alias("__blk_n"))
+        guard = F.assert_true(
+            pairs <= F.lit(max_block_pairs),
+            F.concat(
+                F.lit("embedding_near_dup: block "), F.col("blk").cast("string"),
+                F.lit(" has "), F.col("__blk_n").cast("string"),
+                F.lit(" rows = "), pairs.cast("string"),
+                F.lit(f" candidate pairs > budget {max_block_pairs}"
+                      " (CORKSCREW_EMB_BLOCK_PAIR_BUDGET). The block key's"
+                      " cardinality does not bound the pair scan at this"
+                      " corpus size — use semdedup_keep (constant expected"
+                      " cluster size) or a finer block key, or raise the"
+                      " budget / pass max_block_pairs=0 to override.")))
+        base = (base.join(F.broadcast(counts), "blk")
+                    .filter(guard.isNull())
+                    .drop("__blk_n"))
     a = base.select(
         F.col("id").alias("id_a"), "blk", F.col("v").alias("va"),
         F.col("nrm").alias("na"),

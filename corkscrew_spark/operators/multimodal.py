@@ -7,11 +7,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 batch, not per row, and the pipeline partitions on (kind, shard) so one
 task never holds more than a batch of decoded media in memory.
 
-The actual codec calls (PIL/ffmpeg/torchaudio) are STUBBED in this
-environment — ``decoder_available()`` gates them and the default
-"decoder" is a deterministic fake driven by the content hash, so every
-piece of Spark plumbing (schemas, UDF signatures, batch shapes,
-partitioning) is real and testable without the native libs.
+The actual codec calls (PIL/ffmpeg/torchaudio) are PLUGGABLE: bind a
+real decoder with ``set_decoder(obj)`` (any picklable object exposing
+``features``/``resize``/``frames`` — see ``MediaDecoder``); when PIL is
+importable a ``PILImageDecoder`` binds itself automatically. Without
+either, pipelines fall back to a deterministic fake driven by the
+content hash, so every piece of Spark plumbing (schemas, UDF
+signatures, batch shapes, partitioning) is real and testable without
+the native libs — ``require_decoder()`` is the loud gate for callers
+that must not silently run on fakes.
 """
 
 from __future__ import annotations
@@ -64,15 +68,106 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decoder_available() -> bool:
-    """True when a real image decoder is importable (PIL). This container
-    ships none, so pipelines fall back to the deterministic fake."""
-    try:
-        import PIL  # noqa: F401
+class MediaDecoder:
+    """Duck-typed decoder contract (subclassing optional). A decoder is
+    any PICKLABLE object (it ships to executors inside the mapInPandas
+    closure via cloudpickle) exposing:
 
-        return True
-    except ImportError:
-        return False
+    - ``name`` (str): recorded in the output ``decoder`` column;
+    - ``features(content: bytes, kind: str, meta: dict, dim: int)
+      -> list[float]``: the decode→embed step;
+    - ``resize(content: bytes, meta: dict, width: int, height: int)
+      -> tuple[bytes, dict]`` (optional): re-encoded bytes + new meta;
+    - ``frames(content: bytes, meta: dict, every_ms: int)
+      -> list[bytes]`` (optional): sampled frame payloads.
+
+    Bind with ``set_decoder``; methods a decoder omits fall back to the
+    deterministic stub behavior for that stage.
+    """
+
+    name = "abstract"
+
+
+class PILImageDecoder(MediaDecoder):
+    """Reference real-decoder binding: decodes with Pillow when the
+    wheel exists (it does NOT in this sandbox — the class is exercised
+    there via the injected-fake contract test, and auto-binds wherever
+    ``import PIL`` works). Features are the mean-pooled grayscale grid:
+    cheap, deterministic, and enough to prove the decode path."""
+
+    name = "pil"
+
+    def features(self, content: bytes, kind: str, meta: dict,
+                 dim: int) -> list[float]:
+        import io
+        import math
+
+        from PIL import Image
+
+        if kind != "image":
+            return _fake_features(content, dim)
+        img = Image.open(io.BytesIO(content)).convert("L")
+        side = max(1, int(math.isqrt(dim)))
+        img = img.resize((side, side))
+        px = [p / 255.0 for p in img.getdata()]
+        return (px + [0.0] * dim)[:dim]
+
+    def resize(self, content: bytes, meta: dict, width: int,
+               height: int) -> tuple[bytes, dict]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(content)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format=img.format or meta.get("format") or "PNG")
+        return buf.getvalue(), {**meta, "width": width, "height": height}
+
+
+_DECODER: MediaDecoder | None = None
+_PIL_PROBED = False
+
+
+def set_decoder(decoder: MediaDecoder | None) -> None:
+    """Bind (or with ``None`` unbind) the process-wide media decoder.
+    The object must be picklable — it is captured into mapInPandas
+    closures and cloudpickled to every executor."""
+    global _DECODER, _PIL_PROBED
+    _DECODER = decoder
+    _PIL_PROBED = True  # an explicit bind (or unbind) overrides auto-probe
+
+
+def get_decoder() -> MediaDecoder | None:
+    """The bound decoder: explicit ``set_decoder`` wins; otherwise a
+    ``PILImageDecoder`` auto-binds once if PIL is importable; else None
+    (deterministic-fake mode)."""
+    global _DECODER, _PIL_PROBED
+    if not _PIL_PROBED:
+        _PIL_PROBED = True
+        try:
+            import PIL  # noqa: F401
+
+            _DECODER = PILImageDecoder()
+        except ImportError:
+            _DECODER = None
+    return _DECODER
+
+
+def decoder_available() -> bool:
+    """True when a real decoder is bound (injected or PIL auto-bound)."""
+    return get_decoder() is not None
+
+
+def require_decoder() -> MediaDecoder:
+    """The loud gate for pipelines that must not run on the fake: raise
+    with binding instructions when no real decoder exists."""
+    dec = get_decoder()
+    if dec is None:
+        raise NotImplementedError(
+            "no real media decoder available in this environment: install "
+            "Pillow or bind one with "
+            "corkscrew_spark.operators.multimodal.set_decoder(obj)")
+    return dec
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
@@ -126,21 +221,22 @@ def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256,
     which is right for corpus-scale media tables. Pass a small value for
     small inputs — every shard costs a Python worker.
     """
-    use_real = decoder_available()
+    dec = get_decoder()  # resolved on the driver, cloudpickled to workers
+    dec_name = getattr(dec, "name", type(dec).__name__) if dec else "fake-md5"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real:
-                # Real decode path (PIL etc.) would go here; not shipped
-                # in this environment.
-                raise NotImplementedError("real decoder path not available in this build")
-            feats = [_fake_features(c, dim) for c in pdf["content"]]
+            if dec is not None:
+                feats = [dec.features(c, k, m, dim) for c, k, m in
+                         zip(pdf["content"], pdf["kind"], pdf["meta"])]
+            else:
+                feats = [_fake_features(c, dim) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "feature": feats,
-                    "decoder": "fake-md5",
+                    "decoder": dec_name,
                 }
             )
 
@@ -152,12 +248,26 @@ def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256,
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize stage (stub): with no decoder, passes content through
-    and rewrites metadata — the schema/partitioning contract the real
-    implementation must keep."""
-    if decoder_available():
-        raise NotImplementedError("real resize path not available in this build")
-    return media.filter(F.col("kind") == "image").withColumn(
+    """Image resize stage. With a bound decoder exposing ``resize`` the
+    re-encode runs Arrow-batched through mapInPandas (same output
+    schema); otherwise the stub passes content through and rewrites
+    metadata — the schema/partitioning contract the real implementation
+    keeps."""
+    dec = get_decoder()
+    images = media.filter(F.col("kind") == "image")
+    if dec is not None and hasattr(dec, "resize"):
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = [dec.resize(c, m, width, height)
+                       for c, m in zip(pdf["content"], pdf["meta"])]
+                pdf = pdf.copy()
+                pdf["content"] = [b for b, _ in out]
+                pdf["meta"] = [m for _, m in out]
+                yield pdf
+
+        return images.mapInPandas(run, schema=images.schema)
+    return images.withColumn(
         "meta",
         F.struct(
             F.col("meta.format").alias("format"),
@@ -169,15 +279,35 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling (stub): emits one synthetic frame row per
-    ``every_ms`` of metadata duration via posexplode — the real ffmpeg
-    path would substitute actual frame bytes per emitted row."""
+    """Video frame sampling: with a bound decoder exposing ``frames``
+    the payloads come from the real demuxer (Arrow-batched, one row per
+    sampled frame); the stub emits one synthetic frame row per
+    ``every_ms`` of metadata duration via posexplode with the source
+    bytes as payload — identical output schema either way."""
+    dec = get_decoder()
+    videos = media.filter(F.col("kind") == "video")
+    if dec is not None and hasattr(dec, "frames"):
+        schema = ("media_id long, frame_idx int, frame_ts_ms long, "
+                  "frame_content binary")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mid, c, m in zip(pdf["media_id"], pdf["content"],
+                                     pdf["meta"]):
+                    for i, fb in enumerate(dec.frames(c, m, every_ms)):
+                        rows.append((mid, i, i * every_ms, fb))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_idx", "frame_ts_ms",
+                                   "frame_content"])
+
+        return videos.mapInPandas(run, schema=schema)
     frames = F.sequence(
         F.lit(0).cast("long"),
         F.greatest((F.col("meta.duration_ms") / every_ms).cast("long") - 1, F.lit(0).cast("long")),
     )
     return (
-        media.filter(F.col("kind") == "video")
+        videos
         .select(
             "media_id",
             F.posexplode(frames).alias("frame_idx", "_t"),

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from corkscrew_spark.operators import dedup
 
 SF = "/root/testdata/sf0.001"
@@ -80,6 +82,44 @@ def test_embedding_near_dup_planted(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            dedup.embedding_near_dup(df, "vec_id", "embedding", "label", 0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_embedding_near_dup_block_pair_budget(spark):
+    """Fixed-cardinality blocking is a documented quadratic trap (a
+    one-label 100 TB corpus would attempt ~n²/2 dot products). The
+    guardrail must fail FAST — at the block-count gate, before the pair
+    join fans out — with a message pointing at the scale path, and an
+    in-budget corpus must pass through the same gate unchanged."""
+    import pyspark
+
+    rows = [(i, [float(i), 1.0, 0.0], "only") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    # 40 rows in one block = 780 pairs > budget 100 → raise
+    with pytest.raises(Exception) as ei:
+        dedup.embedding_near_dup(df, "vec_id", "embedding", "label",
+                                 0.95, max_block_pairs=100).collect()
+    msg = str(ei.value)
+    assert "semdedup_keep" in msg and "780" in msg
+    # same corpus, budget honoured → identical result to guardrail-off
+    on = dedup.embedding_near_dup(df, "vec_id", "embedding", "label",
+                                  0.95, max_block_pairs=1000).collect()
+    off = dedup.embedding_near_dup(df, "vec_id", "embedding", "label",
+                                   0.95, max_block_pairs=0).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))
+    # env default applies when the argument is omitted
+    import os
+    old = os.environ.get("CORKSCREW_EMB_BLOCK_PAIR_BUDGET")
+    os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"] = "100"
+    try:
+        with pytest.raises(Exception):
+            dedup.embedding_near_dup(
+                df, "vec_id", "embedding", "label", 0.95).collect()
+    finally:
+        if old is None:
+            del os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"]
+        else:
+            os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"] = old
 
 
 def test_embedding_near_dup_gemm_matches_expression(spark):

@@ -30,3 +30,76 @@ def test_sample_frames_counts(spark):
     videos = [r for r in media.collect() if r["kind"] == "video"]
     assert len(out) == 2 * len(videos)  # 1000ms / 500ms = 2 frames each
     assert {r["frame_idx"] for r in out} == {0, 1}
+
+
+def test_injected_decoder_contract(spark):
+    """set_decoder routes all three stages through the bound decoder —
+    the seam a real PIL/ffmpeg binding plugs into (decode itself is the
+    only thing faked; schemas, Arrow batching, partitioning are the
+    production path). The class is function-local so cloudpickle ships
+    it BY VALUE — exactly how a user-site decoder that isn't installed
+    on the executors would travel."""
+
+    class ContractDecoder(multimodal.MediaDecoder):
+        name = "contract-fake"
+
+        def features(self, content, kind, meta, dim):
+            return [float(len(content or b"") % 7)] * dim
+
+        def resize(self, content, meta, width, height):
+            return (b"resized:" + (content or b"")[:4],
+                    {**meta, "width": width, "height": height})
+
+        def frames(self, content, meta, every_ms):
+            n = max(1, int(meta["duration_ms"] // every_ms))
+            return [b"frame:%d" % i for i in range(n)]
+
+    multimodal.set_decoder(ContractDecoder())
+    try:
+        assert multimodal.decoder_available()
+        assert multimodal.require_decoder().name == "contract-fake"
+        media = multimodal.synth_media(spark, 12)
+        feats = multimodal.extract_features(media, dim=4, shards=2).collect()
+        assert len(feats) == 12
+        assert all(r["decoder"] == "contract-fake" for r in feats)
+        assert all(len(r["feature"]) == 4 for r in feats)
+        # content is 256 bytes for every synth row → 256 % 7 == 4.0
+        assert all(v == 4.0 for r in feats for v in r["feature"])
+        imgs = multimodal.resize_images(media, 32, 24).collect()
+        assert imgs and all(bytes(r["content"]).startswith(b"resized:")
+                            for r in imgs)
+        assert all(r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+                   for r in imgs)
+        frames = multimodal.sample_frames(media, every_ms=500).collect()
+        assert frames and all(
+            bytes(r["frame_content"]) == b"frame:%d" % r["frame_idx"]
+            for r in frames)
+    finally:
+        multimodal.set_decoder(None)
+
+
+def test_no_decoder_fake_mode_and_loud_gate(spark):
+    """Without a bound decoder (and no PIL wheel — this sandbox) the
+    stages run the deterministic fake and require_decoder raises with
+    binding instructions; with PIL present the auto-bind path takes
+    over and this test self-skips."""
+    import pytest
+
+    multimodal.set_decoder(None)
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: auto-bind covers the real path")
+    except ImportError:
+        pass
+    try:
+        assert not multimodal.decoder_available()
+        with pytest.raises(NotImplementedError, match="set_decoder"):
+            multimodal.require_decoder()
+        feats = multimodal.extract_features(
+            multimodal.synth_media(spark, 6), dim=4, shards=2).collect()
+        assert all(r["decoder"] == "fake-md5" for r in feats)
+    finally:
+        # restore auto-probe for other tests
+        multimodal._PIL_PROBED = False
+        multimodal._DECODER = None
