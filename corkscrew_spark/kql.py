@@ -645,6 +645,10 @@ class _StageCompiler:
             return self._project_rename(df, rest)
         if op == "parse":
             return self._parse(df, rest)
+        if op == "parse-where":
+            return self._parse(df, rest, where=True)
+        if op == "top-nested":
+            return self._top_nested(df, rest)
         if op == "union":
             return self._union(df, rest)
         if op == "make-series":
@@ -818,12 +822,17 @@ class _StageCompiler:
         "datetime": "timestamp",
     }
 
-    def _parse(self, df: DataFrame, rest: str) -> DataFrame:
+    def _parse(self, df: DataFrame, rest: str, where: bool = False) -> DataFrame:
         """`parse Expr with 'lit' Name[:type] 'lit' Name2 ...` — simple
         mode: literals anchor non-greedy captures, the final capture runs
         to end-of-string (Kusto parse-operator semantics). `*` skips.
         Compiles to ONE anchored regex evaluated per capture with
-        regexp_extract — pure JVM, no UDF."""
+        regexp_extract — pure JVM, no UDF.
+
+        ``where=True`` is the `parse-where` operator: identical pattern,
+        but rows whose source does NOT match are dropped (rlike on the
+        same anchored regex — one more JVM predicate, pushable) instead
+        of surviving with null captures."""
         rest = re.sub(r"^\s*kind\s*=\s*simple\s+", "", rest, flags=re.IGNORECASE)
         toks = _tokenize(rest)
         p = _ExprParser(toks)
@@ -862,6 +871,8 @@ class _StageCompiler:
                 raise KqlError(f"KQL: unexpected token {t.text!r} in parse pattern")
         if not captures:
             raise KqlError("KQL: parse pattern has no captures")
+        if where:
+            df = df.filter(src.rlike(pattern))
         for g, (name, ctype) in enumerate(captures, start=1):
             got = F.regexp_extract(src, pattern, g)
             col = F.when(got != "", got).cast(ctype) if ctype != "string" \
@@ -1052,6 +1063,70 @@ class _StageCompiler:
         if not m:
             raise KqlError(f"KQL: top needs 'top N by expr', got {rest!r}")
         return self._order_by(df, m.group(2)).limit(int(m.group(1)))
+
+    def _top_nested(self, df: DataFrame, rest: str) -> DataFrame:
+        """``top-nested N1 of Col1 by [A1 =] agg1(...), top-nested N2 of
+        Col2 by [A2 =] agg2(...), ...`` — hierarchical top-N: the top N1
+        values of Col1 by agg1 over the whole input, then within each
+        winner the top N2 values of Col2 by agg2, and so on. Output: one
+        row per leaf combination carrying every level's value and
+        aggregate (Kusto's default column name ``aggregated_<Col>``).
+
+        Spark shape, sized for deep hierarchies over big facts: each
+        level is ONE groupBy over (prefix..., level-col) — partial
+        aggregation map-side — restricted to surviving prefixes by a
+        BROADCAST join against the winner set (≤ N1·…·Nk rows, always
+        tiny), then a per-prefix row_number window whose partitions are
+        the bounded winner groups. Level 1 is a distributed
+        sort-and-limit, no single-partition window. Ties break on the
+        level value ascending, so results are deterministic. The
+        ``with others`` bucket is not supported (loud error)."""
+        from pyspark.sql import Window
+
+        if re.search(r"\bwith\s+others\b", rest, re.IGNORECASE):
+            raise KqlError("KQL: top-nested `with others` is not supported")
+        levels = []
+        for j, part in enumerate(_split_top_commas(rest)):
+            part = part.strip()
+            if j > 0:
+                part = re.sub(r"^top-nested\s+", "", part, flags=re.IGNORECASE)
+            m = re.match(r"(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)\s+by\s+(.*)$",
+                         part, re.DOTALL | re.IGNORECASE)
+            if not m:
+                raise KqlError(
+                    "KQL: top-nested level must be `N of Col by agg`, got "
+                    f"{part!r}")
+            n, col, aggsrc = int(m.group(1)), m.group(2), m.group(3)
+            toks = _tokenize(aggsrc)
+            name, i = f"aggregated_{col}", 0
+            if (len(toks) > 1 and toks[0].kind == "ident"
+                    and toks[1].kind == "op" and toks[1].text == "="):
+                name, i = toks[0].text, 2
+            p = _ExprParser(toks, i)
+            agg = p.parse()
+            if p.i != len(toks):
+                raise KqlError(
+                    f"KQL: trailing tokens in top-nested aggregate {aggsrc!r}")
+            levels.append((n, col, agg.alias(name), name))
+
+        winners: DataFrame | None = None
+        out_cols: list[str] = []
+        prefix: list[str] = []
+        for n, col, agg, name in levels:
+            level = df.groupBy(*prefix, col).agg(agg)
+            if winners is None:
+                level = (level.orderBy(F.col(name).desc(), F.col(col).asc())
+                         .limit(n))
+            else:
+                level = level.join(F.broadcast(winners), prefix)
+                w = (Window.partitionBy(*prefix)
+                     .orderBy(F.col(name).desc(), F.col(col).asc()))
+                level = (level.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= n).drop("__rn"))
+            out_cols += [col, name]
+            winners = level.select(*out_cols)
+            prefix.append(col)
+        return winners
 
     def _join(self, df: DataFrame, rest: str) -> DataFrame:
         m = re.match(

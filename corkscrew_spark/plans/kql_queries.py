@@ -396,3 +396,77 @@ def kql_mv_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_top_nested",
+    oracle="""
+    WITH l1 AS (
+        SELECT event_type,
+               ROUND(SUM(value), 2) AS aggregated_event_type
+        FROM events
+        GROUP BY event_type
+        ORDER BY ROUND(SUM(value), 2) DESC, event_type ASC
+        LIMIT 3
+    ), l2 AS (
+        SELECT e.event_type, e.user_id,
+               ROUND(SUM(e.value), 2) AS aggregated_user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY ROUND(SUM(e.value), 2) DESC, e.user_id ASC
+               ) AS rn
+        FROM events e JOIN l1 USING (event_type)
+        GROUP BY e.event_type, e.user_id
+    )
+    SELECT l1.event_type, l1.aggregated_event_type,
+           l2.user_id, l2.aggregated_user_id
+    FROM l2 JOIN l1 USING (event_type)
+    WHERE rn <= 2
+    ORDER BY event_type ASC, user_id ASC
+    """,
+)
+def kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-nested` — hierarchical top-N (ARG's "top 3 types, top 2
+    spenders within each"): per level ONE partial-agg groupBy gated by
+    a broadcast of the ≤N1·N2-row winner set, windows only over the
+    bounded winner partitions, never a global single-partition sort."""
+    return kql_to_df(
+        """
+        events
+        | top-nested 3 of event_type by round(sum(value), 2),
+          top-nested 2 of user_id by round(sum(value), 2)
+        | order by event_type asc, user_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_parse_where",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(NULLIF(regexp_extract(props, '^\{"k": (.*?)9\}', 1),
+                                '') AS BIGINT)) AS BIGINT) AS dsum
+    FROM events
+    WHERE regexp_matches(props, '^\{"k": (.*?)9\}')
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse-where` — the filtering twin of `parse`: rows whose source
+    string does not match the anchored pattern are DROPPED (one extra
+    rlike predicate, pushable) instead of surviving with null captures;
+    here only props whose k ends in 9 survive, and the leading-digits
+    capture aggregates as a typed long (empty capture -> null, Kusto
+    simple-mode semantics)."""
+    return kql_to_df(
+        """
+        events
+        | parse-where props with '{"k": ' d:long '9}'
+        | summarize n = count(), dsum = sum(d) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )

@@ -348,6 +348,44 @@ def test_parse_typed_captures_and_miss(tiny_events):
         kql_to_df("T | parse props with 'x' k:complex128", {"T": tiny_events})
 
 
+def test_parse_where_drops_nonmatching(tiny_events):
+    """parse-where = parse + drop rows whose source misses the pattern
+    (Kusto), unlike parse which keeps them with null captures."""
+    kept = kql_to_df(
+        """T | parse-where event_type with 'cli' tail
+           | project event_id, tail | order by event_id asc""",
+        {"T": tiny_events}).collect()
+    assert [(r["event_id"], r["tail"]) for r in kept] == [(1, "ck"), (3, "ck")]
+    # typed capture + trailing literal: only k ending in a specific
+    # digit survives; leading-digits capture may be empty -> null
+    rows = kql_to_df(
+        """T | parse-where props with '{"k": ' d:long '9}'
+           | project event_id, d""", {"T": tiny_events}).collect()
+    assert [(r["event_id"], r["d"]) for r in rows] == [(2, None)]
+
+
+def test_top_nested_hierarchy_and_naming(tiny_events):
+    """Hierarchical top-N: level-2 winners are per level-1 group, each
+    level carries its aggregate; default column name aggregated_<col>,
+    explicit alias honoured; `with others` loudly unsupported."""
+    rows = kql_to_df(
+        """T | top-nested 2 of event_type by round(sum(value), 2),
+               top-nested 1 of user_id by u = round(sum(value), 2)
+           | order by event_type asc""",
+        {"T": tiny_events}).collect()
+    # sums: purchase 9.0, click 5.5, view 2.5 -> top2 purchase, click;
+    # best user within: purchase->12 (9.0), click->10 (5.5)
+    assert [(r["event_type"], r["aggregated_event_type"], r["user_id"],
+             r["u"]) for r in rows] == [
+        ("click", 5.5, 10, 5.5), ("purchase", 9.0, 12, 9.0)]
+    with pytest.raises(KqlError, match="with others"):
+        kql_to_df("T | top-nested 2 of event_type by sum(value) "
+                  "with others = 'rest'", {"T": tiny_events})
+    with pytest.raises(KqlError, match="N of Col by"):
+        kql_to_df("T | top-nested of event_type by sum(value)",
+                  {"T": tiny_events})
+
+
 def test_union_outer_nullfills_and_inner_intersects(tiny_events):
     outer = kql_to_df(
         """T | where event_type == 'click' | project event_id, value

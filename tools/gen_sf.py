@@ -80,18 +80,19 @@ def replicate(df: DataFrame, shifts: list[tuple[str, int]],
                 cols.append((F.col(name) + F.lit(i * stride))
                             .cast(dict(df.dtypes)[name]).alias(name))
             elif name in text_cols and i > 0:
-                # letters, one char per base-26 digit: numeric tags
-                # alias gram-wise across replicas ("…1" is a substring
-                # of "…19"), re-inflating posting lists at >10
-                # replicas; distinct letters keep each replica's
-                # suffix grams disjoint from every other's
-                tag = ""
-                k = i
-                while True:
+                # FIXED-WIDTH letter tags, one char per base-26 digit:
+                # numeric tags alias gram-wise across replicas ("…1" is
+                # a substring of "…19") and so do mixed-width letter
+                # tags ("…b" of "…bb") — a constant width sized to the
+                # replica count keeps every replica's suffix grams
+                # disjoint from every other's at any scale step
+                width = 1
+                while 26 ** width < replicas:
+                    width += 1
+                tag, k = "", i
+                for _ in range(width):
                     tag = chr(ord("a") + k % 26) + tag
                     k //= 26
-                    if k == 0:
-                        break
                 cols.append(F.regexp_replace(
                     F.col(name), r"(\w+)", "$1" + tag).alias(name))
             elif name in vec_cols and i > 0:
@@ -126,9 +127,8 @@ def main() -> None:
         ".benchdata", "sf1"))
     ap.add_argument("--replicas", type=int, default=10)
     args = ap.parse_args()
-    if not 1 <= args.replicas <= 26:
-        # >26 would need 2-letter tags, whose grams alias 1-letter ones
-        ap.error("--replicas must be in [1, 26]")
+    if not 1 <= args.replicas <= 26 ** 2:
+        ap.error("--replicas must be in [1, 676]")
 
     spark = get_spark(app_name="gen-sf")
     spark.sparkContext.setLogLevel("ERROR")
