@@ -448,6 +448,10 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     # mid-job
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+    # resolved on the DRIVER and captured into the closure: Python
+    # workers fork from a daemon that inherited the session-start env,
+    # so a later driver-side override would never reach them
+    limit = int(os.environ.get("CORKSCREW_GEMM_BLOCK_MAX_ROWS", "30000"))
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"),
                      F.col(block_col).alias("blk"), vec.alias("v"))
@@ -458,6 +462,17 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        # memory guardrail: the n×n similarity matrix is this variant's
+        # hard bound (n=30k ≈ 7.2 GB of float64) — fail with the remedy
+        # instead of an executor OOM mid-job
+        if limit and n > limit:
+            raise ValueError(
+                f"embedding_near_dup_gemm: block {pdf['blk'].iat[0]!r} has "
+                f"{n} rows; its n×n similarity matrix (~{n * n * 8 >> 20} MB)"
+                " exceeds the per-task bound (CORKSCREW_GEMM_BLOCK_MAX_ROWS"
+                f"={limit}). Use the salted expression variant "
+                "(embedding_near_dup) for few huge blocks, or semdedup_keep"
+                " for constant-size blocking, or raise the bound.")
         ids = pdf["id"].to_numpy()
         m = np.vstack(pdf["v"].to_numpy())
         norms = np.linalg.norm(m, axis=1)

@@ -122,6 +122,27 @@ def test_embedding_near_dup_block_pair_budget(spark):
             os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"] = old
 
 
+def test_embedding_near_dup_gemm_block_row_bound(spark):
+    """The GEMM variant's per-task memory bound fails loudly with the
+    remedy, not as an executor OOM."""
+    import os
+
+    rows = [(i, [float(i), 1.0], "one") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    old = os.environ.get("CORKSCREW_GEMM_BLOCK_MAX_ROWS")
+    os.environ["CORKSCREW_GEMM_BLOCK_MAX_ROWS"] = "10"
+    try:
+        with pytest.raises(Exception, match="semdedup_keep"):
+            dedup.embedding_near_dup_gemm(
+                df, "vec_id", "embedding", "label", 0.95).collect()
+    finally:
+        if old is None:
+            del os.environ["CORKSCREW_GEMM_BLOCK_MAX_ROWS"]
+        else:
+            os.environ["CORKSCREW_GEMM_BLOCK_MAX_ROWS"] = old
+
+
 def test_embedding_near_dup_gemm_matches_expression(spark):
     """The per-block GEMM variant (applyInPandas) and the
     expression-tree variant must produce the IDENTICAL pair set and
