@@ -333,6 +333,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_ppm_decode")
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with no codec wheel: distributed
+    P6 PPM synthesis (header + sha2 raster, pure JVM expressions) →
+    PPMImageDecoder bound through the set_decoder seam → Arrow
+    mapInPandas pixel decode + mean-pool features → per-kind rollup.
+    Image rows decode actual raster bytes (decoder column 'ppm');
+    audio/video fall back to the hash fake inside the same pass —
+    the mixed-corpus behavior a 100 TB media table needs. Rows-only:
+    the pixel math is verified against a driver-side reference decode
+    in tests/test_multimodal.py. The decoder binds only while the
+    PLAN is built (the closure captures it); global state is restored
+    before returning."""
+    from corkscrew_spark.operators import multimodal
+
+    media = multimodal.synth_ppm_media(spark, 66, width=8, height=8)
+    prev, probed = multimodal._DECODER, multimodal._PIL_PROBED
+    multimodal.set_decoder(multimodal.PPMImageDecoder())
+    try:
+        feats = multimodal.extract_features(media, dim=9, shards=4)
+    finally:
+        multimodal._DECODER, multimodal._PIL_PROBED = prev, probed
+    return (
+        feats.groupBy("kind", "decoder")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min(F.size("feature")).alias("dim"),
+            F.round(F.sum(F.element_at("feature", 1)), 3).alias("sum_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
 @query(
     "fuzzy_match_parts",
     oracle="""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from corkscrew_spark.operators import multimodal
 
 
@@ -76,6 +78,68 @@ def test_injected_decoder_contract(spark):
             for r in frames)
     finally:
         multimodal.set_decoder(None)
+
+
+def test_ppm_decoder_real_pixels_through_spark(spark):
+    """REAL decode, no codec wheel: P6 PPM bytes generated distributed
+    (synth_ppm_media) are parsed to pixels by PPMImageDecoder inside
+    the Arrow mapInPandas stage; features must equal a driver-side
+    reference decode of the same bytes, and resize must emit a valid
+    P6 whose raster is exact nearest-neighbor sampling."""
+    dec = multimodal.PPMImageDecoder()
+    multimodal.set_decoder(dec)
+    try:
+        media = multimodal.synth_ppm_media(spark, 15, width=8, height=8)
+        rows = {r["media_id"]: r for r in media.collect()}
+        feats = {r["media_id"]: r for r in
+                 multimodal.extract_features(media, dim=9, shards=2)
+                 .collect()}
+        assert len(feats) == 15
+        for mid, r in feats.items():
+            src = rows[mid]
+            expect = dec.features(bytes(src["content"]), src["kind"],
+                                  src["meta"].asDict(), 9)
+            assert r["decoder"] == "ppm"
+            assert r["feature"] == [pytest.approx(v, abs=1e-6)
+                                    for v in expect]
+        # image rows decode for real (not the hash fallback): their
+        # features are block means of actual raster bytes
+        img = next(r for r in rows.values() if r["kind"] == "image")
+        px, maxval = multimodal.PPMImageDecoder._decode(
+            bytes(img["content"]))
+        assert px.shape == (8, 8, 3) and maxval == 255
+        resized = {r["media_id"]: r for r in
+                   multimodal.resize_images(media, 4, 2).collect()}
+        for mid, r in resized.items():
+            out = bytes(r["content"])
+            assert out.startswith(b"P6\n4 2\n255\n")
+            rp, _ = multimodal.PPMImageDecoder._decode(out)
+            sp, _ = multimodal.PPMImageDecoder._decode(
+                bytes(rows[mid]["content"]))
+            import numpy as np
+            yi = (np.arange(2) * 8 // 2).clip(0, 7)
+            xi = (np.arange(4) * 8 // 4).clip(0, 7)
+            assert (rp == sp[yi][:, xi]).all()
+            assert r["meta"]["width"] == 4 and r["meta"]["height"] == 2
+    finally:
+        multimodal._PIL_PROBED = False
+        multimodal._DECODER = None
+
+
+def test_ppm_decoder_handles_comments_and_garbage():
+    """Header comments parse; truncated/alien bytes return None (the
+    mixed-corpus fallback), never raise."""
+    import numpy as np
+
+    raster = bytes(range(2 * 2 * 3))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    px, maxval = multimodal.PPMImageDecoder._decode(ppm)
+    assert maxval == 255
+    assert (px == np.frombuffer(raster, np.uint8).reshape(2, 2, 3)).all()
+    assert multimodal.PPMImageDecoder._decode(b"JFIF....") is None
+    assert multimodal.PPMImageDecoder._decode(b"P6\n2 2\n255\nshort") is None
+    assert multimodal.PPMImageDecoder._decode(b"P6\n2 2\n65535\n" +
+                                              raster * 2) is None
 
 
 def test_no_decoder_fake_mode_and_loud_gate(spark):
