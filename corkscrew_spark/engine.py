@@ -270,6 +270,31 @@ class QueryEngine:
             sig += [None, None]  # no log yet: dir identity still covers
         return tuple(sig)
 
+    @staticmethod
+    def _vet_region_preds(stats: dict | None, preds: list,
+                          branches: list | None) -> tuple[list, list | None]:
+        """Stats-column vetting for SUBQUERY-BODY (region) rows, shared
+        verbatim by the governor (`_skipping_rewrite`) and the dry-run
+        (`estimate_scan`) so the two verdicts can never drift: a
+        correlated body may reference OUTER columns UNQUALIFIED, so
+        attribute only columns the zone maps record for this table —
+        an unknown column can't prune anyway, and read_skipping's
+        re-applied filter must never name a column the table lacks.
+        A disjunct emptied by vetting matches anything: the whole
+        OR-list degrades to no-pruning (None)."""
+        if not (preds or branches):
+            return preds, branches
+        known = {c.lower() for c in
+                 ((stats or {}).get("types")
+                  or (stats or {}).get("cols") or ())}
+        preds = [p for p in preds if p[0].lower() in known]
+        if branches is not None:
+            branches = [[p for p in b if p[0].lower() in known]
+                        for b in branches]
+            if any(not b for b in branches):
+                branches = None
+        return preds, branches
+
     def _cached_listing(self, path: str) -> list[str] | None:
         """The table's data-file listing, cached per path and keyed on
         the freshness signature: a governed/pruned query on an
@@ -561,28 +586,9 @@ class QueryEngine:
                         # O(files) walk per statement.
                         files = self._cached_listing(path)
                         stats = _skip.load_stats(path)
-                        if region is not None and (preds or branches):
-                            # a subquery body may reference OUTER
-                            # columns UNQUALIFIED (correlated
-                            # subquery): attribute only columns the
-                            # zone maps record for this table — an
-                            # unknown column can't prune anyway, and
-                            # read_skipping's re-applied filter must
-                            # never name a column the table lacks
-                            known = {c.lower() for c in
-                                     ((stats or {}).get("types")
-                                      or (stats or {}).get("cols")
-                                      or ())}
-                            preds = [p for p in preds
-                                     if p[0].lower() in known]
-                            if branches is not None:
-                                branches = [[p for p in b
-                                             if p[0].lower() in known]
-                                            for b in branches]
-                                if any(not b for b in branches):
-                                    # an unconstrained disjunct matches
-                                    # anything: no pruning possible
-                                    branches = None
+                        if region is not None:
+                            preds, branches = self._vet_region_preds(
+                                stats, preds, branches)
                         # the rewrite below only fires for
                         # pruning-enabled tables with mined
                         # predicates; any OTHER read executes as a
@@ -816,29 +822,22 @@ class QueryEngine:
                     # happen: a pruning-opted-out (or governed-only)
                     # table reads plain, so its estimate is the full
                     # scan even when conjuncts are minable
+                    stats = _skip.load_stats(path)
                     if name.lower() not in self._warehouse_skip:
                         preds, branches = [], None
-                    elif region is not None and (preds or branches):
-                        # subquery-body rows: same stats-column vetting
-                        # as the governor (a correlated body's
-                        # unqualified OUTER columns never attribute),
-                        # so dry-run == enforcement verdict
-                        stats = _skip.load_stats(path)
-                        known = {c.lower() for c in
-                                 ((stats or {}).get("types")
-                                  or (stats or {}).get("cols") or ())}
-                        preds = [p for p in preds
-                                 if p[0].lower() in known]
-                        if branches is not None:
-                            branches = [[p for p in b
-                                         if p[0].lower() in known]
-                                        for b in branches]
-                            if any(not b for b in branches):
-                                branches = None
+                    elif region is not None:
+                        # subquery-body rows: the SAME stats-column
+                        # vetting as the governor (one shared helper,
+                        # so dry-run == enforcement verdict by
+                        # construction)
+                        preds, branches = self._vet_region_preds(
+                            stats, preds, branches)
                     files = self._cached_listing(path)
-                    est = (_skip.estimate_scan(path, preds, files=files)
+                    est = (_skip.estimate_scan(path, preds, stats=stats,
+                                               files=files)
                            if branches is None else
                            _skip.estimate_scan_any(path, branches,
+                                                   stats=stats,
                                                    files=files))
                 except Exception:  # noqa: BLE001 — estimates are advisory
                     continue

@@ -489,6 +489,11 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
         keep = np.round(sim[ia, ib], 4) >= threshold
         ia, ib = ia[keep], ib[keep]
         a, b = ids[ia], ids[ib]
+        # duplicate id VALUES pair distinct rows: drop them exactly as
+        # the expression variant's id_a < id_b filter does (a self-edge
+        # would corrupt downstream dup_clusters components)
+        ne = a != b
+        a, b, ia, ib = a[ne], b[ne], ia[ne], ib[ne]
         lo = np.where(a <= b, a, b)  # object-safe (string ids too)
         hi = np.where(a <= b, b, a)
         return pd.DataFrame({"id_a": lo, "id_b": hi,

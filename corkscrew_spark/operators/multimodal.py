@@ -118,10 +118,14 @@ class PILImageDecoder(MediaDecoder):
 
         from PIL import Image
 
-        img = Image.open(io.BytesIO(content)).resize((width, height))
+        src = Image.open(io.BytesIO(content))
+        # .format survives only on parser-produced images — capture it
+        # BEFORE .resize(), which returns a derived image with format None
+        fmt = src.format or "PNG"
         buf = io.BytesIO()
-        img.save(buf, format=img.format or meta.get("format") or "PNG")
-        return buf.getvalue(), {**meta, "width": width, "height": height}
+        src.resize((width, height)).save(buf, format=fmt)
+        return buf.getvalue(), {**meta, "format": fmt.lower(),
+                                "width": width, "height": height}
 
 
 class PPMImageDecoder(MediaDecoder):
@@ -338,6 +342,8 @@ def extract_features(media: DataFrame, dim: int = 16, batch_hint: int = 256,
     small inputs — every shard costs a Python worker.
     """
     dec = get_decoder()  # resolved on the driver, cloudpickled to workers
+    if dec is not None and not hasattr(dec, "features"):
+        dec = None  # contract: a stage the decoder omits runs the stub
     dec_name = getattr(dec, "name", type(dec).__name__) if dec else "fake-md5"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -41,6 +41,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    args.runs = max(1, args.runs)
 
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
     dirs = [d.strip() for d in args.dirs.split(",") if d.strip()]
@@ -70,7 +71,9 @@ def main() -> int:
                     err = f"{type(ex).__name__}: {str(ex)[:200]}"
                     break
                 best = min(best, time.perf_counter() - t0)
-            results[n][d] = err if err else round(best, 3)
+            # a completed earlier run is still a valid min-of-k timing;
+            # only report the error when NO run finished
+            results[n][d] = round(best, 3) if best != float("inf") else err
             print(f"{os.path.basename(d.rstrip('/'))} {n}: "
                   f"{results[n][d]}", file=sys.stderr)
 
