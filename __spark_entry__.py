@@ -133,6 +133,9 @@ _DEFERRED = frozenset()
 #: pinning.
 _WINDOW = (
     "engine_pruned_exists",
+    "multimodal_ppm_decode",
+    "kql_top_nested",
+    "kql_parse_where",
     "having_large_orders",
     "returned_items_revenue",
     "grouping_sets_orders",
@@ -179,9 +182,6 @@ _WINDOW = (
     "state_as_of",
     "event_transition_matrix",
     "linear_interpolate_value",
-    "ohlc_hourly",
-    "seasonal_anomaly_days",
-    "sequence_spans",
 )
 
 
