@@ -136,6 +136,7 @@ _WINDOW = (
     "multimodal_ppm_decode",
     "kql_top_nested",
     "kql_parse_where",
+    "kql_parse_regex",
     "having_large_orders",
     "returned_items_revenue",
     "grouping_sets_orders",
@@ -181,7 +182,6 @@ _WINDOW = (
     "asof_forward_next_purchase",
     "state_as_of",
     "event_transition_matrix",
-    "linear_interpolate_value",
 )
 
 

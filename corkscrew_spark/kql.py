@@ -832,8 +832,25 @@ class _StageCompiler:
         ``where=True`` is the `parse-where` operator: identical pattern,
         but rows whose source does NOT match are dropped (rlike on the
         same anchored regex — one more JVM predicate, pushable) instead
-        of surviving with null captures."""
-        rest = re.sub(r"^\s*kind\s*=\s*simple\s+", "", rest, flags=re.IGNORECASE)
+        of surviving with null captures.
+
+        `kind=regex` treats the string fragments as RAW regex (Kusto
+        regex mode) instead of escaping them. A fragment may contain
+        its own capturing groups: the capture indices fed to
+        regexp_extract are resolved against a shadow pattern whose
+        engine-owned captures are NAMED, so user groups can never
+        steal a capture's position. Fragments should stick to syntax
+        valid in both Python and Java regex (no (?P<…>) names)."""
+        m = re.match(r"^\s*kind\s*=\s*(\w+)\s+(.*)$", rest,
+                     re.DOTALL | re.IGNORECASE)
+        regex_mode = False
+        if m:
+            kind = m.group(1).lower()
+            if kind not in ("simple", "regex"):
+                raise KqlError(f"KQL: parse kind must be simple or regex, "
+                               f"got {kind!r}")
+            regex_mode = kind == "regex"
+            rest = m.group(2)
         toks = _tokenize(rest)
         p = _ExprParser(toks)
         src = p.parse().cast("string")
@@ -842,15 +859,18 @@ class _StageCompiler:
                 and toks[i].text.lower() == "with"):
             raise KqlError("KQL: parse needs `parse Expr with <pattern>`")
         i += 1
-        pattern = "^"
+        pattern = shadow = "^"
         captures: list[tuple[str, str]] = []  # (name, cast type)
         while i < len(toks):
             t = toks[i]
             if t.kind == "string":
-                pattern += re.escape(t.text)
+                frag = t.text if regex_mode else re.escape(t.text)
+                pattern += frag
+                shadow += frag
                 i += 1
             elif t.kind == "op" and t.text == "*":
                 pattern += ".*?"
+                shadow += ".*?"
                 i += 1
             elif t.kind == "ident":
                 name = t.text
@@ -866,15 +886,25 @@ class _StageCompiler:
                     i += 2
                 captures.append((name, ctype))
                 # last capture is greedy-to-end; non-last are lazy
-                pattern += "(.*)" if i >= len(toks) else "(.*?)"
+                body = ".*" if i >= len(toks) else ".*?"
+                pattern += f"({body})"
+                shadow += f"(?P<__ck{len(captures)}>{body})"
             else:
                 raise KqlError(f"KQL: unexpected token {t.text!r} in parse pattern")
         if not captures:
             raise KqlError("KQL: parse pattern has no captures")
+        # capture indices via the named shadow: in regex mode user
+        # fragments may add their own groups, shifting positions —
+        # groupindex is numbering-identical between Python and Java
+        # (left-to-right by open paren, named groups count in both)
+        try:
+            groupindex = re.compile(shadow).groupindex
+        except re.error as ex:
+            raise KqlError(f"KQL: invalid parse regex: {ex}") from None
         if where:
             df = df.filter(src.rlike(pattern))
-        for g, (name, ctype) in enumerate(captures, start=1):
-            got = F.regexp_extract(src, pattern, g)
+        for k, (name, ctype) in enumerate(captures, start=1):
+            got = F.regexp_extract(src, pattern, groupindex[f"__ck{k}"])
             col = F.when(got != "", got).cast(ctype) if ctype != "string" \
                 else F.when(got != "", got)
             df = df.withColumn(name, col)

@@ -470,3 +470,34 @@ def kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_parse_regex",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(NULLIF(regexp_extract(props,
+                '^\{"k": (1|2)(.*?)\}', 2), '') AS BIGINT)) AS BIGINT)
+               AS rsum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse kind=regex` — fragments are RAW regex (verbatim @'…'
+    literals, the Kusto idiom): the alternation here is a USER capture
+    group, so the engine resolves its own captures' indices through a
+    shadow-named pattern instead of assuming positions. Non-matching
+    rows keep null captures (plain parse); the same pattern drives the
+    DuckDB oracle's regexp_extract with the shifted group index."""
+    return kql_to_df(
+        r"""
+        events
+        | parse kind=regex props with @'\{"k": (1|2)' rest:long @'\}'
+        | summarize n = count(), rsum = sum(rest) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )

@@ -364,6 +364,27 @@ def test_parse_where_drops_nonmatching(tiny_events):
     assert [(r["event_id"], r["d"]) for r in rows] == [(2, None)]
 
 
+def test_parse_kind_regex_groups_and_errors(tiny_events):
+    """kind=regex: fragments are raw regex; a USER capture group in a
+    fragment must not steal the engine captures' indices (shadow-named
+    resolution); invalid regex and unknown kinds fail loudly."""
+    rows = kql_to_df(
+        r"""T | parse kind=regex props with @'\{"k": (7|9|11)(\d?)' tail
+           | project event_id, tail | order by event_id asc""",
+        {"T": tiny_events}).collect()
+    # props: {"k": 7} {"k": 9} {"k": 11} {"k": 2} — two user groups
+    # precede the engine capture (verbatim @'…' fragments, the Kusto
+    # idiom for regex — plain '…' literals unescape backslashes);
+    # tail is everything after the digits
+    assert [r["tail"] for r in rows] == ["}", "}", "}", None]
+    with pytest.raises(KqlError, match="invalid parse regex"):
+        kql_to_df(r"T | parse kind=regex props with @'([' x",
+                  {"T": tiny_events})
+    with pytest.raises(KqlError, match="simple or regex"):
+        kql_to_df("T | parse kind=banana props with 'x' y",
+                  {"T": tiny_events})
+
+
 def test_top_nested_hierarchy_and_naming(tiny_events):
     """Hierarchical top-N: level-2 winners are per level-1 group, each
     level carries its aggregate; default column name aggregated_<col>,
