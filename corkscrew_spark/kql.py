@@ -268,6 +268,11 @@ class _ExprParser:
         t = self.next()
         if t.kind == "string":
             return t.text
+        if t.kind == "op" and t.text == "-":  # negative literal in a list
+            t = self.next()
+            if t is None or t.kind != "number":
+                raise KqlError(f"KQL: expected number after '-' in list")
+            return -(float(t.text) if "." in t.text else int(t.text))
         if t.kind == "number":
             return float(t.text) if "." in t.text else int(t.text)
         raise KqlError(f"KQL: expected literal in list at {t.pos}")
@@ -520,9 +525,13 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
             raise KqlError(
                 f"KQL: datetime_diff period must be one of {sorted(widths)} at {pos}")
         w = widths[period]
-        # KQL counts period *boundaries crossed* between d2 and d1
-        return (F.floor(F.unix_timestamp(args[1]) / w)
-                - F.floor(F.unix_timestamp(args[2]) / w)).cast("long")
+        # KQL counts period *boundaries crossed* between d2 and d1.
+        # Weeks start SUNDAY in Kusto: shift the epoch origin to
+        # 1969-12-28 (the Sunday before it) so buckets align on
+        # Sundays, not on the epoch's Thursday.
+        shift = 345600 if period == "week" else 0
+        return (F.floor((F.unix_timestamp(args[1]) + shift) / w)
+                - F.floor((F.unix_timestamp(args[2]) + shift) / w)).cast("long")
     if name == "startofday" and n == 1:
         return F.date_trunc("day", args[0])
     if name == "startofmonth" and n == 1:
@@ -558,18 +567,21 @@ def _split_on_top_level(query: str, sep: str) -> list[str]:
     parts: list[str] = []
     depth = 0
     quote: str | None = None
+    verbatim = False  # @'...' strings have NO escapes (match the tokenizer)
     start = 0
     i = 0
     while i < len(query):
         ch = query[i]
         if quote is not None:
-            if ch == "\\" and quote in "'\"" and i + 1 < len(query):
+            if (ch == "\\" and not verbatim and quote in "'\""
+                    and i + 1 < len(query)):
                 i += 2
                 continue
             if ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
+            verbatim = i > 0 and query[i - 1] == "@"
         elif ch in "([":
             depth += 1
         elif ch in ")]":
@@ -589,6 +601,21 @@ def _split_top_commas(s: str) -> list[str]:
 def _split_stages(query: str) -> list[str]:
     """Split on top-level '|' (ignoring pipes inside strings/parens)."""
     return _split_on_top_level(query, "|")
+
+
+def _expect_next(toks: list, i: int, allowed: tuple, what: str) -> None:
+    """Raise when an expression leaves trailing tokens the stage grammar
+    does not expect. Silently dropping them is the dangerous failure
+    (``where a == 1 b == 2`` filtering only on ``a``); Kusto errors, so
+    must we."""
+    if i < len(toks):
+        t = toks[i]
+        ok = (t.kind == "op" and t.text in allowed) or (
+            t.kind == "ident" and t.text.lower() in allowed)
+        if not ok:
+            raise KqlError(
+                f"KQL: unexpected trailing token {t.text!r} in {what} "
+                f"at {t.pos}")
 
 
 def _expr_name(toks: list[_Tok], start: int, end: int, fallback: str) -> str:
@@ -629,7 +656,10 @@ class _StageCompiler:
         rest = m.group(2)
         if op == "where":
             toks = _tokenize(rest)
-            return df.filter(_ExprParser(toks).parse())
+            p = _ExprParser(toks)
+            cond = p.parse()
+            _expect_next(toks, p.i, (), "where")
+            return df.filter(cond)
         if op == "project":
             return self._project(df, rest)
         if op == "project-away":
@@ -710,7 +740,12 @@ class _StageCompiler:
         if not lm:
             raise KqlError("KQL: mv-apply subquery must end with summarize")
         srest = lm.group(1).strip()
-        srest += (", __mvrow" if re.search(r"\bby\b", srest) else " by __mvrow")
+        # does the summarize have a `by` clause? Decide on TOKENS — a
+        # regex over the text also matches 'by' inside string literals
+        # (countif(x has 'by')) and would mint a malformed summarize
+        has_by = any(t.kind == "ident" and t.text.lower() == "by"
+                     for t in _tokenize(srest))
+        srest += (", __mvrow" if has_by else " by __mvrow")
         agg = self._summarize(expanded, srest)
         return tagged.join(agg, "__mvrow").drop("__mvrow")
 
@@ -733,7 +768,8 @@ class _StageCompiler:
             i = p.i
             cols.append(col.alias(name))
             k += 1
-            if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
+            _expect_next(toks, i, (",",), "project")
+            if i < len(toks):
                 i += 1
         return df.select(*cols)
 
@@ -748,7 +784,8 @@ class _StageCompiler:
             p = _ExprParser(toks, i + 2)
             df = df.withColumn(name, p.parse())
             i = p.i
-            if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
+            _expect_next(toks, i, (",",), "extend")
+            if i < len(toks):
                 i += 1
         return df
 
@@ -778,6 +815,7 @@ class _StageCompiler:
             i = p.i
             aggs.append(col.alias(name))
             k += 1
+            _expect_next(toks, i, (",", "by"), "summarize")
             if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
                 i += 1
         keys: list[Column] = []
@@ -796,7 +834,8 @@ class _StageCompiler:
                     name = _expr_name(toks, i, p.i, f"key{len(keys) + 1}")
                 i = p.i
                 keys.append(col.alias(name))
-                if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
+                _expect_next(toks, i, (",",), "summarize by")
+                if i < len(toks):
                     i += 1
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("count_")]
@@ -966,10 +1005,20 @@ class _StageCompiler:
 
         def _epoch(lit: str) -> int:
             body = lit[lit.index("(") + 1:-1].strip()
-            t = _dt.datetime.fromisoformat(body.replace("Z", "+00:00"))
+            # datetime('2024-01-01') — the quoted form datetime() accepts
+            # everywhere else in the compiler
+            if len(body) >= 2 and body[0] in "'\"" and body[-1] == body[0]:
+                body = body[1:-1]
+            try:
+                t = _dt.datetime.fromisoformat(body.replace("Z", "+00:00"))
+            except ValueError as ex:
+                raise KqlError(
+                    f"KQL: make-series bad datetime literal {body!r}: {ex}"
+                ) from None
             if t.tzinfo is None:
                 t = t.replace(tzinfo=_dt.timezone.utc)
             return int(t.timestamp())
+
 
         start, end = _epoch(m.group("from")), _epoch(m.group("to"))
         step_tok = m.group("step")
@@ -1052,19 +1101,30 @@ class _StageCompiler:
                 i = 2
             p = _ExprParser(toks, i)
             col = p.parse()
+            _expect_next(toks, p.i, (), "mv-expand")
             if name is None:
                 name = _expr_name(toks, i, p.i, "value")
             items.append((name, col))
         if len(items) == 1:
             name, col = items[0]
             return df.withColumn(name, F.explode(col))
-        # Parallel expansion (Kusto zips multi-column mv-expand): posexplode
-        # the first array, index the rest at the same position (null when
-        # shorter — KQL pads with null).
+        # Parallel expansion: Kusto ZIPS multi-column mv-expand to the
+        # LONGEST array, padding shorter ones (and null arrays) with
+        # null. Explode on the longest length, not the first column —
+        # keying on the first array silently dropped the other columns'
+        # tails (and whole records when the first was null/empty).
         names = [n for n, _ in items]
-        out = df.select("*", F.posexplode(items[0][1]).alias("__mvpos", "__mv_0"))
-        for j, (_, col) in enumerate(items[1:], start=1):
-            out = out.withColumn(f"__mv_{j}", F.try_element_at(col, F.col("__mvpos") + 1))
+        lens = [F.coalesce(F.size(c), F.lit(0)) for _, c in items]
+        longest = F.greatest(*lens) if len(lens) > 1 else lens[0]
+        # sequence(1, 0) would count DOWN ([1, 0]); all-empty records
+        # must explode to nothing (null sequence), matching Kusto
+        out = df.select(
+            "*",
+            F.explode(F.when(longest >= 1,
+                             F.sequence(F.lit(1), longest))).alias("__mvpos"))
+        for j, (_, col) in enumerate(items):
+            out = out.withColumn(f"__mv_{j}",
+                                 F.try_element_at(col, F.col("__mvpos")))
         keep = [c for c in df.columns if c not in names]
         return out.select(
             *keep, *[F.col(f"__mv_{j}").alias(names[j]) for j in range(len(items))])
@@ -1084,7 +1144,8 @@ class _StageCompiler:
                 direction = toks[i].text.lower()
                 i += 1
             orders.append(col.asc() if direction == "asc" else col.desc())
-            if i < len(toks) and toks[i].kind == "op" and toks[i].text == ",":
+            _expect_next(toks, i, (",",), "order by")
+            if i < len(toks):
                 i += 1
         return df.orderBy(*orders)
 
@@ -1190,7 +1251,12 @@ class _StageCompiler:
         if lkey == rkey:
             out = df.join(right, on=lkey, how=how)
         else:
-            out = df.join(right, df[lkey] == right[rkey], how=how)
+            # the right KEY may itself clash with a left column (e.g.
+            # `$left.a == $right.b` with b on both sides): the rename
+            # above already moved it, so the condition must reference
+            # the renamed column — right[rkey] would be UNRESOLVED
+            rkey_eff = rkey + "1" if rkey in clashes else rkey
+            out = df.join(right, df[lkey] == right[rkey_eff], how=how)
         return out
 
 
@@ -1415,6 +1481,18 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
                     out.extend(_pipeline_refs(part[1:-1].strip()))
                 elif re.fullmatch(r"[A-Za-z_]\w*", part):
                     out.append((part.lower(), []))
+            continue
+        # an mv-apply BODY is a full sub-pipeline whose stages dispatch
+        # through apply_stage — a union/join inside it resolves tables,
+        # so the governor/estimator must see those reads too
+        m = re.match(r"mv-apply\s+[A-Za-z_]\w*\s+on\s*\((.*)\)\s*$",
+                     s, re.DOTALL | re.IGNORECASE)
+        if m:
+            # the body's stages operate on the exploded stream (no head
+            # table of their own): scan them for join/union resolutions
+            # by prefixing a placeholder head the fullmatch won't count
+            for st in _split_stages(m.group(1).strip()):
+                out.extend(_pipeline_refs("__mvapply_body__ | " + st))
     return out
 
 
@@ -1596,7 +1674,16 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                 continue
             except Exception:  # noqa: BLE001 — plain read stands
                 pass
-        resolved[name] = spark.read.parquet(path)
+        # a table whose name is never word-mentioned in the query text
+        # CANNOT be referenced (any reference must spell the name):
+        # skip its eager spark.read.parquet — on a 50-table warehouse
+        # that's 49 avoided directory listings + footer schema reads
+        # per query. Word-mention is the sound upper bound, not the
+        # parser's ref count, so a reference shape the parser misses
+        # still registers its table.
+        if nrefs or re.search(rf"(?<!\w){re.escape(name)}(?!\w)",
+                              query, re.IGNORECASE):
+            resolved[name] = spark.read.parquet(path)
     return kql_to_df(query, resolved)
 
 

@@ -238,6 +238,107 @@ def test_join_renames_clashing_right_columns(spark):
     assert (row["v"], row["v1"]) == ("l", "r")
 
 
+def test_join_right_key_clashing_left_column(spark):
+    """`$left.a == $right.b` where b exists on BOTH sides: the right
+    key is renamed b→b1 like any clash, and the join condition must
+    reference the renamed column (review finding: right[rkey] was
+    unresolved)."""
+    left = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    right = spark.createDataFrame([(1, "x"), (3, "y")], "b long, w string")
+    got = kql_to_df(
+        "L | join kind=inner ( R ) on $left.a == $right.b",
+        {"L": left, "R": right})
+    assert sorted(got.columns) == ["a", "b", "b1", "w"]
+    row = got.collect()[0]
+    assert (row["a"], row["b"], row["b1"], row["w"]) == (1, 10, 1, "x")
+
+
+def test_where_trailing_tokens_raise(tiny_events):
+    """`where a == 1 b == 2` (missing `and`) must error like Kusto, not
+    silently filter on the first conjunct only."""
+    with pytest.raises(KqlError, match="trailing token"):
+        kql_to_df("T | where value == 1.5 event_id == 2",
+                  {"T": tiny_events})
+    with pytest.raises(KqlError, match="trailing token"):
+        kql_to_df("T | project event_id value", {"T": tiny_events})
+    with pytest.raises(KqlError, match="trailing token"):
+        kql_to_df("T | summarize count() event_id", {"T": tiny_events})
+
+
+def test_mv_expand_multi_zips_to_longest(spark):
+    """Multi-column mv-expand zips to the LONGEST array (null-padding
+    the shorter/null ones) — keying on the first array dropped the
+    other columns' tails and whole records when it was null."""
+    df = spark.createDataFrame(
+        [(1, [1], [10, 20]), (2, None, [30]), (3, [4, 5], None)],
+        "id long, a array<long>, b array<long>")
+    got = kql_to_df("T | mv-expand a, b | project id, a, b",
+                    {"T": df}).collect()
+    rows = {(r["id"], r["a"], r["b"]) for r in got}
+    assert rows == {(1, 1, 10), (1, None, 20),
+                    (2, None, 30), (3, 4, None), (3, 5, None)}
+    # all arrays empty/null: the record drops (no descending sequence)
+    empty = spark.createDataFrame([(9, [], None)],
+                                  "id long, a array<long>, b array<long>")
+    assert kql_to_df("T | mv-expand a, b", {"T": empty}).count() == 0
+
+
+def test_datetime_diff_week_is_sunday_aligned(spark):
+    """Kusto week boundaries are SUNDAYS: 2016-12-31 (Sat) →
+    2017-01-01 (Sun) crosses one; epoch-aligned buckets (Thursdays)
+    said zero."""
+    df = spark.createDataFrame([(1,)], "id long")
+    row = kql_to_df(
+        """T | extend w = datetime_diff('week',
+                 datetime(2017-01-01T00:00:00Z),
+                 datetime(2016-12-31T00:00:00Z)),
+               d = datetime_diff('day',
+                 datetime(2017-01-01T00:00:00Z),
+                 datetime(2016-12-31T00:00:00Z))""",
+        {"T": df}).collect()[0]
+    assert (row["w"], row["d"]) == (1, 1)
+
+
+def test_verbatim_string_backslash_not_stage_escape(spark):
+    """A trailing backslash inside @'...' must not desync stage
+    splitting (verbatim strings have no escapes — splitter and
+    tokenizer must agree) and later stages must still apply."""
+    df = spark.createDataFrame([("C:\\",), ("D:",)], "p string")
+    got = kql_to_df("T | where p == @'C:\\' | count", {"T": df}).collect()
+    assert got[0]["Count"] == 1
+
+
+def test_in_list_negative_literals(spark):
+    df = spark.createDataFrame([(-1,), (2,), (5,)], "code long")
+    got = kql_to_df("T | where code in (-1, 2) | order by code asc",
+                    {"T": df}).collect()
+    assert [r["code"] for r in got] == [-1, 2]
+
+
+def test_mv_apply_by_inside_string_literal(spark):
+    """The `by`-detection for the inner summarize must read TOKENS: a
+    'by' inside a string literal is not a by-clause."""
+    df = spark.createDataFrame([(1, ["by", "x"]), (2, ["y"])],
+                               "id long, xs array<string>")
+    got = kql_to_df(
+        "T | mv-apply xs on ( summarize c = countif(xs == 'by') )",
+        {"T": df}).collect()
+    assert sorted((r["id"], r["c"]) for r in got) == [(1, 1), (2, 0)]
+
+
+def test_make_series_quoted_datetime_literals(tiny_events):
+    got = kql_to_df(
+        """T | make-series n = count() on ts
+               from datetime('2024-01-01') to datetime('2024-01-03')
+               step 1d""",
+        {"T": tiny_events}).collect()
+    assert got[0]["n"] == [2, 1]  # 2 events on Jan 1, 1 on Jan 2
+    with pytest.raises(KqlError, match="bad datetime"):
+        kql_to_df(
+            "T | make-series n = count() on ts from datetime(nope) "
+            "to datetime('2024-01-03') step 1d", {"T": tiny_events})
+
+
 def test_pipes_inside_strings_not_stage_breaks(spark):
     df = spark.createDataFrame([("a|b",), ("c",)], "s string")
     got = kql_to_df("T | where s == 'a|b' | count", {"T": df}).collect()
@@ -802,6 +903,29 @@ class TestKqlScanBudget:
         big = kql_to_df_skipping(spark, "T | take 5", {"T": table},
                                  max_scan_bytes=10 ** 12)
         assert big.count() == 5
+
+    def test_mv_apply_body_reads_are_governed(self, spark, table):
+        """A union/join inside an mv-apply BODY resolves tables through
+        apply_stage — the governor must see those reads too (review
+        finding: _pipeline_refs skipped mv-apply bodies, so the body's
+        table bypassed admission control). Also: a warehouse table the
+        query never mentions must not be eagerly registered."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import (_pipeline_refs,
+                                         kql_to_df_skipping)
+
+        q = ("S | mv-apply xs on ( union T | summarize n = count() )")
+        assert ("t", []) in _pipeline_refs(q)
+        small = spark.createDataFrame([(1, ["a"])],
+                                      "id long, xs array<string>")
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            kql_to_df_skipping(spark, q, {"T": table},
+                               tables={"S": small}, max_scan_bytes=1)
+        # unreferenced warehouse table: no eager read, query still runs
+        got = kql_to_df_skipping(
+            spark, "S | mv-expand xs | count",
+            {"Unused": table}, tables={"S": small})
+        assert got.first()["Count"] == 1
 
     def test_multi_reference_enforced_at_full_scan(self, spark, table):
         """A twice-read table can't attribute either where, so each
