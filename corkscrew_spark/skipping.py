@@ -309,8 +309,11 @@ def _bloom_probe_str(v, tag: str) -> str | None:
         # literal ('042' == 42 matches) — only same-type probes are sound
         return v if isinstance(v, str) else None
     if tag == "integral":
-        # Spark casts a string literal to the int ('042' -> 42), and a
-        # fractional double can never equal an integral column
+        # Spark casts a string literal to the int ('042' -> 42). A
+        # FLOAT literal promotes the COLUMN to double — a lossy cast
+        # above 2^53 under which distinct bigints alias onto the
+        # literal (10**18+63 == 1e18 in double), so no canonical
+        # string image exists: stand down (zone maps still apply)
         if isinstance(v, int):
             return str(v)
         if isinstance(v, str):
@@ -318,11 +321,15 @@ def _bloom_probe_str(v, tag: str) -> str | None:
                 return str(int(v))
             except ValueError:
                 return None
-        if isinstance(v, float) and v.is_integer() and not _is_nan(v):
-            return str(int(v))
         return None
     if tag == "date":
         if isinstance(v, _dt.datetime):
+            # an OFFSET-carrying literal is converted by Spark to the
+            # session zone's wall clock before the comparison — our
+            # wall-clock rendering would drop the offset (false
+            # negative = wrong rows): stand down
+            if v.tzinfo is not None:
+                return None
             # date col == timestamp literal promotes the COLUMN to
             # timestamp-at-midnight: only a midnight literal can match
             if (v.hour, v.minute, v.second, v.microsecond) != (0, 0, 0, 0):
@@ -333,6 +340,8 @@ def _bloom_probe_str(v, tag: str) -> str | None:
         return None
     if tag == "timestamp":
         if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:  # same offset-dropping hazard
+                return None
             return v.strftime("%Y-%m-%d %H:%M:%S.%f")
         if isinstance(v, _dt.date):
             return _dt.datetime(v.year, v.month, v.day).strftime(
@@ -482,23 +491,22 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
             f"{path}/{_STATS_FILE} missing — run compute_stats first")
     cols = stats["cols"]
     cur_tz = spark.conf.get("spark.sql.session.timeZone")
+    if stats.get("types") is None:
+        # pre-types snapshot: its timestamp bounds were rendered under
+        # an UNRECORDED zone, so they are only safe while the missing
+        # types keep them _INCOMPARABLE. Stamping current types + tz
+        # onto the OLD records (as the incremental path below would)
+        # would retroactively arm them under the wrong zone — one full
+        # recompute upgrades the snapshot, incremental forever after.
+        return recompute_stats(spark, path, cols)
     if _ltz_cols(stats) and stats.get("tz") != cur_tz:
         # new files would render bounds in the CURRENT zone while old
         # records hold another zone's strings — never mix; recompute
-        bloom = stats.get("bloom")
-        return compute_stats(
-            spark, path, cols,
-            bloom_cols=bloom["cols"] if bloom else None,
-            bloom_bits=bloom["m"] if bloom else 8192,
-            bloom_hashes=bloom["k"] if bloom else 5)
+        # (bloom opt-in preserved, same as every recompute path)
+        return recompute_stats(spark, path, cols)
     changed = _invalidated_since(path, stats["ts_ns"])
     if changed is None:
-        bloom = stats.get("bloom")
-        return compute_stats(
-            spark, path, cols,
-            bloom_cols=bloom["cols"] if bloom else None,
-            bloom_bits=bloom["m"] if bloom else 8192,
-            bloom_hashes=bloom["k"] if bloom else 5)
+        return recompute_stats(spark, path, cols)
     stale_pfx = tuple(r + "/" for r in changed)
     current = _list_data_files(path)
     current_set = set(current)
@@ -520,12 +528,7 @@ def refresh_stats(spark: SparkSession, path: str) -> dict:
         files.update(_per_file_stats(path, sub, cols, bloom_cfg))
         _fill_empty_files(files, todo, cols, path)
     out = {"ts_ns": time.time_ns(), "cols": cols, "files": files,
-           "tz": cur_tz}
-    types = stats.get("types")
-    if types is None and todo:
-        types = _schema_types(sub, cols, bloom_cfg)
-    if types is not None:
-        out["types"] = types
+           "tz": cur_tz, "types": stats["types"]}
     if bloom_cfg:
         out["bloom"] = bloom_cfg
     _write_stats(path, out)
@@ -697,13 +700,30 @@ def _range_may_match(mnk, mxk, op, value,
     their widened side. ``temporal`` is the COLUMN's recorded
     comparison domain (see ``_cmp_key``) and governs how the predicate
     VALUE is coerced — the bound keys arrive pre-coerced the same way."""
+    def _align(a, b):
+        # Spark compares in DOUBLE whenever either side is double: a
+        # Python int-vs-float comparison is EXACT, disagreeing with
+        # the lossy bigint→double promotion above 2^53 (10**18+63
+        # equals 1e18 as doubles but not to Python) — convert the int
+        # side exactly as the cast would, or the mismatch prunes rows
+        # Spark matches
+        if isinstance(a, int) and not isinstance(a, bool) \
+                and isinstance(b, float):
+            return float(a), b
+        if isinstance(b, int) and not isinstance(b, bool) \
+                and isinstance(a, float):
+            return a, float(b)
+        return a, b
+
     try:
         if op == "between":
             lo, _ = _widen(value[0], temporal)
             _, hi = _widen(value[1], temporal)
             if any(_is_nan(x) for x in (mnk, mxk, lo, hi)):
                 return True
-            return not (mxk < lo or mnk > hi)
+            a, lo = _align(mxk, lo)
+            b, hi = _align(mnk, hi)
+            return not (a < lo or b > hi)
         v_lo, v_hi = _widen(value, temporal)
         if any(_is_nan(x) for x in (mnk, mxk, v_lo)):
             return True
@@ -712,16 +732,22 @@ def _range_may_match(mnk, mxk, op, value,
         # TypeError from an IRRELEVANT bound (mixed-encoding column)
         # forfeit pruning the requested op could prove
         if op == "<":
-            return mnk < v_hi
+            a, b = _align(mnk, v_hi)
+            return a < b
         if op == "<=":
-            return mnk <= v_hi
+            a, b = _align(mnk, v_hi)
+            return a <= b
         if op == ">":
-            return mxk > v_lo
+            a, b = _align(mxk, v_lo)
+            return a > b
         if op == ">=":
-            return mxk >= v_lo
-        return mnk <= v_hi and v_lo <= mxk  # "="
-    except TypeError:
-        return True  # incomparable types: never prune on a guess
+            a, b = _align(mxk, v_lo)
+            return a >= b
+        a, b = _align(mnk, v_hi)
+        c, d = _align(v_lo, mxk)
+        return a <= b and c <= d  # "="
+    except (TypeError, OverflowError):
+        return True  # incomparable/unconvertible: never prune on a guess
 
 
 def _ltz_cols(stats: dict) -> set[str]:
@@ -842,12 +868,13 @@ def _file_may_match(rec: dict, predicates: list[tuple],
                 return False
             continue
         if op == "in":
-            # prunable only when EVERY member misses (empty IN matches
-            # nothing); runs BEFORE the stats guard so bloom-only
-            # columns still prune
+            # prunable only when EVERY member misses (an empty/None IN
+            # matches nothing — same reading as predicate_filter and
+            # the dir-level pass, not a TypeError); runs BEFORE the
+            # stats guard so bloom-only columns still prune
             if not any(_eq_may_match(rec, col, m, bloom, bloom_cache,
                                      temporal, tz_ok)
-                       for m in value):
+                       for m in (value or ())):
                 return False
             continue
         cs = rec["stats"].get(col)
@@ -918,6 +945,35 @@ def _list_data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+#: parsed commit-log cache, keyed like _STATS_CACHE on the file's own
+#: (mtime_ns, size) identity: the log grows one JSONL line per commit
+#: FOREVER, and _plan consults it on every planned query (a 6-branch
+#: estimate_scan_any consulted it 7 times) — a resident server over a
+#: long-ingested table was paying O(total commits) json.loads per plan
+_LOG_CACHE: dict[str, tuple[tuple[int, int], list]] = {}
+_LOG_CACHE_MAX = 64
+_LOG_CACHE_LOCK = threading.Lock()
+
+
+def _commit_entries(log: str) -> list[dict]:
+    try:
+        st = os.stat(log)
+    except OSError:
+        return []
+    key = (st.st_mtime_ns, st.st_size)
+    with _LOG_CACHE_LOCK:
+        hit = _LOG_CACHE.get(log)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+    with open(log) as fh:
+        entries = [json.loads(line) for line in fh]
+    with _LOG_CACHE_LOCK:
+        if log not in _LOG_CACHE and len(_LOG_CACHE) >= _LOG_CACHE_MAX:
+            _LOG_CACHE.pop(next(iter(_LOG_CACHE)))  # oldest insert
+        _LOG_CACHE[log] = (key, entries)
+    return entries
+
+
 def _invalidated_since(path: str, ts_ns: int) -> list[str] | None:
     """Partition relpaths whose EXISTING files may have changed since
     ``ts_ns`` per the commit log; None when a full rewrite invalidates
@@ -929,14 +985,12 @@ def _invalidated_since(path: str, ts_ns: int) -> list[str] | None:
     if not os.path.exists(log):
         return []  # no log: rewrites rename files, unknown-net catches
     touched: set[str] = set()
-    with open(log) as fh:
-        for line in fh:
-            rec = json.loads(line)
-            if rec["ts_ns"] <= ts_ns or rec["op"] == "append":
-                continue
-            if rec["partitions"] is None:
-                return None
-            touched.update(rec["partitions"])
+    for rec in _commit_entries(log):
+        if rec["ts_ns"] <= ts_ns or rec["op"] == "append":
+            continue
+        if rec["partitions"] is None:
+            return None
+        touched.update(rec["partitions"])
     return sorted(touched)
 
 
@@ -993,8 +1047,12 @@ def _plan(path: str, branches: list[list[tuple]],
     if disabled:
         # drop conjuncts on zone-mismatched LTZ columns from the
         # PRUNING decision only — read_skipping still re-applies the
-        # full predicate, so this costs I/O, never rows
-        branches = [[p for p in b if p[0] not in disabled]
+        # full predicate, so this costs I/O, never rows. Null checks
+        # are zone-INDEPENDENT (they read the null count, not the
+        # rendered bounds): keep them pruning
+        branches = [[p for p in b
+                     if p[0] not in disabled
+                     or p[1] in ("is_null", "is_not_null")]
                     for b in branches]
     eff: list[list[tuple]] | None = branches
     if not branches or any(not b for b in branches):

@@ -1376,6 +1376,127 @@ def test_load_stats_cached_until_file_changes(spark, tmp_path):
     assert skipping.load_stats(path) is None
 
 
+class TestReviewSoundness:
+    """Round-9 whole-file review findings, each a sound-pruning or
+    consistency defect with a concrete wrong-rows/crash scenario."""
+
+    def test_float_literal_vs_bigint_bounds_promotes(self, spark, tmp_path):
+        """Spark compares bigint op double IN DOUBLE (lossy above 2^53:
+        10**18+63 == 1e18); Python's exact int-vs-float comparison
+        disagreed and pruned files whose rows Spark matches."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(10 ** 18 + 63,)], "k long").coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        # the row MATCHES k = 1e18 under Spark's double promotion
+        got = skipping.read_skipping(spark, path, [("k", "=", 1e18)])
+        assert got.count() == 1
+        plan = skipping.plan_skip(path, [("k", "=", 1e18)])
+        assert len(plan["kept"]) == 1  # not pruned
+        plan = skipping.plan_skip(path, [("k", ">=", 1e18)])
+        assert len(plan["kept"]) == 1
+
+    def test_bloom_float_literal_on_integral_stands_down(
+            self, spark, tmp_path):
+        """A float equality literal on a bigint bloom column has no
+        canonical string image (double promotion aliases distinct
+        bigints onto it): the probe must stand down, never prune."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(10 ** 18 + 63,)], "k long").coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"], bloom_cols=["k"])
+        plan = skipping.plan_skip(path, [("k", "=", 1e18)])
+        assert len(plan["kept"]) == 1
+
+    def test_bloom_aware_datetime_literal_stands_down(
+            self, spark, tmp_path):
+        """An offset-carrying timestamp literal is converted to the
+        session zone's wall clock by Spark; rendering OUR wall clock
+        (offset dropped) probed the wrong image and pruned matching
+        files. The probe must stand down on aware datetimes."""
+        import datetime as dt
+
+        path = str(tmp_path / "t")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            spark.createDataFrame(
+                [("2024-06-01 00:00:00",)], "ts string"
+            ).selectExpr("CAST(ts AS TIMESTAMP) AS ts") \
+             .coalesce(1).write.parquet(path)
+            skipping.compute_stats(spark, path, ["ts"],
+                                   bloom_cols=["ts"])
+            aware = dt.datetime(2024, 6, 1, 4, 0, 0,
+                                tzinfo=dt.timezone.utc)  # == NY midnight
+            plan = skipping.plan_skip(path, [("ts", "=", aware)])
+            assert len(plan["kept"]) == 1  # kept, not falsely pruned
+            got = skipping.read_skipping(spark, path, [("ts", "=", aware)])
+            assert got.count() == 1
+        finally:
+            spark.conf.set("spark.sql.session.timeZone",
+                           spark.sparkContext.getConf().get(
+                               "spark.sql.session.timeZone", "UTC"))
+
+    def test_in_none_matches_nothing_not_typeerror(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(10).selectExpr("id AS k").coalesce(1) \
+            .write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        plan = skipping.plan_skip(path, [("k", "in", None)])
+        assert plan["kept"] == []  # matches nothing, like the filter
+        plan = skipping.plan_skip(path, [("k", "in", [])])
+        assert plan["kept"] == []
+
+    def test_refresh_pre_types_snapshot_forces_recompute(
+            self, spark, tmp_path):
+        """A pre-types snapshot's bounds were rendered under an
+        UNRECORDED zone; the incremental path must not retroactively
+        stamp current types+tz onto them (that would arm wrong-zone
+        bounds) — it recomputes in full instead."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [("2024-01-01 05:30:00",)], "ts string"
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts") \
+         .coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        stats = dict(skipping.load_stats(path))
+        legacy = {k: v for k, v in stats.items()
+                  if k not in ("types", "tz")}
+        skipping._write_stats(path, dict(legacy))
+        out = skipping.refresh_stats(spark, path)
+        assert out.get("types")  # fully recomputed, types recorded
+        # the recompute rendered bounds under the CURRENT zone: a
+        # range probe prunes correctly instead of standing down
+        assert out["tz"] == spark.conf.get("spark.sql.session.timeZone")
+
+    def test_tz_mismatch_keeps_null_check_pruning(self, spark, tmp_path):
+        """Null counts are zone-independent: an LTZ zone mismatch must
+        not forfeit is_null/is_not_null pruning."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00",)], "ts string"
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts") \
+         .coalesce(1).write.parquet(path)
+        skipping.compute_stats(spark, path, ["ts"])
+        stats = dict(skipping.load_stats(path))
+        stats["tz"] = "Pacific/Chatham"  # simulate a mismatched build
+        plan = skipping._plan(path, [[("ts", "is_null", None)]], stats)
+        assert plan["kept"] == []  # zero nulls: pruned despite mismatch
+
+    def test_commit_log_parse_cached(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _write_clustered(spark, path, n_files=2)
+        skipping.compute_stats(spark, path, ["k"])
+        log = os.path.join(path, "_commits.jsonl")
+        with open(log, "w") as fh:
+            fh.write('{"ts_ns": 1, "op": "append", "partitions": []}\n')
+        a = skipping._commit_entries(log)
+        assert skipping._commit_entries(log) is a  # identity-cached
+        with open(log, "a") as fh:  # append changes (mtime, size)
+            fh.write('{"ts_ns": 2, "op": "append", "partitions": []}\n')
+        b = skipping._commit_entries(log)
+        assert b is not a and len(b) == 2
+
+
 def test_bloom_bits_for_sizing():
     """bloom_bits_for: byte-multiple, floored at the 8192-bit default,
     monotone in keys, ~10 bits/key at the 1% default, and tighter
