@@ -106,8 +106,20 @@ def _log_commit(path: str, op: str, partitions: list[str] | None) -> None:
     ``changed_partitions_since`` and rescans ONLY those directories."""
     import json as _json
 
+    log = os.path.join(path, _COMMIT_LOG)
+    if partitions is not None and not os.path.exists(log):
+        # FIRST entry on a previously log-free table must be a
+        # full-rewrite baseline: a scoped entry alone would make every
+        # partition the table already held invisible to a consumer
+        # bootstrapping via changed_partitions_since (pre-log tables
+        # read as "assume all changed"; a log that starts scoped
+        # silently narrows that to the one touched partition)
+        base = {"ts_ns": time.time_ns(), "op": "baseline",
+                "partitions": None}
+        with open(log, "a") as fh:
+            fh.write(_json.dumps(base) + "\n")
     rec = {"ts_ns": time.time_ns(), "op": op, "partitions": partitions}
-    with open(os.path.join(path, _COMMIT_LOG), "a") as fh:
+    with open(log, "a") as fh:
         fh.write(_json.dumps(rec) + "\n")
 
 
@@ -195,6 +207,11 @@ def read_table(spark: SparkSession, path: str,
 
     if predicates and predicates_any:
         raise ValueError("pass predicates OR predicates_any, not both")
+    if predicates_any is not None and not predicates_any:
+        # an OR of ZERO branches is FALSE (matches nothing) — falling
+        # through to a plain scan would return the whole table to a
+        # caller whose DNF simplifier pruned every branch
+        return spark.read.parquet(path).limit(0)
     if not predicates and not predicates_any:
         return spark.read.parquet(path)
     if use_stats is None:
@@ -290,6 +307,20 @@ def _hive_escape(value) -> str:
     # string to the default partition directory.
     if value is None or value == "":
         return "__HIVE_DEFAULT_PARTITION__"
+    # only types whose Python str() equals Spark's partition-value
+    # rendering may name a directory: str(True) is 'True' but Spark
+    # writes 'true', so a bool partition column would compute a reldir
+    # that exists on NEITHER side of the swap — the staged batch would
+    # be silently discarded as a no-op swap. Raise instead of losing
+    # the batch. (floats/Decimals have repr edge cases — same rule.)
+    import datetime as _dt
+    if (not isinstance(value, (str, int, _dt.date))
+            or isinstance(value, (bool, _dt.datetime))):
+        raise TypeError(
+            f"unsupported partition-column value type "
+            f"{type(value).__name__!r} ({value!r}): Python's rendering "
+            "is not guaranteed to match Spark's directory name — "
+            "partition on string/int/date columns")
     return "".join(
         "%%%02X" % ord(ch) if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
         for ch in str(value))
@@ -303,6 +334,19 @@ def _partition_reldir(partition_cols: list[str], values: tuple) -> str:
 def _is_hive_partitioned(path: str, first_col: str) -> bool:
     return os.path.isdir(path) and any(
         e.startswith(first_col + "=") for e in os.listdir(path))
+
+
+def _layout_matches(path: str, partition_cols: list[str] | None) -> bool:
+    """Scoped swaps are sound ONLY when the requested partition columns
+    equal the table's FULL on-disk hive chain. Validating just the
+    first column let a too-shallow ``partition_cols=['provider']`` on a
+    ``provider/service`` table rename a staging dir of flat files in
+    next to deeper ``service=`` dirs — an unreadable mixed layout that
+    ``_table_count`` then reported as a successful empty merge. A
+    mismatch now routes to the full swap-write (a layout migration,
+    expensive but correct)."""
+    return bool(partition_cols) and \
+        _detect_partition_cols(path) == list(partition_cols)
 
 
 def _detect_partition_cols(path: str) -> list[str]:
@@ -540,8 +584,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame,
     *``.
     """
     updates = updates.withColumn("_src", F.lit(1))
-    scoped = bool(partition_cols) and _is_hive_partitioned(
-        path, partition_cols[0])
+    scoped = _layout_matches(path, partition_cols)
     touched: list[tuple] = []
     if os.path.exists(path):
         existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
@@ -591,8 +634,13 @@ def retention_delete(spark: SparkSession, path: str, ts_col: str,
     if pcols and pcols[0] == ts_col:
         _drop_partitions_below(path, ts_col, cutoff)
     else:
+        # NULL-timestamp rows are KEPT: null >= cutoff is null (row
+        # silently deleted by a bare filter), while the partition-drop
+        # path keeps them (__HIVE_DEFAULT_PARTITION__ sorts above any
+        # date cutoff) — retention must not delete rows whose age is
+        # unknown, and both paths must agree
         kept = spark.read.parquet(path).filter(
-            F.col(ts_col) >= F.lit(cutoff))
+            F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff)))
         if pcols:
             # preserve the hive layout: rewriting a partitioned table
             # flat would silently demote every later merge to a
@@ -633,7 +681,16 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     ``salts`` reducers instead of melting one. Use when AQE's skew-join
     split isn't enough (a single key beyond one executor's memory);
     costs a ``salts``× blow-up of the right side, so keep salts small.
+
+    Inner and left joins only: under right/full/right-semi joins the
+    ``salts`` exploded copies of an UNMATCHED right row all survive,
+    duplicating it ``salts``× — refused rather than silently wrong.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: an "
+            f"unmatched right row would survive as {salts} salted copies")
     lsalt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % salts).cast("int")
     l = left.withColumn("_salt", lsalt)
     r = right.withColumn(
@@ -716,12 +773,18 @@ def compact_table(spark: SparkSession, path: str,
     tmp = f"{path}.__compact__{time.time_ns()}"
     if partition_cols:
         # one task per hive partition, files re-split by the record cap
+        # — without maxRecordsPerFile a 10 GB partition hashes onto ONE
+        # task and lands as ONE file, 80x the target (the comment said
+        # 'record cap' but none was set)
+        rows = df.count()  # parquet metadata only, no column decode
+        cap = max(1, -(-rows // n_out))  # ~rows per target-sized file
         shaped = df.repartition(n_out, *[F.col(c) for c in partition_cols])
         if sort_cols:
             shaped = shaped.sortWithinPartitions(*partition_cols,
                                                  *sort_cols)
         (
             shaped.write.mode("overwrite")
+            .option("maxRecordsPerFile", cap)
             .partitionBy(*partition_cols)
             .parquet(tmp)
         )
@@ -914,8 +977,7 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
     skipping the full-table metadata read — see merge_upsert).
     """
     meta = {"valid_from", "valid_to", "is_current"}
-    scoped = bool(partition_cols) and _is_hive_partitioned(
-        path, partition_cols[0])
+    scoped = _layout_matches(path, partition_cols)
     touched: list[tuple] = []
     if os.path.exists(path):
         existing = spark.read.parquet(path)
@@ -940,8 +1002,21 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
             "migrate the table schema before merging (silent drops hide "
             "schema drift)")
 
-    upd = updates.select(*data_cols).alias("u")
-    cur = existing.filter(F.col("is_current")).alias("c")
+    # one version decision per key per batch: a replayed/duplicated key
+    # in one batch would otherwise join every current row twice —
+    # duplicate open versions and double close-outs, a permanently
+    # corrupted dimension. Keep the newest update per key (the same
+    # newest-wins rule merge_upsert applies).
+    upd_w = Window.partitionBy(*keys).orderBy(F.col(effective_col).desc())
+    updates = (updates.withColumn("__rn", F.row_number().over(upd_w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    # explicit presence sentinels: testing keys[0] IS NOT NULL would
+    # silently DROP rows whose first key column is null (they match
+    # neither kept/closed/inserted); null-key rows never equi-join, so
+    # each side's row passes through independently
+    upd = updates.select(*data_cols).withColumn("__u", F.lit(1)).alias("u")
+    cur = (existing.filter(F.col("is_current"))
+           .withColumn("__c", F.lit(1)).alias("c"))
     closed = existing.filter(~F.col("is_current"))
 
     changed = [
@@ -953,8 +1028,8 @@ def scd2_merge(spark: SparkSession, path: str, updates: DataFrame,
 
     joined = cur.join(upd, [F.col(f"c.{k}") == F.col(f"u.{k}") for k in keys],
                       "full_outer")
-    has_cur = F.col(f"c.{keys[0]}").isNotNull()
-    has_upd = F.col(f"u.{keys[0]}").isNotNull()
+    has_cur = F.col("c.__c").isNotNull()
+    has_upd = F.col("u.__u").isNotNull()
 
     # current rows: keep unchanged ones open; close out changed ones.
     # In snapshot mode a current row with no update means the resource
@@ -1274,12 +1349,18 @@ def merge_upsert_cdc(spark: SparkSession, path: str, updates: DataFrame,
     metadata read — see merge_upsert).
     """
     updates = updates.withColumn("_src", F.lit(1))
-    scoped = bool(partition_cols) and _is_hive_partitioned(
-        path, partition_cols[0])
+    scoped = _layout_matches(path, partition_cols)
     touched: list[tuple] = []
     if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        if op_col in existing.columns:
+            # withColumn would silently NULL a real data column named
+            # like the CDC flag, and the final drop would destroy it
+            raise ValueError(
+                f"table already has a column named {op_col!r} — pass a "
+                "different op_col; overwriting it would destroy data")
         existing = (
-            spark.read.parquet(path)
+            existing
             .withColumn("_src", F.lit(0))
             .withColumn(op_col, F.lit(None).cast("string"))
         )

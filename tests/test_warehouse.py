@@ -1131,3 +1131,136 @@ class TestIncrementalLoopEndToEnd:
             last = json.loads(fh.readlines()[-1])
         assert last["op"] == "merge-scoped" and last["partitions"] == [
             "region=us"]
+
+
+class TestReviewSoundness:
+    """Round-9 whole-file review findings: write-path defects that lose
+    or corrupt data, each with its concrete scenario pinned."""
+
+    def test_first_scoped_commit_writes_baseline(self, spark, tmp_path):
+        """A scoped merge on a previously log-free table must not make
+        the untouched partitions invisible to bootstrapping consumers:
+        the log's first entry is a full-rewrite baseline."""
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("aws", 1, "a", "2024-01-01"), ("gcp", 2, "b", "2024-01-01")],
+            "provider string, id long, v string, scanned_at string")
+        warehouse.write_partitioned(base, path, ["provider"])  # no log
+        upd = spark.createDataFrame(
+            [("aws", 1, "a2", "2024-01-02")], base.schema)
+        warehouse.merge_upsert(spark, path, upd, ["id"], "scanned_at",
+                               partition_cols=["provider"])
+        # bootstrap from ts 0: a scoped-only log would claim only the
+        # touched partition changed; the baseline forces "everything"
+        assert warehouse.changed_partitions_since(path, 0) is None
+
+    def test_scoped_merge_requires_full_layout_match(self, spark, tmp_path):
+        """partition_cols shallower than the on-disk hive chain must
+        NOT take the scoped path (it would rename flat staging files
+        next to deeper col= dirs — an unreadable mixed layout); it
+        re-lays the table out instead, losing no rows."""
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("aws", "s3", 1, "a", "2024-01-01"),
+             ("aws", "ec2", 2, "b", "2024-01-01"),
+             ("gcp", "gcs", 3, "c", "2024-01-01")],
+            "provider string, service string, id long, v string,"
+            "scanned_at string")
+        warehouse.write_partitioned(base, path, ["provider", "service"])
+        upd = spark.createDataFrame(
+            [("aws", "s3", 1, "a2", "2024-01-02")], base.schema)
+        warehouse.merge_upsert(spark, path, upd, ["id"], "scanned_at",
+                               partition_cols=["provider"])  # shallow
+        got = spark.read.parquet(path)  # must stay readable
+        rows = {(r["id"], r["v"]) for r in got.collect()}
+        assert rows == {(1, "a2"), (2, "b"), (3, "c")}
+
+    def test_scd2_batch_duplicates_and_null_keys(self, spark, tmp_path):
+        """(a) duplicate keys in one batch produce ONE open version
+        (newest wins), never two is_current rows; (b) a current row
+        with a NULL key survives merges instead of vanishing."""
+        path = str(tmp_path / "dim")
+        first = spark.createDataFrame(
+            [(1, "x", "2024-01-01"), (None, "nullkey", "2024-01-01")],
+            "rid long, state string, scanned_at string")
+        warehouse.scd2_merge(spark, path, first, ["rid"], ["state"])
+        batch = spark.createDataFrame(
+            [(1, "y", "2024-01-02"), (1, "z", "2024-01-03")],
+            "rid long, state string, scanned_at string")
+        warehouse.scd2_merge(spark, path, batch, ["rid"], ["state"])
+        out = spark.read.parquet(path).collect()
+        cur = [r for r in out if r["is_current"]]
+        assert sorted((r["rid"], r["state"]) for r in cur
+                      if r["rid"] is not None) == [(1, "z")]  # newest
+        assert [r["state"] for r in cur if r["rid"] is None] == ["nullkey"]
+
+    def test_retention_keeps_null_timestamps(self, spark, tmp_path):
+        """Rows whose age is UNKNOWN must survive retention in the
+        generic path (null >= cutoff is null → was silently deleted),
+        matching the partition-drop path's behavior."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "2020-01-01"), (2, None), (3, "2025-01-01")],
+            "id long, ts string").coalesce(1).write.parquet(path)
+        kept = warehouse.retention_delete(spark, path, "ts", "2024-01-01")
+        assert kept == 2
+        ids = {r["id"] for r in spark.read.parquet(path).collect()}
+        assert ids == {2, 3}  # null-ts row 2 kept, expired row 1 gone
+
+    def test_hive_escape_rejects_unrenderable_types(self):
+        import pytest
+
+        with pytest.raises(TypeError, match="partition-column value"):
+            warehouse._hive_escape(True)  # str(True)='True', Spark 'true'
+        with pytest.raises(TypeError, match="partition-column value"):
+            warehouse._hive_escape(1.5)
+        assert warehouse._hive_escape("aws") == "aws"
+        assert warehouse._hive_escape(42) == "42"
+        assert warehouse._hive_escape(dt.date(2024, 1, 1)) == "2024-01-01"
+
+    def test_cdc_rejects_op_col_collision(self, spark, tmp_path):
+        import pytest
+
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "real-data", "2024-01-01")],
+            "id long, op string, scanned_at string"
+        ).write.parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "UPSERT", "2024-01-02")],
+            "id long, op string, scanned_at string")
+        with pytest.raises(ValueError, match="op_col"):
+            warehouse.merge_upsert_cdc(spark, path, upd, ["id"])
+
+    def test_read_table_empty_disjunction_matches_nothing(
+            self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.range(5).write.parquet(path)
+        assert warehouse.read_table(spark, path,
+                                    predicates_any=[]).count() == 0
+
+    def test_salted_join_refuses_right_duplicating_kinds(self, spark):
+        import pytest
+
+        left = spark.createDataFrame([(1, "a")], "k long, v string")
+        right = spark.createDataFrame([(2, "b")], "k long, w string")
+        with pytest.raises(ValueError, match="salted_join"):
+            warehouse.salted_join(left, right, "k", how="full")
+        # left joins stay supported and correct
+        got = warehouse.salted_join(left, right, "k", how="left").collect()
+        assert len(got) == 1 and got[0]["w"] is None
+
+    def test_compact_partitioned_respects_record_cap(self, spark, tmp_path):
+        """A big hive partition must re-split into ~target-sized files,
+        not land as one giant file per partition."""
+        import glob
+
+        path = str(tmp_path / "t")
+        df = spark.range(10_000).selectExpr(
+            "'aws' AS provider", "id", "repeat(uuid(), 4) AS pad")
+        warehouse.write_partitioned(df, path, ["provider"])
+        _, total = warehouse.table_file_stats(spark, path)
+        warehouse.compact_table(spark, path, target_file_bytes=total // 4,
+                                partition_cols=["provider"])
+        files = glob.glob(f"{path}/provider=aws/*.parquet")
+        assert len(files) >= 3  # re-split, not one file
