@@ -34,6 +34,7 @@ file-level analogue without re-implementing a SQL planner.
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import re
 
 _KEYWORDS = {
@@ -65,10 +66,19 @@ def _collapse_case(
     the hard delimiter that closes) with a single unparseable
     ``("opaque", "CASE")`` token. None — the caller must extract
     NOTHING — when the spans can't be delimited safely: an unmatched
-    CASE (e.g. a column literally named ``case``), a stray
-    WHEN/THEN/ELSE/END outside any span, or a span that crosses its
-    enclosing parenthesis (malformed text; collapsing it would
-    unbalance the depth tracking the splitters rely on)."""
+    CASE (e.g. a column literally named ``case``) or a span that
+    crosses its enclosing parenthesis (malformed text; collapsing it
+    would unbalance the depth tracking the splitters rely on).
+
+    A WHEN/THEN/ELSE/END *outside* any span is NOT a stand-down: a
+    real CASE span always opens with the CASE keyword (which sets the
+    depth), so a depth-0 occurrence can only be a column unquoted-named
+    with a non-reserved word (``end`` is common in period tables). It
+    maps to an opaque token — ITS term fails literal parsing and drops,
+    while clean sibling conjuncts keep pruning; the old whole-statement
+    stand-down turned ``WHERE end >= 5 AND tenant = 'x'`` into a bare
+    full-scan estimate the armed governor then REFUSED, telling the
+    user to add the selective predicate they already had."""
     out: list[tuple[str, str]] = []
     depth = 0  # CASE nesting; 0 = outside any span
     pdepth = 0  # paren depth INSIDE the current span
@@ -79,7 +89,9 @@ def _collapse_case(
                 pdepth = 0
                 out.append(("opaque", "CASE"))
             elif k == "kw" and v in _CASE_KWS:
-                return None  # WHEN/THEN/ELSE/END with no open CASE
+                # a column named end/when/then/else: opaque its own
+                # term only (see docstring)
+                out.append(("opaque", v))
             else:
                 out.append((k, v))
             continue
@@ -112,12 +124,19 @@ class _Unparseable(Exception):
     pass
 
 
+@functools.lru_cache(maxsize=256)
 def _tokens_spans(
         sql: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
     """(tokens, spans): tokens as in ``_tokens``, spans as each token's
     (start, end) character offsets in ``sql`` — the rewrite half
     (``rewrite_table_refs``) needs to splice replacement text exactly
-    where the original token sat."""
+    where the original token sat.
+
+    Memoized on the statement text: one governed engine query walks
+    the extraction cascade (resolvers, segmenters, extractors, rewrite)
+    8-10 times over the SAME string, and every caller treats the token
+    list as read-only (they build new lists, never mutate) — so the
+    repeated O(len) regex lexing per statement collapses to one."""
     out: list[tuple[str, str]] = []
     spans: list[tuple[int, int]] = []
     pos = 0

@@ -275,9 +275,12 @@ class TestCaseExpressions:
         # stands the whole clause down, never crashes
         assert extract_predicates(
             "SELECT * FROM t WHERE case = 1 AND k = 2", "t") == []
-        # stray END/WHEN outside any span: malformed, extract nothing
+        # a depth-0 END (column named `end`) drops only ITS term —
+        # a real span always opens with CASE, so no span can be
+        # mis-delimited; the sibling keeps pruning (r9 review fix)
         assert extract_predicates(
-            "SELECT * FROM t WHERE k = 1 AND end = 2", "t") == []
+            "SELECT * FROM t WHERE k = 1 AND end = 2", "t") == [
+            ("k", "=", 1)]
 
     def test_clean_conjuncts_next_to_case_keep_pruning(self):
         """The round-6 wholesale stand-down dropped pruning for ANY
@@ -320,6 +323,32 @@ class TestCaseExpressions:
         assert extract_disjuncts(
             "SELECT * FROM t WHERE (k < 10 OR k >= 700)", "t") == [
             [("k", "<", 10)], [("k", ">=", 700)]]
+
+
+class TestBareCaseKeywordColumns:
+    """A column unquoted-named end/when/then/else (non-reserved in
+    Spark; `end` is common in period tables) must drop ONLY its own
+    term — the old whole-statement stand-down erased clean siblings'
+    pruning, and under an armed governor refused admissible queries on
+    the resulting bare full-scan estimate."""
+
+    def test_end_column_keeps_sibling_pruning(self):
+        from corkscrew_spark.predicates import (extract_disjuncts,
+                                                extract_predicates)
+
+        q = "SELECT * FROM spans WHERE end >= 5 AND tenant = 'x'"
+        assert extract_predicates(q, "spans") == [("tenant", "=", "x")]
+        q2 = "SELECT * FROM t WHERE (end > 1 AND k = 2) OR k = 3"
+        assert extract_disjuncts(q2, "t") == [[("k", "=", 2)],
+                                              [("k", "=", 3)]]
+        # a real CASE span still collapses whole, siblings keep
+        q3 = ("SELECT * FROM t WHERE CASE WHEN a = 1 THEN 1 ELSE 0 "
+              "END = 1 AND tenant = 'x'")
+        assert extract_predicates(q3, "t") == [("tenant", "=", "x")]
+        # a column named `case` (opens an unmatched span) still stands
+        # the whole clause down — only the CLOSING keywords are safe
+        q4 = "SELECT * FROM t WHERE case = 1 AND k = 2"
+        assert extract_predicates(q4, "t") == []
 
 
 class TestRewriteTableRefs:
