@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import difflib
 import itertools
+import math
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -55,6 +57,14 @@ def quote_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
+    if isinstance(value, float) and not math.isfinite(value):
+        # repr() would emit 'inf'/'nan', which Spark parses as a COLUMN
+        # reference — a confusing unresolved-column error far from the
+        # actual mistake
+        raise QueryValidationError(
+            f"non-finite float parameter {value!r} has no SQL literal "
+            "form — write CAST('Infinity'/'NaN' AS DOUBLE) in the SQL "
+            "text instead")
     if isinstance(value, (int, float)):
         return repr(value)
     if isinstance(value, (list, tuple, set)):
@@ -69,11 +79,15 @@ def quote_literal(value: Any) -> str:
     return f"'{s}'"
 
 
-#: Regions opaque to parameter binding: single-quoted string literals
-#: ('' is the escaped quote) and SQL comments — a LIKE pattern such as
-#: '%s3:DeleteBucket%' or prose like "aws:kms" in a header comment is
-#: never mistaken for a :param placeholder.
-_OPAQUE_RE = re.compile(r"'(?:\\.|''|[^'\\])*'|--[^\n]*|/\*.*?\*/", re.DOTALL)
+#: Regions opaque to parameter binding: single- AND double-quoted
+#: string literals ('' / "" are the escaped quotes; Spark's default
+#: lexer treats "..." as a STRING unless doubleQuotedIdentifiers is
+#: on) and SQL comments — a LIKE pattern such as '%s3:DeleteBucket%'
+#: or prose like "aws:kms" is never mistaken for a :param placeholder,
+#: and the read-only gate never scans literal content.
+_OPAQUE_RE = re.compile(
+    r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"|--[^\n]*|/\*.*?\*/",
+    re.DOTALL)
 
 
 def bind_params(sql: str, params: dict[str, Any] | None) -> str:
@@ -87,26 +101,47 @@ def bind_params(sql: str, params: dict[str, Any] | None) -> str:
     if params is None:
         params = {}
 
-    def sub(m: re.Match[str]) -> str:
-        name = m.group(1)
-        if name not in params:
-            raise QueryValidationError(f"missing parameter: :{name}")
-        return quote_literal(params[name])
+    _not_in_tail = re.compile(r"\bNOT\s+IN\s*\(?\s*$", re.IGNORECASE)
+    _wrapped_tail = re.compile(r"\b(?:IN|ARRAY)\s*\(\s*$", re.IGNORECASE)
+
+    def _seg_sub(seg: str) -> str:
+        def sub(m: re.Match[str]) -> str:
+            name = m.group(1)
+            if name not in params:
+                raise QueryValidationError(f"missing parameter: :{name}")
+            v = params[name]
+            if isinstance(v, (list, tuple, set)):
+                if not v and _not_in_tail.search(seg[:m.start()]):
+                    # (NULL) matches nothing for IN (intended) but
+                    # ALSO nothing for NOT IN, where an empty
+                    # exclusion list means keep everything — silently
+                    # returning zero rows is the worst outcome
+                    raise QueryValidationError(
+                        f"empty list bound to NOT IN (:{name}) — under "
+                        "SQL NULL semantics every row would be "
+                        "dropped; an empty exclusion list means 'keep "
+                        "all rows', so omit the predicate instead")
+                if v and _wrapped_tail.search(seg[:m.start()]):
+                    # 'IN (:ids)' / 'array(:ids)': the caller already
+                    # wrote the parens — emit bare elements instead of
+                    # doubling them into a row-value constructor.
+                    # (The old approach normalized 'IN ((...))' with a
+                    # whole-text regex AFTER binding, which also
+                    # rewrote matching text inside bound string
+                    # values and user-written struct constructors.)
+                    return ", ".join(quote_literal(x) for x in v)
+            return quote_literal(v)
+
+        return _PARAM_RE.sub(sub, seg)
 
     out: list[str] = []
     pos = 0
     for lit in _OPAQUE_RE.finditer(sql):
-        out.append(_PARAM_RE.sub(sub, sql[pos:lit.start()]))
+        out.append(_seg_sub(sql[pos:lit.start()]))
         out.append(lit.group(0))
         pos = lit.end()
-    out.append(_PARAM_RE.sub(sub, sql[pos:]))
-    bound = "".join(out)
-    # normalize "IN ((...))" / "array((...))" from list params inside
-    # explicit parens — the doubled parens would otherwise read as a
-    # row-value/struct constructor
-    bound = re.sub(r"IN\s*\(\s*\(([^()]*)\)\s*\)", r"IN (\1)", bound, flags=re.IGNORECASE)
-    return re.sub(r"\bARRAY\s*\(\s*\(([^()]*)\)\s*\)", r"array(\1)", bound,
-                  flags=re.IGNORECASE)
+    out.append(_seg_sub(sql[pos:]))
+    return "".join(out)
 
 
 def _blank_opaque(sql: str) -> str:
@@ -117,7 +152,12 @@ def _blank_opaque(sql: str) -> str:
     first would let ``SELECT '--'`` swallow the rest of the statement
     and hide DML from the keyword scan."""
     def repl(m: re.Match[str]) -> str:
-        return "''" if m.group(0).startswith("'") else " "
+        head = m.group(0)[0]
+        if head == "'":
+            return "''"
+        if head == '"':
+            return '""'
+        return " "
 
     return _OPAQUE_RE.sub(repl, sql)
 
@@ -195,6 +235,9 @@ class QueryEngine:
         self._view_sig: dict[str, tuple | None] = {}  # freshness keys
         self._listing_cache: dict[str, tuple] = {}  # path -> (sig, files)
         self._snapshots: set[str] = set()  # per-statement __v entries
+        self._snap_refs: dict[str, int] = {}  # view -> in-flight holders
+        self._snap_lock = threading.Lock()
+        self._snap_tl = threading.local()  # per-thread statement state
         self.max_scan_bytes = max_scan_bytes
         if register_helpers:
             register_json_helpers(spark, self_test=False)
@@ -328,27 +371,48 @@ class QueryEngine:
         """Drop the time-travel registrations ``_resolve_time_travel``
         accumulated: a long-lived server receiving arbitrary
         VERSION/TIMESTAMP AS OF literals must not grow the warehouse
-        registry (each entry costs a regex search plus two os.stats in
-        every subsequent refresh) without bound. Called before each
-        statement resolves and after it executes; the snapshot temp
-        views themselves are recreated on every resolution, so only
-        the registry entries need collecting.
+        registry OR the session catalog (each registry entry costs a
+        regex search plus two os.stats per refresh; each temp view
+        holds an analyzed plan forever) without bound. Called before
+        each statement resolves and after it executes.
 
         Concurrency (the lock-free ApiServer runs statements in
-        parallel on one engine): a GC landing between another
-        statement's resolution and its rewrite removes only REGISTRY
-        entries — the snapshot temp view stays, so that statement
-        still reads correct rows, at worst unpruned. Iteration is over
-        a snapshot of the set with per-key discard, never a blanket
-        clear, so concurrently-added keys are left for their own
-        statement's GC."""
+        parallel on one engine): entries are REFCOUNTED —
+        ``_resolve_time_travel`` takes a reference per statement and
+        execute/execute_stream release it in their ``finally`` — and
+        GC skips any entry an in-flight statement still holds, so a
+        concurrent statement's registry entry can neither lose its
+        pruning NOR slip past the scan-budget governor mid-statement
+        (the pre-refcount design popped it and the scan ran
+        ungoverned). Iteration is over a snapshot of the set with
+        per-key discard, never a blanket clear."""
         for key in list(self._snapshots):
-            path = self._warehouse.pop(key, None)
-            self._view_sig.pop(key, None)
-            self._warehouse_skip.discard(key)
-            if path is not None:
-                self._listing_cache.pop(path, None)
-            self._snapshots.discard(key)
+            with self._snap_lock:
+                if self._snap_refs.get(key, 0) > 0:
+                    continue  # in use by an in-flight statement
+                self._snap_refs.pop(key, None)
+                path = self._warehouse.pop(key, None)
+                self._view_sig.pop(key, None)
+                self._warehouse_skip.discard(key)
+                if path is not None:
+                    self._listing_cache.pop(path, None)
+                self._snapshots.discard(key)
+            try:
+                self.spark.catalog.dropTempView(key)
+            except Exception:  # noqa: BLE001 — already gone is fine
+                pass
+
+    def _release_snapshots(self, views: list[str]) -> None:
+        """Release a finished statement's time-travel references (the
+        views themselves are collected by the next ``_gc_snapshots``
+        once no statement holds them)."""
+        with self._snap_lock:
+            for v in views:
+                n = self._snap_refs.get(v, 0)
+                if n > 1:
+                    self._snap_refs[v] = n - 1
+                else:
+                    self._snap_refs.pop(v, None)
 
     def _warehouse_targets(self, bound: str,
                            exclude: frozenset | set = frozenset(),
@@ -552,7 +616,7 @@ class QueryEngine:
         # opt-out (CORKSCREW_DATA_SKIPPING=0 / skipping=False); only
         # pruning-enabled tables get rewritten below
         enforce = self.max_scan_bytes is not None
-        names = {n for n in self._warehouse} if enforce else None
+        names = set(self._warehouse) if enforce else None
         views: list[str] = []
         edits: list[tuple[int, int, str]] = []
         try:
@@ -723,6 +787,14 @@ class QueryEngine:
         def _in_opaque(pos: int) -> bool:
             return any(a <= pos < b for a, b in opaque)
 
+        _clause_kws = {
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+            "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL",
+            "INNER", "CROSS", "NATURAL", "SEMI", "ANTI", "ON", "USING",
+            "WINDOW", "LATERAL", "QUALIFY", "DISTRIBUTE", "CLUSTER",
+            "SORT", "AND", "OR", "WHEN", "THEN", "ELSE", "END", "AS",
+        }
+
         def _sub(m: re.Match) -> str:
             if _in_opaque(m.start()):
                 return m.group(0)
@@ -730,30 +802,52 @@ class QueryEngine:
             path = self._versioned.get(name)
             if path is None:
                 return m.group(0)  # not ours — let Spark handle/fail it
-            if kind == "VERSION":
-                _entry, vdir = versioned._resolve_version(
-                    path, int(arg), None)
-                tag = arg
-            else:
-                from datetime import datetime, timezone
+            try:
+                if kind == "VERSION":
+                    _entry, vdir = versioned._resolve_version(
+                        path, int(arg), None)
+                    tag = arg
+                else:
+                    from datetime import datetime, timezone
 
-                ts = datetime.fromisoformat(arg.strip("'"))
-                if ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=timezone.utc)
-                _entry, vdir = versioned._resolve_version(
-                    path, None, ts.timestamp())
-                tag = re.sub(r"[^0-9]", "", arg)
+                    ts = datetime.fromisoformat(arg.strip("'"))
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    _entry, vdir = versioned._resolve_version(
+                        path, None, ts.timestamp())
+                    tag = re.sub(r"[^0-9]", "", arg)
+            except (ValueError, KeyError, FileNotFoundError, OSError) as ex:
+                # a bad AS OF argument is a VALIDATION failure —
+                # validate()'s documented contract is
+                # QueryValidationError, and the server classifies raw
+                # ValueError as a post-validation runtime crash
+                raise QueryValidationError(
+                    f"time travel on {name}: {ex}") from ex
             view = f"{name}__v{tag}"
             sig = self._table_sig(vdir)
             self.spark.read.parquet(vdir).createOrReplaceTempView(view)
-            self._warehouse[view.lower()] = vdir
-            self._view_sig[view.lower()] = sig
-            self._snapshots.add(view.lower())  # statement-scoped:
-            # collected by _gc_snapshots so arbitrary as-of literals
-            # can't grow the registry without bound
+            with self._snap_lock:
+                self._warehouse[view.lower()] = vdir
+                self._view_sig[view.lower()] = sig
+                self._snapshots.add(view.lower())  # refcounted: held
+                # until the statement's execute/_release, collected by
+                # _gc_snapshots once no statement holds it
+                self._snap_refs[view.lower()] = \
+                    self._snap_refs.get(view.lower(), 0) + 1
+            held = getattr(self._snap_tl, "views", None)
+            if held is not None:
+                held.append(view.lower())
             if os.environ.get("CORKSCREW_DATA_SKIPPING", "1") != "0":
                 self._warehouse_skip.add(view.lower())
-            return view
+            # alias the snapshot back to the original table name so
+            # qualified references (t.id) keep resolving — unless the
+            # query supplies its own alias right after the clause
+            nxt = re.match(r"\s*(?:(AS)\s+)?([A-Za-z_]\w*)",
+                           sql[m.end():])
+            user_alias = nxt is not None and (
+                nxt.group(1) is not None
+                or nxt.group(2).upper() not in _clause_kws)
+            return view if user_alias else f"{view} AS {name}"
 
         return _TIME_TRAVEL_RE.sub(_sub, sql)
 
@@ -814,7 +908,7 @@ class QueryEngine:
         # the dry-run must never say 'will run' for a query the
         # governor would refuse (pruning opt-outs still estimate)
         for _start, _end, _seg, found, _regions in self._segment_targets(
-                bound, {n for n in self._warehouse}, include_bare=True):
+                bound, set(self._warehouse), include_bare=True):
             for name, preds, branches, region in found:
                 try:
                     path = self._warehouse[name.lower()]
@@ -845,70 +939,98 @@ class QueryEngine:
                 # two CTE segments can read one table under different
                 # predicates: report the WIDER scan (admission control
                 # must see the worst case)
-                if prev is None or est["files_kept"] > prev["files_kept"]:
+                # widest by BYTES: the governor refuses on bytes_kept, so
+                # the dry-run must rank segments by the same metric or
+                # it can admit a query enforcement refuses
+                if prev is None or (est["bytes_kept"] or 0) > (
+                        prev["bytes_kept"] or 0):
                     out[name.lower()] = est
         return out
 
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
-        bound = bind_params(sql, params)
-        # Gate BEFORE any side effect: _refresh_warehouse_views re-points
-        # session views (and pays a parquet listing) and
-        # _resolve_time_travel registers temp views — a rejected query
-        # must mutate no session view state and do no I/O.
-        validate_readonly(bound)
-        # the PREVIOUS statement's time-travel registrations are dead
-        # weight by now (execute() collects its own; a standalone
-        # validate leaves at most one statement's worth behind)
-        self._gc_snapshots()
-        if self._warehouse:
-            self._refresh_warehouse_views(bound)
-        if self._versioned:
-            bound = self._resolve_time_travel(bound)
-            validate_readonly(bound)
-        # Parse/analyze without executing (engine.go:389-413). NOTE: Spark's
-        # `EXPLAIN` renders analysis errors into its *output* instead of
-        # raising, so eager analysis at DataFrame creation is the real
-        # validation hook; surfaced with fuzzy table suggestions.
+        own = not getattr(self._snap_tl, "in_execute", False)
+        self._snap_tl.views = []
         try:
-            self.spark.sql(bound).schema  # noqa: B018 — forces analysis
-        except Exception as ex:  # AnalysisException and friends
-            raise QueryValidationError(self._friendly(str(ex))) from ex
-        return bound
+            bound = bind_params(sql, params)
+            # Gate BEFORE any side effect: _refresh_warehouse_views
+            # re-points session views (and pays a parquet listing) and
+            # _resolve_time_travel registers temp views — a rejected
+            # query must mutate no session view state and do no I/O.
+            validate_readonly(bound)
+            # collect finished statements' time-travel registrations
+            # (refcounts keep in-flight ones; a standalone validate
+            # leaves at most one statement's worth behind)
+            self._gc_snapshots()
+            if self._warehouse:
+                self._refresh_warehouse_views(bound)
+            if self._versioned:
+                bound = self._resolve_time_travel(bound)
+                validate_readonly(bound)
+            # Parse/analyze without executing (engine.go:389-413). NOTE:
+            # Spark's `EXPLAIN` renders analysis errors into its *output*
+            # instead of raising, so eager analysis at DataFrame creation
+            # is the real validation hook; fuzzy table suggestions added.
+            try:
+                self.spark.sql(bound).schema  # noqa: B018 — forces analysis
+            except QueryValidationError:
+                raise
+            except Exception as ex:  # AnalysisException and friends
+                raise QueryValidationError(self._friendly(str(ex))) from ex
+            return bound
+        finally:
+            if own:
+                # standalone validate: release this statement's
+                # time-travel references now (execute releases its own
+                # AFTER execution, when the views are no longer needed)
+                self._release_snapshots(
+                    getattr(self._snap_tl, "views", []))
+                self._snap_tl.views = []
 
     def execute(self, sql: str, params: dict[str, Any] | None = None) -> QueryResult:
-        bound = self.validate(sql, params)
-        # timing starts BEFORE the skipping rewrite so predicate mining,
-        # plan_skip's file listing, and pruned-view registration show up
-        # in the reported duration — planning is part of the query's cost
-        t0 = time.perf_counter()
-        exec_sql, views = (self._skipping_rewrite(bound)
-                           if self._warehouse else (bound, []))
+        self._snap_tl.in_execute = True
         try:
-            df = self.spark.sql(exec_sql)
+            bound = self.validate(sql, params)
+            # timing starts BEFORE the skipping rewrite so predicate
+            # mining, plan_skip's file listing, and pruned-view
+            # registration show up in the reported duration — planning
+            # is part of the query's cost
+            t0 = time.perf_counter()
+            exec_sql, views = (self._skipping_rewrite(bound)
+                               if self._warehouse else (bound, []))
+            try:
+                df = self.spark.sql(exec_sql)
+            finally:
+                # resolution happened at DataFrame creation; dropping
+                # the one-statement views leaks nothing into the session
+                for view in views:
+                    self.spark.catalog.dropTempView(view)
+            return QueryResult(df=df, sql=bound,
+                               duration_s=time.perf_counter() - t0,
+                               columns=list(df.columns))
         finally:
-            # resolution happened at DataFrame creation; dropping the
-            # one-statement views leaks nothing into the session, and
-            # this statement's time-travel registry entries are no
-            # longer needed either (snapshot temp views are recreated
-            # on each resolution)
-            for view in views:
-                self.spark.catalog.dropTempView(view)
+            self._snap_tl.in_execute = False
+            self._release_snapshots(getattr(self._snap_tl, "views", []))
+            self._snap_tl.views = []
             self._gc_snapshots()
-        return QueryResult(df=df, sql=bound, duration_s=time.perf_counter() - t0,
-                           columns=list(df.columns))
 
     def execute_stream(self, sql: str, params: dict[str, Any] | None = None):
         """Row-iterator execution — the reference's buffered-channel
         streaming path (engine.go:232-365) maps to toLocalIterator, which
         fetches one partition at a time (bounded driver memory)."""
-        bound = self.validate(sql, params)
-        exec_sql, views = (self._skipping_rewrite(bound)
-                           if self._warehouse else (bound, []))
+        self._snap_tl.in_execute = True
         try:
-            return self.spark.sql(exec_sql).toLocalIterator()
+            bound = self.validate(sql, params)
+            exec_sql, views = (self._skipping_rewrite(bound)
+                               if self._warehouse else (bound, []))
+            try:
+                return self.spark.sql(exec_sql).toLocalIterator()
+            finally:
+                for view in views:
+                    self.spark.catalog.dropTempView(view)
         finally:
-            for view in views:
-                self.spark.catalog.dropTempView(view)
+            self._snap_tl.in_execute = False
+            self._release_snapshots(getattr(self._snap_tl, "views", []))
+            self._snap_tl.views = []
             self._gc_snapshots()
 
     def _friendly(self, msg: str) -> str:

@@ -75,6 +75,40 @@ def test_bind_params_missing_raises():
         bind_params("SELECT :nope", {})
 
 
+def test_bind_params_double_quoted_strings_opaque():
+    """Spark's default lexer treats double-quoted text as a STRING
+    literal: params inside must not substitute, literal content must
+    not trip the read-only gate, and IN((..)) text inside any literal
+    must come back byte-identical (r9 review findings)."""
+    from corkscrew_spark.engine import validate_readonly
+
+    out = bind_params('SELECT "cost is :amt" AS note FROM t', {"amt": 5})
+    assert '"cost is :amt"' in out
+    out = bind_params("SELECT 'IN ((a))' AS s, \"IN ((b))\" AS w FROM t",
+                      None)
+    assert "'IN ((a))'" in out and '"IN ((b))"' in out
+    validate_readonly('SELECT "DROP zone" AS z FROM t')  # must not raise
+    # user-written struct constructor stays intact (the old whole-text
+    # normalization rewrote it to a two-element array)
+    assert bind_params("SELECT array((1,2)) FROM t", None) == \
+        "SELECT array((1,2)) FROM t"
+
+
+def test_bind_params_not_in_empty_list_refused():
+    with pytest.raises(QueryValidationError, match="NOT IN"):
+        bind_params("SELECT * FROM t WHERE x NOT IN (:ids)", {"ids": []})
+    # plain IN with an empty list stays the matches-nothing literal
+    out = bind_params("SELECT * FROM t WHERE x IN (:ids)", {"ids": []})
+    assert "IN ((NULL))" in out or "IN (NULL)" in out
+
+
+def test_quote_literal_nonfinite_float_refused():
+    with pytest.raises(QueryValidationError, match="non-finite"):
+        quote_literal(float("inf"))
+    with pytest.raises(QueryValidationError, match="non-finite"):
+        quote_literal(float("nan"))
+
+
 def test_injection_attempt_binds_as_inert_literal(engine):
     # A malicious param value arrives as a single quoted literal: the
     # quote is escaped so the statement stays ONE read-only SELECT, the
@@ -1041,6 +1075,41 @@ def test_time_travel_registry_bounded(spark, tmp_path):
         assert got[0].n == 1
         assert len(eng._warehouse) == base  # collected after execute
     assert not eng._snapshots
+
+
+def test_time_travel_qualified_refs_and_bad_args(spark, tmp_path):
+    """r9 review: (a) the snapshot view aliases BACK to the original
+    table name so qualified references keep resolving; an explicit
+    user alias wins; (b) bad AS OF arguments surface as
+    QueryValidationError (validate()'s contract), not raw ValueError;
+    (c) the session catalog does not grow one temp view per distinct
+    literal forever."""
+    from corkscrew_spark import versioned
+
+    p = str(tmp_path / "vt")
+    for ts in (1, 2):
+        versioned.write_version(
+            spark.createDataFrame([(ts, ts)], "k long, ts long"), p)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_versioned("vt", p)
+    # qualified column through the implicit alias-back
+    got = eng.execute("SELECT vt.k FROM vt VERSION AS OF 1").rows()
+    assert [r.k for r in got] == [1]
+    # explicit user alias (bare and AS forms)
+    got = eng.execute("SELECT x.k FROM vt VERSION AS OF 2 x").rows()
+    assert [r.k for r in got] == [2]
+    got = eng.execute("SELECT x.k FROM vt VERSION AS OF 2 AS x").rows()
+    assert [r.k for r in got] == [2]
+    with pytest.raises(QueryValidationError, match="time travel"):
+        eng.execute("SELECT * FROM vt VERSION AS OF 999")
+    with pytest.raises(QueryValidationError, match="time travel"):
+        eng.execute("SELECT * FROM vt TIMESTAMP AS OF 'not-a-ts'")
+    # catalog bounded: snapshot views are dropped once released
+    eng.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 1").rows()
+    eng.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 2").rows()
+    leftover = [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("vt__v")]
+    assert leftover == []
 
 
 def test_engine_prunes_derived_table_body(spark, tmp_path):
