@@ -121,7 +121,9 @@ def bind_params(sql: str, params: dict[str, Any] | None) -> str:
                         "SQL NULL semantics every row would be "
                         "dropped; an empty exclusion list means 'keep "
                         "all rows', so omit the predicate instead")
-                if v and _wrapped_tail.search(seg[:m.start()]):
+                if _wrapped_tail.search(seg[:m.start()]):
+                    if not v:
+                        return "NULL"  # IN (NULL): matches nothing
                     # 'IN (:ids)' / 'array(:ids)': the caller already
                     # wrote the parens — emit bare elements instead of
                     # doubling them into a row-value constructor.
