@@ -399,10 +399,20 @@ class QueryEngine:
                 if path is not None:
                     self._listing_cache.pop(path, None)
                 self._snapshots.discard(key)
-            try:
-                self.spark.catalog.dropTempView(key)
-            except Exception:  # noqa: BLE001 — already gone is fine
-                pass
+                # dropTempView runs INSIDE the lock: a concurrent
+                # _resolve_time_travel for the same AS OF literal
+                # creates-and-refcounts its view atomically under this
+                # lock, so a drop deferred past the release could land
+                # AFTER that create and fail the valid statement with a
+                # spurious view-not-found (TOCTOU, review finding).
+                # Under the lock the two critical sections serialize:
+                # either the resolver registers first (refs > 0, GC
+                # skips) or the drop completes first and the resolver
+                # re-creates a fresh view.
+                try:
+                    self.spark.catalog.dropTempView(key)
+                except Exception:  # noqa: BLE001 — already gone is fine
+                    pass
 
     def _release_snapshots(self, views: list[str]) -> None:
         """Release a finished statement's time-travel references (the
@@ -789,6 +799,19 @@ class QueryEngine:
         def _in_opaque(pos: int) -> bool:
             return any(a <= pos < b for a, b in opaque)
 
+        # how many time-travel clauses reference each base table in
+        # THIS statement: when the same table is time-traveled more
+        # than once (`FROM t VERSION AS OF 1 JOIN t VERSION AS OF 2`),
+        # the implicit alias-back below would name BOTH references
+        # ``t`` and make every column reference ambiguous — those
+        # statements keep the distinct ``name__v<N>`` view names
+        # instead (users must qualify by alias or view name, as with
+        # any self-join; review finding)
+        from collections import Counter
+        clause_counts = Counter(
+            m.group(1) for m in _TIME_TRAVEL_RE.finditer(sql)
+            if not _in_opaque(m.start()))
+
         _clause_kws = {
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
             "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL",
@@ -827,8 +850,14 @@ class QueryEngine:
                     f"time travel on {name}: {ex}") from ex
             view = f"{name}__v{tag}"
             sig = self._table_sig(vdir)
-            self.spark.read.parquet(vdir).createOrReplaceTempView(view)
             with self._snap_lock:
+                # create + refcount as ONE critical section: the view
+                # must not exist in the catalog without its refcount,
+                # or a concurrent _gc_snapshots (whose check-pop-drop
+                # is the other critical section under this lock) could
+                # drop it in the window (TOCTOU, review finding)
+                self.spark.read.parquet(vdir) \
+                    .createOrReplaceTempView(view)
                 self._warehouse[view.lower()] = vdir
                 self._view_sig[view.lower()] = sig
                 self._snapshots.add(view.lower())  # refcounted: held
@@ -849,7 +878,9 @@ class QueryEngine:
             user_alias = nxt is not None and (
                 nxt.group(1) is not None
                 or nxt.group(2).upper() not in _clause_kws)
-            return view if user_alias else f"{view} AS {name}"
+            if user_alias or clause_counts[name] > 1:
+                return view
+            return f"{view} AS {name}"
 
         return _TIME_TRAVEL_RE.sub(_sub, sql)
 

@@ -1490,9 +1490,15 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
         if m:
             # the body's stages operate on the exploded stream (no head
             # table of their own): scan them for join/union resolutions
-            # by prefixing a placeholder head the fullmatch won't count
+            # by prefixing a placeholder head. The placeholder DOES
+            # match the head fullmatch (`[A-Za-z_]\w*` admits leading
+            # underscores — review finding), so filter its rows out
+            # here: a body-leading `where` belongs to the exploded
+            # stream, not to any warehouse table.
             for st in _split_stages(m.group(1).strip()):
-                out.extend(_pipeline_refs("__mvapply_body__ | " + st))
+                out.extend(r for r in
+                           _pipeline_refs("__mvapply_body__ | " + st)
+                           if r[0] != "__mvapply_body__")
     return out
 
 

@@ -409,7 +409,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     dec = get_decoder()
     videos = media.filter(F.col("kind") == "video")
     if dec is not None and hasattr(dec, "frames"):
-        schema = ("media_id long, frame_idx int, frame_ts_ms long, "
+        # media_id's type follows the SOURCE schema (string-keyed
+        # corpora exist): hardcoding `long` here worked in stub mode —
+        # which preserves the type via select/posexplode — but made the
+        # real-decoder path Arrow-schema-mismatch the moment a decoder
+        # exposing `frames` was bound (review finding)
+        id_type = media.schema["media_id"].dataType.simpleString()
+        schema = (f"media_id {id_type}, frame_idx int, frame_ts_ms long, "
                   "frame_content binary")
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

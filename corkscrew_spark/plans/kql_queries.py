@@ -443,7 +443,7 @@ def kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kql_parse_where",
-    oracle="""
+    oracle=r"""
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(NULLIF(regexp_extract(props, '^\{"k": (.*?)9\}', 1),
@@ -474,7 +474,7 @@ def kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kql_parse_regex",
-    oracle="""
+    oracle=r"""
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(NULLIF(regexp_extract(props,

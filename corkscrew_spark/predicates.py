@@ -715,6 +715,177 @@ def statement_segments(
     return segs, names
 
 
+def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
+    """Character spans of each BRANCH of a depth-0 set-operator
+    statement — ``A UNION [ALL|DISTINCT] B``, ``INTERSECT``,
+    ``EXCEPT``, ``MINUS`` — so the engine can run the extraction
+    cascade per branch exactly as it does per CTE body. None when the
+    statement has no depth-0 set operator or the branch structure
+    can't be delimited with certainty (the caller then treats the
+    whole statement as one span — the pre-split behavior).
+
+    Soundness: pruning a branch with conjuncts of its OWN WHERE
+    preserves that branch's exact result (files are dropped only when
+    they provably contain no rows satisfying the branch's predicate),
+    and UNION/INTERSECT/EXCEPT of exact branch results is exact —
+    so each branch is as independently prunable as a CTE body. This
+    closes the last ungoverned statement shape (r9 verdict #1): the
+    reference's own ``all_cloud_resources`` view
+    (internal/db/unified_schema.go:432-462) and its compliance
+    pass∪fail idiom are UNION ALL over per-provider tables, and each
+    arm of a UNION over a 100 TB table must be admission-controlled
+    like any bare scan.
+
+    A fully parenthesized branch (``(SELECT …) UNION (SELECT …)``)
+    is reported INSIDE its parens so the branch text parses — and
+    rewrites — as a plain SELECT (``table_ref_edits`` only touches
+    depth-0 FROM/JOIN refs). ``MINUS`` is not a reserved word in the
+    lexer, so an identifier spelled ``minus`` only separates when
+    followed by a SELECT head — a column named minus never splits.
+    A trailing ``ORDER BY``/``LIMIT`` (which binds to the whole set
+    statement) stays inside the last branch's span: harmless for
+    WHERE extraction, and the rewrite only edits table refs."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return None
+    seps: list[tuple[int, int]] = []  # (sep_tok_idx, branch_start_idx)
+    depth = 0
+    for i, (k, v) in enumerate(toks):
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        elif depth == 0 and (
+                (k == "kw" and v in ("UNION", "INTERSECT", "EXCEPT"))
+                or (k == "ident" and v.upper() == "MINUS")):
+            j = i + 1
+            if (j < len(toks) and toks[j][0] == "ident"
+                    and toks[j][1].upper() in ("ALL", "DISTINCT")):
+                j += 1
+            # the right branch must head with SELECT, directly or
+            # inside parens — this also keeps Spark 4's
+            # ``SELECT * EXCEPT (col, …) FROM t`` column-exclusion
+            # syntax from reading as a set operator
+            head_ok = False
+            if j < len(toks) and toks[j] == ("kw", "SELECT"):
+                head_ok = True
+            elif j < len(toks) and toks[j] == ("punc", "("):
+                jj = j
+                while jj < len(toks) and toks[jj] == ("punc", "("):
+                    jj += 1
+                head_ok = jj < len(toks) and toks[jj] == ("kw", "SELECT")
+            if not head_ok:
+                if k == "ident":
+                    continue  # a column named minus, not a separator
+                if (v == "EXCEPT" and j < len(toks)
+                        and toks[j] == ("punc", "(")):
+                    continue  # star-EXCEPT column list, not a set op
+                return None  # UNION VALUES/TABLE …: can't segment
+            if i == 0:
+                return None  # separator with no left branch
+            seps.append((i, j))
+    if not seps:
+        return None
+    out: list[tuple[int, int]] = []
+    start_idx = 0
+    for sep_idx, nxt_idx in seps:
+        out.append((spans[start_idx][0], spans[sep_idx - 1][1]))
+        start_idx = nxt_idx
+    out.append((spans[start_idx][0], spans[-1][1]))
+    # unwrap fully parenthesized branches (loop: double parens)
+    unwrapped: list[tuple[int, int]] = []
+    for bs, be in out:
+        while True:
+            try:
+                btoks, bspans = _tokens_spans(sql[bs:be])
+            except _Unparseable:
+                break
+            if (len(btoks) >= 2 and btoks[0] == ("punc", "(")
+                    and btoks[-1] == ("punc", ")")):
+                depth = 0
+                closes_at_end = True
+                for idx, t in enumerate(btoks):
+                    if t == ("punc", "("):
+                        depth += 1
+                    elif t == ("punc", ")"):
+                        depth -= 1
+                        if depth == 0 and idx != len(btoks) - 1:
+                            closes_at_end = False
+                            break
+                if closes_at_end:
+                    bs, be = bs + bspans[0][1], bs + bspans[-1][0]
+                    continue
+            break
+        unwrapped.append((bs, be))
+    return unwrapped
+
+
+def loose_table_refs(sql: str) -> list[tuple[str, str | None]]:
+    """Best-effort depth-0 table references in FROM/JOIN position,
+    INCLUDING shapes ``join_chain_tables`` refuses — comma lists,
+    RIGHT/FULL/CROSS/NATURAL join members — as ``[(table,
+    alias|None), …]``. For the GOVERNOR/ESTIMATOR only, never for
+    pruning or rewriting: per-table predicate attribution is unsound
+    in these shapes (a member may be null-extended), but every name
+    returned is a whole-table read the statement will perform, so it
+    must surface as a bare full-scan row for admission control (r9
+    verdict #1: ``FROM a, b`` and RIGHT/FULL members executed both
+    unpruned AND ungoverned). Function calls in table position
+    (``FROM unnest(…)``) and db-qualified names are skipped; missing
+    a ref degrades to today's behavior (ungoverned), never to a
+    wrong result. Empty list on unparseable text."""
+    try:
+        toks = _tokens(sql)
+    except _Unparseable:
+        return []
+    out: list[tuple[str, str | None]] = []
+    depth = 0
+    i, n = 0, len(toks)
+
+    def _ref(j: int) -> tuple[str, str | None, int] | None:
+        if j >= n or toks[j][0] not in ("ident", "bq"):
+            return None
+        if j + 1 < n and toks[j + 1] == ("punc", "("):
+            return None  # table function, not a table ref
+        if j + 1 < n and toks[j + 1] == ("punc", "."):
+            return None  # db-qualified — not a registered view
+        table = _unquote_ident(toks[j])
+        j += 1
+        alias = None
+        if j < n and toks[j] == ("kw", "AS"):
+            if j + 1 < n and toks[j + 1][0] in ("ident", "bq"):
+                alias = _unquote_ident(toks[j + 1])
+                j += 2
+        elif j < n and toks[j][0] in ("ident", "bq"):
+            alias = _unquote_ident(toks[j])
+            j += 1
+        return table, alias, j
+
+    while i < n:
+        k, v = toks[i]
+        if (k, v) == ("punc", "("):
+            depth += 1
+        elif (k, v) == ("punc", ")"):
+            depth -= 1
+        elif depth == 0 and k == "kw" and v in ("FROM", "JOIN"):
+            r = _ref(i + 1)
+            if r is not None:
+                out.append((r[0], r[1]))
+                i = r[2]
+                # comma list: FROM a, b, c (and alias forms)
+                while (v == "FROM" and i < n
+                       and toks[i] == ("punc", ",")):
+                    r = _ref(i + 1)
+                    if r is None:
+                        break
+                    out.append((r[0], r[1]))
+                    i = r[2]
+                continue
+        i += 1
+    return out
+
+
 def derived_table_spans(sql: str) -> list[tuple[int, int]]:
     """Character spans of depth-1 DERIVED-TABLE bodies: a
     parenthesized SELECT sitting in table position — directly after

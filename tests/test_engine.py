@@ -1338,3 +1338,71 @@ class TestExistsSubqueryPruning:
             gov.execute("""SELECT COUNT(*) AS n FROM small_t s
                 WHERE EXISTS (SELECT 1 FROM big_t b
                               WHERE b.fk = s.fk)""")
+
+
+def test_time_travel_same_table_twice_keeps_distinct_names(spark, tmp_path):
+    """r10 review: the implicit alias-back (`vt__v1 AS vt`) made TWO
+    unaliased time-travel references to the SAME table alias to one
+    name, so `FROM vt VERSION AS OF 1 JOIN vt VERSION AS OF 2` — a
+    shape that worked when views kept distinct names — became
+    ambiguous. Multi-travel statements keep the distinct `name__v<N>`
+    view names (qualify by alias or view name, as with any self-join);
+    single-travel statements keep the alias-back."""
+    from corkscrew_spark import versioned
+
+    p = str(tmp_path / "vt")
+    for ts in (1, 2):
+        versioned.write_version(
+            spark.createDataFrame([(k, ts) for k in range(ts + 1)],
+                                  "k long, ts long"), p)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_versioned("vt", p)
+    # unaliased self-join across versions: distinct view names resolve
+    got = eng.execute(
+        "SELECT COUNT(*) AS n FROM vt VERSION AS OF 1 "
+        "JOIN vt VERSION AS OF 2 ON vt__v1.k = vt__v2.k").rows()
+    assert got[0].n == 2  # v1 has k in {0,1}, v2 in {0,1,2}
+    # one user alias + one bare ref: the bare one still resolves by
+    # its view name (no implicit alias minted for either)
+    got = eng.execute(
+        "SELECT COUNT(*) AS n FROM vt VERSION AS OF 1 a "
+        "JOIN vt VERSION AS OF 2 ON a.k = vt__v2.k").rows()
+    assert got[0].n == 2
+    # single time-travel reference: alias-back unchanged
+    got = eng.execute("SELECT vt.k FROM vt VERSION AS OF 1 "
+                      "ORDER BY vt.k").rows()
+    assert [r.k for r in got] == [0, 1]
+    assert not eng._snapshots
+
+
+def test_time_travel_create_vs_gc_race(spark, tmp_path):
+    """r10 review (TOCTOU): _resolve_time_travel used to create the
+    temp view BEFORE refcounting it, while _gc_snapshots dropped views
+    AFTER releasing the lock — a GC racing a same-literal resolution
+    could drop the view the resolver just created. Both are one
+    critical section now; hammer the exact interleaving (shared
+    literals, GC triggered by every statement) and require zero
+    spurious failures."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from corkscrew_spark import versioned
+
+    p = str(tmp_path / "vt")
+    for ts in (1, 2):
+        versioned.write_version(
+            spark.createDataFrame([(k, ts) for k in range(ts * 5)],
+                                  "k long, ts long"), p)
+    eng = QueryEngine(spark, register_helpers=False)
+    eng.register_versioned("vt", p)
+
+    def run(i: int) -> int:
+        v = (i % 2) + 1
+        n = eng.execute(
+            f"SELECT COUNT(*) AS n FROM vt VERSION AS OF {v}"
+        ).rows()[0].n
+        return n - v * 5  # 0 when correct
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        deltas = list(ex.map(run, range(36)))
+    assert deltas == [0] * 36
+    assert not eng._snapshots

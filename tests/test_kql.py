@@ -1054,3 +1054,20 @@ class TestKqlScanBudget:
         got = kql_to_df_skipping(spark, "N | count", {"N": nostats},
                                  max_scan_bytes=1)
         assert got.first()["Count"] == 50
+
+
+def test_mvapply_body_placeholder_not_a_ref():
+    """r10 review: `[A-Za-z_]\\w*` DOES match a leading underscore, so
+    the `__mvapply_body__` placeholder head used to surface as a
+    pipeline ref of its own, with any body-leading `where` attributed
+    to it. The placeholder must never appear in the returned refs —
+    while real table reads inside the body still resolve."""
+    from corkscrew_spark.kql import _pipeline_refs
+
+    refs = _pipeline_refs(
+        "S | mv-apply xs on ( where xs > 0 | union T )")
+    assert ("t", []) in refs
+    assert all(h != "__mvapply_body__" for h, _w in refs)
+    # body with ONLY a where stage: nothing to resolve, nothing fake
+    refs = _pipeline_refs("S | mv-apply xs on ( where xs > 0 )")
+    assert all(h != "__mvapply_body__" for h, _w in refs)

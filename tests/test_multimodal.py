@@ -167,3 +167,38 @@ def test_no_decoder_fake_mode_and_loud_gate(spark):
         # restore auto-probe for other tests
         multimodal._PIL_PROBED = False
         multimodal._DECODER = None
+
+
+def test_sample_frames_string_media_id_real_decoder(spark):
+    """r10 review: the real-decoder frames path must derive media_id's
+    output type from the SOURCE schema — it hardcoded `long`, so a
+    string-keyed corpus worked in stub mode but Arrow-schema-mismatched
+    the moment a decoder exposing ``frames`` was bound."""
+    from pyspark.sql import functions as F
+
+    class FrameDecoder(multimodal.MediaDecoder):
+        name = "frames-fake"
+
+        def frames(self, content, meta, every_ms):
+            n = max(1, int(meta["duration_ms"] // every_ms))
+            return [b"f:%d" % i for i in range(n)]
+
+    media = multimodal.synth_media(spark, 9).withColumn(
+        "media_id", F.concat(F.lit("doc-"), F.col("media_id")))
+    multimodal.set_decoder(FrameDecoder())
+    try:
+        out = multimodal.sample_frames(media, every_ms=500)
+        assert out.schema["media_id"].dataType.simpleString() == "string"
+        rows = out.collect()
+        videos = media.filter(F.col("kind") == "video").count()
+        assert len(rows) == 2 * videos
+        assert all(r["media_id"].startswith("doc-") for r in rows)
+        # stub mode (no decoder) preserves the same type for the same
+        # source — the two paths must agree
+        multimodal.set_decoder(None)
+        multimodal._PIL_PROBED = True  # keep the stub path, no auto-bind
+        stub = multimodal.sample_frames(media, every_ms=500)
+        assert stub.schema["media_id"].dataType.simpleString() == "string"
+    finally:
+        multimodal._PIL_PROBED = False
+        multimodal.set_decoder(None)
