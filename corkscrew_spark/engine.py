@@ -177,7 +177,14 @@ def validate_readonly(sql: str) -> None:
     scannable = _blank_opaque(sql).strip()
     if not scannable:
         raise QueryValidationError("empty query")
-    first = scannable.split(None, 1)[0].upper()
+    # `(SELECT …) UNION (SELECT …)` is valid Spark SQL: the
+    # first-word check looks through leading parens (the _DENY
+    # keyword scan below still covers the FULL text, so no mutating
+    # statement can hide behind a paren)
+    head = scannable.lstrip("(").strip()
+    if not head:
+        raise QueryValidationError("empty query")
+    first = head.split(None, 1)[0].upper()
     if first not in _ALLOWED_STARTS:
         raise QueryValidationError(
             f"only read-only queries are allowed (statement starts with {first})"
@@ -459,7 +466,26 @@ class QueryEngine:
             return ([(st[0], st[1], False, True)]
                     if st[0].lower() in names
                     and st[0].lower() not in exclude else [])
-        tabs = _pred.join_chain_tables(bound) or []
+        tabs = _pred.join_chain_tables(bound)
+        if tabs is None and include_unprunable:
+            # neither resolver accepts the shape (comma-list FROM,
+            # RIGHT/FULL/CROSS/NATURAL members, mixed chains): every
+            # depth-0 FROM/JOIN-position reference is still a
+            # whole-table read, so surface each ONCE as a bare
+            # governed row — attribution is unsound for pruning
+            # (never rewritten) but a full-scan estimate needs no
+            # attribution (r9 verdict #1: these shapes executed
+            # unpruned AND ungoverned)
+            out = []
+            seen: set[str] = set()
+            for t, a in _pred.loose_table_refs(bound):
+                low = t.lower()
+                if low in names and low not in exclude \
+                        and low not in seen:
+                    seen.add(low)
+                    out.append((t, a, True, False))
+            return out
+        tabs = tabs or []
         counts = Counter(t.lower() for t, _a, _p in tabs)
         out: list[tuple] = []
         seen_bare: set[str] = set()
@@ -495,8 +521,24 @@ class QueryEngine:
             spans, names = [(0, len(bound))], frozenset()
         else:
             spans, names = segs[0], frozenset(segs[1])
+        # split depth-0 set operators WITHIN each span (r9 verdict #1:
+        # each UNION/INTERSECT/EXCEPT branch is a self-contained
+        # SELECT — same soundness as a CTE body — and was the last
+        # statement shape escaping both pruning and the governor).
+        # Worklist because a parenthesized branch can itself be a set
+        # statement (`A UNION (B INTERSECT C)` unwraps to one).
+        split: list[tuple[int, int]] = []
+        work = list(spans)
+        while work:
+            start, end = work.pop()
+            branches = _pred.set_operator_spans(bound[start:end])
+            if branches:
+                work.extend((start + s, start + e) for s, e in branches)
+            else:
+                split.append((start, end))
+        split.sort()
         out: list[tuple[int, int]] = []
-        for start, end in spans:
+        for start, end in split:
             sub = _pred.derived_table_spans(bound[start:end])
             if sub:
                 out.extend((start + s, start + e) for s, e in sub)
@@ -549,24 +591,33 @@ class QueryEngine:
         spans, exclude = self._statement_spans(bound)
         for start, end in spans:
             seg = bound[start:end]
-            subs = _pred.subquery_spans(seg)
             # (region, text): region None = the enclosing statement
             # (masked when it has subqueries), else the body's
-            # absolute span; each body is masked for ITS OWN nested
-            # subqueries so its table still resolves
+            # absolute span. Bodies recurse to ANY depth (r9 stretch
+            # #8: depth-2 bodies' tables stayed unresolved): each
+            # level's text is masked for ITS OWN nested subqueries so
+            # its table still resolves, and each nested body becomes
+            # its own region — the soundness argument applies
+            # recursively (pruning a body's table w.r.t. that body's
+            # own WHERE preserves the body's exact result, however
+            # the enclosing predicate consumes it). Offsets stay
+            # absolute in ``bound``: masking is length-preserving, so
+            # a body's character offsets are identical in masked and
+            # original text.
             regions: list[tuple[tuple[int, int] | None, str]] = []
-            if subs:
-                regions.append((None, _pred.mask_subqueries(
-                    seg, [(ms, me) for ms, _b, _e, me in subs])))
-                for _ms, bs, be, _me in subs:
-                    body = seg[bs:be]
-                    nested = _pred.subquery_spans(body)
-                    if nested:
-                        body = _pred.mask_subqueries(
-                            body, [(ms, me) for ms, _b, _e, me in nested])
-                    regions.append(((start + bs, start + be), body))
-            else:
-                regions.append((None, seg))
+            work: list[tuple[tuple[int, int] | None, int, str]] = [
+                (None, start, seg)]
+            while work:
+                region, off, text = work.pop()
+                subs = _pred.subquery_spans(text)
+                if subs:
+                    regions.append((region, _pred.mask_subqueries(
+                        text, [(ms, me) for ms, _b, _e, me in subs])))
+                    for _ms, bs, be, _me in subs:
+                        work.append(((off + bs, off + be), off + bs,
+                                     text[bs:be]))
+                else:
+                    regions.append((region, text))
             found: list[tuple] = []
             for region, text in regions:
                 for name, alias, qualified_only, prunable \

@@ -1170,24 +1170,48 @@ class _StageCompiler:
         tiny), then a per-prefix row_number window whose partitions are
         the bounded winner groups. Level 1 is a distributed
         sort-and-limit, no single-partition window. Ties break on the
-        level value ascending, so results are deterministic. The
-        ``with others`` bucket is not supported (loud error)."""
+        level value ascending, so results are deterministic.
+
+        ``with others = <literal>`` (per level, Kusto's grammar puts
+        it between the column and ``by``): one extra row per surviving
+        prefix whose level value is the literal and whose aggregate
+        runs over the ANTI-JOINED REMAINDER — the base rows of that
+        prefix whose level value did not make the top N — so
+        non-decomposable aggregates (dcount, avg) stay exact instead
+        of being re-aggregated from per-value results. Deeper levels'
+        columns are NULL on an others row (the bucket does not expand
+        further), and a prefix with an empty remainder emits no row —
+        the remainder scan is one more map-side-partial groupBy
+        against a broadcast winner set, never a re-shuffle of the
+        winner path."""
         from pyspark.sql import Window
 
-        if re.search(r"\bwith\s+others\b", rest, re.IGNORECASE):
-            raise KqlError("KQL: top-nested `with others` is not supported")
         levels = []
         for j, part in enumerate(_split_top_commas(rest)):
             part = part.strip()
             if j > 0:
                 part = re.sub(r"^top-nested\s+", "", part, flags=re.IGNORECASE)
-            m = re.match(r"(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)\s+by\s+(.*)$",
-                         part, re.DOTALL | re.IGNORECASE)
+            m = re.match(
+                r"(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+                r"(?:with\s+others\s*=\s*"
+                r"('[^']*'|\"[^\"]*\"|-?\d+(?:\.\d+)?)\s+)?"
+                r"by\s+(.*)$",
+                part, re.DOTALL | re.IGNORECASE)
             if not m:
                 raise KqlError(
-                    "KQL: top-nested level must be `N of Col by agg`, got "
-                    f"{part!r}")
-            n, col, aggsrc = int(m.group(1)), m.group(2), m.group(3)
+                    "KQL: top-nested level must be `N of Col [with "
+                    f"others = <literal>] by agg`, got {part!r}")
+            n, col, lab, aggsrc = (int(m.group(1)), m.group(2),
+                                   m.group(3), m.group(4))
+            # a numeric-typed level column takes a numeric others
+            # label (Kusto: the const must be of the column's type)
+            others: str | int | float | None
+            if lab is None:
+                others = None
+            elif lab[0] in "'\"":
+                others = lab[1:-1]
+            else:
+                others = float(lab) if "." in lab else int(lab)
             toks = _tokenize(aggsrc)
             name, i = f"aggregated_{col}", 0
             if (len(toks) > 1 and toks[0].kind == "ident"
@@ -1198,12 +1222,14 @@ class _StageCompiler:
             if p.i != len(toks):
                 raise KqlError(
                     f"KQL: trailing tokens in top-nested aggregate {aggsrc!r}")
-            levels.append((n, col, agg.alias(name), name))
+            levels.append((n, col, agg.alias(name), name, others))
 
         winners: DataFrame | None = None
         out_cols: list[str] = []
         prefix: list[str] = []
-        for n, col, agg, name in levels:
+        others_rows: list[tuple[int, DataFrame]] = []  # (#out_cols, rows)
+        for n, col, agg, name, others in levels:
+            prev = winners  # surviving prefixes (None at level 1)
             level = df.groupBy(*prefix, col).agg(agg)
             if winners is None:
                 level = (level.orderBy(F.col(name).desc(), F.col(col).asc())
@@ -1214,9 +1240,35 @@ class _StageCompiler:
                      .orderBy(F.col(name).desc(), F.col(col).asc()))
                 level = (level.withColumn("__rn", F.row_number().over(w))
                          .filter(F.col("__rn") <= n).drop("__rn"))
+            prior_cols = list(out_cols)
             out_cols += [col, name]
             winners = level.select(*out_cols)
+            if others is not None:
+                rem = df
+                if prefix:
+                    rem = rem.join(
+                        F.broadcast(prev.select(*prefix)),
+                        prefix, "left_semi")
+                rem = rem.join(
+                    F.broadcast(winners.select(*prefix, col)),
+                    [*prefix, col], "left_anti")
+                oth = rem.groupBy(*prefix).agg(
+                    agg, F.count(F.lit(1)).alias("__oth_n"))
+                oth = oth.filter(F.col("__oth_n") > 0).drop("__oth_n")
+                if prefix:
+                    oth = oth.join(F.broadcast(prev), prefix)
+                lab_col = F.lit(others).cast(
+                    winners.schema[col].dataType).alias(col)
+                others_rows.append(
+                    (len(out_cols),
+                     oth.select(*prior_cols, lab_col, F.col(name))))
             prefix.append(col)
+        if others_rows:
+            final_schema = winners.schema
+            for n_cols, oth in others_rows:
+                pads = [F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in final_schema.fields[n_cols:]]
+                winners = winners.unionByName(oth.select("*", *pads))
         return winners
 
     def _join(self, df: DataFrame, rest: str) -> DataFrame:

@@ -418,7 +418,9 @@ def embedding_near_dup(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
                             block_col: str,
-                            threshold: float = 0.95) -> DataFrame:
+                            threshold: float = 0.95,
+                            max_block_pairs: int | None = None
+                            ) -> DataFrame:
     """``embedding_near_dup`` executed as ONE matrix multiply per
     block (`applyInPandas`, Arrow-batched numpy): normalize the
     block's (n×d) matrix, take M·Mᵀ once, emit the upper-triangle
@@ -439,7 +441,18 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     3 GB peak — size blocks accordingly, e.g. semdedup_keep's
     constant-cluster-size blocking). Prefer this variant when blocks
     are mid-sized and plentiful; prefer the salted expression variant
-    for few huge blocks."""
+    for few huge blocks.
+
+    Scale GUARDRAIL (r9 verdict nit 4 — unified with the expression
+    variant): the SAME per-block pair budget applies —
+    ``max_block_pairs`` (default ``CORKSCREW_EMB_BLOCK_PAIR_BUDGET``
+    env, 100M pairs; 0 disables) refuses any block whose n·(n−1)/2
+    exceeds it, BEFORE the memory row bound is consulted, so the same
+    corpus is refused consistently under either implementation
+    instead of one impl admitting ~4.5×10⁸-pair blocks the other
+    refuses at 10⁸. The remaining ``CORKSCREW_GEMM_BLOCK_MAX_ROWS``
+    row bound is this variant's additional MEMORY ceiling (the n×n
+    float64 triangle must fit one task)."""
     import pandas as pd
 
     # the pair-id columns carry whatever type the input id column has
@@ -452,6 +465,10 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     # workers fork from a daemon that inherited the session-start env,
     # so a later driver-side override would never reach them
     limit = int(os.environ.get("CORKSCREW_GEMM_BLOCK_MAX_ROWS", "30000"))
+    if max_block_pairs is None:
+        max_block_pairs = int(os.environ.get(
+            "CORKSCREW_EMB_BLOCK_PAIR_BUDGET", str(100_000_000)))
+    pair_budget = max_block_pairs
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"),
                      F.col(block_col).alias("blk"), vec.alias("v"))
@@ -462,6 +479,19 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        # shared pair budget FIRST (the semantics bound, identical to
+        # the expression variant's): the same corpus must be refused
+        # consistently under either impl
+        npairs = n * (n - 1) // 2
+        if pair_budget and npairs > pair_budget:
+            raise ValueError(
+                f"embedding_near_dup_gemm: block {pdf['blk'].iat[0]!r} has "
+                f"{n} rows = {npairs} candidate pairs > budget "
+                f"{pair_budget} (CORKSCREW_EMB_BLOCK_PAIR_BUDGET). The "
+                "block key's cardinality does not bound the pair scan at "
+                "this corpus size — use semdedup_keep (constant expected "
+                "cluster size) or a finer block key, or raise the budget "
+                "/ pass max_block_pairs=0 to override.")
         # memory guardrail: the n×n similarity matrix is this variant's
         # hard bound (n=30k ≈ 7.2 GB of float64) — fail with the remedy
         # instead of an executor OOM mid-job

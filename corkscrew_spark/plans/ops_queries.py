@@ -1468,7 +1468,118 @@ def engine_pruned_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
             "subquery bypass is back (round-8 verdict item 1)")
     except ScanBudgetExceeded:
         pass  # refused on the full-scan estimate before any file opened
+    # depth-2 leg (r9 stretch #8): the lineitem read now sits INSIDE
+    # an IN-subquery nested one level deeper — bodies recurse, so the
+    # innermost bare scan must still be refused on its full estimate
+    try:
+        gov.execute("""
+            SELECT COUNT(*) AS n FROM ord_ex o
+            WHERE EXISTS (
+                SELECT 1 FROM ord_ex o2
+                WHERE o2.o_orderkey = o.o_orderkey
+                  AND o2.o_orderkey IN (
+                      SELECT l_orderkey FROM li_ex))""")
+        raise RuntimeError(
+            "governor admitted a depth-2 subquery-body full scan — "
+            "nested bodies are no longer resolved (r9 stretch #8)")
+    except ScanBudgetExceeded:
+        pass
     rows = result.collect()  # <= 5 orderpriority rows
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "engine_pruned_union",
+    oracle="""
+    SELECT 'lineitem' AS src, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_shipdate >= DATE '1998-09-01'
+    UNION ALL
+    SELECT o_orderpriority AS src, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderdate >= DATE '1998-05-01'
+    GROUP BY o_orderpriority
+    ORDER BY src
+    """,
+)
+def engine_pruned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping + admission control through SET-OPERATOR
+    branches (round-9 verdict item 1 — the last statement shape where
+    a scan escaped both pruning and the byte-budget governor; the
+    reference's own idiom: the ``all_cloud_resources`` UNION ALL view,
+    internal/db/unified_schema.go:432-462, and the compliance
+    pass∪fail shape). Each depth-0 UNION/INTERSECT/EXCEPT branch is a
+    self-contained SELECT, so the engine splits it into its own
+    statement span (predicates.set_operator_spans) and runs the same
+    extraction cascade per branch as it runs per CTE body. RAISES
+    unless BOTH branches' executed scans reference strictly fewer
+    files than their tables hold, unless a governor budget between
+    lineitem's pruned and full estimates ADMITS this dated statement,
+    and unless the same budget REFUSES the window-less UNION (each
+    bare branch is a full scan and must be refused on exactly that
+    estimate). Shares the engine_pruned_exists fixture layout
+    (memoized per sf_dir)."""
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
+
+    def _build(tmp: str) -> None:
+        tables = register_tables(spark, sf_dir)
+        tables["lineitem"].select(
+            "l_orderkey", "l_shipdate"
+        ).repartitionByRange(8, "l_shipdate").write.parquet(
+            f"{tmp}/lineitem_ex")
+        tables["orders"].select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ).repartitionByRange(8, "o_orderdate").write.parquet(
+            f"{tmp}/orders_ex")
+        skipping.compute_stats(spark, f"{tmp}/lineitem_ex",
+                               ["l_shipdate"])
+        skipping.compute_stats(spark, f"{tmp}/orders_ex",
+                               ["o_orderdate"])
+
+    tmp = _cert_fixture("prunee", sf_dir, _build)
+    li, orders = f"{tmp}/lineitem_ex", f"{tmp}/orders_ex"
+    # mid-band budget: over lineitem's PRUNED estimate (and orders'
+    # full), under lineitem's FULL estimate — admits the dated
+    # statement, refuses the bare one
+    import datetime as _dt
+    pruned = skipping.estimate_scan(
+        li, [("l_shipdate", ">=", _dt.date(1998, 9, 1))])
+    full = skipping.estimate_scan(li, [])
+    ord_full = skipping.estimate_scan(orders, [])
+    budget = max((pruned["bytes_kept"] + full["bytes_kept"]) // 2,
+                 ord_full["bytes_kept"] + 1)
+    eng = QueryEngine(spark, register_helpers=False,
+                      max_scan_bytes=budget)
+    eng.register_warehouse("li_un", li)
+    eng.register_warehouse("ord_un", orders)
+    result = eng.execute("""
+        SELECT 'lineitem' AS src, CAST(COUNT(*) AS BIGINT) AS n
+        FROM li_un WHERE l_shipdate >= DATE '1998-09-01'
+        UNION ALL
+        SELECT o_orderpriority AS src, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ord_un WHERE o_orderdate >= DATE '1998-05-01'
+        GROUP BY o_orderpriority
+        ORDER BY src""").df
+    opened = result.inputFiles()
+    for label, path in (("first-branch", li), ("second-branch", orders)):
+        total = len(skipping._list_data_files(path))
+        got = len([f for f in opened if path.split("/")[-1] in f])
+        if not 0 < got < total:
+            raise RuntimeError(
+                f"{label} scan did not prune: plan references "
+                f"{got} of {total} files for a dated window over "
+                "a date-clustered table (set-operator branches must "
+                "prune like CTE bodies — round-9 verdict item 1)")
+    try:
+        eng.execute("""
+            SELECT 'a' AS src, COUNT(*) AS n FROM li_un
+            UNION ALL
+            SELECT 'b' AS src, COUNT(*) AS n FROM ord_un""")
+        raise RuntimeError(
+            "governor admitted a bare UNION branch full scan — the "
+            "set-operator bypass is back (round-9 verdict item 1)")
+    except ScanBudgetExceeded:
+        pass  # refused on the full-scan estimate before any file opened
+    rows = result.collect()  # <= 6 src rows
     return spark.createDataFrame(rows, result.schema)
 
 

@@ -793,7 +793,14 @@ def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
         out.append((spans[start_idx][0], spans[sep_idx - 1][1]))
         start_idx = nxt_idx
     out.append((spans[start_idx][0], spans[-1][1]))
-    # unwrap fully parenthesized branches (loop: double parens)
+    # unwrap parenthesized branches (loop: double parens). A branch
+    # whose leading paren group is followed only by statement-tail
+    # clauses (`(SELECT …) ORDER BY a LIMIT 5` — the tail binds to
+    # the whole set statement) shrinks to the paren BODY: the tail
+    # stays outside every span (never rewritten), and pruning the
+    # body preserves its exact result regardless of the tail. Guard:
+    # never shrink past a tail containing FROM/JOIN — that would be
+    # a table read escaping governance.
     unwrapped: list[tuple[int, int]] = []
     for bs, be in out:
         while True:
@@ -801,20 +808,21 @@ def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
                 btoks, bspans = _tokens_spans(sql[bs:be])
             except _Unparseable:
                 break
-            if (len(btoks) >= 2 and btoks[0] == ("punc", "(")
-                    and btoks[-1] == ("punc", ")")):
+            if len(btoks) >= 2 and btoks[0] == ("punc", "("):
                 depth = 0
-                closes_at_end = True
+                close = None
                 for idx, t in enumerate(btoks):
                     if t == ("punc", "("):
                         depth += 1
                     elif t == ("punc", ")"):
                         depth -= 1
-                        if depth == 0 and idx != len(btoks) - 1:
-                            closes_at_end = False
+                        if depth == 0:
+                            close = idx
                             break
-                if closes_at_end:
-                    bs, be = bs + bspans[0][1], bs + bspans[-1][0]
+                if close is not None and not any(
+                        t in (("kw", "FROM"), ("kw", "JOIN"))
+                        for t in btoks[close + 1:]):
+                    bs, be = bs + bspans[0][1], bs + bspans[close][0]
                     continue
             break
         unwrapped.append((bs, be))

@@ -572,10 +572,16 @@ def test_query_estimate_flag(spark, tmp_path, capsys):
                      "SELECT COUNT(*) FROM wt a JOIN wt b ON a.k = b.k",
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     assert "wt: 8/8 files" in capsys.readouterr().out
-    # only a shape the resolvers reject wholesale has nothing to preview
+    # r10: RIGHT/FULL/comma shapes preview their bare full scans too
+    # (they are governed now — r9 verdict item 1)
     assert cli.main(["query",
                      "SELECT COUNT(*) FROM wt a RIGHT JOIN wt b "
                      "ON a.k = b.k",
+                     "--warehouse", f"wt={path}", "--estimate"]) == 0
+    assert "wt: 8/8 files" in capsys.readouterr().out
+    # only a statement referencing no warehouse table has nothing
+    # to preview
+    assert cli.main(["query", "SELECT * FROM VALUES (1) t(x)",
                      "--warehouse", f"wt={path}", "--estimate"]) == 0
     assert "no estimable" in capsys.readouterr().out
 

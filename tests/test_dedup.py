@@ -334,3 +334,43 @@ def test_duplicated_spans_planted_copy(spark):
     assert got[1][1] >= 1 and got[1][1] < got[1][0]
     assert got[2][1] >= 1
     assert got[3] == (6, 0)
+
+
+def test_embedding_pair_budget_shared_across_variants(spark):
+    """r9 verdict nit 4: the SAME pair budget governs BOTH pair-scan
+    implementations — the expression variant refused at 10⁸ pairs
+    while the GEMM row bound admitted ~4.5×10⁸-pair blocks, so the
+    same corpus was refused or admitted depending on impl choice.
+    Both must refuse the same over-budget block with the same remedy,
+    and both must pass the same in-budget corpus."""
+    rows = [(i, [float(i % 7), 1.0, 0.0], "only") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string")
+    # 40 rows in one block = 780 pairs > budget 100 → BOTH refuse
+    for fn in (dedup.embedding_near_dup, dedup.embedding_near_dup_gemm):
+        with pytest.raises(Exception) as ei:
+            fn(df, "vec_id", "embedding", "label", 0.95,
+               max_block_pairs=100).collect()
+        msg = str(ei.value)
+        assert "semdedup_keep" in msg and "780" in msg, fn.__name__
+    # both admit under a sufficient budget, with identical pair sets
+    expr = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup(
+        df, "vec_id", "embedding", "label", 0.95,
+        max_block_pairs=1000).collect()}
+    gemm = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup_gemm(
+        df, "vec_id", "embedding", "label", 0.95,
+        max_block_pairs=1000).collect()}
+    assert expr == gemm and expr
+    # env default reaches the GEMM closure too
+    import os
+    old = os.environ.get("CORKSCREW_EMB_BLOCK_PAIR_BUDGET")
+    os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"] = "100"
+    try:
+        with pytest.raises(Exception):
+            dedup.embedding_near_dup_gemm(
+                df, "vec_id", "embedding", "label", 0.95).collect()
+    finally:
+        if old is None:
+            del os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"]
+        else:
+            os.environ["CORKSCREW_EMB_BLOCK_PAIR_BUDGET"] = old

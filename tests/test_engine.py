@@ -746,21 +746,27 @@ class TestScanBudget:
                 "SELECT COUNT(*) AS n FROM bt a LEFT JOIN dimt d "
                 "ON a.k = d.k WHERE a.k >= 700")
 
-    def test_unattributable_shapes_pass(self, spark, table):
-        # a shape the resolvers reject wholesale (RIGHT joins
+    def test_unattributable_shapes_governed_bare(self, spark, table):
+        # r10: shapes the resolvers reject for PRUNING (RIGHT joins
         # null-extend earlier tables; comma joins are outside the
-        # accepted grammar) has no estimate — enforcement stays
-        # advisory and the query runs
+        # accepted grammar) still surface as bare full-scan rows for
+        # the governor — they used to execute ungoverned (r9 verdict
+        # item 1). Same statement under a generous budget runs and
+        # returns the plain-scan answer.
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
         eng = self._engine(spark, table, 1)
-        assert eng.execute(
+        with pytest.raises(ScanBudgetExceeded, match="bt"):
+            eng.execute(
+                "SELECT COUNT(*) AS n FROM bt a RIGHT JOIN bt b "
+                "ON a.k = b.k WHERE b.k >= 700")
+        big = self._engine(spark, table, 10 ** 12)
+        assert big.execute(
             "SELECT COUNT(*) AS n FROM bt a RIGHT JOIN bt b "
             "ON a.k = b.k WHERE b.k >= 700").rows()[0].n == 100
         # and a ScanBudgetExceeded is a QueryValidationError, so API
         # servers surface it through the existing error envelope
-        from corkscrew_spark.engine import (
-            QueryValidationError,
-            ScanBudgetExceeded,
-        )
+        from corkscrew_spark.engine import QueryValidationError
 
         assert issubclass(ScanBudgetExceeded, QueryValidationError)
 
@@ -869,10 +875,12 @@ def test_engine_estimate_scan(spark, tmp_path):
     sj = eng.estimate_scan(
         "SELECT COUNT(*) FROM est a JOIN est b ON a.k = b.k")
     assert sj["est"]["files_kept"] == sj["est"]["files_total"] == 8
-    # a shape the resolvers reject wholesale estimates nothing
-    assert eng.estimate_scan(
-        "SELECT COUNT(*) FROM est a RIGHT JOIN est b ON a.k = b.k"
-    ) == {}
+    # r10: shapes the resolvers reject for pruning (RIGHT/FULL/comma)
+    # still estimate as deduplicated bare full scans — the governor
+    # enforces on exactly these rows (r9 verdict item 1)
+    rj = eng.estimate_scan(
+        "SELECT COUNT(*) FROM est a RIGHT JOIN est b ON a.k = b.k")
+    assert rj["est"]["files_kept"] == rj["est"]["files_total"] == 8
 
 
 def test_warehouse_names_resolve_case_insensitively(spark, tmp_path):
@@ -1311,6 +1319,44 @@ class TestExistsSubqueryPruning:
         opened = [f for f in r.df.inputFiles() if "/big/" in f]
         assert len(opened) == len(skipping._list_data_files(big))
 
+    def test_depth2_subquery_body_prunes_and_governed(self, spark, eng):
+        """r10 (r9 stretch #8): bodies recurse — a table read inside
+        `EXISTS (… WHERE x IN (SELECT …))` prunes on the innermost
+        WHERE and is governed; previously depth-2 bodies' tables
+        stayed unresolved."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        engine, big, small = eng
+        q = """SELECT COUNT(*) AS n FROM small_t s
+               WHERE EXISTS (
+                   SELECT 1 FROM small_t s2
+                   WHERE s2.fk = s.fk AND s2.fk IN (
+                       SELECT fk FROM big_t WHERE k >= 700))"""
+        r = engine.execute(q)
+        assert r.rows()[0].n == 10  # k in [700,800) -> fk covers 0..9
+        opened = [f for f in r.df.inputFiles() if "/big/" in f]
+        assert 0 < len(opened) < len(skipping._list_data_files(big))
+        est = engine.estimate_scan(q)
+        assert 0 < est["big_t"]["files_kept"] < est["big_t"]["files_total"]
+        # governance: the innermost bare scan is refused
+        pruned = skipping.estimate_scan(big, [("k", ">=", 700)])
+        full = skipping.estimate_scan(big, [])
+        small_full = skipping.estimate_scan(small, [])
+        mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=max(mid,
+                                             small_full["bytes_kept"] + 1))
+        gov.register_warehouse("big_t", big)
+        gov.register_warehouse("small_t", small)
+        assert gov.execute(q).rows()[0].n == 10  # pruned body admitted
+        with pytest.raises(ScanBudgetExceeded, match="big_t"):
+            gov.execute("""SELECT COUNT(*) AS n FROM small_t s
+               WHERE EXISTS (
+                   SELECT 1 FROM small_t s2
+                   WHERE s2.fk = s.fk AND s2.fk IN (
+                       SELECT fk FROM big_t))""")
+
     def test_governor_refuses_exists_body_full_scan(self, spark, eng):
         """`SELECT … FROM small WHERE EXISTS (SELECT … FROM big …)` —
         the one statement shape (r8 verdict) where a 100 TB scan could
@@ -1338,6 +1384,175 @@ class TestExistsSubqueryPruning:
             gov.execute("""SELECT COUNT(*) AS n FROM small_t s
                 WHERE EXISTS (SELECT 1 FROM big_t b
                               WHERE b.fk = s.fk)""")
+
+
+class TestSetOperatorGovernance:
+    """UNION/INTERSECT/EXCEPT branches prune and are governed, and
+    comma-list / RIGHT / FULL-join reads surface as bare governed
+    rows (r9 verdict item 1 — the last statement shapes that executed
+    both unpruned and ungoverned; the reference's own
+    all_cloud_resources view and pass∪fail compliance idiom are
+    UNION ALL over per-provider tables)."""
+
+    @pytest.fixture()
+    def eng(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+
+        big = str(tmp_path / "big")
+        big2 = str(tmp_path / "big2")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("fk")
+        ).repartitionByRange(8, "k").write.parquet(big)
+        spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("fk")
+        ).repartitionByRange(8, "k").write.parquet(big2)
+        skipping.compute_stats(spark, big, ["k"])
+        skipping.compute_stats(spark, big2, ["k"])
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("big_a", big)
+        eng.register_warehouse("big_b", big2)
+        return eng, big, big2
+
+    def test_union_branches_prune_and_identical(self, spark, eng):
+        from corkscrew_spark import skipping
+
+        engine, big, big2 = eng
+        q = """SELECT k, fk FROM big_a WHERE k >= 700
+               UNION ALL
+               SELECT k, fk FROM big_b WHERE k < 75
+               ORDER BY k"""
+        r = engine.execute(q)
+        rows = r.rows()
+        assert len(rows) == 175
+        assert [x.k for x in rows[:3]] == [0, 1, 2]
+        for path in (big, big2):
+            opened = [f for f in r.df.inputFiles() if path in f]
+            assert 0 < len(opened) < len(
+                skipping._list_data_files(path)), path
+        est = engine.estimate_scan(q)
+        for t in ("big_a", "big_b"):
+            assert 0 < est[t]["files_kept"] < est[t]["files_total"]
+
+    def test_intersect_except_branches_prune(self, spark, eng):
+        from corkscrew_spark import skipping
+
+        engine, big, big2 = eng
+        q = """SELECT k FROM big_a WHERE k >= 500
+               INTERSECT
+               SELECT k FROM big_b WHERE k >= 550"""
+        r = engine.execute(q)
+        assert r.df.count() == 50  # k in [550, 600)
+        for path in (big, big2):
+            opened = [f for f in r.df.inputFiles() if path in f]
+            assert 0 < len(opened) < len(
+                skipping._list_data_files(path)), path
+        q = """SELECT k FROM big_a WHERE k >= 500
+               EXCEPT
+               SELECT k FROM big_b WHERE k >= 550"""
+        assert engine.execute(q).df.count() == 250  # [500,550)+[600,800)
+
+    def test_parenthesized_branches_with_tail_prune(self, spark, eng):
+        from corkscrew_spark import skipping
+
+        engine, big, big2 = eng
+        q = """(SELECT k FROM big_a WHERE k >= 700)
+               UNION ALL
+               (SELECT k FROM big_b WHERE k < 75)
+               ORDER BY k LIMIT 10"""
+        r = engine.execute(q)
+        assert [x.k for x in r.rows()] == list(range(10))
+        for path in (big, big2):
+            opened = [f for f in r.df.inputFiles() if path in f]
+            assert 0 < len(opened) < len(
+                skipping._list_data_files(path)), path
+
+    def test_cte_body_union_prunes(self, spark, eng):
+        from corkscrew_spark import skipping
+
+        engine, big, big2 = eng
+        q = """WITH u AS (
+                   SELECT k FROM big_a WHERE k >= 700
+                   UNION ALL
+                   SELECT k FROM big_b WHERE k < 75)
+               SELECT COUNT(*) AS n FROM u"""
+        r = engine.execute(q)
+        assert r.rows()[0].n == 175
+        for path in (big, big2):
+            opened = [f for f in r.df.inputFiles() if path in f]
+            assert 0 < len(opened) < len(
+                skipping._list_data_files(path)), path
+
+    def test_governor_refuses_bare_union_branch(self, spark, eng):
+        """A budget between big_a's pruned and full estimates admits
+        the dated union and refuses the window-less one — each branch
+        is estimated like a bare scan (r9: with the byte-budget armed,
+        each branch of a UNION over 100 TB tables was admitted
+        without an estimate)."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        engine, big, big2 = eng
+        pruned = skipping.estimate_scan(big, [("k", ">=", 700)])
+        full = skipping.estimate_scan(big, [])
+        b_full = skipping.estimate_scan(big2, [])
+        mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=max(mid,
+                                             b_full["bytes_kept"] + 1))
+        gov.register_warehouse("big_a", big)
+        gov.register_warehouse("big_b", big2)
+        ok = gov.execute("""SELECT COUNT(*) AS n FROM big_a
+                            WHERE k >= 700
+                            UNION ALL
+                            SELECT COUNT(*) AS n FROM big_b""")
+        assert sorted(r.n for r in ok.rows()) == [100, 600]
+        with pytest.raises(ScanBudgetExceeded, match="big_a"):
+            gov.execute("""SELECT COUNT(*) AS n FROM big_a
+                           UNION ALL
+                           SELECT COUNT(*) AS n FROM big_b""")
+
+    def test_governor_refuses_comma_list_and_right_full(
+            self, spark, eng):
+        """`FROM a, b`, RIGHT and FULL joins: attribution is unsound
+        for pruning, but every member is a whole-table read — each
+        surfaces as a bare governed row and is refused under a
+        too-small budget (r9: these shapes executed unpruned AND
+        ungoverned)."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        engine, big, big2 = eng
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=1)
+        gov.register_warehouse("big_a", big)
+        gov.register_warehouse("big_b", big2)
+        for q in (
+            "SELECT COUNT(*) AS n FROM big_a, big_b WHERE big_a.k = big_b.k",
+            "SELECT COUNT(*) AS n FROM big_a RIGHT JOIN big_b "
+            "ON big_a.k = big_b.k",
+            "SELECT COUNT(*) AS n FROM big_a FULL OUTER JOIN big_b "
+            "ON big_a.k = big_b.k",
+            "SELECT COUNT(*) AS n FROM big_a CROSS JOIN big_b",
+        ):
+            with pytest.raises(ScanBudgetExceeded, match="big_"):
+                gov.execute(q)
+        # dry-run agrees: full-scan rows for both members
+        est = engine.estimate_scan(
+            "SELECT COUNT(*) AS n FROM big_a, big_b "
+            "WHERE big_a.k = big_b.k")
+        for t in ("big_a", "big_b"):
+            assert est[t]["files_kept"] == est[t]["files_total"]
+
+    def test_comma_list_still_executes_unpruned(self, spark, eng):
+        """Without a budget the loose shapes run exactly as before —
+        resolution never rewrites them (attribution unsound), so
+        results are the plain-scan answer."""
+        engine, big, big2 = eng
+        r = engine.execute(
+            "SELECT COUNT(*) AS n FROM big_a, big_b "
+            "WHERE big_a.k = big_b.k AND big_a.k >= 550")
+        assert r.rows()[0].n == 50
 
 
 def test_time_travel_same_table_twice_keeps_distinct_names(spark, tmp_path):

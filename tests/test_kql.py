@@ -500,12 +500,45 @@ def test_top_nested_hierarchy_and_naming(tiny_events):
     assert [(r["event_type"], r["aggregated_event_type"], r["user_id"],
              r["u"]) for r in rows] == [
         ("click", 5.5, 10, 5.5), ("purchase", 9.0, 12, 9.0)]
-    with pytest.raises(KqlError, match="with others"):
+    # r10: `with others` is SUPPORTED in Kusto's position (before
+    # `by`); the trailing position is still a loud parse error
+    with pytest.raises(KqlError, match="trailing tokens"):
         kql_to_df("T | top-nested 2 of event_type by sum(value) "
                   "with others = 'rest'", {"T": tiny_events})
-    with pytest.raises(KqlError, match="N of Col by"):
+    with pytest.raises(KqlError, match="N of Col"):
         kql_to_df("T | top-nested of event_type by sum(value)",
                   {"T": tiny_events})
+
+
+def test_top_nested_with_others_buckets(tiny_events):
+    """r10 (r9 stretch #7): `with others = <literal>` adds one row
+    per surviving prefix aggregating the anti-joined remainder;
+    deeper columns are NULL on an others row; a numeric level column
+    takes a numeric label; an empty remainder emits no row."""
+    rows = kql_to_df(
+        """T | top-nested 2 of event_type with others = 'OTHER' by n = count(),
+               top-nested 1 of user_id with others = -1 by m = count()
+           | order by event_type asc, user_id asc""",
+        {"T": tiny_events}).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    # level-1 others bucket: everything outside the top-2 event types
+    assert "OTHER" in by_type
+    oth = by_type["OTHER"][0]
+    assert oth["user_id"] is None and oth["m"] is None
+    assert oth["n"] >= 1
+    # per-winner level-2 others: remainder users beyond the top 1
+    for et, group in by_type.items():
+        if et == "OTHER":
+            continue
+        labels = {r["user_id"] for r in group}
+        assert -1 in labels or len(labels) == 1  # no remainder -> no row
+    # a top-N covering every value emits NO others rows
+    rows = kql_to_df(
+        "T | top-nested 99 of event_type with others = 'OTHER' by n = count()",
+        {"T": tiny_events}).collect()
+    assert all(r["event_type"] != "OTHER" for r in rows)
 
 
 def test_union_outer_nullfills_and_inner_intersects(tiny_events):

@@ -671,3 +671,110 @@ class TestSubquerySpans:
         # unbalanced parens: stand down entirely
         assert subquery_spans(
             "SELECT * FROM t WHERE EXISTS (SELECT 1 FROM b") == []
+
+
+class TestSetOperatorSpans:
+    """predicates.set_operator_spans — branch delimitation only; the
+    soundness argument (each branch a self-contained SELECT) lives in
+    the engine tests that certify pruning + governance through it."""
+
+    def test_basic_union_all(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("SELECT a FROM t1 WHERE k > 5 "
+               "UNION ALL SELECT a FROM t2 WHERE k < 3")
+        spans = set_operator_spans(sql)
+        assert [sql[s:e] for s, e in spans] == [
+            "SELECT a FROM t1 WHERE k > 5",
+            "SELECT a FROM t2 WHERE k < 3"]
+
+    def test_three_branches_mixed_ops(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("SELECT a FROM t1 INTERSECT SELECT a FROM t2 "
+               "EXCEPT SELECT a FROM t3")
+        assert len(set_operator_spans(sql)) == 3
+
+    def test_parenthesized_branches_unwrap_with_tail(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("(SELECT a FROM t1 WHERE k>5) UNION "
+               "(SELECT a FROM t2) ORDER BY a LIMIT 3")
+        assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
+            "SELECT a FROM t1 WHERE k>5", "SELECT a FROM t2"]
+
+    def test_nested_set_statement_in_parens_kept_whole(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("SELECT a FROM t1 UNION "
+               "(SELECT a FROM t2 INTERSECT SELECT a FROM t3)")
+        spans = set_operator_spans(sql)
+        # the parenthesized branch unwraps to a set statement the
+        # engine re-splits via its worklist
+        assert [sql[s:e] for s, e in spans] == [
+            "SELECT a FROM t1",
+            "SELECT a FROM t2 INTERSECT SELECT a FROM t3"]
+
+    def test_star_except_column_list_is_not_a_set_op(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        assert set_operator_spans(
+            "SELECT * EXCEPT (b) FROM t WHERE k > 5") is None
+
+    def test_minus_separates_only_before_select(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = "SELECT a FROM t1 MINUS SELECT a FROM t2"
+        assert len(set_operator_spans(sql)) == 2
+        # a column named minus never splits
+        assert set_operator_spans("SELECT minus FROM t") is None
+        assert set_operator_spans(
+            "SELECT a, minus FROM t WHERE minus > 3") is None
+
+    def test_depth_gt_zero_union_ignored(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        # subquery / recursive-CTE unions sit inside parens
+        assert set_operator_spans(
+            "SELECT * FROM t WHERE k IN "
+            "(SELECT k FROM a UNION SELECT k FROM b)") is None
+
+    def test_union_values_stands_down(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        assert set_operator_spans(
+            "SELECT a FROM t UNION VALUES (1)") is None
+
+    def test_scalar_subquery_tail_never_shrunk_away(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("(SELECT a FROM t1) UNION "
+               "SELECT (SELECT max(k) FROM t3) FROM t2")
+        assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
+            "SELECT a FROM t1",
+            "SELECT (SELECT max(k) FROM t3) FROM t2"]
+
+
+class TestLooseTableRefs:
+    def test_comma_list_with_aliases(self):
+        from corkscrew_spark.predicates import loose_table_refs
+
+        assert loose_table_refs(
+            "SELECT * FROM a, b x, c AS y WHERE a.k = b.k") == [
+            ("a", None), ("b", "x"), ("c", "y")]
+
+    def test_right_full_cross_members(self):
+        from corkscrew_spark.predicates import loose_table_refs
+
+        assert loose_table_refs(
+            "SELECT * FROM a RIGHT JOIN b ON a.k=b.k "
+            "FULL JOIN c ON 1=1") == [
+            ("a", None), ("b", None), ("c", None)]
+
+    def test_table_functions_and_qualified_names_skipped(self):
+        from corkscrew_spark.predicates import loose_table_refs
+
+        assert loose_table_refs("SELECT * FROM unnest(x) u, db.t2") == []
+        # EXTRACT's FROM sits at depth >= 1
+        assert loose_table_refs(
+            "SELECT extract(month FROM ts) FROM a") == [("a", None)]
