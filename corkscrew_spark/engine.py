@@ -609,6 +609,17 @@ class QueryEngine:
                 (None, start, seg)]
             while work:
                 region, off, text = work.pop()
+                if region is not None:
+                    # a body can itself be a set statement (`WHERE x
+                    # IN (SELECT … UNION SELECT …)`): split it into
+                    # branch regions so each branch prunes like a
+                    # top-level branch (offsets stay absolute)
+                    branches = _pred.set_operator_spans(text)
+                    if branches:
+                        for s_, e_ in branches:
+                            work.append(((off + s_, off + e_),
+                                         off + s_, text[s_:e_]))
+                        continue
                 subs = _pred.subquery_spans(text)
                 if subs:
                     regions.append((region, _pred.mask_subqueries(
@@ -863,6 +874,38 @@ class QueryEngine:
             m.group(1) for m in _TIME_TRAVEL_RE.finditer(sql)
             if not _in_opaque(m.start()))
 
+        clause_offsets = {
+            m.start() for m in _TIME_TRAVEL_RE.finditer(sql)
+            if not _in_opaque(m.start())}
+
+        def _bare_mention(name: str) -> bool:
+            # ANY bare mention of the name that is neither this travel
+            # clause's own head nor a `name.` qualifier — a plain
+            # table ref (`FROM vt JOIN vt VERSION AS OF 1`), a derived
+            # -table alias (`FROM (SELECT …) vt`), a column alias —
+            # could denote another relation named ``name``; minting
+            # the implicit `AS name` then makes every reference
+            # ambiguous. Token-level so string literals and comments
+            # never count. Unparseable text keeps the alias (either
+            # choice surfaces as an analysis error, never silently).
+            from corkscrew_spark import predicates as _pred
+            try:
+                toks, spans = _pred._tokens_spans(sql)
+            except Exception:  # noqa: BLE001
+                return False
+            low = name.lower()
+            for i, (k, v) in enumerate(toks):
+                if k not in ("ident", "bq"):
+                    continue
+                if _pred._unquote_ident((k, v)).lower() != low:
+                    continue
+                if spans[i][0] in clause_offsets:
+                    continue  # a travel clause's own head
+                if i + 1 < len(toks) and toks[i + 1] == ("punc", "."):
+                    continue  # qualifier use — what the alias is FOR
+                return True
+            return False
+
         _clause_kws = {
             "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
             "EXCEPT", "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL",
@@ -901,14 +944,19 @@ class QueryEngine:
                     f"time travel on {name}: {ex}") from ex
             view = f"{name}__v{tag}"
             sig = self._table_sig(vdir)
+            # the EXPENSIVE half (file listing + schema inference)
+            # runs outside the lock — building a DataFrame touches no
+            # catalog state, so concurrent statements don't serialize
+            # on parquet I/O
+            sdf = self.spark.read.parquet(vdir)
             with self._snap_lock:
-                # create + refcount as ONE critical section: the view
-                # must not exist in the catalog without its refcount,
-                # or a concurrent _gc_snapshots (whose check-pop-drop
-                # is the other critical section under this lock) could
-                # drop it in the window (TOCTOU, review finding)
-                self.spark.read.parquet(vdir) \
-                    .createOrReplaceTempView(view)
+                # catalog-insert + refcount as ONE critical section:
+                # the view must not exist in the catalog without its
+                # refcount, or a concurrent _gc_snapshots (whose
+                # check-pop-drop is the other critical section under
+                # this lock) could drop it in the window (TOCTOU,
+                # review finding)
+                sdf.createOrReplaceTempView(view)
                 self._warehouse[view.lower()] = vdir
                 self._view_sig[view.lower()] = sig
                 self._snapshots.add(view.lower())  # refcounted: held
@@ -929,7 +977,8 @@ class QueryEngine:
             user_alias = nxt is not None and (
                 nxt.group(1) is not None
                 or nxt.group(2).upper() not in _clause_kws)
-            if user_alias or clause_counts[name] > 1:
+            if user_alias or clause_counts[name] > 1 \
+                    or _bare_mention(name):
                 return view
             return f"{view} AS {name}"
 

@@ -770,6 +770,10 @@ def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
             head_ok = False
             if j < len(toks) and toks[j] == ("kw", "SELECT"):
                 head_ok = True
+            elif (j + 1 < len(toks) and toks[j][0] == "ident"
+                    and toks[j][1].upper() == "TABLE"
+                    and toks[j + 1][0] in ("ident", "bq")):
+                head_ok = True  # `UNION TABLE t` — a whole-table read
             elif j < len(toks) and toks[j] == ("punc", "("):
                 jj = j
                 while jj < len(toks) and toks[jj] == ("punc", "("):
@@ -819,9 +823,24 @@ def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
                         if depth == 0:
                             close = idx
                             break
-                if close is not None and not any(
-                        t in (("kw", "FROM"), ("kw", "JOIN"))
-                        for t in btoks[close + 1:]):
+                # only a DEPTH-0 FROM/JOIN in the tail blocks the
+                # shrink (`(SELECT …) JOIN t2 ON …` — t2 would drop
+                # out of the span and escape the loose-ref governor);
+                # a FROM inside tail parens (a scalar subquery in
+                # ORDER BY) is invisible to every resolver whether we
+                # shrink or not, so it must not block governing the
+                # branch body's tables
+                tail_read = False
+                d = 0
+                for t in (btoks[close + 1:] if close is not None else []):
+                    if t == ("punc", "("):
+                        d += 1
+                    elif t == ("punc", ")"):
+                        d -= 1
+                    elif d == 0 and t in (("kw", "FROM"), ("kw", "JOIN")):
+                        tail_read = True
+                        break
+                if close is not None and not tail_read:
                     bs, be = bs + bspans[0][1], bs + bspans[close][0]
                     continue
             break
@@ -889,6 +908,17 @@ def loose_table_refs(sql: str) -> list[tuple[str, str | None]]:
                         break
                     out.append((r[0], r[1]))
                     i = r[2]
+                continue
+        elif (i == 0 and k == "ident" and v.upper() == "TABLE"):
+            # `TABLE t` — Spark's whole-table statement (an allowed
+            # read-only start, and a set-operator branch head): a
+            # full scan with no FROM for the resolvers to find.
+            # Position 0 only: anywhere else `table` is a column or
+            # alias named table.
+            r = _ref(i + 1)
+            if r is not None:
+                out.append((r[0], r[1]))
+                i = r[2]
                 continue
         i += 1
     return out

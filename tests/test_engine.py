@@ -1235,6 +1235,28 @@ try:
         want = [tuple(r) for r in spark.sql(
             sql.replace("fz", f"parquet.`{fuzz_table}`")).collect()]
         assert got == want, where
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.data())
+    def test_fuzz_engine_set_operator_identity(spark, fuzz_table, data):
+        """r10: result identity for random set-operator statements —
+        each branch prunes independently; UNION [ALL]/INTERSECT/EXCEPT
+        of exact branch results must equal the plain-scan statement."""
+        op = data.draw(st.sampled_from(
+            ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]))
+        w1 = data.draw(_FUZZ_TERMS)
+        w2 = data.draw(_FUZZ_TERMS)
+        paren = data.draw(st.booleans())
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("fz", fuzz_table)
+        b1 = f"SELECT k, v, s FROM fz WHERE {w1}"
+        b2 = f"SELECT k, v, s FROM fz WHERE {w2}"
+        sql = (f"({b1}) {op} ({b2}) ORDER BY k, v, s" if paren
+               else f"{b1} {op} {b2} ORDER BY k, v, s")
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        want = [tuple(r) for r in spark.sql(
+            sql.replace("fz", f"parquet.`{fuzz_table}`")).collect()]
+        assert got == want, sql
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
@@ -1356,6 +1378,21 @@ class TestExistsSubqueryPruning:
                    SELECT 1 FROM small_t s2
                    WHERE s2.fk = s.fk AND s2.fk IN (
                        SELECT fk FROM big_t))""")
+
+    def test_union_inside_subquery_body_prunes(self, spark, eng):
+        """r10 review: a set statement INSIDE a subquery body splits
+        into branch regions — each branch prunes on its own WHERE
+        instead of the body standing down to a bare governed scan."""
+        from corkscrew_spark import skipping
+
+        engine, big, small = eng
+        q = """SELECT COUNT(*) AS n FROM small_t
+               WHERE fk IN (SELECT fk FROM big_t WHERE k >= 790
+                            UNION SELECT fk FROM big_t WHERE k < 10)"""
+        r = engine.execute(q)
+        assert r.rows()[0].n == 10  # both windows cover fk 0..9
+        opened = [f for f in r.df.inputFiles() if "/big/" in f]
+        assert 0 < len(opened) < len(skipping._list_data_files(big))
 
     def test_governor_refuses_exists_body_full_scan(self, spark, eng):
         """`SELECT … FROM small WHERE EXISTS (SELECT … FROM big …)` —
@@ -1544,6 +1581,27 @@ class TestSetOperatorGovernance:
         for t in ("big_a", "big_b"):
             assert est[t]["files_kept"] == est[t]["files_total"]
 
+    def test_table_statement_and_union_table_governed(self, spark, eng):
+        """`TABLE t` (Spark's whole-table statement, an allowed
+        read-only start) and `… UNION ALL TABLE t` are full scans
+        with no FROM for the resolvers — they surface through
+        loose_table_refs position-0 handling and are refused under a
+        tiny budget."""
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        engine, big, big2 = eng
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=1)
+        gov.register_warehouse("big_a", big)
+        gov.register_warehouse("big_b", big2)
+        with pytest.raises(ScanBudgetExceeded, match="big_a"):
+            gov.execute("TABLE big_a")
+        with pytest.raises(ScanBudgetExceeded, match="big_"):
+            gov.execute("SELECT k, fk FROM big_b WHERE k < 10 "
+                        "UNION ALL TABLE big_a")
+        # ungoverned they still run
+        assert engine.execute("TABLE big_a").df.count() == 800
+
     def test_comma_list_still_executes_unpruned(self, spark, eng):
         """Without a budget the loose shapes run exactly as before —
         resolution never rewrites them (attribution unsound), so
@@ -1587,6 +1645,18 @@ def test_time_travel_same_table_twice_keeps_distinct_names(spark, tmp_path):
     got = eng.execute("SELECT vt.k FROM vt VERSION AS OF 1 "
                       "ORDER BY vt.k").rows()
     assert [r.k for r in got] == [0, 1]
+    # a PLAIN reference alongside a travel clause collides with the
+    # alias-back the same way a second clause would: the snapshot
+    # keeps its distinct view name
+    got = eng.execute(
+        "SELECT COUNT(*) AS n FROM vt JOIN vt VERSION AS OF 1 "
+        "ON vt.k = vt__v1.k").rows()
+    assert got[0].n == 2  # current (3 rows: k 0,1,2) ⋈ v1 (k 0,1)
+    # …and so does a DERIVED-TABLE ALIAS spelled like the name
+    got = eng.execute(
+        "SELECT COUNT(*) AS n FROM (SELECT 1 AS k) vt "
+        "JOIN vt VERSION AS OF 1 ON vt.k = vt__v1.k").rows()
+    assert got[0].n == 1
     assert not eng._snapshots
 
 

@@ -778,3 +778,22 @@ class TestLooseTableRefs:
         # EXTRACT's FROM sits at depth >= 1
         assert loose_table_refs(
             "SELECT extract(month FROM ts) FROM a") == [("a", None)]
+
+    def test_table_statement_head(self):
+        from corkscrew_spark.predicates import (loose_table_refs,
+                                                set_operator_spans)
+
+        assert loose_table_refs("TABLE big") == [("big", None)]
+        # `table` anywhere else is a column/alias, never a ref
+        assert loose_table_refs("SELECT table FROM x") == [("x", None)]
+        sql = "SELECT a FROM t1 UNION ALL TABLE t2"
+        assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
+            "SELECT a FROM t1", "TABLE t2"]
+
+    def test_scalar_subquery_tail_does_not_block_shrink(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = ("(SELECT a FROM t1 WHERE k>5) UNION (SELECT a FROM t2) "
+               "ORDER BY (SELECT max(k) FROM t3)")
+        assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
+            "SELECT a FROM t1 WHERE k>5", "SELECT a FROM t2"]
