@@ -681,7 +681,10 @@ class QueryEngine:
         never two), raising ``ScanBudgetExceeded`` — with every
         already-registered one-statement view dropped — before any
         file opens. Enforcement covers ALL registered tables, pruning
-        opt-outs included."""
+        opt-outs included, and the budget is BOTH a per-reference and
+        a statement-total ceiling: every admitted read's estimate
+        adds to a running sum, refused once the sum crosses the
+        budget (r10 — N references at budget−ε must not admit N×)."""
         from corkscrew_spark import predicates as _pred
         from corkscrew_spark import skipping as _skip
 
@@ -693,6 +696,13 @@ class QueryEngine:
         names = set(self._warehouse) if enforce else None
         views: list[str] = []
         edits: list[tuple[int, int, str]] = []
+        # the budget is a ceiling on the STATEMENT'S total I/O, not
+        # per reference (r10 review): N references each at budget−ε
+        # must not admit N× the budget. Every trusted estimate adds
+        # to this sum; the per-reference check below still names the
+        # single worst offender when one read alone is over.
+        admitted_bytes = 0
+        admitted_reads = 0
         try:
             for start, end, seg, found, regions in self._segment_targets(
                     bound, names, include_bare=enforce):
@@ -764,6 +774,20 @@ class QueryEngine:
                                     f"over the {self.max_scan_bytes:,}"
                                     "-byte budget; add a more selective"
                                     " predicate or re-cluster the table")
+                            if est["fallback"] is None:
+                                admitted_bytes += est["bytes_kept"]
+                                admitted_reads += 1
+                                if admitted_bytes > self.max_scan_bytes:
+                                    raise ScanBudgetExceeded(
+                                        "estimated STATEMENT scan is "
+                                        f"{admitted_bytes:,} bytes "
+                                        f"across {admitted_reads} "
+                                        f"table reads (latest: {name})"
+                                        " — over the "
+                                        f"{self.max_scan_bytes:,}-byte"
+                                        " budget; the ceiling applies"
+                                        " to the statement's total"
+                                        " I/O, not per reference")
                         if not will_prune:
                             continue  # bare or governed-only: no rewrite
                         pruned = (_skip.read_skipping(

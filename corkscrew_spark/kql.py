@@ -1220,6 +1220,13 @@ class _StageCompiler:
             p = _ExprParser(toks, i)
             agg = p.parse()
             if p.i != len(toks):
+                if (p.i < len(toks) and toks[p.i].kind == "ident"
+                        and toks[p.i].text.lower() == "with"):
+                    raise KqlError(
+                        "KQL: `with others = <literal>` goes between "
+                        "the column and `by` (Kusto grammar: "
+                        "`top-nested N of Col with others = X by "
+                        "agg`), not after the aggregate")
                 raise KqlError(
                     f"KQL: trailing tokens in top-nested aggregate {aggsrc!r}")
             levels.append((n, col, agg.alias(name), name, others))
@@ -1658,7 +1665,10 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     on the FULL-scan estimate, because that is the read that will
     actually execute (a budget between pruned and full bytes must
     refuse it); tables without stats stay advisory-only, matching the
-    engine."""
+    engine. The budget is BOTH a per-reference and a query-total
+    ceiling (r10): each admitted read's estimate — times its
+    reference count, each reference being its own scan — adds to a
+    running sum, refused once the sum crosses the budget."""
     import os as _os
 
     from corkscrew_spark import skipping as _skip
@@ -1679,6 +1689,12 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
             "KQL: table name(s) registered both as DataFrame and "
             f"warehouse directory: {sorted(clash)} — pass each name "
             "through exactly one of `tables`/`warehouse`")
+    # the budget caps the STATEMENT'S total I/O (r10 review, matching
+    # the SQL engine): every admitted read adds its estimate — times
+    # its reference count, since each reference is its own scan —
+    # and the sum must stay under the budget too
+    admitted_bytes = 0
+    admitted_reads = 0
     for name, path, nrefs, attributable, preds, branches \
             in _warehouse_refs(query, warehouse):
         eff = ([preds + b for b in branches] if preds else branches) \
@@ -1721,6 +1737,20 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                     f"files) — over the {max_scan_bytes:,}-byte "
                     "budget; add a more selective leading `where` "
                     "or re-cluster the table")
+            if est["fallback"] is None:
+                admitted_bytes += est["bytes_kept"] * max(nrefs, 1)
+                admitted_reads += max(nrefs, 1)
+                if admitted_bytes > max_scan_bytes:
+                    from corkscrew_spark.engine import \
+                        ScanBudgetExceeded
+
+                    raise ScanBudgetExceeded(
+                        "estimated STATEMENT scan is "
+                        f"{admitted_bytes:,} bytes across "
+                        f"{admitted_reads} table reads (latest: "
+                        f"{name}) — over the {max_scan_bytes:,}-byte"
+                        " budget; the ceiling applies to the "
+                        "query's total I/O, not per reference")
         if will_prune and plan is not None:
             try:
                 if eff is not None:

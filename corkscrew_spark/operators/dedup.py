@@ -472,6 +472,32 @@ def embedding_near_dup_gemm(df: DataFrame, id_col: str, vec_col: str,
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"),
                      F.col(block_col).alias("blk"), vec.alias("v"))
+    if pair_budget:
+        # the SAME pre-fanout gate as the expression variant (r10
+        # review): a one-row-per-block broadcast count refuses the
+        # over-budget block at the scan, BEFORE its n×d matrix is
+        # shuffled and Arrow-transferred to a task; the in-UDF check
+        # below stays as the backstop
+        pairs = (F.col("__blk_n") * (F.col("__blk_n") - 1) / 2
+                 ).cast("long")
+        counts = base.groupBy("blk").agg(F.count("*").alias("__blk_n"))
+        guard = F.assert_true(
+            pairs <= F.lit(pair_budget),
+            F.concat(
+                F.lit("embedding_near_dup_gemm: block "),
+                F.col("blk").cast("string"),
+                F.lit(" has "), F.col("__blk_n").cast("string"),
+                F.lit(" rows = "), pairs.cast("string"),
+                F.lit(f" candidate pairs > budget {pair_budget}"
+                      " (CORKSCREW_EMB_BLOCK_PAIR_BUDGET). The block"
+                      " key's cardinality does not bound the pair scan"
+                      " at this corpus size — use semdedup_keep"
+                      " (constant expected cluster size) or a finer"
+                      " block key, or raise the budget / pass"
+                      " max_block_pairs=0 to override.")))
+        base = (base.join(F.broadcast(counts), "blk")
+                    .filter(guard.isNull())
+                    .drop("__blk_n"))
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

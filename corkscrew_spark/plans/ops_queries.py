@@ -1452,8 +1452,16 @@ def engine_pruned_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
              ("l_shipdate", "<", _dt.date(1996, 7, 1))])
     full = skipping.estimate_scan(li, [])
     ord_full = skipping.estimate_scan(orders, [])
+    ord_pruned = skipping.estimate_scan(
+        orders, [("o_orderdate", ">=", _dt.date(1996, 3, 1)),
+                 ("o_orderdate", "<", _dt.date(1996, 6, 1))])
+    # the budget is a STATEMENT-total ceiling (r10): it must clear
+    # the admitted statement's SUM (pruned orders + pruned lineitem)
+    # while staying under lineitem's full estimate so the bare body
+    # still refuses per-reference
     budget = max((pruned["bytes_kept"] + full["bytes_kept"]) // 2,
-                 ord_full["bytes_kept"] + 1)
+                 ord_full["bytes_kept"] + 1,
+                 ord_pruned["bytes_kept"] + pruned["bytes_kept"] + 1)
     gov = QueryEngine(spark, register_helpers=False,
                       max_scan_bytes=budget)
     gov.register_warehouse("li_ex", li)
@@ -1545,8 +1553,14 @@ def engine_pruned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, [("l_shipdate", ">=", _dt.date(1998, 9, 1))])
     full = skipping.estimate_scan(li, [])
     ord_full = skipping.estimate_scan(orders, [])
+    ord_pruned = skipping.estimate_scan(
+        orders, [("o_orderdate", ">=", _dt.date(1998, 5, 1))])
+    # STATEMENT-total ceiling (r10): clear the admitted union's SUM
+    # (both pruned branches) while staying under lineitem's full
+    # estimate so the bare union still refuses
     budget = max((pruned["bytes_kept"] + full["bytes_kept"]) // 2,
-                 ord_full["bytes_kept"] + 1)
+                 ord_full["bytes_kept"] + 1,
+                 pruned["bytes_kept"] + ord_pruned["bytes_kept"] + 1)
     eng = QueryEngine(spark, register_helpers=False,
                       max_scan_bytes=budget)
     eng.register_warehouse("li_un", li)

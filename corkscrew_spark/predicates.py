@@ -778,7 +778,11 @@ def set_operator_spans(sql: str) -> list[tuple[int, int]] | None:
                 jj = j
                 while jj < len(toks) and toks[jj] == ("punc", "("):
                     jj += 1
-                head_ok = jj < len(toks) and toks[jj] == ("kw", "SELECT")
+                head_ok = jj < len(toks) and (
+                    toks[jj] == ("kw", "SELECT")
+                    or (jj + 1 < len(toks) and toks[jj][0] == "ident"
+                        and toks[jj][1].upper() == "TABLE"
+                        and toks[jj + 1][0] in ("ident", "bq")))
             if not head_ok:
                 if k == "ident":
                     continue  # a column named minus, not a separator

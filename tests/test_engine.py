@@ -1366,13 +1366,16 @@ class TestExistsSubqueryPruning:
         full = skipping.estimate_scan(big, [])
         small_full = skipping.estimate_scan(small, [])
         mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        # the statement reads small_t TWICE (outer + body) plus the
+        # pruned big_t — the aggregate ceiling must clear that sum
+        budget = max(mid, 2 * small_full["bytes_kept"]
+                     + pruned["bytes_kept"] + 1)
         gov = QueryEngine(spark, register_helpers=False,
-                          max_scan_bytes=max(mid,
-                                             small_full["bytes_kept"] + 1))
+                          max_scan_bytes=budget)
         gov.register_warehouse("big_t", big)
         gov.register_warehouse("small_t", small)
         assert gov.execute(q).rows()[0].n == 10  # pruned body admitted
-        with pytest.raises(ScanBudgetExceeded, match="big_t"):
+        with pytest.raises(ScanBudgetExceeded, match="big_t|STATEMENT"):
             gov.execute("""SELECT COUNT(*) AS n FROM small_t s
                WHERE EXISTS (
                    SELECT 1 FROM small_t s2
@@ -1532,23 +1535,56 @@ class TestSetOperatorGovernance:
 
         engine, big, big2 = eng
         pruned = skipping.estimate_scan(big, [("k", ">=", 700)])
+        pruned_b = skipping.estimate_scan(big2, [("k", "<", 75)])
         full = skipping.estimate_scan(big, [])
-        b_full = skipping.estimate_scan(big2, [])
         mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        budget = max(mid, pruned["bytes_kept"]
+                     + pruned_b["bytes_kept"] + 1)
         gov = QueryEngine(spark, register_helpers=False,
-                          max_scan_bytes=max(mid,
-                                             b_full["bytes_kept"] + 1))
+                          max_scan_bytes=budget)
         gov.register_warehouse("big_a", big)
         gov.register_warehouse("big_b", big2)
         ok = gov.execute("""SELECT COUNT(*) AS n FROM big_a
                             WHERE k >= 700
                             UNION ALL
-                            SELECT COUNT(*) AS n FROM big_b""")
-        assert sorted(r.n for r in ok.rows()) == [100, 600]
+                            SELECT COUNT(*) AS n FROM big_b
+                            WHERE k < 75""")
+        assert sorted(r.n for r in ok.rows()) == [75, 100]
         with pytest.raises(ScanBudgetExceeded, match="big_a"):
             gov.execute("""SELECT COUNT(*) AS n FROM big_a
                            UNION ALL
                            SELECT COUNT(*) AS n FROM big_b""")
+
+    def test_governor_statement_aggregate_ceiling(self, spark, eng):
+        """r10: the budget caps the STATEMENT'S total I/O — two reads
+        each individually under budget must still be refused when
+        their SUM crosses it (N references at budget−ε admitted N×
+        the budget before)."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        engine, big, big2 = eng
+        a_full = skipping.estimate_scan(big, [])["bytes_kept"]
+        b_full = skipping.estimate_scan(big2, [])["bytes_kept"]
+        # each full scan fits alone; the union of both does not
+        budget = max(a_full, b_full) + 1
+        assert budget < a_full + b_full
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=budget)
+        gov.register_warehouse("big_a", big)
+        gov.register_warehouse("big_b", big2)
+        assert gov.execute("SELECT COUNT(*) AS n FROM big_a"
+                           ).rows()[0].n == 800
+        assert gov.execute("SELECT COUNT(*) AS n FROM big_b"
+                           ).rows()[0].n == 600
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            gov.execute("""SELECT COUNT(*) AS n FROM big_a
+                           UNION ALL
+                           SELECT COUNT(*) AS n FROM big_b""")
+        # joins hit the same ceiling through the join-chain resolver
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            gov.execute("SELECT COUNT(*) AS n FROM big_a "
+                        "JOIN big_b ON big_a.k = big_b.k")
 
     def test_governor_refuses_comma_list_and_right_full(
             self, spark, eng):

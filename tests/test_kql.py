@@ -501,8 +501,8 @@ def test_top_nested_hierarchy_and_naming(tiny_events):
              r["u"]) for r in rows] == [
         ("click", 5.5, 10, 5.5), ("purchase", 9.0, 12, 9.0)]
     # r10: `with others` is SUPPORTED in Kusto's position (before
-    # `by`); the trailing position is still a loud parse error
-    with pytest.raises(KqlError, match="trailing tokens"):
+    # `by`); the trailing position errors with a targeted hint
+    with pytest.raises(KqlError, match="goes between"):
         kql_to_df("T | top-nested 2 of event_type by sum(value) "
                   "with others = 'rest'", {"T": tiny_events})
     with pytest.raises(KqlError, match="N of Col"):
@@ -974,6 +974,45 @@ class TestKqlScanBudget:
         assert kql_to_df_skipping(
             spark, q, {"T": table},
             max_scan_bytes=10 ** 12).first()["Count"] > 0
+
+    def test_statement_aggregate_ceiling(self, spark, table, tmp_path):
+        """r10 (matching the SQL engine): the budget caps the QUERY'S
+        total I/O — two tables each under budget alone are refused
+        when their sum crosses it, and a twice-referenced table
+        counts once per reference."""
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        other = str(tmp_path / "bud_u")
+        spark.range(600).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartitionByRange(8, "k").write.parquet(other)
+        skipping.compute_stats(spark, other, ["k"])
+        t_full = skipping.estimate_scan(table, [])["bytes_kept"]
+        u_full = skipping.estimate_scan(other, [])["bytes_kept"]
+        budget = max(t_full, u_full) + 1
+        assert budget < t_full + u_full
+        # each alone fits
+        assert kql_to_df_skipping(
+            spark, "T | count", {"T": table},
+            max_scan_bytes=budget).first()["Count"] == 800
+        assert kql_to_df_skipping(
+            spark, "U | count", {"U": other},
+            max_scan_bytes=budget).first()["Count"] == 600
+        # together they do not
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            kql_to_df_skipping(
+                spark, "T | union U | count",
+                {"T": table, "U": other}, max_scan_bytes=budget)
+        # a twice-referenced table is twice the I/O
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            kql_to_df_skipping(
+                spark, "T | join kind=inner (T | project v, k2=k) "
+                "on v | count",
+                {"T": table}, max_scan_bytes=t_full + 1)
 
     def test_opt_out_disables_pruning_not_governor(self, spark, table,
                                                    monkeypatch):

@@ -797,3 +797,10 @@ class TestLooseTableRefs:
                "ORDER BY (SELECT max(k) FROM t3)")
         assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
             "SELECT a FROM t1 WHERE k>5", "SELECT a FROM t2"]
+
+    def test_paren_table_branch_head(self):
+        from corkscrew_spark.predicates import set_operator_spans
+
+        sql = "SELECT a FROM t1 UNION (TABLE t2)"
+        assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
+            "SELECT a FROM t1", "TABLE t2"]
