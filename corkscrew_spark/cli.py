@@ -77,11 +77,11 @@ def cmd_query(args: argparse.Namespace) -> int:
         # metadata-only scan preview (no execution, zero data I/O):
         # the admission-control loop's dry-run half
         try:
-            est = eng.estimate_scan(sql, _parse_params(args.param))
+            est = eng.estimate_statement(sql, _parse_params(args.param))
         except QueryValidationError as ex:  # e.g. a missing :param
             print(f"error: {ex}", file=sys.stderr)
             return 2
-        return _print_estimates(est)
+        return _print_estimates(est["tables"], est)
     try:
         res = eng.execute(sql, _parse_params(args.param))
     except QueryValidationError as ex:
@@ -818,10 +818,11 @@ def cmd_kql(args: argparse.Namespace) -> int:
         return 2
     kql = args.kql if args.kql != "-" else sys.stdin.read()
     if getattr(args, "estimate", False):
-        from corkscrew_spark.kql import kql_estimate_scan
+        from corkscrew_spark.kql import kql_estimate_statement
 
         try:
-            return _print_estimates(kql_estimate_scan(kql, warehouse))
+            est = kql_estimate_statement(kql, warehouse)
+            return _print_estimates(est["tables"], est)
         except KqlError as ex:
             print(f"error: {ex}", file=sys.stderr)
             return 2
@@ -837,10 +838,15 @@ def cmd_kql(args: argparse.Namespace) -> int:
     return 0
 
 
-def _print_estimates(est: dict[str, dict]) -> int:
+def _print_estimates(est: dict[str, dict],
+                     totals: dict | None = None) -> int:
     """Render a per-table scan-estimate dict (query --estimate and
     kql --estimate share this — the two dry-run surfaces must read
-    identically)."""
+    identically). ``totals`` (estimate_statement's sum) adds the
+    TOTAL line the aggregate governor refuses on when the statement
+    performs more than one read — without it a preview of two
+    branches each under budget reads as 'will run' for a statement
+    enforcement refuses (r10 review)."""
     if not est:
         print("no estimable warehouse scan in this query "
               "(unregistered tables, no extractable conjuncts, "
@@ -858,6 +864,11 @@ def _print_estimates(est: dict[str, dict]) -> int:
         print(f"{name}: {e['files_kept']}/{e['files_total']} files, "
               f"{e['bytes_kept']:,}/{e['bytes_total']:,} bytes"
               + tail)
+    if totals is not None and totals.get("reads", 0) > 1:
+        print(f"TOTAL: {totals['reads']} table reads, "
+              f"{totals['bytes_kept']:,} bytes — the scan budget "
+              "applies to this statement total as well as to each "
+              "read")
     return 0
 
 

@@ -1056,11 +1056,29 @@ class QueryEngine:
         extractable conjuncts reports the trivial full-scan estimate
         (bytes_kept == bytes_total), exactly what the governor
         enforces on; only tables the resolver can't attribute at all
-        are absent from the result."""
+        are absent from the result. Per-TABLE rows report the WIDEST
+        single read; the statement-total sum the r10 aggregate
+        ceiling enforces on comes from ``estimate_statement``."""
+        return self.estimate_statement(sql, params)["tables"]
+
+    def estimate_statement(self, sql: str,
+                           params: dict[str, Any] | None = None
+                           ) -> dict[str, Any]:
+        """``estimate_scan`` plus the STATEMENT totals the aggregate
+        governor enforces on (r10 review: the per-table dict reports
+        the widest single read per table, so it cannot express the
+        sum — two branches each at 0.6× budget dry-ran as 'every row
+        under budget' yet refused at execution). Returns ``{"tables":
+        {name: est}, "bytes_kept": <sum over every admitted read —
+        a twice-read table counts twice>, "reads": n}``; reads whose
+        estimate has a fallback contribute no bytes, exactly as in
+        enforcement."""
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
         out: dict[str, dict] = {}
+        total_bytes = 0
+        total_reads = 0
         # resolve ALL registered tables, exactly as the governor does —
         # the dry-run must never say 'will run' for a query the
         # governor would refuse (pruning opt-outs still estimate)
@@ -1102,7 +1120,11 @@ class QueryEngine:
                 if prev is None or (est["bytes_kept"] or 0) > (
                         prev["bytes_kept"] or 0):
                     out[name.lower()] = est
-        return out
+                total_reads += 1
+                if est["fallback"] is None:
+                    total_bytes += est["bytes_kept"]
+        return {"tables": out, "bytes_kept": total_bytes,
+                "reads": total_reads}
 
     def validate(self, sql: str, params: dict[str, Any] | None = None) -> str:
         own = not getattr(self._snap_tl, "in_execute", False)

@@ -1627,6 +1627,31 @@ def kql_estimate_scan(query: str, warehouse: dict[str, str]
     return out
 
 
+def kql_estimate_statement(query: str, warehouse: dict[str, str]
+                           ) -> dict:
+    """``kql_estimate_scan`` plus the QUERY totals the aggregate
+    governor enforces on (r10 — the per-table dict cannot express a
+    twice-read table's doubled I/O): ``{"tables": {...},
+    "bytes_kept": <sum of every read's estimate — an N-times-
+    referenced table counts N times>, "reads": n}``. Fallback
+    estimates contribute no bytes, matching enforcement."""
+    tables = kql_estimate_scan(query, warehouse)
+    total_bytes = 0
+    total_reads = 0
+    for name, path, nrefs, attributable, preds, branches \
+            in _warehouse_refs(query, warehouse):
+        if not nrefs:
+            continue
+        est = tables.get(name.lower())
+        if est is None:
+            continue
+        total_reads += nrefs
+        if est["fallback"] is None:
+            total_bytes += est["bytes_kept"] * nrefs
+    return {"tables": tables, "bytes_kept": total_bytes,
+            "reads": total_reads}
+
+
 def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                        tables: dict[str, DataFrame] | None = None,
                        max_scan_bytes: int | None = None

@@ -120,12 +120,17 @@ class ApiServer:
             self._bump("error_count")
             return 400, {"error": "query is required"}
         try:
-            est = self.engine.estimate_scan(sql, body.get("params"))
+            est = self.engine.estimate_statement(sql, body.get("params"))
         except QueryValidationError as ex:
             self._bump("error_count")
             return 200, {"error": f"Estimate failed: {ex}"}
-        return 200, {"tables": est,
-                     "estimable": bool(est),
+        # statement totals alongside the per-table rows (r10): the
+        # aggregate governor refuses on the SUM, which the per-table
+        # dict alone cannot express (a twice-read table counts twice)
+        return 200, {"tables": est["tables"],
+                     "estimable": bool(est["tables"]),
+                     "statement_bytes_kept": est["bytes_kept"],
+                     "statement_reads": est["reads"],
                      "max_scan_bytes": self.engine.max_scan_bytes}
 
     def health_check(self) -> tuple[int, dict]:

@@ -1638,6 +1638,33 @@ class TestSetOperatorGovernance:
         # ungoverned they still run
         assert engine.execute("TABLE big_a").df.count() == 800
 
+    def test_estimate_statement_matches_enforcement(self, spark, eng):
+        """r10: the dry-run exposes the SAME statement total the
+        aggregate governor refuses on — per-table rows can each be
+        under budget while the sum is not, and estimate_statement
+        must say so (the divergence the review flagged)."""
+        from corkscrew_spark import skipping
+
+        engine, big, big2 = eng
+        a_full = skipping.estimate_scan(big, [])["bytes_kept"]
+        b_full = skipping.estimate_scan(big2, [])["bytes_kept"]
+        q = ("SELECT COUNT(*) AS n FROM big_a UNION ALL "
+             "SELECT COUNT(*) AS n FROM big_b")
+        est = engine.estimate_statement(q)
+        assert est["reads"] == 2
+        assert est["bytes_kept"] == a_full + b_full
+        assert set(est["tables"]) == {"big_a", "big_b"}
+        # a twice-read table counts twice in the total, once (widest)
+        # in the per-table dict
+        est2 = engine.estimate_statement(
+            "SELECT COUNT(*) AS n FROM big_a WHERE k >= 700 "
+            "UNION ALL SELECT COUNT(*) AS n FROM big_a")
+        assert est2["reads"] == 2
+        assert est2["bytes_kept"] > est2["tables"]["big_a"]["bytes_kept"] \
+            or est2["tables"]["big_a"]["bytes_kept"] == a_full
+        # estimate_scan keeps its historical shape
+        assert engine.estimate_scan(q) == est["tables"]
+
     def test_comma_list_still_executes_unpruned(self, spark, eng):
         """Without a budget the loose shapes run exactly as before —
         resolution never rewrites them (attribution unsound), so

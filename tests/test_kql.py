@@ -1014,6 +1014,21 @@ class TestKqlScanBudget:
                 "on v | count",
                 {"T": table}, max_scan_bytes=t_full + 1)
 
+    def test_kql_estimate_statement_totals(self, spark, table):
+        """r10: the KQL dry-run exposes the query total the aggregate
+        governor enforces on — a twice-referenced table counts once
+        per reference in the total, once in the per-table dict."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.kql import kql_estimate_statement
+
+        t_full = skipping.estimate_scan(table, [])["bytes_kept"]
+        est = kql_estimate_statement(
+            "T | join kind=inner (T | project v, k2=k) on v | count",
+            {"T": table})
+        assert est["reads"] == 2
+        assert est["bytes_kept"] == 2 * t_full
+        assert set(est["tables"]) == {"t"}
+
     def test_opt_out_disables_pruning_not_governor(self, spark, table,
                                                    monkeypatch):
         from corkscrew_spark import skipping
