@@ -610,6 +610,15 @@ class QueryEngine:
             while work:
                 region, off, text = work.pop()
                 if region is not None:
+                    # strip redundant wrapping parens from a body
+                    # (`IN ((SELECT …))`) so the resolvers and the
+                    # set-splitter see a plain SELECT; offsets stay
+                    # absolute (only a prefix/suffix is dropped)
+                    s0, e0 = _pred.enclosing_paren_span(text)
+                    if (s0, e0) != (0, len(text)):
+                        off += s0
+                        text = text[s0:e0]
+                        region = (off, off + len(text))
                     # a body can itself be a set statement (`WHERE x
                     # IN (SELECT … UNION SELECT …)`): split it into
                     # branch regions so each branch prunes like a

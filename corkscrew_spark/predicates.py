@@ -1073,9 +1073,19 @@ def subquery_spans(sql: str) -> list[tuple[int, int, int, int]]:
     i, n = 0, len(toks)
     while i < n:
         k, v = toks[i]
-        if (k == "kw" and v in ("EXISTS", "IN") and i + 2 < n
-                and toks[i + 1] == ("punc", "(")
-                and toks[i + 2] == ("kw", "SELECT")):
+        # tolerate redundant wrapping parens (`IN ((SELECT …))`) —
+        # the body span stays just inside the FIRST paren; the
+        # engine strips the extra layer from the body text before
+        # resolving it (r10 review: the double-paren spelling was
+        # not recognized as a subquery at all)
+        head = (k == "kw" and v in ("EXISTS", "IN") and i + 1 < n
+                and toks[i + 1] == ("punc", "("))
+        if head:
+            j2 = i + 2
+            while j2 < n and toks[j2] == ("punc", "("):
+                j2 += 1
+            head = j2 < n and toks[j2] == ("kw", "SELECT")
+        if head:
             d = 0
             j = i + 1
             while j < n:
@@ -1094,6 +1104,43 @@ def subquery_spans(sql: str) -> list[tuple[int, int, int, int]]:
             continue
         i += 1
     return out
+
+
+def enclosing_paren_span(sql: str) -> tuple[int, int]:
+    """Character span of ``sql``'s content after removing balanced
+    ENCLOSING paren layers (repeatedly); ``(0, len(sql))`` when there
+    are none or the text can't be tokenized. The span analogue of
+    ``_strip_enclosing_parens``: the engine shrinks a subquery BODY's
+    region with it (`IN ((SELECT …))` — the wrapping layer would
+    otherwise stand every resolver down), and offsets stay valid in
+    the original text because only a prefix/suffix is dropped."""
+    try:
+        toks, spans = _tokens_spans(sql)
+    except _Unparseable:
+        return 0, len(sql)
+    if not toks:
+        return 0, len(sql)
+    a, b = 0, len(toks) - 1
+    while (b - a >= 1 and toks[a] == ("punc", "(")
+           and toks[b] == ("punc", ")")):
+        depth = 0
+        ok = True
+        for idx in range(a, b + 1):
+            t = toks[idx]
+            if t == ("punc", "("):
+                depth += 1
+            elif t == ("punc", ")"):
+                depth -= 1
+                if depth == 0 and idx != b:
+                    ok = False
+                    break
+        if not ok:
+            break
+        a += 1
+        b -= 1
+    if a == 0:
+        return 0, len(sql)
+    return spans[a][0], spans[b][1]
 
 
 def mask_subqueries(sql: str, ranges: list[tuple[int, int]]) -> str:

@@ -1397,6 +1397,37 @@ class TestExistsSubqueryPruning:
         opened = [f for f in r.df.inputFiles() if "/big/" in f]
         assert 0 < len(opened) < len(skipping._list_data_files(big))
 
+    def test_double_paren_subquery_body_prunes(self, spark, eng):
+        """r10 review: a redundantly parenthesized body —
+        `EXISTS ((SELECT …))`, or `IN ((SELECT scalar))` where Spark
+        gives the inner parens SCALAR-subquery semantics — was not
+        recognized as a subquery at all, so the whole statement stood
+        down. subquery_spans tolerates the wrapping layer and the
+        engine strips it from the body text; either way the body is a
+        self-contained SELECT whose pruning preserves its result, so
+        results stay identical and the body scan prunes."""
+        from corkscrew_spark import skipping
+
+        engine, big, small = eng
+        q = """SELECT COUNT(*) AS n FROM small_t s
+               WHERE EXISTS ((SELECT 1 FROM big_t b
+                              WHERE b.fk = s.fk AND b.k >= 700))"""
+        r = engine.execute(q)
+        assert r.rows()[0].n == 10
+        opened = [f for f in r.df.inputFiles() if "/big/" in f]
+        assert 0 < len(opened) < len(skipping._list_data_files(big))
+        # IN ((SELECT scalar)): Spark's scalar-in-list semantics —
+        # result must match the plain-scan answer, body still prunes
+        q = """SELECT CAST(SUM(x) AS BIGINT) AS sx FROM small_t
+               WHERE fk IN ((SELECT MAX(fk) FROM big_t
+                             WHERE k >= 790))"""
+        r = engine.execute(q)
+        assert r.rows()[0].sx == 18  # max fk over k in [790,800) is 9
+        # the scalar subquery runs as its own subquery job, so the
+        # main plan's inputFiles can't witness it — the dry-run does:
+        est = engine.estimate_scan(q)
+        assert 0 < est["big_t"]["files_kept"] < est["big_t"]["files_total"]
+
     def test_governor_refuses_exists_body_full_scan(self, spark, eng):
         """`SELECT … FROM small WHERE EXISTS (SELECT … FROM big …)` —
         the one statement shape (r8 verdict) where a 100 TB scan could

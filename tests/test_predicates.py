@@ -804,3 +804,19 @@ class TestLooseTableRefs:
         sql = "SELECT a FROM t1 UNION (TABLE t2)"
         assert [sql[s:e] for s, e in set_operator_spans(sql)] == [
             "SELECT a FROM t1", "TABLE t2"]
+
+    def test_double_paren_subquery_recognized(self):
+        from corkscrew_spark.predicates import (enclosing_paren_span,
+                                                subquery_spans)
+
+        sql = "SELECT * FROM s WHERE fk IN ((SELECT fk FROM b WHERE k > 1))"
+        subs = subquery_spans(sql)
+        assert len(subs) == 1
+        _ms, bs, be, _me = subs[0]
+        body = sql[bs:be]
+        s0, e0 = enclosing_paren_span(body)
+        assert body[s0:e0] == "SELECT fk FROM b WHERE k > 1"
+        # no parens: identity span
+        assert enclosing_paren_span("SELECT 1") == (0, 8)
+        # half-open parens: stand down to identity
+        assert enclosing_paren_span("(SELECT 1") == (0, 9)
