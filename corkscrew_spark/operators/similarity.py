@@ -28,6 +28,17 @@ def _dot(a: Column, b: Column) -> Column:
                        lambda acc, x: acc + x)
 
 
+def _safe_cos(dot: Column, na: Column, nb: Column) -> Column:
+    """dot/(na·nb) with the zero-norm guard every scorer must share:
+    a zero vector (padding row, failed encoder) is similar to nothing
+    — cosine 0, not an ANSI DIVIDE_BY_ZERO mid-job (r10 review: the
+    guard existed in dedup's pair scans but not here, so ONE zero
+    embedding crashed every top-k variant under Spark 4's default
+    ANSI mode). Same arithmetic order as before for non-zero rows."""
+    return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)),
+                  F.lit(0.0)).otherwise(dot / (na * nb))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
                 k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
@@ -55,7 +66,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            F.round(_safe_cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -120,7 +131,7 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            F.round(_safe_cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -322,7 +333,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            F.round(_safe_cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -395,7 +406,7 @@ def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            F.round(_safe_cos(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -470,7 +481,7 @@ def quantized_cosine_topk(corpus_q: DataFrame, queries_q: DataFrame,
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(idot / (F.col("qn") * F.col("cn")), 4).alias("qcosine"),
+            F.round(_safe_cos(idot, F.col("qn"), F.col("cn")), 4).alias("qcosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), "neighbor_id")

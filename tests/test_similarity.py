@@ -353,3 +353,31 @@ def test_train_sample_deterministic_and_bounded(spark):
     cb_again = similarity.pq_train(e, "vec_id", "embedding", m=8, ksub=4,
                                    iters=1, max_train=64)
     assert cb_capped == cb_again
+
+
+def test_zero_norm_vectors_never_divide_by_zero(spark):
+    """r10 review: dedup's pair scans guarded zero-norm vectors but the
+    similarity scorers did not — ONE zero embedding (padding row,
+    failed encoder) crashed every top-k variant with ANSI
+    DIVIDE_BY_ZERO mid-job. Zero vectors score cosine 0 and rank last,
+    never raise."""
+    from corkscrew_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0])]
+    c = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = c.filter("vec_id IN (1, 3)")
+    got = similarity.cosine_topk(c, q, "vec_id", "embedding", k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # the zero QUERY vector scores 0 against everyone
+    assert all(r["cosine"] == 0.0 for r in by_q[3])
+    # the zero corpus vector scores 0 for a real query and ranks last
+    q1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert q1[0]["neighbor_id"] == 2  # genuine nearest first
+    assert {r["neighbor_id"]: r["cosine"] for r in q1}[3] == 0.0
+    # the ANN variants survive zero vectors too
+    assert similarity.ann_topk(c, q, "vec_id", "embedding", k=2).count() > 0
+    assert similarity.ivf_topk(c, q, "vec_id", "embedding", k=2,
+                               nlist=2, nprobe=2).count() > 0
