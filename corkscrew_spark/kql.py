@@ -295,8 +295,17 @@ class _ExprParser:
             if t is not None and t.kind == "op" and t.text in ("*", "/", "%"):
                 self.i += 1
                 right = self.unary()
-                left = {"*": left * right, "/": left / right,
-                        "%": left % right}[t.text]
+                # try_divide/try_mod, not `/`/`%`: under Spark 4's
+                # default ANSI mode a SINGLE zero divisor anywhere in
+                # the data aborts the whole pipeline mid-job, while
+                # Kusto yields null for integer division by zero (r10
+                # review). Documented dialect deltas vs Kusto: real
+                # division by zero is null here too (Kusto: ±inf/nan),
+                # and `/` stays floating-point for long operands
+                # (Spark semantics; Kusto truncates long/long).
+                left = {"*": left * right,
+                        "/": F.try_divide(left, right),
+                        "%": F.try_mod(left, right)}[t.text]
             else:
                 return left
 

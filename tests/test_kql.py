@@ -1158,3 +1158,21 @@ def test_mvapply_body_placeholder_not_a_ref():
     # body with ONLY a where stage: nothing to resolve, nothing fake
     refs = _pipeline_refs("S | mv-apply xs on ( where xs > 0 )")
     assert all(h != "__mvapply_body__" for h, _w in refs)
+
+
+def test_division_by_zero_yields_null_not_crash(spark):
+    """r10 review: under Spark 4's default ANSI mode `a / b` with ONE
+    zero divisor aborted the whole pipeline mid-job; Kusto yields null
+    for integer division by zero. `/` and `%` compile to
+    try_divide/try_mod — null on zero divisor, job survives."""
+    from corkscrew_spark.kql import kql_to_df
+
+    df = spark.createDataFrame([(10, 2), (5, 0), (9, 3)],
+                               "a long, b long")
+    got = {(r["a"], r["r"], r["m"]) for r in kql_to_df(
+        "T | extend r = a / b, m = a % b", {"T": df}).collect()}
+    assert got == {(10, 5.0, 0), (5, None, None), (9, 3.0, 0)}
+    # aggregates over the extended column survive too
+    n = kql_to_df("T | extend r = a / b | where isnull(r) | count",
+                  {"T": df}).first()["Count"]
+    assert n == 1
