@@ -455,8 +455,12 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
     if name == "tostring" and n == 1:
         return args[0].cast("string")
     if name in ("toint", "tolong", "todouble", "tobool") and n == 1:
-        return args[0].cast({"toint": "int", "tolong": "long",
-                             "todouble": "double", "tobool": "boolean"}[name])
+        # try_cast, not cast: Kusto conversion functions return null on
+        # malformed input; Spark 4's default ANSI cast would abort the
+        # job on the first bad row (r10 review)
+        return args[0].try_cast({"toint": "int", "tolong": "long",
+                                 "todouble": "double",
+                                 "tobool": "boolean"}[name])
     if name in ("tolower", "toupper", "trim", "abs", "floor", "round") and n == 1:
         fn = {"tolower": F.lower, "toupper": F.upper, "trim": F.trim,
               "abs": F.abs, "floor": F.floor, "round": F.round}[name]
@@ -502,9 +506,9 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
     if name == "isnotnull" and n == 1:
         return args[0].isNotNull()
     if name == "todatetime" and n == 1:
-        return args[0].cast("timestamp")
+        return args[0].try_cast("timestamp")  # Kusto: null on bad input
     if name == "toreal" and n == 1:
-        return args[0].cast("double")
+        return args[0].try_cast("double")  # Kusto: null on bad input
     if name == "datetime" and n == 1:
         # quoted form datetime('2015-03-01T00:00:00Z'); string→timestamp
         # cast accepts ISO 8601 (incl. 'T'/'Z'), unlike to_timestamp's
@@ -953,8 +957,11 @@ class _StageCompiler:
             df = df.filter(src.rlike(pattern))
         for k, (name, ctype) in enumerate(captures, start=1):
             got = F.regexp_extract(src, pattern, groupindex[f"__ck{k}"])
-            col = F.when(got != "", got).cast(ctype) if ctype != "string" \
-                else F.when(got != "", got)
+            # try_cast: the typed fragment's regex constrains the text,
+            # but an overflowing `:long` (25 digits) or exotic float
+            # must yield null, not an ANSI abort (Kusto semantics)
+            col = F.when(got != "", got).try_cast(ctype) \
+                if ctype != "string" else F.when(got != "", got)
             df = df.withColumn(name, col)
         return df
 

@@ -1176,3 +1176,29 @@ def test_division_by_zero_yields_null_not_crash(spark):
     n = kql_to_df("T | extend r = a / b | where isnull(r) | count",
                   {"T": df}).first()["Count"]
     assert n == 1
+
+
+def test_conversion_functions_null_on_malformed(spark):
+    """r10 review: Kusto's tolong/toint/toreal/tobool/todatetime return
+    null on malformed input; Spark 4's default ANSI cast aborted the
+    job on the first bad row. try_cast semantics pinned."""
+    from corkscrew_spark.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [("12", "2024-01-01T00:00:00Z"), ("abc", "not-a-date")],
+        "s string, t string")
+    rows = kql_to_df(
+        "T | extend v = tolong(s), r = toreal(s), d = todatetime(t), "
+        "b = tobool(s)", {"T": df}).orderBy("s").collect()
+    good = next(r for r in rows if r["s"] == "12")
+    bad = next(r for r in rows if r["s"] == "abc")
+    assert good["v"] == 12 and good["r"] == 12.0 and good["d"] is not None
+    assert bad["v"] is None and bad["r"] is None and bad["d"] is None
+    assert bad["b"] is None
+    # an overflowing typed parse capture yields null, not an abort
+    big = spark.createDataFrame([("k=123",), ("k=" + "9" * 25,)],
+                                "s string")
+    rows = kql_to_df("T | parse s with 'k=' v:long", {"T": big}).collect()
+    vals = {r["s"]: r["v"] for r in rows}
+    assert vals["k=123"] == 123
+    assert vals["k=" + "9" * 25] is None
