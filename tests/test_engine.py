@@ -1257,6 +1257,38 @@ try:
         want = [tuple(r) for r in spark.sql(
             sql.replace("fz", f"parquet.`{fuzz_table}`")).collect()]
         assert got == want, sql
+
+    @settings(max_examples=12, deadline=None)
+    @given(data=st.data())
+    def test_fuzz_engine_subquery_identity(spark, fuzz_table, data):
+        """r10: result identity through the recursive subquery-body
+        resolver — random EXISTS/IN bodies (optionally nested one
+        level, optionally paren-wrapped) must match the plain scan."""
+        w_outer = data.draw(_FUZZ_TERMS)
+        w_body = data.draw(_FUZZ_TERMS)
+        head = data.draw(st.sampled_from(["EXISTS", "IN"]))
+        wrap = data.draw(st.booleans())
+        nest = data.draw(st.booleans())
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("fz", fuzz_table)
+        if head == "EXISTS":
+            body = "SELECT 1 FROM fz b WHERE b.v = o.v"
+            if nest:
+                body += (" AND b.k IN (SELECT k FROM fz WHERE "
+                         f"{w_body})")
+            pred = f"EXISTS ({body})" if not wrap \
+                else f"EXISTS (({body}))"
+        else:
+            body = f"SELECT v FROM fz WHERE {w_body}"
+            if nest:
+                body += " AND k IN (SELECT k FROM fz WHERE k < 400)"
+            pred = f"v IN ({body})"
+        sql = (f"SELECT k, v, s FROM fz o WHERE {w_outer} AND {pred} "
+               "ORDER BY k")
+        got = [tuple(r) for r in eng.execute(sql).rows()]
+        want = [tuple(r) for r in spark.sql(
+            sql.replace("fz", f"parquet.`{fuzz_table}`")).collect()]
+        assert got == want, sql
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
