@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+\.\d+|\d+)
   | (?P<ident>[$A-Za-z_][A-Za-z0-9_]*)
   | (?P<bangword>![a-z_]+)                          # !contains, !in, ...
-  | (?P<op>==|!=|=~|!~|<=|>=|\.\.|[|,()\[\]=<>+\-*/%.:])
+  | (?P<op>==|!=|=~|!~|<=|>=|\.\.|[|,()\[\]=<>+\-*/%.:~])
     """,
     re.VERBOSE,
 )
@@ -125,15 +125,18 @@ def _lower_eq(a: Column, b: Column) -> Column:
     return F.lower(a.cast("string")) == F.lower(b.cast("string"))
 
 
-def _has_term(haystack: Column, term: Column) -> Column:
-    """Kusto ``has`` semantics: case-insensitive whole-term match, where a
-    term boundary is any non-alphanumeric character (shared by has /
-    !has / has_any / has_all)."""
+def _has_term(haystack: Column, term: Column,
+              cs: bool = False) -> Column:
+    """Kusto ``has`` semantics: whole-term match, where a term boundary
+    is any non-alphanumeric character (shared by has / !has / has_any /
+    has_all). ``cs=True`` is the ``has_cs`` case-sensitive variant."""
+    hay = haystack.cast("string") if cs \
+        else F.lower(haystack.cast("string"))
+    t = term.cast("string") if cs else F.lower(term.cast("string"))
+    b = r"[^A-Za-z0-9]" if cs else r"[^a-z0-9]"
     return F.regexp_like(
-        F.lower(haystack.cast("string")),
-        F.concat(F.lit(r"(^|[^a-z0-9])"),
-                 _regex_quote(F.lower(term.cast("string"))),
-                 F.lit(r"($|[^a-z0-9])")))
+        hay, F.concat(F.lit(r"(^|" + b + ")"), _regex_quote(t),
+                      F.lit(r"($|" + b + ")")))
 
 
 class _ExprParser:
@@ -214,30 +217,61 @@ class _ExprParser:
             eq = _lower_eq(left, right)
             return eq if op == "=~" else ~eq
         if op in ("contains", "!contains", "startswith", "!startswith",
-                  "endswith", "!endswith", "has", "!has"):
+                  "endswith", "!endswith", "has", "!has",
+                  "contains_cs", "!contains_cs",
+                  "startswith_cs", "!startswith_cs",
+                  "endswith_cs", "!endswith_cs",
+                  "has_cs", "!has_cs"):
             self.i += 1
             right = self.add_expr()
             base = op.lstrip("!")
-            if base == "contains":
-                res = F.instr(F.lower(left.cast("string")),
-                              F.lower(right.cast("string"))) > 0
-            elif base == "startswith":
-                res = F.startswith(F.lower(left.cast("string")),
-                                   F.lower(right.cast("string")))
-            elif base == "endswith":
-                res = F.endswith(F.lower(left.cast("string")),
-                                 F.lower(right.cast("string")))
+            cs = base.endswith("_cs")  # Kusto's case-sensitive family
+            root = base[:-3] if cs else base
+
+            def _s(c: Column) -> Column:
+                return c.cast("string") if cs \
+                    else F.lower(c.cast("string"))
+
+            if root == "contains":
+                res = F.instr(_s(left), _s(right)) > 0
+            elif root == "startswith":
+                res = F.startswith(_s(left), _s(right))
+            elif root == "endswith":
+                res = F.endswith(_s(left), _s(right))
             else:  # has: whole-term match, term = alphanumeric run
-                res = _has_term(left, right)
+                res = _has_term(left, right, cs=cs)
             return ~res if op.startswith("!") else res
+        if op == "matches":
+            # `x matches regex '<pat>'` — Kusto's RE2-flavored match;
+            # compiled to regexp_like (Java regex: the dialect delta is
+            # documented, same as `extract`)
+            self.i += 1
+            t2 = self.peek()
+            if not (t2 is not None and t2.kind == "ident"
+                    and t2.text.lower() == "regex"):
+                raise KqlError(
+                    "KQL: `matches` must be followed by `regex`")
+            self.i += 1
+            right = self.add_expr()
+            return F.regexp_like(left.cast("string"),
+                                 right.cast("string"))
         if op == "in" or op == "!in":
             self.i += 1
+            ci = False
+            t2 = self.peek()
+            if t2 is not None and t2.kind == "op" and t2.text == "~":
+                ci = True  # in~ / !in~: case-insensitive membership
+                self.i += 1
             self.expect("(")
             vals = [self.literal_value()]
             while self.accept(","):
                 vals.append(self.literal_value())
             self.expect(")")
-            res = left.isin(vals)
+            if ci:
+                res = F.lower(left.cast("string")).isin(
+                    [str(v).lower() for v in vals])
+            else:
+                res = left.isin(vals)
             return ~res if op == "!in" else res
         if op in ("between", "!between"):
             # x between (lo .. hi) — inclusive both ends (Kusto semantics)
@@ -686,6 +720,40 @@ class _StageCompiler:
             return df.select(*cols)
         if op == "project-rename":
             return self._project_rename(df, rest)
+        if op == "project-reorder":
+            cols = [c.strip() for c in rest.split(",") if c.strip()]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise KqlError(
+                    f"KQL: project-reorder of unknown column(s) {missing}")
+            tail = [c for c in df.columns if c not in cols]
+            return df.select(*cols, *tail)
+        if op == "serialize":
+            # row order is only observable through a downstream sort in
+            # this compiler; `serialize` with extend-assignments is the
+            # unsupported half (needs a stable input order)
+            if rest.strip():
+                raise KqlError(
+                    "KQL: serialize with assignments is not supported "
+                    "(use `extend` after an `order by`)")
+            return df
+        if op == "sample":
+            # Kusto `sample N` returns N arbitrary rows (explicitly not
+            # guaranteed random or stable) — limit(N) satisfies the
+            # contract with zero shuffle
+            n = rest.strip()
+            if not re.fullmatch(r"\d+", n):
+                raise KqlError(f"KQL: sample needs a row count, got {rest!r}")
+            return df.limit(int(n))
+        if op == "getschema":
+            if rest.strip():
+                raise KqlError("KQL: getschema takes no arguments")
+            rows = [(f.name, i, f.dataType.simpleString(),
+                     f.dataType.simpleString())
+                    for i, f in enumerate(df.schema.fields)]
+            return df.sparkSession.createDataFrame(
+                rows, "ColumnName string, ColumnOrdinal int, "
+                      "DataType string, ColumnType string")
         if op == "parse":
             return self._parse(df, rest)
         if op == "parse-where":

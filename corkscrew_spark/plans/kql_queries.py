@@ -501,6 +501,36 @@ def kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kql_cs_in_matches",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+    FROM events
+    WHERE lower(event_type) IN ('click', 'view')
+      AND regexp_matches(props, '"k": [0-9]+')
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_cs_in_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto's case-insensitive membership (`in~`) and `matches regex`
+    (r10 dialect completions) through the string compiler: both fold
+    to plain pushable predicates — a lower() IN-list and an rlike —
+    so the translated plan stays a scan-side filter."""
+    return kql_to_df(
+        """
+        events
+        | where event_type in~ ('CLICK', 'View')
+            and props matches regex '"k": [0-9]+'
+        | summarize n = count(), u = dcount(user_id) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
     "kql_parse_where",
     oracle=r"""
     SELECT event_type,

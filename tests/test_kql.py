@@ -1202,3 +1202,39 @@ def test_conversion_functions_null_on_malformed(spark):
     vals = {r["s"]: r["v"] for r in rows}
     assert vals["k=123"] == 123
     assert vals["k=" + "9" * 25] is None
+
+
+def test_case_sensitive_family_and_matches_regex(spark):
+    """r10: Kusto's case-sensitive comparison family (has_cs /
+    contains_cs / startswith_cs / endswith_cs + negations), `matches
+    regex`, `in~`/`!in~`, and the small verbs sample / serialize /
+    project-reorder / getschema."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [("Alpha", 1), ("beta", 2), ("ALPHA", 3)], "s string, k long")
+    t = {"T": df}
+
+    def ks(q):
+        return sorted(r["k"] for r in kql_to_df(q, t).collect())
+
+    assert ks("T | where s has_cs 'Alpha'") == [1]
+    assert ks("T | where s has 'alpha'") == [1, 3]
+    assert ks("T | where s contains_cs 'lph'") == [1]
+    assert ks("T | where s !contains_cs 'lph'") == [2, 3]
+    assert ks("T | where s startswith_cs 'AL'") == [3]
+    assert ks("T | where s endswith_cs 'a'") == [1, 2]
+    assert ks("T | where s matches regex '^[A]l'") == [1]
+    assert ks("T | where s in~ ('alpha')") == [1, 3]
+    assert ks("T | where s !in~ ('alpha')") == [2]
+    assert len(kql_to_df("T | sample 2", t).collect()) == 2
+    assert len(kql_to_df("T | serialize | take 1", t).collect()) == 1
+    out = kql_to_df("T | project-reorder k, s", t)
+    assert out.columns == ["k", "s"]
+    sch = {r["ColumnName"]: (r["ColumnOrdinal"], r["DataType"])
+           for r in kql_to_df("T | getschema", t).collect()}
+    assert sch == {"s": (0, "string"), "k": (1, "bigint")}
+    with pytest.raises(KqlError, match="followed by `regex`"):
+        kql_to_df("T | where s matches 'x'", t)
+    with pytest.raises(KqlError, match="assignments"):
+        kql_to_df("T | serialize rn = row_number()", t)
