@@ -137,6 +137,7 @@ _WINDOW = (
     "engine_pruned_union",
     "kql_top_nested_others",
     "kql_cs_in_matches",
+    "kql_top_hitters",
     "linear_interpolate_value",
     "ohlc_hourly",
     "seasonal_anomaly_days",
@@ -179,7 +180,6 @@ _WINDOW = (
     "blast_radius_rank",
     "graph_degree_distribution",
     "graph_summary",
-    "dedup_prefix_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",

@@ -760,6 +760,8 @@ class _StageCompiler:
             return self._parse(df, rest, where=True)
         if op == "top-nested":
             return self._top_nested(df, rest)
+        if op == "top-hitters":
+            return self._top_hitters(df, rest)
         if op == "union":
             return self._union(df, rest)
         if op == "make-series":
@@ -1238,6 +1240,39 @@ class _StageCompiler:
         if not m:
             raise KqlError(f"KQL: top needs 'top N by expr', got {rest!r}")
         return self._order_by(df, m.group(2)).limit(int(m.group(1)))
+
+    def _top_hitters(self, df: DataFrame, rest: str) -> DataFrame:
+        """``top-hitters N of Col [by SumExpr]`` — the heavy-hitters
+        rollup. Kusto's contract is APPROXIMATE (per-node sketches);
+        this compiles to the exact groupBy + distributed sort-and-limit
+        (a strict refinement — every exact answer is a valid
+        approximate one) while keeping Kusto's output column names
+        (``approximate_count_<Col>`` / ``approximate_sum_<Col>``).
+        Ties break on the hitter value ascending, deterministic."""
+        m = re.match(
+            r"\s*(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+by\s+(.*))?$",
+            rest, re.DOTALL | re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "KQL: top-hitters needs `N of Col [by expr]`, got "
+                f"{rest!r}")
+        n, col, bysrc = int(m.group(1)), m.group(2), m.group(3)
+        if bysrc is None:
+            name = f"approximate_count_{col}"
+            agg = F.count(F.lit(1)).alias(name)
+        else:
+            toks = _tokenize(bysrc)
+            p = _ExprParser(toks)
+            expr = p.parse()
+            if p.i != len(toks):
+                raise KqlError(
+                    f"KQL: trailing tokens in top-hitters by {bysrc!r}")
+            name = f"approximate_sum_{col}"
+            agg = F.sum(expr).alias(name)
+        return (df.groupBy(col).agg(agg)
+                .orderBy(F.col(name).desc(), F.col(col).asc())
+                .limit(n))
 
     def _top_nested(self, df: DataFrame, rest: str) -> DataFrame:
         """``top-nested N1 of Col1 by [A1 =] agg1(...), top-nested N2 of

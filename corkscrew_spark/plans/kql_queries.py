@@ -531,6 +531,30 @@ def kql_cs_in_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kql_top_hitters",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS approximate_count_event_type
+    FROM events
+    GROUP BY event_type
+    ORDER BY approximate_count_event_type DESC, event_type ASC
+    LIMIT 3
+    """,
+)
+def kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-hitters N of Col` (r10 dialect completion): Kusto's
+    heavy-hitters contract is approximate; the compiled plan is the
+    exact map-side-partial groupBy + distributed sort-and-limit (a
+    strict refinement), keeping Kusto's `approximate_count_<Col>`
+    output name. Counts keep the oracle integer-exact; ties break on
+    the hitter value ascending on both engines."""
+    return kql_to_df(
+        "events | top-hitters 3 of event_type",
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
     "kql_parse_where",
     oracle=r"""
     SELECT event_type,

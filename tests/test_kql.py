@@ -1238,3 +1238,22 @@ def test_case_sensitive_family_and_matches_regex(spark):
         kql_to_df("T | where s matches 'x'", t)
     with pytest.raises(KqlError, match="assignments"):
         kql_to_df("T | serialize rn = row_number()", t)
+
+
+def test_top_hitters(spark):
+    """r10: `top-hitters N of Col [by expr]` — exact heavy-hitters
+    rollup under Kusto's approximate contract and output column names;
+    ties break on the hitter value ascending."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("c", 1.0), ("d", 1.0)],
+        "s string, v double")
+    rows = kql_to_df("T | top-hitters 2 of s", {"T": df}).collect()
+    assert [(r["s"], r["approximate_count_s"]) for r in rows] == [
+        ("a", 2), ("b", 1)]  # count tie b/c/d -> value asc
+    rows = kql_to_df("T | top-hitters 2 of s by v", {"T": df}).collect()
+    assert [(r["s"], r["approximate_sum_s"]) for r in rows] == [
+        ("b", 9.0), ("a", 3.0)]
+    with pytest.raises(KqlError, match="N of Col"):
+        kql_to_df("T | top-hitters s", {"T": df})
