@@ -138,6 +138,7 @@ _WINDOW = (
     "kql_top_nested_others",
     "kql_cs_in_matches",
     "kql_top_hitters",
+    "kql_lookup_dim",
     "linear_interpolate_value",
     "ohlc_hourly",
     "seasonal_anomaly_days",
@@ -179,7 +180,6 @@ _WINDOW = (
     "motif_open_triads",
     "blast_radius_rank",
     "graph_degree_distribution",
-    "graph_summary",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",

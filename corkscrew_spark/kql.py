@@ -691,6 +691,7 @@ class _StageCompiler:
             raise KqlError(f"KQL: unknown table {head!r} "
                            f"(have: {sorted(self.tables)})")
         df = self.tables[head.lower()]
+        self._head_name = head  # for `union withsource=` labeling
         for stage in stages[1:]:
             df = self.apply_stage(df, stage)
         return df
@@ -789,6 +790,8 @@ class _StageCompiler:
             return df.select(*cols).distinct()
         if op == "join":
             return self._join(df, rest)
+        if op == "lookup":
+            return self._lookup(df, rest)
         raise KqlError(f"KQL: unsupported operator {op!r}")
 
     # -- stage impls ---------------------------------------------------------
@@ -1044,19 +1047,34 @@ class _StageCompiler:
         kind = "outer"
         if m:
             kind, rest = m.group(1).lower(), m.group(2)
+        # `withsource=Col` labels every row with its source table name
+        # (read the CURRENT pipeline's head before nested compiles
+        # overwrite it)
+        m = re.match(r"\s*withsource\s*=\s*([A-Za-z_]\w*)\s+(.*)$",
+                     rest, re.DOTALL | re.IGNORECASE)
+        src_col = None
+        head_label = getattr(self, "_head_name", "source")
+        if m:
+            src_col, rest = m.group(1), m.group(2)
         operands = [df]
-        for part in _split_top_commas(rest):
+        labels = [head_label]
+        for i, part in enumerate(_split_top_commas(rest)):
             part = part.strip()
             if part.startswith("("):
                 if not part.endswith(")"):
                     raise KqlError(f"KQL: unbalanced parens in union operand {part!r}")
                 operands.append(self.compile(part[1:-1].strip()))
+                labels.append(f"union_arg{i}")
             elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part):
                 if part.lower() not in self.tables:
                     raise KqlError(f"KQL: union of unknown table {part!r}")
                 operands.append(self.tables[part.lower()])
+                labels.append(part)
             else:
                 raise KqlError(f"KQL: cannot parse union operand {part!r}")
+        if src_col is not None:
+            operands = [o.withColumn(src_col, F.lit(lab))
+                        for o, lab in zip(operands, labels)]
         if kind == "inner":
             common = [c for c in operands[0].columns
                       if all(c in o.columns for o in operands[1:])]
@@ -1067,6 +1085,55 @@ class _StageCompiler:
         for o in operands[1:]:
             out = out.unionByName(o, allowMissingColumns=(kind == "outer"))
         return out
+
+    def _lookup(self, df: DataFrame, rest: str) -> DataFrame:
+        """``lookup [kind=leftouter|inner] <Dim|(pipeline)> on key`` —
+        Kusto's dimension-join verb: join semantics (leftouter
+        default), but the right side is a DIMENSION table — always
+        BROADCAST (the verb's whole point: enrich a fact stream
+        without shuffling it) — and non-key column clashes are an
+        ERROR (Kusto forbids them; no silent `1`-suffix renames like
+        `join`)."""
+        m = re.match(
+            r"\s*(?:kind\s*=\s*([a-z]+)\s+)?"
+            r"(\((?:.*)\)|[A-Za-z_]\w*)\s+on\s+(.+)$",
+            rest, re.DOTALL | re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "KQL: lookup needs `lookup [kind=...] <table> on <key>`,"
+                f" got {rest!r}")
+        kind = (m.group(1) or "leftouter").lower()
+        how = {"leftouter": "left", "inner": "inner"}.get(kind)
+        if how is None:
+            raise KqlError(
+                f"KQL: lookup supports kind=leftouter|inner, got {kind!r}")
+        operand = m.group(2).strip()
+        if operand.startswith("("):
+            right = self.compile(operand[1:-1].strip())
+        else:
+            if operand.lower() not in self.tables:
+                raise KqlError(f"KQL: lookup of unknown table {operand!r}")
+            right = self.tables[operand.lower()]
+        onspec = m.group(3).strip()
+        dollar = re.fullmatch(
+            r"\$left\.(\w+)\s*==\s*\$right\.(\w+)", onspec)
+        if dollar:
+            lkey, rkey = dollar.group(1), dollar.group(2)
+        elif re.fullmatch(r"\w+", onspec):
+            lkey = rkey = onspec
+        else:
+            raise KqlError(f"KQL: unsupported lookup on-spec {onspec!r}")
+        clashes = sorted(c for c in right.columns
+                         if c in df.columns and not (c == rkey == lkey))
+        if clashes:
+            raise KqlError(
+                f"KQL: lookup right side duplicates column(s) {clashes} "
+                "— project-away them first (Kusto forbids non-key "
+                "clashes in lookup; use `join` for rename semantics)")
+        if lkey == rkey:
+            return df.join(F.broadcast(right), on=lkey, how=how)
+        return df.join(F.broadcast(right),
+                       df[lkey] == right[rkey], how=how)
 
     def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
         """`make-series Name = agg() [default = lit][, ...] on TsExpr
@@ -1650,7 +1717,21 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
         if m:
             out.extend(_pipeline_refs(m.group(1).strip()))
             continue
-        m = re.match(r"union\s+(?:kind\s*=\s*\w+\s+)?(.*)$", s,
+        # lookup reads a dimension table — the governor must see it
+        m = re.match(r"lookup\s+(?:kind\s*=\s*[a-z]+\s+)?"
+                     r"\((.*)\)\s*on\s+.+$",
+                     s, re.DOTALL | re.IGNORECASE)
+        if m:
+            out.extend(_pipeline_refs(m.group(1).strip()))
+            continue
+        m = re.match(r"lookup\s+(?:kind\s*=\s*[a-z]+\s+)?"
+                     r"([A-Za-z_]\w*)\s+on\s+.+$",
+                     s, re.DOTALL | re.IGNORECASE)
+        if m:
+            out.append((m.group(1).lower(), []))
+            continue
+        m = re.match(r"union\s+(?:kind\s*=\s*\w+\s+)?"
+                     r"(?:withsource\s*=\s*\w+\s+)?(.*)$", s,
                      re.DOTALL | re.IGNORECASE)
         if m:
             for part in _split_top_commas(m.group(1)):

@@ -555,6 +555,33 @@ def kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kql_lookup_dim",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal >= 9900
+    ORDER BY c.c_custkey ASC
+    """,
+)
+def kql_lookup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lookup` (r10 dialect completion) — Kusto's dimension-join verb:
+    leftouter by default, the right side ALWAYS broadcast (enrich a
+    fact stream without shuffling it), non-key clashes an error
+    instead of join's `1`-suffix renames."""
+    return kql_to_df(
+        """
+        customer
+        | where c_acctbal >= 9900
+        | lookup nation on $left.c_nationkey == $right.n_nationkey
+        | project c_custkey, c_name, n_name
+        | order by c_custkey asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
     "kql_parse_where",
     oracle=r"""
     SELECT event_type,

@@ -1257,3 +1257,43 @@ def test_top_hitters(spark):
         ("b", 9.0), ("a", 3.0)]
     with pytest.raises(KqlError, match="N of Col"):
         kql_to_df("T | top-hitters s", {"T": df})
+
+
+def test_lookup_and_union_withsource(spark):
+    """r10: `lookup` (dimension join — broadcast right, leftouter
+    default, non-key clashes are an ERROR not a rename) and
+    `union withsource=Col` row labeling."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+    b = spark.createDataFrame([(1, "dim1"), (3, "dim3")],
+                              "k long, nm string")
+    t = {"T": a, "U": b}
+    rows = kql_to_df("T | lookup U on k | order by k asc", t).collect()
+    assert [(r["k"], r["nm"]) for r in rows] == [(1, "dim1"), (2, None)]
+    rows = kql_to_df("T | lookup kind=inner U on k", t).collect()
+    assert [(r["k"], r["nm"]) for r in rows] == [(1, "dim1")]
+    rows = kql_to_df(
+        "T | lookup kind=inner (U | project k, nm) on "
+        "$left.k == $right.k", t).collect()
+    assert [(r["k"], r["nm"]) for r in rows] == [(1, "dim1")]
+    with pytest.raises(KqlError, match="duplicates column"):
+        kql_to_df("T | lookup U on k",
+                  {"T": a, "U": b.withColumnRenamed("nm", "s")})
+    with pytest.raises(KqlError, match="kind=leftouter"):
+        kql_to_df("T | lookup kind=rightouter U on k", t)
+    # withsource labels each row with its source table (head included)
+    rows = kql_to_df(
+        "T | union withsource=Src U | summarize n = count() by Src "
+        "| order by Src asc", {"T": a, "U": a}).collect()
+    assert [(r["Src"], r["n"]) for r in rows] == [("T", 2), ("U", 2)]
+
+
+def test_lookup_reads_are_governed(spark, tmp_path):
+    """The lookup operand is a warehouse read — it must surface in
+    _pipeline_refs (governance/estimation) like join/union operands."""
+    from corkscrew_spark.kql import _pipeline_refs
+
+    assert ("u", []) in _pipeline_refs("T | lookup kind=leftouter U on k")
+    assert ("u", []) in _pipeline_refs("T | lookup (U | project k) on k")
+    assert ("u", []) in _pipeline_refs("T | union withsource=Src U")
