@@ -685,6 +685,20 @@ class _StageCompiler:
         if not stages:
             raise KqlError("KQL: empty query")
         head = stages[0].strip()
+        # table-less heads: `print name = expr, …` (one constant row)
+        # and `range Col from A to B step C` (a generated sequence) —
+        # the Kusto docs/test idioms; both fold to pure expressions on
+        # a driver-made seed frame, so downstream stages see an
+        # ordinary DataFrame
+        hm = re.match(r"(print|range)\b\s*(.*)$", head,
+                      re.DOTALL | re.IGNORECASE)
+        if hm and not (hm.group(1).lower() in self.tables
+                       and not hm.group(2).strip()):
+            self._head_name = hm.group(1).lower()
+            df = self._table_less_head(hm.group(1).lower(), hm.group(2))
+            for stage in stages[1:]:
+                df = self.apply_stage(df, stage)
+            return df
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", head):
             raise KqlError(f"KQL: first stage must be a table name, got {head!r}")
         if head.lower() not in self.tables:
@@ -695,6 +709,44 @@ class _StageCompiler:
         for stage in stages[1:]:
             df = self.apply_stage(df, stage)
         return df
+
+    def _table_less_head(self, kind: str, rest: str) -> DataFrame:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.active()
+        seed = spark.range(1)  # one-row frame to evaluate constants on
+        if kind == "print":
+            if not rest.strip():
+                raise KqlError("KQL: print needs `name = expr[, ...]`")
+            cols = []
+            for i, part in enumerate(_split_top_commas(rest)):
+                part = part.strip()
+                m = re.match(r"([A-Za-z_]\w*)\s*=\s*(.*)$", part,
+                             re.DOTALL)
+                src, name = ((m.group(2), m.group(1)) if m
+                             else (part, f"print_{i}"))
+                toks = _tokenize(src)
+                p = _ExprParser(toks)
+                expr = p.parse()
+                if p.i != len(toks):
+                    raise KqlError(
+                        f"KQL: trailing tokens in print expr {src!r}")
+                cols.append(expr.alias(name))
+            return seed.select(*cols)
+        m = re.match(
+            r"([A-Za-z_]\w*)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+"
+            r"step\s+(-?\d+)\s*$", rest, re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "KQL: range needs `range Col from A to B step C` "
+                f"(integer bounds), got {rest!r}")
+        col, lo, hi, step = (m.group(1), int(m.group(2)),
+                             int(m.group(3)), int(m.group(4)))
+        if step == 0:
+            raise KqlError("KQL: range step must be non-zero")
+        # inclusive both ends (Kusto) — spark.range is end-exclusive
+        return spark.range(lo, hi + (1 if step > 0 else -1), step) \
+            .select(F.col("id").alias(col))
 
     def apply_stage(self, df: DataFrame, stage: str) -> DataFrame:
         m = re.match(r"([a-z][a-z-]*)\s*(.*)", stage, re.DOTALL | re.IGNORECASE)

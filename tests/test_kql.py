@@ -1297,3 +1297,28 @@ def test_lookup_reads_are_governed(spark, tmp_path):
     assert ("u", []) in _pipeline_refs("T | lookup kind=leftouter U on k")
     assert ("u", []) in _pipeline_refs("T | lookup (U | project k) on k")
     assert ("u", []) in _pipeline_refs("T | union withsource=Src U")
+
+
+def test_print_and_range_heads(spark):
+    """r10: table-less heads — `print name = expr, …` (one constant
+    row) and `range Col from A to B step C` (inclusive bounds,
+    negative steps) — the Kusto docs/test idioms; a table literally
+    named print/range still wins when referenced bare."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    assert kql_to_df("print x = 1 + 2, s = strcat('a','b')",
+                     {}).collect() == [
+        __import__("pyspark").sql.Row(x=3, s="ab")]
+    rows = kql_to_df("range k from 1 to 5 step 2 | extend sq = k * k",
+                     {}).collect()
+    assert [(r["k"], r["sq"]) for r in rows] == [(1, 1), (3, 9), (5, 25)]
+    rows = kql_to_df("range k from 5 to 1 step -2", {}).collect()
+    assert [r["k"] for r in rows] == [5, 3, 1]
+    # bare reference to a TABLE named print resolves as the table
+    df = spark.createDataFrame([(7,)], "k long")
+    assert kql_to_df("print | count",
+                     {"print": df}).first()["Count"] == 1
+    with pytest.raises(KqlError, match="non-zero"):
+        kql_to_df("range k from 1 to 5 step 0", {})
+    with pytest.raises(KqlError, match="name = expr"):
+        kql_to_df("print", {})
