@@ -181,7 +181,11 @@ def validate_readonly(sql: str) -> None:
     # first-word check looks through leading parens (the _DENY
     # keyword scan below still covers the FULL text, so no mutating
     # statement can hide behind a paren)
-    head = scannable.lstrip("(").strip()
+    # strip parens AND whitespace together: `( (SELECT …) UNION … )`
+    # has whitespace between the parens, which lstrip("(") alone
+    # left behind (r10 advice) — the statement then spuriously
+    # failed the first-word check with "starts with (SELECT"
+    head = re.sub(r"^[(\s]+", "", scannable)
     if not head:
         raise QueryValidationError("empty query")
     first = head.split(None, 1)[0].upper()
@@ -229,11 +233,17 @@ class QueryEngine:
     reference with NO extractable conjuncts — the bare
     ``SELECT * FROM big_table`` — is estimated at FULL scan and
     enforced too (the most obviously over-budget query must be the
-    first one refused, review finding). Enforcement stays
-    advisory-on-known for what genuinely can't be estimated: shapes
-    the resolver can't attribute (correlated subqueries, self-joins),
-    unregistered tables, missing stats — the governor exists to stop
-    the 95%-of-100TB scan, not to guess."""
+    first one refused, review finding). A registered table with NO
+    skipping stats (or fully-invalidated ones) counts at its honest
+    full-scan bytes — the listing's actual size sum, which
+    ``skipping.estimate_scan`` already returns in the fallback
+    branch — instead of being silently exempt (r10 verdict #1: at
+    100 TB, stats-less tables are exactly the ones admission control
+    must not wave through; ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1``
+    restores the legacy exemption). Enforcement stays advisory only
+    for what genuinely can't be RESOLVED: references in shapes none
+    of the resolvers understand, and unregistered tables — the
+    governor exists to stop the 95%-of-100TB scan, not to guess."""
 
     def __init__(self, spark: SparkSession, register_helpers: bool = True,
                  max_scan_bytes: int | None = None):
@@ -450,9 +460,13 @@ class QueryEngine:
         reference's predicate must not prune the other's rows).
         Non-prunable chain members are still RESOLVED reads that will
         scan their whole table; ``include_unprunable`` keeps them
-        (deduplicated, prunable=False) so the governor/estimator can
-        enforce their full-scan bytes — without it only prunable rows
-        return (the rewrite path has nothing to do with the others).
+        (ONE ROW PER REFERENCE, prunable=False — r10 advice: a
+        self-joined table is scanned once per reference, so
+        ``FROM t a JOIN t b`` must add t's bytes twice to the
+        statement-total ceiling, matching the KQL surface's
+        nrefs weighting) so the governor/estimator can enforce their
+        full-scan bytes — without it only prunable rows return (the
+        rewrite path has nothing to do with the others).
         ``exclude`` drops names shadowed in the current statement
         (CTE names shadow registered views)."""
         from collections import Counter
@@ -471,32 +485,31 @@ class QueryEngine:
             # neither resolver accepts the shape (comma-list FROM,
             # RIGHT/FULL/CROSS/NATURAL members, mixed chains): every
             # depth-0 FROM/JOIN-position reference is still a
-            # whole-table read, so surface each ONCE as a bare
-            # governed row — attribution is unsound for pruning
-            # (never rewritten) but a full-scan estimate needs no
-            # attribution (r9 verdict #1: these shapes executed
-            # unpruned AND ungoverned)
+            # whole-table read, so surface EACH ONE as a bare
+            # governed row (per reference, not per name — a
+            # self-reference is its own scan) — attribution is
+            # unsound for pruning (never rewritten) but a full-scan
+            # estimate needs no attribution (r9 verdict #1: these
+            # shapes executed unpruned AND ungoverned)
             out = []
-            seen: set[str] = set()
             for t, a in _pred.loose_table_refs(bound):
                 low = t.lower()
-                if low in names and low not in exclude \
-                        and low not in seen:
-                    seen.add(low)
+                if low in names and low not in exclude:
                     out.append((t, a, True, False))
             return out
         tabs = tabs or []
         counts = Counter(t.lower() for t, _a, _p in tabs)
         out: list[tuple] = []
-        seen_bare: set[str] = set()
         for t, a, prunable in tabs:
             low = t.lower()
             if low not in names or low in exclude:
                 continue
             if prunable and counts[low] == 1:
                 out.append((t, a, True, True))
-            elif include_unprunable and low not in seen_bare:
-                seen_bare.add(low)
+            elif include_unprunable:
+                # one row PER REFERENCE: N self-references at
+                # budget−ε must not admit ~N× the budget (r10
+                # advice — the KQL twin already multiplies by nrefs)
                 out.append((t, a, True, False))
         return out
 
@@ -772,18 +785,40 @@ class QueryEngine:
                                 _skip.estimate_scan_any(
                                     path, eff_branches, stats=stats,
                                     plan=plan))
-                            if (est["fallback"] is None
-                                    and est["bytes_kept"]
+                            # fallback (no-stats / stats-stale)
+                            # estimates count at their honest
+                            # full-scan bytes (r10 verdict #1 — the
+                            # last silent exemption: a table
+                            # registered without compute_stats, or
+                            # fully rewritten since its snapshot, is
+                            # exactly the read a 100 TB budget must
+                            # not admit uncounted); env opt-out in
+                            # skipping.govern_fallback for legacy
+                            # stats-less tables
+                            counted = (est["fallback"] is None
+                                       or _skip.govern_fallback())
+                            if (counted and est["bytes_kept"]
                                     > self.max_scan_bytes):
+                                remedy = (
+                                    "add a more selective predicate "
+                                    "or re-cluster the table"
+                                    if est["fallback"] is None else
+                                    "its skipping stats are "
+                                    f"unavailable ({est['fallback']})"
+                                    ", so the estimate is the full "
+                                    "table — run skipping."
+                                    "compute_stats/refresh_stats on "
+                                    "it, or set CORKSCREW_SCAN_"
+                                    "BUDGET_ALLOW_NOSTATS=1 to exempt"
+                                    " legacy stats-less tables")
                                 raise ScanBudgetExceeded(
                                     f"estimated scan of {name} is "
                                     f"{est['bytes_kept']:,} bytes "
                                     f"({est['files_kept']} of "
                                     f"{est['files_total']} files) — "
                                     f"over the {self.max_scan_bytes:,}"
-                                    "-byte budget; add a more selective"
-                                    " predicate or re-cluster the table")
-                            if est["fallback"] is None:
+                                    f"-byte budget; {remedy}")
+                            if counted:
                                 admitted_bytes += est["bytes_kept"]
                                 admitted_reads += 1
                                 if admitted_bytes > self.max_scan_bytes:
@@ -1080,8 +1115,10 @@ class QueryEngine:
         under budget' yet refused at execution). Returns ``{"tables":
         {name: est}, "bytes_kept": <sum over every admitted read —
         a twice-read table counts twice>, "reads": n}``; reads whose
-        estimate has a fallback contribute no bytes, exactly as in
-        enforcement."""
+        estimate has a fallback contribute their FULL-SCAN bytes,
+        exactly as in enforcement (r11 — unless the
+        ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1`` legacy exemption is
+        set, in which case both dry-run and governor skip them)."""
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
@@ -1130,7 +1167,7 @@ class QueryEngine:
                         prev["bytes_kept"] or 0):
                     out[name.lower()] = est
                 total_reads += 1
-                if est["fallback"] is None:
+                if est["fallback"] is None or _skip.govern_fallback():
                     total_bytes += est["bytes_kept"]
         return {"tables": out, "bytes_kept": total_bytes,
                 "reads": total_reads}

@@ -31,11 +31,13 @@ Documented determinism/semantics choices (KQL leaves them loose):
 
 from __future__ import annotations
 
+import datetime as _datetime
 import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType as _StringType
 
 __all__ = ["kql_to_df", "KqlError"]
 
@@ -268,8 +270,20 @@ class _ExprParser:
                 vals.append(self.literal_value())
             self.expect(")")
             if ci:
+                # Kusto's ~ operators are defined over STRINGS only;
+                # a numeric literal here would be compared against
+                # the column's string RENDERING ('5' never matches a
+                # double rendering '5.0'), silently dropping rows —
+                # refuse at compile time instead (r10 advice)
+                bad = [v for v in vals if not isinstance(v, str)]
+                if bad:
+                    raise KqlError(
+                        "KQL: in~/!in~ is case-insensitive STRING "
+                        f"membership; non-string literal(s) {bad!r} "
+                        "in the list — use plain in/!in for numeric "
+                        "membership")
                 res = F.lower(left.cast("string")).isin(
-                    [str(v).lower() for v in vals])
+                    [v.lower() for v in vals])
             else:
                 res = left.isin(vals)
             return ~res if op == "!in" else res
@@ -690,7 +704,7 @@ class _StageCompiler:
         # the Kusto docs/test idioms; both fold to pure expressions on
         # a driver-made seed frame, so downstream stages see an
         # ordinary DataFrame
-        hm = re.match(r"(print|range)\b\s*(.*)$", head,
+        hm = re.match(r"(print|range|datatable)\b\s*(.*)$", head,
                       re.DOTALL | re.IGNORECASE)
         if hm and not (hm.group(1).lower() in self.tables
                        and not hm.group(2).strip()):
@@ -733,6 +747,8 @@ class _StageCompiler:
                         f"KQL: trailing tokens in print expr {src!r}")
                 cols.append(expr.alias(name))
             return seed.select(*cols)
+        if kind == "datatable":
+            return self._datatable(spark, rest)
         m = re.match(
             r"([A-Za-z_]\w*)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+"
             r"step\s+(-?\d+)\s*$", rest, re.IGNORECASE)
@@ -747,6 +763,133 @@ class _StageCompiler:
         # inclusive both ends (Kusto) — spark.range is end-exclusive
         return spark.range(lo, hi + (1 if step > 0 else -1), step) \
             .select(F.col("id").alias(col))
+
+    #: datatable column type → Spark DDL type. Kusto's dynamic/guid
+    #: surface as strings (the compiler's dynamic representation is a
+    #: JSON string throughout); decimal maps to a wide Spark decimal.
+    _DATATABLE_TYPES = {
+        "string": "string", "long": "bigint", "int": "int",
+        "real": "double", "double": "double", "bool": "boolean",
+        "boolean": "boolean", "datetime": "timestamp",
+        "guid": "string", "dynamic": "string",
+        "decimal": "decimal(38,9)",
+    }
+
+    def _datatable(self, spark, rest: str) -> DataFrame:
+        """``datatable(Col1:type1, …) [v1, v2, …]`` — Kusto's literal
+        table head (values row-major, row count = len(values)/ncols).
+        The standard way ARG dashboards and docs inline dimension
+        tables and test fixtures (reference KQL surface:
+        plugins/azure-provider/resource_graph.go). Literals: quoted
+        strings, numbers, negatives, true/false, ``datetime(…)``, and
+        typed nulls ``<type>(null)``. Compiles to one driver-side
+        ``createDataFrame`` — a datatable is by definition a literal
+        constant, never a scan, so there is nothing to distribute."""
+        m = re.match(r"\(\s*([^)]*)\)\s*\[(.*)\]\s*$", rest.strip(),
+                     re.DOTALL)
+        if not m:
+            raise KqlError(
+                "KQL: datatable needs "
+                "`datatable(Col:type, …) [v1, v2, …]`")
+        schema_src, body = m.group(1), m.group(2)
+        names: list[str] = []
+        types: list[str] = []
+        for item in schema_src.split(","):
+            cm = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*:\s*(\w+)\s*", item)
+            if not cm:
+                raise KqlError(
+                    f"KQL: datatable column must be `Name:type`, "
+                    f"got {item.strip()!r}")
+            kt = cm.group(2).lower()
+            if kt not in self._DATATABLE_TYPES:
+                raise KqlError(
+                    f"KQL: unsupported datatable type {kt!r} "
+                    f"(have: {sorted(self._DATATABLE_TYPES)})")
+            names.append(cm.group(1))
+            types.append(kt)
+        if not names:
+            raise KqlError("KQL: datatable needs at least one column")
+        vals = [self._datatable_literal(part)
+                for part in _split_top_commas(body)
+                if part.strip()] if body.strip() else []
+        if len(vals) % len(names) != 0:
+            raise KqlError(
+                f"KQL: datatable got {len(vals)} values for "
+                f"{len(names)} columns — count must divide evenly")
+        rows = [tuple(self._datatable_coerce(v, types[j], names[j])
+                      for j, v in enumerate(vals[i:i + len(names)]))
+                for i in range(0, len(vals), len(names))]
+        ddl = ", ".join(f"{n} {self._DATATABLE_TYPES[t]}"
+                        for n, t in zip(names, types))
+        return spark.createDataFrame(rows, schema=ddl)
+
+    def _datatable_literal(self, src: str):
+        toks = _tokenize(src.strip())
+        if (len(toks) == 4 and toks[0].kind == "ident"
+                and toks[0].text.lower() in self._DATATABLE_TYPES
+                and toks[1].text == "(" and toks[2].kind == "ident"
+                and toks[2].text.lower() == "null"
+                and toks[3].text == ")"):
+            return None  # typed null: long(null), datetime(null), …
+        if len(toks) == 2 and toks[0].kind == "op" \
+                and toks[0].text == "-" and toks[1].kind == "number":
+            v = self._datatable_literal(toks[1].text)
+            return -v
+        if len(toks) == 1:
+            t = toks[0]
+            if t.kind == "string":
+                return t.text
+            if t.kind == "number":
+                return (float(t.text)
+                        if "." in t.text or "e" in t.text.lower()
+                        else int(t.text))
+            if t.kind == "datetime":
+                txt = t.text.strip().replace("T", " ")
+                if txt.endswith(("Z", "z")):
+                    txt = txt[:-1]
+                try:
+                    return _datetime.datetime.fromisoformat(txt)
+                except ValueError as ex:
+                    raise KqlError(
+                        f"KQL: bad datatable datetime {t.text!r}"
+                    ) from ex
+            if t.kind == "ident" and t.text.lower() in ("true", "false"):
+                return t.text.lower() == "true"
+        raise KqlError(
+            f"KQL: unsupported datatable literal {src.strip()!r} — "
+            "use strings, numbers, true/false, datetime(…), or "
+            "<type>(null)")
+
+    @staticmethod
+    def _datatable_coerce(v, kt: str, name: str):
+        """Coerce a parsed literal to its DECLARED column type, or
+        raise at compile time — a mistyped cell must not abort the
+        job later (the top-nested label lesson)."""
+        import decimal as _decimal
+
+        if v is None:
+            return None
+        if kt in ("real", "double") and isinstance(v, int) \
+                and not isinstance(v, bool):
+            return float(v)
+        if kt == "decimal" and isinstance(v, (int, float)) \
+                and not isinstance(v, bool):
+            return _decimal.Decimal(str(v))
+        ok = {
+            "string": str, "guid": str, "dynamic": str,
+            "long": int, "int": int,
+            "real": float, "double": float,
+            "bool": bool, "boolean": bool,
+            "datetime": _datetime.datetime,
+            "decimal": _decimal.Decimal,
+        }[kt]
+        if isinstance(v, bool) and ok is not bool:
+            pass  # bool is an int subclass: fall through to the raise
+        elif isinstance(v, ok):
+            return v
+        raise KqlError(
+            f"KQL: datatable value {v!r} does not match column "
+            f"{name}:{kt}")
 
     def apply_stage(self, df: DataFrame, stage: str) -> DataFrame:
         m = re.match(r"([a-z][a-z-]*)\s*(.*)", stage, re.DOTALL | re.IGNORECASE)
@@ -844,7 +987,125 @@ class _StageCompiler:
             return self._join(df, rest)
         if op == "lookup":
             return self._lookup(df, rest)
+        if op == "evaluate":
+            return self._evaluate(df, rest)
         raise KqlError(f"KQL: unsupported operator {op!r}")
+
+    def _evaluate(self, df: DataFrame, rest: str) -> DataFrame:
+        """``evaluate <plugin>(args)`` — the Kusto plugin operator.
+        Supported plugins (the two a real ARG/dashboard port hits
+        first): ``pivot(PivotColumn [, agg(Expr) [, KeyCol, …]])`` and
+        ``bag_unpack(DynamicColumn [, 'prefix'])``.
+
+        ``pivot``: groupBy the key columns (default: every column
+        that is neither the pivot column nor an input of the
+        aggregate), pivot on the column's DISTINCT VALUES, apply the
+        aggregate (default ``count()``). Spark's pivot-without-values
+        runs one extra distinct-values job at plan time — the same
+        schema-inference scan Kusto's plugin performs; pass explicit
+        key columns to keep the group-by narrow at scale. Empty cells
+        are null (Spark aggregate-over-no-rows semantics; Kusto's
+        count() pivot emits 0 — divergence documented in README
+        dialect notes).
+
+        ``bag_unpack``: expands a dynamic column (Spark map, or the
+        compiler's JSON-string dynamic representation) into one
+        column per key, sorted by key name, original column dropped.
+        Key discovery is one distributed distinct-keys job (again the
+        plugin's own schema-inference cost); JSON values surface as
+        strings (Kusto infers scalar types — README dialect notes)."""
+        from pyspark.sql.types import MapType, StringType
+
+        m = re.match(r"([A-Za-z_]\w*)\s*\((.*)\)\s*$", rest.strip(),
+                     re.DOTALL)
+        if not m:
+            raise KqlError(
+                "KQL: evaluate needs `evaluate plugin(args…)`")
+        plugin = m.group(1).lower()
+        args = _split_top_commas(m.group(2)) if m.group(2).strip() \
+            else []
+        if plugin == "pivot":
+            if not args or not args[0].strip():
+                raise KqlError(
+                    "KQL: evaluate pivot needs `pivot(PivotColumn "
+                    "[, agg(Expr) [, KeyCol, …]])`")
+            pcol = args[0].strip()
+            if pcol not in df.columns:
+                raise KqlError(
+                    f"KQL: pivot of unknown column {pcol!r}")
+            agg = F.count(F.lit(1))
+            agg_inputs: set[str] = set()
+            if len(args) > 1 and args[1].strip():
+                toks = _tokenize(args[1])
+                p = _ExprParser(toks)
+                agg = p.parse()
+                if p.i != len(toks):
+                    raise KqlError(
+                        "KQL: trailing tokens in pivot aggregate "
+                        f"{args[1].strip()!r}")
+                agg_inputs = {t.text for t in toks
+                              if t.kind == "ident"
+                              and t.text in df.columns}
+            keys = [a.strip() for a in args[2:] if a.strip()]
+            missing = [k for k in keys if k not in df.columns]
+            if missing:
+                raise KqlError(
+                    f"KQL: pivot key column(s) {missing} not found")
+            if not keys:
+                keys = [c for c in df.columns
+                        if c != pcol and c not in agg_inputs]
+            return df.groupBy(*keys).pivot(pcol).agg(agg)
+        if plugin == "bag_unpack":
+            if not args or not args[0].strip():
+                raise KqlError(
+                    "KQL: evaluate bag_unpack needs "
+                    "`bag_unpack(DynamicColumn [, 'prefix'])`")
+            cname = args[0].strip()
+            if cname not in df.columns:
+                raise KqlError(
+                    f"KQL: bag_unpack of unknown column {cname!r}")
+            prefix = ""
+            if len(args) > 1 and args[1].strip():
+                ptoks = _tokenize(args[1])
+                if len(ptoks) != 1 or ptoks[0].kind != "string":
+                    raise KqlError(
+                        "KQL: bag_unpack prefix must be a string "
+                        f"literal, got {args[1].strip()!r}")
+                prefix = ptoks[0].text
+            dtype = df.schema[cname].dataType
+            col = F.col(cname)
+            if isinstance(dtype, MapType):
+                key_rows = df.select(
+                    F.explode(F.map_keys(col)).alias("k")
+                ).distinct().collect()
+
+                def _get(k: str) -> Column:
+                    return col.getItem(k)
+            elif isinstance(dtype, StringType):
+                key_rows = df.select(
+                    F.explode(F.json_object_keys(col)).alias("k")
+                ).distinct().collect()
+
+                def _get(k: str) -> Column:
+                    esc = k.replace("'", "\\'")
+                    return F.get_json_object(col, f"$['{esc}']")
+            else:
+                raise KqlError(
+                    f"KQL: bag_unpack column {cname!r} must be "
+                    "dynamic (map or JSON string), got "
+                    f"{dtype.simpleString()}")
+            keys = sorted(r["k"] for r in key_rows if r["k"])
+            others = [c for c in df.columns if c != cname]
+            clash = [prefix + k for k in keys if prefix + k in others]
+            if clash:
+                raise KqlError(
+                    f"KQL: bag_unpack output column(s) {clash} "
+                    "collide with existing columns — pass a prefix")
+            return df.select(
+                *others, *[_get(k).alias(prefix + k) for k in keys])
+        raise KqlError(
+            f"KQL: unsupported evaluate plugin {plugin!r} "
+            "(have: pivot, bag_unpack)")
 
     # -- stage impls ---------------------------------------------------------
     def _mv_apply(self, df: DataFrame, rest: str) -> DataFrame:
@@ -1502,8 +1763,21 @@ class _StageCompiler:
                 oth = oth.filter(F.col("__oth_n") > 0).drop("__oth_n")
                 if prefix:
                     oth = oth.join(F.broadcast(prev), prefix)
-                lab_col = F.lit(others).cast(
-                    winners.schema[col].dataType).alias(col)
+                ltype = winners.schema[col].dataType
+                if (isinstance(others, str)
+                        and not isinstance(ltype, _StringType)):
+                    # Kusto rejects a type-mismatched others label at
+                    # compile time; a runtime cast would abort the
+                    # whole job mid-execution under Spark 4 ANSI
+                    # (r10 advice). Numeric label → string column is
+                    # fine: that cast is total.
+                    raise KqlError(
+                        f"KQL: top-nested `with others = "
+                        f"{others!r}` targets non-string column "
+                        f"{col} ({ltype.simpleString()}) — the "
+                        "others label must match the level "
+                        "column's type")
+                lab_col = F.lit(others).cast(ltype).alias(col)
                 others_rows.append(
                     (len(out_cols),
                      oth.select(*prior_cols, lab_col, F.col(name))))
@@ -1886,7 +2160,11 @@ def kql_estimate_statement(query: str, warehouse: dict[str, str]
     twice-read table's doubled I/O): ``{"tables": {...},
     "bytes_kept": <sum of every read's estimate — an N-times-
     referenced table counts N times>, "reads": n}``. Fallback
-    estimates contribute no bytes, matching enforcement."""
+    estimates contribute their FULL-SCAN bytes, matching enforcement
+    (r11; ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1`` restores the
+    legacy exemption on both dry-run and governor together)."""
+    from corkscrew_spark import skipping as _skip
+
     tables = kql_estimate_scan(query, warehouse)
     total_bytes = 0
     total_reads = 0
@@ -1898,7 +2176,7 @@ def kql_estimate_statement(query: str, warehouse: dict[str, str]
         if est is None:
             continue
         total_reads += nrefs
-        if est["fallback"] is None:
+        if est["fallback"] is None or _skip.govern_fallback():
             total_bytes += est["bytes_kept"] * nrefs
     return {"tables": tables, "bytes_kept": total_bytes,
             "reads": total_reads}
@@ -1941,8 +2219,11 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     (estimation is pure metadata) — and under the opt-out it enforces
     on the FULL-scan estimate, because that is the read that will
     actually execute (a budget between pruned and full bytes must
-    refuse it); tables without stats stay advisory-only, matching the
-    engine. The budget is BOTH a per-reference and a query-total
+    refuse it); tables without stats (or with fully-invalidated
+    stats) are counted at their honest full-scan bytes too, matching
+    the engine (r11 — env ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1``
+    restores the legacy exemption). The budget is BOTH a
+    per-reference and a query-total
     ceiling (r10): each admitted read's estimate — times its
     reference count, each reference being its own scan — adds to a
     running sum, refused once the sum crosses the budget."""
@@ -2003,18 +2284,32 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
             # the predicates arg only feeds the row estimate; bytes
             # come from the shared plan
             est = _skip.estimate_scan(path, [], stats=stats, plan=plan)
-            if (est["fallback"] is None
-                    and est["bytes_kept"] > max_scan_bytes):
+            # fallback (no-stats / stats-stale) estimates count at
+            # their honest full-scan bytes (r10 verdict #1), env
+            # opt-out in skipping.govern_fallback — matching the SQL
+            # engine's governor exactly
+            counted = (est["fallback"] is None
+                       or _skip.govern_fallback())
+            if counted and est["bytes_kept"] > max_scan_bytes:
                 from corkscrew_spark.engine import ScanBudgetExceeded
 
+                remedy = (
+                    "add a more selective leading `where` or "
+                    "re-cluster the table"
+                    if est["fallback"] is None else
+                    f"its skipping stats are unavailable "
+                    f"({est['fallback']}), so the estimate is the "
+                    "full table — run skipping.compute_stats/"
+                    "refresh_stats on it, or set "
+                    "CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1 to "
+                    "exempt legacy stats-less tables")
                 raise ScanBudgetExceeded(
                     f"estimated scan of {name} is "
                     f"{est['bytes_kept']:,} bytes "
                     f"({est['files_kept']} of {est['files_total']} "
                     f"files) — over the {max_scan_bytes:,}-byte "
-                    "budget; add a more selective leading `where` "
-                    "or re-cluster the table")
-            if est["fallback"] is None:
+                    f"budget; {remedy}")
+            if counted:
                 admitted_bytes += est["bytes_kept"] * max(nrefs, 1)
                 admitted_reads += max(nrefs, 1)
                 if admitted_bytes > max_scan_bytes:

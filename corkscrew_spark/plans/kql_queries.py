@@ -641,3 +641,104 @@ def kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_datatable",
+    oracle="""
+    SELECT d.r_name, r.r_regionkey, CAST(d.w AS BIGINT) AS w
+    FROM (VALUES ('AFRICA', 1), ('ASIA', 2), ('EUROPE', 3))
+         d(r_name, w)
+    JOIN region r ON d.r_name = r.r_name
+    ORDER BY d.r_name ASC
+    """,
+)
+def kql_datatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`datatable(…) […]` (r11 dialect completion) — Kusto's literal
+    table head, the standard way ARG dashboards inline dimension
+    tables (reference KQL surface:
+    plugins/azure-provider/resource_graph.go:70-296). The literal
+    rows land as one driver-side createDataFrame (a constant, nothing
+    to distribute) and Spark BROADCASTS the 3-row side of the join —
+    enriching a scan with a literal dimension costs no shuffle at any
+    scale."""
+    return kql_to_df(
+        """
+        datatable(r_name:string, w:long)
+            ['AFRICA', 1, 'ASIA', 2, 'EUROPE', 3]
+        | join kind=inner (region) on r_name
+        | project r_name, r_regionkey, w
+        | order by r_name asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_evaluate_pivot",
+    oracle="""
+    SELECT user_id % 10 AS grp,
+           NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                       AS BIGINT), 0) AS click,
+           NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                       AS BIGINT), 0) AS error,
+           NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                       AS BIGINT), 0) AS purchase,
+           NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                       AS BIGINT), 0) AS signup,
+           NULLIF(CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                       AS BIGINT), 0) AS view
+    FROM events
+    GROUP BY grp
+    ORDER BY grp ASC
+    """,
+)
+def kql_evaluate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate pivot(Col)` (r11 dialect completion) — the Kusto
+    pivot plugin with its default count() aggregate: group by every
+    remaining column, one output column per DISTINCT pivot value
+    (Spark's pivot-without-values pays one extra distinct-values job
+    at plan time, the same schema-inference scan Kusto's plugin
+    performs; the aggregation itself stays one map-side-partial
+    shuffle). Empty cells are null (Spark agg-over-no-rows; Kusto
+    emits 0 for count — README dialect note), mirrored by the
+    oracle's NULLIF."""
+    return kql_to_df(
+        """
+        events
+        | extend grp = user_id % 10
+        | project grp, event_type
+        | evaluate pivot(event_type)
+        | order by grp asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_bag_unpack",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY k
+    ORDER BY k ASC
+    """,
+)
+def kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate bag_unpack(Col)` (r11 dialect completion) — expands
+    the dynamic property bag into one column per key (key discovery
+    is one distributed distinct-keys pass over the JSON, the
+    plugin's inherent schema-inference cost; the per-row extraction
+    is get_json_object in codegen, no Python). Values surface as
+    strings (Kusto infers scalar types — README dialect note), which
+    the oracle mirrors with json_extract_string."""
+    return kql_to_df(
+        """
+        events
+        | evaluate bag_unpack(props)
+        | summarize n = count() by k
+        | order by k asc
+        """,
+        register_tables(spark, sf_dir),
+    )

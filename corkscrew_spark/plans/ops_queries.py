@@ -1598,6 +1598,98 @@ def engine_pruned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "engine_governed_nostats",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderdate >= DATE '1998-05-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def engine_governed_nostats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission control over a STATS-LESS table (round-10 verdict
+    item 1 — the governor's last silent exemption): a registered
+    table whose skipping stats are absent produces a FALLBACK
+    estimate, and until r11 the armed budget neither refused it nor
+    counted it toward the statement total — a 100 TB table registered
+    without ``compute_stats`` was admitted unexamined, the exact scan
+    the budget exists to stop. Fallback estimates now count at their
+    honest full-scan bytes (the listing's actual size sum, which
+    ``skipping.estimate_scan`` always computed and enforcement threw
+    away). Self-certifying: two byte-identical orders extracts, one
+    with stats and one WITHOUT; RAISES unless a mid-band budget
+    (above the fresh twin's pruned estimate, below the stats-less
+    full scan) ADMITS the dated query on the stats-fresh twin,
+    REFUSES the same query on the stats-less one with a message
+    naming ``compute_stats`` as the remedy, and unless the DRY-RUN
+    (``estimate_statement``) reports the exact fallback bytes
+    enforcement refuses on (parity: a dry-run must never say 'will
+    run' for a query the governor rejects). Reference parity: the
+    reference's DuckDB layer has per-query admission only implicitly
+    (row-group pruning); explicit pre-open byte budgets are the
+    100 TB-scale addition SURVEY §2.11 claims."""
+    import datetime as _dt
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
+
+    def _build(tmp: str) -> None:
+        tables = register_tables(spark, sf_dir)
+        ext = tables["orders"].select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ).repartitionByRange(8, "o_orderdate")
+        ext.write.parquet(f"{tmp}/orders_fresh")
+        ext.write.parquet(f"{tmp}/orders_nostats")
+        skipping.compute_stats(spark, f"{tmp}/orders_fresh",
+                               ["o_orderdate"])
+        # orders_nostats NEVER sees compute_stats — that is the point
+
+    tmp = _cert_fixture("nostats", sf_dir, _build)
+    fresh, nostats = f"{tmp}/orders_fresh", f"{tmp}/orders_nostats"
+    pruned = skipping.estimate_scan(
+        fresh, [("o_orderdate", ">=", _dt.date(1998, 5, 1))])
+    full_ns = skipping.estimate_scan(nostats, [])
+    if full_ns["fallback"] is None:
+        raise RuntimeError(
+            "stats-less twin unexpectedly has a trusted estimate — "
+            "the fixture no longer certifies the fallback path")
+    if not pruned["bytes_kept"] < full_ns["bytes_kept"]:
+        raise RuntimeError(
+            "no mid-band exists: the pruned estimate is not below "
+            "the stats-less full scan (clustering regression?)")
+    budget = (pruned["bytes_kept"] + full_ns["bytes_kept"]) // 2
+    eng = QueryEngine(spark, register_helpers=False,
+                      max_scan_bytes=budget)
+    eng.register_warehouse("ord_fr", fresh)
+    eng.register_warehouse("ord_ns", nostats)
+    q = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {t} WHERE o_orderdate >= DATE '1998-05-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+    result = eng.execute(q.format(t="ord_fr")).df  # pruned: admitted
+    try:
+        eng.execute(q.format(t="ord_ns"))
+        raise RuntimeError(
+            "governor admitted a stats-less table under a mid-band "
+            "budget — the fallback-estimate exemption is back "
+            "(round-10 verdict item 1)")
+    except ScanBudgetExceeded as ex:
+        if "compute_stats" not in str(ex):
+            raise RuntimeError(
+                "fallback refusal does not name compute_stats as "
+                f"the remedy: {ex}") from ex
+    est = eng.estimate_statement("SELECT COUNT(*) AS n FROM ord_ns")
+    if est["bytes_kept"] != full_ns["bytes_total"]:
+        raise RuntimeError(
+            "dry-run total diverges from the fallback bytes "
+            f"enforcement refuses on: {est['bytes_kept']:,} != "
+            f"{full_ns['bytes_total']:,}")
+    rows = result.collect()  # <= 5 orderpriority rows
+    return spark.createDataFrame(rows, result.schema)
+
+
+@query(
     "kql_scan_governor",
     oracle="""
     SELECT status,

@@ -893,6 +893,49 @@ def loose_table_refs(sql: str) -> list[tuple[str, str | None]]:
             j += 1
         return table, alias, j
 
+    def _balanced(j: int) -> int | None:
+        """Index just past the balanced paren group opening at j."""
+        d = 0
+        while j < n:
+            if toks[j] == ("punc", "("):
+                d += 1
+            elif toks[j] == ("punc", ")"):
+                d -= 1
+                if d == 0:
+                    return j + 1
+            j += 1
+        return None
+
+    def _skip_item(j: int) -> int | None:
+        """Advance past one NON-REF table-position item — a derived
+        table ``(SELECT …)``, a table function ``unnest(x)``, or a
+        db-qualified name — plus its optional alias, so LATER
+        comma-list members still surface as governed reads (r10
+        advice: ``FROM unnest(x) u, b`` returned [] and b stayed
+        ungoverned). None when the shape is unrecognizable (the
+        caller degrades to ungoverned, exactly as before)."""
+        if j >= n:
+            return None
+        if toks[j] == ("punc", "("):
+            j = _balanced(j)
+        elif toks[j][0] in ("ident", "bq"):
+            j += 1
+            while (j + 1 < n and toks[j] == ("punc", ".")
+                   and toks[j + 1][0] in ("ident", "bq")):
+                j += 2  # dotted tail: db.schema.table
+            if j < n and toks[j] == ("punc", "("):
+                j = _balanced(j)  # table function call
+        else:
+            return None
+        if j is None:
+            return None
+        if (j < n and toks[j] == ("kw", "AS") and j + 1 < n
+                and toks[j + 1][0] in ("ident", "bq")):
+            j += 2
+        elif j < n and toks[j][0] in ("ident", "bq"):
+            j += 1  # bare alias
+        return j
+
     while i < n:
         k, v = toks[i]
         if (k, v) == ("punc", "("):
@@ -901,17 +944,30 @@ def loose_table_refs(sql: str) -> list[tuple[str, str | None]]:
             depth -= 1
         elif depth == 0 and k == "kw" and v in ("FROM", "JOIN"):
             r = _ref(i + 1)
+            j: int | None
             if r is not None:
                 out.append((r[0], r[1]))
-                i = r[2]
+                j = r[2]
+            else:
+                # non-ident first item (derived table, unnest(...),
+                # db-qualified): skip it so subsequent comma members
+                # are still surfaced (skipped groups are balanced, so
+                # jumping past them leaves depth-0 tracking intact)
+                j = _skip_item(i + 1)
+            if j is not None:
                 # comma list: FROM a, b, c (and alias forms)
-                while (v == "FROM" and i < n
-                       and toks[i] == ("punc", ",")):
-                    r = _ref(i + 1)
-                    if r is None:
-                        break
-                    out.append((r[0], r[1]))
-                    i = r[2]
+                while (v == "FROM" and j < n
+                       and toks[j] == ("punc", ",")):
+                    r = _ref(j + 1)
+                    if r is not None:
+                        out.append((r[0], r[1]))
+                        j = r[2]
+                    else:
+                        j2 = _skip_item(j + 1)
+                        if j2 is None:
+                            break
+                        j = j2
+                i = j
                 continue
         elif (i == 0 and k == "ident" and v.upper() == "TABLE"):
             # `TABLE t` — Spark's whole-table statement (an allowed

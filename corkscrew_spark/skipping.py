@@ -680,8 +680,15 @@ def load_stats(path: str) -> dict | None:
         hit = _STATS_CACHE.get(p)
         if hit is not None and hit[0] == key:
             return hit[1]
-    with open(p) as fh:
-        stats = json.load(fh)
+    try:
+        with open(p) as fh:
+            stats = json.load(fh)
+    except (OSError, ValueError):
+        # a corrupt/raced stats file must degrade like a MISSING one
+        # (plain read, governed at the full-scan fallback estimate) —
+        # raising here would bubble into the engine's advisory
+        # except-continue and exempt the table from admission control
+        return None
     with _STATS_CACHE_LOCK:
         if p not in _STATS_CACHE and \
                 len(_STATS_CACHE) >= _STATS_CACHE_MAX:
@@ -1107,6 +1114,22 @@ def _plan(path: str, branches: list[list[tuple]],
             pruned.append(rel)
     return {"kept": kept, "pruned": pruned, "stale": stale,
             "unknown": unknown, "fallback": None}
+
+
+def govern_fallback() -> bool:
+    """Whether an armed scan budget COUNTS fallback estimates — a
+    table with no ``_column_stats.json``, or one fully invalidated by
+    a rewrite since the stats snapshot — at their honest full-scan
+    bytes (``estimate_scan``'s fallback branch already returns
+    ``bytes_kept == bytes_total`` over the actual listing). Default
+    TRUE (r10 verdict #1: at 100 TB the tables most likely to be
+    missing stats are exactly the ones admission control must not
+    admit silently; the previous behavior — fallback reads neither
+    refused nor summed — was the last ungoverned escape). Env
+    ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1`` restores the legacy
+    exemption for deployments with intentionally stats-less tables."""
+    return os.environ.get(
+        "CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS", "0") != "1"
 
 
 def estimate_scan(path: str, predicates: list[tuple],

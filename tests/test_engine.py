@@ -1739,6 +1739,154 @@ class TestSetOperatorGovernance:
         assert r.rows()[0].n == 50
 
 
+class TestFallbackGovernance:
+    """r10 verdict #1: a registered table with NO skipping stats (or
+    fully-invalidated ones) produced a fallback estimate that the
+    armed governor neither refused nor counted — the last way an
+    unestimated 100 TB read was admitted silently. Fallback estimates
+    now count at their honest full-scan bytes (the listing's actual
+    size sum) in BOTH the per-reference refusal and the
+    statement-total ceiling, with env
+    CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1 as the legacy opt-out."""
+
+    @pytest.fixture()
+    def pair(self, spark, tmp_path):
+        """(nostats_path, fresh_path): same data, one table never saw
+        compute_stats."""
+        from corkscrew_spark import skipping
+
+        nostats = str(tmp_path / "nostats")
+        fresh = str(tmp_path / "fresh")
+        df = spark.range(800).selectExpr("id AS k")
+        df.repartitionByRange(8, "k").write.parquet(nostats)
+        df.repartitionByRange(8, "k").write.parquet(fresh)
+        skipping.compute_stats(spark, fresh, ["k"])
+        return nostats, fresh
+
+    def test_nostats_table_refused_and_fresh_twin_admitted(
+            self, spark, pair):
+        """A mid-band budget refuses the stats-less table (full-scan
+        fallback bytes) while admitting the SAME query over its
+        stats-fresh twin (pruned estimate) — the purpose of the
+        feature."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        nostats, fresh = pair
+        full = skipping.estimate_scan(nostats, [])
+        assert full["fallback"] is not None
+        assert full["bytes_kept"] == full["bytes_total"] > 0
+        pruned = skipping.estimate_scan(fresh, [("k", ">=", 700)])
+        mid = (pruned["bytes_kept"] + full["bytes_kept"]) // 2
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=mid)
+        gov.register_warehouse("t_nostats", nostats)
+        gov.register_warehouse("t_fresh", fresh)
+        with pytest.raises(ScanBudgetExceeded,
+                           match="stats are unavailable"):
+            gov.execute("SELECT COUNT(*) AS n FROM t_nostats "
+                        "WHERE k >= 700")
+        assert gov.execute("SELECT COUNT(*) AS n FROM t_fresh "
+                           "WHERE k >= 700").rows()[0].n == 100
+        # the refusal names the remedy
+        with pytest.raises(ScanBudgetExceeded, match="compute_stats"):
+            gov.execute("SELECT COUNT(*) AS n FROM t_nostats")
+
+    def test_env_opt_out_restores_legacy_exemption(
+            self, spark, pair, monkeypatch):
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        nostats, _fresh = pair
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=1)
+        gov.register_warehouse("t_nostats", nostats)
+        with pytest.raises(ScanBudgetExceeded):
+            gov.execute("SELECT COUNT(*) AS n FROM t_nostats")
+        monkeypatch.setenv("CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS", "1")
+        assert gov.execute("SELECT COUNT(*) AS n FROM t_nostats"
+                           ).rows()[0].n == 800
+
+    def test_corrupt_stats_counted_like_missing(self, spark, pair):
+        """A corrupt _column_stats.json must degrade like a MISSING
+        one — plain read, governed at the fallback full-scan bytes —
+        instead of raising into the engine's advisory except-continue
+        and silently exempting the table from admission control."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        _nostats, fresh = pair
+        with open(skipping._stats_path(fresh), "w") as fh:
+            fh.write("{not json")
+        assert skipping.load_stats(fresh) is None
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=1)
+        gov.register_warehouse("t_corrupt", fresh)
+        with pytest.raises(ScanBudgetExceeded,
+                           match="stats are unavailable"):
+            gov.execute("SELECT COUNT(*) AS n FROM t_corrupt "
+                        "WHERE k >= 700")
+        # ungoverned it still runs (plain read, real filter applied)
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("t_corrupt2", fresh)
+        assert eng.execute("SELECT COUNT(*) AS n FROM t_corrupt2 "
+                           "WHERE k >= 700").rows()[0].n == 100
+
+    def test_dry_run_shows_the_bytes_enforcement_refuses(
+            self, spark, pair, monkeypatch):
+        """estimate_statement must carry the fallback bytes in its
+        total (parity: dry-run == enforcement), and drop them only
+        under the same env opt-out that disarms enforcement."""
+        from corkscrew_spark import skipping
+
+        nostats, _fresh = pair
+        full = skipping.estimate_scan(nostats, [])
+        eng = QueryEngine(spark, register_helpers=False)
+        eng.register_warehouse("t_nostats", nostats)
+        q = "SELECT COUNT(*) AS n FROM t_nostats"
+        est = eng.estimate_statement(q)
+        assert est["reads"] == 1
+        assert est["bytes_kept"] == full["bytes_total"]
+        assert est["tables"]["t_nostats"]["fallback"] is not None
+        monkeypatch.setenv("CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS", "1")
+        assert eng.estimate_statement(q)["bytes_kept"] == 0
+
+    def test_self_reference_weighted_per_scan(self, spark, pair):
+        """r10 advice: `FROM t a JOIN t b` is TWO scans of t — the
+        statement total must count t's bytes twice (the KQL twin
+        already multiplied by nrefs; the SQL surface deduped)."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        _nostats, fresh = pair
+        full = skipping.estimate_scan(fresh, [])["bytes_kept"]
+        q = ("SELECT COUNT(*) AS n FROM t_a a JOIN t_a b "
+             "ON a.k = b.k")
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=full + 1)
+        gov.register_warehouse("t_a", fresh)
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            gov.execute(q)
+        est = gov.estimate_statement(q)
+        assert est["reads"] == 2
+        assert est["bytes_kept"] == 2 * full
+        ok = QueryEngine(spark, register_helpers=False,
+                         max_scan_bytes=2 * full + 1)
+        ok.register_warehouse("t_a", fresh)
+        assert ok.execute(q).rows()[0].n == 800
+
+
+def test_readonly_gate_spaced_leading_parens():
+    """r10 advice: lstrip('(') alone left whitespace between parens,
+    spuriously rejecting `( (SELECT …) UNION (SELECT …) )`."""
+    from corkscrew_spark.engine import (QueryValidationError,
+                                        validate_readonly)
+
+    validate_readonly("( (SELECT 1) UNION (SELECT 2) )")
+    validate_readonly("(  ( SELECT 1 ) )")
+    with pytest.raises(QueryValidationError):
+        validate_readonly("( ( DELETE FROM t ) )")
+
+
 def test_time_travel_same_table_twice_keeps_distinct_names(spark, tmp_path):
     """r10 review: the implicit alias-back (`vt__v1 AS vt`) made TWO
     unaliased time-travel references to the SAME table alias to one

@@ -539,6 +539,13 @@ def test_top_nested_with_others_buckets(tiny_events):
         "T | top-nested 99 of event_type with others = 'OTHER' by n = count()",
         {"T": tiny_events}).collect()
     assert all(r["event_type"] != "OTHER" for r in rows)
+    # r10 advice: a STRING label over a numeric level column is a
+    # compile-time KqlError (Kusto rejects it; a runtime cast would
+    # abort the whole job mid-execution under Spark 4 ANSI)
+    with pytest.raises(KqlError, match="non-string column"):
+        kql_to_df(
+            "T | top-nested 1 of user_id with others = 'Other' "
+            "by n = count()", {"T": tiny_events}).collect()
 
 
 def test_union_outer_nullfills_and_inner_intersects(tiny_events):
@@ -1029,6 +1036,52 @@ class TestKqlScanBudget:
         assert est["bytes_kept"] == 2 * t_full
         assert set(est["tables"]) == {"t"}
 
+    def test_nostats_table_refused_at_fallback_bytes(
+            self, spark, table, tmp_path, monkeypatch):
+        """r10 verdict #1 (KQL twin): a warehouse table with NO
+        skipping stats produced a fallback estimate the armed
+        governor neither refused nor summed. It now counts at its
+        honest full-scan bytes, refusal names the remedy, and the
+        env opt-out restores the legacy exemption."""
+        from pyspark.sql import functions as F
+
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import (kql_estimate_statement,
+                                         kql_to_df_skipping)
+
+        nostats = str(tmp_path / "bud_ns")
+        spark.range(800).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartitionByRange(8, "k").write.parquet(nostats)
+        full = skipping.estimate_scan(nostats, [])
+        assert full["fallback"] is not None
+        with pytest.raises(ScanBudgetExceeded,
+                           match="stats are unavailable"):
+            kql_to_df_skipping(
+                spark, "N | where k >= 700 | count", {"N": nostats},
+                max_scan_bytes=full["bytes_kept"] - 1)
+        # the dry-run total carries the same fallback bytes
+        est = kql_estimate_statement("N | count", {"N": nostats})
+        assert est["bytes_kept"] == full["bytes_total"]
+        assert est["tables"]["n"]["fallback"] is not None
+        # statement ceiling counts it too: stats-fresh T alone fits,
+        # T ∪ N does not
+        t_full = skipping.estimate_scan(table, [])["bytes_kept"]
+        with pytest.raises(ScanBudgetExceeded, match="STATEMENT"):
+            kql_to_df_skipping(
+                spark, "T | union N | count",
+                {"T": table, "N": nostats},
+                max_scan_bytes=max(t_full, full["bytes_kept"]) + 1)
+        # legacy exemption: both enforcement and dry-run stand down
+        monkeypatch.setenv("CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS", "1")
+        got = kql_to_df_skipping(
+            spark, "N | where k >= 700 | count", {"N": nostats},
+            max_scan_bytes=1)
+        assert got.first()["Count"] == 100
+        assert kql_estimate_statement(
+            "N | count", {"N": nostats})["bytes_kept"] == 0
+
     def test_opt_out_disables_pruning_not_governor(self, spark, table,
                                                    monkeypatch):
         from corkscrew_spark import skipping
@@ -1122,10 +1175,11 @@ class TestKqlScanBudget:
         with _pytest.raises(KqlError, match="empty"):
             kql_estimate_scan("", {"T": table})
 
-    def test_unreferenced_and_statless_tables_pass(self, spark, table,
-                                                   tmp_path):
+    def test_unreferenced_and_statless_tables(self, spark, table,
+                                              tmp_path, monkeypatch):
         from pyspark.sql import functions as F
 
+        from corkscrew_spark.engine import ScanBudgetExceeded
         from corkscrew_spark.kql import kql_to_df_skipping
 
         # a warehouse entry the pipeline never reads costs nothing
@@ -1133,11 +1187,17 @@ class TestKqlScanBudget:
             spark, "T | where k >= 700 | count",
             {"T": table, "Unused": table}, max_scan_bytes=10 ** 12)
         assert got.first()["Count"] == 100
-        # a table without stats cannot be estimated: advisory-only,
-        # exactly like the engine governor
+        # r11 (was: advisory-only): a table without stats counts at
+        # its honest full-scan fallback bytes, exactly like the
+        # engine governor — the env opt-out restores the legacy pass
         nostats = str(tmp_path / "nostats_t")
         spark.range(50).select(F.col("id").alias("k")
                                ).write.parquet(nostats)
+        with pytest.raises(ScanBudgetExceeded,
+                           match="stats are unavailable"):
+            kql_to_df_skipping(spark, "N | count", {"N": nostats},
+                               max_scan_bytes=1)
+        monkeypatch.setenv("CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS", "1")
         got = kql_to_df_skipping(spark, "N | count", {"N": nostats},
                                  max_scan_bytes=1)
         assert got.first()["Count"] == 50
@@ -1227,6 +1287,12 @@ def test_case_sensitive_family_and_matches_regex(spark):
     assert ks("T | where s matches regex '^[A]l'") == [1]
     assert ks("T | where s in~ ('alpha')") == [1, 3]
     assert ks("T | where s !in~ ('alpha')") == [2]
+    # r10 advice: numeric literals in in~ compared against the
+    # column's string RENDERING ('5' vs '5.0'), silently dropping
+    # rows — refused at compile time now (Kusto's ~ family is
+    # string-only)
+    with pytest.raises(KqlError, match="STRING membership"):
+        kql_to_df("T | where k in~ (1, 3)", t)
     assert len(kql_to_df("T | sample 2", t).collect()) == 2
     assert len(kql_to_df("T | serialize | take 1", t).collect()) == 1
     out = kql_to_df("T | project-reorder k, s", t)
@@ -1238,6 +1304,100 @@ def test_case_sensitive_family_and_matches_regex(spark):
         kql_to_df("T | where s matches 'x'", t)
     with pytest.raises(KqlError, match="assignments"):
         kql_to_df("T | serialize rn = row_number()", t)
+
+
+def test_datatable_head(spark):
+    """r11: `datatable(Col:type, …) [v1, v2, …]` — literal table head
+    with row-major values, typed nulls, datetimes, negatives; count
+    mismatch / bad type / mistyped cell are compile-time errors."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    rows = kql_to_df(
+        """datatable(s:string, v:long, ok:bool, ts:datetime, r:real)
+           ['a', 1, true, datetime(2024-01-02 03:04:05), 1.5,
+            'b', -2, false, datetime(null), 2]
+           | order by s asc""", {}).collect()
+    assert [(r["s"], r["v"], r["ok"], r["r"]) for r in rows] == [
+        ("a", 1, True, 1.5), ("b", -2, False, 2.0)]
+    assert rows[0]["ts"].year == 2024 and rows[1]["ts"] is None
+    # empty body -> zero rows, schema intact
+    empty = kql_to_df("datatable(x:long) [] | count", {})
+    assert empty.first()["Count"] == 0
+    # downstream stages compose like any table head
+    got = kql_to_df(
+        "datatable(x:long) [1, 2, 3] | summarize s = sum(x)", {})
+    assert got.first()["s"] == 6
+    with pytest.raises(KqlError, match="divide evenly"):
+        kql_to_df("datatable(a:string, b:long) ['x', 1, 'y']", {})
+    with pytest.raises(KqlError, match="unsupported datatable type"):
+        kql_to_df("datatable(a:blob) [1]", {})
+    with pytest.raises(KqlError, match="does not match column"):
+        kql_to_df("datatable(a:long) ['oops']", {})
+    with pytest.raises(KqlError, match="unsupported datatable literal"):
+        kql_to_df("datatable(a:long) [1 + 2]", {})
+    # a registered table named `datatable` still resolves as a table
+    df = spark.createDataFrame([(1,)], "k long")
+    assert kql_to_df("datatable | count",
+                     {"datatable": df}).first()["Count"] == 1
+
+
+def test_evaluate_pivot(spark):
+    """r11: `evaluate pivot(Col [, agg(Expr) [, keys…]])` — Kusto's
+    pivot plugin: default count(), agg inputs excluded from the
+    implicit group-by, explicit key list honored."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0), (2, "a", 4.0)],
+        "uid long, et string, v double")
+    t = {"T": df}
+    rows = kql_to_df("T | evaluate pivot(et, sum(v)) "
+                     "| order by uid asc", t).collect()
+    assert [(r["uid"], r["a"], r["b"]) for r in rows] == [
+        (1, 1.0, 2.0), (2, 7.0, None)]
+    # default count(): every non-pivot column is a key
+    rows = kql_to_df("T | project uid, et | evaluate pivot(et) "
+                     "| order by uid asc", t).collect()
+    assert [(r["uid"], r["a"], r["b"]) for r in rows] == [
+        (1, 1, 1), (2, 2, None)]
+    # explicit key column list
+    rows = kql_to_df("T | evaluate pivot(et, sum(v), uid) "
+                     "| order by uid asc", t).collect()
+    assert [(r["uid"], r["a"], r["b"]) for r in rows] == [
+        (1, 1.0, 2.0), (2, 7.0, None)]
+    with pytest.raises(KqlError, match="unknown column"):
+        kql_to_df("T | evaluate pivot(nope)", t)
+    with pytest.raises(KqlError, match="unsupported evaluate plugin"):
+        kql_to_df("T | evaluate narrow()", t)
+
+
+def test_evaluate_bag_unpack(spark):
+    """r11: `evaluate bag_unpack(Col [, 'prefix'])` over BOTH dynamic
+    representations — JSON string and Spark map — with sorted key
+    columns, dropped source column, collision refusal."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    js = spark.createDataFrame(
+        [(1, '{"k": 5, "lang": "en"}'), (2, '{"k": 7}')],
+        "id long, props string")
+    rows = kql_to_df("T | evaluate bag_unpack(props) "
+                     "| order by id asc", {"T": js}).collect()
+    assert [(r["id"], r["k"], r["lang"]) for r in rows] == [
+        (1, "5", "en"), (2, "7", None)]
+    out = kql_to_df("T | evaluate bag_unpack(props, 'p_')", {"T": js})
+    assert out.columns == ["id", "p_k", "p_lang"]
+    mp = js.selectExpr("id", "map('a', id, 'b', id*2) AS m")
+    rows = kql_to_df("T | evaluate bag_unpack(m) | order by id asc",
+                     {"T": mp}).collect()
+    assert [(r["id"], r["a"], r["b"]) for r in rows] == [
+        (1, 1, 2), (2, 2, 4)]
+    # key colliding with an existing column: refuse, suggest prefix
+    clash = spark.createDataFrame([(1, '{"id": 9}')],
+                                  "id long, props string")
+    with pytest.raises(KqlError, match="collide"):
+        kql_to_df("T | evaluate bag_unpack(props)", {"T": clash})
+    with pytest.raises(KqlError, match="must be dynamic"):
+        kql_to_df("T | evaluate bag_unpack(id)", {"T": js})
 
 
 def test_top_hitters(spark):

@@ -779,6 +779,28 @@ class TestLooseTableRefs:
         assert loose_table_refs(
             "SELECT extract(month FROM ts) FROM a") == [("a", None)]
 
+    def test_comma_members_after_non_ident_item_still_surface(self):
+        """r10 advice: when the FIRST comma-list item is not a plain
+        identifier (table function, derived table, db-qualified name),
+        the scan used to return [] and every LATER member stayed
+        ungoverned — the skipped item is jumped, the rest surface."""
+        from corkscrew_spark.predicates import loose_table_refs
+
+        assert loose_table_refs(
+            "SELECT * FROM unnest(x) u, b") == [("b", None)]
+        assert loose_table_refs(
+            "SELECT * FROM (SELECT 1 AS k) d, b y") == [("b", "y")]
+        assert loose_table_refs(
+            "SELECT * FROM db.t1 a, b") == [("b", None)]
+        # skipped members mid-list too, and refs on both sides kept
+        assert loose_table_refs(
+            "SELECT * FROM a, unnest(x) u, c AS z") == [
+            ("a", None), ("c", "z")]
+        # a derived table's INNER refs stay unexposed (depth > 0)
+        assert loose_table_refs(
+            "SELECT * FROM (SELECT k FROM inner_t) d, b") == [
+            ("b", None)]
+
     def test_table_statement_head(self):
         from corkscrew_spark.predicates import (loose_table_refs,
                                                 set_operator_spans)

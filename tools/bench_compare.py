@@ -128,23 +128,38 @@ def main() -> int:
                        new.get("sf"))
         for name, a, b in regressions:
             w = warm.get(name)
+            # the warm verdict must be CALIB-NORMALIZED too (r11 —
+            # r10's warm numbers on a 1.4x-slower host breached the
+            # raw threshold at exactly the calib ratio, 'confirming'
+            # four host-drift flags): the warm re-time runs on
+            # TODAY'S host, the old number was recorded on the old
+            # one, so the comparison is only meaningful in
+            # calib-normalized units
+            w_adj = (round(w / cal_ratio, 3)
+                     if w is not None and cal_ratio is not None
+                     and cal_ratio > 1.0 else w)
             if w is None:
-                confirmed.append((name, a, b, None))
+                confirmed.append((name, a, b, None, None))
                 flag_records.append({"name": name, "old": a, "new": b,
                                      "warm": None,
                                      "verdict": "unconfirmed"})
-            elif w > a * args.threshold and w - a > 0.3:
-                confirmed.append((name, a, b, w))
+            elif w_adj > a * args.threshold and w_adj - a > 0.3:
+                confirmed.append((name, a, b, w, w_adj))
                 flag_records.append({"name": name, "old": a, "new": b,
-                                     "warm": w, "verdict": "confirmed"})
+                                     "warm": w, "warm_normalized": w_adj,
+                                     "verdict": "confirmed"})
             else:
                 print(f"noise      {name}: {a}s -> {b}s, "
-                      f"warm re-time {w}s — within threshold, dropped")
+                      f"warm re-time {w}s (calib-normalized {w_adj}s) "
+                      "— within threshold, dropped")
                 flag_records.append({"name": name, "old": a, "new": b,
-                                     "warm": w, "verdict": "noise"})
-        regressions = [(n, a, b) for n, a, b, _ in confirmed]
-        for name, a, b, w in sorted(confirmed, key=lambda r: r[1] - r[2]):
-            tag = f"warm {w}s" if w is not None else "re-time failed"
+                                     "warm": w, "warm_normalized": w_adj,
+                                     "verdict": "noise"})
+        regressions = [(n, a, b) for n, a, b, _w, _wa in confirmed]
+        for name, a, b, w, w_adj in sorted(confirmed,
+                                           key=lambda r: r[1] - r[2]):
+            tag = (f"warm {w}s, calib-normalized {w_adj}s"
+                   if w is not None else "re-time failed")
             print(f"REGRESSION (confirmed) {name}: {a}s -> {b}s "
                   f"({b / a:.2f}x, {tag})")
     else:
@@ -212,7 +227,57 @@ def main() -> int:
                   f"(median per-query ratio {mr})")
         except OSError as ex:
             print(f"could not record adjudication: {ex}")
+        _update_history(args.new, new, args.threshold)
     return 1 if regressions or not scan_ok else 0
+
+
+def _update_history(new_path: str, new: dict, threshold: float) -> None:
+    """Per-query CALIB-NORMALIZED history across rounds (r10 verdict
+    #2: the single-round compare misses slow two-round drift — a
+    query creeping +25% per round never breaches 1.3x in any one
+    comparison). Appends each query's time/calib ratio (dimensionless:
+    seconds per calibration-second, host-independent by construction)
+    to ``bench_history.json`` next to the detail file, keeps the last
+    8 entries, and prints a SUSTAINED DRIFT line when the TWO newest
+    entries BOTH exceed the pre-drift minimum by the threshold —
+    exactly the r10 dedup-family pattern (two independent runs up
+    ~1.3x calib-normalized, each individually dismissible)."""
+    calib = new.get("calib_sec")
+    if not calib:
+        return
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(new_path)) or ".",
+        "bench_history.json")
+    try:
+        with open(hist_path) as fh:
+            hist = json.load(fh)
+    except (OSError, ValueError):
+        hist = {}
+    for name, secs in new.get("queries", {}).items():
+        ent = hist.setdefault(name, [])
+        ent.append(round(secs / calib, 3))
+        del ent[:-8]
+    drifted = []
+    for name, ent in sorted(hist.items()):
+        if len(ent) < 4 or name not in new.get("queries", {}):
+            continue
+        base = min(ent[:-2])
+        # absolute guard mirrors the compare's 0.3s rule, in
+        # normalized units (0.3s at calib 1.0)
+        if all(v > base * threshold and v - base > 0.3
+               for v in ent[-2:]):
+            drifted.append((name, base, ent[-2], ent[-1]))
+    for name, base, p, c in drifted:
+        print(f"SUSTAINED DRIFT {name}: calib-normalized "
+              f"{base} -> {p} -> {c} over the last two rounds — "
+              "not dismissible as single-round host noise; profile it")
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(hist, fh)
+        print(f"history updated: {hist_path} "
+              f"({len(hist)} queries tracked)")
+    except OSError as ex:
+        print(f"could not write history: {ex}")
 
 
 if __name__ == "__main__":
