@@ -1122,6 +1122,30 @@ class QueryEngine:
         from corkscrew_spark import skipping as _skip
 
         bound = bind_params(sql, params)
+        # resolve time-travel clauses FIRST, exactly as validate()
+        # does before the governor runs (r11 — the dry-run reported
+        # 0 bytes for `vt VERSION AS OF n` statements the governor
+        # refuses on the snapshot's estimate: the raw clause is
+        # unparseable to the resolvers, so every reference vanished).
+        # Statement-scoped like a standalone validate: registrations
+        # are released in the finally, collected by the next GC.
+        own = not getattr(self._snap_tl, "in_execute", False)
+        if own:
+            self._snap_tl.views = []
+        try:
+            if self._versioned:
+                self._gc_snapshots()
+                bound = self._resolve_time_travel(bound)
+            return self._estimate_resolved(bound)
+        finally:
+            if own:
+                self._release_snapshots(
+                    getattr(self._snap_tl, "views", []))
+                self._snap_tl.views = []
+
+    def _estimate_resolved(self, bound: str) -> dict[str, Any]:
+        from corkscrew_spark import skipping as _skip
+
         out: dict[str, dict] = {}
         total_bytes = 0
         total_reads = 0

@@ -1944,3 +1944,95 @@ def kql_pruned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{opened} of {total} files")
     rows = result.collect()  # one row per language
     return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "engine_governed_timetravel",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderdate >= DATE '1998-05-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def engine_governed_timetravel(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Admission control THROUGH TIME TRAVEL (round-10 stretch #7):
+    a `VERSION AS OF n` read resolves to a ``name__vN`` warehouse
+    entry over the SNAPSHOT's immutable data dir, so the armed
+    governor estimates (and refuses) the snapshot's own files — never
+    the live table's, which after a shrinking overwrite could be
+    1000× smaller than the history being queried. Self-certifying:
+    v1 = the full dated-clustered orders extract with snapshot zone
+    maps (``compute_stats_version``), v2 = the small dated tail (the
+    live view). RAISES unless a mid-band budget ADMITS the bare
+    latest-version scan AND the date-pruned v1 read, REFUSES the bare
+    v1 scan on v1's own full estimate, and unless the DRY-RUN
+    (``estimate_statement``) reports v1's bytes for the refused
+    statement (r11 fix: the dry-run resolved no time-travel clauses
+    and reported 0 bytes for exactly these statements). Reference
+    parity: snapshot reads via versioned.go history + DuckDB scans;
+    the pre-open byte budget over snapshots is the 100 TB-scale
+    addition."""
+    import datetime as _dt
+
+    from corkscrew_spark import skipping, versioned
+    from corkscrew_spark.engine import QueryEngine, ScanBudgetExceeded
+
+    def _build(tmp: str) -> None:
+        tables = register_tables(spark, sf_dir)
+        ext = tables["orders"].select(
+            "o_orderkey", "o_orderdate", "o_orderpriority")
+        p = f"{tmp}/orders_vt"
+        versioned.write_version(
+            ext.repartitionByRange(8, "o_orderdate"), p)
+        versioned.write_version(
+            ext.filter("o_orderdate >= DATE '1998-05-01'").coalesce(1),
+            p)
+        versioned.compute_stats_version(spark, p, ["o_orderdate"],
+                                        version=1)
+        versioned.compute_stats_version(spark, p, ["o_orderdate"],
+                                        version=2)
+
+    tmp = _cert_fixture("govtt", sf_dir, _build)
+    p = f"{tmp}/orders_vt"
+    cut = _dt.date(1998, 5, 1)
+    v1_full = skipping.estimate_scan(f"{p}/v=1/data", [])
+    v1_pruned = skipping.estimate_scan(
+        f"{p}/v=1/data", [("o_orderdate", ">=", cut)])
+    v2_full = skipping.estimate_scan(f"{p}/v=2/data", [])
+    budget = max((v1_pruned["bytes_kept"] + v1_full["bytes_kept"]) // 2,
+                 v2_full["bytes_kept"] + 1,
+                 v1_pruned["bytes_kept"] + 1)
+    if not budget < v1_full["bytes_kept"]:
+        raise RuntimeError(
+            "no mid-band exists between the pruned/live estimates and "
+            "v1's full scan (clustering regression?)")
+    eng = QueryEngine(spark, register_helpers=False,
+                      max_scan_bytes=budget)
+    eng.register_versioned("ord_vt", p)
+    result = eng.execute("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ord_vt VERSION AS OF 1
+        WHERE o_orderdate >= DATE '1998-05-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""").df  # pruned v1: admitted
+    # the small live snapshot is admitted bare
+    eng.execute("SELECT COUNT(*) AS n FROM ord_vt VERSION AS OF 2")
+    bare_v1 = "SELECT COUNT(*) AS n FROM ord_vt VERSION AS OF 1"
+    try:
+        eng.execute(bare_v1)
+        raise RuntimeError(
+            "governor admitted a bare history scan over the snapshot "
+            "budget — time-travel reads are estimated against the "
+            "wrong files (round-10 stretch #7)")
+    except ScanBudgetExceeded:
+        pass
+    est = eng.estimate_statement(bare_v1)
+    if est["bytes_kept"] != v1_full["bytes_kept"]:
+        raise RuntimeError(
+            "dry-run diverges from the snapshot estimate enforcement "
+            f"refuses on: {est['bytes_kept']:,} != "
+            f"{v1_full['bytes_kept']:,} (r11 time-travel dry-run fix)")
+    rows = result.collect()  # <= 5 orderpriority rows
+    return spark.createDataFrame(rows, result.schema)

@@ -1875,6 +1875,89 @@ class TestFallbackGovernance:
         assert ok.execute(q).rows()[0].n == 800
 
 
+class TestTimeTravelGovernance:
+    """r10 verdict stretch #7: a time-traveled read resolves through a
+    `name__vN` warehouse entry pointing at the SNAPSHOT's immutable
+    data dir, so the armed governor must estimate — and refuse — the
+    snapshot's own files, never the live table's; and the r11
+    fallback rule applies to stats-less snapshots identically."""
+
+    @pytest.fixture()
+    def vt(self, spark, tmp_path):
+        """v1 = 800 rows over 8 files (big), v2 = 50 rows in 1 file
+        (small, the live view); both with snapshot zone maps."""
+        from corkscrew_spark import skipping, versioned
+
+        p = str(tmp_path / "vt")
+        versioned.write_version(
+            spark.range(800).selectExpr("id AS k")
+            .repartitionByRange(8, "k"), p)
+        versioned.write_version(
+            spark.range(50).selectExpr("id AS k").coalesce(1), p)
+        versioned.compute_stats_version(spark, p, ["k"], version=1)
+        versioned.compute_stats_version(spark, p, ["k"], version=2)
+        v1 = skipping.estimate_scan(f"{p}/v=1/data", [])["bytes_kept"]
+        v2 = skipping.estimate_scan(f"{p}/v=2/data", [])["bytes_kept"]
+        assert v2 < v1
+        return p, v1, v2
+
+    def test_budget_enforced_on_snapshot_files(self, spark, vt):
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        p, v1_full, v2_full = vt
+        budget = (v1_full + v2_full) // 2
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=budget)
+        gov.register_versioned("vt", p)
+        # the small snapshot fits the budget; the big one must be
+        # refused ON ITS OWN estimate even though the live view (= v2)
+        # is tiny — estimating the live table here would admit an
+        # 800-row history scan under a 50-row budget
+        assert gov.execute("SELECT COUNT(*) AS n FROM vt "
+                           "VERSION AS OF 2").rows()[0].n == 50
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            gov.execute("SELECT COUNT(*) AS n FROM vt VERSION AS OF 1")
+        # a selective predicate prunes through the SNAPSHOT's zone
+        # maps and is admitted under the same budget
+        pruned = skipping.estimate_scan(
+            f"{p}/v=1/data", [("k", ">=", 700)])["bytes_kept"]
+        assert pruned < budget
+        r = gov.execute("SELECT COUNT(*) AS n FROM vt "
+                        "VERSION AS OF 1 WHERE k >= 700")
+        assert r.rows()[0].n == 100
+        # dry-run parity: the estimate resolves the snapshot too
+        est = gov.estimate_statement(
+            "SELECT COUNT(*) AS n FROM vt VERSION AS OF 1")
+        assert est["bytes_kept"] == v1_full
+
+    def test_stats_less_snapshot_governed_at_fallback(
+            self, spark, tmp_path):
+        """A snapshot that never saw compute_stats_version is the
+        stats-less table case: counted at full fallback bytes (r11),
+        with the remedy in the refusal."""
+        from corkscrew_spark import versioned
+        from corkscrew_spark.engine import ScanBudgetExceeded
+
+        p = str(tmp_path / "vns")
+        versioned.write_version(
+            spark.range(400).selectExpr("id AS k")
+            .repartitionByRange(4, "k"), p)
+        gov = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=1)
+        gov.register_versioned("vns", p)
+        with pytest.raises(ScanBudgetExceeded,
+                           match="stats are unavailable"):
+            gov.execute("SELECT COUNT(*) AS n FROM vns "
+                        "VERSION AS OF 1 WHERE k >= 390")
+        big = QueryEngine(spark, register_helpers=False,
+                          max_scan_bytes=10 ** 12)
+        big.register_versioned("vns", p)
+        assert big.execute("SELECT COUNT(*) AS n FROM vns "
+                           "VERSION AS OF 1 WHERE k >= 390"
+                           ).rows()[0].n == 10
+
+
 def test_readonly_gate_spaced_leading_parens():
     """r10 advice: lstrip('(') alone left whitespace between parens,
     spuriously rejecting `( (SELECT …) UNION (SELECT …) )`."""
