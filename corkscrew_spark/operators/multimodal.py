@@ -213,6 +213,97 @@ class PPMImageDecoder(MediaDecoder):
                 {**meta, "format": "ppm", "width": width, "height": height})
 
 
+class WavAudioDecoder(MediaDecoder):
+    """REAL audio decoding with no native deps: RIFF/WAVE PCM (the
+    canonical uncompressed audio container — ``RIFF`` header, ``fmt ``
+    chunk, ``data`` chunk) parsed with numpy alone. The SECOND real
+    decoder behind the ``set_decoder`` seam (round-10 stretch #8): the
+    PPM decoder proved pixels come out of bytes; this proves the seam
+    is FORMAT-GENERIC — a completely different modality (8/16/32-bit
+    PCM, mono or multichannel with mixdown) flows through the same
+    Spark plumbing (schema, Arrow batches, partitioning) untouched.
+
+    Features: the first dim/2 slots are windowed RMS energy, the
+    second dim/2 are windowed zero-crossing rate — the two classic
+    cheap audio descriptors, deterministic and verifiable against a
+    stdlib-``wave`` reference decode in tests. Non-audio kinds and
+    undecodable bytes fall back to the hash fake so a mixed corpus
+    never kills the job (same contract as PPMImageDecoder)."""
+
+    name = "wav"
+
+    @staticmethod
+    def _decode(content: bytes):
+        """(mono float32 samples in [-1, 1], sample_rate) or None."""
+        import numpy as np
+
+        if (not content or len(content) < 44
+                or content[:4] != b"RIFF" or content[8:12] != b"WAVE"):
+            return None
+        try:
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(content):
+                cid = content[pos:pos + 4]
+                sz = int.from_bytes(content[pos + 4:pos + 8], "little")
+                body = content[pos + 8:pos + 8 + sz]
+                if cid == b"fmt " and len(body) >= 16:
+                    fmt = (int.from_bytes(body[0:2], "little"),
+                           int.from_bytes(body[2:4], "little"),
+                           int.from_bytes(body[4:8], "little"),
+                           int.from_bytes(body[14:16], "little"))
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                return None
+            audio_fmt, n_ch, sr, bits = fmt
+            if audio_fmt != 1 or n_ch < 1 or sr <= 0:
+                return None  # PCM only (no float/ADPCM/extensible)
+            if bits == 16:
+                x = np.frombuffer(
+                    data, dtype="<i2", count=len(data) // 2
+                ).astype(np.float32) / 32768.0
+            elif bits == 8:  # 8-bit WAV is UNSIGNED, midpoint 128
+                x = (np.frombuffer(data, dtype=np.uint8)
+                     .astype(np.float32) - 128.0) / 128.0
+            elif bits == 32:
+                x = np.frombuffer(
+                    data, dtype="<i4", count=len(data) // 4
+                ).astype(np.float32) / 2147483648.0
+            else:
+                return None
+            if x.size == 0:
+                return None
+            if n_ch > 1:  # mixdown: mean over interleaved channels
+                usable = (x.size // n_ch) * n_ch
+                if usable == 0:
+                    return None
+                x = x[:usable].reshape(-1, n_ch).mean(axis=1)
+            return x, sr
+        except (ValueError, IndexError):
+            return None
+
+    def features(self, content: bytes, kind: str, meta: dict,
+                 dim: int) -> list[float]:
+        import numpy as np
+
+        decoded = self._decode(content) if kind == "audio" else None
+        if decoded is None:
+            return _fake_features(content, dim)
+        x, _sr = decoded
+        half = max(1, dim // 2)
+        edges = np.linspace(0, x.size, half + 1).astype(int)
+        rms: list[float] = []
+        zcr: list[float] = []
+        for i in range(half):
+            seg = x[edges[i]:max(edges[i + 1], edges[i] + 1)]
+            rms.append(float(np.sqrt(np.mean(seg * seg))))
+            zcr.append(float(np.mean(
+                np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+                if seg.size > 1 else 0.0)
+        return ((rms + zcr) + [0.0] * dim)[:dim]
+
+
 _DECODER: MediaDecoder | None = None
 _PIL_PROBED = False
 
@@ -324,6 +415,45 @@ def synth_ppm_media(spark, n: int = 64, width: int = 8,
             F.lit(width).alias("width"),
             F.lit(height).alias("height"),
             F.lit(1000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def synth_wav_media(spark, n: int = 64, ms: int = 100,
+                    sr: int = 8000) -> DataFrame:
+    """Fake media table whose AUDIO rows are REAL decodable RIFF/WAVE
+    PCM files (constant 44-byte header for a fixed (sr, length) +
+    sha2-derived 16-bit sample bytes — deterministic noise is still
+    valid PCM), generated distributed with pure JVM expressions like
+    synth_ppm_media — so the WavAudioDecoder path runs end-to-end on
+    genuine audio bytes with no codec wheel."""
+    import struct
+
+    data_sz = (sr * ms // 1000) * 2  # 16-bit mono
+    reps = (data_sz + 31) // 32  # sha2-256 digest = 32 bytes
+    header = (b"RIFF" + struct.pack("<I", 36 + data_sz) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                      sr * 2, 2, 16)
+              + b"data" + struct.pack("<I", data_sz))
+    i = F.col("id")
+    payload = F.substring(
+        F.unhex(F.repeat(F.sha2(i.cast("string"), 256), reps)),
+        1, data_sz)
+    return spark.range(n).select(
+        i.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (i % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.when(i % 3 == 1, F.concat(F.lit(header), payload))
+         .otherwise(F.unhex(F.repeat(F.sha2(i.cast("string"), 256), 8)))
+         .alias("content"),
+        F.struct(
+            F.when(i % 3 == 1, F.lit("wav")).otherwise(F.lit("fake"))
+             .alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(ms).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
 

@@ -366,6 +366,40 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_wav_decode")
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end with no codec wheel (round-10
+    stretch #8 — the seam is format-generic): distributed RIFF/WAVE
+    PCM synthesis (constant 44-byte header + sha2 sample bytes, pure
+    JVM expressions) → WavAudioDecoder bound through the SAME
+    set_decoder seam the image decoders use → Arrow mapInPandas
+    sample decode + windowed RMS/zero-crossing features → per-kind
+    rollup. Audio rows decode actual PCM (decoder column 'wav');
+    image/video fall back to the hash fake inside the same pass.
+    Rows-only: the sample math is verified against a stdlib-`wave`
+    reference decode in tests/test_multimodal.py. The decoder binds
+    only while the PLAN is built (the closure captures it); global
+    state is restored before returning."""
+    from corkscrew_spark.operators import multimodal
+
+    media = multimodal.synth_wav_media(spark, 66, ms=80)
+    prev, probed = multimodal._DECODER, multimodal._PIL_PROBED
+    multimodal.set_decoder(multimodal.WavAudioDecoder())
+    try:
+        feats = multimodal.extract_features(media, dim=8, shards=4)
+    finally:
+        multimodal._DECODER, multimodal._PIL_PROBED = prev, probed
+    return (
+        feats.groupBy("kind", "decoder")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min(F.size("feature")).alias("dim"),
+            F.round(F.sum(F.element_at("feature", 1)), 3).alias("sum_f0"),
+        )
+        .orderBy("kind")
+    )
+
+
 @query(
     "fuzzy_match_parts",
     oracle="""

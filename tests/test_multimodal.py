@@ -142,6 +142,93 @@ def test_ppm_decoder_handles_comments_and_garbage():
                                               raster * 2) is None
 
 
+def test_wav_decoder_matches_stdlib_wave_reference(tmp_path):
+    """The pure-numpy RIFF/WAVE parser is checked against the stdlib
+    `wave` WRITER (the canonical encoder): a known 16-bit mono signal
+    round-trips to the exact float samples, stereo mixes down to the
+    channel mean, 8-bit unsigned centers on 128, and garbage/
+    truncated/float-PCM bytes return None — never raise."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    dec = multimodal.WavAudioDecoder()
+
+    def _wav(frames: bytes, ch: int = 1, width: int = 2,
+             sr: int = 8000) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    samples = [0, 16384, -16384, 32767, -32768, 1]
+    x, sr = dec._decode(_wav(struct.pack("<6h", *samples)))
+    assert sr == 8000
+    assert x == pytest.approx([s / 32768.0 for s in samples])
+    # stereo mixdown = interleaved channel mean
+    stereo = struct.pack("<4h", 1000, 3000, -2000, -4000)
+    x2, _ = dec._decode(_wav(stereo, ch=2))
+    assert x2 == pytest.approx([2000 / 32768.0, -3000 / 32768.0])
+    # 8-bit WAV is unsigned with midpoint 128
+    x3, _ = dec._decode(_wav(bytes([128, 255, 0]), width=1))
+    assert x3 == pytest.approx([0.0, 127 / 128.0, -1.0])
+    # non-PCM / malformed inputs: None, not an exception
+    assert dec._decode(b"JFIF....") is None
+    assert dec._decode(b"RIFF\x00\x00\x00\x00WAVE") is None
+    ieee = bytearray(_wav(struct.pack("<2h", 1, 2)))
+    ieee[20:22] = struct.pack("<H", 3)  # IEEE-float format tag
+    assert dec._decode(bytes(ieee)) is None
+    # features: windowed RMS halves then zero-crossing halves
+    wav = _wav(struct.pack("<4h", 16384, -16384, 16384, -16384))
+    f = dec.features(wav, "audio", {}, 4)
+    assert f[0] == pytest.approx(0.5) and f[1] == pytest.approx(0.5)
+    assert f[2] == pytest.approx(1.0) and f[3] == pytest.approx(1.0)
+    # non-audio kind: deterministic fake, same as unbound mode
+    assert dec.features(wav, "image", {}, 4) == \
+        multimodal._fake_features(wav, 4)
+
+
+def test_wav_decoder_real_samples_through_spark(spark):
+    """REAL audio decode, no codec wheel: WAV bytes generated
+    distributed (synth_wav_media) are parsed to PCM samples by
+    WavAudioDecoder inside the Arrow mapInPandas stage — the same
+    seam the image decoders use, proving it format-generic; features
+    must equal a driver-side reference decode of the same bytes."""
+    dec = multimodal.WavAudioDecoder()
+    multimodal.set_decoder(dec)
+    try:
+        media = multimodal.synth_wav_media(spark, 15, ms=50)
+        rows = {r["media_id"]: r for r in media.collect()}
+        feats = {r["media_id"]: r for r in
+                 multimodal.extract_features(media, dim=8, shards=2)
+                 .collect()}
+        assert len(feats) == 15
+        for mid, r in feats.items():
+            src = rows[mid]
+            expect = dec.features(bytes(src["content"]), src["kind"],
+                                  src["meta"].asDict(), 8)
+            assert r["decoder"] == "wav"
+            assert r["feature"] == [pytest.approx(v, abs=1e-6)
+                                    for v in expect]
+        # audio rows decode for real: 50ms at 8kHz = 400 samples
+        aud = next(r for r in rows.values() if r["kind"] == "audio")
+        x, sr = multimodal.WavAudioDecoder._decode(
+            bytes(aud["content"]))
+        assert sr == 8000 and x.size == 400
+        # and their features differ from the hash fake (real decode)
+        f = feats[aud["media_id"]]["feature"]
+        assert f != pytest.approx(multimodal._fake_features(
+            bytes(aud["content"]), 8))
+    finally:
+        multimodal._PIL_PROBED = False
+        multimodal._DECODER = None
+
+
 def test_no_decoder_fake_mode_and_loud_gate(spark):
     """Without a bound decoder (and no PIL wheel — this sandbox) the
     stages run the deterministic fake and require_decoder raises with
