@@ -664,6 +664,110 @@ def _split_stages(query: str) -> list[str]:
     return _split_on_top_level(query, "|")
 
 
+def _split_statements(query: str) -> list[str]:
+    """Split on top-level ';' — `let Name = …;` statements before the
+    final tabular expression (semicolons inside strings/parens never
+    split)."""
+    return _split_on_top_level(query, ";")
+
+
+#: `let Name = <body>` statement head (Kusto's binding statement).
+_LET_RE = re.compile(r"\s*let\s+([A-Za-z_]\w*)\s*=\s*(.*)$",
+                     re.DOTALL | re.IGNORECASE)
+
+
+def _scalar_let_source(body: str) -> str | None:
+    """The literal's source text when ``body`` is a single SCALAR
+    literal — number, string, ``datetime(…)``, timespan, true/false,
+    or a negated number — else None (a tabular let). Scalar lets
+    substitute lexically into later statements; anything fancier
+    (computed scalars, functions) is out of dialect and falls through
+    to the tabular path, whose compile error names the head."""
+    try:
+        toks = _tokenize(body)
+    except KqlError:
+        return None
+    if len(toks) == 1 and toks[0].kind in (
+            "number", "string", "datetime", "timespan"):
+        return body.strip()
+    if (len(toks) == 1 and toks[0].kind == "ident"
+            and toks[0].text.lower() in ("true", "false")):
+        return body.strip()
+    if (len(toks) == 2 and toks[0].kind == "op" and toks[0].text == "-"
+            and toks[1].kind == "number"):
+        return body.strip()
+    return None
+
+
+def _apply_scalar_lets(text: str, subs: list[tuple[str, str]]) -> str:
+    """Token-aware substitution of scalar-let names: only bare IDENT
+    tokens replace (never text inside string literals, never dotted
+    tails like ``$left.name``, never function-call heads), spliced
+    right-to-left so positions stay valid. Name matching is
+    case-sensitive like Kusto identifiers. A let name used as an
+    assignment TARGET later (``extend cutoff = …``) substitutes too
+    and fails the stage parse loudly — Kusto likewise rejects the
+    collision, never silently shadows."""
+    if not subs:
+        return text
+    try:
+        toks = _tokenize(text)
+    except KqlError:
+        return text  # the compile of the raw text will error loudly
+    repl = dict(subs)
+    edits: list[tuple[int, int, str]] = []
+    for i, t in enumerate(toks):
+        if t.kind != "ident" or t.text not in repl:
+            continue
+        if i > 0 and toks[i - 1].kind == "op" \
+                and toks[i - 1].text == ".":
+            continue  # dotted tail: $left.name, not the let
+        if i + 1 < len(toks) and toks[i + 1].kind == "op" \
+                and toks[i + 1].text == "(":
+            continue  # function-call head, not the let
+        edits.append((t.pos, t.pos + len(t.text), repl[t.text]))
+    for s, e, r in sorted(edits, reverse=True):
+        text = text[:s] + r + text[e:]
+    return text
+
+
+def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """Compile a full KQL QUERY: zero or more ``let Name = …;``
+    binding statements, then the final tabular expression. Tabular
+    lets compile to DataFrames visible to every LATER statement
+    (plain lazy plans — Spark reuses the subtree; no materialization,
+    matching Kusto's default non-materialized ``let``); scalar-
+    literal lets substitute lexically. Reference KQL surface:
+    plugins/azure-provider/resource_graph.go — ARG dashboards lead
+    with let bindings almost universally."""
+    stmts = _split_statements(query)
+    if not stmts:
+        raise KqlError("KQL: empty query")
+    if _LET_RE.match(stmts[-1]):
+        raise KqlError(
+            "KQL: the query must end with a tabular expression, not "
+            "a let statement")
+    tabs = dict(tables)
+    subs: list[tuple[str, str]] = []
+    for s in stmts[:-1]:
+        m = _LET_RE.match(s)
+        if not m:
+            raise KqlError(
+                "KQL: only `let Name = …;` statements may precede "
+                f"the final pipeline, got {s.strip()[:40]!r}")
+        name, body = m.group(1), m.group(2).strip()
+        if not body:
+            raise KqlError(f"KQL: empty let body for {name!r}")
+        body = _apply_scalar_lets(body, subs)
+        lit = _scalar_let_source(body)
+        if lit is not None:
+            subs.append((name, lit))
+        else:
+            tabs[name] = _StageCompiler(tabs).compile(body)
+    return _StageCompiler(tabs).compile(
+        _apply_scalar_lets(stmts[-1], subs))
+
+
 def _expect_next(toks: list, i: int, allowed: tuple, what: str) -> None:
     """Raise when an expression leaves trailing tokens the stage grammar
     does not expect. Silently dropping them is the dangerous failure
@@ -989,7 +1093,44 @@ class _StageCompiler:
             return self._lookup(df, rest)
         if op == "evaluate":
             return self._evaluate(df, rest)
+        if op == "search":
+            return self._search(df, rest)
         raise KqlError(f"KQL: unsupported operator {op!r}")
+
+    def _search(self, df: DataFrame, rest: str) -> DataFrame:
+        """``search [kind=case_insensitive|case_sensitive] 'term'`` —
+        Kusto's cross-column grep: keep rows where ANY column's string
+        rendering contains the term (case-insensitive by default).
+        Compiles to one OR-of-contains predicate over every column —
+        scan-side, codegen, pushable; no Python. The richer search
+        grammar (column predicates, wildcards, `search in (T1, T2)`)
+        is out of dialect — use `where` / `union` compositions."""
+        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?(.+)$", rest.strip(),
+                     re.DOTALL)
+        if not m:
+            raise KqlError("KQL: search needs `search ['kind='…] 'term'`")
+        kind = (m.group(1) or "default").lower()
+        if kind not in ("default", "case_insensitive",
+                        "case_sensitive"):
+            raise KqlError(
+                f"KQL: unsupported search kind {kind!r} (have: "
+                "case_insensitive, case_sensitive)")
+        toks = _tokenize(m.group(2))
+        if len(toks) != 1 or toks[0].kind != "string":
+            raise KqlError(
+                "KQL: search term must be a single string literal, "
+                f"got {m.group(2).strip()!r}")
+        term = toks[0].text
+        if not df.columns:
+            raise KqlError("KQL: search on a zero-column input")
+        cs = kind == "case_sensitive"
+        cond = None
+        for c in df.columns:
+            col = F.col(c).cast("string")
+            p = (col.contains(term) if cs
+                 else F.lower(col).contains(term.lower()))
+            cond = p if cond is None else (cond | p)
+        return df.filter(cond)
 
     def _evaluate(self, df: DataFrame, rest: str) -> DataFrame:
         """``evaluate <plugin>(args)`` — the Kusto plugin operator.
@@ -1075,16 +1216,15 @@ class _StageCompiler:
             dtype = df.schema[cname].dataType
             col = F.col(cname)
             if isinstance(dtype, MapType):
-                key_rows = df.select(
-                    F.explode(F.map_keys(col)).alias("k")
-                ).distinct().collect()
+                keys_df = df.select(
+                    F.explode(F.map_keys(col)).alias("k")).distinct()
 
                 def _get(k: str) -> Column:
                     return col.getItem(k)
             elif isinstance(dtype, StringType):
-                key_rows = df.select(
+                keys_df = df.select(
                     F.explode(F.json_object_keys(col)).alias("k")
-                ).distinct().collect()
+                ).distinct()
 
                 def _get(k: str) -> Column:
                     esc = k.replace("'", "\\'")
@@ -1094,6 +1234,23 @@ class _StageCompiler:
                     f"KQL: bag_unpack column {cname!r} must be "
                     "dynamic (map or JSON string), got "
                     f"{dtype.simpleString()}")
+            # key discovery is a driver collect and each key becomes
+            # an output COLUMN: a high-cardinality bag (ids as keys —
+            # the classic mistake) would OOM the driver and produce a
+            # million-column plan at 100 TB. Cap it LOUDLY; Spark's
+            # own pivot has the same guard (spark.sql.pivotMaxValues).
+            import os as _os
+            max_keys = int(_os.environ.get(
+                "CORKSCREW_BAG_UNPACK_MAX_KEYS", "1000"))
+            key_rows = keys_df.limit(max_keys + 1).collect()
+            if len(key_rows) > max_keys:
+                raise KqlError(
+                    f"KQL: bag_unpack of {cname!r} found more than "
+                    f"{max_keys} distinct keys — each key becomes an "
+                    "output column, so this bag is keyed on values, "
+                    "not fields; mv-expand + summarize is the "
+                    "scalable shape (raise CORKSCREW_BAG_UNPACK_"
+                    "MAX_KEYS to override)")
             keys = sorted(r["k"] for r in key_rows if r["k"])
             others = [c for c in df.columns if c != cname]
             clash = [prefix + k for k in keys if prefix + k in others]
@@ -2021,8 +2178,18 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
     """(head_table_lower, leading_where_texts) for this pipeline AND,
     recursively, for each ``join kind=...( sub )`` / parenthesized or
     bare ``union`` operand — every place the compiler resolves a table
-    name from the ``tables`` mapping."""
+    name from the ``tables`` mapping. Multi-statement queries (``let
+    Name = …;`` bindings) scan EVERY statement's body — a warehouse
+    table read inside a let binding is a real scan the governor must
+    see (the let name itself is never a warehouse table, so its later
+    references resolve to nothing here, correctly)."""
     out: list[tuple[str, list[str]]] = []
+    stmts = _split_statements(query)
+    if len(stmts) > 1:
+        for s in stmts:
+            m = _LET_RE.match(s)
+            out.extend(_pipeline_refs(m.group(2) if m else s))
+        return out
     stages = _split_stages(query)
     if not stages:
         return out
@@ -2362,7 +2529,7 @@ def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     ``_jdf``) compilation stays lazy and the mismatch surfaces at
     action time instead — degraded error UX, never a broken compiler.
     """
-    df = _StageCompiler(tables).compile(query)
+    df = _compile_query(query, tables)
     if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
         return df
     try:

@@ -742,3 +742,69 @@ def kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_let_statements",
+    oracle="""
+    WITH clicks AS (
+        SELECT * FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(user_id % 5 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sv
+    FROM clicks
+    WHERE value >= 10.0
+    GROUP BY grp
+    ORDER BY grp ASC
+    """,
+)
+def kql_let_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`let` binding statements (r11 dialect completion) — the single
+    most common construct in real ARG dashboard queries (reference
+    KQL surface: plugins/azure-provider/resource_graph.go): a scalar
+    literal let substitutes lexically, a tabular let compiles to a
+    named lazy DataFrame reused by later statements (no
+    materialization, matching Kusto's default). The compiled plan is
+    identical to the inlined pipeline — Catalyst sees one tree, so
+    predicate pushdown crosses the binding untouched."""
+    return kql_to_df(
+        """
+        let cutoff = 10.0;
+        let Clicks = events | where event_type == 'click';
+        Clicks
+        | where value >= cutoff
+        | extend grp = user_id % 5
+        | summarize n = count(), sv = round(sum(value), 2) by grp
+        | order by grp asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_search",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE lower(event_type) LIKE '%pur%'
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def kql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`search 'term'` (r11 dialect completion) — Kusto's cross-column
+    grep: one OR-of-contains predicate over every column's string
+    rendering, case-insensitive by default; pure codegen, scan-side.
+    The term 'pur' can only occur in the event_type column of this
+    table (every other column renders as digits/timestamps), which the
+    oracle mirrors with a single LIKE."""
+    return kql_to_df(
+        """
+        events
+        | search 'pur'
+        | summarize n = count() by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )

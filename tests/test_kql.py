@@ -1306,6 +1306,106 @@ def test_case_sensitive_family_and_matches_regex(spark):
         kql_to_df("T | serialize rn = row_number()", t)
 
 
+def test_let_statements(spark):
+    """r11: `let Name = …;` bindings — scalar literals substitute
+    lexically (token-aware: never inside strings, dotted tails, or
+    function-call heads), tabular lets become named DataFrames
+    visible to later statements, chains and datatable bodies work,
+    and malformed statement sequences error loudly."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    ev = spark.createDataFrame(
+        [(1, "click", 5.0), (2, "view", 2.0), (3, "click", 9.0),
+         (4, "error", 1.0)],
+        "id long, et string, v double")
+    t = {"T": ev}
+    got = kql_to_df(
+        """let cutoff = 3.0;
+           let Clicks = T | where et == 'click';
+           Clicks | where v >= cutoff
+           | summarize n = count(), s = sum(v)""", t).first()
+    assert (got["n"], got["s"]) == (2, 14.0)
+    # scalar lets chain and feed tabular lets
+    assert kql_to_df(
+        """let a = 2; let b = 'click';
+           let Big = T | where v >= a;
+           Big | where et == b | count""", t).first()["Count"] == 2
+    # datatable body in a let, joined later
+    assert kql_to_df(
+        """let Dim = datatable(et:string, w:long)
+               ['click', 10, 'view', 20];
+           T | join kind=inner (Dim) on et
+           | summarize tw = sum(w)""", t).first()["tw"] == 40
+    # a let name inside a STRING literal never substitutes
+    assert kql_to_df(
+        "let x = 99; T | where et == 'x' | count",
+        t).first()["Count"] == 0
+    # function-call heads keep their name (let count = … must not
+    # break count()); dotted tails keep theirs
+    assert kql_to_df(
+        "let sum = 7; T | summarize s = sum(v)",
+        t).first()["s"] == 17.0
+    with pytest.raises(KqlError, match="end with a tabular"):
+        kql_to_df("let x = 1; let y = 2;", t)
+    with pytest.raises(KqlError, match="only `let"):
+        kql_to_df("T | count; T | count", t)
+    with pytest.raises(KqlError, match="empty let body"):
+        kql_to_df("let x = ; T | count", t)
+
+
+def test_let_bodies_are_governed(spark, tmp_path):
+    """A warehouse read inside a `let` BODY is a real scan: the
+    governor must see it (refs recurse into every statement), and
+    the let-bound read still prunes when attributable."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.engine import ScanBudgetExceeded
+    from corkscrew_spark.kql import _pipeline_refs, kql_to_df_skipping
+
+    path = str(tmp_path / "let_t")
+    spark.range(800).select(
+        F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    q = "let Big = T | where k >= 700; Big | count"
+    assert ("t", ["k >= 700"]) in _pipeline_refs(q)
+    with pytest.raises(ScanBudgetExceeded, match="budget"):
+        kql_to_df_skipping(spark, q, {"T": path}, max_scan_bytes=1)
+    pruned = skipping.estimate_scan(path, [("k", ">=", 700)])
+    got = kql_to_df_skipping(
+        spark, q, {"T": path},
+        max_scan_bytes=pruned["bytes_kept"] + 1)
+    assert got.first()["Count"] == 100
+    assert 0 < len(got.inputFiles()) <= 2  # the let body's read pruned
+
+
+def test_search_operator(spark):
+    """r11: `search 'term'` — cross-column contains over every
+    column's string rendering, case-insensitive by default,
+    kind=case_sensitive honored; non-literal terms refused."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, "Alpha", "note-x"), (2, "beta", "ALPHA dog"),
+         (3, "gamma", None)],
+        "id long, s string, t string")
+    tabs = {"T": df}
+
+    def ids(q):
+        return sorted(r["id"] for r in kql_to_df(q, tabs).collect())
+
+    assert ids("T | search 'alpha'") == [1, 2]
+    assert ids("T | search kind=case_sensitive 'Alpha'") == [1]
+    assert ids("T | search kind=case_sensitive 'ALPHA'") == [2]
+    # numeric columns render as strings and match too
+    assert ids("T | search '3'") == [3]
+    with pytest.raises(KqlError, match="string literal"):
+        kql_to_df("T | search s", tabs)
+    with pytest.raises(KqlError, match="unsupported search kind"):
+        kql_to_df("T | search kind=regex 'x'", tabs)
+
+
 def test_datatable_head(spark):
     """r11: `datatable(Col:type, …) [v1, v2, …]` — literal table head
     with row-major values, typed nulls, datetimes, negatives; count
@@ -1398,6 +1498,23 @@ def test_evaluate_bag_unpack(spark):
         kql_to_df("T | evaluate bag_unpack(props)", {"T": clash})
     with pytest.raises(KqlError, match="must be dynamic"):
         kql_to_df("T | evaluate bag_unpack(id)", {"T": js})
+    # key-cardinality guard: a bag keyed on VALUES would become a
+    # million-column plan at scale — refused loudly over the cap
+    import pyspark.sql.functions as SF
+    wide = spark.range(20).select(
+        SF.col("id"),
+        SF.concat(SF.lit('{"key'), SF.col("id"),
+                  SF.lit('": 1}')).alias("props"))
+    monkey_env = pytest.MonkeyPatch()
+    monkey_env.setenv("CORKSCREW_BAG_UNPACK_MAX_KEYS", "10")
+    try:
+        with pytest.raises(KqlError, match="more than 10 distinct"):
+            kql_to_df("T | evaluate bag_unpack(props)", {"T": wide})
+        monkey_env.setenv("CORKSCREW_BAG_UNPACK_MAX_KEYS", "30")
+        assert len(kql_to_df("T | evaluate bag_unpack(props)",
+                             {"T": wide}).columns) == 21
+    finally:
+        monkey_env.undo()
 
 
 def test_top_hitters(spark):
