@@ -58,54 +58,55 @@ _DRIVER_RECORDED = frozenset({
     "discount_effectiveness", "distinct_sketch_rollup", "dq_orphan_audit",
     "drift_detect", "engine_param_binding", "engine_pruned_cte",
     "engine_pruned_derived", "engine_pruned_exists", "engine_pruned_join",
-    "engine_pruned_scan", "engine_scan_governor", "event_transition_matrix",
-    "filter_project_sort", "filter_range_limit", "fulfillment_latency",
-    "funnel_steps", "fuzzy_match_parts", "graph_communities",
-    "graph_degree_distribution", "graph_hits", "graph_khop",
-    "graph_khop_cte", "graph_pagerank", "graph_shortest_path",
+    "engine_pruned_scan", "engine_pruned_union", "engine_scan_governor",
+    "event_transition_matrix", "filter_project_sort", "filter_range_limit",
+    "fulfillment_latency", "funnel_steps", "fuzzy_match_parts",
+    "graph_communities", "graph_degree_distribution", "graph_hits",
+    "graph_khop", "graph_khop_cte", "graph_pagerank", "graph_shortest_path",
     "graph_summary", "graph_topo_levels", "graph_triangles",
     "graph_weighted_sssp", "grouping_sets_orders", "having_large_orders",
     "hourly_seasonality", "impact_scoring", "in_list_filter",
     "incremental_refresh_equals_recompute", "incremental_rollup",
     "intersect_except_branches", "interval_join_sessions", "iqr_outliers",
     "json_extract_agg", "k_anonymity_audit", "kql_arg_max_order",
-    "kql_bin_6h", "kql_case_tiers", "kql_docs_tokens", "kql_events_rollup",
-    "kql_join_spend", "kql_make_series_daily", "kql_mv_apply_tokens",
-    "kql_parse_props", "kql_parse_regex", "kql_parse_where",
-    "kql_percentile_value", "kql_pruned_pipeline", "kql_scan_governor",
-    "kql_summarize", "kql_time_bins", "kql_top_nested", "kql_union_mix",
-    "langid_confusion", "left_join_histogram", "levenshtein_suggest",
-    "like_filter", "linear_interpolate_value", "locf_gap_fill",
-    "mad_outlier_bounds", "mixture_rates_for_budget", "motif_open_triads",
-    "moving_avg_frame", "multimodal_features", "multimodal_ppm_decode",
-    "mv_expand_tokens", "ntile_price_bins", "null_safe_join",
-    "numeric_histogram", "ohlc_hourly", "order_gap_profile",
-    "order_priority_exists", "ordered_listagg", "orders_above_cust_avg",
-    "pack_sequences", "pack_sequences_sep", "paginate_offset",
-    "percentile_exact", "pivot_priority_status", "pricing_summary",
-    "profile_orders", "quality_threshold_sweep", "range_frame_weekly_sum",
-    "reconcile_snapshots", "regex_extract", "region_revenue_share",
-    "region_rollup", "regional_revenue", "resolve_entities",
-    "retention_cohorts", "retention_drop_effect", "returned_items_revenue",
-    "rolling_zscore_anomalies", "rollup_segment_nation", "sample_by_quality",
-    "sample_fixed_per_lang", "sample_mixture", "sample_stratified",
-    "sample_weighted_tokens", "seasonal_anomaly_days", "self_join_pairs",
-    "semdedup_embeddings", "semi_join", "sequence_spans",
-    "session_stats_30m", "shipping_priority", "shuffle_order",
-    "sketch_weekly_distinct", "skew_profile_custkey", "source_token_kl",
-    "state_as_of", "state_checksum", "state_dwell_times", "string_functions",
-    "supplier_reliability", "telemetry_rollup", "text_bigram_logprob",
-    "text_c4_filters", "text_classifier_score", "text_fingerprint",
-    "text_gopher_filters", "text_langid", "text_length_bands",
-    "text_quality", "text_redact", "text_repetition", "text_search_and",
-    "text_unigram_logprob", "tfidf_top_terms", "time_range_agg",
-    "token_count_bpe", "token_quantiles_approx", "top_changed_resources",
-    "top_customers", "top_selling_parts", "topk_per_group", "topk_with_ties",
-    "union_branches", "unpivot_priority_status", "upsert_latest",
-    "user_event_entropy", "user_event_timeline", "value_regression",
-    "variant_json_agg", "versioned_pruned_read", "versioned_time_travel",
-    "vocab_growth", "window_filtered_sum", "window_lag",
-    "window_rank_family", "zipf_slope",
+    "kql_bin_6h", "kql_case_tiers", "kql_cs_in_matches", "kql_docs_tokens",
+    "kql_events_rollup", "kql_join_spend", "kql_lookup_dim",
+    "kql_make_series_daily", "kql_mv_apply_tokens", "kql_parse_props",
+    "kql_parse_regex", "kql_parse_where", "kql_percentile_value",
+    "kql_pruned_pipeline", "kql_scan_governor", "kql_summarize",
+    "kql_time_bins", "kql_top_hitters", "kql_top_nested",
+    "kql_top_nested_others", "kql_union_mix", "langid_confusion",
+    "left_join_histogram", "levenshtein_suggest", "like_filter",
+    "linear_interpolate_value", "locf_gap_fill", "mad_outlier_bounds",
+    "mixture_rates_for_budget", "motif_open_triads", "moving_avg_frame",
+    "multimodal_features", "multimodal_ppm_decode", "mv_expand_tokens",
+    "ntile_price_bins", "null_safe_join", "numeric_histogram", "ohlc_hourly",
+    "order_gap_profile", "order_priority_exists", "ordered_listagg",
+    "orders_above_cust_avg", "pack_sequences", "pack_sequences_sep",
+    "paginate_offset", "percentile_exact", "pivot_priority_status",
+    "pricing_summary", "profile_orders", "quality_threshold_sweep",
+    "range_frame_weekly_sum", "reconcile_snapshots", "regex_extract",
+    "region_revenue_share", "region_rollup", "regional_revenue",
+    "resolve_entities", "retention_cohorts", "retention_drop_effect",
+    "returned_items_revenue", "rolling_zscore_anomalies",
+    "rollup_segment_nation", "sample_by_quality", "sample_fixed_per_lang",
+    "sample_mixture", "sample_stratified", "sample_weighted_tokens",
+    "seasonal_anomaly_days", "self_join_pairs", "semdedup_embeddings",
+    "semi_join", "sequence_spans", "session_stats_30m", "shipping_priority",
+    "shuffle_order", "sketch_weekly_distinct", "skew_profile_custkey",
+    "source_token_kl", "state_as_of", "state_checksum", "state_dwell_times",
+    "string_functions", "supplier_reliability", "telemetry_rollup",
+    "text_bigram_logprob", "text_c4_filters", "text_classifier_score",
+    "text_fingerprint", "text_gopher_filters", "text_langid",
+    "text_length_bands", "text_quality", "text_redact", "text_repetition",
+    "text_search_and", "text_unigram_logprob", "tfidf_top_terms",
+    "time_range_agg", "token_count_bpe", "token_quantiles_approx",
+    "top_changed_resources", "top_customers", "top_selling_parts",
+    "topk_per_group", "topk_with_ties", "union_branches",
+    "unpivot_priority_status", "upsert_latest", "user_event_entropy",
+    "user_event_timeline", "value_regression", "variant_json_agg",
+    "versioned_pruned_read", "versioned_time_travel", "vocab_growth",
+    "window_filtered_sum", "window_lag", "window_rank_family", "zipf_slope",
 })
 
 
@@ -134,56 +135,56 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
-    "engine_pruned_union",
-    "kql_top_nested_others",
-    "kql_cs_in_matches",
-    "kql_top_hitters",
-    "kql_lookup_dim",
-    "linear_interpolate_value",
-    "ohlc_hourly",
-    "seasonal_anomaly_days",
-    "sequence_spans",
-    "state_dwell_times",
-    "cusum_drift_days",
-    "hourly_seasonality",
-    "order_gap_profile",
-    "pricing_summary",
-    "region_rollup",
-    "top_customers",
-    "count_distinct_rollup",
-    "telemetry_rollup",
-    "filter_project_sort",
-    "filter_range_limit",
-    "like_filter",
-    "time_range_agg",
-    "in_list_filter",
-    "case_buckets",
-    "left_join_histogram",
-    "semi_join",
-    "anti_join",
-    "self_join_pairs",
-    "union_branches",
-    "topk_per_group",
-    "window_lag",
-    "json_extract_agg",
-    "regex_extract",
-    "string_functions",
-    "graph_khop",
-    "graph_khop_cte",
-    "graph_shortest_path",
-    "graph_topo_levels",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_weighted_sssp",
-    "graph_hits",
-    "graph_communities",
-    "motif_open_triads",
-    "blast_radius_rank",
-    "graph_degree_distribution",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "engine_governed_nostats",
+    "engine_governed_timetravel",
+    "multimodal_wav_decode",
+    "kql_datatable",
+    "kql_evaluate_pivot",
+    "kql_bag_unpack",
+    "kql_let_statements",
+    "kql_search",
+    "graph_summary",
+    "dedup_prefix_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "pack_sequences",
+    "sample_stratified",
+    "engine_pruned_scan",
+    "versioned_pruned_read",
+    "kql_pruned_pipeline",
+    "text_redact",
+    "decontaminate",
+    "text_repetition",
+    "sample_mixture",
+    "corpus_stats",
+    "shuffle_order",
+    "ann_quantized_topk",
+    "token_quantiles_approx",
+    "boilerplate_removal",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "semdedup_embeddings",
+    "text_c4_filters",
+    "text_bigram_logprob",
+    "engine_param_binding",
+    "compliance_pack",
+    "drift_detect",
+    "impact_scoring",
+    "compliance_duckdb_pack",
+    "engine_pruned_join",
+    "engine_pruned_cte",
+    "engine_scan_governor",
+    "mv_expand_tokens",
+    "array_lambda_stats",
+    "levenshtein_suggest",
+    "change_query_builder",
+    "correlation_rules",
+    "multimodal_features",
+    "regional_revenue",
 )
 
 
