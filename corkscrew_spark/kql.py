@@ -1184,9 +1184,17 @@ class _StageCompiler:
                     raise KqlError(
                         "KQL: trailing tokens in pivot aggregate "
                         f"{args[1].strip()!r}")
-                agg_inputs = {t.text for t in toks
-                              if t.kind == "ident"
-                              and t.text in df.columns}
+                # function-call heads are NOT column inputs: with a
+                # column literally named `sum`, `pivot(et, sum(v))`
+                # must not silently drop `sum` from the implicit
+                # group-by (r11 review — same guard as
+                # _apply_scalar_lets)
+                agg_inputs = {
+                    t.text for i, t in enumerate(toks)
+                    if t.kind == "ident" and t.text in df.columns
+                    and not (i + 1 < len(toks)
+                             and toks[i + 1].kind == "op"
+                             and toks[i + 1].text == "(")}
             keys = [a.strip() for a in args[2:] if a.strip()]
             missing = [k for k in keys if k not in df.columns]
             if missing:
@@ -1251,15 +1259,24 @@ class _StageCompiler:
                     "not fields; mv-expand + summarize is the "
                     "scalable shape (raise CORKSCREW_BAG_UNPACK_"
                     "MAX_KEYS to override)")
-            keys = sorted(r["k"] for r in key_rows if r["k"])
+            # keys may be non-string (map<int,…> bags): the COLUMN
+            # name is the key's string rendering, the lookup keeps the
+            # original typed key (r11 review: `prefix + int_key` was a
+            # raw TypeError escaping the KqlError contract). Falsy-
+            # but-real keys (0, empty handled below) still unpack.
+            keys = sorted((r["k"] for r in key_rows
+                           if r["k"] is not None and str(r["k"])),
+                          key=str)
             others = [c for c in df.columns if c != cname]
-            clash = [prefix + k for k in keys if prefix + k in others]
+            clash = [prefix + str(k) for k in keys
+                     if prefix + str(k) in others]
             if clash:
                 raise KqlError(
                     f"KQL: bag_unpack output column(s) {clash} "
                     "collide with existing columns — pass a prefix")
             return df.select(
-                *others, *[_get(k).alias(prefix + k) for k in keys])
+                *others,
+                *[_get(k).alias(prefix + str(k)) for k in keys])
         raise KqlError(
             f"KQL: unsupported evaluate plugin {plugin!r} "
             "(have: pivot, bag_unpack)")
@@ -2179,16 +2196,48 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
     recursively, for each ``join kind=...( sub )`` / parenthesized or
     bare ``union`` operand — every place the compiler resolves a table
     name from the ``tables`` mapping. Multi-statement queries (``let
-    Name = …;`` bindings) scan EVERY statement's body — a warehouse
-    table read inside a let binding is a real scan the governor must
-    see (the let name itself is never a warehouse table, so its later
-    references resolve to nothing here, correctly)."""
+    Name = …;`` bindings) MIRROR the compiler exactly (r11 review —
+    both findings below were silent-divergence bugs):
+
+    * scalar lets substitute into later statements BEFORE any where
+      text is mined — the compiler substitutes too, so mining the raw
+      text would attribute a predicate the compiled query never
+      applies (a scalar let shadowing a column name turned `where
+      value >= 10` into constant-true while pruning still dropped
+      files by `value` — silent row loss); post-substitution the
+      texts agree, and a let-parameterized where (`where k >=
+      cutoff`) becomes minable as a bonus;
+    * a let whose NAME shadows a warehouse table rebinds it for every
+      LATER statement (the compiler's ``tabs[name] = …``), so later
+      references resolve to the let's DataFrame, not a second table
+      scan — refs to let-bound names are dropped here or the budget
+      would double-count (`let events = events | where …; events |
+      count` scans the table ONCE). The let's own body still scans
+      the table (the binding is not in scope inside itself, matching
+      the compiler's evaluation order). Known conservative gap: a
+      let consumed MORE than once in later statements (`A | join
+      (A) …`) plans one scan subtree per consumption but is counted
+      once here — the same direction as Spark's own exchange reuse,
+      never an over-refusal."""
     out: list[tuple[str, list[str]]] = []
     stmts = _split_statements(query)
     if len(stmts) > 1:
+        subs: list[tuple[str, str]] = []
+        bound: set[str] = set()
         for s in stmts:
             m = _LET_RE.match(s)
-            out.extend(_pipeline_refs(m.group(2) if m else s))
+            if m:
+                body = _apply_scalar_lets(m.group(2).strip(), subs)
+                if _scalar_let_source(body) is not None:
+                    subs.append((m.group(1), body.strip()))
+                    continue  # a scalar binding is not a pipeline
+                out.extend(r for r in _pipeline_refs(body)
+                           if r[0] not in bound)
+                bound.add(m.group(1).lower())
+            else:
+                out.extend(r for r in _pipeline_refs(
+                    _apply_scalar_lets(s, subs))
+                    if r[0] not in bound)
         return out
     stages = _split_stages(query)
     if not stages:

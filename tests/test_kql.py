@@ -1380,6 +1380,97 @@ def test_let_bodies_are_governed(spark, tmp_path):
     assert 0 < len(got.inputFiles()) <= 2  # the let body's read pruned
 
 
+def test_scalar_let_shadowing_column_prunes_consistently(
+        spark, tmp_path):
+    """r11 review finding 1 (silent row loss): pruning mined the RAW
+    where text while the compiler substituted scalar lets — a let
+    shadowing a column name pruned files by a predicate the compiled
+    query never applies. Both layers now substitute first, so the
+    skipping path returns exactly the plain path's rows."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+    path = str(tmp_path / "shadow_t")
+    spark.range(800).select(F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    # after substitution the where is the constant 999 >= 700 (true):
+    # every row survives; pre-fix the miner attributed (k, >=, 700)
+    # and the pruned read silently dropped 7 of 8 files
+    q = "let k = 999; T | where k >= 700 | count"
+    plain = kql_to_df(q, {"T": spark.read.parquet(path)})
+    assert plain.first()["Count"] == 800
+    skipped = kql_to_df_skipping(spark, q, {"T": path})
+    assert skipped.first()["Count"] == 800
+    # bonus of substitute-then-mine: a let-PARAMETERIZED where is now
+    # minable and actually prunes
+    q2 = "let cutoff = 700; T | where k >= cutoff | count"
+    got = kql_to_df_skipping(spark, q2, {"T": path})
+    assert got.first()["Count"] == 100
+    assert 0 < len(got.inputFiles()) <= 2
+
+
+def test_let_shadowing_warehouse_table_counts_one_scan(
+        spark, tmp_path):
+    """r11 review finding 2: `let T = T | where …; T | count` scans
+    the table ONCE (later references resolve to the let), but refs
+    counted the final head as a second warehouse read — a budget
+    between 1x and 2x full-scan spuriously refused an under-budget
+    query."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.kql import (kql_estimate_statement,
+                                     kql_to_df_skipping)
+
+    path = str(tmp_path / "rebind_t")
+    spark.range(800).select(F.col("id").alias("k")).repartitionByRange(
+        8, "k").write.parquet(path)
+    skipping.compute_stats(spark, path, ["k"])
+    full = skipping.estimate_scan(path, [])["bytes_kept"]
+    q = "let T = T | where k >= 700; T | count"
+    est = kql_estimate_statement(q, {"T": path})
+    assert est["reads"] == 1
+    assert est["bytes_kept"] == full  # 3 mentions: unattributable
+    got = kql_to_df_skipping(spark, q, {"T": path},
+                             max_scan_bytes=full + 1)
+    assert got.first()["Count"] == 100
+
+
+def test_pivot_column_named_like_aggregate_function(spark):
+    """r11 review finding 3: a column literally named `sum` must stay
+    in the implicit group-by of `pivot(et, sum(v))` — function-call
+    heads are not column inputs."""
+    from corkscrew_spark.kql import kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (1, 20, "a", 2.0), (2, 10, "b", 3.0)],
+        "uid long, sum long, et string, v double")
+    out = kql_to_df("T | evaluate pivot(et, sum(v))", {"T": df})
+    assert set(out.columns) == {"uid", "sum", "a", "b"}
+    rows = {(r["uid"], r["sum"]): (r["a"], r["b"])
+            for r in out.collect()}
+    assert rows[(1, 10)] == (1.0, None)
+    assert rows[(1, 20)] == (2.0, None)
+    assert rows[(2, 10)] == (None, 3.0)
+
+
+def test_bag_unpack_non_string_map_keys(spark):
+    """r11 review finding 4: map<long,…> bags unpack with the key's
+    string rendering as the column name instead of crashing with a
+    raw TypeError."""
+    from corkscrew_spark.kql import kql_to_df
+
+    df = spark.createDataFrame([(1,), (2,)], "id long").selectExpr(
+        "id", "map(1L, id, 2L, id*10) AS m")
+    rows = kql_to_df("T | evaluate bag_unpack(m) | order by id asc",
+                     {"T": df}).collect()
+    assert [(r["id"], r["1"], r["2"]) for r in rows] == [
+        (1, 1, 10), (2, 2, 20)]
+
+
 def test_search_operator(spark):
     """r11: `search 'term'` — cross-column contains over every
     column's string rendering, case-insensitive by default,

@@ -253,6 +253,21 @@ def _update_history(new_path: str, new: dict, threshold: float) -> None:
             hist = json.load(fh)
     except (OSError, ValueError):
         hist = {}
+    # one append PER BENCH RUN, not per compare invocation (r11
+    # review: comparing the same detail file against two baselines —
+    # or re-running after inspecting flags — appended duplicates,
+    # and two copies of one slow round satisfied the two-entry
+    # SUSTAINED DRIFT guard that exists to require independent runs)
+    import hashlib
+    fp = hashlib.md5(json.dumps(
+        [new.get("value"), calib, sorted(new.get("queries", {}).items())],
+        sort_keys=True).encode()).hexdigest()[:16]
+    seen = hist.setdefault("_runs", [])
+    if fp in seen:
+        print("history unchanged (this bench run is already recorded)")
+        return
+    seen.append(fp)
+    del seen[:-16]
     for name, secs in new.get("queries", {}).items():
         ent = hist.setdefault(name, [])
         ent.append(round(secs / calib, 3))
