@@ -143,6 +143,8 @@ _WINDOW = (
     "kql_bag_unpack",
     "kql_let_statements",
     "kql_search",
+    "kql_toscalar",
+    "kql_datetime_dynamics",
     "graph_summary",
     "dedup_prefix_exact",
     "dedup_ngram_jaccard",
@@ -183,8 +185,6 @@ _WINDOW = (
     "levenshtein_suggest",
     "change_query_builder",
     "correlation_rules",
-    "multimodal_features",
-    "regional_revenue",
 )
 
 

@@ -615,6 +615,42 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         if fmt is None:
             raise KqlError(f"KQL: format_datetime format must be literal at {pos}")
         return F.date_format(args[0], fmt)  # KQL yyyy/MM/dd/HH/mm/ss = Java
+    if name == "now" and n == 0:
+        return F.current_timestamp()
+    if name == "ago" and n == 1:
+        # ago(1d) — the universal dashboard window filter. Arg must
+        # be a literal timespan/number (seconds): it folds into one
+        # constant interval, so the predicate stays scan-pushable.
+        if raw[0] is None or raw[0].kind not in ("timespan", "number"):
+            raise KqlError(
+                f"KQL: ago() takes a literal timespan at {pos}")
+        secs = (_timespan_seconds(raw[0].text)
+                if raw[0].kind == "timespan" else float(raw[0].text))
+        return F.expr(
+            f"current_timestamp() - INTERVAL '{secs:f}' SECOND")
+    if name == "dayofweek" and n == 1:
+        # days since Sunday, 0-6. Dialect delta: Kusto returns a
+        # TIMESPAN (0d..6d); the integer day count is its value.
+        return (F.dayofweek(args[0]) - 1).cast("int")
+    if name == "endofday" and n == 1:
+        # last representable instant of the day (Spark's tick is the
+        # microsecond; Kusto's is 100ns — same day boundary)
+        return (F.date_trunc("day", args[0])
+                + F.expr("INTERVAL '1' DAY")
+                - F.expr("INTERVAL '1' MICROSECOND"))
+    if name in ("parse_json", "todynamic") and n == 1:
+        # the compiler's dynamic representation is a JSON string;
+        # parse_json lifts it to map<string,string> so property
+        # access (x['k'] / x.k) compiles to getItem — flat bags only
+        # (nested objects: use bag_unpack / get_json_object patterns)
+        return F.from_json(args[0].cast("string"),
+                           "map<string,string>")
+    if name in ("bag_pack", "pack") and n >= 2 and n % 2 == 0:
+        # construct a dynamic (JSON-string) bag: keys render as
+        # strings, values keep their JSON scalar type
+        return F.to_json(F.create_map(
+            *[a.cast("string") if i % 2 == 0 else a
+              for i, a in enumerate(args)]))
     raise KqlError(f"KQL: unsupported function {name}({n} args) at {pos}")
 
 
@@ -731,6 +767,51 @@ def _apply_scalar_lets(text: str, subs: list[tuple[str, str]]) -> str:
     return text
 
 
+#: `materialize( … )` / `toscalar( … )` wrappers around a let body.
+_LET_WRAP_RE = re.compile(
+    r"\s*(materialize|toscalar)\s*\((.*)\)\s*$",
+    re.DOTALL | re.IGNORECASE)
+
+
+def _unwrap_let_body(body: str) -> tuple[str | None, str]:
+    """(wrapper|None, inner) for `materialize(…)`/`toscalar(…)` let
+    bodies — only when the parens really close at the END (a body
+    like `toscalar(T | count) + 1` must not unwrap)."""
+    m = _LET_WRAP_RE.match(body)
+    if not m:
+        return None, body
+    inner = m.group(2)
+    depth = 0
+    for ch in inner:  # reject `toscalar(A) … (B)` shapes
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return None, body
+    return m.group(1).lower(), inner.strip()
+
+
+def _scalar_to_literal_src(v) -> str:
+    """Render a collected scalar as KQL literal SOURCE text that
+    re-tokenizes to the same value — the bridge from `toscalar(…)`'s
+    driver-side result back into lexical substitution."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, _datetime.datetime):
+        return f"datetime({v.isoformat(sep=' ')})"
+    if isinstance(v, _datetime.date):
+        return f"datetime({v.isoformat()})"
+    raise KqlError(
+        f"KQL: toscalar produced an unsupported scalar type "
+        f"{type(v).__name__} — supported: string, number, bool, "
+        "datetime")
+
+
 def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     """Compile a full KQL QUERY: zero or more ``let Name = …;``
     binding statements, then the final tabular expression. Tabular
@@ -759,6 +840,29 @@ def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         if not body:
             raise KqlError(f"KQL: empty let body for {name!r}")
         body = _apply_scalar_lets(body, subs)
+        wrap, inner = _unwrap_let_body(body)
+        if wrap == "toscalar":
+            # Kusto's compile-time scalar from a tabular expression
+            # (`let maxts = toscalar(T | summarize max(ts));`): first
+            # column of the first row, rendered back to literal source
+            # so downstream substitution is identical to a hand-typed
+            # scalar let. This is a DRIVER ACTION at compile time —
+            # exactly Kusto's semantics; the inner pipeline's reads
+            # are governed like any other (refs unwrap too).
+            rows = _StageCompiler(tabs).compile(inner).limit(1).collect()
+            if not rows or not rows[0].__fields__:
+                raise KqlError(
+                    f"KQL: toscalar for {name!r} returned no rows")
+            subs.append((name,
+                         _scalar_to_literal_src(rows[0][0])))
+            continue
+        if wrap == "materialize":
+            # materialize() is a caching HINT in Kusto; results are
+            # identical without it. Compiles to the plain lazy plan —
+            # Spark's exchange/subtree reuse plays the caching role,
+            # and a .persist() here would leak cached partitions into
+            # the shared session (README dialect notes).
+            body = inner
         lit = _scalar_let_source(body)
         if lit is not None:
             subs.append((name, lit))
@@ -2228,6 +2332,17 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
             m = _LET_RE.match(s)
             if m:
                 body = _apply_scalar_lets(m.group(2).strip(), subs)
+                # toscalar/materialize wrap a real pipeline whose
+                # reads the governor must see; the toscalar NAME
+                # binds a scalar (later refs are not table reads),
+                # the materialize name binds the table like a plain
+                # tabular let
+                wrap, inner = _unwrap_let_body(body)
+                if wrap is not None:
+                    out.extend(r for r in _pipeline_refs(inner)
+                               if r[0] not in bound)
+                    bound.add(m.group(1).lower())
+                    continue
                 if _scalar_let_source(body) is not None:
                     subs.append((m.group(1), body.strip()))
                     continue  # a scalar binding is not a pipeline

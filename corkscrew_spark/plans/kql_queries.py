@@ -808,3 +808,78 @@ def kql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_toscalar",
+    oracle="""
+    WITH m AS (SELECT MAX(value) AS mx FROM events)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(e.value), 2) AS mv
+    FROM events e CROSS JOIN m
+    WHERE e.value >= m.mx * 0.9
+    GROUP BY e.event_type
+    ORDER BY e.event_type ASC
+    """,
+)
+def kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`toscalar(<pipeline>)` in a let binding (r11 dialect
+    completion) — Kusto's compile-time scalar extraction, the idiom
+    behind every 'filter relative to the corpus max/latest' dashboard
+    query. The inner pipeline runs as a driver action at compile time
+    (exactly Kusto's semantics — a 1-row aggregate, metadata-cheap at
+    any scale) and the value substitutes lexically as a literal, so
+    the MAIN pipeline's plan carries a constant — pushable to the
+    scan — rather than a join. The oracle expresses the same thing
+    relationally with a 1-row CROSS JOIN."""
+    return kql_to_df(
+        """
+        let mx = toscalar(events | summarize max(value));
+        events
+        | where value >= mx * 0.9
+        | summarize n = count(), mv = round(max(value), 2) by event_type
+        | order by event_type asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_datetime_dynamics",
+    oracle="""
+    SELECT CAST(dayofweek(e.ts) AS INT) AS dow,
+           '{"d":' || CAST(dayofweek(e.ts) AS VARCHAR) || '}' AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(e.props, '$.k') AS BIGINT))
+                AS BIGINT) AS ksum,
+           MAX(date_trunc('day', e.ts) + INTERVAL 1 DAY
+               - INTERVAL 1 MICROSECOND) AS mx
+    FROM events e
+    WHERE dayofweek(e.ts) IN (0, 6)
+    GROUP BY dow, tag
+    ORDER BY dow ASC
+    """,
+)
+def kql_datetime_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 scalar-function completions on one weekend rollup:
+    `dayofweek` (days-since-Sunday count; Kusto's timespan value —
+    dialect note), `endofday` (last microsecond of the day),
+    `parse_json(...)['k']` (dynamic lift to map + property access,
+    getItem in codegen), `bag_pack` (dynamic construction back to the
+    JSON-string representation), and `tolong` conversion — all plain
+    scan-side expressions; the whole query is one map + one
+    aggregation shuffle."""
+    return kql_to_df(
+        """
+        events
+        | extend dow = dayofweek(ts),
+                 k = tolong(parse_json(props)['k'])
+        | where dow in (0, 6)
+        | extend tag = bag_pack('d', dow)
+        | summarize n = count(), ksum = sum(k),
+                    mx = max(endofday(ts)) by dow, tag
+        | order by dow asc
+        """,
+        register_tables(spark, sf_dir),
+    )

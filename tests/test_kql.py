@@ -1380,6 +1380,85 @@ def test_let_bodies_are_governed(spark, tmp_path):
     assert 0 < len(got.inputFiles()) <= 2  # the let body's read pruned
 
 
+def test_datetime_and_dynamic_scalar_functions(spark):
+    """r11: now/ago/dayofweek/endofday and the dynamic trio
+    parse_json|todynamic / bag_pack — deterministic parts checked
+    exactly, now/ago structurally."""
+    import datetime
+
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 10), '{"k": 5, "x": "a"}'),
+         (2, datetime.datetime(2024, 1, 7, 23, 59), '{"k": 7}')],
+        "id long, ts timestamp, props string")
+    t = {"T": df}
+    rows = kql_to_df(
+        "T | extend d = dayofweek(ts), e = endofday(ts) "
+        "| project id, d, e | order by id asc", t).collect()
+    # 2024-01-01 is a Monday (1), 2024-01-07 a Sunday (0)
+    assert [r["d"] for r in rows] == [1, 0]
+    assert str(rows[0]["e"]) == "2024-01-01 23:59:59.999999"
+    rows = kql_to_df(
+        "T | extend k = parse_json(props)['k'], x = todynamic(props).x "
+        "| project id, k, x | order by id asc", t).collect()
+    assert [(r["k"], r["x"]) for r in rows] == [("5", "a"), ("7", None)]
+    rows = kql_to_df(
+        "T | extend b = bag_pack('id', id, 'd', dayofweek(ts)) "
+        "| project b | order by b asc", t).collect()
+    assert [r["b"] for r in rows] == ['{"id":1,"d":1}', '{"id":2,"d":0}']
+    # now()/ago(): structural — all 2024 rows are older than ago(365d)
+    # relative to the wall clock, and now() is after every row
+    assert kql_to_df("T | where ts > ago(365d) | count",
+                     t).first()["Count"] == 0
+    assert kql_to_df("T | extend n = now() | where n > ts | count",
+                     t).first()["Count"] == 2
+    with pytest.raises(KqlError, match="literal timespan"):
+        kql_to_df("T | where ts > ago(id)", t)
+
+
+def test_toscalar_and_materialize_lets(spark):
+    """r11: `let x = toscalar(<pipeline>);` collects the first
+    column of the first row at compile time (Kusto semantics) and
+    substitutes it as a literal; `materialize(…)` is a transparent
+    caching hint. Wrapped bodies' table reads stay visible to the
+    governance refs pass."""
+    import datetime
+
+    from corkscrew_spark.kql import KqlError, _pipeline_refs, kql_to_df
+
+    ev = spark.createDataFrame(
+        [(1, "click", 5.0, datetime.datetime(2024, 1, 1, 10)),
+         (2, "view", 2.0, datetime.datetime(2024, 1, 2, 10)),
+         (3, "click", 9.0, datetime.datetime(2024, 1, 3, 10))],
+        "id long, et string, v double, ts timestamp")
+    t = {"T": ev}
+    assert kql_to_df(
+        "let mx = toscalar(T | summarize max(v)); "
+        "T | where v == mx | count", t).first()["Count"] == 1
+    assert kql_to_df(
+        "let m = toscalar(T | summarize min(et)); "
+        "T | where et == m | count", t).first()["Count"] == 2
+    # datetime scalars render back as datetime(...) literals
+    assert kql_to_df(
+        "let cut = toscalar(T | summarize max(ts)); "
+        "T | where ts >= cut | count", t).first()["Count"] == 1
+    assert kql_to_df(
+        "let M = materialize(T | where et == 'click'); M | count",
+        t).first()["Count"] == 2
+    # refs see through both wrappers (governance)
+    refs = _pipeline_refs(
+        "let mx = toscalar(T | where k > 3 | summarize max(k)); "
+        "U | count")
+    assert ("t", ["k > 3"]) in refs and ("u", []) in refs
+    with pytest.raises(KqlError, match="returned no rows"):
+        kql_to_df("let x = toscalar(T | where v > 100 "
+                  "| summarize m = max(v) by et); T | count", t)
+    # a wrapper that does NOT span the whole body never unwraps
+    with pytest.raises(KqlError):
+        kql_to_df("let x = toscalar(T | count) + 1; T | count", t)
+
+
 def test_scalar_let_shadowing_column_prunes_consistently(
         spark, tmp_path):
     """r11 review finding 1 (silent row loss): pruning mined the RAW
