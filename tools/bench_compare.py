@@ -274,9 +274,15 @@ def _update_history(new_path: str, new: dict, threshold: float) -> None:
         del ent[:-8]
     drifted = []
     for name, ent in sorted(hist.items()):
-        if len(ent) < 4 or name not in new.get("queries", {}):
+        if name.startswith("_") or len(ent) < 4 \
+                or name not in new.get("queries", {}):
             continue
-        base = min(ent[:-2])
+        # MEDIAN of the prior entries, not min: one fast-outlier
+        # round must not brand every later normal round "drift"
+        # (r11: a 0.7x outlier run made the query's ordinary level
+        # flag forever after)
+        prior = sorted(ent[:-2])
+        base = prior[len(prior) // 2]
         # absolute guard mirrors the compare's 0.3s rule, in
         # normalized units (0.3s at calib 1.0)
         if all(v > base * threshold and v - base > 0.3
