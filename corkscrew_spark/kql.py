@@ -618,16 +618,14 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
     if name == "now" and n == 0:
         return F.current_timestamp()
     if name == "ago" and n == 1:
-        # ago(1d) — the universal dashboard window filter. Arg must
-        # be a literal timespan/number (seconds): it folds into one
-        # constant interval, so the predicate stays scan-pushable.
-        if raw[0] is None or raw[0].kind not in ("timespan", "number"):
-            raise KqlError(
-                f"KQL: ago() takes a literal timespan at {pos}")
-        secs = (_timespan_seconds(raw[0].text)
-                if raw[0].kind == "timespan" else float(raw[0].text))
-        return F.expr(
-            f"current_timestamp() - INTERVAL '{secs:f}' SECOND")
+        # ago(1d) — the universal dashboard window filter. The WHOLE
+        # argument expression feeds the interval (timespan literals
+        # already evaluate to seconds), so `ago(1d + 12h)` and
+        # `ago(2 * 1h)` are exact (r11 review: reading only the first
+        # token silently truncated compound timespans). A literal arg
+        # constant-folds, keeping the predicate scan-pushable.
+        return (F.current_timestamp()
+                - F.make_dt_interval(secs=args[0].cast("double")))
     if name == "dayofweek" and n == 1:
         # days since Sunday, 0-6. Dialect delta: Kusto returns a
         # TIMESPAN (0d..6d); the integer day count is its value.
@@ -646,11 +644,19 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return F.from_json(args[0].cast("string"),
                            "map<string,string>")
     if name in ("bag_pack", "pack") and n >= 2 and n % 2 == 0:
-        # construct a dynamic (JSON-string) bag: keys render as
-        # strings, values keep their JSON scalar type
+        # construct a dynamic (JSON-string) bag. LITERAL keys (the
+        # Kusto norm) compile to a STRUCT so each value keeps its own
+        # JSON scalar type — create_map would coerce mixed values to
+        # a common type (stringifying numbers) or refuse outright
+        # under ANSI (r11 review). Computed keys fall back to the
+        # map with string values, documented.
+        keys = [_lit_str(raw[i]) for i in range(0, n, 2)]
+        if all(k is not None for k in keys):
+            return F.to_json(F.struct(
+                *[args[i + 1].alias(keys[i // 2])
+                  for i in range(0, n, 2)]))
         return F.to_json(F.create_map(
-            *[a.cast("string") if i % 2 == 0 else a
-              for i, a in enumerate(args)]))
+            *[a.cast("string") for a in args]))
     raise KqlError(f"KQL: unsupported function {name}({n} args) at {pos}")
 
 
@@ -776,29 +782,64 @@ _LET_WRAP_RE = re.compile(
 def _unwrap_let_body(body: str) -> tuple[str | None, str]:
     """(wrapper|None, inner) for `materialize(…)`/`toscalar(…)` let
     bodies — only when the parens really close at the END (a body
-    like `toscalar(T | count) + 1` must not unwrap)."""
+    like `toscalar(T | count) + 1` must not unwrap). The depth scan
+    is QUOTE-AWARE like every splitter in this file (r11 review: a
+    `)` inside a string literal drove the depth negative and a valid
+    `materialize(T | where s contains ')')` spuriously failed)."""
     m = _LET_WRAP_RE.match(body)
     if not m:
         return None, body
     inner = m.group(2)
     depth = 0
-    for ch in inner:  # reject `toscalar(A) … (B)` shapes
-        if ch == "(":
+    quote: str | None = None
+    verbatim = False
+    i = 0
+    while i < len(inner):  # reject `toscalar(A) … (B)` shapes
+        ch = inner[i]
+        if quote is not None:
+            if (ch == "\\" and not verbatim and quote in "'\""
+                    and i + 1 < len(inner)):
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            verbatim = i > 0 and inner[i - 1] == "@"
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth < 0:
                 return None, body
+        i += 1
     return m.group(1).lower(), inner.strip()
 
 
 def _scalar_to_literal_src(v) -> str:
     """Render a collected scalar as KQL literal SOURCE text that
     re-tokenizes to the same value — the bridge from `toscalar(…)`'s
-    driver-side result back into lexical substitution."""
+    driver-side result back into lexical substitution. Floats render
+    POSITIONALLY (the tokenizer's number grammar has no exponent
+    form — r11 review: repr's '2.5e-05' re-tokenized as `2.5 e - 05`
+    and failed loudly on a legitimate query); the shortest-repr
+    digits re-rendered through Decimal round-trip exactly."""
+    if v is None:
+        raise KqlError(
+            "KQL: toscalar produced a null scalar — bind a concrete "
+            "value instead (e.g. wrap the aggregate in coalesce()); "
+            "null let-scalars are outside this dialect")
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import decimal
+        import math
+        if not math.isfinite(v):
+            raise KqlError(
+                f"KQL: toscalar produced a non-finite number ({v}) — "
+                "not expressible as a KQL literal")
+        return format(decimal.Decimal(repr(v)), "f")
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -2334,14 +2375,27 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
                 body = _apply_scalar_lets(m.group(2).strip(), subs)
                 # toscalar/materialize wrap a real pipeline whose
                 # reads the governor must see; the toscalar NAME
-                # binds a scalar (later refs are not table reads),
-                # the materialize name binds the table like a plain
-                # tabular let
+                # binds a scalar whose VALUE this pass cannot know
+                # (no driver action here), so it substitutes as a
+                # NEUTRAL unminable call — a later `where name >= 10`
+                # must contribute NOTHING to pruning rather than be
+                # mined as a column predicate the compiled query
+                # never applies (r11 review: the silent-row-loss
+                # class fixed for plain scalar lets persisted for
+                # wrapped ones). materialize over a scalar literal
+                # mirrors the compiler's scalar path exactly.
                 wrap, inner = _unwrap_let_body(body)
+                if wrap == "materialize" \
+                        and _scalar_let_source(inner) is not None:
+                    subs.append((m.group(1), inner.strip()))
+                    continue
                 if wrap is not None:
                     out.extend(r for r in _pipeline_refs(inner)
                                if r[0] not in bound)
-                    bound.add(m.group(1).lower())
+                    if wrap == "toscalar":
+                        subs.append((m.group(1), "__toscalar__(0)"))
+                    else:
+                        bound.add(m.group(1).lower())
                     continue
                 if _scalar_let_source(body) is not None:
                     subs.append((m.group(1), body.strip()))

@@ -1380,6 +1380,75 @@ def test_let_bodies_are_governed(spark, tmp_path):
     assert 0 < len(got.inputFiles()) <= 2  # the let body's read pruned
 
 
+def test_second_review_wave_fixes(spark, tmp_path):
+    """r11 review pass 2: (a) a toscalar/materialize-wrapped let name
+    substitutes NEUTRALLY in the refs pass so later wheres mentioning
+    it never mine a bogus column predicate (the silent-row-loss class
+    again); (b) ago() consumes its WHOLE argument expression; (c)
+    toscalar float results render positionally (no exponent form in
+    the tokenizer); (d) bag_pack with literal keys keeps each value's
+    JSON scalar type; (e) quoted ')' inside a wrapped body parses;
+    (f) a null toscalar result errors with the remedy."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark import skipping
+    from corkscrew_spark.kql import KqlError, kql_to_df, kql_to_df_skipping
+
+    # (a) wrapped-let name shadowing a stats-tracked COLUMN: skipping
+    # path must return the plain path's rows
+    path = str(tmp_path / "wrapshadow_t")
+    spark.range(800).select(F.col("id").alias("value")).repartitionByRange(
+        8, "value").write.parquet(path)
+    skipping.compute_stats(spark, path, ["value"])
+    q = ("let value = toscalar(T | summarize max(value)); "
+         "T | where value >= 700 | count")
+    # compiled: max(value)=799 substitutes -> 799 >= 700 is constant
+    # true -> all 800 rows; pre-fix the miner attributed
+    # (value, >=, 700) and pruned 7 of 8 files
+    assert kql_to_df(q, {"T": spark.read.parquet(path)}
+                     ).first()["Count"] == 800
+    assert kql_to_df_skipping(spark, q, {"T": path}
+                              ).first()["Count"] == 800
+    # materialize over a scalar literal mirrors the compiler too
+    q2 = ("let value = materialize(999); "
+          "T | where value >= 700 | count")
+    assert kql_to_df_skipping(spark, q2, {"T": path}
+                              ).first()["Count"] == 800
+
+    ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 2.5e-05),
+         (2, datetime.datetime(2024, 1, 2), 1.0)],
+        "id long, ts timestamp, v double")
+    t = {"T": ev}
+    # (b) compound timespan arithmetic feeds the interval exactly
+    assert kql_to_df("T | where ts > ago(1d + 12h) | count",
+                     t).first()["Count"] == 0
+    assert kql_to_df("T | where ts > ago(2 * 1h) | count",
+                     t).first()["Count"] == 0
+    # a column-valued ago() is per-row (Kusto allows expressions)
+    assert kql_to_df("T | where ts < ago(id) | count",
+                     t).first()["Count"] == 2
+    # (c) a tiny float toscalar result re-tokenizes positionally
+    assert kql_to_df(
+        "let mn = toscalar(T | summarize min(v)); "
+        "T | where v <= mn | count", t).first()["Count"] == 1
+    # (d) literal-key bag_pack keeps scalar types
+    row = kql_to_df("T | extend b = bag_pack('n', id, 's', 'x') "
+                    "| where id == 1 | project b", t).first()
+    assert row["b"] == '{"n":1,"s":"x"}'
+    # (e) quoted ')' inside a wrapped body
+    s = spark.createDataFrame([("a)b",), ("c",)], "s string")
+    assert kql_to_df(
+        "let M = materialize(S | where s contains ')'); M | count",
+        {"S": s}).first()["Count"] == 1
+    # (f) null scalar: loud remedy, not a type-name riddle
+    with pytest.raises(KqlError, match="null scalar"):
+        kql_to_df("let x = toscalar(T | where v > 100 "
+                  "| summarize max(v)); T | count", t)
+
+
 def test_datetime_and_dynamic_scalar_functions(spark):
     """r11: now/ago/dayofweek/endofday and the dynamic trio
     parse_json|todynamic / bag_pack — deterministic parts checked
@@ -1413,8 +1482,11 @@ def test_datetime_and_dynamic_scalar_functions(spark):
                      t).first()["Count"] == 0
     assert kql_to_df("T | extend n = now() | where n > ts | count",
                      t).first()["Count"] == 2
-    with pytest.raises(KqlError, match="literal timespan"):
-        kql_to_df("T | where ts > ago(id)", t)
+    # ago() takes any timespan-valued EXPRESSION (r11 review: the
+    # first-token-only reading silently truncated compound args) —
+    # column-valued windows are per-row, like Kusto
+    assert kql_to_df("T | where ts < ago(id) | count",
+                     t).first()["Count"] == 2
 
 
 def test_toscalar_and_materialize_lets(spark):

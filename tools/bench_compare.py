@@ -239,7 +239,8 @@ def _update_history(new_path: str, new: dict, threshold: float) -> None:
     seconds per calibration-second, host-independent by construction)
     to ``bench_history.json`` next to the detail file, keeps the last
     8 entries, and prints a SUSTAINED DRIFT line when the TWO newest
-    entries BOTH exceed the pre-drift minimum by the threshold —
+    entries BOTH exceed the pre-drift baseline (median of the four
+    smallest prior entries) by the threshold —
     exactly the r10 dedup-family pattern (two independent runs up
     ~1.3x calib-normalized, each individually dismissible)."""
     calib = new.get("calib_sec")
@@ -277,12 +278,17 @@ def _update_history(new_path: str, new: dict, threshold: float) -> None:
         if name.startswith("_") or len(ent) < 4 \
                 or name not in new.get("queries", {}):
             continue
-        # MEDIAN of the prior entries, not min: one fast-outlier
-        # round must not brand every later normal round "drift"
-        # (r11: a 0.7x outlier run made the query's ordinary level
-        # flag forever after)
-        prior = sorted(ent[:-2])
-        base = prior[len(prior) // 2]
+        # baseline = median of the FOUR SMALLEST prior entries:
+        # robust to a single fast outlier (min() let one 0.7x run
+        # brand every later normal round "drift") while staying slow
+        # to absorb a real regression — a persistent 1.5x needs its
+        # entries to dominate the four smallest, so it keeps flagging
+        # for ~4 rounds here (and its FIRST appearance is always the
+        # single-round compare's job anyway); with the 8-entry window
+        # any baseline eventually ages out — this detector exists for
+        # the two-to-four-round creep between those two horizons
+        low = sorted(ent[:-2])[:4]
+        base = low[len(low) // 2]
         # absolute guard mirrors the compare's 0.3s rule, in
         # normalized units (0.3s at calib 1.0)
         if all(v > base * threshold and v - base > 0.3
@@ -296,7 +302,8 @@ def _update_history(new_path: str, new: dict, threshold: float) -> None:
         with open(hist_path, "w") as fh:
             json.dump(hist, fh)
         print(f"history updated: {hist_path} "
-              f"({len(hist)} queries tracked)")
+              f"({sum(1 for k in hist if not k.startswith('_'))}"
+              " queries tracked)")
     except OSError as ex:
         print(f"could not write history: {ex}")
 
