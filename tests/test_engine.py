@@ -1083,6 +1083,17 @@ def test_time_travel_registry_bounded(spark, tmp_path):
         assert got[0].n == 1
         assert len(eng._warehouse) == base  # collected after execute
     assert not eng._snapshots
+    # r11: the dry-run resolves time travel too — its registrations
+    # must be released the same way (a monitoring loop calling
+    # estimate_statement per query must not grow the registry)
+    for v in (1, 2, 3, 1):
+        est = eng.estimate_statement(
+            f"SELECT COUNT(*) AS n FROM vt VERSION AS OF {v}")
+        assert est["reads"] == 1
+    assert not any(eng._snap_refs.values())
+    eng.execute("SELECT COUNT(*) AS n FROM vt")  # triggers the GC
+    assert len(eng._warehouse) == base
+    assert not eng._snapshots
 
 
 def test_time_travel_qualified_refs_and_bad_args(spark, tmp_path):
