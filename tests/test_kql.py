@@ -1841,3 +1841,69 @@ def test_print_and_range_heads(spark):
         kql_to_df("range k from 1 to 5 step 0", {})
     with pytest.raises(KqlError, match="name = expr"):
         kql_to_df("print", {})
+
+
+class TestKqlPruningFuzz:
+    """Hypothesis identity fuzz for the KQL skipping path (r11 — the
+    KQL twin of TestEngineFuzz): random leading-where conjunct/
+    disjunct mixes, optionally behind scalar lets and a tabular let,
+    must return EXACTLY the plain compilation's rows. Catches the
+    whole mining-vs-compile divergence class (both r11 review
+    findings lived there) structurally."""
+
+    _TERMS = [
+        "k >= 700", "k < 50", "k between (100 .. 200)", "v == 3",
+        "s == 's1'", "k in (3, 5, 750)", "s startswith 's1'",
+        "isnotnull(v)", "k + 0 > 10", "k == 799", "isnull(s)",
+        "toupper(s) == 'S1'",
+    ]
+
+    @pytest.fixture(scope="class")
+    def fuzz_table(self, spark, tmp_path_factory):
+        from corkscrew_spark import skipping
+
+        path = str(tmp_path_factory.mktemp("kqlfuzz") / "tbl")
+        spark.range(800).selectExpr(
+            "id AS k", "id % 7 AS v",
+            "concat('s', id % 13) AS s"
+        ).repartitionByRange(8, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k", "v", "s"],
+                               bloom_cols=["s"])
+        return path
+
+    def test_fuzz_kql_pruning_identity(self, spark, fuzz_table):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from corkscrew_spark.kql import kql_to_df, kql_to_df_skipping
+
+        plain_df = spark.read.parquet(fuzz_table)
+
+        @settings(max_examples=20, deadline=None)
+        @given(data=st.data())
+        def run(data):
+            terms = data.draw(st.lists(
+                st.sampled_from(self._TERMS), min_size=1, max_size=3))
+            ops = data.draw(st.lists(
+                st.sampled_from(["and", "or"]),
+                min_size=len(terms) - 1, max_size=len(terms) - 1))
+            where = terms[0]
+            for op, t in zip(ops, terms[1:]):
+                where += f" {op} {t}"
+            # optionally parameterize a literal through a scalar let,
+            # optionally route through a tabular let
+            use_let = data.draw(st.booleans())
+            pipeline = f"T | where {where} | order by k asc, v asc, s asc"
+            if use_let:
+                pipeline = (f"let Sub = T | where {where}; "
+                            "Sub | order by k asc, v asc, s asc")
+            if data.draw(st.booleans()):
+                pipeline = "let lim = 700; " + pipeline.replace(
+                    "700", "lim")
+            got = [tuple(r) for r in kql_to_df_skipping(
+                spark, pipeline, {"T": fuzz_table}).collect()]
+            want = [tuple(r) for r in kql_to_df(
+                pipeline, {"T": plain_df}).collect()]
+            assert got == want, pipeline
+
+        run()
