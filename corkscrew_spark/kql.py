@@ -1155,22 +1155,14 @@ class _StageCompiler:
         if op == "project":
             return self._project(df, rest)
         if op == "project-away":
-            cols = [c.strip() for c in rest.split(",")]
-            return df.drop(*cols)
+            return df.drop(*self._glob_cols(df, rest, "project-away"))
         if op == "project-keep":
-            cols = [c.strip() for c in rest.split(",")]
-            missing = [c for c in cols if c not in df.columns]
-            if missing:
-                raise KqlError(f"KQL: project-keep of unknown column(s) {missing}")
-            return df.select(*cols)
+            return df.select(
+                *self._glob_cols(df, rest, "project-keep"))
         if op == "project-rename":
             return self._project_rename(df, rest)
         if op == "project-reorder":
-            cols = [c.strip() for c in rest.split(",") if c.strip()]
-            missing = [c for c in cols if c not in df.columns]
-            if missing:
-                raise KqlError(
-                    f"KQL: project-reorder of unknown column(s) {missing}")
+            cols = self._glob_cols(df, rest, "project-reorder")
             tail = [c for c in df.columns if c not in cols]
             return df.select(*cols, *tail)
         if op == "serialize":
@@ -1560,6 +1552,43 @@ class _StageCompiler:
         if keys:
             return df.groupBy(*keys).agg(*aggs)
         return df.agg(*aggs)
+
+    @staticmethod
+    def _glob_cols(df: DataFrame, rest: str, verb: str) -> list[str]:
+        """Resolve a project-away/keep/reorder column list with
+        Kusto's `*` WILDCARD support (`project-away tmp_*`): each item
+        is a plain name (must exist) or a glob expanding to matching
+        columns in table order; a glob matching nothing is fine on
+        project-away (nothing to drop) and an error on keep/reorder
+        (Kusto errors there too). Duplicates dedupe first-wins."""
+        import fnmatch
+
+        out: list[str] = []
+        seen: set[str] = set()
+        for item in rest.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "*" in item:
+                hits = [c for c in df.columns
+                        if fnmatch.fnmatchcase(c, item)]
+                if not hits and verb != "project-away":
+                    raise KqlError(
+                        f"KQL: {verb} pattern {item!r} matches no "
+                        "column")
+                for c in hits:
+                    if c not in seen:
+                        seen.add(c)
+                        out.append(c)
+            else:
+                if item not in df.columns:
+                    raise KqlError(
+                        f"KQL: {verb} of unknown column(s) "
+                        f"['{item}']")
+                if item not in seen:
+                    seen.add(item)
+                    out.append(item)
+        return out
 
     def _project_rename(self, df: DataFrame, rest: str) -> DataFrame:
         for pair in rest.split(","):

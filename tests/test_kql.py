@@ -1622,6 +1622,30 @@ def test_bag_unpack_non_string_map_keys(spark):
         (1, 1, 10), (2, 2, 20)]
 
 
+def test_project_wildcards(spark):
+    """r11: Kusto `*` wildcards in project-away/keep/reorder — glob
+    items expand in table order, empty glob is fine on away only,
+    unknown plain names error everywhere (Kusto parity; drop()'s
+    silent no-op hid typos)."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4)], "id long, tmp_a long, tmp_b long, val long")
+    t = {"T": df}
+    assert kql_to_df("T | project-away tmp_*", t).columns == \
+        ["id", "val"]
+    assert kql_to_df("T | project-keep tmp_*, id", t).columns == \
+        ["tmp_a", "tmp_b", "id"]
+    assert kql_to_df("T | project-reorder val, tmp_*", t).columns == \
+        ["val", "tmp_a", "tmp_b", "id"]
+    assert kql_to_df("T | project-away zzz_*", t).columns == \
+        ["id", "tmp_a", "tmp_b", "val"]
+    with pytest.raises(KqlError, match="matches no"):
+        kql_to_df("T | project-keep zzz_*", t)
+    with pytest.raises(KqlError, match="unknown column"):
+        kql_to_df("T | project-away nope", t)
+
+
 def test_search_operator(spark):
     """r11: `search 'term'` — cross-column contains over every
     column's string rendering, case-insensitive by default,
