@@ -2779,6 +2779,13 @@ def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     df = _compile_query(query, tables)
     if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
         return df
+    if df.isStreaming:
+        # the compiler is source-agnostic: KQL stages compose onto
+        # streaming frames too (r11) — but a streaming plan cannot be
+        # eagerly optimized outside writeStream.start(), so the
+        # type-mismatch probe stands down and mismatches surface at
+        # stream start (same degraded-UX contract as Spark Connect)
+        return df
     try:
         df._jdf.queryExecution().optimizedPlan()
     except Exception as ex:  # Py4J wraps the Spark exception classes

@@ -361,3 +361,36 @@ def test_streaming_cdc_sink_propagates_deletes(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r.id: r.state for r in spark.read.parquet(table).collect()}
     assert rows == {"r2": "down"}  # r1 deleted, r2 updated
+
+
+def test_kql_compiles_onto_streaming_frames(spark, tmp_path):
+    """r11: the KQL compiler is SOURCE-AGNOSTIC — map-only stages
+    (where/extend/project and summarize-by in update mode) compose
+    onto a streaming DataFrame exactly as onto a batch one, so a
+    Kusto-style monitoring pipeline runs unchanged over a live feed.
+    Batch-parity asserted on identical input."""
+    from corkscrew_spark.kql import kql_to_df
+
+    src = tmp_path / "changes"
+    _write_events(src, [_event(i, sev="CRITICAL" if i % 3 == 0
+                               else "LOW") for i in range(9)])
+    stream = change_stream.read_change_stream(spark, str(src))
+    pipeline = """
+        S
+        | where severity == 'CRITICAL' and change_type == 'UPDATE'
+        | extend svc = toupper(service)
+        | summarize n = count() by svc, resource_id
+    """
+    agg = kql_to_df(pipeline, {"S": stream})
+    assert agg.isStreaming
+    q = change_stream.start_to_memory(agg, "kql_feed",
+                                      output_mode="complete")
+    q.awaitTermination(60)
+    got = {(r["svc"], r["resource_id"]): r["n"]
+           for r in spark.sql("SELECT * FROM kql_feed").collect()}
+    want = {(r["svc"], r["resource_id"]): r["n"]
+            for r in kql_to_df(
+                pipeline,
+                {"S": spark.read.schema(stream.schema)
+                 .json(str(src))}).collect()}
+    assert got == want and sum(got.values()) == 3
