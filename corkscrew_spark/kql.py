@@ -417,8 +417,19 @@ class _ExprParser:
                 raw: list[_Tok | None] = []
                 if not self.accept(")"):
                     while True:
-                        raw.append(self.peek())
+                        start = self.i
+                        first = self.peek()
                         args.append(self.or_expr())
+                        # raw carries the token ONLY when the arg IS
+                        # that one token (r11 review 3: literal-
+                        # contract functions read raw[i] and silently
+                        # truncated multi-token args to their first
+                        # token — bag_pack('k_' + x, v) emitted the
+                        # constant key 'k_'; a multi-token arg now
+                        # reads as None, so every literal contract
+                        # fails loud instead)
+                        raw.append(first if self.i == start + 1
+                                   else None)
                         if not self.accept(","):
                             break
                     self.expect(")")
@@ -623,7 +634,13 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         # already evaluate to seconds), so `ago(1d + 12h)` and
         # `ago(2 * 1h)` are exact (r11 review: reading only the first
         # token silently truncated compound timespans). A literal arg
-        # constant-folds, keeping the predicate scan-pushable.
+        # constant-folds, keeping the predicate scan-pushable. The
+        # natural typo ago('1h') — a QUOTED timespan — would cast to
+        # null and silently drop every row: refuse it at compile.
+        if raw[0] is not None and raw[0].kind == "string":
+            raise KqlError(
+                f"KQL: ago() takes a timespan (1d, 12h, 90), not a "
+                f"string literal — drop the quotes at {pos}")
         return (F.current_timestamp()
                 - F.make_dt_interval(secs=args[0].cast("double")))
     if name == "dayofweek" and n == 1:
@@ -652,11 +669,20 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         # map with string values, documented.
         keys = [_lit_str(raw[i]) for i in range(0, n, 2)]
         if all(k is not None for k in keys):
+            # duplicate literal keys: LAST WINS, matching both Kusto
+            # and create_map's dedup policy (r11 review 3: duplicate
+            # struct fields emitted invalid duplicate-key JSON)
+            dedup: dict[str, Column] = {}
+            for i, k in enumerate(keys):
+                dedup[k] = args[2 * i + 1]
             return F.to_json(F.struct(
-                *[args[i + 1].alias(keys[i // 2])
-                  for i in range(0, n, 2)]))
+                *[v.alias(k) for k, v in dedup.items()]))
+        # computed keys: map path — KEYS stringify, values keep their
+        # type (homogeneous value sets stay JSON numbers; mixed-type
+        # values are a create_map type error, use literal keys)
         return F.to_json(F.create_map(
-            *[a.cast("string") for a in args]))
+            *[a.cast("string") if i % 2 == 0 else a
+              for i, a in enumerate(args)]))
     raise KqlError(f"KQL: unsupported function {name}({n} args) at {pos}")
 
 
@@ -839,6 +865,16 @@ def _scalar_to_literal_src(v) -> str:
                 f"KQL: toscalar produced a non-finite number ({v}) — "
                 "not expressible as a KQL literal")
         return format(decimal.Decimal(repr(v)), "f")
+    import decimal as _dec
+    if isinstance(v, _dec.Decimal):
+        # Spark DecimalType (parquet money columns) collects as
+        # decimal.Decimal — render positionally like floats (r11
+        # review 3: it fell through to the unsupported-type raise)
+        if not v.is_finite():
+            raise KqlError(
+                f"KQL: toscalar produced a non-finite number ({v}) — "
+                "not expressible as a KQL literal")
+        return format(v, "f")
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
@@ -1565,10 +1601,12 @@ class _StageCompiler:
 
         out: list[str] = []
         seen: set[str] = set()
+        items = 0
         for item in rest.split(","):
             item = item.strip()
             if not item:
                 continue
+            items += 1
             if "*" in item:
                 hits = [c for c in df.columns
                         if fnmatch.fnmatchcase(c, item)]
@@ -1588,6 +1626,11 @@ class _StageCompiler:
                 if item not in seen:
                     seen.add(item)
                     out.append(item)
+        if not items:
+            # an empty list compiled to df.select() — a silent
+            # zero-column frame — on keep (r11 review 3); Kusto
+            # rejects an empty column list on all three verbs
+            raise KqlError(f"KQL: {verb} needs at least one column")
         return out
 
     def _project_rename(self, df: DataFrame, rest: str) -> DataFrame:

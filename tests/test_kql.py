@@ -1380,6 +1380,41 @@ def test_let_bodies_are_governed(spark, tmp_path):
     assert 0 < len(got.inputFiles()) <= 2  # the let body's read pruned
 
 
+def test_third_review_wave_fixes(spark):
+    """r11 review pass 3: (a) literal-contract functions see raw
+    tokens ONLY for single-token args — a computed bag_pack key
+    starting with a string literal routes to the map path instead of
+    silently freezing the key; (b) the computed-key fallback keeps
+    VALUE types; (c) duplicate literal keys dedupe last-wins;
+    (d) ago('1h') — the quoted-timespan typo — refuses at compile;
+    (e) empty project lists error; (f) Decimal toscalar renders."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    df = spark.createDataFrame([(1, "a", 2.5)],
+                               "id long, s string, v double")
+    t = {"T": df}
+    assert kql_to_df(
+        "T | extend b = bag_pack(strcat('k_', tostring(id)), id) "
+        "| project b", t).first()["b"] == '{"k_1":1}'
+    assert kql_to_df("T | extend b = bag_pack('a', 1, 'a', 2) "
+                     "| project b", t).first()["b"] == '{"a":2}'
+    with pytest.raises(KqlError, match="not a string literal"):
+        kql_to_df("T | where now() > ago('1h')", t)
+    with pytest.raises(KqlError, match="at least one column"):
+        kql_to_df("T | project-keep", t)
+    with pytest.raises(KqlError, match="at least one column"):
+        kql_to_df("T | project-away ,", t)
+    dd = spark.range(1).selectExpr(
+        "CAST(1.25 AS DECIMAL(10,2)) AS amount", "id")
+    assert kql_to_df(
+        "let m = toscalar(D | summarize sum(amount)); "
+        "D | where amount <= m | count", {"D": dd}).first()["Count"] == 1
+    # multi-token args to literal-contract functions fail LOUD now
+    with pytest.raises(KqlError, match="must be literal"):
+        kql_to_df("T | extend x = format_datetime(now(), "
+                  "strcat('yyyy', 'MM'))", t)
+
+
 def test_second_review_wave_fixes(spark, tmp_path):
     """r11 review pass 2: (a) a toscalar/materialize-wrapped let name
     substitutes NEUTRALLY in the refs pass so later wheres mentioning
