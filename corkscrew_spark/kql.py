@@ -1034,13 +1034,46 @@ class _StageCompiler:
             return seed.select(*cols)
         if kind == "datatable":
             return self._datatable(spark, rest)
+        # datetime grid: `range Day from datetime(…) to datetime(…)
+        # step 1d` — the time axis every dashboard joins its
+        # aggregates against. Generated distributed over epoch
+        # seconds (spark.range) and lifted to timestamps; whole-
+        # second steps only (Spark's tick for timestamp_seconds).
+        dm = re.match(
+            r"([A-Za-z_]\w*)\s+from\s+datetime\(([^)]*)\)\s+to\s+"
+            r"datetime\(([^)]*)\)\s+step\s+(\S+)\s*$",
+            rest, re.IGNORECASE)
+        if dm:
+            col = dm.group(1)
+            try:
+                lo_ts = _datetime.datetime.fromisoformat(
+                    dm.group(2).strip().replace("T", " ").rstrip("Zz"))
+                hi_ts = _datetime.datetime.fromisoformat(
+                    dm.group(3).strip().replace("T", " ").rstrip("Zz"))
+            except ValueError as ex:
+                raise KqlError(
+                    f"KQL: bad range datetime bound: {ex}") from ex
+            try:
+                secs = _timespan_seconds(dm.group(4))
+            except KqlError:
+                secs = -1.0
+            if secs <= 0 or secs != int(secs):
+                raise KqlError(
+                    "KQL: range datetime step must be a positive "
+                    f"whole-second timespan, got {dm.group(4)!r}")
+            epoch = _datetime.datetime(1970, 1, 1)
+            lo_s = int((lo_ts - epoch).total_seconds())
+            hi_s = int((hi_ts - epoch).total_seconds())
+            return spark.range(lo_s, hi_s + 1, int(secs)).select(
+                F.timestamp_seconds(F.col("id")).alias(col))
         m = re.match(
             r"([A-Za-z_]\w*)\s+from\s+(-?\d+)\s+to\s+(-?\d+)\s+"
             r"step\s+(-?\d+)\s*$", rest, re.IGNORECASE)
         if not m:
             raise KqlError(
                 "KQL: range needs `range Col from A to B step C` "
-                f"(integer bounds), got {rest!r}")
+                "(integer bounds, or datetime(…) bounds with a "
+                f"timespan step), got {rest!r}")
         col, lo, hi, step = (m.group(1), int(m.group(2)),
                              int(m.group(3)), int(m.group(4)))
         if step == 0:

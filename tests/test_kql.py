@@ -1966,3 +1966,39 @@ class TestKqlPruningFuzz:
             assert got == want, pipeline
 
         run()
+
+
+def test_range_datetime_grid(spark):
+    """r11: `range Col from datetime(…) to datetime(…) step <ts>` —
+    the time-axis grid every dashboard left-joins its aggregates
+    against; generated distributed over epoch seconds, inclusive both
+    ends, whole-second steps only."""
+    from corkscrew_spark.kql import KqlError, kql_to_df
+
+    assert kql_to_df(
+        "range Day from datetime(2024-01-01) to datetime(2024-01-05) "
+        "step 1d | count", {}).first()["Count"] == 5
+    rows = kql_to_df(
+        "range H from datetime(2024-01-01 00:00:00) to "
+        "datetime(2024-01-01 06:00:00) step 2h | order by H asc",
+        {}).collect()
+    assert [str(r["H"]) for r in rows] == [
+        "2024-01-01 00:00:00", "2024-01-01 02:00:00",
+        "2024-01-01 04:00:00", "2024-01-01 06:00:00"]
+    # the dashboard idiom: grid left-joined against an aggregate
+    ev = spark.createDataFrame(
+        [("2024-01-02",), ("2024-01-02",), ("2024-01-04",)],
+        "d string").selectExpr("CAST(d AS TIMESTAMP) AS Day")
+    out = kql_to_df(
+        """range Day from datetime(2024-01-01) to datetime(2024-01-05)
+               step 1d
+           | join kind=leftouter ( E | summarize n = count() by Day )
+               on Day
+           | order by Day asc""", {"E": ev}).collect()
+    assert [r["n"] for r in out] == [None, 2, None, 1, None]
+    with pytest.raises(KqlError, match="whole-second"):
+        kql_to_df("range X from datetime(2024-01-01) to "
+                  "datetime(2024-01-02) step 500ms", {})
+    with pytest.raises(KqlError, match="bad range datetime"):
+        kql_to_df("range X from datetime(bogus) to "
+                  "datetime(2024-01-02) step 1d", {})
