@@ -145,6 +145,7 @@ _WINDOW = (
     "kql_search",
     "kql_toscalar",
     "kql_datetime_dynamics",
+    "kql_time_grid",
     "graph_summary",
     "dedup_prefix_exact",
     "dedup_ngram_jaccard",
@@ -184,7 +185,6 @@ _WINDOW = (
     "array_lambda_stats",
     "levenshtein_suggest",
     "change_query_builder",
-    "correlation_rules",
 )
 
 

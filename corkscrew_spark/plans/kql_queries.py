@@ -883,3 +883,48 @@ def kql_datetime_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_time_grid",
+    oracle="""
+    SELECT g.generate_series AS Day,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n,
+           ROUND(COALESCE(e.sv, 0), 2) AS sv
+    FROM generate_series(TIMESTAMP '2023-12-28',
+                         TIMESTAMP '2024-02-03',
+                         INTERVAL 1 DAY) g
+    LEFT JOIN (
+        SELECT date_trunc('day', ts) AS Day,
+               COUNT(*) AS n, SUM(value) AS sv
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY Day
+    ) e ON g.generate_series = e.Day
+    ORDER BY Day ASC
+    """,
+)
+def kql_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`range <datetime grid>` left-joined against a daily rollup
+    (r11) — THE dashboard time-axis idiom: a gap-free grid whose
+    empty days surface as zeros instead of vanishing (a bare groupBy
+    emits no row for a day with no purchases; monitoring charts need
+    the zero). The grid generates distributed over epoch seconds and
+    its join side is a broadcast (37 rows); the oracle mirrors it
+    with DuckDB's generate_series. Window edges beyond the data
+    (late Dec / early Feb) certify the zero-fill on both engines."""
+    return kql_to_df(
+        """
+        range Day from datetime(2023-12-28) to datetime(2024-02-03)
+            step 1d
+        | join kind=leftouter (
+            events
+            | where event_type == 'purchase'
+            | extend Day = startofday(ts)
+            | summarize cnt = count(), s = sum(value) by Day
+          ) on Day
+        | extend n = coalesce(cnt, 0), sv = round(coalesce(s, 0.0), 2)
+        | project Day, n, sv
+        | order by Day asc
+        """,
+        register_tables(spark, sf_dir),
+    )
