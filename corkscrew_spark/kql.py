@@ -1039,6 +1039,10 @@ class _StageCompiler:
         # aggregates against. Generated distributed over epoch
         # seconds (spark.range) and lifted to timestamps; whole-
         # second steps only (Spark's tick for timestamp_seconds).
+        # Bounds are interpreted as UTC — Kusto datetime semantics,
+        # and the session factory pins spark.sql.session.timeZone to
+        # UTC so the rendered grid and `datetime()` literal casts
+        # agree; a non-UTC session would shift the two apart.
         dm = re.match(
             r"([A-Za-z_]\w*)\s+from\s+datetime\(([^)]*)\)\s+to\s+"
             r"datetime\(([^)]*)\)\s+step\s+(\S+)\s*$",
