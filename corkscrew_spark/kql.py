@@ -428,8 +428,22 @@ class _ExprParser:
                         # constant key 'k_'; a multi-token arg now
                         # reads as None, so every literal contract
                         # fails loud instead)
-                        raw.append(first if self.i == start + 1
-                                   else None)
+                        if self.i == start + 1:
+                            raw.append(first)
+                        elif (self.i == start + 2
+                              and first is not None
+                              and first.kind == "op" and first.text == "-"
+                              and self.toks[start + 1].kind == "number"):
+                            # negative numeric literal (`-1`) is two
+                            # tokens; literal-contract functions like
+                            # round(x, -1) still need to see it as one
+                            # number token (r11 ADVICE)
+                            raw.append(_Tok(
+                                "number",
+                                "-" + self.toks[start + 1].text,
+                                first.pos))
+                        else:
+                            raw.append(None)
                         if not self.accept(","):
                             break
                     self.expect(")")
@@ -525,6 +539,10 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
               "abs": F.abs, "floor": F.floor, "round": F.round}[name]
         return fn(args[0])
     if name == "round" and n == 2:
+        if (raw[1] is None or raw[1].kind != "number"
+                or "." in raw[1].text):
+            raise KqlError(
+                f"KQL: round() precision must be an integer literal at {pos}")
         return F.round(args[0], int(raw[1].text))
     if name == "ceiling" and n == 1:
         return F.ceil(args[0])
@@ -675,8 +693,12 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
             dedup: dict[str, Column] = {}
             for i, k in enumerate(keys):
                 dedup[k] = args[2 * i + 1]
-            return F.to_json(F.struct(
-                *[v.alias(k) for k, v in dedup.items()]))
+            # keep null-valued fields: Kusto emits {"k":null}, but
+            # to_json drops null struct fields by default (r11
+            # ADVICE — bag_pack('k', nullexpr) rendered '{}')
+            return F.to_json(
+                F.struct(*[v.alias(k) for k, v in dedup.items()]),
+                options={"ignoreNullFields": "false"})
         # computed keys: map path — KEYS stringify, values keep their
         # type (homogeneous value sets stay JSON numbers; mixed-type
         # values are a create_map type error, use literal keys)
@@ -690,9 +712,12 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
 # Pipeline parsing
 # ---------------------------------------------------------------------------
 
-def _split_on_top_level(query: str, sep: str) -> list[str]:
+def _split_on_top_level(query: str, sep: str,
+                        keep_empty: bool = False) -> list[str]:
     """Split on a top-level separator char (ignoring ones inside
-    strings/parens/brackets)."""
+    strings/parens/brackets). ``keep_empty`` preserves blank slots
+    (the datatable body needs them to error loudly rather than let
+    a stray comma shift values across columns — r11 ADVICE)."""
     parts: list[str] = []
     depth = 0
     quote: str | None = None
@@ -720,6 +745,8 @@ def _split_on_top_level(query: str, sep: str) -> list[str]:
             start = i + 1
         i += 1
     parts.append(query[start:])
+    if keep_empty:
+        return [s.strip() for s in parts]
     return [s.strip() for s in parts if s.strip()]
 
 
@@ -1131,9 +1158,22 @@ class _StageCompiler:
             types.append(kt)
         if not names:
             raise KqlError("KQL: datatable needs at least one column")
-        vals = [self._datatable_literal(part)
-                for part in _split_top_commas(body)
-                if part.strip()] if body.strip() else []
+        if body.strip():
+            slots = _split_on_top_level(body, ",", keep_empty=True)
+            # a single trailing comma after the last value is the
+            # common hand-written style and stays legal; any other
+            # blank slot silently shifts values across columns
+            if slots and not slots[-1]:
+                slots = slots[:-1]
+            blank = [i + 1 for i, s in enumerate(slots) if not s]
+            if blank:
+                raise KqlError(
+                    f"KQL: datatable has a blank value at "
+                    f"position(s) {blank} — a stray comma would "
+                    "shift every later value across columns")
+            vals = [self._datatable_literal(part) for part in slots]
+        else:
+            vals = []
         if len(vals) % len(names) != 0:
             raise KqlError(
                 f"KQL: datatable got {len(vals)} values for "
@@ -1445,6 +1485,12 @@ class _StageCompiler:
                 ).distinct()
 
                 def _get(k: str) -> Column:
+                    if k == "":
+                        # get_json_object can't address an empty key
+                        # ($[''] is an invalid path → null); lift the
+                        # flat bag to a map and index it instead
+                        return F.from_json(
+                            col, "map<string,string>").getItem("")
                     esc = k.replace("'", "\\'")
                     return F.get_json_object(col, f"$['{esc}']")
             else:
@@ -1473,10 +1519,17 @@ class _StageCompiler:
             # name is the key's string rendering, the lookup keeps the
             # original typed key (r11 review: `prefix + int_key` was a
             # raw TypeError escaping the KqlError contract). Falsy-
-            # but-real keys (0, empty handled below) still unpack.
+            # but-real keys (0, '') still unpack — only null keys are
+            # skipped; an empty-string key needs a prefix to yield a
+            # usable column name (r11 ADVICE: '' was silently dropped).
             keys = sorted((r["k"] for r in key_rows
-                           if r["k"] is not None and str(r["k"])),
-                          key=str)
+                           if r["k"] is not None), key=str)
+            if any(str(k) == "" for k in keys) and not prefix:
+                raise KqlError(
+                    f"KQL: bag_unpack of {cname!r} found an "
+                    "empty-string key, which would produce an unnamed "
+                    "output column — pass a prefix: "
+                    "bag_unpack(col, 'p_')")
             others = [c for c in df.columns if c != cname]
             clash = [prefix + str(k) for k in keys
                      if prefix + str(k) in others]

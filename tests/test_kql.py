@@ -2002,3 +2002,63 @@ def test_range_datetime_grid(spark):
     with pytest.raises(KqlError, match="bad range datetime"):
         kql_to_df("range X from datetime(bogus) to "
                   "datetime(2024-01-02) step 1d", {})
+
+
+# ---------------------------------------------------------------------------
+# Round-12: r11 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+def test_round_negative_precision(tiny_events):
+    """r11 ADVICE: round(x, -1) is legal Kusto (round to tens) — the
+    two-token unary-minus literal must reach the literal contract as
+    one number token, not crash with a raw AttributeError."""
+    rows = kql_to_df(
+        "T | extend r = round(value * 10, -1) | project event_id, r "
+        "| order by event_id asc", {"T": tiny_events}).collect()
+    # values 15, 25, 40, 90 → rounded to tens: 20, 20/30, 40, 90
+    assert rows[0]["r"] in (10.0, 20.0)  # banker's vs half-up at .5
+    assert rows[2]["r"] == 40.0 and rows[3]["r"] == 90.0
+    # non-literal / fractional precision: loud KqlError, not a crash
+    with pytest.raises(KqlError, match="round.*integer literal"):
+        kql_to_df("T | extend r = round(value, event_id)",
+                  {"T": tiny_events})
+    with pytest.raises(KqlError, match="round.*integer literal"):
+        kql_to_df("T | extend r = round(value, 1.5)",
+                  {"T": tiny_events})
+
+
+def test_bag_pack_null_field_kept(tiny_events):
+    """r11 ADVICE: Kusto bag_pack('k', null) emits {"k":null}; the
+    struct path's to_json must not drop null fields."""
+    row = kql_to_df(
+        "T | where event_id == 1 "
+        "| extend b = bag_pack('k', iff(value > 100, 'x', ''), "
+        "                      'n', iff(value > 100, value, todouble('')))",
+        {"T": tiny_events}).first()
+    import json
+    bag = json.loads(row["b"])
+    assert bag == {"k": "", "n": None}
+
+
+def test_bag_unpack_empty_string_key(spark):
+    """r11 ADVICE: an empty-string key must either unpack (with a
+    prefix) or refuse loudly — never silently drop."""
+    df = spark.createDataFrame(
+        [('{"": "x", "k": "y"}',)], "bag string")
+    out = kql_to_df("T | evaluate bag_unpack(bag, 'p_')", {"T": df})
+    assert set(out.columns) == {"p_", "p_k"}
+    assert out.first()["p_"] == "x"
+    with pytest.raises(KqlError, match="empty-string key"):
+        kql_to_df("T | evaluate bag_unpack(bag)", {"T": df})
+
+
+def test_datatable_blank_slot_raises(spark):
+    """r11 ADVICE: a stray comma in a datatable body shifted values
+    across columns whenever the count still divided evenly."""
+    with pytest.raises(KqlError, match="blank value"):
+        kql_to_df("datatable(a:string, b:long) ['x', , 1, 'y']", {})
+    # a single trailing comma (the common hand-written style) is fine
+    rows = kql_to_df(
+        "datatable(a:string, b:long) ['x', 1, 'y', 2,] "
+        "| order by b asc", {}).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("x", 1), ("y", 2)]
