@@ -56,31 +56,35 @@ _DRIVER_RECORDED = frozenset({
     "dedup_keep_longest", "dedup_minhash_clusters", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_prefix_exact", "dedup_simhash",
     "discount_effectiveness", "distinct_sketch_rollup", "dq_orphan_audit",
-    "drift_detect", "engine_param_binding", "engine_pruned_cte",
-    "engine_pruned_derived", "engine_pruned_exists", "engine_pruned_join",
-    "engine_pruned_scan", "engine_pruned_union", "engine_scan_governor",
-    "event_transition_matrix", "filter_project_sort", "filter_range_limit",
-    "fulfillment_latency", "funnel_steps", "fuzzy_match_parts",
-    "graph_communities", "graph_degree_distribution", "graph_hits",
-    "graph_khop", "graph_khop_cte", "graph_pagerank", "graph_shortest_path",
+    "drift_detect", "engine_governed_nostats", "engine_governed_timetravel",
+    "engine_param_binding", "engine_pruned_cte", "engine_pruned_derived",
+    "engine_pruned_exists", "engine_pruned_join", "engine_pruned_scan",
+    "engine_pruned_union", "engine_scan_governor", "event_transition_matrix",
+    "filter_project_sort", "filter_range_limit", "fulfillment_latency",
+    "funnel_steps", "fuzzy_match_parts", "graph_communities",
+    "graph_degree_distribution", "graph_hits", "graph_khop",
+    "graph_khop_cte", "graph_pagerank", "graph_shortest_path",
     "graph_summary", "graph_topo_levels", "graph_triangles",
     "graph_weighted_sssp", "grouping_sets_orders", "having_large_orders",
     "hourly_seasonality", "impact_scoring", "in_list_filter",
     "incremental_refresh_equals_recompute", "incremental_rollup",
     "intersect_except_branches", "interval_join_sessions", "iqr_outliers",
     "json_extract_agg", "k_anonymity_audit", "kql_arg_max_order",
-    "kql_bin_6h", "kql_case_tiers", "kql_cs_in_matches", "kql_docs_tokens",
-    "kql_events_rollup", "kql_join_spend", "kql_lookup_dim",
-    "kql_make_series_daily", "kql_mv_apply_tokens", "kql_parse_props",
-    "kql_parse_regex", "kql_parse_where", "kql_percentile_value",
-    "kql_pruned_pipeline", "kql_scan_governor", "kql_summarize",
-    "kql_time_bins", "kql_top_hitters", "kql_top_nested",
-    "kql_top_nested_others", "kql_union_mix", "langid_confusion",
-    "left_join_histogram", "levenshtein_suggest", "like_filter",
-    "linear_interpolate_value", "locf_gap_fill", "mad_outlier_bounds",
-    "mixture_rates_for_budget", "motif_open_triads", "moving_avg_frame",
-    "multimodal_features", "multimodal_ppm_decode", "mv_expand_tokens",
-    "ntile_price_bins", "null_safe_join", "numeric_histogram", "ohlc_hourly",
+    "kql_bag_unpack", "kql_bin_6h", "kql_case_tiers", "kql_cs_in_matches",
+    "kql_datatable", "kql_datetime_dynamics", "kql_docs_tokens",
+    "kql_evaluate_pivot", "kql_events_rollup", "kql_join_spend",
+    "kql_let_statements", "kql_lookup_dim", "kql_make_series_daily",
+    "kql_mv_apply_tokens", "kql_parse_props", "kql_parse_regex",
+    "kql_parse_where", "kql_percentile_value", "kql_pruned_pipeline",
+    "kql_scan_governor", "kql_search", "kql_summarize", "kql_time_bins",
+    "kql_time_grid", "kql_top_hitters", "kql_top_nested",
+    "kql_top_nested_others", "kql_toscalar", "kql_union_mix",
+    "langid_confusion", "left_join_histogram", "levenshtein_suggest",
+    "like_filter", "linear_interpolate_value", "locf_gap_fill",
+    "mad_outlier_bounds", "mixture_rates_for_budget", "motif_open_triads",
+    "moving_avg_frame", "multimodal_features", "multimodal_ppm_decode",
+    "multimodal_wav_decode", "mv_expand_tokens", "ntile_price_bins",
+    "null_safe_join", "numeric_histogram", "ohlc_hourly",
     "order_gap_profile", "order_priority_exists", "ordered_listagg",
     "orders_above_cust_avg", "pack_sequences", "pack_sequences_sep",
     "paginate_offset", "percentile_exact", "pivot_priority_status",
@@ -135,56 +139,56 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
-    "engine_governed_nostats",
-    "engine_governed_timetravel",
-    "multimodal_wav_decode",
-    "kql_datatable",
-    "kql_evaluate_pivot",
-    "kql_bag_unpack",
-    "kql_let_statements",
-    "kql_search",
-    "kql_toscalar",
-    "kql_datetime_dynamics",
-    "kql_time_grid",
-    "graph_summary",
-    "dedup_prefix_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "pack_sequences",
-    "sample_stratified",
-    "engine_pruned_scan",
-    "versioned_pruned_read",
-    "kql_pruned_pipeline",
-    "text_redact",
-    "decontaminate",
-    "text_repetition",
-    "sample_mixture",
-    "corpus_stats",
-    "shuffle_order",
-    "ann_quantized_topk",
-    "token_quantiles_approx",
-    "boilerplate_removal",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "semdedup_embeddings",
-    "text_c4_filters",
-    "text_bigram_logprob",
-    "engine_param_binding",
-    "compliance_pack",
-    "drift_detect",
-    "impact_scoring",
-    "compliance_duckdb_pack",
-    "engine_pruned_join",
-    "engine_pruned_cte",
-    "engine_scan_governor",
-    "mv_expand_tokens",
-    "array_lambda_stats",
-    "levenshtein_suggest",
-    "change_query_builder",
+    "kql_externaldata",
+    "kql_render_as",
+    "correlation_rules",
+    "multimodal_features",
+    "regional_revenue",
+    "order_priority_exists",
+    "state_checksum",
+    "rollup_segment_nation",
+    "change_history_timeline",
+    "approx_distinct_users",
+    "shipping_priority",
+    "customer_order_distribution",
+    "pivot_priority_status",
+    "unpivot_priority_status",
+    "window_rank_family",
+    "intersect_except_branches",
+    "moving_avg_frame",
+    "orders_above_cust_avg",
+    "cube_orders",
+    "percentile_exact",
+    "kql_events_rollup",
+    "kql_docs_tokens",
+    "kql_join_spend",
+    "kql_time_bins",
+    "kql_case_tiers",
+    "kql_arg_max_order",
+    "dedup_embedding_gemm",
+    "corpus_training_mix",
+    "dedup_exact_spans",
+    "sample_fixed_per_lang",
+    "source_token_kl",
+    "bigram_collocations_pmi",
+    "pack_sequences_sep",
+    "dedup_keep_longest",
+    "token_count_bpe",
+    "char_trigram_profile",
+    "ann_pq_topk",
+    "bpe_vocab_tokenize",
+    "sample_weighted_tokens",
+    "text_gopher_filters",
+    "text_classifier_score",
+    "chunk_windows",
+    "sample_by_quality",
+    "corpus_curation_full",
+    "langid_confusion",
+    "text_search_and",
+    "dedup_minhash_clusters",
+    "vocab_growth",
+    "zipf_slope",
+    "corpus_health_report",
 )
 
 

@@ -828,7 +828,8 @@ def cmd_kql(args: argparse.Namespace) -> int:
             return 2
     try:
         df = kql_to_df_skipping(spark, kql, warehouse, tables,
-                                max_scan_bytes=_scan_budget(args))
+                                max_scan_bytes=_scan_budget(args),
+                                externaldata_roots=args.externaldata_root)
     except (KqlError, QueryValidationError) as ex:
         # ScanBudgetExceeded is a QueryValidationError — the refusal
         # surfaces exactly like the query verb's (cli.py:937)
@@ -1018,6 +1019,12 @@ def main(argv: list[str] | None = None) -> int:
     kq.add_argument("--estimate", action="store_true",
                     help="print the metadata-only scan estimate per "
                          "--warehouse table instead of executing")
+    kq.add_argument("--externaldata-root", action="append",
+                    metavar="DIR",
+                    help="allow-list a directory for `externaldata` "
+                         "paths (repeatable; default: the "
+                         "CORKSCREW_EXTERNALDATA_ROOTS env var, else "
+                         "externaldata is refused)")
     kq.set_defaults(fn=cmd_kql)
 
     p = sub.add_parser("pack", help="compliance packs")

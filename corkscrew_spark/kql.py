@@ -32,6 +32,7 @@ Documented determinism/semantics choices (KQL leaves them loose):
 from __future__ import annotations
 
 import datetime as _datetime
+import os
 import re
 from dataclasses import dataclass
 
@@ -766,6 +767,145 @@ def _split_statements(query: str) -> list[str]:
     return _split_on_top_level(query, ";")
 
 
+#: externaldata file formats this compiler reads (Kusto's long tail —
+#: avro, orc, w3clogfile, … — is out of dialect here)
+_EXTERNALDATA_FORMATS = ("csv", "tsv", "json", "parquet")
+
+
+def _parse_externaldata(rest: str, exact: bool = False):
+    """Parse ``(Col:type, …) ['path', …] [with (format='csv',
+    ignoreFirstRecord=true)]`` — the tail of an ``externaldata`` head.
+    Returns ``(cols, paths, fmt, header)`` where ``cols`` is
+    ``[(name, kusto_type), …]``. ``exact`` requires the spec to consume
+    the whole text (the compiler's head stage); the governor's scanner
+    parses a prefix (the query continues with later stages)."""
+    toks = _tokenize(rest)
+    n = len(toks)
+    i = 0
+
+    def _want(text: str, what: str) -> None:
+        nonlocal i
+        if i >= n or toks[i].text != text:
+            got = toks[i].text if i < n else "<end>"
+            raise KqlError(
+                f"KQL: externaldata expected {text!r} {what}, "
+                f"got {got!r}")
+        i += 1
+
+    _want("(", "to open the schema")
+    cols: list[tuple[str, str]] = []
+    while True:
+        if i + 2 >= n or toks[i].kind != "ident" \
+                or toks[i + 1].text != ":" \
+                or toks[i + 2].kind != "ident":
+            raise KqlError(
+                "KQL: externaldata schema needs `Name:type` columns")
+        kt = toks[i + 2].text.lower()
+        if kt not in _StageCompiler._DATATABLE_TYPES:
+            raise KqlError(
+                f"KQL: unsupported externaldata type {kt!r} (have: "
+                f"{sorted(_StageCompiler._DATATABLE_TYPES)})")
+        cols.append((toks[i].text, kt))
+        i += 3
+        if i < n and toks[i].text == ",":
+            i += 1
+            continue
+        break
+    _want(")", "to close the schema")
+    _want("[", "to open the path list")
+    paths: list[str] = []
+    while i < n and toks[i].kind == "string":
+        paths.append(toks[i].text)
+        i += 1
+        if i < n and toks[i].text == ",":
+            i += 1
+    if not paths:
+        raise KqlError(
+            "KQL: externaldata needs at least one quoted path in [ ]")
+    _want("]", "to close the path list")
+    fmt, header = "csv", False
+    if i < n and toks[i].kind == "ident" \
+            and toks[i].text.lower() == "with":
+        i += 1
+        _want("(", "after with")
+        while True:
+            if i + 2 >= n or toks[i].kind != "ident" \
+                    or toks[i + 1].text != "=":
+                raise KqlError(
+                    "KQL: externaldata with(…) needs `name = value`")
+            key = toks[i].text.lower()
+            val = toks[i + 2]
+            i += 3
+            if key == "format":
+                if val.kind != "string" \
+                        or val.text.lower() not in _EXTERNALDATA_FORMATS:
+                    raise KqlError(
+                        f"KQL: externaldata format must be one of "
+                        f"{list(_EXTERNALDATA_FORMATS)}, got "
+                        f"{val.text!r}")
+                fmt = val.text.lower()
+            elif key == "ignorefirstrecord":
+                if val.kind != "ident" \
+                        or val.text.lower() not in ("true", "false"):
+                    raise KqlError(
+                        "KQL: ignoreFirstRecord must be true or false")
+                header = val.text.lower() == "true"
+            else:
+                raise KqlError(
+                    f"KQL: unknown externaldata option {key!r} "
+                    "(have: format, ignoreFirstRecord)")
+            if i < n and toks[i].text == ",":
+                i += 1
+                continue
+            break
+        _want(")", "to close with(…)")
+    if exact and i != n:
+        raise KqlError(
+            f"KQL: trailing tokens after externaldata spec: "
+            f"{toks[i].text!r}")
+    return cols, paths, fmt, header
+
+
+def externaldata_reads(query: str) -> list[tuple[list[str], str]]:
+    """Every well-formed ``externaldata`` spec in the query —
+    ``(paths, format)`` per read — for the governor/estimator to
+    price at file size. A keyword match that does not parse is
+    skipped: it is either inside a string literal (not a read) or a
+    malformed spec the compiler will refuse anyway, so skipping
+    cannot let an executable read go unpriced."""
+    out: list[tuple[list[str], str]] = []
+    for m in re.finditer(r"(?<!\w)externaldata(?!\w)", query,
+                         re.IGNORECASE):
+        try:
+            _, paths, fmt, _ = _parse_externaldata(query[m.end():])
+        except KqlError:
+            continue
+        out.append((paths, fmt))
+    return out
+
+
+def externaldata_bytes(paths: list[str]) -> int:
+    """Total on-disk bytes behind an externaldata read — the governed
+    estimate (no column pruning for raw files: the read costs what
+    the files weigh). Directories walk recursively; missing paths
+    count zero (the compiler raises its own clean error for them)."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for nm in names:
+                    try:
+                        total += os.path.getsize(os.path.join(root, nm))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+    return total
+
+
 #: `let Name = <body>` statement head (Kusto's binding statement).
 _LET_RE = re.compile(r"\s*let\s+([A-Za-z_]\w*)\s*=\s*(.*)$",
                      re.DOTALL | re.IGNORECASE)
@@ -916,7 +1056,9 @@ def _scalar_to_literal_src(v) -> str:
         "datetime")
 
 
-def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
+def _compile_query(query: str, tables: dict[str, DataFrame],
+                   externaldata_roots: list[str] | None = None
+                   ) -> DataFrame:
     """Compile a full KQL QUERY: zero or more ``let Name = …;``
     binding statements, then the final tabular expression. Tabular
     lets compile to DataFrames visible to every LATER statement
@@ -953,7 +1095,8 @@ def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             # scalar let. This is a DRIVER ACTION at compile time —
             # exactly Kusto's semantics; the inner pipeline's reads
             # are governed like any other (refs unwrap too).
-            rows = _StageCompiler(tabs).compile(inner).limit(1).collect()
+            rows = _StageCompiler(tabs, externaldata_roots)\
+                .compile(inner).limit(1).collect()
             if not rows or not rows[0].__fields__:
                 raise KqlError(
                     f"KQL: toscalar for {name!r} returned no rows")
@@ -971,8 +1114,9 @@ def _compile_query(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         if lit is not None:
             subs.append((name, lit))
         else:
-            tabs[name] = _StageCompiler(tabs).compile(body)
-    return _StageCompiler(tabs).compile(
+            tabs[name] = _StageCompiler(
+                tabs, externaldata_roots).compile(body)
+    return _StageCompiler(tabs, externaldata_roots).compile(
         _apply_scalar_lets(stmts[-1], subs))
 
 
@@ -1003,21 +1147,39 @@ def _expr_name(toks: list[_Tok], start: int, end: int, fallback: str) -> str:
 
 
 class _StageCompiler:
-    def __init__(self, tables: dict[str, DataFrame]):
+    def __init__(self, tables: dict[str, DataFrame],
+                 externaldata_roots: list[str] | None = None):
         self.tables = {k.lower(): v for k, v in tables.items()}
+        self.externaldata_roots = externaldata_roots
+        self._depth = 0  # >0 inside a join/union/let sub-pipeline
 
     def compile(self, query: str) -> DataFrame:
+        self._depth += 1
+        try:
+            return self._compile(query)
+        finally:
+            self._depth -= 1
+
+    def _compile(self, query: str) -> DataFrame:
         stages = _split_stages(query)
         if not stages:
             raise KqlError("KQL: empty query")
+        # `render` is a display hint and must close the outermost
+        # pipeline (Kusto grammar: Query := Pipeline [`|` render …])
+        for i, st in enumerate(stages):
+            if re.match(r"render\b", st.strip(), re.IGNORECASE) and (
+                    self._depth > 1 or i != len(stages) - 1):
+                raise KqlError(
+                    "KQL: render must be the final operator of the "
+                    "outermost pipeline")
         head = stages[0].strip()
         # table-less heads: `print name = expr, …` (one constant row)
         # and `range Col from A to B step C` (a generated sequence) —
         # the Kusto docs/test idioms; both fold to pure expressions on
         # a driver-made seed frame, so downstream stages see an
         # ordinary DataFrame
-        hm = re.match(r"(print|range|datatable)\b\s*(.*)$", head,
-                      re.DOTALL | re.IGNORECASE)
+        hm = re.match(r"(print|range|datatable|externaldata)\b\s*(.*)$",
+                      head, re.DOTALL | re.IGNORECASE)
         if hm and not (hm.group(1).lower() in self.tables
                        and not hm.group(2).strip()):
             self._head_name = hm.group(1).lower()
@@ -1061,6 +1223,8 @@ class _StageCompiler:
             return seed.select(*cols)
         if kind == "datatable":
             return self._datatable(spark, rest)
+        if kind == "externaldata":
+            return self._externaldata(spark, rest)
         # datetime grid: `range Day from datetime(…) to datetime(…)
         # step 1d` — the time axis every dashboard joins its
         # aggregates against. Generated distributed over epoch
@@ -1184,6 +1348,68 @@ class _StageCompiler:
         ddl = ", ".join(f"{n} {self._DATATABLE_TYPES[t]}"
                         for n, t in zip(names, types))
         return spark.createDataFrame(rows, schema=ddl)
+
+    def _externaldata(self, spark, rest: str) -> DataFrame:
+        """``externaldata (Col:type, …) ['path', …] with
+        (format='csv', ignoreFirstRecord=true)`` — Kusto's external
+        file head, compiled to a schema'd ``spark.read`` over
+        ALLOW-LISTED local paths (Kusto reads cloud-storage URIs; a
+        local engine reads what its operator explicitly granted).
+
+        The allow-list comes from the ``externaldata_roots`` argument
+        of ``kql_to_df``/``kql_to_df_skipping`` or the
+        ``CORKSCREW_EXTERNALDATA_ROOTS`` env var (``os.pathsep``-
+        separated directories); with neither set, every externaldata
+        query refuses — a query string must not be able to read
+        arbitrary filesystem paths. Under a scan budget the read is
+        priced at the files' on-disk bytes (``externaldata_bytes``):
+        raw files have no zone maps to prune with, so the honest
+        estimate is the full weight, same posture as the no-stats
+        fallback. The declared schema is the contract: csv/tsv/json
+        reads are schema'd (malformed cells go null — Kusto's
+        permissive reader), parquet reads cast each declared column,
+        failing loud on a missing one."""
+        cols, paths, fmt, header = _parse_externaldata(rest, exact=True)
+        roots = self.externaldata_roots
+        if roots is None:
+            env = os.environ.get("CORKSCREW_EXTERNALDATA_ROOTS", "")
+            roots = [r for r in env.split(os.pathsep) if r]
+        if not roots:
+            raise KqlError(
+                "KQL: externaldata is disabled — allow-list the "
+                "readable directories via the externaldata_roots "
+                "argument or CORKSCREW_EXTERNALDATA_ROOTS before a "
+                "query string may open local files")
+        real_roots = [os.path.realpath(r) for r in roots]
+        for p in paths:
+            rp = os.path.realpath(p)
+            if not any(rp == rr or rp.startswith(rr + os.sep)
+                       for rr in real_roots):
+                raise KqlError(
+                    f"KQL: externaldata path {p!r} is outside the "
+                    f"allow-listed root(s) {roots}")
+            if not os.path.exists(rp):
+                raise KqlError(
+                    f"KQL: externaldata path {p!r} does not exist")
+        ddl = ", ".join(f"{n} {self._DATATABLE_TYPES[t]}"
+                        for n, t in cols)
+        if fmt == "parquet":
+            raw = spark.read.parquet(*paths)
+            missing = [n for n, _t in cols if n not in raw.columns]
+            if missing:
+                raise KqlError(
+                    f"KQL: externaldata parquet is missing declared "
+                    f"column(s) {missing}")
+            return raw.select(
+                *[F.col(n).cast(self._DATATABLE_TYPES[t]).alias(n)
+                  for n, t in cols])
+        reader = spark.read.schema(ddl)
+        if fmt in ("csv", "tsv"):
+            return reader.options(
+                header=str(header).lower(),
+                sep="\t" if fmt == "tsv" else ",").csv(list(paths))
+        # json: ignoreFirstRecord has no meaning; schema'd read
+        return reader.json(list(paths))
 
     def _datatable_literal(self, src: str):
         toks = _tokenize(src.strip())
@@ -1345,7 +1571,114 @@ class _StageCompiler:
             return self._evaluate(df, rest)
         if op == "search":
             return self._search(df, rest)
+        if op == "render":
+            return self._render(df, rest)
+        if op == "as":
+            return self._as_binding(df, rest)
+        if op in ("facet", "fork", "partition"):
+            # out-of-dialect Kusto verbs: refuse with the in-dialect
+            # rewrite rather than a generic unsupported-operator error
+            rewrite = {
+                "facet": ("facet by Col is a per-column count view — "
+                          "rewrite as one `summarize Count = count() "
+                          "by Col` pipeline per column (union them "
+                          "with `union withsource=`)"),
+                "fork": ("fork runs sub-pipelines over one source — "
+                         "rewrite as `as Src` then one query per "
+                         "branch, or `union (Src | …), (Src | …)`"),
+                "partition": ("partition by Col ( … ) applies a "
+                              "sub-pipeline per key — rewrite the "
+                              "body as ordinary operators with "
+                              "`by Col` in its summarize/top stages "
+                              "(Spark partitions the groupBy for "
+                              "you), or use mv-apply for per-record "
+                              "arrays"),
+            }[op]
+            raise KqlError(f"KQL: {op} is out of dialect: {rewrite}")
         raise KqlError(f"KQL: unsupported operator {op!r}")
+
+    #: Kusto chart kinds accepted by `render` (display hint — a
+    #: compiler targeting DataFrames validates and passes data
+    #: through unchanged; the caller's presentation layer decides)
+    _RENDER_KINDS = frozenset({
+        "anomalychart", "areachart", "barchart", "card",
+        "columnchart", "ladderchart", "linechart", "piechart",
+        "pivotchart", "scatterchart", "stackedareachart", "table",
+        "timechart", "timepivot", "treemap",
+    })
+
+    #: render `with (…)` property names (Kusto docs list)
+    _RENDER_PROPS = frozenset({
+        "accumulate", "anomalycolumns", "kind", "legend", "series",
+        "title", "xaxis", "xcolumn", "xmax", "xmin", "xtitle",
+        "yaxis", "ycolumns", "ymax", "ymin", "ysplit", "ytitle",
+    })
+
+    def _render(self, df: DataFrame, rest: str) -> DataFrame:
+        """``render <chartkind> [with (prop = value, …)]`` — Kusto's
+        display hint, the most common trailing verb in exported
+        dashboard/ARG queries. Rendering is a client concern: the
+        compiler VALIDATES the chart kind and property names (so a
+        typo'd paste fails loud, same contract as the rest of the
+        dialect) and returns the frame unchanged."""
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*(.*)$", rest.strip(),
+                     re.DOTALL)
+        if not m or m.group(1).lower() not in self._RENDER_KINDS:
+            got = m.group(1) if m else rest.strip()
+            raise KqlError(
+                f"KQL: render needs a chart kind, got {got!r} "
+                f"(have: {sorted(self._RENDER_KINDS)})")
+        tail = m.group(2).strip()
+        if tail:
+            wm = re.fullmatch(r"with\s*\((.*)\)", tail,
+                              re.DOTALL | re.IGNORECASE)
+            if not wm:
+                raise KqlError(
+                    "KQL: render takes `render <kind> "
+                    "[with (prop = value, …)]`, got trailing "
+                    f"{tail!r}")
+            for part in _split_top_commas(wm.group(1)):
+                pm = re.match(r"([A-Za-z_]\w*)\s*=\s*\S", part)
+                if not pm:
+                    raise KqlError(
+                        f"KQL: render property must be "
+                        f"`name = value`, got {part!r}")
+                if pm.group(1).lower() not in self._RENDER_PROPS:
+                    raise KqlError(
+                        f"KQL: unknown render property "
+                        f"{pm.group(1)!r} "
+                        f"(have: {sorted(self._RENDER_PROPS)})")
+        return df
+
+    def _as_binding(self, df: DataFrame, rest: str) -> DataFrame:
+        """``as [hint.materialized=true|false] Name`` — bind the
+        pipeline's current state to a name visible to LATER stages of
+        the same query (join/union/lookup right sides), the paste-
+        compat sibling of ``let`` for mid-pipeline reuse.
+
+        The binding is the lazy DataFrame itself — each later use
+        re-evaluates the plan, exactly Kusto's default
+        (materialized=false). ``hint.materialized=true`` is accepted
+        and treated the same: every source this compiler reads is a
+        deterministic scan, so materialization can't change results,
+        and silently pinning executor memory from a query string is
+        the wrong default at 100 TB (cache explicitly via
+        ``spark.sql`` if wall-clock needs it)."""
+        m = re.fullmatch(
+            r"(?:hint\.materialized\s*=\s*(?:true|false)\s+)?"
+            r"([A-Za-z_]\w*)", rest.strip(), re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "KQL: as takes `as [hint.materialized=true] Name`, "
+                f"got {rest.strip()!r}")
+        name = m.group(1)
+        if name.lower() in self.tables:
+            raise KqlError(
+                f"KQL: as {name!r} would shadow an existing table — "
+                "pick an unused name (scan attribution is by table "
+                "name, so shadowing would misprice the query)")
+        self.tables[name.lower()] = df
+        return df
 
     def _search(self, df: DataFrame, rest: str) -> DataFrame:
         """``search [kind=case_insensitive|case_sensitive] 'term'`` —
@@ -2715,6 +3048,17 @@ def kql_estimate_statement(query: str, warehouse: dict[str, str]
     tables = kql_estimate_scan(query, warehouse)
     total_bytes = 0
     total_reads = 0
+    # externaldata reads price at raw file weight, mirroring the
+    # governor exactly (dry-run parity: same bytes, same refusal)
+    for idx, (epaths, _fmt) in enumerate(externaldata_reads(query)):
+        ebytes = externaldata_bytes(epaths)
+        tables[f"externaldata#{idx}"] = {
+            "bytes_kept": ebytes, "bytes_total": ebytes,
+            "files_kept": len(epaths), "files_total": len(epaths),
+            "rows_est_matched": None, "fallback": None,
+            "paths": list(epaths)}
+        total_bytes += ebytes
+        total_reads += 1
     for name, path, nrefs, attributable, preds, branches \
             in _warehouse_refs(query, warehouse):
         if not nrefs:
@@ -2731,7 +3075,8 @@ def kql_estimate_statement(query: str, warehouse: dict[str, str]
 
 def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
                        tables: dict[str, DataFrame] | None = None,
-                       max_scan_bytes: int | None = None
+                       max_scan_bytes: int | None = None,
+                       externaldata_roots: list[str] | None = None
                        ) -> DataFrame:
     """``kql_to_df`` with warehouse-directory sources read through
     zone-map/bloom data skipping: ``warehouse`` maps KQL table names to
@@ -2800,6 +3145,27 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
     # and the sum must stay under the budget too
     admitted_bytes = 0
     admitted_reads = 0
+    if enforce:
+        # externaldata reads are priced at raw file weight — no zone
+        # maps exist for arbitrary local files, so the honest
+        # estimate is everything the read will open (same posture as
+        # the no-stats fallback, and the dry-run twin
+        # kql_estimate_statement reports the identical bytes)
+        for epaths, _fmt in externaldata_reads(query):
+            ebytes = externaldata_bytes(epaths)
+            admitted_bytes += ebytes
+            admitted_reads += 1
+            if ebytes > max_scan_bytes \
+                    or admitted_bytes > max_scan_bytes:
+                from corkscrew_spark.engine import ScanBudgetExceeded
+
+                raise ScanBudgetExceeded(
+                    f"externaldata read of {epaths} is {ebytes:,} "
+                    f"bytes at raw file weight (statement total "
+                    f"{admitted_bytes:,}) — over the "
+                    f"{max_scan_bytes:,}-byte budget; raw files "
+                    "cannot be pruned — convert to a stats-bearing "
+                    "warehouse table to scan less")
     for name, path, nrefs, attributable, preds, branches \
             in _warehouse_refs(query, warehouse):
         eff = ([preds + b for b in branches] if preds else branches) \
@@ -2891,10 +3257,11 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
         if nrefs or re.search(rf"(?<!\w){re.escape(name)}(?!\w)",
                               query, re.IGNORECASE):
             resolved[name] = spark.read.parquet(path)
-    return kql_to_df(query, resolved)
+    return kql_to_df(query, resolved, externaldata_roots)
 
 
-def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
+def kql_to_df(query: str, tables: dict[str, DataFrame],
+              externaldata_roots: list[str] | None = None) -> DataFrame:
     """Compile a KQL pipeline string onto the given named DataFrames.
 
     `tables` maps table names (case-insensitive) to DataFrames; the
@@ -2909,7 +3276,7 @@ def kql_to_df(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     ``_jdf``) compilation stays lazy and the mismatch surfaces at
     action time instead — degraded error UX, never a broken compiler.
     """
-    df = _compile_query(query, tables)
+    df = _compile_query(query, tables, externaldata_roots)
     if not hasattr(df, "_jdf"):  # Spark Connect: no JVM handle
         return df
     if df.isStreaming:

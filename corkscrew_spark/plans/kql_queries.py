@@ -928,3 +928,113 @@ def kql_time_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_externaldata",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS nations
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name ASC
+    """,
+)
+def kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`externaldata (schema) ['path'] with(format=…)` (r12) — Kusto's
+    external-file head compiled to a schema'd ``spark.read`` over
+    allow-listed local paths, GOVERNED at raw file weight (no zone
+    maps exist for arbitrary files, so the honest scan estimate is
+    everything the read opens).
+
+    Self-certifying: the dry-run (``kql_estimate_statement``) must
+    price the read at the parquet file's on-disk bytes, a budget one
+    byte under must refuse naming the raw-file remedy, and the same
+    budget plus headroom must admit — so a green row certifies
+    estimate/governor/read agreement on the externaldata surface."""
+    import os
+
+    from corkscrew_spark.engine import ScanBudgetExceeded
+    from corkscrew_spark.kql import (KqlError, kql_estimate_statement,
+                                     kql_to_df_skipping)
+
+    path = os.path.join(sf_dir, "nation.parquet")
+    q = f"""
+        externaldata (n_nationkey:long, n_name:string,
+                      n_regionkey:long)
+            ['{path}'] with (format='parquet')
+        | join kind=inner (region) on
+              $left.n_regionkey == $right.r_regionkey
+        | summarize nations = count() by r_name
+        | order by r_name asc
+        """
+    tabs = register_tables(spark, sf_dir)
+    est = kql_estimate_statement(q, {})
+    nbytes = os.path.getsize(path)
+    if est["bytes_kept"] != nbytes or est["reads"] != 1:
+        raise RuntimeError(
+            f"externaldata dry-run priced {est['bytes_kept']} bytes / "
+            f"{est['reads']} reads; expected {nbytes} / 1")
+    try:
+        kql_to_df_skipping(spark, q, {}, tables=tabs,
+                           max_scan_bytes=nbytes - 1,
+                           externaldata_roots=[sf_dir])
+        raise RuntimeError(
+            "scan budget under the file size failed to refuse the "
+            "externaldata read")
+    except ScanBudgetExceeded as ex:
+        if "raw file weight" not in str(ex):
+            raise RuntimeError(
+                f"refusal did not name the raw-file remedy: {ex}")
+    try:
+        kql_to_df(q, tabs)
+        raise RuntimeError(
+            "externaldata compiled without an allow-list — the "
+            "default must refuse")
+    except KqlError:
+        pass
+    return kql_to_df_skipping(spark, q, {}, tables=tabs,
+                              max_scan_bytes=nbytes + 4096,
+                              externaldata_roots=[sf_dir])
+
+
+@query(
+    "kql_render_as",
+    oracle="""
+    WITH big AS (
+        SELECT * FROM events WHERE value >= 50
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT)       AS n,
+           ROUND(b.total, 2)         AS total
+    FROM (SELECT event_type, COUNT(*) AS n FROM big
+          GROUP BY event_type) a
+    JOIN (SELECT event_type, SUM(value) AS total FROM big
+          GROUP BY event_type) b
+      ON a.event_type = b.event_type
+    ORDER BY a.event_type ASC
+    """,
+)
+def kql_render_as(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`as Name` + trailing `render` (r12) — the two highest-frequency
+    paste-compat constructs in exported ARG/dashboard queries: `as`
+    binds the mid-pipeline state for reuse by a later join (compiled
+    as the lazy plan itself — Spark's exchange reuse dedups the
+    shared subtree), and `render` is a validated display-hint no-op.
+    Scale: one filtered scan feeding two aggregations and a
+    broadcast-size join on event_type — no driver materialization."""
+    return kql_to_df(
+        """
+        events
+        | where value >= 50
+        | as Big
+        | summarize n = count() by event_type
+        | join kind=inner (
+              Big | summarize total = round(sum(value), 2)
+                      by event_type ) on event_type
+        | project event_type, n, total
+        | order by event_type asc
+        | render barchart with (title = 'Totals by type')
+        """,
+        register_tables(spark, sf_dir),
+    )

@@ -615,3 +615,21 @@ def test_stats_bloom_bits_validation(spark, tmp_path, capsys):
     assert cli.main(["maintenance", "stats", tbl, "--cols", "k",
                      "--bloom-bits", "auto"]) == 2
     assert "requires --bloom-cols" in capsys.readouterr().err
+
+
+def test_kql_externaldata_root_flag(tmp_path, capsys):
+    """r12: --externaldata-root allow-lists local paths for the
+    `externaldata` head; without it the verb refuses (exit 2)."""
+    csv = tmp_path / "dim.csv"
+    csv.write_text("code,w\nA,1\nB,2\n")
+    q = (f"externaldata (code:string, w:long) ['{csv}'] "
+         "with (format='csv', ignoreFirstRecord=true) "
+         "| summarize n = count()")
+    rc = cli.main(["kql", q, "--data", "/root/testdata/sf0.001",
+                   "--format", "csv",
+                   "--externaldata-root", str(tmp_path)])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines()[1] == "2"
+    rc = cli.main(["kql", q, "--data", "/root/testdata/sf0.001"])
+    assert rc == 2
+    assert "externaldata is disabled" in capsys.readouterr().err

@@ -2062,3 +2062,154 @@ def test_datatable_blank_slot_raises(spark):
         "datatable(a:string, b:long) ['x', 1, 'y', 2,] "
         "| order by b asc", {}).collect()
     assert [(r["a"], r["b"]) for r in rows] == [("x", 1), ("y", 2)]
+
+
+# ---------------------------------------------------------------------------
+# Round-12: render / as (dashboard paste-compat) + out-of-dialect refusals
+# ---------------------------------------------------------------------------
+
+def test_render_is_validated_noop(tiny_events):
+    """r12: `render` is a display hint — validate the chart kind and
+    with-properties, pass the frame through unchanged; a verbatim
+    exported-dashboard query compiles."""
+    base = kql_to_df(
+        "T | summarize n = count() by event_type | order by n desc",
+        {"T": tiny_events}).collect()
+    # verbatim Azure-dashboard style export, trailing render
+    rendered = kql_to_df(
+        """T
+           | summarize n = count() by event_type
+           | order by n desc
+           | render barchart with (title = 'Events by type',
+                                   legend = visible)""",
+        {"T": tiny_events}).collect()
+    assert rendered == base
+    assert kql_to_df("T | render table", {"T": tiny_events}).count() == 4
+    with pytest.raises(KqlError, match="chart kind"):
+        kql_to_df("T | render sparkles", {"T": tiny_events})
+    with pytest.raises(KqlError, match="unknown render property"):
+        kql_to_df("T | render barchart with (coolness = 11)",
+                  {"T": tiny_events})
+    with pytest.raises(KqlError, match="final operator"):
+        kql_to_df("T | render barchart | count", {"T": tiny_events})
+    with pytest.raises(KqlError, match="final operator"):
+        kql_to_df("T | join kind=inner ( T | render table ) on event_id",
+                  {"T": tiny_events})
+
+
+def test_as_binds_for_later_stages(tiny_events):
+    """r12: `as Name` makes the pipeline state joinable/unionable
+    later in the same query (Kusto mid-pipeline binding)."""
+    rows = kql_to_df(
+        """T
+           | where value > 2
+           | as Big
+           | summarize n = count() by event_type
+           | join kind=inner ( Big | summarize total = sum(value)
+                                       by event_type ) on event_type
+           | order by event_type asc""",
+        {"T": tiny_events}).collect()
+    assert [(r["event_type"], r["n"], r["total"]) for r in rows] == [
+        ("click", 1, 4.0), ("purchase", 1, 9.0), ("view", 1, 2.5)]
+    # hint.materialized accepted, same semantics
+    assert kql_to_df(
+        "T | as hint.materialized=true Snap | count",
+        {"T": tiny_events}).first()["Count"] == 4
+    with pytest.raises(KqlError, match="shadow"):
+        kql_to_df("T | as T | count", {"T": tiny_events})
+    with pytest.raises(KqlError, match="as takes"):
+        kql_to_df("T | as 9lives", {"T": tiny_events})
+
+
+def test_out_of_dialect_verbs_name_the_rewrite(tiny_events):
+    for verb, hint in [("facet by event_type", "summarize"),
+                       ("fork (count) (count)", "union"),
+                       ("partition by user_id (top 1 by value)",
+                        "by Col")]:
+        with pytest.raises(KqlError, match="out of dialect"):
+            kql_to_df(f"T | {verb}", {"T": tiny_events})
+        try:
+            kql_to_df(f"T | {verb}", {"T": tiny_events})
+        except KqlError as e:
+            assert hint in str(e)
+
+
+def test_externaldata_csv_and_parquet(spark, tmp_path):
+    """r12: `externaldata (schema) ['path'] with(format=…)` — schema'd
+    spark.read over allow-listed local paths."""
+    csv = tmp_path / "dim.csv"
+    csv.write_text("code,weight\nA,1.5\nB,2.0\nC,\n")
+    q = (f"externaldata (code:string, weight:real) ['{csv}'] "
+         "with (format='csv', ignoreFirstRecord=true) "
+         "| order by code asc")
+    rows = kql_to_df(q, {}, externaldata_roots=[str(tmp_path)]).collect()
+    assert [(r["code"], r["weight"]) for r in rows] == [
+        ("A", 1.5), ("B", 2.0), ("C", None)]
+    # parquet: declared columns are cast and selected
+    pq = "/root/testdata/sf0.001/region.parquet"
+    out = kql_to_df(
+        f"externaldata (r_regionkey:long, r_name:string) ['{pq}'] "
+        "with (format='parquet') | order by r_regionkey asc",
+        {}, externaldata_roots=["/root/testdata"])
+    assert out.columns == ["r_regionkey", "r_name"]
+    exp = (spark.read.parquet(pq)
+           .select("r_regionkey", "r_name")
+           .orderBy("r_regionkey").collect())
+    got = out.collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    with pytest.raises(KqlError, match="missing declared"):
+        kql_to_df(
+            f"externaldata (nope:string) ['{pq}'] "
+            "with (format='parquet')",
+            {}, externaldata_roots=["/root/testdata"])
+
+
+def test_externaldata_allowlist(spark, tmp_path, monkeypatch):
+    csv = tmp_path / "x.csv"
+    csv.write_text("1\n2\n")
+    q = f"externaldata (v:long) ['{csv}'] | count"
+    # no roots configured: refuse
+    monkeypatch.delenv("CORKSCREW_EXTERNALDATA_ROOTS", raising=False)
+    with pytest.raises(KqlError, match="disabled"):
+        kql_to_df(q, {})
+    # env allow-list works
+    monkeypatch.setenv("CORKSCREW_EXTERNALDATA_ROOTS", str(tmp_path))
+    assert kql_to_df(q, {}).first()["Count"] == 2
+    # outside the root: refuse
+    with pytest.raises(KqlError, match="outside the allow-listed"):
+        kql_to_df("externaldata (v:long) ['/etc/hostname'] | count",
+                  {})
+    with pytest.raises(KqlError, match="does not exist"):
+        kql_to_df(
+            f"externaldata (v:long) ['{tmp_path}/gone.csv'] | count",
+            {})
+
+
+def test_externaldata_governed(spark, tmp_path):
+    """r12: under a scan budget, externaldata prices at raw file
+    weight — governor refusal and dry-run report identical bytes."""
+    from corkscrew_spark.engine import ScanBudgetExceeded
+    from corkscrew_spark.kql import (externaldata_bytes,
+                                     externaldata_reads,
+                                     kql_estimate_statement,
+                                     kql_to_df_skipping)
+
+    csv = tmp_path / "big.csv"
+    csv.write_text("v\n" + "\n".join(str(i) for i in range(1000)))
+    nbytes = csv.stat().st_size
+    q = (f"externaldata (v:long) ['{csv}'] "
+         "with (format='csv', ignoreFirstRecord=true) "
+         "| summarize s = sum(v)")
+    assert externaldata_reads(q) == [([str(csv)], "csv")]
+    est = kql_estimate_statement(q, {})
+    assert est["bytes_kept"] == nbytes == externaldata_bytes([str(csv)])
+    assert est["reads"] == 1
+    with pytest.raises(ScanBudgetExceeded, match="raw file weight"):
+        kql_to_df_skipping(spark, q, {}, max_scan_bytes=nbytes - 1,
+                           externaldata_roots=[str(tmp_path)])
+    ok = kql_to_df_skipping(spark, q, {}, max_scan_bytes=nbytes + 10,
+                            externaldata_roots=[str(tmp_path)])
+    assert ok.first()["s"] == sum(range(1000))
+    # a keyword inside a string literal is not a read
+    assert externaldata_reads(
+        "T | where name == 'externaldata'") == []
