@@ -462,6 +462,25 @@ def _lit_str(tok: _Tok | None) -> str | None:
     return tok.text if tok is not None and tok.kind == "string" else None
 
 
+def _lit_int(tok: _Tok | None, pos: int, what: str,
+             lo: int | None = None, hi: int | None = None) -> int:
+    """An INTEGER literal argument, loud on anything else — fractional
+    or exponent forms (`2.5`, `1e1`) and out-of-range values would
+    otherwise escape as raw ValueError / runtime ANSI errors (r12
+    review: the unary-minus raw synthesis made negative literals reach
+    every numeric contract, so each needs its own range)."""
+    if tok is None or tok.kind != "number" \
+            or not re.fullmatch(r"-?\d+", tok.text):
+        raise KqlError(
+            f"KQL: {what} must be an integer literal at {pos}")
+    v = int(tok.text)
+    if (lo is not None and v < lo) or (hi is not None and v > hi):
+        rng = (f">= {lo}" if hi is None else
+               f"<= {hi}" if lo is None else f"in [{lo}, {hi}]")
+        raise KqlError(f"KQL: {what} must be {rng}, got {v} at {pos}")
+    return v
+
+
 def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Column:
     """Compile a KQL function call. `raw` holds the first token of each arg
     (so literal-only contracts — regexes, delimiters — can be enforced)."""
@@ -484,8 +503,11 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return fn(args[1], args[0])
     if name == "percentile" and n == 2:
         p = raw[1]
-        if p is None or p.kind != "number":
-            raise KqlError(f"KQL: percentile(col, p) needs a literal p at {pos}")
+        if p is None or p.kind != "number" \
+                or not (0.0 <= float(p.text) <= 100.0):
+            raise KqlError(
+                f"KQL: percentile(col, p) needs a literal p in "
+                f"[0, 100] at {pos}")
         return F.percentile(args[0], F.lit(float(p.text) / 100.0))
     if name == "case":
         if n < 3 or n % 2 == 0:
@@ -502,10 +524,8 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
     if name == "make_set" and n in (1, 2):
         s = F.array_sort(F.collect_set(args[0]))  # sorted: deterministic
         if n == 2:
-            cap = raw[1]
-            if cap is None or cap.kind != "number":
-                raise KqlError(f"KQL: make_set cap must be a literal at {pos}")
-            s = F.slice(s, 1, int(cap.text))
+            s = F.slice(s, 1, _lit_int(raw[1], pos,
+                                       "make_set cap", lo=1))
         return s
     if name == "split" and n == 2:
         delim = _lit_str(raw[1])
@@ -514,10 +534,12 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return F.split(args[0].cast("string"), re.escape(delim))
     if name == "extract" and n == 3:
         pat = _lit_str(raw[0])
-        grp = raw[1]
-        if pat is None or grp is None or grp.kind != "number":
-            raise KqlError(f"KQL: extract(regex, group, text) literals required at {pos}")
-        got = F.regexp_extract(args[2].cast("string"), pat, int(grp.text))
+        if pat is None:
+            raise KqlError(
+                f"KQL: extract(regex, group, text) needs a literal "
+                f"regex at {pos}")
+        grp = _lit_int(raw[1], pos, "extract() capture group", lo=0)
+        got = F.regexp_extract(args[2].cast("string"), pat, grp)
         return F.when(got != "", got)  # KQL yields null on no-match, not ''
     if name == "extract_all" and n == 2:
         pat = _lit_str(raw[0])
@@ -540,11 +562,8 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
               "abs": F.abs, "floor": F.floor, "round": F.round}[name]
         return fn(args[0])
     if name == "round" and n == 2:
-        if (raw[1] is None or raw[1].kind != "number"
-                or "." in raw[1].text):
-            raise KqlError(
-                f"KQL: round() precision must be an integer literal at {pos}")
-        return F.round(args[0], int(raw[1].text))
+        return F.round(args[0],
+                       _lit_int(raw[1], pos, "round() precision"))
     if name == "ceiling" and n == 1:
         return F.ceil(args[0])
     if name == "strlen" and n == 1:

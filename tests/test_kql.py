@@ -2213,3 +2213,25 @@ def test_externaldata_governed(spark, tmp_path):
     # a keyword inside a string literal is not a read
     assert externaldata_reads(
         "T | where name == 'externaldata'") == []
+
+
+def test_integer_literal_contracts_loud(tiny_events):
+    """r12 review: the unary-minus raw synthesis lets negative
+    literals reach every numeric contract — each must range-check
+    with a KqlError, never a ValueError or a runtime ANSI error."""
+    t = {"T": tiny_events}
+    with pytest.raises(KqlError, match="make_set cap"):
+        kql_to_df("T | summarize s = make_set(event_type, -3)", t)
+    with pytest.raises(KqlError, match="make_set cap"):
+        kql_to_df("T | summarize s = make_set(event_type, 2.5)", t)
+    with pytest.raises(KqlError, match=r"percentile.*\[0, 100\]"):
+        kql_to_df("T | summarize p = percentile(value, -5)", t)
+    with pytest.raises(KqlError, match="capture group"):
+        kql_to_df("T | extend x = extract('(a)', -1, event_type)", t)
+    with pytest.raises(KqlError, match="round.*integer literal"):
+        kql_to_df("T | extend r = round(value, 2.5)", t)
+    # in-range still works
+    row = kql_to_df(
+        "T | summarize s = make_set(event_type, 2), "
+        "p = percentile(value, 50)", t).first()
+    assert len(row["s"]) == 2
