@@ -2059,3 +2059,71 @@ def test_time_travel_create_vs_gc_race(spark, tmp_path):
         deltas = list(ex.map(run, range(36)))
     assert deltas == [0] * 36
     assert not eng._snapshots
+
+
+def test_two_engines_mixed_workload_stress(spark, tmp_path):
+    """r12 (verdict stretch): two QueryEngine instances share one
+    SparkSession while 12 threads interleave register_warehouse /
+    VERSION AS OF travel / estimate_scan / plain queries across both.
+    Engine state (warehouse registry, snapshot refcounts, listing
+    caches) is per-instance; the session catalog is shared — so the
+    invariants are: every result exact, zero snapshot leaks on BOTH
+    engines, and neither instance's cache serves the other's tables."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from corkscrew_spark import skipping as skip
+    from corkscrew_spark import versioned
+
+    wt = str(tmp_path / "wt")
+    (spark.range(200).selectExpr("id AS k", "id % 7 AS g")
+     .coalesce(4).write.parquet(wt))
+    skip.compute_stats(spark, wt, ["k"])
+    vt = str(tmp_path / "vt")
+    for ts in (1, 2):
+        versioned.write_version(
+            spark.createDataFrame([(k, ts) for k in range(ts * 5)],
+                                  "k long, ts long"), vt)
+
+    e1 = QueryEngine(spark, register_helpers=False)
+    e2 = QueryEngine(spark, register_helpers=False)
+    for e, base in ((e1, "a"), (e2, "b")):
+        e.register_warehouse(f"wt_{base}", wt)
+        e.register_versioned(f"vt_{base}", vt)
+
+    def run(i: int) -> str | None:
+        eng, base = ((e1, "a") if i % 2 == 0 else (e2, "b"))
+        op = i % 4
+        if op == 0:
+            # fresh registration under a unique name, then query it
+            eng.register_warehouse(f"t_{base}_{i}", wt)
+            n = eng.execute(
+                f"SELECT COUNT(*) AS n FROM t_{base}_{i} "
+                "WHERE k >= 100").rows()[0].n
+            return None if n == 100 else f"register {i}: {n}"
+        if op == 1:
+            v = (i // 4) % 2 + 1
+            n = eng.execute(
+                f"SELECT COUNT(*) AS n FROM vt_{base} "
+                f"VERSION AS OF {v}").rows()[0].n
+            return None if n == v * 5 else f"travel {i}: {n}"
+        if op == 2:
+            est = eng.estimate_scan(
+                f"SELECT k FROM wt_{base} WHERE k >= 150")
+            ok = (f"wt_{base}" in est
+                  and est[f"wt_{base}"]["files_kept"] >= 1)
+            return None if ok else f"estimate {i}: {est}"
+        n = eng.execute(
+            f"SELECT SUM(k) AS s FROM wt_{base} WHERE g = 3"
+        ).rows()[0].s
+        exp = sum(k for k in range(200) if k % 7 == 3)
+        return None if n == exp else f"query {i}: {n}"
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        errs = [e for e in ex.map(run, range(48)) if e]
+    assert errs == []
+    assert not e1._snapshots and not e2._snapshots
+    # the per-instance registries never bled into each other
+    assert all(k.startswith(("wt_a", "vt_a", "t_a_"))
+               for k in (set(e1._warehouse) | set(e1._versioned)))
+    assert all(k.startswith(("wt_b", "vt_b", "t_b_"))
+               for k in (set(e2._warehouse) | set(e2._versioned)))
