@@ -838,10 +838,19 @@ def _parse_externaldata(rest: str, exact: bool = False):
         i += 1
         if i < n and toks[i].text == ",":
             i += 1
+        elif i < n and toks[i].kind == "string":
+            raise KqlError(
+                "KQL: externaldata paths must be comma-separated")
     if not paths:
         raise KqlError(
             "KQL: externaldata needs at least one quoted path in [ ]")
     _want("]", "to close the path list")
+    dup = {nm for nm in (c[0] for c in cols)
+           if [c[0] for c in cols].count(nm) > 1}
+    if dup:
+        raise KqlError(
+            f"KQL: externaldata declares duplicate column(s) "
+            f"{sorted(dup)}")
     fmt, header = "csv", False
     if i < n and toks[i].kind == "ident" \
             and toks[i].text.lower() == "with":
@@ -1341,6 +1350,13 @@ class _StageCompiler:
             types.append(kt)
         if not names:
             raise KqlError("KQL: datatable needs at least one column")
+        dup = {nm for nm in names if names.count(nm) > 1}
+        if dup:
+            # Spark accepts duplicate schema field names and produces
+            # ambiguous columns — refuse loud instead
+            raise KqlError(
+                f"KQL: datatable declares duplicate column(s) "
+                f"{sorted(dup)}")
         if body.strip():
             slots = _split_on_top_level(body, ",", keep_empty=True)
             # a single trailing comma after the last value is the

@@ -2235,3 +2235,19 @@ def test_integer_literal_contracts_loud(tiny_events):
         "T | summarize s = make_set(event_type, 2), "
         "p = percentile(value, 50)", t).first()
     assert len(row["s"]) == 2
+
+
+def test_externaldata_and_datatable_strict_shapes(spark, tmp_path):
+    """r12 review pass 2: missing commas between paths and duplicate
+    declared columns refuse loudly (Spark would otherwise accept a
+    duplicate-name schema and produce ambiguous columns)."""
+    csv = tmp_path / "a.csv"
+    csv.write_text("1\n")
+    with pytest.raises(KqlError, match="comma-separated"):
+        kql_to_df(f"externaldata (v:long) ['{csv}' '{csv}'] | count",
+                  {}, externaldata_roots=[str(tmp_path)])
+    with pytest.raises(KqlError, match="duplicate column"):
+        kql_to_df(f"externaldata (v:long, v:string) ['{csv}'] | count",
+                  {}, externaldata_roots=[str(tmp_path)])
+    with pytest.raises(KqlError, match="duplicate column"):
+        kql_to_df("datatable(a:long, a:long) [1, 2] | count", {})
