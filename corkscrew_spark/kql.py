@@ -912,6 +912,21 @@ def externaldata_reads(query: str) -> list[tuple[list[str], str]]:
     return out
 
 
+def _externaldata_roots_effective(roots: list[str] | None) -> list[str]:
+    """The allow-list the compiler will enforce: the explicit argument,
+    else CORKSCREW_EXTERNALDATA_ROOTS (os.pathsep-separated)."""
+    if roots is not None:
+        return list(roots)
+    env = os.environ.get("CORKSCREW_EXTERNALDATA_ROOTS", "")
+    return [r for r in env.split(os.pathsep) if r]
+
+
+def _externaldata_path_allowed(path: str, roots: list[str]) -> bool:
+    rp = os.path.realpath(path)
+    return any(rp == rr or rp.startswith(rr + os.sep)
+               for rr in (os.path.realpath(r) for r in roots))
+
+
 def externaldata_bytes(paths: list[str]) -> int:
     """Total on-disk bytes behind an externaldata read — the governed
     estimate (no column pruning for raw files: the read costs what
@@ -1405,25 +1420,19 @@ class _StageCompiler:
         permissive reader), parquet reads cast each declared column,
         failing loud on a missing one."""
         cols, paths, fmt, header = _parse_externaldata(rest, exact=True)
-        roots = self.externaldata_roots
-        if roots is None:
-            env = os.environ.get("CORKSCREW_EXTERNALDATA_ROOTS", "")
-            roots = [r for r in env.split(os.pathsep) if r]
+        roots = _externaldata_roots_effective(self.externaldata_roots)
         if not roots:
             raise KqlError(
                 "KQL: externaldata is disabled — allow-list the "
                 "readable directories via the externaldata_roots "
                 "argument or CORKSCREW_EXTERNALDATA_ROOTS before a "
                 "query string may open local files")
-        real_roots = [os.path.realpath(r) for r in roots]
         for p in paths:
-            rp = os.path.realpath(p)
-            if not any(rp == rr or rp.startswith(rr + os.sep)
-                       for rr in real_roots):
+            if not _externaldata_path_allowed(p, roots):
                 raise KqlError(
                     f"KQL: externaldata path {p!r} is outside the "
                     f"allow-listed root(s) {roots}")
-            if not os.path.exists(rp):
+            if not os.path.exists(os.path.realpath(p)):
                 raise KqlError(
                     f"KQL: externaldata path {p!r} does not exist")
         ddl = ", ".join(f"{n} {self._DATATABLE_TYPES[t]}"
@@ -3077,7 +3086,12 @@ def kql_estimate_statement(query: str, warehouse: dict[str, str]
     referenced table counts N times>, "reads": n}``. Fallback
     estimates contribute their FULL-SCAN bytes, matching enforcement
     (r11; ``CORKSCREW_SCAN_BUDGET_ALLOW_NOSTATS=1`` restores the
-    legacy exemption on both dry-run and governor together)."""
+    legacy exemption on both dry-run and governor together).
+    ``externaldata`` reads price at raw file weight regardless of the
+    allow-list (the dry-run answers "what WOULD this cost"); the
+    governor prices only allow-listed reads, because a disallowed one
+    is refused at compile time before any file opens — parity holds
+    on every executable query."""
     from corkscrew_spark import skipping as _skip
 
     tables = kql_estimate_scan(query, warehouse)
@@ -3186,7 +3200,14 @@ def kql_to_df_skipping(spark, query: str, warehouse: dict[str, str],
         # estimate is everything the read will open (same posture as
         # the no-stats fallback, and the dry-run twin
         # kql_estimate_statement reports the identical bytes)
+        eroots = _externaldata_roots_effective(externaldata_roots)
         for epaths, _fmt in externaldata_reads(query):
+            if not all(_externaldata_path_allowed(p, eroots)
+                       for p in epaths):
+                # the compiler refuses this read before opening any
+                # file — don't stat (or report sizes of) paths the
+                # allow-list already rules out
+                continue
             ebytes = externaldata_bytes(epaths)
             admitted_bytes += ebytes
             admitted_reads += 1

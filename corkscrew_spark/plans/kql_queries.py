@@ -986,13 +986,16 @@ def kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "raw file weight" not in str(ex):
             raise RuntimeError(
                 f"refusal did not name the raw-file remedy: {ex}")
-    try:
-        kql_to_df(q, tabs)
-        raise RuntimeError(
-            "externaldata compiled without an allow-list — the "
-            "default must refuse")
-    except KqlError:
-        pass
+    if not os.environ.get("CORKSCREW_EXTERNALDATA_ROOTS"):
+        # only certifiable when the operator has NOT allow-listed
+        # roots environment-wide (then refusal is the correct default)
+        try:
+            kql_to_df(q, tabs)
+            raise RuntimeError(
+                "externaldata compiled without an allow-list — the "
+                "default must refuse")
+        except KqlError:
+            pass
     return kql_to_df_skipping(spark, q, {}, tables=tabs,
                               max_scan_bytes=nbytes + 4096,
                               externaldata_roots=[sf_dir])
