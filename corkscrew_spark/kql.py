@@ -1198,10 +1198,18 @@ class _StageCompiler:
 
     def compile(self, query: str) -> DataFrame:
         self._depth += 1
+        # Kusto scoping: an `as` binding made INSIDE a parenthesized
+        # sub-pipeline (join/union/lookup side) is local to it — names
+        # added during a nested compile are dropped on exit, while the
+        # outer pipeline's bindings stay visible to its subqueries
+        before = set(self.tables) if self._depth > 1 else None
         try:
             return self._compile(query)
         finally:
             self._depth -= 1
+            if before is not None:
+                for k in set(self.tables) - before:
+                    del self.tables[k]
 
     def _compile(self, query: str) -> DataFrame:
         stages = _split_stages(query)

@@ -2251,3 +2251,21 @@ def test_externaldata_and_datatable_strict_shapes(spark, tmp_path):
                   {}, externaldata_roots=[str(tmp_path)])
     with pytest.raises(KqlError, match="duplicate column"):
         kql_to_df("datatable(a:long, a:long) [1, 2] | count", {})
+
+
+def test_as_binding_subquery_scoped(tiny_events):
+    """r12 review pass 3: an `as` made inside a parenthesized
+    sub-pipeline is local to it (Kusto scoping) — the outer pipeline
+    must not resolve it; outer bindings stay visible inside."""
+    t = {"T": tiny_events}
+    # inner `as Inner` must NOT leak to the outer stage
+    with pytest.raises(KqlError, match="unknown table"):
+        kql_to_df(
+            "T | join kind=inner ( T | as Inner | summarize "
+            "n = count() by event_id ) on event_id "
+            "| join kind=inner (Inner) on event_id", t)
+    # outer `as Outer` IS visible inside a subquery (the feature)
+    n = kql_to_df(
+        "T | as Outer | join kind=inner ( Outer | project event_id ) "
+        "on event_id | count", t).first()["Count"]
+    assert n == 4
