@@ -616,8 +616,8 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
                                             "_semcid")
     else:
         assigned = corpus.withColumn(
-            "_semcid", similarity.assign_list(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            "_semcid", similarity.assign_expr(
+                f"transform(`{vec_col}`, x -> cast(x as double))",
                 cents))
     scan = (embedding_near_dup_gemm if impl == "gemm"
             else embedding_near_dup)

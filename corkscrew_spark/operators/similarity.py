@@ -11,6 +11,8 @@ the dot product) — no Python in the row path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -175,7 +177,7 @@ def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
 
     vecs = train.select(_as_double(vec_col).alias("v"))
     for _ in range(iters):
-        assigned = vecs.withColumn("cid", assign_list(F.col("v"), centroids))
+        assigned = vecs.withColumn("cid", assign_expr("`v`", centroids))
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -219,14 +221,27 @@ def _dist_structs(vec: Column, cents: Column) -> Column:
 
 
 def centroids_lit(centroids: list[list[float]]) -> Column:
-    """Centroid list as ONE 2-D array Literal node.
+    """Centroid list as ONE 2-D array literal, built in ONE py4j call.
 
     A per-value ``F.array(F.lit(...))`` tree costs Catalyst one node per
     float — at nlist=16 x dim=64 that is ~1k expression nodes per call
     site, and ADC repeats it per subspace; analysis/codegen of those
-    trees dominated small-job wall time. A single nested-list literal
-    carries the same values in one node."""
-    return F.lit([[float(x) for x in c] for c in centroids])
+    trees dominated small-job wall time. ``F.lit(nested_list)`` fixed
+    the Catalyst side but PySpark still lowers a list literal through
+    one JVM call PER ELEMENT — an r12 profile of ``ann_ivfpq_topk``
+    showed ~24k py4j round-trips (~3.3 s of socket latency, 2/3 of the
+    query's warm wall) almost all under ``centroids_lit``. Rendering
+    the same values as one SQL ``array(array(…D,…))`` string moves the
+    whole literal across the bridge in a single ``expr`` call; ``repr``
+    round-trips every finite IEEE double, so the parsed literal is
+    bit-identical to the old one."""
+    vals = [[float(x) for x in c] for c in centroids]
+    if not vals or not vals[0] or not all(
+            math.isfinite(x) for c in vals for x in c):
+        return F.lit(vals)  # empty/non-finite: the slow, general path
+    inner = ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in vals)
+    return F.expr(f"array({inner})")
 
 
 def assign_col(vec: Column, cents: Column) -> Column:
@@ -239,6 +254,71 @@ def assign_col(vec: Column, cents: Column) -> Column:
 def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id for a Python centroid list (inlined literal)."""
     return assign_col(vec, centroids_lit(centroids))
+
+
+# -- SQL-text twins of the expression builders above ------------------------
+#
+# The Column-API builders are correct but construction-heavy: every
+# higher-order function (transform/zip_with/aggregate) and every literal
+# element is its own py4j round-trip, and an r12 cProfile of
+# ann_ivfpq_topk showed the BUILD phase (driver-side expression
+# construction, not execution) at ~2/3 of warm wall — ~24k bridge calls.
+# Rendering the identical expression as ONE SQL string hands the whole
+# tree to the JVM parser in a single call. The parsed plan is the same
+# expression node-for-node (same lambdas, same struct comparator, same
+# tie-breaks), so results are bit-identical — pinned by
+# tests/test_similarity.py::test_sql_text_builders_match_column_api.
+
+def _sqlf(x: float) -> str:
+    return f"{float(x)!r}D"  # repr round-trips every finite double
+
+
+def _centroids_sql(centroids: list[list[float]]) -> str | None:
+    """The centroid list as a SQL array(array(…)) literal, or None when
+    the values need the general Column path (empty / non-finite)."""
+    vals = [[float(x) for x in c] for c in centroids]
+    if not vals or not vals[0] or not all(
+            math.isfinite(x) for c in vals for x in c):
+        return None
+    return "array(" + ",".join(
+        "array(" + ",".join(_sqlf(x) for x in c) + ")"
+        for c in vals) + ")"
+
+
+def _dist_structs_sql(vec_sql: str, cents_sql: str) -> str:
+    """SQL text of ``_dist_structs`` (same lambdas, same field order)."""
+    return (
+        f"zip_with(transform({cents_sql}, c -> "
+        f"aggregate(zip_with({vec_sql}, c, (x, y) -> (x - y) * (x - y)),"
+        " 0.0D, (acc, x) -> acc + x)), "
+        f"sequence(0, size({cents_sql}) - 1), "
+        "(d, i) -> named_struct('d', d, 'cid', i))")
+
+
+def assign_expr(vec_sql: str, centroids: list[list[float]]) -> Column:
+    """``assign_list`` built in one py4j call from a vec SQL fragment
+    (e.g. ``"`cv`"`` or a slice/transform expression string)."""
+    cents_sql = _centroids_sql(centroids)
+    if cents_sql is None:
+        return assign_list(F.expr(vec_sql), centroids)
+    return F.expr(
+        f"array_min({_dist_structs_sql(vec_sql, cents_sql)}).cid")
+
+
+def probe_lists_expr(vec_sql: str, centroids: list[list[float]],
+                     nprobe: int) -> Column:
+    """``probe_lists`` built in one py4j call."""
+    cents_sql = _centroids_sql(centroids)
+    if cents_sql is None:
+        return probe_lists(F.expr(vec_sql), centroids, nprobe)
+    return F.expr(
+        f"transform(slice(array_sort("
+        f"{_dist_structs_sql(vec_sql, cents_sql)}), 1, {int(nprobe)}), "
+        "s -> s.cid)")
+
+
+def _as_double_sql(vec_col: str) -> str:
+    return f"transform(`{vec_col}`, x -> cast(x as double))"
 
 
 def assign_pandas(df: DataFrame, vec_col: str,
@@ -316,12 +396,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
-        .withColumn("cid", assign_list(F.col("cv"), centroids))
+        .withColumn("cid", assign_expr("`cv`", centroids))
         .withColumn("cn", _norm(F.col("cv")))
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .withColumn("cid", F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
+        .withColumn("cid", F.explode(probe_lists_expr("`qv`", centroids, nprobe)))
         .withColumn("qn", _norm(F.col("qv")))
     )
     # each corpus row lives in exactly one list and probe cids are
@@ -359,7 +439,7 @@ def ivf_build_index(corpus: DataFrame, id_col: str, vec_col: str, index_dir: str
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     (
         corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
-        .withColumn("cid", assign_list(F.col("cv"), centroids))
+        .withColumn("cid", assign_expr("`cv`", centroids))
         .withColumn("cn", _norm(F.col("cv")))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(f"{index_dir}/lists")
@@ -393,7 +473,7 @@ def ivf_topk_indexed(spark, index_dir: str, queries: DataFrame, id_col: str,
     lists = spark.read.parquet(f"{index_dir}/lists")
     q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .withColumn("cid", F.explode(probe_lists(F.col("qv"), centroids, nprobe)))
+        .withColumn("cid", F.explode(probe_lists_expr("`qv`", centroids, nprobe)))
         .withColumn("qn", _norm(F.col("qv")))
     )
     if prune:
@@ -573,11 +653,23 @@ def pq_encode(df: DataFrame, vec_col: str,
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    codes = F.array(*[
-        assign_list(F.slice(_as_double(vec_col), s * sub + 1, sub),
-                    codebooks[s]).cast("tinyint")
-        for s in range(m)
-    ])
+    if all(_centroids_sql(cb) is not None for cb in codebooks):
+        # one py4j call for the whole m-subspace encode (r12 profile)
+        vec_sql = _as_double_sql(vec_col)
+        parts = []
+        for s in range(m):
+            sub_vec = f"slice({vec_sql}, {s * sub + 1}, {sub})"
+            structs = _dist_structs_sql(sub_vec,
+                                        _centroids_sql(codebooks[s]))
+            parts.append(
+                f"cast(array_min({structs}).cid as tinyint)")
+        codes = F.expr("array(" + ",".join(parts) + ")")
+    else:
+        codes = F.array(*[
+            assign_list(F.slice(_as_double(vec_col), s * sub + 1, sub),
+                        codebooks[s]).cast("tinyint")
+            for s in range(m)
+        ])
     return df.withColumn(code_col, codes).drop(vec_col)
 
 
@@ -588,6 +680,14 @@ def _adc_l2(codebooks: list[list[list[float]]],
     lookups + m small sqdists, all whole-stage codegen. Shared by
     pq_topk and ivfpq_topk so distance/rounding semantics can't drift."""
     sub = len(codebooks[0][0])
+    if all(_centroids_sql(cb) is not None for cb in codebooks):
+        terms = " + ".join(
+            f"aggregate(zip_with(slice(`{qv_col}`, {s * sub + 1}, {sub}),"
+            f" element_at({_centroids_sql(cb)},"
+            f" cast(`{code_col}`[{s}] as int) + 1),"
+            " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+            for s, cb in enumerate(codebooks))
+        return F.expr(f"round(sqrt({terms}), 4)")
     total = None
     for s, cb in enumerate(codebooks):
         cent = F.element_at(centroids_lit(cb),
@@ -728,7 +828,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("cv"))
-        .withColumn("cid", assign_list(F.col("cv"), centroids))
+        .withColumn("cid", assign_expr("`cv`", centroids))
     )
     c = pq_encode(c, "cv", codebooks, code_col="code")
     q = (

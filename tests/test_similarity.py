@@ -381,3 +381,53 @@ def test_zero_norm_vectors_never_divide_by_zero(spark):
     assert similarity.ann_topk(c, q, "vec_id", "embedding", k=2).count() > 0
     assert similarity.ivf_topk(c, q, "vec_id", "embedding", k=2,
                                nlist=2, nprobe=2).count() > 0
+
+
+def test_sql_text_builders_match_column_api(spark):
+    """r12: the SQL-text expression builders (one py4j call) must be
+    bit-identical to the Column-API builders they replace on the hot
+    paths — same assignments, same probe lists, same ADC distances."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.operators.similarity import (
+        _adc_l2, assign_expr, assign_list, centroids_lit, probe_lists,
+        probe_lists_expr)
+
+    random.seed(41)
+    dim, nlist = 12, 7
+    cents = [[random.uniform(-2, 2) for _ in range(dim)]
+             for _ in range(nlist)]
+    rows = [(i, [random.uniform(-2, 2) for _ in range(dim)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    both = df.select(
+        assign_expr("`v`", cents).alias("a"),
+        assign_list(F.col("v"), cents).alias("b"),
+        probe_lists_expr("`v`", cents, 3).alias("pa"),
+        probe_lists(F.col("v"), cents, 3).alias("pb"),
+    ).collect()
+    assert all(r["a"] == r["b"] and list(r["pa"]) == list(r["pb"])
+               for r in both)
+    # ADC: SQL-text vs forced Column fallback (inject a NaN codebook
+    # copy to trip the fallback) on identical codes/queries
+    m, ksub, sub = 3, 4, 4
+    cbs = [[[random.uniform(-1, 1) for _ in range(sub)]
+            for _ in range(ksub)] for _ in range(m)]
+    codes = spark.createDataFrame(
+        [(i, [random.randrange(ksub) for _ in range(m)],
+          [random.uniform(-1, 1) for _ in range(m * sub)])
+         for i in range(40)],
+        "id long, code array<int>, qv array<double>")
+    fast = codes.select(F.col("id"), _adc_l2(cbs).alias("d")).collect()
+    # the Column fallback path, same data: monkeypatch the gate
+    import corkscrew_spark.operators.similarity as sim
+    orig = sim._centroids_sql
+    sim._centroids_sql = lambda c: None
+    try:
+        slow = codes.select(F.col("id"),
+                            _adc_l2(cbs).alias("d")).collect()
+    finally:
+        sim._centroids_sql = orig
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
