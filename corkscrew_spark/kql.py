@@ -851,7 +851,7 @@ def _parse_externaldata(rest: str, exact: bool = False):
         raise KqlError(
             f"KQL: externaldata declares duplicate column(s) "
             f"{sorted(dup)}")
-    fmt, header = "csv", False
+    fmt, header, header_given = "csv", False, False
     if i < n and toks[i].kind == "ident" \
             and toks[i].text.lower() == "with":
         i += 1
@@ -878,6 +878,7 @@ def _parse_externaldata(rest: str, exact: bool = False):
                     raise KqlError(
                         "KQL: ignoreFirstRecord must be true or false")
                 header = val.text.lower() == "true"
+                header_given = True
             else:
                 raise KqlError(
                     f"KQL: unknown externaldata option {key!r} "
@@ -887,6 +888,12 @@ def _parse_externaldata(rest: str, exact: bool = False):
                 continue
             break
         _want(")", "to close with(…)")
+    if header_given and fmt not in ("csv", "tsv"):
+        # silently ignoring an option the user spelled out is the
+        # silent-divergence class this dialect refuses everywhere
+        raise KqlError(
+            f"KQL: ignoreFirstRecord has no meaning for "
+            f"format={fmt!r} (csv/tsv only)")
     if exact and i != n:
         raise KqlError(
             f"KQL: trailing tokens after externaldata spec: "
@@ -2243,6 +2250,15 @@ class _StageCompiler:
                 if not part.endswith(")"):
                     raise KqlError(f"KQL: unbalanced parens in union operand {part!r}")
                 operands.append(self.compile(part[1:-1].strip()))
+                labels.append(f"union_arg{i}")
+            elif re.match(r"(datatable|externaldata|print|range)\b",
+                          part, re.IGNORECASE) \
+                    and not re.fullmatch(r"[A-Za-z_]\w*", part):
+                # bare table-less head as a union operand (Kusto
+                # allows `union datatable(…)[…]` unparenthesized); a
+                # bare NAME that merely equals a head keyword still
+                # resolves as a table below
+                operands.append(self.compile(part))
                 labels.append(f"union_arg{i}")
             elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", part):
                 if part.lower() not in self.tables:

@@ -2269,3 +2269,27 @@ def test_as_binding_subquery_scoped(tiny_events):
         "T | as Outer | join kind=inner ( Outer | project event_id ) "
         "on event_id | count", t).first()["Count"]
     assert n == 4
+
+
+def test_union_bare_tableless_operand(spark, tmp_path):
+    """r12 review: Kusto allows an unparenthesized table-less head as
+    a union operand; and ignoreFirstRecord refuses for formats where
+    it has no meaning instead of being silently ignored."""
+    csv = tmp_path / "u.csv"
+    csv.write_text("5\n6\n")
+    rows = kql_to_df(
+        f"datatable(v:long) [1, 2] "
+        f"| union externaldata (v:long) ['{csv}'] "
+        "| order by v asc",
+        {}, externaldata_roots=[str(tmp_path)]).collect()
+    assert [r["v"] for r in rows] == [1, 2, 5, 6]
+    assert kql_to_df(
+        "datatable(v:long) [1] | union range v from 10 to 11 step 1 "
+        "| count", {}).first()["Count"] == 3
+    pj = tmp_path / "u.json"
+    pj.write_text('{"v": 1}\n')
+    with pytest.raises(KqlError, match="no meaning"):
+        kql_to_df(
+            f"externaldata (v:long) ['{pj}'] "
+            "with (format='json', ignoreFirstRecord=true) | count",
+            {}, externaldata_roots=[str(tmp_path)])
