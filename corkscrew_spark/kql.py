@@ -1145,7 +1145,7 @@ def _compile_query(query: str, tables: dict[str, DataFrame],
             # scalar let. This is a DRIVER ACTION at compile time —
             # exactly Kusto's semantics; the inner pipeline's reads
             # are governed like any other (refs unwrap too).
-            rows = _StageCompiler(tabs, externaldata_roots)\
+            rows = _StageCompiler(tabs, externaldata_roots, sub=True)\
                 .compile(inner).limit(1).collect()
             if not rows or not rows[0].__fields__:
                 raise KqlError(
@@ -1165,7 +1165,7 @@ def _compile_query(query: str, tables: dict[str, DataFrame],
             subs.append((name, lit))
         else:
             tabs[name] = _StageCompiler(
-                tabs, externaldata_roots).compile(body)
+                tabs, externaldata_roots, sub=True).compile(body)
     return _StageCompiler(tabs, externaldata_roots).compile(
         _apply_scalar_lets(stmts[-1], subs))
 
@@ -1198,10 +1198,14 @@ def _expr_name(toks: list[_Tok], start: int, end: int, fallback: str) -> str:
 
 class _StageCompiler:
     def __init__(self, tables: dict[str, DataFrame],
-                 externaldata_roots: list[str] | None = None):
+                 externaldata_roots: list[str] | None = None,
+                 sub: bool = False):
         self.tables = {k.lower(): v for k, v in tables.items()}
         self.externaldata_roots = externaldata_roots
-        self._depth = 0  # >0 inside a join/union/let sub-pipeline
+        # sub=True marks a compiler whose WHOLE input is a sub-
+        # expression (a let body / toscalar body) — render must refuse
+        # there just like in a parenthesized join side
+        self._depth = 1 if sub else 0
 
     def compile(self, query: str) -> DataFrame:
         self._depth += 1

@@ -2293,3 +2293,15 @@ def test_union_bare_tableless_operand(spark, tmp_path):
             f"externaldata (v:long) ['{pj}'] "
             "with (format='json', ignoreFirstRecord=true) | count",
             {}, externaldata_roots=[str(tmp_path)])
+
+
+def test_render_refused_in_let_bodies(tiny_events):
+    """r12 review: render must close the OUTERMOST pipeline — a let
+    body is a sub-expression, same rule as a parenthesized join side."""
+    with pytest.raises(KqlError, match="final operator"):
+        kql_to_df("let X = T | render table; X | count",
+                  {"T": tiny_events})
+    with pytest.raises(KqlError, match="final operator"):
+        kql_to_df("let c = toscalar(T | count | render table); "
+                  "T | where event_id <= c | count",
+                  {"T": tiny_events})
