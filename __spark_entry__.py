@@ -122,6 +122,17 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
+#: Round 12's pinned 50-slot correctness window: the five round-12
+#: queries first (kql_partition_topk — vectorized Kusto partition
+#: operator; kql_partition_legacy — its 64-branch legacy strategy;
+#: kql_serialized_funcs — row_number/prev/row_cumsum windows composed
+#: per-key inside partition; kql_externaldata — governed local-file
+#: head; kql_render_as — paste-compat display hint + mid-pipeline
+#: binding), then the 24
+#: r7-era stalest re-verifies (VERDICT r11 item #2's exact list) and
+#: r8-era padding to fill 50. Every name verified green by
+#: `tools/driver_sim.py` at sf0.01 before pinning. The historical
+#: note below records the round-7 pin for the audit trail.
 #: Round 7's pinned 50-slot correctness window: the three new queries
 #: (engine_pruned_join — fact-table pruning under a star join;
 #: engine_pruned_cte — pruning inside CTE bodies, the reference's
@@ -139,6 +150,9 @@ _DEFERRED = frozenset()
 #: green by `tools/driver_sim.py --window 50` at sf0.01 before
 #: pinning.
 _WINDOW = (
+    "kql_partition_topk",
+    "kql_partition_legacy",
+    "kql_serialized_funcs",
     "kql_externaldata",
     "kql_render_as",
     "correlation_rules",
@@ -186,9 +200,6 @@ _WINDOW = (
     "langid_confusion",
     "text_search_and",
     "dedup_minhash_clusters",
-    "vocab_growth",
-    "zipf_slope",
-    "corpus_health_report",
 )
 
 

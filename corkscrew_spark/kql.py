@@ -145,9 +145,14 @@ def _has_term(haystack: Column, term: Column,
 class _ExprParser:
     """Parses one KQL scalar/aggregate expression from a token stream."""
 
-    def __init__(self, toks: list[_Tok], start: int = 0):
+    def __init__(self, toks: list[_Tok], start: int = 0,
+                 window=None):
         self.toks = toks
         self.i = start
+        #: WindowSpec for serialized row functions (row_number/prev/
+        #: next/row_cumsum) — set by `extend` when the pipeline has an
+        #: in-force `sort by`; None means those functions refuse
+        self.window = window
 
     # -- stream helpers ------------------------------------------------------
     def peek(self) -> _Tok | None:
@@ -448,9 +453,74 @@ class _ExprParser:
                         if not self.accept(","):
                             break
                     self.expect(")")
+                if low in ("row_number", "prev", "next", "row_cumsum"):
+                    return self._serialized_call(low, args, raw, t.pos)
                 return _call(low, args, raw, t.pos)
             return F.col(t.text)
         raise KqlError(f"KQL: unexpected token {t.text!r} at {t.pos}")
+
+    def _serialized_call(self, name: str, args: list[Column],
+                         raw: list[_Tok | None], pos: int) -> Column:
+        """Kusto's serialized row functions. They need a row order, so
+        they compile only where the pipeline has one in force (an
+        `extend` after `sort by` — see `_StageCompiler._extend`):
+
+        * ``row_number([start])`` → ``F.row_number`` (+ start − 1)
+        * ``prev(col [, offset])`` / ``next(col [, offset])`` →
+          ``F.lag`` / ``F.lead`` (a third default argument wraps in
+          ``coalesce`` so any expression works as the default)
+        * ``row_cumsum(expr)`` → running ``F.sum`` over
+          unbounded-preceding…current
+
+        The restart arguments (``row_number(start, restart)``,
+        ``row_cumsum(term, restart)``) are refused with the standard
+        rewrite: restart is equivalent to cumulative-summing the
+        restart indicator first (`grp = row_cumsum(iff(restart,1,0))`)
+        and grouping on it — the shape that also distributes."""
+        if self.window is None:
+            raise KqlError(
+                f"KQL: {name}() needs a serialized input — use it in "
+                "an `extend` AFTER `sort by` (inside `partition by "
+                "Col ( sort by … | extend … )` for a per-key window) "
+                f"at {pos}")
+        n = len(args)
+        w = self.window
+        if name == "row_number":
+            if n > 1:
+                raise KqlError(
+                    "KQL: row_number(start, restart) restart is not "
+                    "supported — rewrite as grp = row_cumsum("
+                    "iff(restart, 1, 0)) and group on grp; it "
+                    f"distributes, restart cannot (at {pos})")
+            rn = F.row_number().over(w)
+            if n == 1:
+                start = _lit_int(raw[0], pos, "row_number start")
+                rn = rn + F.lit(start - 1)
+            return rn
+        if name in ("prev", "next"):
+            if n < 1 or n > 3:
+                raise KqlError(
+                    f"KQL: {name}(col [, offset [, default]]) takes "
+                    f"1-3 arguments at {pos}")
+            off = 1
+            if n >= 2:
+                off = _lit_int(raw[1], pos, f"{name} offset", lo=1)
+            fn = F.lag if name == "prev" else F.lead
+            col = fn(args[0], off).over(w)
+            if n == 3:
+                col = F.coalesce(col, args[2])
+            return col
+        # row_cumsum
+        if n != 1:
+            raise KqlError(
+                "KQL: row_cumsum(term, restart) restart is not "
+                "supported — rewrite as grp = row_cumsum(iff("
+                "restart, 1, 0)) and sum within grp; it distributes, "
+                f"restart cannot (at {pos})")
+        from pyspark.sql.window import Window as _W
+
+        return F.sum(args[0]).over(
+            w.rowsBetween(_W.unboundedPreceding, _W.currentRow))
 
 
 def _regex_quote(c: Column) -> Column:
@@ -1206,6 +1276,14 @@ class _StageCompiler:
         # expression (a let body / toscalar body) — render must refuse
         # there just like in a parenthesized join side
         self._depth = 1 if sub else 0
+        #: the in-force `sort by` order (list[Column]) for serialized
+        #: row functions, None when no order is in force; survives
+        #: order-preserving stages only (see apply_stage)
+        self._ser_order: list[Column] | None = None
+        #: hidden partition column for the window those functions
+        #: build — set while compiling a vectorized `partition` body,
+        #: where the window must be per-key (the scalable shape)
+        self._ser_pk: str | None = None
 
     def compile(self, query: str) -> DataFrame:
         self._depth += 1
@@ -1214,10 +1292,16 @@ class _StageCompiler:
         # added during a nested compile are dropped on exit, while the
         # outer pipeline's bindings stay visible to its subqueries
         before = set(self.tables) if self._depth > 1 else None
+        # a sub-pipeline (join/union/lookup side) starts with no order
+        # in force and must not leak one back to the outer pipeline
+        ser_saved = (self._ser_order, self._ser_pk)
+        self._ser_order = None
+        self._ser_pk = None
         try:
             return self._compile(query)
         finally:
             self._depth -= 1
+            self._ser_order, self._ser_pk = ser_saved
             if before is not None:
                 for k in set(self.tables) - before:
                     del self.tables[k]
@@ -1542,12 +1626,24 @@ class _StageCompiler:
             f"KQL: datatable value {v!r} does not match column "
             f"{name}:{kt}")
 
+    #: stages that PRESERVE row order (Kusto: serialization survives
+    #: filters, projections and row-local extensions) — everything
+    #: else drops the in-force `sort by` for serialized row functions
+    _ORDER_PRESERVING = frozenset({
+        "where", "extend", "project", "project-away", "project-keep",
+        "project-rename", "project-reorder", "parse", "parse-where",
+        "search", "serialize", "order", "sort", "take", "limit",
+        "render", "as",
+    })
+
     def apply_stage(self, df: DataFrame, stage: str) -> DataFrame:
         m = re.match(r"([a-z][a-z-]*)\s*(.*)", stage, re.DOTALL | re.IGNORECASE)
         if not m:
             raise KqlError(f"KQL: cannot parse stage {stage!r}")
         op = m.group(1).lower()
         rest = m.group(2)
+        if op not in self._ORDER_PRESERVING:
+            self._ser_order = None
         if op == "where":
             toks = _tokenize(rest)
             p = _ExprParser(toks)
@@ -1614,7 +1710,9 @@ class _StageCompiler:
         if op == "mv-apply":
             return self._mv_apply(df, rest)
         if op in ("order", "sort"):
-            return self._order_by(df, rest)
+            orders = self._sort_cols(rest)
+            self._ser_order = orders
+            return df.orderBy(*orders)
         if op in ("limit", "take"):
             return df.limit(int(rest.strip()))
         if op == "top":
@@ -1638,9 +1736,13 @@ class _StageCompiler:
             return self._render(df, rest)
         if op == "as":
             return self._as_binding(df, rest)
-        if op in ("facet", "fork", "partition"):
-            # out-of-dialect Kusto verbs: refuse with the in-dialect
-            # rewrite rather than a generic unsupported-operator error
+        if op == "partition":
+            return self._partition(df, rest)
+        if op in ("facet", "fork"):
+            # out-of-dialect Kusto verbs (both return MULTIPLE result
+            # tables — no single-DataFrame surface can carry that):
+            # refuse with the in-dialect rewrite rather than a generic
+            # unsupported-operator error
             rewrite = {
                 "facet": ("facet by Col is a per-column count view — "
                           "rewrite as one `summarize Count = count() "
@@ -1649,13 +1751,6 @@ class _StageCompiler:
                 "fork": ("fork runs sub-pipelines over one source — "
                          "rewrite as `as Src` then one query per "
                          "branch, or `union (Src | …), (Src | …)`"),
-                "partition": ("partition by Col ( … ) applies a "
-                              "sub-pipeline per key — rewrite the "
-                              "body as ordinary operators with "
-                              "`by Col` in its summarize/top stages "
-                              "(Spark partitions the groupBy for "
-                              "you), or use mv-apply for per-record "
-                              "arrays"),
             }[op]
             raise KqlError(f"KQL: {op} is out of dialect: {rewrite}")
         raise KqlError(f"KQL: unsupported operator {op!r}")
@@ -1742,6 +1837,344 @@ class _StageCompiler:
                 "name, so shadowing would misprice the query)")
         self.tables[name.lower()] = df
         return df
+
+    #: Kusto legacy/native `partition` strategies cap the key space —
+    #: the branch compilation below mirrors the documented 64 limit
+    _PARTITION_MAX = 64
+
+    #: partition-body verbs whose per-partition application equals
+    #: global application row-for-row (each output row derives from
+    #: exactly one input row, or from one record's own array in the
+    #: mv- pair) — vectorized mode runs them ONCE on the whole frame
+    _PART_ROW_LOCAL = frozenset({
+        "where", "extend", "parse", "parse-where", "search",
+        "mv-expand", "mv-apply", "project-rename",
+    })
+
+    #: partition-body verbs with a dedicated grouped (per-key) rewrite
+    #: in vectorized mode
+    _PART_GROUPED = frozenset({
+        "summarize", "top", "take", "limit", "count", "distinct",
+        "top-hitters", "sort", "order",
+    })
+
+    #: join kinds that preserve the left side row-by-row, so a union
+    #: of per-partition joins equals one global join (the partitions
+    #: cover the left side disjointly and the right side is partition-
+    #: independent). innerunique is NOT here: it dedups left keys
+    #: WITHIN each partition, so per-partition != global.
+    _PART_SAFE_JOINS = frozenset({
+        "inner", "leftouter", "leftsemi", "leftanti",
+    })
+
+    _PARTITION_RE = re.compile(
+        r"((?:hint\.\w+\s*=\s*\w+\s+)*)by\s+([A-Za-z_]\w*)"
+        r"\s*\((.*)\)\s*$",
+        re.DOTALL | re.IGNORECASE)
+
+    @classmethod
+    def _partition_vector_reason(cls, body: str) -> str | None:
+        """None when the body compiles vectorized (one scan, grouped
+        rewrites); else the human reason it needs branch mode. STATIC
+        (text-only): `_pipeline_refs` prices branch mode at the
+        worst-case partition count, so the decision must be makeable
+        before any data is read."""
+        stages = _split_stages(body)
+        if not stages:
+            return "empty partition body"
+        for st in stages:
+            s = st.strip()
+            m = re.match(r"([a-z][a-z-]*)", s, re.IGNORECASE)
+            verb = m.group(1).lower() if m else ""
+            if verb in ("sort", "order"):
+                # sort vectorizes as the in-force order for a later
+                # take/limit (per-key top) or extend with serialized
+                # row functions (per-key window); a sort nothing
+                # consumes only affects output order, which the
+                # partition union does not guarantee in Kusto either
+                continue
+            if verb in cls._PART_ROW_LOCAL or verb in cls._PART_GROUPED:
+                continue
+            if verb in ("project", "project-keep", "project-away",
+                        "project-reorder"):
+                continue
+            if verb == "join":
+                km = re.match(r"join\s+kind\s*=\s*(\w+)", s,
+                              re.IGNORECASE)
+                kind = km.group(1).lower() if km else "innerunique"
+                if kind in cls._PART_SAFE_JOINS:
+                    continue
+                return (f"join kind={kind} is partition-dependent "
+                        "(innerunique dedups left keys per "
+                        "partition; right/full kinds replicate the "
+                        "right side per partition) — use kind=inner/"
+                        "leftouter/leftsemi/leftanti")
+            if verb == "lookup":
+                continue
+            return f"operator {verb!r} has no vectorized " \
+                   "per-partition form"
+        return None
+
+    @classmethod
+    def _partition_parse(cls, rest: str
+                         ) -> tuple[str, str, str, str | None]:
+        """→ (key, body, mode, vector_reason); shared with the
+        governor's pricing pass so compile and estimate can't drift."""
+        m = cls._PARTITION_RE.match(rest.strip())
+        if not m:
+            raise KqlError(
+                "KQL: partition takes `partition "
+                "[hint.strategy=shuffle|legacy|native] by Column "
+                f"( subquery )`, got {rest.strip()!r}")
+        hints = dict(re.findall(r"hint\.(\w+)\s*=\s*(\w+)",
+                                m.group(1) or ""))
+        unknown = set(k.lower() for k in hints) - {"strategy",
+                                                   "materialized"}
+        if unknown:
+            raise KqlError(
+                f"KQL: unsupported partition hint(s) "
+                f"{sorted(unknown)} (have: strategy, materialized)")
+        strategy = hints.get("strategy", "").lower()
+        if strategy not in ("", "legacy", "native", "shuffle"):
+            raise KqlError(
+                f"KQL: partition hint.strategy={strategy!r} is not "
+                "one of legacy|native|shuffle")
+        key, body = m.group(2), m.group(3).strip()
+        reason = cls._partition_vector_reason(body)
+        if strategy == "shuffle" and reason is not None:
+            raise KqlError(
+                f"KQL: hint.strategy=shuffle cannot run this body "
+                f"vectorized: {reason}")
+        mode = ("branch" if strategy in ("legacy", "native")
+                or (not strategy and reason is not None) else "vector")
+        return key, body, mode, reason
+
+    def _partition(self, df: DataFrame, rest: str) -> DataFrame:
+        """``partition [hint.strategy=…] by Column ( subquery )`` —
+        split the input by the distinct values of ``Column``, run the
+        subquery over each subtable, union the results (Kusto
+        partition operator; the subquery is contextual — its source is
+        the partition's rows).
+
+        Two compilations, chosen to be SCALE-SAFE by default:
+
+        * **vectorized** (default when the body allows it; forced by
+          ``hint.strategy=shuffle``, mirroring Kusto's shuffle
+          strategy): ONE scan — row-local stages apply unchanged,
+          aggregating stages rewrite per-key (summarize groups by a
+          hidden partition key, top/sort+take/take become per-key
+          ``row_number`` windows, distinct/count fold the key in).
+          Union-of-partitions equals the grouped rewrite because the
+          partitions cover the input disjointly; left-preserving joins
+          and lookups pass through for the same reason. No partition-
+          count limit.
+        * **branch** (``hint.strategy=legacy|native``, or bodies with
+          no grouped rewrite): compile the body once per distinct key
+          value over a filtered branch and union — Kusto's legacy
+          strategy, including its documented 64-partition cap. Each
+          branch re-plans the upstream pipeline, so an armed scan
+          budget prices the statement at the worst-case multiplier
+          (see ``_pipeline_refs``); the distinct-key collect is
+          bounded at 65 rows.
+        """
+        key, body, mode, _reason = self._partition_parse(rest)
+        if key not in df.columns:
+            raise KqlError(
+                f"KQL: partition by unknown column {key!r} "
+                f"(have: {df.columns})")
+        if mode == "vector":
+            return self._partition_vectorized(df, key, body)
+        return self._partition_branch(df, key, body)
+
+    def _grouped_limit(self, df: DataFrame, pk: str,
+                       orders: list[Column], n: int) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        rn = "__prn__"
+        while rn in df.columns:
+            rn += "_"
+        w = Window.partitionBy(pk).orderBy(*orders)
+        return (df.withColumn(rn, F.row_number().over(w))
+                .filter(F.col(rn) <= n).drop(rn))
+
+    def _partition_vectorized(self, df: DataFrame, key: str,
+                              body: str) -> DataFrame:
+        pk = "__partition_key__"
+        while pk in df.columns:
+            pk += "_"
+        cur = df.withColumn(pk, F.col(key))
+        pending: list[Column] | None = None
+        # serialized row functions inside the body window PER KEY —
+        # the scalable shape; restore the outer pipeline's (empty)
+        # order state on exit
+        ser_saved = (self._ser_order, self._ser_pk)
+        self._ser_order = None
+        self._ser_pk = pk
+        try:
+            for st in _split_stages(body):
+                s = st.strip()
+                verb = re.match(r"([a-z][a-z-]*)", s,
+                                re.IGNORECASE).group(1).lower()
+                rest2 = s[len(verb):].strip()
+                if verb in ("sort", "order"):
+                    # becomes the in-force order for a later take/
+                    # limit (per-key top) or extend window; no
+                    # physical sort — partition output order is not
+                    # guaranteed in Kusto either
+                    pending = self._sort_cols(rest2)
+                    self._ser_order = pending
+                    continue
+                if verb in ("take", "limit"):
+                    if not re.fullmatch(r"\d+", rest2):
+                        raise KqlError(
+                            f"KQL: {verb} needs a row count, "
+                            f"got {rest2!r}")
+                    # unsorted take is arbitrary-N in Kusto too; a
+                    # constant window order makes that explicit
+                    orders = pending or [F.lit(0).asc()]
+                    cur = self._grouped_limit(cur, pk, orders,
+                                              int(rest2))
+                    continue
+                if verb == "top":
+                    m = re.match(r"(\d+)\s+by\s+(.*)", rest2,
+                                 re.DOTALL | re.IGNORECASE)
+                    if not m:
+                        raise KqlError(
+                            f"KQL: top needs 'top N by expr', "
+                            f"got {rest2!r}")
+                    orders = self._sort_cols(m.group(2))
+                    cur = self._grouped_limit(cur, pk, orders,
+                                              int(m.group(1)))
+                    # Kusto top serializes its output by its own keys
+                    pending = orders
+                    self._ser_order = orders
+                    continue
+                if verb == "summarize":
+                    cur = self._summarize(cur, rest2, extra_keys=(pk,))
+                    pending = None
+                    self._ser_order = None
+                    continue
+                if verb == "count":
+                    if rest2:
+                        raise KqlError("KQL: count takes no arguments")
+                    cur = cur.groupBy(pk).agg(
+                        F.count(F.lit(1)).alias("Count"))
+                    pending = None
+                    self._ser_order = None
+                    continue
+                if verb == "distinct":
+                    if rest2 == "*":
+                        cur = cur.distinct()
+                    else:
+                        cols = [c.strip() for c in rest2.split(",")]
+                        missing = [c for c in cols
+                                   if c not in cur.columns]
+                        if missing:
+                            raise KqlError(
+                                f"KQL: distinct of unknown column(s) "
+                                f"{missing}")
+                        cur = cur.select(pk, *cols).distinct()
+                    pending = None
+                    self._ser_order = None
+                    continue
+                if verb == "top-hitters":
+                    cur = self._grouped_top_hitters(cur, pk, rest2)
+                    pending = None
+                    self._ser_order = None
+                    continue
+                if verb in ("project", "project-keep",
+                            "project-reorder"):
+                    # thread the hidden key through column-list verbs
+                    cur = self.apply_stage(cur, f"{s}, {pk}")
+                    continue
+                cur = self.apply_stage(cur, s)
+                if pk not in cur.columns:
+                    raise KqlError(
+                        f"KQL: the partition body's `{verb}` removed "
+                        "the internal partition key (a glob matched "
+                        "every column) — name the columns to keep, or "
+                        "use hint.strategy=legacy")
+        finally:
+            self._ser_order, self._ser_pk = ser_saved
+        return cur.drop(pk) if pk in cur.columns else cur
+
+    def _grouped_top_hitters(self, df: DataFrame, pk: str,
+                             rest: str) -> DataFrame:
+        m = re.match(
+            r"\s*(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?:\s+by\s+(.*))?$",
+            rest, re.DOTALL | re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                f"KQL: top-hitters needs `N of Col [by expr]`, got "
+                f"{rest!r}")
+        n, col, bysrc = int(m.group(1)), m.group(2), m.group(3)
+        if bysrc is None:
+            name = f"approximate_count_{col}"
+            agg = F.count(F.lit(1)).alias(name)
+        else:
+            toks = _tokenize(bysrc)
+            p = _ExprParser(toks)
+            expr = p.parse()
+            if p.i != len(toks):
+                raise KqlError(
+                    f"KQL: trailing tokens in top-hitters by {bysrc!r}")
+            name = f"approximate_sum_{col}"
+            agg = F.sum(expr).alias(name)
+        grouped = df.groupBy(pk, col).agg(agg)
+        return self._grouped_limit(
+            grouped, pk, [F.col(name).desc(), F.col(col).asc()], n)
+
+    def _partition_branch(self, df: DataFrame, key: str,
+                          body: str) -> DataFrame:
+        stages = _split_stages(body)
+        for st in stages:
+            m = re.match(r"([a-z][a-z-]*)", st.strip(), re.IGNORECASE)
+            verb = m.group(1).lower() if m else ""
+            if verb in ("render", "as", "facet", "fork"):
+                raise KqlError(
+                    f"KQL: {verb} inside a partition body is not "
+                    "supported (render closes the outermost pipeline; "
+                    "as would bind once per branch)")
+        rows = (df.select(key).distinct()
+                .limit(self._PARTITION_MAX + 1).collect())
+        vals = [r[0] for r in rows]
+        if len(vals) > self._PARTITION_MAX:
+            raise KqlError(
+                f"KQL: partition by {key} exceeds "
+                f"{self._PARTITION_MAX} distinct values (the Kusto "
+                "legacy-strategy limit this branch mode mirrors) — "
+                "restructure the body to a vectorizable shape "
+                "(where/extend/project*/parse/search/mv-*/summarize/"
+                "top/sort+take/take/distinct/count/top-hitters and "
+                "left-preserving joins) or pre-bucket the key")
+
+        def _apply(sub: DataFrame) -> DataFrame:
+            # each branch compiles the body from a fresh order state;
+            # the body's own `sort` must not leak past the partition
+            ser_saved = (self._ser_order, self._ser_pk)
+            self._ser_order = None
+            self._ser_pk = None
+            try:
+                for st in stages:
+                    sub = self.apply_stage(sub, st)
+                return sub
+            finally:
+                self._ser_order, self._ser_pk = ser_saved
+
+        if not vals:
+            # empty input: compile the body once over an empty branch
+            # so schema (and any body errors) still surface
+            return _apply(df.filter(F.lit(False)))
+        branches = []
+        for v in vals:
+            sub = (df.filter(F.col(key).isNull()) if v is None
+                   else df.filter(F.col(key) == F.lit(v)))
+            branches.append(_apply(sub))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
 
     def _search(self, df: DataFrame, rest: str) -> DataFrame:
         """``search [kind=case_insensitive|case_sensitive] 'term'`` —
@@ -2005,15 +2438,43 @@ class _StageCompiler:
                 i += 1
         return df.select(*cols)
 
+    #: Kusto serialized row functions — compile to window functions
+    #: over the pipeline's in-force `sort by` order (per partition key
+    #: inside a vectorized `partition` body — the shape that scales;
+    #: a bare global sort makes a single-partition window, same cost
+    #: center as Kusto's own serialized execution)
+    _SERIALIZED_FNS = frozenset({
+        "row_number", "prev", "next", "row_cumsum",
+    })
+
+    def _serialized_window(self, toks: list[_Tok]):
+        """WindowSpec for an extend stage that calls serialized row
+        functions, or None (no such call, or no order in force — the
+        parser raises the precise error at the call site)."""
+        used = any(
+            t.kind == "ident" and t.text.lower() in self._SERIALIZED_FNS
+            and j + 1 < len(toks) and toks[j + 1].kind == "op"
+            and toks[j + 1].text == "("
+            for j, t in enumerate(toks))
+        if not used or self._ser_order is None:
+            return None
+        from pyspark.sql.window import Window
+
+        if self._ser_pk is not None:
+            return Window.partitionBy(self._ser_pk) \
+                .orderBy(*self._ser_order)
+        return Window.orderBy(*self._ser_order)
+
     def _extend(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
+        w = self._serialized_window(toks)
         i = 0
         while i < len(toks):
             t = toks[i]
             if t.kind != "ident" or i + 1 >= len(toks) or toks[i + 1].text != "=":
                 raise KqlError(f"KQL: extend needs Name = expr at {t.pos}")
             name = t.text
-            p = _ExprParser(toks, i + 2)
+            p = _ExprParser(toks, i + 2, window=w)
             df = df.withColumn(name, p.parse())
             i = p.i
             _expect_next(toks, i, (",",), "extend")
@@ -2021,7 +2482,11 @@ class _StageCompiler:
                 i += 1
         return df
 
-    def _summarize(self, df: DataFrame, rest: str) -> DataFrame:
+    def _summarize(self, df: DataFrame, rest: str,
+                   extra_keys: tuple[str, ...] = ()) -> DataFrame:
+        """``extra_keys`` prepends engine-internal grouping columns
+        (the vectorized ``partition`` operator's hidden key) to the
+        user's ``by`` list — they group but are never renamed."""
         toks = _tokenize(rest)
         aggs: list[Column] = []
         i = 0
@@ -2071,8 +2536,9 @@ class _StageCompiler:
                     i += 1
         if not aggs:
             aggs = [F.count(F.lit(1)).alias("count_")]
-        if keys:
-            return df.groupBy(*keys).agg(*aggs)
+        gkeys = [F.col(k) for k in extra_keys] + keys
+        if gkeys:
+            return df.groupBy(*gkeys).agg(*aggs)
         return df.agg(*aggs)
 
     @staticmethod
@@ -2481,7 +2947,11 @@ class _StageCompiler:
         return out.select(
             *keep, *[F.col(f"__mv_{j}").alias(names[j]) for j in range(len(items))])
 
-    def _order_by(self, df: DataFrame, rest: str) -> DataFrame:
+    @staticmethod
+    def _sort_cols(rest: str) -> list[Column]:
+        """Parse a ``[by] expr [asc|desc], …`` sort list (the shared
+        grammar of ``order by``/``sort by``/``top N by``) into ordered
+        Columns — KQL defaults to descending."""
         rest = re.sub(r"^\s*by\s+", "", rest, flags=re.IGNORECASE)
         toks = _tokenize(rest)
         orders: list[Column] = []
@@ -2499,7 +2969,10 @@ class _StageCompiler:
             _expect_next(toks, i, (",",), "order by")
             if i < len(toks):
                 i += 1
-        return df.orderBy(*orders)
+        return orders
+
+    def _order_by(self, df: DataFrame, rest: str) -> DataFrame:
+        return df.orderBy(*self._sort_cols(rest))
 
     def _top(self, df: DataFrame, rest: str) -> DataFrame:
         m = re.match(r"\s*(\d+)\s+by\s+(.*)", rest, re.DOTALL | re.IGNORECASE)
@@ -3036,6 +3509,33 @@ def _pipeline_refs(query: str) -> list[tuple[str, list[str]]]:
                 out.extend(r for r in
                            _pipeline_refs("__mvapply_body__ | " + st)
                            if r[0] != "__mvapply_body__")
+            continue
+        # a partition BODY is likewise a contextual sub-pipeline:
+        # joins/lookups/unions inside it resolve tables. BRANCH-mode
+        # partition additionally re-plans the WHOLE upstream pipeline
+        # (and the body) once per distinct key — up to the Kusto
+        # legacy 64-partition cap — so the statement is priced at the
+        # worst-case multiplier: an armed budget can never be dodged
+        # by wrapping a scan in `partition hint.strategy=legacy`.
+        # Refs in stages AFTER this one execute once on the unioned
+        # output and are appended (unmultiplied) later in this loop —
+        # exactly matching the runtime plan.
+        m = re.match(r"partition\s+((?:hint\.\w+\s*=\s*\w+\s+)*)"
+                     r"by\s+[A-Za-z_]\w*\s*\((.*)\)\s*$",
+                     s, re.DOTALL | re.IGNORECASE)
+        if m:
+            body = m.group(2).strip()
+            for st in _split_stages(body):
+                out.extend(r for r in
+                           _pipeline_refs("__partition_body__ | " + st)
+                           if r[0] != "__partition_body__")
+            hints = dict(re.findall(r"hint\.(\w+)\s*=\s*(\w+)",
+                                    m.group(1) or ""))
+            strategy = hints.get("strategy", "").lower()
+            reason = _StageCompiler._partition_vector_reason(body)
+            if strategy in ("legacy", "native") or (
+                    strategy != "shuffle" and reason is not None):
+                out = out * _StageCompiler._PARTITION_MAX
     return out
 
 

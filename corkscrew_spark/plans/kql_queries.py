@@ -1041,3 +1041,114 @@ def kql_render_as(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_partition_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders)
+    WHERE rn <= 2
+    ORDER BY o_orderpriority ASC, o_orderkey ASC
+    """,
+)
+def kql_partition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partition by Col ( top … )` (r12) — the Kusto partition
+    operator, VECTORIZED: the contextual subquery has a grouped
+    rewrite (per-key row_number window), so the compiled plan is ONE
+    scan + one shuffle regardless of the key's cardinality — Kusto's
+    shuffle strategy, chosen automatically. The legacy 64-branch
+    compilation exists for bodies with no grouped form and is priced
+    at its worst-case multiplier by the scan governor
+    (kql._pipeline_refs). Ties break on o_orderkey, deterministic."""
+    return kql_to_df(
+        """
+        orders
+        | partition by o_orderpriority (
+              top 2 by o_totalprice desc, o_orderkey asc )
+        | order by o_orderpriority asc, o_orderkey asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_partition_legacy",
+    oracle="""
+    SELECT grp, n, mx
+    FROM (SELECT CAST(user_id % 5 AS BIGINT) AS grp,
+                 CAST(COUNT(*) AS BIGINT)    AS n,
+                 MAX(value)                  AS mx,
+                 event_type,
+                 row_number() OVER (
+                     PARTITION BY event_type
+                     ORDER BY COUNT(*) DESC,
+                              CAST(user_id % 5 AS BIGINT) ASC) AS rn
+          FROM events
+          GROUP BY event_type, grp)
+    WHERE rn <= 2
+    ORDER BY grp ASC, n DESC, mx ASC
+    """,
+)
+def kql_partition_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partition hint.strategy=legacy by Col ( … )` (r12) — the
+    branch compilation: one filtered branch per distinct key (Kusto's
+    documented 64-partition legacy cap, loud refusal beyond), body
+    compiled per branch, results unioned. The per-partition summarize
+    + top here returns each event_type's two busiest user buckets —
+    the same multiset the vectorized path produces (equality is
+    pinned in tests/test_kql.py); this registration certifies the
+    BRANCH path against the oracle. MAX keeps the value aggregate
+    summation-order-free."""
+    return kql_to_df(
+        """
+        events
+        | partition hint.strategy=legacy by event_type (
+              summarize n = count(), mx = max(value) by grp = user_id % 5
+              | top 2 by n desc, grp asc )
+        | order by grp asc, n desc, mx asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_serialized_funcs",
+    oracle="""
+    SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn, run, dv
+    FROM (SELECT user_id, event_id,
+                 row_number() OVER w AS rn,
+                 SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run,
+                 value - COALESCE(lag(value) OVER w, 0.0) AS dv
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC))
+    WHERE rn <= 3
+    ORDER BY user_id ASC, event_id ASC
+    """,
+)
+def kql_serialized_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized row functions (r12) — `row_number()`, `prev()`,
+    `row_cumsum()` in an `extend` after `sort by`, composed INSIDE the
+    vectorized `partition` operator: the window partitions by the
+    partition key, so the plan is one scan + one hash-partitioned
+    window at any user cardinality (Kusto's serialize is sequential;
+    the per-key composition is the shape that distributes). The
+    sessionization idiom: per-user running total and delta-from-
+    previous, first 3 events each."""
+    return kql_to_df(
+        """
+        events
+        | partition by user_id ( sort by event_id asc
+              | extend rn = row_number(), run = row_cumsum(value),
+                       dv = value - prev(value, 1, 0.0)
+              | where rn <= 3 )
+        | project user_id, event_id, rn, run, dv
+        | order by user_id asc, event_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )

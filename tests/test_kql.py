@@ -2122,10 +2122,11 @@ def test_as_binds_for_later_stages(tiny_events):
 
 
 def test_out_of_dialect_verbs_name_the_rewrite(tiny_events):
+    # facet/fork return MULTIPLE result tables — out of dialect with a
+    # named rewrite; partition is IN dialect since r12 (see
+    # TestKqlPartition)
     for verb, hint in [("facet by event_type", "summarize"),
-                       ("fork (count) (count)", "union"),
-                       ("partition by user_id (top 1 by value)",
-                        "by Col")]:
+                       ("fork (count) (count)", "union")]:
         with pytest.raises(KqlError, match="out of dialect"):
             kql_to_df(f"T | {verb}", {"T": tiny_events})
         try:
@@ -2305,3 +2306,280 @@ def test_render_refused_in_let_bodies(tiny_events):
         kql_to_df("let c = toscalar(T | count | render table); "
                   "T | where event_id <= c | count",
                   {"T": tiny_events})
+
+
+# ---------------------------------------------------------------------------
+# partition operator (r12)
+# ---------------------------------------------------------------------------
+
+class TestKqlPartition:
+    """`partition [hint.strategy=…] by Col ( body )` — vectorized
+    (grouped rewrites, one scan, no key-cardinality limit) by default;
+    Kusto's legacy 64-branch compilation on hint or for bodies with no
+    grouped form. The two compilations must agree row-for-row on every
+    body both can run."""
+
+    @pytest.fixture(scope="class")
+    def pdata(self, spark):
+        rows = [
+            ("a", "x", 1, 10.0), ("a", "y", 2, 30.0), ("a", "x", 3, 20.0),
+            ("b", "x", 4, 5.0), ("b", "y", 5, 50.0),
+            (None, "x", 6, 7.0), (None, "y", 7, 70.0),
+            ("c", "x", 8, 8.0),
+        ]
+        return spark.createDataFrame(
+            rows, "k string, cat string, id long, v double")
+
+    BODIES = [
+        "top 2 by v desc, id asc",
+        "where v > 6 | summarize n = count(), mx = max(v) by cat",
+        "summarize s = sum(id) by cat | top 1 by s asc, cat asc",
+        "count",
+        "distinct cat",
+        "extend big = v > 9 | distinct big",
+        "sort by v asc, id asc | take 1",
+        "project id, k | top 1 by id asc",
+        "top-hitters 1 of cat by v",
+    ]
+
+    @pytest.mark.parametrize("body", BODIES)
+    def test_vector_equals_branch(self, pdata, body):
+        """Every vectorizable body: the grouped rewrite and the
+        per-key branch union produce the same multiset (null partition
+        key included)."""
+        vec = kql_to_df(f"T | partition by k ( {body} )", {"T": pdata})
+        br = kql_to_df(
+            f"T | partition hint.strategy=legacy by k ( {body} )",
+            {"T": pdata})
+        assert vec.columns == br.columns
+        assert sorted(map(repr, vec.collect())) \
+            == sorted(map(repr, br.collect()))
+
+    def test_vectorized_is_default_and_single_scan(self, spark, tmp_path):
+        """The default strategy compiles the grouped rewrite: ONE scan
+        regardless of key cardinality (the branch plan scans once per
+        key) — the 100 TB shape."""
+        path = str(tmp_path / "pvec")
+        spark.range(100).selectExpr(
+            "id", "id % 5 AS k", "id * 1.5 AS v").write.parquet(path)
+        df = spark.read.parquet(path)
+        vec = kql_to_df(
+            "T | partition by k ( top 2 by v desc, id asc )", {"T": df})
+        br = kql_to_df(
+            "T | partition hint.strategy=legacy by k "
+            "( top 2 by v desc, id asc )", {"T": df})
+        assert vec.count() == br.count() == 10
+        n_vec = vec._jdf.queryExecution().optimizedPlan().toString() \
+            .count("Relation")
+        n_br = br._jdf.queryExecution().optimizedPlan().toString() \
+            .count("Relation")
+        assert n_vec == 1
+        assert n_br == 5
+
+    def test_unsorted_take_row_counts(self, pdata):
+        got = kql_to_df("T | partition by k ( take 2 )", {"T": pdata})
+        # 4 keys (incl. null): a=3→2, b=2→2, null=2→2, c=1→1
+        assert got.count() == 7
+        assert got.columns == pdata.columns
+
+    def test_branch_cap_refused(self, spark):
+        df = spark.range(100).selectExpr("id AS k", "id AS v")
+        with pytest.raises(KqlError, match="64 distinct"):
+            kql_to_df(
+                "T | partition hint.strategy=legacy by k ( getschema )",
+                {"T": df}).collect()
+
+    def test_shuffle_hint_refuses_unvectorizable(self, pdata):
+        with pytest.raises(KqlError, match="vectorized"):
+            kql_to_df(
+                "T | partition hint.strategy=shuffle by k ( getschema )",
+                {"T": pdata})
+
+    def test_innerunique_join_not_vectorized(self, pdata):
+        """Default-kind join dedups left keys PER PARTITION — no
+        grouped rewrite exists, so the body routes to branch mode
+        (where per-key compilation gives the exact semantics)."""
+        from corkscrew_spark.kql import _StageCompiler
+
+        reason = _StageCompiler._partition_vector_reason(
+            "join ( D ) on id | count")
+        assert reason is not None and "innerunique" in reason
+
+    def test_sort_vectorizes_everywhere(self):
+        """`sort` vectorizes in any position: consumed by take/limit
+        (per-key top) or an extend window; unconsumed it only affects
+        output order, which the partition union does not guarantee in
+        Kusto either."""
+        from corkscrew_spark.kql import _StageCompiler
+
+        assert _StageCompiler._partition_vector_reason(
+            "sort by v desc") is None
+        assert _StageCompiler._partition_vector_reason(
+            "sort by v desc | take 3") is None
+        assert _StageCompiler._partition_vector_reason(
+            "sort by v asc | extend rn = row_number() | where rn <= 2"
+        ) is None
+
+    def test_unknown_hint_and_column_refused(self, pdata):
+        with pytest.raises(KqlError, match="hint"):
+            kql_to_df("T | partition hint.spread=2 by k ( count )",
+                      {"T": pdata})
+        with pytest.raises(KqlError, match="unknown column"):
+            kql_to_df("T | partition by nope ( count )", {"T": pdata})
+
+    def test_render_inside_body_refused(self, pdata):
+        with pytest.raises(KqlError, match="render"):
+            kql_to_df(
+                "T | partition hint.strategy=legacy by k "
+                "( render barchart )", {"T": pdata})
+
+    def test_project_away_all_columns_loud(self, pdata):
+        """A glob that strips every column would silently strand the
+        vectorized rewrite without its hidden key — loud refusal, not
+        wrong results."""
+        with pytest.raises(KqlError, match="partition key"):
+            kql_to_df("T | partition by k ( project-away * | count )",
+                      {"T": pdata})
+
+    def test_pipeline_refs_branch_multiplier(self):
+        """Branch-mode partition re-plans the upstream pipeline per
+        key: the governor prices head AND body refs at the worst-case
+        64; vectorized partition prices once; refs AFTER the partition
+        stage price once (they run on the unioned output)."""
+        from collections import Counter
+
+        from corkscrew_spark.kql import _pipeline_refs
+
+        vec = Counter(r[0] for r in _pipeline_refs(
+            "orders | partition by p ( join kind=inner (customer) "
+            "on k | count )"))
+        assert vec == {"orders": 1, "customer": 1}
+        br = Counter(r[0] for r in _pipeline_refs(
+            "orders | partition hint.strategy=legacy by p "
+            "( join kind=inner (customer) on k | getschema )"))
+        assert br == {"orders": 64, "customer": 64}
+        after = Counter(r[0] for r in _pipeline_refs(
+            "orders | partition hint.strategy=legacy by p ( getschema ) "
+            "| join kind=inner (nation) on n"))
+        assert after == {"orders": 64, "nation": 1}
+
+    def test_branch_mode_governed_at_multiplier(self, spark, tmp_path):
+        """An armed budget that admits one full scan refuses the same
+        scan wrapped in a legacy-strategy partition (64× worst case) —
+        the budget cannot be dodged by the wrapper; the vectorized
+        twin is admitted."""
+        from corkscrew_spark import skipping
+        from corkscrew_spark.engine import ScanBudgetExceeded
+        from corkscrew_spark.kql import kql_to_df_skipping
+
+        path = str(tmp_path / "pgov")
+        spark.range(400).selectExpr(
+            "id AS k", "id % 3 AS p", "id * 2.0 AS v"
+        ).repartitionByRange(4, "k").write.parquet(path)
+        skipping.compute_stats(spark, path, ["k"])
+        full = skipping.estimate_scan(path, [])["bytes_kept"]
+        got = kql_to_df_skipping(
+            spark, "T | partition by p ( top 1 by v desc, k asc )",
+            {"T": path}, max_scan_bytes=full * 2)
+        assert got.count() == 3
+        with pytest.raises(ScanBudgetExceeded, match="budget"):
+            kql_to_df_skipping(
+                spark,
+                "T | partition hint.strategy=legacy by p "
+                "( top 1 by v desc, k asc )",
+                {"T": path}, max_scan_bytes=full * 2)
+
+
+# ---------------------------------------------------------------------------
+# serialized row functions (r12)
+# ---------------------------------------------------------------------------
+
+class TestKqlSerializedFns:
+    """row_number/prev/next/row_cumsum — Kusto's serialized row
+    functions, compiled to window functions over the pipeline's
+    in-force `sort by` (per-key inside a vectorized `partition` body:
+    the shape that scales; a bare global sort is a single-partition
+    window, same cost center as Kusto's own serialized execution)."""
+
+    @pytest.fixture(scope="class")
+    def sdata(self, spark):
+        rows = [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+                ("b", 4, 5.0), ("b", 5, 50.0), (None, 6, 7.0)]
+        return spark.createDataFrame(rows, "k string, id long, v double")
+
+    def test_global_serialized_chain(self, sdata):
+        out = {r["id"]: r for r in kql_to_df(
+            "T | sort by id asc | extend rn = row_number(), "
+            "pv = prev(v), nx = next(v, 1, -1.0), cs = row_cumsum(v)",
+            {"T": sdata}).collect()}
+        assert [out[i]["rn"] for i in range(1, 7)] == [1, 2, 3, 4, 5, 6]
+        assert out[1]["pv"] is None and out[2]["pv"] == 10.0
+        assert out[6]["nx"] == -1.0 and out[5]["nx"] == 7.0
+        assert out[3]["cs"] == 60.0 and out[6]["cs"] == 122.0
+
+    def test_row_number_start(self, sdata):
+        out = kql_to_df(
+            "T | sort by id asc | extend rn = row_number(10)",
+            {"T": sdata}).collect()
+        assert sorted((r["id"], r["rn"]) for r in out) \
+            == [(i, i + 9) for i in range(1, 7)]
+
+    def test_partition_per_key_window(self, sdata):
+        """Inside a vectorized partition body the window partitions by
+        the hidden key — per-key row numbers, and vector == branch."""
+        q = ("T | partition by k ( sort by id asc | extend "
+             "rn = row_number(), d = v - prev(v, 1, 0.0) "
+             "| where rn <= 2 )")
+        vec = kql_to_df(q, {"T": sdata})
+        br = kql_to_df(
+            q.replace("partition by", "partition hint.strategy=legacy by"),
+            {"T": sdata})
+        sa = sorted(map(repr, vec.collect()))
+        assert sa == sorted(map(repr, br.collect()))
+        rows = {(r["k"], r["id"]): r for r in vec.collect()}
+        assert rows[("a", 1)]["rn"] == 1 and rows[("b", 4)]["rn"] == 1
+        assert rows[("b", 5)]["d"] == 45.0
+        # vectorized: ONE scan, not one per key
+        assert vec._jdf.queryExecution().optimizedPlan().toString() \
+            .count("LogicalRDD") == 1
+
+    def test_needs_sort_and_invalidation(self, sdata):
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df("T | extend rn = row_number()", {"T": sdata})
+        # summarize destroys the serialization
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by id asc | summarize n = count() by k "
+                "| extend rn = row_number()", {"T": sdata})
+        # where/project preserve it (Kusto: serialization survives
+        # filters and projections)
+        out = kql_to_df(
+            "T | sort by id asc | where v > 6 | project id, v "
+            "| extend rn = row_number()", {"T": sdata}).collect()
+        assert sorted((r["id"], r["rn"]) for r in out) \
+            == [(1, 1), (2, 2), (3, 3), (5, 4), (6, 5)]
+
+    def test_sort_does_not_leak_into_subpipeline(self, sdata):
+        """A join side starts with no order in force even when the
+        outer pipeline sorted."""
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by id asc | join kind=inner "
+                "( T | extend rn = row_number() | project id, rn ) "
+                "on id", {"T": sdata})
+
+    def test_restart_args_refused(self, sdata):
+        with pytest.raises(KqlError, match="restart"):
+            kql_to_df(
+                "T | sort by id asc | extend r = row_number(1, v > 5)",
+                {"T": sdata})
+        with pytest.raises(KqlError, match="restart"):
+            kql_to_df(
+                "T | sort by id asc | extend r = row_cumsum(v, v > 5)",
+                {"T": sdata})
+
+    def test_offset_must_be_literal(self, sdata):
+        with pytest.raises(KqlError, match="integer literal"):
+            kql_to_df(
+                "T | sort by id asc | extend p = prev(v, id)",
+                {"T": sdata})
