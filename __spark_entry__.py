@@ -122,13 +122,15 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 12's pinned 50-slot correctness window: the five round-12
+#: Round 12's pinned 50-slot correctness window: the seven round-12
 #: queries first (kql_partition_topk — vectorized Kusto partition
 #: operator; kql_partition_legacy — its 64-branch legacy strategy;
 #: kql_serialized_funcs — row_number/prev/row_cumsum windows composed
-#: per-key inside partition; kql_externaldata — governed local-file
-#: head; kql_render_as — paste-compat display hint + mid-pipeline
-#: binding), then the 24
+#: per-key inside partition; kql_scan_single — scan machinery vs the
+#: SQL-expressible degenerate case; kql_scan_sessions — the real
+#: two-step machine, rows-only by design; kql_externaldata — governed
+#: local-file head; kql_render_as — paste-compat display hint +
+#: mid-pipeline binding), then the 24
 #: r7-era stalest re-verifies (VERDICT r11 item #2's exact list) and
 #: r8-era padding to fill 50. Every name verified green by
 #: `tools/driver_sim.py` at sf0.01 before pinning. The historical
@@ -153,6 +155,8 @@ _WINDOW = (
     "kql_partition_topk",
     "kql_partition_legacy",
     "kql_serialized_funcs",
+    "kql_scan_single",
+    "kql_scan_sessions",
     "kql_externaldata",
     "kql_render_as",
     "correlation_rules",
@@ -198,8 +202,6 @@ _WINDOW = (
     "sample_by_quality",
     "corpus_curation_full",
     "langid_confusion",
-    "text_search_and",
-    "dedup_minhash_clusters",
 )
 
 

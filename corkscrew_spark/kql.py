@@ -1276,10 +1276,10 @@ class _StageCompiler:
         # expression (a let body / toscalar body) — render must refuse
         # there just like in a parenthesized join side
         self._depth = 1 if sub else 0
-        #: the in-force `sort by` order (list[Column]) for serialized
+        #: the in-force `sort by` order ((expr, is_asc) specs) for
         #: row functions, None when no order is in force; survives
         #: order-preserving stages only (see apply_stage)
-        self._ser_order: list[Column] | None = None
+        self._ser_order: list[tuple[Column, bool]] | None = None
         #: hidden partition column for the window those functions
         #: build — set while compiling a vectorized `partition` body,
         #: where the window must be per-key (the scalable shape)
@@ -1633,7 +1633,7 @@ class _StageCompiler:
         "where", "extend", "project", "project-away", "project-keep",
         "project-rename", "project-reorder", "parse", "parse-where",
         "search", "serialize", "order", "sort", "take", "limit",
-        "render", "as",
+        "render", "as", "scan",
     })
 
     def apply_stage(self, df: DataFrame, stage: str) -> DataFrame:
@@ -1710,9 +1710,9 @@ class _StageCompiler:
         if op == "mv-apply":
             return self._mv_apply(df, rest)
         if op in ("order", "sort"):
-            orders = self._sort_cols(rest)
-            self._ser_order = orders
-            return df.orderBy(*orders)
+            specs = self._sort_specs(rest)
+            self._ser_order = specs
+            return df.orderBy(*self._ordered(specs))
         if op in ("limit", "take"):
             return df.limit(int(rest.strip()))
         if op == "top":
@@ -1738,6 +1738,8 @@ class _StageCompiler:
             return self._as_binding(df, rest)
         if op == "partition":
             return self._partition(df, rest)
+        if op == "scan":
+            return self._scan(df, rest)
         if op in ("facet", "fork"):
             # out-of-dialect Kusto verbs (both return MULTIPLE result
             # tables — no single-DataFrame surface can carry that):
@@ -1895,6 +1897,11 @@ class _StageCompiler:
                 continue
             if verb in cls._PART_ROW_LOCAL or verb in cls._PART_GROUPED:
                 continue
+            if verb == "scan":
+                # scan groups its applyInPandas by the hidden
+                # partition key itself — per-key state machines, the
+                # distributed shape
+                continue
             if verb in ("project", "project-keep", "project-away",
                         "project-reorder"):
                 continue
@@ -2003,7 +2010,7 @@ class _StageCompiler:
         while pk in df.columns:
             pk += "_"
         cur = df.withColumn(pk, F.col(key))
-        pending: list[Column] | None = None
+        pending: list[tuple[Column, bool]] | None = None
         # serialized row functions inside the body window PER KEY —
         # the scalable shape; restore the outer pipeline's (empty)
         # order state on exit
@@ -2018,10 +2025,10 @@ class _StageCompiler:
                 rest2 = s[len(verb):].strip()
                 if verb in ("sort", "order"):
                     # becomes the in-force order for a later take/
-                    # limit (per-key top) or extend window; no
+                    # limit (per-key top), extend window or scan; no
                     # physical sort — partition output order is not
                     # guaranteed in Kusto either
-                    pending = self._sort_cols(rest2)
+                    pending = self._sort_specs(rest2)
                     self._ser_order = pending
                     continue
                 if verb in ("take", "limit"):
@@ -2031,7 +2038,8 @@ class _StageCompiler:
                             f"got {rest2!r}")
                     # unsorted take is arbitrary-N in Kusto too; a
                     # constant window order makes that explicit
-                    orders = pending or [F.lit(0).asc()]
+                    orders = (self._ordered(pending) if pending
+                              else [F.lit(0).asc()])
                     cur = self._grouped_limit(cur, pk, orders,
                                               int(rest2))
                     continue
@@ -2042,12 +2050,12 @@ class _StageCompiler:
                         raise KqlError(
                             f"KQL: top needs 'top N by expr', "
                             f"got {rest2!r}")
-                    orders = self._sort_cols(m.group(2))
-                    cur = self._grouped_limit(cur, pk, orders,
-                                              int(m.group(1)))
+                    specs = self._sort_specs(m.group(2))
+                    cur = self._grouped_limit(
+                        cur, pk, self._ordered(specs), int(m.group(1)))
                     # Kusto top serializes its output by its own keys
-                    pending = orders
-                    self._ser_order = orders
+                    pending = specs
+                    self._ser_order = specs
                     continue
                 if verb == "summarize":
                     cur = self._summarize(cur, rest2, extra_keys=(pk,))
@@ -2175,6 +2183,148 @@ class _StageCompiler:
         for b in branches[1:]:
             out = out.unionByName(b)
         return out
+
+    _SCAN_RE = re.compile(
+        r"(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?with\s*\((.*)\)\s*$",
+        re.DOTALL | re.IGNORECASE)
+
+    def _scan(self, df: DataFrame, rest: str) -> DataFrame:
+        """``scan [with_match_id = M] with ( step s1: cond; … )`` —
+        Kusto's sequence-matching operator, the PREDICATE-STEP subset
+        (``declare (…)`` state variables and ``=>`` assignments are
+        refused with the rewrite: compute derived columns with
+        ``extend`` before the scan; ``output=`` other than the default
+        ``all`` is refused).
+
+        Exact state machine, per serialization group (documented —
+        the simple-sequence behavior of Kusto's scan): one active
+        sequence at a time, position ``pos`` = steps completed so far
+        (0 = idle). For each record in the in-force ``sort by`` order,
+        in preference order: (1) it ADVANCES if it satisfies step
+        ``pos+1`` (starting a new sequence/match id when idle);
+        (2) else it REPEATS the current step greedily if it satisfies
+        step ``pos``; (3) else it RESTARTS a new sequence if it
+        satisfies step 1; otherwise it is dropped and the state holds.
+        Matching records are emitted; when the final step matches, the
+        sequence completes and the machine returns to idle. Match ids
+        are 1-based per group.
+
+        Spark shape: step conditions compile to BOOLEAN COLUMNS via
+        the normal expression parser — evaluated JVM-side in codegen —
+        so the Arrow-batched ``applyInPandas`` state machine is a
+        tight loop over a bool matrix, never re-evaluating expressions
+        in Python. The groupBy key is the hidden partition column
+        inside a vectorized ``partition`` body (per-key scans, the
+        shape that distributes: ``partition by user ( sort by ts |
+        scan … )``); a bare global scan runs as ONE group — same cost
+        center as Kusto's own serialized execution — so each group's
+        rows must fit one executor (like mv-apply bodies).
+        """
+        rest = rest.strip()
+        if re.match(r"(?:with_match_id\s*=\s*[A-Za-z_]\w*\s+)?"
+                    r"declare\b", rest, re.IGNORECASE):
+            raise KqlError(
+                "KQL: scan declare(…) state variables are not "
+                "supported — steps are row predicates here; compute "
+                "derived columns with `extend` (or serialized "
+                "row_cumsum/prev) before the scan")
+        m = self._SCAN_RE.match(rest)
+        if not m:
+            raise KqlError(
+                "KQL: scan takes `scan [with_match_id = Name] with "
+                f"( step s1: cond; … )`, got {rest!r}")
+        mid_col = m.group(1)
+        if mid_col and mid_col in df.columns:
+            raise KqlError(
+                f"KQL: scan with_match_id={mid_col} collides with an "
+                "existing column")
+        steps: list[tuple[str, Column]] = []
+        for part in _split_on_top_level(m.group(2), ";"):
+            sm = re.match(
+                r"step\s+([A-Za-z_]\w*)\s*"
+                r"(?:output\s*=\s*(\w+)\s*)?:\s*(.*)$",
+                part, re.DOTALL | re.IGNORECASE)
+            if not sm:
+                raise KqlError(
+                    f"KQL: scan step must be `step name: condition`, "
+                    f"got {part!r}")
+            out_mode = (sm.group(2) or "all").lower()
+            if out_mode != "all":
+                raise KqlError(
+                    f"KQL: scan step output={out_mode} is not "
+                    "supported (only the default output=all)")
+            cond_src = sm.group(3).strip()
+            if re.search(r"=>", cond_src):
+                raise KqlError(
+                    "KQL: scan step assignments (`=> x = …`) are not "
+                    "supported — steps are row predicates; compute "
+                    "derived columns with `extend` before the scan")
+            toks = _tokenize(cond_src)
+            p = _ExprParser(toks)
+            cond = p.parse()
+            _expect_next(toks, p.i, (), f"scan step {sm.group(1)}")
+            steps.append((sm.group(1), cond))
+        if not steps:
+            raise KqlError("KQL: scan needs at least one step")
+        if self._ser_order is None:
+            raise KqlError(
+                "KQL: scan needs a serialized input — `sort by …` "
+                "first (inside `partition by Col ( sort by … | "
+                "scan … )` for per-key scans)")
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        nsteps = len(steps)
+        scols = [f"__scan_s{i}" for i in range(nsteps)]
+        ocols = [f"__scan_o{j}" for j in range(len(self._ser_order))]
+        work = df
+        for c, (expr, _asc) in zip(ocols, self._ser_order):
+            work = work.withColumn(c, expr)
+        for c, (_nm, cond) in zip(scols, steps):
+            work = work.withColumn(c, cond.cast("boolean"))
+        gcol = self._ser_pk
+        if gcol is None:
+            gcol = "__scan_g"
+            work = work.withColumn(gcol, F.lit(0))
+        asc = [a for _c, a in self._ser_order]
+        keep = [f.name for f in df.schema.fields]
+        fields = list(df.schema.fields)
+        if mid_col:
+            fields.append(StructField(mid_col, LongType()))
+        out_schema = StructType(fields)
+
+        def machine(pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values(ocols, ascending=asc, kind="stable")
+            sbool = pdf[scols].fillna(False).to_numpy(dtype=bool)
+            nrows = len(pdf)
+            emit = np.zeros(nrows, dtype=bool)
+            mids = np.zeros(nrows, dtype="int64")
+            pos = 0
+            mid = 0
+            for r in range(nrows):
+                if pos < nsteps and sbool[r, pos]:      # advance
+                    if pos == 0:
+                        mid += 1
+                    pos += 1
+                elif pos >= 1 and sbool[r, pos - 1]:    # greedy repeat
+                    pass
+                elif sbool[r, 0]:                       # restart
+                    mid += 1
+                    pos = 1
+                else:
+                    continue                            # state holds
+                emit[r] = True
+                mids[r] = mid
+                if pos == nsteps:                       # completed
+                    pos = 0
+            out = pdf.loc[emit, keep]
+            if mid_col:
+                out = out.assign(**{mid_col: mids[emit]})
+            return out
+
+        return work.groupBy(gcol).applyInPandas(machine, out_schema)
 
     def _search(self, df: DataFrame, rest: str) -> DataFrame:
         """``search [kind=case_insensitive|case_sensitive] 'term'`` —
@@ -2460,10 +2610,10 @@ class _StageCompiler:
             return None
         from pyspark.sql.window import Window
 
+        orders = self._ordered(self._ser_order)
         if self._ser_pk is not None:
-            return Window.partitionBy(self._ser_pk) \
-                .orderBy(*self._ser_order)
-        return Window.orderBy(*self._ser_order)
+            return Window.partitionBy(self._ser_pk).orderBy(*orders)
+        return Window.orderBy(*orders)
 
     def _extend(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
@@ -2948,13 +3098,16 @@ class _StageCompiler:
             *keep, *[F.col(f"__mv_{j}").alias(names[j]) for j in range(len(items))])
 
     @staticmethod
-    def _sort_cols(rest: str) -> list[Column]:
+    def _sort_specs(rest: str) -> list[tuple[Column, bool]]:
         """Parse a ``[by] expr [asc|desc], …`` sort list (the shared
-        grammar of ``order by``/``sort by``/``top N by``) into ordered
-        Columns — KQL defaults to descending."""
+        grammar of ``order by``/``sort by``/``top N by``) into
+        ``(expr, is_ascending)`` pairs — KQL defaults to descending.
+        The direction is kept separate so consumers that materialize
+        the order (the ``scan`` operator's per-key pandas sort) can
+        reuse it; window/orderBy consumers go through ``_ordered``."""
         rest = re.sub(r"^\s*by\s+", "", rest, flags=re.IGNORECASE)
         toks = _tokenize(rest)
-        orders: list[Column] = []
+        specs: list[tuple[Column, bool]] = []
         i = 0
         while i < len(toks):
             p = _ExprParser(toks, i)
@@ -2965,11 +3118,19 @@ class _StageCompiler:
                     and toks[i].text.lower() in ("asc", "desc"):
                 direction = toks[i].text.lower()
                 i += 1
-            orders.append(col.asc() if direction == "asc" else col.desc())
+            specs.append((col, direction == "asc"))
             _expect_next(toks, i, (",",), "order by")
             if i < len(toks):
                 i += 1
-        return orders
+        return specs
+
+    @staticmethod
+    def _ordered(specs: list[tuple[Column, bool]]) -> list[Column]:
+        return [c.asc() if asc else c.desc() for c, asc in specs]
+
+    @classmethod
+    def _sort_cols(cls, rest: str) -> list[Column]:
+        return cls._ordered(cls._sort_specs(rest))
 
     def _order_by(self, df: DataFrame, rest: str) -> DataFrame:
         return df.orderBy(*self._sort_cols(rest))

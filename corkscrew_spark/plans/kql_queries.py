@@ -1152,3 +1152,57 @@ def kql_serialized_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_scan_single",
+    oracle="""
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY event_id ASC) AS m
+    FROM events WHERE value >= 200
+    ORDER BY user_id ASC, event_id ASC
+    """,
+)
+def kql_scan_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` (r12) — single-step degenerate case, which is exactly
+    `where` + per-key match numbering: the one scan shape with an
+    ANSI-SQL form, certifying the whole machinery (parse → boolean
+    step columns in codegen → per-key Arrow state machine → match
+    ids) against the oracle. Composed inside the vectorized
+    `partition` operator, so the applyInPandas groups by user —
+    distributed, never one global sequence."""
+    return kql_to_df(
+        """
+        events
+        | partition by user_id ( sort by event_id asc
+              | scan with_match_id = m with ( step big: value >= 200; ) )
+        | project user_id, event_id, value, m
+        | order by user_id asc, event_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query("kql_scan_sessions")  # stateful sequence — no SQL form (rows-only)
+def kql_scan_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` (r12) — the real two-step sequence machine per user:
+    a low-value event opens a session (greedy repeats extend it), the
+    first high-value event completes it; incomplete sequences emit
+    their matched prefix, idle high-value events drop. Stateful
+    sequential semantics with no ANSI-SQL equivalent — driver records
+    the rows-only check; the exact machine is pinned on hand-built
+    sequences in tests/test_kql.py::TestKqlScan."""
+    return kql_to_df(
+        """
+        events
+        | partition by user_id ( sort by event_id asc
+              | scan with_match_id = m with (
+                    step low: value < 10;
+                    step high: value >= 90; ) )
+        | summarize matches = dcount(m), matched_rows = count()
+              by user_id
+        | order by user_id asc
+        """,
+        register_tables(spark, sf_dir),
+    )

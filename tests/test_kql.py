@@ -2583,3 +2583,90 @@ class TestKqlSerializedFns:
             kql_to_df(
                 "T | sort by id asc | extend p = prev(v, id)",
                 {"T": sdata})
+
+
+# ---------------------------------------------------------------------------
+# scan operator (r12)
+# ---------------------------------------------------------------------------
+
+class TestKqlScan:
+    """`scan [with_match_id=M] with (step …)` — the predicate-step
+    subset of Kusto's sequence matcher. Step conditions compile to
+    boolean columns (JVM codegen); the Arrow-batched applyInPandas
+    state machine loops over the bool matrix per serialization group
+    (the hidden partition key inside a vectorized `partition` body)."""
+
+    @pytest.fixture(scope="class")
+    def sequence(self, spark):
+        rows = [("u1", 1, "login"), ("u1", 2, "browse"),
+                ("u1", 3, "login"), ("u1", 4, "buy"), ("u1", 5, "buy"),
+                ("u1", 6, "login"), ("u2", 7, "buy"), ("u2", 8, "login"),
+                ("u2", 9, "buy")]
+        return spark.createDataFrame(rows, "u string, id long, e string")
+
+    def test_two_step_machine_exact(self, sequence):
+        """Advance > greedy-repeat > restart; completion resets to
+        idle; non-matching rows drop with state held; a final-step
+        match while idle drops."""
+        out = sorted((r["id"], r["e"], r["m"]) for r in kql_to_df(
+            "T | sort by id asc | scan with_match_id = m with ("
+            " step login: e == 'login'; step buy: e == 'buy'; )",
+            {"T": sequence}).collect())
+        assert out == [(1, "login", 1), (3, "login", 1), (4, "buy", 1),
+                       (6, "login", 2), (7, "buy", 2), (8, "login", 3),
+                       (9, "buy", 3)]
+
+    def test_single_step_is_filter_plus_row_number(self, sequence):
+        out = sorted((r["id"], r["m"]) for r in kql_to_df(
+            "T | sort by id asc | scan with_match_id = m with "
+            "( step s: e == 'buy'; )", {"T": sequence}).collect())
+        assert out == [(4, 1), (5, 2), (7, 3), (9, 4)]
+
+    def test_per_key_inside_partition(self, sequence):
+        """partition by u ( sort | scan ) — per-key machines: u2's
+        leading buy is idle-dropped, match ids restart per key; vector
+        == branch."""
+        q = ("T | partition by u ( sort by id asc | scan "
+             "with_match_id = m with ( step login: e == 'login'; "
+             "step buy: e == 'buy'; ) )")
+        vec = kql_to_df(q, {"T": sequence})
+        br = kql_to_df(
+            q.replace("partition by", "partition hint.strategy=legacy by"),
+            {"T": sequence})
+        sa = sorted(map(repr, vec.collect()))
+        assert sa == sorted(map(repr, br.collect()))
+        got = sorted((r["u"], r["id"], r["m"]) for r in vec.collect())
+        assert got == [("u1", 1, 1), ("u1", 3, 1), ("u1", 4, 1),
+                       ("u1", 6, 2), ("u2", 8, 1), ("u2", 9, 1)]
+
+    def test_no_match_id_column(self, sequence):
+        out = kql_to_df(
+            "T | sort by id asc | scan with ( step s: e == 'login'; )",
+            {"T": sequence})
+        assert out.columns == sequence.columns
+        assert out.count() == 4
+
+    def test_scan_preserves_serialization(self, sequence):
+        """scan output stays serialized — a following extend can
+        window over it."""
+        out = sorted((r["id"], r["rn"]) for r in kql_to_df(
+            "T | sort by id asc | scan with ( step s: e == 'buy'; ) "
+            "| extend rn = row_number()", {"T": sequence}).collect())
+        assert out == [(4, 1), (5, 2), (7, 3), (9, 4)]
+
+    def test_refusals(self, sequence):
+        cases = [
+            ("T | scan with ( step s: e == 'x'; )", "serialized"),
+            ("T | sort by id asc | scan declare (x:long) with "
+             "( step s: e == 'x'; )", "declare"),
+            ("T | sort by id asc | scan with "
+             "( step s: e == 'x' => k = 1; )", "assignments"),
+            ("T | sort by id asc | scan with "
+             "( step s output=last: e == 'x'; )", "output"),
+            ("T | sort by id asc | scan with_match_id = id with "
+             "( step s: e == 'x'; )", "collides"),
+            ("T | sort by id asc | scan with ( )", "at least one"),
+        ]
+        for bad, pat in cases:
+            with pytest.raises(KqlError, match=pat):
+                kql_to_df(bad, {"T": sequence})
