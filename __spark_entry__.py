@@ -122,13 +122,14 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 12's pinned 50-slot correctness window: the seven round-12
+#: Round 12's pinned 50-slot correctness window: the eight round-12
 #: queries first (kql_partition_topk — vectorized Kusto partition
 #: operator; kql_partition_legacy — its 64-branch legacy strategy;
 #: kql_serialized_funcs — row_number/prev/row_cumsum windows composed
 #: per-key inside partition; kql_scan_single — scan machinery vs the
 #: SQL-expressible degenerate case; kql_scan_sessions — the real
-#: two-step machine, rows-only by design; kql_externaldata — governed
+#: two-step machine, rows-only by design; kql_narrow — the transpose
+#: plugin over the serialized Row contract; kql_externaldata — governed
 #: local-file head; kql_render_as — paste-compat display hint +
 #: mid-pipeline binding), then the 24
 #: r7-era stalest re-verifies (VERDICT r11 item #2's exact list) and
@@ -157,6 +158,7 @@ _WINDOW = (
     "kql_serialized_funcs",
     "kql_scan_single",
     "kql_scan_sessions",
+    "kql_narrow",
     "kql_externaldata",
     "kql_render_as",
     "correlation_rules",
@@ -201,7 +203,6 @@ _WINDOW = (
     "chunk_windows",
     "sample_by_quality",
     "corpus_curation_full",
-    "langid_confusion",
 )
 
 

@@ -508,7 +508,13 @@ class _ExprParser:
             fn = F.lag if name == "prev" else F.lead
             col = fn(args[0], off).over(w)
             if n == 3:
-                col = F.coalesce(col, args[2])
+                # Kusto substitutes the default ONLY when the offset
+                # row does not exist — a null VALUE in an existing
+                # row stays null, so coalesce would be wrong (r12
+                # review); an always-non-null marker lagged the same
+                # distance distinguishes the two cases
+                exists = fn(F.lit(True), off).over(w)
+                col = F.when(exists.isNull(), args[2]).otherwise(col)
             return col
         # row_cumsum
         if n != 1:
@@ -1280,6 +1286,14 @@ class _StageCompiler:
         #: row functions, None when no order is in force; survives
         #: order-preserving stages only (see apply_stage)
         self._ser_order: list[tuple[Column, bool]] | None = None
+        #: identifier names the in-force sort expressions reference
+        #: (a conservative superset — function names included): a
+        #: later stage that overwrites or drops one of these columns
+        #: would silently re-evaluate the order, so the serialization
+        #: is INVALIDATED instead (Kusto's serialization is fixed at
+        #: sort time and never re-derived; loud refusal beats a
+        #: silently reordered window)
+        self._ser_refs: set[str] = set()
         #: hidden partition column for the window those functions
         #: build — set while compiling a vectorized `partition` body,
         #: where the window must be per-key (the scalable shape)
@@ -1294,14 +1308,15 @@ class _StageCompiler:
         before = set(self.tables) if self._depth > 1 else None
         # a sub-pipeline (join/union/lookup side) starts with no order
         # in force and must not leak one back to the outer pipeline
-        ser_saved = (self._ser_order, self._ser_pk)
+        ser_saved = (self._ser_order, self._ser_refs, self._ser_pk)
         self._ser_order = None
+        self._ser_refs = set()
         self._ser_pk = None
         try:
             return self._compile(query)
         finally:
             self._depth -= 1
-            self._ser_order, self._ser_pk = ser_saved
+            self._ser_order, self._ser_refs, self._ser_pk = ser_saved
             if before is not None:
                 for k in set(self.tables) - before:
                     del self.tables[k]
@@ -1633,10 +1648,23 @@ class _StageCompiler:
         "where", "extend", "project", "project-away", "project-keep",
         "project-rename", "project-reorder", "parse", "parse-where",
         "search", "serialize", "order", "sort", "take", "limit",
-        "render", "as", "scan",
+        "render", "as", "scan", "evaluate",
     })
 
     def apply_stage(self, df: DataFrame, stage: str) -> DataFrame:
+        result = self._dispatch_stage(df, stage)
+        # a preserving stage that nonetheless DROPPED or renamed away
+        # a column the in-force sort references (project v, a glob
+        # miss, project-rename) invalidates the serialization — a
+        # later serialized call then refuses loudly instead of dying
+        # in analysis or silently re-deriving the order
+        if self._ser_order is not None and self._ser_refs \
+                and not self._ser_refs.issubset(set(result.columns)):
+            self._ser_order = None
+            self._ser_refs = set()
+        return result
+
+    def _dispatch_stage(self, df: DataFrame, stage: str) -> DataFrame:
         m = re.match(r"([a-z][a-z-]*)\s*(.*)", stage, re.DOTALL | re.IGNORECASE)
         if not m:
             raise KqlError(f"KQL: cannot parse stage {stage!r}")
@@ -1644,6 +1672,7 @@ class _StageCompiler:
         rest = m.group(2)
         if op not in self._ORDER_PRESERVING:
             self._ser_order = None
+            self._ser_refs = set()
         if op == "where":
             toks = _tokenize(rest)
             p = _ExprParser(toks)
@@ -1712,6 +1741,7 @@ class _StageCompiler:
         if op in ("order", "sort"):
             specs = self._sort_specs(rest)
             self._ser_order = specs
+            self._ser_refs = self._sort_ref_names(rest)
             return df.orderBy(*self._ordered(specs))
         if op in ("limit", "take"):
             return df.limit(int(rest.strip()))
@@ -1902,6 +1932,17 @@ class _StageCompiler:
                 # partition key itself — per-key state machines, the
                 # distributed shape
                 continue
+            if verb == "evaluate":
+                # narrow transposes per row (Row numbered per key via
+                # the hidden-key window); pivot/bag_unpack discover
+                # COLUMNS from the data, so per-partition application
+                # would give branches different schemas — branch mode
+                if re.match(r"evaluate\s+narrow\s*\(", s,
+                            re.IGNORECASE):
+                    continue
+                return ("evaluate plugins other than narrow() infer "
+                        "their output schema from the data — "
+                        "per-partition schemas would diverge")
             if verb in ("project", "project-keep", "project-away",
                         "project-reorder"):
                 continue
@@ -2014,8 +2055,9 @@ class _StageCompiler:
         # serialized row functions inside the body window PER KEY —
         # the scalable shape; restore the outer pipeline's (empty)
         # order state on exit
-        ser_saved = (self._ser_order, self._ser_pk)
+        ser_saved = (self._ser_order, self._ser_refs, self._ser_pk)
         self._ser_order = None
+        self._ser_refs = set()
         self._ser_pk = pk
         try:
             for st in _split_stages(body):
@@ -2030,6 +2072,7 @@ class _StageCompiler:
                     # guaranteed in Kusto either
                     pending = self._sort_specs(rest2)
                     self._ser_order = pending
+                    self._ser_refs = self._sort_ref_names(rest2)
                     continue
                 if verb in ("take", "limit"):
                     if not re.fullmatch(r"\d+", rest2):
@@ -2056,11 +2099,13 @@ class _StageCompiler:
                     # Kusto top serializes its output by its own keys
                     pending = specs
                     self._ser_order = specs
+                    self._ser_refs = self._sort_ref_names(m.group(2))
                     continue
                 if verb == "summarize":
                     cur = self._summarize(cur, rest2, extra_keys=(pk,))
                     pending = None
                     self._ser_order = None
+                    self._ser_refs = set()
                     continue
                 if verb == "count":
                     if rest2:
@@ -2069,6 +2114,7 @@ class _StageCompiler:
                         F.count(F.lit(1)).alias("Count"))
                     pending = None
                     self._ser_order = None
+                    self._ser_refs = set()
                     continue
                 if verb == "distinct":
                     if rest2 == "*":
@@ -2084,11 +2130,13 @@ class _StageCompiler:
                         cur = cur.select(pk, *cols).distinct()
                     pending = None
                     self._ser_order = None
+                    self._ser_refs = set()
                     continue
                 if verb == "top-hitters":
                     cur = self._grouped_top_hitters(cur, pk, rest2)
                     pending = None
                     self._ser_order = None
+                    self._ser_refs = set()
                     continue
                 if verb in ("project", "project-keep",
                             "project-reorder"):
@@ -2103,32 +2151,12 @@ class _StageCompiler:
                         "every column) — name the columns to keep, or "
                         "use hint.strategy=legacy")
         finally:
-            self._ser_order, self._ser_pk = ser_saved
+            self._ser_order, self._ser_refs, self._ser_pk = ser_saved
         return cur.drop(pk) if pk in cur.columns else cur
 
     def _grouped_top_hitters(self, df: DataFrame, pk: str,
                              rest: str) -> DataFrame:
-        m = re.match(
-            r"\s*(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)"
-            r"(?:\s+by\s+(.*))?$",
-            rest, re.DOTALL | re.IGNORECASE)
-        if not m:
-            raise KqlError(
-                f"KQL: top-hitters needs `N of Col [by expr]`, got "
-                f"{rest!r}")
-        n, col, bysrc = int(m.group(1)), m.group(2), m.group(3)
-        if bysrc is None:
-            name = f"approximate_count_{col}"
-            agg = F.count(F.lit(1)).alias(name)
-        else:
-            toks = _tokenize(bysrc)
-            p = _ExprParser(toks)
-            expr = p.parse()
-            if p.i != len(toks):
-                raise KqlError(
-                    f"KQL: trailing tokens in top-hitters by {bysrc!r}")
-            name = f"approximate_sum_{col}"
-            agg = F.sum(expr).alias(name)
+        n, col, name, agg = self._parse_top_hitters(rest)
         grouped = df.groupBy(pk, col).agg(agg)
         return self._grouped_limit(
             grouped, pk, [F.col(name).desc(), F.col(col).asc()], n)
@@ -2160,20 +2188,25 @@ class _StageCompiler:
         def _apply(sub: DataFrame) -> DataFrame:
             # each branch compiles the body from a fresh order state;
             # the body's own `sort` must not leak past the partition
-            ser_saved = (self._ser_order, self._ser_pk)
+            ser_saved = (self._ser_order, self._ser_refs,
+                         self._ser_pk)
             self._ser_order = None
+            self._ser_refs = set()
             self._ser_pk = None
             try:
                 for st in stages:
                     sub = self.apply_stage(sub, st)
                 return sub
             finally:
-                self._ser_order, self._ser_pk = ser_saved
+                self._ser_order, self._ser_refs, self._ser_pk = ser_saved
 
         if not vals:
-            # empty input: compile the body once over an empty branch
-            # so schema (and any body errors) still surface
-            return _apply(df.filter(F.lit(False)))
+            # empty input = zero partitions = zero rows (Kusto, and
+            # the vectorized groupBy). Still compile the body once so
+            # schema and any body errors surface — but limit(0): an
+            # ungrouped aggregate body (count, summarize with no by)
+            # would otherwise emit its one seed row (r12 review)
+            return _apply(df.filter(F.lit(False))).limit(0)
         branches = []
         for v in vals:
             sub = (df.filter(F.col(key).isNull()) if v is None
@@ -2275,8 +2308,14 @@ class _StageCompiler:
         from pyspark.sql.types import LongType, StructField, StructType
 
         nsteps = len(steps)
-        scols = [f"__scan_s{i}" for i in range(nsteps)]
-        ocols = [f"__scan_o{j}" for j in range(len(self._ser_order))]
+        # collision-guard the working columns like the partition key
+        # (a frame column literally named __scan_s0 must not be
+        # silently overwritten — r12 review)
+        base = "__scan_"
+        while any(c.startswith(base) for c in df.columns):
+            base += "_"
+        scols = [f"{base}s{i}" for i in range(nsteps)]
+        ocols = [f"{base}o{j}" for j in range(len(self._ser_order))]
         work = df
         for c, (expr, _asc) in zip(ocols, self._ser_order):
             work = work.withColumn(c, expr)
@@ -2284,7 +2323,7 @@ class _StageCompiler:
             work = work.withColumn(c, cond.cast("boolean"))
         gcol = self._ser_pk
         if gcol is None:
-            gcol = "__scan_g"
+            gcol = f"{base}g"
             work = work.withColumn(gcol, F.lit(0))
         asc = [a for _c, a in self._ser_order]
         keep = [f.name for f in df.schema.fields]
@@ -2296,7 +2335,18 @@ class _StageCompiler:
         def machine(pdf):
             import numpy as np
 
-            pdf = pdf.sort_values(ocols, ascending=asc, kind="stable")
+            # match Spark's null placement (asc → NULLS FIRST, desc →
+            # NULLS LAST; pandas na_position is global, so sort via
+            # per-column null markers — r12 review)
+            keys: list[str] = []
+            ascending: list[bool] = []
+            for oc, a in zip(ocols, asc):
+                mk = oc + "n"
+                pdf[mk] = pdf[oc].isna()
+                keys += [mk, oc]
+                ascending += [not a, a]
+            pdf = pdf.sort_values(keys, ascending=ascending,
+                                  kind="stable")
             sbool = pdf[scols].fillna(False).to_numpy(dtype=bool)
             nrows = len(pdf)
             emit = np.zeros(nrows, dtype=bool)
@@ -2395,6 +2445,10 @@ class _StageCompiler:
         args = _split_top_commas(m.group(2)) if m.group(2).strip() \
             else []
         if plugin == "pivot":
+            # pivot AGGREGATES rows: the in-force serialization dies
+            # here even when a sort column survives as a key column
+            self._ser_order = None
+            self._ser_refs = set()
             if not args or not args[0].strip():
                 raise KqlError(
                     "KQL: evaluate pivot needs `pivot(PivotColumn "
@@ -2519,9 +2573,44 @@ class _StageCompiler:
             return df.select(
                 *others,
                 *[_get(k).alias(prefix + str(k)) for k in keys])
+        if plugin == "narrow":
+            if args:
+                raise KqlError("KQL: evaluate narrow() takes no "
+                               "arguments")
+            # Kusto's transpose plugin: one output row per (input
+            # row, column) with Row/Column/Value. Kusto assigns Row
+            # by serialization order, which is UNSPECIFIED on an
+            # unsorted table — this compiler requires an in-force
+            # `sort by` so Row is deterministic (and per-key inside a
+            # vectorized partition body). The transpose itself is a
+            # single JVM-side explode of a struct array — wide tables
+            # cost rows×cols output, which is narrow()'s contract.
+            if self._ser_order is None:
+                raise KqlError(
+                    "KQL: evaluate narrow() needs a serialized input "
+                    "for a deterministic Row — `sort by …` first")
+            from pyspark.sql.window import Window
+
+            orders = self._ordered(self._ser_order)
+            w = (Window.partitionBy(self._ser_pk).orderBy(*orders)
+                 if self._ser_pk is not None
+                 else Window.orderBy(*orders))
+            cols = [c for c in df.columns if c != self._ser_pk]
+            pairs = F.array(*[
+                F.struct(F.lit(c).alias("Column"),
+                         F.col(c).cast("string").alias("Value"))
+                for c in cols])
+            out = (df.withColumn(
+                       "Row", (F.row_number().over(w) - 1).cast("long"))
+                   .select(*([self._ser_pk] if self._ser_pk else []),
+                           "Row", F.explode(pairs).alias("__p"))
+                   .select(*([self._ser_pk] if self._ser_pk else []),
+                           "Row", F.col("__p.Column").alias("Column"),
+                           F.col("__p.Value").alias("Value")))
+            return out
         raise KqlError(
             f"KQL: unsupported evaluate plugin {plugin!r} "
-            "(have: pivot, bag_unpack)")
+            "(have: pivot, bag_unpack, narrow)")
 
     # -- stage impls ---------------------------------------------------------
     def _mv_apply(self, df: DataFrame, rest: str) -> DataFrame:
@@ -2617,6 +2706,28 @@ class _StageCompiler:
 
     def _extend(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
+        # an extend that OVERWRITES a column the in-force sort
+        # references would silently re-derive the order (Kusto fixes
+        # serialization at sort time): refuse when this very stage
+        # also windows over it, invalidate for later stages otherwise
+        if self._ser_order is not None and self._ser_refs:
+            targets = {toks[i].text for i in range(len(toks) - 1)
+                       if toks[i].kind == "ident"
+                       and toks[i + 1].kind == "op"
+                       and toks[i + 1].text == "="
+                       and (i == 0 or toks[i - 1].text in (",",))}
+            hit = targets & self._ser_refs
+            if hit:
+                if self._serialized_window(toks) is not None:
+                    raise KqlError(
+                        f"KQL: extend overwrites sort column(s) "
+                        f"{sorted(hit)} in the same stage that uses "
+                        "serialized row functions — Kusto fixes the "
+                        "serialization at sort time; compute the "
+                        "window first, then overwrite in a second "
+                        "extend, or re-sort")
+                self._ser_order = None
+                self._ser_refs = set()
         w = self._serialized_window(toks)
         i = 0
         while i < len(toks):
@@ -3128,6 +3239,18 @@ class _StageCompiler:
     def _ordered(specs: list[tuple[Column, bool]]) -> list[Column]:
         return [c.asc() if asc else c.desc() for c, asc in specs]
 
+    @staticmethod
+    def _sort_ref_names(rest: str) -> set[str]:
+        """Identifier names a sort list references — a conservative
+        SUPERSET (function names included): used only to invalidate
+        the serialization when a later stage overwrites/drops one, so
+        over-capture means at worst an unnecessary loud refusal,
+        never a silently reordered window."""
+        rest = re.sub(r"^\s*by\s+", "", rest, flags=re.IGNORECASE)
+        return {t.text for t in _tokenize(rest)
+                if t.kind == "ident"
+                and t.text.lower() not in ("asc", "desc")}
+
     @classmethod
     def _sort_cols(cls, rest: str) -> list[Column]:
         return cls._ordered(cls._sort_specs(rest))
@@ -3139,7 +3262,13 @@ class _StageCompiler:
         m = re.match(r"\s*(\d+)\s+by\s+(.*)", rest, re.DOTALL | re.IGNORECASE)
         if not m:
             raise KqlError(f"KQL: top needs 'top N by expr', got {rest!r}")
-        return self._order_by(df, m.group(2)).limit(int(m.group(1)))
+        # Kusto documents top's output as serialized by its sort keys,
+        # so it ESTABLISHES the order for serialized row functions —
+        # same contract as the vectorized partition body's top
+        specs = self._sort_specs(m.group(2))
+        self._ser_order = specs
+        self._ser_refs = self._sort_ref_names(m.group(2))
+        return df.orderBy(*self._ordered(specs)).limit(int(m.group(1)))
 
     def _top_hitters(self, df: DataFrame, rest: str) -> DataFrame:
         """``top-hitters N of Col [by SumExpr]`` — the heavy-hitters
@@ -3149,6 +3278,17 @@ class _StageCompiler:
         approximate one) while keeping Kusto's output column names
         (``approximate_count_<Col>`` / ``approximate_sum_<Col>``).
         Ties break on the hitter value ascending, deterministic."""
+        n, col, name, agg = self._parse_top_hitters(rest)
+        return (df.groupBy(col).agg(agg)
+                .orderBy(F.col(name).desc(), F.col(col).asc())
+                .limit(n))
+
+    @staticmethod
+    def _parse_top_hitters(rest: str):
+        """The one `N of Col [by expr]` parser shared by the global
+        and per-partition top-hitters compilations (r12 review: the
+        regex, Kusto's approximate_count_/approximate_sum_ naming and
+        the trailing-token check must not drift between the two)."""
         m = re.match(
             r"\s*(\d+)\s+of\s+([A-Za-z_][A-Za-z0-9_]*)"
             r"(?:\s+by\s+(.*))?$",
@@ -3170,9 +3310,7 @@ class _StageCompiler:
                     f"KQL: trailing tokens in top-hitters by {bysrc!r}")
             name = f"approximate_sum_{col}"
             agg = F.sum(expr).alias(name)
-        return (df.groupBy(col).agg(agg)
-                .orderBy(F.col(name).desc(), F.col(col).asc())
-                .limit(n))
+        return n, col, name, agg
 
     def _top_nested(self, df: DataFrame, rest: str) -> DataFrame:
         """``top-nested N1 of Col1 by [A1 =] agg1(...), top-nested N2 of

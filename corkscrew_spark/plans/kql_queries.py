@@ -1206,3 +1206,40 @@ def kql_scan_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         register_tables(spark, sf_dir),
     )
+
+
+@query(
+    "kql_narrow",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_name, n_regionkey,
+               row_number() OVER (ORDER BY n_nationkey ASC) - 1 AS rn
+        FROM nation
+    )
+    SELECT rn AS "Row", 'n_nationkey' AS "Column",
+           CAST(n_nationkey AS VARCHAR) AS "Value" FROM base
+    UNION ALL
+    SELECT rn, 'n_name', n_name FROM base
+    UNION ALL
+    SELECT rn, 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM base
+    ORDER BY "Row" ASC, "Column" ASC
+    """,
+)
+def kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate narrow()` (r12) — Kusto's transpose plugin: one
+    output row per (input row, column) as Row/Column/Value, Row
+    numbered by the in-force serialization (this dialect requires a
+    preceding `sort by` so Row is deterministic; Kusto leaves it
+    unspecified on unsorted input). The transpose is one JVM-side
+    struct-array explode — rows×cols output is narrow()'s contract,
+    not a plan artifact."""
+    return kql_to_df(
+        """
+        nation
+        | project n_nationkey, n_name, n_regionkey
+        | sort by n_nationkey asc
+        | evaluate narrow()
+        | order by Row asc, Column asc
+        """,
+        register_tables(spark, sf_dir),
+    )

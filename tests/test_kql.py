@@ -2670,3 +2670,140 @@ class TestKqlScan:
         for bad, pat in cases:
             with pytest.raises(KqlError, match=pat):
                 kql_to_df(bad, {"T": sequence})
+
+
+class TestKqlR12ReviewFixes:
+    """Pinned regressions for the r12 review wave over the
+    partition/serialized/scan diff."""
+
+    @pytest.fixture(scope="class")
+    def nully(self, spark):
+        rows = [("a", 1, None), ("a", 2, 5.0), ("a", 3, None),
+                ("b", 4, 7.0)]
+        return spark.createDataFrame(rows, "k string, id long, v double")
+
+    def test_prev_default_only_when_row_missing(self, nully):
+        """prev(v, 1, d) substitutes d ONLY when the offset row does
+        not exist — an existing row's null value stays null (coalesce
+        was wrong)."""
+        out = {r["id"]: r["p"] for r in kql_to_df(
+            "T | sort by id asc | extend p = prev(v, 1, -1.0)",
+            {"T": nully}).collect()}
+        assert out[1] == -1.0      # no previous row -> default
+        assert out[2] is None      # previous row EXISTS, value null
+        assert out[3] == 5.0
+        assert out[4] is None      # previous row exists, value null
+
+    def test_branch_partition_empty_input_zero_rows(self, spark):
+        """Zero partitions = zero rows, even for ungrouped aggregate
+        bodies (count's seed row must not leak)."""
+        empty = spark.createDataFrame([], "k string, v long")
+        for body in ("count", "summarize n = count()"):
+            got = kql_to_df(
+                f"T | partition hint.strategy=legacy by k ( {body} )",
+                {"T": empty})
+            assert got.count() == 0
+
+    def test_overwriting_sort_column_refuses_or_invalidates(self, nully):
+        # same stage: loud refusal
+        with pytest.raises(KqlError, match="overwrites sort column"):
+            kql_to_df(
+                "T | sort by id asc | extend id = -id, "
+                "rn = row_number()", {"T": nully})
+        # earlier stage: serialization invalidated -> loud refusal at
+        # the serialized call, not a silently reordered window
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by id asc | extend id = -id "
+                "| extend rn = row_number()", {"T": nully})
+        # dropping the sort column invalidates too (was a raw
+        # AnalysisException)
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by id asc | project v "
+                "| extend rn = row_number()", {"T": nully})
+
+    def test_top_establishes_serialization(self, nully):
+        """Kusto documents top's output as serialized by its keys —
+        row_number after a global top works and numbers in top order."""
+        out = sorted((r["id"], r["rn"]) for r in kql_to_df(
+            "T | top 3 by id desc | extend rn = row_number()",
+            {"T": nully}).collect())
+        assert out == [(2, 3), (3, 2), (4, 1)]
+
+    def test_scan_null_order_matches_spark(self, spark):
+        """Ascending serialization puts null sort keys FIRST (Spark's
+        null placement) in the scan machine too — the pandas default
+        (nulls last) diverged."""
+        rows = [(None, "start"), (1, "start"), (2, "end")]
+        df = spark.createDataFrame(rows, "t int, e string")
+        out = kql_to_df(
+            "T | sort by t asc | scan with_match_id = m with ("
+            " step a: e == 'start'; step b: e == 'end'; )",
+            {"T": df}).collect()
+        got = sorted((r["t"] if r["t"] is not None else -99, r["m"])
+                     for r in out)
+        # null-t start row is FIRST: it opens match 1, t=1 repeats it,
+        # t=2 completes it — all one match
+        assert got == [(-99, 1), (1, 1), (2, 1)]
+
+    def test_scan_helper_columns_collision_guarded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", True), (2, "x", False)],
+            "id long, e string, __scan_s0 boolean")
+        out = kql_to_df(
+            "T | sort by id asc | scan with ( step s: e == 'x'; )",
+            {"T": df}).collect()
+        # the user column survives untouched
+        assert sorted((r["id"], r["__scan_s0"]) for r in out) \
+            == [(1, True), (2, False)]
+
+
+class TestKqlNarrow:
+    """`evaluate narrow()` — Kusto's transpose plugin: one row per
+    (input row, column), Row numbered by the in-force serialization
+    (deterministic by contract here; refused unsorted)."""
+
+    def test_transpose_values(self, spark):
+        df = spark.createDataFrame(
+            [("a", 2, 5.0), ("a", 1, None), ("b", 3, 7.0)],
+            "k string, id long, v double")
+        out = sorted(
+            ((r["Row"], r["Column"], r["Value"]) for r in kql_to_df(
+                "T | sort by id asc | evaluate narrow()",
+                {"T": df}).collect()))
+        assert out == [
+            (0, "id", "1"), (0, "k", "a"), (0, "v", None),
+            (1, "id", "2"), (1, "k", "a"), (1, "v", "5.0"),
+            (2, "id", "3"), (2, "k", "b"), (2, "v", "7.0")]
+
+    def test_per_key_rows_inside_partition(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 3, 3.0)],
+            "k string, id long, v double")
+        q = "T | partition by k ( sort by id asc | evaluate narrow() )"
+        vec = kql_to_df(q, {"T": df})
+        br = kql_to_df(
+            q.replace("partition by", "partition hint.strategy=legacy by"),
+            {"T": df})
+        assert sorted(map(repr, vec.collect())) \
+            == sorted(map(repr, br.collect()))
+        # Row restarts per key: key b's single row is Row 0
+        assert ("b", "0") in {(r["Value"], str(r["Row"]))
+                              for r in vec.collect()
+                              if r["Column"] == "k"}
+
+    def test_refusals(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(KqlError, match="serialized"):
+            kql_to_df("T | evaluate narrow()", {"T": df})
+        with pytest.raises(KqlError, match="no arguments"):
+            kql_to_df("T | sort by id asc | evaluate narrow(1)",
+                      {"T": df})
+
+    def test_pivot_clears_serialization(self, spark):
+        df = spark.createDataFrame([("a", 1)], "k string, id long")
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by id asc | evaluate pivot(k) "
+                "| extend rn = row_number()", {"T": df})
