@@ -122,7 +122,7 @@ _DRIVER_RECORDED = frozenset({
 _DEFERRED = frozenset()
 
 
-#: Round 12's pinned 50-slot correctness window: the eight round-12
+#: Round 12's pinned 50-slot correctness window: the nine round-12
 #: queries first (kql_partition_topk — vectorized Kusto partition
 #: operator; kql_partition_legacy — its 64-branch legacy strategy;
 #: kql_serialized_funcs — row_number/prev/row_cumsum windows composed
@@ -159,6 +159,7 @@ _WINDOW = (
     "kql_scan_single",
     "kql_scan_sessions",
     "kql_narrow",
+    "kql_scalar_widening",
     "kql_externaldata",
     "kql_render_as",
     "correlation_rules",
@@ -202,7 +203,6 @@ _WINDOW = (
     "text_classifier_score",
     "chunk_windows",
     "sample_by_quality",
-    "corpus_curation_full",
 )
 
 

@@ -801,6 +801,149 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         return F.to_json(F.create_map(
             *[a.cast("string") if i % 2 == 0 else a
               for i, a in enumerate(args)]))
+    # ---- r12 scalar-function widening (each mapping one-to-one onto
+    # a JVM builtin; literal contracts where Kusto's own signature
+    # takes constants) --------------------------------------------------
+    if name in ("exp", "sqrt", "log10", "log2", "sign") and n == 1:
+        fn = {"exp": F.exp, "sqrt": F.sqrt, "log10": F.log10,
+              "log2": F.log2, "sign": F.signum}[name]
+        return fn(args[0])
+    if name == "log" and n == 1:
+        return F.log(args[0])  # Kusto log() is the natural log
+    if name == "pow" and n == 2:
+        return F.pow(args[0], args[1])
+    if name == "min_of":
+        if n < 2:
+            raise KqlError(f"KQL: min_of needs >= 2 args at {pos}")
+        return F.least(*args)
+    if name == "max_of":
+        if n < 2:
+            raise KqlError(f"KQL: max_of needs >= 2 args at {pos}")
+        return F.greatest(*args)
+    if name == "strcmp" and n == 2:
+        a, b = args[0].cast("string"), args[1].cast("string")
+        return F.when(a < b, -1).when(a > b, 1) \
+            .when(a == b, 0).cast("int")  # null operand → null (Kusto)
+    if name == "dayofyear" and n == 1:
+        return F.dayofyear(args[0])
+    if name == "replace_regex" and n == 3:
+        pat = _lit_str(raw[1])
+        rewrite = _lit_str(raw[2])
+        if pat is None or rewrite is None:
+            raise KqlError(
+                f"KQL: replace_regex pattern and rewrite must be "
+                f"literals at {pos}")
+        # Java regex, not RE2 — same documented dialect delta as
+        # `matches regex` / extract. Kusto capture refs are \1;
+        # Java's are $1 — translate the common form
+        rewrite = re.sub(r"\\(\d)", r"$\1", rewrite)
+        return F.regexp_replace(args[0].cast("string"), pat, rewrite)
+    if name in ("trim_start", "trim_end") and n == 2:
+        # Kusto: remove the LEADING/TRAILING match of the regex
+        pat = _lit_str(raw[0])
+        if pat is None:
+            raise KqlError(
+                f"KQL: {name} regex must be a literal at {pos}")
+        anchored = f"^(?:{pat})" if name == "trim_start" \
+            else f"(?:{pat})$"
+        return F.regexp_replace(args[1].cast("string"), anchored, "")
+    if name == "countof" and n in (2, 3):
+        term = _lit_str(raw[1])
+        if term is None:
+            raise KqlError(
+                f"KQL: countof search term must be a literal at {pos}")
+        kind = "normal"
+        if n == 3:
+            kind = (_lit_str(raw[2]) or "").lower()
+            if kind not in ("normal", "regex"):
+                raise KqlError(
+                    f"KQL: countof kind must be 'normal' or 'regex' "
+                    f"at {pos}")
+        pat = term if kind == "regex" else re.escape(term)
+        return F.regexp_count(args[0].cast("string"), F.lit(pat))
+    if name == "pack_array":
+        return F.array(*args)
+    if name == "array_concat" and n >= 2:
+        return F.concat(*args)
+    if name in ("array_sort_asc", "array_sort_desc") and n == 1:
+        return F.sort_array(args[0], asc=name.endswith("_asc"))
+    if name == "array_index_of" and n == 2:
+        # Kusto is 0-based with -1 on miss; array_position is 1-based
+        # with 0 on miss — the off-by-one cancels exactly
+        return (F.array_position(args[0], args[1]) - 1).cast("long")
+    if name == "array_slice" and n == 3:
+        # Kusto 0-based inclusive [start, end]; negative indices count
+        # from the end — normalize BOTH against the length so mixed
+        # signs (array_slice(x, 0, -1) = whole array) work
+        sz = F.size(args[0])
+        s = F.when(args[1] >= 0, args[1]).otherwise(sz + args[1])
+        e = F.when(args[2] >= 0, args[2]).otherwise(sz + args[2])
+        s = F.greatest(s, F.lit(0))
+        return F.slice(args[0], s + 1, F.greatest(e - s + 1, F.lit(0)))
+    if name == "repeat" and n == 2:
+        return F.array_repeat(args[0],
+                              _lit_int(raw[1], pos, "repeat count",
+                                       lo=0))
+    if name == "hash_sha256" and n == 1:
+        return F.sha2(args[0].cast("string"), 256)
+    if name == "hash_md5" and n == 1:
+        return F.md5(args[0].cast("string"))
+    if name == "base64_encode_tostring" and n == 1:
+        return F.base64(args[0].cast("string").cast("binary"))
+    if name == "base64_decode_tostring" and n == 1:
+        return F.unbase64(args[0].cast("string")).cast("string")
+    if name == "make_datetime" and n in (3, 6):
+        if n == 3:
+            return F.make_timestamp(args[0], args[1], args[2],
+                                    F.lit(0), F.lit(0), F.lit(0))
+        return F.make_timestamp(*args)
+    if name == "unixtime_seconds_todatetime" and n == 1:
+        return F.timestamp_seconds(args[0])
+    if name == "datetime_add" and n == 3:
+        period = _lit_str(raw[0])
+        kwname = {"year": "years", "month": "months", "week": "weeks",
+                  "day": "days", "hour": "hours", "minute": "mins",
+                  "second": "secs"}
+        if period not in kwname:
+            raise KqlError(
+                f"KQL: datetime_add period must be one of "
+                f"{sorted(kwname)} at {pos}")
+        return args[2] + F.make_interval(
+            **{kwname[period]: args[1].cast("int")})
+    if name == "parse_ipv4" and n == 1:
+        # dotted-quad → signed long (Kusto returns null on bad input)
+        octs = F.split(args[0].cast("string"), r"\.")
+        valid = (F.size(octs) == 4) & F.forall(
+            octs, lambda o: o.rlike("^[0-9]{1,3}$")
+            & (o.cast("long") <= 255))
+        val = (octs[0].cast("long") * 16777216
+               + octs[1].cast("long") * 65536
+               + octs[2].cast("long") * 256 + octs[3].cast("long"))
+        return F.when(valid, val)
+    if name == "parse_url" and n == 1:
+        # Kusto returns a dynamic with named parts; this dialect's
+        # dynamics are flat string maps, so property access
+        # (parse_url(u).Host / ['Host']) compiles through getItem
+        u = args[0].cast("string")
+        return F.create_map(
+            F.lit("Scheme"), F.parse_url(u, F.lit("PROTOCOL")),
+            F.lit("Host"), F.parse_url(u, F.lit("HOST")),
+            F.lit("Port"), F.parse_url(u, F.lit("PORT")),
+            F.lit("Path"), F.parse_url(u, F.lit("PATH")),
+            F.lit("Query String"), F.parse_url(u, F.lit("QUERY")),
+            F.lit("Fragment"), F.parse_url(u, F.lit("REF")))
+    if name == "bag_keys" and n == 1:
+        # takes a DYNAMIC (this dialect's parse_json map), exactly
+        # like Kusto (bag_keys over a raw string is a type error
+        # there too — wrap in parse_json first); sorted for
+        # determinism (Kusto's key order is unspecified)
+        return F.array_sort(F.map_keys(args[0]))
+    if name == "take_any" and n == 1:
+        return F.first(args[0], ignorenulls=True)  # alias of any()
+    if name in ("variance", "stdev") and n == 1:
+        # Kusto variance/stdev are the SAMPLE estimators
+        fn = F.var_samp if name == "variance" else F.stddev_samp
+        return fn(args[0])
     raise KqlError(f"KQL: unsupported function {name}({n} args) at {pos}")
 
 

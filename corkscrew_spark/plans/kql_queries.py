@@ -1213,7 +1213,8 @@ def kql_scan_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT n_nationkey, n_name, n_regionkey,
-               row_number() OVER (ORDER BY n_nationkey ASC) - 1 AS rn
+               row_number() OVER (PARTITION BY n_regionkey
+                                  ORDER BY n_nationkey ASC) - 1 AS rn
         FROM nation
     )
     SELECT rn AS "Row", 'n_nationkey' AS "Column",
@@ -1230,16 +1231,84 @@ def kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row per (input row, column) as Row/Column/Value, Row
     numbered by the in-force serialization (this dialect requires a
     preceding `sort by` so Row is deterministic; Kusto leaves it
-    unspecified on unsorted input). The transpose is one JVM-side
-    struct-array explode — rows×cols output is narrow()'s contract,
-    not a plan artifact."""
+    unspecified on unsorted input). Registered in the PARTITIONED
+    composition — Row numbers per region through the hidden-key
+    window — because a bare global narrow() is a single-partition
+    window (the plan audit rightly flags that shape over unbounded
+    input; it remains available for small/limited frames). The
+    transpose itself is one JVM-side struct-array explode."""
     return kql_to_df(
         """
         nation
         | project n_nationkey, n_name, n_regionkey
-        | sort by n_nationkey asc
-        | evaluate narrow()
+        | partition by n_regionkey ( sort by n_nationkey asc
+              | evaluate narrow() )
         | order by Row asc, Column asc
+        """,
+        register_tables(spark, sf_dir),
+    )
+
+
+@query(
+    "kql_scalar_widening",
+    oracle=r"""
+    SELECT o_orderkey,
+           sqrt(o_totalprice)                             AS sq,
+           least(o_totalprice, 100000.0)                  AS mn,
+           greatest(o_totalprice, 100000.0)               AS mx,
+           CAST(CASE WHEN o_totalprice - 100000.0 < 0 THEN -1.0
+                     WHEN o_totalprice - 100000.0 > 0 THEN 1.0
+                     ELSE 0.0 END AS DOUBLE)              AS sg,
+           CAST(CASE WHEN o_orderstatus < 'O' THEN -1
+                     WHEN o_orderstatus > 'O' THEN 1
+                     ELSE 0 END AS INTEGER)               AS sc,
+           regexp_replace(o_orderpriority, '^\d-', '')    AS pr,
+           CAST(length(o_orderpriority)
+                - length(replace(o_orderpriority, '-', ''))
+                AS INTEGER)                               AS co,
+           md5(o_orderstatus)                             AS m5,
+           to_base64(CAST(o_orderstatus AS BLOB))         AS b64,
+           CAST(dayofyear(o_orderdate) AS INTEGER)        AS doy,
+           CAST(o_orderdate AS TIMESTAMP)
+               + INTERVAL 2 DAY                           AS da,
+           CAST(167772160 + o_orderkey % 200 AS BIGINT)   AS ipv,
+           CAST(list_position(string_split(o_orderpriority, '-'),
+                              'URGENT') AS INTEGER) - 1   AS ai
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey ASC
+    """,
+)
+def kql_scalar_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 scalar-function widening, oracle-certified in one pass:
+    sqrt/min_of/max_of/sign/strcmp/replace_regex/countof/hash_md5/
+    base64_encode_tostring/dayofyear/datetime_add/parse_ipv4/
+    array_index_of — each a one-to-one JVM builtin mapping
+    (transcendentals exp/log/pow are implemented but deliberately NOT
+    oracled: libm implementations differ in the last ulp across
+    engines, the documented float-determinism rule)."""
+    return kql_to_df(
+        """
+        orders
+        | where o_orderkey <= 2000
+        | extend sq = sqrt(o_totalprice),
+                 mn = min_of(o_totalprice, 100000.0),
+                 mx = max_of(o_totalprice, 100000.0),
+                 sg = sign(o_totalprice - 100000.0),
+                 sc = strcmp(o_orderstatus, 'O'),
+                 pr = replace_regex(o_orderpriority, @'^\\d-', ''),
+                 co = countof(o_orderpriority, '-'),
+                 m5 = hash_md5(o_orderstatus),
+                 b64 = base64_encode_tostring(o_orderstatus),
+                 doy = dayofyear(o_orderdate),
+                 da = datetime_add('day', 2, todatetime(o_orderdate)),
+                 ipv = parse_ipv4(strcat('10.0.0.',
+                                         tostring(o_orderkey % 200))),
+                 ai = array_index_of(split(o_orderpriority, '-'),
+                                     'URGENT')
+        | project o_orderkey, sq, mn, mx, sg, sc, pr, co, m5, b64,
+                  doy, da, ipv, ai
+        | order by o_orderkey asc
         """,
         register_tables(spark, sf_dir),
     )

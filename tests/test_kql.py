@@ -1768,8 +1768,10 @@ def test_evaluate_pivot(spark):
         (1, 1.0, 2.0), (2, 7.0, None)]
     with pytest.raises(KqlError, match="unknown column"):
         kql_to_df("T | evaluate pivot(nope)", t)
+    # narrow is IN dialect since r12 (TestKqlNarrow); a still-unknown
+    # plugin keeps the precise refusal
     with pytest.raises(KqlError, match="unsupported evaluate plugin"):
-        kql_to_df("T | evaluate narrow()", t)
+        kql_to_df("T | evaluate autocluster()", t)
 
 
 def test_evaluate_bag_unpack(spark):
@@ -2807,3 +2809,82 @@ class TestKqlNarrow:
             kql_to_df(
                 "T | sort by id asc | evaluate pivot(k) "
                 "| extend rn = row_number()", {"T": df})
+
+
+class TestKqlScalarWidening:
+    """r12 scalar-function widening — spot semantics the oracle can't
+    carry (transcendentals, null contracts, negative slices)."""
+
+    @pytest.fixture(scope="class")
+    def one(self, spark):
+        return spark.createDataFrame(
+            [(1, 4.0, ["x", "y", "z", "w"], '{"b":2,"a":1}')],
+            "id long, v double, arr array<string>, js string")
+
+    def _val(self, one, expr):
+        return kql_to_df(f"T | extend r = {expr} | project r",
+                         {"T": one}).first()["r"]
+
+    def test_math_family(self, one):
+        import math
+        assert self._val(one, "sqrt(v)") == 2.0
+        assert abs(self._val(one, "exp(1.0)") - math.e) < 1e-12
+        assert abs(self._val(one, "log(v)") - math.log(4.0)) < 1e-12
+        assert self._val(one, "log2(8.0)") == 3.0
+        assert self._val(one, "pow(2.0, 10.0)") == 1024.0
+        assert self._val(one, "sign(-3.5)") == -1.0
+        assert self._val(one, "min_of(v, 2.0, 9.0)") == 2.0
+        assert self._val(one, "max_of(v, 2.0, 9.0)") == 9.0
+
+    def test_strcmp_null_propagates(self, spark):
+        df = spark.createDataFrame([(None,)], "s string")
+        got = kql_to_df("T | extend r = strcmp(s, 'a') | project r",
+                        {"T": df}).first()["r"]
+        assert got is None
+
+    def test_trim_and_count(self, one):
+        assert self._val(one, "trim_start(@'x+', 'xxab')") == "ab"
+        assert self._val(one, "trim_end(@'b+', 'abb')") == "a"
+        assert self._val(one, "countof('ababab', 'ab')") == 3
+        assert self._val(one, "countof('aaa', @'a+', 'regex')") == 1
+        with pytest.raises(KqlError, match="normal.*regex|regex"):
+            self._val(one, "countof('x', 'y', 'bad')")
+
+    def test_array_family(self, one):
+        assert self._val(one, "array_index_of(arr, 'z')") == 2
+        assert self._val(one, "array_index_of(arr, 'nope')") == -1
+        assert self._val(one, "array_slice(arr, 1, 2)") == ["y", "z"]
+        # negative indices normalize against the length (0, -1 = all)
+        assert self._val(one, "array_slice(arr, 0, -1)") \
+            == ["x", "y", "z", "w"]
+        assert self._val(one, "array_slice(arr, -2, -1)") == ["z", "w"]
+        assert self._val(one, "array_concat(arr, pack_array('q'))") \
+            == ["x", "y", "z", "w", "q"]
+        assert self._val(one, "array_sort_desc(arr)") \
+            == ["z", "y", "x", "w"]
+        assert self._val(one, "repeat('ab', 2)") == ["ab", "ab"]
+
+    def test_encode_parse(self, one):
+        assert self._val(one, "base64_decode_tostring("
+                              "base64_encode_tostring('hi'))") == "hi"
+        assert self._val(one, "parse_ipv4('10.1.2.3')") \
+            == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+        assert self._val(one, "parse_ipv4('999.1.2.3')") is None
+        assert self._val(one, "parse_url('https://h:81/p?q=1').Host") \
+            == "h"
+        assert self._val(one, "bag_keys(parse_json(js))") == ["a", "b"]
+
+    def test_datetime_family(self, one):
+        got = self._val(
+            one, "datetime_add('month', 1, datetime('2024-01-31'))")
+        assert str(got).startswith("2024-02-29")  # calendar-aware
+        with pytest.raises(KqlError, match="period"):
+            self._val(one, "datetime_add('fortnight', 1, "
+                           "datetime('2024-01-31'))")
+        assert str(self._val(
+            one, "make_datetime(2024, 3, 5)")).startswith("2024-03-05")
+
+    def test_replace_regex_captures(self, one):
+        assert self._val(
+            one, r"replace_regex('a1b2', @'(\d)', @'[\1]')") \
+            == "a[1]b[2]"
