@@ -834,10 +834,29 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
                 f"KQL: replace_regex pattern and rewrite must be "
                 f"literals at {pos}")
         # Java regex, not RE2 — same documented dialect delta as
-        # `matches regex` / extract. Kusto capture refs are \1;
-        # Java's are $1 — translate the common form
-        rewrite = re.sub(r"\\(\d)", r"$\1", rewrite)
-        return F.regexp_replace(args[0].cast("string"), pat, rewrite)
+        # `matches regex` / extract. Kusto capture refs are \1, Java's
+        # are $1; a literal '$' (or stray backslash) in the rewrite is
+        # a group reference to Java and would crash mid-job — escape
+        # them while translating (r12 review)
+        out = []
+        j = 0
+        while j < len(rewrite):
+            ch = rewrite[j]
+            if ch == "\\" and j + 1 < len(rewrite) \
+                    and rewrite[j + 1].isdigit():
+                out.append("$" + rewrite[j + 1])
+                j += 2
+            elif ch == "\\":
+                out.append("\\\\")
+                j += 1
+            elif ch == "$":
+                out.append("\\$")
+                j += 1
+            else:
+                out.append(ch)
+                j += 1
+        return F.regexp_replace(args[0].cast("string"), pat,
+                                "".join(out))
     if name in ("trim_start", "trim_end") and n == 2:
         # Kusto: remove the LEADING/TRAILING match of the regex
         pat = _lit_str(raw[0])
@@ -852,6 +871,9 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         if term is None:
             raise KqlError(
                 f"KQL: countof search term must be a literal at {pos}")
+        if term == "":
+            raise KqlError(
+                f"KQL: countof search term must be non-empty at {pos}")
         kind = "normal"
         if n == 3:
             kind = (_lit_str(raw[2]) or "").lower()
@@ -859,14 +881,25 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
                 raise KqlError(
                     f"KQL: countof kind must be 'normal' or 'regex' "
                     f"at {pos}")
-        pat = term if kind == "regex" else re.escape(term)
+        # Kusto: plain-string matches MAY OVERLAP ('aaa' countof 'aa'
+        # = 2), regex matches don't (r12 review) — a zero-width
+        # lookahead counts every start position for the plain kind
+        pat = term if kind == "regex" \
+            else f"(?={re.escape(term)})"
         return F.regexp_count(args[0].cast("string"), F.lit(pat))
     if name == "pack_array":
         return F.array(*args)
     if name == "array_concat" and n >= 2:
         return F.concat(*args)
     if name in ("array_sort_asc", "array_sort_desc") and n == 1:
-        return F.sort_array(args[0], asc=name.endswith("_asc"))
+        # Kusto places nulls LAST for both directions (nulls_last
+        # defaults true); Spark's sort_array puts them first on asc —
+        # sort the non-nulls, append the nulls (r12 review)
+        nonnull = F.sort_array(
+            F.filter(args[0], lambda x: x.isNotNull()),
+            asc=name.endswith("_asc"))
+        return F.concat(nonnull,
+                        F.filter(args[0], lambda x: x.isNull()))
     if name == "array_index_of" and n == 2:
         # Kusto is 0-based with -1 on miss; array_position is 1-based
         # with 0 on miss — the off-by-one cancels exactly
@@ -2739,17 +2772,29 @@ class _StageCompiler:
                  if self._ser_pk is not None
                  else Window.orderBy(*orders))
             cols = [c for c in df.columns if c != self._ser_pk]
+            # collision-guard the working names: an input column
+            # literally named Row would otherwise have its transposed
+            # Value replaced by the row number (withColumn resolves
+            # before the pairs array does — r12 review); same guard
+            # class as scan's working columns
+            rn = "__nrow"
+            while rn in df.columns:
+                rn += "_"
+            pc = "__npair"
+            while pc in df.columns:
+                pc += "_"
             pairs = F.array(*[
                 F.struct(F.lit(c).alias("Column"),
                          F.col(c).cast("string").alias("Value"))
                 for c in cols])
+            pk_sel = [self._ser_pk] if self._ser_pk else []
             out = (df.withColumn(
-                       "Row", (F.row_number().over(w) - 1).cast("long"))
-                   .select(*([self._ser_pk] if self._ser_pk else []),
-                           "Row", F.explode(pairs).alias("__p"))
-                   .select(*([self._ser_pk] if self._ser_pk else []),
-                           "Row", F.col("__p.Column").alias("Column"),
-                           F.col("__p.Value").alias("Value")))
+                       rn, (F.row_number().over(w) - 1).cast("long"))
+                   .select(*pk_sel, F.col(rn).alias(rn),
+                           F.explode(pairs).alias(pc))
+                   .select(*pk_sel, F.col(rn).alias("Row"),
+                           F.col(f"{pc}.Column").alias("Column"),
+                           F.col(f"{pc}.Value").alias("Value")))
             return out
         raise KqlError(
             f"KQL: unsupported evaluate plugin {plugin!r} "
@@ -2798,6 +2843,20 @@ class _StageCompiler:
 
     def _project(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
+        # a COMPUTED project item whose target shares a name with an
+        # in-force sort column (`project v = -v`) keeps the name alive
+        # while changing its values — the refs-subset net can't see it
+        # (r12 review 2-1), so invalidate the serialization here, same
+        # contract as extend
+        if self._ser_order is not None and self._ser_refs:
+            targets = {toks[i].text for i in range(len(toks) - 1)
+                       if toks[i].kind == "ident"
+                       and toks[i + 1].kind == "op"
+                       and toks[i + 1].text == "="
+                       and (i == 0 or toks[i - 1].text == ",")}
+            if targets & self._ser_refs:
+                self._ser_order = None
+                self._ser_refs = set()
         cols: list[Column] = []
         i = 0
         k = 0
@@ -3088,6 +3147,13 @@ class _StageCompiler:
             raise KqlError(f"KQL: invalid parse regex: {ex}") from None
         if where:
             df = df.filter(src.rlike(pattern))
+        # a capture OVERWRITING an in-force sort column changes its
+        # values while keeping the name alive — invalidate the
+        # serialization, same contract as extend/project (r12 review)
+        if self._ser_order is not None and self._ser_refs \
+                and {name for name, _t in captures} & self._ser_refs:
+            self._ser_order = None
+            self._ser_refs = set()
         for k, (name, ctype) in enumerate(captures, start=1):
             got = F.regexp_extract(src, pattern, groupindex[f"__ck{k}"])
             # try_cast: the typed fragment's regex constrains the text,
@@ -3384,15 +3450,24 @@ class _StageCompiler:
 
     @staticmethod
     def _sort_ref_names(rest: str) -> set[str]:
-        """Identifier names a sort list references — a conservative
-        SUPERSET (function names included): used only to invalidate
-        the serialization when a later stage overwrites/drops one, so
-        over-capture means at worst an unnecessary loud refusal,
-        never a silently reordered window."""
+        """COLUMN names a sort list references — conservative on the
+        invalidation side (extra column names at worst cause an
+        unnecessary loud refusal, never a silently reordered window)
+        but function names must be EXCLUDED: `sort by strlen(k)` must
+        not self-invalidate because no column is named strlen (r12
+        review 2 — that regression broke every computed sort
+        expression followed by a serialized row function)."""
         rest = re.sub(r"^\s*by\s+", "", rest, flags=re.IGNORECASE)
-        return {t.text for t in _tokenize(rest)
-                if t.kind == "ident"
-                and t.text.lower() not in ("asc", "desc")}
+        toks = _tokenize(rest)
+        out: set[str] = set()
+        for j, t in enumerate(toks):
+            if t.kind != "ident" or t.text.lower() in ("asc", "desc"):
+                continue
+            if j + 1 < len(toks) and toks[j + 1].kind == "op" \
+                    and toks[j + 1].text == "(":
+                continue  # a function call, not a column
+            out.add(t.text)
+        return out
 
     @classmethod
     def _sort_cols(cls, rest: str) -> list[Column]:

@@ -2888,3 +2888,76 @@ class TestKqlScalarWidening:
         assert self._val(
             one, r"replace_regex('a1b2', @'(\d)', @'[\1]')") \
             == "a[1]b[2]"
+
+
+class TestKqlR12ReviewWave2:
+    """Second review pass over the widening diff — pinned fixes."""
+
+    @pytest.fixture(scope="class")
+    def frame(self, spark):
+        return spark.createDataFrame(
+            [("a", 1, 10.0), ("b", 2, 5.0), ("c", 3, 7.0)],
+            "k string, id long, v double")
+
+    def test_project_overwrite_invalidates(self, frame):
+        """project v = -v keeps the name alive while changing values —
+        the serialization must die there, not silently reorder."""
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by v asc | project k, id, v = -v "
+                "| extend rn = row_number()", {"T": frame})
+        # plain projection of the sort column keeps it in force
+        out = sorted((r["id"], r["rn"]) for r in kql_to_df(
+            "T | sort by v asc | project id, v "
+            "| extend rn = row_number()", {"T": frame}).collect())
+        assert out == [(1, 3), (2, 1), (3, 2)]
+
+    def test_parse_capture_overwrite_invalidates(self, spark):
+        df = spark.createDataFrame([("v=9", 1)], "s string, v long")
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df(
+                "T | sort by v asc | parse s with 'v=' v:long "
+                "| extend rn = row_number()", {"T": df})
+
+    def test_computed_sort_exprs_do_not_self_invalidate(self, frame):
+        """sort by strlen(k): function names are not columns — the
+        refs net must not kill its own serialization (regression from
+        the first review wave)."""
+        out = sorted((r["id"], r["rn"]) for r in kql_to_df(
+            "T | sort by strlen(k) asc, id asc "
+            "| extend rn = row_number()", {"T": frame}).collect())
+        assert out == [(1, 1), (2, 2), (3, 3)]
+
+    def test_countof_overlapping_plain_matches(self, frame):
+        def val(expr):
+            return kql_to_df(f"T | extend r = {expr} | project r "
+                             "| take 1", {"T": frame}).first()["r"]
+        assert val("countof('aaa', 'aa')") == 2       # overlap (Kusto)
+        assert val("countof('aaa', @'aa', 'regex')") == 1  # no overlap
+        with pytest.raises(KqlError, match="non-empty"):
+            val("countof('aaa', '')")
+
+    def test_array_sort_nulls_last(self, spark):
+        df = spark.createDataFrame([(["b", None, "a"],)],
+                                   "arr array<string>")
+        got = kql_to_df(
+            "T | extend s = array_sort_asc(arr), "
+            "d = array_sort_desc(arr) | project s, d",
+            {"T": df}).first()
+        assert got["s"] == ["a", "b", None]
+        assert got["d"] == ["b", "a", None]
+
+    def test_replace_regex_literal_dollar(self, frame):
+        got = kql_to_df(
+            "T | extend r = replace_regex('ab', @'a', 'x$z') "
+            "| project r | take 1", {"T": frame}).first()["r"]
+        assert got == "x$zb"
+
+    def test_narrow_row_column_collision(self, spark):
+        df = spark.createDataFrame([(1, "x")], "Row long, e string")
+        out = sorted((r["Row"], r["Column"], r["Value"]) for r in
+                     kql_to_df("T | sort by Row asc "
+                               "| evaluate narrow()",
+                               {"T": df}).collect())
+        # the input Row column's VALUE (1) survives as a transposed row
+        assert out == [(0, "Row", "1"), (0, "e", "x")]
