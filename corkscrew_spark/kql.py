@@ -840,21 +840,28 @@ def _call(name: str, args: list[Column], raw: list[_Tok | None], pos: int) -> Co
         # them while translating (r12 review)
         out = []
         j = 0
+        after_ref = False  # a digit right after $N would extend the
+        #                    group number greedily in Java (\1 then
+        #                    literal '2' must not become $12 → group
+        #                    12) — escape it (r12 review 3)
         while j < len(rewrite):
             ch = rewrite[j]
             if ch == "\\" and j + 1 < len(rewrite) \
                     and rewrite[j + 1].isdigit():
                 out.append("$" + rewrite[j + 1])
                 j += 2
-            elif ch == "\\":
+                after_ref = True
+                continue
+            if ch == "\\":
                 out.append("\\\\")
-                j += 1
             elif ch == "$":
                 out.append("\\$")
-                j += 1
+            elif after_ref and ch.isdigit():
+                out.append("\\" + ch)
             else:
                 out.append(ch)
-                j += 1
+            after_ref = False
+            j += 1
         return F.regexp_replace(args[0].cast("string"), pat,
                                 "".join(out))
     if name in ("trim_start", "trim_end") and n == 2:
@@ -2790,11 +2797,18 @@ class _StageCompiler:
             pk_sel = [self._ser_pk] if self._ser_pk else []
             out = (df.withColumn(
                        rn, (F.row_number().over(w) - 1).cast("long"))
-                   .select(*pk_sel, F.col(rn).alias(rn),
+                   .select(*pk_sel, F.col(rn),
                            F.explode(pairs).alias(pc))
                    .select(*pk_sel, F.col(rn).alias("Row"),
                            F.col(f"{pc}.Column").alias("Column"),
                            F.col(f"{pc}.Value").alias("Value")))
+            # the transpose retires the input's serialization — and
+            # when a sort column was itself named Row/Column/Value the
+            # refs net would NOT catch it (the new Row has one tie per
+            # input row: a later row_number would be nondeterministic
+            # — r12 review 3); same explicit clearing as pivot
+            self._ser_order = None
+            self._ser_refs = set()
             return out
         raise KqlError(
             f"KQL: unsupported evaluate plugin {plugin!r} "
@@ -2848,15 +2862,10 @@ class _StageCompiler:
         # while changing its values — the refs-subset net can't see it
         # (r12 review 2-1), so invalidate the serialization here, same
         # contract as extend
-        if self._ser_order is not None and self._ser_refs:
-            targets = {toks[i].text for i in range(len(toks) - 1)
-                       if toks[i].kind == "ident"
-                       and toks[i + 1].kind == "op"
-                       and toks[i + 1].text == "="
-                       and (i == 0 or toks[i - 1].text == ",")}
-            if targets & self._ser_refs:
-                self._ser_order = None
-                self._ser_refs = set()
+        if self._ser_order is not None and self._ser_refs \
+                and self._assign_targets(toks) & self._ser_refs:
+            self._ser_order = None
+            self._ser_refs = set()
         cols: list[Column] = []
         i = 0
         k = 0
@@ -2906,6 +2915,17 @@ class _StageCompiler:
             return Window.partitionBy(self._ser_pk).orderBy(*orders)
         return Window.orderBy(*orders)
 
+    @staticmethod
+    def _assign_targets(toks: list[_Tok]) -> set[str]:
+        """Top-level ``Name = expr`` assignment targets of an extend/
+        project token stream — ONE implementation so the two
+        serialization guards cannot drift (r12 review 3)."""
+        return {toks[i].text for i in range(len(toks) - 1)
+                if toks[i].kind == "ident"
+                and toks[i + 1].kind == "op"
+                and toks[i + 1].text == "="
+                and (i == 0 or toks[i - 1].text == ",")}
+
     def _extend(self, df: DataFrame, rest: str) -> DataFrame:
         toks = _tokenize(rest)
         # an extend that OVERWRITES a column the in-force sort
@@ -2913,12 +2933,7 @@ class _StageCompiler:
         # serialization at sort time): refuse when this very stage
         # also windows over it, invalidate for later stages otherwise
         if self._ser_order is not None and self._ser_refs:
-            targets = {toks[i].text for i in range(len(toks) - 1)
-                       if toks[i].kind == "ident"
-                       and toks[i + 1].kind == "op"
-                       and toks[i + 1].text == "="
-                       and (i == 0 or toks[i - 1].text in (",",))}
-            hit = targets & self._ser_refs
+            hit = self._assign_targets(toks) & self._ser_refs
             if hit:
                 if self._serialized_window(toks) is not None:
                     raise KqlError(
@@ -3154,6 +3169,7 @@ class _StageCompiler:
                 and {name for name, _t in captures} & self._ser_refs:
             self._ser_order = None
             self._ser_refs = set()
+        new_cols: dict[str, Column] = {}
         for k, (name, ctype) in enumerate(captures, start=1):
             got = F.regexp_extract(src, pattern, groupindex[f"__ck{k}"])
             # try_cast: the typed fragment's regex constrains the text,
@@ -3161,8 +3177,13 @@ class _StageCompiler:
             # must yield null, not an ANSI abort (Kusto semantics)
             col = F.when(got != "", got).try_cast(ctype) \
                 if ctype != "string" else F.when(got != "", got)
-            df = df.withColumn(name, col)
-        return df
+            new_cols[name] = col
+        # ONE withColumns: every capture resolves against the ORIGINAL
+        # frame, so a capture that overwrites the parse SOURCE column
+        # cannot corrupt the captures after it (r12 review 3 —
+        # sequential withColumn rebound src to the already-overwritten
+        # value and later captures extracted from it)
+        return df.withColumns(new_cols)
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
         """`union [kind=outer|inner] T2, (subquery), ...` — outer (the

@@ -2961,3 +2961,34 @@ class TestKqlR12ReviewWave2:
                                {"T": df}).collect())
         # the input Row column's VALUE (1) survives as a transposed row
         assert out == [(0, "Row", "1"), (0, "e", "x")]
+
+
+class TestKqlR12ReviewWave3:
+    """Third review pass — pinned fixes."""
+
+    def test_parse_source_overwrite_keeps_later_captures(self, spark):
+        """A capture overwriting the parse SOURCE must not corrupt the
+        captures after it — all captures resolve against the original
+        frame (one withColumns, not sequential rebinding)."""
+        df = spark.createDataFrame([("v=a,b",)], "s string")
+        got = kql_to_df("T | parse s with 'v=' s ',' t",
+                        {"T": df}).first()
+        assert got["s"] == "a" and got["t"] == "b"
+
+    def test_narrow_retires_serialization(self, spark):
+        """After narrow() the old sort is gone even when the sort
+        column was named Row — a later row_number must refuse, not
+        window nondeterministically over tied Rows."""
+        df = spark.createDataFrame([(1, "x")], "Row long, e string")
+        with pytest.raises(KqlError, match="serialized input"):
+            kql_to_df("T | sort by Row asc | evaluate narrow() "
+                      "| extend rn = row_number()", {"T": df})
+
+    def test_replace_regex_ref_then_literal_digit(self, spark):
+        """\\1 followed by a literal digit must stay group 1 + '2',
+        not become Java's greedy $12."""
+        df = spark.createDataFrame([("ab",)], "s string")
+        got = kql_to_df(
+            r"T | extend r = replace_regex(s, @'(a)', @'\12') "
+            "| project r", {"T": df}).first()["r"]
+        assert got == "a2b"
