@@ -3071,6 +3071,14 @@ class _StageCompiler:
             new, old = m.group(1), m.group(2)
             if old not in df.columns:
                 raise KqlError(f"KQL: project-rename of unknown column {old!r}")
+            if new != old and new in df.columns:
+                # Kusto errors on the name conflict too; without this
+                # the frame carries DUPLICATE column names and the
+                # first later reference dies in analysis with a raw
+                # AMBIGUOUS_REFERENCE (r12 close probe)
+                raise KqlError(
+                    f"KQL: project-rename target {new!r} already "
+                    "exists — project it away first")
             df = df.withColumnRenamed(old, new)
         return df
 

@@ -2992,3 +2992,12 @@ class TestKqlR12ReviewWave3:
             r"T | extend r = replace_regex(s, @'(a)', @'\12') "
             "| project r", {"T": df}).first()["r"]
         assert got == "a2b"
+
+
+def test_project_rename_onto_existing_refuses(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(KqlError, match="already exists"):
+        kql_to_df("T | project-rename v = k", {"T": df})
+    # self-rename is a no-op, not a conflict
+    assert kql_to_df("T | project-rename v = v", {"T": df}).columns \
+        == ["k", "v"]
