@@ -2427,14 +2427,20 @@ class _StageCompiler:
 
         Spark shape: step conditions compile to BOOLEAN COLUMNS via
         the normal expression parser — evaluated JVM-side in codegen —
-        so the Arrow-batched ``applyInPandas`` state machine is a
-        tight loop over a bool matrix, never re-evaluating expressions
-        in Python. The groupBy key is the hidden partition column
-        inside a vectorized ``partition`` body (per-key scans, the
-        shape that distributes: ``partition by user ( sort by ts |
-        scan … )``); a bare global scan runs as ONE group — same cost
-        center as Kusto's own serialized execution — so each group's
-        rows must fit one executor (like mv-apply bodies).
+        and the serialization order is established by a JVM
+        repartition + sortWithinPartitions on the group key (asc =
+        NULLS FIRST / desc = NULLS LAST, Spark's defaults). The state
+        machine itself runs in ``mapInPandas``: one Python call per
+        Arrow batch (not per group), carrying (key, pos, match-id)
+        across batch boundaries, so groups never materialize whole in
+        pandas and only the kept columns + step booleans + key cross
+        the boundary. Single-step scans vectorize outright (emit =
+        step predicate, match id = segmented running count). The
+        group key is the hidden partition column inside a vectorized
+        ``partition`` body (per-key scans, the shape that
+        distributes: ``partition by user ( sort by ts | scan … )``);
+        a bare global scan runs as ONE ordered partition — same cost
+        center as Kusto's own serialized execution.
         """
         rest = rest.strip()
         if re.match(r"(?:with_match_id\s*=\s*[A-Za-z_]\w*\s+)?"
@@ -2498,66 +2504,109 @@ class _StageCompiler:
         while any(c.startswith(base) for c in df.columns):
             base += "_"
         scols = [f"{base}s{i}" for i in range(nsteps)]
-        ocols = [f"{base}o{j}" for j in range(len(self._ser_order))]
         work = df
-        for c, (expr, _asc) in zip(ocols, self._ser_order):
-            work = work.withColumn(c, expr)
         for c, (_nm, cond) in zip(scols, steps):
             work = work.withColumn(c, cond.cast("boolean"))
         gcol = self._ser_pk
         if gcol is None:
             gcol = f"{base}g"
             work = work.withColumn(gcol, F.lit(0))
-        asc = [a for _c, a in self._ser_order]
         keep = [f.name for f in df.schema.fields]
         fields = list(df.schema.fields)
         if mid_col:
             fields.append(StructField(mid_col, LongType()))
         out_schema = StructType(fields)
 
-        def machine(pdf):
+        # Shuffle once on the group key, ORDER IN THE JVM (asc = NULLS
+        # FIRST / desc = NULLS LAST, Spark's defaults — the exact
+        # placement the old per-group pandas sort emulated), then run
+        # the machine with mapInPandas: one Python call per Arrow
+        # batch instead of one per group (1 500 tiny groups at sf0.1
+        # paid pandas construction + sort + concat each), the sort
+        # keys never cross the Python boundary, and a group larger
+        # than one batch streams through carried state instead of
+        # materializing whole in one pandas frame — the applyInPandas
+        # group-at-a-time contract was the one memory cliff in this
+        # operator at 100 TB group sizes.
+        order = [expr.asc() if a else expr.desc()
+                 for expr, a in self._ser_order]
+        ship = keep + scols + ([gcol] if gcol not in keep else [])
+        work = (
+            work.repartition(F.col(gcol))
+            .sortWithinPartitions(F.col(gcol).asc(), *order)
+            .select(*ship)
+        )
+
+        def machine(batches):
             import numpy as np
 
-            # match Spark's null placement (asc → NULLS FIRST, desc →
-            # NULLS LAST; pandas na_position is global, so sort via
-            # per-column null markers — r12 review)
-            keys: list[str] = []
-            ascending: list[bool] = []
-            for oc, a in zip(ocols, asc):
-                mk = oc + "n"
-                pdf[mk] = pdf[oc].isna()
-                keys += [mk, oc]
-                ascending += [not a, a]
-            pdf = pdf.sort_values(keys, ascending=ascending,
-                                  kind="stable")
-            sbool = pdf[scols].fillna(False).to_numpy(dtype=bool)
-            nrows = len(pdf)
-            emit = np.zeros(nrows, dtype=bool)
-            mids = np.zeros(nrows, dtype="int64")
-            pos = 0
-            mid = 0
-            for r in range(nrows):
-                if pos < nsteps and sbool[r, pos]:      # advance
-                    if pos == 0:
-                        mid += 1
-                    pos += 1
-                elif pos >= 1 and sbool[r, pos - 1]:    # greedy repeat
-                    pass
-                elif sbool[r, 0]:                       # restart
-                    mid += 1
-                    pos = 1
+            carry_key = None          # (isnull, value) of running group
+            carry_pos = 0
+            carry_mid = 0
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                keys = pdf[gcol]
+                isna = keys.isna().to_numpy()
+                vals = keys.to_numpy()
+                same_prev = np.zeros(n, dtype=bool)
+                if n > 1:
+                    nn = ~isna[1:] & ~isna[:-1]
+                    eq = np.zeros(n - 1, dtype=bool)
+                    eq[nn] = vals[1:][nn] == vals[:-1][nn]
+                    same_prev[1:] = (isna[1:] & isna[:-1]) | eq
+                if carry_key is not None:
+                    k_na, k_val = carry_key
+                    same_prev[0] = (k_na and bool(isna[0])) or (
+                        not k_na and not isna[0] and vals[0] == k_val)
+                newgrp = ~same_prev
+                sbool = pdf[scols].fillna(False).to_numpy(dtype=bool)
+                if nsteps == 1:
+                    # single-step machine degenerates to emit = step1,
+                    # mid = running match count per group — segmented
+                    # cumsum, fully vectorized
+                    emit = sbool[:, 0]
+                    cum = np.cumsum(emit)
+                    run = np.maximum.accumulate(
+                        np.where(newgrp, cum - emit, -1))
+                    mids = np.where(run >= 0, cum - run, cum + carry_mid)
+                    carry_mid = int(mids[-1])
                 else:
-                    continue                            # state holds
-                emit[r] = True
-                mids[r] = mid
-                if pos == nsteps:                       # completed
-                    pos = 0
-            out = pdf.loc[emit, keep]
-            if mid_col:
-                out = out.assign(**{mid_col: mids[emit]})
-            return out
+                    emit = np.zeros(n, dtype=bool)
+                    mids = np.zeros(n, dtype="int64")
+                    pos = carry_pos
+                    mid = carry_mid
+                    for r in range(n):
+                        if newgrp[r]:
+                            pos = 0
+                            mid = 0
+                        if pos < nsteps and sbool[r, pos]:      # advance
+                            if pos == 0:
+                                mid += 1
+                            pos += 1
+                        elif pos >= 1 and sbool[r, pos - 1]:    # repeat
+                            pass
+                        elif sbool[r, 0]:                       # restart
+                            mid += 1
+                            pos = 1
+                        else:
+                            continue                            # hold
+                        emit[r] = True
+                        mids[r] = mid
+                        if pos == nsteps:                       # done
+                            pos = 0
+                    carry_pos = pos
+                    carry_mid = mid
+                carry_key = (bool(isna[-1]), vals[-1])
+                if not emit.any():
+                    continue
+                out = pdf.loc[emit, keep]
+                if mid_col:
+                    out = out.assign(**{mid_col: mids[emit]})
+                yield out
 
-        return work.groupBy(gcol).applyInPandas(machine, out_schema)
+        return work.mapInPandas(machine, out_schema)
 
     def _search(self, df: DataFrame, rest: str) -> DataFrame:
         """``search [kind=case_insensitive|case_sensitive] 'term'`` —
