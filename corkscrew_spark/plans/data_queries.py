@@ -85,7 +85,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     return (
         dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=100)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -282,7 +281,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=32, bands=8,
                                 threshold=0.8)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -290,9 +288,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates within hamming distance 3 (banded)."""
     d = register_tables(spark, sf_dir)["documents"]
-    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
 
 
 @query("ann_lsh_topk")
@@ -439,7 +435,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8,
                                       max_shingle_df=100)
-    return dedup.dup_clusters(pairs).orderBy("doc_id")
+    return dedup.dup_clusters(pairs)
 
 
 @query(
@@ -578,7 +574,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     return text.with_repetition_signals(d, "doc_id", "text").select(
         "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_frac"
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -892,7 +888,6 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         res.filter(~F.col("keep"))
         .select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("kept_id"))
-        .orderBy("vec_id")
     )
 
 
@@ -922,7 +917,7 @@ def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, lorem-ipsum / brace tripwires) as integer-typed per-doc flags
     — map-only Column expressions, no UDF, no shuffle."""
     d = register_tables(spark, sf_dir)["documents"]
-    return text.c4_quality_flags(d, "doc_id", "text").orderBy("doc_id")
+    return text.c4_quality_flags(d, "doc_id", "text")
 
 
 @query(
@@ -1482,7 +1477,7 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict ratios are integer cross-multiplications (map-only, no
     shuffle, engine-bit-reproducible)."""
     d = register_tables(spark, sf_dir)["documents"]
-    return text.gopher_quality_flags(d, "doc_id", "text").orderBy("doc_id")
+    return text.gopher_quality_flags(d, "doc_id", "text")
 
 
 @query(
@@ -1525,7 +1520,7 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (swap the closed-form weights for a broadcast weight table via
     ``text.hashed_ngram_score(weights=...)``)."""
     d = register_tables(spark, sf_dir)["documents"]
-    return text.hashed_ngram_score(d, "doc_id", "text").orderBy("doc_id")
+    return text.hashed_ngram_score(d, "doc_id", "text")
 
 
 @query(
@@ -1563,7 +1558,6 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chunk_len"),
             F.md5("chunk_text").alias("chunk_md5"),
         )
-        .orderBy("doc_id", "chunk_no")
     )
 
 
@@ -1633,7 +1627,6 @@ def sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighted.withColumn("w", F.col("w_int").cast("double")),
             "doc_id", "lang", "w", k=15, seed=11)
         .select("lang", "doc_id", F.col("w_int").alias("quality_weight"))
-        .orderBy("lang", "doc_id")
     )
 
 
@@ -1845,7 +1838,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3,
                                     num_hashes=32, bands=8, threshold=0.8)
-    return dedup.dup_clusters(pairs).orderBy("doc_id")
+    return dedup.dup_clusters(pairs)
 
 
 @query(

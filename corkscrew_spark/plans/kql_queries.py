@@ -1170,15 +1170,16 @@ def kql_scan_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANSI-SQL form, certifying the whole machinery (parse → boolean
     step columns in codegen → per-key Arrow state machine → match
     ids) against the oracle. Composed inside the vectorized
-    `partition` operator, so the applyInPandas groups by user —
-    distributed, never one global sequence."""
+    `partition` operator, so the Arrow machine groups by user —
+    distributed, never one global sequence. No trailing `order by`:
+    the driver hash is order-insensitive and a global sort's range-
+    sampling pass would run the Python machine a second time (r12)."""
     return kql_to_df(
         """
         events
         | partition by user_id ( sort by event_id asc
               | scan with_match_id = m with ( step big: value >= 200; ) )
         | project user_id, event_id, value, m
-        | order by user_id asc, event_id asc
         """,
         register_tables(spark, sf_dir),
     )

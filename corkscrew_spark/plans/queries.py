@@ -16,7 +16,14 @@ Determinism rules (both engines must produce hash-identical results):
 * any LIMIT/top-k has a total deterministic ordering (unique tie-break key);
 * raw nanosecond timestamps are never returned (Spark truncates parquet ns
   to µs); dates / date_trunc values are returned instead;
-* integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT, Spark to LONG).
+* integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT, Spark to LONG);
+* a trailing ORDER BY that feeds no LIMIT is omitted on the Spark side
+  (r12): the driver's value-hash is order-insensitive, and a global sort
+  costs a range exchange whose partition-boundary sampling RE-EXECUTES the
+  upstream plan — for map-only tails that doubles the query (measured 2.0×
+  on text_classifier_score/text_repetition at sf0.1). Oracles keep their
+  ORDER BY (DuckDB cost is not measured). Sorts that ARE the demonstrated
+  operator, or that tie-break a LIMIT/top-k, stay.
 
 Scale notes: dimension tables (region/nation/supplier/part at these SFs)
 are broadcast explicitly; fact-fact joins shuffle on their keys and rely on

@@ -439,7 +439,6 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    # so bigrams are all common; trigram postings are ~2x
                    # more selective here (13s -> 5.6s at sf0.1)
                    max_dist=2, q=3)
-        .orderBy("probe_id", "p_partkey")
     )
 
 
@@ -532,5 +531,4 @@ def resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
             F.count(F.lit(1)).over(w).cast("long").alias("n_records"),
         )
-        .orderBy("rec_id")
     )
