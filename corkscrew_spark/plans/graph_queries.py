@@ -664,12 +664,21 @@ def graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     rev = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    n_recip = base.join(rev, ["src", "dst"]).count()
+    # One composed plan instead of five sequential driver count() actions:
+    # the five 1-row aggregates cross-join into the single output row, so
+    # Spark schedules their subtrees inside one job (idle-capacity overlap)
+    # and the driver round-trips once. Values are the identical counts.
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = base.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_recip = base.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_reciprocal"))
     n_sources = nodes.join(base.select(F.col("dst").alias("node")).distinct(),
-                           "node", "left_anti").count()
+                           "node", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_sources"))
     n_sinks = nodes.join(base.select(F.col("src").alias("node")).distinct(),
-                         "node", "left_anti").count()
-    return spark.createDataFrame(
-        [(nodes.count(), base.count(), n_recip, n_sources, n_sinks)],
-        "n_nodes long, n_edges long, n_reciprocal long, "
-        "n_sources long, n_sinks long")
+                         "node", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_sinks"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(n_recip))
+        .crossJoin(F.broadcast(n_sources)).crossJoin(F.broadcast(n_sinks))
+    )
