@@ -77,7 +77,6 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -111,7 +110,6 @@ def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -149,7 +147,6 @@ def state_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("state_checksum").alias("distinct_states"),
             F.min("state_checksum").alias("min_checksum"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -188,7 +185,6 @@ def rollup_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "total_balance",
         )
-        .orderBy("segment", "nationkey")
     )
 
 
@@ -268,7 +264,6 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -345,7 +340,6 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("order_count")
         .agg(F.count("*").alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("order_count"))
     )
 
 
@@ -407,7 +401,6 @@ def unpivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wide.unpivot(
             "o_orderstatus", ["1-URGENT", "5-LOW"], "priority", "revenue")
-        .orderBy("o_orderstatus", "priority")
     )
 
 
@@ -474,7 +467,7 @@ def intersect_except_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("both").alias("branch"), "o_custkey")
     only96 = y96.distinct().subtract(y97.distinct()).select(
         F.lit("only_1996").alias("branch"), "o_custkey")
-    return both.unionByName(only96).orderBy("branch", "o_custkey")
+    return both.unionByName(only96)
 
 
 @query(
@@ -510,7 +503,7 @@ def moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("days_seen"),
-    ).orderBy("event_type", "day")
+    )
 
 
 @query(
@@ -549,7 +542,6 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("totalprice"),
             "n_cust_orders",
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -574,10 +566,6 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-        .orderBy(
-            F.asc_nulls_first("o_orderpriority"),
-            F.asc_nulls_first("o_orderstatus"),
         )
     )
 
@@ -608,7 +596,6 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q")[1], 4).alias("p50"),
             F.round(F.col("q")[2], 4).alias("p75"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -640,7 +627,6 @@ def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("ksum"),
             F.max("k").cast("long").alias("kmax"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -668,7 +654,6 @@ def distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
         )
         .unionByName(merged)
-        .orderBy("event_type")
     )
 
 
@@ -716,7 +701,6 @@ def having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name", "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"), "total_qty",
         )
-        .orderBy(F.desc("total_qty"), "o_orderkey")
     )
 
 
@@ -792,7 +776,6 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             "n",
         )
-        .orderBy("priority", "status")
     )
 
 
@@ -837,7 +820,7 @@ def range_frame_weekly_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("w7_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("w7_days"),
-    ).orderBy("event_type", "day")
+    )
 
 
 @query("sketch_weekly_distinct")
@@ -864,7 +847,6 @@ def sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_days.groupBy("day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("bsk")).cast("long")
              .alias("approx_users_7d"))
-        .orderBy("day")
     )
 
 
@@ -897,7 +879,6 @@ def value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_intercept("value", hr), 4).alias("intercept"),
             F.round(F.regr_r2("value", hr), 4).alias("r2"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -949,7 +930,6 @@ def numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["event_type", "bin"], "left")
         .select("event_type", "bin",
                 F.coalesce("n", F.lit(0)).cast("long").alias("n"))
-        .orderBy("event_type", "bin")
     )
 
 
@@ -993,7 +973,6 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 4).alias("min_outlier"),
             F.round(F.max("value"), 4).alias("max_outlier"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1029,7 +1008,6 @@ def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(
             F.slice(F.transform(ordered, lambda x: x["et"]), 1, 10), ">")
              .alias("first_events"))
-        .orderBy("user_id")
     )
 
 
@@ -1064,7 +1042,6 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rnk", F.dense_rank().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
-        .orderBy("o_orderpriority", "rnk", "tier_price")
     )
 
 
@@ -1104,7 +1081,6 @@ def window_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(purchase).over(w), 2).alias("purchases_so_far"),
             F.count(error).over(w).cast("long").alias("errors_so_far"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -1137,7 +1113,6 @@ def date_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.add_months(d, 2).alias("plus_two_months"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("month", "plus_two_months")
     )
 
 
@@ -1170,7 +1145,6 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["k"].eqNullSafe(b["bk"]))
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.asc_nulls_first("k"))
     )
 
 
@@ -1207,7 +1181,6 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
             .alias("last_purchase_value"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -1247,7 +1220,6 @@ def decay_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decayed_value"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1277,7 +1249,6 @@ def ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("statuses"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1312,7 +1283,6 @@ def bitwise_flag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
             F.bool_or(F.col("value") > 99).alias("any_large"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1350,7 +1320,6 @@ def ntile_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
-        .orderBy("o_orderpriority", "q")
     )
 
 
@@ -1403,7 +1372,6 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w_n") >= 7) & (F.col("sigma") > 0)
                 & (F.abs(F.col("z")) > 2.0))
         .select("event_type", "d", F.col("n").cast("long").alias("n"), "z")
-        .orderBy("event_type", "d")
     )
 
 
@@ -1446,7 +1414,6 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_bits"),
             F.count(F.lit(1)).cast("long").alias("n_types"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1487,7 +1454,6 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exp, 4).alias("expected"),
             F.round(F.pow(F.col("obs") - exp, 2) / exp, 4).alias("chi2_term"),
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -1529,7 +1495,6 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ship_days > 90, 1).otherwise(0))
             .cast("long").alias("n_late"),
         )
-        .orderBy("priority")
     )
 
 
@@ -1678,7 +1643,6 @@ def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                          > 3 * F.col("mad"), 1).otherwise(0))
             .cast("long").alias("n_outliers"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1738,7 +1702,6 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     m_tier.alias("m_tier"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
              F.sum("monetary_cents").cast("long").alias("tier_cents"))
-        .orderBy("r_tier", "f_tier", "m_tier")
     )
 
 
@@ -1788,7 +1751,6 @@ def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region", "cents",
             F.expr("cents * 10000 div total").cast("long").alias("share_bps"),
         )
-        .orderBy("region")
     )
 
 
@@ -1820,7 +1782,6 @@ def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
             .cast("long").alias("gross_cents"),
         )
-        .orderBy("discount_pct")
     )
 
 
@@ -1868,5 +1829,4 @@ def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_slow * 10000 div n_items").cast("long")
             .alias("slow_bps"),
         )
-        .orderBy("nation")
     )

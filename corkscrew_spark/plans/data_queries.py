@@ -75,7 +75,7 @@ def dedup_prefix_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the 5-token prefix key — hash-groupBy dedup, the
     always-first pass of a corpus pipeline."""
     d = register_tables(spark, sf_dir)["documents"]
-    return dedup.prefix_duplicates(d, "doc_id", "text", n_tokens=5).orderBy("dup_key")
+    return dedup.prefix_duplicates(d, "doc_id", "text", n_tokens=5)
 
 
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
@@ -106,7 +106,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = register_tables(spark, sf_dir)["embeddings"]
     return (
         dedup.embedding_near_dup(e, "vec_id", "embedding", "label", threshold=0.4)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -133,7 +132,6 @@ def dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.embedding_near_dup_gemm(e, "vec_id", "embedding", "label",
                                       threshold=0.4)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -161,7 +159,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10)
     return (
         similarity.cosine_topk(e, queries, "vec_id", "embedding", k=5)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -198,7 +195,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(text.avg_token_len("text"), 4).alias("avg_token_len"),
         F.round(text.stopword_ratio("text"), 4).alias("stopword_ratio"),
         text.quality_score("text").alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -238,7 +235,6 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", text.language_id("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("docs"))
-        .orderBy("lang", "lang_pred")
     )
 
 
@@ -265,7 +261,6 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("docs"),
             F.countDistinct("fp").alias("distinct_fingerprints"),
         )
-        .orderBy("source")
     )
 
 
@@ -300,7 +295,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10)
     return (
         similarity.ann_topk(e, queries, "vec_id", "embedding", k=5, planes=8)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -333,7 +327,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.ivf_topk(e, queries, "vec_id", "embedding", k=5, nprobe=4,
                             centroids=centroids)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -369,9 +362,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side sequence()+explode."""
     d = register_tables(spark, sf_dir)["documents"]
     return packing.pack_sequences(d, "doc_id", "text", budget=256,
-                                  stratify_col="source").orderBy(
-        "stratum", "seq_id", "seq_offset", "doc_id"
-    )
+                                  stratify_col="source")
 
 
 #: per-language sampling fractions for the stratified sample query —
@@ -402,7 +393,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     return sampling.stratified_hash_sample(
         d, "doc_id", "lang", _SAMPLE_FRACTIONS, default=1.0, seed="corpus-v1"
-    ).select("doc_id", "lang", "source").orderBy("doc_id")
+    ).select("doc_id", "lang", "source")
 
 
 @query(
@@ -500,7 +491,6 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts["phone"].alias("phone_n"),
             counts["ssn"].alias("ssn_n"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -533,9 +523,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     benchmark = d.filter(F.col("doc_id") % 50 == 0)
     return dedup.decontaminate(corpus, benchmark, "doc_id", "text", n=4,
-                               min_hits=1, max_shingle_df=1000).orderBy(
-        "doc_id", "bench_id"
-    )
+                               min_hits=1, max_shingle_df=1000)
 
 
 @query(
@@ -608,7 +596,6 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.mixture_sample(
             d, "doc_id", "lang", {"en": 0.4, "zh": 0.3, "de": 0.3}, seed="mix")
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -650,7 +637,6 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(nt < 40, 1).otherwise(0)).cast("bigint").alias("n_short"),
             F.sum(F.when(nt > 80, 1).otherwise(0)).cast("bigint").alias("n_long"),
         )
-        .orderBy("source")
     )
 
 
@@ -691,7 +677,6 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.quantized_cosine_topk(
             eq, eq.filter(F.col("vec_id") < 10), "vec_id", k=5)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -716,7 +701,6 @@ def token_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[1].alias("p90_tokens"),
             F.col("q")[2].alias("p99_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -774,7 +758,7 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_kept.cast("bigint").alias("n_kept_lines"),
         F.md5("clean_text").alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -800,7 +784,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.unigram_logprob(d, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -838,7 +821,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), "term", "tfidf",
             F.col("rank").alias("term_rank"),
         )
-        .orderBy("doc_id", "term_rank")
     )
 
 
@@ -947,7 +929,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         corpus.bigram_logprob(d, "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -1024,7 +1005,7 @@ def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packing.pack_sequences(
         sampled, "doc_id", "text", budget=256, stratify_col="source"
-    ).orderBy("stratum", "seq_id", "seq_offset", "doc_id")
+    )
 
 
 @query(
@@ -1058,7 +1039,6 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.duplicated_spans(d, "doc_id", "text", n=20)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -1086,7 +1066,6 @@ def sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sampling.fixed_per_stratum_sample(d, "doc_id", "lang", k=25, seed="eval-v1")
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -1133,7 +1112,6 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_div"))
         .select("source", "kl_div", F.col("n").alias("n_tokens"))
-        .orderBy("source")
     )
 
 
@@ -1218,7 +1196,7 @@ def pack_sequences_sep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = register_tables(spark, sf_dir)["documents"]
     return packing.pack_sequences(
         d, "doc_id", "text", budget=256, stratify_col="source", sep_tokens=1
-    ).orderBy("stratum", "seq_id", "seq_offset", "doc_id")
+    )
 
 
 @query(
@@ -1257,7 +1235,6 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_count") > 1)
         .select("dup_key", "doc_count", "keep_id")
-        .orderBy("dup_key")
     )
 
 
@@ -1284,7 +1261,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         packing.whitespace_tokens("text").cast("long").alias("ws_tokens"),
         text.bpe_ish_token_count("text").cast("long").alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -1328,7 +1305,6 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("lang", "g", "n")
-        .orderBy("lang", F.desc("n"), "g")
     )
 
 
@@ -1356,7 +1332,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         similarity.pq_topk(corpus, queries, "vec_id", "embedding", cbs, k=5,
                            rerank=e, shortlist=50)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -1386,7 +1361,6 @@ def bpe_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1428,7 +1402,6 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.weighted_fixed_sample(
             weighted, "doc_id", "lang", "w", k=20, seed=7)
         .select("lang", "doc_id")
-        .orderBy("lang", "doc_id")
     )
 
 
@@ -1739,7 +1712,6 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_tokens"),
             F.sum("margin").cast("long").alias("sum_margin"),
         )
-        .orderBy("lang")
     )
 
 
@@ -1786,7 +1758,6 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("gold", "predicted")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("gold", "predicted")
     )
 
 
@@ -1820,7 +1791,6 @@ def text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = corpus.build_inverted_index(d, "doc_id", "text")
     return (
         corpus.search_all_terms(idx, ["data", "table", "query"])
-        .orderBy(F.desc("total_tf"), "doc_id")
     )
 
 
@@ -1883,7 +1853,6 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
             .cast("long").alias("hapax_count"),
         )
-        .orderBy("source")
     )
 
 
@@ -1940,7 +1909,6 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_slope(ln_tf, ln_rk), 4).alias("zipf_slope"),
             F.round(F.regr_r2(ln_tf, ln_rk), 4).alias("fit_r2"),
         )
-        .orderBy("source")
     )
 
 
@@ -2046,7 +2014,7 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.orderBy("metric")
+    return out
 
 
 @query(
@@ -2084,7 +2052,6 @@ def text_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
              F.sum("nt").cast("long").alias("n_tokens"))
-        .orderBy("lang", "band")
     )
 
 
@@ -2114,7 +2081,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, queries, "vec_id", "embedding", k=5, nlist=16, nprobe=4,
             m=8, ksub=16, centroids=cents, codebooks=cbs,
             rerank=e, shortlist=50)
-        .orderBy("query_id", "rank")
     )
 
 
@@ -2163,7 +2129,6 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         row.select(F.explode(structs).alias("r"))
         .select("r.thr", "r.docs_kept", "r.tokens_kept")
-        .orderBy("thr")
     )
 
 
@@ -2217,5 +2182,4 @@ def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     / F.col("avail")), 6))
         .select("source", "avail", "target_tokens", "expected_tokens",
                 "rate")
-        .orderBy("source")
     )

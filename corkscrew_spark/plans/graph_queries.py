@@ -82,7 +82,7 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop neighborhood, bidirectional, min distance — the recursive-CTE
     neighborhood query (graph_loader.go:435-464) as iterative BFS joins."""
     edges = containment_edges(spark, sf_dir)
-    return graph.k_hop(edges, ["C1"], max_depth=3, directed=False).orderBy("distance", "node")
+    return graph.k_hop(edges, ["C1"], max_depth=3, directed=False)
 
 
 @query(
@@ -112,7 +112,6 @@ def graph_khop_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = containment_edges(spark, sf_dir)
     return (
         k_hop_cte(edges, ["C1"], max_depth=3, directed=False)
-        .orderBy("distance", "node")
     )
 
 
@@ -185,7 +184,6 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         levels.groupBy("level")
         .agg(F.count("*").alias("node_count"))
-        .orderBy("level")
     )
 
 
@@ -359,7 +357,6 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph.weighted_shortest_paths(edges, source="0", max_rounds=16)
         .select(F.col("node").cast("long").alias("node"),
                 F.col("dist").cast("long").alias("dist"), "hops")
-        .orderBy("node")
     )
 
 
@@ -514,7 +511,6 @@ def motif_open_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         triads.groupBy(F.substring("b", 1, 1).alias("mid_kind"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_triads"))
-        .orderBy("mid_kind")
     )
 
 
@@ -617,7 +613,6 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .orderBy("degree")
     )
 
 

@@ -49,7 +49,7 @@ def compliance_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     run = ComplianceExecutor(spark).run_pack("demo/tpch-orders")
     assert not run.errors, run.errors
-    return run.results.orderBy("control_id", "resource_id")
+    return run.results
 
 
 @query(
@@ -132,7 +132,6 @@ def drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         drift.groupBy("drift_type", "severity")
         .agg(F.count("*").alias("items"))
-        .orderBy("drift_type", "severity")
     )
 
 
@@ -197,7 +196,6 @@ def impact_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("events"),
             F.max("risk_score").cast("int").alias("max_risk"),
         )
-        .orderBy("risk_level")
     )
 
 
@@ -298,7 +296,7 @@ def compliance_duckdb_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cfi/ccc/ccc-storage", {"trusted_kms_keys": TRUSTED_KEYS}
     )
     assert not run.errors, run.errors
-    return run.results.orderBy("control_id", "resource_id", "status")
+    return run.results
 
 
 @query(
@@ -340,7 +338,7 @@ def change_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("service"),
         F.col("ts"),
     )
-    return changes.detect_anomalies(ce).orderBy("anomaly_type", "subject")
+    return changes.detect_anomalies(ce)
 
 
 @query(
@@ -448,7 +446,7 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
             "o_orderdate", "o_totalprice"]
-    return profile.profile_columns(o.select(*cols), cols).orderBy("col_name")
+    return profile.profile_columns(o.select(*cols), cols)
 
 
 @query(
@@ -493,7 +491,6 @@ def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         warehouse.table_diff(before, after, ["o_orderkey"])
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy("status")
     )
 
 
@@ -534,7 +531,6 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("vmin", 4).alias("vmin"),
             F.round("vmax", 4).alias("vmax"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -696,7 +692,7 @@ def dq_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_audit("supplier.s_nationkey->nation", "supplier",
                             "s_nationkey", "nation", "n_nationkey"))
     )
-    return out.orderBy("fk")
+    return out
 
 
 @query(
@@ -764,7 +760,6 @@ def blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").cast("long").alias("n_customers"),
             F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
         )
-        .orderBy("nation_id")
     )
 
 
@@ -822,7 +817,6 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("below_k", (F.col("n") < 5).cast("long"))
         .withColumn("below_20", (F.col("n") < 20).cast("long"))
-        .orderBy("c_nationkey", "c_mktsegment")
     )
 
 

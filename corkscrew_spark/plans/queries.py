@@ -99,7 +99,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -132,7 +131,6 @@ def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("customer_count"),
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
-        .orderBy(F.desc("customer_count"), "r_name")
     )
 
 
@@ -194,7 +192,6 @@ def count_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.to_date("ts")).alias("last_seen"),
             F.count("*").alias("event_count"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -230,7 +227,6 @@ def telemetry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_duration"),
             F.max(F.to_date("ts")).alias("last_execution"),
         )
-        .orderBy(F.desc("total_calls"), "event_type")
     )
 
 
@@ -305,7 +301,6 @@ def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("doc_count"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
-        .orderBy("lang")
     )
 
 
@@ -334,7 +329,6 @@ def time_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("total_value"))
-        .orderBy("day")
     )
 
 
@@ -357,7 +351,6 @@ def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("error_signup_events"))
         .filter(F.col("error_signup_events") >= 3)
-        .orderBy("user_id")
     )
 
 
@@ -389,7 +382,6 @@ def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_count"),
             F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -423,7 +415,6 @@ def left_join_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("order_count")
         .agg(F.count("*").alias("num_customers"))
-        .orderBy("order_count")
     )
 
 
@@ -450,7 +441,6 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("active_customers"))
-        .orderBy("n_name")
     )
 
 
@@ -480,7 +470,6 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("inactive_customers"))
-        .orderBy("n_name")
     )
 
 
@@ -511,7 +500,6 @@ def self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("nk_a") == F.col("nk_b")) & (F.col("supp_a") < F.col("supp_b")))
         .join(F.broadcast(t["nation"]), F.col("nk_a") == F.col("n_nationkey"))
         .select("n_name", "supp_a", "supp_b")
-        .orderBy("n_name", "supp_a", "supp_b")
     )
 
 
@@ -552,7 +540,7 @@ def union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("kind"),
         F.round("s_acctbal", 2).alias("balance"),
     )
-    return cust.unionByName(supp).orderBy("kind", "id")
+    return cust.unionByName(supp)
 
 
 @query(
@@ -613,7 +601,6 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -645,7 +632,6 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(k).cast("long").alias("max_k"),
             F.count("*").alias("n"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -671,7 +657,6 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(mentions).cast("long").alias("spark_mentions"),
             F.count("*").alias("docs"),
         )
-        .orderBy("lang")
     )
 
 
@@ -698,5 +683,4 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("docs"),
             F.min("doc_id").cast("long").alias("first_doc"),
         )
-        .orderBy("src_num")
     )

@@ -53,7 +53,6 @@ def kql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("months"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -74,7 +73,6 @@ def mv_expand_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(F.explode(F.split("p_name", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
     )
 
 
@@ -107,7 +105,6 @@ def array_lambda_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_qty"
             ),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -227,7 +224,7 @@ def change_query_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_type",
         "severity",
         F.date_trunc("day", "timestamp").cast("date").alias("event_date"),
-    ).orderBy("id")
+    )
 
 
 @query(
@@ -269,7 +266,7 @@ def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("last_type"),
         F.date_trunc("day", "ts").cast("date").alias("last_date"),
-    ).orderBy("user_id")
+    )
 
 
 @query(
@@ -306,7 +303,6 @@ def correlation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - diff / 50.0, 4).alias("strength"),
             F.lit(0.9).alias("confidence"),
         )
-        .orderBy("c_custkey", "s_suppkey")
     )
 
 
@@ -329,7 +325,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.size("feature")).alias("dim"),
             F.round(F.sum(F.element_at("feature", 1)), 3).alias("sum_f0"),
         )
-        .orderBy("kind")
     )
 
 
@@ -362,7 +357,6 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.size("feature")).alias("dim"),
             F.round(F.sum(F.element_at("feature", 1)), 3).alias("sum_f0"),
         )
-        .orderBy("kind")
     )
 
 
@@ -396,7 +390,6 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.size("feature")).alias("dim"),
             F.round(F.sum(F.element_at("feature", 1)), 3).alias("sum_f0"),
         )
-        .orderBy("kind")
     )
 
 

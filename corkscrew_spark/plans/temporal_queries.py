@@ -59,7 +59,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.asof_join(
         purchases, views, key="user_id", left_ts="purchase_ts", right_ts="ts",
         right_payload=["view_id", "view_ts"], tiebreak="view_id",
-    ).orderBy("purchase_id")
+    )
 
 
 @query(
@@ -92,7 +92,7 @@ def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir)["events"]
     return temporal.session_stats(
         ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id"
-    ).orderBy("user_id", "session_id")
+    )
 
 
 @query(
@@ -122,7 +122,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir)["events"]
     return temporal.funnel(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
-    ).orderBy("step")
+    )
 
 
 @query(
@@ -144,9 +144,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity, users counted per (cohort, week offset). Two aggregations
     sharing the user-key shuffle; ISO Monday week start in both engines."""
     ev = _t(spark, sf_dir)["events"]
-    return temporal.cohort_retention(ev, "user_id", "ts").orderBy(
-        "cohort", "week_offset"
-    )
+    return temporal.cohort_retention(ev, "user_id", "ts")
 
 
 @query(
@@ -170,7 +168,7 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     day − row_number is constant within a run). Every stage keys on
     user_id — one shuffle, no self-join."""
     ev = _t(spark, sf_dir)["events"]
-    return temporal.activity_streaks(ev, "user_id", "ts").orderBy("user_id")
+    return temporal.activity_streaks(ev, "user_id", "ts")
 
 
 @query(
@@ -221,7 +219,7 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.interval_join(
         errs, iv, "ts", "started", "ended", bucket_seconds=86400,
         point_keys=["event_id"], interval_keys=["s_user", "session_id"],
-    ).orderBy("event_id", "s_user", "session_id")
+    )
 
 
 @query(
@@ -274,7 +272,6 @@ def daily_activity_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, ["day", "event_type"], "left")
         .select("day", "event_type",
                 F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
-        .orderBy("day", "event_type")
     )
 
 
@@ -323,7 +320,7 @@ def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, purchases, key="user_id", left_ts="error_ts", right_ts="ts",
         right_payload=["purchase_id", "purchase_ts"], tiebreak="purchase_id",
         direction="forward", tolerance_seconds=86400,
-    ).orderBy("error_id")
+    )
 
 
 @query(
@@ -366,7 +363,6 @@ def state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
         )
         .select("user_id", F.round("value", 2).alias("value_at"), "valid_from")
-        .orderBy("user_id")
     )
 
 
@@ -409,7 +405,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n"),
             F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wn), 4).alias("p"),
         )
-        .orderBy("prev", "next")
     )
 
 
@@ -464,7 +459,6 @@ def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id",
             F.round(F.col("interp"), 4).alias("value_filled"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -495,7 +489,6 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         temporal.ohlc_bars(e, "ts", "value", "event_id",
                            by=("event_type",), bucket="hour")
-        .orderBy("event_type", "bar_ts")
     )
 
 
@@ -544,7 +537,6 @@ def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cnt") - F.col("prev_week_cnt")) * 10
              > F.col("prev_week_cnt") * 3).cast("long").alias("anomaly"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -631,7 +623,6 @@ def sequence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "unix_micros(cast(signup_ts as timestamp))) "
                        "div 1000000")).alias("span_seconds"),
         )
-        .orderBy("signup_id")
     )
 
 
@@ -675,7 +666,6 @@ def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(secs).cast("long").alias("total_seconds"),
             F.max(secs).cast("long").alias("max_seconds"),
         )
-        .orderBy("state")
     )
 
 
@@ -747,7 +737,6 @@ def cusum_drift_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("cusum_scaled")) * 10 > F.col("ref_sum") * 3)
             .cast("long").alias("drifted"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -789,7 +778,6 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_events * 10000 div total").cast("long")
             .alias("share_bps"),
         )
-        .orderBy("event_type", "hr")
     )
 
 
@@ -840,5 +828,4 @@ def order_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_days").cast("long").alias("min_days"),
             F.max("gap_days").cast("long").alias("max_days"),
         )
-        .orderBy("gap_months")
     )
