@@ -370,7 +370,6 @@ def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderstatus")
         .pivot("o_orderpriority", _PRIORITIES)
         .agg(F.round(F.sum("o_totalprice"), 2))
-        .orderBy("o_orderstatus")
     )
     return out
 

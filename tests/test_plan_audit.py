@@ -89,3 +89,32 @@ def test_pushdown_and_broadcast_survive(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for fragment in _PLAN_MUST_CONTAIN[name]:
         assert fragment in plan, f"{name}: plan lost {fragment!r}"
+
+
+#: Queries allowed to plan a global-sort exchange (rangepartitioning):
+#: the ordering IS their demonstrated surface — the KQL sort/top/serialize
+#: verbs compiled from dialect text, the shipped compliance pack's SQL
+#: (run byte-identical by design), SQL-text ORDER BY demos, and the two
+#: DataFrame queries whose operator is the sort itself. Every other
+#: registered query's result comparison is row-sorted, so a trailing
+#: global sort would be a pure extra exchange plus a range-boundary
+#: sampling pass (the r12 optimization removed 159 of them; this pins
+#: the removal).
+_GLOBAL_SORT_ALLOWED = frozenset({
+    "compliance_duckdb_pack", "engine_param_binding",
+    "filter_project_sort", "topk_per_group",
+}) | frozenset(n for n in QUERIES if n.startswith("kql_"))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_decorative_global_sort(spark, sf_dir, name):
+    if name in _GLOBAL_SORT_ALLOWED:
+        pytest.skip("ordering is this query's demonstrated surface")
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, (
+        f"{name} plans a global-sort exchange; result comparison is "
+        f"row-sorted, so a decorative orderBy only adds an exchange + "
+        f"range-sampling pass (keep it only behind a LIMIT/top-k, which "
+        f"plans TakeOrderedAndProject, not rangepartitioning)"
+    )
