@@ -37,6 +37,15 @@ def main() -> None:
     # measure the plans, not session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Python-worker warmup: daemon + one worker per core, so the first
+    # Arrow-boundary query (mapInPandas/pandas-UDF paths) doesn't absorb
+    # the pool spin-up into its recorded time (it is one-time environment
+    # cost, same class as the JVM warmup above, not plan cost).
+    _materialize(
+        spark.range(64, numPartitions=spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda batches: batches, "id long")
+    )
+
     # Host-speed calibration: a FIXED CPU-bound job (identical across
     # rounds and trees) timed min-of-3. Cross-round bench deltas divide
     # by this anchor to separate host drift from code regressions —
