@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from corkscrew_spark.operators.text import fingerprint, prefix_key, tokens
+from corkscrew_spark.session import spread as _spread
 
 
 # ---------------------------------------------------------------------------
@@ -55,22 +56,50 @@ def prefix_duplicates(df: DataFrame, id_col: str, text_col: str, n_tokens: int =
 # Shingles + Jaccard
 # ---------------------------------------------------------------------------
 
+
+
+def _grams_sql(n: int, distinct: bool = True) -> str:
+    """The word-n-gram array expression over a bound token column ``t``.
+
+    The token array must already be materialized as a column: referencing
+    the raw split expression inside the lambda re-evaluates the split per
+    sequence element (no CSE across lambda scopes), measured ~5× slower.
+    """
+    terms = ", ".join(f"t[i+{j}]" for j in range(n))
+    body = f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {terms}))"
+    if distinct:
+        body = f"array_distinct({body})"
+    return f"CASE WHEN size(t) >= {n} THEN {body} ELSE array() END"
+
+
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """Per-document DISTINCT shingle array: one row per doc, ``arr`` the
+    doc's distinct word n-grams. The dedup is per document, so it runs as
+    ``array_distinct`` in the projection — map-only, where a row-level
+    ``DISTINCT`` over the exploded relation would shuffle every (doc,
+    shingle) row of the corpus (guide §2.4: a removable exchange).
+    """
+    with_toks = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    return with_toks.select("doc", F.expr(_grams_sql(n)).alias("arr"))
+
+
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, one row per (id, shingle).
 
-    The token array is materialized in its own projection before the
-    n-gram lambda: referencing the raw split expression inside the lambda
-    re-evaluates the split per sequence element (no CSE across lambda
-    scopes), which measured ~5× slower than indexing a bound column.
+    Distinctness is established per document (map-side ``array_distinct``
+    inside the generator expression), so the explode needs no row-level
+    DISTINCT — the whole relation is shuffle-free. The generator takes
+    the gram EXPRESSION, not a named column: exploding an attribute makes
+    the optimizer push an inferred ``size(arr) > 0`` filter below the
+    projection, where the substituted expression re-tokenizes every
+    document several times over (measured ~20×).
     """
-    with_toks = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
-    terms = ", ".join(f"t[i+{j}]" for j in range(n))
-    grams = F.expr(
-        f"CASE WHEN size(t) >= {n} THEN "
-        f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {terms})) "
-        "ELSE array() END"
-    )
-    return with_toks.select("doc", F.explode(grams).alias("shingle")).distinct()
+    with_toks = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    return with_toks.select(
+        "doc", F.explode(F.expr(_grams_sql(n))).alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -87,6 +116,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     """
+    # The checkpointed relation is the map-side-distinct explode: the old
+    # row-level DISTINCT paid a full corpus-shingle exchange INSIDE the
+    # checkpoint build for a per-document dedup that array_distinct does
+    # in the projection (guide §2.4). Downstream keeps the groupBy-derived
+    # stats/sets over the materialized rows: deriving them map-side from a
+    # per-doc array checkpoint was A/B'd and lost ~1.3 s/query — the
+    # accurately-sized tiny array table tips every downstream join to a
+    # driver-built broadcast, costlier than the partial-agg shuffles it
+    # replaces (and the collect_list shuffle moves the same bytes the
+    # array join would).
     sh = shingle_set(df, id_col, text_col, n).localCheckpoint(eager=True)
     with_df = sh.join(
         sh.groupBy("shingle").agg(F.count("*").alias("df")), "shingle"
@@ -163,17 +202,52 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
 
     Returns (doc, pos, minhash).
     """
-    sh = shingle_set(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(F.col("shingle"), i),
-            )
-        ).alias("pos", "h"),
+    with_toks = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    return (
+        with_toks.filter(F.size("t") >= n)
+        .select("doc", F.posexplode(
+            F.expr(_minhash_sig_sql(n, num_hashes))).alias("pos", "minhash"))
     )
-    return hashed.groupBy("doc", "pos").agg(F.min("h").alias("minhash"))
+
+
+def _minhash_sig_sql(n: int, num_hashes: int) -> str:
+    """SQL for the full MinHash signature array over a bound token column
+    ``t`` — see ``_minhash_sig_arrays`` for the shape rationale."""
+    return (
+        f"aggregate({_grams_sql(n, distinct=False)}, "
+        f"array_repeat(9223372036854775807L, {num_hashes}), "
+        "(acc, x) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(x, i)), "
+        "(p, q) -> least(p, q)))"
+    )
+
+
+def _minhash_sig_arrays(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, num_hashes: int = 32) -> DataFrame:
+    """(doc, mh): the full MinHash signature as one array<long> per doc,
+    computed entirely map-side — ``mh[i] = min over the doc's shingles of
+    xxhash64(shingle, i)`` as ONE least-fold pass over the gram array
+    instead of an explode + groupBy((doc, pos)) shuffle (guide §2.3/§2.4:
+    the min is per document, no cross-row state).
+
+    Shape notes, both measured: the fold binds the gram array ONCE as the
+    aggregate input (an outer ``transform(seq(H), i -> array_min(...))``
+    would make the optimizer inline — and re-evaluate — the shingle
+    expression once per hash, ~30×), and the empty-doc filter tests the
+    CHEAP ``size(tokens) >= n`` predicate (a ``size(arr) > 0`` filter
+    gets pushed below the projection with the whole shingle pipeline
+    substituted into it). Duplicate shingles don't move a min, so the
+    fold skips ``array_distinct`` outright. Docs with fewer than ``n``
+    tokens are dropped, matching the exploded formulation where they
+    contribute no rows.
+    """
+    with_toks = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
+    return (
+        with_toks.filter(F.size("t") >= n)
+        .select("doc", F.expr(_minhash_sig_sql(n, num_hashes)).alias("mh"))
+    )
 
 
 def band_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -183,16 +257,26 @@ def band_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     inside the band fixed by sorting on pos). Shared by the batch pair
     join and the streaming index path — both sides banding identically is
     what makes a stream-vs-corpus band join meaningful."""
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # Band keys fold map-side from the signature array: band b's slice is
+    # positions b, b+bands, ... in ascending pos order — exactly what the
+    # old groupBy((doc, band)) + sort_array(collect_list(struct)) shuffle
+    # produced, byte-identical through the same to_json encoding, with
+    # zero exchanges (the struct field names and types are pinned so the
+    # JSON text, hence xxhash64, cannot drift). The signature array is
+    # LET-BOUND through a single-element transform so it evaluates once
+    # per doc — referenced bare inside the per-band lambda, the optimizer
+    # would inline (and re-evaluate) the whole MinHash fold per band.
+    band_key = F.expr(
+        f"element_at(transform(array({_minhash_sig_sql(n, num_hashes)}), "
+        f"mh -> transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(to_json(transform(sequence(b, {num_hashes - 1}, {bands}), "
+        "p -> named_struct('pos', p, 'minhash', element_at(mh, p + 1))))))), 1)"
+    )
+    with_toks = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t"))
     return (
-        sig.withColumn("band", F.col("pos") % bands)
-        .groupBy("doc", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "minhash"))).alias("s"))
-        .select(
-            "doc",
-            "band",
-            F.xxhash64(F.to_json(F.col("s"))).alias("band_key"),
-        )
+        with_toks.filter(F.size("t") >= n)
+        .select("doc", F.posexplode(band_key).alias("band", "band_key"))
     )
 
 
@@ -216,8 +300,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3,
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingle_set(df, id_col, text_col, n)
-    sets = sh.groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
+    # Per-doc shingle arrays come straight from the map-side projection —
+    # the old explode + collect_list round-trip re-aggregated what the
+    # projection already had as an array (guide §2.4).
+    sets = shingle_arrays(df, id_col, text_col, n)
     inter = (
         cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("arr").alias("arr_a")),
                   "doc_a")
@@ -251,25 +337,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63) -> DataFr
 
     Returns (doc, simhash LONG).
     """
-    tok_counts = (
-        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-        .groupBy("doc", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-    contrib = tok_counts.select(
+    # Fully map-side: Σ_tokens count(token)·(±1) ≡ Σ over token INSTANCES
+    # of (±1) — identical integer sums, so the per-(doc, token) count
+    # relation (one shuffle) and the collect_list re-aggregation (a
+    # second, non-partial shuffle) both fold into one aggregate lambda
+    # over the token array (guide §2.4: zero exchanges end to end).
+    summed = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t")
+    ).filter(F.col("t").isNotNull()).select(
         "doc",
         F.expr(
+            f"aggregate(transform(t, tok -> xxhash64(tok)), "
+            f"array_repeat(0L, {bits}), "
+            "(acc, h) -> zip_with(acc, "
             f"transform(sequence(0, {bits - 1}), "
-            "j -> cnt * (CASE WHEN (shiftright(xxhash64(tok), j) & 1L) = 1L "
-            "THEN 1L ELSE -1L END))"
-        ).alias("v"),
-    )
-    summed = contrib.groupBy("doc").agg(
-        F.aggregate(
-            F.collect_list("v"),
-            F.array_repeat(F.lit(0).cast("long"), bits),
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
-        ).alias("sums")
+            "j -> CASE WHEN (shiftright(h, j) & 1L) = 1L "
+            "THEN 1L ELSE -1L END), (p, q) -> p + q))"
+        ).alias("sums"),
     )
     # shiftleft with a *column* shift amount is SQL-only (the Python
     # wrapper takes an int), so the bit-assembly runs as one SQL lambda.
@@ -739,12 +823,20 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
     b_sh = shingle_set(benchmark, id_col, text_col, n=n).withColumnRenamed(
         "doc", "bench_id"
     )
+    # Semi-join prefilter (guide §3.2): only corpus shingles that occur in
+    # the (broadcast-small) benchmark can ever produce a pair, and
+    # filtering by shingle VALUE leaves each surviving shingle's corpus
+    # document frequency unchanged — so the df cap computed over the
+    # prefiltered relation is identical, while the count shuffle carries
+    # only benchmark-matching shingles instead of the whole corpus.
+    hits = c_sh.join(F.broadcast(b_sh.select("shingle")), "shingle",
+                     "left_semi")
     df_cap = (
-        c_sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        hits.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
         .select("shingle")
     )
     return (
-        c_sh.join(df_cap, "shingle")
+        hits.join(F.broadcast(df_cap), "shingle")
         .join(F.broadcast(b_sh), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("shared_ngrams"))
@@ -766,10 +858,8 @@ def build_minhash_index(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     on ``band`` so a probe prunes to matching band directories.
     """
     band_sig = band_signatures(df, id_col, text_col, n, num_hashes, bands)
-    sets = (
-        shingle_set(df, id_col, text_col, n)
-        .groupBy("doc").agg(F.collect_list("shingle").alias("corpus_shingles"))
-    )
+    sets = shingle_arrays(df, id_col, text_col, n).withColumnRenamed(
+        "arr", "corpus_shingles")
     return (
         band_sig.join(sets, "doc")
         .select(F.col("doc").alias("corpus_doc"), "band", "band_key",
@@ -789,10 +879,7 @@ def flag_against_index(new_docs: DataFrame, index: DataFrame, id_col: str,
     Returns (doc_id, corpus_doc, jaccard).
     """
     band_sig = band_signatures(new_docs, id_col, text_col, n, num_hashes, bands)
-    sets = (
-        shingle_set(new_docs, id_col, text_col, n)
-        .groupBy("doc").agg(F.collect_list("shingle").alias("arr"))
-    )
+    sets = shingle_arrays(new_docs, id_col, text_col, n)
     cand = (
         band_sig.join(index, ["band", "band_key"])
         .filter(F.col("doc") != F.col("corpus_doc"))

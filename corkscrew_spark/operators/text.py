@@ -398,6 +398,20 @@ def hashed_terms(text_col: str | Column, n_buckets: int = 4096) -> Column:
     )
 
 
+def classifier_margin(text_col: str | Column,
+                      n_buckets: int = 4096) -> Column:
+    """The closed-form-pseudo-weights classifier margin as ONE Column —
+    the exact expression ``hashed_ngram_score(weights=None)`` computes,
+    exposed so composed pipelines (corpus curation / health report) can
+    evaluate it in the same projection as other per-doc signals instead
+    of paying a second full scan plus a join on the doc id."""
+    buckets = hashed_terms(text_col, n_buckets)
+    return F.aggregate(
+        buckets, F.lit(0).cast("long"),
+        lambda acc, b: acc + (b * 2654435761) % 1000001 - 500000,
+    )
+
+
 def hashed_ngram_score(df: DataFrame, id_col: str, text_col: str = "text",
                        n_buckets: int = 4096,
                        weights: DataFrame | None = None) -> DataFrame:
@@ -436,10 +450,7 @@ def hashed_ngram_score(df: DataFrame, id_col: str, text_col: str = "text",
                 (F.col("margin") / F.col("n_terms")).alias("score"),
             )
         )
-    margin = F.aggregate(
-        buckets, F.lit(0).cast("long"),
-        lambda acc, b: acc + (b * 2654435761) % 1000001 - 500000,
-    )
+    margin = classifier_margin(text_col, n_buckets)
     n_terms = F.size(buckets).cast("long")
     return df.select(
         F.col(id_col),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from corkscrew_spark.catalog import register_tables
+from corkscrew_spark.session import spread
 from corkscrew_spark.operators import corpus, dedup, packing, sampling, similarity, text
 from corkscrew_spark.plans.queries import query
 
@@ -1682,18 +1683,45 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed plan is: two map-only scoring passes + one semi-join gate,
     the shingle shuffle, the component rounds on the (tiny) pair graph,
     one final rollup."""
-    d = register_tables(spark, sf_dir)["documents"]
-    gop = text.gopher_quality_flags(d, "doc_id")
-    good = gop.filter(
-        (F.col("n_words") >= 30)
-        & (F.col("sum_word_len") >= 3 * F.col("n_words"))
-        & (F.col("sum_word_len") <= 10 * F.col("n_words"))
-        & (F.col("alpha_words") * 5 >= F.col("n_words") * 4)
-    ).select("doc_id")
-    cls = text.hashed_ngram_score(d, "doc_id", "text").select("doc_id", "margin")
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
+    # Fused gate (guide §2.3/§8): the Gopher signals and the classifier
+    # margin are per-document map-only expressions over the same text
+    # column, so they evaluate in ONE pass of ONE scan — the
+    # composed-operator shape paid three full document scans plus a
+    # semi-join and an inner join on doc_id for identical values (the
+    # expressions below are the exact fragments gopher_quality_flags and
+    # hashed_ngram_score build; both operators keep their own oracle
+    # coverage in text_gopher_filters / text_classifier_score).
+    #
+    # The gate runs as an inline GENERATOR (explode of a 0/1-element
+    # array), not a Filter: a Filter above the projection gets pushed
+    # below it with the aliased expressions substituted into the
+    # condition, re-tokenizing and re-hashing every document a second
+    # time (measured: 2× md5 pass, 9 split() sites in the pushed plan).
+    # The token array and the margin are each let-bound once through a
+    # single-element transform for the same reason.
+    gopher_keep = F.element_at(
+        F.transform(
+            F.array(F.split(F.trim(F.col("text")), r"\s+")),
+            lambda w: (F.size(w) >= 30)
+            & (F.aggregate(w, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+               >= 3 * F.size(w).cast("long"))
+            & (F.aggregate(w, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+               <= 10 * F.size(w).cast("long"))
+            & (F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) * 5
+               >= F.size(w) * 4),
+        ), 1)
+    gate = F.explode(
+        F.element_at(
+            F.transform(
+                F.array(text.classifier_margin("text")),
+                lambda m: F.when((m > 0) & gopher_keep, F.array(m))
+                .otherwise(F.array().cast("array<bigint>")),
+            ), 1))
     gated = (
-        d.join(good, "doc_id", "left_semi")
-        .join(cls.filter(F.col("margin") > 0), "doc_id")
+        d.select("doc_id", "text", "lang", gate.alias("margin"))
         .localCheckpoint(eager=True)
     )
     pairs = dedup.ngram_jaccard_pairs(gated, "doc_id", "text", n=3,
@@ -1976,8 +2004,12 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer so the whole report hash-matches. Three map-only scoring
     passes + one prefix-key agg; composes the already-verified Gopher,
     classifier, and prefix-dedup fragments."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     w = F.split(F.trim(F.col("text")), r"\s+")
+    # The classifier margin rides in the same projection as the other
+    # per-doc signals (guide §2.3): the separate hashed_ngram_score pass
+    # re-scanned and re-tokenized every document a second time just to
+    # join one integer back on doc_id.
     sig = d.select(
         "doc_id",
         F.size(w).cast("long").alias("n_words"),
@@ -1986,8 +2018,8 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
         .cast("long").alias("alpha_words"),
         text.prefix_key("text").alias("pk"),
+        text.classifier_margin("text").alias("margin"),
     ).localCheckpoint(eager=True)
-    cls = text.hashed_ngram_score(d, "doc_id", "text").select("doc_id", "margin")
     dup_pk = sig.groupBy("pk").agg(F.count(F.lit(1)).alias("c")) \
         .filter(F.col("c") > 1).select("pk")
     rows = [
@@ -2006,7 +2038,7 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("sum_len") <= 10 * F.col("n_words"))
                 & (F.col("alpha_words") * 5 >= F.col("n_words") * 4), 1)
                 .otherwise(0)).cast("long").alias("value")),
-        cls.agg(
+        sig.agg(
             F.lit("classifier_pos_docs").alias("metric"),
             F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
             .cast("long").alias("value")),

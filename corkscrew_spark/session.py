@@ -67,3 +67,23 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def spread(df, key):
+    """Scale-adaptive parallelism floor for shuffle-free map-heavy chains.
+
+    A chain with no exchange inherits the SCAN's partitioning — for a
+    small input (one parquet file → one scan partition) the whole
+    tokenize/score pipeline would run on a single core. Hash-repartition
+    on ``key`` when — and only when — the scan has fewer partitions than
+    the cluster has slots; at real scale the input side always has more
+    partitions than cores and this is a no-op, so nothing here is a
+    constant tuned for local mode.
+    """
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
