@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from corkscrew_spark.session import spread as _spread
+
 
 def _gram_rows(df: DataFrame, id_col: str, s_col: str, out_id: str,
                out_s: str, q: int) -> DataFrame:
@@ -75,8 +77,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         raise ValueError("max_dist must be >= 1")
     prefix_n = max_dist * q + 1
 
-    l = _gram_rows(left, left_id, left_str, "__lid", "__ls", q)
-    r = _gram_rows(right, right_id, right_str, "__rid", "__rs", q)
+    # Parallelism floor (session.spread): gram generation is map-side
+    # work BELOW the first exchange, so it inherits the input's
+    # partitioning — a 1-2 partition scan/checkpoint would q-gram the
+    # whole corpus on 1-2 cores (measured 0.31× on fuzzy_match_parts).
+    # No-op whenever the input already has >= cores partitions.
+    l = _gram_rows(_spread(left, left_id), left_id, left_str,
+                   "__lid", "__ls", q)
+    r = _gram_rows(_spread(right, right_id), right_id, right_str,
+                   "__rid", "__rs", q)
 
     # Global gram order = (document frequency over the RIGHT side, gram).
     # Left grams unseen on the right sort rarest (df 0) — they spend a

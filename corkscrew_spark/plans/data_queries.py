@@ -156,7 +156,7 @@ def dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 10 query vectors — the
     correctness baseline for the LSH-bucketed scale path (ann_lsh_topk)."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     queries = e.filter(F.col("vec_id") < 10)
     return (
         similarity.cosine_topk(e, queries, "vec_id", "embedding", k=5)
@@ -292,7 +292,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5 for 10 query vectors —
     the 100 TB path (bucket equi-join instead of cross join). Recall vs
     the exact baseline is asserted in tests/test_similarity.py."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     queries = e.filter(F.col("vec_id") < 10)
     return (
         similarity.ann_topk(e, queries, "vec_id", "embedding", k=5, planes=8)
@@ -317,7 +317,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe-many, same contract as ivf_build_index. Recall vs brute force
     is asserted in tests/test_similarity.py; rows-only here (approximate
     results have no SQL oracle)."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     key = (id(spark), sf_dir)
     centroids = _IVF_CENTROIDS.get(key)
     if centroids is None:
@@ -560,7 +560,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition features (the Gopher-rule quality
     family): duplicate 2/3-gram fractions and most-frequent-token share —
     pure array-lambda expressions per row, map-only at any corpus size."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     return text.with_repetition_signals(d, "doc_id", "text").select(
         "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_token_frac"
     )
@@ -673,7 +673,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer dot products in codegen. Rows-only (approximate scores have
     no SQL oracle); recall ≥ 0.8 and score-error < 0.02 vs brute force
     are asserted in tests/test_similarity.py."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     eq = similarity.quantize_int8(e, "embedding")
     return (
         similarity.quantized_cosine_topk(
@@ -835,7 +835,7 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold matches dedup_embedding_cosine (the corpus plants no >0.5
     pairs). Returns only the dropped rows + their surviving
     representative."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     n = e.count()  # footer-only (aggregate pushdown)
     key = (id(spark), sf_dir + "#semdedup")
     cents = _IVF_CENTROIDS.get(key)
@@ -1036,7 +1036,7 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches copied paragraphs prefix/minhash dedup miss). md5 span keys
     make the check engine-portable; everything shuffles on the key,
     never doc x doc."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     return (
         dedup.duplicated_spans(d, "doc_id", "text", n=20)
         .withColumnRenamed("id", "doc_id")
@@ -1287,7 +1287,7 @@ def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-marker heuristic in text.language_id): sliding 3-char
     windows via a map-side index transform, one (lang, gram) agg, top-10
     per language with a deterministic tie-break."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     # lower(text) is hoisted to its own projection: inlined in the lambda
     # it re-lowercases the whole document for EVERY trigram position
     # (O(len^2) per doc). substr's start argument inside a higher-order
@@ -1322,7 +1322,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m codebook lookups + small sqdists per row, all codegen. Rows-only
     (approximate distances have no SQL oracle); exactness-when-codebooks-
     are-exact and trained-recall bounds live in tests/test_similarity.py."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     key = (id(spark), sf_dir + "#pq")
     cbs = _PQ_CODEBOOKS.get(key)
     if cbs is None:
@@ -1450,7 +1450,7 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     §A1.1) — the second standard heuristic gate next to C4's. All
     verdict ratios are integer cross-multiplications (map-only, no
     shuffle, engine-bit-reproducible)."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     return text.gopher_quality_flags(d, "doc_id", "text")
 
 
@@ -1493,7 +1493,7 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer pseudo-weights summed in codegen — the 100 TB model-scoring
     shape (swap the closed-form weights for a broadcast weight table via
     ``text.hashed_ngram_score(weights=...)``)."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     return text.hashed_ngram_score(d, "doc_id", "text")
 
 
@@ -1586,7 +1586,7 @@ def sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly. The weight is the exact integer ``margin + 500000·n + 1``
     (always ≥ 1), so the member set replays bit-for-bit in any engine;
     scoring is map-only, the sample is one shuffle on the language key."""
-    d = register_tables(spark, sf_dir)["documents"]
+    d = spread(register_tables(spark, sf_dir)["documents"], "doc_id")
     scored = text.hashed_ngram_score(d, "doc_id", "text")
     weighted = (
         scored.join(d.select("doc_id", "lang"), "doc_id")
@@ -2097,7 +2097,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no SQL oracle); full-probe==brute-force, exact-rerank-distance,
     and candidate-confinement invariants live in
     tests/test_similarity.py::TestIvfPq."""
-    e = register_tables(spark, sf_dir)["embeddings"]
+    e = spread(register_tables(spark, sf_dir)["embeddings"], "vec_id")
     key = (id(spark), sf_dir + "#ivfpq")
     state = _PQ_CODEBOOKS.get(key)
     if state is None:
