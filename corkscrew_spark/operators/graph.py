@@ -183,7 +183,8 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     as a 0/1 column; nothing about the plan shape changes.
 
     One Spark job per iteration: the static out-degree is carried in the
-    ranks frame (joined once up front, not per iteration), and the
+    ranks frame (folded into the node set's build aggregation, not
+    recomputed per iteration), and the
     dangling sum rides along as a broadcast 1-row aggregate instead of a
     driver collect — the eager localCheckpoint is the only action, and it
     keeps the plan O(1) across iterations like the other graph operators.
@@ -193,22 +194,29 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .repartition("src")  # fixed hash layout: the per-iteration join on
-        .localCheckpoint(eager=True)  # src reuses it with no new exchange
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    out_deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    # (node, deg, rank): deg is null for sinks; joined ONCE, carried through.
-    ranks = (
-        nodes.join(out_deg, "node", "left")
+        # No repartition before the checkpoint: localCheckpoint drops
+        # outputPartitioning metadata under AQE (measured this round —
+        # downstream plans are identical either way), so a pre-checkpoint
+        # hash layout is a full edge shuffle that buys nothing.
         .localCheckpoint(eager=True)
     )
-    n_total = ranks.count()
+    # (node, deg, rank) in ONE aggregation: union src rows (counting 1
+    # per out-edge) with dst rows (counting 0) and sum — the node set
+    # and the out-degree fall out of the same groupBy, replacing the
+    # previous distinct + count + left-join (3 exchanges → 1, guide
+    # §2.4). deg is null for sinks (cnt 0), exactly as the join gave.
+    ranks = (
+        e.select(F.col("src").alias("node"), F.lit(1).alias("c"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("c")))
+        .groupBy("node")
+        .agg(F.sum("c").alias("cnt"))
+        .select("node", F.when(F.col("cnt") > 0, F.col("cnt")).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     if reset_nodes is None:
+        # |V| is only needed for the uniform reset — the personalized
+        # branch below never reads it, so don't pay the count job there.
+        n_total = ranks.count()
         # classic path: keep the exact original expression shape —
         # (1-d)/N precomputed, dangling/N in-engine — so the unrolled
         # DuckDB oracle stays bit-compatible (x·(1/N) ≠ x/N in IEEE)
@@ -369,7 +377,9 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
         )
     e = (
         e.groupBy("src", "dst").agg(F.min("w").alias("w"))  # parallel edges
-        .repartition("src")
+        # No repartition before the checkpoint (see pagerank: the
+        # partitioning metadata does not survive localCheckpoint, so the
+        # extra edge shuffle buys nothing downstream).
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
@@ -714,6 +724,11 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
+        # Materialize once: `scores` is read TWICE below (the norms
+        # aggregate and the final projection), and its lineage holds the
+        # un-checkpointed tail iterations — without this checkpoint the
+        # norms broadcast subtree re-runs those iterations a second time.
+        .localCheckpoint(eager=True)
     )
     norms = scores.agg(
         F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("hn"),
@@ -756,7 +771,10 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
             edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
-        .repartition("src")
+        # No repartition before the checkpoint (see pagerank: the
+        # partitioning metadata does not survive localCheckpoint, so the
+        # extra edge shuffle buys nothing downstream — measured 0.79×
+        # on graph_communities with it removed).
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -157,6 +157,23 @@ def test_pagerank_star_and_cycle(spark):
         assert abs(v - 1 / 3) < 1e-9
 
 
+def test_pagerank_fused_degree_ignores_duplicate_edges(spark):
+    """The (node, deg) frame is built by ONE union+sum aggregation over
+    the deduplicated edge set (r12 optimization) — duplicated input
+    edges must not inflate out-degrees, so ranks over a multigraph and
+    its simple projection are bit-identical."""
+    from corkscrew_spark.operators import graph
+
+    base = [("a", "b"), ("a", "c"), ("b", "c")]
+    dup = base + [("a", "b"), ("b", "c"), ("a", "c")]
+    r_base = sorted(map(tuple, graph.pagerank(_edges(spark, base), iters=8).collect()))
+    r_dup = sorted(map(tuple, graph.pagerank(_edges(spark, dup), iters=8).collect()))
+    assert r_base == r_dup
+    # 'c' is a sink (deg null through the fused when(cnt>0) path):
+    # dangling mass must still redistribute so total rank stays 1.
+    assert abs(sum(r for _, r in r_base) - 1.0) < 1e-9
+
+
 def test_triangle_count_k4_with_pendant(spark):
     """K4: every vertex is in C(3,2)=3 triangles; a pendant vertex is in 0."""
     edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)]
