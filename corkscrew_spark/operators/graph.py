@@ -165,7 +165,8 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             reset_nodes: list[str] | None = None) -> DataFrame:
+             reset_nodes: list[str] | None = None,
+             reset_df: DataFrame | None = None) -> DataFrame:
     """PageRank by power iteration as DataFrame joins — beyond-reference
     graph analytics (the reference walks paths; ranking needs no new
     engine machinery here, just the same join-per-iteration shape as BFS).
@@ -181,6 +182,15 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     seed set — "which resources sit closest to the changed set", the
     ranking companion to the blast-radius expansion. Seeds ride along
     as a 0/1 column; nothing about the plan shape changes.
+
+    ``reset_df`` is the collect-free personalized form: a 1-column
+    DataFrame of seed node ids (must be distinct and non-empty) joins
+    in as a broadcast instead of a driver round-trip — the seed subtree
+    then schedules INSIDE the ranks-build job, overlapped with the node
+    aggregation, rather than blocking the driver before any graph work
+    starts. The per-seed weight is 1/count(seeds) computed in-plan
+    (IEEE-identical to the literal 1.0/len(seeds) of the list form).
+    Mutually exclusive with ``reset_nodes``.
 
     One Spark job per iteration: the static out-degree is carried in the
     ranks frame (folded into the node set's build aggregation, not
@@ -211,11 +221,21 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         .groupBy("node")
         .agg(F.sum("c").alias("cnt"))
         .select("node", F.when(F.col("cnt") > 0, F.col("cnt")).alias("deg"))
-        .localCheckpoint(eager=True)
     )
-    if reset_nodes is None:
+    if reset_nodes is not None and reset_df is not None:
+        raise ValueError("pass reset_nodes or reset_df, not both")
+    if reset_df is None:
+        # reset_nodes/classic: the reset column is a cheap literal
+        # projection, so checkpoint the bare (node, deg) frame here. The
+        # reset_df branch instead folds its seed join INTO this same
+        # checkpoint (one materialization carries node+deg+reset —
+        # checkpointing first and joining after would leave the seed
+        # subtree in the early iteration plans, re-running it until the
+        # first in-loop checkpoint; measured slower).
+        ranks = ranks.localCheckpoint(eager=True)
+    if reset_nodes is None and reset_df is None:
         # |V| is only needed for the uniform reset — the personalized
-        # branch below never reads it, so don't pay the count job there.
+        # branches below never read it, so don't pay the count job there.
         n_total = ranks.count()
         # classic path: keep the exact original expression shape —
         # (1-d)/N precomputed, dangling/N in-engine — so the unrolled
@@ -229,15 +249,42 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         )
         carry = ["node", "deg"]
     else:
-        if not reset_nodes:
-            raise ValueError("reset_nodes must be None or non-empty")
-        seed_arr = F.array(*[F.lit(s) for s in reset_nodes])
-        reset = F.when(F.array_contains(seed_arr, F.col("node")),
-                       F.lit(1.0 / len(reset_nodes))).otherwise(0.0)
-        ranks = (
-            ranks.withColumn("reset", reset)
-            .withColumn("rank", F.col("reset"))
-        )
+        if reset_df is not None:
+            # Collect-free personalized reset: broadcast-join the seed
+            # frame and weight each seed 1/count(seeds) computed in-plan
+            # (1.0 / BIGINT is the same IEEE double division the literal
+            # form performs on len(reset_nodes)). The seed subtree now
+            # schedules inside the ranks job instead of blocking the
+            # driver on a collect before any graph work starts.
+            seed_col = reset_df.columns[0]
+            seeds = (
+                reset_df.select(F.col(seed_col).alias("node"))
+                .withColumn("__is_seed", F.lit(True))
+            )
+            seed_w = reset_df.agg(
+                (F.lit(1.0) / F.count(F.lit(1))).alias("__seed_w"))
+            ranks = (
+                ranks.join(F.broadcast(seeds), "node", "left")
+                .crossJoin(F.broadcast(seed_w))
+                .withColumn(
+                    "reset",
+                    F.when(F.col("__is_seed"), F.col("__seed_w"))
+                    .otherwise(0.0),
+                )
+                .drop("__is_seed", "__seed_w")
+                .withColumn("rank", F.col("reset"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            if not reset_nodes:
+                raise ValueError("reset_nodes must be None or non-empty")
+            seed_arr = F.array(*[F.lit(s) for s in reset_nodes])
+            reset = F.when(F.array_contains(seed_arr, F.col("node")),
+                           F.lit(1.0 / len(reset_nodes))).otherwise(0.0)
+            ranks = (
+                ranks.withColumn("reset", reset)
+                .withColumn("rank", F.col("reset"))
+            )
         new_rank = (
             F.lit(1.0 - damping) * F.col("reset")
             + F.lit(damping)

@@ -564,9 +564,10 @@ def blast_radius_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     error-hotspot nations, walked over the REVERSED containment graph so
     rank flows downstream to the customers and orders nearest the
     changed set — the continuous-score companion to blast_radius's hop
-    counts. Seeds are a 3-row bounded collect (the sanctioned seed-
-    frontier shape); the oracle recomputes the seeds and unrolls the 6
-    fixed rounds into MATERIALIZED CTEs."""
+    counts. Seeds stay in-plan as a 3-row broadcast (no driver collect
+    — the seed subtree schedules inside the ranks-build job); the
+    oracle recomputes the seeds and unrolls the 6 fixed rounds into
+    MATERIALIZED CTEs."""
     t = register_tables(spark, sf_dir)
     seeds_df = (
         t["events"].filter(F.col("event_type") == "error")
@@ -576,11 +577,11 @@ def blast_radius_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_errors"), "nation_id")
         .limit(3)
     )
-    seeds = [r.nation_id for r in seeds_df.collect()]
     e = containment_edges(spark, sf_dir, with_orders=True)
     reversed_e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return (
-        graph.pagerank(reversed_e, iters=6, reset_nodes=seeds)
+        graph.pagerank(reversed_e, iters=6,
+                       reset_df=seeds_df.select("nation_id"))
         .select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "node")
         .limit(20)

@@ -590,3 +590,27 @@ class TestPersonalizedPagerank:
         e = spark.createDataFrame([("a", "b")], "src string, dst string")
         with _pytest.raises(ValueError):
             pagerank(e, reset_nodes=[])
+
+    def test_reset_df_bit_identical_to_reset_nodes(self, spark):
+        """The collect-free reset_df form (broadcast seed join, in-plan
+        1/count weight) must produce BIT-identical ranks to the literal
+        reset_nodes list — same IEEE double division, same reset column,
+        same iteration math (r12 optimization)."""
+        from corkscrew_spark.operators.graph import pagerank
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("d", "e"), ("e", "c"), ("b", "e")]
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        seeds = ["a", "d", "e"]
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
+        via_list = sorted(map(tuple, pagerank(e, iters=7, reset_nodes=seeds).collect()))
+        via_df = sorted(map(tuple, pagerank(e, iters=7, reset_df=seeds_df).collect()))
+        assert via_list == via_df  # exact float equality, not approx
+
+    def test_reset_nodes_and_reset_df_together_raise(self, spark):
+        from corkscrew_spark.operators.graph import pagerank
+        import pytest as _pytest
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds_df = spark.createDataFrame([("a",)], "seed string")
+        with _pytest.raises(ValueError):
+            pagerank(e, reset_nodes=["a"], reset_df=seeds_df)
