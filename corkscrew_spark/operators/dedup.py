@@ -732,12 +732,17 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     representative per cluster.
 
     Two-phase algorithm. Phase 1: iterative min-label propagation
-    (label(x) ← min(label(x), min label of neighbors)) — one join +
-    groupBy per round, localCheckpointed so the plan stays O(1). Rounds
-    needed = graph diameter; near-dup clusters are normally shallow
-    (dup sets, not social graphs), so this converges in a handful of
-    rounds. Phase 2: if the graph hasn't converged after ``star_after``
-    rounds, the diameter is adversarially large (templated-spam chains —
+    (label(x) ← min(label(x), min label of neighbors)) — TWO
+    propagation hops per round fused into one checkpoint + one
+    convergence probe (the hop shuffles are unchanged; the barrier and
+    driver-round-trip count halves, and the fixpoint check on the
+    second hop is sound because it certifies the operator applied to
+    the first hop's output changed nothing). Hops needed = graph
+    diameter; near-dup clusters are normally shallow (dup sets, not
+    social graphs), so this converges in a handful of rounds. Phase 2:
+    if the graph hasn't converged after ``star_after``
+    rounds (2·``star_after`` hops), the diameter is adversarially
+    large (templated-spam chains —
     exactly when dedup matters most), so the remaining work routes to
     graph.connected_components_star, whose large-star/small-star
     contraction finishes in O(log n) rounds instead of O(diameter).
@@ -765,21 +770,29 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     )
     converged = False
     for _ in range(min(max_iter, star_after)):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+        for _hop in range(2):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
+            updated = (
+                labels.join(neighbor_min,
+                            labels["node"] == neighbor_min["src"], "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"),
+                            F.coalesce("nbr_label", "label")).alias("label"),
+                    (F.col("nbr_label") < F.col("label")).alias("changed"),
+                )
+            )
+            labels = updated.drop("changed")
         updated = updated.localCheckpoint(eager=True)
         labels = updated.drop("changed")
+        # `changed` reflects the SECOND hop only — empty means the
+        # propagation operator is at its fixpoint (labels constant per
+        # component = the component minimum), regardless of what the
+        # first hop did.
         if updated.filter("changed").isEmpty():
             converged = True
             break

@@ -237,6 +237,25 @@ def test_dup_clusters_deep_chain_routes_to_star(spark):
     assert sum(r["keep"] for r in got) == 1 and len(got) == 9
 
 
+def test_dup_clusters_two_hop_rounds_reach_double_depth(spark):
+    """Phase 1 runs TWO propagation hops per checkpointed round (r12
+    optimization): star_after=2 = 4 hops, so a diameter-3 path resolves
+    AND certifies its fixpoint inside phase 1 (3 changing hops + 1
+    quiet hop), where the old 1-hop rounds would have routed to the
+    star fallback. A diameter-4 path at the same bound still routes to
+    star (the quiet detection hop no longer fits) — both must produce
+    the exact component labeling."""
+    from corkscrew_spark.operators import dedup
+
+    for n_edges in (3, 4):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n_edges)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+               for r in dedup.dup_clusters(chain, star_after=2).collect()}
+        assert got == {i: (0, i == 0) for i in range(n_edges + 1)}
+
+
 def test_dup_clusters_40_hop_chain(spark):
     """40-hop templated-spam chain: far beyond the default propagation
     bound (star_after=4), resolved by the O(log n) star fallback —
