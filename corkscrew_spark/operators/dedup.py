@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from corkscrew_spark.operators.text import fingerprint, prefix_key, tokens
+from corkscrew_spark.session import ckpt_observe as _ckpt_observe
 from corkscrew_spark.session import spread as _spread
 
 
@@ -724,7 +725,9 @@ def semdedup_keep(corpus: DataFrame, id_col: str, vec_col: str,
 # ---------------------------------------------------------------------------
 
 def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-                 max_iter: int = 20, star_after: int = 4) -> DataFrame:
+                 max_iter: int = 20, star_after: int = 4,
+                 hops_per_round: int = 2,
+                 ckpt_inner_hop: bool = False) -> DataFrame:
     """Connected components over near-dup pairs: the step that turns pair
     lists (from any of the strategies above) into the actual dedup
     decision. Returns (doc_id, cluster_id, keep) where cluster_id is the
@@ -732,17 +735,22 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     representative per cluster.
 
     Two-phase algorithm. Phase 1: iterative min-label propagation
-    (label(x) ← min(label(x), min label of neighbors)) — TWO
-    propagation hops per round fused into one checkpoint + one
-    convergence probe (the hop shuffles are unchanged; the barrier and
-    driver-round-trip count halves, and the fixpoint check on the
-    second hop is sound because it certifies the operator applied to
-    the first hop's output changed nothing). Hops needed = graph
-    diameter; near-dup clusters are normally shallow (dup sets, not
-    social graphs), so this converges in a handful of rounds. Phase 2:
-    if the graph hasn't converged after ``star_after``
-    rounds (2·``star_after`` hops), the diameter is adversarially
-    large (templated-spam chains —
+    (label(x) ← min(label(x), min label of neighbors)) —
+    ``hops_per_round`` propagation hops per convergence round, fused
+    into ONE checkpointed job (a hop's output feeds the next hop's
+    neighbor-min join AND merge join; exchange reuse dedupes the double
+    read — measured faster than materializing the inner hop at both 32
+    and 8 cores, see the in-loop comment). The round's convergence flag
+    count rides the checkpoint job as an observed aggregate — one
+    action per round, zero probe actions. The fixpoint check on the
+    round's last hop is sound
+    because it certifies the operator applied to the previous hop's
+    output changed nothing. Hops needed = graph diameter; near-dup
+    clusters are normally shallow (dup sets, not social graphs), so
+    this converges in a handful of rounds. Phase 2: if the graph hasn't
+    converged after ``star_after`` rounds
+    (``hops_per_round``·``star_after`` hops), the diameter is
+    adversarially large (templated-spam chains —
     exactly when dedup matters most), so the remaining work routes to
     graph.connected_components_star, whose large-star/small-star
     contraction finishes in O(log n) rounds instead of O(diameter).
@@ -770,7 +778,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
     )
     converged = False
     for _ in range(min(max_iter, star_after)):
-        for _hop in range(2):
+        updated = None
+        for _hop in range(hops_per_round):
             neighbor_min = (
                 edges.join(labels, edges["dst"] == labels["node"])
                 .groupBy("src")
@@ -787,13 +796,27 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
                 )
             )
             labels = updated.drop("changed")
-        updated = updated.localCheckpoint(eager=True)
-        labels = updated.drop("changed")
-        # `changed` reflects the SECOND hop only — empty means the
-        # propagation operator is at its fixpoint (labels constant per
-        # component = the component minimum), regardless of what the
-        # first hop did.
-        if updated.filter("changed").isEmpty():
+            # ckpt_inner_hop materializes between fused hops (hop h's
+            # output feeds hop h+1 twice — the neighbor-min join and the
+            # merge join). Default OFF: a 3-way interleaved A/B at 32
+            # AND 8 cores (r13) measured exchange reuse catching the
+            # double reference — lazy two-hop won at both core counts
+            # (32c: 3.93 s vs 4.14 s ckpt'd vs 4.44 s one-hop on
+            # dedup_clusters; 8c: 4.06/4.33/4.45) with 3 fewer jobs per
+            # query; the r12 driver flag on this shape was host burst
+            # (the untouched control queries swung identically).
+            if ckpt_inner_hop and _hop < hops_per_round - 1:
+                labels = labels.localCheckpoint(eager=True)
+        # `changed` reflects the round's FINAL hop only — zero changes
+        # mean the propagation operator is at its fixpoint (labels
+        # constant per component = the component minimum), regardless of
+        # what earlier hops did. The flag count rides the round's
+        # checkpoint job as an observed aggregate (session.ckpt_observe)
+        # instead of a second probe action.
+        ck, m = _ckpt_observe(
+            updated, F.count(F.when(F.col("changed"), 1)).alias("nc"))
+        labels = ck.drop("changed")
+        if m["nc"] == 0:
             converged = True
             break
     if not converged:

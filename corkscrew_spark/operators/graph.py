@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from corkscrew_spark.session import ckpt_observe
+
 
 def _prep(edges: DataFrame, directed: bool) -> DataFrame:
     e = edges.select(F.col("src").cast("string"), F.col("dst").cast("string"))
@@ -53,15 +55,17 @@ def k_hop(edges: DataFrame, seeds: list[str], max_depth: int = 3,
     visited = seed_df
     frontier = seed_df
     for depth in range(1, max_depth + 1):
-        nxt = (
+        nxt, m = ckpt_observe(
             frontier.join(e, frontier["node"] == e["src"])
             .select(e["dst"].alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .withColumn("distance", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .withColumn("distance", F.lit(depth)),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.isEmpty():
+        # Emptiness read from the checkpoint's own job — no second
+        # probe action per hop (session.ckpt_observe).
+        if m["n"] == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -90,7 +94,10 @@ def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
     frontier = spark.createDataFrame([(src, [src])], "node string, path array<string>")
     visited = frontier.select("node").localCheckpoint(eager=True)
     for depth in range(1, max_depth + 1):
-        expanded = (
+        # One action per hop: frontier size AND target-hit flag ride the
+        # checkpoint job as observed aggregates (previously 3 actions —
+        # checkpoint, hit probe, emptiness probe).
+        expanded, m = ckpt_observe(
             frontier.join(e, frontier["node"] == e["src"])
             .select(
                 e["dst"].alias("node"),
@@ -98,13 +105,14 @@ def shortest_path(edges: DataFrame, src: str, dst: str, max_depth: int = 10,
             )
             .join(visited, "node", "left_anti")
             .groupBy("node")
-            .agg(F.min("path").alias("path"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("path").alias("path")),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("node") == dst, 1)).alias("hit"),
         )
-        hit = expanded.filter(F.col("node") == dst)
-        if not hit.isEmpty():
-            return hit.select(F.lit(depth).alias("depth"), "path")
-        if expanded.isEmpty():
+        if m["hit"]:
+            return expanded.filter(F.col("node") == dst).select(
+                F.lit(depth).alias("depth"), "path")
+        if m["n"] == 0:
             break
         visited = visited.unionByName(expanded.select("node"))
         frontier = expanded
@@ -122,14 +130,17 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
     Raises ValueError on a cycle (some nodes never settle), matching the
     reference's temp-mark cycle detection.
     """
-    spark = edges.sparkSession
     e = _prep(edges, directed=True).localCheckpoint(eager=True)
-    nodes = (
+    # |V| observed on the node-set checkpoint's own job: the final
+    # unreachable-node check below reduces to a count comparison, so no
+    # extra action is ever spent on it.
+    nodes, mn = ckpt_observe(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    n_nodes = mn["n"]
     sources = nodes.join(e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
     frontier = sources.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
     # Accumulate per-depth frontiers (each already checkpointed) and union
@@ -140,13 +151,15 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
         # Propagate max level forward; a node's level settles once all its
         # predecessors have emitted (max aggregation makes later, larger
         # levels override earlier ones via the final groupBy below).
-        nxt = (
+        # Emptiness reads off the checkpoint job (session.ckpt_observe) —
+        # one action per hop instead of two.
+        nxt, m = ckpt_observe(
             frontier.join(e, frontier["node"] == e["src"])
             .select(e["dst"].alias("node"), (F.col("level") + 1).alias("level"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            F.count(F.lit(1)).alias("n"),
         )
-        if nxt.isEmpty():
+        if m["n"] == 0:
             break
         parts.append(nxt)
         frontier = nxt
@@ -155,10 +168,17 @@ def topo_levels(edges: DataFrame, max_depth: int = 100) -> DataFrame:
     levels = parts[0]
     for p in parts[1:]:
         levels = levels.unionByName(p)
-    result = levels.groupBy("node").agg(F.max("level").alias("level"))
-    # Nodes unreachable from any source sit on (or behind) a cycle — the
-    # pure-cycle case never enters the loop above, so check membership.
-    if not nodes.join(result.select("node"), "node", "left_anti").isEmpty():
+    # Materialize the settled levels ONCE, observing |result| in the same
+    # job. Nodes unreachable from any source sit on (or behind) a cycle —
+    # result nodes are distinct and a subset of `nodes`, so the old
+    # anti-join membership probe (which executed the full aggregation a
+    # second time, before the caller's action ran it a third) is exactly
+    # the count comparison |result| == |V|.
+    result, mr = ckpt_observe(
+        levels.groupBy("node").agg(F.max("level").alias("level")),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if mr["n"] != n_nodes:
         raise ValueError("cycle detected: some nodes are unreachable from any source")
     return result
 
@@ -184,7 +204,9 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     as a 0/1 column; nothing about the plan shape changes.
 
     ``reset_df`` is the collect-free personalized form: a 1-column
-    DataFrame of seed node ids (must be distinct and non-empty) joins
+    DataFrame of seed node ids (deduplicated in-plan; must be
+    non-empty — an empty frame is a caller error and fails in the
+    in-plan 1/count weight, not with a ValueError) joins
     in as a broadcast instead of a driver round-trip — the seed subtree
     then schedules INSIDE the ranks-build job, overlapped with the node
     aggregation, rather than blocking the driver before any graph work
@@ -231,12 +253,14 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         # checkpoint (one materialization carries node+deg+reset —
         # checkpointing first and joining after would leave the seed
         # subtree in the early iteration plans, re-running it until the
-        # first in-loop checkpoint; measured slower).
-        ranks = ranks.localCheckpoint(eager=True)
+        # first in-loop checkpoint; measured slower). |V| rides the
+        # checkpoint job as an observed count — the classic branch no
+        # longer pays a separate count action for it.
+        ranks, _m = ckpt_observe(ranks, F.count(F.lit(1)).alias("n"))
     if reset_nodes is None and reset_df is None:
         # |V| is only needed for the uniform reset — the personalized
-        # branches below never read it, so don't pay the count job there.
-        n_total = ranks.count()
+        # branches below never read it.
+        n_total = _m["n"]
         # classic path: keep the exact original expression shape —
         # (1-d)/N precomputed, dangling/N in-engine — so the unrolled
         # DuckDB oracle stays bit-compatible (x·(1/N) ≠ x/N in IEEE)
@@ -256,12 +280,22 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
             # form performs on len(reset_nodes)). The seed subtree now
             # schedules inside the ranks job instead of blocking the
             # driver on a collect before any graph work starts.
+            # Seeds are deduplicated in-plan (free for a broadcast-sized
+            # frame): duplicate seed rows would otherwise fan the ranks
+            # join out to duplicate (node, rank) rows AND skew the
+            # per-seed weight. An EMPTY seed frame is a caller error
+            # like reset_nodes=[] — it surfaces as a null/failed
+            # division in the reset weight rather than a ValueError
+            # (the count lives in-plan, unknowable at build time).
+            if len(reset_df.columns) != 1:
+                raise ValueError(
+                    "reset_df must have exactly one column of seed node "
+                    f"ids, got {reset_df.columns!r}")
             seed_col = reset_df.columns[0]
-            seeds = (
-                reset_df.select(F.col(seed_col).alias("node"))
-                .withColumn("__is_seed", F.lit(True))
-            )
-            seed_w = reset_df.agg(
+            distinct_seeds = reset_df.select(
+                F.col(seed_col).alias("node")).distinct()
+            seeds = distinct_seeds.withColumn("__is_seed", F.lit(True))
+            seed_w = distinct_seeds.agg(
                 (F.lit(1.0) / F.count(F.lit(1))).alias("__seed_w"))
             ranks = (
                 ranks.join(F.broadcast(seeds), "node", "left")
@@ -412,8 +446,6 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
     broken by fewer hops, then it is stable because candidates merge
     through a commutative min over (dist, hops)).
     """
-    if not edges.filter(F.col(weight_col) < 0).isEmpty():
-        raise ValueError("weighted_shortest_paths requires non-negative weights")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
@@ -422,13 +454,20 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
-    e = (
+    # The non-negativity guard rides the edge checkpoint as an observed
+    # aggregate instead of a dedicated full-scan action: any negative
+    # input weight survives the per-(src,dst) min, so min(w) < 0 on the
+    # grouped relation ⟺ some input weight < 0.
+    e, _mw = ckpt_observe(
         e.groupBy("src", "dst").agg(F.min("w").alias("w"))  # parallel edges
         # No repartition before the checkpoint (see pagerank: the
         # partitioning metadata does not survive localCheckpoint, so the
         # extra edge shuffle buys nothing downstream).
-        .localCheckpoint(eager=True)
+        ,
+        F.count(F.when(F.col("w") < 0, 1)).alias("neg"),
     )
+    if _mw["neg"]:
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
     spark = edges.sparkSession
     dists = spark.createDataFrame(
         [(source, 0.0, 0)], "node string, dist double, hops long"
@@ -456,16 +495,22 @@ def weighted_shortest_paths(edges: DataFrame, source: str,
                 )
             )
             acc = _min_merge(acc.unionByName(cand))
-        merged = acc.localCheckpoint(eager=True)
-        # Fixpoint when nothing changed: a left-anti on the full
-        # (node, dist, hops) tuple also catches newly-reached nodes
-        # (they exist in merged but not dists), so no separate count
-        # comparison is needed — one check job per round.
-        stable = merged.join(
-            dists, ["node", "dist", "hops"], "left_anti"
-        ).isEmpty()
-        dists = merged
-        if stable:
+        # Fixpoint when nothing changed: a row is "new" iff no previous
+        # (node, dist, hops) tuple matches — the same predicate the old
+        # left-anti probe action tested, now computed as a left join
+        # against the previous round's (checkpointed, cheap-to-scan)
+        # frame INSIDE the round's materialization and read off it as an
+        # observed count. Newly-reached nodes match nothing, so they
+        # count as changed exactly as before. One action per round
+        # instead of two.
+        prev = dists.select("node", "dist", "hops").withColumn(
+            "__old", F.lit(1))
+        merged, m = ckpt_observe(
+            acc.join(prev, ["node", "dist", "hops"], "left"),
+            F.count(F.when(F.col("__old").isNull(), 1)).alias("changed"),
+        )
+        dists = merged.drop("__old")
+        if m["changed"] == 0:
             break
     else:
         raise ValueError(
@@ -507,13 +552,14 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
         .distinct()
         .localCheckpoint(eager=True)
     )
-    cur = (
+    cur, _mc = ckpt_observe(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
+    cur_n = _mc["n"]
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -539,12 +585,18 @@ def connected_components_star(edges: DataFrame, src_col: str = "src",
         )
 
     for _ in range(max_rounds):
-        nxt = star(star(cur, large=True), large=False).localCheckpoint(eager=True)
+        # Both edge sets are distinct, so set equality ⟺ equal counts AND
+        # one-direction containment. The count is observed on the round's
+        # checkpoint job; the anti-join probe only runs at all on rounds
+        # where the count held still (normally just the final round) —
+        # 3 actions per round down to ~1.
+        nxt, m = ckpt_observe(star(star(cur, large=True), large=False),
+                              F.count(F.lit(1)).alias("n"))
         stable = (
-            nxt.join(cur, ["a", "b"], "left_anti").isEmpty()
+            m["n"] == cur_n
             and cur.join(nxt, ["a", "b"], "left_anti").isEmpty()
         )
-        cur = nxt
+        cur, cur_n = nxt, m["n"]
         if stable:
             break
     else:
@@ -728,13 +780,14 @@ def hits(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
 
     Returns (node, hub, authority), both scores L2-normalized.
     """
-    e = (
+    e, _me = ckpt_observe(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        F.count(F.lit(1)).alias("n"),
     )
-    n_edges = max(e.count(), 1)
+    # |E| observed on the edge checkpoint's own job (no separate count).
+    n_edges = max(_me["n"], 1)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -902,37 +955,49 @@ def shortest_path_bidirectional(edges: DataFrame, src: str, dst: str,
         ).select(F.lit(total_depth).alias("depth"), "path")
 
     for total in range(1, max_depth + 1):
+        # One action per round: the expanded side's checkpoint job also
+        # reports its size and whether it touches the OTHER side's
+        # frontier (a left-join marker — the same node intersection the
+        # _meet probe tested as a separate action). The full meet (path
+        # assembly + lex-min) only runs once, on the meeting round.
         if f_size <= b_size:
-            f_frontier = (
+            f_frontier, m = ckpt_observe(
                 f_frontier.join(ef, f_frontier["node"] == ef["src"])
                 .select(ef["dst"].alias("node"),
                         F.concat(F.col("path"), F.array(ef["dst"]))
                         .alias("path"))
                 .join(f_visited, "node", "left_anti")
                 .groupBy("node").agg(F.min("path").alias("path"))
-                .localCheckpoint(eager=True)
+                .join(b_frontier.select("node").withColumn(
+                    "__m", F.lit(1)), "node", "left"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.col("__m")).alias("met"),
             )
-            f_size = f_frontier.count()
+            f_frontier = f_frontier.drop("__m")
+            f_size = m["n"]
             if f_size == 0:
                 break
             f_visited = f_visited.unionByName(f_frontier.select("node"))
         else:
-            b_frontier = (
+            b_frontier, m = ckpt_observe(
                 b_frontier.join(eb, b_frontier["node"] == eb["src"])
                 .select(eb["dst"].alias("node"),
                         F.concat(F.array(eb["dst"]), F.col("path"))
                         .alias("path"))
                 .join(b_visited, "node", "left_anti")
                 .groupBy("node").agg(F.min("path").alias("path"))
-                .localCheckpoint(eager=True)
+                .join(f_frontier.select("node").withColumn(
+                    "__m", F.lit(1)), "node", "left"),
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.col("__m")).alias("met"),
             )
-            b_size = b_frontier.count()
+            b_frontier = b_frontier.drop("__m")
+            b_size = m["n"]
             if b_size == 0:
                 break
             b_visited = b_visited.unionByName(b_frontier.select("node"))
-        hit = _meet(total)
-        if not hit.isEmpty():
-            return hit
+        if m["met"]:
+            return _meet(total)
     return spark.createDataFrame([], "depth int, path array<string>")
 
 
@@ -964,15 +1029,19 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
     )
     for _ in range(max_iter):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        low = deg.filter(F.col("degree") < k).select("src").localCheckpoint(eager=True)
-        if low.isEmpty():
+        # Emptiness of both the peel set and the surviving edge set reads
+        # off their checkpoint jobs (session.ckpt_observe) — 4 actions
+        # per peeling round down to 2.
+        low, ml = ckpt_observe(deg.filter(F.col("degree") < k).select("src"),
+                               F.count(F.lit(1)).alias("n"))
+        if ml["n"] == 0:
             return deg.select(F.col("src").alias("node"), "degree")
-        cur = (
+        cur, mc = ckpt_observe(
             cur.join(low, "src", "left_anti")
-            .join(low.select(F.col("src").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(low.select(F.col("src").alias("dst")), "dst", "left_anti"),
+            F.count(F.lit(1)).alias("n"),
         )
-        if cur.isEmpty():
+        if mc["n"] == 0:
             return cur.sparkSession.createDataFrame([], "node string, degree long")
     raise RuntimeError(f"k_core did not converge within {max_iter} rounds")
 

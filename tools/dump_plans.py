@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain('formatted') for named registered queries to plans/r12/.
+"""Dump .explain('formatted') for named registered queries to
+plans/$PLAN_ROUND/ (default r13).
 
 Usage: python tools/dump_plans.py <suffix> name1,name2,...
-Writes plans/r12/<name>_<suffix>.txt for each query.
+Writes plans/<round>/<name>_<suffix>.txt for each query.
 """
 
 from __future__ import annotations
@@ -26,7 +27,8 @@ def main() -> int:
     from corkscrew_spark.plans.queries import QUERIES
 
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf)
