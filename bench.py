@@ -9,11 +9,12 @@ Each query is materialized through the noop sink — full execution on the
 executors, no driver-side collect in the timed path.
 
 Build-once/probe-many contract (see BASELINE.md "Bench measurement
-contract"): the ANN quantizer training (_IVF_CENTROIDS/_PQ_CODEBOOKS)
-and the engine certificate fixtures (_cert_fixture) are memoized per
-process — run 1 of BENCH_RUNS pays the build inside its recorded time,
-min-of-N reflects the warmed probe path. No query RESULT is ever cached;
-every timed run computes from the parquet inputs.
+contract"): the ANN quantizer training (_IVF_CENTROIDS/_PQ_CODEBOOKS),
+the BPE merge learning (_BPE_MERGES) and the engine certificate
+fixtures (_cert_fixture) are memoized per process — run 1 of BENCH_RUNS
+pays the build inside its recorded time, min-of-N reflects the warmed
+probe path. No query RESULT is ever cached; every timed run computes
+from the parquet inputs.
 """
 
 from __future__ import annotations

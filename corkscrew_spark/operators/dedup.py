@@ -770,11 +770,15 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # labels₀ stays LAZY (one distinct over the checkpointed edge scan):
+    # it is only read inside round 1's plan — twice, like any inner-hop
+    # frame, and exchange reuse dedupes that read exactly as it does for
+    # the fused hops (same A/B family as ckpt_inner_hop above). The old
+    # eager checkpoint was one more job + barrier per call.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(min(max_iter, star_after)):

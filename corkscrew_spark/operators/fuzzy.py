@@ -63,6 +63,89 @@ def _gram_rows(df: DataFrame, id_col: str, s_col: str, out_id: str,
     )
 
 
+def fuzzy_self_join(df: DataFrame, id_col: str, s_col: str,
+                    max_dist: int = 2, q: int = 2) -> DataFrame:
+    """All ordered (a, b) pairs of ``df``'s rows within ``max_dist`` —
+    result-identical to ``fuzzy_join(df, df)`` (self-pairs (x, x)
+    included, both orders present), with the q-gram index built ONCE.
+
+    The generic two-sided join grams, document-frequency-ranks and
+    prefix-filters each side independently; when both sides are the
+    same relation that is the same explosion + broadcast-join + window
+    twice (guide §2.4 — a removable duplicate pass). Here the ranked
+    prefix postings are computed once and self-joined: the left-probe
+    relation of the symmetric algorithm restricted to long strings IS
+    the posting list restricted to long strings (every left gram exists
+    on the right, so the df-0 fallback in the generic order never
+    fires and the two rankings coincide).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    prefix_n = max_dist * q + 1
+
+    r = _gram_rows(_spread(df, id_col), id_col, s_col, "__rid", "__rs", q)
+
+    gram_df = (
+        r.select(F.explode("__grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    # ONE ranked posting pass, carrying each string's gram count so the
+    # long-probe restriction is a filter, not a second window.
+    post = (
+        r.select("__rid", "__rs", F.size("__grams").alias("__n"),
+                 F.explode("__grams").alias("gram"))
+        .join(F.broadcast(gram_df), "gram")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__rid").orderBy("df", "gram")
+            ),
+        )
+        .filter(F.col("__rk") <= prefix_n)
+        .select("__rid", "__rs", "__n", "gram")
+    )
+    r_post = post.select("__rid", "__rs", "gram")
+    l_probe = post.filter(F.col("__n") >= prefix_n).select(
+        F.col("__rid").alias("__lid"), F.col("__rs").alias("__ls"), "gram")
+    cand_long = l_probe.join(r_post, "gram").select(
+        "__lid", "__ls", "__rid", "__rs")
+
+    # Short probes: complete length block, exactly as the generic join.
+    l_short = r.filter(F.size("__grams") < prefix_n).select(
+        F.col("__rid").alias("__lid"), F.col("__rs").alias("__ls"))
+    cand_short = (
+        l_short.select(
+            "__lid", "__ls",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("__ls") - max_dist, F.lit(0)),
+                    F.length("__ls") + max_dist,
+                )
+            ).alias("__len"),
+        )
+        .join(
+            r.select("__rid", "__rs", F.length("__rs").alias("__len")),
+            "__len",
+        )
+        .select("__lid", "__ls", "__rid", "__rs")
+    )
+
+    return (
+        cand_long.unionByName(cand_short)
+        .filter(F.abs(F.length("__ls") - F.length("__rs")) <= max_dist)
+        .distinct()
+        .withColumn("distance", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("distance") <= max_dist)
+        .select(
+            F.col("__lid").alias(f"{id_col}_a"),
+            F.col("__rid").alias(f"{id_col}_b"),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )
+
+
 def fuzzy_join(left: DataFrame, right: DataFrame,
                left_id: str, left_str: str,
                right_id: str, right_str: str,

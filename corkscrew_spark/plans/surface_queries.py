@@ -480,10 +480,15 @@ def resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivorship (canonical record = min id per entity). The oracle
     brute-forces the cross join and recomputes components with a
     recursive CTE — the Spark side must reach the identical entity
-    assignment from blocked candidates only. Per-entity counts use a
-    window PARTITIONED by entity (never a global window)."""
+    assignment from blocked candidates only. Per-entity counts come
+    from an aggregate over the (tiny) matched-label frame broadcast
+    back onto the records — every component member is by construction
+    a record, so count-per-cluster on labels equals the per-entity
+    window count without shuffling the full record set (guide §2.3:
+    aggregate the proxy, not the payload; unmatched records are
+    singleton entities, count 1)."""
     from corkscrew_spark.operators.dedup import dup_clusters
-    from corkscrew_spark.operators.fuzzy import fuzzy_join
+    from corkscrew_spark.operators.fuzzy import fuzzy_self_join
 
     part = _t(spark, sf_dir)["part"]
     base = part.filter(F.col("p_partkey") % 10 == 0).select(
@@ -496,32 +501,33 @@ def resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
     )
     records = base.unionByName(typos).localCheckpoint(eager=True)
-    probes = records.select(F.col("rec_id").alias("a_id"),
-                            F.col("name").alias("a_name"))
-    targets = records.select(F.col("rec_id").alias("b_id"),
-                             F.col("name").alias("b_name"))
+    # Symmetric blocked self-join: one gram index instead of two
+    # (fuzzy_self_join — identical pair set to fuzzy_join(records,
+    # records), asserted in tests/test_fuzzy.py).
     pairs = (
-        fuzzy_join(probes, targets, "a_id", "a_name", "b_id", "b_name",
-                   max_dist=1, q=3)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        fuzzy_self_join(records, "rec_id", "name", max_dist=1, q=3)
+        .filter(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select(F.col("rec_id_a").alias("doc_a"),
+                F.col("rec_id_b").alias("doc_b"))
     )
     labels = dup_clusters(pairs)
-    resolved = (
-        records.join(
-            labels.select(F.col("doc_id").alias("rec_id"),
-                          F.col("cluster_id").alias("entity_id")),
-            "rec_id", "left")
-        .select(
-            "rec_id",
-            F.coalesce("entity_id", F.col("rec_id")).alias("entity_id"),
-        )
+    ent = labels.select(F.col("doc_id").alias("rec_id"),
+                        F.col("cluster_id").alias("entity_id"))
+    # Component sizes from the label frame (cluster minima are
+    # themselves members, so a singleton record's id never collides
+    # with a cluster_id — coalesce(…, 1) is exact).
+    sizes = (
+        labels.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
-    w = Window.partitionBy("entity_id")
     return (
-        resolved.select(
+        records.join(ent, "rec_id", "left")
+        .select("rec_id",
+                F.coalesce("entity_id", F.col("rec_id")).alias("entity_id"))
+        .join(F.broadcast(sizes), "entity_id", "left")
+        .select(
             "rec_id", "entity_id",
             (F.col("rec_id") == F.col("entity_id")).alias("is_canonical"),
-            F.count(F.lit(1)).over(w).cast("long").alias("n_records"),
+            F.coalesce("__n", F.lit(1)).cast("long").alias("n_records"),
         )
     )

@@ -70,3 +70,29 @@ def test_rejects_bad_max_dist(spark):
     except ValueError:
         return
     raise AssertionError("max_dist=0 should raise")
+
+
+def test_self_join_equals_two_sided(spark):
+    """fuzzy_self_join must equal fuzzy_join(df, df) exactly — same
+    ordered pair set, self-pairs included (the single-gram-index
+    specialization resolve_entities rides)."""
+    from corkscrew_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = RIGHT + [(100 + i, s) for i, s in
+                    (enumerate(ls for _, ls in LEFT))]
+    df = spark.createDataFrame(rows, ["rid", "rs"])
+    for k, q in ((1, 3), (2, 2)):
+        two = {
+            (r.a, r.b, r.distance)
+            for r in fuzzy_join(
+                df.select(F.col("rid").alias("a"), F.col("rs").alias("as_")),
+                df.select(F.col("rid").alias("b"), F.col("rs").alias("bs_")),
+                "a", "as_", "b", "bs_", max_dist=k, q=q).collect()
+        }
+        one = {
+            (r.rid_a, r.rid_b, r.distance)
+            for r in fuzzy_self_join(df, "rid", "rs",
+                                     max_dist=k, q=q).collect()
+        }
+        assert one == two
+        assert all((i, i, 0) in one for i, _ in rows)  # self-pairs kept

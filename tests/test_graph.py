@@ -614,3 +614,27 @@ class TestPersonalizedPagerank:
         seeds_df = spark.createDataFrame([("a",)], "seed string")
         with _pytest.raises(ValueError):
             pagerank(e, reset_nodes=["a"], reset_df=seeds_df)
+
+
+def test_ckpt_observe_metrics_and_plan(spark):
+    """session.ckpt_observe: the fused convergence probe must report the
+    exact aggregates of the materialized rows (including the empty
+    case) and leave a clean checkpointed plan (no lingering observe
+    node — downstream consumers scan the materialized RDD)."""
+    from pyspark.sql import functions as F
+
+    from corkscrew_spark.session import ckpt_observe
+
+    df = spark.range(100).withColumn("changed", F.col("id") % 10 == 0)
+    ck, m = ckpt_observe(
+        df,
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("changed"), 1)).alias("nc"),
+    )
+    assert m["n"] == 100 and m["nc"] == 10
+    assert ck.count() == 100 and ck.columns == ["id", "changed"]
+    assert "Scan ExistingRDD" in ck._jdf.queryExecution().executedPlan().toString()
+
+    empty, me = ckpt_observe(spark.range(5).filter("id < 0"),
+                             F.count(F.lit(1)).alias("n"))
+    assert me["n"] == 0 and empty.count() == 0
